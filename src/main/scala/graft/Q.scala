@@ -2,28 +2,26 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One named, oracle-checkable query (SURVEY.md §5.2.1).
+/** One declared, driver-checkable query.
   *
-  * @param name   stable query id (key in `SparkEntry.queries`)
-  * @param oracle equivalent ANSI SQL for DuckDB over the same parquet
-  *               tables; None for non-SQL-expressible / non-deterministic
-  *               ops (driver then records a weaker rows-only check, and a
-  *               ScalaTest invariant covers semantics instead)
-  * @param run    the Spark implementation; second arg is the sf directory
+  * Single source of truth for the SparkEntry two-map contract: every
+  * module exposes `defs: Seq[Q]`, and SparkEntry derives both
+  * `queries` and `oracleSql` from the union. A query with
+  * `oracle = None` is intentionally non-SQL-expressible (seeded
+  * sampling, LSH bucketing, ML training) and gets the driver's weaker
+  * rows-only check plus a ScalaTest invariant in `src/test/scala`.
   */
 final case class Q(
     name: String,
-    oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
 
 object Q {
-  /** Deterministic-output convention: every declared query ends in a total
-    * ORDER BY, floats are rounded, and column names match the oracle SQL
-    * exactly (the driver hash-compares by sorted column name).
-    */
-  def apply(name: String, oracleSql: String)(run: (SparkSession, String) => DataFrame): Q =
-    Q(name, Some(oracleSql.stripMargin.trim), run)
+  /** Oracle-checked query (the default — prefer this). */
+  def apply(name: String, sql: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(sql))
 
+  /** Declared-but-unoracled query (sampling / non-deterministic ops). */
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
-    Q(name, None, run)
+    Q(name, run, None)
 }

@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.Telemetry
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All declared queries live in per-module `defs: Seq[Q]` lists; this
+  * object is a pure aggregation so `queries` and `oracleSql` can never
+  * drift from each other (VERDICT r1 "What's wrong" #1/#2).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Every declared query, module by module. */
+  def all: Seq[Q] =
+    Telemetry.defs
+
+  /** Flagship: the reference's semantic heart — label → rolling features
+    * → threshold alert → per-day rollup — on sf0.001 (driver smoke-checks
+    * rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Telemetry.daily(Telemetry.scored(Tables.events(spark, "/root/testdata/sf0.001")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (seeded sampling, LSH, ML) → driver records a rows-only check and
+    * a ScalaTest invariant covers semantics. */
+  def oracleSql: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Headline subset timed by Bench (kept representative but bounded so
+    * BENCH_r{N}.json measures engine shape, not query count). */
+  def headline: Seq[String] = Seq(
+    "telemetry_features",
+    "telemetry_scored",
+    "telemetry_daily",
+    "telemetry_confusion",
+  )
 }

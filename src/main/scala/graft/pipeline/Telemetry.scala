@@ -1,8 +1,10 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
 
 /** Per-entity time-series pipeline — the reference's semantic core
   * (forward-looking label + rolling features + threshold alerting),
@@ -10,31 +12,44 @@ import org.apache.spark.sql.functions._
   * `user_id` ↔ serial_number, `ts` ↔ date, `value` ↔ SMART raw counter,
   * `event_type = 'error'` ↔ failure indicator.
   *
-  * Reference semantics reproduced exactly (SURVEY.md §2.6):
-  *  - label = lead(indicator, 1) over per-entity date order
-  *    (/root/reference/scripts/02_label_engineering.py:113-123)
+  * Reference semantics reproduced exactly (SURVEY.md §2.6), in the
+  * reference's 02→03 stage order:
+  *  - label = lead(indicator, 1) over per-entity date order on the FULL
+  *    timeline (/root/reference/scripts/02_label_engineering.py:113-123)
+  *  - failure-day rows dropped AFTER labeling, BEFORE rolling features
+  *    (02_label_engineering.py:126-131 writes the filtered parquet that
+  *    03_feature_engineering.py:44-46 reads)
   *  - rolling mean/std/max over ROW frames (-6..0), mean over (-13..0)
-  *    (/root/reference/scripts/03_feature_engineering.py:96-120)
+  *    on the filtered timeline (03_feature_engineering.py:96-120)
   *  - 1-step delta via lag (03_feature_engineering.py:128-132)
   *  - observation age via row_number (03_feature_engineering.py:140-143)
   *  - null fill 0 for warm-up rows (03_feature_engineering.py:146-154)
-  *  - drop failure-day rows AFTER labeling (02_label_engineering.py:126-131)
   *  - alert = score >= threshold (06_deployment_code.py:137-140)
   *
   * Scale notes: one hash Exchange on user_id + one Sort feeds ALL window
-  * expressions (same partition/order spec ⇒ Spark plans the differing
-  * frames as stacked WindowExecs over one sorted child — no extra
-  * shuffles). At 100 TB the only tuning knob is shuffle partition count /
-  * AQE; no driver-side collection anywhere in the path.
+  * expressions (same partition/order spec). The is_error filter runs
+  * BELOW the feature window (after the label window), shrinking the
+  * second window's input ~20%. No driver-side collection anywhere. At
+  * 100 TB the knobs are shuffle partition count + AQE; per-user skew
+  * would need salting/two-phase windows (test data is uniform).
   */
 object Telemetry {
   val FailureType = "error"
+
+  /** Default alerting threshold on the 7-row rolling mean (value is
+    * uniform 0..~500, median ~35 — τ=60 yields a sparse-but-nonempty
+    * alert set, mirroring the reference's rare-alert regime). */
+  val Tau = 60.0
 
   /** Event-id tiebreak makes per-user ordering total (duplicate µs
     * timestamps would otherwise make window results nondeterministic). */
   private val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
   private val w7 = byUser.rowsBetween(-6, 0)
   private val w14 = byUser.rowsBetween(-13, 0)
+
+  /** round(x, 6) + 0.0 — the +0.0 collapses IEEE −0.0 to +0.0 so both
+    * engines hash identically when a rounded stddev lands on zero. */
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0)
 
   /** Early projection + indicator derivation (reference P1/P2/P6:
     * prune columns before any shuffle). */
@@ -43,35 +58,39 @@ object Telemetry {
       col("event_id"), col("ts"), col("user_id"), col("value"),
       when(col("event_type") === FailureType, 1).otherwise(0).as("is_error"))
 
-  /** W1: forward-looking label. Null lead (last row per user) → 0. */
+  /** W1: forward-looking label over the FULL per-user timeline.
+    * Null lead (last row per user) → 0. */
   def labeled(events: DataFrame): DataFrame =
     base(events).withColumn(
       "failure_next",
       when(lead(col("is_error"), 1).over(byUser) === 1, 1).otherwise(0))
 
-  /** W2-W6 + P7: rolling features, delta, observation age, null-fill.
-    * Floats are rounded to 6 dp at derivation so every downstream
-    * comparison (alerting threshold, oracle hash) sees identical values
-    * regardless of partial-aggregation order.
-    */
-  def features(events: DataFrame): DataFrame =
-    labeled(events).select(
-      col("*"),
-      round(avg(col("value")).over(w7), 6).as("value_mean_7"),
-      round(coalesce(stddev(col("value")).over(w7), lit(0.0)), 6).as("value_std_7"),
-      max(col("value")).over(w7).as("value_max_7"),
-      round(avg(col("value")).over(w14), 6).as("value_mean_14"),
-      round(coalesce(col("value") - lag(col("value"), 1).over(byUser), lit(0.0)), 6).as("value_delta_1"),
-      row_number().over(byUser).as("obs_seq"))
+  /** F1: drop failure-day rows after labeling (the reference's stage-02
+    * output; stage-03 windows run over this filtered timeline). */
+  def filtered(events: DataFrame): DataFrame =
+    labeled(events).filter(col("is_error") === 0)
 
-  /** F1 + F5/P6: drop failure-day rows after labeling, then alert on the
-    * rolling mean crossing the threshold. */
-  def scored(events: DataFrame, tau: Double): DataFrame =
+  /** W2-W6 + P7: rolling features, delta, observation age, null-fill —
+    * over the filtered timeline (reference 02→03 data flow). Floats are
+    * rounded to 6 dp at derivation so every downstream comparison
+    * (alerting threshold, oracle hash) sees identical values regardless
+    * of partial-aggregation order. */
+  def features(events: DataFrame): DataFrame =
+    filtered(events).select(
+      col("*"),
+      r6(avg(col("value")).over(w7)).as("value_mean_7"),
+      r6(coalesce(stddev(col("value")).over(w7), lit(0.0))).as("value_std_7"),
+      max(col("value")).over(w7).as("value_max_7"),
+      r6(avg(col("value")).over(w14)).as("value_mean_14"),
+      r6(coalesce(col("value") - lag(col("value"), 1).over(byUser), lit(0.0))).as("value_delta_1"),
+      row_number().over(byUser).cast("long").as("obs_seq"))
+
+  /** F5/P6: alert on the rolling mean crossing the threshold. */
+  def scored(events: DataFrame, tau: Double = Tau): DataFrame =
     features(events)
-      .filter(col("is_error") === 0)
       .withColumn("alert", when(col("value_mean_7") >= tau, 1).otherwise(0))
 
-  /** A2: alerts per day (two-level aggregate target). */
+  /** A2 level 1: alerts per day. */
   def daily(scoredDf: DataFrame): DataFrame =
     scoredDf
       .groupBy(to_date(col("ts")).as("day"))
@@ -79,12 +98,21 @@ object Telemetry {
         count(lit(1)).as("n_obs"),
         sum(col("alert")).cast("long").as("n_alerts"),
         sum(col("failure_next")).cast("long").as("n_failures"),
-        round(avg(col("value_mean_7")), 6).as("avg_score"))
+        r6(avg(col("value_mean_7"))).as("avg_score"))
       .orderBy(col("day"))
+
+  /** A2 level 2: agg-of-agg — mean alerts/day across days
+    * (/root/reference/scripts/06_deployment_code.py:178-184). */
+  def dailyAvg(scoredDf: DataFrame): DataFrame =
+    daily(scoredDf).agg(
+      count(lit(1)).as("n_days"),
+      r6(avg(col("n_alerts"))).as("avg_alerts_per_day"))
 
   /** §4.3.1: the five separate count() jobs of
     * /root/reference/scripts/06_deployment_code.py:147-184 collapsed into
-    * ONE aggregation pass (single scan, no re-scoring). */
+    * ONE aggregation pass (single scan, no re-scoring). Zero denominators
+    * yield 0.0, matching the reference's `if > 0 else 0.0` guard
+    * (06_deployment_code.py:165-170). */
   def confusion(scoredDf: DataFrame): DataFrame = {
     val cell = (a: Int, y: Int) =>
       sum(when(col("alert") === a && col("failure_next") === y, 1).otherwise(0)).cast("long")
@@ -94,14 +122,22 @@ object Telemetry {
       cell(0, 1).as("fn"),
       cell(0, 0).as("tn"),
       count(lit(1)).as("n"))
-      .withColumn("precision", round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
-      .withColumn("recall", round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0, r6(col("tp") / (col("tp") + col("fp")))).otherwise(0.0))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0, r6(col("tp") / (col("tp") + col("fn")))).otherwise(0.0))
   }
 
   // ---------------------------------------------------------------------
-  // Shared oracle-SQL building blocks (DuckDB dialect = ANSI here).
-  // Mirrors the Spark lineage above 1:1; kept adjacent so the two cannot
-  // drift silently.
+  // Oracle SQL (DuckDB). Mirrors the Spark lineage above 1:1; kept
+  // adjacent so the two cannot drift silently. Conventions for exact
+  // cross-engine hash parity:
+  //  - ROUND(x,6)+0 on every derived float (+0 collapses −0.0);
+  //  - CAST(SUM(...) AS BIGINT) — DuckDB sums integers to HUGEINT;
+  //  - ROWS frames + STDDEV_SAMP to match Spark window semantics;
+  //  - total ORDER BY with unique tiebreak on every emitted result.
+  // `ts` needs no truncation: DuckDB 1.0 truncates TIMESTAMP(NANOS)
+  // parquet to µs exactly like our Tables.events `div 1000`.
   // ---------------------------------------------------------------------
 
   val baseSql: String =
@@ -109,31 +145,97 @@ object Telemetry {
        |       CASE WHEN event_type = '$FailureType' THEN 1 ELSE 0 END AS is_error
        |FROM events""".stripMargin
 
-  val windowClauseSql: String =
-    """WINDOW
-      |  wu  AS (PARTITION BY user_id ORDER BY ts, event_id),
-      |  w7  AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-      |  w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
-
-  val featuresSql: String =
+  val featSql: String =
     s"""WITH base AS ($baseSql),
+       |lab AS (
+       |  SELECT *, CASE WHEN LEAD(is_error, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+       |                 THEN 1 ELSE 0 END AS failure_next
+       |  FROM base),
+       |filt AS (SELECT * FROM lab WHERE is_error = 0),
        |feat AS (
-       |  SELECT event_id, ts, user_id, value, is_error,
-       |         CASE WHEN LEAD(is_error, 1) OVER wu = 1 THEN 1 ELSE 0 END AS failure_next,
-       |         ROUND(AVG(value) OVER w7, 6) AS value_mean_7,
-       |         ROUND(COALESCE(STDDEV_SAMP(value) OVER w7, 0), 6) AS value_std_7,
+       |  SELECT event_id, ts, user_id, value, is_error, failure_next,
+       |         ROUND(AVG(value) OVER w7, 6) + 0 AS value_mean_7,
+       |         ROUND(COALESCE(STDDEV_SAMP(value) OVER w7, 0), 6) + 0 AS value_std_7,
        |         MAX(value) OVER w7 AS value_max_7,
-       |         ROUND(AVG(value) OVER w14, 6) AS value_mean_14,
-       |         ROUND(COALESCE(value - LAG(value, 1) OVER wu, 0), 6) AS value_delta_1,
+       |         ROUND(AVG(value) OVER w14, 6) + 0 AS value_mean_14,
+       |         ROUND(COALESCE(value - LAG(value, 1) OVER wu, 0), 6) + 0 AS value_delta_1,
        |         ROW_NUMBER() OVER wu AS obs_seq
-       |  FROM base
-       |  $windowClauseSql
-       |)""".stripMargin
+       |  FROM filt
+       |  WINDOW
+       |    wu  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       |    w7  AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       |    w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""".stripMargin
 
-  def scoredSql(tau: Double): String =
-    s"""$featuresSql,
+  def scoredSql(tau: Double = Tau): String =
+    s"""$featSql,
        |scored AS (
        |  SELECT *, CASE WHEN value_mean_7 >= $tau THEN 1 ELSE 0 END AS alert
-       |  FROM feat WHERE is_error = 0
-       |)""".stripMargin
+       |  FROM feat)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Declared queries (driver contract).
+  // ---------------------------------------------------------------------
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  val defs: Seq[Q] = Seq(
+    Q("telemetry_labeled",
+      s"""WITH base AS ($baseSql)
+         |SELECT *, CASE WHEN LEAD(is_error, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+         |               THEN 1 ELSE 0 END AS failure_next
+         |FROM base ORDER BY event_id""".stripMargin) {
+      (s, dir) => labeled(ev(s, dir)).orderBy("event_id")
+    },
+    Q("telemetry_features",
+      s"$featSql SELECT * FROM feat ORDER BY event_id") {
+      (s, dir) => features(ev(s, dir)).orderBy("event_id")
+    },
+    Q("telemetry_scored",
+      s"${scoredSql()} SELECT * FROM scored ORDER BY event_id") {
+      (s, dir) => scored(ev(s, dir)).orderBy("event_id")
+    },
+    Q("telemetry_daily",
+      s"""${scoredSql()}
+         |SELECT CAST(ts AS DATE) AS day,
+         |       COUNT(*) AS n_obs,
+         |       CAST(SUM(alert) AS BIGINT) AS n_alerts,
+         |       CAST(SUM(failure_next) AS BIGINT) AS n_failures,
+         |       ROUND(AVG(value_mean_7), 6) + 0 AS avg_score
+         |FROM scored GROUP BY 1 ORDER BY day""".stripMargin) {
+      (s, dir) => daily(scored(ev(s, dir)))
+    },
+    Q("telemetry_daily_avg",
+      s"""${scoredSql()},
+         |d AS (SELECT CAST(ts AS DATE) AS day, CAST(SUM(alert) AS BIGINT) AS n_alerts
+         |      FROM scored GROUP BY 1)
+         |SELECT COUNT(*) AS n_days, ROUND(AVG(n_alerts), 6) + 0 AS avg_alerts_per_day
+         |FROM d""".stripMargin) {
+      (s, dir) => dailyAvg(scored(ev(s, dir)))
+    },
+    Q("telemetry_confusion",
+      s"""${scoredSql()},
+         |c AS (
+         |  SELECT CAST(SUM(CASE WHEN alert = 1 AND failure_next = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN alert = 1 AND failure_next = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(SUM(CASE WHEN alert = 0 AND failure_next = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(SUM(CASE WHEN alert = 0 AND failure_next = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |         COUNT(*) AS n
+         |  FROM scored)
+         |SELECT *,
+         |       CASE WHEN tp + fp > 0 THEN ROUND(tp / (tp + fp), 6) + 0 ELSE 0.0 END AS precision,
+         |       CASE WHEN tp + fn > 0 THEN ROUND(tp / (tp + fn), 6) + 0 ELSE 0.0 END AS recall
+         |FROM c""".stripMargin) {
+      (s, dir) => confusion(scored(ev(s, dir)))
+    },
+    Q("telemetry_alerts_sink",
+      s"""${scoredSql()}
+         |SELECT event_id, ts, user_id, value_mean_7, alert
+         |FROM scored WHERE alert = 1 ORDER BY event_id""".stripMargin) {
+      (s, dir) =>
+        scored(ev(s, dir))
+          .filter(col("alert") === 1)
+          .select("event_id", "ts", "user_id", "value_mean_7", "alert")
+          .orderBy("event_id")
+    },
+  )
 }
