@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipeline.Telemetry
+import graft.pipeline.{Telemetry, TrainingData}
+import graft.queries.{Ingest, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +15,7 @@ object SparkEntry {
 
   /** Every declared query, module by module. */
   def all: Seq[Q] =
-    Telemetry.defs
+    Telemetry.defs ++ TrainingData.defs ++ Relational.defs ++ Ingest.defs
 
   /** Flagship: the reference's semantic heart — label → rolling features
     * → threshold alert → per-day rollup — on sf0.001 (driver smoke-checks

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Training-data preparation (reference script 04): chronological split
+  * → class separation → negative downsampling → recombination
+  * (/root/reference/scripts/04_prepare_training_data.py:34-68).
+  *
+  * Two downsampling forms:
+  *  - `downsampled`: the reference's seeded Bernoulli sample with a
+  *    computed fraction (04:60-66). Cross-engine nondeterministic
+  *    (Spark's seeded RNG ≠ DuckDB's) → declared WITHOUT oracle SQL;
+  *    invariants (all positives kept, negative bound, determinism
+  *    within Spark) are ScalaTest-checked.
+  *  - the `downsample_det_union` query: a deterministic modulo-on-key
+  *    variant that IS oracle-checkable, proving the filter→union shape
+  *    end-to-end. At 100 TB a hash/modulo predicate on a uniformly
+  *    distributed key is also the more reproducible sampling primitive.
+  *
+  * Scale notes: splits are pure predicate pushdown (parquet min/max
+  * row-group skipping at rest); the only driver-side values are the two
+  * class counts feeding the sample fraction (bounded scalars, same as
+  * the reference). `unionByName` is a zero-shuffle concatenation.
+  */
+object TrainingData {
+
+  /** Chronological boundaries over the events analog (Jan 2024 data;
+    * reference uses '2025-08-25'/'2025-09-15',
+    * 04_prepare_training_data.py:34-36). */
+  val TrainEnd = "2024-01-15 00:00:00"
+  val ValidEnd = "2024-01-22 00:00:00"
+
+  def train(feat: DataFrame): DataFrame = feat.filter(col("ts") < lit(TrainEnd).cast("timestamp"))
+  def valid(feat: DataFrame): DataFrame =
+    feat.filter(col("ts") >= lit(TrainEnd).cast("timestamp") &&
+      col("ts") < lit(ValidEnd).cast("timestamp"))
+  def test(feat: DataFrame): DataFrame = feat.filter(col("ts") >= lit(ValidEnd).cast("timestamp"))
+
+  /** F3: class separation. */
+  def positives(df: DataFrame): DataFrame = df.filter(col("failure_next") === 1)
+  def negatives(df: DataFrame): DataFrame = df.filter(col("failure_next") === 0)
+
+  /** O4 + U1: the reference's downsample — keep ALL positives, sample
+    * negatives to ~ratio:1 with a computed fraction, recombine by name.
+    * The two counts are the only driver-side values (bounded scalars,
+    * mirroring 04_prepare_training_data.py:49-66). */
+  def downsampled(df: DataFrame, ratio: Double = 100.0, seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(col("failure_next")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pos = counts.getOrElse(1, 0L)
+    val neg = counts.getOrElse(0, 1L)
+    val fraction = math.min(1.0, pos * ratio / neg.toDouble)
+    positives(df).unionByName(negatives(df).sample(withReplacement = false, fraction, seed))
+  }
+
+  private def feat(s: SparkSession, dir: String): DataFrame =
+    Telemetry.features(Tables.events(s, dir))
+
+  private val splitCase =
+    s"""CASE WHEN ts < TIMESTAMP '$TrainEnd' THEN 'train'
+       |     WHEN ts < TIMESTAMP '$ValidEnd' THEN 'valid'
+       |     ELSE 'test' END""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+
+    // F2: the three chronological splits as row-level queries.
+    Q("split_train",
+      s"${Telemetry.featSql} SELECT * FROM feat WHERE ts < TIMESTAMP '$TrainEnd' ORDER BY event_id") {
+      (s, dir) => train(feat(s, dir)).orderBy("event_id")
+    },
+    Q("split_valid",
+      s"""${Telemetry.featSql}
+         |SELECT * FROM feat
+         |WHERE ts >= TIMESTAMP '$TrainEnd' AND ts < TIMESTAMP '$ValidEnd'
+         |ORDER BY event_id""".stripMargin) {
+      (s, dir) => valid(feat(s, dir)).orderBy("event_id")
+    },
+    Q("split_test",
+      s"${Telemetry.featSql} SELECT * FROM feat WHERE ts >= TIMESTAMP '$ValidEnd' ORDER BY event_id") {
+      (s, dir) => test(feat(s, dir)).orderBy("event_id")
+    },
+
+    // F2/A1: split × class histogram — disjointness/exhaustiveness is
+    // oracle-checked because total n must reconcile with split_* rows.
+    Q("split_chrono_counts",
+      s"""${Telemetry.featSql}
+         |SELECT $splitCase AS split,
+         |       COUNT(*) AS n,
+         |       CAST(SUM(failure_next) AS BIGINT) AS n_pos
+         |FROM feat GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+      feat(s, dir)
+        .withColumn("split",
+          when(col("ts") < lit(TrainEnd).cast("timestamp"), "train")
+            .when(col("ts") < lit(ValidEnd).cast("timestamp"), "valid")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("failure_next")).cast("long").as("n_pos"))
+        .orderBy(col("split"))
+    },
+
+    // F3: label-equality separation (positives of the training split).
+    Q("split_label_pos",
+      s"""${Telemetry.featSql}
+         |SELECT * FROM feat
+         |WHERE ts < TIMESTAMP '$TrainEnd' AND failure_next = 1
+         |ORDER BY event_id""".stripMargin) {
+      (s, dir) => positives(train(feat(s, dir))).orderBy("event_id")
+    },
+
+    // O4/U1 deterministic variant: all positives ∪ modulo-sampled
+    // negatives, recombined by name — the oracle-checkable proof of the
+    // separate→sample→union shape.
+    Q("downsample_det_union",
+      s"""${Telemetry.featSql}
+         |SELECT * FROM feat WHERE ts < TIMESTAMP '$TrainEnd' AND failure_next = 1
+         |UNION ALL
+         |SELECT * FROM feat
+         |WHERE ts < TIMESTAMP '$TrainEnd' AND failure_next = 0 AND event_id % 7 = 0
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val t = train(feat(s, dir))
+      positives(t)
+        .unionByName(negatives(t).filter(col("event_id") % 7 === 0))
+        .orderBy("event_id")
+    },
+
+    // O4: the reference's seeded Bernoulli downsample+union — Spark-only
+    // determinism, so no oracle (driver rows-only check; invariants in
+    // TrainingDataSpec).
+    Q.noOracle("sample_downsample_union") { (s, dir) =>
+      downsampled(train(feat(s, dir))).orderBy("event_id")
+    },
+
+    // O3: random-order top-k (memory-safe negative sample for threshold
+    // tuning, 05_01_model_training_xgboost_oom_fix.py:212-220).
+    Q.noOracle("sample_topk_rand") { (s, dir) =>
+      negatives(feat(s, dir))
+        .orderBy(rand(42), col("event_id"))
+        .limit(2000)
+    },
+  )
+}

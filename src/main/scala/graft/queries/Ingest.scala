@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Ingestion surface (SURVEY.md §2.1): CSV with explicit schema
+  * (S1 — the reference's front door, /root/reference/scripts/
+  * 01_data_ingestion.py:17-22, minus the inferSchema extra pass) and
+  * the tuned parquet sink (S3/S4 — 64 MB row groups / 8 MB pages /
+  * snappy, /root/reference/scripts/02_label_engineering.py:156-174).
+  *
+  * Each query is a write→read round-trip whose final aggregate is
+  * oracle-checked against the ORIGINAL parquet table — so the check
+  * proves the sink+scan pair is lossless, not just that the scan ran.
+  * Scratch output goes under java.io.tmpdir (harness-local, never the
+  * data path; at scale sinks write to the job's output location).
+  */
+object Ingest {
+
+  private def tmp(name: String): String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft_qtmp", name).toString
+
+  /** Explicit schema for the CSV round-trip subset — schema comes from
+    * the engine, never from a sampling pass (SURVEY §1.6). */
+  val ordersCsvSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", DateType)))
+
+  val defs: Seq[Q] = Seq(
+
+    // S1 + S3: parquet → CSV (header) → typed CSV scan → aggregate.
+    Q("csv_roundtrip_agg",
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS total,
+        |       MIN(CAST(o_orderdate AS DATE)) AS first_day,
+        |       MAX(CAST(o_orderdate AS DATE)) AS last_day
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = tmp("orders_csv")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"))
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      s.read.option("header", "true").schema(ordersCsvSchema).csv(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).as("total"),
+          min(col("o_orderdate")).as("first_day"),
+          max(col("o_orderdate")).as("last_day"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // S3 + S4: tuned parquet sink (64 MB row groups, 8 MB pages,
+    // snappy) → scan → aggregate.
+    Q("parquet_sink_roundtrip",
+      """SELECT l_linestatus,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS total
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val path = tmp("lineitem_parquet")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
+          col("l_extendedprice"))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .option("parquet.block.size", (64 * 1024 * 1024).toString)
+        .option("parquet.page.size", (8 * 1024 * 1024).toString)
+        .parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(30,6)")).as("total"))
+        .orderBy(col("l_linestatus"))
+    },
+  )
+}

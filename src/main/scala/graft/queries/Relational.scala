@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Relational operator surface over the star schema (SURVEY.md §2.4/2.5/
+  * 2.7/2.8 + engine-surface join family). The reference itself contains
+  * no joins (join-avoidance via window lead is its as-of idiom,
+  * /root/reference/scripts/02_label_engineering.py:113-123), but the
+  * engine exposes the standard family; each query is shaped for scale:
+  *
+  *  - dimension joins broadcast explicitly (`broadcast(part)`) — at
+  *    100 TB the fact side never shuffles for a dim join;
+  *  - fact-fact joins shuffle on the join key and pre-aggregate the
+  *    many side BEFORE the join where semantics allow (the left-outer
+  *    per-order rollup) — the join then moves one row per key, not one
+  *    row per lineitem;
+  *  - every money sum is computed in DECIMAL(30,6): fixed-point
+  *    addition is associative, so the result is bit-identical across
+  *    any partitioning (a rounded double sum is NOT — fp error at
+  *    sf0.1 exceeds the 6-dp oracle-hash boundary).
+  */
+object Relational {
+
+  /** Exact cross-engine sum of a double column: fixed-point decimal. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)"))
+
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0)
+
+  val defs: Seq[Q] = Seq(
+
+    // A1/P4/P5: grouped aggregation with arithmetic + aliases (Q1-style).
+    Q("agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qty,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sum_base_price,
+        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS sum_disc_price,
+        |       ROUND(AVG(l_quantity), 6) + 0 AS avg_qty,
+        |       ROUND(AVG(l_discount), 6) + 0 AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          r6(avg(col("l_quantity"))).as("avg_qty"),
+          r6(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // A3: global aggregate + distinct aggregate in one pass.
+    Q("agg_global_counts",
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       SUM(CAST(l_quantity AS DECIMAL(30,6))) AS total_qty
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        dsum(col("l_quantity")).as("total_qty"))
+    },
+
+    // A2 (star variant): two-level aggregate — per-day revenue, then
+    // the average daily revenue across days (agg-of-agg).
+    Q("agg_orders_daily_avg",
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS revenue,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT COUNT(*) AS n_days,
+        |       ROUND(AVG(CAST(revenue AS DOUBLE)), 4) + 0 AS avg_daily_revenue,
+        |       ROUND(AVG(n_orders), 6) + 0 AS avg_daily_orders
+        |FROM d""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(
+          dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          (round(avg(col("revenue").cast("double")), 4) + lit(0.0)).as("avg_daily_revenue"),
+          r6(avg(col("n_orders"))).as("avg_daily_orders"))
+    },
+
+    // J1a: broadcast dimension join — the 100 TB shape for fact ⋈ dim.
+    // `broadcast(part)` pins BroadcastHashJoin: the lineitem side never
+    // shuffles (asserted in RelationalSpec via queryExecution).
+    Q("join_broadcast_dim",
+      """SELECT p.p_brand,
+        |       COUNT(*) AS n_items,
+        |       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+
+    // J1a': multi-hop dim chain (customer → nation → region), dims
+    // broadcast, fact aggregated by region name.
+    Q("join_dim_chain",
+      """SELECT r.r_name,
+        |       COUNT(*) AS n_orders,
+        |       SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("r_name"))
+    },
+
+    // J1b: fact-fact equi-join (shuffle/sort-merge at scale; AQE may
+    // elect broadcast at test SF — both are the right plan for their
+    // input sizes). Lineitem pre-aggregated to one row per key BEFORE
+    // the join, so the shuffle moves |orders| rows, not |lineitem|.
+    Q("join_fact_fact",
+      """SELECT o.o_orderkey, o.o_totalprice, li.n_items, li.sum_qty
+        |FROM orders o
+        |JOIN (SELECT l_orderkey,
+        |             COUNT(*) AS n_items,
+        |             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qty
+        |      FROM lineitem GROUP BY 1) li
+        |  ON o.o_orderkey = li.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      Tables.orders(s, dir)
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("n_items"), col("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // J1c: left outer with null-fill — orders that have no lineitems
+    // keep a 0 count (COALESCE over the outer null).
+    Q("join_left_outer",
+      """SELECT o.o_orderkey,
+        |       COALESCE(li.n_items, 0) AS n_items
+        |FROM orders o
+        |LEFT JOIN (SELECT l_orderkey, COUNT(*) AS n_items
+        |           FROM lineitem GROUP BY 1) li
+        |  ON o.o_orderkey = li.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      Tables.orders(s, dir)
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(col("o_orderkey"), coalesce(col("n_items"), lit(0L)).as("n_items"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // J1d: left-semi — customers that placed at least one order.
+    Q("join_semi",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J1e: left-anti — orders with no lineitems (non-empty on the test
+    // data: ~1.7% of orders are lineitem-less).
+    Q("join_anti",
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // U1-adjacent engine surface: distinct projection.
+    Q("distinct_op",
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment") { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Engine surface: intersect/except (SURVEY §2.7 notes these absent
+    // in the reference; exposed for completeness of the set-op family).
+    Q("setop_except",
+      """SELECT o_orderkey FROM orders
+        |EXCEPT
+        |SELECT l_orderkey AS o_orderkey FROM lineitem
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"))
+        .except(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    },
+    Q("setop_intersect",
+      """SELECT c_custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .intersect(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))
+    },
+
+    // O1/O2/O5: deterministic top-k (total order with unique tiebreak).
+    Q("orderby_limit_topk",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // A4: scalar extraction as a 1-row frame (the engine's deterministic
+    // replacement for the reference's collect()[0][0] spot checks,
+    // /root/reference/scripts/02_label_engineering.py:141-147).
+    Q("scalar_first",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(1)
+    },
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.pipeline.Telemetry
+
+/** Golden-value tests for the label/feature semantics on hand-built
+  * timelines (FIXTURES.md §2; reference semantics at
+  * /root/reference/scripts/02_label_engineering.py:113-131 and
+  * 03_feature_engineering.py:96-154). */
+class TelemetrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  /** (event_id, day, user, type, value) → events frame. */
+  private def events(rows: (Long, Int, Long, String, Double)*): DataFrame =
+    rows.toSeq
+      .map { case (id, d, u, t, v) => (id, ts(d), u, t, v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("failing-drive-5d: label 1 exactly on the day before failure; failure-day row dropped") {
+    val ev = events(
+      (1, 1, 7, "view", 10.0), (2, 2, 7, "view", 11.0), (3, 3, 7, "view", 12.0),
+      (4, 4, 7, "view", 13.0), (5, 5, 7, "error", 99.0))
+    val lab = Telemetry.labeled(ev).orderBy("event_id")
+      .select("event_id", "failure_next").as[(Long, Int)].collect()
+    assert(lab.toSeq === Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 0)))
+    // F1: the failure-day row is gone after filtering; the label survives.
+    val feat = Telemetry.features(ev).orderBy("event_id")
+    assert(feat.select("event_id").as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(feat.filter($"failure_next" === 1).select("event_id").as[Long].collect().toSeq === Seq(4L))
+  }
+
+  test("row-frame (not calendar) semantics: gap before failure still labels the previous OBSERVED row") {
+    // days 1,2,3,7,8 with failure on day 8: day 7 gets the label despite
+    // the 4-day gap (SURVEY §2.6 — frames count observed rows).
+    val ev = events(
+      (1, 1, 3, "view", 1.0), (2, 2, 3, "view", 2.0), (3, 3, 3, "view", 3.0),
+      (4, 7, 3, "view", 4.0), (5, 8, 3, "error", 9.0))
+    val lab = Telemetry.labeled(ev).filter($"failure_next" === 1)
+      .select("event_id").as[Long].collect()
+    assert(lab.toSeq === Seq(4L))
+  }
+
+  test("single-row user: stddev null→0, delta null→0, obs_seq=1") {
+    val ev = events((1, 1, 9, "view", 5.0))
+    val row = Telemetry.features(ev).head()
+    assert(row.getAs[Double]("value_std_7") === 0.0)
+    assert(row.getAs[Double]("value_delta_1") === 0.0)
+    assert(row.getAs[Long]("obs_seq") === 1L)
+    assert(row.getAs[Double]("value_mean_7") === 5.0)
+  }
+
+  test("features are computed over the FILTERED timeline (reference 02→03 order)") {
+    // user 1: error on day 3 between two views. The rolling mean on day 4
+    // must average {10, 20} (error-day 99 excluded), not {10, 99, 20}.
+    val ev = events(
+      (1, 1, 1, "view", 10.0), (2, 3, 1, "error", 99.0), (3, 4, 1, "view", 20.0))
+    val feat = Telemetry.features(ev).orderBy("event_id")
+    val last = feat.filter($"event_id" === 3).head()
+    assert(last.getAs[Double]("value_mean_7") === 15.0)
+    assert(last.getAs[Double]("value_delta_1") === 10.0) // 20 - 10, not 20 - 99
+    assert(last.getAs[Long]("obs_seq") === 2L)           // 2nd OBSERVED non-error row
+  }
+
+  test("flat-vs-spiky: rolling mean/max/std golden values") {
+    val flat = (1 to 8).map(d => (d.toLong, d, 1L, "view", 50.0))
+    val spiky = (1 to 8).map(d => (100L + d, d, 2L, "view", if (d == 6) 100.0 else 10.0))
+    val ev = events(flat ++ spiky: _*)
+    val feat = Telemetry.features(ev)
+    // flat drive: mean=50, std=0, max=50 everywhere
+    val f8 = feat.filter($"event_id" === 8).head()
+    assert(f8.getAs[Double]("value_mean_7") === 50.0)
+    assert(f8.getAs[Double]("value_std_7") === 0.0)
+    assert(f8.getAs[Double]("value_max_7") === 50.0)
+    // spiky drive day 8, frame = days 2..8: {10,10,10,10,100,10,10}
+    val s8 = feat.filter($"event_id" === 108).head()
+    assert(s8.getAs[Double]("value_mean_7") === math.rint((10 * 6 + 100) / 7.0 * 1e6) / 1e6)
+    assert(s8.getAs[Double]("value_max_7") === 100.0)
+    // day 7 delta: 10 - 100 = -90
+    val s7 = feat.filter($"event_id" === 107).head()
+    assert(s7.getAs[Double]("value_delta_1") === -90.0)
+  }
+
+  test("confusion matrix: one-pass cells reconcile and zero denominators yield 0.0") {
+    // Threshold above every rolling mean → zero alerts → tp+fp = 0.
+    val ev = events((1, 1, 1, "view", 1.0), (2, 2, 1, "view", 2.0))
+    val c = Telemetry.confusion(Telemetry.scored(ev, tau = 1e9)).head()
+    assert(c.getAs[Long]("tp") === 0L)
+    assert(c.getAs[Long]("fp") === 0L)
+    assert(c.getAs[Double]("precision") === 0.0) // guard, not NULL
+    assert(c.getAs[Long]("n") === c.getAs[Long]("tp") + c.getAs[Long]("fp") +
+      c.getAs[Long]("fn") + c.getAs[Long]("tn"))
+  }
+
+  test("alert threshold is >= (boundary inclusive, 06_deployment_code.py:137-140)") {
+    val ev = events((1, 1, 1, "view", 60.0), (2, 2, 1, "view", 0.0))
+    // event 1: mean=60 → alert at tau=60 (>=). event 2: mean=30 → no alert.
+    val alerts = Telemetry.scored(ev, tau = 60.0).orderBy("event_id")
+      .select("alert").as[Int].collect()
+    assert(alerts.toSeq === Seq(1, 0))
+  }
+}

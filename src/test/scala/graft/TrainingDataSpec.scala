@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Telemetry, TrainingData}
+
+/** Invariant tests for the non-oracle (sampling) operators
+  * (SURVEY §5.2.1/5.2.3; reference
+  * /root/reference/scripts/04_prepare_training_data.py:34-68). */
+class TrainingDataSpec extends SparkSpec {
+
+  private lazy val feat: DataFrame =
+    Telemetry.features(Tables.events(spark, sf("sf0.001"))).cache()
+
+  test("chronological splits are disjoint and exhaustive") {
+    val n = feat.count()
+    val nt = TrainingData.train(feat).count()
+    val nv = TrainingData.valid(feat).count()
+    val ns = TrainingData.test(feat).count()
+    assert(nt + nv + ns === n)
+    assert(nt > 0 && nv > 0 && ns > 0)
+    // pairwise disjoint by construction of the predicates; verify anyway
+    // via max(train.ts) < min(valid.ts) ordering
+    val maxTrain = TrainingData.train(feat).agg(max("ts")).head().getTimestamp(0)
+    val minValid = TrainingData.valid(feat).agg(min("ts")).head().getTimestamp(0)
+    assert(maxTrain.before(minValid))
+  }
+
+  test("downsampled keeps ALL positives and bounds negatives near ratio:1") {
+    val t = TrainingData.train(feat)
+    val posBefore = TrainingData.positives(t).count()
+    val negBefore = TrainingData.negatives(t).count()
+    val ratio = 2.0 // test data is ~24% positive; small ratio exercises a real subsample
+    val bal = TrainingData.downsampled(t, ratio = ratio, seed = 42L).cache()
+    val pos = bal.filter(col("failure_next") === 1).count()
+    val neg = bal.filter(col("failure_next") === 0).count()
+    assert(pos === posBefore) // every positive survives
+    val expectedNeg = math.min(negBefore.toDouble, posBefore * ratio)
+    // Bernoulli sampling: allow 5 sigma around the expected count
+    val sigma = math.sqrt(expectedNeg)
+    assert(math.abs(neg - expectedNeg) <= 5 * sigma + 1,
+      s"neg=$neg expected≈$expectedNeg")
+    bal.unpersist()
+  }
+
+  test("downsampled is deterministic for a fixed seed (within Spark)") {
+    val t = TrainingData.train(feat)
+    val a = TrainingData.downsampled(t, 2.0, 42L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = TrainingData.downsampled(t, 2.0, 42L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    val c = TrainingData.downsampled(t, 2.0, 43L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a !== c) // a different seed draws a different sample
+  }
+
+  test("rand top-k sample: exact size, negatives only, deterministic for fixed seed") {
+    val q = SparkEntry.queries("sample_topk_rand")
+    val a = q(spark, sf("sf0.001"))
+    assert(a.filter(col("failure_next") =!= 0).count() === 0)
+    val ids1 = a.select("event_id").collect().map(_.getLong(0)).toSet
+    val ids2 = q(spark, sf("sf0.001")).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    assert(ids1.size <= 2000)
+  }
+
+  test("no temporal leakage: mutating a strictly-future row never changes features at time T") {
+    import spark.implicits._
+    // 10-day timeline; perturb day 9's value; features for days 1..8 are identical.
+    def mk(day9: Double): DataFrame =
+      (1 to 10).map(d => (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+        1L, "view", if (d == 9) day9 else d * 1.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val before = Telemetry.features(mk(9.0)).filter($"event_id" <= 8)
+      .orderBy("event_id").collect().toSeq
+    val after = Telemetry.features(mk(9999.0)).filter($"event_id" <= 8)
+      .orderBy("event_id").collect().toSeq
+    assert(before === after)
+  }
+}
