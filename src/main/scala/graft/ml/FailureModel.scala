@@ -1,0 +1,220 @@
+package graft.ml
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.pipeline.{Telemetry, TrainingData}
+
+/** ML capability layer (reference scripts 04–06, SURVEY §2.11):
+  * distributed GBT training with class-imbalance weighting, UDF-free
+  * scoring, PR-AUC evaluation, recall-driven threshold selection, and
+  * the threshold/model artifact sidecars.
+  *
+  * Deliberate deltas from the reference, all Spark-first:
+  *  - XGBoost's `scale_pos_weight = neg/pos`
+  *    (/root/reference/scripts/05_01_model_training_xgboost_oom_fix.py:99-121)
+  *    becomes MLlib `weightCol` with weight neg/pos on positives — same
+  *    loss-reweighting intent, trains DISTRIBUTED (no toPandas driver
+  *    boundary, 05_01:75-79).
+  *  - scoring is `model.transform` + `vector_to_array` — a pure column
+  *    path (the reference's per-row Python UDF, 05_01:131-147, is the
+  *    expensive process boundary; X1/X2/X3 collapse into the MLlib
+  *    transformer, which broadcasts the model itself).
+  *  - threshold selection uses exact `approxQuantile(…, 0.0)` over the
+  *    positives' scores (M4) instead of collect-then-sort (05_01:224-237)
+  *    — no driver materialization of the score vector.
+  */
+object FailureModel {
+
+  /** The 6 rolling features (analog of the reference's 6 SMART raws,
+    * 05_01_model_training_xgboost_oom_fix.py:86-93). */
+  val FeatureCols: Seq[String] = Seq(
+    "value_mean_7", "value_std_7", "value_max_7",
+    "value_mean_14", "value_delta_1", "obs_seq")
+
+  val LabelCol = "failure_next"
+  val TargetRecall = 0.8
+
+  private val assembler = new VectorAssembler()
+    .setInputCols(FeatureCols.toArray).setOutputCol("features")
+
+  /** weight = neg/pos on positives, 1.0 on negatives (one bounded
+    * count aggregation — the only driver-side scalars). */
+  def withClassWeights(df: DataFrame): DataFrame = {
+    val counts = df.groupBy(col(LabelCol)).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val scale = counts.getOrElse(0, 1L).toDouble / math.max(1L, counts.getOrElse(1, 1L))
+    df.withColumn("weight", when(col(LabelCol) === 1, scale).otherwise(1.0))
+  }
+
+  /** M2: GBT with the reference's hyperparameter intent (depth 6,
+    * lr 0.05, subsample 0.8, colsample 0.8 → featureSubsetStrategy).
+    * maxIter is capped for harness wall-clock; at cluster scale it is a
+    * config, not a code change. */
+  def train(trainDf: DataFrame, maxIter: Int = 30, seed: Long = 42L): GBTClassificationModel = {
+    val prepared = assembler.transform(withClassWeights(trainDf))
+    new GBTClassifier()
+      .setLabelCol(LabelCol)
+      .setFeaturesCol("features")
+      .setWeightCol("weight")
+      .setMaxDepth(6)
+      .setMaxIter(maxIter)
+      .setStepSize(0.05)
+      .setSubsamplingRate(0.8)
+      .setFeatureSubsetStrategy("0.8")
+      .setSeed(seed)
+      .fit(prepared)
+  }
+
+  /** X1 (UDF-free): score → `failure_probability` column. */
+  def score(model: GBTClassificationModel, df: DataFrame): DataFrame =
+    model.transform(assembler.transform(df))
+      .withColumn("failure_probability", vector_to_array(col("probability")).getItem(1))
+      .drop("features", "rawPrediction", "probability", "prediction")
+
+  /** M3: PR-AUC on a scored frame. */
+  def prAuc(scored: DataFrame): Double =
+    new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderPR")
+      .setLabelCol(LabelCol)
+      .setRawPredictionCol("failure_probability")
+      .evaluate(scored)
+
+  /** M4: recall-driven threshold — the exact (1 − targetRecall)
+    * quantile of the positives' scores, computed distributed. */
+  def selectThreshold(scoredValid: DataFrame, targetRecall: Double = TargetRecall): Double =
+    scoredValid.filter(col(LabelCol) === 1)
+      .stat.approxQuantile("failure_probability", Array(1.0 - targetRecall), 0.0)
+      .head
+
+  /** P6/F5: alert decision at τ (>= boundary,
+    * 06_deployment_code.py:137-140). */
+  def withAlert(scored: DataFrame, tau: Double): DataFrame =
+    scored.withColumn("alert",
+      when(col("failure_probability") >= tau, 1).otherwise(0))
+
+  // --- artifact I/O (S5/S6/S7) -----------------------------------------
+
+  /** S5: threshold sidecar (models/threshold.json analog,
+    * 05_01_model_training_xgboost_oom_fix.py:243-256). */
+  def saveThreshold(path: String, tau: Double, targetRecall: Double, nPos: Long): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path),
+      s"""{"threshold": $tau, "target_recall": $targetRecall, "n_validation_positives": $nPos}""")
+  }
+
+  def loadThreshold(spark: SparkSession, path: String): Double =
+    spark.read.json(path).select(col("threshold")).head.getDouble(0)
+
+  /** S6: MLlib persistence. */
+  def saveModel(model: GBTClassificationModel, path: String): Unit =
+    model.write.overwrite().save(path)
+  def loadModel(path: String): GBTClassificationModel =
+    GBTClassificationModel.load(path)
+
+  /** M5/S7: global feature importances as a frame (the SHAP-summary
+    * stand-in, 05_SHAP_alert_explanation.py:129-167). */
+  def importances(spark: SparkSession, model: GBTClassificationModel): DataFrame = {
+    import spark.implicits._
+    FeatureCols.zip(model.featureImportances.toArray)
+      .toDF("feature", "importance")
+      .orderBy(col("importance").desc, col("feature"))
+  }
+
+  // --- deterministic column-expression scorer (oracle-checkable X1) ----
+
+  /** Fixed logistic weights for the expression scorer — a stand-in
+    * model whose scoring path is 100% column expressions, so the full
+    * score→threshold→alert chain is DuckDB-checkable. */
+  val W: Seq[(String, Double)] = Seq(
+    "value_mean_7" -> 0.018, "value_std_7" -> 0.011, "value_max_7" -> 0.004,
+    "value_mean_14" -> -0.009, "value_delta_1" -> 0.006, "obs_seq" -> -0.002)
+  val Bias: Double = -1.1
+
+  def linearScore(df: DataFrame): DataFrame = {
+    val z = W.foldLeft(lit(Bias): Column) { case (acc, (c, w)) => acc + col(c) * w }
+    df.withColumn("failure_probability",
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6) + lit(0.0))
+  }
+
+  private val zSql: String =
+    W.map { case (c, w) => s"$c * $w" }.mkString(s"($Bias + ", " + ", ")")
+  val linearScoreSql: String =
+    s"ROUND(1.0 / (1.0 + EXP(-$zSql)), 6) + 0"
+
+  // --- declared queries -------------------------------------------------
+
+  private def feat(s: SparkSession, dir: String): DataFrame =
+    Telemetry.features(Tables.events(s, dir))
+
+  val defs: Seq[Q] = Seq(
+
+    // X1 as a pure expression: deterministic logistic scorer.
+    Q("score_expr",
+      s"""${Telemetry.featSql}
+         |SELECT event_id, ts, user_id, failure_next,
+         |       $linearScoreSql AS failure_probability
+         |FROM feat ORDER BY event_id""".stripMargin) { (s, dir) =>
+      linearScore(feat(s, dir))
+        .select(col("event_id"), col("ts"), col("user_id"), col("failure_next"),
+          col("failure_probability"))
+        .orderBy("event_id")
+    },
+
+    // M4 as SQL: reference's sort-desc / index-at-floor(n·recall) rule
+    // (05_01_model_training_xgboost_oom_fix.py:224-237) — the score at
+    // (0-indexed) min(floor(n·0.8), n−1) over validation positives.
+    Q("threshold_select",
+      s"""${Telemetry.featSql},
+         |p AS (
+         |  SELECT $linearScoreSql AS score, event_id
+         |  FROM feat
+         |  WHERE failure_next = 1
+         |    AND ts >= TIMESTAMP '${TrainingData.TrainEnd}'
+         |    AND ts < TIMESTAMP '${TrainingData.ValidEnd}'),
+         |r AS (SELECT score, ROW_NUMBER() OVER (ORDER BY score DESC, event_id) AS rn,
+         |             COUNT(*) OVER () AS n
+         |      FROM p)
+         |SELECT score AS threshold, n AS n_pos FROM r
+         |WHERE rn - 1 = LEAST(CAST(FLOOR(n * $TargetRecall) AS BIGINT), n - 1)""".stripMargin) {
+      (s, dir) =>
+        val p = linearScore(TrainingData.positives(TrainingData.valid(feat(s, dir))))
+          .select(col("failure_probability").as("score"), col("event_id"))
+        val w = Window.orderBy(col("score").desc, col("event_id"))
+        p.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rn") - 1 ===
+            least(floor(col("n") * TargetRecall).cast("long"), col("n") - 1))
+          .select(col("score").as("threshold"), col("n").as("n_pos"))
+    },
+
+    // E2E GBT metrics (train → score → threshold → confusion) — MLlib
+    // internals are not SQL-expressible → no oracle; MLSpec asserts the
+    // invariants (recall ≥ target on the tuning split, TP+FN = positives).
+    Q.noOracle("ml_e2e_metrics") { (s, dir) =>
+      import s.implicits._
+      val f = feat(s, dir).cache()
+      try {
+        val trainDf = TrainingData.downsampled(TrainingData.train(f), ratio = 100.0)
+        val model = train(trainDf)
+        val scoredValid = score(model, TrainingData.valid(f)).cache()
+        val tau = selectThreshold(scoredValid)
+        val auc = prAuc(scoredValid)
+        val c = Telemetry.confusion(
+          withAlert(score(model, TrainingData.test(f)), tau)).head()
+        Seq((auc, tau, c.getAs[Long]("tp"), c.getAs[Long]("fp"), c.getAs[Long]("fn"),
+          c.getAs[Double]("precision"), c.getAs[Double]("recall")))
+          .toDF("pr_auc", "threshold", "tp", "fp", "fn", "precision", "recall")
+      } finally f.unpersist()
+    },
+  )
+}

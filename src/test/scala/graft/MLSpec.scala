@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ml.FailureModel
+import graft.pipeline.{Telemetry, TrainingData}
+
+/** E2E invariants for the ML capability layer (reference scripts 04–06;
+  * SURVEY §5.2.4). Statistical parity, not bitwise: the reference's
+  * XGBoost artifact documents hyperparameters, not a contract
+  * (SURVEY §7.4). */
+class MLSpec extends SparkSpec {
+
+  private lazy val feat: DataFrame =
+    Telemetry.features(Tables.events(spark, sf("sf0.001"))).cache()
+
+  private lazy val model =
+    FailureModel.train(
+      TrainingData.downsampled(TrainingData.train(feat), ratio = 100.0),
+      maxIter = 10)
+
+  private lazy val scoredValid =
+    FailureModel.score(model, TrainingData.valid(feat)).cache()
+
+  test("scoring is UDF-free and yields calibrated-range probabilities") {
+    val stats = scoredValid.agg(
+      min("failure_probability"), max("failure_probability"), count(lit(1))).head()
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+    assert(stats.getLong(2) > 0)
+    // no BatchEvalPython / no ScalaUDF in the scoring plan
+    val plan = scoredValid.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython"))
+  }
+
+  test("threshold chosen at target recall achieves >= target recall on the tuning split") {
+    val tau = FailureModel.selectThreshold(scoredValid, FailureModel.TargetRecall)
+    val c = Telemetry.confusion(FailureModel.withAlert(scoredValid, tau)).head()
+    val recall = c.getAs[Double]("recall")
+    assert(recall >= FailureModel.TargetRecall - 1e-9,
+      s"recall $recall < target ${FailureModel.TargetRecall} at tau=$tau")
+  }
+
+  test("operational identity: TP + FN = total positives on the test split (06:147-170)") {
+    val tau = FailureModel.selectThreshold(scoredValid)
+    val scoredTest = FailureModel.withAlert(
+      FailureModel.score(model, TrainingData.test(feat)), tau)
+    val c = Telemetry.confusion(scoredTest).head()
+    val totalPos = TrainingData.positives(TrainingData.test(feat)).count()
+    assert(c.getAs[Long]("tp") + c.getAs[Long]("fn") === totalPos)
+  }
+
+  test("GBT learns planted signal: PR-AUC beats the positive-rate baseline") {
+    // The driver testdata's labels are independent of its values (random
+    // event types), so no model can beat baseline there. Plant real
+    // signal instead: an error follows whenever value >= 80.
+    import spark.implicits._
+    val rows = for {
+      u <- 0 until 20
+      d <- 1 to 40
+    } yield {
+      val v = ((u * 40 + d) * 37 % 100).toDouble
+      val prev = ((u * 40 + d - 1) * 37 % 100).toDouble
+      val typ = if (d > 1 && prev >= 80) "error" else "view"
+      ((u * 40 + d).toLong,
+        new java.sql.Timestamp(1704067200000L + d * 86400000L),
+        u.toLong, typ, v, "")
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val f = Telemetry.features(ev)
+    val trainDf = f.filter($"user_id" < 15)
+    val evalDf = f.filter($"user_id" >= 15)
+    val m = FailureModel.train(trainDf, maxIter = 10)
+    val scoredEval = FailureModel.score(m, evalDf)
+    val auc = FailureModel.prAuc(scoredEval)
+    val posRate = evalDf.filter(col(FailureModel.LabelCol) === 1).count().toDouble /
+      evalDf.count()
+    assert(auc > math.min(0.9, 2 * posRate), s"PR-AUC $auc vs baseline $posRate")
+  }
+
+  test("model save/load round-trip scores identically (S6)") {
+    val dir = Files.createTempDirectory("graft_model").toString
+    FailureModel.saveModel(model, dir)
+    val reloaded = FailureModel.loadModel(dir)
+    val a = scoredValid.select("event_id", "failure_probability")
+      .orderBy("event_id").collect().toSeq
+    val b = FailureModel.score(reloaded, TrainingData.valid(feat))
+      .select("event_id", "failure_probability").orderBy("event_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("threshold JSON sidecar round-trip (S5)") {
+    val path = Paths.get(Files.createTempDirectory("graft_thr").toString, "threshold.json")
+    FailureModel.saveThreshold(path.toString, 0.13615384697914124, 0.8, 292L)
+    val tau = FailureModel.loadThreshold(spark, path.toString)
+    assert(tau === 0.13615384697914124)
+  }
+
+  test("feature importances: complete, normalized, descending (M5)") {
+    val imp = FailureModel.importances(spark, model).collect()
+    assert(imp.map(_.getString(0)).toSet === FailureModel.FeatureCols.toSet)
+    val vals = imp.map(_.getDouble(1))
+    assert(math.abs(vals.sum - 1.0) < 1e-6)
+    assert(vals.sameElements(vals.sorted.reverse))
+  }
+
+  test("ml_e2e_metrics declared query returns one coherent row") {
+    val row = SparkEntry.queries("ml_e2e_metrics")(spark, sf("sf0.001")).head()
+    assert(row.getAs[Double]("pr_auc") > 0.0)
+    assert(row.getAs[Double]("recall") >= 0.0)
+    assert(row.getAs[Long]("tp") + row.getAs[Long]("fn") > 0)
+  }
+}
