@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.FailureModel
 import graft.pipeline.{Telemetry, TrainingData}
 import graft.queries.{Ingest, Relational}
@@ -17,7 +18,8 @@ object SparkEntry {
   /** Every declared query, module by module. */
   def all: Seq[Q] =
     Telemetry.defs ++ TrainingData.defs ++ Relational.defs ++ Ingest.defs ++
-      FailureModel.defs
+      FailureModel.defs ++ Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
+      Multimodal.defs
 
   /** Flagship: the reference's semantic heart — label → rolling features
     * → threshold alert → per-day rollup — on sf0.001 (driver smoke-checks

@@ -1,0 +1,180 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Deduplication for large-scale corpus curation over `documents`
+  * (SURVEY §7.3 M4 north-star; VERDICT r1 LLM-pipeline tier 1).
+  *
+  * Three tiers, all shuffle-bounded — NEVER all-pairs:
+  *  - exact: group by content hash, keep min id (deterministic victor;
+  *    `dropDuplicates` keeps an arbitrary row and is avoided on purpose).
+  *  - MinHash + banded LSH: k=12 signatures in b=4 bands × r=3; only
+  *    rows agreeing on a full band ever meet in a join, so the shuffle
+  *    key is (band_idx, band_hash) and comparison cost is
+  *    O(candidates), not O(n²). Candidates are then verified with exact
+  *    token-set Jaccard.
+  *  - SimHash: 16-bit majority signature per document — near-dup
+  *    detection via small hamming distance on a single BIGINT.
+  *
+  * All hashes derive from md5 hex prefixes (`conv(substring(md5(…),1,8))`)
+  * — engine-portable, so even the LSH pipeline is DuckDB-oracle-checked
+  * end-to-end (same seeds, same bands, same buckets in both engines).
+  *
+  * 100 TB posture: signatures are one narrow projection pass; the band
+  * self-join shuffles on band hash (uniformly distributed); the verify
+  * join re-fetches token sets by doc_id (hash join on the id). A hot
+  * bucket (thousands of mutually-similar docs) degrades to quadratic
+  * within that bucket only — mitigate with more bands/rows, not with a
+  * driver-side cap.
+  */
+object Dedup {
+
+  val NumHashes = 12
+  val Bands = 4
+  val RowsPerBand = 3
+  val JaccardThreshold = 0.9
+
+  /** Portable 32-bit hash: first 8 hex chars of md5, as a BIGINT. */
+  private def h32(c: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), c)), 1, 8), 16, 10).cast("long")
+  private def h32Sql(expr: String, seed: String): String =
+    s"CAST(concat('0x', substr(md5('$seed' || $expr), 1, 8)) AS BIGINT)"
+
+  /** doc_id + distinct token set. */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+  private val tokenizedSql =
+    "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"
+
+  /** MinHash signature columns mh0..mh{k-1}. */
+  def signatures(toks: DataFrame): DataFrame =
+    toks.select(
+      col("doc_id") +: col("toks") +:
+        (0 until NumHashes).map(i =>
+          array_min(transform(col("toks"), t => h32(t, s"mh$i:"))).as(s"mh$i")): _*)
+  private val signaturesSql: String =
+    "SELECT doc_id, toks, " +
+      (0 until NumHashes).map(i =>
+        s"list_min(list_transform(toks, t -> ${h32Sql("t", s"mh$i:")})) AS mh$i")
+        .mkString(", ") +
+      " FROM toks"
+
+  /** One row per (doc, band): band hash = md5 of the band's r signature
+    * values. Only full-band agreement creates a candidate. */
+  def banded(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", cols: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+  private val bandedSql: String =
+    (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"mh$i")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', ${cols.mkString(", ")})) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+
+  /** Banded-LSH near-dup pairs, verified with exact Jaccard. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val toks = tokenized(docs)
+    val bands = banded(signatures(toks))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    cand
+      .join(toks.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("jaccard",
+        round(inter * lit(1.0) / (size(col("ta")) + size(col("tb")) - inter), 6) + lit(0.0))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 16-bit SimHash: bit k set iff the majority of token hashes have
+    * bit k set (ties → 1, deterministic). */
+  val SimHashBits = 16
+  def simhashed(docs: DataFrame): DataFrame = {
+    val hashes = transform(col("toks"), t => h32(t, "sh:"))
+    val n = size(col("toks"))
+    val bits = (0 until SimHashBits).map { k =>
+      val ones = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + shiftright(h, k).bitwiseAND(lit(1L)))
+      when(ones * 2 >= n, lit(1L) * (1L << k)).otherwise(0L)
+    }
+    tokenized(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      bits.reduce(_ + _).as("simhash"))
+  }
+  private val simhashSql: String = {
+    val h = h32Sql("t", "sh:")
+    val bits = (0 until SimHashBits).map { k =>
+      s"(CASE WHEN list_sum(list_transform(toks, t -> ($h >> $k) & 1)) * 2 >= len(toks) THEN ${1L << k} ELSE 0 END)"
+    }
+    s"""WITH toks AS ($tokenizedSql)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(${bits.mkString(" + ")} AS BIGINT) AS simhash
+       |FROM toks ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Exact dedup over a corpus with planted duplicates (the corpus
+    // unioned with a shifted copy of itself): group-by content hash,
+    // deterministic min-id victor, copy count.
+    Q("dedup_exact",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      corpus.groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // Banded MinHash LSH → exact-Jaccard verify. Oracle-checked: the
+    // same md5-derived hash family runs in DuckDB.
+    Q("dedup_minhash_pairs",
+      s"""WITH toks AS ($tokenizedSql),
+         |sig AS ($signaturesSql),
+         |bands AS ($bandedSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |         ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+         |               (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) + 0 AS jaccard
+         |  FROM cand
+         |  JOIN toks ta ON ta.doc_id = id_a
+         |  JOIN toks tb ON tb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      nearDupPairs(Tables.documents(s, dir))
+    },
+
+    // SimHash signature table (near-dup via hamming distance on one
+    // BIGINT; pairing behavior unit-tested in DedupSpec).
+    Q("dedup_simhash", simhashSql) { (s, dir) =>
+      simhashed(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+  )
+}

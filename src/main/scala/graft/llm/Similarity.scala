@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Embedding similarity search over `embeddings` (64-dim float
+  * vectors; SURVEY §7.3 M4, VERDICT r1 LLM-pipeline tier 2).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k against a probe vector: the probe is a
+  *    one-row broadcast; the scan is a single narrow projection with a
+  *    higher-order-function dot product (`zip_with` + `aggregate`, all
+  *    codegen-friendly column expressions — no UDF). This is the exact
+  *    baseline: O(n·d) per probe, embarrassingly parallel.
+  *  - SRP-LSH bucketing (signed random projections): an 8-bit bucket
+  *    per vector from deterministic md5-derived hyperplanes; probe
+  *    lookups touch only the probe's bucket (and its 1-bit neighbors
+  *    for recall). At 100 TB the bucket column is computed once at
+  *    ingest and partition-pruned at query time; candidate sets are
+  *    ~n/2^bits per bucket — never all-pairs.
+  */
+object Similarity {
+
+  val Dim = 64
+  val SrpBits = 8
+
+  /** Cast the float vectors to double once — every engine computes the
+    * fold in double, so results hash identically after round-6. */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k vs the embedding of `probeId`. */
+  def cosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val probe = emb.filter(col("vec_id") === probeId)
+      .select(asDouble(col("embedding")).as("probe"))
+    emb.crossJoin(broadcast(probe))
+      .select(
+        col("vec_id"), col("label"),
+        (round(cosine(asDouble(col("embedding")), col("probe")), 6) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic SRP hyperplane weight for (plane p, dim d) in
+    * [-0.5, 0.5): md5-derived, identical across engines and runs. */
+  private def srpWeight(p: Int, d: Column): Column =
+    (conv(substring(md5(concat(lit(s"srp$p:"), d.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000L).cast("double") / 1000.0 - 0.5
+
+  /** 8-bit SRP bucket: bit p = sign of <plane_p, v>. */
+  def srpBucket(v: Column): Column = {
+    val bits = (0 until SrpBits).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(Dim - 1)), (x, i) => x * srpWeight(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L) * (1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN: probe's bucket + all buckets within hamming distance 1
+    * (9 of 256 buckets → ~3.5% of the corpus scanned). */
+  def annTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val bucketed = emb.withColumn("bucket", srpBucket(asDouble(col("embedding"))))
+    val probe = bucketed.filter(col("vec_id") === probeId)
+      .select(asDouble(col("embedding")).as("probe"), col("bucket").as("probe_bucket"))
+    bucketed.crossJoin(broadcast(probe))
+      .filter(col("bucket") === col("probe_bucket") ||
+        // 1-bit neighbors: xor is a power of two
+        expr("bit_count(bucket ^ probe_bucket) = 1"))
+      .select(
+        col("vec_id"), col("label"), col("bucket"),
+        (round(cosine(asDouble(col("embedding")), col("probe")), 6) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Exact brute-force cosine top-20 vs vec 0 — oracle-checked against
+    // DuckDB's list_cosine_similarity over DOUBLE[].
+    Q("embed_cosine_topk",
+      """WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], probe.p), 6) + 0 AS cos_sim
+        |FROM embeddings e, probe
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      cosineTopK(Tables.embeddings(s, dir), probeId = 0L, k = 20)
+    },
+
+    // Pairwise cosine over a label-bucketed subset (how a curation
+    // pipeline scores intra-class diversity) — bounded by the bucket,
+    // not all-pairs.
+    Q("embed_label_pairs",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE label = 0 AND vec_id < 100)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 6) + 0 AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .filter(col("label") === 0 && col("vec_id") < 100)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      // equi-join on the bucket key (label) with the pair-dedup range
+      // predicate as a post-condition — shuffles per bucket, no cartesian
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          (round(cosine(col("a.v"), col("b.v")), 6) + lit(0.0)).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SRP-LSH bucketed ANN — deterministic md5 hyperplanes, but the
+    // bucket arithmetic is too gnarly for a readable oracle; recall vs
+    // the exact top-k is asserted in SimilaritySpec.
+    Q.noOracle("embed_ann_topk") { (s, dir) =>
+      annTopK(Tables.embeddings(s, dir), probeId = 0L, k = 20)
+    },
+  )
+}

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Text analysis for corpus curation over `documents` (VERDICT r1
+  * LLM-pipeline tier; builder-prompt "text analysis" component):
+  * quality scoring, token counting, language ID, fingerprinting.
+  *
+  * Everything is a single narrow projection pass — pure column
+  * expressions (split / higher-order functions / regexp), no UDFs, all
+  * whole-stage-codegen'd, all DuckDB-oracle-checked. At 100 TB these
+  * run as map-only stages fused into the scan.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword sets for the n-gram/stopword-ratio
+    * language-ID heuristic (deterministic, vocabulary-based — the
+    * production analog swaps in real frequency tables). */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "un", "una", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist", "ein", "mit", "auf"),
+    "fr" -> Seq("le", "la", "de", "et", "en", "est", "un", "une", "pour", "avec"))
+
+  private def toks: Column = split(col("text"), " ")
+  private val toksSql = "string_split(text, ' ')"
+
+  /** Count of tokens that appear in `words`. */
+  private def hits(words: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_intersect(list_distinct($toksSql), [${words.map(w => s"'$w'").mkString(", ")}]))"
+
+  val defs: Seq[Q] = Seq(
+
+    // Quality scoring: length/token/stopword/punctuation stats per doc
+    // (the filter inputs of a curation pipeline).
+    Q("text_quality",
+      s"""SELECT doc_id,
+         |       length(text) AS n_chars,
+         |       CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct_tokens,
+         |       ROUND((length(text) - length(replace(text, ' ', ''))) * 1.0 / length(text), 6) + 0 AS space_ratio,
+         |       ROUND(${hitsSql(StopWords.head._2)} * 1.0 / len(list_distinct($toksSql)), 6) + 0 AS stopword_ratio,
+         |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        (round((length(col("text")) - length(regexp_replace(col("text"), " ", ""))) * lit(1.0) /
+          length(col("text")), 6) + lit(0.0)).as("space_ratio"),
+        (round(hits(StopWords.head._2) * lit(1.0) / size(array_distinct(toks)), 6) + lit(0.0))
+          .as("stopword_ratio"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_numbers"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single other chars).
+    Q("text_token_count",
+      s"""SELECT doc_id,
+         |       CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_ish_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID: argmax of stopword-hit counts with a deterministic
+    // preference order; 'und' when nothing matches.
+    Q("text_lang_id", {
+      val scores = StopWords.map { case (l, ws) => s"${hitsSql(ws)} AS s_$l" }.mkString(", ")
+      val best = StopWords.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val cases = StopWords.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }
+        .mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents),
+         |b AS (SELECT *, $best AS best FROM s)
+         |SELECT doc_id, lang AS labeled_lang,
+         |       CASE $cases ELSE 'und' END AS detected_lang
+         |FROM b ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val withScores = StopWords.foldLeft(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))) {
+        case (df, (l, ws)) => df.withColumn(s"s_$l", hits(ws))
+      }
+      val best = greatest(StopWords.map { case (l, _) => col(s"s_$l") }: _*)
+      val detected = StopWords.foldLeft(when(lit(false), "und")) {
+        case (acc, (l, _)) => acc.when(col(s"s_$l") === col("best") && col("best") > 0, l)
+      }.otherwise("und")
+      withScores.withColumn("best", best)
+        .select(col("doc_id"), col("lang").as("labeled_lang"), detected.as("detected_lang"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: md5 of normalized text + a 32-bit shard key
+    // (the join/partition handle for incremental dedup at scale).
+    Q("text_fingerprint",
+      """SELECT doc_id,
+        |       md5(lower(text)) AS fingerprint,
+        |       CAST(concat('0x', substr(md5(lower(text)), 1, 8)) AS BIGINT) AS shard_key
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(lower(col("text"))).as("fingerprint"),
+        conv(substring(md5(lower(col("text"))), 1, 8), 16, 10).cast("long").as("shard_key"))
+        .orderBy("doc_id")
+    },
+  )
+}

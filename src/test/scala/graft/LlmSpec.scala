@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** Behavioral tests for the LLM-pipeline operators: planted duplicates,
+  * LSH recall, simhash locality, decode-stub faithfulness. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearDup = base.replace("kappa", "lambda") // jaccard 9/11 ≈ 0.82
+    val unrelated = "one two three four five six seven eight nine ten"
+    val d = docs((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+    val pairs = Dedup.nearDupPairs(d, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup not found")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "near dup not found")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc paired")
+  }
+
+  test("minhash plan has no cartesian product (banded join, not all-pairs)") {
+    val plan = Dedup.nearDupPairs(Tables.documents(spark, sf("sf0.001")))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("simhash: near-identical docs land within small hamming distance, unrelated far") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      (1L, base),
+      (2L, base.replace("kappa", "lambda")),
+      (3L, "one two three four five six seven eight nine ten"))
+    val sh = Dedup.simhashed(d).orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0), sh(1)) <= 4,
+      s"near-dup hamming ${hamming(sh(0), sh(1))} too large")
+    assert(hamming(sh(0), sh(2)) > hamming(sh(0), sh(1)),
+      "unrelated doc is not farther than the near-dup")
+  }
+
+  test("exact dedup collapses planted duplicates to one victor each") {
+    val out = SparkEntry.queries("dedup_exact")(spark, sf("sf0.001"))
+    val n = Tables.documents(spark, sf("sf0.001")).count()
+    assert(out.count() === n) // doubled corpus dedups back to n
+    assert(out.filter(col("n_copies") =!= 2).count() === 0)
+    assert(out.filter(col("keep_id") >= 1000000L).count() === 0) // min-id victor
+  }
+
+  test("ANN top-k recalls planted near-neighbors (SRP-LSH preserves HIGH similarity)") {
+    // The driver embeddings are near-orthogonal random vectors (max
+    // cos≈0.37), where SRP recall is mathematically ~0.1-0.2 — so plant
+    // real neighbors: five small perturbations of the probe (cos≈0.99).
+    val rnd = new scala.util.Random(7)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(Similarity.Dim)(r.nextGaussian().toFloat)
+    }
+    val base = vec(0)
+    val rows =
+      (0L, base, 0) +:
+        (1L to 5L).map(i => (i, base.map(_ + (rnd.nextGaussian() * 0.05).toFloat), 0)) :+
+        (99L, vec(99).map(-_), 1)
+    val emb = (rows ++ (10L until 90L).map(i => (i, vec(i.toInt), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val approx = Similarity.annTopK(emb, 0L, 6)
+      .select("vec_id").as[Long].collect().toSet
+    val planted = (1L to 5L).toSet
+    val recall = (planted intersect approx).size.toDouble / planted.size
+    assert(recall >= 0.8, s"ANN recall $recall on planted neighbors (got=$approx)")
+    assert(approx.contains(0L), "probe's own bucket must contain the probe")
+  }
+
+  test("ANN scans a bounded candidate set, not the whole corpus") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val bucketed = emb.withColumn("bucket",
+      Similarity.srpBucket(col("embedding").cast("array<double>")))
+    val total = bucketed.count()
+    val probeBucket = bucketed.filter(col("vec_id") === 0L).head().getAs[Long]("bucket")
+    val scanned = bucketed.filter(
+      col("bucket") === probeBucket ||
+        expr(s"bit_count(bucket ^ $probeBucket) = 1")).count()
+    assert(scanned < total / 2, s"candidate set $scanned of $total is not selective")
+  }
+
+  test("multimodal decode stub matches independently computed byte stats") {
+    val d = docs((1L, "abc"), (2L, ""))
+    val out = Multimodal.decodeStub(spark, Multimodal.withPayload(d))
+      .collect().sortBy(_.doc_id)
+    assert(out(0).n_bytes === 3L)
+    assert(out(0).mean_byte === ("abc".map(_.toInt).sum.toDouble / 3))
+    assert(out(0).head_hex === "616263")
+    assert(out(1).n_bytes === 0L)
+    assert(out(1).mean_byte === 0.0)
+  }
+
+  test("language ID agrees with itself across engines' tie rules (deterministic)") {
+    val a = SparkEntry.queries("text_lang_id")(spark, sf("sf0.001"))
+      .select("doc_id", "detected_lang").as[(Long, String)].collect().toMap
+    val b = SparkEntry.queries("text_lang_id")(spark, sf("sf0.001"))
+      .select("doc_id", "detected_lang").as[(Long, String)].collect().toMap
+    assert(a === b)
+    assert(a.values.toSet.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+}
