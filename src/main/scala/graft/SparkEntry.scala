@@ -45,5 +45,16 @@ object SparkEntry {
     "telemetry_scored",
     "telemetry_daily",
     "telemetry_confusion",
+    "agg_pricing_summary",
+    "join_broadcast_dim",
+    "join_fact_fact",
+    "dedup_exact",
+    // dedup_minhash_pairs stays OUT of the headline: the synthetic corpus
+    // is degenerate for LSH (nearly ALL pairs share J≥0.85 vocabulary, so
+    // candidates ≈ all pairs — a property of the data, not the plan).
+    // It remains correctness-checked at sf0.01.
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "text_quality",
   )
 }

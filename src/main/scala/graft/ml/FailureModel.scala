@@ -75,11 +75,32 @@ object FailureModel {
       .fit(prepared)
   }
 
-  /** X1 (UDF-free): score → `failure_probability` column. */
+  /** X1 (UDF-free): score → `failure_probability` column. The frame-wide
+    * `na.fill(0)` mirrors the reference's warm-up-row fill (P7,
+    * 03_feature_engineering.py:146-154) and guards the assembler against
+    * nulls at scale. */
   def score(model: GBTClassificationModel, df: DataFrame): DataFrame =
-    model.transform(assembler.transform(df))
+    model.transform(assembler.transform(df.na.fill(0.0, FeatureCols)))
       .withColumn("failure_probability", vector_to_array(col("probability")).getItem(1))
       .drop("features", "rawPrediction", "probability", "prediction")
+
+  /** X1/X2 surface: the typed scoring UDF form. Always declared
+    * DoubleType — the reference's untyped variant silently returns
+    * StringType and leans on an implicit cast
+    * (05_SHAP_alert_explanation.py:81-91); we reproduce the capability,
+    * not the quirk. Kept for surface parity; `linearScore` (pure
+    * columns, codegen'd) is the preferred path. */
+  val sigmoid: Double => Double = z => 1.0 / (1.0 + math.exp(-z))
+  def linearScoreUdf(df: DataFrame): DataFrame = {
+    val scoreFn = udf { (vs: Seq[Double]) =>
+      val z = W.zip(vs).foldLeft(Bias) { case (acc, ((_, w), v)) => acc + v * w }
+      // same HALF_UP-on-decimal-repr rounding as Spark's round()
+      java.math.BigDecimal.valueOf(sigmoid(z))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    df.withColumn("failure_probability",
+      scoreFn(array(FeatureCols.map(c => col(c).cast("double")): _*)) + lit(0.0))
+  }
 
   /** M3: PR-AUC on a scored frame. */
   def prAuc(scored: DataFrame): Double =

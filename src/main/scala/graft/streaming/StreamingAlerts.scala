@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.pipeline.Telemetry
+
+/** Structured Streaming variant of the alerting pipeline (SURVEY §2.10:
+  * the reference's "deployment" is a batch job simulating daily cadence,
+  * /root/reference/scripts/06_deployment_code.py:7-15 — this is the
+  * true streaming shape it simulates).
+  *
+  * Two stream operators:
+  *  - `dailyAlertCounts`: watermarked tumbling 1-day window aggregation
+  *    (late data beyond 1 day dropped; state bounded by watermark).
+  *  - `rollingAlerts`: per-user rolling 7-observation mean via
+  *    `flatMapGroupsWithState` — the incremental form of the batch
+  *    window `rowsBetween(-6, 0)`; state is a bounded ring of the last
+  *    6 values per user, so executor state is O(users · 6), not
+  *    O(history). Within a trigger the group's rows are sorted by
+  *    (ts, event_id), matching the batch window's total order.
+  *
+  * Parity with the batch path is asserted in StreamingSpec (single
+  * batch through MemoryStream == Telemetry.features/scored output).
+  */
+object StreamingAlerts {
+
+  /** Watermarked tumbling daily aggregate: events/day + raw-threshold
+    * alerts/day (the streaming analog of Telemetry.daily's A2 rollup). */
+  def dailyAlertCounts(events: DataFrame, tau: Double): DataFrame =
+    events
+      .select(col("ts"), col("user_id"), col("value"),
+        when(col("event_type") === Telemetry.FailureType, 1).otherwise(0).as("is_error"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(when(col("value") >= tau, 1).otherwise(0)).cast("long").as("n_alerts"),
+        sum(col("is_error")).cast("long").as("n_errors"))
+      .select(to_date(col("w.start")).as("day"),
+        col("n_obs"), col("n_alerts"), col("n_errors"))
+
+  /** One scored observation (streaming output row). */
+  final case class ScoredObs(
+      event_id: Long, user_id: Long, value: Double,
+      value_mean_7: Double, alert: Int)
+
+  private final case class Obs(event_id: Long, ts: Long, value: Double)
+
+  /** Bounded per-user state: the last up-to-6 non-error observations. */
+  final case class RollState(recent: Seq[Double])
+
+  /** Incremental per-user rolling mean-7 + threshold alert, mirroring
+    * the batch `features → scored` path on the FILTERED (non-error)
+    * timeline. */
+  def rollingAlerts(spark: SparkSession, events: DataFrame, tau: Double): Dataset[ScoredObs] = {
+    import spark.implicits._
+    val base = events
+      .filter(col("event_type") =!= Telemetry.FailureType)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState[RollState, ScoredObs](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[RollState]) =>
+          // within-trigger total order = the batch window's (ts, event_id)
+          val sorted = rows.map { case (_, id, ts, v) => Obs(id, ts, v) }
+            .toSeq.sortBy(o => (o.ts, o.event_id))
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = sorted.map { o =>
+            val frame = (recent :+ o.value).takeRight(7)
+            val mean = frame.sum / frame.size
+            recent = frame.takeRight(6)
+            ScoredObs(o.event_id, userId, o.value, mean,
+              if (mean >= tau) 1 else 0)
+          }
+          state.update(RollState(recent))
+          out.iterator
+      }
+  }
+}

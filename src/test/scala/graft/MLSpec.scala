@@ -106,6 +106,19 @@ class MLSpec extends SparkSpec {
     assert(vals.sameElements(vals.sorted.reverse))
   }
 
+  test("typed scoring UDF == column-expression scorer (X1/X2 parity)") {
+    val f = Telemetry.features(Tables.events(spark, sf("sf0.001")))
+    val a = FailureModel.linearScore(f)
+      .select("event_id", "failure_probability")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = FailureModel.linearScoreUdf(f)
+      .select("event_id", "failure_probability")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    val diverging = a.count { case (id, v) => b(id) != v }
+    assert(diverging === 0, s"$diverging rows diverge between UDF and expression scorer")
+  }
+
   test("ml_e2e_metrics declared query returns one coherent row") {
     val row = SparkEntry.queries("ml_e2e_metrics")(spark, sf("sf0.001")).head()
     assert(row.getAs[Double]("pr_auc") > 0.0)

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Telemetry
+import graft.streaming.StreamingAlerts
+
+/** Streaming/batch parity: the incremental operators must reproduce
+  * the batch pipeline's results when fed the same data. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventRows = Tables.events(spark, sf("sf0.001"))
+    .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    .collect().toSeq
+
+  test("flatMapGroupsWithState rolling mean == batch window rolling mean") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val scored = StreamingAlerts.rollingAlerts(spark, streamDf, Telemetry.Tau)
+    val query = scored.writeStream
+      .format("memory").queryName("rolling_alerts").outputMode("append").start()
+    try {
+      mem.addData(eventRows)
+      query.processAllAvailable()
+      val got = spark.table("rolling_alerts")
+        .select("event_id", "value_mean_7", "alert")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+      val want = Telemetry.scored(Tables.events(spark, sf("sf0.001")))
+        .select("event_id", "value_mean_7", "alert")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+      assert(got.keySet === want.keySet)
+      val meanMismatch = want.count { case (id, (m, _)) =>
+        math.abs(got(id)._1 - m) > 1e-6
+      }
+      assert(meanMismatch === 0, s"$meanMismatch rolling means diverge")
+      val alertMismatch = want.count { case (id, (_, a)) => got(id)._2 != a }
+      assert(alertMismatch === 0, s"$alertMismatch alerts diverge")
+    } finally query.stop()
+  }
+
+  test("watermarked tumbling daily aggregate == batch per-day counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val daily = StreamingAlerts.dailyAlertCounts(streamDf, tau = 100.0)
+    val query = daily.writeStream
+      .format("memory").queryName("daily_alerts").outputMode("complete").start()
+    try {
+      mem.addData(eventRows)
+      query.processAllAvailable()
+      val got = spark.table("daily_alerts")
+        .select("day", "n_obs", "n_errors")
+        .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = Tables.events(spark, sf("sf0.001"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(when(col("event_type") === Telemetry.FailureType, 1).otherwise(0))
+            .cast("long").as("n_errors"))
+        .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === want)
+    } finally query.stop()
+  }
+}
