@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Column-level entry points for graft's native Catalyst expressions
+  * (SURVEY §4.4: custom `Expression` only where built-ins genuinely
+  * can't express the semantics efficiently). */
+package object functions {
+
+  /** Codegen'd cosine similarity over two `array<double>` columns
+    * (other numeric array types are cast here at the Column level). */
+  def cosine_similarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
+  }
+
+  /** Idempotent SQL registration on an existing session:
+    * `SELECT cosine_similarity(a, b)`. */
+  def registerAll(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "built-in")
+}
+
+package functions {
+
+  /** Cluster registration path: `--conf spark.sql.extensions=
+    * graft.functions.GraftExtensions` injects the function family into
+    * every session at startup (the SparkSessionExtensions surface). */
+  class GraftExtensions extends (SparkSessionExtensions => Unit) {
+    override def apply(e: SparkSessionExtensions): Unit =
+      e.injectFunction((
+        FunctionIdentifier("cosine_similarity"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+        (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

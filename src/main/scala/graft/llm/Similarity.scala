@@ -36,8 +36,17 @@ object Similarity {
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composed-built-ins cosine (zip_with + aggregate). Correct, but
+    * higher-order functions are CodegenFallback — kept as the reference
+    * implementation the native expression is verified against. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Production path: graft's native codegen'd Catalyst expression —
+    * bit-identical to `cosineHof` (same accumulation order), ~5× faster
+    * per row (SimilaritySpec measures it). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.cosine_similarity(a, b)
 
   /** Brute-force exact top-k vs the embedding of `probeId`. */
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
