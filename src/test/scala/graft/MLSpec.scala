@@ -106,6 +106,16 @@ class MLSpec extends SparkSpec {
     assert(vals.sameElements(vals.sorted.reverse))
   }
 
+  test("importances CSV sink round-trip (S7)") {
+    val dir = Files.createTempDirectory("graft_imp").toString + "/importances"
+    FailureModel.importances(spark, model)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema("feature STRING, importance DOUBLE").csv(dir)
+    assert(back.count() === FailureModel.FeatureCols.size)
+    assert(back.collect().map(_.getString(0)).toSet === FailureModel.FeatureCols.toSet)
+  }
+
   test("typed scoring UDF == column-expression scorer (X1/X2 parity)") {
     val f = Telemetry.features(Tables.events(spark, sf("sf0.001")))
     val a = FailureModel.linearScore(f)

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.functions._
@@ -10,15 +8,6 @@ import org.apache.spark.sql.functions._
   * the "would this survive 100×" asserts (VERDICT r1 next-round #4:
   * assert broadcast via queryExecution, not visually). */
 class RelationalSpec extends SparkSpec {
-
-  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
-    val self = p match {
-      case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
-      case _ => Seq(p)
-    }
-    self ++ p.children.flatMap(collectPlan) ++
-      p.subqueries.flatMap(collectPlan)
-  }
 
   test("join_broadcast_dim plans a BroadcastHashJoin and never shuffles the fact side") {
     val df = SparkEntry.queries("join_broadcast_dim")(spark, sf("sf0.001"))

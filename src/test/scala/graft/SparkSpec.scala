@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one JVM, forked by sbt;
@@ -8,6 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(name: String): String = s"/root/testdata/$name"
+
+  /** Walk a physical plan INCLUDING adaptive wrappers — AQE hides
+    * finalized stages behind `QueryStageExec.plan` (not in children),
+    * so a naive children-walk undercounts operators. */
+  def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
+      case q: QueryStageExec => collectPlan(q.plan)
+      case r: ReusedExchangeExec => collectPlan(r.child)
+      case _ => p.children.flatMap(collectPlan) ++ p.subqueries.flatMap(collectPlan)
+    }
+    p +: through
+  }
 }
 
 object SparkSpec {
