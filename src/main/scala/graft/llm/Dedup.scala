@@ -176,5 +176,57 @@ object Dedup {
     Q("dedup_simhash", simhashSql) { (s, dir) =>
       simhashed(Tables.documents(s, dir)).orderBy("doc_id")
     },
+
+    // Word-bigram Jaccard near-dup — the n-gram variant of the exact
+    // verify. Candidates are bucketed by (source, token-count band) —
+    // a cheap blocking key standing in for LSH when sequence (not just
+    // vocabulary) similarity matters. Fully oracle-checked: bigram
+    // construction is index arithmetic in both engines.
+    Q("dedup_ngram_jaccard",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, len(w) // 10 AS len_band,
+         |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS grams
+         |  FROM t WHERE len(w) >= 2),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.grams, b.grams)) AS inter,
+         |         len(a.grams) + len(b.grams) AS lens
+         |  FROM g a JOIN g b
+         |    ON a.source = b.source AND a.len_band = b.len_band
+         |   AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       ROUND(inter * 1.0 / (lens - inter), 6) + 0 AS jaccard
+         |FROM p WHERE inter * 1.0 / (lens - inter) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3)
+    },
   )
+
+  /** Word-bigram Jaccard pairs, blocked by (source, token-count band). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(1), size(col("w")) - 1),
+      i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
+    val g = docs
+      .select(col("doc_id"), col("source"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"),
+        (size(col("w")).cast("long") / 10).cast("long").as("len_band"),
+        grams.as("grams"))
+    val inter = size(array_intersect(col("a.grams"), col("b.grams")))
+    val lens = size(col("a.grams")) + size(col("b.grams"))
+    val jac = inter * lit(1.0) / (lens - inter)
+    g.as("a").join(g.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.len_band") === col("b.len_band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(jac >= threshold)
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (round(jac, 6) + lit(0.0)).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -94,6 +94,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer (seeded, fit
+    * once — at scale this is the ingest-time index build), per-vector
+    * cluster assignment, probe searches only the `nProbe` nearest
+    * clusters. Driver-side data is bounded: the probe row + k centroid
+    * vectors. The scan is cluster-pruned — the IVF analog of the SRP
+    * bucket filter. */
+  def ivfTopK(
+      emb: DataFrame, probeId: Long, k: Int,
+      nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val va = emb.withColumn("fv", array_to_vector(asDouble(col("embedding"))))
+    val km = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cluster").fit(va)
+    val assigned = km.transform(va)
+    // bounded driver work: one probe row + nClusters centroids
+    val probeVec = va.filter(col("vec_id") === probeId)
+      .head().getAs[org.apache.spark.ml.linalg.Vector]("fv")
+    val nearClusters = km.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.size) { val t = c(j) - probeVec(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val probe = va.filter(col("vec_id") === probeId)
+      .select(asDouble(col("embedding")).as("probe"))
+    assigned
+      .filter(col("cluster").isin(nearClusters.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(probe))
+      .select(
+        col("vec_id"), col("label"), col("cluster"),
+        (round(cosine(asDouble(col("embedding")), col("probe")), 6) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Exact brute-force cosine top-20 vs vec 0 — oracle-checked against
@@ -136,6 +174,13 @@ object Similarity {
     // the exact top-k is asserted in SimilaritySpec.
     Q.noOracle("embed_ann_topk") { (s, dir) =>
       annTopK(Tables.embeddings(s, dir), probeId = 0L, k = 20)
+    },
+
+    // IVF coarse-quantizer ANN (k-means index; cluster-pruned scan) —
+    // KMeans internals are not SQL-expressible → no oracle; recall and
+    // pruning asserted in LlmSpec.
+    Q.noOracle("embed_ivf_topk") { (s, dir) =>
+      ivfTopK(Tables.embeddings(s, dir), probeId = 0L, k = 20)
     },
   )
 }

@@ -34,7 +34,34 @@ object TextAnalysis {
   private def hitsSql(words: Seq[String]): String =
     s"len(list_intersect(list_distinct($toksSql), [${words.map(w => s"'$w'").mkString(", ")}]))"
 
+  /** MLlib text pipeline (SURVEY §7.3 M4: Tokenizer → HashingTF → IDF):
+    * hashed TF-IDF vectors for downstream clustering/similarity. The
+    * hash space is Spark-internal (murmur3), so the declared query is
+    * no-oracle; TextAnalysisSpec asserts the vector invariants. */
+  def tfidf(docs: DataFrame, numFeatures: Int = 1024): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+      .setNumFeatures(numFeatures)
+    val wordsDf = tf.transform(tok.transform(docs.select(col("doc_id"), col("text"))))
+    new IDF().setInputCol("tf").setOutputCol("tfidf").fit(wordsDf)
+      .transform(wordsDf)
+      .select(col("doc_id"), col("tfidf"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // TF-IDF summary per doc (no-oracle: murmur3 hash space is
+    // Spark-internal; invariants in TextAnalysisSpec/LlmSpec).
+    Q.noOracle("text_tfidf") { (s, dir) =>
+      import org.apache.spark.ml.functions.vector_to_array
+      tfidf(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          size(filter(vector_to_array(col("tfidf")), x => x =!= 0.0)).as("nnz"),
+          round(sqrt(aggregate(transform(vector_to_array(col("tfidf")), x => x * x),
+            lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))
+        .orderBy("doc_id")
+    },
 
     // Quality scoring: length/token/stopword/punctuation stats per doc
     // (the filter inputs of a curation pipeline).

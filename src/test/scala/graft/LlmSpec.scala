@@ -91,6 +91,51 @@ class LlmSpec extends SparkSpec {
     assert(scanned < total / 2, s"candidate set $scanned of $total is not selective")
   }
 
+  test("IVF ANN recalls planted near-neighbors with a cluster-pruned scan") {
+    val rnd = new scala.util.Random(11)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(Similarity.Dim)(r.nextGaussian().toFloat)
+    }
+    val base = vec(0)
+    val rows =
+      (0L, base, 0) +:
+        (1L to 5L).map(i => (i, base.map(_ + (rnd.nextGaussian() * 0.05).toFloat), 0)) ++:
+        (10L until 200L).map(i => (i, vec(i.toInt), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val approx = Similarity.ivfTopK(emb, 0L, 6, nClusters = 8, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val planted = (1L to 5L).toSet
+    val recall = (planted intersect approx).size.toDouble / planted.size
+    assert(recall >= 0.8, s"IVF recall $recall on planted neighbors (got=$approx)")
+  }
+
+  test("tfidf: vectors are nonnegative with plausible sparsity") {
+    val out = SparkEntry.queries("text_tfidf")(spark, sf("sf0.001"))
+    val rows = out.collect()
+    assert(rows.length === Tables.documents(spark, sf("sf0.001")).count())
+    assert(rows.forall(_.getAs[Int]("nnz") > 0))
+    assert(rows.forall(_.getAs[Double]("l2_norm") >= 0.0))
+  }
+
+  test("ngram jaccard: bigram near-dup found; unrelated and cross-block pairs invisible") {
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy dog tonight" // 8/10 shared bigrams
+    val longDoc = Seq.fill(5)(a).mkString(" ") // same source, different len_band
+    val d = docs(
+      (1L, a), (2L, b),
+      (3L, "completely different words here now then when how why also"),
+      (4L, longDoc))
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet === Set((1L, 2L)), s"got $pairSet")
+    val j = pairs.head._3
+    // grams(a)=9 distinct, grams(b)=9, shared=8 → 8/10 = 0.8
+    assert(math.abs(j - 0.8) < 1e-9, s"jaccard $j != 0.8")
+  }
+
   test("multimodal decode stub matches independently computed byte stats") {
     val d = docs((1L, "abc"), (2L, ""))
     val out = Multimodal.decodeStub(spark, Multimodal.withPayload(d))

@@ -35,7 +35,7 @@ class RelationalSpec extends SparkSpec {
   test("no CartesianProduct in any declared query plan") {
     // 1-row broadcast probe joins (vector-search pattern) are legitimate
     // cross joins: the broadcast side is a single row by construction.
-    val probeJoins = Set("embed_cosine_topk", "embed_ann_topk")
+    val probeJoins = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk")
     for (q <- SparkEntry.all if !probeJoins.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
