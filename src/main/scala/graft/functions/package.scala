@@ -19,6 +19,14 @@ package object functions {
       GraftBridge.expression(b.cast("array<double>"))))
   }
 
+  /** One-pass exact quantile aggregate (distributed buffers, one final
+    * sort — replaces the reference's collect-to-driver threshold rule). */
+  def exact_quantile(c: Column, q: Double): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      ExactQuantile(GraftBridge.expression(c), q).toAggregateExpression())
+  }
+
   /** Idempotent SQL registration on an existing session:
     * `SELECT cosine_similarity(a, b)`. */
   def registerAll(spark: SparkSession): Unit =

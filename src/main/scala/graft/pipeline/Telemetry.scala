@@ -227,6 +227,34 @@ object Telemetry {
          |FROM c""".stripMargin) {
       (s, dir) => confusion(scored(ev(s, dir)))
     },
+    // §7.5.1 range-frame variant: CALENDAR 7-day window (value-based
+    // frame over epoch seconds) vs the reference's row-count frames —
+    // a reporting gap no longer silently shifts the horizon. Range
+    // frames need a single numeric sort key; ties (same second) are
+    // peers and enter the frame together, so the result is
+    // deterministic without an id tiebreak.
+    Q("telemetry_features_range",
+      """WITH b AS (
+        |  SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS sec
+        |  FROM events)
+        |SELECT event_id, user_id, value, sec,
+        |       ROUND(AVG(value) OVER wr, 6) + 0 AS mean_7d,
+        |       COUNT(*) OVER wr AS n_7d
+        |FROM b
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY sec
+        |              RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val sec = expr("unix_micros(ts) div 1000000")
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-6L * 86400L, 0L)
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), sec.as("sec"))
+        .select(col("*"),
+          r6(avg(col("value")).over(wr)).as("mean_7d"),
+          count(lit(1)).over(wr).as("n_7d"))
+        .orderBy("event_id")
+    },
+
     Q("telemetry_alerts_sink",
       s"""${scoredSql()}
          |SELECT event_id, ts, user_id, value_mean_7, alert

@@ -51,6 +51,28 @@ class FunctionsSpec extends SparkSpec {
     assert(codegen.contains("numElements"), "expression loop not found in generated code")
   }
 
+  test("exact_quantile aggregate == exact approxQuantile, distributed") {
+    import graft.pipeline.Telemetry
+    import graft.ml.FailureModel
+    val scored = FailureModel.linearScore(
+      Telemetry.features(Tables.events(spark, sf("sf0.001"))))
+      .select(col("failure_probability").as("p"), col("failure_next"))
+      .cache()
+    for (q <- Seq(0.0, 0.2, 0.5, 0.8, 1.0)) {
+      val viaAgg = scored.agg(
+        graft.functions.exact_quantile(col("p"), q)).head().getDouble(0)
+      val viaStat = scored.stat.approxQuantile("p", Array(q), 0.0).head
+      assert(viaAgg === viaStat, s"q=$q: $viaAgg != $viaStat")
+    }
+    // grouped form (approxQuantile can't do this without a loop)
+    val grouped = scored.groupBy(col("failure_next"))
+      .agg(graft.functions.exact_quantile(col("p"), 0.5).as("med"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(grouped.keySet === Set(0, 1))
+    assert(grouped.values.forall(v => v > 0.0 && v < 1.0))
+    scored.unpersist()
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))
