@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.pipeline.Telemetry
+
+/** Backward as-of join — the canonical per-entity time-series operator
+  * Spark's join family lacks (SURVEY §2.4: the reference avoids it via
+  * window `lead`; this is the general form for joining a fact stream to
+  * the latest-at-or-before row of a slowly-changing side).
+  *
+  * Implementation is the scale-correct union+window rewrite, not a
+  * range join:
+  *
+  *   union(probe rows, build rows)
+  *     → Window.partitionBy(key).orderBy(ts, side)   // build sorts first on ties
+  *     → last(payload, ignoreNulls) over (-∞, 0]     // carry latest build value
+  *     → filter(side = probe)
+  *
+  * Cost: ONE hash exchange on the key + one sort — identical to any
+  * other window op — versus a range-predicate join that Spark would
+  * plan as a broadcast-nested-loop (quadratic per key). Ties are
+  * inclusive (`probe.ts >= build.ts`), matching DuckDB's ASOF JOIN,
+  * which is exactly what the declared query is oracle-checked against.
+  * A custom LogicalPlan/Strategy/Exec would buy nothing here: the
+  * composed plan is already the one a hand-written operator would
+  * produce (SURVEY §7.4 "compose built-ins first").
+  */
+object AsOfJoin {
+
+  /** Left as-of-backward join. `right` must share `key` and `tsCol`
+    * with `left`; its remaining columns are the carried payload
+    * (null where no build row is at or before the probe row). */
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      key: String, tsCol: String): DataFrame = {
+    val payload = right.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val leftOnly = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val probe = payload.foldLeft(left.withColumn("_side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val build = leftOnly.foldLeft(right.withColumn("_side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(probe.unionByName(build.select(probe.columns.map(col): _*))) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+
+  val defs: Seq[Q] = Seq(
+    // Each event matched to its user's most recent END-OF-DAY summary
+    // (summaries "publish" at next-day 00:00, so day-1 events carry
+    // null). Oracle: DuckDB's native ASOF LEFT JOIN — tie and null
+    // semantics must agree exactly.
+    Q("join_asof",
+      s"""WITH b AS (${Telemetry.baseSql}),
+         |d AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |         ROUND(AVG(value), 6) + 0 AS prev_day_mean
+         |  FROM b GROUP BY 1, 2),
+         |pub AS (
+         |  SELECT user_id, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS ts, prev_day_mean
+         |  FROM d)
+         |SELECT b.event_id, b.ts, b.user_id, b.value, p.prev_day_mean
+         |FROM b ASOF LEFT JOIN pub p
+         |  ON b.user_id = p.user_id AND b.ts >= p.ts
+         |ORDER BY b.event_id""".stripMargin) { (s, dir) =>
+      val b = Telemetry.base(Tables.events(s, dir))
+        .select("event_id", "ts", "user_id", "value")
+      val pub = b.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg((round(avg(col("value")), 6) + lit(0.0)).as("prev_day_mean"))
+        .select(col("user_id"),
+          date_add(col("day"), 1).cast("timestamp").as("ts"),
+          col("prev_day_mean"))
+      asofBackward(b, pub, key = "user_id", tsCol = "ts")
+        .orderBy("event_id")
+    },
+  )
+}

@@ -44,6 +44,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: backward match, inclusive ties, null before first build row") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val probe = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 7L, 10.0), // before any build row → null
+      (2L, ts("2024-01-02 00:00:00"), 7L, 20.0), // EXACTLY at build ts → inclusive match
+      (3L, ts("2024-01-03 09:00:00"), 7L, 30.0), // between builds → carries latest
+      (4L, ts("2024-01-05 00:00:00"), 8L, 40.0)) // other key, no builds → null
+      .toDF("event_id", "ts", "user_id", "value")
+    val build = Seq(
+      (7L, ts("2024-01-02 00:00:00"), 1.5),
+      (7L, ts("2024-01-03 00:00:00"), 2.5))
+      .toDF("user_id", "ts", "prev_day_mean")
+    val out = AsOfJoin.asofBackward(probe, build, "user_id", "ts")
+      .orderBy("event_id")
+      .select("event_id", "prev_day_mean")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === None)
+    assert(out(2L) === Some(1.5))
+    assert(out(3L) === Some(2.5))
+    assert(out(4L) === None)
+  }
+
   test("parquet scans prune columns (ReadSchema ⊂ table schema)") {
     val df = SparkEntry.queries("agg_pricing_summary")(spark, sf("sf0.001"))
     val scan = df.queryExecution.executedPlan.toString
