@@ -227,6 +227,16 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    // Approximate distinct (HLL++): the sketch surface for 100 TB
+    // cardinalities where exact COUNT(DISTINCT) would shuffle every
+    // value. HLL implementations differ across engines → no oracle;
+    // RelationalSpec bounds the estimate against the exact count.
+    Q.noOracle("agg_approx_distinct") { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    },
+
     // O1/O2/O5: deterministic top-k (total order with unique tiebreak).
     Q("orderby_limit_topk",
       """SELECT o_orderkey, o_totalprice

@@ -44,6 +44,14 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct lands within its error bound of the exact count") {
+    val r = SparkEntry.queries("agg_approx_distinct")(spark, sf("sf0.01")).head()
+    val approx = r.getAs[Long]("approx_orders").toDouble
+    val exact = r.getAs[Long]("exact_orders").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact off by >5%")
+  }
+
   test("as-of join: backward match, inclusive ties, null before first build row") {
     import spark.implicits._
     import graft.operators.AsOfJoin
