@@ -128,6 +128,47 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Winnowing fingerprint (rolling-hash selection, Schleimer et al.):
+    // hash all character k-grams, then keep the minimum hash of every
+    // sliding window of w hashes — the classic local-similarity
+    // fingerprint (robust to insertions, unlike one whole-doc hash).
+    // Pure higher-order functions; the md5-derived hash family keeps it
+    // DuckDB-checkable. At 100 TB this is a map-only projection whose
+    // output (small sorted fingerprint sets) feeds the same bucketed
+    // join machinery as MinHash.
+    Q("text_winnow_fingerprint", {
+      val k = 8  // k-gram length (chars)
+      val w = 4  // winnow window (hashes)
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, greatest(length(text) - ${k - 1}, 1) + 1),
+         |                        i -> CAST(concat('0x', substr(md5(substr(text, i, $k)), 1, 8)) AS BIGINT)) AS h
+         |  FROM documents),
+         |wnw AS (
+         |  SELECT doc_id,
+         |         list_sort(list_distinct(
+         |           list_transform(range(1, greatest(len(h) - ${w - 1}, 1) + 1),
+         |                          i -> list_min(list_slice(h, i, i + ${w - 1}))))) AS fingerprints
+         |  FROM g)
+         |SELECT doc_id, fingerprints, CAST(len(fingerprints) AS BIGINT) AS n_fp
+         |FROM wnw ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val k = 8
+      val w = 4
+      val h = transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+        i => conv(substring(md5(col("text").substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"),
+          array_sort(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("h")) - (w - 1), lit(1))),
+            i => array_min(slice(col("h"), i, lit(w)))))).as("fingerprints"))
+        .select(col("doc_id"), col("fingerprints"),
+          size(col("fingerprints")).cast("long").as("n_fp"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint: md5 of normalized text + a 32-bit shard key
     // (the join/partition handle for incremental dedup at scale).
     Q("text_fingerprint",
