@@ -43,6 +43,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming parquet file sink with checkpoint delivers every scored row") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamingAlerts.rollingAlerts(spark, streamDf, Telemetry.Tau)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(eventRows)
+      query.processAllAvailable()
+      val written = spark.read.parquet(s"$out/data")
+      val expected = Telemetry.scored(Tables.events(spark, sf("sf0.001"))).count()
+      assert(written.count() === expected)
+      assert(written.columns.toSet ===
+        Set("event_id", "user_id", "value", "value_mean_7", "alert"))
+    } finally query.stop()
+  }
+
   test("watermarked tumbling daily aggregate == batch per-day counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
