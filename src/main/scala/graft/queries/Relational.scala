@@ -249,6 +249,78 @@ object Relational {
         .limit(10)
     },
 
+    // Semi-structured surface: JSON property extraction from the events
+    // props column (string-encoded JSON), typed cast, grouped rollup.
+    Q("json_extract_agg",
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_band,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1 ORDER BY k_band""".stripMargin) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir)
+        .filter(k.isNotNull)
+        .groupBy(floor(k / 10).cast("int").as("k_band"))
+        .agg(count(lit(1)).as("n"), sum(k).cast("long").as("sum_k"))
+        .orderBy(col("k_band"))
+    },
+
+    // Window rank family (engine surface; SURVEY §2.6 notes these
+    // absent in the reference): rank/dense_rank/percent_rank/ntile +
+    // first/last over an explicit full frame, per customer.
+    Q("window_rank_family",
+      """SELECT o_orderkey, o_custkey,
+        |       RANK() OVER wc AS rnk,
+        |       DENSE_RANK() OVER wc AS drnk,
+        |       ROUND(PERCENT_RANK() OVER wc, 6) + 0 AS prnk,
+        |       NTILE(4) OVER wc AS quartile,
+        |       FIRST_VALUE(o_orderkey) OVER wf AS best_order,
+        |       LAST_VALUE(o_orderkey) OVER wf AS worst_order
+        |FROM orders
+        |WINDOW
+        |  wc AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wc = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wf = wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        rank().over(wc).cast("long").as("rnk"),
+        dense_rank().over(wc).cast("long").as("drnk"),
+        (round(percent_rank().over(wc), 6) + lit(0.0)).as("prnk"),
+        ntile(4).over(wc).cast("long").as("quartile"),
+        first(col("o_orderkey")).over(wf).as("best_order"),
+        last(col("o_orderkey")).over(wf).as("worst_order"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ROLLUP with grouping indicators (subtotal + grand-total rows;
+    // NULLS FIRST pinned — Spark and DuckDB default null order differ).
+    Q("agg_rollup",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+    },
+
     // A4: scalar extraction as a 1-row frame (the engine's deterministic
     // replacement for the reference's collect()[0][0] spot checks,
     // /root/reference/scripts/02_label_engineering.py:141-147).
