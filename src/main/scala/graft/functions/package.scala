@@ -19,6 +19,14 @@ package object functions {
       GraftBridge.expression(b.cast("array<double>"))))
   }
 
+  /** Fused set-Jaccard over two distinct `array<string>` columns —
+    * no intersection-array materialization (LSH verify hot path). */
+  def jaccard_similarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(JaccardSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
   /** One-pass exact quantile aggregate (distributed buffers, one final
     * sort — replaces the reference's collect-to-driver threshold rule). */
   def exact_quantile(c: Column, q: Double): Column = {

@@ -89,12 +89,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val inter = size(array_intersect(col("ta"), col("tb")))
+    // fused native expression: one hash-probe pass, no intersection
+    // array materialization (same value as the list_intersect oracle —
+    // both inputs are distinct sets)
     cand
       .join(toks.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("jaccard",
-        round(inter * lit(1.0) / (size(col("ta")) + size(col("tb")) - inter), 6) + lit(0.0))
+        round(graft.functions.jaccard_similarity(col("ta"), col("tb")), 6) + lit(0.0))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

@@ -61,6 +61,49 @@ object Ingest {
         .orderBy(col("o_orderstatus"))
     },
 
+    // JSON-lines sink → typed JSON scan → aggregate (the third source
+    // format; the oracle compares against the ORIGINAL parquet table,
+    // so the check proves the JSON sink+scan pair is lossless).
+    Q("json_source_roundtrip",
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS total_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val path = tmp("customer_json")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode(SaveMode.Overwrite).json(path)
+      s.read.schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+        .json(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(30,6)")).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ORC sink → ORC scan → aggregate (columnar alternative to parquet;
+    // same lossless-round-trip oracle shape).
+    Q("orc_source_roundtrip",
+      """SELECT s_nationkey,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS total_bal
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      val path = tmp("supplier_orc")
+      Tables.supplier(s, dir)
+        .write.mode(SaveMode.Overwrite).orc(path)
+      s.read.orc(path)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("s_acctbal").cast("decimal(30,6)")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // S3 + S4: tuned parquet sink (64 MB row groups, 8 MB pages,
     // snappy) → scan → aggregate.
     Q("parquet_sink_roundtrip",

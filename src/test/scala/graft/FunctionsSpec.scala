@@ -51,6 +51,39 @@ class FunctionsSpec extends SparkSpec {
     assert(codegen.contains("numElements"), "expression loop not found in generated code")
   }
 
+  test("jaccard_similarity == array_intersect formulation on distinct sets") {
+    val toks = graft.llm.Dedup.tokenized(
+      Tables.documents(spark, sf("sf0.001"))).cache()
+    val pairs = toks.as("a").crossJoin(broadcast(toks.limit(20).as("b")))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.toks").as("ta"), col("b.toks").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val viaBuiltins = pairs.select(col("ia"), col("ib"),
+      (inter * lit(1.0) / (size(col("ta")) + size(col("tb")) - inter)).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaNative = pairs.select(col("ia"), col("ib"),
+      graft.functions.jaccard_similarity(col("ta"), col("tb")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaBuiltins.keySet === viaNative.keySet)
+    val diverging = viaBuiltins.count { case (k, v) => viaNative(k) != v }
+    assert(diverging === 0, s"$diverging pairs diverge")
+    toks.unpersist()
+  }
+
+  test("jaccard_similarity edge cases: empty sets, disjoint, identical") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b"), Seq("a", "b")),
+      (2L, Seq("a", "b"), Seq("c", "d")),
+      (3L, Seq.empty[String], Seq.empty[String]),
+      (4L, Seq("a"), Seq.empty[String]))
+      .toDF("id", "x", "y")
+    val out = df.select(col("id"),
+      graft.functions.jaccard_similarity(col("x"), col("y")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+  }
+
   test("exact_quantile aggregate == exact approxQuantile, distributed") {
     import graft.pipeline.Telemetry
     import graft.ml.FailureModel
