@@ -227,6 +227,26 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`, both linear interpolation — verified equal).
+    // The exact path; `agg_approx_distinct` is the sketch complement.
+    Q("agg_percentiles",
+      """SELECT o_orderstatus,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 6) + 0 AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.9), 6) + 0 AS p90,
+        |       ROUND(quantile_cont(o_totalprice, 0.99), 6) + 0 AS p99
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          (round(expr("percentile(o_totalprice, 0.5)"), 6) + lit(0.0)).as("p50"),
+          (round(expr("percentile(o_totalprice, 0.9)"), 6) + lit(0.0)).as("p90"),
+          (round(expr("percentile(o_totalprice, 0.99)"), 6) + lit(0.0)).as("p99"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Approximate distinct (HLL++): the sketch surface for 100 TB
     // cardinalities where exact COUNT(DISTINCT) would shuffle every
     // value. HLL implementations differ across engines → no oracle;
