@@ -21,9 +21,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warm-up: JVM/codegen/session init should amortize across
-    // the suite, not land in the first timed query
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // untimed warm-up: JVM/codegen/session init AND first-scan costs of
+    // every table the headline queries touch should amortize across the
+    // suite, not land in each table's first timed query
+    for (t <- Tables.allTables)
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    try Tables.events(spark, sfDir).count() // ns-ts conversion path
     catch { case _: Throwable => () }
 
     val run = SparkEntry.all.filter(q => SparkEntry.headline.contains(q.name))

@@ -35,13 +35,31 @@ package object functions {
       ExactQuantile(GraftBridge.expression(c), q).toAggregateExpression())
   }
 
-  /** Idempotent SQL registration on an existing session:
-    * `SELECT cosine_similarity(a, b)`. */
-  def registerAll(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  private[functions] def quantileArg(e: Expression): Double =
+    e.eval(null) match {
+      case d: Double => d
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL `0.5` literal
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"exact_quantile: second argument must be a numeric literal, got $other")
+    }
+
+  /** Idempotent SQL registration of the whole function family on an
+    * existing session: `cosine_similarity(a, b)`,
+    * `jaccard_similarity(a, b)`, `exact_quantile(x, q)`. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_similarity",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaccard_similarity",
+      exprs => JaccardSimilarity(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "exact_quantile",
+      exprs => ExactQuantile(exprs.head, quantileArg(exprs(1))).toAggregateExpression(),
       "built-in")
+  }
 }
 
 package functions {
@@ -50,10 +68,21 @@ package functions {
     * graft.functions.GraftExtensions` injects the function family into
     * every session at startup (the SparkSessionExtensions surface). */
   class GraftExtensions extends (SparkSessionExtensions => Unit) {
-    override def apply(e: SparkSessionExtensions): Unit =
+    override def apply(e: SparkSessionExtensions): Unit = {
       e.injectFunction((
         FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      e.injectFunction((
+        FunctionIdentifier("jaccard_similarity"),
+        new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_similarity"),
+        (exprs: Seq[Expression]) => JaccardSimilarity(exprs.head, exprs(1))))
+      e.injectFunction((
+        FunctionIdentifier("exact_quantile"),
+        new ExpressionInfo(classOf[ExactQuantile].getName, "exact_quantile"),
+        (exprs: Seq[Expression]) =>
+          ExactQuantile(exprs.head, graft.functions.quantileArg(exprs(1)))
+            .toAggregateExpression()))
+    }
   }
 }

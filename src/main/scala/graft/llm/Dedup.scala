@@ -78,10 +78,18 @@ object Dedup {
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', ${cols.mkString(", ")})) AS band_hash FROM sig"
     }.mkString(" UNION ALL ")
 
-  /** Banded-LSH near-dup pairs, verified with exact Jaccard. */
+  /** Banded-LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * `toks` is referenced three times (signatures + both verify joins)
+    * and `bands` twice (the self-join) — without persistence each
+    * reference re-scans and re-tokenizes the corpus, so one call would
+    * pay the dominant narrow-projection cost 4×. Both frames are small
+    * relative to the corpus (token arrays / 4 hash rows per doc). */
   def nearDupPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
     val toks = tokenized(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = banded(signatures(toks))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

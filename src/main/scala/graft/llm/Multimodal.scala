@@ -55,7 +55,10 @@ object Multimodal {
             doc_id = id,
             n_bytes = bytes.length.toLong,
             mean_byte = if (bytes.isEmpty) 0.0
-            else math.rint(bytes.map(_ & 0xff).sum.toDouble / bytes.length * 1e6) / 1e6,
+            // Long accumulator: an Int sum wraps negative past ~8 MB of
+            // 0xFF bytes, and real media payloads exceed that
+            else math.rint(bytes.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble /
+              bytes.length * 1e6) / 1e6,
             head_hex = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString)
         }
       }

@@ -39,6 +39,10 @@ object AsOfJoin {
       key: String, tsCol: String): DataFrame = {
     val payload = right.columns.filterNot(c => c == key || c == tsCol).toSeq
     val leftOnly = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val overlap = payload.toSet intersect leftOnly.toSet
+    require(overlap.isEmpty,
+      s"asofBackward requires disjoint non-key columns; shared: ${overlap.mkString(", ")} " +
+        "(rename the right side's payload columns before joining)")
     val probe = payload.foldLeft(left.withColumn("_side", lit(1))) {
       (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
     }

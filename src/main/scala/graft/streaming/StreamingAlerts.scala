@@ -56,8 +56,10 @@ object StreamingAlerts {
     * timeline. */
   def rollingAlerts(spark: SparkSession, events: DataFrame, tau: Double): Dataset[ScoredObs] = {
     import spark.implicits._
+    // null-safe non-error filter: batch `when(type === error, 1).otherwise(0)`
+    // keeps null-typed rows as non-errors — so must we
     val base = events
-      .filter(col("event_type") =!= Telemetry.FailureType)
+      .filter(col("event_type").isNull || col("event_type") =!= Telemetry.FailureType)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts"),
         col("value"))
       .as[(Long, Long, Long, Double)]
@@ -73,7 +75,11 @@ object StreamingAlerts {
           var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
           val out = sorted.map { o =>
             val frame = (recent :+ o.value).takeRight(7)
-            val mean = frame.sum / frame.size
+            // same 6-dp HALF_UP rounding as the batch r6() BEFORE the
+            // threshold compare — otherwise alerts diverge at the tau
+            // boundary where batch rounds up and raw mean sits below
+            val mean = java.math.BigDecimal.valueOf(frame.sum / frame.size)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
             recent = frame.takeRight(6)
             ScoredObs(o.event_id, userId, o.value, mean,
               if (mean >= tau) 1 else 0)

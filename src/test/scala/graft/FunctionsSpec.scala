@@ -28,7 +28,7 @@ class FunctionsSpec extends SparkSpec {
     assert(diverging === 0, s"$diverging rows diverge (must be bit-identical)")
   }
 
-  test("SQL registration: SELECT cosine_similarity(...) works after registerAll") {
+  test("SQL registration: the whole function family works after registerAll") {
     graft.functions.registerAll(spark)
     emb.createOrReplaceTempView("emb_view")
     val n = spark.sql(
@@ -36,6 +36,17 @@ class FunctionsSpec extends SparkSpec {
         |FROM emb_view a JOIN emb_view b ON b.vec_id = 0""".stripMargin)
       .filter(col("c").isNotNull).count()
     assert(n === emb.count())
+    // jaccard_similarity from SQL
+    val j = spark.sql(
+      "SELECT jaccard_similarity(array('a','b'), array('b','c')) AS j").head().getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+    // exact_quantile from SQL (aggregate with a literal quantile)
+    Tables.orders(spark, sf("sf0.001")).createOrReplaceTempView("orders_view")
+    val viaSql = spark.sql(
+      "SELECT exact_quantile(o_totalprice, 0.5) FROM orders_view").head().getDouble(0)
+    val viaStat = Tables.orders(spark, sf("sf0.001"))
+      .stat.approxQuantile("o_totalprice", Array(0.5), 0.0).head
+    assert(viaSql === viaStat)
   }
 
   test("expression participates in whole-stage codegen (no fallback)") {

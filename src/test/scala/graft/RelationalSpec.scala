@@ -35,8 +35,12 @@ class RelationalSpec extends SparkSpec {
   test("no CartesianProduct in any declared query plan") {
     // 1-row broadcast probe joins (vector-search pattern) are legitimate
     // cross joins: the broadcast side is a single row by construction.
-    val probeJoins = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk")
-    for (q <- SparkEntry.all if !probeJoins.contains(q.name)) {
+    // ml_e2e_metrics is excluded because its run() trains and collects
+    // eagerly and returns a LocalRelation — inspecting that plan asserts
+    // nothing while paying a full ML pipeline.
+    val excluded = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk",
+      "ml_e2e_metrics")
+    for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
       assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"),
