@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.pipeline.{Telemetry, TrainingData}
+
+/** Generator-based properties (SURVEY §5.2.3): random per-user
+  * timelines through the real pipeline, checking the invariants the
+  * reference design claims — temporal integrity, label conservation,
+  * split partition laws. Raw ScalaCheck (no scalatestplus bridge in
+  * the offline cache); small generated frames keep each Spark job
+  * tiny and `minSuccessfulTests` bounds suite wall time. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** A random multi-user timeline: (event_id, day, user, isError, value). */
+  private val timelineGen: Gen[List[(Long, Int, Long, Boolean, Double)]] =
+    for {
+      nUsers <- Gen.choose(1, 4)
+      nDays <- Gen.choose(2, 20)
+      errDays <- Gen.listOfN(nUsers * nDays, Gen.prob(0.25))
+      values <- Gen.listOfN(nUsers * nDays, Gen.choose(0.0, 500.0))
+    } yield {
+      val cells = for { u <- 0 until nUsers; d <- 1 to nDays } yield (u, d)
+      cells.toList.zip(errDays.zip(values)).map { case ((u, d), (err, v)) =>
+        ((u * 100 + d).toLong, d, u.toLong, err, math.rint(v * 100) / 100)
+      }
+    }
+
+  private def toDf(rows: List[(Long, Int, Long, Boolean, Double)]): DataFrame =
+    rows.map { case (id, d, u, err, v) =>
+      (id, Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), u,
+        if (err) "error" else "view", v, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("property: mutating any strictly-future row never changes features at time T") {
+    check(Prop.forAll(timelineGen) { rows =>
+      val cut = rows.map(_._2).max - 1 // perturb rows after day `cut` only
+      val perturbed = rows.map {
+        case (id, d, u, e, v) if d > cut => (id, d, u, e, v + 137.5)
+        case r => r
+      }
+      val cutTs = Timestamp.valueOf(f"2024-01-${math.max(cut, 1) + 1}%02d 00:00:00")
+      val before = Telemetry.features(toDf(rows))
+        .filter($"ts" < cutTs).orderBy("event_id").collect().toSeq
+      val after = Telemetry.features(toDf(perturbed))
+        .filter($"ts" < cutTs).orderBy("event_id").collect().toSeq
+      before == after
+    })
+  }
+
+  test("property: label count never exceeds error count") {
+    check(Prop.forAll(timelineGen) { rows =>
+      val labeled = Telemetry.labeled(toDf(rows))
+      val agg = labeled.agg(
+        sum($"is_error").cast("long"), sum($"failure_next").cast("long")).head()
+      agg.getLong(1) <= agg.getLong(0)
+    })
+  }
+
+  test("property: chronological splits partition the features frame exactly") {
+    check(Prop.forAll(timelineGen) { rows =>
+      val f = Telemetry.features(toDf(rows))
+      val n = f.count()
+      val parts = Seq(TrainingData.train(f), TrainingData.valid(f), TrainingData.test(f))
+      val ids = parts.flatMap(_.select("event_id").as[Long].collect())
+      parts.map(_.count()).sum == n && ids.distinct.size == ids.size
+    })
+  }
+
+  test("property: downsampling keeps every positive and never invents rows") {
+    check(Prop.forAll(timelineGen) { rows =>
+      val f = Telemetry.features(toDf(rows))
+      val bal = TrainingData.downsampled(f, ratio = 1.0, seed = 7L)
+      val posIn = TrainingData.positives(f).select("event_id").as[Long].collect().toSet
+      val posOut = bal.filter($"failure_next" === 1)
+        .select("event_id").as[Long].collect().toSet
+      val allIn = f.select("event_id").as[Long].collect().toSet
+      val allOut = bal.select("event_id").as[Long].collect().toSet
+      posOut == posIn && allOut.subsetOf(allIn)
+    })
+  }
+}
