@@ -182,5 +182,29 @@ object Similarity {
     Q.noOracle("embed_ivf_topk") { (s, dir) =>
       ivfTopK(Tables.embeddings(s, dir), probeId = 0L, k = 20)
     },
+
+    // Embedding-cosine near-dedup: candidate pairs from shared SRP
+    // buckets (high-cosine vectors agree on most hyperplane signs), then
+    // exact cosine verify — the embedding analog of the MinHash→Jaccard
+    // pipeline. No oracle (bucket arithmetic); planted-duplicate
+    // detection asserted in LlmSpec.
+    Q.noOracle("dedup_embed_cosine") { (s, dir) =>
+      nearDupPairsByCosine(Tables.embeddings(s, dir), threshold = 0.95)
+    },
   )
+
+  /** Near-duplicate vector pairs: SRP-bucket candidates → exact cosine
+    * ≥ threshold. The self-join keys on the bucket (equi), so work is
+    * per-bucket, never all-pairs. */
+  def nearDupPairsByCosine(emb: DataFrame, threshold: Double): DataFrame = {
+    val b = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", srpBucket(col("v")))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        round(cosine(col("a.v"), col("b.v")), 6) + lit(0.0))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -110,6 +110,22 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall on planted neighbors (got=$approx)")
   }
 
+  test("embedding-cosine near-dedup finds planted duplicate vectors, skips the rest") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(Similarity.Dim)(r.nextGaussian().toFloat)
+    }
+    val base = vec(5)
+    val rows =
+      Seq((0L, base, 0), (1L, base.map(x => x * 1.001f), 0)) ++ // planted near-dup (cos≈1)
+        (10L until 60L).map(i => (i, vec(i.toInt), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.nearDupPairsByCosine(emb, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"planted pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 >= 10L), s"random vectors paired: $pairs")
+  }
+
   test("tfidf: vectors are nonnegative with plausible sparsity") {
     val out = SparkEntry.queries("text_tfidf")(spark, sf("sf0.001"))
     val rows = out.collect()
