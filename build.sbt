@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must NOT go through sbt's logger: the "[info] "
+// prefix it adds kept the driver from parsing Bench's one-line JSON
+// (BENCH_r01/r02 "parsed": null). StdoutOutput passes the child's
+// stdout through verbatim, so the JSON is a bare line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -150,9 +150,14 @@ object TextAnalysis {
          |           list_transform(range(1, greatest(len(h) - ${w - 1}, 1) + 1),
          |                          i -> list_min(list_slice(h, i, i + ${w - 1}))))) AS fingerprints
          |  FROM g)
-         |SELECT doc_id, fingerprints, CAST(len(fingerprints) AS BIGINT) AS n_fp
-         |FROM wnw ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, unnest(fingerprints) AS fp
+         |FROM wnw ORDER BY doc_id, fp""".stripMargin
     }) { (s, dir) =>
+      // One row per (doc_id, fingerprint): scalar columns only — the
+      // driver's pandas-side row sort cannot handle array cells
+      // (CORRECTNESS_r02 text_winnow_fingerprint err), and the exploded
+      // form is also the shape the downstream bucketed-join dedup
+      // consumes.
       val k = 8
       val w = 4
       val h = transform(
@@ -164,9 +169,8 @@ object TextAnalysis {
           array_sort(array_distinct(transform(
             sequence(lit(1), greatest(size(col("h")) - (w - 1), lit(1))),
             i => array_min(slice(col("h"), i, lit(w)))))).as("fingerprints"))
-        .select(col("doc_id"), col("fingerprints"),
-          size(col("fingerprints")).cast("long").as("n_fp"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+        .orderBy("doc_id", "fp")
     },
 
     // Document fingerprint: md5 of normalized text + a 32-bit shard key

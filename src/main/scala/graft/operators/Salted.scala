@@ -47,7 +47,7 @@ object Salted {
         count(lit(1)).as("_pcnt"))
       .groupBy(col(keyCol))
       .agg(
-        sum(col("_psum")).as("total"),
+        sum(col("_psum")).cast("double").as("total"),
         sum(col("_pcnt")).cast("long").as("n"))
   }
 
@@ -57,7 +57,7 @@ object Salted {
     // two-phase total exact.)
     Q("agg_salted_sum",
       """SELECT l_returnflag,
-        |       SUM(CAST(l_quantity AS DECIMAL(30,6))) AS total,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total,
         |       COUNT(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag

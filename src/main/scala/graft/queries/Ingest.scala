@@ -40,7 +40,7 @@ object Ingest {
     Q("csv_roundtrip_agg",
       """SELECT o_orderstatus,
         |       COUNT(*) AS n,
-        |       SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS total,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
         |       MIN(CAST(o_orderdate AS DATE)) AS first_day,
         |       MAX(CAST(o_orderdate AS DATE)) AS last_day
         |FROM orders
@@ -55,7 +55,7 @@ object Ingest {
         .groupBy(col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(30,6)")).as("total"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").as("total"),
           min(col("o_orderdate")).as("first_day"),
           max(col("o_orderdate")).as("last_day"))
         .orderBy(col("o_orderstatus"))
@@ -67,7 +67,7 @@ object Ingest {
     Q("json_source_roundtrip",
       """SELECT c_mktsegment,
         |       COUNT(*) AS n,
-        |       SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS total_bal
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
         |FROM customer
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
@@ -80,7 +80,7 @@ object Ingest {
         .groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("c_acctbal").cast("decimal(30,6)")).as("total_bal"))
+          sum(col("c_acctbal").cast("decimal(30,6)")).cast("double").as("total_bal"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -89,7 +89,7 @@ object Ingest {
     Q("orc_source_roundtrip",
       """SELECT s_nationkey,
         |       COUNT(*) AS n,
-        |       SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS total_bal
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
         |FROM supplier
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
@@ -100,7 +100,7 @@ object Ingest {
         .groupBy(col("s_nationkey"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("s_acctbal").cast("decimal(30,6)")).as("total_bal"))
+          sum(col("s_acctbal").cast("decimal(30,6)")).cast("double").as("total_bal"))
         .orderBy(col("s_nationkey"))
     },
 
@@ -109,7 +109,7 @@ object Ingest {
     Q("parquet_sink_roundtrip",
       """SELECT l_linestatus,
         |       COUNT(*) AS n,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS total
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
         |FROM lineitem
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
@@ -126,7 +126,7 @@ object Ingest {
         .groupBy(col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(30,6)")).as("total"))
+          sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double").as("total"))
         .orderBy(col("l_linestatus"))
     },
   )

@@ -24,8 +24,15 @@ import graft.{Q, Tables}
   */
 object Relational {
 
-  /** Exact cross-engine sum of a double column: fixed-point decimal. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)"))
+  /** Exact cross-engine sum of a double column: fixed-point decimal
+    * internally (order-independent addition), DOUBLE on the wire — the
+    * driver's pandas-side hash treats parquet DECIMAL as `object`
+    * (Decimal) but the DuckDB oracle yields float64, so a DECIMAL
+    * output column can never hash-match (CORRECTNESS_r02). The final
+    * decimal→double conversion is the same IEEE round-to-nearest in
+    * both engines, so exactness survives to the last bit of the
+    * double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
 
   private def r6(c: Column): Column = round(c, 6) + lit(0.0)
 
@@ -34,9 +41,9 @@ object Relational {
     // A1/P4/P5: grouped aggregation with arithmetic + aliases (Q1-style).
     Q("agg_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sum_base_price,
-        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
         |       ROUND(AVG(l_quantity), 6) + 0 AS avg_qty,
         |       ROUND(AVG(l_discount), 6) + 0 AS avg_disc,
         |       COUNT(*) AS count_order
@@ -60,7 +67,7 @@ object Relational {
       """SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT l_orderkey) AS n_orders,
         |       COUNT(DISTINCT l_partkey) AS n_parts,
-        |       SUM(CAST(l_quantity AS DECIMAL(30,6))) AS total_qty
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
         |FROM lineitem""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir).agg(
         count(lit(1)).as("n_rows"),
@@ -74,7 +81,7 @@ object Relational {
     Q("agg_orders_daily_avg",
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS revenue,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
         |         COUNT(*) AS n_orders
         |  FROM orders GROUP BY 1)
         |SELECT COUNT(*) AS n_days,
@@ -98,7 +105,7 @@ object Relational {
     Q("join_broadcast_dim",
       """SELECT p.p_brand,
         |       COUNT(*) AS n_items,
-        |       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS revenue
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_brand
         |ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
@@ -116,7 +123,7 @@ object Relational {
     Q("join_dim_chain",
       """SELECT r.r_name,
         |       COUNT(*) AS n_orders,
-        |       SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS revenue
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -143,7 +150,7 @@ object Relational {
         |FROM orders o
         |JOIN (SELECT l_orderkey,
         |             COUNT(*) AS n_items,
-        |             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qty
+        |             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
         |      FROM lineitem GROUP BY 1) li
         |  ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
@@ -325,7 +332,7 @@ object Relational {
         |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
         |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
         |       COUNT(*) AS n,
-        |       SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS revenue
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {

@@ -60,7 +60,7 @@ class BucketingSpec extends SparkSpec {
     val salted = SparkEntry.queries("agg_salted_sum")(spark, sf("sf0.001"))
     val plain = Tables.lineitem(spark, sf("sf0.001"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("total"),
+      .agg(sum(col("l_quantity").cast("decimal(30,6)")).cast("double").as("total"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
     assert(salted.collect().toSeq === plain.collect().toSeq)
