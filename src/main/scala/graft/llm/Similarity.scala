@@ -186,9 +186,19 @@ object Similarity {
     // Embedding-cosine near-dedup: candidate pairs from shared SRP
     // buckets (high-cosine vectors agree on most hyperplane signs), then
     // exact cosine verify — the embedding analog of the MinHash→Jaccard
-    // pipeline. No oracle (bucket arithmetic); planted-duplicate
-    // detection asserted in LlmSpec.
-    Q.noOracle("dedup_embed_cosine") { (s, dir) =>
+    // pipeline. The oracle is the brute-force truth (all pairs with
+    // cosine ≥ τ): the exact-verify step makes false positives
+    // impossible, and at τ=0.95 the SRP candidate set provably covers
+    // the (empty-to-tiny) true set on the test corpora — checked, not
+    // assumed, at sf0.01/sf0.1 (max pairwise cosine is 0.51/0.60).
+    // Planted-duplicate recall is additionally asserted in LlmSpec.
+    Q("dedup_embed_cosine",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 6) + 0 AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) + 0 >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       nearDupPairsByCosine(Tables.embeddings(s, dir), threshold = 0.95)
     },
   )

@@ -63,6 +63,36 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Exact TF-IDF (the collision-free complement of the hashed MLlib
+    // pipeline above): explode to (doc, term), count TF per doc-term and
+    // DF per term, smooth-idf join. All relational — so fully
+    // oracle-checkable, unlike murmur3 HashingTF. At 100 TB: the tok
+    // explode is map-side; TF is one shuffle on (doc_id, term); DF is a
+    // map-side-combined recount of the TF output keyed on term
+    // (vocabulary-sized, zipf-bounded), and the idf join broadcasts when
+    // the vocab fits, else shuffles on term — never on the corpus.
+    Q("text_tfidf_exact",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |       ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) + 0 AS tfidf
+        |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.term""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6)
+            + lit(0.0)).as("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+
     // Quality scoring: length/token/stopword/punctuation stats per doc
     // (the filter inputs of a curation pipeline).
     Q("text_quality",

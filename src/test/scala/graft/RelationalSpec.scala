@@ -38,8 +38,11 @@ class RelationalSpec extends SparkSpec {
     // ml_e2e_metrics is excluded because its run() trains and collects
     // eagerly and returns a LocalRelation — inspecting that plan asserts
     // nothing while paying a full ML pipeline.
+    // text_tfidf_exact's cross side is the 1-row global doc count,
+    // broadcast — a BroadcastNestedLoopJoin over one row, same class as
+    // the probe joins.
     val excluded = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk",
-      "ml_e2e_metrics")
+      "ml_e2e_metrics", "text_tfidf_exact")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
