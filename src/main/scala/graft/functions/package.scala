@@ -69,6 +69,8 @@ package functions {
     * every session at startup (the SparkSessionExtensions surface). */
   class GraftExtensions extends (SparkSessionExtensions => Unit) {
     override def apply(e: SparkSessionExtensions): Unit = {
+      // whole-operator surface: native as-of join planner strategy
+      e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
       e.injectFunction((
         FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
