@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.FailureModel
-import graft.operators.{AsOfJoin, ChunkedWindow, Salted}
+import graft.operators.{AsOfJoin, ChunkedWindow, RangeJoin, Salted, Sessionize}
 import graft.pipeline.{Telemetry, TrainingData}
 import graft.queries.{Ingest, Relational}
 
@@ -20,7 +20,8 @@ object SparkEntry {
   def all: Seq[Q] =
     Telemetry.defs ++ TrainingData.defs ++ Relational.defs ++ Ingest.defs ++
       FailureModel.defs ++ Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
-      Multimodal.defs ++ Salted.defs ++ AsOfJoin.defs ++ ChunkedWindow.defs
+      Multimodal.defs ++ Salted.defs ++ AsOfJoin.defs ++ ChunkedWindow.defs ++
+      Sessionize.defs ++ RangeJoin.defs
 
   /** Flagship: the reference's semantic heart — label → rolling features
     * → threshold alert → per-day rollup — on sf0.001 (driver smoke-checks

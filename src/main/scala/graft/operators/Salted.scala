@@ -51,6 +51,32 @@ object Salted {
         sum(col("_pcnt")).cast("long").as("n"))
   }
 
+  /** Skew-defused shuffle equi-join: the fact side gets a
+    * deterministic salt in [0, salts) hashed from stable columns; the
+    * (smaller, but too big / too hot to broadcast) `dim` side is
+    * replicated `salts` times; the join keys on (key, salt). A hot key
+    * then fans out over `salts` reducers instead of serializing one.
+    * Cost model: |dim| × salts replication buys |hottest key| / salts
+    * per-reducer ceiling — the right trade whenever the dim fits
+    * memory×salts but not the broadcast threshold, or AQE's skew-join
+    * splitting is unavailable (it only handles SMJ without requiring
+    * co-partitioned output). Salting is invisible in the result, so
+    * the declared query oracle-checks against the PLAIN join. */
+  def joinSalted(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      saltSource: Seq[String],
+      salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_fsalt",
+      pmod(hash(saltSource.map(col): _*), lit(salts)))
+    val saltedDim = dim.withColumn("_dsalt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact
+      .join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) && col("_fsalt") === col("_dsalt"))
+      .drop("_fsalt", "_dsalt")
+  }
+
   val defs: Seq[Q] = Seq(
     // Salting must be invisible in the result: oracle is the PLAIN
     // group-by. (DuckDB never sees the salt; decimal sums make the
@@ -67,6 +93,30 @@ object Salted {
         keyCol = "l_returnflag", valueCol = "l_quantity",
         saltSource = Seq("l_orderkey", "l_linenumber"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Salted shuffle join, same invisibility contract: oracle is the
+    // PLAIN join + group-by. The dim side is intentionally joined
+    // without a broadcast hint — the salt pattern exists precisely for
+    // the not-broadcastable case.
+    Q("join_salted_skew",
+      """SELECT o.o_orderpriority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      joinSalted(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"), col("l_linenumber")),
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        factKey = "l_orderkey", dimKey = "o_orderkey",
+        saltSource = Seq("l_orderkey", "l_linenumber"),
+        salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,6)")).cast("double").as("total_qty"))
+        .orderBy(col("o_orderpriority"))
     },
   )
 }

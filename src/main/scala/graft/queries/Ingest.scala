@@ -129,5 +129,32 @@ object Ingest {
           sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double").as("total"))
         .orderBy(col("l_linestatus"))
     },
+
+    // Hive-layout partitioned sink + partition-pruned scan — THE 100 TB
+    // layout lever: a day-filtered read of a day-partitioned table
+    // touches 1/|days| of the files (PartitionFilters, asserted in
+    // IngestSpec; here the oracle proves the day's CONTENT round-trips
+    // losslessly against the unpartitioned original).
+    Q("partitioned_sink_prune",
+      """SELECT CAST(ts AS DATE) AS day,
+        |       COUNT(*) AS n,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val path = tmp("events_partitioned")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"))
+        .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+      s.read.parquet(path)
+        .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("day_value"))
+    },
   )
 }

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RangeJoin, Salted, Sessionize}
+
+/** Round-3 operator surface: sessionization, salted join, bucketized
+  * range join, partition-pruned scan. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sessionize: gap rule splits sessions exactly at > gap, ids are per-user") {
+    val e = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:29:00")), // 29 min gap -> same session
+      (3L, 10L, ts("2024-01-01 01:00:00")), // 31 min gap -> new session
+      (4L, 10L, ts("2024-01-01 01:30:00")), // exactly 30 min -> SAME session (strict >)
+      (5L, 20L, ts("2024-01-01 00:00:00"))) // other user starts at 1 again
+      .toDF("event_id", "user_id", "ts")
+    val got = Sessionize.withSessionIds(e, gapSeconds = 1800L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("salted join: result equals plain join, salt columns never leak") {
+    val fact = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
+    val dim = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val salted = Salted.joinSalted(fact, dim, "l_orderkey", "o_orderkey",
+      saltSource = Seq("l_orderkey", "l_linenumber"), salts = 8)
+    assert(!salted.columns.exists(_.contains("salt")))
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+    assert(salted.count() === plain.count())
+    val sAgg = salted.groupBy("o_orderpriority").agg(
+      sum(col("l_quantity").cast("decimal(30,6)")).as("q")).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val pAgg = plain.groupBy("o_orderpriority").agg(
+      sum(col("l_quantity").cast("decimal(30,6)")).as("q")).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(sAgg === pAgg)
+  }
+
+  test("range join: boundary semantics are half-open and bucket-spanning intervals dedup-free") {
+    val points = Seq(
+      (1L, ts("2024-01-01 03:00:00")), // == start -> in
+      (2L, ts("2024-01-01 17:30:00")), // == end   -> out (half-open)
+      (3L, ts("2024-01-01 11:59:59")), // inside, before bucket boundary
+      (4L, ts("2024-01-01 12:00:00")), // inside, first instant of 2nd bucket
+      (5L, ts("2024-01-01 02:59:59"))) // before start -> out
+      .toDF("pid", "ts")
+    val iv = Seq((ts("2024-01-01 03:00:00"), ts("2024-01-01 17:30:00")))
+      .toDF("start_ts", "end_ts")
+    val got = RangeJoin.pointInInterval(points, iv, "ts", "start_ts", "end_ts",
+      bucketMicros = 12L * 3600 * 1000000)
+      .select("pid").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 3L, 4L)) // each matched exactly once
+  }
+
+  test("partitioned sink: day filter reaches the scan as a partition filter") {
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_qtmp", "events_partitioned_spec").toString
+    Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        to_date(col("ts")).as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val df = spark.read.parquet(path)
+      .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
+    df.count()
+    val scans = collectPlan(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"day predicate did not become a partition filter:\n${df.queryExecution.executedPlan}")
+    // pruning is real: the selected partition count is 1, not |days|
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).size === 1)
+  }
+}
