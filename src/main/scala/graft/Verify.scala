@@ -23,7 +23,13 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce folds the whole
+        // upstream computation into the single writer task (the winnow
+        // fingerprint ran one-core for minutes at sf0.1); repartition
+        // keeps the compute parallel and only funnels the result rows.
+        // Row order changes — irrelevant, the driver sorts before
+        // hashing.
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

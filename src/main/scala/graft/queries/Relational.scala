@@ -348,6 +348,55 @@ object Relational {
             col("o_orderpriority").asc_nulls_first)
     },
 
+    // Reshape surface: unpivot (wide → long). The reference keeps its
+    // SMART columns wide; the long form is what a generic metric store
+    // needs. Map-only (no shuffle beyond the final rollup).
+    Q("unpivot_metrics",
+      """WITH m AS (
+        |  SELECT l_orderkey, 'quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'discount', l_discount FROM lineitem)
+        |SELECT metric, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey")),
+          values = Array(col("l_quantity").as("quantity"),
+            col("l_extendedprice").as("extendedprice"),
+            col("l_discount").as("discount")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .groupBy(col("metric"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("total"))
+        .orderBy(col("metric"))
+    },
+
+    // Reshape surface: pivot (long → wide) — conditional aggregation
+    // under the hood, which is exactly how the oracle states it.
+    Q("pivot_status_priority",
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+        |       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+        |       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cnt
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"),
+          col("F").as("f_cnt"), col("O").as("o_cnt"), col("P").as("p_cnt"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // A4: scalar extraction as a 1-row frame (the engine's deterministic
     // replacement for the reference's collect()[0][0] spot checks,
     // /root/reference/scripts/02_label_engineering.py:141-147).
