@@ -186,19 +186,32 @@ object Similarity {
     // Embedding-cosine near-dedup: candidate pairs from shared SRP
     // buckets (high-cosine vectors agree on most hyperplane signs), then
     // exact cosine verify — the embedding analog of the MinHash→Jaccard
-    // pipeline. The oracle is the brute-force truth (all pairs with
-    // cosine ≥ τ): the exact-verify step makes false positives
-    // impossible, and at τ=0.95 the SRP candidate set provably covers
-    // the (empty-to-tiny) true set on the test corpora — checked, not
-    // assumed, at sf0.01/sf0.1 (max pairwise cosine is 0.51/0.60).
+    // pipeline. The oracle replays the SAME deterministic md5-derived
+    // SRP bucketing in SQL (exactly like dedup_minhash_pairs replays
+    // the minhash bands), so the check is data-independent: both
+    // engines must agree on the candidate sets AND the verified pairs —
+    // not just on corpora that happen to contain no near-dups (a
+    // brute-force oracle would only pass while the true pair set is
+    // empty; single-signature SRP recall at cos 0.95 is ~0.9^8).
     // Planted-duplicate recall is additionally asserted in LlmSpec.
-    Q("dedup_embed_cosine",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       ROUND(list_cosine_similarity(a.v, b.v), 6) + 0 AS cos_sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) + 0 >= 0.95
-        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Q("dedup_embed_cosine", {
+      // bit p of the bucket: sign of <plane_p, v>, the md5 weight
+      // family of srpWeight (identical arithmetic; DuckDB lists are
+      // 1-based so the dim index is i-1)
+      val bitSql = (0 until SrpBits).map { p =>
+        s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+           |  i -> v[i] * ((CAST(concat('0x', substr(md5(concat('srp$p:', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5))) >= 0
+           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString("\n + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |$bitSql AS bucket FROM e)
+         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |       ROUND(list_cosine_similarity(a.v, b2.v), 6) + 0 AS cos_sim
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE ROUND(list_cosine_similarity(a.v, b2.v), 6) + 0 >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
       nearDupPairsByCosine(Tables.embeddings(s, dir), threshold = 0.95)
     },
   )

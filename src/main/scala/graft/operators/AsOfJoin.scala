@@ -68,31 +68,44 @@ object AsOfJoin {
     carried.filter(col("_side") === 1).drop("_side")
   }
 
+  /** Shared probe/build inputs for the two declared as-of queries:
+    * events as the probe stream, next-day-published per-user daily
+    * means as the build side. One definition, two physical operators —
+    * the queries cannot drift apart. */
+  def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val b = Telemetry.base(Tables.events(s, dir))
+      .select("event_id", "ts", "user_id", "value")
+    val pub = b.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg((round(avg(col("value")), 6) + lit(0.0)).as("prev_day_mean"))
+      .select(col("user_id"),
+        date_add(col("day"), 1).cast("timestamp").as("ts"),
+        col("prev_day_mean"))
+    (b, pub)
+  }
+
+  /** The one oracle both as-of queries are checked against: DuckDB's
+    * native ASOF LEFT JOIN over the same inputs. */
+  val asofOracleSql: String =
+    s"""WITH b AS (${Telemetry.baseSql}),
+       |d AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |         ROUND(AVG(value), 6) + 0 AS prev_day_mean
+       |  FROM b GROUP BY 1, 2),
+       |pub AS (
+       |  SELECT user_id, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS ts, prev_day_mean
+       |  FROM d)
+       |SELECT b.event_id, b.ts, b.user_id, b.value, p.prev_day_mean
+       |FROM b ASOF LEFT JOIN pub p
+       |  ON b.user_id = p.user_id AND b.ts >= p.ts
+       |ORDER BY b.event_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     // Each event matched to its user's most recent END-OF-DAY summary
     // (summaries "publish" at next-day 00:00, so day-1 events carry
     // null). Oracle: DuckDB's native ASOF LEFT JOIN — tie and null
     // semantics must agree exactly.
-    Q("join_asof",
-      s"""WITH b AS (${Telemetry.baseSql}),
-         |d AS (
-         |  SELECT user_id, CAST(ts AS DATE) AS day,
-         |         ROUND(AVG(value), 6) + 0 AS prev_day_mean
-         |  FROM b GROUP BY 1, 2),
-         |pub AS (
-         |  SELECT user_id, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS ts, prev_day_mean
-         |  FROM d)
-         |SELECT b.event_id, b.ts, b.user_id, b.value, p.prev_day_mean
-         |FROM b ASOF LEFT JOIN pub p
-         |  ON b.user_id = p.user_id AND b.ts >= p.ts
-         |ORDER BY b.event_id""".stripMargin) { (s, dir) =>
-      val b = Telemetry.base(Tables.events(s, dir))
-        .select("event_id", "ts", "user_id", "value")
-      val pub = b.groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg((round(avg(col("value")), 6) + lit(0.0)).as("prev_day_mean"))
-        .select(col("user_id"),
-          date_add(col("day"), 1).cast("timestamp").as("ts"),
-          col("prev_day_mean"))
+    Q("join_asof", asofOracleSql) { (s, dir) =>
+      val (b, pub) = asofInputs(s, dir)
       asofBackward(b, pub, key = "user_id", tsCol = "ts")
         .orderBy("event_id")
     },
@@ -101,26 +114,8 @@ object AsOfJoin {
     // path (graft.plans.AsOfJoinNative: custom LogicalPlan + Strategy +
     // merge-join SparkPlan). Two physical strategies, one semantics;
     // the driver hash-checks both against DuckDB's ASOF LEFT JOIN.
-    Q("join_asof_native",
-      s"""WITH b AS (${Telemetry.baseSql}),
-         |d AS (
-         |  SELECT user_id, CAST(ts AS DATE) AS day,
-         |         ROUND(AVG(value), 6) + 0 AS prev_day_mean
-         |  FROM b GROUP BY 1, 2),
-         |pub AS (
-         |  SELECT user_id, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS ts, prev_day_mean
-         |  FROM d)
-         |SELECT b.event_id, b.ts, b.user_id, b.value, p.prev_day_mean
-         |FROM b ASOF LEFT JOIN pub p
-         |  ON b.user_id = p.user_id AND b.ts >= p.ts
-         |ORDER BY b.event_id""".stripMargin) { (s, dir) =>
-      val b = Telemetry.base(Tables.events(s, dir))
-        .select("event_id", "ts", "user_id", "value")
-      val pub = b.groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg((round(avg(col("value")), 6) + lit(0.0)).as("prev_day_mean"))
-        .select(col("user_id"),
-          date_add(col("day"), 1).cast("timestamp").as("ts"),
-          col("prev_day_mean"))
+    Q("join_asof_native", asofOracleSql) { (s, dir) =>
+      val (b, pub) = asofInputs(s, dir)
       graft.plans.AsOfJoinNative.asof(b, pub, key = "user_id", tsCol = "ts")
         .orderBy("event_id")
     },

@@ -33,10 +33,16 @@ object RangeJoin {
       bucketMicros: Long): DataFrame = {
     val pB = points.withColumn("_bucket",
       floor(unix_micros(col(tsCol)) / bucketMicros))
-    val ivB = intervals.withColumn("_bucket",
-      explode(sequence(
-        floor(unix_micros(col(startCol)) / bucketMicros),
-        floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
+    // empty/inverted intervals match nothing — and must be dropped
+    // BEFORE the explode: sequence() counts DOWN when start > stop, so
+    // one swapped-endpoint row would otherwise fan out to every bucket
+    // between the two timestamps
+    val ivB = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bucket",
+        explode(sequence(
+          floor(unix_micros(col(startCol)) / bucketMicros),
+          floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
     pB.join(ivB, "_bucket")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bucket")

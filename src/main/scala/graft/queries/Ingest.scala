@@ -133,8 +133,8 @@ object Ingest {
     // Hive-layout partitioned sink + partition-pruned scan — THE 100 TB
     // layout lever: a day-filtered read of a day-partitioned table
     // touches 1/|days| of the files (PartitionFilters, asserted in
-    // IngestSpec; here the oracle proves the day's CONTENT round-trips
-    // losslessly against the unpartitioned original).
+    // OperatorsSpec; here the oracle proves the day's CONTENT
+    // round-trips losslessly against the unpartitioned original).
     Q("partitioned_sink_prune",
       """SELECT CAST(ts AS DATE) AS day,
         |       COUNT(*) AS n,

@@ -46,13 +46,7 @@ class AsOfJoinNativeSpec extends SparkSpec {
   }
 
   test("row-for-row parity with the composed union+window operator on real data") {
-    val b = pipeline.Telemetry.base(Tables.events(spark, sf("sf0.001")))
-      .select("event_id", "ts", "user_id", "value")
-    val pub = b.groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg((round(avg(col("value")), 6) + lit(0.0)).as("prev_day_mean"))
-      .select(col("user_id"),
-        date_add(col("day"), 1).cast("timestamp").as("ts"),
-        col("prev_day_mean"))
+    val (b, pub) = AsOfJoin.asofInputs(spark, sf("sf0.001"))
     val composed = AsOfJoin.asofBackward(b, pub, "user_id", "ts")
       .orderBy("event_id").collect().toSeq
     val native = AsOfJoinNative.asof(b, pub, "user_id", "ts")

@@ -46,6 +46,10 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    unknown = only - set(oracles)
+    if unknown:
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        return 1
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
