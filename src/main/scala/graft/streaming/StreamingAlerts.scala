@@ -41,6 +41,21 @@ object StreamingAlerts {
       .select(to_date(col("w.start")).as("day"),
         col("n_obs"), col("n_alerts"), col("n_errors"))
 
+  /** Streaming exact dedup — the streaming form of the corpus-curation
+    * `dedup_exact` (first occurrence of each content hash wins). State
+    * is one entry per distinct key *within the watermark horizon*:
+    * `dropDuplicatesWithinWatermark` ages keys out once the event-time
+    * watermark passes them, so state is bounded by arrival-rate ×
+    * horizon, never by corpus size — the only dedup form that survives
+    * an unbounded stream. Emits the deduplicated stream itself
+    * (Append mode), ready to feed the same downstream curation ops as
+    * the batch path. */
+  def streamingDedup(docs: DataFrame, horizon: String = "1 day"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(lower(col("text"))))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** One scored observation (streaming output row). */
   final case class ScoredObs(
       event_id: Long, user_id: Long, value: Double,

@@ -90,4 +90,42 @@ class StreamingSpec extends SparkSpec {
       assert(got === want)
     } finally query.stop()
   }
+
+  test("streaming exact dedup keeps first occurrence per content hash within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "ts", "text")
+    val deduped = StreamingAlerts.streamingDedup(streamDf)
+    val query = deduped.writeStream
+      .format("memory").queryName("stream_dedup").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def t(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+      mem.addData(Seq(
+        (1L, t(0), "alpha beta"),
+        (2L, t(1), "ALPHA BETA"),   // same lowercased content -> dup of 1
+        (3L, t(2), "gamma delta"),
+        (4L, t(3), "alpha beta")))  // dup of 1
+      query.processAllAvailable()
+      mem.addData(Seq(
+        (5L, t(4), "gamma delta"),  // dup of 3 (state retained within horizon)
+        (6L, t(5), "epsilon")))
+      query.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L, 6L),
+        s"expected first-occurrence survivors, got $ids")
+      // streaming survivors == batch dedup_exact victor rule applied to
+      // the same rows (first by ts per content hash)
+      val batch = Seq((1L, t(0), "alpha beta"), (2L, t(1), "ALPHA BETA"),
+        (3L, t(2), "gamma delta"), (4L, t(3), "alpha beta"),
+        (5L, t(4), "gamma delta"), (6L, t(5), "epsilon"))
+        .toDF("doc_id", "ts", "text")
+        .withColumn("content_hash", md5(lower(col("text"))))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("content_hash")).orderBy(col("ts"), col("doc_id"))))
+        .filter(col("rn") === 1).select("doc_id").as[Long].collect().toSet
+      assert(ids === batch)
+    } finally query.stop()
+  }
 }
