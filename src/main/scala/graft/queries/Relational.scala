@@ -348,6 +348,76 @@ object Relational {
             col("o_orderpriority").asc_nulls_first)
     },
 
+    // Top-k per key — the grouped-limit idiom. Spark 4 plans the
+    // rank-filter as WindowGroupLimit: each map task keeps only k rows
+    // per key BEFORE the shuffle (asserted in RelationalSpec), so the
+    // exchange moves O(keys·k), not O(rows) — the difference between a
+    // top-3-per-customer over 100 TB shuffling gigabytes vs terabytes.
+    Q("topk_per_key",
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Changeset upsert (MERGE semantics, engine-level): apply a
+    // deterministic changeset — updates (key%10=0: reprice ×1.1),
+    // deletes (key%7=3), inserts (new keys) — to the orders snapshot
+    // via ONE full-outer join on the key. The scale shape for
+    // merge-on-read without a table format: one shuffle each side,
+    // no driver involvement; at 100 TB the snapshot side would be
+    // bucketed so only the changeset shuffles.
+    Q("upsert_changeset",
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k, 'U' AS op,
+        |         o_totalprice * 1.1 AS new_price FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', 1.0 FROM orders WHERE o_orderkey % 1000 = 1),
+        |m AS (
+        |  SELECT COALESCE(o.o_orderkey, ch.k) AS o_orderkey,
+        |         CASE WHEN ch.op = 'U' THEN ch.new_price
+        |              WHEN ch.op = 'I' THEN ch.new_price
+        |              ELSE o.o_totalprice END AS o_totalprice,
+        |         ch.op
+        |  FROM orders o FULL OUTER JOIN ch ON o.o_orderkey = ch.k)
+        |SELECT o_orderkey, o_totalprice
+        |FROM m WHERE op IS DISTINCT FROM 'D'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val ch = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          (col("o_totalprice") * 1.1).as("new_price"))
+        .unionByName(orders.filter(col("o_orderkey") % 7 === 3 && col("o_orderkey") % 10 =!= 0)
+          .select(col("o_orderkey").as("k"), lit("D").as("op"),
+            lit(null).cast("double").as("new_price")))
+        .unionByName(orders.filter(col("o_orderkey") % 1000 === 1)
+          .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+            lit(1.0).as("new_price")))
+      orders.join(ch, col("o_orderkey") === col("k"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+          when(col("op") === "U" || col("op") === "I", col("new_price"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("op"))
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Reshape surface: unpivot (wide → long). The reference keeps its
     // SMART columns wide; the long form is what a generic metric store
     // needs. Map-only (no shuffle beyond the final rollup).

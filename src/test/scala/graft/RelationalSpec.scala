@@ -51,6 +51,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("topk_per_key plans a WindowGroupLimit (per-map top-k before the shuffle)") {
+    val df = SparkEntry.queries("topk_per_key")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = collectPlan(df.queryExecution.executedPlan)
+    assert(plan.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
+      s"rank filter was not pushed into a group limit:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("upsert_changeset: deletes gone, updates repriced, inserts present, rest untouched") {
+    val out = SparkEntry.queries("upsert_changeset")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val before = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    before.foreach { case (k, v) =>
+      if (k % 10 == 0) assert(out(k) === v * 1.1, s"update missed for $k")
+      else if (k % 7 == 3) assert(!out.contains(k), s"delete missed for $k")
+      else assert(out(k) === v, s"untouched row changed for $k")
+    }
+    val inserts = before.keys.filter(_ % 1000 == 1).map(_ + 10000000L)
+    assert(inserts.nonEmpty && inserts.forall(k => out(k) === 1.0), "inserts missing")
+    assert(out.size === before.size - before.keys.count(k => k % 7 == 3 && k % 10 != 0)
+      + inserts.size)
+  }
+
   test("approx_count_distinct lands within its error bound of the exact count") {
     val r = SparkEntry.queries("agg_approx_distinct")(spark, sf("sf0.01")).head()
     val approx = r.getAs[Long]("approx_orders").toDouble
