@@ -69,8 +69,10 @@ package functions {
     * every session at startup (the SparkSessionExtensions surface). */
   class GraftExtensions extends (SparkSessionExtensions => Unit) {
     override def apply(e: SparkSessionExtensions): Unit = {
-      // whole-operator surface: native as-of join planner strategy
+      // whole-operator surface: native as-of join planner strategy +
+      // the operator's probe-side filter pushdown rule
       e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+      e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
       e.injectFunction((
         FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

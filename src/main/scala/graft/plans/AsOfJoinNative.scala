@@ -56,6 +56,32 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule owned by the custom operator: push filter conjuncts
+  * that reference only the PROBE side below [[AsOfJoinPlan]]. Sound
+  * because every left row passes through exactly once (left-outer
+  * semantics, no multiplication, no left-column rewriting) — and
+  * necessary because Catalyst's PushDownPredicate cannot see through
+  * an unknown node, so without this a probe-side date filter would
+  * run after the join instead of reaching the parquet scan. Payload-
+  * side conjuncts stay above (they reference generated nulls). */
+object AsOfJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(aj.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(push.reduce(org.apache.spark.sql.catalyst.expressions.And), aj.left))
+        keep.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]; injected via
   * `GraftExtensions` (spark.sql.extensions) or idempotently through
   * `session.experimental.extraStrategies` by [[AsOfJoinNative.asof]]. */
@@ -169,11 +195,14 @@ case class AsOfJoinExec(
 object AsOfJoinNative {
   import org.apache.spark.sql.GraftBridge
 
-  /** Idempotently add the planner strategy to an existing session (the
-    * cluster path is `--conf spark.sql.extensions=graft.functions.
-    * GraftExtensions`, which injects it at session build). */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Idempotently add the planner strategy + the operator's own
+    * optimizer rule to an existing session (the cluster path is
+    * `--conf spark.sql.extensions=graft.functions.GraftExtensions`,
+    * which injects both at session build). */
+  def ensureRegistered(spark: SparkSession): Unit = {
     GraftBridge.addStrategy(spark, AsOfJoinStrategy)
+    GraftBridge.addOptimization(spark, AsOfJoinFilterPushdown)
+  }
 
   /** Left backward as-of join via the native operator. Same contract
     * as `AsOfJoin.asofBackward`: both sides expose `key` and `tsCol`,

@@ -24,4 +24,13 @@ object GraftBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Idempotently append a logical optimizer rule to a live session. */
+  def addOptimization(
+      spark: SparkSession,
+      r: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
 }

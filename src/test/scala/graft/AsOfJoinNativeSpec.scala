@@ -69,6 +69,30 @@ class AsOfJoinNativeSpec extends SparkSpec {
       s"native plan should not fall back to the union+window rewrite:\n$s")
   }
 
+  test("probe-side filters push below the custom node; payload filters stay above") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import graft.plans.AsOfJoinPlan
+    val joined = AsOfJoinNative.asof(probe, build, key = "k", tsCol = "t")
+    // probe-side (tag) pushes; payload-side (v) must NOT
+    val filtered = joined.filter(col("tag") =!= "p9" && col("v").isNotNull)
+    val opt = filtered.queryExecution.optimizedPlan
+    val ajNodes = opt.collect { case aj: AsOfJoinPlan => aj }
+    assert(ajNodes.size === 1)
+    val belowFilters = ajNodes.head.left.collect { case f: LFilter => f }
+    assert(belowFilters.exists(_.condition.toString.contains("tag")),
+      s"probe-side conjunct was not pushed below the as-of join:\n$opt")
+    val aboveFilter = opt.collectFirst { case f: LFilter if f.condition.toString.contains("v") => f }
+    assert(aboveFilter.nonEmpty, s"payload conjunct must stay above the join:\n$opt")
+    assert(!belowFilters.exists(_.condition.toString.contains(" v")),
+      s"payload conjunct leaked below the join:\n$opt")
+    // semantics unchanged vs filtering the composed operator's output
+    val want = AsOfJoin.asofBackward(probe, build, "k", "t")
+      .filter(col("tag") =!= "p9" && col("v").isNotNull)
+      .orderBy("k", "t").collect().toSeq
+    val got = filtered.orderBy("k", "t").collect().toSeq
+    assert(got === want)
+  }
+
   test("self-derived right side (shared lineage) is deduplicated, not rejected") {
     val left = probe
     val right = probe.groupBy(col("k"), col("t")).agg(count(lit(1)).cast("double").as("v"))
