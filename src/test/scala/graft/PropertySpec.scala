@@ -90,4 +90,42 @@ class PropertySpec extends SparkSpec {
       posOut == posIn && allOut.subsetOf(allIn)
     })
   }
+
+  /** Random probe/build as-of inputs: overlapping keys, duplicate
+    * probe timestamps, builds before/between/after probes. */
+  private val asofGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Double)])] =
+    for {
+      nKeys <- Gen.choose(1, 4)
+      nProbe <- Gen.choose(0, 25)
+      nBuild <- Gen.choose(0, 12)
+      probes <- Gen.listOfN(nProbe, for {
+        k <- Gen.choose(0L, nKeys - 1L)
+        t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      builds <- Gen.listOfN(nBuild, for {
+        k <- Gen.choose(0L, nKeys - 1L)
+        t <- Gen.choose(0L, 50L)
+        v <- Gen.choose(0.0, 10.0)
+      } yield (k, t, math.rint(v * 100) / 100))
+    } yield (
+      probes.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+      // unique (key, ts) on the build side — the determinism contract
+      // any as-of formulation requires
+      builds.groupBy(b => (b._1, b._2)).map(_._2.head).toList)
+
+  test("property: native as-of join == composed union+window rewrite on random data") {
+    check(Prop.forAll(asofGen) { case (probes, builds) =>
+      val probe = probes.map { case (id, k, t) =>
+        (id, k, Timestamp.valueOf(f"2024-01-01 00:00:${t / 60}%02d.${t % 60}%03d")) }
+        .toDF("event_id", "k", "t")
+      val build = builds.map { case (k, t, v) =>
+        (k, Timestamp.valueOf(f"2024-01-01 00:00:${t / 60}%02d.${t % 60}%03d"), v) }
+        .toDF("k", "t", "v")
+      val native = graft.plans.AsOfJoinNative.asof(probe, build, "k", "t")
+        .orderBy("event_id").collect().toSeq
+      val composed = graft.operators.AsOfJoin.asofBackward(probe, build, "k", "t")
+        .orderBy("event_id").collect().toSeq
+      native == composed
+    })
+  }
 }
