@@ -29,9 +29,13 @@ object Verify {
         // keeps the compute parallel and only funnels the result rows.
         // Row order changes — irrelevant, the driver sorts before
         // hashing.
-        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).repartition(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(
+            f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
