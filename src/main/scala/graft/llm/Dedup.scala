@@ -187,6 +187,47 @@ object Dedup {
       simhashed(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // Dup-pair graph → clusters: min-label propagation vs a recursive-
+    // CTE reachability oracle. The declared graph is a deterministic
+    // 3-link chain per document (id — id+1M — id+2M): a-b and b-c dup
+    // edges WITHOUT a direct a-c edge, so the cluster only collapses if
+    // transitivity actually propagates. (The minhash pair graph on this
+    // synthetic corpus is near-complete — fine for the operator, bad
+    // for a bounded recursive oracle — so the declared query uses the
+    // chain; DedupSpec runs the operator on real minhash pairs too.)
+    Q("dedup_cluster_canonical",
+      """WITH RECURSIVE
+        |nodes AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 FROM documents
+        |  UNION ALL SELECT doc_id + 2000000 FROM documents),
+        |e AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id + 2000000 FROM documents),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a AND r.a <> u.b)
+        |SELECT n.doc_id,
+        |       LEAST(n.doc_id, COALESCE(MIN(r.b), n.doc_id)) AS cluster_id
+        |FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+        |GROUP BY n.doc_id
+        |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val nodes = docs.select(col("doc_id").as("id"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("id")))
+        .unionByName(docs.select((col("doc_id") + 2000000L).as("id")))
+      val edges = docs
+        .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("a"),
+          (col("doc_id") + 2000000L).as("b")))
+      connectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // Word-bigram Jaccard near-dup — the n-gram variant of the exact
     // verify. Candidates are bucketed by (source, token-count band) —
     // a cheap blocking key standing in for LSH when sequence (not just
@@ -213,6 +254,47 @@ object Dedup {
       ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3)
     },
   )
+
+  /** Connected components over a dup-pair graph by min-label
+    * propagation — the step that turns pairwise near-dup evidence into
+    * clusters with one canonical survivor each (pairs alone can't be
+    * acted on: transitive dups a–b, b–c must collapse to ONE keeper).
+    *
+    * Each iteration is one shuffle (edges ⋈ labels, groupBy node);
+    * convergence needs diameter iterations — tiny for dup clusters.
+    * (For adversarial diameters the alternating large-star/small-star
+    * variant gives O(log n); not needed for dedup graphs.) Lineage is
+    * truncated per iteration via localCheckpoint so the plan doesn't
+    * grow with the iteration count. Deterministic: the min label is
+    * order-independent.
+    */
+  def connectedComponents(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = und.join(labels, und("a") === labels("id"))
+        .groupBy(und("b").as("nid"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
 
   /** Word-bigram Jaccard pairs, blocked by (source, token-count band). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {

@@ -171,4 +171,34 @@ class LlmSpec extends SparkSpec {
     assert(a === b)
     assert(a.values.toSet.subsetOf(Set("en", "es", "de", "fr", "und")))
   }
+
+  test("connected components: chain and triangle collapse, singleton survives") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val edges = Seq( // chain 1-2-3-4 (no shortcuts), triangle 10-11-12
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("connected components on real minhash pairs: endpoints share a label, label is a member") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val pairs = Dedup.nearDupPairs(docs)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val labels = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+      .as[(Long, Long)].collect().toMap
+    val edgeList = pairs.as[(Long, Long)].collect()
+    assert(edgeList.nonEmpty)
+    edgeList.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.foreach { case (id, lab) =>
+      assert(lab <= id && labels(lab) === lab, s"label $lab of $id is not a canonical member")
+    }
+  }
 }
