@@ -34,6 +34,29 @@ object TextAnalysis {
   private def hitsSql(words: Seq[String]): String =
     s"len(list_intersect(list_distinct($toksSql), [${words.map(w => s"'$w'").mkString(", ")}]))"
 
+  // Language-ID building blocks, shared by text_lang_id and
+  // corpus_curated (one definition each side, no drift).
+  private val langScoresSql: String =
+    StopWords.map { case (l, ws) => s"${hitsSql(ws)} AS s_$l" }.mkString(", ")
+  private val langBestSql: String =
+    StopWords.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+  private val langCaseSql: String =
+    "CASE " + StopWords.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }
+      .mkString(" ") + " ELSE 'und' END"
+
+  /** Adds per-language stopword scores, `best`, and `detected_lang`
+    * to a frame with a `text` column. */
+  def withDetectedLang(df: DataFrame): DataFrame = {
+    val withScores = StopWords.foldLeft(df) {
+      case (acc, (l, ws)) => acc.withColumn(s"s_$l", hits(ws))
+    }
+    val best = greatest(StopWords.map { case (l, _) => col(s"s_$l") }: _*)
+    val detected = StopWords.foldLeft(when(lit(false), "und")) {
+      case (acc, (l, _)) => acc.when(col(s"s_$l") === col("best") && col("best") > 0, l)
+    }.otherwise("und")
+    withScores.withColumn("best", best).withColumn("detected_lang", detected)
+  }
+
   /** MLlib text pipeline (SURVEY §7.3 M4: Tokenizer → HashingTF → IDF):
     * hashed TF-IDF vectors for downstream clustering/similarity. The
     * hash space is Spark-internal (murmur3), so the declared query is
@@ -134,27 +157,50 @@ object TextAnalysis {
 
     // Language ID: argmax of stopword-hit counts with a deterministic
     // preference order; 'und' when nothing matches.
-    Q("text_lang_id", {
-      val scores = StopWords.map { case (l, ws) => s"${hitsSql(ws)} AS s_$l" }.mkString(", ")
-      val best = StopWords.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
-      val cases = StopWords.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }
-        .mkString(" ")
-      s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents),
-         |b AS (SELECT *, $best AS best FROM s)
+    Q("text_lang_id",
+      s"""WITH s AS (SELECT doc_id, lang, $langScoresSql FROM documents),
+         |b AS (SELECT *, $langBestSql AS best FROM s)
          |SELECT doc_id, lang AS labeled_lang,
-         |       CASE $cases ELSE 'und' END AS detected_lang
-         |FROM b ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
-      val withScores = StopWords.foldLeft(
-        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))) {
-        case (df, (l, ws)) => df.withColumn(s"s_$l", hits(ws))
-      }
-      val best = greatest(StopWords.map { case (l, _) => col(s"s_$l") }: _*)
-      val detected = StopWords.foldLeft(when(lit(false), "und")) {
-        case (acc, (l, _)) => acc.when(col(s"s_$l") === col("best") && col("best") > 0, l)
-      }.otherwise("und")
-      withScores.withColumn("best", best)
-        .select(col("doc_id"), col("lang").as("labeled_lang"), detected.as("detected_lang"))
+         |       $langCaseSql AS detected_lang
+         |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      withDetectedLang(Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang").as("labeled_lang"), col("detected_lang"))
+        .orderBy("doc_id")
+    },
+
+    // The capstone curation pipeline, composed from the pieces above:
+    // exact-dedup survivors (over the planted-dup corpus, so the stage
+    // removes half the rows) → token-count quality gate → language
+    // agreement (detected == labeled). One declared query proving the
+    // stages COMPOSE — same shuffles as the parts, nothing new: dedup
+    // is one groupBy, the gates are map-side, the survivor restriction
+    // a semi join.
+    Q("corpus_curated",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text FROM documents),
+         |surv AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+         |s AS (
+         |  SELECT c.doc_id, c.lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         $langScoresSql
+         |  FROM corpus c JOIN surv USING (doc_id)),
+         |b AS (SELECT *, $langBestSql AS best FROM s)
+         |SELECT doc_id, lang, n_tokens
+         |FROM b
+         |WHERE n_tokens >= 40 AND $langCaseSql = lang
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
+      val survivors = corpus.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      corpus.join(survivors, Seq("doc_id"), "left_semi")
+        .transform(withDetectedLang)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .filter(col("n_tokens") >= 40 && col("detected_lang") === col("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy("doc_id")
     },
 
