@@ -1,0 +1,223 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Corpus-curation operators beyond per-doc scoring (builder-prompt
+  * "training-data pipeline" tier; complements `TextAnalysis` /
+  * `Dedup`): repetition signals, PII scrubbing, cross-document
+  * boilerplate detection, and train/eval decontamination.
+  *
+  * Reference anchor: the reference's quality layer is the inline
+  * print-check culture of `scripts/02_label_engineering.py:136-152`
+  * (manual spot checks, no curation ops) — these operators are the
+  * engine-surface extension `BASELINE.json`'s north star asks for,
+  * re-expressed as declared, oracle-checked queries.
+  *
+  * Scale posture shared by all four: tokenize/explode is map-side;
+  * every counting stage is a partial+final hash aggregate keyed on
+  * (doc, token|gram|chunk); the only wide joins are keyed on the
+  * gram/chunk value itself (at 100 TB you'd join on a 64-bit hash of
+  * the gram, not the string — the md5-prefix family used by the dedup
+  * modules; kept as the string here so the oracle stays readable).
+  * No driver collects, no cartesian products, no UDFs.
+  */
+object Curation {
+
+  /** (doc_id, pos, t) token rows — 0-based pos from posexplode. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+
+  /** Portable 32-bit-in-a-long content hash (same family as the dedup
+    * modules: hex md5 prefix → decimal). */
+  private def fp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  val defs: Seq[Q] = Seq(
+
+    // ── Gopher-style repetition signals ────────────────────────────
+    // Duplicate-token fraction, most-common-token fraction, and
+    // most-common-bigram fraction: the classic repetition filters of a
+    // pretraining quality gate (Gopher §A1.1-style). Token counts are
+    // one partial+final aggregate keyed (doc_id, token); bigrams come
+    // from a lead() over the per-doc position order — one window
+    // shuffle keyed doc_id, reused straight from the posexplode.
+    Q("text_repetition_signals",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+        |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |              CAST(MAX(c) AS BIGINT) AS top_c
+        |       FROM tc GROUP BY doc_id),
+        |base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (SELECT doc_id,
+        |              unnest(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+        |                                    i -> l[i] || ' ' || l[i + 1])) AS b
+        |       FROM base),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+        |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |              CAST(MAX(c) AS BIGINT) AS top_bc
+        |       FROM bc GROUP BY doc_id)
+        |SELECT ts.doc_id, ts.n_tokens, ts.n_distinct,
+        |       ROUND(1.0 - ts.n_distinct * 1.0 / ts.n_tokens, 6) + 0 AS dup_token_frac,
+        |       ROUND(ts.top_c * 1.0 / ts.n_tokens, 6) + 0 AS top_token_frac,
+        |       ROUND(COALESCE(bs.top_bc * 1.0 / bs.n_bigrams, 0), 6) + 0 AS top_bigram_frac
+        |FROM ts LEFT JOIN bs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = tokens(Tables.documents(s, dir))
+      val tc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val ts = tc.groupBy(col("doc_id")).agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max(col("c")).cast("long").as("top_c"))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bc = tok.withColumn("t2", lead(col("t"), 1).over(byPos))
+        .filter(col("t2").isNotNull)
+        .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val bs = bc.groupBy(col("doc_id")).agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        max(col("c")).cast("long").as("top_bc"))
+      ts.join(bs, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_tokens"), 6) + lit(0.0))
+            .as("dup_token_frac"),
+          (round(col("top_c") * lit(1.0) / col("n_tokens"), 6) + lit(0.0))
+            .as("top_token_frac"),
+          (round(coalesce(col("top_bc") * lit(1.0) / col("n_bigrams"), lit(0.0)), 6) + lit(0.0))
+            .as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── PII scrubbing ──────────────────────────────────────────────
+    // regexp detect-count-redact. The synthetic corpus carries no PII
+    // (verified: zero digits), so the query PLANTS deterministic
+    // emails/phones per doc (same construction both engines — the
+    // corpus_curated pattern) and then scrubs them; count columns
+    // prove detection, the portable fingerprint proves the redacted
+    // text is byte-identical cross-engine. Map-only: scrub fuses into
+    // the scan projection; the regex subset ([a-z0-9] classes, {n}
+    // repetition, literal dot) is shared by Java regex and RE2.
+    Q("text_pii_scrub", {
+      val email = """[a-z0-9]+@[a-z0-9]+\.[a-z]+"""
+      val phone = """[0-9]{3}-[0-9]{4}"""
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@' || source ||
+         |         '.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, pii,
+         |         regexp_replace(regexp_replace(pii, '$email', '<EMAIL>', 'g'),
+         |                        '$phone', '<PHONE>', 'g') AS clean
+         |  FROM p)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(pii, '$email')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(pii, '$phone')) AS BIGINT) AS n_phones,
+         |       length(clean) AS clean_len,
+         |       CAST(concat('0x', substr(md5(clean), 1, 8)) AS BIGINT) AS clean_fp
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val email = """[a-z0-9]+@[a-z0-9]+\.[a-z]+"""
+      val phone = """[0-9]{3}-[0-9]{4}"""
+      val pii = concat(
+        col("text"), lit(" contact user"), col("doc_id"), lit("@"), col("source"),
+        lit(".com or 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), pii.as("pii"))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(col("pii"), email, "<EMAIL>"), phone, "<PHONE>"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("pii"), lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("pii"), lit(phone), lit(0))).cast("long").as("n_phones"),
+          length(col("clean")).cast("long").as("clean_len"),
+          fp(col("clean")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── Cross-document boilerplate chunks ──────────────────────────
+    // Split every doc into non-overlapping 10-token chunks; a chunk
+    // seen in ≥2 distinct docs is boilerplate (header/footer/template
+    // detection — the chunk-level complement of whole-doc dedup).
+    // Chunk assembly is one aggregate keyed (doc_id, chunk); the
+    // cross-doc count is a second aggregate keyed on the chunk text
+    // (→ 64-bit chunk hash at 100 TB); the verdict join is keyed the
+    // same way — all partial+final, nothing quadratic.
+    Q("dedup_chunk_boilerplate",
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l FROM base),
+        |tk AS (SELECT doc_id, pos, l[pos] AS t, (pos - 1) // 10 AS chunk FROM tok),
+        |chunks AS (SELECT doc_id, chunk, string_agg(t, ' ' ORDER BY pos) AS chunk_text
+        |           FROM tk GROUP BY doc_id, chunk),
+        |cc AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS ndocs
+        |       FROM chunks GROUP BY chunk_text)
+        |SELECT c.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN cc.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+        |FROM chunks c JOIN cc USING (chunk_text)
+        |GROUP BY c.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val chunks = tokens(Tables.documents(s, dir))
+        .withColumn("chunk", expr("pos div 10"))
+        .groupBy(col("doc_id"), col("chunk"))
+        // order inside the chunk is restored by sorting (pos, t) structs —
+        // collect_list alone has no order guarantee across merges
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t")), " ").as("chunk_text"))
+      val cc = chunks.groupBy(col("chunk_text"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      chunks.join(cc, "chunk_text")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_chunks"),
+          sum(when(col("ndocs") >= 2, 1).otherwise(0)).cast("long").as("n_boilerplate"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── Train/eval decontamination ─────────────────────────────────
+    // The standard pretraining hygiene op: flag training docs sharing
+    // any sliding 8-token gram with the held-out eval slice
+    // (doc_id % 7 == 0 plays the eval set). Grams come from a
+    // collect_list over an 8-row window (one shuffle keyed doc_id —
+    // the O(n) form; a slice-inside-transform lambda would re-split
+    // the text per gram, the O(n²) plan-collapse trap documented on
+    // text_winnow_fingerprint). The contamination probe is a left
+    // join keyed on the gram: the eval side is the small one and
+    // broadcasts at scale.
+    Q("decontam_overlap",
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+        |                                   i -> array_to_string(l[i:i+7], ' '))) AS gram
+        |      FROM base),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+        |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+        |SELECT tr.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+        |FROM tr LEFT JOIN ev USING (gram)
+        |GROUP BY tr.doc_id
+        |HAVING SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w8 = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 7)
+      val grams = tokens(Tables.documents(s, dir))
+        .withColumn("garr", collect_list(col("t")).over(w8))
+        .filter(size(col("garr")) === 8)
+        .select(col("doc_id"), array_join(col("garr"), " ").as("gram"))
+      val ev = grams.filter(col("doc_id") % 7 === 0).select(col("gram")).distinct()
+      val tr = grams.filter(col("doc_id") % 7 =!= 0).distinct()
+      tr.join(ev.withColumn("hit", lit(1)), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contam"))
+        .filter(col("n_contam") > 0)
+        .orderBy(col("doc_id"))
+    })
+}

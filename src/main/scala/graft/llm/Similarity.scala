@@ -214,6 +214,45 @@ object Similarity {
     }) { (s, dir) =>
       nearDupPairsByCosine(Tables.embeddings(s, dir), threshold = 0.95)
     },
+
+    // Symmetric int8 quantization (the storage/serving compression step
+    // of an embedding pipeline): per-vector scale = max|x|/127,
+    // q_i = ⌊x_i/scale + 0.5⌋ (explicit floor form so both engines
+    // share one rounding convention instead of each engine's round()),
+    // dq_i = q_i·scale. Reports the reconstruction error and how well
+    // cosine survives quantization — the accept/reject metric for
+    // shipping int8 vectors to the ANN index. Map-only scan projection;
+    // at 100 TB this runs at ingest and writes the int8 column + scale.
+    Q("embed_quantize_error",
+      """WITH b AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, label, v,
+        |             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |      FROM b),
+        |d AS (SELECT vec_id, label, v, scale,
+        |             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+        |      FROM s)
+        |SELECT vec_id, label,
+        |       ROUND(scale, 6) + 0 AS scale,
+        |       ROUND(list_max(list_transform(range(1, len(v) + 1),
+        |                                     i -> abs(v[i] - dq[i]))), 6) + 0 AS max_abs_err,
+        |       ROUND(list_cosine_similarity(v, dq), 6) + 0 AS cos_preserved
+        |FROM d ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val withScale = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      withScale
+        .withColumn("dq",
+          transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("double") * col("scale")))
+        .select(
+          col("vec_id"), col("label"),
+          (round(col("scale"), 6) + lit(0.0)).as("scale"),
+          (round(array_max(zip_with(col("v"), col("dq"), (a, b) => abs(a - b))), 6) + lit(0.0))
+            .as("max_abs_err"),
+          (round(cosine(col("v"), col("dq")), 6) + lit(0.0)).as("cos_preserved"))
+        .orderBy(col("vec_id"))
+    },
   )
 
   /** Near-duplicate vector pairs: SRP-bucket candidates → exact cosine

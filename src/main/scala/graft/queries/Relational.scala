@@ -480,5 +480,143 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(1)
     },
+
+    // CUBE + grouping_id — all 2^k grouping sets in ONE pass: Spark
+    // expands the sets map-side and partial-aggregates before the
+    // single exchange (same shape as rollup; at 100 TB the expansion
+    // multiplies map output by 4 but the shuffle still moves only
+    // group keys). Bit order of grouping_id matches DuckDB/Postgres
+    // GROUPING(a, b): leftmost argument = most significant bit.
+    Q("agg_cube_grouping",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first, col("gid"))
+    },
+
+    // Second-moment statistics (corr / variance / regression slope).
+    // Deliberately computed from EXACT decimal power sums rather than
+    // the native corr()/var_samp() aggregates: the native single-pass
+    // co-moment aggregates merge partials in partition order, which is
+    // nondeterministic across engines AND across runs — last-ulp drift
+    // that round-6 cannot reliably absorb on large-magnitude moments.
+    // Fixed-point sums are associative → bit-identical on any
+    // partitioning, and the closed-form moments derived from them are
+    // pure per-group projections. RelationalSpec asserts the native
+    // aggregates agree with these to 1e-9, so the built-in surface is
+    // exercised too. Shape at scale: one partial+final hash aggregate,
+    // five decimal sums per group — identical cost to any other agg.
+    Q("agg_stats_family",
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       ROUND((sxx - sx * sx / n) / (n - 1), 6) + 0 AS var_qty,
+        |       ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) + 0 AS std_qty,
+        |       ROUND((sxy - sx * sy / n) /
+        |             sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) + 0 AS corr_qty_price,
+        |       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0 AS slope_price_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      def ds(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          ds(col("l_quantity")).as("sx"),
+          ds(col("l_extendedprice")).as("sy"),
+          ds(col("l_quantity") * col("l_quantity")).as("sxx"),
+          ds(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+          ds(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          r6((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+          r6(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))).as("std_qty"),
+          r6((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qty_price"),
+          r6((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("slope_price_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // String function family (the curation/ETL scalar surface the
+    // reference never needed — SURVEY §2.9 notes its absence). Pure
+    // map-side projection, whole-stage codegen'd; every function used
+    // has identical semantics in DuckDB (instr≡strpos 1-based/0-absent,
+    // levenshtein, lpad truncation, substr past-end).
+    Q("string_funcs_family",
+      """SELECT p_partkey,
+        |       upper(p_name) AS name_upper,
+        |       substr(p_name, 1, 8) AS name_prefix,
+        |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |       replace(p_type, ' ', '_') AS type_snake,
+        |       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |       CAST(levenshtein(p_brand, substr(p_type, 1, 8)) AS BIGINT) AS brand_type_dist,
+        |       concat_ws('|', p_brand, p_type) AS brand_type,
+        |       reverse(p_name) AS name_rev
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        expr("replace(p_type, ' ', '_')").as("type_snake"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        levenshtein(col("p_brand"), substring(col("p_type"), 1, 8)).cast("long")
+          .as("brand_type_dist"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        reverse(col("p_name")).as("name_rev"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Date/time function family over the order dates (o_orderdate is
+    // physically timestamp[ms] — cast to DATE first on both sides).
+    // Cross-engine alignments: Spark trunc() returns DATE (its
+    // date_trunc returns TIMESTAMP) ≡ DuckDB date_trunc::DATE;
+    // day-of-week normalized to Sunday=0 (Spark dayofweek is 1-based,
+    // DuckDB dow is 0-based); add_months ≡ +INTERVAL 3 MONTH incl.
+    // month-end clamping. Map-only projection.
+    Q("date_funcs_family",
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey, d,
+        |       CAST(date_trunc('month', d) AS DATE) AS month_start,
+        |       last_day(d) AS month_end,
+        |       CAST(datediff('day', DATE '2025-01-01', d) AS BIGINT) AS days_since,
+        |       CAST(EXTRACT(year FROM d) AS BIGINT) AS yr,
+        |       CAST(EXTRACT(month FROM d) AS BIGINT) AS mo,
+        |       CAST(EXTRACT(dow FROM d) AS BIGINT) AS dow_sun0,
+        |       CAST(d + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM o ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+        .select(
+          col("o_orderkey"), col("d"),
+          trunc(col("d"), "mm").as("month_start"),
+          last_day(col("d")).as("month_end"),
+          datediff(col("d"), lit("2025-01-01").cast("date")).cast("long").as("days_since"),
+          year(col("d")).cast("long").as("yr"),
+          month(col("d")).cast("long").as("mo"),
+          (dayofweek(col("d")) - 1).cast("long").as("dow_sun0"),
+          add_months(col("d"), 3).as("plus3m"))
+        .orderBy(col("o_orderkey"))
+    },
   )
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-4 curation/decontamination/quantization
+  * queries (the DuckDB oracle checks exact values; these assert the
+  * semantic properties that must hold regardless of corpus). */
+class CurationSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("repetition signals match a hand-computed doc") {
+    val doc0 = Tables.documents(spark, dir)
+      .filter(col("doc_id") === 0).select("text").head.getString(0)
+    val toks = doc0.split(" ").toSeq
+    val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val row = run("text_repetition_signals").filter(col("doc_id") === 0).head
+    assert(row.getAs[Long]("n_tokens") === toks.size)
+    assert(row.getAs[Long]("n_distinct") === toks.distinct.size)
+    val expTop = toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size
+    assert(math.abs(row.getAs[Double]("top_token_frac") - expTop) < 1e-6)
+    val expBig = bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size
+    assert(math.abs(row.getAs[Double]("top_bigram_frac") - expBig) < 1e-6)
+  }
+
+  test("pii scrub leaves no email/phone matches and detects the planted ones") {
+    val out = run("text_pii_scrub")
+    assert(out.filter(col("n_emails") < 1 || col("n_phones") < 1).count() === 0)
+    // re-scan the scrubbed text: rebuild it the same way and assert the
+    // patterns are gone (the query only outputs the fingerprint)
+    val email = """[a-z0-9]+@[a-z0-9]+\.[a-z]+"""
+    val pii = concat(col("text"), lit(" contact user"), col("doc_id"), lit("@"),
+      col("source"), lit(".com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val clean = regexp_replace(regexp_replace(pii, email, "<EMAIL>"),
+      """[0-9]{3}-[0-9]{4}""", "<PHONE>")
+    val residue = Tables.documents(spark, dir).select(clean.as("c"))
+      .filter(col("c").rlike(email) || col("c").rlike("""[0-9]{3}-[0-9]{4}"""))
+    assert(residue.count() === 0)
+  }
+
+  test("boilerplate chunk counts are consistent with token counts") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+    val expected = docs.select(sum(ceil(col("nt") / 10.0))).head.getLong(0)
+    val out = run("dedup_chunk_boilerplate")
+    assert(out.agg(sum("n_chunks")).head.getLong(0) === expected)
+    assert(out.filter(col("n_boilerplate") > col("n_chunks")).count() === 0)
+  }
+
+  test("decontamination flags only train docs, with contaminated ≤ total grams") {
+    val out = run("decontam_overlap").collect()
+    assert(out.nonEmpty, "synthetic corpus should contain some 8-gram overlap")
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 7 != 0L, "eval docs must never be flagged")
+      assert(r.getAs[Long]("n_contam") > 0)
+      assert(r.getAs[Long]("n_contam") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
+  test("int8 quantization error is bounded by scale/2 and cosine survives") {
+    val bad = run("embed_quantize_error")
+      // both columns are rounded to 6 dp on output → allow one ulp of that
+      .filter(col("max_abs_err") > col("scale") / 2 + 1e-6 || col("cos_preserved") < 0.999)
+    assert(bad.count() === 0)
+  }
+
+  test("exact-moment stats agree with Spark's native aggregates") {
+    val native = Tables.lineitem(spark, sf("sf0.01"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        var_samp(col("l_quantity")).as("v"),
+        stddev_samp(col("l_quantity")).as("s"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        var_samp(col("l_quantity")).as("vx"))
+      .withColumn("slope", col("cv") / col("vx"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    SparkEntry.queries("agg_stats_family")(spark, sf("sf0.01")).collect().foreach {
+      case r: Row =>
+        val n = native(r.getAs[String]("l_returnflag"))
+        assert(math.abs(r.getAs[Double]("var_qty") - n.getAs[Double]("v")) < 1e-6)
+        assert(math.abs(r.getAs[Double]("std_qty") - n.getAs[Double]("s")) < 1e-6)
+        assert(math.abs(r.getAs[Double]("corr_qty_price") - n.getAs[Double]("c")) < 1e-6)
+        assert(math.abs(r.getAs[Double]("slope_price_qty") - n.getAs[Double]("slope")) < 1e-6)
+    }
+  }
+
+  test("cube grouping sets are mutually consistent") {
+    val out = run("agg_cube_grouping").collect()
+    val total = out.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length === 1)
+    val detail = out.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n")).sum
+    assert(detail === total.head.getAs[Long]("n"))
+    val byFlag = out.filter(_.getAs[Long]("gid") == 1L).map(_.getAs[Long]("n")).sum
+    assert(byFlag === total.head.getAs[Long]("n"))
+  }
+
+  test("date family invariants hold for every order") {
+    val out = SparkEntry.queries("date_funcs_family")(spark, dir)
+    val bad = out.filter(
+      col("dow_sun0") < 0 || col("dow_sun0") > 6 ||
+        col("month_start") > col("d") || col("month_end") < col("d") ||
+        col("plus3m") <= col("d"))
+    assert(bad.count() === 0)
+  }
+}
