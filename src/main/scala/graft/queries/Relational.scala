@@ -618,5 +618,37 @@ object Relational {
           add_months(col("d"), 3).as("plus3m"))
         .orderBy(col("o_orderkey"))
     },
+
+    // Array / higher-order-function scalar surface (the list side of
+    // the engine's type system — SURVEY §1.6 notes the reference needs
+    // none of it; the LLM-pipeline tier does). Cross-engine alignments:
+    // array_position ≡ COALESCE(list_position, 0) (Spark returns 0 for
+    // absent, DuckDB NULL); element_at(-1) ≡ l[-1]; min/max over the
+    // distinct set expressed as sort-then-index so both engines use
+    // plain string ordering. Map-only projection; arrays never leave
+    // the row (scalar outputs only, per the driver-hash rule).
+    Q("array_funcs_family",
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_contains(l, 'the') AS INTEGER) AS has_the,
+        |       CAST(COALESCE(list_position(l, 'the'), 0) AS BIGINT) AS pos_the,
+        |       array_to_string(l[1:5], ' ') AS first5,
+        |       l[-1] AS last_tok,
+        |       list_sort(list_distinct(l))[1] AS min_tok,
+        |       list_sort(list_distinct(l))[-1] AS max_tok,
+        |       CAST(len(l) AS BIGINT) AS n_toks
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val l = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        array_contains(l, "the").cast("int").as("has_the"),
+        array_position(l, "the").cast("long").as("pos_the"),
+        array_join(slice(l, 1, 5), " ").as("first5"),
+        element_at(l, -1).as("last_tok"),
+        array_min(array_distinct(l)).as("min_tok"),
+        array_max(array_distinct(l)).as("max_tok"),
+        size(l).cast("long").as("n_toks"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

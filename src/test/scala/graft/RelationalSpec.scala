@@ -51,6 +51,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact scan of a selective shuffle join") {
+    // The 100 TB story for selective fact⋈dim SHUFFLE joins (dim too big
+    // to broadcast): Spark's runtime-filter rule builds a bloom filter
+    // from the filtered creation side and injects bloom_filter_might_contain
+    // into the fact scan, dropping most fact rows BEFORE the exchange.
+    // Thresholds are sized for clusters, so the test lowers them to
+    // demonstrate/pin the mechanism at fixture scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(spark, sf("sf0.01"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.lineitem(spark, sf("sf0.01"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("topk_per_key plans a WindowGroupLimit (per-map top-k before the shuffle)") {
     val df = SparkEntry.queries("topk_per_key")(spark, sf("sf0.001"))
     df.collect()
