@@ -219,5 +219,82 @@ object Curation {
           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contam"))
         .filter(col("n_contam") > 0)
         .orderBy(col("doc_id"))
+    },
+
+    // ── Deterministic stratified sampling (data mixing) ────────────
+    // Domain-weighted corpus mixing: each language stratum keeps a
+    // different fraction, decided by a content-derived hash bucket —
+    // NOT a seeded RNG, so the sample is reproducible cross-engine
+    // (the reason sample_downsample_union is rows-only but this is
+    // hash-checked; same trick as downsample_det_union, lifted to
+    // per-stratum rates). Map-only: the keep decision is a scan-fused
+    // projection; no shuffle at all until the presentation sort. At
+    // 100 TB this IS how mixing weights are applied — a seeded
+    // Bernoulli resamples differently on retry/rerun, a hash rule
+    // does not.
+    Q("sample_stratified_hash", {
+      val rates = Seq("en" -> 500, "es" -> 1000, "de" -> 250, "fr" -> 750)
+      val rateCase = rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 100 END")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket,
+         |         $rateCase AS rate
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+         |FROM d WHERE bucket < rate
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val rates = Seq("en" -> 500, "es" -> 1000, "de" -> 250, "fr" -> 750)
+      val rate = rates.foldLeft(when(lit(false), 0)) {
+        case (acc, (l, r)) => acc.when(col("lang") === l, r)
+      }.otherwise(100)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (fp(col("doc_id").cast("string")) % 1000).as("bucket"), rate.as("rate"))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── Token-budget sequence packing ──────────────────────────────
+    // The pretraining batch-assembly op: concatenate each source's
+    // docs in a deterministic order and split the stream into
+    // fixed-budget bins (512 tokens). A doc's bin span falls out of
+    // the running token total — pure integer arithmetic over ONE
+    // window (cumulative sum partitioned by source), so the layout is
+    // exact and engine-independent. One hash exchange keyed source;
+    // at 100 TB the partition key would be (source, date-shard) to
+    // bound window state, exactly like the chunked telemetry window.
+    Q("pack_token_bins", {
+      val budget = 512
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |       (cum - n_tokens) // $budget AS start_bin,
+         |       (cum - 1) // $budget AS end_bin,
+         |       cum - n_tokens - ((cum - n_tokens) // $budget) * $budget AS bin_offset
+         |FROM c ORDER BY source, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val budget = 512
+      val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(bySource))
+        .select(
+          col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $budget").as("start_bin"),
+          expr(s"(cum - 1) div $budget").as("end_bin"),
+          expr(s"cum - n_tokens - ((cum - n_tokens) div $budget) * $budget").as("bin_offset"))
+        .orderBy(col("source"), col("doc_id"))
     })
 }

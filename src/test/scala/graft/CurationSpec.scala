@@ -98,6 +98,39 @@ class CurationSpec extends SparkSpec {
     assert(byFlag === total.head.getAs[Long]("n"))
   }
 
+  test("stratified hash sampling hits per-language rates and is idempotent") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("sample_stratified_hash")(spark, sf("sf0.01"))
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Map("en" -> 0.5, "es" -> 1.0, "de" -> 0.25, "fr" -> 0.75)
+    for ((lang, rate) <- rates if totals.contains(lang)) {
+      val n = totals(lang).toDouble
+      val k = keptByLang.getOrElse(lang, 0L).toDouble
+      // hash buckets of sequential ids behave like uniform draws: 5σ band
+      val sigma = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(k - n * rate) <= 5 * sigma + 1,
+        s"$lang kept $k of $n at rate $rate")
+    }
+    // content-hash rule ⇒ re-running yields the identical sample
+    val again = SparkEntry.queries("sample_stratified_hash")(spark, sf("sf0.01"))
+    assert(kept.exceptAll(again).count() === 0 && again.exceptAll(kept).count() === 0)
+  }
+
+  test("token packing tiles each source stream exactly") {
+    val out = SparkEntry.queries("pack_token_bins")(spark, dir)
+    // offsets stay inside the budget; bins are contiguous from 0
+    assert(out.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() === 0)
+    assert(out.filter(col("start_bin") > col("end_bin")).count() === 0)
+    // per source: last end_bin == ceil(total_tokens/512) - 1 (no holes past the end)
+    val perSource = out.groupBy("source")
+      .agg(sum("n_tokens").as("tot"), max("end_bin").as("last"))
+      .filter(ceil(col("tot") / 512.0) - 1 =!= col("last"))
+    assert(perSource.count() === 0)
+  }
+
   test("date family invariants hold for every order") {
     val out = SparkEntry.queries("date_funcs_family")(spark, dir)
     val bad = out.filter(
