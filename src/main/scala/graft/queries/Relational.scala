@@ -619,6 +619,34 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // Conditional / argument aggregates: count_if, bool_or/bool_and,
+    // and deterministic arg-max/arg-min. max_by is deliberately NOT
+    // used — on tied keys both engines pick an arbitrary row; the
+    // struct-max form (compare (price, key) lexicographically) makes
+    // the winner unique, which is the same fix the reference's
+    // collect()[0][0] spot checks needed (SURVEY §5.2 "deterministic
+    // asserts"). One partial+final aggregate.
+    Q("agg_conditional_family",
+      """SELECT o_orderstatus,
+        |       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        |       CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent,
+        |       CAST(bool_and(o_totalprice > 0) AS INT) AS all_positive,
+        |       (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_order,
+        |       (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS bottom_order
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        val pk = struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("count_if(o_totalprice > 100000)").as("n_big"),
+            expr("bool_or(o_orderpriority = '1-URGENT')").cast("int").as("any_urgent"),
+            expr("bool_and(o_totalprice > 0)").cast("int").as("all_positive"),
+            max(pk).getField("k").as("top_order"),
+            min(pk).getField("k").as("bottom_order"))
+          .orderBy(col("o_orderstatus"))
+    },
+
     // Array / higher-order-function scalar surface (the list side of
     // the engine's type system — SURVEY §1.6 notes the reference needs
     // none of it; the LLM-pipeline tier does). Cross-engine alignments:

@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
+import graft.{Q, Tables}
 import graft.pipeline.Telemetry
 
 /** Structured Streaming variant of the alerting pipeline (SURVEY §2.10:
@@ -25,6 +26,46 @@ import graft.pipeline.Telemetry
   * batch through MemoryStream == Telemetry.features/scored output).
   */
 object StreamingAlerts {
+
+  /** `events` as an unbounded source: same ns→µs timestamp handling as
+    * the batch loader (`Tables.events`), but through `readStream` —
+    * parquet streaming sources need an explicit schema, taken from the
+    * batch footer read (no inference pass over the data). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the table is a single parquet FILE; the streaming file source
+    // requires a directory or a glob pattern (a bare file path makes it
+    // derive basePath = the file and fail), so address it as a glob —
+    // the source then lists the parent dir and matches the one file
+    spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The streaming path as a DRIVER-DECLARED query: the tumbling-window
+    * aggregation runs through the real Structured Streaming engine
+    * (StateStore, watermark, micro-batch planner) under
+    * `Trigger.AvailableNow` into a memory sink, then the finished table
+    * is returned as the batch result. Complete mode because the finite
+    * replay must emit every window, including the last still-open one.
+    * On an unbounded source the same plan runs in append mode with the
+    * watermark closing windows — StreamingSpec covers that shape; this
+    * query proves the streaming engine computes the batch-identical
+    * answer (same oracle a batch GROUP BY day would use). */
+  val defs: Seq[Q] = Seq(
+    Q("streaming_daily_counts",
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |       COUNT(*) AS n_obs,
+         |       CAST(SUM(CASE WHEN value >= ${Telemetry.Tau} THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+         |       CAST(SUM(CASE WHEN event_type = '${Telemetry.FailureType}' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val name = "stream_daily_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dailyAlertCounts(eventsStream(s, dir), tau = Telemetry.Tau)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("day"))
+    })
 
   /** Watermarked tumbling daily aggregate: events/day + raw-threshold
     * alerts/day (the streaming analog of Telemetry.daily's A2 rollup). */

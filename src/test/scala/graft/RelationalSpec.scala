@@ -88,6 +88,48 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // The other half of the skew story (join_salted_skew is the manual
+    // rewrite): AQE detects an oversized shuffle partition after the
+    // map stage and splits it across reducers, marking the join
+    // skew=true. Thresholds lowered so fixture-scale bytes qualify.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // half the rows land on key 0 → one shuffle partition dwarfs the rest
+      val fact = spark.range(200000)
+        .select(when(col("id") < 100000, 0L).otherwise(col("id")).as("k"),
+          concat(lit("x"), col("id")).as("payload"))
+      val dim = spark.range(64).select(col("id").as("k"), lit(1).as("tag"))
+      val joined = fact.join(dim, "k")
+      // run THIS QueryExecution's plan (count() would build a separate
+      // one and leave this AdaptiveSparkPlan unfinalized)
+      val qe = joined.queryExecution
+      val n = qe.executedPlan.execute().count()
+      assert(n === 100000L) // only key 0 exists on both sides
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("topk_per_key plans a WindowGroupLimit (per-map top-k before the shuffle)") {
     val df = SparkEntry.queries("topk_per_key")(spark, sf("sf0.001"))
     df.collect()
