@@ -181,6 +181,58 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // Full-outer — the reconciliation join (both-sided COALESCE + a
+    // presence verdict). The synthetic events are dense (every user
+    // does every event type), so the two sides are modulo-sliced to
+    // make one-sided rows real, not vacuous. Both inputs pre-aggregate
+    // to one row per key BEFORE the join (the same many-side discipline
+    // as join_fact_fact), so the full-outer moves |keys|, not |events|.
+    Q("join_full_outer",
+      """WITH p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+        |           WHERE event_type = 'purchase' AND user_id % 3 = 0 GROUP BY user_id),
+        |e AS (SELECT user_id, COUNT(*) AS n_errors FROM events
+        |      WHERE event_type = 'error' AND user_id % 2 = 0 GROUP BY user_id)
+        |SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+        |       COALESCE(p.n_purchases, 0) AS n_purchases,
+        |       COALESCE(e.n_errors, 0) AS n_errors,
+        |       CASE WHEN p.user_id IS NULL THEN 'error_only'
+        |            WHEN e.user_id IS NULL THEN 'purchase_only'
+        |            ELSE 'both' END AS presence
+        |FROM p FULL JOIN e ON p.user_id = e.user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase" && col("user_id") % 3 === 0)
+        .groupBy(col("user_id").as("p_uid")).agg(count(lit(1)).as("n_purchases"))
+      val e = ev.filter(col("event_type") === "error" && col("user_id") % 2 === 0)
+        .groupBy(col("user_id").as("e_uid")).agg(count(lit(1)).as("n_errors"))
+      p.join(e, col("p_uid") === col("e_uid"), "full_outer")
+        .select(
+          coalesce(col("p_uid"), col("e_uid")).as("user_id"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+          when(col("p_uid").isNull, "error_only")
+            .when(col("e_uid").isNull, "purchase_only")
+            .otherwise("both").as("presence"))
+        .orderBy(col("user_id"))
+    },
+
+    // Positional UNION (distinct) — the set-union complement of the
+    // UNION ALL / intersect / except trio: two key streams deduplicated
+    // into one. Map-side partial distinct before the single exchange.
+    Q("setop_union_distinct",
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+        .union(Tables.customer(s, dir).filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey")))
+        .distinct()
+        .orderBy(col("custkey"))
+    },
+
     // J1d: left-semi — customers that placed at least one order.
     Q("join_semi",
       """SELECT c_custkey, c_name

@@ -88,6 +88,15 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("full outer join yields all three presence classes, keys reconcile") {
+    val out = SparkEntry.queries("join_full_outer")(spark, sf("sf0.01")).collect()
+    val classes = out.map(_.getAs[String]("presence")).toSet
+    assert(classes === Set("both", "purchase_only", "error_only"),
+      s"expected all three classes, got $classes")
+    // every user_id appears exactly once (full outer over pre-aggregated sides)
+    assert(out.map(_.getAs[Long]("user_id")).distinct.length === out.length)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // The other half of the skew story (join_salted_skew is the manual
     // rewrite): AQE detects an oversized shuffle partition after the
