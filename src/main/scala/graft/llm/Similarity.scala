@@ -77,6 +77,16 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** The DuckDB replay of `srpBucket` over a DOUBLE[] column named
+    * `v` (shared by the ANN and near-dedup oracles — one definition,
+    * no drift). DuckDB lists are 1-based so the dim index is i-1. */
+  private[llm] def srpBucketSql: String =
+    (0 until SrpBits).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+         |  i -> v[i] * ((CAST(concat('0x', substr(md5(concat('srp$p:', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5))) >= 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString("\n + ")
+
   /** ANN: probe's bucket + all buckets within hamming distance 1
     * (9 of 256 buckets → ~3.5% of the corpus scanned). */
   def annTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
@@ -169,10 +179,23 @@ object Similarity {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SRP-LSH bucketed ANN — deterministic md5 hyperplanes, but the
-    // bucket arithmetic is too gnarly for a readable oracle; recall vs
-    // the exact top-k is asserted in SimilaritySpec.
-    Q.noOracle("embed_ann_topk") { (s, dir) =>
+    // SRP-LSH bucketed ANN, fully oracle-checked: the deterministic
+    // md5-hyperplane bucket arithmetic is replayed in SQL (the same
+    // srpBucketSql the near-dedup oracle uses), the 1-bit neighbor
+    // probe becomes `xor(bucket, pb) IN (1,2,4,…,128)`, and both
+    // engines must agree on the candidate set AND the ranked top-k.
+    // Recall vs the exact top-k is additionally asserted in LlmSpec.
+    Q("embed_ann_topk",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, label, v,
+         |CAST($srpBucketSql AS BIGINT) AS bucket FROM e),
+         |p AS (SELECT v AS probe, bucket AS pb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, b.label, b.bucket,
+         |       ROUND(list_cosine_similarity(b.v, p.probe), 6) + 0 AS cos_sim
+         |FROM b, p
+         |WHERE b.bucket = p.pb OR xor(b.bucket, p.pb) IN (1, 2, 4, 8, 16, 32, 64, 128)
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
       annTopK(Tables.embeddings(s, dir), probeId = 0L, k = 20)
     },
 
@@ -198,14 +221,9 @@ object Similarity {
       // bit p of the bucket: sign of <plane_p, v>, the md5 weight
       // family of srpWeight (identical arithmetic; DuckDB lists are
       // 1-based so the dim index is i-1)
-      val bitSql = (0 until SrpBits).map { p =>
-        s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
-           |  i -> v[i] * ((CAST(concat('0x', substr(md5(concat('srp$p:', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5))) >= 0
-           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
-      }.mkString("\n + ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (SELECT vec_id, v,
-         |$bitSql AS bucket FROM e)
+         |$srpBucketSql AS bucket FROM e)
          |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
          |       ROUND(list_cosine_similarity(a.v, b2.v), 6) + 0 AS cos_sim
          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
