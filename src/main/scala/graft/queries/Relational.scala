@@ -671,6 +671,48 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // Calendar gap-filling — the fix for the reference's documented
+    // row-frame weakness (SURVEY §2.6: a drive that skips a day makes
+    // "next 24h" silently mean "next observed row"). Generate each
+    // user's full daily spine with sequence(), left-join the observed
+    // per-day counts, zero-fill, and run a window over the FILLED
+    // series so frames are truly calendar-aligned. Spine cardinality
+    // is users × days (tiny next to events); the join is keyed
+    // (user, day) — same exchange the daily aggregate already made.
+    Q("timeseries_gapfill",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, day),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span)
+        |SELECT s.user_id, s.day,
+        |       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+        |       CAST(SUM(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY s.user_id ORDER BY s.day
+        |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gaps_so_far
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val filled = spine.join(daily, Seq("user_id", "day"), "left")
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      filled.select(
+        col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
+        sum(when(col("n").isNull, 1).otherwise(0)).over(cum).cast("long").as("gaps_so_far"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // Conditional / argument aggregates: count_if, bool_or/bool_and,
     // and deterministic arg-max/arg-min. max_by is deliberately NOT
     // used — on tied keys both engines pick an arbitrary row; the
@@ -697,6 +739,35 @@ object Relational {
             max(pk).getField("k").as("top_order"),
             min(pk).getField("k").as("bottom_order"))
           .orderBy(col("o_orderstatus"))
+    },
+
+    // Map-type scalar surface: construct, access, enumerate. DuckDB
+    // map access returns a LIST (missing key → empty list), so the
+    // oracle extracts `mp['k'][1]` ≡ Spark `element_at` (null when
+    // absent). Keys/values keep construction order in both engines;
+    // scalar outputs only. Map-only projection.
+    Q("map_funcs_family",
+      """WITH m AS (SELECT p_partkey,
+        |                  map(['brand', 'type'], [p_brand, p_type]) AS mp
+        |           FROM part)
+        |SELECT p_partkey,
+        |       mp['brand'][1] AS brand_val,
+        |       mp['missing'][1] AS missing_val,
+        |       CAST(cardinality(mp) AS BIGINT) AS n_keys,
+        |       array_to_string(map_keys(mp), ',') AS keys_csv,
+        |       array_to_string(map_values(mp), ',') AS vals_csv
+        |FROM m ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val mp = map_from_arrays(
+        array(lit("brand"), lit("type")),
+        array(col("p_brand"), col("p_type")))
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        element_at(mp, "brand").as("brand_val"),
+        element_at(mp, "missing").as("missing_val"),
+        size(mp).cast("long").as("n_keys"),
+        array_join(map_keys(mp), ",").as("keys_csv"),
+        array_join(map_values(mp), ",").as("vals_csv"))
+        .orderBy(col("p_partkey"))
     },
 
     // Array / higher-order-function scalar surface (the list side of

@@ -88,6 +88,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("gapfill spine is hole-free and actually fills zero days") {
+    val out = SparkEntry.queries("timeseries_gapfill")(spark, sf("sf0.01"))
+    // per user: rows == datediff(last, first) + 1 (complete calendar spine)
+    val bad = out.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"), min("day").as("d0"), max("day").as("d1"))
+      .filter(col("rows") =!= datediff(col("d1"), col("d0")) + 1)
+    assert(bad.count() === 0, "spine has holes")
+    // the fill is non-vacuous: some days had no events
+    assert(out.filter(col("n_events") === 0).count() > 0,
+      "no gaps in the data — gapfill untested")
+  }
+
   test("full outer join yields all three presence classes, keys reconcile") {
     val out = SparkEntry.queries("join_full_outer")(spark, sf("sf0.01")).collect()
     val classes = out.map(_.getAs[String]("presence")).toSet
