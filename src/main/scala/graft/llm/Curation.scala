@@ -221,6 +221,77 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // ── The training-data capstone: raw corpus → batch-ready ───────
+    // One declared query composing the WHOLE assembly line the way a
+    // production pipeline runs it: exact dedup (first doc_id wins) →
+    // train/eval 8-gram decontamination → token-count quality gate →
+    // per-language stratified mixing → source-stream token packing.
+    // Proves the stages compose without new shuffles beyond their own:
+    // dedup is one groupBy + semi join, decontamination one gram
+    // explode + gram-keyed join (eval side broadcasts at scale),
+    // gate/mix are scan-fused map work, packing one window keyed
+    // source. The whole thing is 5 exchanges end to end regardless of
+    // corpus size.
+    Q("corpus_training_ready", {
+      val rateCase = "CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 1000 " +
+        "WHEN 'de' THEN 250 WHEN 'fr' THEN 750 ELSE 100 END"
+      s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |corpus AS (
+         |  SELECT d.doc_id, d.lang, d.source, string_split(d.text, ' ') AS l
+         |  FROM documents d JOIN surv USING (doc_id)),
+         |g AS (SELECT doc_id,
+         |             unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+         |                                   i -> array_to_string(l[i:i+7], ' '))) AS gram
+         |      FROM corpus),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+         |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+         |           WHERE g.doc_id % 7 <> 0),
+         |clean AS (
+         |  SELECT c.doc_id, c.lang, c.source, CAST(len(c.l) AS BIGINT) AS n_tokens
+         |  FROM corpus c LEFT JOIN contam t ON c.doc_id = t.doc_id
+         |  WHERE c.doc_id % 7 <> 0 AND t.doc_id IS NULL AND len(c.l) >= 40),
+         |mixed AS (
+         |  SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket,
+         |         $rateCase AS rate
+         |  FROM clean),
+         |kept AS (SELECT doc_id, lang, source, n_tokens FROM mixed WHERE bucket < rate),
+         |packed AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM kept)
+         |SELECT doc_id, lang, source, n_tokens, (cum - n_tokens) // 512 AS start_bin
+         |FROM packed ORDER BY source, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val survivors = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val w8 = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 7)
+      val grams = tokens(corpus)
+        .withColumn("garr", collect_list(col("t")).over(w8))
+        .filter(size(col("garr")) === 8)
+        .select(col("doc_id"), array_join(col("garr"), " ").as("gram"))
+      val ev = grams.filter(col("doc_id") % 7 === 0).select(col("gram")).distinct()
+      val contam = grams.filter(col("doc_id") % 7 =!= 0)
+        .join(ev, Seq("gram"), "left_semi").select(col("doc_id")).distinct()
+      val rate = when(col("lang") === "en", 500).when(col("lang") === "es", 1000)
+        .when(col("lang") === "de", 250).when(col("lang") === "fr", 750).otherwise(100)
+      val kept = corpus
+        .filter(col("doc_id") % 7 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 40)
+        .filter(fp(col("doc_id").cast("string")) % 1000 < rate)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept.withColumn("cum", sum(col("n_tokens")).over(bySource))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          expr("(cum - n_tokens) div 512").as("start_bin"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // ── Deterministic stratified sampling (data mixing) ────────────
     // Domain-weighted corpus mixing: each language stratum keeps a
     // different fraction, decided by a content-derived hash bucket —

@@ -131,6 +131,25 @@ class CurationSpec extends SparkSpec {
     assert(perSource.count() === 0)
   }
 
+  test("training-ready corpus respects every stage's predicate") {
+    val out = SparkEntry.queries("corpus_training_ready")(spark, sf("sf0.01")).collect()
+    assert(out.nonEmpty)
+    // no eval docs, quality gate held, ids unique
+    assert(out.forall(_.getAs[Long]("doc_id") % 7 != 0L))
+    assert(out.forall(_.getAs[Long]("n_tokens") >= 40L))
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length === out.length)
+    // decontamination really removed someone: flagged train docs ∩ output = ∅
+    val flagged = SparkEntry.queries("decontam_overlap")(spark, sf("sf0.01"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged.nonEmpty)
+    assert(out.forall(r => !flagged.contains(r.getAs[Long]("doc_id"))))
+    // packing starts at bin 0 for every source
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("start_bin")).min === 0L)
+    }
+  }
+
   test("date family invariants hold for every order") {
     val out = SparkEntry.queries("date_funcs_family")(spark, dir)
     val bad = out.filter(
