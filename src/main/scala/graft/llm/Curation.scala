@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,16 +9,19 @@ import graft.{Q, Tables}
 /** Corpus-curation operators beyond per-doc scoring (builder-prompt
   * "training-data pipeline" tier; complements `TextAnalysis` /
   * `Dedup`): repetition signals, PII scrubbing, cross-document
-  * boilerplate detection, and train/eval decontamination.
+  * boilerplate detection, train/eval decontamination, stratified
+  * mixing, and token-budget packing.
   *
   * Reference anchor: the reference's quality layer is the inline
   * print-check culture of `scripts/02_label_engineering.py:136-152`
   * (manual spot checks, no curation ops) — these operators are the
-  * engine-surface extension `BASELINE.json`'s north star asks for,
-  * re-expressed as declared, oracle-checked queries.
+  * engine-surface extension `BASELINE.json`'s north star asks for.
+  * Each is a PUBLIC parameterized function (the library API a real
+  * pipeline calls with its own corpus/rates/budgets) plus a declared,
+  * oracle-checked query pinning it to the test corpus.
   *
-  * Scale posture shared by all four: tokenize/explode is map-side;
-  * every counting stage is a partial+final hash aggregate keyed on
+  * Scale posture shared by all: tokenize/explode is map-side; every
+  * counting stage is a partial+final hash aggregate keyed on
   * (doc, token|gram|chunk); the only wide joins are keyed on the
   * gram/chunk value itself (at 100 TB you'd join on a 64-bit hash of
   * the gram, not the string — the md5-prefix family used by the dedup
@@ -33,18 +36,177 @@ object Curation {
 
   /** Portable 32-bit-in-a-long content hash (same family as the dedup
     * modules: hex md5 prefix → decimal). */
-  private def fp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def fp(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // ── Public operator API ──────────────────────────────────────────
+
+  /** Gopher-style repetition signals per doc: duplicate-token
+    * fraction, most-common-token fraction, most-common-bigram
+    * fraction. Token counts are one partial+final aggregate keyed
+    * (doc_id, token); bigrams come from a lead() over the per-doc
+    * position order — one window shuffle keyed doc_id. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val tok = tokens(docs)
+    val tc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val ts = tc.groupBy(col("doc_id")).agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_distinct"),
+      max(col("c")).cast("long").as("top_c"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bc = tok.withColumn("t2", lead(col("t"), 1).over(byPos))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val bs = bc.groupBy(col("doc_id")).agg(
+      sum(col("c")).cast("long").as("n_bigrams"),
+      max(col("c")).cast("long").as("top_bc"))
+    ts.join(bs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_tokens"), 6) + lit(0.0))
+          .as("dup_token_frac"),
+        (round(col("top_c") * lit(1.0) / col("n_tokens"), 6) + lit(0.0))
+          .as("top_token_frac"),
+        (round(coalesce(col("top_bc") * lit(1.0) / col("n_bigrams"), lit(0.0)), 6) + lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
+  /** Detect-count-redact emails and phone numbers in `textCol`.
+    * Returns the input plus n_emails / n_phones / clean columns.
+    * The regex subset ([a-z0-9] classes, {n} repetition, literal dot)
+    * behaves identically under Java regex and RE2. Map-only. */
+  val EmailRe = """[a-z0-9]+@[a-z0-9]+\.[a-z]+"""
+  val PhoneRe = """[0-9]{3}-[0-9]{4}"""
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+
+  /** Split each doc into non-overlapping `chunkTokens`-token chunks;
+    * count how many of a doc's chunks appear in ≥2 distinct docs
+    * (header/footer/template boilerplate). Three partial+final
+    * aggregates; the verdict join is keyed on the chunk text. */
+  def boilerplateChunks(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    val chunks = tokens(docs)
+      .withColumn("chunk", expr(s"pos div $chunkTokens"))
+      .groupBy(col("doc_id"), col("chunk"))
+      // order inside the chunk is restored by sorting (pos, t) structs —
+      // collect_list alone has no order guarantee across merges
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t")), " ").as("chunk_text"))
+    val cc = chunks.groupBy(col("chunk_text"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks.join(cc, "chunk_text")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1).otherwise(0)).cast("long").as("n_boilerplate"))
+  }
+
+  /** Sliding `n`-token grams as (doc_id, gram) rows, via collect_list
+    * over an n-row window — ONE exchange keyed doc_id, each token
+    * emitted once (the slice-inside-transform lambda form would
+    * re-split the text per gram: the O(n²) plan-collapse trap
+    * documented on text_winnow_fingerprint). */
+  def ngramRows(docs: DataFrame, n: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, n - 1)
+    tokens(docs)
+      .withColumn("garr", collect_list(col("t")).over(w))
+      .filter(size(col("garr")) === n)
+      .select(col("doc_id"), array_join(col("garr"), " ").as("gram"))
+  }
+
+  /** Flag training docs sharing any sliding `n`-gram with the eval
+    * slice (`evalPred` over doc columns selects the held-out set).
+    * The probe is a left join keyed on the gram: the eval side is the
+    * small curated benchmark — it broadcasts at scale. Returns
+    * (doc_id, n_grams, n_contam) for flagged train docs only. */
+  def decontaminate(docs: DataFrame, evalPred: Column, n: Int = 8): DataFrame = {
+    val grams = ngramRows(docs, n)
+    val evalIds = docs.filter(evalPred).select(col("doc_id"))
+    val ev = grams.join(evalIds, Seq("doc_id"), "left_semi").select(col("gram")).distinct()
+    val tr = grams.join(evalIds, Seq("doc_id"), "left_anti").distinct()
+    tr.join(ev.withColumn("hit", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contam"))
+      .filter(col("n_contam") > 0)
+  }
+
+  /** Domain-weighted mixing: keep a doc iff its content-hash bucket
+    * (0..999) falls under its language's rate. Hash rules are stable
+    * under retries and re-runs — a seeded Bernoulli is not — so the
+    * sample is reproducible cross-engine. Scan-fused map-only. */
+  def stratifiedSample(
+      docs: DataFrame, rates: Seq[(String, Int)], defaultRate: Int): DataFrame = {
+    val rate = rates.foldLeft(when(lit(false), 0)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(defaultRate)
+    docs
+      .withColumn("bucket", fp(col("doc_id").cast("string")) % 1000)
+      .withColumn("rate", rate)
+      .filter(col("bucket") < col("rate"))
+  }
+
+  /** Concatenate each source's docs in doc_id order and split the
+    * token stream into fixed-`budget` bins: a doc's bin span falls
+    * out of one windowed cumulative sum (pure integer arithmetic —
+    * exact and engine-independent). One hash exchange keyed source;
+    * at 100 TB the partition key would be (source, date-shard) to
+    * bound window state, like the chunked telemetry window. */
+  def packTokenBins(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(bySource))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("start_bin"),
+        expr(s"(cum - 1) div $budget").as("end_bin"),
+        expr(s"cum - n_tokens - ((cum - n_tokens) div $budget) * $budget").as("bin_offset"))
+  }
+
+  /** The whole assembly line: exact dedup (first doc_id wins) →
+    * decontamination vs `evalPred` → `minTokens` quality gate →
+    * stratified mixing → token packing. Five exchanges end to end
+    * regardless of corpus size. */
+  def trainingReady(
+      docs: DataFrame, evalPred: Column, minTokens: Int,
+      rates: Seq[(String, Int)], defaultRate: Int, budget: Int): DataFrame = {
+    val survivors = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val contam = decontaminate(corpus, evalPred).select(col("doc_id"))
+    val kept = stratifiedSample(
+      corpus.filter(!evalPred)
+        .join(contam, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens") >= minTokens),
+      rates, defaultRate)
+    val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept.withColumn("cum", sum(col("n_tokens")).over(bySource))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("start_bin"))
+  }
+
+  /** Default mixing rates (per-mille) used by the declared queries. */
+  val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 500, "es" -> 1000, "de" -> 250, "fr" -> 750)
+
+  // ── Declared queries (pin the API to the test corpus) ────────────
 
   val defs: Seq[Q] = Seq(
 
-    // ── Gopher-style repetition signals ────────────────────────────
-    // Duplicate-token fraction, most-common-token fraction, and
-    // most-common-bigram fraction: the classic repetition filters of a
-    // pretraining quality gate (Gopher §A1.1-style). Token counts are
-    // one partial+final aggregate keyed (doc_id, token); bigrams come
-    // from a lead() over the per-doc position order — one window
-    // shuffle keyed doc_id, reused straight from the posexplode.
     Q("text_repetition_signals",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
@@ -67,44 +229,15 @@ object Curation {
         |       ROUND(COALESCE(bs.top_bc * 1.0 / bs.n_bigrams, 0), 6) + 0 AS top_bigram_frac
         |FROM ts LEFT JOIN bs USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val tok = tokens(Tables.documents(s, dir))
-      val tc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      val ts = tc.groupBy(col("doc_id")).agg(
-        sum(col("c")).cast("long").as("n_tokens"),
-        count(lit(1)).cast("long").as("n_distinct"),
-        max(col("c")).cast("long").as("top_c"))
-      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val bc = tok.withColumn("t2", lead(col("t"), 1).over(byPos))
-        .filter(col("t2").isNotNull)
-        .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("b"))
-        .agg(count(lit(1)).as("c"))
-      val bs = bc.groupBy(col("doc_id")).agg(
-        sum(col("c")).cast("long").as("n_bigrams"),
-        max(col("c")).cast("long").as("top_bc"))
-      ts.join(bs, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"), col("n_tokens"), col("n_distinct"),
-          (round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_tokens"), 6) + lit(0.0))
-            .as("dup_token_frac"),
-          (round(col("top_c") * lit(1.0) / col("n_tokens"), 6) + lit(0.0))
-            .as("top_token_frac"),
-          (round(coalesce(col("top_bc") * lit(1.0) / col("n_bigrams"), lit(0.0)), 6) + lit(0.0))
-            .as("top_bigram_frac"))
-        .orderBy(col("doc_id"))
+      repetitionSignals(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
-    // ── PII scrubbing ──────────────────────────────────────────────
-    // regexp detect-count-redact. The synthetic corpus carries no PII
-    // (verified: zero digits), so the query PLANTS deterministic
-    // emails/phones per doc (same construction both engines — the
-    // corpus_curated pattern) and then scrubs them; count columns
-    // prove detection, the portable fingerprint proves the redacted
-    // text is byte-identical cross-engine. Map-only: scrub fuses into
-    // the scan projection; the regex subset ([a-z0-9] classes, {n}
-    // repetition, literal dot) is shared by Java regex and RE2.
+    // The synthetic corpus carries no PII (verified: zero digits), so
+    // the query PLANTS deterministic emails/phones per doc (same
+    // construction both engines — the corpus_curated pattern) and then
+    // scrubs them; count columns prove detection, the portable
+    // fingerprint proves the redacted text is byte-identical.
     Q("text_pii_scrub", {
-      val email = """[a-z0-9]+@[a-z0-9]+\.[a-z]+"""
-      val phone = """[0-9]{3}-[0-9]{4}"""
       s"""WITH p AS (
          |  SELECT doc_id,
          |         text || ' contact user' || doc_id || '@' || source ||
@@ -112,42 +245,27 @@ object Curation {
          |  FROM documents),
          |sc AS (
          |  SELECT doc_id, pii,
-         |         regexp_replace(regexp_replace(pii, '$email', '<EMAIL>', 'g'),
-         |                        '$phone', '<PHONE>', 'g') AS clean
+         |         regexp_replace(regexp_replace(pii, '$EmailRe', '<EMAIL>', 'g'),
+         |                        '$PhoneRe', '<PHONE>', 'g') AS clean
          |  FROM p)
          |SELECT doc_id,
-         |       CAST(len(regexp_extract_all(pii, '$email')) AS BIGINT) AS n_emails,
-         |       CAST(len(regexp_extract_all(pii, '$phone')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(pii, '$EmailRe')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(pii, '$PhoneRe')) AS BIGINT) AS n_phones,
          |       length(clean) AS clean_len,
          |       CAST(concat('0x', substr(md5(clean), 1, 8)) AS BIGINT) AS clean_fp
          |FROM sc ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val email = """[a-z0-9]+@[a-z0-9]+\.[a-z]+"""
-      val phone = """[0-9]{3}-[0-9]{4}"""
       val pii = concat(
         col("text"), lit(" contact user"), col("doc_id"), lit("@"), col("source"),
         lit(".com or 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), pii.as("pii"))
-        .withColumn("clean",
-          regexp_replace(regexp_replace(col("pii"), email, "<EMAIL>"), phone, "<PHONE>"))
+      scrubPii(Tables.documents(s, dir).select(col("doc_id"), pii.as("pii")), "pii")
         .select(
-          col("doc_id"),
-          size(regexp_extract_all(col("pii"), lit(email), lit(0))).cast("long").as("n_emails"),
-          size(regexp_extract_all(col("pii"), lit(phone), lit(0))).cast("long").as("n_phones"),
+          col("doc_id"), col("n_emails"), col("n_phones"),
           length(col("clean")).cast("long").as("clean_len"),
           fp(col("clean")).as("clean_fp"))
         .orderBy(col("doc_id"))
     },
 
-    // ── Cross-document boilerplate chunks ──────────────────────────
-    // Split every doc into non-overlapping 10-token chunks; a chunk
-    // seen in ≥2 distinct docs is boilerplate (header/footer/template
-    // detection — the chunk-level complement of whole-doc dedup).
-    // Chunk assembly is one aggregate keyed (doc_id, chunk); the
-    // cross-doc count is a second aggregate keyed on the chunk text
-    // (→ 64-bit chunk hash at 100 TB); the verdict join is keyed the
-    // same way — all partial+final, nothing quadratic.
     Q("dedup_chunk_boilerplate",
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |tok AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l FROM base),
@@ -162,34 +280,10 @@ object Curation {
         |FROM chunks c JOIN cc USING (chunk_text)
         |GROUP BY c.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val chunks = tokens(Tables.documents(s, dir))
-        .withColumn("chunk", expr("pos div 10"))
-        .groupBy(col("doc_id"), col("chunk"))
-        // order inside the chunk is restored by sorting (pos, t) structs —
-        // collect_list alone has no order guarantee across merges
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
-            x => x.getField("t")), " ").as("chunk_text"))
-      val cc = chunks.groupBy(col("chunk_text"))
-        .agg(countDistinct(col("doc_id")).as("ndocs"))
-      chunks.join(cc, "chunk_text")
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).cast("long").as("n_chunks"),
-          sum(when(col("ndocs") >= 2, 1).otherwise(0)).cast("long").as("n_boilerplate"))
-        .orderBy(col("doc_id"))
+      boilerplateChunks(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
-    // ── Train/eval decontamination ─────────────────────────────────
-    // The standard pretraining hygiene op: flag training docs sharing
-    // any sliding 8-token gram with the held-out eval slice
-    // (doc_id % 7 == 0 plays the eval set). Grams come from a
-    // collect_list over an 8-row window (one shuffle keyed doc_id —
-    // the O(n) form; a slice-inside-transform lambda would re-split
-    // the text per gram, the O(n²) plan-collapse trap documented on
-    // text_winnow_fingerprint). The contamination probe is a left
-    // join keyed on the gram: the eval side is the small one and
-    // broadcasts at scale.
+    // doc_id % 7 == 0 plays the held-out eval slice.
     Q("decontam_overlap",
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |g AS (SELECT doc_id,
@@ -205,33 +299,10 @@ object Curation {
         |GROUP BY tr.doc_id
         |HAVING SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val w8 = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 7)
-      val grams = tokens(Tables.documents(s, dir))
-        .withColumn("garr", collect_list(col("t")).over(w8))
-        .filter(size(col("garr")) === 8)
-        .select(col("doc_id"), array_join(col("garr"), " ").as("gram"))
-      val ev = grams.filter(col("doc_id") % 7 === 0).select(col("gram")).distinct()
-      val tr = grams.filter(col("doc_id") % 7 =!= 0).distinct()
-      tr.join(ev.withColumn("hit", lit(1)), Seq("gram"), "left")
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).cast("long").as("n_grams"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contam"))
-        .filter(col("n_contam") > 0)
+      decontaminate(Tables.documents(s, dir), col("doc_id") % 7 === 0)
         .orderBy(col("doc_id"))
     },
 
-    // ── The training-data capstone: raw corpus → batch-ready ───────
-    // One declared query composing the WHOLE assembly line the way a
-    // production pipeline runs it: exact dedup (first doc_id wins) →
-    // train/eval 8-gram decontamination → token-count quality gate →
-    // per-language stratified mixing → source-stream token packing.
-    // Proves the stages compose without new shuffles beyond their own:
-    // dedup is one groupBy + semi join, decontamination one gram
-    // explode + gram-keyed join (eval side broadcasts at scale),
-    // gate/mix are scan-fused map work, packing one window keyed
-    // source. The whole thing is 5 exchanges end to end regardless of
-    // corpus size.
     Q("corpus_training_ready", {
       val rateCase = "CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 1000 " +
         "WHEN 'de' THEN 250 WHEN 'fr' THEN 750 ELSE 100 END"
@@ -262,50 +333,13 @@ object Curation {
          |SELECT doc_id, lang, source, n_tokens, (cum - n_tokens) // 512 AS start_bin
          |FROM packed ORDER BY source, doc_id""".stripMargin
     }) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val survivors = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      val w8 = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 7)
-      val grams = tokens(corpus)
-        .withColumn("garr", collect_list(col("t")).over(w8))
-        .filter(size(col("garr")) === 8)
-        .select(col("doc_id"), array_join(col("garr"), " ").as("gram"))
-      val ev = grams.filter(col("doc_id") % 7 === 0).select(col("gram")).distinct()
-      val contam = grams.filter(col("doc_id") % 7 =!= 0)
-        .join(ev, Seq("gram"), "left_semi").select(col("doc_id")).distinct()
-      val rate = when(col("lang") === "en", 500).when(col("lang") === "es", 1000)
-        .when(col("lang") === "de", 250).when(col("lang") === "fr", 750).otherwise(100)
-      val kept = corpus
-        .filter(col("doc_id") % 7 =!= 0)
-        .join(contam, Seq("doc_id"), "left_anti")
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-        .filter(col("n_tokens") >= 40)
-        .filter(fp(col("doc_id").cast("string")) % 1000 < rate)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
-      val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      kept.withColumn("cum", sum(col("n_tokens")).over(bySource))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
-          expr("(cum - n_tokens) div 512").as("start_bin"))
+      trainingReady(Tables.documents(s, dir), col("doc_id") % 7 === 0,
+        minTokens = 40, rates = MixRates, defaultRate = 100, budget = 512)
         .orderBy(col("source"), col("doc_id"))
     },
 
-    // ── Deterministic stratified sampling (data mixing) ────────────
-    // Domain-weighted corpus mixing: each language stratum keeps a
-    // different fraction, decided by a content-derived hash bucket —
-    // NOT a seeded RNG, so the sample is reproducible cross-engine
-    // (the reason sample_downsample_union is rows-only but this is
-    // hash-checked; same trick as downsample_det_union, lifted to
-    // per-stratum rates). Map-only: the keep decision is a scan-fused
-    // projection; no shuffle at all until the presentation sort. At
-    // 100 TB this IS how mixing weights are applied — a seeded
-    // Bernoulli resamples differently on retry/rerun, a hash rule
-    // does not.
     Q("sample_stratified_hash", {
-      val rates = Seq("en" -> 500, "es" -> 1000, "de" -> 250, "fr" -> 750)
-      val rateCase = rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      val rateCase = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
         .mkString("CASE ", " ", " ELSE 100 END")
       s"""WITH d AS (
          |  SELECT doc_id, lang,
@@ -316,27 +350,11 @@ object Curation {
          |FROM d WHERE bucket < rate
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val rates = Seq("en" -> 500, "es" -> 1000, "de" -> 250, "fr" -> 750)
-      val rate = rates.foldLeft(when(lit(false), 0)) {
-        case (acc, (l, r)) => acc.when(col("lang") === l, r)
-      }.otherwise(100)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          (fp(col("doc_id").cast("string")) % 1000).as("bucket"), rate.as("rate"))
-        .filter(col("bucket") < col("rate"))
+      stratifiedSample(Tables.documents(s, dir), MixRates, defaultRate = 100)
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id"))
     },
 
-    // ── Token-budget sequence packing ──────────────────────────────
-    // The pretraining batch-assembly op: concatenate each source's
-    // docs in a deterministic order and split the stream into
-    // fixed-budget bins (512 tokens). A doc's bin span falls out of
-    // the running token total — pure integer arithmetic over ONE
-    // window (cumulative sum partitioned by source), so the layout is
-    // exact and engine-independent. One hash exchange keyed source;
-    // at 100 TB the partition key would be (source, date-shard) to
-    // bound window state, exactly like the chunked telemetry window.
     Q("pack_token_bins", {
       val budget = 512
       s"""WITH t AS (
@@ -354,18 +372,7 @@ object Curation {
          |       cum - n_tokens - ((cum - n_tokens) // $budget) * $budget AS bin_offset
          |FROM c ORDER BY source, doc_id""".stripMargin
     }) { (s, dir) =>
-      val budget = 512
-      val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(bySource))
-        .select(
-          col("doc_id"), col("source"), col("n_tokens"),
-          expr(s"(cum - n_tokens) div $budget").as("start_bin"),
-          expr(s"(cum - 1) div $budget").as("end_bin"),
-          expr(s"cum - n_tokens - ((cum - n_tokens) div $budget) * $budget").as("bin_offset"))
+      packTokenBins(Tables.documents(s, dir), budget = 512)
         .orderBy(col("source"), col("doc_id"))
     })
 }

@@ -128,4 +128,74 @@ class PropertySpec extends SparkSpec {
       native == composed
     })
   }
+
+  // ── Curation operator properties (round 4) ───────────────────────
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+
+  /** Random corpus: (doc_id, source, text of 1..30 vocab words). */
+  private val corpusGen: Gen[List[(Long, String, String)]] =
+    for {
+      nDocs <- Gen.choose(2, 12)
+      lens <- Gen.listOfN(nDocs, Gen.choose(1, 30))
+      words <- Gen.sequence[List[List[Int]], List[Int]](
+        lens.map(n => Gen.listOfN(n, Gen.choose(0, vocab.size - 1))))
+      srcs <- Gen.listOfN(nDocs, Gen.choose(0, 2))
+    } yield words.zip(srcs).zipWithIndex.map { case ((ws, s), i) =>
+      (i.toLong, s"src$s", ws.map(vocab).mkString(" "))
+    }
+
+  test("property: scrubPii detects every planted item and leaves no residue") {
+    check(Prop.forAll(corpusGen, Gen.choose(1, 3)) { (rows, k) =>
+      val planted = rows.map { case (id, s, t) =>
+        val extras = (0 until k).flatMap(j => Seq(s"u$j$id@host$j.com", s"555-000$j"))
+        (id, s, (t.split(" ") ++ extras).mkString(" "))
+      }
+      val out = graft.llm.Curation.scrubPii(
+        planted.toDF("doc_id", "source", "text"), "text").collect()
+      out.forall { r =>
+        r.getAs[Long]("n_emails") == k && r.getAs[Long]("n_phones") == k &&
+          !r.getAs[String]("clean").matches(".*" + graft.llm.Curation.EmailRe + ".*") &&
+          !r.getAs[String]("clean").matches(".*[0-9]{3}-[0-9]{4}.*")
+      }
+    })
+  }
+
+  test("property: packTokenBins tiles every source stream exactly") {
+    check(Prop.forAll(corpusGen, Gen.oneOf(8, 16, 64)) { (rows, budget) =>
+      val out = graft.llm.Curation.packTokenBins(
+        rows.toDF("doc_id", "source", "text"), budget).collect()
+      val bySource = out.groupBy(_.getAs[String]("source"))
+      bySource.values.forall { docs =>
+        val total = docs.map(_.getAs[Long]("n_tokens")).sum
+        val lastBin = docs.map(_.getAs[Long]("end_bin")).max
+        lastBin == (total - 1) / budget &&
+          docs.forall { r =>
+            val off = r.getAs[Long]("bin_offset")
+            off >= 0 && off < budget &&
+              r.getAs[Long]("start_bin") <= r.getAs[Long]("end_bin")
+          }
+      }
+    })
+  }
+
+  test("property: decontaminate flags exactly the brute-force overlap set") {
+    check(Prop.forAll(corpusGen) { rows =>
+      val n = 4 // short grams so tiny random docs can actually collide
+      val grams = rows.map { case (id, _, t) =>
+        id -> t.split(" ").toSeq.sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      val isEval = (id: Long) => id % 3 == 0
+      val evalGrams = grams.collect { case (id, g) if isEval(id) => g }
+        .foldLeft(Set.empty[String])(_ ++ _)
+      val expected = grams.collect {
+        case (id, g) if !isEval(id) && g.exists(evalGrams) => id
+      }.toSet
+      val got = graft.llm.Curation.decontaminate(
+        rows.toDF("doc_id", "source", "text"), col("doc_id") % 3 === 0, n)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      got == expected
+    })
+  }
 }
