@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** The two remaining API front doors (SURVEY §1.6 / builder prompt):
+  * `spark.sql(...)` over registered views, and the typed `Dataset[T]`
+  * path with case-class Encoders.
+  *
+  * The typed query is the honest demonstration of when typed code is
+  * and isn't appropriate: `groupByKey.mapGroups` is opaque to Catalyst
+  * (no partial aggregation, no codegen through the lambda), so it is
+  * the right tool ONLY for genuinely imperative per-group logic — here
+  * the JVM fold is made exact (long cents, not float sums) so the
+  * result is engine-independent and oracle-checkable. For anything
+  * expressible as columns, the untyped aggregate is strictly better
+  * (map-side combine) — which is what every other query does.
+  */
+object Typed {
+
+  /** Typed view of an event row (subset of columns). */
+  final case class Ev(event_id: Long, user_id: Long, value: Double)
+
+  /** Per-user imperative fold output. */
+  final case class UserStats(
+      user_id: Long, n_events: Long, max_value: Double, value_cents: Long)
+
+  val defs: Seq[Q] = Seq(
+
+    // spark.sql() front door: the same engine surface through the SQL
+    // parser instead of the DataFrame DSL (proves views + parser +
+    // the identical Catalyst pipeline). View names are salted per call
+    // — Verify runs queries concurrently in ONE session, and temp
+    // views are session-scoped.
+    Q("sql_frontdoor_revenue",
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val v = "orders_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables.orders(s, dir).createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT o_orderpriority,
+           |       COUNT(*) AS n_orders,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           |FROM $v
+           |WHERE o_orderstatus <> 'F'
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Typed Dataset path: case-class Encoders + groupByKey/mapGroups
+    // imperative per-group fold. Exactness discipline: values carry 2
+    // decimals, so the fold sums LONG CENTS (associative, order-free)
+    // instead of doubles — the same reason the money queries aggregate
+    // in DECIMAL. max over doubles picks an existing value → also
+    // order-free. The shuffle is the groupByKey exchange; there is no
+    // partial aggregation (the documented cost of the typed path).
+    Q("typed_user_stats",
+      """SELECT user_id,
+        |       COUNT(*) AS n_events,
+        |       MAX(value) AS max_value,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .mapGroups { (uid, rows) =>
+          var n = 0L
+          var mx = Double.MinValue
+          var cents = 0L
+          rows.foreach { e =>
+            n += 1
+            if (e.value > mx) mx = e.value
+            cents += math.round(e.value * 100)
+          }
+          UserStats(uid, n, mx, cents)
+        }
+        .toDF()
+        .orderBy(col("user_id"))
+    })
+}

@@ -88,6 +88,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("typed mapGroups fold equals the untyped columnar aggregate") {
+    val typed = SparkEntry.queries("typed_user_stats")(spark, sf("sf0.001"))
+    val untyped = Tables.events(spark, sf("sf0.001"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("value").as("max_value"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("value_cents"))
+      .orderBy("user_id")
+    assert(typed.exceptAll(untyped).count() === 0 &&
+      untyped.exceptAll(typed).count() === 0)
+  }
+
   test("gapfill spine is hole-free and actually fills zero days") {
     val out = SparkEntry.queries("timeseries_gapfill")(spark, sf("sf0.01"))
     // per user: rows == datediff(last, first) + 1 (complete calendar spine)
