@@ -27,6 +27,23 @@ package object functions {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** Row-generating sliding n-grams of a space-tokenized string:
+    * `select(col("doc_id"), ngrams(col("text"), 8).as(Seq("pos", "gram")))`
+    * — grams materialize inside the scan projection, no shuffle (the
+    * window form pays a doc_id exchange + sort first). */
+  def ngrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(NGramGenerator(GraftBridge.expression(text), n))
+  }
+
+  private[functions] def intArg(e: Expression, what: String): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
   /** One-pass exact quantile aggregate (distributed buffers, one final
     * sort — replaces the reference's collect-to-driver threshold rule). */
   def exact_quantile(c: Column, q: Double): Column = {
@@ -59,6 +76,9 @@ package object functions {
       "exact_quantile",
       exprs => ExactQuantile(exprs.head, quantileArg(exprs(1))).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "ngrams",
+      exprs => NGramGenerator(exprs.head, intArg(exprs(1), "ngrams: n")), "built-in")
   }
 }
 
@@ -87,6 +107,11 @@ package functions {
         (exprs: Seq[Expression]) =>
           ExactQuantile(exprs.head, graft.functions.quantileArg(exprs(1)))
             .toAggregateExpression()))
+      e.injectFunction((
+        FunctionIdentifier("ngrams"),
+        new ExpressionInfo(classOf[NGramGenerator].getName, "ngrams"),
+        (exprs: Seq[Expression]) =>
+          NGramGenerator(exprs.head, graft.functions.intArg(exprs(1), "ngrams: n"))))
     }
   }
 }

@@ -108,12 +108,23 @@ object Curation {
         sum(when(col("ndocs") >= 2, 1).otherwise(0)).cast("long").as("n_boilerplate"))
   }
 
-  /** Sliding `n`-token grams as (doc_id, gram) rows, via collect_list
-    * over an n-row window — ONE exchange keyed doc_id, each token
-    * emitted once (the slice-inside-transform lambda form would
-    * re-split the text per gram: the O(n²) plan-collapse trap
-    * documented on text_winnow_fingerprint). */
-  def ngramRows(docs: DataFrame, n: Int = 8): DataFrame = {
+  /** Sliding `n`-token grams as (doc_id, gram) rows via the native
+    * `ngrams` Generator — grams materialize inside the scan
+    * projection, ZERO shuffles (OperatorsSpec pins equality with the
+    * window reference form below and measures the difference). */
+  def ngramRows(docs: DataFrame, n: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.ngrams(col("text"), n).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("gram"))
+
+  /** Reference implementation of `ngramRows` composed from built-ins:
+    * posexplode + collect_list over an n-row window — ONE exchange
+    * keyed doc_id plus a sort before any gram exists (each token
+    * still emitted once; the slice-inside-transform lambda form would
+    * re-split the text per gram, the O(n²) plan-collapse trap
+    * documented on text_winnow_fingerprint). Kept as the
+    * verification baseline for the Generator. */
+  def ngramRowsWindowed(docs: DataFrame, n: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, n - 1)
     tokens(docs)
       .withColumn("garr", collect_list(col("t")).over(w))

@@ -117,6 +117,35 @@ class FunctionsSpec extends SparkSpec {
     scored.unpersist()
   }
 
+  test("ngrams generator == window composition, with zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val gen = graft.llm.Curation.ngramRows(docs, 8)
+    val win = graft.llm.Curation.ngramRowsWindowed(docs, 8)
+    // identical multisets of (doc_id, gram)
+    assert(gen.exceptAll(win).count() === 0 && win.exceptAll(gen).count() === 0)
+    // the generator form never shuffles; the window form must
+    gen.count()
+    val genPlan = collectPlan(gen.queryExecution.executedPlan)
+    assert(!genPlan.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"generator n-grams shuffled:\n${gen.queryExecution.executedPlan}")
+    win.count()
+    assert(collectPlan(win.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ShuffleExchangeExec]))
+    // positions are right too: first gram of doc 0 == first 8 tokens
+    val first = docs.filter(col("doc_id") === 0)
+      .select(col("text")).head.getString(0).split(" ").take(8).mkString(" ")
+    assert(gen.filter(col("doc_id") === 0).head.getString(1) === first)
+  }
+
+  test("ngrams generator is SQL-callable after registration") {
+    graft.functions.registerAll(spark)
+    // a generator's output columns flatten into the projection
+    val out = spark.sql("SELECT ngrams('a b c d', 2)").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((0, "a b"), (1, "b c"), (2, "c d")))
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))
