@@ -36,6 +36,15 @@ package object functions {
     GraftBridge.column(NGramGenerator(GraftBridge.expression(text), n))
   }
 
+  /** Winnowing fingerprints of a string as sorted distinct rows —
+    * `select(col("doc_id"), winnow_fingerprints(col("text"), 8, 4).as("fp"))`.
+    * One per-row pass, no shuffle (replaces posexplode + windowed-min
+    * + distinct; same md5-prefix hash family as the SQL oracle). */
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(WinnowGenerator(GraftBridge.expression(text), k, w))
+  }
+
   private[functions] def intArg(e: Expression, what: String): Int =
     e.eval(null) match {
       case i: Int => i

@@ -233,34 +233,17 @@ object TextAnalysis {
       // driver's pandas-side row sort cannot handle array cells
       // (CORRECTNESS_r02 text_winnow_fingerprint err), and the exploded
       // form is also the shape the downstream bucketed-join dedup
-      // consumes.
-      //
-      // The windowed-min stage runs over EXPLODED (doc_id, pos, hash)
-      // rows, not as a nested array lambda: slice-inside-transform gets
-      // the k-gram array expression inlined into the outer lambda by
-      // plan collapsing, re-hashing every k-gram once per window —
-      // O(len²) md5 calls per document (20+ min single-task at sf0.1;
-      // the row form is seconds). The explode also re-partitions the
-      // work across the cluster instead of inheriting the scan's file
-      // granularity.
-      import org.apache.spark.sql.expressions.Window
-      val k = 8
-      val w = 4
-      val h = transform(
-        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
-        i => conv(substring(md5(col("text").substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
-      val perDoc = Window.partitionBy(col("doc_id"))
-      val byPos = perDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
+      // consumes. Emitted by the native WinnowGenerator: the whole
+      // hash→windowed-min→distinct pipeline runs per-row inside the
+      // scan projection, zero shuffles (the composed posexplode +
+      // WindowExec + distinct reference form, kept below as
+      // winnowComposed for the parity test, pays a doc_id exchange +
+      // sort + a distinct exchange first; and a nested array-lambda
+      // form would re-hash every k-gram per window — O(len²) md5s,
+      // 20+ min single-task at sf0.1).
       Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(h).as(Seq("pos", "hv")))
-        .withColumn("wmin", min(col("hv")).over(byPos))
-        .withColumn("n", count(lit(1)).over(perDoc))
-        // full windows only (0-based pos ≤ n−w), except short docs keep
-        // their single truncated window at pos 0 — same semantics as
-        // sequence(1, greatest(len−w+1, 1)) in the array form
-        .filter(col("pos") <= greatest(col("n") - w, lit(0)))
-        .select(col("doc_id"), col("wmin").as("fp"))
-        .distinct()
+        .select(col("doc_id"),
+          graft.functions.winnow_fingerprints(col("text"), 8, 4).as("fp"))
         .orderBy("doc_id", "fp")
     },
 
@@ -278,4 +261,25 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
   )
+
+  /** Composed-built-ins winnow reference (posexplode → windowed-min →
+    * distinct): the verification baseline FunctionsSpec pins the
+    * native WinnowGenerator against, row for row. */
+  def winnowComposed(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = transform(
+      sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+      i => conv(substring(md5(col("text").substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val byPos = perDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
+    docs
+      .select(col("doc_id"), posexplode(h).as(Seq("pos", "hv")))
+      .withColumn("wmin", min(col("hv")).over(byPos))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      // full windows only (0-based pos ≤ n−w), except short docs keep
+      // their single truncated window at pos 0
+      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
 }

@@ -146,6 +146,23 @@ class FunctionsSpec extends SparkSpec {
       Seq((0, "a b"), (1, "b c"), (2, "c d")))
   }
 
+  test("winnow generator == composed posexplode+window form, and faster") {
+    import graft.llm.TextAnalysis
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val gen = docs.select(col("doc_id"),
+      graft.functions.winnow_fingerprints(col("text"), 8, 4).as("fp"))
+    val composed = TextAnalysis.winnowComposed(docs, 8, 4)
+    assert(gen.exceptAll(composed).count() === 0 &&
+      composed.exceptAll(gen).count() === 0)
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    gen.count(); composed.count() // warm
+    val tGen = time(gen.count())
+    val tComposed = time(composed.count())
+    info(f"generator: $tGen%.2fs  composed: $tComposed%.2fs  speedup: ${tComposed / tGen}%.1f×")
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))
