@@ -88,5 +88,50 @@ object Multimodal {
     Q.noOracle("multimodal_decode_features") { (s, dir) =>
       decodeStub(s, withPayload(Tables.documents(s, dir))).toDF().orderBy("doc_id")
     },
+
+    // Resize + frame-sample plumbing (the remaining two media
+    // transforms of the builder-prompt quartet). The payload domain is
+    // text bytes, so the stubs are honest byte/token arithmetic with
+    // the REAL pipeline shape: "resize" = 2× downsample by keeping
+    // odd-position chars (one regexp pass — `(.).`→`$1` has identical
+    // semantics in Java regex and RE2, including the kept trailing odd
+    // char); "frame sample" = every 4th token. Both are scan-fused
+    // map work; outputs are fingerprints + sizes, never the media
+    // bytes — at 100 TB sampled frames ship as narrow feature rows.
+    Q("multimodal_resize_sample",
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text, '(.).', '\1', 'g') AS resized,
+        |         string_split(text, ' ') AS l
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, resized,
+        |         array_to_string(list_transform(range(1, len(l) + 1, 4), i -> l[i]), ' ') AS frames,
+        |         CAST(len(range(1, len(l) + 1, 4)) AS BIGINT) AS n_frames
+        |  FROM r)
+        |SELECT doc_id,
+        |       length(text) AS orig_chars,
+        |       length(resized) AS resized_chars,
+        |       CAST(concat('0x', substr(md5(resized), 1, 8)) AS BIGINT) AS resized_fp,
+        |       n_frames,
+        |       CAST(concat('0x', substr(md5(frames), 1, 8)) AS BIGINT) AS frames_fp
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def fp(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      val toks = split(col("text"), " ")
+      val frameIdx = sequence(lit(1), size(toks), lit(4))
+      Tables.documents(s, dir)
+        .withColumn("resized", regexp_replace(col("text"), "(.).", "$1"))
+        .withColumn("frames",
+          array_join(transform(frameIdx, i => element_at(toks, i)), " "))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("orig_chars"),
+          length(col("resized")).cast("long").as("resized_chars"),
+          fp(col("resized")).as("resized_fp"),
+          size(frameIdx).cast("long").as("n_frames"),
+          fp(col("frames")).as("frames_fp"))
+        .orderBy("doc_id")
+    },
   )
 }
