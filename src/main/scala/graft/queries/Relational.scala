@@ -741,6 +741,44 @@ object Relational {
           .orderBy(col("o_orderstatus"))
     },
 
+    // Z-order (Morton) clustering key — the multi-dimensional layout
+    // technique for min/max pruning at rest: interleave the bits of
+    // two keys so that sorting by the z-value gives every contiguous
+    // block a BOUNDED RANGE IN BOTH dimensions (a single-column sort
+    // bounds only its own column). The query groups rows by the
+    // 8-bit z prefix (= 16×16 tiles) and shows each tile's per-dim
+    // spread; RelationalSpec asserts the ≤15 bound — the property a
+    // lakehouse writer exploits when it sorts files by z before
+    // writing, letting parquet row-group min/max stats prune scans on
+    // EITHER predicate column. Pure bit arithmetic, map-side.
+    Q("zorder_tiles", {
+      val zBitsSql = (0 until 8).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""WITH k AS (
+         |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+         |z AS (SELECT x, y, $zBitsSql AS zval FROM k)
+         |SELECT CAST(zval >> 8 AS BIGINT) AS tile,
+         |       COUNT(*) AS n,
+         |       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+         |       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+    }) { (s, dir) =>
+      val zval = (0 until 8).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.lineitem(s, dir)
+        .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        .withColumn("zval", zval)
+        .groupBy(shiftright(col("zval"), 8).cast("long").as("tile"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("x")).cast("long").as("min_x"), max(col("x")).cast("long").as("max_x"),
+          min(col("y")).cast("long").as("min_y"), max(col("y")).cast("long").as("max_y"))
+        .orderBy(col("tile"))
+    },
+
     // Map-type scalar surface: construct, access, enumerate. DuckDB
     // map access returns a LIST (missing key → empty list), so the
     // oracle extracts `mp['k'][1]` ≡ Spark `element_at` (null when

@@ -88,6 +88,15 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("z-order tiles bound BOTH key dimensions (the pruning property)") {
+    val out = SparkEntry.queries("zorder_tiles")(spark, sf("sf0.01"))
+    val bad = out.filter(
+      col("max_x") - col("min_x") > 15 || col("max_y") - col("min_y") > 15)
+    assert(bad.count() === 0, "a z-prefix tile exceeded its 16×16 bound")
+    // non-degenerate: multiple tiles, and some tile holds multiple keys
+    assert(out.count() > 1)
+  }
+
   test("typed mapGroups fold equals the untyped columnar aggregate") {
     val typed = SparkEntry.queries("typed_user_stats")(spark, sf("sf0.001"))
     val untyped = Tables.events(spark, sf("sf0.001"))
