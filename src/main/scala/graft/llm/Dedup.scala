@@ -85,6 +85,15 @@ object Dedup {
     * reference re-scans and re-tokenizes the corpus, so one call would
     * pay the dominant narrow-projection cost 4×. Both frames are small
     * relative to the corpus (token arrays / 4 hash rows per doc). */
+  // NOTE (round-4 measurement): a fused native Generator for
+  // signatures→banding (one token pass, à la WinnowGenerator) was
+  // prototyped and REJECTED — parity held but no speedup (20.7 s vs
+  // 19.2 s at sf0.1): `toks` is persisted below, so projection
+  // collapsing never re-runs the tokenizer here, the md5 calls
+  // dominate both forms equally, and the query's real cost is the
+  // degenerate-corpus verify join. The winnow fusion won because its
+  // composed form paid an exchange + sort + distinct; this one
+  // wouldn't have.
   def nearDupPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
     val toks = tokenized(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
