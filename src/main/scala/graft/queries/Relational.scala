@@ -609,6 +609,64 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // TPC-H Q10-shaped composite: the realistic 3-table analytics path
+    // (fact ⋈ fact ⋈ dim → grouped revenue → top-k). Shape for scale:
+    // the returned-items filter pushes into the lineitem scan;
+    // lineitem revenue collapses to one row per order key BEFORE
+    // meeting orders; the per-customer rollup happens before the
+    // customer dim (broadcast) joins in names; the top-20 is a
+    // TakeOrderedAndProject, never a full sort of the output.
+    Q("analytics_top_customers",
+      """SELECT c.c_custkey, c.c_name,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val returned = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val perCust = returned
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      perCust
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // The custom TypedImperativeAggregate under the driver's oracle:
+    // graft's one-pass distributed ExactQuantile (the collect-free
+    // replacement for the reference's driver-side threshold rule,
+    // scripts/05_01_model_training_xgboost_oom_fix.py:224-237) must
+    // hash-match DuckDB's quantile_disc — both select an actual
+    // element, no interpolation. Partial buffers merge
+    // associatively; one partial+final aggregate per group.
+    Q("agg_exact_quantile_grouped",
+      """SELECT l_returnflag,
+        |       ROUND(quantile_disc(l_quantity, 0.25), 6) + 0 AS q25,
+        |       ROUND(quantile_disc(l_quantity, 0.5), 6) + 0 AS q50,
+        |       ROUND(quantile_disc(l_quantity, 0.9), 6) + 0 AS q90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            r6(graft.functions.exact_quantile(col("l_quantity"), 0.25)).as("q25"),
+            r6(graft.functions.exact_quantile(col("l_quantity"), 0.5)).as("q50"),
+            r6(graft.functions.exact_quantile(col("l_quantity"), 0.9)).as("q90"))
+          .orderBy(col("l_returnflag"))
+    },
+
     // String function family (the curation/ETL scalar surface the
     // reference never needed — SURVEY §2.9 notes its absence). Pure
     // map-side projection, whole-stage codegen'd; every function used

@@ -138,6 +138,20 @@ class FunctionsSpec extends SparkSpec {
     assert(gen.filter(col("doc_id") === 0).head.getString(1) === first)
   }
 
+  test("custom generator honors OUTER semantics (null row when no grams)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.GeneratorOuter
+    val df = Seq((1L, "a b"), (2L, "a b c")).toDF("id", "text")
+    val outer = GraftBridge.column(GeneratorOuter(
+      graft.functions.NGramGenerator(GraftBridge.expression(col("text")), 3)))
+    val rows = df.select(col("id"), outer.as(Seq("pos", "gram")))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2)))
+    // doc 1 is too short for a 3-gram → kept with a null gram (outer);
+    // doc 2 yields its single gram
+    assert(rows.toSet === Set((1L, null), (2L, "a b c")))
+  }
+
   test("ngrams generator is SQL-callable after registration") {
     graft.functions.registerAll(spark)
     // a generator's output columns flatten into the projection
