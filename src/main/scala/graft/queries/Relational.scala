@@ -799,6 +799,40 @@ object Relational {
           .orderBy(col("o_orderstatus"))
     },
 
+    // Window value-function family — the complement of
+    // window_rank_family's rank functions: first/last/nth element of
+    // the frame and the cumulative distribution. Frames pinned
+    // explicitly (running vs whole-partition) because the SQL default
+    // frame differs between engines once ORDER BY is present; ties
+    // broken by o_orderkey so every value function is deterministic.
+    Q("window_value_family",
+      """SELECT o_custkey, o_orderkey,
+        |       FIRST_VALUE(o_totalprice) OVER w_run AS first_price,
+        |       LAST_VALUE(o_totalprice) OVER w_all AS last_price,
+        |       NTH_VALUE(o_totalprice, 2) OVER w_all AS second_price,
+        |       ROUND(CUME_DIST() OVER w_ord, 6) + 0 AS cd
+        |FROM orders
+        |WINDOW
+        |  w_ord AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  w_run AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_all AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(wRun).as("first_price"),
+        last(col("o_totalprice")).over(wAll).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(wAll).as("second_price"),
+        (round(cume_dist().over(ord), 6) + lit(0.0)).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // Z-order (Morton) clustering key — the multi-dimensional layout
     // technique for min/max pruning at rest: interleave the bits of
     // two keys so that sorting by the z-value gives every contiguous

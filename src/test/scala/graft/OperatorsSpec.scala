@@ -81,4 +81,30 @@ class OperatorsSpec extends SparkSpec {
     // pruning is real: the selected partition count is 1, not |days|
     assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).size === 1)
   }
+
+  test("range-partitioned sorted writer emits key-disjoint files (stats pruning layout)") {
+    // The single-column physical-layout complement of zorder_tiles:
+    // repartitionByRange + sortWithinPartitions gives every output
+    // file a non-overlapping key range, so parquet footer min/max
+    // stats can skip whole files for a point/range predicate.
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_qtmp", "orders_range_sorted").toString
+    Tables.orders(spark, sf("sf0.001"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    val files = new java.io.File(path).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length === 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file key ranges overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
 }
