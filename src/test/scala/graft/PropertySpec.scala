@@ -179,6 +179,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: repetitionSignals match the brute-force computation") {
+    check(Prop.forAll(corpusGen) { rows =>
+      val got = graft.llm.Curation.repetitionSignals(
+        rows.toDF("doc_id", "source", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      rows.forall { case (id, _, text) =>
+        val toks = text.split(" ").toSeq
+        val r = got(id)
+        val topTok = toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size
+        val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val topBig = if (bigrams.isEmpty) 0.0
+          else bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size
+        r.getAs[Long]("n_tokens") == toks.size &&
+          r.getAs[Long]("n_distinct") == toks.distinct.size &&
+          math.abs(r.getAs[Double]("top_token_frac") - topTok) < 1e-6 &&
+          math.abs(r.getAs[Double]("top_bigram_frac") - topBig) < 1e-6
+      }
+    })
+  }
+
   test("property: decontaminate flags exactly the brute-force overlap set") {
     check(Prop.forAll(corpusGen) { rows =>
       val n = 4 // short grams so tiny random docs can actually collide
