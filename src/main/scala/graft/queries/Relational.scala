@@ -871,6 +871,43 @@ object Relational {
         .orderBy(col("tile"))
     },
 
+    // Array set algebra (union / intersect / except on token sets).
+    // Spark's array_union/except keep first-appearance order while
+    // DuckDB composes from list_concat/filter — both sides normalize
+    // through sort+distinct so ONE canonical form is compared. Output
+    // as joined strings (array cells break the driver's row sort).
+    Q("array_setops_family",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         list_distinct(l) AS a,
+        |         -- second set: the doc's first-half vocabulary plus a
+        |         -- marker token absent from the corpus → all three ops
+        |         -- are non-trivial (union grows, intersect and except
+        |         -- are both non-empty)
+        |         list_distinct(list_concat(l[1:len(l) // 2], ['zzmarker'])) AS c
+        |  FROM t)
+        |SELECT doc_id,
+        |       COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, c))), ','), '') AS union_csv,
+        |       COALESCE(array_to_string(list_sort(list_intersect(a, c)), ','), '') AS intersect_csv,
+        |       COALESCE(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(c, x))), ','), '') AS except_csv,
+        |       CAST(len(list_intersect(a, c)) AS BIGINT) AS n_common
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val l = split(col("text"), " ")
+      val a = array_distinct(l)
+      val c = array_distinct(concat(expr("slice(split(text, ' '), 1, size(split(text, ' ')) div 2)"),
+        array(lit("zzmarker"))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), a.as("a"), c.as("c"))
+        .select(
+          col("doc_id"),
+          array_join(array_sort(array_union(col("a"), col("c"))), ",").as("union_csv"),
+          array_join(array_sort(array_intersect(col("a"), col("c"))), ",").as("intersect_csv"),
+          array_join(array_sort(array_except(col("a"), col("c"))), ",").as("except_csv"),
+          size(array_intersect(col("a"), col("c"))).cast("long").as("n_common"))
+        .orderBy(col("doc_id"))
+    },
+
     // Map-type scalar surface: construct, access, enumerate. DuckDB
     // map access returns a LIST (missing key → empty list), so the
     // oracle extracts `mp['k'][1]` ≡ Spark `element_at` (null when

@@ -65,6 +65,28 @@ object StreamingAlerts {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy(col("day"))
+    },
+
+    // The STATEFUL streaming path under the oracle: the
+    // flatMapGroupsWithState incremental rolling mean (bounded ring of
+    // 6 values per user) replayed over the finite source must
+    // hash-match the BATCH window pipeline's oracle SQL — same
+    // filtered timeline, same (ts, event_id) order, same in-order
+    // mean accumulation, same 6-dp HALF_UP rounding before the
+    // threshold compare. This is the strongest equivalence claim in
+    // the module: two entirely different execution engines (WindowExec
+    // vs per-group state machine) pinned to one answer by the driver's
+    // cross-engine hash.
+    Q("streaming_rolling_scores",
+      s"${Telemetry.scoredSql()} " +
+        "SELECT event_id, user_id, value, value_mean_7, alert FROM scored " +
+        "ORDER BY event_id") { (s, dir) =>
+      val name = "stream_roll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = rollingAlerts(s, eventsStream(s, dir), Telemetry.Tau)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("event_id"))
     })
 
   /** Watermarked tumbling daily aggregate: events/day + raw-threshold
