@@ -138,7 +138,11 @@ object Curation {
     * small curated benchmark — it broadcasts at scale. Returns
     * (doc_id, n_grams, n_contam) for flagged train docs only. */
   def decontaminate(docs: DataFrame, evalPred: Column, n: Int = 8): DataFrame = {
+    // grams feed BOTH the eval-gram set and the train side — persist,
+    // or each reference re-runs the generator over the corpus (the
+    // same stage-reuse discipline as Dedup.nearDupPairs)
     val grams = ngramRows(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalIds = docs.filter(evalPred).select(col("doc_id"))
     val ev = grams.join(evalIds, Seq("doc_id"), "left_semi").select(col("gram")).distinct()
     val tr = grams.join(evalIds, Seq("doc_id"), "left_anti").distinct()
@@ -194,8 +198,11 @@ object Curation {
       rates: Seq[(String, Int)], defaultRate: Int, budget: Int): DataFrame = {
     val survivors = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    // the dedup survivors feed decontamination AND the kept-side
+    // filters — persist so the groupBy+semi join runs once
     val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contam = decontaminate(corpus, evalPred).select(col("doc_id"))
     val kept = stratifiedSample(
       corpus.filter(!evalPred)
