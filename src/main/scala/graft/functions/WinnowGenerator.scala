@@ -44,12 +44,18 @@ case class WinnowGenerator(child: Expression, k: Int, w: Int)
     else {
       val text = raw.asInstanceOf[UTF8String].toString
       val md = MessageDigest.getInstance("MD5")
-      val nHashes = math.max(text.length - k + 1, 1)
+      // iterate CODE POINTS, not UTF-16 code units: the composed form
+      // this claims parity with (Spark substr → UTF8String.substringSQL)
+      // and the DuckDB oracle both count characters as code points, so a
+      // code-unit walk would silently break parity on non-BMP text
+      // (emoji, CJK extensions — surrogate pairs are 2 units, 1 point)
+      val cps = text.codePoints().toArray
+      val nHashes = math.max(cps.length - k + 1, 1)
       val h = new Array[Long](nHashes)
       var i = 0
       while (i < nHashes) {
         // substr(text, i+1, k) semantics: up to k chars, short tail ok
-        val gram = text.substring(i, math.min(i + k, text.length))
+        val gram = new String(cps, i, math.min(k, cps.length - i))
         md.reset()
         val digest = md.digest(gram.getBytes(StandardCharsets.UTF_8))
         // first 8 hex chars == top 4 bytes, read big-endian as unsigned

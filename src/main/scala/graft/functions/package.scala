@@ -45,13 +45,19 @@ package object functions {
     GraftBridge.column(WinnowGenerator(GraftBridge.expression(text), k, w))
   }
 
-  private[functions] def intArg(e: Expression, what: String): Int =
+  private[functions] def intArg(e: Expression, what: String): Int = {
+    // guard before eval: eval(null) on a non-foldable expression (e.g. a
+    // column reference) throws an unbound-reference NPE at plan time —
+    // surface the clean analysis error instead
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be an integer literal, got non-foldable expression $e")
     e.eval(null) match {
       case i: Int => i
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }
+  }
 
   /** One-pass exact quantile aggregate (distributed buffers, one final
     * sort — replaces the reference's collect-to-driver threshold rule). */
@@ -61,7 +67,9 @@ package object functions {
       ExactQuantile(GraftBridge.expression(c), q).toAggregateExpression())
   }
 
-  private[functions] def quantileArg(e: Expression): Double =
+  private[functions] def quantileArg(e: Expression): Double = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"exact_quantile: second argument must be a numeric literal, got non-foldable expression $e")
     e.eval(null) match {
       case d: Double => d
       case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL `0.5` literal
@@ -69,6 +77,7 @@ package object functions {
       case other => throw new IllegalArgumentException(
         s"exact_quantile: second argument must be a numeric literal, got $other")
     }
+  }
 
   /** Idempotent SQL registration of the whole function family on an
     * existing session: `cosine_similarity(a, b)`,

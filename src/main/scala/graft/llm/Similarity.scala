@@ -246,7 +246,7 @@ object Similarity {
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |s AS (SELECT vec_id, label, v,
-        |             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |             greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale
         |      FROM b),
         |d AS (SELECT vec_id, label, v, scale,
         |             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
@@ -257,9 +257,16 @@ object Similarity {
         |                                     i -> abs(v[i] - dq[i]))), 6) + 0 AS max_abs_err,
         |       ROUND(list_cosine_similarity(v, dq), 6) + 0 AS cos_preserved
         |FROM d ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // scale is guarded with greatest(·, 1e-30) on BOTH engine sides: an
+      // all-zero embedding would otherwise divide by 0 and produce NaN/Inf
+      // whose ordering/hashing differ between Spark and DuckDB (the dq of a
+      // zero vector is exactly 0 either way, so the guard is value-neutral
+      // for every nonzero vector; cos_preserved of a zero vector is 0/0 in
+      // any engine — LlmSpec asserts the fixture contains none)
       val withScale = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-        .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+        .withColumn("scale",
+          greatest(array_max(transform(col("v"), x => abs(x))) / lit(127.0), lit(1e-30)))
       withScale
         .withColumn("dq",
           transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("double") * col("scale")))

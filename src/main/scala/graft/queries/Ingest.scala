@@ -61,6 +61,42 @@ object Ingest {
         .orderBy(col("o_orderstatus"))
     },
 
+    // S1 variant: the reference's ACTUAL ingestion mode — schema-on-read
+    // (inferSchema=true, /root/reference/scripts/01_data_ingestion.py:17-22)
+    // followed by explicit casts to the engine types. The explicit-schema
+    // path above stays the engine default (SURVEY §3.1: inferSchema costs
+    // an extra sampling pass over every file at 100 TB); this query
+    // exercises the option and proves infer-then-cast is lossless against
+    // the same aggregate oracle as csv_roundtrip_agg.
+    Q("csv_inferschema_agg",
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+        |       MIN(CAST(o_orderdate AS DATE)) AS first_day,
+        |       MAX(CAST(o_orderdate AS DATE)) AS last_day
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = tmp("orders_csv_infer")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"))
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        // infer-then-cast: whatever the sampler guessed, the engine types win
+        .select(
+          col("o_orderstatus").cast(StringType),
+          col("o_totalprice").cast(DoubleType),
+          col("o_orderdate").cast(DateType))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").as("total"),
+          min(col("o_orderdate")).as("first_day"),
+          max(col("o_orderdate")).as("last_day"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // JSON-lines sink → typed JSON scan → aggregate (the third source
     // format; the oracle compares against the ORIGINAL parquet table,
     // so the check proves the JSON sink+scan pair is lossless).

@@ -78,7 +78,11 @@ object Typed {
           rows.foreach { e =>
             n += 1
             if (e.value > mx) mx = e.value
-            cents += math.round(e.value * 100)
+            // HALF_UP on the decimal repr — the same convention as Spark's
+            // round() and the DuckDB oracle (math.round is half-toward-+inf,
+            // which diverges on negative values landing exactly on .5)
+            cents += java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
           }
           UserStats(uid, n, mx, cents)
         }

@@ -177,6 +177,36 @@ class FunctionsSpec extends SparkSpec {
     info(f"generator: $tGen%.2fs  composed: $tComposed%.2fs  speedup: ${tComposed / tGen}%.1f×")
   }
 
+  test("winnow generator matches the composed form on non-BMP text (code points, not code units)") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // surrogate-pair characters: each emoji is 2 UTF-16 code units but ONE
+    // code point — Spark substr and the DuckDB oracle count code points, so
+    // a code-unit walk would hash different k-grams here
+    val docs = Seq(
+      (1L, "the 😀 quick 🦊 brown fox 🀄 jumps over"),
+      (2L, "😀😀😀 repeated emoji 😀😀😀 and 𝕌𝕟𝕚𝕔𝕠𝕕𝕖 math"),
+      (3L, "short😀"))
+      .toDF("doc_id", "text")
+    val gen = docs.select(col("doc_id"),
+      graft.functions.winnow_fingerprints(col("text"), 8, 4).as("fp"))
+    val composed = TextAnalysis.winnowComposed(docs, 8, 4)
+    assert(gen.exceptAll(composed).count() === 0 &&
+      composed.exceptAll(gen).count() === 0)
+  }
+
+  test("ngrams/exact_quantile reject non-literal arguments with a clean analysis error") {
+    graft.functions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT ngrams(text, doc_id) FROM parquet.`/root/testdata/sf0.001/documents.parquet`").collect()
+    }
+    // the clean IllegalArgumentException, not an unbound-reference NPE
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("integer literal"))), e.toString)
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))

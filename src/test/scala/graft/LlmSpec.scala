@@ -126,6 +126,19 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 >= 10L), s"random vectors paired: $pairs")
   }
 
+  test("embedding fixture has no zero vectors (embed_quantize_error cos_preserved precondition)") {
+    // the quantize query guards scale against 0, but cos_preserved of an
+    // all-zero vector is 0/0 in any engine — the oracle hash only holds
+    // while the fixture contains none, so pin that precondition here
+    for (s <- Seq("sf0.001", "sf0.01")) {
+      val zeros = Tables.embeddings(spark, sf(s))
+        .filter(aggregate(transform(col("embedding").cast("array<double>"), x => abs(x)),
+          lit(0.0), (acc, x) => acc + x) === 0.0)
+        .count()
+      assert(zeros === 0L, s"$s has $zeros all-zero embeddings")
+    }
+  }
+
   test("tfidf: vectors are nonnegative with plausible sparsity") {
     val out = SparkEntry.queries("text_tfidf")(spark, sf("sf0.001"))
     val rows = out.collect()
