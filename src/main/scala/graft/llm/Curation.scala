@@ -22,11 +22,11 @@ import graft.{Q, Tables}
   *
   * Scale posture shared by all: tokenize/explode is map-side; every
   * counting stage is a partial+final hash aggregate keyed on
-  * (doc, token|gram|chunk); the only wide joins are keyed on the
-  * gram/chunk value itself (at 100 TB you'd join on a 64-bit hash of
-  * the gram, not the string — the md5-prefix family used by the dedup
-  * modules; kept as the string here so the oracle stays readable).
-  * No driver collects, no cartesian products, no UDFs.
+  * (doc, token|gram|chunk); the wide joins key on a 60-bit md5-prefix
+  * hash of the gram/chunk (`fp60`), never the string itself — shuffle
+  * rows carry 8 bytes instead of the gram text, and the oracle replays
+  * the identical hash arithmetic so the check stays exact. No driver
+  * collects, no cartesian products, no UDFs.
   */
 object Curation {
 
@@ -38,6 +38,16 @@ object Curation {
     * modules: hex md5 prefix → decimal). */
   private def fp(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit join key for gram/chunk values: 15 hex chars of md5
+    * (60 bits keeps the BIGINT positive in both engines; collision
+    * odds at 10⁹ distinct grams ≈ 4·10⁻⁴ per corpus — the standard
+    * content-key trade at scale, and EXACT for the oracle because
+    * DuckDB replays the same arithmetic). */
+  private def fp60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def fp60Sql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
 
   // ── Public operator API ──────────────────────────────────────────
 
@@ -89,7 +99,9 @@ object Curation {
   /** Split each doc into non-overlapping `chunkTokens`-token chunks;
     * count how many of a doc's chunks appear in ≥2 distinct docs
     * (header/footer/template boilerplate). Three partial+final
-    * aggregates; the verdict join is keyed on the chunk text. */
+    * aggregates; the chunk text is hashed to a 60-bit key the moment
+    * it is assembled, so the cross-doc count and the verdict join
+    * shuffle 8-byte keys, never chunk strings. */
   def boilerplateChunks(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
     val chunks = tokens(docs)
       .withColumn("chunk", expr(s"pos div $chunkTokens"))
@@ -99,9 +111,10 @@ object Curation {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("t")))),
           x => x.getField("t")), " ").as("chunk_text"))
-    val cc = chunks.groupBy(col("chunk_text"))
+      .select(col("doc_id"), fp60(col("chunk_text")).as("chunk_h"))
+    val cc = chunks.groupBy(col("chunk_h"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
-    chunks.join(cc, "chunk_text")
+    chunks.join(cc, "chunk_h")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_chunks"),
@@ -138,20 +151,31 @@ object Curation {
     * small curated benchmark — it broadcasts at scale. Returns
     * (doc_id, n_grams, n_contam) for flagged train docs only. */
   def decontaminate(docs: DataFrame, evalPred: Column, n: Int = 8): DataFrame = {
-    // grams feed BOTH the eval-gram set and the train side — persist,
-    // or each reference re-runs the generator over the corpus (the
-    // same stage-reuse discipline as Dedup.nearDupPairs)
+    // Grams are hashed to 60-bit keys INSIDE the generator projection:
+    // everything downstream (distinct, semi/anti joins, the probe join)
+    // shuffles 8-byte longs, never the n-gram strings. They feed BOTH
+    // the eval-gram set and the train side — persist, or each reference
+    // re-runs the generator over the corpus (the same stage-reuse
+    // discipline as Dedup.nearDupPairs); the result is materialized
+    // eagerly below so the cache can be dropped before returning
+    // (a long-lived session would otherwise leak it per invocation).
     val grams = ngramRows(docs, n)
+      .select(col("doc_id"), fp60(col("gram")).as("gram_h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalIds = docs.filter(evalPred).select(col("doc_id"))
-    val ev = grams.join(evalIds, Seq("doc_id"), "left_semi").select(col("gram")).distinct()
+    val ev = grams.join(evalIds, Seq("doc_id"), "left_semi").select(col("gram_h")).distinct()
     val tr = grams.join(evalIds, Seq("doc_id"), "left_anti").distinct()
-    tr.join(ev.withColumn("hit", lit(1)), Seq("gram"), "left")
+    val out = tr.join(ev.withColumn("hit", lit(1)), Seq("gram_h"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contam"))
       .filter(col("n_contam") > 0)
+      // eager materialization (flagged docs only — a bounded aggregate),
+      // then drop the gram cache: no storage outlives the call
+      .localCheckpoint()
+    grams.unpersist()
+    out
   }
 
   /** Domain-weighted mixing: keep a doc iff its content-hash bucket
@@ -212,9 +236,15 @@ object Curation {
       rates, defaultRate)
     val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    kept.withColumn("cum", sum(col("n_tokens")).over(bySource))
+    val out = kept.withColumn("cum", sum(col("n_tokens")).over(bySource))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $budget").as("start_bin"))
+      // eager: the packed listing is one narrow row per kept doc (no
+      // text column) — far smaller than the text-bearing corpus cache
+      // it lets us drop; without this the session leaks the cache
+      .localCheckpoint()
+    corpus.unpersist()
+    out
   }
 
   /** Default mixing rates (per-mille) used by the declared queries. */
@@ -285,38 +315,42 @@ object Curation {
     },
 
     Q("dedup_chunk_boilerplate",
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |tok AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l FROM base),
-        |tk AS (SELECT doc_id, pos, l[pos] AS t, (pos - 1) // 10 AS chunk FROM tok),
-        |chunks AS (SELECT doc_id, chunk, string_agg(t, ' ' ORDER BY pos) AS chunk_text
-        |           FROM tk GROUP BY doc_id, chunk),
-        |cc AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS ndocs
-        |       FROM chunks GROUP BY chunk_text)
-        |SELECT c.doc_id,
-        |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |       CAST(SUM(CASE WHEN cc.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
-        |FROM chunks c JOIN cc USING (chunk_text)
-        |GROUP BY c.doc_id
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |tok AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l FROM base),
+         |tk AS (SELECT doc_id, pos, l[pos] AS t, (pos - 1) // 10 AS chunk FROM tok),
+         |chunks AS (SELECT doc_id,
+         |                  ${fp60Sql("string_agg(t, ' ' ORDER BY pos)")} AS chunk_h
+         |           FROM tk GROUP BY doc_id, chunk),
+         |cc AS (SELECT chunk_h, COUNT(DISTINCT doc_id) AS ndocs
+         |       FROM chunks GROUP BY chunk_h)
+         |SELECT c.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN cc.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+         |FROM chunks c JOIN cc USING (chunk_h)
+         |GROUP BY c.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       boilerplateChunks(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
-    // doc_id % 7 == 0 plays the held-out eval slice.
+    // doc_id % 7 == 0 plays the held-out eval slice. The gram is hashed
+    // to its 60-bit key right at gram construction — the distincts and
+    // the probe join run on the hash in BOTH engines.
     Q("decontam_overlap",
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |g AS (SELECT doc_id,
-        |             unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
-        |                                   i -> array_to_string(l[i:i+7], ' '))) AS gram
-        |      FROM base),
-        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
-        |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
-        |SELECT tr.doc_id,
-        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
-        |       CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
-        |FROM tr LEFT JOIN ev USING (gram)
-        |GROUP BY tr.doc_id
-        |HAVING SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |gs AS (SELECT doc_id,
+         |              unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+         |                                    i -> array_to_string(l[i:i+7], ' '))) AS gram
+         |       FROM base),
+         |g AS (SELECT doc_id, ${fp60Sql("gram")} AS gram_h FROM gs),
+         |ev AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 7 = 0),
+         |tr AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 7 <> 0)
+         |SELECT tr.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |       CAST(SUM(CASE WHEN ev.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+         |FROM tr LEFT JOIN ev USING (gram_h)
+         |GROUP BY tr.doc_id
+         |HAVING SUM(CASE WHEN ev.gram_h IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       decontaminate(Tables.documents(s, dir), col("doc_id") % 7 === 0)
         .orderBy(col("doc_id"))
     },
@@ -328,12 +362,13 @@ object Curation {
          |corpus AS (
          |  SELECT d.doc_id, d.lang, d.source, string_split(d.text, ' ') AS l
          |  FROM documents d JOIN surv USING (doc_id)),
-         |g AS (SELECT doc_id,
-         |             unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
-         |                                   i -> array_to_string(l[i:i+7], ' '))) AS gram
-         |      FROM corpus),
-         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
-         |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+         |gs AS (SELECT doc_id,
+         |              unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+         |                                    i -> array_to_string(l[i:i+7], ' '))) AS gram
+         |       FROM corpus),
+         |g AS (SELECT doc_id, ${fp60Sql("gram")} AS gram_h FROM gs),
+         |ev AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 7 = 0),
+         |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram_h)
          |           WHERE g.doc_id % 7 <> 0),
          |clean AS (
          |  SELECT c.doc_id, c.lang, c.source, CAST(len(c.l) AS BIGINT) AS n_tokens
