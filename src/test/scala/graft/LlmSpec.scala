@@ -111,19 +111,43 @@ class LlmSpec extends SparkSpec {
   }
 
   test("embedding-cosine near-dedup finds planted duplicate vectors, skips the rest") {
+    val rnd = new scala.util.Random(13)
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)
       Array.fill(Similarity.Dim)(r.nextGaussian().toFloat)
     }
     val base = vec(5)
+    val base2 = vec(6)
     val rows =
-      Seq((0L, base, 0), (1L, base.map(x => x * 1.001f), 0)) ++ // planted near-dup (cos≈1)
+      Seq(
+        (0L, base, 0), (1L, base.map(x => x * 1.001f), 0), // exact-direction dup (cos = 1)
+        // NOISY planted dups (cos ≈ 0.995): these exercise the banded
+        // recall path — a noisy dup can disagree with its twin on a few
+        // hyperplanes, and only any-of-b band agreement still finds it
+        (2L, base2, 0), (3L, base2.map(x => (x + (rnd.nextGaussian() * 0.05).toFloat)), 0)) ++
         (10L until 60L).map(i => (i, vec(i.toInt), 1))
     val emb = rows.toDF("vec_id", "embedding", "label")
     val pairs = Similarity.nearDupPairsByCosine(emb, threshold = 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((0L, 1L)), s"planted pair missed: $pairs")
+    assert(pairs.contains((0L, 1L)), s"planted exact pair missed: $pairs")
+    assert(pairs.contains((2L, 3L)), s"planted noisy pair missed: $pairs")
     assert(!pairs.exists(p => p._1 >= 10L), s"random vectors paired: $pairs")
+  }
+
+  test("banded SRP candidate generation is bounded, never within-one-fixed-bucket quadratic") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Similarity.srpBandedCandidates(emb).count()
+    // multi-band SRP on a near-orthogonal corpus: candidates are a few
+    // percent of all pairs (measured ~1.8% at 500 vecs), and no single
+    // (band, signature) bucket holds more than a sliver of the corpus —
+    // the property the fixed-256-bucket form could not offer at scale
+    assert(cands < allPairs / 20, s"$cands candidates of $allPairs pairs is not selective")
+    val maxBucket = Similarity.srpBanded(emb)
+      .groupBy(col("band_idx"), col("band_sig")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxBucket < n / 10, s"hottest band bucket holds $maxBucket of $n vectors")
   }
 
   test("embedding fixture has no zero vectors (embed_quantize_error cos_preserved precondition)") {
