@@ -171,10 +171,10 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("l2_norm") >= 0.0))
   }
 
-  test("ngram jaccard: bigram near-dup found; unrelated and cross-block pairs invisible") {
+  test("ngram jaccard: bigram near-dups found regardless of length band; unrelated invisible") {
     val a = "the quick brown fox jumps over the lazy dog today"
     val b = "the quick brown fox jumps over the lazy dog tonight" // 8/10 shared bigrams
-    val longDoc = Seq.fill(5)(a).mkString(" ") // same source, different len_band
+    val longDoc = Seq.fill(5)(a).mkString(" ") // 5× repetition: shares a's bigram set
     val d = docs(
       (1L, a), (2L, b),
       (3L, "completely different words here now then when how why also"),
@@ -183,10 +183,48 @@ class LlmSpec extends SparkSpec {
       .select("id_a", "id_b", "jaccard")
       .as[(Long, Long, Double)].collect()
     val pairSet = pairs.map(p => (p._1, p._2)).toSet
-    assert(pairSet === Set((1L, 2L)), s"got $pairSet")
-    val j = pairs.head._3
+    // banding finds ALL high-overlap pairs — including (1,4)/(2,4), which
+    // the pre-round-5 (source, len_band) blocking key made invisible
+    // because the 5× doc sat in a different length band
+    assert(pairSet === Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $pairSet")
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
     // grams(a)=9 distinct, grams(b)=9, shared=8 → 8/10 = 0.8
-    assert(math.abs(j - 0.8) < 1e-9, s"jaccard $j != 0.8")
+    assert(math.abs(j12 - 0.8) < 1e-9, s"jaccard $j12 != 0.8")
+    // grams(longDoc) = grams(a) + "today the" → J(1,4) = 9/10
+    val j14 = pairs.find(p => p._1 == 1L && p._2 == 4L).get._3
+    assert(math.abs(j14 - 0.9) < 1e-9, s"jaccard $j14 != 0.9")
+  }
+
+  test("ngram-jaccard banding: candidates bounded, no data-dependent super-linear block") {
+    val d = Tables.documents(spark, sf("sf0.01"))
+    val n = d.count()
+    val allPairs = n * (n - 1) / 2
+    val g = Dedup.bigramSets(d)
+    val sig = g.select(
+      col("doc_id") +:
+        (0 until Dedup.NgramHashes).map(i =>
+          array_min(transform(col("grams"),
+            t => conv(substring(md5(concat(lit(s"gmh$i:"), t)), 1, 8), 16, 10).cast("long")))
+            .as(s"gmh$i")): _*)
+    val bandStructs = (0 until Dedup.NgramBands).map { b =>
+      val cols = (b * Dedup.NgramRowsPerBand until (b + 1) * Dedup.NgramRowsPerBand)
+        .map(i => col(s"gmh$i"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", cols: _*)).as("band_hash"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    // hottest (band, hash) bucket stays a sliver of the corpus — the
+    // property the (source, len_band) block could not offer (few sources
+    // × concentrated lengths → one block of size O(n))
+    val maxBucket = bands.groupBy("band_idx", "band_hash").count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxBucket < n / 10, s"hottest band bucket holds $maxBucket of $n docs")
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(cands < allPairs / 20, s"$cands candidates of $allPairs pairs is not selective")
   }
 
   test("multimodal decode stub matches independently computed byte stats") {
