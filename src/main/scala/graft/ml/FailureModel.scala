@@ -84,6 +84,15 @@ object FailureModel {
       .withColumn("failure_probability", vector_to_array(col("probability")).getItem(1))
       .drop("features", "rawPrediction", "probability", "prediction")
 
+  /** `score` keeping the assembled feature vector and the raw GBT
+    * margin — the input frame for per-row explanations
+    * (`TreeContributions.explain` attributes exactly this margin). */
+  def scoreWithFeatures(model: GBTClassificationModel, df: DataFrame): DataFrame =
+    model.transform(assembler.transform(df.na.fill(0.0, FeatureCols)))
+      .withColumn("failure_probability", vector_to_array(col("probability")).getItem(1))
+      .withColumn("margin", vector_to_array(col("rawPrediction")).getItem(1))
+      .drop("rawPrediction", "probability", "prediction")
+
   /** X1/X2 surface: the typed scoring UDF form. Always declared
     * DoubleType — the reference's untyped variant silently returns
     * StringType and leans on an implicit cast
@@ -235,6 +244,26 @@ object FailureModel {
         Seq((auc, tau, c.getAs[Long]("tp"), c.getAs[Long]("fp"), c.getAs[Long]("fn"),
           c.getAs[Double]("precision"), c.getAs[Double]("recall")))
           .toDF("pr_auc", "threshold", "tp", "fp", "fn", "precision", "recall")
+      } finally f.unpersist()
+    },
+
+    // M5 completed: PER-ROW explanations (the reference's per-alert
+    // SHAP values, 05_SHAP_alert_explanation.py:129-149) — Saabas
+    // tree-path attributions over the broadcast ensemble, distributed,
+    // for the top-scored validation rows. GBT training internals are
+    // not SQL-expressible → no oracle; MLSpec pins the exact-
+    // decomposition invariant (bias + Σ contributions = margin, 1e-6).
+    Q.noOracle("ml_contributions") { (s, dir) =>
+      val f = feat(s, dir).cache()
+      try {
+        val trainDf = TrainingData.downsampled(TrainingData.train(f), ratio = 100.0)
+        val model = train(trainDf, maxIter = 10)
+        val scored = scoreWithFeatures(model, TrainingData.valid(f))
+          .orderBy(col("failure_probability").desc, col("event_id")).limit(20)
+        TreeContributions.explain(scored, model, FeatureCols)
+          .select(col("event_id"), col("failure_probability"), col("margin"),
+            col("feature"), col("contribution"))
+          .orderBy(col("event_id"), col("feature"))
       } finally f.unpersist()
     },
   )

@@ -52,6 +52,28 @@ class MLSpec extends SparkSpec {
     assert(c.getAs[Long]("tp") + c.getAs[Long]("fn") === totalPos)
   }
 
+  test("Saabas contributions decompose the GBT margin exactly (bias + sums = rawPrediction)") {
+    import graft.ml.TreeContributions
+    val scored = FailureModel.scoreWithFeatures(model, TrainingData.valid(feat))
+      .orderBy(col("failure_probability").desc, col("event_id")).limit(50)
+    val bias = TreeContributions.bias(model)
+    val sums = TreeContributions.explain(scored, model, FailureModel.FeatureCols)
+      .groupBy(col("event_id"), col("margin"))
+      .agg(sum(col("contribution")).as("contrib_sum"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      val margin = r.getAs[Double]("margin")
+      val total = bias + r.getAs[Double]("contrib_sum")
+      assert(math.abs(total - margin) < 1e-6,
+        s"event ${r.getAs[Long]("event_id")}: bias+contribs $total != margin $margin")
+    }
+    // every row explains all features, once each
+    val perRow = TreeContributions.explain(scored, model, FailureModel.FeatureCols)
+      .groupBy(col("event_id")).agg(countDistinct(col("feature")).as("nf")).collect()
+    assert(perRow.forall(_.getAs[Long]("nf") === FailureModel.FeatureCols.size.toLong))
+  }
+
   test("GBT learns planted signal: PR-AUC beats the positive-rate baseline") {
     // The driver testdata's labels are independent of its values (random
     // event types), so no model can beat baseline there. Plant real
