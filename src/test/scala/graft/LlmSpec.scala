@@ -110,6 +110,26 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall on planted neighbors (got=$approx)")
   }
 
+  test("IVF index builds once; the search path reads it (no fit) with partition pruning") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_split").toString
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    Similarity.buildIvfIndex(emb, path, nClusters = 8)
+    // index shape: exactly nClusters centroids, every vector assigned
+    assert(spark.read.parquet(s"$path/centroids").count() === 8L)
+    assert(spark.read.parquet(s"$path/assigned").count() === emb.count())
+    // ivfSearch takes (session, path) — it CANNOT fit (no training input);
+    // two searches against the same persisted index are deterministic
+    val a = Similarity.ivfSearch(spark, path, probeId = 0L, k = 10)
+    val b = Similarity.ivfSearch(spark, path, probeId = 0L, k = 10)
+    assert(a.collect().toSeq === b.collect().toSeq)
+    // the cluster filter reaches the file listing: partition pruning,
+    // not a full-index scan with a post-filter
+    val scans = collectPlan(a.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"no partition filter in:\n${a.queryExecution.executedPlan}")
+  }
+
   test("embedding-cosine near-dedup finds planted duplicate vectors, skips the rest") {
     val rnd = new scala.util.Random(13)
     def vec(seed: Int): Array[Float] = {
