@@ -158,6 +158,45 @@ object Dedup {
        |FROM toks ORDER BY doc_id""".stripMargin
   }
 
+  /** The declared cluster fixture: a deterministic 3-link chain per
+    * document (id — id+1M — id+2M): a-b and b-c dup edges WITHOUT a
+    * direct a-c edge, so the cluster only collapses if transitivity
+    * actually propagates. (Shared by both CC variants' queries.) */
+  private def chainClusterFixture(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val nodes = docs.select(col("doc_id").as("id"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("id")))
+      .unionByName(docs.select((col("doc_id") + 2000000L).as("id")))
+    val edges = docs
+      .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("a"),
+        (col("doc_id") + 2000000L).as("b")))
+    (nodes, edges)
+  }
+
+  /** Recursive-CTE reachability oracle over the chain fixture. */
+  private val chainClusterOracleSql: String =
+    """WITH RECURSIVE
+      |nodes AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 FROM documents
+      |  UNION ALL SELECT doc_id + 2000000 FROM documents),
+      |e AS (
+      |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id + 2000000 FROM documents),
+      |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a AND r.a <> u.b)
+      |SELECT n.doc_id,
+      |       LEAST(n.doc_id, COALESCE(MIN(r.b), n.doc_id)) AS cluster_id
+      |FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+      |GROUP BY n.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
 
     // Exact dedup over a corpus with planted duplicates (the corpus
@@ -216,35 +255,20 @@ object Dedup {
     // synthetic corpus is near-complete — fine for the operator, bad
     // for a bounded recursive oracle — so the declared query uses the
     // chain; DedupSpec runs the operator on real minhash pairs too.)
-    Q("dedup_cluster_canonical",
-      """WITH RECURSIVE
-        |nodes AS (
-        |  SELECT doc_id FROM documents
-        |  UNION ALL SELECT doc_id + 1000000 FROM documents
-        |  UNION ALL SELECT doc_id + 2000000 FROM documents),
-        |e AS (
-        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, doc_id + 2000000 FROM documents),
-        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a AND r.a <> u.b)
-        |SELECT n.doc_id,
-        |       LEAST(n.doc_id, COALESCE(MIN(r.b), n.doc_id)) AS cluster_id
-        |FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
-        |GROUP BY n.doc_id
-        |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val nodes = docs.select(col("doc_id").as("id"))
-        .unionByName(docs.select((col("doc_id") + 1000000L).as("id")))
-        .unionByName(docs.select((col("doc_id") + 2000000L).as("id")))
-      val edges = docs
-        .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
-        .unionByName(docs.select((col("doc_id") + 1000000L).as("a"),
-          (col("doc_id") + 2000000L).as("b")))
+    Q("dedup_cluster_canonical", chainClusterOracleSql) { (s, dir) =>
+      val (nodes, edges) = chainClusterFixture(s, dir)
       connectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+
+    // Same transitive-closure oracle, computed by the alternating
+    // large-star/small-star algorithm — the O(log n)-round variant for
+    // adversarial diameters (min-label propagation above is
+    // O(diameter) rounds). Both must produce identical clusters.
+    Q("dedup_cluster_star", chainClusterOracleSql) { (s, dir) =>
+      val (nodes, edges) = chainClusterFixture(s, dir)
+      connectedComponentsStar(nodes, edges)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
     },
@@ -299,8 +323,9 @@ object Dedup {
     *
     * Each iteration is one shuffle (edges ⋈ labels, groupBy node);
     * convergence needs diameter iterations — tiny for dup clusters.
-    * (For adversarial diameters the alternating large-star/small-star
-    * variant gives O(log n); not needed for dedup graphs.) Lineage is
+    * (For adversarial diameters use `connectedComponentsStar` below:
+    * the alternating large-star/small-star variant, O(log n) rounds
+    * behind the same API.) Lineage is
     * truncated per iteration via localCheckpoint so the plan doesn't
     * grow with the iteration count. Deterministic: the min label is
     * order-independent.
@@ -331,6 +356,67 @@ object Dedup {
     }
     und.unpersist()
     labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the adversarial-diameter variant behind the same
+    * API as `connectedComponents`: min-label propagation needs
+    * O(diameter) rounds (a pathological 10⁶-long dup chain = 10⁶
+    * shuffles), this converges in O(log n) alternations because every
+    * round re-wires nodes DIRECTLY to the minimum seen so far instead
+    * of one hop closer to it.
+    *
+    * Per alternation (two shuffles, both keyed on a node id):
+    *  - large-star: every node u re-points its LARGER neighbors at
+    *    m = min(Γ(u) ∪ {u}) — trees flatten toward minima;
+    *  - small-star: every node u re-points its smaller-or-equal
+    *    neighbors (and itself) at m — stars collapse onto the min.
+    * Fixed point: each component is one star centered at its global
+    * min; labels read off the star edges. Lineage is truncated per
+    * alternation (localCheckpoint), convergence is edge-set equality.
+    */
+  def connectedComponentsStar(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    ccStarWithRounds(nodes, edges, maxIter)._1
+
+  /** `connectedComponentsStar` plus the alternation count (exposed so
+    * DedupSpec can pin the O(log n) convergence on a long chain). */
+  def ccStarWithRounds(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    var e = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // LARGE-STAR: und(a → Γ(a)); m(a) = min(Γ(a) ∪ {a});
+      // emit (v, m(a)) for v ∈ Γ(a), v > a
+      val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = und.groupBy(col("a")).agg(min(col("b")).as("minb"))
+        .select(col("a"), least(col("minb"), col("a")).as("m"))
+      val ls = und.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // SMALL-STAR over larger→smaller pointers; m(a) = min(Γ≤(a) ∪ {a})
+      // (all pointees are < a here, so m = min(b)); emit (v, m) for
+      // v ∈ Γ≤(a) ∪ {a}, v ≠ m
+      val dir = ls.select(
+          greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val mins2 = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = dir.join(mins2, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(mins2.select(col("a"), col("m").as("b")))
+        .distinct().localCheckpoint()
+      changed = next.except(e).count() + e.except(next).count()
+      e = next
+      iter += 1
+    }
+    val labels = nodes
+      .join(e.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+    (labels, iter)
   }
 
   /** (doc_id, distinct word-bigram set) — the sequence-similarity

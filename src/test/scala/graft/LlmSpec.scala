@@ -279,6 +279,32 @@ class LlmSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("star CC matches label propagation on chain, triangle, and singleton") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("star CC converges in O(log n) alternations on an adversarial-diameter chain") {
+    import spark.implicits._
+    // a 256-node path: diameter 255 — min-label propagation needs 255
+    // rounds; the alternating algorithm must finish in ~log2(256)+c
+    val n = 256
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.ccStarWithRounds(nodes, edges)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.forall(_._2 === 0L), s"chain did not collapse to min: ${got.filter(_._2 != 0L).take(5).toSeq}")
+    val bound = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 3
+    assert(rounds <= bound, s"converged in $rounds alternations, bound $bound")
+  }
+
   test("connected components on real minhash pairs: endpoints share a label, label is a member") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf("sf0.001"))
