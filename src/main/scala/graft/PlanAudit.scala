@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: prints AQE-final shuffle/broadcast counts for the
+  * operators PLANS.md makes claims about, so the claims stay measured
+  * rather than asserted. (`sbt "runMain graft.PlanAudit [sfDir]"`;
+  * forked JVM — the sbt console classloader breaks typedLit encoder
+  * resolution, so audits must run here, not in `sbt console`.) */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case _ => p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+      }
+      p +: through
+    }
+    def audit(name: String, df: DataFrame): Unit = {
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count() // finalize AQE on the SAME QueryExecution
+      val all = walk(qe.executedPlan)
+      val sh = all.count(_.isInstanceOf[ShuffleExchangeExec])
+      val bc = all.count(_.isInstanceOf[BroadcastExchangeExec])
+      println(f"AUDIT $name%-28s shuffles=$sh broadcasts=$bc")
+    }
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    audit("srpBanded", llm.Similarity.srpBanded(emb))
+    audit("srpBandedCandidates", llm.Similarity.srpBandedCandidates(emb))
+    // NOTE: nearDupPairsByCosine / annJoin / ngramJaccardPairs /
+    // decontaminate localCheckpoint their results (storage hygiene), so
+    // auditing the RETURNED frame shows a checkpoint scan; the numbers
+    // that matter are the pre-checkpoint pipelines audited piecewise
+    // above/below plus the verify join (2 shuffles keyed id + 1 dedup
+    // exchange), which boilerplateChunks exhibits un-checkpointed:
+    audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))
+    audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
+    audit("packTokenBins", llm.Curation.packTokenBins(docs))
+    spark.stop()
+  }
+}

@@ -355,6 +355,38 @@ object Similarity {
       nearDupPairsByCosine(Tables.embeddings(s, dir), threshold = 0.95)
     },
 
+    // Batch ANN as a similarity JOIN: every probe in the probe set
+    // retrieves its top-3 banded-candidate neighbors in ONE job (the
+    // production retrieval shape — per-probe annTopK is interactive).
+    // Fully oracle-checked: banded candidates, exact cosine, and the
+    // per-probe ranking all replay in SQL.
+    Q("embed_ann_join",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bands AS ($srpBandedSql),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+         |  FROM bands p JOIN bands c
+         |    ON p.band_idx = c.band_idx AND p.band_sig = c.band_sig
+         |   AND p.vec_id <> c.vec_id
+         |  WHERE p.vec_id < 8),
+         |r AS (
+         |  SELECT probe_id, cand_id,
+         |         ROUND(list_cosine_similarity(ep.v, ec.v), 6) + 0 AS cos_sim
+         |  FROM cand
+         |  JOIN e ep ON ep.vec_id = probe_id
+         |  JOIN e ec ON ec.vec_id = cand_id),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, cos_sim,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                                 ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rank
+         |  FROM r)
+         |SELECT probe_id, cand_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      annJoin(emb, emb.filter(col("vec_id") < 8), k = 3)
+    },
+
     // The banding arithmetic under the oracle on NON-empty output: the
     // populated (band, signature) buckets and their occupancies. The
     // near-dedup result above is legitimately empty on this corpus
@@ -421,6 +453,43 @@ object Similarity {
         .orderBy(col("vec_id"))
     },
   )
+
+  /** Batch ANN via the banded signatures — the SIMILARITY-JOIN shape
+    * a retrieval pipeline actually runs at scale (per-probe `annTopK`
+    * is the interactive path; production retrieves for a whole probe
+    * TABLE in one job). One equi-join keyed (band_idx, band_sig)
+    * produces all candidates for every probe simultaneously; exact
+    * cosine verifies; a window ranks top-k per probe. No stage
+    * depends on the probe count — 10⁶ probes cost one bigger join,
+    * not 10⁶ jobs. Self-matches are excluded. */
+  def annJoin(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = srpBanded(vecs.select(col("vec_id"), col("v").as("embedding")))
+    val probeVecs = vecs.join(probes.select(col("vec_id")), "vec_id")
+    val probeBands = srpBanded(probeVecs.select(col("vec_id"), col("v").as("embedding")))
+    val cand = probeBands.as("p")
+      .join(corpusBands.as("c"),
+        col("p.band_idx") === col("c.band_idx") &&
+          col("p.band_sig") === col("c.band_sig") &&
+          col("p.vec_id") =!= col("c.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("cand_id"))
+      .distinct()
+    val byProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    val out = cand
+      .join(vecs.select(col("vec_id").as("probe_id"), col("v").as("pv")), "probe_id")
+      .join(vecs.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
+      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6) + lit(0.0))
+      .withColumn("rank", row_number().over(byProbe).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+      .localCheckpoint()
+    vecs.unpersist()
+    out
+  }
 
   /** Candidate pairs from ANY-band signature agreement — the
     * embedding twin of `Dedup.nearDupPairs`'s banded candidate join.

@@ -91,6 +91,31 @@ class LlmSpec extends SparkSpec {
     assert(scanned < total / 2, s"candidate set $scanned of $total is not selective")
   }
 
+  test("batch ANN join: every probe retrieves planted neighbors in one job") {
+    val rnd = new scala.util.Random(7)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(Similarity.Dim)(r.nextGaussian().toFloat)
+    }
+    val base = vec(0)
+    val base2 = vec(50)
+    val rows =
+      Seq((0L, base, 0), (100L, base2, 0)) ++
+        (1L to 5L).map(i => (i, base.map(_ + (rnd.nextGaussian() * 0.05).toFloat), 0)) ++
+        (101L to 105L).map(i => (i, base2.map(_ + (rnd.nextGaussian() * 0.05).toFloat), 0)) ++
+        (10L until 90L).map(i => (i, vec(i.toInt), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.annJoin(emb, emb.filter(col("vec_id").isin(0L, 100L)), k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // each probe's top-5 comes from ITS planted cluster, not the other's
+    val r0 = (got(0L) intersect (1L to 5L).toSet).size / 5.0
+    val r100 = (got(100L) intersect (101L to 105L).toSet).size / 5.0
+    assert(r0 >= 0.8, s"probe 0 recall $r0 (got ${got(0L)})")
+    assert(r100 >= 0.8, s"probe 100 recall $r100 (got ${got(100L)})")
+    assert((got(0L) intersect got(100L)).isEmpty, "probe clusters bled into each other")
+  }
+
   test("IVF ANN recalls planted near-neighbors with a cluster-pruned scan") {
     val rnd = new scala.util.Random(11)
     def vec(seed: Int): Array[Float] = {

@@ -199,6 +199,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: star CC labels == min-label-propagation CC labels on random graphs") {
+    import graft.llm.Dedup
+    val graphGen: Gen[(List[Long], List[(Long, Long)])] = for {
+      n <- Gen.choose(2, 24)
+      nEdges <- Gen.choose(0, 30)
+      pairs <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield ((0L until n.toLong).toList, pairs.filter(p => p._1 != p._2))
+    check(Prop.forAll(graphGen) { case (ns, es) =>
+      val nodes = ns.toDF("id")
+      val edges = es.toDF("a", "b")
+      // label-prop needs O(diameter) rounds; diameter < n here
+      val prop = Dedup.connectedComponents(nodes, edges, maxIter = ns.size + 1)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      Prop(star == prop) :| s"star=$star prop=$prop edges=$es"
+    })
+  }
+
   test("property: decontaminate flags exactly the brute-force overlap set") {
     check(Prop.forAll(corpusGen) { rows =>
       val n = 4 // short grams so tiny random docs can actually collide
