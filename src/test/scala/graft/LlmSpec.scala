@@ -47,6 +47,33 @@ class LlmSpec extends SparkSpec {
       "unrelated doc is not farther than the near-dup")
   }
 
+  test("simhash pigeonhole pairing is LOSSLESS: banded pairs == brute-force hamming pairs") {
+    val docs60 = Tables.documents(spark, sf("sf0.001")).limit(60)
+    val banded = Dedup.simhashPairs(docs60)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    // brute force over all pairs of the same 60-bit signatures
+    val sh = Dedup.simhashed64(docs60).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= Dedup.MaxHamming
+    } yield (a, b, d.toLong)).toSet
+    assert(banded === brute,
+      s"banded missed ${brute -- banded}, invented ${banded -- brute}")
+  }
+
+  test("incremental dedup: delta dups point at the canonical corpus doc, new content passes") {
+    val corpus = docs(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "alpha beta gamma"))
+      .select(col("doc_id"), col("text"))
+    val delta = docs(
+      (100L, "alpha beta gamma"),   // dup of canonical 1 (not 3)
+      (101L, "eta theta iota"))     // new
+      .select(col("doc_id"), col("text"))
+    val got = Dedup.incrementalDedup(corpus, delta)
+      .select("doc_id", "status", "dup_of").as[(Long, String, Long)].collect().toSet
+    assert(got === Set((100L, "dup", 1L), (101L, "new", -1L)), s"got $got")
+  }
+
   test("exact dedup collapses planted duplicates to one victor each") {
     val out = SparkEntry.queries("dedup_exact")(spark, sf("sf0.001"))
     val n = Tables.documents(spark, sf("sf0.001")).count()
