@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{Curation, Dedup, Similarity}
+
+/** Degenerate-input behavior: every operator must return a sane EMPTY
+  * or singleton result — not throw — on empty corpora, single-row
+  * inputs, and edge-free graphs. At 100 TB empty partitions and empty
+  * deltas are routine (a new source with no docs yet, a quiet day's
+  * delta, a filter that matched nothing); an operator that NPEs on
+  * them takes the whole job down. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+  private def oneDoc: DataFrame =
+    Seq((1L, "solitary single document here", "en", "src", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+  private def emptyEmb: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
+
+  test("dedup operators return empty pair sets on an empty corpus") {
+    assert(Dedup.nearDupPairs(emptyDocs).count() === 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, 0.3).count() === 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() === 0)
+  }
+
+  test("dedup operators find no pairs in a single-document corpus") {
+    assert(Dedup.nearDupPairs(oneDoc).count() === 0)
+    assert(Dedup.ngramJaccardPairs(oneDoc, 0.3).count() === 0)
+    assert(Dedup.simhashPairs(oneDoc).count() === 0)
+  }
+
+  test("incremental dedup: empty delta yields empty; empty corpus marks everything new") {
+    val corpus = oneDoc.select(col("doc_id"), col("text"))
+    assert(Dedup.incrementalDedup(corpus, corpus.limit(0)).count() === 0)
+    val vsEmpty = Dedup.incrementalDedup(corpus.limit(0), corpus)
+      .select("status", "dup_of").as[(String, Long)].collect()
+    assert(vsEmpty.toSeq === Seq(("new", -1L)))
+  }
+
+  test("connected components (both variants) label an edge-free graph with identities") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val expect = Map(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    assert(Dedup.connectedComponents(nodes, noEdges)
+      .as[(Long, Long)].collect().toMap === expect)
+    val (labels, rounds) = Dedup.ccStarWithRounds(nodes, noEdges)
+    assert(labels.as[(Long, Long)].collect().toMap === expect)
+    assert(rounds <= 1, s"empty graph took $rounds alternations")
+  }
+
+  test("embedding operators are empty-safe (banding, candidates, batch join)") {
+    assert(Similarity.srpBanded(emptyEmb).count() === 0)
+    assert(Similarity.srpBandedCandidates(emptyEmb).count() === 0)
+    assert(Similarity.nearDupPairsByCosine(emptyEmb, 0.95).count() === 0)
+    // empty PROBE set against a non-empty corpus: no retrievals, no throw
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    assert(Similarity.annJoin(emb, emb.limit(0), k = 3).count() === 0)
+  }
+
+  test("curation operators are empty-safe") {
+    assert(Curation.repetitionSignals(emptyDocs).count() === 0)
+    assert(Curation.boilerplateChunks(emptyDocs).count() === 0)
+    assert(Curation.decontaminate(emptyDocs, col("doc_id") % 7 === 0).count() === 0)
+    assert(Curation.packTokenBins(emptyDocs).count() === 0)
+    assert(Curation.stratifiedSample(emptyDocs, Curation.MixRates, 100).count() === 0)
+    assert(Curation.trainingReady(emptyDocs, col("doc_id") % 7 === 0,
+      minTokens = 1, rates = Curation.MixRates, defaultRate = 100, budget = 512).count() === 0)
+  }
+
+  test("single doc flows through the curation capstone intact") {
+    val out = Curation.trainingReady(oneDoc, col("doc_id") < 0,
+      minTokens = 1, rates = Seq("en" -> 1000), defaultRate = 1000, budget = 512)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("start_bin") === 0L)
+  }
+}
