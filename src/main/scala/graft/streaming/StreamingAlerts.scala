@@ -87,6 +87,32 @@ object StreamingAlerts {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy(col("event_id"))
+    },
+
+    // STREAMING DEDUP under the oracle: dropDuplicatesWithinWatermark
+    // keyed (user_id, day) through the real streaming engine (state one
+    // entry per in-horizon key, emitted on first sight — append mode
+    // needs no window close). WHICH physical row survives a key is
+    // arrival-order-dependent, so the declared result is the
+    // arrival-independent projection: surviving rows per day ≡ batch
+    // COUNT(DISTINCT user_id) per day — the same determinism discipline
+    // that keeps `streamingDedup` (md5-keyed doc dedup, same operator
+    // class) as a tested library function rather than a declared query.
+    Q("streaming_dedup_daily",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |       COUNT(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = eventsStream(s, dir)
+        .select(col("ts"), col("user_id"), to_date(col("ts")).as("day"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("user_id", "day")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).groupBy(col("day"))
+        .agg(count(lit(1)).as("n_unique_users"))
+        .orderBy(col("day"))
     })
 
   /** Watermarked tumbling daily aggregate: events/day + raw-threshold
