@@ -178,6 +178,45 @@ object Curation {
     out
   }
 
+  /** `decontaminate` with a BLOOM-FILTER pre-filter — the shuffle
+    * reducer for the 100 TB shape: the eval side's gram hashes are
+    * folded into one bloom sketch (a bounded driver artifact:
+    * ~1.2 MB per 10⁶ grams at 1% fpp, the same bounded-aggregate
+    * class as the IVF centroid table), broadcast inside a
+    * might-contain predicate, and applied MAP-SIDE to the train grams
+    * BEFORE the probe join — so the join shuffles only the ~fpp
+    * fraction of grams that might hit, instead of every train gram.
+    * False positives are resolved by the exact hash join that
+    * follows, so the RESULT is identical to `decontaminate` (same
+    * declared oracle; CurationSpec pins frame equality) — only the
+    * plan changes. n_grams is therefore computed before the filter,
+    * from the unfiltered per-doc distinct counts. */
+  def decontaminateBloom(
+      docs: DataFrame, evalPred: Column, n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val grams = ngramRows(docs, n)
+      .select(col("doc_id"), fp60(col("gram")).as("gram_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalIds = docs.filter(evalPred).select(col("doc_id"))
+    val ev = grams.join(evalIds, Seq("doc_id"), "left_semi").select(col("gram_h")).distinct()
+    val tr = grams.join(evalIds, Seq("doc_id"), "left_anti").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evCount = math.max(ev.count(), 1L)
+    val bloom = ev.stat.bloomFilter("gram_h", evCount, fpp)
+    val mightHit = udf((h: Long) => bloom.mightContainLong(h))
+    val perDoc = tr.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_grams"))
+    val contam = tr.filter(mightHit(col("gram_h")))
+      .join(ev.withColumn("hit", lit(1)), Seq("gram_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contam"))
+      .filter(col("n_contam") > 0)
+    val out = contam.join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_contam"))
+      .localCheckpoint()
+    tr.unpersist()
+    grams.unpersist()
+    out
+  }
+
   /** Domain-weighted mixing: keep a doc iff its content-hash bucket
     * (0..999) falls under its language's rate. Hash rules are stable
     * under retries and re-runs — a seeded Bernoulli is not — so the
@@ -252,6 +291,25 @@ object Curation {
     Seq("en" -> 500, "es" -> 1000, "de" -> 250, "fr" -> 750)
 
   // ── Declared queries (pin the API to the test corpus) ────────────
+
+  /** Shared oracle for both decontamination plans (exact-join and
+    * bloom-prefiltered — same answer by construction). */
+  private val decontamOracleSql: String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |gs AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+       |                                    i -> array_to_string(l[i:i+7], ' '))) AS gram
+       |       FROM base),
+       |g AS (SELECT doc_id, ${fp60Sql("gram")} AS gram_h FROM gs),
+       |ev AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 7 = 0),
+       |tr AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 7 <> 0)
+       |SELECT tr.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(CASE WHEN ev.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+       |FROM tr LEFT JOIN ev USING (gram_h)
+       |GROUP BY tr.doc_id
+       |HAVING SUM(CASE WHEN ev.gram_h IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |ORDER BY doc_id""".stripMargin
 
   val defs: Seq[Q] = Seq(
 
@@ -335,23 +393,16 @@ object Curation {
     // doc_id % 7 == 0 plays the held-out eval slice. The gram is hashed
     // to its 60-bit key right at gram construction — the distincts and
     // the probe join run on the hash in BOTH engines.
-    Q("decontam_overlap",
-      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |gs AS (SELECT doc_id,
-         |              unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
-         |                                    i -> array_to_string(l[i:i+7], ' '))) AS gram
-         |       FROM base),
-         |g AS (SELECT doc_id, ${fp60Sql("gram")} AS gram_h FROM gs),
-         |ev AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 7 = 0),
-         |tr AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 7 <> 0)
-         |SELECT tr.doc_id,
-         |       CAST(COUNT(*) AS BIGINT) AS n_grams,
-         |       CAST(SUM(CASE WHEN ev.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
-         |FROM tr LEFT JOIN ev USING (gram_h)
-         |GROUP BY tr.doc_id
-         |HAVING SUM(CASE WHEN ev.gram_h IS NOT NULL THEN 1 ELSE 0 END) > 0
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Q("decontam_overlap", decontamOracleSql) { (s, dir) =>
       decontaminate(Tables.documents(s, dir), col("doc_id") % 7 === 0)
+        .orderBy(col("doc_id"))
+    },
+
+    // The bloom-prefiltered plan under the SAME oracle: the sketch only
+    // prunes the shuffle — the exact hash join resolves its false
+    // positives, so the answer is bit-identical to decontam_overlap.
+    Q("decontam_overlap_bloom", decontamOracleSql) { (s, dir) =>
+      decontaminateBloom(Tables.documents(s, dir), col("doc_id") % 7 === 0)
         .orderBy(col("doc_id"))
     },
 

@@ -41,6 +41,24 @@ class CurationSpec extends SparkSpec {
     assert(residue.count() === 0)
   }
 
+  test("bloom-prefiltered decontamination equals the exact-join plan row for row") {
+    import graft.llm.Curation
+    val docs = Tables.documents(spark, dir)
+    val exact = Curation.decontaminate(docs, col("doc_id") % 7 === 0)
+    val bloom = Curation.decontaminateBloom(docs, col("doc_id") % 7 === 0)
+    assert(exact.exceptAll(bloom).count() === 0 && bloom.exceptAll(exact).count() === 0)
+    // and on a low-overlap corpus the sketch must actually prune: docs
+    // with disjoint vocabularies share no 8-grams, so ~fpp of the train
+    // grams survive the might-contain prefilter
+    import spark.implicits._
+    val disjoint = (0L until 40L).map { i =>
+      val words = (0 until 20).map(j => s"w${i}_$j").mkString(" ")
+      (i, words, "en", "src", words.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flagged = Curation.decontaminateBloom(disjoint, col("doc_id") % 7 === 0)
+    assert(flagged.count() === 0, "disjoint-vocabulary docs cannot be contaminated")
+  }
+
   test("boilerplate chunk counts are consistent with token counts") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
