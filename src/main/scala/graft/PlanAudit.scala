@@ -51,8 +51,21 @@ object PlanAudit {
     // above/below plus the verify join (2 shuffles keyed id + 1 dedup
     // exchange), which boilerplateChunks exhibits un-checkpointed:
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))
+    audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))
+
+    // timed head-to-head of the generator vs composed chunking (min of
+    // 3 warm reps — same discipline as Bench)
+    def timeMin(df: => DataFrame): Double = {
+      df.count()
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val tGen = timeMin(llm.Curation.boilerplateChunks(docs))
+    val tComposed = timeMin(llm.Curation.boilerplateChunksComposed(docs))
+    println(f"TIME  chunks generator=$tGen%.3fs composed=$tComposed%.3fs speedup=${tComposed / tGen}%.2fx")
     spark.stop()
   }
 }

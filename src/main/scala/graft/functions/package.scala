@@ -36,6 +36,15 @@ package object functions {
     GraftBridge.column(NGramGenerator(GraftBridge.expression(text), n))
   }
 
+  /** Non-overlapping `n`-token chunks (with partial tail) as
+    * (chunk, chunk_text) rows — the strided sibling of `ngrams`;
+    * chunks materialize inside the scan projection (the composed form
+    * pays an exchange + per-chunk sort to reassemble order). */
+  def chunks(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ChunkGenerator(GraftBridge.expression(text), n))
+  }
+
   /** Winnowing fingerprints of a string as sorted distinct rows —
     * `select(col("doc_id"), winnow_fingerprints(col("text"), 8, 4).as("fp"))`.
     * One per-row pass, no shuffle (replaces posexplode + windowed-min
@@ -97,6 +106,9 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "ngrams",
       exprs => NGramGenerator(exprs.head, intArg(exprs(1), "ngrams: n")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "chunks",
+      exprs => ChunkGenerator(exprs.head, intArg(exprs(1), "chunks: n")), "built-in")
   }
 }
 
@@ -130,6 +142,11 @@ package functions {
         new ExpressionInfo(classOf[NGramGenerator].getName, "ngrams"),
         (exprs: Seq[Expression]) =>
           NGramGenerator(exprs.head, graft.functions.intArg(exprs(1), "ngrams: n"))))
+      e.injectFunction((
+        FunctionIdentifier("chunks"),
+        new ExpressionInfo(classOf[ChunkGenerator].getName, "chunks"),
+        (exprs: Seq[Expression]) =>
+          ChunkGenerator(exprs.head, graft.functions.intArg(exprs(1), "chunks: n"))))
     }
   }
 }

@@ -98,11 +98,31 @@ object Curation {
 
   /** Split each doc into non-overlapping `chunkTokens`-token chunks;
     * count how many of a doc's chunks appear in ≥2 distinct docs
-    * (header/footer/template boilerplate). Three partial+final
-    * aggregates; the chunk text is hashed to a 60-bit key the moment
-    * it is assembled, so the cross-doc count and the verdict join
-    * shuffle 8-byte keys, never chunk strings. */
+    * (header/footer/template boilerplate). The chunks come from the
+    * native strided Generator (`graft.functions.chunks`) — assembled
+    * and 60-bit-hashed INSIDE the scan projection, zero shuffles
+    * before the cross-doc count (the composed form below pays an
+    * exchange + per-chunk order-restoring sort first; CurationSpec
+    * pins equality and measures the difference). Downstream, the
+    * cross-doc count and verdict join shuffle 8-byte keys only. */
   def boilerplateChunks(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"),
+        graft.functions.chunks(col("text"), chunkTokens).as(Seq("chunk", "chunk_text")))
+      .select(col("doc_id"), fp60(col("chunk_text")).as("chunk_h"))
+    val cc = chunks.groupBy(col("chunk_h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks.join(cc, "chunk_h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1).otherwise(0)).cast("long").as("n_boilerplate"))
+  }
+
+  /** Composed-built-ins chunking (posexplode → groupBy(doc, chunk) →
+    * order-restoring sort) — the reference the native ChunkGenerator
+    * is verified against, row for row. */
+  def boilerplateChunksComposed(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
     val chunks = tokens(docs)
       .withColumn("chunk", expr(s"pos div $chunkTokens"))
       .groupBy(col("doc_id"), col("chunk"))
