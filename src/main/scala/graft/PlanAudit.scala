@@ -66,6 +66,30 @@ object PlanAudit {
     val tGen = timeMin(llm.Curation.boilerplateChunks(docs))
     val tComposed = timeMin(llm.Curation.boilerplateChunksComposed(docs))
     println(f"TIME  chunks generator=$tGen%.3fs composed=$tComposed%.3fs speedup=${tComposed / tGen}%.2fx")
+
+    // repetition-signals bigram branch: generator+partial-agg (current)
+    // vs the r4 lead()-window form (reconstructed here for comparison)
+    val tRepNew = timeMin(llm.Curation.repetitionSignals(docs))
+    val tRepOld = timeMin {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      val tc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val ts = tc.groupBy(col("doc_id")).agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max(col("c")).cast("long").as("top_c"))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bc = tok.withColumn("t2", lead(col("t"), 1).over(byPos))
+        .filter(col("t2").isNotNull)
+        .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val bs = bc.groupBy(col("doc_id")).agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        max(col("c")).cast("long").as("top_bc"))
+      ts.join(bs, Seq("doc_id"), "left")
+    }
+    println(f"TIME  repetition generator=$tRepNew%.3fs leadWindow=$tRepOld%.3fs speedup=${tRepOld / tRepNew}%.2fx")
     spark.stop()
   }
 }

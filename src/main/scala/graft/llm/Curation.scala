@@ -54,8 +54,10 @@ object Curation {
   /** Gopher-style repetition signals per doc: duplicate-token
     * fraction, most-common-token fraction, most-common-bigram
     * fraction. Token counts are one partial+final aggregate keyed
-    * (doc_id, token); bigrams come from a lead() over the per-doc
-    * position order — one window shuffle keyed doc_id. */
+    * (doc_id, token); bigrams come from the native `ngrams(text, 2)`
+    * Generator — emitted inside the scan projection (round 5; the
+    * lead()-over-position form paid a doc_id window exchange + sort
+    * before the first bigram existed). */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     val tok = tokens(docs)
     val tc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
@@ -63,10 +65,8 @@ object Curation {
       sum(col("c")).cast("long").as("n_tokens"),
       count(lit(1)).cast("long").as("n_distinct"),
       max(col("c")).cast("long").as("top_c"))
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bc = tok.withColumn("t2", lead(col("t"), 1).over(byPos))
-      .filter(col("t2").isNotNull)
-      .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("b"))
+    val bc = ngramRows(docs, 2)
+      .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("c"))
     val bs = bc.groupBy(col("doc_id")).agg(
       sum(col("c")).cast("long").as("n_bigrams"),
