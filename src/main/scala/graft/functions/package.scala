@@ -76,6 +76,17 @@ package object functions {
       ExactQuantile(GraftBridge.expression(c), q).toAggregateExpression())
   }
 
+  /** Misra–Gries heavy-hitter candidate aggregate: ≤ k counters of
+    * state per buffer, any item with frequency > n/(k+1) guaranteed
+    * present. Candidates only — re-count exactly for the
+    * deterministic frequent-items answer (`TextAnalysis
+    * .frequentTokens`). */
+  def misra_gries(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      MisraGries(GraftBridge.expression(c), k).toAggregateExpression())
+  }
+
   private[functions] def quantileArg(e: Expression): Double = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"exact_quantile: second argument must be a numeric literal, got non-foldable expression $e")
@@ -109,6 +120,10 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "chunks",
       exprs => ChunkGenerator(exprs.head, intArg(exprs(1), "chunks: n")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "misra_gries",
+      exprs => MisraGries(exprs.head, intArg(exprs(1), "misra_gries: k"))
+        .toAggregateExpression(), "built-in")
   }
 }
 

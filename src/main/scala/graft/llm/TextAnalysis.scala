@@ -72,7 +72,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("tfidf"))
   }
 
+  /** Corpus-wide frequent tokens (frequency > n/k) via the two-pass
+    * heavy-hitter pattern: pass 1 is the Misra–Gries
+    * TypedImperativeAggregate — ≤ k counters of state per partition
+    * buffer regardless of vocabulary size, candidates guaranteed to
+    * include every item above the threshold; pass 2 exactly recounts
+    * ONLY the ≤ k candidates (an `isin` filter pushed to the scan)
+    * and applies the exact integer threshold. The sketch's internal
+    * state is merge-order-dependent, but the final answer is exact
+    * and deterministic — which is what makes it oracle-checkable. At
+    * 100 TB this replaces a full-vocabulary shuffle with one bounded
+    * aggregate + one candidate-filtered aggregate. */
+  def frequentTokens(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(explode(split(col("text"), " ")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val row = tok.agg(
+      graft.functions.misra_gries(col("t"), k).as("cand"),
+      count(lit(1)).as("n")).head()
+    val candidates = row.getSeq[String](0)
+    val n = row.getLong(1)
+    val out = tok.filter(col("t").isin(candidates: _*))
+      .groupBy(col("t").as("token"))
+      .agg(count(lit(1)).cast("long").as("freq"))
+      .filter(col("freq") * k > n)
+      .orderBy(col("freq").desc, col("token"))
+      .localCheckpoint()
+    tok.unpersist()
+    out
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Frequent tokens by the two-pass MG sketch — the exact integer
+    // threshold (freq·k > n) replays in SQL, so the bounded-state
+    // sketch path must land on the same answer as DuckDB's
+    // full-vocabulary aggregate.
+    Q("text_frequent_tokens",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM tok, tot
+        |GROUP BY t, tot.n
+        |HAVING COUNT(*) * 50 > tot.n
+        |ORDER BY freq DESC, token""".stripMargin) { (s, dir) =>
+      frequentTokens(Tables.documents(s, dir), k = 50)
+    },
 
     // TF-IDF summary per doc (no-oracle: murmur3 hash space is
     // Spark-internal; invariants in TextAnalysisSpec/LlmSpec).

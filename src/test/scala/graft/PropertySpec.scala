@@ -199,6 +199,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: Misra-Gries candidates contain every item above n/(k+1), any partitioning") {
+    val streamGen: Gen[(List[String], Int, Int)] = for {
+      vocab <- Gen.choose(3, 12)
+      len <- Gen.choose(20, 300)
+      // zipf-ish: low ids drawn more often → real heavy hitters exist
+      items <- Gen.listOfN(len, Gen.frequency(
+        (8, Gen.choose(0, math.max(1, vocab / 3))),
+        (2, Gen.choose(0, vocab - 1))))
+      k <- Gen.choose(2, 6)
+      parts <- Gen.choose(1, 5)
+    } yield (items.map(i => s"tok$i"), k, parts)
+    check(Prop.forAll(streamGen) { case (items, k, parts) =>
+      val df = items.toDF("t").repartition(parts)
+      val cand = df.agg(graft.functions.misra_gries(col("t"), k))
+        .head().getSeq[String](0).toSet
+      val n = items.size
+      val exact = items.groupBy(identity).view.mapValues(_.size)
+      val mustHave = exact.filter { case (_, c) => c.toLong * (k + 1) > n }.keySet
+      Prop(mustHave.subsetOf(cand)) :|
+        s"missing ${mustHave -- cand} (k=$k parts=$parts n=$n cand=$cand)"
+    })
+  }
+
   test("property: star CC labels == min-label-propagation CC labels on random graphs") {
     import graft.llm.Dedup
     val graphGen: Gen[(List[Long], List[(Long, Long)])] = for {
