@@ -97,6 +97,41 @@ object Ingest {
         .orderBy(col("o_orderstatus"))
     },
 
+    // S1 robustness: malformed-record handling. A CSV with DETERMINISTIC
+    // bad rows (every o_orderkey % 10 == 0 line carries a non-numeric
+    // key) is read back in PERMISSIVE mode — bad cells land as nulls
+    // instead of failing the job (the 100 TB reality: a few broken lines
+    // must not kill a million-file read; FAILFAST's throw is asserted in
+    // OperatorsSpec). The oracle replays the planting arithmetic on the
+    // original table, so the check proves Spark's PERMISSIVE semantics
+    // recover exactly the undamaged cells.
+    Q("csv_permissive_badrows",
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |       CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN o_orderkey ELSE 0 END) AS BIGINT) AS key_sum
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = tmp("orders_csv_bad")
+      Tables.orders(s, dir)
+        .select(concat(
+          when(col("o_orderkey") % 10 === 0, lit("not_a_number"))
+            .otherwise(col("o_orderkey").cast("string")),
+          lit(","), col("o_orderstatus")).as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      s.read
+        .schema("o_orderkey LONG, o_orderstatus STRING")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long").as("n_bad"),
+          sum(coalesce(col("o_orderkey"), lit(0L))).cast("long").as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // JSON-lines sink → typed JSON scan → aggregate (the third source
     // format; the oracle compares against the ORIGINAL parquet table,
     // so the check proves the JSON sink+scan pair is lossless).

@@ -62,6 +62,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Seq(1L, 3L, 4L)) // each matched exactly once
   }
 
+  test("CSV modes: PERMISSIVE nulls bad cells, FAILFAST throws on the same file") {
+    val path = java.nio.file.Files.createTempDirectory("csv_modes").toString + "/data"
+    Seq("1,ok", "not_a_number,bad", "3,ok")
+      .toDF("value").write.mode("overwrite").text(path)
+    val schema = "k LONG, status STRING"
+    val permissive = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(path)
+    assert(permissive.count() === 3)
+    assert(permissive.filter(col("k").isNull).count() === 1)
+    val failfast = spark.read.schema(schema).option("mode", "FAILFAST").csv(path)
+    // count() prunes every column — the parser never touches the bad
+    // cell — so force full-row materialization to trigger the throw
+    val e = intercept[org.apache.spark.SparkException] { failfast.collect() }
+    assert(e.getMessage != null)
+    // DROPMALFORMED silently drops the bad line (again under full
+    // projection — a pruned count() parses nothing and drops nothing)
+    val dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(path)
+    assert(dropped.collect().length === 2)
+  }
+
   test("partitioned sink: day filter reaches the scan as a partition filter") {
     val path = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_qtmp", "events_partitioned_spec").toString
