@@ -168,6 +168,20 @@ object Similarity {
       s"SELECT vec_id, $b AS band_idx, CAST(${srpBandSigSql(b)} AS BIGINT) AS band_sig FROM e"
     }.mkString(" UNION ALL ")
 
+  /** Johnson–Lindenstrauss-style random projection to `RpDims`
+    * dimensions using the SAME deterministic hyperplane family as the
+    * SRP buckets — the CONTINUOUS projection values instead of their
+    * signs. The dimensionality-reduction compression lever (storage
+    * and ANN-scan FLOPs scale with d), complementing int8 quantization
+    * (precision). Map-only; at 100 TB computed once at ingest. */
+  val RpDims = 16
+  def rpProject(v: Column): Column =
+    array((0 until RpDims).map(p => srpProj(v, p)): _*)
+
+  private def srpProjSql(p: Int, vexpr: String): String =
+    s"""list_sum(list_transform(range(1, ${Dim + 1}),
+       |  i -> $vexpr[i] * ((CAST(concat('0x', substr(md5(concat('srp$p:', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5)))""".stripMargin
+
   /** ANN: probe's bucket + all buckets within hamming distance 1
     * (9 of 256 buckets → ~3.5% of the corpus scanned). */
   def annTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
@@ -405,6 +419,39 @@ object Similarity {
         .agg(count(lit(1)).as("n_vecs"))
         .filter(col("n_vecs") >= 2)
         .orderBy(col("band_idx"), col("band_sig"))
+    },
+
+    // Random-projection dimensionality reduction under the oracle:
+    // cosine in the original 64-d space vs cosine after the 16-d JL
+    // projection, per vector against probe 0. Fully deterministic
+    // (the md5 hyperplane family replays in SQL), so the oracle checks
+    // the projection arithmetic AND the preservation error columns;
+    // LlmSpec bounds the mean error (JL: std ≈ 1/√d′).
+    Q("embed_rp_preserve", {
+      val rpList = (0 until RpDims).map(p => srpProjSql(p, "v")).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |r AS (SELECT vec_id, v, list_value($rpList) AS rp FROM e),
+         |p AS (SELECT v AS pv, rp AS prp FROM r WHERE vec_id = 0)
+         |SELECT r.vec_id,
+         |       ROUND(list_cosine_similarity(r.v, p.pv), 6) + 0 AS cos_orig,
+         |       ROUND(list_cosine_similarity(r.rp, p.prp), 6) + 0 AS cos_rp,
+         |       ROUND(ABS(list_cosine_similarity(r.v, p.pv)
+         |                 - list_cosine_similarity(r.rp, p.prp)), 6) + 0 AS abs_err
+         |FROM r, p ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val r = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("rp", rpProject(col("v")))
+      val probe = r.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("rp").as("prp"))
+      r.crossJoin(broadcast(probe))
+        .select(
+          col("vec_id"),
+          (round(cosine(col("v"), col("pv")), 6) + lit(0.0)).as("cos_orig"),
+          (round(cosine(col("rp"), col("prp")), 6) + lit(0.0)).as("cos_rp"),
+          (round(abs(cosine(col("v"), col("pv")) - cosine(col("rp"), col("prp"))), 6) + lit(0.0))
+            .as("abs_err"))
+        .orderBy(col("vec_id"))
     },
 
     // Symmetric int8 quantization (the storage/serving compression step

@@ -81,6 +81,29 @@ class EdgeCaseSpec extends SparkSpec {
       minTokens = 1, rates = Curation.MixRates, defaultRate = 100, budget = 512).count() === 0)
   }
 
+  test("null text rows do not break the dedup/curation operators") {
+    // a null text is a malformed upstream record — operators must skip
+    // it (null tokenization propagates to null, filtered or grouped
+    // away), never throw
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "alpha beta gamma", "en", "src", 16L),
+        org.apache.spark.sql.Row(2L, null, "en", "src", 0L),
+        org.apache.spark.sql.Row(3L, "alpha beta gamma", "en", "src", 16L))),
+      docSchema)
+    val pairs = Dedup.nearDupPairs(withNull)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)), s"real dup pair lost next to a null row: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "null doc paired")
+    assert(Dedup.ngramJaccardPairs(withNull, 0.3).collect().forall(r =>
+      r.getLong(0) != 2L && r.getLong(1) != 2L))
+    assert(Dedup.simhashPairs(withNull).collect().forall(r =>
+      r.getLong(0) != 2L && r.getLong(1) != 2L))
+    // curation: the null doc contributes no tokens/chunks
+    assert(Curation.boilerplateChunks(withNull).filter(col("doc_id") === 2L).count() <= 1)
+    assert(Curation.repetitionSignals(withNull).count() >= 2)
+  }
+
   test("single doc flows through the curation capstone intact") {
     val out = Curation.trainingReady(oneDoc, col("doc_id") < 0,
       minTokens = 1, rates = Seq("en" -> 1000), defaultRate = 1000, budget = 512)

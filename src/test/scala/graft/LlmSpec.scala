@@ -222,6 +222,17 @@ class LlmSpec extends SparkSpec {
     assert(maxBucket < n / 10, s"hottest band bucket holds $maxBucket of $n vectors")
   }
 
+  test("random projection preserves cosine within the JL error regime") {
+    val out = SparkEntry.queries("embed_rp_preserve")(spark, sf("sf0.001"))
+    val stats = out.agg(avg(col("abs_err")), max(col("abs_err"))).head()
+    // 16-dim JL projection: per-pair error std ≈ 1/√16 = 0.25; the MEAN
+    // absolute error across 500 pairs sits well under one std
+    assert(stats.getDouble(0) < 0.25, s"mean |Δcos| ${stats.getDouble(0)} too large")
+    // and the probe preserves itself exactly (cos 1 → cos 1)
+    val self = out.filter(col("vec_id") === 0).head()
+    assert(self.getAs[Double]("cos_orig") === 1.0 && self.getAs[Double]("cos_rp") === 1.0)
+  }
+
   test("embedding fixture has no zero vectors (embed_quantize_error cos_preserved precondition)") {
     // the quantize query guards scale against 0, but cos_preserved of an
     // all-zero vector is 0/0 in any engine — the oracle hash only holds
