@@ -27,6 +27,15 @@ package object functions {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** Codegen'd Unicode NFC normalization of a string column (canonical
+    * composition; ASCII / already-NFC inputs pass through zero-copy).
+    * The canonical first step of corpus ingest — content hashes and
+    * n-gram keys are only stable once text is in one canonical form. */
+  def normalize_nfc(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(NormalizeNFC(GraftBridge.expression(c)))
+  }
+
   /** Row-generating sliding n-grams of a space-tokenized string:
     * `select(col("doc_id"), ngrams(col("text"), 8).as(Seq("pos", "gram")))`
     * — grams materialize inside the scan projection, no shuffle (the
@@ -124,6 +133,9 @@ package object functions {
       "misra_gries",
       exprs => MisraGries(exprs.head, intArg(exprs(1), "misra_gries: k"))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "normalize_nfc",
+      exprs => NormalizeNFC(exprs.head), "built-in")
   }
 }
 
@@ -162,6 +174,10 @@ package functions {
         new ExpressionInfo(classOf[ChunkGenerator].getName, "chunks"),
         (exprs: Seq[Expression]) =>
           ChunkGenerator(exprs.head, graft.functions.intArg(exprs(1), "chunks: n"))))
+      e.injectFunction((
+        FunctionIdentifier("normalize_nfc"),
+        new ExpressionInfo(classOf[NormalizeNFC].getName, "normalize_nfc"),
+        (exprs: Seq[Expression]) => NormalizeNFC(exprs.head)))
     }
   }
 }

@@ -252,6 +252,26 @@ object Curation {
       .filter(col("bucket") < col("rate"))
   }
 
+  /** Cap each source (domain) at `cap` docs, chosen by a DETERMINISTIC
+    * content-hash order — the standard anti-domination step of corpus
+    * mixing (one crawl domain must not swamp the mix; the rank-by-hash
+    * choice keeps the kept set stable under retries and incremental
+    * re-runs, where rand() would churn it). One hash exchange keyed
+    * source + a per-source sort for row_number. At 100 TB a hot domain
+    * concentrates on one task, so the production variant pre-filters
+    * per shard first — any row can be dropped early if `cap` rows of
+    * the same source hash below it WITHIN its shard (a correct
+    * superset-of-keepers filter, same two-phase shape as the salted
+    * aggregate); the fixture sources are uniform, so the declared
+    * query exercises the single-window form the oracle can replay. */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    docs
+      .withColumn("rk", fp(concat(lit("cap:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+  }
+
   /** Concatenate each source's docs in doc_id order and split the
     * token stream into fixed-`budget` bins: a doc's bin span falls
     * out of one windowed cumulative sum (pure integer arithmetic —
@@ -477,6 +497,24 @@ object Curation {
       stratifiedSample(Tables.documents(s, dir), MixRates, defaultRate = 100)
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id"))
+    },
+
+    // Domain cap under the oracle: the md5 rank order replays exactly
+    // in DuckDB, so the kept set (not just its size) is pinned.
+    Q("curation_domain_cap", {
+      val cap = 15
+      s"""WITH d AS (
+         |  SELECT doc_id, source, lang,
+         |         CAST(concat('0x', substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS rk
+         |  FROM documents),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS BIGINT) AS rn
+         |      FROM d)
+         |SELECT doc_id, source, lang, rk, rn FROM r
+         |WHERE rn <= $cap ORDER BY source, rn""".stripMargin
+    }) { (s, dir) =>
+      domainCap(Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang")), cap = 15)
+        .select(col("doc_id"), col("source"), col("lang"), col("rk"), col("rn"))
+        .orderBy(col("source"), col("rn"))
     },
 
     Q("pack_token_bins", {

@@ -28,6 +28,13 @@ object TextAnalysis {
   private def toks: Column = split(col("text"), " ")
   private val toksSql = "string_split(text, ' ')"
 
+  /** Decomposed "résumé" (e + U+0301 COMBINING ACUTE twice — 8 code
+    * points, 6 after NFC) planted by text_normalize. Explicit escapes
+    * so no editor/formatter can silently re-compose the source bytes.
+    * MUST stay above `defs` (object-init order: a val interpolated
+    * into oracle SQL after `defs` reads as empty — see round-2 note). */
+  val PlantedDecomposed: String = "re\u0301sume\u0301"
+
   /** Count of tokens that appear in `words`. */
   private def hits(words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
@@ -100,6 +107,17 @@ object TextAnalysis {
     tok.unpersist()
     out
   }
+
+  /** Canonical text cleaning — Unicode NFC composition (the native
+    * codegen'd `normalize_nfc`; Spark ships no normalization built-in)
+    * then whitespace collapse + trim. The mandatory first step of a
+    * corpus ingest: every content hash downstream (exact dedup keys,
+    * n-gram fingerprints, decontamination grams) is only stable once
+    * visually-identical text is in one canonical byte form. Map-only,
+    * whole-stage-codegen'd, ASCII fast path is a zero-copy byte scan. */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("clean",
+      trim(regexp_replace(graft.functions.normalize_nfc(col(textCol)), "\\s+", " ")))
 
   val defs: Seq[Q] = Seq(
 
@@ -197,6 +215,38 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
           .cast("long").as("bpe_ish_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Canonical cleaning under the cross-engine oracle. The synthetic
+    // corpus is pure ASCII (NFC-stable), so the query PLANTS decomposed
+    // accents (e + COMBINING ACUTE) and ragged whitespace per doc —
+    // the same deterministic-construction pattern as text_pii_scrub —
+    // then cleans them. The char-count delta proves NFC composition
+    // actually ran (two combining marks fold away per doc); the md5
+    // fingerprint proves the cleaned text is byte-identical between
+    // the native expression and DuckDB's nfc_normalize (both UAX #15).
+    Q("text_normalize", {
+      s"""WITH p AS (
+         |  SELECT doc_id, text || '  $PlantedDecomposed   ' || source AS raw FROM documents),
+         |n AS (
+         |  SELECT doc_id, raw,
+         |         trim(regexp_replace(nfc_normalize(raw), '\\s+', ' ', 'g')) AS clean
+         |  FROM p)
+         |SELECT doc_id,
+         |       length(raw) AS raw_chars,
+         |       length(clean) AS clean_chars,
+         |       CAST(concat('0x', substr(md5(clean), 1, 8)) AS BIGINT) AS clean_fp
+         |FROM n ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val raw = concat(col("text"), lit("  " + PlantedDecomposed + "   "), col("source"))
+      normalizeText(
+        Tables.documents(s, dir).select(col("doc_id"), raw.as("raw")), "raw")
+        .select(
+          col("doc_id"),
+          length(col("raw")).cast("long").as("raw_chars"),
+          length(col("clean")).cast("long").as("clean_chars"),
+          conv(substring(md5(col("clean")), 1, 8), 16, 10).cast("long").as("clean_fp"))
+        .orderBy(col("doc_id"))
     },
 
     // Language ID: argmax of stopword-hit counts with a deterministic

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Data-integrity auditing: ORDER-INDEPENDENT table fingerprints.
+  *
+  * The 100 TB operations problem this solves: after a migration,
+  * replication, backfill, or engine swap, prove two copies of a table
+  * are identical without sorting or moving either one. Each row is
+  * hashed to a 60-bit key (the repo-wide portable md5-prefix family),
+  * and per group the engine folds the keys with COMMUTATIVE
+  * aggregates — XOR, a bounded-residue sum, min/max, count — so the
+  * fingerprint is invariant to row order, partitioning, and task
+  * count. One map-only pass plus a |groups|-row aggregate; the two
+  * sides never ship data, only the tiny fingerprint frame.
+  *
+  * Why this aggregate set: XOR alone is blind to duplicated-pair
+  * swaps (x⊕x = 0), a plain SUM of 60-bit keys overflows BIGINT past
+  * ~2⁴ rows · 2⁶⁰; together, count + XOR + the 20-bit-residue sum
+  * (overflow-safe to ~2⁴³ rows per group) + min/max make any
+  * realistic divergence visible. The reference has no audit surface
+  * (its checks are manual row-count prints,
+  * /root/reference/scripts/01_data_ingestion.py:40-47); this is the
+  * distributed replacement.
+  *
+  * The declared query is the strongest equivalence claim available:
+  * DuckDB replays the identical hash + fold arithmetic over the same
+  * parquet, so the ORACLE ITSELF is the cross-engine audit.
+  */
+object Audit {
+
+  private def fp60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Fingerprint `df` grouped by `groupCol`; `rowRepr` must be a
+    * canonical, engine-portable string rendering of the row (cast
+    * ints/strings explicitly; avoid raw double→string formatting,
+    * which engines render differently — hash doubles via their IEEE
+    * bits or a fixed-precision round instead). `concat_ws` skips
+    * nulls, so null vs empty-string collide — feed explicit sentinels
+    * if that distinction matters for the audited table. */
+  def tableFingerprint(df: DataFrame, groupCol: String, rowRepr: Column): DataFrame =
+    df.select(col(groupCol), fp60(rowRepr).as("h"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        expr("bit_xor(h)").as("xor_fp"),
+        sum(col("h") % 1048576).cast("long").as("sum_fp"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"))
+
+  val defs: Seq[Q] = Seq(
+
+    Q("audit_fingerprint",
+      """WITH h AS (
+        |  SELECT source,
+        |         CAST(concat('0x', substr(md5(concat_ws('|',
+        |           CAST(doc_id AS VARCHAR), lang, source,
+        |           CAST(n_chars AS VARCHAR), md5(text))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       bit_xor(h) AS xor_fp,
+        |       CAST(SUM(h % 1048576) AS BIGINT) AS sum_fp,
+        |       MIN(h) AS min_h,
+        |       MAX(h) AS max_h
+        |FROM h GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      tableFingerprint(
+        Tables.documents(s, dir),
+        "source",
+        concat_ws("|",
+          col("doc_id").cast("string"), col("lang"), col("source"),
+          col("n_chars").cast("string"), md5(col("text"))))
+        .orderBy(col("source"))
+    })
+}

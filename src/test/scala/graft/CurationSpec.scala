@@ -158,6 +158,28 @@ class CurationSpec extends SparkSpec {
     assert(kept.exceptAll(again).count() === 0 && again.exceptAll(kept).count() === 0)
   }
 
+  test("domain cap keeps exactly min(cap, n) docs per source, stably under re-partitioning") {
+    import graft.llm.Curation
+    val docs = Tables.documents(spark, sf("sf0.01")).select("doc_id", "source", "lang")
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val capped = Curation.domainCap(docs, cap = 15)
+    val keptBySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- perSource)
+      assert(keptBySource.getOrElse(src, 0L) === math.min(15L, n),
+        s"$src kept ${keptBySource.getOrElse(src, 0L)} of $n")
+    // the kept SET is a function of content hashes, not of physical
+    // layout: a re-partitioned (row-order-scrambled) input keeps the
+    // same docs — the retry/incremental-rerun stability the hash rank
+    // exists for
+    val scrambled = Curation.domainCap(docs.repartition(7, col("lang")), cap = 15)
+      .select("doc_id", "source", "rn")
+    val first = capped.select("doc_id", "source", "rn")
+    assert(first.exceptAll(scrambled).count() === 0 &&
+      scrambled.exceptAll(first).count() === 0)
+  }
+
   test("token packing tiles each source stream exactly") {
     val out = SparkEntry.queries("pack_token_bins")(spark, dir)
     // offsets stay inside the budget; bins are contiguous from 0

@@ -207,6 +207,41 @@ class FunctionsSpec extends SparkSpec {
       chain(e).exists(t => Option(t.getMessage).exists(_.contains("integer literal"))), e.toString)
   }
 
+  test("normalize_nfc: composes decomposed text, passes ASCII/NFC through zero-copy") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // decomposed e+COMBINING ACUTE, Hangul jamo, and non-BMP text with a
+    // combining mark after the surrogate pair — the cases where NFC must
+    // recompose, and where a code-unit-naive walk would corrupt
+    val decomposed = "résumé"
+    val jamo = "가" // ᄀ + ᅡ → 가
+    val nonBmp = "😀é" // 😀 + decomposed é
+    val rows = Seq((1L, decomposed), (2L, jamo), (3L, nonBmp),
+      (4L, "plain ascii"), (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = rows.select(col("id"), graft.functions.normalize_nfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    def ref(s: String) = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    assert(got(1L) === ref(decomposed) && got(1L) === "résumé")
+    assert(got(2L) === ref(jamo) && got(2L).length === 1)
+    assert(got(3L) === ref(nonBmp) && got(3L) === "😀é")
+    assert(got(4L) === "plain ascii")
+    assert(got(5L) === null, "null must stay null")
+    // zero-copy fast paths: same UTF8String instance back, no re-encode
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(graft.functions.NormalizeNFC.nfc(ascii) eq ascii)
+    val alreadyNfc = UTF8String.fromString("résumé")
+    assert(graft.functions.NormalizeNFC.nfc(alreadyNfc) eq alreadyNfc)
+  }
+
+  test("normalize_nfc is SQL-callable and stays inside whole-stage codegen") {
+    graft.functions.registerAll(spark)
+    val df = spark.sql(
+      "SELECT normalize_nfc(concat(text, ' résumé')) AS n " +
+        s"FROM parquet.`${sf("sf0.001")}/documents.parquet`")
+    assert(df.collect().forall(_.getString(0).endsWith(" résumé")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // no CodegenFallback break
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))

@@ -41,8 +41,10 @@ class RelationalSpec extends SparkSpec {
     // text_tfidf_exact's cross side is the 1-row global doc count,
     // broadcast — a BroadcastNestedLoopJoin over one row, same class as
     // the probe joins.
+    // embed_rp_preserve compares every vector against the broadcast
+    // 1-row probe in both spaces — the same probe-join class.
     val excluded = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk",
-      "ml_e2e_metrics", "text_tfidf_exact")
+      "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
