@@ -54,15 +54,28 @@ object Dedup {
     * vocabulary-dense corpus a 16-bit signature concentrates (measured
     * at sf0.01: 79% of all pairs collide in some 4-bit band). 60 bits
     * is the widest md5-prefix signature that stays a positive BIGINT
-    * in both engines (15 hex chars). Pigeonhole banding: 4 bands × 15
-    * bits — a pair within hamming distance 3 differs in ≤ 3 bands, so
-    * it agrees EXACTLY on ≥ 1 band: any-band agreement is a LOSSLESS
-    * candidate filter (recall 1.0 by construction, unlike
-    * probabilistic minhash/SRP banding). */
+    * in both engines (15 hex chars).
+    *
+    * BLOCK-PERMUTED banding (round 6, Manku/Jain/Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW 2007 §3): split the 60
+    * bits into 6 blocks of 10. A pair within hamming distance 3 flips
+    * bits in ≤ 3 blocks, so ≥ 3 blocks agree EXACTLY — key each of
+    * the C(6,3) = 20 tables on a 30-bit concatenation of one 3-block
+    * combination. Still a LOSSLESS candidate filter (recall 1.0 by
+    * construction, unlike probabilistic minhash/SRP banding), but the
+    * per-table key space is 2^30 instead of the round-5 4×15 form's
+    * 2^15 — at n = 10⁹ uniformly distributed signatures expected
+    * bucket occupancy is n/2^30 ≈ 1, where the 15-bit key produced
+    * ~n²/2^15 candidate pairs (quadratic blow-up past ~10⁸ docs). */
   val SimHash64Bits = 60
-  val SimHashBands = 4
-  val SimHashBandBits: Int = SimHash64Bits / SimHashBands
+  val SimHashBlocks = 6
+  val SimHashBlockBits: Int = SimHash64Bits / SimHashBlocks
   val MaxHamming = 3
+  /** Blocks per table key: hamming ≤ MaxHamming leaves ≥ blocks−h
+    * intact, so every qualifying pair agrees on some full combo. */
+  val SimHashComboSize: Int = SimHashBlocks - MaxHamming
+  val SimHashCombos: Seq[Seq[Int]] =
+    (0 until SimHashBlocks).combinations(SimHashComboSize).map(_.toSeq).toSeq
 
   /** Portable 32-bit hash: first 8 hex chars of md5, as a BIGINT. */
   private def h32(c: Column, seed: String): Column =
@@ -177,7 +190,9 @@ object Dedup {
     * HOF folds each re-inlining the token-hash transform (the
     * plan-collapse O(bits·tokens·md5) trap) — then one partial+final
     * aggregate computing the 60 majority bits. Ties → 1, matching the
-    * 16-bit variant. */
+    * 16-bit variant. Null-text docs are dropped (explode of a null
+    * array emits no rows) — the declared oracle filters
+    * `toks IS NOT NULL` to pin the same semantics in SQL. */
   def simhashed64(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
@@ -192,20 +207,39 @@ object Dedup {
     agg.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** One 30-bit table key per (doc, 3-block combo): the combo's blocks
+    * concatenated MSB-first. Shared by the DataFrame and SQL sides so
+    * the oracle replays the identical arithmetic. */
+  private def comboKey(sig: Column, combo: Seq[Int]): Column = {
+    val mask = (1L << SimHashBlockBits) - 1
+    combo.zipWithIndex.map { case (blk, p) =>
+      shiftleft(
+        shiftright(sig, blk * SimHashBlockBits).bitwiseAND(lit(mask)),
+        (combo.size - 1 - p) * SimHashBlockBits)
+    }.reduce(_ + _)
+  }
+  private def comboKeySql(sigExpr: String, combo: Seq[Int]): String = {
+    val mask = (1L << SimHashBlockBits) - 1
+    combo.zipWithIndex.map { case (blk, p) =>
+      s"((($sigExpr >> ${blk * SimHashBlockBits}) & $mask) << ${(combo.size - 1 - p) * SimHashBlockBits})"
+    }.mkString(" + ")
+  }
+
   /** Hamming near-dup pairs over 60-bit simhashes via LOSSLESS
-    * pigeonhole banding (any pair within `MaxHamming` ≤ bands−1 must
-    * agree on a full band; exact `bit_count(xor)` verifies). The
-    * candidate shuffle keys on (band_idx, band_bits); hot buckets on
-    * a vocabulary-dense corpus are GENUINE near-dup neighborhoods
-    * (they must collide — that is the losslessness), the same data
-    * property dedup_minhash_pairs documents. */
+    * block-permuted banding (Manku WWW'07: hamming ≤ `MaxHamming`
+    * flips ≤ 3 of 6 blocks, so ≥ 3 blocks — some full C(6,3) combo —
+    * agree exactly; `bit_count(xor)` verifies). The candidate shuffle
+    * keys on (band_idx, band_bits) with a 2^30 per-table key space;
+    * hot buckets on a vocabulary-dense corpus are GENUINE near-dup
+    * neighborhoods (they must collide — that is the losslessness),
+    * the same data property dedup_minhash_pairs documents. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    require(maxHamming <= MaxHamming,
+      s"block-permuted banding is lossless only for hamming <= $MaxHamming")
     val sh = simhashed64(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until SimHashBands).map { b =>
-      struct(lit(b).as("band_idx"),
-        shiftright(col("simhash"), b * SimHashBandBits)
-          .bitwiseAND(lit((1L << SimHashBandBits) - 1)).as("band_bits"))
+    val bandStructs = SimHashCombos.zipWithIndex.map { case (combo, ti) =>
+      struct(lit(ti).as("band_idx"), comboKey(col("simhash"), combo).as("band_bits"))
     }
     val banded = sh.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_bits"))
@@ -337,20 +371,22 @@ object Dedup {
     },
 
     // Hamming near-dup PAIRS over the 60-bit simhash, candidates from
-    // lossless pigeonhole bands (4×15 bits: hamming ≤ 3 ⇒ one full
-    // band agrees), exact bit_count(xor) verify. Fully oracle-checked:
-    // signature, bands, and verify all replay in SQL.
+    // lossless Manku block-permuted bands (6 blocks × 10 bits,
+    // C(6,3)=20 tables keyed on 30-bit 3-block concatenations:
+    // hamming ≤ 3 ⇒ some full combo agrees), exact bit_count(xor)
+    // verify. Fully oracle-checked: signature, bands, and verify all
+    // replay in SQL.
     Q("dedup_simhash_pairs", {
       val h = s"CAST(concat('0x', substr(md5('sh64:' || t), 1, 15)) AS BIGINT)"
       val bits = (0 until SimHash64Bits).map(k =>
         s"(CASE WHEN list_sum(list_transform(toks, t -> ($h >> $k) & 1)) * 2 >= len(toks) THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)")
         .mkString("\n + ")
-      val mask = (1L << SimHashBandBits) - 1
-      val bandsSql = (0 until SimHashBands).map(b =>
-        s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * SimHashBandBits}) & $mask AS band_bits FROM sh")
-        .mkString(" UNION ALL ")
+      val bandsSql = SimHashCombos.zipWithIndex.map { case (combo, ti) =>
+        s"SELECT doc_id, simhash, $ti AS band_idx, ${comboKeySql("simhash", combo)} AS band_bits FROM sh"
+      }.mkString(" UNION ALL ")
       s"""WITH toks AS ($tokenizedSql),
-         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM toks),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM toks
+         |       WHERE toks IS NOT NULL),
          |bands AS ($bandsSql),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
