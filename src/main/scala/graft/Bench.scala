@@ -1,15 +1,69 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): times the headline queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A failed query is
   * reported in "errors" (and as -1 in "queries") — never silently
-  * folded into the total (VERDICT r1 "What's wrong" #3). Session conf
+  * folded into the total (VERDICT r1 "What's wrong" #3); error
+  * messages are deduplicated per query (a query failing all reps used
+  * to append up to 7 identical entries — ADVICE r6). Session conf
   * matches Verify exactly (UTC, shuffle partitions = cores) so bench
   * measures the same plans correctness checked (#4).
+  *
+  * Round 7 (VERDICT r6 task 1): the LLM tier is measured too —
+  * `corpus_training_ready` and `embed_ann_join` on the real corpus
+  * (curation cost is corpus-shape-independent; the embeddings are
+  * near-orthogonal, i.e. already a realistic ANN workload), and the
+  * two text-LSH pair queries on a NON-DEGENERATE planted fixture (see
+  * `lshFixture`): the raw synthetic corpus is vocabulary-dense —
+  * nearly all pairs collide in some band, so timing LSH on it measures
+  * a quadratic data pathology, not the plan. Per-query spread
+  * (min/median/max of the reps) is emitted alongside the min so noise
+  * and regression are separable from the JSON alone (r5 task 7).
   */
 object Bench {
+
+  /** Queries timed against the planted-duplicate fixture instead of
+    * the raw corpus (candidate-pair LSH, where vocabulary-dense data
+    * degenerates to all-pairs regardless of plan quality). */
+  val fixtureQueries: Set[String] = Set("dedup_ngram_jaccard", "dedup_simhash_pairs")
+
+  /** Planted near-duplicate rate: one doc in `DupEvery` gets a
+    * near-identical twin (~5%). */
+  val DupEvery = 20
+
+  /** Build the non-degenerate LSH bench corpus from the sf dir's
+    * `documents` table (derived, not synthesized: row count, id space,
+    * lang/source mix and text lengths all come from the driver data):
+    *  - every token is salted with its doc_id, so distinct docs share
+    *    NO vocabulary (pairwise Jaccard 0, near-uniform simhashes) —
+    *    the realistic "most pairs are unrelated" regime;
+    *  - 1-in-`DupEvery` docs get a planted near-dup twin (same salted
+    *    token stream plus one extra token) at doc_id + 10M.
+    * Deterministic, map-only, written once per bench run to a unique
+    * temp dir (no cross-run races). */
+  def lshFixture(spark: SparkSession, sfDir: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_bench_fixture").toString
+    val docs = Tables.documents(spark, sfDir)
+    val salted = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      array_join(
+        transform(split(col("text"), " "), t => concat(t, lit("#"), col("doc_id"))),
+        " ").as("text"))
+    val dups = salted.filter(col("doc_id") % DupEvery === 0)
+      .select(
+        (col("doc_id") + 10000000L).as("doc_id"), col("lang"), col("source"),
+        concat(col("text"), lit(" xdup#"), col("doc_id")).as("text"))
+    salted.unionByName(dups)
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/documents.parquet")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,27 +88,41 @@ object Bench {
     try Tables.events(spark, sfDir).count() // ns-ts conversion path
     catch { case _: Throwable => () }
 
-    // Each query runs `Reps` times and reports the MIN — single-iteration
-    // timings at sub-second scale carry ±25% noise (VERDICT r4 measured
-    // ±61% swings on unchanged plans), and min-of-k is the standard
-    // noise floor estimator for a warm JVM. 7 reps: the first 1-2 carry
-    // codegen + C2 compilation of the generated classes; measured
-    // run-to-run stability at sf0.1 — 3 reps ±42% worst-query, 5 reps
-    // ±13%, 7 reps ±11% (the ~0.2 s/query noise floor in a shared VM).
+    // LSH fixture: built (and first-scanned) before any timing starts
+    val fixtureDir =
+      try {
+        val d = lshFixture(spark, sfDir)
+        Tables.documents(spark, d).count()
+        Some(d)
+      } catch { case _: Throwable => None }
+
+    // Each query runs `Reps` times; the headline number is the MIN —
+    // single-iteration timings at sub-second scale carry ±25% noise
+    // (VERDICT r4 measured ±61% swings on unchanged plans), and min-of-k
+    // is the standard noise floor estimator for a warm JVM. 7 reps: the
+    // first 1-2 carry codegen + C2 compilation of the generated classes;
+    // measured run-to-run stability at sf0.1 — 3 reps ±42% worst-query,
+    // 5 reps ±13%, 7 reps ±11% (the ~0.2 s/query noise floor in a shared
+    // VM). The per-query spread (min/median/max) is published too, so a
+    // nominal regression can be read against the measured noise band.
     val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt
     val run = SparkEntry.all.filter(q => SparkEntry.headline.contains(q.name))
-    var errors = List.empty[(String, String)]
+    var errors = Map.empty[String, String] // first message per query only
     val results = run.map { q =>
-      val times = (1 to Reps).map { _ =>
+      val dir =
+        if (fixtureQueries.contains(q.name)) fixtureDir.getOrElse(sfDir) else sfDir
+      val times = (1 to Reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { q.run(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
-            errors ::= (q.name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-            -1.0
+            if (!errors.contains(q.name))
+              errors += q.name ->
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            None
         }
       }
-      q.name -> (if (times.forall(_ >= 0)) times.min else -1.0)
+      q.name -> times.sorted
     }
 
     def jstr(s: String): String =
@@ -62,10 +130,22 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def stat(ts: Seq[Double]): (Double, Double, Double) =
+      (ts.head, ts(ts.size / 2), ts.last) // ts is sorted
+    val qs = results.map { case (k, ts) =>
+      s"${jstr(k)}:${if (ts.size == Reps) ts.head else -1.0}"
+    }.mkString("{", ",", "}")
+    val spread = results.collect { case (k, ts) if ts.nonEmpty =>
+      val (mn, md, mx) = stat(ts)
+      s"""${jstr(k)}:{"min":$mn,"median":$md,"max":$mx,"reps":${ts.size}}"""
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    val total = results.collect { case (_, ts) if ts.size == Reps => ts.head }.sum
+    val fixture = fixtureDir.map { _ =>
+      s"""{"queries":[${fixtureQueries.toSeq.sorted.map(jstr).mkString(",")}],""" +
+        s""""planted_dup_rate":${1.0 / DupEvery}}"""
+    }.getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

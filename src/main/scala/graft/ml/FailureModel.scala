@@ -75,6 +75,44 @@ object FailureModel {
       .fit(prepared)
   }
 
+  /** M2 completed (round 7, the last reference training behavior with
+    * no engine counterpart): GBT with EARLY STOPPING on a validation
+    * fold — the reference appendix trains XGBoost with
+    * `early_stopping_rounds=30` against an eval set
+    * (/root/reference/scripts/Appendix_model_training_xgboost.py:117-125).
+    * MLlib's native form: the train and validation frames are unioned
+    * with a boolean indicator column, and
+    * `setValidationIndicatorCol` + `setValidationTol` stop boosting
+    * when the validation loss improvement falls below `tol` —
+    * evaluated DISTRIBUTED per iteration, no driver loop. Class
+    * weights come from the TRAIN fold only (validation rows weigh 1.0:
+    * the stopping metric is measured on the untouched distribution).
+    * The fitted model scores identically to `train`'s (same
+    * transformer class) — only the tree count differs. */
+  def trainWithEarlyStop(
+      trainDf: DataFrame, validDf: DataFrame,
+      maxIter: Int = 30, tol: Double = 0.01, seed: Long = 42L): GBTClassificationModel = {
+    val both = withClassWeights(trainDf).withColumn("is_val", lit(false))
+      .unionByName(validDf
+        .withColumn("weight", lit(1.0))
+        .withColumn("is_val", lit(true)))
+    val prepared = assembler.transform(both.na.fill(0.0, FeatureCols))
+    val gbt = new GBTClassifier()
+      .setLabelCol(LabelCol)
+      .setFeaturesCol("features")
+      .setWeightCol("weight")
+      .setMaxDepth(6)
+      .setMaxIter(maxIter)
+      .setStepSize(0.05)
+      .setSubsamplingRate(0.8)
+      .setFeatureSubsetStrategy("0.8")
+      .setValidationIndicatorCol("is_val")
+      .setSeed(seed)
+    // validationTol has no public setter on GBTClassifier — pass it as
+    // a fit-time ParamMap override (same effect, public API)
+    gbt.fit(prepared, org.apache.spark.ml.param.ParamMap(gbt.validationTol -> tol))
+  }
+
   /** X1 (UDF-free): score → `failure_probability` column. The frame-wide
     * `na.fill(0)` mirrors the reference's warm-up-row fill (P7,
     * 03_feature_engineering.py:146-154) and guards the assembler against

@@ -102,6 +102,47 @@ class MLSpec extends SparkSpec {
     assert(auc > math.min(0.9, 2 * posRate), s"PR-AUC $auc vs baseline $posRate")
   }
 
+  test("early stopping halts before maxIter on a planted-noise validation fold; PR-AUC within band") {
+    // Reference behavior: the appendix trains XGBoost with
+    // early_stopping_rounds=30 against an eval set
+    // (Appendix_model_training_xgboost.py:117-125). Engine counterpart:
+    // trainWithEarlyStop. Planted-signal fixture (same construction as
+    // the PR-AUC test above) so the band comparison is meaningful.
+    import spark.implicits._
+    val rows = for {
+      u <- 0 until 20
+      d <- 1 to 40
+    } yield {
+      val v = ((u * 40 + d) * 37 % 100).toDouble
+      val prev = ((u * 40 + d - 1) * 37 % 100).toDouble
+      val typ = if (d > 1 && prev >= 80) "error" else "view"
+      ((u * 40 + d).toLong,
+        new java.sql.Timestamp(1704067200000L + d * 86400000L),
+        u.toLong, typ, v, "")
+    }
+    val f = Telemetry.features(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).cache()
+    val trainDf = f.filter($"user_id" < 15)
+    val evalDf = f.filter($"user_id" >= 15)
+    // PLANTED NOISE: validation labels are a deterministic hash, carrying
+    // zero signal — validation loss cannot keep improving, so boosting
+    // must halt well before maxIter
+    val noisyValid = evalDf.withColumn(FailureModel.LabelCol,
+      (abs(hash(col("event_id"))) % 2).cast("int"))
+    val maxIter = 30
+    val es = FailureModel.trainWithEarlyStop(trainDf, noisyValid, maxIter = maxIter)
+    assert(es.getNumTrees < maxIter,
+      s"early stopping did not trigger: ${es.getNumTrees} trees of $maxIter")
+    // the early-stopped model still trained on the REAL fold: PR-AUC on
+    // the real eval labels stays within a band of the fixed-iter model
+    val fixed = FailureModel.train(trainDf, maxIter = maxIter)
+    val aucEs = FailureModel.prAuc(FailureModel.score(es, evalDf))
+    val aucFixed = FailureModel.prAuc(FailureModel.score(fixed, evalDf))
+    assert(aucEs >= aucFixed - 0.2,
+      s"early-stopped PR-AUC $aucEs not within band of fixed-iter $aucFixed")
+    f.unpersist()
+  }
+
   test("model save/load round-trip scores identically (S6)") {
     val dir = Files.createTempDirectory("graft_model").toString
     FailureModel.saveModel(model, dir)
