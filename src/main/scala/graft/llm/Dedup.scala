@@ -22,6 +22,9 @@ import graft.{Q, Tables}
   * All hashes derive from md5 hex prefixes (`conv(substring(md5(…),1,8))`)
   * — engine-portable, so even the LSH pipeline is DuckDB-oracle-checked
   * end-to-end (same seeds, same bands, same buckets in both engines).
+  * The k minhash signatures use a Carter–Wegman affine family over ONE
+  * md5 base hash per element ((a_i·h + b_i) mod p, exact 64-bit integer
+  * arithmetic in both engines) — one md5 per token/gram instead of k.
   *
   * 100 TB posture: signatures are one narrow projection pass; the band
   * self-join shuffles on band hash (uniformly distributed); the verify
@@ -83,24 +86,73 @@ object Dedup {
   private def h32Sql(expr: String, seed: String): String =
     s"CAST(concat('0x', substr(md5('$seed' || $expr), 1, 8)) AS BIGINT)"
 
+  // ── Affine minhash family (round 7) ──────────────────────────────
+  //
+  // The k minhash signatures used to cost k md5 calls PER ELEMENT
+  // (12 per token / per bigram — the dominant cost of the signature
+  // stage once the LLM tier joined the bench headline). The standard
+  // fix (Carter–Wegman universal hashing, the construction every
+  // minhash paper assumes): ONE md5-derived 32-bit base hash h per
+  // element, then k affine transforms h_i = (a_i·h + b_i) mod p over
+  // a prime p — pure 64-bit integer arithmetic that is exact and
+  // identical in Spark and DuckDB, so the oracle replays it verbatim.
+  // a_i ∈ [1, 2^31) keeps a_i·h + b_i < 2^63 (no overflow in either
+  // engine); the constants derive from the same md5 family as
+  // everything else (driver-side, interpolated as literals).
+
+  /** Largest prime below 2^32 — the affine family's modulus. */
+  val MinHashPrime = 4294967291L
+
+  /** Driver-side md5 top-32-bits (same arithmetic as `h32`). */
+  private def md5Top32(seed: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+  private[graft] def mhA(fam: String, i: Int): Long =
+    md5Top32(s"${fam}a$i") % ((1L << 31) - 2) + 1 // [1, 2^31-2]
+  private[graft] def mhB(fam: String, i: Int): Long =
+    md5Top32(s"${fam}b$i") % MinHashPrime
+
+  /** k-signature minhash over exploded (doc_id, e) element rows: one
+    * md5 per element, k affine mins in ONE partial+final aggregate
+    * keyed doc_id — the shuffle carries k longs per doc (map-side
+    * combined), and the md5 count drops k-fold vs the per-signature
+    * transform form. Docs with no elements (null text) emit no row —
+    * both engines share that rule (explode/unnest drop them). */
+  private def affineSignatures(
+      elems: DataFrame, fam: String, k: Int, prefix: String): DataFrame = {
+    val withH = elems.withColumn("h", h32(col("e"), s"$fam:"))
+    val mins = (0 until k).map(i =>
+      min((col("h") * mhA(fam, i) + mhB(fam, i)) % MinHashPrime).as(s"$prefix$i"))
+    withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** DuckDB replay of `affineSignatures` over an elements subquery
+    * producing (doc_id, e). */
+  private def affineSigSql(
+      fam: String, k: Int, prefix: String, elemsSql: String): String =
+    "SELECT doc_id, " + (0 until k).map(i =>
+      s"min((h * ${mhA(fam, i)} + ${mhB(fam, i)}) % $MinHashPrime) AS $prefix$i")
+      .mkString(", ") +
+      s" FROM (SELECT doc_id, ${h32Sql("e", s"$fam:")} AS h FROM ($elemsSql)) GROUP BY doc_id"
+
   /** doc_id + distinct token set. */
   def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
   private val tokenizedSql =
     "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"
 
-  /** MinHash signature columns mh0..mh{k-1}. */
+  /** MinHash signature columns mh0..mh{k-1} (affine family — one md5
+    * per token, k affine mins; see `affineSignatures`). */
   def signatures(toks: DataFrame): DataFrame =
-    toks.select(
-      col("doc_id") +: col("toks") +:
-        (0 until NumHashes).map(i =>
-          array_min(transform(col("toks"), t => h32(t, s"mh$i:"))).as(s"mh$i")): _*)
+    affineSignatures(
+      toks.select(col("doc_id"), explode(col("toks")).as("e")),
+      "mh", NumHashes, "mh")
   private val signaturesSql: String =
-    "SELECT doc_id, toks, " +
-      (0 until NumHashes).map(i =>
-        s"list_min(list_transform(toks, t -> ${h32Sql("t", s"mh$i:")})) AS mh$i")
-        .mkString(", ") +
-      " FROM toks"
+    affineSigSql("mh", NumHashes, "mh",
+      "SELECT doc_id, unnest(toks) AS e FROM toks")
 
   /** One row per (doc, band): band hash = md5 of the band's r signature
     * values. Only full-band agreement creates a candidate. */
@@ -503,9 +555,6 @@ object Dedup {
     // construction is index arithmetic and the band hashes replay the
     // same md5 family in both engines.
     Q("dedup_ngram_jaccard", {
-      val gsigSql = (0 until NgramHashes).map(i =>
-        s"list_min(list_transform(grams, t -> ${h32Sql("t", s"gmh$i:")})) AS gmh$i")
-        .mkString(", ")
       val gbandsSql = (0 until NgramBands).map { b =>
         val cols = (b * NgramRowsPerBand until (b + 1) * NgramRowsPerBand)
           .map(i => s"gmh$i")
@@ -517,7 +566,8 @@ object Dedup {
          |  SELECT doc_id,
          |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS grams
          |  FROM t WHERE len(w) >= 2),
-         |sig AS (SELECT doc_id, $gsigSql FROM g),
+         |sig AS (${affineSigSql("gmh", NgramHashes, "gmh",
+        "SELECT doc_id, unnest(grams) AS e FROM g")}),
          |bands AS ($gbandsSql),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -669,20 +719,27 @@ object Dedup {
     * the sequence unit. Measured at sf0.01: 685 candidates of
     * 124,750 pairs, all 25 true J≥0.3 pairs caught, hottest bucket
     * 9 of 500 docs. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val g = bigramSets(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = g.select(
-      col("doc_id") +:
-        (0 until NgramHashes).map(i =>
-          array_min(transform(col("grams"), t => h32(t, s"gmh$i:"))).as(s"gmh$i")): _*)
+  /** (doc_id, band_idx, band_hash) banded minhash-over-bigrams rows —
+    * the candidate join's input, package-visible so LlmSpec's
+    * occupancy/selectivity tests exercise THIS derivation rather than
+    * an inline copy that could drift from it (same rule as comboKey). */
+  private[graft] def ngramBanded(g: DataFrame): DataFrame = {
+    val sig = affineSignatures(
+      g.select(col("doc_id"), explode(col("grams")).as("e")),
+      "gmh", NgramHashes, "gmh")
     val bandStructs = (0 until NgramBands).map { b =>
       val cols = (b * NgramRowsPerBand until (b + 1) * NgramRowsPerBand)
         .map(i => col(s"gmh$i"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", cols: _*)).as("band_hash"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val g = bigramSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = ngramBanded(g)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

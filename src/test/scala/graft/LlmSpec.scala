@@ -410,20 +410,8 @@ class LlmSpec extends SparkSpec {
     val d = Tables.documents(spark, sf("sf0.01"))
     val n = d.count()
     val allPairs = n * (n - 1) / 2
-    val g = Dedup.bigramSets(d)
-    val sig = g.select(
-      col("doc_id") +:
-        (0 until Dedup.NgramHashes).map(i =>
-          array_min(transform(col("grams"),
-            t => conv(substring(md5(concat(lit(s"gmh$i:"), t)), 1, 8), 16, 10).cast("long")))
-            .as(s"gmh$i")): _*)
-    val bandStructs = (0 until Dedup.NgramBands).map { b =>
-      val cols = (b * Dedup.NgramRowsPerBand until (b + 1) * Dedup.NgramRowsPerBand)
-        .map(i => col(s"gmh$i"))
-      struct(lit(b).as("band_idx"), md5(concat_ws(",", cols: _*)).as("band_hash"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    // the PRODUCTION banding derivation (not an inline copy — ADVICE r6)
+    val bands = Dedup.ngramBanded(Dedup.bigramSets(d))
     // hottest (band, hash) bucket stays a sliver of the corpus — the
     // property the (source, len_band) block could not offer (few sources
     // × concentrated lengths → one block of size O(n))
