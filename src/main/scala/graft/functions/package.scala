@@ -27,6 +27,18 @@ package object functions {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** All SRP band signatures of an `array<double>` vector in ONE
+    * codegen'd pass: `weights` = bands·bits hyperplane rows (driver
+    * constants), result = array of bands longs, band b bit j = sign of
+    * <plane_{b·bits+j}, v>. Bit-identical to the zip_with-fold form
+    * (same accumulation order); replaces bands·bits CodegenFallback
+    * HOF folds per row on the banded-ANN map side. */
+  def srp_band_sigs(v: Column, weights: Seq[Seq[Double]], bits: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(SrpBandSigs(
+      GraftBridge.expression(v.cast("array<double>")), weights, bits))
+  }
+
   /** Codegen'd Unicode NFC normalization of a string column (canonical
     * composition; ASCII / already-NFC inputs pass through zero-copy).
     * The canonical first step of corpus ingest — content hashes and

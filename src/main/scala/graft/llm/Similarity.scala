@@ -111,8 +111,24 @@ object Similarity {
   private def srpProj(v: Column, p: Int): Column =
     aggregate(zip_with(v, srpPlane(p), (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
 
-  /** 8-bit SRP bucket: bit p = sign of <plane_p, v>. */
-  def srpBucket(v: Column): Column = {
+  /** Plane rows [from, until) as a raw weight matrix (for the native
+    * banded-signature expression). */
+  private def planeRows(from: Int, until: Int): Seq[Seq[Double]] =
+    (from until until).map(p => planeWeights.synchronized {
+      planeWeights.getOrElseUpdate(p, (0 until Dim).map(d => srpWeightValue(p, d)))
+    })
+
+  /** 8-bit SRP bucket: bit p = sign of <plane_p, v>. Production path
+    * is the native codegen'd expression (one primitive loop inside
+    * whole-stage codegen); `srpBucketHof` below is the composed
+    * zip_with-fold baseline it is verified bit-identical against. */
+  def srpBucket(v: Column): Column =
+    element_at(
+      graft.functions.srp_band_sigs(v, planeRows(0, SrpBits), SrpBits), 1)
+
+  /** Composed-built-ins form of `srpBucket` (CodegenFallback HOFs) —
+    * kept as the verification baseline, like `cosineHof`. */
+  def srpBucketHof(v: Column): Column = {
     val bits = (0 until SrpBits).map { p =>
       when(srpProj(v, p) >= 0, lit(1L) * (1L << p)).otherwise(0L)
     }
@@ -120,22 +136,39 @@ object Similarity {
   }
 
   /** Band `b`'s `SrpBandBits`-bit signature: bit j = sign of
-    * <plane_{b·bits+j}, v> (band 0 ≡ `srpBucket`). */
-  def srpBandSig(v: Column, band: Int): Column = {
+    * <plane_{b·bits+j}, v> (band 0 ≡ `srpBucket`). Composed HOF form —
+    * the verification baseline for the native banded path. */
+  def srpBandSigHof(v: Column, band: Int): Column = {
     val bits = (0 until SrpBandBits).map { j =>
       when(srpProj(v, band * SrpBandBits + j) >= 0, lit(1L) * (1L << j)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
 
+  /** All `SrpBands` band signatures as one array column — the native
+    * expression computes every projection in a single codegen'd pass
+    * (the HOF form pays bands·bits interpreted lambda folds per row). */
+  def srpBandSigs(v: Column): Column =
+    graft.functions.srp_band_sigs(
+      v, planeRows(0, SrpBands * SrpBandBits), SrpBandBits)
+
   /** One row per (vector, band): the banded-LSH signature table the
     * candidate self-join keys on — the embedding twin of
     * `Dedup.banded`. At 100 TB this is computed once at ingest and
-    * stored bucketed by (band_idx, band_sig). */
-  def srpBanded(emb: DataFrame): DataFrame = {
+    * stored bucketed by (band_idx, band_sig). posexplode's position IS
+    * the band index, so the whole table is one generate over the
+    * native signature array. */
+  def srpBanded(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        posexplode(srpBandSigs(col("v"))).as(Seq("band_idx", "band_sig")))
+
+  /** `srpBanded` composed from the HOF band signatures — verification
+    * baseline (FunctionsSpec pins frame equality with the native form). */
+  def srpBandedHof(emb: DataFrame): DataFrame = {
     val withV = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bandStructs = (0 until SrpBands).map { b =>
-      struct(lit(b).as("band_idx"), srpBandSig(col("v"), b).as("band_sig"))
+      struct(lit(b).as("band_idx"), srpBandSigHof(col("v"), b).as("band_sig"))
     }
     withV.select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))

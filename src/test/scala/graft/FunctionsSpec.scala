@@ -242,6 +242,41 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan) // no CodegenFallback break
   }
 
+  test("native srp_band_sigs == HOF banded signatures, bit for bit (and bucket == band 0)") {
+    val embFull = Tables.embeddings(spark, sf("sf0.01"))
+    val native = Similarity.srpBanded(embFull)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val hof = Similarity.srpBandedHof(embFull)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(native.keySet === hof.keySet)
+    val diverging = native.count { case (k, v) => hof(k) != v }
+    assert(diverging === 0, s"$diverging banded signatures diverge (must be bit-identical)")
+    // legacy 8-bit bucket (native) == HOF bucket == band 0's signature
+    val v = col("embedding").cast("array<double>")
+    val buckets = embFull.select(col("vec_id"),
+      Similarity.srpBucket(v).as("nb"), Similarity.srpBucketHof(v).as("hb"))
+      .collect()
+    assert(buckets.forall(r => r.getLong(1) == r.getLong(2)), "bucket native != HOF")
+    buckets.foreach { r =>
+      assert(r.getLong(1) === native((r.getLong(0), 0)), "bucket != band 0 signature")
+    }
+  }
+
+  test("srp_band_sigs null semantics mirror the HOF fold (null vec -> null; null element -> zero sigs)") {
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), Some(-2.0), Some(0.5)))),
+      (2L, Some(Seq(Some(1.0), None, Some(0.5)))), // null element
+      (3L, Option.empty[Seq[Option[Double]]])      // null vector
+    ).toDF("vec_id", "v")
+    val out = df.select(col("vec_id"),
+      graft.functions.srp_band_sigs(col("v"), Seq(Seq(0.3, -0.1, 0.2), Seq(-0.4, 0.0, 0.1)), 2).as("sigs"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(3L).isEmpty, "null vector must yield null")
+    assert(out(2L).get.asInstanceOf[scala.collection.Seq[Long]] === Seq(0L),
+      "null element must poison every projection (HOF when(null >= 0) -> 0)")
+    assert(out(1L).nonEmpty)
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))
