@@ -39,6 +39,15 @@ package object functions {
       GraftBridge.expression(v.cast("array<double>")), weights, bits))
   }
 
+  /** `bits`-bit SimHash majority signature of a distinct token array
+    * in one map-side pass (md5-prefix hash family, `hexLen` hex chars
+    * per token hash, ties → 1) — replaces explode + a bits+1-column
+    * aggregate; bit-identical to that form (DedupSpec-pinned). */
+  def simhash_sig(toks: Column, seed: String, bits: Int, hexLen: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(SimHashSig(GraftBridge.expression(toks), seed, bits, hexLen))
+  }
+
   /** Codegen'd Unicode NFC normalization of a string column (canonical
     * composition; ASCII / already-NFC inputs pass through zero-copy).
     * The canonical first step of corpus ingest — content hashes and

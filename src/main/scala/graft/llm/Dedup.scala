@@ -212,9 +212,24 @@ object Dedup {
   }
 
   /** 16-bit SimHash: bit k set iff the majority of token hashes have
-    * bit k set (ties → 1, deterministic). */
+    * bit k set (ties → 1, deterministic). Native map-side signature
+    * (round 7) — the composed form below re-inlined the md5 transform
+    * into every bit's HOF fold (16 interpreted md5 passes per token);
+    * `coalesce(…, 0)` mirrors its null-toks value (every bit's
+    * `when(null …)` fell to otherwise(0)). */
   val SimHashBits = 16
-  def simhashed(docs: DataFrame): DataFrame = {
+  def simhashed(docs: DataFrame): DataFrame =
+    tokenized(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      coalesce(
+        graft.functions.simhash_sig(col("toks"), "sh:", SimHashBits, 8),
+        lit(0L)).as("simhash"))
+
+  /** Composed-built-ins 16-bit simhash — the verification baseline for
+    * the native expression (and a worked example of the plan-collapse
+    * trap: `hashes` inlines into all 16 bit folds). */
+  def simhashedHof(docs: DataFrame): DataFrame = {
     val hashes = transform(col("toks"), t => h32(t, "sh:"))
     val n = size(col("toks"))
     val bits = (0 until SimHashBits).map { k =>
@@ -238,14 +253,29 @@ object Dedup {
        |FROM toks ORDER BY doc_id""".stripMargin
   }
 
-  /** 60-bit simhash: one md5 per (doc, token) via explode — NOT 60
-    * HOF folds each re-inlining the token-hash transform (the
-    * plan-collapse O(bits·tokens·md5) trap) — then one partial+final
-    * aggregate computing the 60 majority bits. Ties → 1, matching the
-    * 16-bit variant. Null-text docs are dropped (explode of a null
-    * array emits no rows) — the declared oracle filters
-    * `toks IS NOT NULL` to pin the same semantics in SQL. */
-  def simhashed64(docs: DataFrame): DataFrame = {
+  /** 60-bit simhash, MAP-ONLY (round 7): the native `simhash_sig`
+    * expression computes the whole majority signature per row inside
+    * the scan projection — no exploded-token exchange, no 61-column
+    * aggregate state (the round-5 explode+agg form is kept below as
+    * the verified baseline). Same md5-prefix hash family, same
+    * ties → 1 rule, bit-identical (DedupSpec pins it). Null-text docs
+    * are dropped (the signature of a null array is null, filtered
+    * here) — the declared oracle filters `toks IS NOT NULL` to pin
+    * the same semantics in SQL. */
+  def simhashed64(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        graft.functions.simhash_sig(
+          array_distinct(split(col("text"), " ")), "sh64:", SimHash64Bits, 15)
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The round-5 explode → md5 → partial+final-aggregate form of
+    * `simhashed64` — one md5 per (doc, token), NOT 60 HOF folds each
+    * re-inlining the token-hash transform (the plan-collapse
+    * O(bits·tokens·md5) trap). Kept as the verification baseline for
+    * the native map-only expression. */
+  def simhashed64Agg(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
       .withColumn("h",

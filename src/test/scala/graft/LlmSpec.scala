@@ -47,6 +47,24 @@ class LlmSpec extends SparkSpec {
       "unrelated doc is not farther than the near-dup")
   }
 
+  test("native simhash signatures == explode/aggregate and HOF baselines, bit for bit") {
+    // 60-bit: native map-only expression vs the round-5 explode+agg
+    // pipeline — on the real corpus AND the planted bench fixture
+    for (dir <- Seq(sf("sf0.01"), Bench.lshFixture(spark, sf("sf0.001")))) {
+      val d = Tables.documents(spark, dir)
+      val native = Dedup.simhashed64(d).as[(Long, Long)].collect().toMap
+      val agg = Dedup.simhashed64Agg(d).as[(Long, Long)].collect().toMap
+      assert(native === agg, s"60-bit signatures diverge on $dir")
+    }
+    // 16-bit: native vs the composed HOF form (n_tokens + signature)
+    val d = Tables.documents(spark, sf("sf0.01"))
+    val native16 = Dedup.simhashed(d)
+      .select("doc_id", "n_tokens", "simhash").as[(Long, Long, Long)].collect().toSet
+    val hof16 = Dedup.simhashedHof(d)
+      .select("doc_id", "n_tokens", "simhash").as[(Long, Long, Long)].collect().toSet
+    assert(native16 === hof16)
+  }
+
   test("simhash pigeonhole pairing is LOSSLESS: banded pairs == brute-force hamming pairs") {
     val docs60 = Tables.documents(spark, sf("sf0.001")).limit(60)
     val banded = Dedup.simhashPairs(docs60)
