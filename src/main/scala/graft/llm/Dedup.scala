@@ -752,10 +752,21 @@ object Dedup {
   /** (doc_id, band_idx, band_hash) banded minhash-over-bigrams rows —
     * the candidate join's input, package-visible so LlmSpec's
     * occupancy/selectivity tests exercise THIS derivation rather than
-    * an inline copy that could drift from it (same rule as comboKey). */
-  private[graft] def ngramBanded(g: DataFrame): DataFrame = {
+    * an inline copy that could drift from it (same rule as comboKey).
+    *
+    * Round 7: the bigram rows come from the native `ngrams` Generator
+    * (emitted inside the scan projection, zero shuffles) instead of
+    * exploding the HOF-built distinct-gram ARRAYS — the array build
+    * was the signature path's dominant map cost, and min is
+    * idempotent, so minhashing the generator's multiset rows yields
+    * the IDENTICAL signatures the oracle computes over list_distinct
+    * grams. The gram arrays are now built only where sets are really
+    * needed: the exact-Jaccard verify. */
+  private[graft] def ngramBanded(docs: DataFrame): DataFrame = {
     val sig = affineSignatures(
-      g.select(col("doc_id"), explode(col("grams")).as("e")),
+      docs.select(col("doc_id"),
+          graft.functions.ngrams(col("text"), 2).as(Seq("pos", "e")))
+        .select(col("doc_id"), col("e")),
       "gmh", NgramHashes, "gmh")
     val bandStructs = (0 until NgramBands).map { b =>
       val cols = (b * NgramRowsPerBand until (b + 1) * NgramRowsPerBand)
@@ -769,7 +780,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val g = bigramSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = ngramBanded(g)
+    val bands = ngramBanded(docs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

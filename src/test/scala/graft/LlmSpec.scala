@@ -429,7 +429,7 @@ class LlmSpec extends SparkSpec {
     val n = d.count()
     val allPairs = n * (n - 1) / 2
     // the PRODUCTION banding derivation (not an inline copy — ADVICE r6)
-    val bands = Dedup.ngramBanded(Dedup.bigramSets(d))
+    val bands = Dedup.ngramBanded(d)
     // hottest (band, hash) bucket stays a sliver of the corpus — the
     // property the (source, len_band) block could not offer (few sources
     // × concentrated lengths → one block of size O(n))
