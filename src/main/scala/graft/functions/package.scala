@@ -66,6 +66,16 @@ package object functions {
     GraftBridge.column(NGramGenerator(GraftBridge.expression(text), n))
   }
 
+  /** Sliding n-grams pre-hashed to their `hexLen`-hex-char md5-prefix
+    * BIGINT keys, as (pos, gram_h) rows — `ngrams` fused with the
+    * `fp60`-style content key for pipelines that never touch the gram
+    * text (decontamination). Row-for-row equal to
+    * `ngrams(text, n)` + `conv(substring(md5(gram), 1, hexLen), 16, 10)`. */
+  def ngram_hashes(text: Column, n: Int, hexLen: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(NGramHashGenerator(GraftBridge.expression(text), n, hexLen))
+  }
+
   /** Non-overlapping `n`-token chunks (with partial tail) as
     * (chunk, chunk_text) rows — the strided sibling of `ngrams`;
     * chunks materialize inside the scan projection (the composed form

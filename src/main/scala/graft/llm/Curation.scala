@@ -170,8 +170,17 @@ object Curation {
     * The probe is a left join keyed on the gram: the eval side is the
     * small curated benchmark — it broadcasts at scale. Returns
     * (doc_id, n_grams, n_contam) for flagged train docs only. */
+  /** (doc_id, gram_h) rows: sliding n-grams pre-hashed to their
+    * 60-bit content keys by the fused `ngram_hashes` Generator — no
+    * gram STRING ever reaches a row buffer (round 7; row-for-row
+    * equal to `ngramRows` + `fp60`, FunctionsSpec pins it). */
+  private def gramHashRows(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
+      .select(col("doc_id"), col("gram_h"))
+
   def decontaminate(docs: DataFrame, evalPred: Column, n: Int = 8): DataFrame = {
-    // Grams are hashed to 60-bit keys INSIDE the generator projection:
+    // Grams are hashed to 60-bit keys INSIDE the generator itself:
     // everything downstream (distinct, semi/anti joins, the probe join)
     // shuffles 8-byte longs, never the n-gram strings. They feed BOTH
     // the eval-gram set and the train side — persist, or each reference
@@ -179,8 +188,7 @@ object Curation {
     // discipline as Dedup.nearDupPairs); the result is materialized
     // eagerly below so the cache can be dropped before returning
     // (a long-lived session would otherwise leak it per invocation).
-    val grams = ngramRows(docs, n)
-      .select(col("doc_id"), fp60(col("gram")).as("gram_h"))
+    val grams = gramHashRows(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalIds = docs.filter(evalPred).select(col("doc_id"))
     val ev = grams.join(evalIds, Seq("doc_id"), "left_semi").select(col("gram_h")).distinct()
@@ -213,8 +221,7 @@ object Curation {
     * from the unfiltered per-doc distinct counts. */
   def decontaminateBloom(
       docs: DataFrame, evalPred: Column, n: Int = 8, fpp: Double = 0.01): DataFrame = {
-    val grams = ngramRows(docs, n)
-      .select(col("doc_id"), fp60(col("gram")).as("gram_h"))
+    val grams = gramHashRows(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalIds = docs.filter(evalPred).select(col("doc_id"))
     val ev = grams.join(evalIds, Seq("doc_id"), "left_semi").select(col("gram_h")).distinct()

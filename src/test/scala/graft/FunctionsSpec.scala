@@ -277,6 +277,27 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1L).nonEmpty)
   }
 
+  test("ngram_hashes generator == ngrams + md5-prefix conv, row for row") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val fused = docs.select(col("doc_id"),
+        graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("pos", "gram_h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val composed = docs.select(col("doc_id"),
+        graft.functions.ngrams(col("text"), 8).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fused === composed)
+    assert(fused.nonEmpty)
+    // non-ASCII tokens hash over UTF-8 bytes identically
+    val uni = Seq((1L, "résumé naïve ça va bien aujourd'hui mon ami voilà")).toDF("doc_id", "text")
+    val f2 = uni.select(graft.functions.ngram_hashes(col("text"), 2, 15).as(Seq("p", "h")))
+      .select("h").as[Long].collect().toSet
+    val c2 = uni.select(graft.functions.ngrams(col("text"), 2).as(Seq("p", "g")))
+      .select(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")).as[Long].collect().toSet
+    assert(f2 === c2)
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))
