@@ -285,6 +285,29 @@ object FailureModel {
       } finally f.unpersist()
     },
 
+    // M2 early-stopping variant (round 7): GBT trained against the
+    // chronological validation fold with validationIndicatorCol —
+    // the engine counterpart of the reference appendix's
+    // early_stopping_rounds=30 (Appendix_model_training_xgboost.py:
+    // 117-125). Emits the stopping evidence (trees used vs budget)
+    // plus the same operational metrics as ml_e2e_metrics. MLlib
+    // training internals are not SQL-expressible → no oracle; MLSpec
+    // pins halt-before-maxIter on planted noise and the PR-AUC band.
+    Q.noOracle("ml_e2e_early_stop") { (s, dir) =>
+      import s.implicits._
+      val f = feat(s, dir).cache()
+      try {
+        val trainDf = TrainingData.downsampled(TrainingData.train(f), ratio = 100.0)
+        val maxIter = 30
+        val model = trainWithEarlyStop(trainDf, TrainingData.valid(f), maxIter = maxIter)
+        val scoredValid = score(model, TrainingData.valid(f)).cache()
+        val tau = selectThreshold(scoredValid)
+        val auc = prAuc(scoredValid)
+        Seq((model.getNumTrees.toLong, maxIter.toLong, auc, tau))
+          .toDF("trees_used", "trees_budget", "pr_auc", "threshold")
+      } finally f.unpersist()
+    },
+
     // M5 completed: PER-ROW explanations (the reference's per-alert
     // SHAP values, 05_SHAP_alert_explanation.py:129-149) — Saabas
     // tree-path attributions over the broadcast ensemble, distributed,
