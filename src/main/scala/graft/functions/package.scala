@@ -66,6 +66,20 @@ package object functions {
     GraftBridge.column(NGramGenerator(GraftBridge.expression(text), n))
   }
 
+  /** The complete banded-minhash LSH keys of a document in one
+    * map-side pass: `as.size / rowsPerBand` md5-hex band hashes over
+    * affine minhash signatures of the text's sliding n-grams (n = 1 ⇒
+    * tokens). Bit-identical to the composed explode → affine-min
+    * aggregate → md5(concat_ws) pipeline (Dedup keeps that as the
+    * baseline); null / <n-token text → null. */
+  def minhash_band_hashes(
+      text: Column, n: Int, seed: String,
+      as: Seq[Long], bs: Seq[Long], prime: Long, rowsPerBand: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(MinHashBandHashes(
+      GraftBridge.expression(text), n, seed, as, bs, prime, rowsPerBand))
+  }
+
   /** Sliding n-grams pre-hashed to their `hexLen`-hex-char md5-prefix
     * BIGINT keys, as (pos, gram_h) rows — `ngrams` fused with the
     * `fp60`-style content key for pipelines that never touch the gram

@@ -154,6 +154,19 @@ object Dedup {
     affineSigSql("mh", NumHashes, "mh",
       "SELECT doc_id, unnest(toks) AS e FROM toks")
 
+  /** One row per (doc, band) straight from the text — the whole LSH
+    * key derivation (gram hashing, affine minhash, per-band md5) fused
+    * into ONE map-side expression (round 7): no gram rows, no exploded
+    * exchange, no doc_id-keyed aggregate. `banded(signatures(…))`
+    * below is the composed baseline it is pinned bit-identical to. */
+  private[graft] def tokenBanded(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.minhash_band_hashes(
+        col("text"), 1, "mh:",
+        (0 until NumHashes).map(i => mhA("mh", i)),
+        (0 until NumHashes).map(i => mhB("mh", i)),
+        MinHashPrime, RowsPerBand)).as(Seq("band_idx", "band_hash")))
+
   /** One row per (doc, band): band hash = md5 of the band's r signature
     * values. Only full-band agreement creates a candidate. */
   def banded(sig: DataFrame): DataFrame = {
@@ -189,7 +202,7 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
     val toks = tokenized(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = banded(signatures(toks))
+    val bands = tokenBanded(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -762,7 +775,18 @@ object Dedup {
     * the IDENTICAL signatures the oracle computes over list_distinct
     * grams. The gram arrays are now built only where sets are really
     * needed: the exact-Jaccard verify. */
-  private[graft] def ngramBanded(docs: DataFrame): DataFrame = {
+  private[graft] def ngramBanded(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.minhash_band_hashes(
+        col("text"), 2, "gmh:",
+        (0 until NgramHashes).map(i => mhA("gmh", i)),
+        (0 until NgramHashes).map(i => mhB("gmh", i)),
+        MinHashPrime, NgramRowsPerBand)).as(Seq("band_idx", "band_hash")))
+
+  /** The composed form of `ngramBanded` — generator gram rows →
+    * affine-min aggregate → md5 band hashes — kept as the verified
+    * baseline for the fused expression. */
+  private[graft] def ngramBandedComposed(docs: DataFrame): DataFrame = {
     val sig = affineSignatures(
       docs.select(col("doc_id"),
           graft.functions.ngrams(col("text"), 2).as(Seq("pos", "e")))
@@ -780,7 +804,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val g = bigramSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the candidate self-join reads it twice, and with the
+    // fused map-only derivation there is no agg exchange left for
+    // Spark to reuse across the two sides
     val bands = ngramBanded(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -798,6 +826,7 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
       .localCheckpoint()
     g.unpersist()
+    bands.unpersist()
     out
   }
 }

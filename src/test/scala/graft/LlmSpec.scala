@@ -47,6 +47,24 @@ class LlmSpec extends SparkSpec {
       "unrelated doc is not farther than the near-dup")
   }
 
+  test("fused minhash band hashes == composed explode/agg/md5 pipeline, both tiers, bit for bit") {
+    for (dir <- Seq(sf("sf0.01"), Bench.lshFixture(spark, sf("sf0.001")))) {
+      val d = Tables.documents(spark, dir)
+      // token tier: fused expression vs banded(signatures(tokenized(…)))
+      val nativeTok = Dedup.tokenBanded(d)
+        .as[(Long, Int, String)].collect().toSet
+      val composedTok = Dedup.banded(Dedup.signatures(Dedup.tokenized(d)))
+        .as[(Long, Int, String)].collect().toSet
+      assert(nativeTok === composedTok, s"token band hashes diverge on $dir")
+      // bigram tier: fused expression vs generator + affine agg + md5
+      val nativeGram = Dedup.ngramBanded(d)
+        .as[(Long, Int, String)].collect().toSet
+      val composedGram = Dedup.ngramBandedComposed(d)
+        .as[(Long, Int, String)].collect().toSet
+      assert(nativeGram === composedGram, s"bigram band hashes diverge on $dir")
+    }
+  }
+
   test("native simhash signatures == explode/aggregate and HOF baselines, bit for bit") {
     // 60-bit: native map-only expression vs the round-5 explode+agg
     // pipeline — on the real corpus AND the planted bench fixture
