@@ -44,12 +44,13 @@ object PlanAudit {
     val docs = Tables.documents(spark, sfDir)
     audit("srpBanded", llm.Similarity.srpBanded(emb))
     audit("srpBandedCandidates", llm.Similarity.srpBandedCandidates(emb))
-    // round-7 native signature paths: the simhash signatures must stay
-    // MAP-ONLY (0 shuffles); ngramBanded is exactly 1 (the doc_id-keyed
-    // affine-min aggregate — generator rows, no gram-array build)
+    // round-7 native signature paths: EVERY LSH tier's key derivation
+    // must stay MAP-ONLY (0 shuffles) — simhash signatures and both
+    // fused minhash banded-key expressions
     audit("simhashed64(native)", llm.Dedup.simhashed64(docs))
     audit("simhashed(native16)", llm.Dedup.simhashed(docs))
-    audit("ngramBanded(generator)", llm.Dedup.ngramBanded(docs))
+    audit("tokenBanded(fused)", llm.Dedup.tokenBanded(docs))
+    audit("ngramBanded(fused)", llm.Dedup.ngramBanded(docs))
     // NOTE: nearDupPairsByCosine / annJoin / ngramJaccardPairs /
     // decontaminate localCheckpoint their results (storage hygiene), so
     // auditing the RETURNED frame shows a checkpoint scan; the numbers
