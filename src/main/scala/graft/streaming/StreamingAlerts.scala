@@ -89,6 +89,77 @@ object StreamingAlerts {
       s.table(name).orderBy(col("event_id"))
     },
 
+    // STREAM-STATIC enrichment join under the oracle (round 7): the
+    // standard serving-time shape — an unbounded stream joined per
+    // micro-batch to a bounded dimension (here a per-user profile
+    // aggregated in batch; at scale the static side broadcasts, and
+    // the stream side never shuffles on a stream-static equi-join).
+    // The finite replay must hash-match the batch join.
+    Q("streaming_enrich_join",
+      """WITH prof AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |         ROUND(AVG(value), 6) + 0 AS user_avg
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, p.n_obs, p.user_avg,
+        |       CASE WHEN e.value > p.user_avg THEN 1 ELSE 0 END AS above_avg
+        |FROM events e JOIN prof p USING (user_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val static = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_obs"),
+          (round(avg(col("value")), 6) + lit(0.0)).as("user_avg"))
+      val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .join(static, "user_id")
+        .select(col("event_id"), col("user_id"), col("n_obs"), col("user_avg"),
+          when(col("value") > col("user_avg"), 1).otherwise(0).as("above_avg"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("event_id"))
+    },
+
+    // STREAM-STREAM interval join under the oracle (round 7): two
+    // unbounded sides — per-user raw-threshold alerts joined to the
+    // error events that follow within 1 day. Both sides watermarked so
+    // the join state ages out (bounded by rate × horizon); inner
+    // matches emit as they occur, so the finite replay equals the
+    // batch interval join the oracle runs. The half-open bound
+    // (>) / (<=) is pinned on both engines.
+    Q("streaming_alert_error_join",
+      s"""WITH a AS (
+         |  SELECT user_id, event_id AS alert_id, ts AS alert_ts
+         |  FROM events WHERE value >= ${Telemetry.Tau}),
+         |e AS (
+         |  SELECT user_id, event_id AS error_id, ts AS error_ts
+         |  FROM events WHERE event_type = '${Telemetry.FailureType}')
+         |SELECT a.user_id, a.alert_id, e.error_id
+         |FROM a JOIN e ON a.user_id = e.user_id
+         | AND e.error_ts > a.alert_ts
+         | AND e.error_ts <= a.alert_ts + INTERVAL 1 DAY
+         |ORDER BY alert_id, error_id""".stripMargin) { (s, dir) =>
+      val alerts = eventsStream(s, dir)
+        .filter(col("value") >= Telemetry.Tau)
+        .select(col("user_id"), col("event_id").as("alert_id"), col("ts").as("alert_ts"))
+        .withWatermark("alert_ts", "1 day")
+      val errors = eventsStream(s, dir)
+        .filter(col("event_type") === Telemetry.FailureType)
+        .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"),
+          col("ts").as("error_ts"))
+        .withWatermark("error_ts", "1 day")
+      val name = "stream_ss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = alerts.join(errors,
+          col("user_id") === col("e_user_id") &&
+            col("error_ts") > col("alert_ts") &&
+            col("error_ts") <= col("alert_ts") + expr("INTERVAL 1 DAY"))
+        .select(col("user_id"), col("alert_id"), col("error_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("alert_id"), col("error_id"))
+    },
+
     // STREAMING DEDUP under the oracle: dropDuplicatesWithinWatermark
     // keyed (user_id, day) through the real streaming engine (state one
     // entry per in-horizon key, emitted on first sight — append mode
