@@ -201,6 +201,44 @@ object Ingest {
         .orderBy(col("l_linestatus"))
     },
 
+    // SCHEMA EVOLUTION scan (round 7): a long-lived 100 TB table
+    // accretes files written under different schema versions — the
+    // engine must read all generations as ONE table, null-filling
+    // columns absent from older files (the alternative, rewriting
+    // petabytes on every column add, is not a plan). Two parquet
+    // generations are written (v1 lacks o_orderstatus, v2 carries it)
+    // and read back with mergeSchema; the oracle replays the
+    // generation split on the original table, so the check proves the
+    // merged read recovers exactly the union with nulls where v1 had
+    // no column.
+    Q("parquet_schema_evolution",
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT COALESCE(o_orderstatus, 'pre_v2') AS status,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM unioned
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val path = tmp("orders_evolution")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice")) // generation v1: no status column
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/v1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+        .groupBy(coalesce(col("o_orderstatus"), lit("pre_v2")).as("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").as("total"))
+        .orderBy(col("status"))
+    },
+
     // Hive-layout partitioned sink + partition-pruned scan — THE 100 TB
     // layout lever: a day-filtered read of a day-partitioned table
     // touches 1/|days| of the files (PartitionFilters, asserted in
