@@ -119,6 +119,32 @@ object Curation {
         sum(when(col("ndocs") >= 2, 1).otherwise(0)).cast("long").as("n_boilerplate"))
   }
 
+  /** Boilerplate REMOVAL (round 7; `boilerplateChunks` above only
+    * detects): drop every chunk appearing in ≥ 2 distinct docs and
+    * reassemble each doc's surviving text in chunk order. The
+    * reassembly sorts (chunk, text) structs — collect_list alone has
+    * no order guarantee across merges. Two keyed shuffles (chunk_h
+    * count + the doc_id reassembly aggregate); text moves only for
+    * kept chunks. A doc whose every chunk is boilerplate disappears —
+    * the corpus-cleaning semantics (both engines share the rule:
+    * aggregation over zero kept rows emits nothing). */
+  def stripBoilerplate(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"),
+        graft.functions.chunks(col("text"), chunkTokens).as(Seq("chunk", "chunk_text")))
+      .withColumn("chunk_h", fp60(col("chunk_text")))
+    val cc = chunks.groupBy(col("chunk_h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks.join(cc, "chunk_h")
+      .filter(col("ndocs") < 2)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk"), col("chunk_text")))),
+            x => x.getField("chunk_text")), " ").as("clean_text"))
+  }
+
   /** Composed-built-ins chunking (posexplode → groupBy(doc, chunk) →
     * order-restoring sort) — the reference the native ChunkGenerator
     * is verified against, row for row. */
@@ -482,6 +508,49 @@ object Curation {
          |GROUP BY c.doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       boilerplateChunks(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // Boilerplate removal under the oracle: the corpus is planted with
+    // a shared 10-token header (every %3 doc gets the SAME prefix, so
+    // its first chunk is cross-doc boilerplate by construction), then
+    // stripped; the oracle rebuilds the identical kept text with
+    // string_agg ORDER BY chunk, and the 32-bit fingerprint pins the
+    // reassembled bytes, not just the counts.
+    Q("corpus_strip_boilerplate", {
+      val header = "shared legal header boilerplate line repeated across many documents verbatim"
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN '$header ' || text ELSE text END AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id, string_split(text, ' ') AS l FROM planted),
+         |tok AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l FROM base),
+         |tk AS (SELECT doc_id, pos, l[pos] AS t, (pos - 1) // 10 AS chunk FROM tok),
+         |chunks AS (SELECT doc_id, chunk, string_agg(t, ' ' ORDER BY pos) AS chunk_text
+         |           FROM tk GROUP BY doc_id, chunk),
+         |withh AS (SELECT doc_id, chunk, chunk_text,
+         |                 ${fp60Sql("chunk_text")} AS chunk_h
+         |          FROM chunks),
+         |cc AS (SELECT chunk_h, COUNT(DISTINCT doc_id) AS ndocs FROM withh GROUP BY chunk_h),
+         |kept AS (SELECT w.doc_id, w.chunk, w.chunk_text
+         |         FROM withh w JOIN cc USING (chunk_h) WHERE cc.ndocs < 2)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(length(string_agg(chunk_text, ' ' ORDER BY chunk)) AS BIGINT) AS clean_len,
+         |       CAST(concat('0x', substr(md5(string_agg(chunk_text, ' ' ORDER BY chunk)), 1, 8)) AS BIGINT) AS clean_fp
+         |FROM kept GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val header = "shared legal header boilerplate line repeated across many documents verbatim"
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(header + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      stripBoilerplate(planted)
+        .select(
+          col("doc_id"), col("n_kept"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          fp(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
     },
 
     // doc_id % 7 == 0 plays the held-out eval slice. The gram is hashed

@@ -177,11 +177,12 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
   }
-  private val bandedSql: String =
+  private def bandedSqlFrom(sigRel: String): String =
     (0 until Bands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"mh$i")
-      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', ${cols.mkString(", ")})) AS band_hash FROM sig"
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', ${cols.mkString(", ")})) AS band_hash FROM $sigRel"
     }.mkString(" UNION ALL ")
+  private val bandedSql: String = bandedSqlFrom("sig")
 
   /** Banded-LSH near-dup pairs, verified with exact Jaccard.
     *
@@ -416,6 +417,41 @@ object Dedup {
         coalesce(col("keep_id"), lit(-1L)).as("dup_of"))
   }
 
+  /** Incremental NEAR-dup (delta-vs-corpus banded index) — the
+    * production ingest shape for near-duplicates, completing
+    * `incrementalDedup` (exact tier): the corpus's banded minhash
+    * index (maintained at ingest; at scale bucketed by
+    * (band_idx, band_hash)) is probed by the NEW batch's bands only —
+    * the corpus never rescans, only the delta shuffles. Candidates
+    * verify with exact token-set Jaccard; each delta doc reports
+    * 'near_dup' with its deterministic min-id corpus victor, or
+    * 'new'. */
+  def incrementalNearDedup(
+      corpus: DataFrame, delta: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val cand = tokenBanded(delta).as("d")
+      .join(tokenBanded(corpus).as("c"),
+        col("d.band_idx") === col("c.band_idx") &&
+          col("d.band_hash") === col("c.band_hash"))
+      .select(col("d.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val dups = cand
+      .join(tokenized(delta).select(col("doc_id").as("delta_id"), col("toks").as("dt")),
+        "delta_id")
+      .join(tokenized(corpus).select(col("doc_id").as("corpus_id"), col("toks").as("ct")),
+        "corpus_id")
+      .filter(round(graft.functions.jaccard_similarity(col("dt"), col("ct")), 6)
+        >= threshold)
+      .groupBy(col("delta_id"))
+      .agg(min(col("corpus_id")).as("dup_of"))
+    delta.select(col("doc_id"))
+      .join(dups.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("dup_of").isNull, "new").otherwise("near_dup").as("status"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
   /** The declared cluster fixture: a deterministic 3-link chain per
     * document (id — id+1M — id+2M): a-b and b-c dup edges WITHOUT a
     * direct a-c edge, so the cluster only collapses if transitivity
@@ -563,6 +599,61 @@ object Dedup {
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" appended revision")).as("text")))
       incrementalDedup(docs, delta).orderBy(col("doc_id"))
+    },
+
+    // Incremental NEAR-dedup: the delta batch (exact copies, light
+    // revisions, genuinely novel texts) probes the corpus's BANDED
+    // minhash index — candidates only where a full band agrees, exact
+    // Jaccard verify, deterministic min-id corpus victor. Fully
+    // oracle-checked: both sides' banding and the verify replay in SQL.
+    Q("dedup_incremental_near", {
+      val ctoksSql = "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"
+      val dtoksSql = "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM delta"
+      s"""WITH delta AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text || ' appended revision' AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |         'completely novel content payload ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |ctoks AS ($ctoksSql),
+         |dtoks AS ($dtoksSql),
+         |csig AS (${affineSigSql("mh", NumHashes, "mh", "SELECT doc_id, unnest(toks) AS e FROM ctoks")}),
+         |dsig AS (${affineSigSql("mh", NumHashes, "mh", "SELECT doc_id, unnest(toks) AS e FROM dtoks")}),
+         |cbands AS (${bandedSqlFrom("csig")}),
+         |dbands AS (${bandedSqlFrom("dsig")}),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+         |  FROM dbands d JOIN cbands c
+         |    ON d.band_idx = c.band_idx AND d.band_hash = c.band_hash),
+         |dup AS (
+         |  SELECT delta_id, MIN(corpus_id) AS dup_of
+         |  FROM cand
+         |  JOIN dtoks dt ON dt.doc_id = delta_id
+         |  JOIN ctoks ct ON ct.doc_id = corpus_id
+         |  WHERE ROUND(len(list_intersect(dt.toks, ct.toks)) * 1.0 /
+         |        (len(dt.toks) + len(ct.toks) - len(list_intersect(dt.toks, ct.toks))), 6)
+         |        >= $JaccardThreshold
+         |  GROUP BY delta_id)
+         |SELECT d.doc_id,
+         |       CASE WHEN u.dup_of IS NULL THEN 'new' ELSE 'near_dup' END AS status,
+         |       COALESCE(u.dup_of, -1) AS dup_of
+         |FROM delta d LEFT JOIN dup u ON d.doc_id = u.delta_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" appended revision")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("completely novel content payload "),
+              col("doc_id").cast("string")).as("text")))
+      incrementalNearDedup(docs, delta).orderBy(col("doc_id"))
     },
 
     // Dup-pair graph → clusters: min-label propagation vs a recursive-

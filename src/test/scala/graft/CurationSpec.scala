@@ -80,6 +80,27 @@ class CurationSpec extends SparkSpec {
       Seq((0, "a b"), (1, "c d"), (2, "e")))
   }
 
+  test("stripBoilerplate removes the shared chunk, keeps unique tails, drops all-boilerplate docs") {
+    import graft.llm.Curation
+    import spark.implicits._
+    // 10-token shared header = exactly one chunk; unique 10-token tails
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    def tail(seed: String) = (1 to 10).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$header ${tail("a")}"),
+      (2L, s"$header ${tail("b")}"),
+      (3L, header), // ONLY the shared chunk — must disappear entirely
+      (4L, tail("c"))) // no boilerplate — passes through whole
+      .toDF("doc_id", "text")
+    val out = Curation.stripBoilerplate(docs)
+      .select("doc_id", "n_kept", "clean_text").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet === Set(1L, 2L, 4L), s"got ${out.keySet}")
+    assert(out(1L) === (1L, tail("a")))
+    assert(out(2L) === (1L, tail("b")))
+    assert(out(4L) === (1L, tail("c")))
+  }
+
   test("boilerplate chunk counts are consistent with token counts") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))

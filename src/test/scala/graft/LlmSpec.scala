@@ -141,6 +141,22 @@ class LlmSpec extends SparkSpec {
       s"block-permuted candidates $newCand not well below 4x15 candidates $oldCand (true pairs $truePairs)")
   }
 
+  test("incremental NEAR-dedup: revisions match their corpus original via the banded index, novel text passes") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .select(col("doc_id"), col("text"))
+    val delta = docs(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact copy of 1
+      (101L, "one two three four five six seven eight nine ten eleven"),  // light revision of 2 (J=10/11)
+      (102L, "completely unrelated novel payload tokens here now"))       // new
+      .select(col("doc_id"), col("text"))
+    val got = Dedup.incrementalNearDedup(corpus, delta, threshold = 0.85)
+      .select("doc_id", "status", "dup_of").as[(Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (100L, "near_dup", 1L), (101L, "near_dup", 2L), (102L, "new", -1L)), s"got $got")
+  }
+
   test("incremental dedup: delta dups point at the canonical corpus doc, new content passes") {
     val corpus = docs(
       (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "alpha beta gamma"))
