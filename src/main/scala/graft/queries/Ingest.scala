@@ -22,8 +22,13 @@ import graft.{Q, Tables}
   */
 object Ingest {
 
+  /** Per-JVM unique scratch root: two concurrent driver processes
+    * (parallel suites, two Verify runs) must never write-then-read the
+    * same sink path (the round-6 IVF race, fixed for every scratch
+    * writer). */
+  private val session: String = java.util.UUID.randomUUID().toString.take(8)
   private def tmp(name: String): String =
-    Paths.get(sys.props("java.io.tmpdir"), "graft_qtmp", name).toString
+    Paths.get(sys.props("java.io.tmpdir"), "graft_qtmp", s"ingest_$session", name).toString
 
   /** Explicit schema for the CSV round-trip subset — schema comes from
     * the engine, never from a sampling pass (SURVEY §1.6). */

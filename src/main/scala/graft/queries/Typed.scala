@@ -53,6 +53,33 @@ object Typed {
            |ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // SQL front door for the CURATION tier (round 7): the native
+    // n-gram Generator driven entirely through spark.sql — SQL
+    // registration (registerAll / GraftExtensions) + LATERAL VIEW is
+    // the surface a SQL-only user gets, and it must produce the same
+    // rows the Column API does (the oracle rebuilds the bigrams with
+    // DuckDB list arithmetic). Docs with < 2 tokens emit no grams on
+    // either engine.
+    Q("sql_frontdoor_ngrams",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+        |      FROM t WHERE len(w) >= 2)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.registerAll(s)
+      val v = "docs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables.documents(s, dir).createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT doc_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+           |FROM $v LATERAL VIEW ngrams(text, 2) t AS pos, gram
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+
     // Typed Dataset path: case-class Encoders + groupByKey/mapGroups
     // imperative per-group fold. Exactness discipline: values carry 2
     // decimals, so the fold sums LONG CENTS (associative, order-free)
