@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.Paths
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -204,6 +204,37 @@ object Ingest {
           count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double").as("total"))
         .orderBy(col("l_linestatus"))
+    },
+
+    // CORRUPT-FILE tolerance (round 7): at a million files, a truncated
+    // or garbage file WILL exist, and one broken footer must not kill
+    // the scan (the file-source twin of csv_permissive_badrows' row-
+    // level story). A garbage .parquet is planted next to the good
+    // files; the read opts into ignoreCorruptFiles (the per-read
+    // OPTION, not the session conf — no cross-query blast radius) and
+    // must recover exactly the good rows, proven by the oracle over
+    // the original table. FAILFAST default behavior (the read throws
+    // without the option) is asserted in OperatorsSpec.
+    Q("parquet_ignore_corrupt",
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val path = tmp("customer_corrupt")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      Files.write(
+        Paths.get(path, "part-99999-garbage.parquet"),
+        "this is not a parquet file".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.read.option("ignoreCorruptFiles", "true").parquet(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(30,6)")).cast("double").as("total_bal"))
+        .orderBy(col("c_mktsegment"))
     },
 
     // SCHEMA EVOLUTION scan (round 7): a long-lived 100 TB table

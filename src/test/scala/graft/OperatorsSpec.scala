@@ -126,4 +126,20 @@ class OperatorsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("corrupt parquet file: default read throws, ignoreCorruptFiles recovers the good rows") {
+    val path = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val n = Tables.region(spark, sf("sf0.001")).count()
+    Tables.region(spark, sf("sf0.001")).write.mode("overwrite").parquet(path)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-99999-garbage.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    // default: the broken footer fails the scan (fail-loud is the default)
+    val e = intercept[Exception] {
+      spark.read.parquet(path).count()
+    }
+    assert(e.getMessage != null)
+    // opted in: the scan skips the corrupt file, good rows intact
+    assert(spark.read.option("ignoreCorruptFiles", "true").parquet(path).count() === n)
+  }
 }
