@@ -52,19 +52,18 @@ object SparkEntry {
     "join_broadcast_dim",
     "join_fact_fact",
     "dedup_exact",
-    // dedup_minhash_pairs stays OUT of the headline: the synthetic corpus
-    // is degenerate for LSH (nearly ALL pairs share J≥0.85 vocabulary, so
-    // candidates ≈ all pairs — a property of the data, not the plan).
-    // It remains correctness-checked at sf0.01.
     "dedup_simhash",
     "embed_cosine_topk",
     "text_quality",
     // LLM tier (round 7, VERDICT r6 task 1): the differentiating
-    // surface is measured round-over-round too. The two candidate-pair
+    // surface is measured round-over-round too. The three candidate-pair
     // LSH queries run on Bench's planted fixture (~5% dup rate) — on
-    // the raw vocabulary-dense corpus their cost is the all-similar
-    // data pathology, not the plan (see dedup_minhash_pairs note).
+    // the raw vocabulary-dense corpus their cost would be the all-similar
+    // data pathology (nearly every pair shares J≥0.85 vocabulary, so
+    // candidates ≈ all pairs), not the plan. dedup_minhash_pairs joined
+    // in round 8 (VERDICT r7 task 2) now that the fixture exists.
     "corpus_training_ready",
+    "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "embed_ann_join",

@@ -27,7 +27,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *
   * Null semantics mirror the composed form: null input → null; a null
   * ELEMENT poisons every projection (`x * w` → null → `when(null >= 0)`
-  * falls to otherwise(0)), so every signature is 0.
+  * falls to otherwise(0)), so every signature is 0. A vector whose
+  * length differs from the plane dimension is treated the same way:
+  * `zip_with` pads the shorter side with nulls, which poisons the fold
+  * exactly like a null element, so the native path emits all-zero
+  * signatures rather than a truncated partial dot product (ADVICE r7 —
+  * the earlier `min(n, dim)` loop silently diverged from the verified
+  * HOF semantics on malformed embeddings).
   */
 case class SrpBandSigs(
     child: Expression, weights: Seq[Seq[Double]], bits: Int)
@@ -49,24 +55,24 @@ case class SrpBandSigs(
   // the serialized expression (and once per codegen'd class reference)
   @transient private lazy val w: Array[Array[Double]] =
     weights.map(_.toArray).toArray
+  private val dim: Int = weights.head.size
 
   private def compute(arr: ArrayData): Array[Long] = {
     val sigs = new Array[Long](bands)
-    var hasNull = false
-    var d = 0
     val n = arr.numElements()
-    while (d < n && !hasNull) { hasNull = arr.isNullAt(d); d += 1 }
-    if (!hasNull) {
+    var poisoned = n != dim // length mismatch ≡ null padding in zip_with
+    var d = 0
+    while (d < n && !poisoned) { poisoned = arr.isNullAt(d); d += 1 }
+    if (!poisoned) {
       var b = 0
       while (b < bands) {
         var sig = 0L
         var j = 0
         while (j < bits) {
           val row = w(b * bits + j)
-          val dims = math.min(n, row.length)
           var acc = 0.0
           var i = 0
-          while (i < dims) { acc += arr.getDouble(i) * row(i); i += 1 }
+          while (i < n) { acc += arr.getDouble(i) * row(i); i += 1 }
           if (acc >= 0) sig |= (1L << j)
           j += 1
         }
@@ -89,7 +95,6 @@ case class SrpBandSigs(
       val b = ctx.freshName("b")
       val j = ctx.freshName("j")
       val row = ctx.freshName("row")
-      val dims = ctx.freshName("dims")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       val sig = ctx.freshName("sig")
@@ -97,16 +102,15 @@ case class SrpBandSigs(
       s"""
          |long[] $sigs = new long[$bands];
          |int $n = $a.numElements();
-         |boolean $hasNull = false;
+         |boolean $hasNull = $n != $dim;
          |for (int $d = 0; $d < $n && !$hasNull; $d++) { $hasNull = $a.isNullAt($d); }
          |if (!$hasNull) {
          |  for (int $b = 0; $b < $bands; $b++) {
          |    long $sig = 0L;
          |    for (int $j = 0; $j < $bits; $j++) {
          |      double[] $row = $wRef[$b * $bits + $j];
-         |      int $dims = java.lang.Math.min($n, $row.length);
          |      double $acc = 0.0;
-         |      for (int $i = 0; $i < $dims; $i++) { $acc += $a.getDouble($i) * $row[$i]; }
+         |      for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $row[$i]; }
          |      if ($acc >= 0) { $sig |= (1L << $j); }
          |    }
          |    $sigs[$b] = $sig;

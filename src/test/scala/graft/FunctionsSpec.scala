@@ -277,6 +277,35 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1L).nonEmpty)
   }
 
+  test("srp_band_sigs dim mismatch == HOF zip_with null-padding (zero sigs, not a truncated dot)") {
+    // ADVICE r7: the native loop used to truncate to min(n, dim) and emit a
+    // PARTIAL dot product on malformed vectors; zip_with pads the shorter
+    // side with null, poisoning the fold -> every signature 0. Pin both
+    // directions (short and long) against an inline HOF fold on the same
+    // tiny planes so the claimed bit-identity holds on malformed input too.
+    val planes = Seq(Seq(0.3, -0.1, 0.2), Seq(-0.4, 0.5, 0.1))
+    val df = Seq(
+      (1L, Seq(1.0, -2.0, 0.5)),      // matching dim: real signature
+      (2L, Seq(1.0, -2.0)),           // short: zip_with pads v with null
+      (3L, Seq(1.0, -2.0, 0.5, 9.0)) // long: zip_with pads the plane with null
+    ).toDF("vec_id", "v")
+    val native = df.select(col("vec_id"),
+      graft.functions.srp_band_sigs(col("v"), planes, 2).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hofSig = planes.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(
+        zip_with(col("v"), typedLit(p), (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L) * (1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val hof = df.select(col("vec_id"), hofSig.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(native(id) === Seq(hof(id)), s"vec $id: native ${native(id)} != HOF ${hof(id)}")
+    assert(native(2L) === Seq(0L) && native(3L) === Seq(0L),
+      "mismatched-dim vectors must yield all-zero signatures")
+    assert(native(1L) !== Seq(0L), "well-formed vector must produce a real signature")
+  }
+
   test("ngram_hashes generator == ngrams + md5-prefix conv, row for row") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val fused = docs.select(col("doc_id"),

@@ -48,7 +48,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("fused minhash band hashes == composed explode/agg/md5 pipeline, both tiers, bit for bit") {
-    for (dir <- Seq(sf("sf0.01"), Bench.lshFixture(spark, sf("sf0.001")))) {
+    for (dir <- Seq(sf("sf0.01"), Bench.lshFixtureCached(spark, sf("sf0.001")))) {
       val d = Tables.documents(spark, dir)
       // token tier: fused expression vs banded(signatures(tokenized(…)))
       val nativeTok = Dedup.tokenBanded(d)
@@ -68,7 +68,7 @@ class LlmSpec extends SparkSpec {
   test("native simhash signatures == explode/aggregate and HOF baselines, bit for bit") {
     // 60-bit: native map-only expression vs the round-5 explode+agg
     // pipeline — on the real corpus AND the planted bench fixture
-    for (dir <- Seq(sf("sf0.01"), Bench.lshFixture(spark, sf("sf0.001")))) {
+    for (dir <- Seq(sf("sf0.01"), Bench.lshFixtureCached(spark, sf("sf0.001")))) {
       val d = Tables.documents(spark, dir)
       val native = Dedup.simhashed64(d).as[(Long, Long)].collect().toMap
       val agg = Dedup.simhashed64Agg(d).as[(Long, Long)].collect().toMap
@@ -293,6 +293,28 @@ class LlmSpec extends SparkSpec {
       s"no partition filter in:\n${again.queryExecution.executedPlan}")
   }
 
+  test("IVF index cache keys on corpus content: rewritten corpus gets a fresh index (ADVICE r7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_fp").toString
+    def writeCorpus(n: Int): Unit =
+      Tables.embeddings(spark, sf("sf0.001")).limit(n)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      writeCorpus(80)
+      val b0 = Similarity.ivfBuildCount.get()
+      val p1 = Similarity.ivfIndexFor(spark, dir, nClusters = 4)
+      assert(Similarity.ivfBuildCount.get() === b0 + 1, "first touch must build")
+      assert(Similarity.ivfIndexFor(spark, dir, nClusters = 4) === p1)
+      assert(Similarity.ivfBuildCount.get() === b0 + 1, "unchanged corpus must not rebuild")
+      writeCorpus(60) // regenerate the corpus in place — listing/size change
+      val p2 = Similarity.ivfIndexFor(spark, dir, nClusters = 4)
+      assert(Similarity.ivfBuildCount.get() === b0 + 2,
+        "rewritten corpus served a stale index (fingerprint missing from cache key)")
+      assert(p2 !== p1, "new generation must not overwrite the old index path")
+      // the fresh index really reflects the new corpus: 60 vectors, not 80
+      assert(spark.read.parquet(s"$p2/assigned").count() === 60)
+    } finally Bench.deleteRecursively(dir)
+  }
+
   test("SRP hot-bucket diagnostic surfaces a planted degenerate bucket; quiet on the real corpus") {
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)
@@ -336,7 +358,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("bench LSH fixture: ~5% planted dup rate, disjoint background vocabulary, dups found") {
-    val dir = Bench.lshFixture(spark, sf("sf0.01"))
+    val dir = Bench.lshFixtureCached(spark, sf("sf0.01"))
     val orig = Tables.documents(spark, sf("sf0.01"))
     val fixture = Tables.documents(spark, dir)
     val n = orig.count()
