@@ -201,6 +201,38 @@ class CurationSpec extends SparkSpec {
       scrambled.exceptAll(first).count() === 0)
   }
 
+  test("declared domain cap plans a WindowGroupLimit (per-map top-cap before the shuffle)") {
+    // VERDICT r7 task 4: the rank filter's WindowGroupLimit is the thing
+    // bounding hot-domain shuffle input — it held empirically in r7, but a
+    // refactor (e.g. moving the long-cast) could silently lose it. Pin it.
+    val df = SparkEntry.queries("curation_domain_cap")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = collectPlan(df.queryExecution.executedPlan)
+    assert(plan.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
+      s"no WindowGroupLimit in:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("sharded domain cap == single-window cap row-for-row under a planted hot source") {
+    import graft.llm.Curation
+    val docs = Tables.documents(spark, sf("sf0.01"))
+      .withColumn("source",
+        when(col("doc_id") % 2 === 0, lit("hot.example")).otherwise(col("source")))
+      .select("doc_id", "source", "lang")
+    val cols = Seq("doc_id", "source", "lang", "rk", "rn")
+    val plain = Curation.domainCap(docs, cap = 15).selectExpr(cols: _*)
+    val sharded = Curation.domainCapSharded(docs, cap = 15, nShards = 8)
+      .selectExpr(cols: _*)
+    assert(plain.exceptAll(sharded).count() === 0L, "plain rows absent from sharded cap")
+    assert(sharded.exceptAll(plain).count() === 0L, "sharded rows absent from plain cap")
+    assert(plain.count() > 0)
+    // both rank filters (local pre-filter + global pass) group-limit
+    sharded.collect()
+    val wgls = collectPlan(sharded.queryExecution.executedPlan)
+      .count(_.getClass.getSimpleName.contains("WindowGroupLimit"))
+    assert(wgls >= 2,
+      s"expected 2 WindowGroupLimits, got $wgls:\n${sharded.queryExecution.executedPlan}")
+  }
+
   test("token packing tiles each source stream exactly") {
     val out = SparkEntry.queries("pack_token_bins")(spark, dir)
     // offsets stay inside the budget; bins are contiguous from 0
