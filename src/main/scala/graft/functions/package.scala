@@ -48,6 +48,16 @@ package object functions {
     GraftBridge.column(SimHashSig(GraftBridge.expression(toks), seed, bits, hexLen))
   }
 
+  /** All continuous random projections of an `array<double>` vector in
+    * ONE codegen'd pass (`weights` = hyperplane rows, driver constants)
+    * — the JL-reduction twin of `srp_band_sigs` (raw dot products, not
+    * sign bits). Bit-identical to the zip_with-fold composition. */
+  def rp_project(v: Column, weights: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(RpProject(
+      GraftBridge.expression(v.cast("array<double>")), weights))
+  }
+
   /** Codegen'd Unicode NFC normalization of a string column (canonical
     * composition; ASCII / already-NFC inputs pass through zero-copy).
     * The canonical first step of corpus ingest — content hashes and

@@ -206,9 +206,18 @@ object Similarity {
     * SRP buckets — the CONTINUOUS projection values instead of their
     * signs. The dimensionality-reduction compression lever (storage
     * and ANN-scan FLOPs scale with d), complementing int8 quantization
-    * (precision). Map-only; at 100 TB computed once at ingest. */
+    * (precision). Map-only; at 100 TB computed once at ingest.
+    * Production path is the native `rp_project` expression (one
+    * codegen'd loop over all planes — r8, the last HOF residual on a
+    * declared-query map side); `rpProjectHof` below is the composed
+    * fold baseline it is pinned bit-identical to (FunctionsSpec). */
   val RpDims = 16
   def rpProject(v: Column): Column =
+    graft.functions.rp_project(v, planeRows(0, RpDims))
+
+  /** Composed zip_with-fold form of `rpProject` (CodegenFallback HOFs)
+    * — kept as the verification baseline, like `srpBandedHof`. */
+  def rpProjectHof(v: Column): Column =
     array((0 until RpDims).map(p => srpProj(v, p)): _*)
 
   private def srpProjSql(p: Int, vexpr: String): String =

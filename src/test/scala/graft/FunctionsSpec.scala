@@ -306,6 +306,42 @@ class FunctionsSpec extends SparkSpec {
     assert(native(1L) !== Seq(0L), "well-formed vector must produce a real signature")
   }
 
+  test("native rp_project == HOF zip_with folds bit for bit; poisons like the fold; codegen") {
+    // r8 (VERDICT r7 task 7): the last HOF residual on a declared-query map
+    // side. Bit-identity on the real corpus (same accumulation order ⇒
+    // EXACT double equality, not approximate)...
+    val v = col("embedding").cast("array<double>")
+    val both = Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"),
+        Similarity.rpProject(v).as("n"), Similarity.rpProjectHof(v).as("h"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2),
+        s"vec ${r.getLong(0)}: native != HOF")
+    }
+    // ...poison semantics: null element and dim-mismatch both yield all-null
+    // projections (zip_with pads with null), never a truncated partial dot
+    val weird = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0)),  // wrong dim (Dim = 64)
+      (2L, Seq[java.lang.Double](1.0, null, 3.0))) // null element
+      .toDF("vec_id", "v")
+    val out = weird.select(col("vec_id"),
+        Similarity.rpProject(col("v")).as("n"), Similarity.rpProjectHof(col("v")).as("h"))
+      .collect()
+    out.foreach { r =>
+      val n = r.getSeq[Any](1); val h = r.getSeq[Any](2)
+      assert(n.size === Similarity.RpDims && n.forall(_ == null),
+        s"vec ${r.getLong(0)}: native must be all-null, got $n")
+      assert(n === h, s"vec ${r.getLong(0)}: native != HOF on malformed input")
+    }
+    // ...and the native path stays inside whole-stage codegen
+    val plan = Tables.embeddings(spark, sf("sf0.001"))
+      .select(Similarity.rpProject(v).as("rp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("ngram_hashes generator == ngrams + md5-prefix conv, row for row") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val fused = docs.select(col("doc_id"),
