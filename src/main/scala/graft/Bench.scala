@@ -45,24 +45,67 @@ object Bench {
     *    token stream plus one extra token) at doc_id + 10M.
     * Deterministic, map-only, written once per bench run to a unique
     * temp dir (no cross-run races). */
-  def lshFixture(spark: SparkSession, sfDir: String): String = {
-    val out = java.nio.file.Files.createTempDirectory("graft_bench_fixture").toString
+  def lshFixture(spark: SparkSession, sfDir: String): String =
+    lshFixtureScaled(spark, sfDir, 1)
+
+  /** doc_id span reserved per replica in the scaled fixture (base ids
+    * and their +10M dup twins both stay inside one span). */
+  val ReplicaSpan = 100000000L
+
+  /** `lshFixture` at `m`× scale (ScaleProbe, VERDICT r7 task 3):
+    * replica k shifts every doc_id by k·`ReplicaSpan` BEFORE salting,
+    * so each replica is internally an exact copy of the 1× fixture
+    * (same dup rate, same length/source mix) while sharing no
+    * vocabulary with any other replica — the corpus grows m-fold with
+    * per-bucket occupancy held constant, which is precisely the
+    * "bigger N, same data shape" axis a linear-scaling claim is
+    * about. */
+  def lshFixtureScaled(spark: SparkSession, sfDir: String, m: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft_bench_fixture_x$m").toString
     val docs = Tables.documents(spark, sfDir)
-    val salted = docs.select(
-      col("doc_id"), col("lang"), col("source"),
-      array_join(
-        transform(split(col("text"), " "), t => concat(t, lit("#"), col("doc_id"))),
-        " ").as("text"))
-    val dups = salted.filter(col("doc_id") % DupEvery === 0)
-      .select(
-        (col("doc_id") + 10000000L).as("doc_id"), col("lang"), col("source"),
-        concat(col("text"), lit(" xdup#"), col("doc_id")).as("text"))
-    salted.unionByName(dups)
+    val replicas = (0 until m).map { k =>
+      val shifted = docs.select(
+        (col("doc_id") + lit(k * ReplicaSpan)).as("doc_id"),
+        col("lang"), col("source"), col("text"))
+      val salted = shifted.select(
+        col("doc_id"), col("lang"), col("source"),
+        array_join(
+          transform(split(col("text"), " "), t => concat(t, lit("#"), col("doc_id"))),
+          " ").as("text"))
+      val dups = salted.filter(col("doc_id") % DupEvery === 0)
+        .select(
+          (col("doc_id") + 10000000L).as("doc_id"), col("lang"), col("source"),
+          concat(col("text"), lit(" xdup#"), col("doc_id")).as("text"))
+      salted.unionByName(dups)
+    }
+    replicas.reduce(_ unionByName _)
       .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/documents.parquet")
     out
+  }
+
+  /** Embeddings companion of `lshFixtureScaled`: replica k shifts
+    * vec_ids by k·`ReplicaSpan` and cyclically rotates the vector by k
+    * dimensions — norms and within-replica pairwise cosines are
+    * preserved exactly (each replica is the original corpus up to a
+    * coordinate permutation), while cross-replica pairs decorrelate
+    * like the near-orthogonal originals. Probes stay `vec_id < 8`
+    * (replica 0 only), so the probe count is scale-invariant — the
+    * declared `embed_ann_join` shape. */
+  def embFixtureScaled(spark: SparkSession, sfDir: String, m: Int, out: String): Unit = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val replicas = (0 until m).map { k =>
+      emb.select(
+        (col("vec_id") + lit(k * ReplicaSpan)).as("vec_id"),
+        expr(s"transform(sequence(0, size(embedding) - 1)," +
+          s" i -> embedding[(i + $k) % size(embedding)])").as("embedding"),
+        col("label"))
+    }
+    replicas.reduce(_ unionByName _)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/embeddings.parquet")
   }
 
   /** Test-facing fixture accessor: one build per source dir per JVM

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+
+/** Dev harness (VERDICT r7 task 3): one EMPIRICAL point for the LSH
+  * tiers' linear-scaling claims beyond sf0.1. Builds the planted bench
+  * fixture at 1× and `m`× (replicated doc_id spans with fresh salts /
+  * rotated embedding replicas — per-bucket occupancy held constant by
+  * construction, see `Bench.lshFixtureScaled`) and reports, per tier:
+  * input rows, banded rows, candidate work (Σ C(n,2) over band
+  * buckets — the self-join's row count driver), and min-of-k wall
+  * time of the DECLARED query shape. Linear growth in all four
+  * columns is the pass criterion recorded in PLANS.md.
+  *
+  * `sbt "runMain graft.ScaleProbe [sfDir] [m] [reps]"`.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val m = args.lift(1).map(_.toInt).getOrElse(10)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Σ over band buckets of C(n, 2): how many join-output rows the
+    // banded self-join produces before the distinct — the quantity that
+    // must grow ~linearly when N grows with bucket occupancy held flat
+    def bucketPairWork(banded: DataFrame, keys: Seq[String]): Long =
+      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) DIV 2")).cast("long")).head().getLong(0)
+
+    def timeMin(df: => DataFrame): Double = {
+      df.count() // warm: codegen + scan cache
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    for (scale <- Seq(1, m)) {
+      val dir = Bench.lshFixtureScaled(spark, sfDir, scale)
+      Bench.embFixtureScaled(spark, sfDir, scale, dir)
+      try {
+        val docs = Tables.documents(spark, dir)
+        val emb = Tables.embeddings(spark, dir)
+        val nDocs = docs.count()
+        val nVecs = emb.count()
+
+        // candidate-work metrics per tier (computed once, not timed)
+        val ngramBands = Dedup.ngramBanded(docs)
+        val ngramWork = bucketPairWork(ngramBands, Seq("band_idx", "band_hash"))
+        val simhashBands = Dedup.simhashBanded(Dedup.simhashed64(docs))
+        val simhashWork = bucketPairWork(simhashBands, Seq("band_idx", "band_bits"))
+        val tokenWork = bucketPairWork(Dedup.tokenBanded(docs), Seq("band_idx", "band_hash"))
+        val corpusBands = Similarity.srpBanded(emb)
+        val probeBands = Similarity.srpBanded(emb.filter(col("vec_id") < 8))
+        val annWork = probeBands.as("p")
+          .join(corpusBands.as("c"),
+            col("p.band_idx") === col("c.band_idx") &&
+              col("p.band_sig") === col("c.band_sig") &&
+              col("p.vec_id") =!= col("c.vec_id"))
+          .count()
+
+        // declared query shapes, timed (min of reps, same discipline as Bench)
+        val qs = Seq("dedup_ngram_jaccard", "dedup_simhash_pairs",
+          "dedup_minhash_pairs", "embed_ann_join")
+        val times = qs.map(q => q -> timeMin(SparkEntry.queries(q)(spark, dir)))
+        val outRows = qs.map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
+
+        println(f"SCALE x$scale%-3d docs=$nDocs%-7d vecs=$nVecs%-7d " +
+          f"ngramWork=$ngramWork%-9d simhashWork=$simhashWork%-9d " +
+          f"minhashWork=$tokenWork%-9d annWork=$annWork%-7d")
+        times.foreach { case (q, t) =>
+          println(f"SCALE x$scale%-3d TIME $q%-22s ${t}%8.3f s  rows=${outRows(q)}")
+        }
+      } finally Bench.deleteRecursively(dir)
+    }
+    spark.stop()
+  }
+}

@@ -331,7 +331,7 @@ object Dedup {
     * candidate PAIRS (quadratic), while 20n 12-byte rows stay linear.
     * `dedup_simhash_pairs` is in the bench headline so the trade is
     * tracked round-over-round (ADVICE r6). */
-  private def simhashBanded(sh: DataFrame): DataFrame = {
+  private[graft] def simhashBanded(sh: DataFrame): DataFrame = {
     val bandStructs = SimHashCombos.zipWithIndex.map { case (combo, ti) =>
       struct(lit(ti).as("band_idx"), comboKey(col("simhash"), combo).as("band_bits"))
     }
