@@ -169,6 +169,55 @@ object StreamingAlerts {
     // COUNT(DISTINCT user_id) per day — the same determinism discipline
     // that keeps `streamingDedup` (md5-keyed doc dedup, same operator
     // class) as a tested library function rather than a declared query.
+    // STREAMING SESSIONIZATION under the oracle: the stateful form of
+    // the batch gap rule (`operators.Sessionize`, 30-min gap) through
+    // flatMapGroupsWithState — per-user state is ONE open session
+    // (start/end/count/sum), so executor state is O(users), never
+    // O(history). A session is emitted the moment a gap-exceeding
+    // event closes it; the user's final session stays open at the end
+    // of the finite replay (on an unbounded stream it would close via
+    // event-time timeout), so the declared result — and the oracle —
+    // is the CLOSED sessions: every per-user session but the last.
+    // Same 1800 s strict-gt gap, same (ts, event_id) order, same
+    // decimal-sum convention as the batch `sessionize_rollup`, so the
+    // two engines must hash-match window for window.
+    Q("streaming_sessionize",
+      """WITH e AS (SELECT event_id, ts, user_id, value FROM events),
+        |s AS (
+        |  SELECT *,
+        |         CAST(SUM(CASE WHEN prev_ts IS NULL
+        |                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1
+        |                       ELSE 0 END)
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS session_id
+        |  FROM (SELECT *, LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM e)),
+        |r AS (
+        |  SELECT user_id, session_id,
+        |         COUNT(*) AS n_events,
+        |         MIN(ts) AS session_start,
+        |         MAX(ts) AS session_end,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT r.user_id, r.session_id, r.n_events,
+        |       r.session_start, r.session_end, r.session_value
+        |FROM r
+        |WHERE r.session_id < (SELECT MAX(session_id) FROM r r2 WHERE r2.user_id = r.user_id)
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val name = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streamingSessions(s, eventsStream(s, dir), gapSeconds = 1800L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          timestamp_micros(col("start_us")).as("session_start"),
+          timestamp_micros(col("end_us")).as("session_end"),
+          col("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
     Q("streaming_dedup_daily",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |       COUNT(DISTINCT user_id) AS n_unique_users
@@ -215,6 +264,69 @@ object StreamingAlerts {
       .withColumn("content_hash", md5(lower(col("text"))))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** One closed session (streaming output row; micros timestamps so
+    * the row stays a flat primitive tuple through the state encoder). */
+  final case class ClosedSession(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, session_value: Double)
+
+  /** Bounded per-user sessionization state: the single OPEN session
+    * (first/last event-time, count, 6-dp-scaled decimal sum carried as
+    * unscaled long — exact, order-independent addition matching the
+    * batch `sum(cast(decimal(30,6)))` convention) plus how many
+    * sessions this user has closed so far (the next session_id). */
+  final case class SessState(
+      startUs: Long, lastUs: Long, n: Long, sumMicro: Long, closed: Long)
+
+  /** Gap-rule sessionization as a stream: the stateful incremental form
+    * of `operators.Sessionize.withSessionIds` + its rollup. State per
+    * user is one open session — O(users) total, aged by the data
+    * itself (each event either extends or closes it), never by
+    * history. Emits a session exactly when an over-gap event closes
+    * it; the final open session per user is never emitted on a finite
+    * replay (the declared query's oracle excludes it too). Within a
+    * trigger the group's rows are sorted by (ts, event_id), the batch
+    * window's total order. */
+  def streamingSessions(
+      spark: SparkSession, events: DataFrame,
+      gapSeconds: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val base = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+
+    def micro(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[SessState]) =>
+          val sorted = rows.map { case (_, id, ts, v) => Obs(id, ts, v) }
+            .toSeq.sortBy(o => (o.ts, o.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          sorted.foreach { o =>
+            if (st == null) {
+              st = SessState(o.ts, o.ts, 1L, micro(o.value), 0L)
+            } else if (o.ts - st.lastUs > gapUs) {
+              out += ClosedSession(userId, st.closed + 1L, st.n,
+                st.startUs, st.lastUs, st.sumMicro / 1e6)
+              st = SessState(o.ts, o.ts, 1L, micro(o.value), st.closed + 1L)
+            } else {
+              st = st.copy(lastUs = o.ts, n = st.n + 1L,
+                sumMicro = st.sumMicro + micro(o.value))
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
 
   /** One scored observation (streaming output row). */
   final case class ScoredObs(
