@@ -58,6 +58,18 @@ package object functions {
       GraftBridge.expression(v.cast("array<double>")), weights))
   }
 
+  /** Product-quantization ADC score of an `array<int>` code word
+    * against a probe's flat row-major `[sub][code]` lookup table
+    * (driver constants, one `<probe subvector, centroid>` entry per
+    * (subspace, code)) — the O(m) table-lookup approximation of the
+    * inner product, codegen'd as one flat loop. Bit-identical to the
+    * `transform`+`aggregate` fold (same accumulation order). */
+  def pq_adc_score(codes: Column, lut: Seq[Double], k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(PqAdcScore(
+      GraftBridge.expression(codes.cast("array<int>")), lut, k))
+  }
+
   /** Codegen'd Unicode NFC normalization of a string column (canonical
     * composition; ASCII / already-NFC inputs pass through zero-copy).
     * The canonical first step of corpus ingest — content hashes and

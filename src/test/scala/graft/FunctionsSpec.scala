@@ -342,6 +342,58 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("native pq_adc_score == HOF transform+aggregate fold bit for bit; stricter on garbage; codegen") {
+    val rnd = new scala.util.Random(7)
+    val m = 8
+    val k = 16
+    val lut = Seq.fill(m * k)(rnd.nextGaussian())
+    // every code word a PQ builder can emit is m in-range ints — the two
+    // forms must agree EXACTLY (same accumulation order ⇒ double equality)
+    val codesDf = (0L until 200L).map(i => (i, Seq.fill(m)(rnd.nextInt(k))))
+      .toDF("id", "codes")
+    val both = codesDf.select(col("id"),
+        graft.functions.pq_adc_score(col("codes"), lut, k).as("n"),
+        Similarity.pqAdcScoreHof(col("codes"), lut, k).as("h"))
+      .collect()
+    assert(both.length === 200)
+    both.foreach(r => assert(r.getDouble(1) === r.getDouble(2),
+      s"code word ${r.getLong(0)}: native != HOF"))
+    // poison parity where the fold CAN express it: null array, null element
+    val weird = Seq(
+      (1L, Option(Seq[Integer](0, 1, 2, 3, 4, 5, 6, 7))),
+      (2L, Option(Seq[Integer](0, 1, 2, 3, null, 5, 6, 7))), // null element
+      (3L, Option.empty[Seq[Integer]])                       // null codes
+    ).toDF("id", "codes")
+    val w = weird.select(col("id"),
+        graft.functions.pq_adc_score(col("codes"), lut, k).as("n"),
+        Similarity.pqAdcScoreHof(col("codes"), lut, k).as("h"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(w(1L)._1.nonEmpty && w(1L)._1 === w(1L)._2)
+    assert(w(2L)._1.isEmpty && w(2L)._2.isEmpty, "null element must score null in both forms")
+    assert(w(3L)._1.isEmpty && w(3L)._2.isEmpty, "null codes must score null in both forms")
+    // structurally invalid codes: native nulls DEFENSIVELY (the fold would
+    // return a plausible-but-wrong number: try_element_at indexes from the
+    // end on negatives, a short word just sums fewer terms)
+    val bad = Seq(
+      (1L, Seq(0, 1, 2)),                  // arity ≠ m
+      (2L, Seq(0, 1, 2, 3, 4, 5, 6, 16)),  // code ≥ k
+      (3L, Seq(0, 1, 2, 3, 4, 5, 6, -1)))  // negative code
+      .toDF("id", "codes")
+    val badOut = bad.select(
+        graft.functions.pq_adc_score(col("codes"), lut, k).as("n"))
+      .collect()
+    assert(badOut.forall(_.isNullAt(0)),
+      "structurally invalid code words must score null, never a partial sum")
+    // and the native path stays inside whole-stage codegen (a range leaf,
+    // not a toDF local relation — that constant-folds to LocalTableScan)
+    val plan = spark.range(100)
+      .select(array((0 until m).map(s =>
+        pmod(hash(col("id"), lit(s)), lit(k)).cast("int")): _*).as("codes"))
+      .select(graft.functions.pq_adc_score(col("codes"), lut, k).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("ngram_hashes generator == ngrams + md5-prefix conv, row for row") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val fused = docs.select(col("doc_id"),

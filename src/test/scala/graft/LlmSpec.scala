@@ -315,6 +315,73 @@ class LlmSpec extends SparkSpec {
     } finally Bench.deleteRecursively(dir)
   }
 
+  test("PQ index shape + planted-neighbor recall through the ADC scan") {
+    val rnd = new scala.util.Random(19)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(Similarity.Dim)(r.nextGaussian().toFloat)
+    }
+    val base = vec(0)
+    val rows =
+      (0L, base, 0) +:
+        (1L to 5L).map(i => (i, base.map(_ + (rnd.nextGaussian() * 0.05).toFloat), 0)) ++:
+        (10L until 210L).map(i => (i, vec(i.toInt), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val path = java.nio.file.Files.createTempDirectory("pq_planted").toString
+    try {
+      Similarity.buildPqIndex(emb, path, m = 8, k = 16, nClusters = 8)
+      // index shape: m·k codebook rows, every vector encoded, 8 coarse centroids
+      assert(spark.read.parquet(s"$path/codebooks").count() === 8L * 16L)
+      assert(spark.read.parquet(s"$path/assigned").count() === emb.count())
+      assert(spark.read.parquet(s"$path/centroids").count() === 8L)
+      // flat ADC scan must surface the planted near-neighbors of vec 0:
+      // codes quantize each 8-dim subvector to its nearest of 16 centroids,
+      // so a 0.05-σ perturbation of the base vector shares almost every code
+      val flat = Similarity.pqSearch(spark, path, probeId = 0L, kResults = 6, nProbe = 0)
+        .select("vec_id").as[Long].collect().toSet
+      val planted = (1L to 5L).toSet
+      val recall = (planted intersect flat).size.toDouble / planted.size
+      assert(recall >= 0.8, s"flat PQ recall $recall on planted neighbors (got=$flat)")
+      // the pruned IVF-PQ scan agrees on the same planted set (the probe's
+      // cluster holds its near-duplicates by construction)
+      val pruned = Similarity.pqSearch(spark, path, probeId = 0L, kResults = 6, nProbe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      val prunedRecall = (planted intersect pruned).size.toDouble / planted.size
+      assert(prunedRecall >= 0.8, s"IVF-PQ recall $prunedRecall (got=$pruned)")
+      // deterministic: same persisted index, same answer
+      val again = Similarity.pqSearch(spark, path, probeId = 0L, kResults = 6, nProbe = 0)
+        .select("vec_id").as[Long].collect().toSet
+      assert(again === flat)
+    } finally Bench.deleteRecursively(path)
+  }
+
+  test("PQ declared queries are SEARCH-ONLY and share ONE index; IVF-PQ prunes partitions") {
+    val flatQ = SparkEntry.queries("embed_pq_topk")
+    val prunedQ = SparkEntry.queries("embed_ivfpq_topk")
+    assert(flatQ(spark, sf("sf0.001")).count() > 0) // first touch may build once
+    val builds = Similarity.pqBuildCount.get()
+    // repeat flat + the SIBLING query: both serve from the same cached index
+    assert(flatQ(spark, sf("sf0.001")).count() > 0)
+    val pruned = prunedQ(spark, sf("sf0.001"))
+    val prunedRows = pruned.collect()
+    assert(prunedRows.nonEmpty)
+    assert(Similarity.pqBuildCount.get() === builds,
+      "a declared PQ query refit codebooks on an already-indexed corpus")
+    // the cluster filter reaches the file listing: partition pruning
+    val scans = collectPlan(pruned.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"no partition filter in:\n${pruned.queryExecution.executedPlan}")
+    // scores are the SAME LUT in both variants: any vec_id in both top-20s
+    // carries the identical ADC score
+    val flatScores = flatQ(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val disagree = prunedRows
+      .filter(r => flatScores.contains(r.getLong(0)))
+      .count(r => flatScores(r.getLong(0)) != r.getDouble(3))
+    assert(disagree === 0, "pruned and flat ADC scores diverge for shared candidates")
+  }
+
   test("SRP hot-bucket diagnostic surfaces a planted degenerate bucket; quiet on the real corpus") {
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)
