@@ -442,6 +442,39 @@ object Curation {
   val MixRates: Seq[(String, Int)] =
     Seq("en" -> 500, "es" -> 1000, "de" -> 250, "fr" -> 750)
 
+  /** Epoch-weighted mixture: the UPSAMPLING half of data mixing that
+    * `stratifiedSample` (rates ≤ 1000‰) cannot express. A stratum
+    * weighted `rate` per-mille emits ⌊rate/1000⌋ full copies of every
+    * doc plus one more for the deterministic hash fraction — e.g.
+    * 2250‰ ⇒ every doc twice, a stable 25% of docs a third time — the
+    * "n epochs of the high-quality subset" knob of an LLM data recipe
+    * (the same doc_id hash bucket as stratifiedSample decides the
+    * fractional copy, so the two ops compose into one mixing policy).
+    * Shape: map-only — a per-row rate lookup, one `sequence` +
+    * `explode`; no shuffle at any size (the copies inherit the
+    * source partitioning). Deterministic: same corpus → same mix,
+    * retry-stable, and the oracle replays the identical arithmetic. */
+  def epochMixture(
+      docs: DataFrame, rates: Seq[(String, Int)], defaultRate: Int): DataFrame = {
+    val rate = rates.foldLeft(when(lit(false), 0)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(defaultRate).cast("long")
+    docs
+      .withColumn("bucket", fp(col("doc_id").cast("string")) % 1000)
+      .withColumn("rate", rate)
+      .withColumn("n_copies",
+        floor(col("rate") / 1000L).cast("long") +
+          when(col("bucket") < col("rate") % 1000L, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+  }
+
+  /** Default epoch weights for the declared query: de is upsampled
+    * 2.25×, en kept, fr half-sampled, es dropped to a 10% tail. */
+  val EpochRates: Seq[(String, Int)] =
+    Seq("en" -> 1000, "es" -> 100, "de" -> 2250, "fr" -> 500)
+
   // ── Declared queries (pin the API to the test corpus) ────────────
 
   /** Shared oracle for both decontamination plans (exact-join and
@@ -652,6 +685,29 @@ object Curation {
       stratifiedSample(Tables.documents(s, dir), MixRates, defaultRate = 100)
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id"))
+    },
+
+    // Epoch-weighted mixture under the oracle: whole copies + the
+    // hash-fraction copy replay exactly in DuckDB, so the emitted
+    // multiset (every (doc, epoch) row) is pinned, not just counts.
+    Q("curation_mixture_epochs", {
+      val rateCase = EpochRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 1000 END")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket,
+         |         $rateCase AS rate
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |         rate // 1000 + CASE WHEN bucket < rate % 1000 THEN 1 ELSE 0 END AS n_copies
+         |  FROM d)
+         |SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch
+         |FROM c WHERE n_copies > 0
+         |ORDER BY doc_id, epoch""".stripMargin
+    }) { (s, dir) =>
+      epochMixture(Tables.documents(s, dir), EpochRates, defaultRate = 1000)
+        .orderBy(col("doc_id"), col("epoch"))
     },
 
     // Domain cap under the oracle: the md5 rank order replays exactly

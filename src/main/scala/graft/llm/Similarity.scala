@@ -476,6 +476,33 @@ object Similarity {
     base.unpersist()
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+    * 2303.09540): bucket the corpus by a coarse k-means quantizer,
+    * then exact-cosine near-dup pairs WITHIN each cluster only — the
+    * cluster plays the role the band signature plays in
+    * `nearDupPairsByCosine`, bounding the candidate join to
+    * within-bucket instead of all-pairs. A vector is a victim iff a
+    * LOWER-id in-cluster neighbor sits at cosine ≥ `tau` (deterministic
+    * min-id keeper, the same victor rule as `dedup_exact`). Serves from
+    * the SAME persisted index `embed_ivf_topk` queries (`ivfIndexFor` —
+    * built once per corpus, fingerprint-cached), so the marginal cost
+    * of semantic dedup on an indexed corpus is one cluster-keyed
+    * self-join. Scale: candidates are Σ_c C(n_c, 2) — governed by the
+    * quantizer's k (raise nClusters as the corpus grows, exactly the
+    * IVF sizing rule); cross-cluster near-dups are the recall trade the
+    * paper accepts (duplicates land in one cluster by construction). */
+  def semDeDup(spark: SparkSession, indexPath: String, tau: Double): DataFrame = {
+    val assigned = spark.read.parquet(s"$indexPath/assigned")
+      .select(col("vec_id"), col("label"), col("v"), col("cluster"))
+    val victims = assigned.as("x").join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") > col("y.vec_id"))
+      .filter(cosine(col("x.v"), col("y.v")) >= tau)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    assigned.join(victims, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Composed-built-ins ADC fold (`transform` index-lambda table
     * lookup + `aggregate` sum) — kept as the verified baseline the
     * native `pq_adc_score` is pinned bit-identical to.
@@ -775,6 +802,17 @@ object Similarity {
     // serving, and native==HOF ADC identity asserted in LlmSpec.
     Q.noOracle("embed_pq_topk") { (s, dir) =>
       pqSearch(s, pqIndexFor(s, dir), probeId = 0L, kResults = 20, nProbe = 0)
+    },
+
+    // SemDeDup semantic dedup: survivors after removing every vector
+    // with a lower-id in-cluster neighbor at cosine ≥ 0.99. Candidate
+    // pairs are bounded within k-means clusters (never all-pairs) and
+    // served from the SAME cached index as embed_ivf_topk. KMeans
+    // clusters are not SQL-expressible → no oracle; planted-duplicate
+    // collapse, survivor completeness, and the cluster-keyed (non-
+    // cartesian) join shape asserted in LlmSpec.
+    Q.noOracle("dedup_semantic") { (s, dir) =>
+      semDeDup(s, ivfIndexFor(s, dir), tau = 0.99)
     },
 
     // IVF-PQ ANN: the same PQ index pruned to the nProbe nearest

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
+import graft.llm.Curation
+
 /** Invariants for the round-4 curation/decontamination/quantization
   * queries (the DuckDB oracle checks exact values; these assert the
   * semantic properties that must hold regardless of corpus). */
@@ -177,6 +179,39 @@ class CurationSpec extends SparkSpec {
     // content-hash rule ⇒ re-running yields the identical sample
     val again = SparkEntry.queries("sample_stratified_hash")(spark, sf("sf0.01"))
     assert(kept.exceptAll(again).count() === 0 && again.exceptAll(kept).count() === 0)
+  }
+
+  test("epoch mixture emits floor(rate/1000) copies + the hash-fraction copy, map-only") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val out = Curation.epochMixture(docs, Curation.EpochRates, defaultRate = 1000)
+    val copies = out.groupBy("doc_id", "lang").count().collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // per-stratum structure: every emitted doc carries floor(rate/1000) or
+    // floor(rate/1000)+1 copies — never anything else
+    val rates = Curation.EpochRates.toMap
+    copies.foreach { case (lang, n) =>
+      val base = rates.getOrElse(lang, 1000) / 1000
+      assert(n == base || n == base + 1, s"$lang doc emitted $n copies (base $base)")
+    }
+    // the fractional copy tracks the rate: de (2250‰) averages ~2.25
+    val deDocs = docs.filter(col("lang") === "de").count().toDouble
+    if (deDocs > 50) {
+      val deCopies = out.filter(col("lang") === "de").count().toDouble
+      val sigma = math.sqrt(deDocs * 0.25 * 0.75)
+      assert(math.abs(deCopies - deDocs * 2.25) <= 5 * sigma + 1,
+        s"de emitted $deCopies copies of $deDocs docs at 2250‰")
+    }
+    // epochs are 1..n with no gaps per doc
+    val badSeq = out.groupBy("doc_id").agg(
+        count(lit(1)).as("n"), min(col("epoch")).as("lo"), max(col("epoch")).as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n")).count()
+    assert(badSeq === 0, "epoch numbering must be a gapless 1..n per doc")
+    // map-only: the mixture adds NO exchange over the scan
+    val exchanges = collectPlan(out.queryExecution.executedPlan).count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+    assert(exchanges === 0, s"epoch mixture must be map-only:\n${out.queryExecution.executedPlan}")
   }
 
   test("domain cap keeps exactly min(cap, n) docs per source, stably under re-partitioning") {

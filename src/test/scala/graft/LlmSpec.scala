@@ -382,6 +382,50 @@ class LlmSpec extends SparkSpec {
     assert(disagree === 0, "pruned and flat ADC scores diverge for shared candidates")
   }
 
+  test("SemDeDup collapses planted near-duplicate vectors within clusters; distinct vectors survive") {
+    val rnd = new scala.util.Random(23)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(Similarity.Dim)(r.nextGaussian().toFloat)
+    }
+    // two duplicate families (exact copy + tiny-noise copies) in a sea of
+    // distinct random vectors: near-identical vectors land in one k-means
+    // cluster by construction, so the min-id keeper must collapse each
+    // family to its lowest id and touch nothing else
+    val baseA = vec(1)
+    val baseB = vec(2)
+    val rows =
+      Seq((0L, baseA, 0), (1L, baseA, 0)) ++
+        (2L to 4L).map(i => (i, baseA.map(_ + (rnd.nextGaussian() * 0.01).toFloat), 0)) ++
+        Seq((10L, baseB, 1), (11L, baseB, 1)) ++
+        (100L until 260L).map(i => (i, vec(i.toInt), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val path = java.nio.file.Files.createTempDirectory("semdedup").toString
+    try {
+      Similarity.buildIvfIndex(emb, path, nClusters = 8)
+      val out = Similarity.semDeDup(spark, path, tau = 0.99)
+      val survivors = out.select("vec_id").as[Long].collect().toSet
+      assert(survivors.contains(0L), "family A's min id must survive")
+      assert((1L to 4L).forall(!survivors.contains(_)),
+        s"family A copies must be removed (survivors=${survivors.filter(_ < 10)})")
+      assert(survivors.contains(10L) && !survivors.contains(11L),
+        "family B must collapse to its min id")
+      val distinctIds = (100L until 260L).toSet
+      val removedDistinct = distinctIds -- survivors
+      // random 64-dim gaussians essentially never hit cos >= 0.99
+      assert(removedDistinct.isEmpty,
+        s"distinct vectors were removed: $removedDistinct")
+      // the candidate join is cluster-keyed — no cartesian/nested-loop join
+      val plan = out.queryExecution.executedPlan
+      val bad = collectPlan(plan).exists {
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+        case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+        case _ => false
+      }
+      assert(!bad, s"semDeDup planned a non-keyed join:\n$plan")
+    } finally Bench.deleteRecursively(path)
+  }
+
   test("SRP hot-bucket diagnostic surfaces a planted degenerate bucket; quiet on the real corpus") {
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)
