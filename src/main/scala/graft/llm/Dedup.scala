@@ -491,7 +491,79 @@ object Dedup {
       |GROUP BY n.doc_id
       |ORDER BY n.doc_id""".stripMargin
 
+  /** ASYMMETRIC containment pairs over winnowing fingerprints
+    * (Schleimer/Wilkerson/Aiken SIGMOD'03 §5 — the MOSS shape): doc a
+    * is "contained in" doc b when ≥ `theta` of a's selective
+    * fingerprints also appear in b. Containment, not Jaccard — a short
+    * doc quoted whole inside a long one scores 1.0 here but near 0 on
+    * Jaccard, so this is the dedup tier that catches quotation/subset
+    * duplication the symmetric tiers can't.
+    *
+    * Scale shape: fingerprints come from the native `WinnowGenerator`
+    * (map-only, inside the scan projection); a document-frequency
+    * STOP-LIST (`maxDf`, the published winnowing practice) drops
+    * boilerplate fingerprints before pairing, which both bounds the
+    * keyed self-join at Σ_fp df² ≤ maxDf·Σ df and keeps the
+    * denominator meaningful (a fingerprint shared by half the corpus
+    * says nothing about copying). All joins are fp/doc-keyed partial+
+    * final aggregates — never all-pairs, no driver collects. The
+    * denominator counts SELECTIVE fingerprints only (those surviving
+    * the stop-list), on both engines identically. */
+  def containmentPairs(docs: DataFrame, maxDf: Int, theta: Double): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      graft.functions.winnow_fingerprints(col("text"), 8, 4).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val sel = fps.join(rare, "fp").select(col("doc_id"), col("fp"))
+    val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = sel.as("a")
+      .join(sel.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .filter(col("shared") >= col("n_fp") * theta)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_fp"),
+        (round(col("shared") / col("n_fp"), 6) + lit(0.0)).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Winnowing-fingerprint containment: every (a, b) where ≥ half of
+    // a's selective fingerprints appear in b. The oracle replays the
+    // whole pipeline — winnow selection, df≤20 stop-list, keyed pair
+    // counts, the θ·n_fp cut (θ = 0.5: exactly representable, so the
+    // double compare is engine-identical) — pinning the pair SET and
+    // the containment scores, not just counts.
+    Q("dedup_containment",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |                        i -> CAST(concat('0x', substr(md5(substr(text, i, 8)), 1, 8)) AS BIGINT)) AS h
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(
+        |           list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+        |                          i -> list_min(list_slice(h, i, i + 3))))) AS fps
+        |  FROM g),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+        |sel AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+        |sz AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.shared, sz.n_fp,
+        |       ROUND(p.shared * 1.0 / sz.n_fp, 6) + 0 AS containment
+        |FROM p JOIN sz ON sz.doc_id = p.doc_a
+        |WHERE p.shared >= sz.n_fp * 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      containmentPairs(Tables.documents(s, dir), maxDf = 20, theta = 0.5)
+    },
 
     // Exact dedup over a corpus with planted duplicates (the corpus
     // unioned with a shifted copy of itself): group-by content hash,

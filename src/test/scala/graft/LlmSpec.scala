@@ -382,6 +382,27 @@ class LlmSpec extends SparkSpec {
     assert(disagree === 0, "pruned and flat ADC scores diverge for shared candidates")
   }
 
+  test("containment pairs are ASYMMETRIC: a doc quoted whole inside a longer one is caught one-way") {
+    val rnd = new scala.util.Random(31)
+    def words(n: Int): String =
+      Seq.fill(n)(rnd.alphanumeric.filter(_.isLetter).take(5).mkString).mkString(" ")
+    val a = words(60)
+    val b = a + " " + words(60) // b CONTAINS a; Jaccard(a,b) is only ~0.5
+    val docs = (Seq((0L, a), (1L, b)) ++
+      (10L until 30L).map(i => (i, words(80))))
+      .toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup.containmentPairs(docs, maxDf = 20, theta = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(pairs.contains((0L, 1L)),
+      s"containment(a in b) must pass theta=0.8 (got pairs=${pairs.keySet})")
+    assert(pairs((0L, 1L)) >= 0.8)
+    assert(!pairs.contains((1L, 0L)),
+      "containment(b in a) must NOT pass: b has its own tail — the relation is one-way")
+    // unrelated random docs share no selective fingerprints at theta=0.8
+    val offenders = pairs.keySet.filter { case (x, y) => x >= 10L || y >= 10L }
+    assert(offenders.isEmpty, s"unrelated docs paired: $offenders")
+  }
+
   test("SemDeDup collapses planted near-duplicate vectors within clusters; distinct vectors survive") {
     val rnd = new scala.util.Random(23)
     def vec(seed: Int): Array[Float] = {
