@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -529,6 +530,85 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Header planted by the `dedup_substring_spans` declared query:
+    * prepended verbatim to every third doc so a KNOWN multi-gram
+    * duplicated region exists and the island merge is exercised
+    * deterministically (14 tokens → gram starts 0..6 fuse into ONE
+    * 14-token span). Natural cross-doc 8-gram repeats in the corpus
+    * ride along. */
+  private[graft] val SpanHeader: String =
+    "shared syndicated wire service header block repeated verbatim " +
+      "across partner outlets each morning edition"
+
+  /** Exact duplicated-substring spans, the positional complement of
+    * the chunk tier (`Curation.stripBoilerplate` catches duplication
+    * only at fixed chunk alignment; this catches a copied passage at
+    * ANY offset — the suffix-array-style exact-substring dedup of
+    * published training-data pipelines, re-expressed as sliding-gram
+    * hash joins instead of a suffix array, which does not distribute).
+    *
+    * A token position is "duplicated" when the `n`-gram starting
+    * there also occurs in at least one OTHER document; runs of
+    * duplicated starts whose token intervals [pos, pos+n-1] touch are
+    * merged into maximal spans (split only when the gap between
+    * consecutive duplicated starts exceeds `n`), so `dup_tokens` is
+    * the exact count of tokens covered by cross-document duplication,
+    * with no double counting across overlapping grams.
+    *
+    * Scale shape: grams leave the scan as (pos, 60-bit key) rows from
+    * the native `ngram_hashes` Generator — no gram string is ever
+    * materialized; "appears in ≥ 2 docs" is min(doc)≠max(doc), a
+    * partial+final aggregate on 8-byte keys (no countDistinct); the
+    * re-fetch is a LEFT SEMI hash join on the same key; the island
+    * merge windows partition BY DOCUMENT, so per-task state is one
+    * doc's duplicated positions — bounded by doc length regardless of
+    * corpus size. Never all-pairs anywhere.
+    *
+    * Returns (doc_id, span_start, span_tokens), one row per maximal
+    * span; eagerly materialized (bounded: ≤ docs × spans-per-doc)
+    * so the gram cache never outlives the call. */
+  def duplicatedSpanRows(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupGrams = grams.groupBy(col("gram_h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gram_h"))
+    val hits = grams.join(dupGrams, Seq("gram_h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > n, lit(1)).otherwise(lit(0)))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(n)).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+      .localCheckpoint()
+    grams.unpersist()
+    spans
+  }
+
+  /** Per-doc rollup of `duplicatedSpanRows`: span count, exact
+    * duplicated-token total, widest span, and the duplicated fraction
+    * of the doc — the quantity pipelines threshold on ("drop docs
+    * > 50 % duplicated", Lee et al.-style). Flagged docs only. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val ntok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    duplicatedSpanRows(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(col("span_tokens")).cast("long").as("dup_tokens"),
+        max(col("span_tokens")).cast("long").as("max_span"))
+      .join(ntok, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("max_span"),
+        (round(col("dup_tokens") / col("n_tokens"), 6) + lit(0.0)).as("dup_frac"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Winnowing-fingerprint containment: every (a, b) where ≥ half of
@@ -581,6 +661,59 @@ object Dedup {
       corpus.groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("keep_id"))
+    },
+
+    // Exact duplicated-substring spans on a planted-header corpus
+    // (every third doc gets the shared 14-token SpanHeader prepended,
+    // so gram starts 0..6 must fuse into one 14-token span; natural
+    // cross-doc 8-gram repeats ride along). The oracle replays the
+    // whole pipeline — sliding 8-gram 60-bit keys at the same
+    // positions, min≠max cross-doc test, gap>n island split, per-doc
+    // rollup — so span boundaries, token totals, and fractions are
+    // all hash-pinned, not just row counts.
+    Q("dedup_substring_spans", {
+      val n = 8
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN '$SpanHeader ' || text ELSE text END AS text
+         |  FROM documents),
+         |corpus AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+         |gs AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, greatest(len(l) - ${n - 1}, 0) + 1)) AS i,
+         |         unnest(list_transform(range(1, greatest(len(l) - ${n - 1}, 0) + 1),
+         |                               i -> array_to_string(l[i:i+${n - 1}], ' '))) AS gram
+         |  FROM corpus),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |             CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+         |      FROM gs),
+         |dup AS (SELECT gram_h FROM g GROUP BY gram_h HAVING MIN(doc_id) <> MAX(doc_id)),
+         |hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram_h)),
+         |flagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM flagged),
+         |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + $n AS w
+         |          FROM isl GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM docs)
+         |SELECT s.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |       CAST(SUM(w) AS BIGINT) AS dup_tokens,
+         |       CAST(MAX(w) AS BIGINT) AS max_span,
+         |       ROUND(SUM(w) * 1.0 / MAX(t.n_tokens), 6) + 0 AS dup_frac
+         |FROM spans s JOIN tok t USING (doc_id)
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(SpanHeader + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      duplicatedSpans(planted).orderBy(col("doc_id"))
     },
 
     // Banded MinHash LSH → exact-Jaccard verify. Oracle-checked: the

@@ -403,6 +403,37 @@ class LlmSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unrelated docs paired: $offenders")
   }
 
+  test("substring spans: a copied passage is found at ANY offset with exact boundaries") {
+    // 12-token passage planted at different offsets in docs 1 and 2;
+    // doc 4 carries it twice with a gap > n (two spans); doc 5 is the
+    // passage back-to-back (period-12 gram repeats: duplicated starts
+    // 0..4 and 12..16, gap 8 = n, so the islands must MERGE into one
+    // whole-doc span); doc 3 shares nothing.
+    val S = "quantum ledger harmonic vessel crimson ember lattice " +
+      "orchard pinnacle drift meridian cascade"
+    def filler(p: String, k: Int) = (1 to k).map(p + _).mkString(" ")
+    val d = docs(
+      (1L, filler("aa", 10) + " " + S + " " + filler("bb", 10)),
+      (2L, filler("cc", 5) + " " + S + " " + filler("dd", 12)),
+      (3L, filler("zz", 20)),
+      (4L, S + " " + filler("ee", 10) + " " + S),
+      (5L, S + " " + S))
+    val spans = Dedup.duplicatedSpanRows(d)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(spans == Set(
+      (1L, 10, 12L), (2L, 5, 12L),
+      (4L, 0, 12L), (4L, 22, 12L),
+      (5L, 0, 24L)), s"got $spans")
+    val roll = Dedup.duplicatedSpans(d).orderBy("doc_id")
+      .select("doc_id", "n_spans", "dup_tokens", "max_span", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(roll == Seq(
+      (1L, 1L, 12L, 12L, 0.375),            // 12 of 32 tokens
+      (2L, 1L, 12L, 12L, 0.413793),         // 12 of 29
+      (4L, 2L, 24L, 12L, 0.705882),         // 24 of 34, widest span 12
+      (5L, 1L, 24L, 24L, 1.0)), s"got $roll") // the WHOLE doc is duplicated
+  }
+
   test("SemDeDup collapses planted near-duplicate vectors within clusters; distinct vectors survive") {
     val rnd = new scala.util.Random(23)
     def vec(seed: Int): Array[Float] = {
