@@ -475,6 +475,74 @@ object Curation {
   val EpochRates: Seq[(String, Int)] =
     Seq("en" -> 1000, "es" -> 100, "de" -> 2250, "fr" -> 500)
 
+  /** Pairwise vocabulary overlap between sources — the corpus-mixing
+    * diagnostic (which sources are redundant? which contribute novel
+    * vocabulary?) behind mixture-weight decisions. EXACT tier: the
+    * intersection is computed by a TOKEN-KEYED self-join over distinct
+    * (source, 60-bit token key) rows — per-source vocabularies are
+    * never materialized as sets anywhere; Jaccard follows from
+    * |A∩B| and the per-source sizes. Per-token join fan-out is
+    * bounded by S² for S sources sharing it, so this tier fits
+    * corpus-level source labels (dozens); for domain-granularity
+    * sources (millions) use `sourceOverlapSketch`. Pairs with empty
+    * intersection are omitted (inner-join semantics, both engines). */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .select(col("source"), fp60(col("t")).as("tok_h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = tok.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val pairs = tok.as("a")
+      .join(tok.as("b"),
+        col("a.tok_h") === col("b.tok_h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+    val out = pairs
+      .join(sizes.select(col("source").as("src_a"), col("v").as("va")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("v").as("vb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (round(col("n_shared") / (col("va") + col("vb") - col("n_shared")), 6) + lit(0.0))
+          .as("jaccard"))
+      .localCheckpoint()
+    tok.unpersist()
+    out
+  }
+
+  /** Sketch tier of `sourceOverlap`: per-source k-component minhash
+    * (the Carter–Wegman affine family shared with `Dedup` — one md5
+    * per token, k integer mins in ONE partial+final aggregate), so
+    * per-source state is k longs regardless of vocabulary size, and
+    * pairing is an EQUALITY join on (component, min-value) — sources
+    * only meet where a component agrees, never all-pairs. Estimate is
+    * agreeing-components / k (σ = √(J(1−J)/k) ≈ 0.06 at k = 64).
+    * Deterministic, so fully oracle-replayed despite being a sketch.
+    * Source pairs agreeing on NO component are omitted — at k = 64
+    * that means J ≲ 2% indistinguishable from disjoint, the priced-in
+    * sketch floor. */
+  def sourceOverlapSketch(docs: DataFrame, k: Int = 64): DataFrame = {
+    val fam = "so"
+    val elems = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .select(col("source"),
+        conv(substring(md5(concat(lit(fam + ":"), col("t"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val mins = (0 until k).map(i =>
+      min((col("h") * Dedup.mhA(fam, i) + Dedup.mhB(fam, i)) % Dedup.MinHashPrime)
+        .as(s"mh$i"))
+    val sig = elems.groupBy(col("source")).agg(mins.head, mins.tail: _*)
+      .select(col("source"),
+        posexplode(array((0 until k).map(i => col(s"mh$i")): _*)).as(Seq("i", "mh")))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_match"))
+      .select(col("src_a"), col("src_b"), col("n_match"),
+        (round(col("n_match") / lit(k.toDouble), 6) + lit(0.0)).as("est_jaccard"))
+  }
+
   // ── Declared queries (pin the API to the test corpus) ────────────
 
   /** Shared oracle for both decontamination plans (exact-join and
@@ -747,5 +815,51 @@ object Curation {
     }) { (s, dir) =>
       packTokenBins(Tables.documents(s, dir), budget = 512)
         .orderBy(col("source"), col("doc_id"))
+    },
+
+    // Exact pairwise vocabulary Jaccard between sources — intersection
+    // via the token-keyed self-join, sizes via per-source counts; the
+    // oracle replays the same 60-bit token keys so n_shared and the
+    // Jaccard values hash-match exactly.
+    Q("corpus_source_overlap",
+      s"""WITH tok AS (
+         |  SELECT DISTINCT source, ${fp60Sql("t")} AS tok_h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)),
+         |sizes AS (SELECT source, COUNT(*) AS v FROM tok GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM tok a JOIN tok b ON a.tok_h = b.tok_h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared,
+         |       ROUND(n_shared * 1.0 / (sa.v + sb.v - n_shared), 6) + 0 AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.source = src_a
+         |JOIN sizes sb ON sb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      sourceOverlap(Tables.documents(s, dir)).orderBy(col("src_a"), col("src_b"))
+    },
+
+    // The k=64 minhash sketch of the same matrix — bounded per-source
+    // state, (component, value)-equality pairing. Deterministic, so
+    // the ESTIMATES are oracle-pinned too (the affine family constants
+    // interpolate into the SQL as literals).
+    Q("corpus_source_overlap_sketch", {
+      val k = 64
+      val fam = "so"
+      val famRows = (0 until k)
+        .map(i => s"($i, ${Dedup.mhA(fam, i)}, ${Dedup.mhB(fam, i)})").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT source, CAST(concat('0x', substr(md5('$fam:' || t), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)),
+         |fam(i, a, b) AS (VALUES $famRows),
+         |sig AS (SELECT source, f.i, MIN((h * f.a + f.b) % ${Dedup.MinHashPrime}) AS mh
+         |        FROM toks, fam f GROUP BY source, f.i),
+         |m AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_match
+         |      FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_match, ROUND(n_match * 1.0 / $k, 6) + 0 AS est_jaccard
+         |FROM m ORDER BY src_a, src_b""".stripMargin
+    }) { (s, dir) =>
+      sourceOverlapSketch(Tables.documents(s, dir)).orderBy(col("src_a"), col("src_b"))
     })
 }

@@ -322,6 +322,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("source overlap: exact Jaccard on planted vocabularies; sketch tracks it") {
+    import spark.implicits._
+    // A: w1..w10; B: w1..w5 + x1..x5 (J = 5/15 = 1/3); C: disjoint;
+    // D: identical to A (J = 1 exactly, sketch must also say 1).
+    def txt(ws: Seq[String]) = ws.mkString(" ")
+    val a = (1 to 10).map("w" + _)
+    val d = Seq(
+      (1L, txt(a), "A"),
+      (2L, txt(a.take(5) ++ (1 to 5).map("x" + _)), "B"),
+      (3L, txt((1 to 10).map("z" + _)), "C"),
+      (4L, txt(a), "D"))
+      .toDF("doc_id", "text", "source")
+    val exact = Curation.sourceOverlap(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(exact(("A", "B")) === (5L, 0.333333))
+    assert(exact(("A", "D")) === (10L, 1.0))
+    assert(exact(("B", "D")) === (5L, 0.333333))
+    assert(!exact.keySet.exists(p => p._1 == "C" || p._2 == "C"),
+      s"disjoint source paired: ${exact.keySet}")
+    val est = Curation.sourceOverlapSketch(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(est(("A", "D")) === 1.0, "identical sources must sketch to exactly 1")
+    // J = 1/3 at k = 64: σ ≈ 0.059, allow 4σ
+    assert(math.abs(est(("A", "B")) - 1.0 / 3) < 0.24, s"est=${est(("A", "B"))}")
+    assert(!est.contains(("C", "A")) || est(("C", "A")) < 0.1)
+  }
+
   test("date family invariants hold for every order") {
     val out = SparkEntry.queries("date_funcs_family")(spark, dir)
     val bad = out.filter(
