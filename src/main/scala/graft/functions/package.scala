@@ -70,6 +70,16 @@ package object functions {
       GraftBridge.expression(codes.cast("array<int>")), lut, k))
   }
 
+  /** Greedy longest-match subword segmentation stats of a
+    * space-tokenized string against a fixed vocabulary:
+    * struct(n_pieces, n_unk). The vocab is shipped once as a codegen
+    * reference object (bounded driver artifact), so encoding is a
+    * map-only scan projection. */
+  def subword_stats(text: Column, vocab: Seq[String], maxPieceLen: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(SubwordStats(GraftBridge.expression(text), vocab, maxPieceLen))
+  }
+
   /** Codegen'd Unicode NFC normalization of a string column (canonical
     * composition; ASCII / already-NFC inputs pass through zero-copy).
     * The canonical first step of corpus ingest — content hashes and

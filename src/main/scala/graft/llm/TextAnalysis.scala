@@ -354,7 +354,65 @@ object TextAnalysis {
         conv(substring(md5(lower(col("text"))), 1, 8), 16, 10).cast("long").as("shard_key"))
         .orderBy("doc_id")
     },
+
+    // Subword serving: learn the frequency vocab (one agg + a bounded
+    // 512-row collect), then encode every doc map-only through the
+    // native expression. Greedy matching is not SQL-expressible →
+    // rows-only; the learn ordering and the segmentation semantics
+    // are pinned in FunctionsSpec/TextSpec planted cases, and the
+    // whole path is deterministic (stable tie-break, fixed vocab).
+    Q.noOracle("text_subword_encode") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      subwordStats(docs, learnSubwordVocab(docs)).orderBy("doc_id")
+    },
   )
+
+  /** Learn a subword vocabulary from corpus frequencies: candidate
+    * pieces are ALL character n-grams (1..maxPieceLen) of each
+    * distinct word, weighted by the word's corpus frequency; keep the
+    * top `maxVocab` by (weight desc, piece asc — a total,
+    * deterministic order). This is the one-shot frequency analog of
+    * iterative BPE merge learning: candidate scoring is a single
+    * partial+final aggregate over (piece) keys — no driver loop of
+    * per-merge jobs — and the result is a BOUNDED driver artifact
+    * (maxVocab strings, the IVF-centroid class), collected once and
+    * shipped back as a codegen reference object.
+    *
+    * Scale shape: the n-gram explosion runs over the DISTINCT-word
+    * table (vocabulary-sized, not corpus-sized — word counts fold
+    * map-side first), pieces shuffle once for the weight sum, and
+    * top-K is TakeOrderedAndProject (per-partition K then one
+    * driver merge — never a full sort). */
+  def learnSubwordVocab(
+      docs: DataFrame, maxVocab: Int = 512, maxPieceLen: Int = 6): Seq[String] = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+    val pieces = words.select(col("freq"), explode(expr(
+      s"""flatten(transform(filter(sequence(1, $maxPieceLen), n -> n <= length(t)),
+         |        n -> transform(sequence(0, length(t) - n),
+         |                       p -> substring(t, p + 1, n))))""".stripMargin))
+      .as("piece"))
+    pieces.groupBy(col("piece")).agg(sum(col("freq")).as("w"))
+      .orderBy(col("w").desc, col("piece").asc)
+      .limit(maxVocab)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Per-doc greedy-subword encoding stats against `vocab`:
+    * (doc_id, n_tokens, n_pieces, n_unk, pieces_per_token) — the
+    * tokenizer-fertility report (pieces per whitespace token) a
+    * training pipeline budgets sequence lengths with. Map-only: the
+    * vocab ships once per task inside the codegen'd expression. */
+  def subwordStats(
+      docs: DataFrame, vocab: Seq[String], maxPieceLen: Int = 6): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.subword_stats(col("text"), vocab, maxPieceLen).as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sw.n_pieces").as("n_pieces"), col("sw.n_unk").as("n_unk"),
+        (round(col("sw.n_pieces") / col("n_tokens"), 6) + lit(0.0)).as("pieces_per_token"))
 
   /** Composed-built-ins winnow reference (posexplode → windowed-min →
     * distinct): the verification baseline FunctionsSpec pins the

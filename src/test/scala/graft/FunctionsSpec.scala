@@ -415,6 +415,55 @@ class FunctionsSpec extends SparkSpec {
     assert(f2 === c2)
   }
 
+  test("subword_stats: greedy longest-match semantics, UNK fallback, codegen") {
+    val vocab = Seq("ab", "abc", "d", "x", "un", "affable")
+    val df = Seq(
+      (1L, "abcd"),      // greedy: "abc"+"d" (2 pieces) — NOT "ab"+UNK+"d"
+      (2L, "unaffable"), // "un"+"affable" = 2 pieces
+      (3L, "xyx"),       // "x"+UNK(y)+"x" = 3 pieces, 1 unk
+      (4L, "abcd xyx"),  // sums across words: 5 pieces, 1 unk
+      (5L, ""))          // empty text → 0/0
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.subword_stats(col("text"), vocab, 7).as("s"))
+      .select(col("doc_id"), col("s.n_pieces"), col("s.n_unk"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 0L), (2L, 2L, 0L), (3L, 3L, 1L),
+      (4L, 5L, 1L), (5L, 0L, 0L)), s"got $out")
+    // maxPieceLen caps the probe window: with max 2, "abc" can't match
+    val capped = df.filter(col("doc_id") === 1)
+      .select(graft.functions.subword_stats(col("text"), vocab, 2).as("s"))
+      .select(col("s.n_pieces"), col("s.n_unk")).as[(Long, Long)].head()
+    assert(capped === ((3L, 1L)), s"got $capped") // "ab"+UNK(c)+"d"
+    // stays inside whole-stage codegen (reference-object vocab, no
+    // fallback) — on a parquet scan; the literal frame above folds to
+    // a LocalTableScan at plan time
+    val q = Tables.documents(spark, sf("sf0.001"))
+      .select(graft.functions.subword_stats(col("text"), vocab, 7).as("s"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(q.queryExecution.executedPlan)
+    assert(codegen.contains("SubwordStats.compute"), "compute call not in generated code")
+  }
+
+  test("learnSubwordVocab: frequency-ranked pieces with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "aaa aaa aaa"), (2L, "aaa aaa"), (3L, "bc bc"))
+      .toDF("doc_id", "text")
+    // word freqs: aaa×5, bc×2. Pieces of "aaa" (w=5 each occurrence):
+    // "a"×3·5=15, "aa"×2·5=10, "aaa"×1·5=5; pieces of "bc" (w=2):
+    // "b"=2, "c"=2, "bc"=2.
+    val v = graft.llm.TextAnalysis.learnSubwordVocab(docs, maxVocab = 4, maxPieceLen = 3)
+    assert(v === Seq("a", "aa", "aaa", "b"), s"got $v") // 15, 10, 5, then tie (2,2,2) → asc
+    // the declared query's encode under this vocab is deterministic
+    val enc = graft.llm.TextAnalysis.subwordStats(docs, v, 3)
+      .orderBy("doc_id")
+      .select("n_pieces", "n_unk").as[(Long, Long)].collect().toSeq
+    assert(enc === Seq((3L, 0L), (2L, 0L), (4L, 2L)), s"got $enc")
+    // "bc" → "b" + UNK(c) per occurrence: 2 words × 2 pieces, 2 unk ✓
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))
