@@ -547,7 +547,7 @@ object Curation {
 
   /** Shared oracle for both decontamination plans (exact-join and
     * bloom-prefiltered — same answer by construction). */
-  private val decontamOracleSql: String =
+  private[graft] val decontamOracleSql: String =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |gs AS (SELECT doc_id,
        |              unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),

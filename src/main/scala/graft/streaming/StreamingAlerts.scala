@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.{Q, Tables}
+import graft.llm.Curation
 import graft.pipeline.Telemetry
 
 /** Structured Streaming variant of the alerting pipeline (SURVEY §2.10:
@@ -233,7 +234,61 @@ object StreamingAlerts {
       s.table(name).groupBy(col("day"))
         .agg(count(lit(1)).as("n_unique_users"))
         .orderBy(col("day"))
+    },
+
+    // STREAMING DECONTAMINATION under the batch oracle (round 8): the
+    // arrival-time form of `Curation.decontaminate` — train docs
+    // arrive as a stream and are probed against the STATIC eval-gram
+    // set (the bounded curated benchmark; it broadcasts at scale).
+    // Gram hashing is ROW-LOCAL (each doc's distinct 60-bit gram keys
+    // are built inside its own row before the explode — no stateful
+    // streaming distinct), the probe is a stateless stream-static
+    // left join, and only the per-doc count aggregate holds state.
+    // Complete mode because the finite replay must emit the whole
+    // table; on an unbounded corpus the same plan runs in update mode
+    // — each doc lands in exactly one micro-batch, so its aggregate
+    // finalizes immediately. Must hash-match the batch pipeline's
+    // oracle exactly (same keys, same distinct-gram counts).
+    Q("streaming_decontam", Curation.decontamOracleSql) { (s, dir) =>
+      val ev = Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("p", "gram_h")))
+        .select(col("gram_h")).distinct()
+      val name = "stream_decontam_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streamingDecontam(
+          docsStream(s, dir).filter(col("doc_id") % 7 =!= 0), ev)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).filter(col("n_contam") > 0).orderBy(col("doc_id"))
     })
+
+  /** `documents` as an unbounded source (same glob-addressing trick as
+    * `eventsStream`; schema from the batch footer read). */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/documents.*")
+  }
+
+  /** Streaming train/eval decontamination: per arriving doc, the
+    * distinct 8-gram 60-bit keys are computed row-locally (HOF slice +
+    * md5 — bit-identical to the batch generator's keys), exploded,
+    * LEFT-joined to the static `evalGrams` (gram_h) set, and counted
+    * per doc: (doc_id, n_grams, n_contam). Everything before the
+    * final per-doc aggregate is stateless. */
+  def streamingDecontam(docs: DataFrame, evalGrams: DataFrame, n: Int = 8): DataFrame = {
+    val l = split(col("text"), " ")
+    val starts = when(size(l) >= n, sequence(lit(0), size(l) - n))
+      .otherwise(array().cast("array<int>"))
+    val gramArr = array_distinct(transform(starts, i =>
+      conv(substring(md5(concat_ws(" ", slice(l, i + lit(1), lit(n)))), 1, 15), 16, 10)
+        .cast("long")))
+    docs
+      .select(col("doc_id"), explode(gramArr).as("gram_h"))
+      .join(evalGrams.withColumn("hit", lit(1)), Seq("gram_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contam"))
+  }
 
   /** Watermarked tumbling daily aggregate: events/day + raw-threshold
     * alerts/day (the streaming analog of Telemetry.daily's A2 rollup). */

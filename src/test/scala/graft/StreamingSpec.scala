@@ -280,4 +280,40 @@ class StreamingSpec extends SparkSpec {
       assert(ids === batch)
     } finally query.stop()
   }
+
+  test("streaming decontamination over two micro-batches == batch decontaminate") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "e1 e2 e3 e4 e5 e6 e7 e8 e9" // 9 tokens → 2 grams
+    val clean = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val partial = "p1 p2 e1 e2 e3 e4 e5 e6 e7 e8 p3" // carries eval gram e1..e8
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val ev = evalDocs
+      .select(graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("p", "gram_h")))
+      .select("gram_h").distinct()
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingAlerts.streamingDecontam(mem.toDF().toDF("doc_id", "text"), ev)
+    val query = out.writeStream
+      .format("memory").queryName("stream_decontam_spec").outputMode("complete").start()
+    try {
+      mem.addData(Seq((1L, partial), (2L, clean)))
+      query.processAllAvailable()
+      mem.addData(Seq((3L, evalText))) // a verbatim eval copy in batch 2
+      query.processAllAvailable()
+      val got = spark.table("stream_decontam_spec")
+        .filter(col("n_contam") > 0)
+        .select("doc_id", "n_grams", "n_contam")
+        .as[(Long, Long, Long)].collect().toSet
+      // doc 1: 4 distinct grams, 1 contaminated; doc 3: both grams hit
+      assert(got === Set((1L, 4L, 1L), (3L, 2L, 2L)), s"got $got")
+      // the batch operator on the union of both micro-batches + the
+      // eval slice must agree row for row
+      val batchDocs = Seq((1L, partial), (2L, clean), (3L, evalText))
+        .toDF("doc_id", "text").unionByName(evalDocs)
+      val batch = graft.llm.Curation
+        .decontaminate(batchDocs, col("doc_id") === 100L)
+        .select("doc_id", "n_grams", "n_contam")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got != batch $batch")
+    } finally query.stop()
+  }
 }
