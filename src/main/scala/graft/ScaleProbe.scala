@@ -61,6 +61,21 @@ object ScaleProbe {
         val simhashBands = Dedup.simhashBanded(Dedup.simhashed64(docs))
         val simhashWork = bucketPairWork(simhashBands, Seq("band_idx", "band_bits"))
         val tokenWork = bucketPairWork(Dedup.tokenBanded(docs), Seq("band_idx", "band_hash"))
+        // substring-span tier (round 8): work = rows the LEFT SEMI
+        // re-fetch pulls back (Σ group size over cross-doc duplicated
+        // gram groups) — the quantity that must track N when replicas
+        // share only the planted header
+        val plantedDocs = docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lit(Dedup.SpanHeader + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        val substrWork = plantedDocs
+          .select(col("doc_id"),
+            graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("pos", "gram_h")))
+          .groupBy(col("gram_h"))
+          .agg(count(lit(1)).as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .agg(coalesce(sum(col("n")), lit(0L)).cast("long")).head().getLong(0)
+
         val corpusBands = Similarity.srpBanded(emb)
         val probeBands = Similarity.srpBanded(emb.filter(col("vec_id") < 8))
         val annWork = probeBands.as("p")
@@ -72,13 +87,13 @@ object ScaleProbe {
 
         // declared query shapes, timed (min of reps, same discipline as Bench)
         val qs = Seq("dedup_ngram_jaccard", "dedup_simhash_pairs",
-          "dedup_minhash_pairs", "embed_ann_join")
+          "dedup_minhash_pairs", "embed_ann_join", "dedup_substring_spans")
         val times = qs.map(q => q -> timeMin(SparkEntry.queries(q)(spark, dir)))
         val outRows = qs.map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
 
         println(f"SCALE x$scale%-3d docs=$nDocs%-7d vecs=$nVecs%-7d " +
           f"ngramWork=$ngramWork%-9d simhashWork=$simhashWork%-9d " +
-          f"minhashWork=$tokenWork%-9d annWork=$annWork%-7d")
+          f"minhashWork=$tokenWork%-9d annWork=$annWork%-7d substrWork=$substrWork%-9d")
         times.foreach { case (q, t) =>
           println(f"SCALE x$scale%-3d TIME $q%-22s ${t}%8.3f s  rows=${outRows(q)}")
         }
