@@ -68,5 +68,12 @@ object SparkEntry {
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "embed_ann_join",
+    // Round 8: the exact substring-span detector and the source-overlap
+    // matrix join the headline on the RAW corpus — exact 8-gram repeats
+    // are rare there (no all-similar pathology; the planted header
+    // supplies known structure), and the overlap matrix's cost is the
+    // token-keyed join, which the raw corpus exercises fully.
+    "dedup_substring_spans",
+    "corpus_source_overlap",
   )
 }
