@@ -52,7 +52,73 @@ object Audit {
         min(col("h")).as("min_h"),
         max(col("h")).as("max_h"))
 
+  /** Row-level diff of two snapshots of a table keyed by `keyCol`:
+    * FULL OUTER join on the key comparing 60-bit row hashes —
+    * added / removed / changed, unchanged rows dropped. The
+    * migration/backfill complement of `tableFingerprint`: the
+    * fingerprint says WHETHER two copies diverge, this says WHERE.
+    *
+    * Scale shape: each side is reduced to (key, 8-byte hash) inside
+    * its scan projection — row payloads never shuffle; the join is
+    * one key-keyed exchange per side (bucket both snapshots on the
+    * key to make it co-located); output is only the divergent keys.
+    * `rowRepr` must follow the `tableFingerprint` portability rules
+    * (explicit casts, no raw double rendering). */
+  def snapshotDiff(
+      before: DataFrame, after: DataFrame, keyCol: String, rowRepr: Column): DataFrame = {
+    val b = before.select(col(keyCol).as("k"), fp60(rowRepr).as("h_before"))
+    val a = after.select(col(keyCol).as("k"), fp60(rowRepr).as("h_after"))
+    b.join(a, Seq("k"), "full_outer")
+      .select(col("k").as(keyCol),
+        when(col("h_before").isNull, lit("added"))
+          .when(col("h_after").isNull, lit("removed"))
+          .when(col("h_before") =!= col("h_after"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+      .filter(col("status") =!= "same")
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Planted snapshot evolution: doc_id % 13 removed, % 11 edited,
+    // % 17 re-inserted under a shifted id (added). The oracle replays
+    // the same row hashes and the same outer-join classification, so
+    // the divergent-key SET and each verdict are hash-pinned.
+    Q("audit_snapshot_diff",
+      """WITH bh AS (
+        |  SELECT doc_id AS k,
+        |         CAST(concat('0x', substr(md5(concat_ws('|',
+        |           CAST(doc_id AS VARCHAR), md5(text))), 1, 15)) AS BIGINT) AS hb
+        |  FROM documents),
+        |aft AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+        |ah AS (
+        |  SELECT doc_id AS k,
+        |         CAST(concat('0x', substr(md5(concat_ws('|',
+        |           CAST(doc_id AS VARCHAR), md5(text))), 1, 15)) AS BIGINT) AS ha
+        |  FROM aft),
+        |d AS (
+        |  SELECT COALESCE(bh.k, ah.k) AS doc_id,
+        |         CASE WHEN hb IS NULL THEN 'added'
+        |              WHEN ha IS NULL THEN 'removed'
+        |              WHEN hb <> ha THEN 'changed'
+        |              ELSE 'same' END AS status
+        |  FROM bh FULL OUTER JOIN ah ON bh.k = ah.k)
+        |SELECT doc_id, status FROM d WHERE status <> 'same'
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val after = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      snapshotDiff(docs, after, "doc_id",
+        concat_ws("|", col("doc_id").cast("string"), md5(col("text"))))
+        .orderBy(col("doc_id"))
+    },
 
     Q("audit_fingerprint",
       """WITH h AS (

@@ -32,6 +32,16 @@ class RelationalSpec extends SparkSpec {
     assert(withoutLi > 0, "anti join is vacuous on this data")
   }
 
+  test("snapshot diff classifies added/removed/changed and drops identical rows") {
+    import spark.implicits._
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val after = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    val got = graft.queries.Audit.snapshotDiff(before, after, "doc_id",
+        concat_ws("|", col("doc_id").cast("string"), col("text")))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "changed"), (3L, "removed"), (4L, "added")), s"got $got")
+  }
+
   test("no CartesianProduct in any declared query plan") {
     // 1-row broadcast probe joins (vector-search pattern) are legitimate
     // cross joins: the broadcast side is a single row by construction.
