@@ -567,6 +567,41 @@ object Dedup {
     * Returns (doc_id, span_start, span_tokens), one row per maximal
     * span; eagerly materialized (bounded: ≤ docs × spans-per-doc)
     * so the gram cache never outlives the call. */
+  /** Maximal-span island merge over flagged (doc_id, pos) gram-start
+    * rows: split only when the gap between consecutive duplicated
+    * starts exceeds `n` (token intervals [pos, pos+n-1] no longer
+    * touch), so Σ span_tokens counts each covered token exactly once.
+    * Windows partition BY DOCUMENT — per-task state is one doc's
+    * flagged positions, and the span aggregate reuses the same
+    * doc_id exchange (grp extends its key). */
+  private def islandSpans(hits: DataFrame, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > n, lit(1)).otherwise(lit(0)))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(n)).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
+  /** Per-doc rollup of span rows + the duplicated fraction against
+    * `docs`' token counts. Flagged docs only. */
+  private def spanRollup(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val ntok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    spans
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(col("span_tokens")).cast("long").as("dup_tokens"),
+        max(col("span_tokens")).cast("long").as("max_span"))
+      .join(ntok, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("max_span"),
+        (round(col("dup_tokens") / col("n_tokens"), 6) + lit(0.0)).as("dup_frac"))
+  }
+
   def duplicatedSpanRows(docs: DataFrame, n: Int = 8): DataFrame = {
     val grams = docs.select(col("doc_id"),
         graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
@@ -577,37 +612,39 @@ object Dedup {
       .select(col("gram_h"))
     val hits = grams.join(dupGrams, Seq("gram_h"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = hits
-      .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(byDoc) > n, lit(1)).otherwise(lit(0)))
-      .withColumn("grp", sum(col("brk")).over(byDoc))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) - min(col("pos")) + lit(n)).cast("long").as("span_tokens"))
-      .select(col("doc_id"), col("span_start"), col("span_tokens"))
-      .localCheckpoint()
+    val spans = islandSpans(hits, n).localCheckpoint()
     grams.unpersist()
     spans
+  }
+
+  /** Incremental substring probe — the span tier of the delta-vs-corpus
+    * family (`incrementalDedup` exact, `incrementalNearDedup` banded):
+    * which passages of the NEWLY ARRIVED docs already exist verbatim
+    * anywhere in the standing corpus. Only the delta is gram-scanned
+    * for positions; the corpus side reduces to its distinct gram-key
+    * set (the persisted index at scale — the same artifact the
+    * decontamination bloom builds from), and the probe is a LEFT SEMI
+    * join keyed on the 8-byte gram hash. Island merge + rollup as in
+    * `duplicatedSpans`; a delta doc that is a verbatim copy reports
+    * one whole-doc span with dup_frac 1.0. */
+  def incrementalSubstringSpans(
+      corpus: DataFrame, delta: DataFrame, n: Int = 8): DataFrame = {
+    val corpusGrams = corpus
+      .select(graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
+      .select(col("gram_h")).distinct()
+    val deltaGrams = delta.select(col("doc_id"),
+      graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
+    val hits = deltaGrams.join(corpusGrams, Seq("gram_h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    spanRollup(delta, islandSpans(hits, n))
   }
 
   /** Per-doc rollup of `duplicatedSpanRows`: span count, exact
     * duplicated-token total, widest span, and the duplicated fraction
     * of the doc — the quantity pipelines threshold on ("drop docs
     * > 50 % duplicated", Lee et al.-style). Flagged docs only. */
-  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    val ntok = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    duplicatedSpanRows(docs, n)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).cast("long").as("n_spans"),
-        sum(col("span_tokens")).cast("long").as("dup_tokens"),
-        max(col("span_tokens")).cast("long").as("max_span"))
-      .join(ntok, "doc_id")
-      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("max_span"),
-        (round(col("dup_tokens") / col("n_tokens"), 6) + lit(0.0)).as("dup_frac"))
-  }
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame =
+    spanRollup(docs, duplicatedSpanRows(docs, n))
 
   val defs: Seq[Q] = Seq(
 
@@ -859,6 +896,73 @@ object Dedup {
             concat(lit("completely novel content payload "),
               col("doc_id").cast("string")).as("text")))
       incrementalNearDedup(docs, delta).orderBy(col("doc_id"))
+    },
+
+    // Incremental SUBSTRING probe: which passages of the delta batch
+    // already exist verbatim in the corpus. Same delta construction as
+    // dedup_incremental_near (exact copies / appended revisions /
+    // novel docs); exact copies must report whole-doc spans with
+    // dup_frac 1.0, revisions a prefix span, novel docs nothing. The
+    // oracle replays corpus gram keys, delta positions, the island
+    // merge, and the rollup.
+    Q("dedup_incremental_substring", {
+      val n = 8
+      def gramsOf(src: String, withId: Boolean): String = {
+        val idCol = if (withId) "doc_id, " else ""
+        s"""SELECT $idCol
+           |       unnest(range(1, greatest(len(l) - ${n - 1}, 0) + 1)) AS i,
+           |       unnest(list_transform(range(1, greatest(len(l) - ${n - 1}, 0) + 1),
+           |                             i -> array_to_string(l[i:i+${n - 1}], ' '))) AS gram
+           |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM $src)""".stripMargin
+      }
+      s"""WITH delta AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text || ' appended revision' AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |         'completely novel content payload ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |cg AS (
+         |  SELECT DISTINCT CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+         |  FROM (${gramsOf("documents", withId = false)})),
+         |dg AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+         |  FROM (${gramsOf("delta", withId = true)})),
+         |hits AS (SELECT dg.doc_id, dg.pos FROM dg JOIN cg USING (gram_h)),
+         |flagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM flagged),
+         |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + $n AS w
+         |          FROM isl GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM delta)
+         |SELECT s.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |       CAST(SUM(w) AS BIGINT) AS dup_tokens,
+         |       CAST(MAX(w) AS BIGINT) AS max_span,
+         |       ROUND(SUM(w) * 1.0 / MAX(t.n_tokens), 6) + 0 AS dup_frac
+         |FROM spans s JOIN tok t USING (doc_id)
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" appended revision")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("completely novel content payload "),
+              col("doc_id").cast("string")).as("text")))
+      incrementalSubstringSpans(docs, delta).orderBy(col("doc_id"))
     },
 
     // Dup-pair graph → clusters: min-label propagation vs a recursive-

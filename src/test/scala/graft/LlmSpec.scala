@@ -434,6 +434,27 @@ class LlmSpec extends SparkSpec {
       (5L, 1L, 24L, 24L, 1.0)), s"got $roll") // the WHOLE doc is duplicated
   }
 
+  test("incremental substring probe: delta passages found in the corpus, span-exact") {
+    val S = "orbital station relay beacon signal thermal array panel junction manifold"  // 10 tokens
+    def filler(p: String, k: Int) = (1 to k).map(p + _).mkString(" ")
+    val corpus = docs(
+      (1L, filler("ca", 6) + " " + S + " " + filler("cb", 6)),
+      (2L, filler("cc", 20)))
+    val delta = docs(
+      (10L, corpus.filter(col("doc_id") === 1).head().getString(1)), // verbatim copy
+      (11L, filler("dz", 4) + " " + S),                              // quotes S at the tail
+      (12L, filler("dq", 15)))                                       // novel
+    val out = Dedup.incrementalSubstringSpans(corpus, delta)
+      .select("doc_id", "n_spans", "dup_tokens", "max_span", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // copy: whole doc (22 tokens) duplicated
+    assert(out(10L) === ((10L, 1L, 22L, 22L, 1.0)), s"got ${out.get(10L)}")
+    // quote: grams fully inside S (starts 4..6 of the 14-token doc —
+    // S occupies 4..13, so in-S starts are 4,5,6) → one 10-token span
+    assert(out(11L) === ((11L, 1L, 10L, 10L, 0.714286)), s"got ${out.get(11L)}")
+    assert(!out.contains(12L), s"novel doc flagged: ${out.get(12L)}")
+  }
+
   test("SemDeDup collapses planted near-duplicate vectors within clusters; distinct vectors survive") {
     val rnd = new scala.util.Random(23)
     def vec(seed: Int): Array[Float] = {
