@@ -980,6 +980,44 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // PageRank over the same chain graph, 5 unrolled power iterations:
+    // the oracle replays the identical algebra CTE by CTE ((1−d)/N +
+    // d·Σ rank/deg over undirected neighbors), so every node's rank —
+    // not just the ordering — is pinned to 6 dp. On a—b—c chains the
+    // middles must outrank the ends.
+    Q("dedup_graph_pagerank", {
+      val iters = 5
+      val d = 0.85
+      val iterCtes = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT x.id,
+           |         (1 - $d) / (SELECT n FROM nn) + $d * COALESCE(SUM(u.c), 0) AS r
+           |  FROM r${k - 1} x
+           |  LEFT JOIN (SELECT und.b AS id, r${k - 1}.r / deg.d AS c
+           |             FROM und JOIN deg USING (a) JOIN r${k - 1} ON r${k - 1}.id = und.a) u
+           |    USING (id)
+           |  GROUP BY x.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH g AS (
+         |  SELECT doc_id FROM documents
+         |  UNION ALL SELECT doc_id + 1000000 FROM documents
+         |  UNION ALL SELECT doc_id + 2000000 FROM documents),
+         |e AS (
+         |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id + 2000000 FROM documents),
+         |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+         |nn AS (SELECT COUNT(*) AS n FROM g),
+         |r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r FROM g),
+         |$iterCtes
+         |SELECT id, ROUND(r * (SELECT n FROM nn), 6) + 0 AS rank_norm
+         |FROM r$iters ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      val (nodes, edges) = chainClusterFixture(s, dir)
+      pageRank(nodes, edges).orderBy(col("id"))
+    },
+
     // Same transitive-closure oracle, computed by the alternating
     // large-star/small-star algorithm — the O(log n)-round variant for
     // adversarial diameters (min-label propagation above is
@@ -1072,6 +1110,53 @@ object Dedup {
     }
     und.unpersist()
     labels
+  }
+
+  /** Fixed-iteration PageRank over the undirected dup-pair graph —
+    * the centrality companion to the connected-components tier: inside
+    * a dup cluster it ranks the "template" document every near-copy
+    * links to (highest in-contribution), the principled canonical-pick
+    * when min-id is too arbitrary; across the corpus it surfaces hub
+    * documents whose passages spread widest.
+    *
+    * Deterministic by construction: a FIXED iteration count (power
+    * iteration, not run-to-convergence — the oracle unrolls the same
+    * `iters` algebra), double arithmetic rounded ONLY at the final
+    * output (both engines' partial-sum orders differ at ~1e-16;
+    * ROUND(·,6) absorbs it, the repo's derived-float convention).
+    * Each iteration is ONE shuffle (contributions keyed by the
+    * destination node) plus the degree/rank hash joins; lineage is
+    * truncated per iteration via localCheckpoint exactly like
+    * `connectedComponents`. The node count is the only driver scalar
+    * (bounded boundary, same class as the ML class counts). Returns
+    * (id, rank_norm) with rank_norm = rank · N (mean 1.0 — the
+    * scale-free form comparable across corpus sizes). */
+  def pageRank(
+      nodes: DataFrame, edges: DataFrame,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val undDeg = und.join(deg, "a")
+    val ids = nodes.select(col("id"))
+    val n = ids.count().toDouble
+    var ranks = ids.select(col("id"), (lit(1.0) / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = undDeg
+        .join(ranks.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_rank"))
+      ranks = ids
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("in_rank"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    und.unpersist()
+    ranks.select(col("id"), (round(col("rank") * n, 6) + lit(0.0)).as("rank_norm"))
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR

@@ -434,6 +434,27 @@ class LlmSpec extends SparkSpec {
       (5L, 1L, 24L, 24L, 1.0)), s"got $roll") // the WHOLE doc is duplicated
   }
 
+  test("pageRank on a 3-chain: exact fixed-iteration algebra, middle outranks ends") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.pageRank(nodes, edges, iters = 5, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    // replay the same recurrence scalar-side: deg = (1, 2, 1), N = 3
+    var r = Array(1.0 / 3, 1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 5) {
+      val in = Array(r(1) / 2, r(0) + r(2), r(1) / 2)
+      r = in.map(c => 0.15 / 3 + 0.85 * c)
+    }
+    Seq(0, 1, 2).foreach { i =>
+      val want = math.rint(r(i) * 3 * 1e6) / 1e6
+      assert(math.abs(got(i + 1L) - want) < 1e-9, s"node ${i + 1}: got ${got(i + 1L)}, want $want")
+    }
+    assert(got(2L) > got(1L) && got(2L) > got(3L), "middle node must outrank the ends")
+    assert(math.abs(got(1L) - got(3L)) < 1e-9, "symmetric ends must tie")
+    // total rank is conserved (no dangling nodes on the undirected graph)
+    assert(math.abs(got.values.sum - 3.0) < 1e-5, s"sum=${got.values.sum}")
+  }
+
   test("incremental substring probe: delta passages found in the corpus, span-exact") {
     val S = "orbital station relay beacon signal thermal array panel junction manifold"  // 10 tokens
     def filler(p: String, k: Int) = (1 to k).map(p + _).mkString(" ")
