@@ -57,6 +57,16 @@ object PlanAudit {
     // that matter are the pre-checkpoint pipelines audited piecewise
     // above/below plus the verify join (2 shuffles keyed id + 1 dedup
     // exchange), which boilerplateChunks exhibits un-checkpointed:
+    // round-8 claims: the substring-span pipeline is 3 exchanges (gram
+    // min/max agg + LEFT SEMI probe + ONE doc_id exchange shared by
+    // the island window and span agg); the incremental probe drops the
+    // agg side to the corpus distinct; subword encode is map-only
+    audit("substringSpans(plan)", llm.Dedup.spanRowsPlan(docs))
+    audit("incrementalSubstring",
+      llm.Dedup.incrementalSubstringSpans(docs, docs.limit(50)))
+    audit("subwordStats(native)",
+      llm.TextAnalysis.subwordStats(docs, Seq("a", "b", "ab", "the"), 6))
+    audit("sourceOverlapSketch", llm.Curation.sourceOverlapSketch(docs))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))

@@ -602,17 +602,29 @@ object Dedup {
         (round(col("dup_tokens") / col("n_tokens"), 6) + lit(0.0)).as("dup_frac"))
   }
 
-  def duplicatedSpanRows(docs: DataFrame, n: Int = 8): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-        graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def gramPosRows(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
+
+  private def spansFromGrams(grams: DataFrame, n: Int): DataFrame = {
     val dupGrams = grams.groupBy(col("gram_h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select(col("gram_h"))
     val hits = grams.join(dupGrams, Seq("gram_h"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    val spans = islandSpans(hits, n).localCheckpoint()
+    islandSpans(hits, n)
+  }
+
+  /** The span pipeline WITHOUT persist/checkpoint — PlanAudit inspects
+    * this frame (the public API's localCheckpoint hides the plan). */
+  private[graft] def spanRowsPlan(docs: DataFrame, n: Int = 8): DataFrame =
+    spansFromGrams(gramPosRows(docs, n), n)
+
+  def duplicatedSpanRows(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = gramPosRows(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = spansFromGrams(grams, n).localCheckpoint()
     grams.unpersist()
     spans
   }
