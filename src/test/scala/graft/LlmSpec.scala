@@ -476,6 +476,44 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(12L), s"novel doc flagged: ${out.get(12L)}")
   }
 
+  test("bucketed gram index: probe shuffles ONLY the delta side, answers match the in-query form") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val delta = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val tbl = "gram_idx_spec"
+    val path = java.nio.file.Files.createTempDirectory("graft_gram_idx_spec").toString
+    Dedup.buildGramIndex(corpus, spark, tbl, s"$path/$tbl")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the PROBE join (delta grams ⋈ index): with broadcast disabled,
+      // exactly ONE exchange — the delta side re-bucketing; the index
+      // side reads its bucket files co-located
+      val probeHits = spark.table(tbl)
+        .join(
+          delta.select(col("doc_id"),
+            graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("pos", "gram_h"))),
+          Seq("gram_h"), "inner")
+      probeHits.count()
+      val shuffles = collectPlan(probeHits.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles === 1,
+        s"probe must shuffle only the delta side:\n${probeHits.queryExecution.executedPlan}")
+      // end to end, the served answer equals the in-query form
+      val served = Dedup.probeGramIndex(delta, spark, tbl)
+        .orderBy("doc_id").collect().toSeq
+      val direct = Dedup.incrementalSubstringSpans(corpus, delta)
+        .orderBy("doc_id").collect().toSeq
+      assert(served === direct, s"served $served != direct $direct")
+      assert(served.nonEmpty, "verbatim delta copies must be flagged")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.Bench.deleteRecursively(path)
+    }
+  }
+
   test("SemDeDup collapses planted near-duplicate vectors within clusters; distinct vectors survive") {
     val rnd = new scala.util.Random(23)
     def vec(seed: Int): Array[Float] = {
