@@ -753,6 +753,103 @@ object Dedup {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Oracle SQL for the three text near-dup PAIR tiers — factored so
+    * `dedup_tier_agreement` can replay all three in one statement. */
+  private val minhashPairsSql: String =
+    s"""WITH toks AS ($tokenizedSql),
+       |sig AS ($signaturesSql),
+       |bands AS ($bandedSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |         ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+       |               (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) + 0 AS jaccard
+       |  FROM cand
+       |  JOIN toks ta ON ta.doc_id = id_a
+       |  JOIN toks tb ON tb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM j
+       |WHERE jaccard >= $JaccardThreshold""".stripMargin
+
+  private val simhashPairsSql: String = {
+    val h = s"CAST(concat('0x', substr(md5('sh64:' || t), 1, 15)) AS BIGINT)"
+    val bits = (0 until SimHash64Bits).map(k =>
+      s"(CASE WHEN list_sum(list_transform(toks, t -> ($h >> $k) & 1)) * 2 >= len(toks) THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)")
+      .mkString("\n + ")
+    val bandsSql = SimHashCombos.zipWithIndex.map { case (combo, ti) =>
+      s"SELECT doc_id, simhash, $ti AS band_idx, ${comboKeySql("simhash", combo)} AS band_bits FROM sh"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS ($tokenizedSql),
+       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM toks
+       |       WHERE toks IS NOT NULL),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+       |   AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sh sa ON sa.doc_id = c.id_a
+       |JOIN sh sb ON sb.doc_id = c.id_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $MaxHamming""".stripMargin
+  }
+
+  private val ngramPairsSql: String = {
+    val gbandsSql = (0 until NgramBands).map { b =>
+      val cols = (b * NgramRowsPerBand until (b + 1) * NgramRowsPerBand)
+        .map(i => s"gmh$i")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', ${cols.mkString(", ")})) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS grams
+       |  FROM t WHERE len(w) >= 2),
+       |sig AS (${affineSigSql("gmh", NgramHashes, "gmh",
+      "SELECT doc_id, unnest(grams) AS e FROM g")}),
+       |bands AS ($gbandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |         ROUND(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+       |               (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6) + 0 AS jaccard
+       |  FROM cand
+       |  JOIN g ga ON ga.doc_id = id_a
+       |  JOIN g gb ON gb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM j
+       |WHERE jaccard >= 0.3""".stripMargin
+  }
+
+  /** Multi-tier consensus over the three INDEPENDENT text near-dup
+    * detectors (vocabulary minhash, 60-bit simhash hamming, bigram
+    * sequence Jaccard): pairs flagged by ≥ `minTiers` of them — the
+    * published precision-boosting practice (each tier has distinct
+    * false-positive modes; their intersection keeps dup recall while
+    * discarding single-tier noise). One pass per tier (each already
+    * banded/verified, never all-pairs) + a pair-keyed count — the
+    * union adds no new join. */
+  def tierAgreement(docs: DataFrame, minTiers: Int = 2): DataFrame = {
+    def pairsOf(df: DataFrame, tier: String): DataFrame =
+      df.select(col("id_a"), col("id_b"), lit(tier).as("tier"))
+    pairsOf(nearDupPairs(docs), "minhash")
+      .unionByName(pairsOf(simhashPairs(docs), "simhash"))
+      .unionByName(pairsOf(ngramJaccardPairs(docs, threshold = 0.3), "ngram"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_tiers"),
+        array_join(sort_array(collect_list(col("tier"))), ",").as("tiers"))
+      .filter(col("n_tiers") >= minTiers)
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Winnowing-fingerprint containment: every (a, b) where ≥ half of
@@ -863,25 +960,29 @@ object Dedup {
     // Banded MinHash LSH → exact-Jaccard verify. Oracle-checked: the
     // same md5-derived hash family runs in DuckDB.
     Q("dedup_minhash_pairs",
-      s"""WITH toks AS ($tokenizedSql),
-         |sig AS ($signaturesSql),
-         |bands AS ($bandedSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT id_a, id_b,
-         |         ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
-         |               (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) + 0 AS jaccard
-         |  FROM cand
-         |  JOIN toks ta ON ta.doc_id = id_a
-         |  JOIN toks tb ON tb.doc_id = id_b)
-         |SELECT id_a, id_b, jaccard FROM j
-         |WHERE jaccard >= $JaccardThreshold
-         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      s"$minhashPairsSql\nORDER BY id_a, id_b") { (s, dir) =>
       nearDupPairs(Tables.documents(s, dir))
+    },
+
+    // Multi-tier consensus: pairs flagged by ≥ 2 of the three
+    // independent text tiers, with the agreeing tier list. The oracle
+    // replays ALL THREE pipelines (each WITH-block nests as a derived
+    // table) and the same count/agg — pair set, counts, and tier
+    // strings all hash-pinned.
+    Q("dedup_tier_agreement",
+      s"""WITH u AS (
+         |  SELECT id_a, id_b, 'minhash' AS tier FROM ($minhashPairsSql)
+         |  UNION ALL
+         |  SELECT id_a, id_b, 'simhash' AS tier FROM ($simhashPairsSql)
+         |  UNION ALL
+         |  SELECT id_a, id_b, 'ngram' AS tier FROM ($ngramPairsSql))
+         |SELECT id_a, id_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tiers,
+         |       string_agg(tier, ',' ORDER BY tier) AS tiers
+         |FROM u GROUP BY id_a, id_b
+         |HAVING COUNT(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      tierAgreement(Tables.documents(s, dir)).orderBy(col("id_a"), col("id_b"))
     },
 
     // SimHash signature table (near-dup via hamming distance on one
@@ -896,31 +997,8 @@ object Dedup {
     // hamming ≤ 3 ⇒ some full combo agrees), exact bit_count(xor)
     // verify. Fully oracle-checked: signature, bands, and verify all
     // replay in SQL.
-    Q("dedup_simhash_pairs", {
-      val h = s"CAST(concat('0x', substr(md5('sh64:' || t), 1, 15)) AS BIGINT)"
-      val bits = (0 until SimHash64Bits).map(k =>
-        s"(CASE WHEN list_sum(list_transform(toks, t -> ($h >> $k) & 1)) * 2 >= len(toks) THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)")
-        .mkString("\n + ")
-      val bandsSql = SimHashCombos.zipWithIndex.map { case (combo, ti) =>
-        s"SELECT doc_id, simhash, $ti AS band_idx, ${comboKeySql("simhash", combo)} AS band_bits FROM sh"
-      }.mkString(" UNION ALL ")
-      s"""WITH toks AS ($tokenizedSql),
-         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM toks
-         |       WHERE toks IS NOT NULL),
-         |bands AS ($bandsSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
-         |   AND a.doc_id < b.doc_id)
-         |SELECT c.id_a, c.id_b,
-         |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
-         |FROM cand c
-         |JOIN sh sa ON sa.doc_id = c.id_a
-         |JOIN sh sb ON sb.doc_id = c.id_b
-         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $MaxHamming
-         |ORDER BY id_a, id_b""".stripMargin
-    }) { (s, dir) =>
+    Q("dedup_simhash_pairs",
+      s"$simhashPairsSql\nORDER BY id_a, id_b") { (s, dir) =>
       simhashPairs(Tables.documents(s, dir))
     },
 
@@ -1105,37 +1183,8 @@ object Dedup {
     // (source, len_band) blocking key). Fully oracle-checked: bigram
     // construction is index arithmetic and the band hashes replay the
     // same md5 family in both engines.
-    Q("dedup_ngram_jaccard", {
-      val gbandsSql = (0 until NgramBands).map { b =>
-        val cols = (b * NgramRowsPerBand until (b + 1) * NgramRowsPerBand)
-          .map(i => s"gmh$i")
-        s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', ${cols.mkString(", ")})) AS band_hash FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS grams
-         |  FROM t WHERE len(w) >= 2),
-         |sig AS (${affineSigSql("gmh", NgramHashes, "gmh",
-        "SELECT doc_id, unnest(grams) AS e FROM g")}),
-         |bands AS ($gbandsSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT id_a, id_b,
-         |         ROUND(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
-         |               (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6) + 0 AS jaccard
-         |  FROM cand
-         |  JOIN g ga ON ga.doc_id = id_a
-         |  JOIN g gb ON gb.doc_id = id_b)
-         |SELECT id_a, id_b, jaccard FROM j
-         |WHERE jaccard >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin
-    }) { (s, dir) =>
+    Q("dedup_ngram_jaccard",
+      s"$ngramPairsSql\nORDER BY id_a, id_b") { (s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3)
     },
   )

@@ -476,6 +476,34 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(12L), s"novel doc flagged: ${out.get(12L)}")
   }
 
+  test("tier agreement: exact dup hits all three tiers, near dup at least two, unrelated none") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "omicron", "pi",
+      "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega", "one",
+      "two", "three", "four", "five", "six", "seven", "eight", "nine",
+      "ten", "eleven", "twelve", "north", "south", "east", "west", "center")
+    val base = words.mkString(" ")                       // 40 distinct tokens
+    val near = words.updated(39, "lambda").mkString(" ") // vocab J = 39/41 ≈ 0.95,
+                                                         // bigram J ≈ 0.93 → ≥ 2 tiers certain
+    val d = docs(
+      (1L, base),
+      (2L, base), // exact copy → all 3 tiers (hamming 0, J = 1 everywhere)
+      (3L, near),
+      (4L, Vector.fill(40)("unrelatedfiller").zipWithIndex
+        .map { case (w, i) => w + i }.mkString(" ")))
+    val got = Dedup.tierAgreement(d)
+      .select("id_a", "id_b", "n_tiers", "tiers")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, 2L)) === ((3L, "minhash,ngram,simhash")), s"got ${got.get((1L, 2L))}")
+    Seq((1L, 3L), (2L, 3L)).foreach { p =>
+      val (n, tiers) = got(p)
+      assert(n >= 2L && tiers.contains("minhash") && tiers.contains("ngram"),
+        s"near dup $p: got ($n, $tiers)")
+    }
+    assert(!got.keySet.exists(q => q._1 == 4L || q._2 == 4L), s"unrelated paired: $got")
+  }
+
   test("bucketed gram index: probe shuffles ONLY the delta side, answers match the in-query form") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
