@@ -543,6 +543,53 @@ object Curation {
         (round(col("n_match") / lit(k.toDouble), 6) + lit(0.0)).as("est_jaccard"))
   }
 
+  /** Per-doc lexical-diversity score (distinct-token ratio, 6 dp) —
+    * the cheap rule-based stand-in for a reference-LM perplexity in
+    * the CCNet-style bucketing below. */
+  private def diversityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"), col("lang"),
+      (round(size(array_distinct(toks)) * lit(1.0) / size(toks), 6) + lit(0.0))
+        .as("score"))
+  }
+
+  /** CCNet-style per-language quality terciles: rank docs within
+    * their language and label head / middle / tail — the published
+    * shape for language-adaptive filtering (a global threshold
+    * over-prunes low-resource languages; per-lang terciles keep each
+    * language's own best third). NTILE over (score desc, doc_id) is a
+    * deterministic total order, so both engines bucket identically.
+    *
+    * Scale caveat, by design: NTILE needs a per-language SORT — a
+    * dominant language concentrates on few tasks. This is the exact
+    * REPORTING form; the gate below is the 100 TB filtering form
+    * (bounded per-lang quantile aggregate + broadcast compare, no
+    * global window). */
+  def langQualityBuckets(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+    diversityScore(docs)
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+  }
+
+  /** The SCALE form of per-language quality gating: each language's
+    * cutoff is one exact-percentile aggregate (two values per lang —
+    * a bounded frame that broadcasts), and the keep decision is a
+    * map-side compare — no per-language global sort anywhere. Keeps
+    * the top ~`1−q` fraction per language; boundary TIES are all kept
+    * (≥), the one deliberate semantic difference from NTILE's
+    * positional split. */
+  def langQualityGate(docs: DataFrame, q: Double = 0.666667): DataFrame = {
+    val scored = diversityScore(docs)
+    val cuts = scored.groupBy(col("lang"))
+      .agg((round(expr(s"percentile(score, $q)"), 6) + lit(0.0)).as("cutoff"))
+    scored.join(broadcast(cuts), "lang")
+      .filter(col("score") >= col("cutoff"))
+      .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
+  }
+
   // ── Declared queries (pin the API to the test corpus) ────────────
 
   /** Shared oracle for both decontamination plans (exact-join and
@@ -815,6 +862,35 @@ object Curation {
     }) { (s, dir) =>
       packTokenBins(Tables.documents(s, dir), budget = 512)
         .orderBy(col("source"), col("doc_id"))
+    },
+
+    // Per-lang terciles, exact NTILE reporting form.
+    Q("curation_lang_buckets",
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         ROUND(len(list_distinct(l)) * 1.0 / len(l), 6) + 0 AS score
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)),
+        |b AS (SELECT *, NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS t
+        |      FROM s)
+        |SELECT doc_id, lang, score, CAST(t AS BIGINT) AS tercile,
+        |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      langQualityBuckets(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // Per-lang gate, percentile-cutoff scale form (no global window).
+    Q("curation_lang_gate",
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         ROUND(len(list_distinct(l)) * 1.0 / len(l), 6) + 0 AS score
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)),
+        |c AS (SELECT lang, ROUND(quantile_cont(score, 0.666667), 6) + 0 AS cutoff
+        |      FROM s GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.score, c.cutoff
+        |FROM s JOIN c USING (lang)
+        |WHERE s.score >= c.cutoff
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      langQualityGate(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
     // Exact pairwise vocabulary Jaccard between sources — intersection

@@ -350,6 +350,42 @@ class CurationSpec extends SparkSpec {
     assert(!est.contains(("C", "A")) || est(("C", "A")) < 0.1)
   }
 
+  test("lang buckets: per-language terciles; gate keeps top third with boundary ties") {
+    import spark.implicits._
+    // scores by construction: distinct/total over 4 tokens
+    val d = Seq(
+      (1L, "a b c d", "aa"),  // 1.00 → head
+      (2L, "a b c a", "aa"),  // 0.75 → head (6 docs → 2/2/2)
+      (3L, "a b a a", "aa"),  // 0.50 → middle
+      (4L, "a b b a", "aa"),  // 0.50 → middle (tie broken by doc_id)
+      (5L, "a a a a", "aa"),  // 0.25 → tail
+      (6L, "b b b b", "aa"),  // 0.25 → tail
+      (10L, "p q r s", "bb"), // 1.00 → head
+      (11L, "p q r p", "bb"), // 0.75
+      (12L, "p q p p", "bb"), // 0.50
+      (13L, "p p p p", "bb")) // 0.25  (4 docs → ntile 2/1/1)
+      .toDF("doc_id", "text", "lang")
+    val buckets = Curation.langQualityBuckets(d)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(buckets === Map(
+      1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle",
+      5L -> "tail", 6L -> "tail",
+      10L -> "head", 11L -> "head", 12L -> "middle", 13L -> "tail"),
+      s"got $buckets")
+    // gate at q=2/3: lang aa cutoff = quantile_cont(.666667) of
+    // (.25,.25,.5,.5,.75,1) — both .5 docs sit at/above only if the
+    // cutoff lands ≤ .5; verify against Spark's own percentile, and
+    // pin that TIED boundary scores are all kept (≥ semantics)
+    val kept = Curation.langQualityGate(d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(2L) && kept.contains(10L),
+      s"top scorers must pass: $kept")
+    assert(!kept.contains(5L) && !kept.contains(6L) && !kept.contains(13L),
+      s"bottom scorers must fail: $kept")
+    // ties: docs 3 and 4 share one score — either both in or both out
+    assert(kept.contains(3L) === kept.contains(4L), s"tie split: $kept")
+  }
+
   test("date family invariants hold for every order") {
     val out = SparkEntry.queries("date_funcs_family")(spark, dir)
     val bad = out.filter(
