@@ -111,4 +111,47 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out.head.getAs[Long]("start_bin") === 0L)
   }
+
+  test("round-8 operators are empty- and single-doc-safe") {
+    // substring spans: nothing is duplicated in 0- or 1-doc corpora
+    assert(Dedup.duplicatedSpans(emptyDocs).count() === 0)
+    assert(Dedup.duplicatedSpans(oneDoc).count() === 0)
+    assert(Dedup.incrementalSubstringSpans(emptyDocs, oneDoc).count() === 0)
+    assert(Dedup.incrementalSubstringSpans(oneDoc, oneDoc.limit(0)).count() === 0)
+    // tier consensus needs ≥ 2 agreeing tiers — impossible alone
+    assert(Dedup.tierAgreement(oneDoc).count() === 0)
+    assert(Dedup.tierAgreement(emptyDocs).count() === 0)
+    // source overlap: a single source has no pairs
+    assert(Curation.sourceOverlap(oneDoc).count() === 0)
+    assert(Curation.sourceOverlapSketch(oneDoc).count() === 0)
+    // per-lang bucketing: a 1-doc language is its own head, and the
+    // gate keeps it (cutoff == its own score, ≥ holds)
+    val b = Curation.langQualityBuckets(oneDoc).select("bucket").as[String].head()
+    assert(b === "head")
+    assert(Curation.langQualityGate(oneDoc).count() === 1)
+  }
+
+  test("pageRank handles an edge-free graph: every node gets the uniform rank") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val ranks = Dedup.pageRank(nodes, edges, iters = 3)
+      .select("rank_norm").as[Double].collect()
+    // no in-edges anywhere → every node holds (1−d)/N, normalized 0.15
+    assert(ranks.length === 3 && ranks.forall(r => math.abs(r - 0.15) < 1e-9),
+      s"got ${ranks.toSeq}")
+  }
+
+  test("subword stats survive unicode and the null row; null text → null struct") {
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "résumé naïve", "fr", "src", 14L),
+        org.apache.spark.sql.Row(2L, null, "en", "src", 0L))),
+      docSchema)
+    val out = withNull.select(col("doc_id"),
+        graft.functions.subword_stats(col("text"), Seq("e", "a", "n"), 4).as("s"))
+      .select(col("doc_id"), col("s.n_pieces"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) > 0L, "unicode text must segment")
+    assert(out(2L) === -1L, "null text must yield a null struct, not a crash")
+  }
 }
