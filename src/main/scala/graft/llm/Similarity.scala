@@ -694,6 +694,42 @@ object Similarity {
       annJoin(emb, emb.filter(col("vec_id") < 8), k = 3)
     },
 
+    // Multi-probe ANN: the probe side also searches every hamming-1
+    // band bucket (single-bit XOR flips — exact integer arithmetic,
+    // replayed verbatim in the oracle). Candidates are a strict
+    // superset of embed_ann_join's; the exact-cosine verify and rank
+    // are unchanged.
+    Q("embed_ann_multiprobe",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bands AS ($srpBandedSql),
+         |pexp AS (
+         |  SELECT vec_id, band_idx, band_sig FROM bands WHERE vec_id < 8
+         |  UNION ALL
+         |  SELECT vec_id, band_idx, xor(band_sig, CAST(1 << j AS BIGINT)) AS band_sig
+         |  FROM bands, range(0, $SrpBandBits) t(j) WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+         |  FROM pexp p JOIN bands c
+         |    ON p.band_idx = c.band_idx AND p.band_sig = c.band_sig
+         |   AND p.vec_id <> c.vec_id),
+         |r AS (
+         |  SELECT probe_id, cand_id,
+         |         ROUND(list_cosine_similarity(ep.v, ec.v), 6) + 0 AS cos_sim
+         |  FROM cand
+         |  JOIN e ep ON ep.vec_id = probe_id
+         |  JOIN e ec ON ec.vec_id = cand_id),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, cos_sim,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                                 ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rank
+         |  FROM r)
+         |SELECT probe_id, cand_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      annJoinMultiProbe(emb, emb.filter(col("vec_id") < 8), k = 3)
+    },
+
     // The banding arithmetic under the oracle on NON-empty output: the
     // populated (band, signature) buckets and their occupancies. The
     // near-dedup result above is legitimately empty on this corpus
@@ -873,7 +909,34 @@ object Similarity {
     * guard for a degenerate corpus. No cap is applied either way. */
   def annJoin(
       emb: DataFrame, probes: DataFrame, k: Int,
-      occupancyBound: Option[Long] = None): DataFrame = {
+      occupancyBound: Option[Long] = None): DataFrame =
+    annJoinCore(emb, probes, k, occupancyBound, identity)
+
+  /** Multi-probe variant (Lv et al., VLDB 2007 shape adapted to SRP
+    * sign bits): each probe also searches every band bucket at
+    * HAMMING DISTANCE 1 from its own signature — the `SrpBandBits`
+    * single-bit flips, the buckets a near-neighbor most likely fell
+    * into when one hyperplane's sign disagreed. Recall rises without
+    * adding tables or widening buckets: the probe side fans out
+    * (1 + bits)× (probes are the SMALL side by construction), the
+    * corpus side is untouched, and the exact-cosine verify keeps
+    * precision identical. Strictly a candidate SUPERSET of `annJoin`
+    * (flip j = 0 keeps the original signature) — per-probe top-k
+    * similarity is monotonically ≥ the exact-match join's. */
+  def annJoinMultiProbe(
+      emb: DataFrame, probes: DataFrame, k: Int,
+      occupancyBound: Option[Long] = None): DataFrame =
+    annJoinCore(emb, probes, k, occupancyBound, pb =>
+      pb.select(col("vec_id"), col("band_idx"),
+        explode(array(
+          col("band_sig") +:
+            (0 until SrpBandBits).map(j => col("band_sig").bitwiseXOR(lit(1L << j))): _*))
+          .as("band_sig")))
+
+  private def annJoinCore(
+      emb: DataFrame, probes: DataFrame, k: Int,
+      occupancyBound: Option[Long],
+      expandProbes: DataFrame => DataFrame): DataFrame = {
     occupancyBound.foreach { bound =>
       warnHotBuckets("annJoin", hotSrpBuckets(emb, bound),
         Seq("band_idx", "band_sig"), bound)
@@ -882,7 +945,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBands = srpBanded(vecs.select(col("vec_id"), col("v").as("embedding")))
     val probeVecs = vecs.join(probes.select(col("vec_id")), "vec_id")
-    val probeBands = srpBanded(probeVecs.select(col("vec_id"), col("v").as("embedding")))
+    val probeBands =
+      expandProbes(srpBanded(probeVecs.select(col("vec_id"), col("v").as("embedding"))))
     val cand = probeBands.as("p")
       .join(corpusBands.as("c"),
         col("p.band_idx") === col("c.band_idx") &&

@@ -476,6 +476,28 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(12L), s"novel doc flagged: ${out.get(12L)}")
   }
 
+  test("multi-probe ANN: candidate superset of the exact-match join, per-probe top-1 never worse") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val probes = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.annJoin(emb, probes, k = 3)
+      .select("probe_id", "rank", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val multi = Similarity.annJoinMultiProbe(emb, probes, k = 3)
+      .select("probe_id", "rank", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val exactTop = exact.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    val multiTop = multi.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    // flip j=0 keeps the original signature → every probe the exact
+    // join answers, multiprobe answers at least as well
+    exactTop.foreach { case (p, s) =>
+      assert(multiTop.contains(p), s"probe $p lost under multiprobe")
+      assert(multiTop(p) >= s - 1e-9, s"probe $p: multi ${multiTop(p)} < exact $s")
+    }
+    // and it may answer probes the exact join cannot (hamming-1 reach);
+    // at minimum it never answers fewer
+    assert(multiTop.keySet.size >= exactTop.keySet.size)
+  }
+
   test("tier agreement: exact dup hits all three tiers, near dup at least two, unrelated none") {
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "omicron", "pi",
