@@ -543,6 +543,46 @@ object Curation {
         (round(col("n_match") / lit(k.toDouble), 6) + lit(0.0)).as("est_jaccard"))
   }
 
+  /** SURGICAL decontamination (round 8): instead of dropping every
+    * doc sharing an n-gram with the eval slice (`decontaminate` — the
+    * recall-safe but wasteful form), remove ONLY the contaminated
+    * token spans and reassemble the rest. Spans are the maximal
+    * islands of eval-overlapping gram starts (same merge rule as
+    * `Dedup.duplicatedSpans`, so removed token counts are exact with
+    * no overlap double-count); a doc whose every token is covered
+    * disappears, an untouched doc passes through byte-identical.
+    *
+    * Scale shape: eval grams are the bounded curated-benchmark set
+    * (broadcasts); hit detection is the map-only generator + LEFT
+    * SEMI on 8-byte keys; span merge and reassembly both partition
+    * BY DOC (one exchange, reused); token text moves only for kept
+    * tokens. */
+  def stripContaminated(docs: DataFrame, evalPred: Column, n: Int = 8): DataFrame = {
+    val train = docs.filter(!evalPred)
+    val ev = docs.filter(evalPred)
+      .select(graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("p", "gram_h")))
+      .select(col("gram_h")).distinct()
+    val hits = train
+      .select(col("doc_id"),
+        graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
+      .join(ev, Seq("gram_h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val covered = Dedup.islandSpans(hits, n)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start").cast("long"),
+          col("span_start").cast("long") + col("span_tokens") - 1)).as("pos"))
+    val toks = train
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("t"))
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t")), " ").as("clean_text"))
+  }
+
   /** Per-doc lexical-diversity score (distinct-token ratio, 6 dp) —
     * the cheap rule-based stand-in for a reference-LM perplexity in
     * the CCNet-style bucketing below. */
@@ -862,6 +902,55 @@ object Curation {
     }) { (s, dir) =>
       packTokenBins(Tables.documents(s, dir), budget = 512)
         .orderBy(col("source"), col("doc_id"))
+    },
+
+    // Surgical span-level decontamination: remove only the
+    // eval-overlapping token ranges, keep the rest of each doc. The
+    // oracle replays gram keys, island merge, covered-range
+    // expansion, the anti join, and the order-restoring reassembly —
+    // the cleaned text itself is fingerprint-pinned.
+    Q("corpus_strip_contaminated", {
+      val n = 8
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |gs AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, greatest(len(l) - ${n - 1}, 0) + 1)) AS i,
+         |         unnest(list_transform(range(1, greatest(len(l) - ${n - 1}, 0) + 1),
+         |                               j -> array_to_string(l[j:j+${n - 1}], ' '))) AS gram
+         |  FROM base),
+         |g AS (SELECT doc_id, i - 1 AS pos, ${fp60Sql("gram")} AS gram_h FROM gs),
+         |ev AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 7 = 0),
+         |hits AS (SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram_h)
+         |         WHERE g.doc_id % 7 <> 0),
+         |flagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM flagged),
+         |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + $n AS w
+         |          FROM isl GROUP BY doc_id, grp),
+         |cov AS (SELECT doc_id, unnest(range(s, s + w)) AS pos FROM spans),
+         |tok AS (SELECT doc_id, unnest(range(1, len(l) + 1)) - 1 AS pos, unnest(l) AS t
+         |        FROM base WHERE doc_id % 7 <> 0),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.pos, tk.t
+         |  FROM tok tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+         |  WHERE c.pos IS NULL)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(length(string_agg(t, ' ' ORDER BY pos)) AS BIGINT) AS clean_len,
+         |       CAST(concat('0x', substr(md5(string_agg(t, ' ' ORDER BY pos)), 1, 8)) AS BIGINT) AS clean_fp
+         |FROM kept GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      stripContaminated(Tables.documents(s, dir), col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("n_kept"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          fp(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
     },
 
     // Per-lang terciles, exact NTILE reporting form.

@@ -574,7 +574,7 @@ object Dedup {
     * Windows partition BY DOCUMENT — per-task state is one doc's
     * flagged positions, and the span aggregate reuses the same
     * doc_id exchange (grp extends its key). */
-  private def islandSpans(hits: DataFrame, n: Int): DataFrame = {
+  private[graft] def islandSpans(hits: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("brk",

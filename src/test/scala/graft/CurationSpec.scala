@@ -386,6 +386,27 @@ class CurationSpec extends SparkSpec {
     assert(kept.contains(3L) === kept.contains(4L), s"tie split: $kept")
   }
 
+  test("surgical decontamination removes exactly the eval-overlapping spans") {
+    import spark.implicits._
+    val S = "signal relay orbital beacon thermal manifold junction array panel vector" // 10 tokens
+    def filler(p: String, k: Int) = (1 to k).map(p + _).mkString(" ")
+    val clean = filler("c", 12)
+    val d = Seq(
+      (1L, filler("a", 5) + " " + S + " " + filler("b", 5)), // S at 5..14
+      (2L, clean),                                           // untouched
+      (3L, S),                                               // fully covered → gone
+      (100L, S))                                             // the eval doc
+      .toDF("doc_id", "text")
+    val out = Curation.stripContaminated(d, col("doc_id") >= 100L)
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((10L, filler("a", 5) + " " + filler("b", 5))),
+      s"got ${out.get(1L)}") // exactly S excised, order restored
+    assert(out(2L) === ((12L, clean)), "untouched doc must pass byte-identical")
+    assert(!out.contains(3L), "fully-contaminated doc must disappear")
+    assert(!out.contains(100L), "eval docs are not part of the cleaned corpus")
+  }
+
   test("date family invariants hold for every order") {
     val out = SparkEntry.queries("date_funcs_family")(spark, dir)
     val bad = out.filter(
