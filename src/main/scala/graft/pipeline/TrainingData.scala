@@ -140,5 +140,57 @@ object TrainingData {
         .orderBy(rand(42), col("event_id"))
         .limit(2000)
     },
+
+    // Weighted reservoir sampling (Efraimidis–Spirakis, IPL 2006):
+    // key = u^(1/w) per doc with a DETERMINISTIC md5 uniform, take
+    // the k largest — one distributed pass, inclusion probability ∝
+    // weight, reproducible run over run (unlike rand()). Selection
+    // ranks the 6-dp-rounded key with a doc_id tiebreak, so both
+    // engines pick the identical sample despite libm pow being the
+    // only float in play (same final-round convention as every
+    // derived float here). Scale: top-k by key is
+    // TakeOrderedAndProject — per-partition k then one driver merge,
+    // never a global sort.
+    Q("sample_weighted_es",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |         (CAST(concat('0x', substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+        |           / 4294967296.0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, w, ROUND(pow(u, 1.0 / w), 6) + 0 AS es_key FROM d),
+        |r AS (SELECT doc_id, w, es_key,
+        |             CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank
+        |      FROM k)
+        |SELECT doc_id, w, es_key, rank FROM r WHERE rank <= 32
+        |ORDER BY rank""".stripMargin) { (s, dir) =>
+      weightedSample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("w")),
+        k = 32)
+        .orderBy(col("rank"))
+    },
   )
+
+  /** Efraimidis–Spirakis one-pass weighted sampling without
+    * replacement over (doc_id, w) rows: the k rows with the largest
+    * u^(1/w) keys, u a deterministic per-doc hash uniform in (0, 1].
+    * Heavier rows get keys nearer 1 — inclusion probability
+    * proportional to weight, exactly the published construction, but
+    * replayable (and oracle-checkable) because the randomness is the
+    * md5 family, not a seed-threaded RNG. */
+  def weightedSample(weighted: DataFrame, k: Int): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("es:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") + lit(1L)) / lit(4294967296.0)
+    // TakeOrderedAndProject does the distributed top-k (per-partition k
+    // + one driver merge); the rank window then runs over k rows only
+    val top = weighted
+      .withColumn("es_key", round(pow(u, lit(1.0) / col("w")), 6) + lit(0.0))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+  }
 }

@@ -66,6 +66,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(ids1.size <= 2000)
   }
 
+  test("weighted ES sampling: heavy rows dominate, deterministic, top-k plan") {
+    import spark.implicits._
+    val weighted = ((0L until 100L).map(i => (i, 100L)) ++
+      (100L until 200L).map(i => (i, 1L))).toDF("doc_id", "w")
+    val top = TrainingData.weightedSample(weighted, k = 32)
+    val ids = top.select("doc_id").as[Long].collect().toSet
+    val heavy = ids.count(_ < 100L)
+    assert(heavy >= 25, s"weight-100 rows should dominate the sample: $heavy/32 heavy")
+    // deterministic: the identical sample on rerun (hash uniforms, no RNG)
+    val again = TrainingData.weightedSample(weighted, k = 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === ids)
+    // distributed top-k, not a global sort/window over all rows
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("no temporal leakage: mutating a strictly-future row never changes features at time T") {
     import spark.implicits._
     // 10-day timeline; perturb day 9's value; features for days 1..8 are identical.
