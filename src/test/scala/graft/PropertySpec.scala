@@ -242,6 +242,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: duplicated spans equal the brute-force covered-position count") {
+    check(Prop.forAll(corpusGen) { rows =>
+      val n = 3 // short grams so tiny random docs collide cross-doc
+      val grams = rows.map { case (id, _, t) =>
+        id -> t.split(" ", -1).toSeq.sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).zipWithIndex.map { case (g, p) => (p, g) }.toList
+      }.toMap
+      // a gram is duplicated if it occurs in ANY other doc
+      val gramDocs = grams.toList
+        .flatMap { case (id, gs) => gs.map { case (_, g) => g -> id } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val expected = grams.flatMap { case (id, gs) =>
+        val covered = gs.collect {
+          case (p, g) if gramDocs(g).exists(_ != id) => p until (p + n)
+        }.flatten.toSet
+        if (covered.isEmpty) None else Some(id -> covered.size.toLong)
+      }
+      val got = graft.llm.Dedup.duplicatedSpans(
+        rows.toDF("doc_id", "source", "text"), n)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+      got == expected
+    })
+  }
+
   test("property: decontaminate flags exactly the brute-force overlap set") {
     check(Prop.forAll(corpusGen) { rows =>
       val n = 4 // short grams so tiny random docs can actually collide
