@@ -201,6 +201,50 @@ object Similarity {
       s"SELECT vec_id, $b AS band_idx, CAST(${srpBandSigSql(b)} AS BIGINT) AS band_sig FROM e"
     }.mkString(" UNION ALL ")
 
+  /** Oracle for the batch ANN join, shared with the STREAMING probe
+    * (`streaming_ann_probe` — identical answer by construction). */
+  private[graft] val annJoinOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bands AS ($srpBandedSql),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       |  FROM bands p JOIN bands c
+       |    ON p.band_idx = c.band_idx AND p.band_sig = c.band_sig
+       |   AND p.vec_id <> c.vec_id
+       |  WHERE p.vec_id < 8),
+       |r AS (
+       |  SELECT probe_id, cand_id,
+       |         ROUND(list_cosine_similarity(ep.v, ec.v), 6) + 0 AS cos_sim
+       |  FROM cand
+       |  JOIN e ep ON ep.vec_id = probe_id
+       |  JOIN e ec ON ec.vec_id = cand_id),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, cos_sim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                                 ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rank
+       |  FROM r)
+       |SELECT probe_id, cand_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 3
+       |ORDER BY probe_id, rank""".stripMargin
+
+  /** Exact-cosine verify + per-probe rank over a raw candidate-pair
+    * frame (possibly with duplicates — distinct here): the batch tail
+    * of the ANN joins, exposed so a streaming candidate generator can
+    * hand its sunk pairs to the SAME verification. */
+  def verifyAndRank(cand: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val byProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    cand.select(col("probe_id"), col("cand_id")).distinct()
+      .join(vecs.select(col("vec_id").as("probe_id"), col("v").as("pv")), "probe_id")
+      .join(vecs.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
+      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6) + lit(0.0))
+      .withColumn("rank", row_number().over(byProbe).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"), col("cos_sim"), col("rank"))
+  }
+
   /** Johnson–Lindenstrauss-style random projection to `RpDims`
     * dimensions using the SAME deterministic hyperplane family as the
     * SRP buckets — the CONTINUOUS projection values instead of their
@@ -667,29 +711,7 @@ object Similarity {
     // production retrieval shape — per-probe annTopK is interactive).
     // Fully oracle-checked: banded candidates, exact cosine, and the
     // per-probe ranking all replay in SQL.
-    Q("embed_ann_join",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |bands AS ($srpBandedSql),
-         |cand AS (
-         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
-         |  FROM bands p JOIN bands c
-         |    ON p.band_idx = c.band_idx AND p.band_sig = c.band_sig
-         |   AND p.vec_id <> c.vec_id
-         |  WHERE p.vec_id < 8),
-         |r AS (
-         |  SELECT probe_id, cand_id,
-         |         ROUND(list_cosine_similarity(ep.v, ec.v), 6) + 0 AS cos_sim
-         |  FROM cand
-         |  JOIN e ep ON ep.vec_id = probe_id
-         |  JOIN e ec ON ec.vec_id = cand_id),
-         |ranked AS (
-         |  SELECT probe_id, cand_id, cos_sim,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |                                 ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rank
-         |  FROM r)
-         |SELECT probe_id, cand_id, cos_sim, rank FROM ranked
-         |WHERE rank <= 3
-         |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+    Q("embed_ann_join", annJoinOracleSql) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       annJoin(emb, emb.filter(col("vec_id") < 8), k = 3)
     },

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.{Q, Tables}
-import graft.llm.Curation
+import graft.llm.{Curation, Similarity}
 import graft.pipeline.Telemetry
 
 /** Structured Streaming variant of the alerting pipeline (SURVEY §2.10:
@@ -260,6 +260,32 @@ object StreamingAlerts {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).filter(col("n_contam") > 0).orderBy(col("doc_id"))
+    },
+
+    // STREAMING ANN PROBE (round 8): probe vectors arrive as a stream;
+    // the SRP band expansion is a map-only projection per row and the
+    // candidate join is a stateless stream-static equi-join against
+    // the corpus band table (broadcast at scale) — the streaming
+    // kernel is candidate GENERATION, fully stateless. Exact-cosine
+    // verify + per-probe rank run batch-side over the sunk candidate
+    // pairs (`Similarity.verifyAndRank` — rank windows aren't
+    // streaming-expressible, and verification naturally batches per
+    // serving window). Same oracle as embed_ann_join: identical
+    // answer by construction.
+    Q("streaming_ann_probe", Similarity.annJoinOracleSql) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val staticBands = Similarity.srpBanded(emb)
+        .select(col("vec_id").as("cand_id"), col("band_idx"), col("band_sig"))
+      val name = "stream_ann_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Similarity.srpBanded(embStream(s, dir).filter(col("vec_id") < 8))
+        .join(staticBands, Seq("band_idx", "band_sig"))
+        .filter(col("vec_id") =!= col("cand_id"))
+        .select(col("vec_id").as("probe_id"), col("cand_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Similarity.verifyAndRank(s.table(name), emb, k = 3)
+        .orderBy(col("probe_id"), col("rank"))
     })
 
   /** `documents` as an unbounded source (same glob-addressing trick as
@@ -267,6 +293,13 @@ object StreamingAlerts {
   def docsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     spark.readStream.schema(schema).parquet(s"$dir/documents.*")
+  }
+
+  /** `embeddings` as an unbounded source (same glob trick; schema
+    * from the batch footer read). */
+  def embStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/embeddings.*")
   }
 
   /** Streaming train/eval decontamination: per arriving doc, the
