@@ -96,6 +96,30 @@ object Curation {
       .withColumn("clean",
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
 
+  /** URL extraction + domain normalization (round 8): the provenance
+    * side of anti-domination — before `domainCap` can bound a domain,
+    * something must EXTRACT and normalize domains from raw text. The
+    * regex subset (char classes only, no lazy ops) behaves identically
+    * under Java regex and RE2/DuckDB; normalization lowercases nothing
+    * (corpus is lowercase) but strips scheme and a leading `www.`.
+    * Map-only per doc; the rollup is one partial+final aggregate keyed
+    * by domain. */
+  val UrlRe = """https?://[a-z0-9.-]+[a-z0-9/._-]*"""
+  private val DomainRe = """https?://(www[.])?([a-z0-9.-]+)"""
+  def urlDomains(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), DomainRe, 2))
+
+  /** Per-domain occurrence stats over `urlDomains`: URL mentions and
+    * distinct citing docs — the inputs a domain-cap / source-mixing
+    * policy consumes. */
+  def domainStats(df: DataFrame, textCol: String): DataFrame =
+    urlDomains(df, textCol)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_urls"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"))
+
   /** Split each doc into non-overlapping `chunkTokens`-token chunks;
     * count how many of a doc's chunks appear in ≥2 distinct docs
     * (header/footer/template boilerplate). The chunks come from the
@@ -710,6 +734,37 @@ object Curation {
           length(col("clean")).cast("long").as("clean_len"),
           fp(col("clean")).as("clean_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // URL extraction → domain normalization → per-domain stats, on
+    // deterministically planted citations (the corpus has no URLs —
+    // same planting discipline as text_pii_scrub). The oracle replays
+    // extraction regex, www-stripping, and both counts.
+    Q("text_url_domains", {
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' see https://cdn' || CAST(doc_id % 37 AS VARCHAR) ||
+         |         '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+         |         ' and http://www.mirror' || CAST(doc_id % 11 AS VARCHAR) ||
+         |         '.example.org/idx' AS cited
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(cited, '$UrlRe')) AS url FROM p),
+         |d AS (
+         |  SELECT doc_id, regexp_extract(url, '$DomainRe', 2) AS domain FROM u)
+         |SELECT domain,
+         |       CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+    }) { (s, dir) =>
+      val cited = concat(
+        col("text"), lit(" see https://cdn"), (col("doc_id") % 37).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit(" and http://www.mirror"), (col("doc_id") % 11).cast("string"),
+        lit(".example.org/idx"))
+      domainStats(
+        Tables.documents(s, dir).select(col("doc_id"), cited.as("cited")), "cited")
+        .orderBy(col("domain"))
     },
 
     Q("dedup_chunk_boilerplate",

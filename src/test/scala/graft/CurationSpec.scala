@@ -407,6 +407,21 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(100L), "eval docs are not part of the cleaned corpus")
   }
 
+  test("url domains: extraction, www-stripping, and doc-vs-mention counts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "read https://news.site.com/a and https://news.site.com/b today"),
+      (2L, "mirror at http://www.news.site.com/c plus https://other.org/x"),
+      (3L, "no links here at all"))
+      .toDF("doc_id", "cited")
+    val stats = Curation.domainStats(d, "cited")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // www. strips → one domain; 3 mentions across 2 docs
+    assert(stats("news.site.com") === ((3L, 2L)), s"got ${stats.get("news.site.com")}")
+    assert(stats("other.org") === ((1L, 1L)))
+    assert(stats.size === 2, s"unexpected domains: ${stats.keySet}")
+  }
+
   test("date family invariants hold for every order") {
     val out = SparkEntry.queries("date_funcs_family")(spark, dir)
     val bad = out.filter(
