@@ -84,16 +84,31 @@ object ScaleProbe {
               col("p.band_sig") === col("c.band_sig") &&
               col("p.vec_id") =!= col("c.vec_id"))
           .count()
+        // multi-probe fan-out (round 8): the hamming-1 expansion lands
+        // on the probe side only — candidate volume must stay bounded
+        // by (1 + bits) × the probe set as the corpus grows 10×
+        val probeExpanded = probeBands.select(col("vec_id"), col("band_idx"),
+          explode(array(
+            col("band_sig") +: (0 until Similarity.SrpBandBits)
+              .map(j => col("band_sig").bitwiseXOR(lit(1L << j))): _*)).as("band_sig"))
+        val multiprobeWork = probeExpanded.as("p")
+          .join(corpusBands.as("c"),
+            col("p.band_idx") === col("c.band_idx") &&
+              col("p.band_sig") === col("c.band_sig") &&
+              col("p.vec_id") =!= col("c.vec_id"))
+          .count()
 
         // declared query shapes, timed (min of reps, same discipline as Bench)
         val qs = Seq("dedup_ngram_jaccard", "dedup_simhash_pairs",
-          "dedup_minhash_pairs", "embed_ann_join", "dedup_substring_spans")
+          "dedup_minhash_pairs", "embed_ann_join", "dedup_substring_spans",
+          "embed_ann_multiprobe")
         val times = qs.map(q => q -> timeMin(SparkEntry.queries(q)(spark, dir)))
         val outRows = qs.map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
 
         println(f"SCALE x$scale%-3d docs=$nDocs%-7d vecs=$nVecs%-7d " +
           f"ngramWork=$ngramWork%-9d simhashWork=$simhashWork%-9d " +
-          f"minhashWork=$tokenWork%-9d annWork=$annWork%-7d substrWork=$substrWork%-9d")
+          f"minhashWork=$tokenWork%-9d annWork=$annWork%-7d substrWork=$substrWork%-9d " +
+          f"multiprobeWork=$multiprobeWork%-7d")
         times.foreach { case (q, t) =>
           println(f"SCALE x$scale%-3d TIME $q%-22s ${t}%8.3f s  rows=${outRows(q)}")
         }
