@@ -591,11 +591,21 @@ object Curation {
         graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
       .join(ev, Seq("gram_h"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    val covered = Dedup.islandSpans(hits, n)
+    removeSpans(train, Dedup.islandSpans(hits, n))
+  }
+
+  /** Excise `(doc_id, span_start, span_tokens)` token ranges from
+    * `docs` and reassemble the survivors in order → (doc_id, n_kept,
+    * clean_text). Shared by the surgical decontamination above and
+    * the keep-one-copy substring dedup (`Dedup.substringStrip`).
+    * Every stage partitions by doc; token text moves only for kept
+    * tokens; docs whose every token is covered disappear. */
+  private[graft] def removeSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val covered = spans
       .select(col("doc_id"),
         explode(sequence(col("span_start").cast("long"),
           col("span_start").cast("long") + col("span_tokens") - 1)).as("pos"))
-    val toks = train
+    val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("t"))
     toks.join(covered, Seq("doc_id", "pos"), "left_anti")

@@ -629,6 +629,37 @@ object Dedup {
     spans
   }
 
+  /** Keep-one-copy substring dedup — the ACTING form of
+    * `duplicatedSpans` (which only reports): every cross-document
+    * duplicated span is excised EXCEPT from the gram's canonical
+    * owner (the min doc_id containing it), so exactly one copy of
+    * each duplicated passage survives the corpus — the published
+    * exact-substring dedup semantics. A position is stripped iff some
+    * covering gram is duplicated AND this doc is not that gram's
+    * owner; ownership is per gram (deterministic min), so the rule is
+    * order-free and replays exactly in SQL. Non-owners of a passage
+    * lose it, the owner keeps it verbatim, untouched docs pass
+    * byte-identical. Returns (doc_id, n_kept, clean_text).
+    *
+    * Scale shape: ownership is the same min/max aggregate the report
+    * tier runs (plus min kept as the owner id); the strip reuses
+    * `Curation.removeSpans` — all stages doc-partitioned, never
+    * all-pairs. */
+  def substringStrip(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = gramPosRows(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val owners = grams.groupBy(col("gram_h"))
+      .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("mx"))
+      .filter(col("owner") =!= col("mx"))
+      .select(col("gram_h"), col("owner"))
+    val hits = grams.join(owners, "gram_h")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("pos"))
+    val out = Curation.removeSpans(docs, islandSpans(hits, n)).localCheckpoint()
+    grams.unpersist()
+    out
+  }
+
   /** Incremental substring probe — the span tier of the delta-vs-corpus
     * family (`incrementalDedup` exact, `incrementalNearDedup` banded):
     * which passages of the NEWLY ARRIVED docs already exist verbatim
@@ -955,6 +986,66 @@ object Dedup {
         when(col("doc_id") % 3 === 0, concat(lit(SpanHeader + " "), col("text")))
           .otherwise(col("text")).as("text"))
       duplicatedSpans(planted).orderBy(col("doc_id"))
+    },
+
+    // Keep-one-copy substring dedup on the same planted-header corpus
+    // as dedup_substring_spans: doc 0 is the header's canonical owner
+    // (min doc_id ≡ 0 mod 3) and must keep it verbatim; every other
+    // planted doc loses it. The oracle replays ownership, the island
+    // merge, and the reassembly — cleaned text fingerprint-pinned.
+    Q("dedup_substring_strip", {
+      val n = 8
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN '$SpanHeader ' || text ELSE text END AS text
+         |  FROM documents),
+         |corpus AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+         |gs AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, greatest(len(l) - ${n - 1}, 0) + 1)) AS i,
+         |         unnest(list_transform(range(1, greatest(len(l) - ${n - 1}, 0) + 1),
+         |                               j -> array_to_string(l[j:j+${n - 1}], ' '))) AS gram
+         |  FROM corpus),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |             CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+         |      FROM gs),
+         |own AS (SELECT gram_h, MIN(doc_id) AS owner FROM g GROUP BY gram_h
+         |        HAVING MIN(doc_id) <> MAX(doc_id)),
+         |hits AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (gram_h)
+         |         WHERE g.doc_id <> own.owner),
+         |flagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM flagged),
+         |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + $n AS w
+         |          FROM isl GROUP BY doc_id, grp),
+         |cov AS (SELECT doc_id, unnest(range(s, s + w)) AS pos FROM spans),
+         |tok AS (SELECT doc_id, unnest(range(1, len(l) + 1)) - 1 AS pos, unnest(l) AS t
+         |        FROM corpus),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.pos, tk.t
+         |  FROM tok tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+         |  WHERE c.pos IS NULL)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(length(string_agg(t, ' ' ORDER BY pos)) AS BIGINT) AS clean_len,
+         |       CAST(concat('0x', substr(md5(string_agg(t, ' ' ORDER BY pos)), 1, 8)) AS BIGINT) AS clean_fp
+         |FROM kept GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(SpanHeader + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      substringStrip(planted)
+        .select(col("doc_id"), col("n_kept"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          conv(substring(md5(col("clean_text")), 1, 8), 16, 10).cast("long").as("clean_fp"))
+        .orderBy(col("doc_id"))
     },
 
     // Banded MinHash LSH → exact-Jaccard verify. Oracle-checked: the

@@ -526,6 +526,27 @@ class LlmSpec extends SparkSpec {
     assert(!got.keySet.exists(q => q._1 == 4L || q._2 == 4L), s"unrelated paired: $got")
   }
 
+  test("substring strip keeps exactly ONE copy: the min-doc owner survives verbatim") {
+    val S = "meridian harbor lantern crystal summit prairie velvet horizon ember cascade"  // 10 tokens
+    def filler(p: String, k: Int) = (1 to k).map(p + _).mkString(" ")
+    val d = docs(
+      (1L, filler("aa", 4) + " " + S),          // owner (min doc with S's grams)
+      (2L, S + " " + filler("bb", 6)),          // loses S
+      (3L, filler("cc", 3) + " " + S + " " + filler("dd", 3)), // loses S
+      (4L, filler("zz", 12)))                   // untouched
+    val out = Dedup.substringStrip(d)
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((14L, filler("aa", 4) + " " + S)),
+      s"owner must keep the passage verbatim: ${out.get(1L)}")
+    assert(out(2L) === ((6L, filler("bb", 6))), s"got ${out.get(2L)}")
+    assert(out(3L) === ((6L, filler("cc", 3) + " " + filler("dd", 3))), s"got ${out.get(3L)}")
+    assert(out(4L) === ((12L, filler("zz", 12))), "untouched doc must pass byte-identical")
+    // the global guarantee: S survives exactly once across the corpus
+    val survivors = out.values.count(_._2.contains(S))
+    assert(survivors === 1, s"expected exactly one surviving copy, got $survivors")
+  }
+
   test("bucketed gram index: probe shuffles ONLY the delta side, answers match the in-query form") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
