@@ -79,6 +79,15 @@ object QualityModel {
       .withColumn("keep", (col("pareto_draw") > lit(1.0) - col("quality_score")).cast("int"))
   }
 
+  /** Artifact round-trip (the deployment boundary, same contract as
+    * `FailureModel.saveModel`): the classifier is a coefficient
+    * vector + intercept — a bounded artifact persisted once and
+    * broadcast at scoring time. */
+  def saveModel(model: LogisticRegressionModel, path: String): Unit =
+    model.write.overwrite().save(path)
+  def loadModel(path: String): LogisticRegressionModel =
+    LogisticRegressionModel.load(path)
+
   val defs: Seq[Q] = Seq(
     // Train on a deterministic pseudo-reference slice (doc_id % 5 = 0
     // plays the curated corpus), score everything, apply the Pareto

@@ -76,6 +76,19 @@ class QualitySpec extends SparkSpec {
     assert(kept(false) < 0.5, s"spam keep-rate too high: ${kept(false)}")
   }
 
+  test("model artifact round-trip: loaded model scores identically") {
+    val model = QualityModel.train(planted, "is_ref")
+    val path = java.nio.file.Files.createTempDirectory("graft_qm").toString + "/m"
+    QualityModel.saveModel(model, path)
+    val loaded = QualityModel.loadModel(path)
+    val a = QualityModel.score(model, planted)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val b = QualityModel.score(loaded, planted)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(a === b, "saved/loaded classifier must score bit-identically")
+    graft.Bench.deleteRecursively(path)
+  }
+
   test("declared query runs on the corpus with sane outputs") {
     val out = SparkEntry.queries("curation_quality_model")(spark, sf("sf0.001"))
     val rows = out.collect()
