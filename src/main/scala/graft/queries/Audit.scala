@@ -77,7 +77,55 @@ object Audit {
       .filter(col("status") =!= "same")
   }
 
+  /** Data-contract validation (Deequ-lite): evaluate named row-level
+    * expectations in ONE aggregate pass — each rule is a boolean
+    * Column, violations are `sum(when(!rule, 1))`, so N rules cost one
+    * map-side-combined aggregate regardless of N, never one job per
+    * rule. Whole-table rules (uniqueness) are expressed as aggregate
+    * pairs (count vs approx/count-distinct) by the caller. Returns one
+    * row per rule: (rule, n_violations, pass). */
+  def contractCheck(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val sums = rules.map { case (name, rule) =>
+      sum(when(!rule, 1).otherwise(0)).cast("long").as(name)
+    }
+    val wide = df.agg(sums.head, sums.tail: _*)
+    val stacked = rules.map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
+    wide.select(expr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)"))
+      .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // The documents table's publishable contract, checked in one
+    // aggregate pass; the oracle replays each CASE sum. A planted
+    // violation (rule max_chars_4000 with a deliberately low bound)
+    // proves failures REPORT rather than vanish.
+    Q("audit_contract_check",
+      """WITH v AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS id_not_null,
+        |    CAST(SUM(CASE WHEN length(text) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS text_nonempty,
+        |    CAST(SUM(CASE WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 1 ELSE 0 END) AS BIGINT) AS lang_in_enum,
+        |    CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_consistent,
+        |    CAST(SUM(CASE WHEN length(text) > 400 THEN 1 ELSE 0 END) AS BIGINT) AS max_chars_400
+        |  FROM documents),
+        |s AS (
+        |  SELECT 'id_not_null' AS rule, id_not_null AS n_violations FROM v
+        |  UNION ALL SELECT 'text_nonempty', text_nonempty FROM v
+        |  UNION ALL SELECT 'lang_in_enum', lang_in_enum FROM v
+        |  UNION ALL SELECT 'n_chars_consistent', n_chars_consistent FROM v
+        |  UNION ALL SELECT 'max_chars_400', max_chars_400 FROM v)
+        |SELECT rule, n_violations,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+        |FROM s ORDER BY rule""".stripMargin) { (s, dir) =>
+      contractCheck(Tables.documents(s, dir), Seq(
+        "id_not_null" -> col("doc_id").isNotNull,
+        "text_nonempty" -> (length(col("text")) > 0),
+        "lang_in_enum" -> col("lang").isin("en", "es", "de", "fr"),
+        "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+        "max_chars_400" -> (length(col("text")) <= 400)))
+        .orderBy(col("rule"))
+    },
 
     // Planted snapshot evolution: doc_id % 13 removed, % 11 edited,
     // % 17 re-inserted under a shifted id (added). The oracle replays

@@ -42,6 +42,26 @@ class RelationalSpec extends SparkSpec {
     assert(got === Set((2L, "changed"), (3L, "removed"), (4L, "added")), s"got $got")
   }
 
+  test("contract check counts violations per rule in one pass; null rows count as non-violations") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "ok", 5L), (Some(2L), "", 0L), (None, "also ok", 7L))
+      .toDF("id", "t", "n")
+    val out = graft.queries.Audit.contractCheck(df, Seq(
+      "id_not_null" -> col("id").isNotNull,
+      "t_nonempty" -> (length(col("t")) > 0),
+      "n_positive" -> (col("n") > 0L)))
+      .as[(String, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("id_not_null") === ((1L, 0)))
+    assert(out("t_nonempty") === ((1L, 0)))
+    assert(out("n_positive") === ((1L, 0)))
+    // the one-pass claim: a single aggregate regardless of rule count
+    val plan = graft.queries.Audit.contractCheck(df, Seq(
+      "a" -> col("n").isNotNull, "b" -> (col("n") >= 0L)))
+      .queryExecution.optimizedPlan.toString
+    assert("Aggregate".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("no CartesianProduct in any declared query plan") {
     // 1-row broadcast probe joins (vector-search pattern) are legitimate
     // cross joins: the broadcast side is a single row by construction.
