@@ -266,6 +266,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: source-overlap matrix equals brute-force set Jaccard on every pair") {
+    check(Prop.forAll(corpusGen) { rows =>
+      val vocabOf = rows.groupBy(_._2).view
+        .mapValues(_.flatMap(_._3.split(" ", -1)).toSet).toMap
+      val expected = (for {
+        a <- vocabOf.keys; b <- vocabOf.keys if a < b
+        inter = (vocabOf(a) intersect vocabOf(b)).size if inter > 0
+      } yield (a, b) -> ((inter.toLong,
+        math.rint(inter.toDouble / (vocabOf(a).size + vocabOf(b).size - inter) * 1e6) / 1e6))).toMap
+      val got = graft.llm.Curation.sourceOverlap(
+        rows.toDF("doc_id", "source", "text"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      got == expected
+    })
+  }
+
   test("property: decontaminate flags exactly the brute-force overlap set") {
     check(Prop.forAll(corpusGen) { rows =>
       val n = 4 // short grams so tiny random docs can actually collide
