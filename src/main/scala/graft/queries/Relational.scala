@@ -379,6 +379,32 @@ object Relational {
 
     // ROLLUP with grouping indicators (subtotal + grand-total rows;
     // NULLS FIRST pinned — Spark and DuckDB default null order differ).
+    // Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar
+    // to): a hand-picked lattice — (status, prio), (prio), () — that
+    // neither ROLLUP nor CUBE produces, through the SQL front door on
+    // both engines.
+    Q("agg_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir).createOrReplaceTempView("orders_gsets")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority,
+            |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+            |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+            |       COUNT(*) AS n,
+            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+            |FROM orders_gsets
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
     Q("agg_rollup",
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
