@@ -108,6 +108,35 @@ object TextAnalysis {
     out
   }
 
+  /** Per-SOURCE heavy hitters (round 8): the grouped form of
+    * `frequentTokens` — one Misra-Gries sketch per source (the
+    * TypedImperativeAggregate's partial merges keep the
+    * freq > n/(k+1) guarantee under any partitioning, grouped or
+    * not), then an exact recount restricted to the candidates by a
+    * (source, token) SEMI join — NO driver collect at all, unlike the
+    * global form's bounded candidate list: the candidate set stays a
+    * DataFrame and broadcasts into the semi join. Exact output (the
+    * final freq·k > n filter discards sketch noise), so fully
+    * oracle-checked. */
+  def frequentTokensBySource(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = tok.groupBy(col("source"))
+      .agg(graft.functions.misra_gries(col("t"), k).as("cand"),
+        count(lit(1)).as("n"))
+    val candRows = sk.select(col("source"), explode(col("cand")).as("t"))
+    val out = tok.join(candRows, Seq("source", "t"), "left_semi")
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).cast("long").as("freq"))
+      .join(sk.select(col("source"), col("n")), "source")
+      .filter(col("freq") * k > col("n"))
+      .select(col("source"), col("t").as("token"), col("freq"))
+      .orderBy(col("source"), col("freq").desc, col("token"))
+      .localCheckpoint()
+    tok.unpersist()
+    out
+  }
+
   /** Canonical text cleaning — Unicode NFC composition (the native
     * codegen'd `normalize_nfc`; Spark ships no normalization built-in)
     * then whitespace collapse + trim. The mandatory first step of a
@@ -134,6 +163,21 @@ object TextAnalysis {
         |HAVING COUNT(*) * 50 > tot.n
         |ORDER BY freq DESC, token""".stripMargin) { (s, dir) =>
       frequentTokens(Tables.documents(s, dir), k = 50)
+    },
+
+    // Per-source heavy hitters: grouped Misra-Gries sketches + exact
+    // recount through a (source, token) semi join — zero driver
+    // collects; the exact final filter makes the sketch path
+    // oracle-identical to per-source exact frequent tokens.
+    Q("text_frequent_tokens_by_source",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tot AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source)
+        |SELECT tok.source, t AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM tok JOIN tot USING (source)
+        |GROUP BY tok.source, t, tot.n
+        |HAVING COUNT(*) * 50 > tot.n
+        |ORDER BY source, freq DESC, token""".stripMargin) { (s, dir) =>
+      frequentTokensBySource(Tables.documents(s, dir), k = 50)
     },
 
     // TF-IDF summary per doc (no-oracle: murmur3 hash space is
