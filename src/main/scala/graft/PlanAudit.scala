@@ -67,6 +67,18 @@ object PlanAudit {
     audit("subwordStats(native)",
       llm.TextAnalysis.subwordStats(docs, Seq("a", "b", "ab", "the"), 6))
     audit("sourceOverlapSketch", llm.Curation.sourceOverlapSketch(docs))
+    audit("stripContaminated", llm.Curation.stripContaminated(docs, col("doc_id") % 7 === 0))
+    audit("sourceOverlapExact", {
+      // un-checkpointed core of sourceOverlap (the public API checkpoints)
+      val tok = docs.select(col("source"),
+          explode(split(col("text"), " ")).as("t"))
+        .select(col("source"),
+          conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("tok_h"))
+        .distinct()
+      tok.as("a").join(tok.as("b"),
+          col("a.tok_h") === col("b.tok_h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source"), col("b.source")).agg(count(lit(1)))
+    })
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
