@@ -462,6 +462,42 @@ object Curation {
     out
   }
 
+  /** Funnel report over the SAME stage semantics as `trainingReady`:
+    * per-stage survivor counts (raw → exact dedup → train slice →
+    * decontamination → length gate → stratified mix) as one small
+    * frame — the pipeline-health artifact an operator reads before
+    * shipping a corpus ("where did my tokens go?"). Each stage is a
+    * 1-row aggregate unioned in order; no driver collects, and the
+    * deduped corpus is persisted once exactly like the capstone. */
+  def curationFunnel(
+      docs: DataFrame, evalPred: Column, minTokens: Int,
+      rates: Seq[(String, Int)], defaultRate: Int): DataFrame = {
+    val survivors = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contam = decontaminate(corpus, evalPred).select(col("doc_id"))
+    val train = corpus.filter(!evalPred)
+    val decon = train.join(contam, Seq("doc_id"), "left_anti")
+    val minlen = decon
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+    val mixed = stratifiedSample(minlen, rates, defaultRate)
+    def stage(i: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(i).cast("int").as("stage_idx"), lit(name).as("stage"), col("n"))
+    val out = stage(0, "raw", docs)
+      .unionByName(stage(1, "exact_dedup", corpus))
+      .unionByName(stage(2, "train_slice", train))
+      .unionByName(stage(3, "decontam", decon))
+      .unionByName(stage(4, "min_tokens", minlen))
+      .unionByName(stage(5, "mixed", mixed))
+      .localCheckpoint()
+    corpus.unpersist()
+    out
+  }
+
   /** Default mixing rates (per-mille) used by the declared queries. */
   val MixRates: Seq[(String, Int)] =
     Seq("en" -> 500, "es" -> 1000, "de" -> 250, "fr" -> 750)
@@ -967,6 +1003,52 @@ object Curation {
     }) { (s, dir) =>
       packTokenBins(Tables.documents(s, dir), budget = 512)
         .orderBy(col("source"), col("doc_id"))
+    },
+
+    // The pipeline funnel: per-stage survivor counts under the same
+    // stage semantics (and the same %7 eval slice, 40-token gate,
+    // MixRates) as corpus_training_ready — the oracle replays every
+    // stage's predicate chain and counts.
+    Q("curation_funnel", {
+      val rateCase = MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString("CASE lang ", " ", " ELSE 100 END")
+      s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |corpus AS (
+         |  SELECT d.doc_id, d.lang, d.source, d.text
+         |  FROM documents d JOIN surv USING (doc_id)),
+         |base AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+         |gs AS (SELECT doc_id,
+         |              unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+         |                                    i -> array_to_string(l[i:i+7], ' '))) AS gram
+         |       FROM base),
+         |g AS (SELECT doc_id, ${fp60Sql("gram")} AS gram_h FROM gs),
+         |ev AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 7 = 0),
+         |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram_h)
+         |           WHERE g.doc_id % 7 <> 0),
+         |train AS (SELECT * FROM corpus WHERE doc_id % 7 <> 0),
+         |decon AS (SELECT t.* FROM train t LEFT JOIN contam c USING (doc_id)
+         |          WHERE c.doc_id IS NULL),
+         |minlen AS (SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM decon WHERE len(string_split(text, ' ')) >= 40),
+         |mixed AS (
+         |  SELECT * FROM (
+         |    SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket,
+         |           $rateCase AS rate
+         |    FROM minlen)
+         |  WHERE bucket < rate)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n
+         |  UNION ALL SELECT 1, 'exact_dedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus)
+         |  UNION ALL SELECT 2, 'train_slice', (SELECT CAST(COUNT(*) AS BIGINT) FROM train)
+         |  UNION ALL SELECT 3, 'decontam', (SELECT CAST(COUNT(*) AS BIGINT) FROM decon)
+         |  UNION ALL SELECT 4, 'min_tokens', (SELECT CAST(COUNT(*) AS BIGINT) FROM minlen)
+         |  UNION ALL SELECT 5, 'mixed', (SELECT CAST(COUNT(*) AS BIGINT) FROM mixed))
+         |ORDER BY stage_idx""".stripMargin
+    }) { (s, dir) =>
+      curationFunnel(Tables.documents(s, dir), col("doc_id") % 7 === 0,
+        minTokens = 40, rates = MixRates, defaultRate = 100)
+        .orderBy(col("stage_idx"))
     },
 
     // Surgical span-level decontamination: remove only the

@@ -422,6 +422,21 @@ class CurationSpec extends SparkSpec {
     assert(stats.size === 2, s"unexpected domains: ${stats.keySet}")
   }
 
+  test("funnel stages shrink monotonically and the mixed count equals the capstone") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val funnel = Curation.curationFunnel(docs, col("doc_id") % 7 === 0,
+        minTokens = 40, rates = Curation.MixRates, defaultRate = 100)
+      .orderBy("stage_idx").collect()
+    val ns = funnel.map(_.getAs[Long]("n")).toSeq
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"funnel must be non-increasing: $ns")
+    // the report and the acting capstone must agree on the final count
+    val capstone = Curation.trainingReady(docs, col("doc_id") % 7 === 0,
+      minTokens = 40, rates = Curation.MixRates, defaultRate = 100, budget = 512).count()
+    assert(ns.last === capstone,
+      s"funnel 'mixed' (${ns.last}) != trainingReady output ($capstone)")
+  }
+
   test("date family invariants hold for every order") {
     val out = SparkEntry.queries("date_funcs_family")(spark, dir)
     val bad = out.filter(
