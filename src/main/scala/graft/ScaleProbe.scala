@@ -76,6 +76,38 @@ object ScaleProbe {
           .filter(col("mn") =!= col("mx"))
           .agg(coalesce(sum(col("n")), lit(0L)).cast("long")).head().getLong(0)
 
+        // excision tail (round 9, VERDICT r8 task 7): the strip/decontam
+        // ACTING forms' only unprobed stage was the covered-range
+        // explode (`Curation.removeSpans`) — work = exploded covered
+        // positions (Σ span_tokens of the maximal islands), the row
+        // count `sequence(...)` fans out before the anti join. Probed
+        // on the planted frame both declared queries use (header on
+        // doc_id % 3; eval slice % 7): the header is the only cross-doc
+        // (and the only train∩eval) content on the salted fixture, so
+        // covered mass tracks the planted-doc count — the linear axis.
+        def coveredWork(spans: DataFrame): Long = spans
+          .agg(coalesce(sum(col("span_tokens")), lit(0L)).cast("long"))
+          .head().getLong(0)
+        val grams8 = plantedDocs.select(col("doc_id"),
+          graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("pos", "gram_h")))
+        val owners = grams8.groupBy(col("gram_h"))
+          .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("mx"))
+          .filter(col("owner") =!= col("mx"))
+          .select(col("gram_h"), col("owner"))
+        val stripHits = grams8.join(owners, "gram_h")
+          .filter(col("doc_id") =!= col("owner"))
+          .select(col("doc_id"), col("pos"))
+        val stripWork = coveredWork(Dedup.islandSpans(stripHits, 8))
+        val evPred = col("doc_id") % 7 === 0
+        val evGrams = plantedDocs.filter(evPred)
+          .select(graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("p", "gram_h")))
+          .select(col("gram_h")).distinct()
+        val decHits = grams8.join(plantedDocs.filter(evPred).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .join(evGrams, Seq("gram_h"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+        val decontamWork = coveredWork(Dedup.islandSpans(decHits, 8))
+
         val corpusBands = Similarity.srpBanded(emb)
         val probeBands = Similarity.srpBanded(emb.filter(col("vec_id") < 8))
         val annWork = probeBands.as("p")
@@ -102,13 +134,24 @@ object ScaleProbe {
         val qs = Seq("dedup_ngram_jaccard", "dedup_simhash_pairs",
           "dedup_minhash_pairs", "embed_ann_join", "dedup_substring_spans",
           "embed_ann_multiprobe")
-        val times = qs.map(q => q -> timeMin(SparkEntry.queries(q)(spark, dir)))
-        val outRows = qs.map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap
+        val times = qs.map(q => q -> timeMin(SparkEntry.queries(q)(spark, dir))) ++
+          // the acting excision forms, timed on the same planted frame
+          // the work metrics above measure
+          Seq(
+            "substringStrip" -> timeMin(Dedup.substringStrip(plantedDocs)),
+            "stripContaminated" ->
+              timeMin(graft.llm.Curation.stripContaminated(plantedDocs, evPred)))
+        val outRows = qs.map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap ++
+          Map(
+            "substringStrip" -> Dedup.substringStrip(plantedDocs).count(),
+            "stripContaminated" ->
+              graft.llm.Curation.stripContaminated(plantedDocs, evPred).count())
 
         println(f"SCALE x$scale%-3d docs=$nDocs%-7d vecs=$nVecs%-7d " +
           f"ngramWork=$ngramWork%-9d simhashWork=$simhashWork%-9d " +
           f"minhashWork=$tokenWork%-9d annWork=$annWork%-7d substrWork=$substrWork%-9d " +
-          f"multiprobeWork=$multiprobeWork%-7d")
+          f"multiprobeWork=$multiprobeWork%-7d stripWork=$stripWork%-9d " +
+          f"decontamWork=$decontamWork%-9d")
         times.foreach { case (q, t) =>
           println(f"SCALE x$scale%-3d TIME $q%-22s ${t}%8.3f s  rows=${outRows(q)}")
         }

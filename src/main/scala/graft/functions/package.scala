@@ -140,6 +140,37 @@ package object functions {
     GraftBridge.column(WinnowGenerator(GraftBridge.expression(text), k, w))
   }
 
+  /** Spark's own distributed bloom-filter aggregate (the expression
+    * behind runtime row-group filtering, Spark 3.3+) over a LongType
+    * column: executors build partial sketches, the final merge yields
+    * ONE serialized filter as a binary scalar. `expectedItems` /
+    * `numBits` are silently clamped by Spark's runtime-bloom conf caps
+    * (4M items / 64M bits by default) — past them the fpp degrades,
+    * which callers must absorb with an exact verify. */
+  def bloom_filter_agg(c: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftBridge.expression(c), Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+  }
+
+  /** Codegen'd membership probe of a serialized bloom filter (the
+    * `might_contain` expression runtime filters compile to): the
+    * binary ships as a plan literal — deserialized once per task into
+    * a reference object, probed inside whole-stage codegen. Replaces
+    * the closure-UDF probe that blocked codegen at the filter node
+    * (VERDICT r8 #6). */
+  def might_contain(bloomBytes: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        GraftBridge.expression(value)))
+  }
+
   private[functions] def intArg(e: Expression, what: String): Int = {
     // guard before eval: eval(null) on a non-foldable expression (e.g. a
     // column reference) throws an unbound-reference NPE at plan time —

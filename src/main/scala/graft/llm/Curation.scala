@@ -260,9 +260,9 @@ object Curation {
     * reducer for the 100 TB shape: the eval side's gram hashes are
     * folded into one bloom sketch (a bounded driver artifact:
     * ~1.2 MB per 10⁶ grams at 1% fpp, the same bounded-aggregate
-    * class as the IVF centroid table), broadcast inside a
-    * might-contain predicate, and applied MAP-SIDE to the train grams
-    * BEFORE the probe join — so the join shuffles only the ~fpp
+    * class as the IVF centroid table), shipped as a plan literal into
+    * the codegen'd `might_contain` predicate, and applied MAP-SIDE to
+    * the train grams BEFORE the probe join — so the join shuffles only the ~fpp
     * fraction of grams that might hit, instead of every train gram.
     * False positives are resolved by the exact hash join that
     * follows, so the RESULT is identical to `decontaminate` (same
@@ -278,10 +278,23 @@ object Curation {
     val tr = grams.join(evalIds, Seq("doc_id"), "left_anti").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evCount = math.max(ev.count(), 1L)
-    val bloom = ev.stat.bloomFilter("gram_h", evCount, fpp)
-    val mightHit = udf((h: Long) => bloom.mightContainLong(h))
+    // Distributed sketch build: Spark's own bloom aggregate (partial
+    // filters merged by the engine) replaces `stat.bloomFilter`'s RDD
+    // treeAggregate, and the probe compiles to the codegen'd
+    // `might_contain` expression instead of a closure UDF that walled
+    // off whole-stage codegen at the filter node (VERDICT r8 #6). The
+    // one collected row is the ~1.2 MB serialized filter — the same
+    // bounded driver artifact as before, now shipped as a plan
+    // literal. Bit count is the standard optimum −n·ln(p)/ln²2;
+    // Spark clamps past its runtime-bloom caps, where the degraded
+    // fpp only widens the pre-filter (the exact join still decides).
+    val numBits = math.ceil(
+      -evCount * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomBytes = ev
+      .agg(graft.functions.bloom_filter_agg(col("gram_h"), evCount, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
     val perDoc = tr.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_grams"))
-    val contam = tr.filter(mightHit(col("gram_h")))
+    val contam = tr.filter(graft.functions.might_contain(bloomBytes, col("gram_h")))
       .join(ev.withColumn("hit", lit(1)), Seq("gram_h"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contam"))

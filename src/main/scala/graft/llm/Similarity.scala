@@ -706,6 +706,48 @@ object Similarity {
       nearDupPairsByCosine(Tables.embeddings(s, dir), threshold = 0.95)
     },
 
+    // The NON-VACUOUS certification of the same pipeline (VERDICT r8
+    // #4): the raw corpus is near-orthogonal, so `dedup_embed_cosine`'s
+    // hash check certifies empty == empty at sf0.01. Here 50 near-dups
+    // are planted IN-QUERY — vec_id < 50 gets a copy at +1,000,000
+    // whose dim i is scaled by 1 + 0.02·((i mod 5) − 2), factors
+    // 0.96…1.04 ⇒ cosine ≈ 0.9996 — with arithmetic both engines
+    // replay exactly (float→double widening, one multiply per dim, no
+    // libm), then the IDENTICAL banding + ≥ 0.95 verify runs over the
+    // augmented frame: the driver now pins ~50 surviving pairs, their
+    // band-collision pattern, and their rounded cosines.
+    Q("dedup_embed_cosine_planted",
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |         list_transform(range(1, ${Dim + 1}),
+         |                        i -> v[i] * (1.0 + 0.02 * (((i - 1) % 5) - 2))) AS v
+         |  FROM base WHERE vec_id < 50),
+         |e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |bands AS ($srpBandedSql),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         |   AND a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b,
+         |       ROUND(list_cosine_similarity(ea.v, eb.v), 6) + 0 AS cos_sim
+         |FROM cand c
+         |JOIN e ea ON ea.vec_id = c.id_a
+         |JOIN e eb ON eb.vec_id = c.id_b
+         |WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) + 0 >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"),
+          (x, i) => x * (lit(1.0) + lit(0.02) * ((i % 5) - lit(2)))).as("v"))
+      nearDupPairsByCosine(
+        base.unionByName(planted).withColumnRenamed("v", "embedding"),
+        threshold = 0.95)
+    },
+
     // Batch ANN as a similarity JOIN: every probe in the probe set
     // retrieves its top-3 banded-candidate neighbors in ONE job (the
     // production retrieval shape — per-probe annTopK is interactive).

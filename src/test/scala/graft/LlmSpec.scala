@@ -526,6 +526,37 @@ class LlmSpec extends SparkSpec {
     assert(!got.keySet.exists(q => q._1 == 4L || q._2 == 4L), s"unrelated paired: $got")
   }
 
+  test("shared-scan tier agreement == standalone, and signature stages read the cache, not parquet") {
+    // row-for-row identity on the real corpus (parquet-backed, so the
+    // plan check below is meaningful)
+    val raw = Tables.documents(spark, sf("sf0.001"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "n_tiers", "tiers")
+        .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    assert(rows(Dedup.tierAgreementShared(raw)) === rows(Dedup.tierAgreement(raw)),
+      "shared-scan consensus diverged from the standalone form")
+    // plan shape: with the (doc_id, text) projection persisted, every
+    // tier's signature stage must read the InMemoryRelation — zero
+    // parquet scans (the cache fill is the ONE corpus scan)
+    val corpus = raw.select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      corpus.count() // fill
+      for ((stage, name) <- Seq(
+          (Dedup.tokenBanded(corpus), "minhash bands"),
+          (Dedup.simhashed64(corpus), "simhash sigs"),
+          (Dedup.ngramBanded(corpus), "ngram bands"))) {
+        val plans = collectPlan(stage.queryExecution.executedPlan)
+        assert(plans.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+          s"$name does not read the shared cache")
+        assert(!plans.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+          s"$name re-scans parquet despite the shared cache")
+      }
+    } finally corpus.unpersist()
+  }
+
   test("substring strip keeps exactly ONE copy: the min-doc owner survives verbatim") {
     val S = "meridian harbor lantern crystal summit prairie velvet horizon ember cascade"  // 10 tokens
     def filler(p: String, k: Int) = (1 to k).map(p + _).mkString(" ")
