@@ -68,7 +68,15 @@ case class SubwordStats(child: Expression, vocab: Seq[String], maxPieceLen: Int)
 object SubwordStats {
 
   /** One-pass greedy segmentation; static so generated code calls it
-    * directly and the row stays inside whole-stage codegen. */
+    * directly and the row stays inside whole-stage codegen.
+    *
+    * Iterates by Unicode CODE POINTS, not UTF-16 units (ADVICE r8):
+    * the vocabulary is learned via Spark SQL `substring` — code-point
+    * semantics — so piece lengths here must count code points too, and
+    * the UNK advance must consume a whole code point (a char-indexed
+    * advance would split a surrogate pair and probe half-characters
+    * against the vocab). For BMP text the two indexings coincide, so
+    * ASCII behavior is unchanged. */
   def compute(text: UTF8String, vocab: java.util.HashSet[String], maxPieceLen: Int): InternalRow = {
     var pieces = 0L
     var unk = 0L
@@ -76,16 +84,22 @@ object SubwordStats {
     var w = 0
     while (w < words.length) {
       val word = words(w)
-      var pos = 0
-      while (pos < word.length) {
-        var l = math.min(maxPieceLen, word.length - pos)
-        var matched = 0
-        while (l >= 1 && matched == 0) {
-          if (vocab.contains(word.substring(pos, pos + l))) matched = l
+      val nCp = word.codePointCount(0, word.length)
+      var pos = 0   // UTF-16 char index of the cursor
+      var cp = 0    // code-point index of the cursor
+      while (cp < nCp) {
+        var l = math.min(maxPieceLen, nCp - cp) // candidate length in code points
+        var matchedChars = 0
+        while (l >= 1 && matchedChars == 0) {
+          val end = word.offsetByCodePoints(pos, l)
+          if (vocab.contains(word.substring(pos, end))) matchedChars = end - pos
           else l -= 1
         }
-        if (matched > 0) { pieces += 1; pos += matched }
-        else { pieces += 1; unk += 1; pos += 1 }
+        if (matchedChars > 0) { pieces += 1; pos += matchedChars; cp += l }
+        else {
+          pieces += 1; unk += 1
+          pos = word.offsetByCodePoints(pos, 1); cp += 1
+        }
       }
       w += 1
     }

@@ -99,17 +99,20 @@ object Curation {
   /** URL extraction + domain normalization (round 8): the provenance
     * side of anti-domination — before `domainCap` can bound a domain,
     * something must EXTRACT and normalize domains from raw text. The
-    * regex subset (char classes only, no lazy ops) behaves identically
-    * under Java regex and RE2/DuckDB; normalization lowercases nothing
-    * (corpus is lowercase) but strips scheme and a leading `www.`.
-    * Map-only per doc; the rollup is one partial+final aggregate keyed
-    * by domain. */
-  val UrlRe = """https?://[a-z0-9.-]+[a-z0-9/._-]*"""
-  private val DomainRe = """https?://(www[.])?([a-z0-9.-]+)"""
+    * regex subset ((?i) + char classes, no lazy ops) behaves
+    * identically under Java regex and RE2/DuckDB. Round 9 (ADVICE r8):
+    * the pattern is case-insensitive and the path class admits ports,
+    * query strings, percent-escapes, and fragments (`:?&=%~+#`) — the
+    * old class truncated `host:8443/p?q=1` at the colon, leaving the
+    * tail in the text; the extracted domain is lowercased (ports
+    * excluded — ':' stops the host class). Map-only per doc; the
+    * rollup is one partial+final aggregate keyed by domain. */
+  val UrlRe = """(?i)https?://[a-z0-9.-]+[a-z0-9/._:?&=%~+#-]*"""
+  private val DomainRe = """(?i)https?://(www[.])?([a-z0-9.-]+)"""
   def urlDomains(df: DataFrame, textCol: String): DataFrame =
     df.select(col("doc_id"),
         explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
-      .withColumn("domain", regexp_extract(col("url"), DomainRe, 2))
+      .withColumn("domain", lower(regexp_extract(col("url"), DomainRe, 2)))
 
   /** Per-domain occurrence stats over `urlDomains`: URL mentions and
     * distinct citing docs — the inputs a domain-cap / source-mixing
@@ -698,16 +701,35 @@ object Curation {
   }
 
   /** The SCALE form of per-language quality gating: each language's
-    * cutoff is one exact-percentile aggregate (two values per lang —
-    * a bounded frame that broadcasts), and the keep decision is a
-    * map-side compare — no per-language global sort anywhere. Keeps
-    * the top ~`1−q` fraction per language; boundary TIES are all kept
-    * (≥), the one deliberate semantic difference from NTILE's
-    * positional split. */
+    * cutoff is a bounded aggregate (one value per lang, broadcasts),
+    * and the keep decision is a map-side compare — no per-language
+    * global sort over DOCS anywhere. Keeps the top ~`1−q` fraction
+    * per language; boundary TIES are all kept (≥), the one deliberate
+    * semantic difference from NTILE's positional split.
+    *
+    * Round 9 (ADVICE r8): the cutoff used to be an INTERPOLATED
+    * percentile rounded to 6 dp — a last-ulp cross-engine libm
+    * difference straddling a rounding boundary could flip both the
+    * reported cutoff and SET membership. It is now an ORDER
+    * STATISTIC: the k-th smallest score with k = ceil(q·n), selected
+    * by integer rank arithmetic over the per-(lang, score) counts.
+    * Scores are 6-dp-quantized values identical in both engines and
+    * ranks are integers, so the cutoff is a value that EXISTS in the
+    * data and both engines select the same one exactly — nothing is
+    * interpolated. The rank window runs over the BOUNDED
+    * (lang, distinct-score) frame (≤ 10⁶ rows per lang by
+    * quantization), not over docs. */
   def langQualityGate(docs: DataFrame, q: Double = 0.666667): DataFrame = {
     val scored = diversityScore(docs)
-    val cuts = scored.groupBy(col("lang"))
-      .agg((round(expr(s"percentile(score, $q)"), 6) + lit(0.0)).as("cutoff"))
+    val perScore = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val byScore = Window.partitionBy(col("lang")).orderBy(col("score"))
+    val byLang = Window.partitionBy(col("lang"))
+    val cuts = perScore
+      .withColumn("cum", sum(col("c")).over(byScore))
+      .withColumn("n", sum(col("c")).over(byLang))
+      .filter(col("cum") >= ceil(lit(q) * col("n")))
+      .groupBy(col("lang")).agg(min(col("score")).as("cutoff"))
     scored.join(broadcast(cuts), "lang")
       .filter(col("score") >= col("cutoff"))
       .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
@@ -810,7 +832,7 @@ object Curation {
          |u AS (
          |  SELECT doc_id, unnest(regexp_extract_all(cited, '$UrlRe')) AS url FROM p),
          |d AS (
-         |  SELECT doc_id, regexp_extract(url, '$DomainRe', 2) AS domain FROM u)
+         |  SELECT doc_id, lower(regexp_extract(url, '$DomainRe', 2)) AS domain FROM u)
          |SELECT domain,
          |       CAST(COUNT(*) AS BIGINT) AS n_urls,
          |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -1127,14 +1149,23 @@ object Curation {
       langQualityBuckets(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
-    // Per-lang gate, percentile-cutoff scale form (no global window).
+    // Per-lang gate, order-statistic-cutoff scale form (no global
+    // window over docs). The oracle replays the same integer rank
+    // arithmetic — cutoff = k-th smallest score, k = ceil(q·n) — so
+    // the cutoff column and the kept SET are engine-exact with no
+    // interpolated float anywhere (ADVICE r8).
     Q("curation_lang_gate",
       """WITH s AS (
         |  SELECT doc_id, lang,
         |         ROUND(len(list_distinct(l)) * 1.0 / len(l), 6) + 0 AS score
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)),
-        |c AS (SELECT lang, ROUND(quantile_cont(score, 0.666667), 6) + 0 AS cutoff
-        |      FROM s GROUP BY lang)
+        |ps AS (SELECT lang, score, COUNT(*) AS c FROM s GROUP BY lang, score),
+        |cum AS (SELECT lang, score,
+        |               SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+        |               SUM(c) OVER (PARTITION BY lang) AS n
+        |        FROM ps),
+        |c AS (SELECT lang, MIN(score) AS cutoff FROM cum
+        |      WHERE cum >= ceil(0.666667 * n) GROUP BY lang)
         |SELECT s.doc_id, s.lang, s.score, c.cutoff
         |FROM s JOIN c USING (lang)
         |WHERE s.score >= c.cutoff

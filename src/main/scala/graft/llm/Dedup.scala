@@ -632,13 +632,18 @@ object Dedup {
   /** Keep-one-copy substring dedup — the ACTING form of
     * `duplicatedSpans` (which only reports): every cross-document
     * duplicated span is excised EXCEPT from the gram's canonical
-    * owner (the min doc_id containing it), so exactly one copy of
-    * each duplicated passage survives the corpus — the published
+    * owner (the min doc_id containing it) — the published
     * exact-substring dedup semantics. A position is stripped iff some
     * covering gram is duplicated AND this doc is not that gram's
-    * owner; ownership is per gram (deterministic min), so the rule is
-    * order-free and replays exactly in SQL. Non-owners of a passage
-    * lose it, the owner keeps it verbatim, untouched docs pass
+    * owner; ownership is per GRAM (deterministic min), so the rule is
+    * order-free and replays exactly in SQL. The survival guarantee is
+    * therefore gram-granular: exactly one copy of each duplicated
+    * n-GRAM survives the corpus. A multi-gram passage keeps an intact
+    * copy only when one doc owns all its grams — when different grams
+    * of the passage have different min-doc owners (a sub-gram also
+    * appears in an earlier doc), each owner keeps its grams and no
+    * single doc may retain the passage verbatim (ADVICE r8: the
+    * earlier per-passage phrasing overclaimed). Untouched docs pass
     * byte-identical. Returns (doc_id, n_kept, clean_text).
     *
     * Scale shape: ownership is the same min/max aggregate the report

@@ -85,6 +85,13 @@ object Audit {
     * pairs (count vs approx/count-distinct) by the caller. Returns one
     * row per rule: (rule, n_violations, pass). */
   def contractCheck(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    // rule names are interpolated into the stack() SQL below — restrict
+    // them to identifier-safe characters so a quote/backtick in a name
+    // fails loudly here instead of breaking the generated query (ADVICE r8)
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"contractCheck: rule name '$name' must match [A-Za-z0-9_]+")
+    }
     val sums = rules.map { case (name, rule) =>
       sum(when(!rule, 1).otherwise(0)).cast("long").as(name)
     }
@@ -98,7 +105,7 @@ object Audit {
 
     // The documents table's publishable contract, checked in one
     // aggregate pass; the oracle replays each CASE sum. A planted
-    // violation (rule max_chars_4000 with a deliberately low bound)
+    // violation (rule max_chars_400 with a deliberately low bound)
     // proves failures REPORT rather than vanish.
     Q("audit_contract_check",
       """WITH v AS (

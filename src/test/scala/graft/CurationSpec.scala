@@ -445,6 +445,24 @@ class CurationSpec extends SparkSpec {
     assert(stats.size === 2, s"unexpected domains: ${stats.keySet}")
   }
 
+  test("url extraction keeps ports, query strings, fragments, mixed case intact (ADVICE r8)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "visit HTTPS://WWW.Example.COM:8443/Path?q=1&x=2#frag now"),
+      (2L, "plain http://sub.domain-x.org/a_b~c%20d end"),
+      (3L, "no urls here"))
+      .toDF("doc_id", "text")
+    val got = Curation.urlDomains(d, "text")
+      .select("doc_id", "url", "domain")
+      .as[(Long, String, String)].collect().toSet
+    // the whole URL is one match (the old char class truncated at ':'
+    // and '?', leaving the tail in the text), ports are excluded from
+    // the domain, and the domain is lowercased
+    assert(got === Set(
+      (1L, "HTTPS://WWW.Example.COM:8443/Path?q=1&x=2#frag", "example.com"),
+      (2L, "http://sub.domain-x.org/a_b~c%20d", "sub.domain-x.org")), s"got $got")
+  }
+
   test("funnel stages shrink monotonically and the mixed count equals the capstone") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val funnel = Curation.curationFunnel(docs, col("doc_id") % 7 === 0,

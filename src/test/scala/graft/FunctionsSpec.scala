@@ -447,6 +447,27 @@ class FunctionsSpec extends SparkSpec {
     assert(codegen.contains("SubwordStats.compute"), "compute call not in generated code")
   }
 
+  test("subword_stats segments by code points: surrogate pairs never split (ADVICE r8)") {
+    // U+1F600 GRINNING FACE is non-BMP (2 UTF-16 chars). The vocab is
+    // learned via Spark SQL substring — code-point semantics — so the
+    // native segmentation must count piece lengths in code points and
+    // consume a WHOLE code point on UNK (a char-indexed advance would
+    // probe half-surrogates against the vocab).
+    val g = new String(Character.toChars(0x1F600))
+    val vocab = Seq(g + g, "a", "zz")
+    val df = Seq(
+      (1L, g + g + "a"),      // [g+g] + [a]           → 2 pieces, 0 unk
+      (2L, g + "b"),          // UNK(g as ONE cp) + UNK(b) → 2 pieces, 2 unk
+      (3L, g + g + g + "zz")) // [g+g] + UNK(g) + [zz] → 3 pieces, 1 unk
+      .toDF("doc_id", "text")
+    // maxPieceLen = 2 CODE POINTS: the 2-cp (4-char) piece must match
+    val out = df.select(col("doc_id"),
+        graft.functions.subword_stats(col("text"), vocab, 2).as("s"))
+      .select(col("doc_id"), col("s.n_pieces"), col("s.n_unk"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 0L), (2L, 2L, 2L), (3L, 3L, 1L)), s"got $out")
+  }
+
   test("learnSubwordVocab: frequency-ranked pieces with deterministic tie-break") {
     val docs = Seq(
       (1L, "aaa aaa aaa"), (2L, "aaa aaa"), (3L, "bc bc"))
