@@ -123,6 +123,53 @@ object Curation {
       .agg(count(lit(1)).cast("long").as("n_urls"),
         countDistinct(col("doc_id")).cast("long").as("n_docs"))
 
+  /** Deterministic content-hash train/valid/test split (round 9) —
+    * the LLM-pipeline assignment rule: bucket = hash(doc_id) mod 100,
+    * split by bucket thresholds. Hash assignment (not random) is the
+    * published practice because it is STABLE — a doc keeps its split
+    * across re-runs, incremental ingests, and engine swaps, so eval
+    * contamination can't creep in through reshuffles (rand() would
+    * reassign on every retry). Map-only, scan-fused; the seed string
+    * namespaces this split from every other hash rule in the repo. */
+  def hashSplit(
+      docs: DataFrame, trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"hashSplit: invalid split ($trainPct/$validPct)")
+    val bucket = fp(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** Temperature-based mixture weights (round 9): the multinomial
+    * source-sampling rule of multilingual/multi-source pretraining —
+    * p_s ∝ (tokens_s)^α with α = 0.5, which upsamples small sources
+    * (α = 1 is proportional, α = 0 uniform). Reported per source:
+    * exact token counts, the relative weight vs the largest source,
+    * and the sampling boost (the factor by which the rule oversamples
+    * this source relative to proportional sampling). Everything is
+    * engine-exact: counts are integers, the single division is one
+    * IEEE op, and sqrt is CORRECTLY ROUNDED by IEEE 754 — no libm
+    * drift, so the oracle replays the arithmetic bit for bit (the
+    * reason α is fixed at 0.5 rather than a general pow()). The
+    * per-source frame is bounded (one row per source) and the max
+    * joins back as a broadcast single row — no window over docs. */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("t")).cast("long").as("n_tokens"))
+    val mx = perSource.agg(max(col("n_tokens")).as("max_tokens"))
+    perSource.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (round(sqrt(col("n_tokens") * lit(1.0) / col("max_tokens")), 6) + lit(0.0))
+          .as("w_rel"),
+        (round(sqrt(col("max_tokens") * lit(1.0) / col("n_tokens")), 6) + lit(0.0))
+          .as("boost"))
+  }
+
   /** Split each doc into non-overlapping `chunkTokens`-token chunks;
     * count how many of a doc's chunks appear in ≥2 distinct docs
     * (header/footer/template boilerplate). The chunks come from the
@@ -1133,6 +1180,50 @@ object Curation {
           length(col("clean_text")).cast("long").as("clean_len"),
           fp(col("clean_text")).as("clean_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // Deterministic hash split: per-(split, lang) doc and token
+    // counts. The oracle replays the md5 bucket arithmetic, so the
+    // ASSIGNMENT (not just the totals) is engine-pinned; the
+    // stability property (a doc's split never changes) is exactly
+    // what makes the rule SQL-replayable.
+    Q("curation_hash_split",
+      """WITH s AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS t,
+        |         CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents),
+        |sp AS (
+        |  SELECT lang, t,
+        |         CASE WHEN b < 90 THEN 'train'
+        |              WHEN b < 95 THEN 'valid' ELSE 'test' END AS split
+        |  FROM s)
+        |SELECT split, lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(t) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin) { (s, dir) =>
+      hashSplit(Tables.documents(s, dir))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .orderBy(col("split"), col("lang"))
+    },
+
+    // Temperature-0.5 mixture weights per source. sqrt is IEEE
+    // correctly-rounded (unlike pow), so even the derived weights are
+    // hash-pinned cross-engine.
+    Q("curation_mixture_temperature",
+      """WITH ps AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT MAX(n_tokens) AS max_tokens FROM ps)
+        |SELECT source, n_docs, n_tokens,
+        |       ROUND(sqrt(n_tokens * 1.0 / max_tokens), 6) + 0 AS w_rel,
+        |       ROUND(sqrt(max_tokens * 1.0 / n_tokens), 6) + 0 AS boost
+        |FROM ps, m
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      temperatureMixture(Tables.documents(s, dir)).orderBy(col("source"))
     },
 
     // Per-lang terciles, exact NTILE reporting form.

@@ -101,6 +101,74 @@ object Audit {
       .withColumn("pass", (col("n_violations") === 0L).cast("int"))
   }
 
+  /** SCD-1 MERGE (upsert): apply a keyed delta batch to a snapshot —
+    * delta rows win on key collision (updates), delta-only keys insert,
+    * untouched base rows carry through. The warehouse MERGE INTO
+    * re-expressed as delta ∪ (base LEFT ANTI delta): one anti join
+    * keyed on the merge key and a union — no row comparisons, no
+    * window. Scale shape: the delta is the small side (broadcast anti
+    * join; AQE flips it automatically), and with both tables bucketed
+    * on the key the rewrite is shuffle-free; the output is written
+    * partition-aligned with the base so repeated merges stay
+    * co-located. Assumes `keyCol` is unique per side (snapshot
+    * semantics); duplicate delta keys pass through unmerged. */
+  def mergeUpsert(base: DataFrame, delta: DataFrame, keyCol: String): DataFrame =
+    delta.unionByName(
+      base.join(delta.select(col(keyCol)), Seq(keyCol), "left_anti"))
+
+  /** Join-key skew profile: the top-`topN` heaviest keys of `keyCol`
+    * with their row share and skew factor (rows-under-key ÷ mean
+    * rows-per-key) — the diagnostic a 100 TB join plan needs BEFORE
+    * it shuffles (a skew factor ≫ 1 on a join key means one reducer
+    * eats the key: pre-salt it, or let AQE split it — either way the
+    * profile says which keys and how hard). One partial+final count
+    * aggregate keyed on the key, a single-row totals frame broadcast
+    * back over it, and a TakeOrdered top-N — never a global sort of
+    * the counts. All ratios are exact-integer products divided once,
+    * so both engines compute identical doubles. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).cast("long").as("n"))
+    val totals = counts.agg(
+      sum(col("n")).cast("long").as("total"),
+      count(lit(1)).cast("long").as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n"),
+        (round(col("n") * lit(1.0) / col("total"), 6) + lit(0.0)).as("share"),
+        (round(col("n") * col("n_keys") * lit(1.0) / col("total"), 6) + lit(0.0))
+          .as("skew_factor"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topN)
+  }
+
+  /** ANALYZE-lite column profile: per column — null count, EXACT
+    * distinct count, and lexical min/max of the canonical string
+    * rendering — in ONE aggregate pass (the multi-distinct plans as a
+    * single Expand, not one job per column). `cols` maps output name →
+    * canonical portable rendering (same casting rules as
+    * `tableFingerprint`: explicit casts, no raw double formatting);
+    * names must be identifier-safe (same stack() rule as
+    * `contractCheck`). The stats feed partition-pruning decisions,
+    * dictionary-encoding choices, and the drift checks a data contract
+    * can't express as a fixed bound. */
+  def tableProfile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    cols.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"tableProfile: column name '$name' must match [A-Za-z0-9_]+")
+    }
+    val aggs = cols.flatMap { case (name, c) => Seq(
+      sum(when(c.isNull, 1).otherwise(0)).cast("long").as(s"${name}_nulls"),
+      countDistinct(c).cast("long").as(s"${name}_ndv"),
+      min(c).as(s"${name}_min"),
+      max(c).as(s"${name}_max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { case (name, _) =>
+      s"'$name', `${name}_nulls`, `${name}_ndv`, `${name}_min`, `${name}_max`"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stacked) AS (column, n_nulls, n_distinct, min_repr, max_repr)"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // The documents table's publishable contract, checked in one
@@ -173,6 +241,96 @@ object Audit {
       snapshotDiff(docs, after, "doc_id",
         concat_ws("|", col("doc_id").cast("string"), md5(col("text"))))
         .orderBy(col("doc_id"))
+    },
+
+    // SCD-1 merge of a planted delta into the orders snapshot:
+    // %10==3 keys arrive updated (price doubled — exact in IEEE, so
+    // the doubles hash-match), %17==0 keys arrive re-keyed as inserts,
+    // everything else carries through. The oracle replays the
+    // delta-wins union and the same action classification; row count,
+    // every carried column, and the action labels are all hash-pinned.
+    Q("audit_merge_upsert",
+      """WITH delta AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |         'updated' AS merge_action
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'inserted'
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |kept AS (
+        |  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, 'kept' AS merge_action
+        |  FROM orders b LEFT JOIN delta d ON b.o_orderkey = d.o_orderkey
+        |  WHERE d.o_orderkey IS NULL)
+        |SELECT o_orderkey, o_custkey, o_totalprice, merge_action FROM delta
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, merge_action FROM kept
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("merge_action", lit("kept"))
+      val delta = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit("updated").as("merge_action"))
+        .unionByName(Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), lit("inserted").as("merge_action")))
+      mergeUpsert(base, delta, "o_orderkey").orderBy(col("o_orderkey"))
+    },
+
+    // Skew profile of the orders→customer join key: the 10 heaviest
+    // customers by order count with share and skew factor. Counts,
+    // shares, and the exact-integer skew ratios all replay in SQL.
+    Q("audit_key_skew",
+      """WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |             CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT o_custkey, n,
+        |       ROUND(n * 1.0 / total, 6) + 0 AS share,
+        |       ROUND(n * n_keys * 1.0 / total, 6) + 0 AS skew_factor
+        |FROM c, t
+        |ORDER BY n DESC, o_custkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      keySkew(Tables.orders(s, dir), "o_custkey", topN = 10)
+    },
+
+    // ANALYZE-lite profile of the documents table: per-column null /
+    // exact-distinct counts and lexical min/max of the canonical
+    // renderings, one Expand-fused pass. The oracle recomputes every
+    // stat from the same renderings.
+    Q("audit_table_profile",
+      """WITH v AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
+        |    CAST(COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT) AS doc_id_ndv,
+        |    MIN(CAST(doc_id AS VARCHAR)) AS doc_id_min,
+        |    MAX(CAST(doc_id AS VARCHAR)) AS doc_id_max,
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_ndv,
+        |    MIN(lang) AS lang_min, MAX(lang) AS lang_max,
+        |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS source_ndv,
+        |    MIN(source) AS source_min, MAX(source) AS source_max,
+        |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+        |    CAST(COUNT(DISTINCT CAST(n_chars AS VARCHAR)) AS BIGINT) AS n_chars_ndv,
+        |    MIN(CAST(n_chars AS VARCHAR)) AS n_chars_min,
+        |    MAX(CAST(n_chars AS VARCHAR)) AS n_chars_max
+        |  FROM documents),
+        |s AS (
+        |  SELECT 'doc_id' AS "column", doc_id_nulls AS n_nulls, doc_id_ndv AS n_distinct,
+        |         doc_id_min AS min_repr, doc_id_max AS max_repr FROM v
+        |  UNION ALL SELECT 'lang', lang_nulls, lang_ndv, lang_min, lang_max FROM v
+        |  UNION ALL SELECT 'source', source_nulls, source_ndv, source_min, source_max FROM v
+        |  UNION ALL SELECT 'n_chars', n_chars_nulls, n_chars_ndv, n_chars_min, n_chars_max FROM v)
+        |SELECT * FROM s ORDER BY "column"""".stripMargin) { (s, dir) =>
+      tableProfile(Tables.documents(s, dir), Seq(
+        "doc_id" -> col("doc_id").cast("string"),
+        "lang" -> col("lang"),
+        "source" -> col("source"),
+        "n_chars" -> col("n_chars").cast("string")))
+        .orderBy(col("column"))
     },
 
     Q("audit_fingerprint",

@@ -39,7 +39,58 @@ object Ingest {
     StructField("o_totalprice", DoubleType),
     StructField("o_orderdate", DateType)))
 
+  /** Small-file compaction (round 9): rewrite a fragmented parquet
+    * directory into ~`targetBytes` outputs — the table-maintenance
+    * pass every long-lived 100 TB dataset needs (streaming sinks,
+    * incremental ingests, and per-task writers shred tables into
+    * thousands of KB-scale files; scan cost then goes to task
+    * scheduling and footer reads, not data). Output file count =
+    * ceil(input bytes ÷ target) from the ACTUAL file listing (no
+    * guessed row widths); the rewrite is one round-robin repartition —
+    * no key shuffle semantics, content byte-identical. Returns the
+    * output partition count. */
+  def compactParquet(
+      spark: SparkSession, inDir: String, outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"compactParquet: targetBytes must be > 0")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nOut = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nOut
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Small-file compaction round-trip: the documents table is first
+    // SHREDDED into 64 fragment files (the streaming-sink pathology),
+    // compacted by the byte-target rewrite, and the compacted scan's
+    // per-lang aggregate is oracle-checked against the ORIGINAL table
+    // — proving the maintenance pass is lossless. File-count shrink
+    // is pinned in OperatorsSpec (bytes are codec-dependent, so the
+    // count stays out of the oracle).
+    Q("parquet_compact_roundtrip",
+      """SELECT lang,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val frag = tmp("docs_fragmented")
+      val compacted = tmp("docs_compacted")
+      Tables.documents(s, dir).repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(frag)
+      compactParquet(s, frag, compacted, targetBytes = 64L * 1024 * 1024)
+      s.read.parquet(compacted)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("lang"))
+    },
 
     // S1 + S3: parquet → CSV (header) → typed CSV scan → aggregate.
     Q("csv_roundtrip_agg",

@@ -142,4 +142,32 @@ class OperatorsSpec extends SparkSpec {
     // opted in: the scan skips the corrupt file, good rows intact
     assert(spark.read.option("ignoreCorruptFiles", "true").parquet(path).count() === n)
   }
+
+  test("small-file compaction: 64 fragments collapse to the byte-target count, rows intact") {
+    import graft.queries.Ingest
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      val docs = Tables.documents(spark, sf("sf0.01"))
+      docs.repartition(64).write.mode("overwrite").parquet(frag)
+      def parts(dir: String): Int =
+        new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts(frag) === 64, "fixture must start fragmented")
+      // 64 MB target >> the whole table → everything compacts to ONE file
+      val nOut = Ingest.compactParquet(spark, frag, out, targetBytes = 64L * 1024 * 1024)
+      assert(nOut === 1 && parts(out) === 1,
+        s"expected single output file, got nOut=$nOut files=${parts(out)}")
+      // lossless: identical row multiset
+      val a = spark.read.parquet(out)
+      assert(a.count() === docs.count())
+      assert(a.exceptAll(docs).count() === 0 && docs.exceptAll(a).count() === 0)
+      // a small byte target splits the rewrite into multiple outputs
+      val bytes = new java.io.File(frag).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val nSmall = Ingest.compactParquet(spark, frag, out, targetBytes = bytes / 4)
+      assert(nSmall >= 4 && parts(out) === nSmall, s"got nSmall=$nSmall files=${parts(out)}")
+    } finally {
+      Bench.deleteRecursively(frag); Bench.deleteRecursively(out)
+    }
+  }
 }
