@@ -79,6 +79,20 @@ object PlanAudit {
           col("a.tok_h") === col("b.tok_h") && col("a.source") < col("b.source"))
         .groupBy(col("a.source"), col("b.source")).agg(count(lit(1)))
     })
+    // round-9 ops tier: the merge rewrite is delta ∪ (base ANTI delta)
+    // — the anti join must broadcast the delta (small side), and the
+    // skew profile is one keyed count + a broadcast totals row
+    audit("mergeUpsert", {
+      val orders = Tables.orders(spark, sfDir)
+      queries.Audit.mergeUpsert(
+        orders.select(col("o_orderkey"), col("o_totalprice")),
+        orders.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice")),
+        "o_orderkey")
+    })
+    audit("keySkew", queries.Audit.keySkew(Tables.orders(spark, sfDir), "o_custkey", 10))
+    audit("tableProfile", queries.Audit.tableProfile(docs, Seq(
+      "doc_id" -> col("doc_id").cast("string"), "lang" -> col("lang"))))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))

@@ -106,12 +106,18 @@ object Audit {
     * untouched base rows carry through. The warehouse MERGE INTO
     * re-expressed as delta ∪ (base LEFT ANTI delta): one anti join
     * keyed on the merge key and a union — no row comparisons, no
-    * window. Scale shape: the delta is the small side (broadcast anti
-    * join; AQE flips it automatically), and with both tables bucketed
-    * on the key the rewrite is shuffle-free; the output is written
-    * partition-aligned with the base so repeated merges stay
-    * co-located. Assumes `keyCol` is unique per side (snapshot
-    * semantics); duplicate delta keys pass through unmerged. */
+    * window. The sibling of `Relational`'s `upsert_changeset` (a
+    * COLUMN-level CDC changeset with deletes, applied via FULL OUTER
+    * join): use that shape when changes arrive as per-column ops; use
+    * this one when the delta carries COMPLETE replacement rows — then
+    * nothing needs the outer join's column arbitration and the anti
+    * join is the cheaper plan. Scale shape: the delta is the small
+    * side (broadcast anti join; AQE flips it automatically), and with
+    * both tables bucketed on the key the rewrite is shuffle-free; the
+    * output is written partition-aligned with the base so repeated
+    * merges stay co-located. Assumes `keyCol` is unique per side
+    * (snapshot semantics); duplicate delta keys pass through
+    * unmerged. */
   def mergeUpsert(base: DataFrame, delta: DataFrame, keyCol: String): DataFrame =
     delta.unionByName(
       base.join(delta.select(col(keyCol)), Seq(keyCol), "left_anti"))

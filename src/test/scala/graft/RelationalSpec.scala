@@ -73,8 +73,13 @@ class RelationalSpec extends SparkSpec {
     // the probe joins.
     // embed_rp_preserve compares every vector against the broadcast
     // 1-row probe in both spaces — the same probe-join class.
+    // audit_key_skew / curation_mixture_temperature join a broadcast
+    // SINGLE-ROW totals/max frame back over a keyed aggregate — the
+    // same 1-row broadcast class (the alternative is a window over the
+    // whole frame, which is the scale anti-pattern these avoid).
     val excluded = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk",
-      "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact")
+      "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact",
+      "audit_key_skew", "curation_mixture_temperature")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
@@ -274,5 +279,83 @@ class RelationalSpec extends SparkSpec {
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,50000.0)]"),
       s"filter not pushed:\n$physical")
+  }
+
+  test("mergeUpsert: delta wins on collision, inserts land, base carries, no row comparison") {
+    import spark.implicits._
+    import graft.queries.Audit
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val delta = Seq((2L, "B2"), (4L, "d")).toDF("k", "v")
+    val got = Audit.mergeUpsert(base, delta, "k")
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")), s"got $got")
+    // idempotent: re-applying the same delta changes nothing
+    val again = Audit.mergeUpsert(Audit.mergeUpsert(base, delta, "k"), delta, "k")
+      .as[(Long, String)].collect().toSet
+    assert(again === got, "merge must be idempotent on the same delta")
+  }
+
+  test("keySkew: shares and skew factors are the exact integer ratios, top-N ordered") {
+    import spark.implicits._
+    import graft.queries.Audit
+    // 'a'×6, 'b'×2, 'c'×1, 'd'×1 → total 10, 4 keys, mean 2.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val rows = Audit.keySkew(df, "k", topN = 3)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) === Seq("a", "b", "c"), s"order wrong: $rows")
+    assert(rows(0) === (("a", 6L, 0.6, 2.4)), s"got ${rows(0)}")
+    assert(rows(1) === (("b", 2L, 0.2, 0.8)), s"got ${rows(1)}")
+  }
+
+  test("tableProfile: nulls, exact ndv, lexical min/max per column in one pass") {
+    import spark.implicits._
+    import graft.queries.Audit
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("a")), (None, Some("a")))
+      .toDF("id", "tag")
+    val got = Audit.tableProfile(df, Seq(
+      "id" -> col("id").cast("string"), "tag" -> col("tag")))
+      .as[(String, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("id") === ((1L, 2L, Some("1"), Some("2"))), s"got ${got("id")}")
+    assert(got("tag") === ((1L, 2L, Some("a"), Some("x"))), s"got ${got("tag")}")
+    // identifier-unsafe names fail loudly before SQL interpolation
+    intercept[IllegalArgumentException] {
+      Audit.tableProfile(df, Seq("bad`name" -> col("id")))
+    }
+  }
+
+  test("hashSplit: stable assignment, sane fractions, invalid percents rejected") {
+    import graft.llm.Curation
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val a = Curation.hashSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(math.abs(a("train") / n - 0.90) < 0.03, s"train frac off: $a")
+    assert(math.abs(a("valid") / n - 0.05) < 0.03, s"valid frac off: $a")
+    assert(math.abs(a("test") / n - 0.05) < 0.03, s"test frac off: $a")
+    // STABILITY is the point of hash assignment: recomputing yields the
+    // identical per-doc mapping (rand() would reassign)
+    val m1 = Curation.hashSplit(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = Curation.hashSplit(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 === m2)
+    intercept[IllegalArgumentException] { Curation.hashSplit(docs, 96, 5) }
+  }
+
+  test("temperatureMixture: largest source anchors at 1.0, small sources boosted by sqrt") {
+    import spark.implicits._
+    import graft.llm.Curation
+    // tokens: big = 16 one-token docs... construct exact token counts:
+    // big: 4 docs x 4 tokens = 16; small: 1 doc x 4 tokens = 4 → ratio 4
+    val docs = ((1L to 4L).map(i => (i, "t t t t", "big")) :+ ((9L, "t t t t", "small")))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.temperatureMixture(docs)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("big") === ((4L, 16L, 1.0, 1.0)), s"got ${got("big")}")
+    // w_rel = sqrt(4/16) = 0.5; boost = sqrt(16/4) = 2.0 — exact
+    assert(got("small") === ((1L, 4L, 0.5, 2.0)), s"got ${got("small")}")
   }
 }
