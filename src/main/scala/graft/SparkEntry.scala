@@ -75,5 +75,9 @@ object SparkEntry {
     // token-keyed join, which the raw corpus exercises fully.
     "dedup_substring_spans",
     "corpus_source_overlap",
+    // Round 9: the familiarity scorer joins on the RAW corpus — its
+    // cost is the gram-keyed frequency join + doc rollup, the same
+    // class as the overlap matrix, fully exercised without planting.
+    "text_familiarity",
   )
 }

@@ -148,7 +148,74 @@ object TextAnalysis {
     df.withColumn("clean",
       trim(regexp_replace(graft.functions.normalize_nfc(col(textCol)), "\\s+", " ")))
 
+  /** Corpus-familiarity score (round 9): per doc, the MEAN CORPUS
+    * FREQUENCY of its word bigrams plus the hapax count — the
+    * exact-arithmetic stand-in for n-gram LM perplexity that real
+    * pipelines (CCNet's KenLM gate) use for fluency filtering. A doc
+    * of common constructions scores high; machine garbage built of
+    * never-repeated bigrams scores low, and `n_hapax` (its bigrams
+    * seen nowhere else in the corpus) is the novelty tail directly.
+    *
+    * Why this form and not log-prob: Σ log p is libm territory — the
+    * sum is order-dependent in doubles and ln() is not IEEE
+    * correctly-rounded, exactly the cross-engine drift class ADVICE
+    * r8 flags. Mean frequency keeps the whole computation in exact
+    * integers (counts, sums) until ONE final division + round, so the
+    * oracle replays it bit for bit.
+    *
+    * Scale shape: bigrams leave the scan as 60-bit keys from the
+    * native generator (no gram strings shuffle); corpus frequencies
+    * are one keyed aggregate; the frequency join is keyed on the same
+    * 8-byte hash; the per-doc rollup is one doc_id exchange. The
+    * gram-key frame is persisted — it feeds both the frequency
+    * aggregate and the join probe. */
+  def familiarity(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        graft.functions.ngram_hashes(col("text"), 2, 15).as(Seq("pos", "gram_h")))
+      .select(col("doc_id"), col("gram_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = grams.groupBy(col("gram_h")).agg(count(lit(1)).cast("long").as("c"))
+    val out = grams.join(freq, "gram_h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(when(col("c") === 1L, 1).otherwise(0)).cast("long").as("n_hapax"),
+        sum(col("c")).cast("long").as("freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hapax"),
+        (round(col("freq_sum") * lit(1.0) / col("n_bigrams"), 6) + lit(0.0))
+          .as("familiarity"))
+      .localCheckpoint()
+    grams.unpersist()
+    out
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Corpus-familiarity (the exact-integer LM-perplexity stand-in):
+    // the oracle rebuilds the bigram multiset with the same 60-bit
+    // keys, the same corpus frequencies, and the same mean — every
+    // doc's score and hapax count hash-pinned.
+    Q("text_familiarity",
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+        |                               i -> l[i] || ' ' || l[i + 1])) AS b
+        |  FROM base),
+        |g AS (SELECT doc_id,
+        |             CAST(concat('0x', substr(md5(b), 1, 15)) AS BIGINT) AS gram_h
+        |      FROM bg),
+        |f AS (SELECT gram_h, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY gram_h)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       ROUND(SUM(c) * 1.0 / COUNT(*), 6) + 0 AS familiarity
+        |FROM g JOIN f USING (gram_h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      familiarity(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
 
     // Frequent tokens by the two-pass MG sketch — the exact integer
     // threshold (freq·k > n) replays in SQL, so the bounded-state

@@ -557,6 +557,23 @@ class LlmSpec extends SparkSpec {
     } finally corpus.unpersist()
   }
 
+  test("familiarity: shared constructions score high, all-novel text floors at 1.0") {
+    val common = "the quick brown fox jumps over the lazy dog"   // 9 tokens → 8 bigrams
+    val d = docs(
+      (1L, common), (2L, common), (3L, common),  // every bigram seen 3×
+      (4L, "zq1 xv2 wp3 kj4 hm5"))               // 4 bigrams, all hapax
+    val got = graft.llm.TextAnalysis.familiarity(d)
+      .select("doc_id", "n_bigrams", "n_hapax", "familiarity")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // all-novel doc: every bigram has corpus frequency exactly 1
+    assert(got(4L) === ((4L, 4L, 1.0)), s"got ${got(4L)}")
+    // shared doc: every bigram frequency 3 ⇒ mean exactly 3.0, no hapax
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) === ((8L, 0L, 3.0)), s"doc $id: got ${got(id)}")
+    }
+  }
+
   test("substring strip keeps exactly ONE copy: the min-doc owner survives verbatim") {
     val S = "meridian harbor lantern crystal summit prairie velvet horizon ember cascade"  // 10 tokens
     def filler(p: String, k: Int) = (1 to k).map(p + _).mkString(" ")
