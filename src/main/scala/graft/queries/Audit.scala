@@ -175,6 +175,27 @@ object Audit {
       s"stack(${cols.size}, $stacked) AS (column, n_nulls, n_distinct, min_repr, max_repr)"))
   }
 
+  /** Oracle for the planted SCD-1 merge — shared by the batch query
+    * and the streaming CDC form (`streaming_merge_upsert`: identical
+    * answer by construction, since per-batch merges of key-disjoint
+    * deltas compose to the whole-delta merge). */
+  private[graft] val mergeUpsertOracleSql: String =
+    """WITH delta AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+      |         'updated' AS merge_action
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'inserted'
+      |  FROM orders WHERE o_orderkey % 17 = 0),
+      |kept AS (
+      |  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, 'kept' AS merge_action
+      |  FROM orders b LEFT JOIN delta d ON b.o_orderkey = d.o_orderkey
+      |  WHERE d.o_orderkey IS NULL)
+      |SELECT o_orderkey, o_custkey, o_totalprice, merge_action FROM delta
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, merge_action FROM kept
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
 
     // The documents table's publishable contract, checked in one
@@ -255,22 +276,7 @@ object Audit {
     // everything else carries through. The oracle replays the
     // delta-wins union and the same action classification; row count,
     // every carried column, and the action labels are all hash-pinned.
-    Q("audit_merge_upsert",
-      """WITH delta AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
-        |         'updated' AS merge_action
-        |  FROM orders WHERE o_orderkey % 10 = 3
-        |  UNION ALL
-        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'inserted'
-        |  FROM orders WHERE o_orderkey % 17 = 0),
-        |kept AS (
-        |  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, 'kept' AS merge_action
-        |  FROM orders b LEFT JOIN delta d ON b.o_orderkey = d.o_orderkey
-        |  WHERE d.o_orderkey IS NULL)
-        |SELECT o_orderkey, o_custkey, o_totalprice, merge_action FROM delta
-        |UNION ALL
-        |SELECT o_orderkey, o_custkey, o_totalprice, merge_action FROM kept
-        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Q("audit_merge_upsert", mergeUpsertOracleSql) { (s, dir) =>
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .withColumn("merge_action", lit("kept"))

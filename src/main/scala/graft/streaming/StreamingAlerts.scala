@@ -272,6 +272,42 @@ object StreamingAlerts {
     // streaming-expressible, and verification naturally batches per
     // serving window). Same oracle as embed_ann_join: identical
     // answer by construction.
+    // STREAMING CDC MERGE (round 9): audit_merge_upsert's delta
+    // ARRIVES AS A STREAM, and every micro-batch MERGEs into the
+    // evolving snapshot via foreachBatch — the production
+    // continuous-ingest loop (CDC stream → MERGE INTO table). The
+    // delta derivation is map-only on the stream; per-batch merges of
+    // key-disjoint delta slices compose to the whole-delta merge
+    // (each delta key arrives exactly once), so the final snapshot is
+    // identical to the batch query — certified by the SAME oracle.
+    // The snapshot localCheckpoints per batch: bounded lineage no
+    // matter how many batches arrive (the role a table format's
+    // commit plays in a real sink).
+    Q("streaming_merge_upsert", graft.queries.Audit.mergeUpsertOracleSql) { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("merge_action", lit("kept"))
+      @volatile var snapshot = base.localCheckpoint()
+      val ord = ordersStream(s, dir)
+      val delta = ord.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          lit("updated").as("merge_action"))
+        .unionByName(ord.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), lit("inserted").as("merge_action")))
+      val q = delta.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          snapshot = graft.queries.Audit
+            .mergeUpsert(snapshot, batch.localCheckpoint(), "o_orderkey")
+            .localCheckpoint()
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      snapshot.orderBy(col("o_orderkey"))
+    },
+
     Q("streaming_ann_probe", Similarity.annJoinOracleSql) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val staticBands = Similarity.srpBanded(emb)
@@ -287,6 +323,13 @@ object StreamingAlerts {
       Similarity.verifyAndRank(s.table(name), emb, k = 3)
         .orderBy(col("probe_id"), col("rank"))
     })
+
+  /** `orders` as an unbounded source (same glob-addressing trick as
+    * `eventsStream`; schema from the batch footer read). */
+  def ordersStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/orders.*")
+  }
 
   /** `documents` as an unbounded source (same glob-addressing trick as
     * `eventsStream`; schema from the batch footer read). */

@@ -316,4 +316,33 @@ class StreamingSpec extends SparkSpec {
       assert(got === batch, s"stream $got != batch $batch")
     } finally query.stop()
   }
+
+  test("streaming CDC merge: per-batch merges compose to the one-shot whole-delta merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Audit
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    // delta split across TWO micro-batches with disjoint keys — the
+    // composition property the declared query's single-file source
+    // can't exercise (it arrives as one batch)
+    val b1 = Seq((2L, "B2"), (5L, "e"))  // update + insert
+    val b2 = Seq((4L, "D2"), (6L, "f"))  // update + insert
+    @volatile var snapshot = base.localCheckpoint()
+    val mem = MemoryStream[(Long, String)]
+    val query = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        snapshot = Audit.mergeUpsert(snapshot, batch.localCheckpoint(), "k")
+          .localCheckpoint()
+        ()
+      }.start()
+    try {
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+      val streamed = snapshot.as[(Long, String)].collect().toSet
+      val oneShot = Audit.mergeUpsert(base, (b1 ++ b2).toDF("k", "v"), "k")
+        .as[(Long, String)].collect().toSet
+      assert(streamed === oneShot, s"stream $streamed != one-shot $oneShot")
+      assert(streamed === Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "D2"),
+        (5L, "e"), (6L, "f")))
+    } finally query.stop()
+  }
 }
