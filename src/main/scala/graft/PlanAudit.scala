@@ -110,6 +110,16 @@ object PlanAudit {
     val tComposed = timeMin(llm.Curation.boilerplateChunksComposed(docs))
     println(f"TIME  chunks generator=$tGen%.3fs composed=$tComposed%.3fs speedup=${tComposed / tGen}%.2fx")
 
+    // round-9 shared-scan consensus: same three tier pipelines, input
+    // persisted once vs re-scanned per tier. At THIS scale the win is
+    // modest (the verify joins dominate on the vocab-dense corpus; the
+    // claim the shared form exists for is 100 TB storage I/O — one
+    // corpus pass instead of three), so the honest number is printed,
+    // not asserted.
+    val tTier = timeMin(llm.Dedup.tierAgreement(docs))
+    val tTierShared = timeMin(llm.Dedup.tierAgreementShared(docs))
+    println(f"TIME  tierAgreement standalone=$tTier%.3fs shared=$tTierShared%.3fs speedup=${tTier / tTierShared}%.2fx")
+
     // repetition-signals bigram branch: generator+partial-agg (current)
     // vs the r4 lead()-window form (reconstructed here for comparison)
     val tRepNew = timeMin(llm.Curation.repetitionSignals(docs))
