@@ -476,6 +476,17 @@ object TextAnalysis {
       val docs = Tables.documents(s, dir)
       subwordStats(docs, learnSubwordVocab(docs)).orderBy("doc_id")
     },
+
+    // TRUE iterative BPE (learn 8 merges on the corpus's word-frequency
+    // table, replay them in learned order per doc). The iterative
+    // argmax is not SQL-expressible (each iteration's pair counts
+    // depend on the previous merge) → rows-only; merge-order semantics
+    // are pinned in FunctionsSpec on the published worked example, and
+    // the whole path is deterministic (weight-desc/pair-asc argmax).
+    Q.noOracle("text_bpe_encode") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      bpeStats(docs, learnBpeMerges(docs, nMerges = 8)).orderBy("doc_id")
+    },
   )
 
   /** Learn a subword vocabulary from corpus frequencies: candidate
@@ -508,6 +519,85 @@ object TextAnalysis {
       .orderBy(col("w").desc, col("piece").asc)
       .limit(maxVocab)
       .collect().map(_.getString(0)).toSeq
+  }
+
+  /** TRUE iterative BPE merge learning (round 9; Sennrich et al.
+    * 2016) — the exact-order complement of `learnSubwordVocab`'s
+    * one-shot frequency scoring: when merge ORDER matters (it defines
+    * the tokenizer), this is the published algorithm, not an analog.
+    *
+    * Scale shape: the corpus is passed ONCE to build the
+    * (word, freq) table; every one of the `nMerges` iterations runs
+    * one adjacent-pair aggregate + one deterministic argmax
+    * (weight desc, pair asc) over the DISTINCT-WORD frame —
+    * vocabulary-sized, not corpus-sized — and the symbol arrays are
+    * localCheckpoint'ed per iteration so the plan never grows. The
+    * merge table is a bounded driver artifact (nMerges pairs, the
+    * IVF-centroid class). Merges apply greedily left-to-right
+    * (fold semantics, matching the published tokenizer); no
+    * end-of-word marker (documented simplification). */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int = 8): Seq[(String, String)] = {
+    var words = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("t"), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until nMerges if !exhausted) {
+      val top = adjacentPairs(words)
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("w"))
+        .orderBy(col("w").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        words = words
+          .select(col("freq"), applyMerge(col("syms"), a, b).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** (freq, a, b) rows of adjacent symbol pairs — zip_with of the two
+    * shifted slices (size-1 words produce no rows; `sequence` is
+    * avoided because Spark's auto-descending step would turn the
+    * empty range into [1, 0]). */
+  private def adjacentPairs(words: DataFrame): DataFrame =
+    words.select(col("freq"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+      .select(col("freq"), col("pr.a").as("a"), col("pr.b").as("b"))
+
+  /** Greedy left-to-right application of one merge (a, b) → ab over a
+    * symbol array: fold that replaces a trailing `a` when the next
+    * symbol is `b` (a merged symbol is never re-consumed by the same
+    * pass — the published BPE apply rule). */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Per-doc BPE encoding stats under a learned merge table: each
+    * word starts as characters and the merges replay IN LEARNED ORDER
+    * (nMerges nested folds — interpreted HOFs; the serving-path
+    * alternative is exporting the final vocab into the codegen'd
+    * greedy `subword_stats`). */
+  def bpeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def enc(w: Column): Column =
+      merges.foldLeft(split(w, "")) { case (acc, (a, b)) => applyMerge(acc, a, b) }
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(split(col("text"), " "), w => size(enc(w))),
+          lit(0), (s, x) => s + x).cast("long").as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        (round(col("n_pieces") / col("n_tokens"), 6) + lit(0.0)).as("pieces_per_token"))
   }
 
   /** Per-doc greedy-subword encoding stats against `vocab`:

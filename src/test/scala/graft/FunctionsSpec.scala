@@ -485,6 +485,29 @@ class FunctionsSpec extends SparkSpec {
     // "bc" → "b" + UNK(c) per occurrence: 2 words × 2 pieces, 2 unk ✓
   }
 
+  test("iterative BPE learns the published merge order and applies greedily") {
+    import graft.llm.TextAnalysis
+    // the classic worked example (Sennrich et al. 2016 §3.2 shape):
+    // low×5, lower×2, newest×6, widest×3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(docs, nMerges = 3)
+    // pair weights: (e,s)=9 ties (s,t)=9 → pair-asc tie-break picks (e,s);
+    // then (es,t)=9 dominates; then (l,o)=7 ties (o,w)=7 → (l,o)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o")), s"got $merges")
+    // greedy apply: "newest" → n,e,w,est (4 pieces); "low" → lo,w (2);
+    // "lower" → lo,w,e,r (4); "widest" → w,i,d,est (4)
+    val enc = TextAnalysis.bpeStats(docs, merges)
+      .select("n_tokens", "n_pieces").as[(Long, Long)].head()
+    assert(enc === ((16L, 5 * 2 + 2 * 4 + 6 * 4 + 3 * 4)), s"got $enc")
+    // greedy overlap rule: merge (a,a) over "aaa" consumes left-to-right
+    val aa = TextAnalysis.bpeStats(
+      Seq((1L, "aaa")).toDF("doc_id", "text"), Seq(("a", "a")))
+      .select("n_pieces").as[Long].head()
+    assert(aa === 2L, s"'aaa' under (a,a) must be [aa, a], got $aa pieces")
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))
