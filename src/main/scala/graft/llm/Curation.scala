@@ -142,6 +142,40 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Deterministic negative sampling for contrastive training
+    * (round 9): each anchor doc gets `k` pseudo-random negatives via
+    * hash-modular addressing — negative j of doc d is the doc with id
+    * hash("neg:" ‖ d ‖ ":" ‖ j) mod N (self-collisions shift by one).
+    * Hash choice (not RNG) for the same reason as `hashSplit`: pairs
+    * are stable across re-runs and engines, so a resumed training job
+    * sees the same batches. Map-only k-row explode per anchor + ONE
+    * keyed join to fetch the negatives' attributes; N is a broadcast
+    * single-row aggregate.
+    *
+    * CONTRACT: doc_ids must be dense 0..N−1 (the post-packing id
+    * space of a training corpus — and of the test tables; asserted in
+    * the spec). With sparse ids, address by row rank at ingest
+    * instead. */
+  def negativePairs(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val anchors = docs.select(col("doc_id"), col("source"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("source"), col("n"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("raw",
+        fp(concat(lit("neg:"), col("doc_id").cast("string"), lit(":"),
+          col("j").cast("string"))) % col("n"))
+      .withColumn("neg_id",
+        when(col("raw") === col("doc_id"), (col("raw") + 1) % col("n"))
+          .otherwise(col("raw")))
+    anchors
+      .join(docs.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
+        "neg_id")
+      .select(col("doc_id"), col("j"), col("neg_id"), col("source"),
+        col("neg_source"),
+        (col("neg_source") =!= col("source")).cast("int").as("cross_source"))
+  }
+
   /** Temperature-based mixture weights (round 9): the multinomial
     * source-sampling rule of multilingual/multi-source pretraining —
     * p_s ∝ (tokens_s)^α with α = 0.5, which upsamples small sources
@@ -1207,6 +1241,33 @@ object Curation {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
         .orderBy(col("split"), col("lang"))
+    },
+
+    // Contrastive negatives: 4 per anchor, hash-modular addressing.
+    // The oracle replays the md5-mod arithmetic AND the attribute
+    // join, so every (anchor, j) → negative assignment is hash-pinned
+    // — the stability that makes resumed training see the same pairs.
+    Q("curation_negative_pairs",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |a AS (
+        |  SELECT d.doc_id, d.source, n.n, j
+        |  FROM documents d, n, unnest([1, 2, 3, 4]) AS t(j)),
+        |r AS (
+        |  SELECT doc_id, j, source, n,
+        |         CAST(concat('0x', substr(md5('neg:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % n AS raw
+        |  FROM a),
+        |x AS (
+        |  SELECT doc_id, j, source,
+        |         CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END AS neg_id
+        |  FROM r)
+        |SELECT x.doc_id, CAST(x.j AS BIGINT) AS j, x.neg_id, x.source,
+        |       d2.source AS neg_source,
+        |       CAST(CASE WHEN d2.source <> x.source THEN 1 ELSE 0 END AS INTEGER) AS cross_source
+        |FROM x JOIN documents d2 ON d2.doc_id = x.neg_id
+        |ORDER BY x.doc_id, j""".stripMargin) { (s, dir) =>
+      negativePairs(Tables.documents(s, dir), k = 4)
+        .withColumn("j", col("j").cast("long"))
+        .orderBy(col("doc_id"), col("j"))
     },
 
     // Temperature-0.5 mixture weights per source. sqrt is IEEE

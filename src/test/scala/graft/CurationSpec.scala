@@ -463,6 +463,25 @@ class CurationSpec extends SparkSpec {
       (2L, "http://sub.domain-x.org/a_b~c%20d", "sub.domain-x.org")), s"got $got")
   }
 
+  test("negative sampling: dense-id contract holds, no self-pairs, stable across runs") {
+    import graft.llm.Curation
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // the operator's documented contract: doc_ids dense 0..N-1
+    val (n, mx) = docs.agg(count(lit(1)), max(col("doc_id"))).as[(Long, Long)].head()
+    assert(mx === n - 1, s"test corpus ids not dense: n=$n max=$mx")
+    val pairs = Curation.negativePairs(docs, k = 4)
+      .select("doc_id", "j", "neg_id")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.length === n * 4, "every anchor must get exactly k negatives")
+    assert(pairs.forall { case (d, _, g) => d != g }, "self-pair leaked")
+    assert(pairs.forall { case (_, _, g) => g >= 0 && g < n }, "negative id out of range")
+    // stability: recomputation yields the identical assignment (hash, not RNG)
+    val again = Curation.negativePairs(docs, k = 4)
+      .select("doc_id", "j", "neg_id").as[(Long, Long, Long)].collect()
+    assert(pairs.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("funnel stages shrink monotonically and the mixed count equals the capstone") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val funnel = Curation.curationFunnel(docs, col("doc_id") % 7 === 0,
