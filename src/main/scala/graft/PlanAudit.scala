@@ -91,6 +91,17 @@ object PlanAudit {
         "o_orderkey")
     })
     audit("keySkew", queries.Audit.keySkew(Tables.orders(spark, sfDir), "o_custkey", 10))
+    // familiarity (headline, r9): gram-keyed freq aggregate + join +
+    // doc rollup — audited un-checkpointed (the public API checkpoints)
+    audit("familiarity(core)", {
+      val grams = docs.select(col("doc_id"),
+          graft.functions.ngram_hashes(col("text"), 2, 15).as(Seq("pos", "gram_h")))
+        .select(col("doc_id"), col("gram_h"))
+      val freq = grams.groupBy(col("gram_h")).agg(count(lit(1)).as("c"))
+      grams.join(freq, "gram_h").groupBy(col("doc_id"))
+        .agg(count(lit(1)), sum(col("c")))
+    })
+    audit("negativePairs", llm.Curation.negativePairs(docs, 4))
     audit("tableProfile", queries.Audit.tableProfile(docs, Seq(
       "doc_id" -> col("doc_id").cast("string"), "lang" -> col("lang"))))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))

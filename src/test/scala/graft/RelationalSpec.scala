@@ -73,13 +73,15 @@ class RelationalSpec extends SparkSpec {
     // the probe joins.
     // embed_rp_preserve compares every vector against the broadcast
     // 1-row probe in both spaces — the same probe-join class.
-    // audit_key_skew / curation_mixture_temperature join a broadcast
-    // SINGLE-ROW totals/max frame back over a keyed aggregate — the
-    // same 1-row broadcast class (the alternative is a window over the
-    // whole frame, which is the scale anti-pattern these avoid).
+    // audit_key_skew / curation_mixture_temperature /
+    // curation_negative_pairs join a broadcast SINGLE-ROW
+    // totals/max/count frame back over the data — the same 1-row
+    // broadcast class (the alternative is a window over the whole
+    // frame, which is the scale anti-pattern these avoid).
     val excluded = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk",
       "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact",
-      "audit_key_skew", "curation_mixture_temperature")
+      "audit_key_skew", "curation_mixture_temperature",
+      "curation_negative_pairs")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
