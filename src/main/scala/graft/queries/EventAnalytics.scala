@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Behavioral event analytics over the `events` stream table
+  * (round 9): cohort retention and step funnels — the two classic
+  * product-analytics operators every event warehouse serves, absent
+  * from the reference (its events use is telemetry-only) and from the
+  * relational surface so far.
+  *
+  * Both are exact and engine-portable: day arithmetic on truncated
+  * timestamps, integer user counts, ONE final rounded division — no
+  * libm, no sampling.
+  */
+object EventAnalytics {
+
+  /** Cohort retention matrix: cohort = a user's first active day;
+    * cell (cohort_day, day_offset) = how many of that cohort were
+    * active day_offset days later. Scale shape: the (user, day)
+    * distinct and the per-user min fold over the SAME user-keyed
+    * exchange; the final aggregate keys on the bounded
+    * (cohort, offset) grid. No window anywhere. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
+  /** First-occurrence step funnel: a user completes step k when the
+    * first occurrences of the step event types happen in order
+    * (ties allowed — simultaneous first events still count as
+    * ordered). One conditional-min aggregate per user + one
+    * single-row rollup stacked to (step, n_users, conversion):
+    * two exchanges total, both bounded. */
+  def stepFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "stepFunnel: need at least two steps")
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col("event_type") === s, col("ts"))).as(s"t$i")
+    }
+    val perUser = events.groupBy(col("user_id")).agg(mins.head, mins.tail: _*)
+    val reached = steps.indices.map { i =>
+      val cond = (1 to i).foldLeft(col("t0").isNotNull) { (acc, j) =>
+        acc && col(s"t$j").isNotNull && col(s"t$j") >= col(s"t${j - 1}")
+      }
+      sum(cond.cast("long")).as(s"n$i")
+    }
+    val wide = perUser.agg(reached.head, reached.tail: _*)
+    val stacked = steps.indices.map { i =>
+      s"'${i + 1}:${steps(i)}', `n$i`"
+    }.mkString(", ")
+    // The conversion base (step-0 count) rides alongside the stack
+    // generator as a plain column — no window, no row-order dependence.
+    wide.select(expr(s"stack(${steps.size}, $stacked) AS (step, n_users)"),
+        col("n0").as("base"))
+      .withColumn("conversion",
+        round(col("n_users") * lit(1.0) / col("base"), 6) + lit(0.0))
+      .drop("base")
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Retention matrix over the full 30-day window. The oracle
+    // replays day truncation, the per-user first day, and the offset
+    // grid — every cell count hash-pinned.
+    Q("events_cohort_retention",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |       CAST(date_diff('day', f.cohort_day, act.day) AS BIGINT) AS day_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      cohortRetention(Tables.events(s, dir))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    // signup → view → click → purchase first-occurrence funnel.
+    // Counts and the rounded conversion ratios replay exactly.
+    Q("events_funnel_steps",
+      """WITH m AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        |         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        |  FROM events GROUP BY user_id),
+        |w AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+        |                   AND t2 IS NOT NULL AND t2 >= t1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+        |                   AND t2 IS NOT NULL AND t2 >= t1
+        |                   AND t3 IS NOT NULL AND t3 >= t2
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM m),
+        |s AS (
+        |  SELECT '1:signup' AS step, n0 AS n_users, n0 AS base FROM w
+        |  UNION ALL SELECT '2:view', n1, n0 FROM w
+        |  UNION ALL SELECT '3:click', n2, n0 FROM w
+        |  UNION ALL SELECT '4:purchase', n3, n0 FROM w)
+        |SELECT step, n_users,
+        |       ROUND(n_users * 1.0 / base, 6) + 0 AS conversion
+        |FROM s ORDER BY step""".stripMargin) { (s, dir) =>
+      stepFunnel(Tables.events(s, dir), Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step"))
+    },
+  )
+}

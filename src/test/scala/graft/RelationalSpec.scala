@@ -360,4 +360,55 @@ class RelationalSpec extends SparkSpec {
     // w_rel = sqrt(4/16) = 0.5; boost = sqrt(16/4) = 2.0 — exact
     assert(got("small") === ((1L, 4L, 0.5, 2.0)), s"got ${got("small")}")
   }
+
+  test("cohortRetention: offset-0 cells equal cohort sizes, cells conserve activity") {
+    import graft.queries.EventAnalytics
+    val events = Tables.events(spark, sf("sf0.001"))
+    val cells = EventAnalytics.cohortRetention(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.nonEmpty && cells.keys.forall(_._2 >= 0L))
+    // offset 0 = the cohort itself: every cohort member is by definition
+    // active on their own first day
+    val cohortSizes = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("d"))
+      .groupBy("d").count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(cells.filter(_._1._2 == 0L).map { case ((d, _), n) => d -> n } === cohortSizes)
+    // conservation: Σ cells = distinct (user, day) pairs
+    val distinctUD = events
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(cells.values.sum === distinctUD)
+  }
+
+  test("stepFunnel: monotone non-increase; hand fixture pins the ordering rule") {
+    import spark.implicits._
+    import graft.queries.EventAnalytics
+    val funnel = EventAnalytics.stepFunnel(
+        Tables.events(spark, sf("sf0.001")),
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step").collect().map(r => r.getLong(1))
+    assert(funnel.length === 4)
+    assert(funnel.sliding(2).forall(p => p(0) >= p(1)), funnel.mkString(","))
+    // u1 completes in order; u2 has the events but out of order (view
+    // before signup) — counts step 1 only; u3 ties signup/view at the
+    // same ts (ties allowed) but never clicks
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val fx = Seq(
+      (1L, "signup", ts("2024-01-01 00:00:00")), (1L, "view", ts("2024-01-01 01:00:00")),
+      (1L, "click", ts("2024-01-01 02:00:00")), (1L, "purchase", ts("2024-01-01 03:00:00")),
+      (2L, "view", ts("2024-01-01 00:00:00")), (2L, "signup", ts("2024-01-01 01:00:00")),
+      (2L, "click", ts("2024-01-01 02:00:00")),
+      (3L, "signup", ts("2024-01-02 00:00:00")), (3L, "view", ts("2024-01-02 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.stepFunnel(fx, Seq("signup", "view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got === Array(
+      ("1:signup", 3L, 1.0), ("2:view", 2L, round6(2.0 / 3)),
+      ("3:click", 1L, round6(1.0 / 3)), ("4:purchase", 1L, round6(1.0 / 3))))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
