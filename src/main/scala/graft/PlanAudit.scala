@@ -102,6 +102,16 @@ object PlanAudit {
         .agg(count(lit(1)), sum(col("c")))
     })
     audit("negativePairs", llm.Curation.negativePairs(docs, 4))
+    // round-9: within-doc repetition coverage — recurrence test is a
+    // window over (doc_id, gram_h), islands+rollup share the doc_id
+    // exchange: 2 shuffles, no join; retention: (user, day) distinct
+    // and per-user min share one user exchange + bounded grid agg;
+    // funnel: per-user conditional-min agg + 1-row rollup
+    audit("intraDocSpans", llm.Dedup.intraDocSpans(docs))
+    audit("cohortRetention",
+      queries.EventAnalytics.cohortRetention(Tables.events(spark, sfDir)))
+    audit("stepFunnel", queries.EventAnalytics.stepFunnel(
+      Tables.events(spark, sfDir), Seq("signup", "view", "click", "purchase")))
     audit("tableProfile", queries.Audit.tableProfile(docs, Seq(
       "doc_id" -> col("doc_id").cast("string"), "lang" -> col("lang"))))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))

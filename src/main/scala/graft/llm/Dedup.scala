@@ -694,6 +694,29 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame =
     spanRollup(docs, duplicatedSpanRows(docs, n))
 
+  /** WITHIN-doc duplicated n-gram coverage — the Gopher-class
+    * self-repetition rule ("fraction of a doc covered by n-grams that
+    * recur in the SAME doc"; Rae et al. 2021 §A.1.1 use duplicate
+    * line/paragraph/n-gram fractions as drop rules), expressed as
+    * exact token coverage: union of [pos, pos+n) over every position
+    * whose gram key occurs ≥ 2 times in its doc, island-merged like
+    * the cross-doc detector so overlaps never double-count.
+    *
+    * Scale shape: the recurrence test is a COUNT window over
+    * (doc_id, gram_h) — no self-join; that exchange plus the doc_id
+    * island/rollup exchange are the whole plan (2 shuffles). All keys
+    * are 60-bit longs from the native scan-side Generator; gram
+    * strings never shuffle. Per-doc state is bounded by doc length,
+    * so skew follows the corpus's own doc-size distribution. */
+  def intraDocSpans(docs: DataFrame, n: Int = 3): DataFrame = {
+    val perDocGram = Window.partitionBy(col("doc_id"), col("gram_h"))
+    val hits = gramPosRows(docs, n)
+      .withColumn("c", count(lit(1)).over(perDocGram))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("pos"))
+    spanRollup(docs, islandSpans(hits, n))
+  }
+
   /** Persist the corpus's DISTINCT gram-key set as a table bucketed
     * (and sorted) by gram_h — the standing substring index. The
     * distinct's shuffle is paid ONCE at build; every later probe
@@ -1032,6 +1055,60 @@ object Dedup {
         when(col("doc_id") % 3 === 0, concat(lit(SpanHeader + " "), col("text")))
           .otherwise(col("text")).as("text"))
       duplicatedSpans(planted).orderBy(col("doc_id"))
+    },
+
+    // WITHIN-doc self-repetition coverage (Gopher-class drop rule).
+    // Every 7th doc is self-concatenated in-query (text twice) so its
+    // grams all recur and coverage must reach the seam-limited
+    // maximum; natural within-doc 3-gram repeats in other docs ride
+    // along. The oracle replays gram keys, the per-doc recurrence
+    // test, island merge, and rollup — spans and fractions
+    // hash-pinned at every SF.
+    Q("dedup_intradoc_spans", {
+      val n = 3
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+         |  FROM documents),
+         |corpus AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+         |gs AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, greatest(len(l) - ${n - 1}, 0) + 1)) AS i,
+         |         unnest(list_transform(range(1, greatest(len(l) - ${n - 1}, 0) + 1),
+         |                               i -> array_to_string(l[i:i+${n - 1}], ' '))) AS gram
+         |  FROM corpus),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |             CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+         |      FROM gs),
+         |hits AS (SELECT doc_id, pos FROM (
+         |           SELECT doc_id, pos,
+         |                  COUNT(*) OVER (PARTITION BY doc_id, gram_h) AS c
+         |           FROM g) WHERE c >= 2),
+         |flagged AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM flagged),
+         |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + $n AS w
+         |          FROM isl GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM docs)
+         |SELECT s.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |       CAST(SUM(w) AS BIGINT) AS dup_tokens,
+         |       CAST(MAX(w) AS BIGINT) AS max_span,
+         |       ROUND(SUM(w) * 1.0 / MAX(t.n_tokens), 6) + 0 AS dup_frac
+         |FROM spans s JOIN tok t USING (doc_id)
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      intraDocSpans(planted).orderBy(col("doc_id"))
     },
 
     // Keep-one-copy substring dedup on the same planted-header corpus

@@ -434,6 +434,23 @@ class LlmSpec extends SparkSpec {
       (5L, 1L, 24L, 24L, 1.0)), s"got $roll") // the WHOLE doc is duplicated
   }
 
+  test("intraDocSpans: within-doc recurrence coverage, island split, repeat-free doc absent") {
+    // doc 1: "a b c" cycled — every 3-gram occurs twice, one island
+    // covering all 8 tokens; doc 2: repeat-free, must not appear;
+    // doc 3: two repeated trigrams ("p q r" ×2, "s t u" ×2) separated
+    // by a 4-token gap > n=3 — two 6-token spans, 12 of 16 covered.
+    val d = docs(
+      (1L, "a b c a b c a b"),
+      (2L, "x y z w v u t s"),
+      (3L, "p q r p q r j1 j2 j3 j4 s t u s t u"))
+    val got = Dedup.intraDocSpans(d).orderBy("doc_id")
+      .select("doc_id", "n_spans", "dup_tokens", "max_span", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 8L, 8L, 1.0),
+      (3L, 2L, 12L, 6L, 0.75)), s"got $got")
+  }
+
   test("pageRank on a 3-chain: exact fixed-iteration algebra, middle outranks ends") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
