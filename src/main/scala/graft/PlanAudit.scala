@@ -112,6 +112,13 @@ object PlanAudit {
       queries.EventAnalytics.cohortRetention(Tables.events(spark, sfDir)))
     audit("stepFunnel", queries.EventAnalytics.stepFunnel(
       Tables.events(spark, sfDir), Seq("signup", "view", "click", "purchase")))
+    // transition: 1 user-keyed window exchange + the bounded types²
+    // grid (agg + normalizing window); rolling actives: partial
+    // distinct → ×7 explode → contribute-day distinct/count
+    audit("transitionMatrix",
+      queries.EventAnalytics.transitionMatrix(Tables.events(spark, sfDir)))
+    audit("rollingActiveUsers",
+      queries.EventAnalytics.rollingActiveUsers(Tables.events(spark, sfDir), 7))
     audit("tableProfile", queries.Audit.tableProfile(docs, Seq(
       "doc_id" -> col("doc_id").cast("string"), "lang" -> col("lang"))))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -65,6 +66,48 @@ object EventAnalytics {
       .drop("base")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: count and row-normalized probability of each
+    * (from_type → to_type) step. One user-keyed window (lead) is the
+    * only data-sized exchange; the count aggregate and the
+    * row-normalizing window both operate on the bounded types² grid.
+    * (event_id breaks ts ties, so the sequence — and the oracle — is
+    * deterministic.) */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cnt = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    cnt.withColumn("p",
+      round(col("n") * lit(1.0) /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6) + lit(0.0))
+  }
+
+  /** Trailing-window distinct active users per day (WAU-style), via
+    * the contribute-forward rewrite: a (user, day) activity row
+    * contributes to report days day..day+w−1, so the rolling DISTINCT
+    * — which no window function expresses distributively — becomes a
+    * map-only ×w explode plus ONE partial-combined distinct and a
+    * per-day count. Report days are restricted to days that actually
+    * appear (no trailing ghost rows). */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "rollingActiveUsers: windowDays must be >= 1")
+    val act = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val contrib = act
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("o"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("o")).as("day"))
+      .distinct()
+    contrib.join(act.select(col("day")).distinct(), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Retention matrix over the full 30-day window. The oracle
@@ -118,6 +161,40 @@ object EventAnalytics {
         |FROM s ORDER BY step""".stripMargin) { (s, dir) =>
       stepFunnel(Tables.events(s, dir), Seq("signup", "view", "click", "purchase"))
         .orderBy(col("step"))
+    },
+
+    // Markov step matrix: counts and row probabilities both
+    // hash-pinned (event_id tiebreak ⇒ both engines see the same
+    // sequence; the division is the one rounded float).
+    Q("events_transition_matrix",
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) + 0 AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      transitionMatrix(Tables.events(s, dir))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Rolling 7-day distinct actives; the oracle replays the
+    // contribute-forward rewrite (cross-join with offsets 0..6) so
+    // every per-day count is pinned.
+    Q("events_rolling_active",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS day
+        |      FROM act, (SELECT unnest(range(0, 7)) AS o)),
+        |d AS (SELECT DISTINCT day FROM act)
+        |SELECT c.day, CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM c JOIN d USING (day)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      rollingActiveUsers(Tables.events(s, dir), 7)
+        .orderBy(col("day"))
     },
   )
 }

@@ -411,4 +411,43 @@ class RelationalSpec extends SparkSpec {
 
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("transitionMatrix: steps conserve (n_events - 1 per active user), rows normalize") {
+    import graft.queries.EventAnalytics
+    val events = Tables.events(spark, sf("sf0.001"))
+    val m = EventAnalytics.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // every user with k events contributes exactly k-1 steps
+    val expectSteps = events.groupBy("user_id").count()
+      .agg(sum(col("count") - 1)).head.getLong(0)
+    assert(m.map(_._3).sum === expectSteps)
+    // each from-row's probabilities sum to 1 within rounding slack
+    m.groupBy(_._1).foreach { case (from, rows) =>
+      val p = rows.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"row $from sums to $p")
+    }
+  }
+
+  test("rollingActiveUsers: window=1 is plain DAU, window=7 dominates it, fixture exact") {
+    import spark.implicits._
+    import graft.queries.EventAnalytics
+    val events = Tables.events(spark, sf("sf0.001"))
+    val dau = EventAnalytics.rollingActiveUsers(events, 1).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val plainDau = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("d").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(dau === plainDau)
+    val wau = EventAnalytics.rollingActiveUsers(events, 7).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(wau.keySet === dau.keySet)
+    dau.foreach { case (d, n) => assert(wau(d) >= n, s"WAU($d)=${wau(d)} < DAU $n") }
+    // hand fixture: u1 active d1+d3, u2 active d1 only → WAU(d3)=2, DAU(d3)=1
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    val fx = Seq((1L, ts("2024-01-01")), (1L, ts("2024-01-03")), (2L, ts("2024-01-01")))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.rollingActiveUsers(fx, 7).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got === Map("2024-01-01" -> 2L, "2024-01-03" -> 2L))
+  }
 }
