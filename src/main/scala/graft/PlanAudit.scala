@@ -119,6 +119,15 @@ object PlanAudit {
       queries.EventAnalytics.transitionMatrix(Tables.events(spark, sfDir)))
     audit("rollingActiveUsers",
       queries.EventAnalytics.rollingActiveUsers(Tables.events(spark, sfDir), 7))
+    // fuzzy link: 2 map-side key projections → union → distinct →
+    // bounded-levenshtein scan; no all-pairs anywhere
+    audit("fuzzyLink", {
+      val parts = Tables.part(spark, sfDir)
+      val base = parts.select(col("p_partkey").as("orig_id"), col("p_name").as("name"))
+      val typos = parts.filter(col("p_partkey") % 20 === 0)
+        .select((col("p_partkey") + 10000000L).as("typo_id"), col("p_name").as("name"))
+      queries.Linkage.fuzzyLink(base, typos, maxDist = 2)
+    })
     audit("tableProfile", queries.Audit.tableProfile(docs, Seq(
       "doc_id" -> col("doc_id").cast("string"), "lang" -> col("lang"))))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Record linkage: fuzzy entity matching by multi-pass blocking +
+  * bounded edit-distance verification.
+  *
+  * The reference pipeline has no linkage step, but any corpus built
+  * from scraped/merged catalogs needs one (dedup across sources whose
+  * keys disagree: typos, OCR noise, truncation). The scalable shape is
+  * the classic record-linkage decomposition:
+  *
+  *   1. BLOCK — project each side onto one or more cheap deterministic
+  *      keys (here: 4-char name prefix AND 4-char name suffix — two
+  *      passes, union'd). An edit that falls inside one key region
+  *      still matches on the other, which is why multi-pass blocking
+  *      is the standard recall fix (Fellegi–Sunter practice; same role
+  *      as LSH bands for sets). Map-only key projection.
+  *   2. CANDIDATES — hash-join per key, DISTINCT pair. Work is
+  *      Σ_block |left|·|right| — bounded by block granularity, never
+  *      all-pairs. Skewed blocks (a common prefix) are ordinary join
+  *      skew: AQE splits them, same as every other keyed join here.
+  *   3. VERIFY — Spark's thresholded `levenshtein(l, r, d)` (early-exit
+  *      O(d·min(m,n)) band DP, codegen'd) keeps only true matches, so
+  *      blocking false positives cost one bounded scan each.
+  *
+  * At 100 TB nothing materializes beyond the candidate pairs: both key
+  * projections are map-side, the joins shuffle only (key, id, name),
+  * and the verify is a scan over candidates.
+  */
+object Linkage {
+
+  /** Candidate pairs from multi-pass blocking: for each blocking key
+    * expression, join left×right on equal key, then union and distinct
+    * the (left, right) id pairs. Both name columns ride along for the
+    * verify stage. */
+  def blockedCandidates(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[Column => Column]): DataFrame = {
+    val passes = keys.map { k =>
+      val l = left.select(col("orig_id"), col("name").as("ln"), k(col("name")).as("k"))
+      val r = right.select(col("typo_id"), col("name").as("rn"), k(col("name")).as("k"))
+      l.join(r, "k").select(col("orig_id"), col("typo_id"), col("ln"), col("rn"))
+    }
+    passes.reduce(_ unionByName _).distinct()
+  }
+
+  /** Fuzzy link with prefix-4 + suffix-4 blocking and edit distance
+    * ≤ maxDist. Inputs: (orig_id, name) and (typo_id, name). Output:
+    * one row per verified pair with its exact distance. */
+  def fuzzyLink(left: DataFrame, right: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"fuzzyLink: maxDist must be >= 0, got $maxDist")
+    val prefix = (c: Column) => substring(c, 1, 4)
+    val suffix = (c: Column) => c.substr(length(c) - lit(3), lit(4))
+    val cand = blockedCandidates(left, right, Seq(prefix, suffix))
+    // Thresholded levenshtein returns -1 past maxDist — the early-exit
+    // band form; the plain 2-arg call would pay full O(m·n) per false
+    // candidate.
+    cand
+      .withColumn("dist", levenshtein(col("ln"), col("rn"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("orig_id"), col("typo_id"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Declared fixture: a deterministic typo table planted from `part`
+    * — every 20th part gets a tail substitution (caught by the prefix
+    * pass), every 20th+10 a head substitution (caught ONLY by the
+    * suffix pass — the single-key recall failure the multi-pass form
+    * exists to fix). Ids offset by 10M keep the spaces disjoint. */
+  private def typoFixture(parts: DataFrame): (DataFrame, DataFrame) = {
+    val base = parts.select(col("p_partkey").as("orig_id"), col("p_name").as("name"))
+    val typos = parts
+      .filter(col("p_partkey") % 20 === 0 || col("p_partkey") % 20 === 10)
+      .select(
+        (col("p_partkey") + 10000000L).as("typo_id"),
+        when(col("p_partkey") % 20 === 0,
+          expr("concat(substring(p_name, 1, length(p_name) - 2), 'q', " +
+            "substring(p_name, length(p_name), 1))"))
+          .otherwise(expr("concat(substring(p_name, 1, 1), 'q', substring(p_name, 3))"))
+          .as("name"))
+    (base, typos)
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Multi-pass blocked fuzzy link: the oracle replays both blocking
+    // passes, the DISTINCT candidate set, and the levenshtein verify
+    // (identical unit-cost edit distance in both engines), so every
+    // linked pair AND its distance is hash-pinned.
+    Q("link_fuzzy_parts",
+      """WITH base AS (SELECT p_partkey AS orig_id, p_name AS name FROM part),
+        |typo AS (
+        |  SELECT p_partkey + 10000000 AS typo_id,
+        |         CASE WHEN p_partkey % 20 = 0
+        |              THEN substring(p_name, 1, length(p_name) - 2) || 'q' ||
+        |                   substring(p_name, length(p_name), 1)
+        |              ELSE substring(p_name, 1, 1) || 'q' || substring(p_name, 3)
+        |         END AS name
+        |  FROM part WHERE p_partkey % 20 IN (0, 10)),
+        |kb AS (
+        |  SELECT orig_id, name AS ln, substring(name, 1, 4) AS k FROM base
+        |  UNION ALL
+        |  SELECT orig_id, name, substring(name, length(name) - 3, 4) FROM base),
+        |kt AS (
+        |  SELECT typo_id, name AS rn, substring(name, 1, 4) AS k FROM typo
+        |  UNION ALL
+        |  SELECT typo_id, name, substring(name, length(name) - 3, 4) FROM typo),
+        |cand AS (
+        |  SELECT DISTINCT orig_id, typo_id, ln, rn
+        |  FROM kb JOIN kt USING (k))
+        |SELECT orig_id, typo_id, CAST(levenshtein(ln, rn) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(ln, rn) <= 2
+        |ORDER BY orig_id, typo_id""".stripMargin) { (s, dir) =>
+      val (base, typos) = typoFixture(Tables.part(s, dir))
+      fuzzyLink(base, typos, maxDist = 2).orderBy(col("orig_id"), col("typo_id"))
+    },
+  )
+}
