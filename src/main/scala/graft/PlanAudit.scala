@@ -119,6 +119,18 @@ object PlanAudit {
       queries.EventAnalytics.transitionMatrix(Tables.events(spark, sfDir)))
     audit("rollingActiveUsers",
       queries.EventAnalytics.rollingActiveUsers(Tables.events(spark, sfDir), 7))
+    // triangles: degree join → oriented wedge self-join → closure
+    // semi-join → corner explode/count; work bounded O(m^{3/2})
+    audit("triangleStats", {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      val edges = docs
+        .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("a"),
+          (col("doc_id") + 2000000L).as("b")))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 2000000L).as("b")))
+      llm.Dedup.triangleStats(edges)
+    })
     // fuzzy link: 2 map-side key projections → union → distinct →
     // bounded-levenshtein scan; no all-pairs anywhere
     audit("fuzzyLink", {

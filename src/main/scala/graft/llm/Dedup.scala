@@ -1389,6 +1389,51 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Triangle counts + local clustering coefficient over the chain
+    // fixture CLOSED for every third document (a–c added when
+    // doc_id % 3 = 0): closed chains are triangles (lcc 1 at all three
+    // corners), open ones stay paths (middles deg 2, tri 0) — so the
+    // query pins both the closure detection and its absence. The
+    // oracle counts each triangle once via id-ordered edges (the count
+    // is orientation-invariant, so the engine's degree-ordering and
+    // the oracle's id-ordering must agree exactly).
+    Q("graph_triangles",
+      """WITH e0 AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT a, b
+        |  FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) t
+        |  WHERE a <> b),
+        |deg AS (SELECT a AS id, COUNT(*) AS d FROM und GROUP BY a),
+        |o AS (SELECT a, b FROM und WHERE a < b),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM o e1 JOIN o e2 ON e2.a = e1.b
+        |  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT id, COUNT(*) AS tri
+        |  FROM (SELECT x AS id FROM tri
+        |        UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri) u
+        |  GROUP BY id)
+        |SELECT deg.id, CAST(deg.d AS BIGINT) AS degree,
+        |       CAST(COALESCE(corners.tri, 0) AS BIGINT) AS tri,
+        |       ROUND(COALESCE(corners.tri, 0) * 2.0 / (deg.d * (deg.d - 1)), 6) + 0 AS lcc
+        |FROM deg LEFT JOIN corners USING (id)
+        |WHERE deg.d >= 2
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val edges = docs
+        .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("a"),
+          (col("doc_id") + 2000000L).as("b")))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 2000000L).as("b")))
+      triangleStats(edges).orderBy(col("id"))
+    },
+
     // Word-bigram Jaccard near-dup — minhash-over-bigrams banded LSH
     // (sequence similarity gets the same banding machinery as the
     // vocabulary pipeline; round 5 replaced the coarse data-dependent
@@ -1549,6 +1594,57 @@ object Dedup {
       .join(e.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
     (labels, iter)
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over a
+    * dup-pair graph — the structural signal that separates a genuine
+    * near-dup CLUSTER (dense, high lcc: every copy pairs with every
+    * other) from a chain of borderline pairs (lcc 0: a–b and b–c at
+    * threshold with no a–c edge), which is exactly the distinction a
+    * transitive-closure dedup silently erases.
+    *
+    * Degree-ordered algorithm (Suri & Vassilvitskii, WWW'11): orient
+    * every edge from its lower (degree, id) endpoint to the higher,
+    * form wedges at the low corner, close them with one semi-join.
+    * Each triangle is counted at exactly ONE corner, and total wedge
+    * work is O(m^{3/2}) regardless of degree skew — a hub of degree d
+    * generates no wedges itself; only its lower-ordered neighbors do.
+    * That bound is why this survives a power-law dup graph at 100 TB
+    * where the naive per-node neighbor-pair join (Σ C(deg,2)) dies on
+    * the hottest key.
+    *
+    * Output: (id, degree, tri, lcc) for nodes with degree ≥ 2, where
+    * lcc = 2·tri / (degree·(degree−1)).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a"), col("b"), col("db"))
+    // wedges at the low corner, the two spokes ordered in the SAME
+    // (degree, id) total order so the closing edge — if present — is
+    // oriented v→w and one semi-join decides closure
+    val e1 = oriented.select(col("a"), col("b").as("v"), col("db").as("dv"))
+    val e2 = oriented.select(col("a"), col("b").as("w"), col("db").as("dw"))
+    val tris = e1.join(e2, Seq("a"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .join(oriented.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"), "left_semi")
+    val corners = tris
+      .select(explode(array(col("a"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("d") >= 2)
+      .join(corners, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("d").cast("long").as("degree"),
+        coalesce(col("tri"), lit(0L)).cast("long").as("tri"),
+        (round(coalesce(col("tri"), lit(0L)) * lit(2.0) / (col("d") * (col("d") - lit(1))), 6)
+          + lit(0.0)).as("lcc"))
   }
 
   /** (doc_id, distinct word-bigram set) — the sequence-similarity

@@ -954,4 +954,38 @@ class LlmSpec extends SparkSpec {
       assert(lab <= id && labels(lab) === lab, s"label $lab of $id is not a canonical member")
     }
   }
+
+  test("triangleStats: K4-minus-an-edge hand fixture, exact counts and lcc") {
+    import spark.implicits._
+    // edges of K4 on {1,2,3,4} minus (1,2): triangles (1,3,4), (2,3,4)
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val got = Dedup.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 1.0)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 2L, 0.666667)),
+      4L -> ((3L, 2L, 0.666667))))
+  }
+
+  test("triangleStats: counts are orientation-invariant (reversed + duplicated edges)") {
+    import spark.implicits._
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val messy = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .unionByName(edges) // duplicates + both orientations must not change counts
+    val clean = Dedup.triangleStats(edges).collect().map(_.toSeq).toSet
+    val got = Dedup.triangleStats(messy).collect().map(_.toSeq).toSet
+    assert(got === clean)
+  }
+
+  test("triangleStats: hub skew — star graph yields zero triangles, center excluded work") {
+    import spark.implicits._
+    // star K1,50: no triangles anywhere; center has degree 50
+    val edges = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+    val got = Dedup.triangleStats(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // only the center has degree >= 2; its triangle count is 0
+    assert(got.toSeq === Seq((0L, 50L, 0L, 0.0)))
+  }
 }
