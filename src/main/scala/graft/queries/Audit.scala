@@ -122,6 +122,54 @@ object Audit {
     delta.unionByName(
       base.join(delta.select(col(keyCol)), Seq(keyCol), "left_anti"))
 
+  /** SCD type-2 merge: apply a changeset to a versioned history table,
+    * closing the current version of every key whose tracked attributes
+    * changed and opening a new one, while unchanged keys, untouched
+    * keys, and already-closed history rows carry through verbatim.
+    *
+    * `history` schema: keyCol, changeCols…, valid_from DATE,
+    * valid_to DATE (open rows carry the 2099-12-31 high-date sentinel
+    * — a NULL open end would be the other convention, but a concrete
+    * date keeps range predicates sargable and the column
+    * non-nullable), is_current INT. `delta` is a CHANGESET (changed +
+    * new keys; absent keys mean "no news", never "deleted" — deletes
+    * are a CDC changeset concern, see `upsert_changeset`).
+    *
+    * Shape: ONE full-outer join of the current slice against the
+    * delta, three filtered projections of it (close / open / carry),
+    * and a union with the closed history. The delta is the small side
+    * — broadcastable, and AQE flips the join when it is; the history
+    * never moves except through the join, so with history bucketed on
+    * the key the merge is a map-side stitch at 100 TB. Change
+    * detection is null-safe equality over `changeCols` only — rows
+    * arriving identical do NOT spawn a version (the no-op path a
+    * naive "delta always wins" merge gets wrong). */
+  def scd2Merge(
+      history: DataFrame, delta: DataFrame, keyCol: String,
+      changeCols: Seq[String], asOf: Column): DataFrame = {
+    require(changeCols.nonEmpty, "scd2Merge: changeCols must be non-empty")
+    val openEnd = to_date(lit("2099-12-31"))
+    val cur = history.filter(col("is_current") === 1)
+    val closedHist = history.filter(col("is_current") =!= 1)
+    val d = delta.select(
+      col(keyCol).as("__k") +: changeCols.map(c => col(c).as(s"__d_$c")): _*)
+    val j = cur.join(d, cur(keyCol) === d("__k"), "full_outer")
+    val matched = cur(keyCol).isNotNull && col("__k").isNotNull
+    val changed = changeCols.map(c => !(col(s"__d_$c") <=> col(c))).reduce(_ || _)
+    val outCols = Seq(keyCol) ++ changeCols ++ Seq("valid_from", "valid_to", "is_current")
+    val closed = j.filter(matched && changed).select(
+      (col(keyCol) +: changeCols.map(col(_))) ++
+        Seq(col("valid_from"), asOf.as("valid_to"), lit(0).as("is_current")): _*)
+    val opened = j.filter(col("__k").isNotNull && (cur(keyCol).isNull || changed)).select(
+      (coalesce(cur(keyCol), col("__k")).as(keyCol) +:
+        changeCols.map(c => col(s"__d_$c").as(c))) ++
+        Seq(asOf.as("valid_from"), openEnd.as("valid_to"), lit(1).as("is_current")): _*)
+    val carried = j.filter(cur(keyCol).isNotNull && (col("__k").isNull || !changed))
+      .select(outCols.map(col(_)): _*)
+    closedHist.select(outCols.map(col(_)): _*)
+      .unionByName(carried).unionByName(closed).unionByName(opened)
+  }
+
   /** Join-key skew profile: the top-`topN` heaviest keys of `keyCol`
     * with their row share and skew factor (rows-under-key ÷ mean
     * rows-per-key) — the diagnostic a 100 TB join plan needs BEFORE
@@ -366,5 +414,60 @@ object Audit {
           col("doc_id").cast("string"), col("lang"), col("source"),
           col("n_chars").cast("string"), md5(col("text"))))
         .orderBy(col("source"))
+    },
+
+    // SCD-2 merge of a planted changeset into a day-one history:
+    // %10==3 prices arrive doubled (close + open a version), %10==7
+    // arrive IDENTICAL (the no-op path — no version may spawn),
+    // %17==0 arrive under new keys (insert open), everything else
+    // carries. The oracle replays the full-outer classification and
+    // both version rows per changed key; every date, price, and flag
+    // is hash-pinned. (o_totalprice × 2 is IEEE-exact.)
+    Q("audit_scd2_merge",
+      """WITH hist AS (
+        |  SELECT o_orderkey, o_totalprice, DATE '2024-01-01' AS valid_from,
+        |         DATE '2099-12-31' AS valid_to, 1 AS is_current
+        |  FROM orders),
+        |delta AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice FROM orders WHERE o_orderkey % 17 = 0),
+        |j AS (
+        |  SELECT h.o_orderkey AS hk, h.o_totalprice AS hp, h.valid_from,
+        |         d.o_orderkey AS dk, d.o_totalprice AS dp
+        |  FROM hist h FULL OUTER JOIN delta d ON h.o_orderkey = d.o_orderkey),
+        |closed AS (
+        |  SELECT hk AS o_orderkey, hp AS o_totalprice, valid_from,
+        |         DATE '2024-06-01' AS valid_to, 0 AS is_current
+        |  FROM j WHERE hk IS NOT NULL AND dk IS NOT NULL AND hp <> dp),
+        |opened AS (
+        |  SELECT dk, dp, DATE '2024-06-01', DATE '2099-12-31', 1
+        |  FROM j WHERE dk IS NOT NULL AND (hk IS NULL OR hp <> dp)),
+        |carried AS (
+        |  SELECT hk, hp, valid_from, DATE '2099-12-31', 1
+        |  FROM j WHERE hk IS NOT NULL AND (dk IS NULL OR hp = dp))
+        |SELECT o_orderkey, o_totalprice, valid_from, valid_to,
+        |       CAST(is_current AS INTEGER) AS is_current
+        |FROM (SELECT * FROM closed UNION ALL SELECT * FROM opened
+        |      UNION ALL SELECT * FROM carried) u
+        |ORDER BY o_orderkey, valid_from""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val history = orders.select(
+        col("o_orderkey"), col("o_totalprice"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        to_date(lit("2099-12-31")).as("valid_to"),
+        lit(1).as("is_current"))
+      val delta = orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_totalprice")))
+      scd2Merge(history, delta, "o_orderkey", Seq("o_totalprice"),
+        to_date(lit("2024-06-01")))
+        .orderBy(col("o_orderkey"), col("valid_from"))
     })
 }

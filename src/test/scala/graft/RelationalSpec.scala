@@ -412,6 +412,38 @@ class RelationalSpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("scd2Merge: close/open on change, no-op on identical, insert, carry, re-merge idempotent") {
+    import spark.implicits._
+    import graft.queries.Audit
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val history = Seq(
+      (1L, 10.0, d("2024-01-01"), d("2099-12-31"), 1), // will change
+      (2L, 20.0, d("2024-01-01"), d("2099-12-31"), 1), // arrives identical
+      (3L, 30.0, d("2024-01-01"), d("2099-12-31"), 1), // absent from delta
+      (4L, 5.0, d("2023-01-01"), d("2024-01-01"), 0),  // closed history row
+      (4L, 6.0, d("2024-01-01"), d("2099-12-31"), 1))  // current of 4, will change
+      .toDF("k", "price", "valid_from", "valid_to", "is_current")
+    val delta = Seq((1L, 11.0), (2L, 20.0), (4L, 7.0), (9L, 90.0)).toDF("k", "price")
+    val got = Audit.scd2Merge(history, delta, "k", Seq("price"), to_date(lit("2024-06-01")))
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDate(2).toString,
+        r.getDate(3).toString, r.getInt(4))).toSet
+    assert(rows === Set(
+      (1L, 10.0, "2024-01-01", "2024-06-01", 0),
+      (1L, 11.0, "2024-06-01", "2099-12-31", 1),
+      (2L, 20.0, "2024-01-01", "2099-12-31", 1),
+      (3L, 30.0, "2024-01-01", "2099-12-31", 1),
+      (4L, 5.0, "2023-01-01", "2024-01-01", 0),
+      (4L, 6.0, "2024-01-01", "2024-06-01", 0),
+      (4L, 7.0, "2024-06-01", "2099-12-31", 1),
+      (9L, 90.0, "2024-06-01", "2099-12-31", 1)))
+    // one open version per key, and re-applying the SAME delta later is a no-op
+    assert(got.filter(col("is_current") === 1).groupBy("k").count()
+      .filter(col("count") > 1).count() === 0L)
+    val again = Audit.scd2Merge(got, delta, "k", Seq("price"), to_date(lit("2024-07-01")))
+    assert(again.collect().map(_.toSeq).toSet === got.collect().map(_.toSeq).toSet)
+  }
+
   test("transitionMatrix: steps conserve (n_events - 1 per active user), rows normalize") {
     import graft.queries.EventAnalytics
     val events = Tables.events(spark, sf("sf0.001"))
