@@ -170,6 +170,51 @@ object Audit {
       .unionByName(carried).unionByName(closed).unionByName(opened)
   }
 
+  /** Robust per-group outlier profile by median absolute deviation —
+    * the screening pass a quality pipeline runs BEFORE trusting
+    * mean/stddev anywhere (one fat-fingered 1e9 in a price column
+    * drags the mean past every real row; the median doesn't move).
+    * Flags x where |x − median| > k·MAD, the classic robust rule
+    * (k = 3 ≈ the 2σ band for Gaussian data after the 1.4826
+    * consistency factor — folded into k rather than multiplied in so
+    * every comparison stays libm-free).
+    *
+    * Robust stats are irreducibly two-pass (the deviation quantile
+    * depends on the median), so the shape is: exact median per group
+    * (bounded frame, broadcast back) → deviation quantile per group
+    * (bounded, broadcast back) → flag + count. Three scans of the
+    * input; at 100 TB the scans are map-side over a column projection
+    * and the per-group stats frames never exceed the group count.
+    * `exact_quantile` is the discrete (element-selecting) quantile, so
+    * med and MAD are actual data values — both engines compare
+    * IDENTICAL doubles, no interpolation drift in the kept set. */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String, k: Int): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(graft.functions.exact_quantile(col(valCol), 0.5).as("med"))
+    val dev = df.select(col(groupCol), col(valCol))
+      .join(broadcast(med), groupCol)
+      .withColumn("adev", abs(col(valCol) - col("med")))
+    val stats = dev.groupBy(col(groupCol))
+      .agg(
+        min(col("med")).as("med"),
+        graft.functions.exact_quantile(col("adev"), 0.5).as("mad"),
+        count(lit(1)).cast("long").as("n"))
+    dev.join(broadcast(stats.drop("med")), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        min(col("med")).as("med0"),
+        min(col("mad")).as("mad0"),
+        min(col("n")).as("n"),
+        sum(when(col("adev") > col("mad") * k, 1L).otherwise(0L)).as("n_out"))
+      .select(
+        col(groupCol),
+        (round(col("med0"), 6) + lit(0.0)).as("med"),
+        (round(col("mad0"), 6) + lit(0.0)).as("mad"),
+        col("n"),
+        col("n_out").as("n_outliers"),
+        (round(col("n_out") * lit(1.0) / col("n"), 6) + lit(0.0)).as("outlier_frac"))
+  }
+
   /** Join-key skew profile: the top-`topN` heaviest keys of `keyCol`
     * with their row share and skew factor (rows-under-key ÷ mean
     * rows-per-key) — the diagnostic a 100 TB join plan needs BEFORE
@@ -469,5 +514,47 @@ object Audit {
       scd2Merge(history, delta, "o_orderkey", Seq("o_totalprice"),
         to_date(lit("2024-06-01")))
         .orderBy(col("o_orderkey"), col("valid_from"))
+    },
+
+    // Robust outlier profile of order totals per priority class:
+    // med/MAD are DISCRETE quantiles (actual data elements — both
+    // engines compare identical doubles, so the flagged SET is pinned,
+    // not just the rounded summary row). Every 997th order's price is
+    // planted ×50 in-query (same correctly-rounded multiply in both
+    // engines) so the flagging path is exercised, not vacuous — the
+    // synthetic totals are too uniform to produce natural 3-MAD
+    // outliers, and the medians barely move (~0.1% of rows planted),
+    // which is the point of robust stats.
+    Q("audit_outliers_mad",
+      """WITH src AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 50
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |med AS (
+        |  SELECT o_orderpriority AS g, quantile_disc(o_totalprice, 0.5) AS med
+        |  FROM src GROUP BY 1),
+        |dev AS (
+        |  SELECT o.o_orderpriority AS g, abs(o.o_totalprice - m.med) AS adev, m.med
+        |  FROM src o JOIN med m ON o.o_orderpriority = m.g),
+        |stats AS (
+        |  SELECT g, quantile_disc(adev, 0.5) AS mad, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM dev GROUP BY g)
+        |SELECT d.g AS o_orderpriority,
+        |       ROUND(MIN(d.med), 6) + 0 AS med,
+        |       ROUND(MIN(s.mad), 6) + 0 AS mad,
+        |       MIN(s.n) AS n,
+        |       CAST(SUM(CASE WHEN d.adev > s.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       ROUND(SUM(CASE WHEN d.adev > s.mad * 3 THEN 1 ELSE 0 END) * 1.0 / MIN(s.n), 6) + 0
+        |         AS outlier_frac
+        |FROM dev d JOIN stats s USING (g)
+        |GROUP BY d.g ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      madOutliers(
+        Tables.orders(s, dir).select(
+          col("o_orderpriority"),
+          when(col("o_orderkey") % 997 === 0, col("o_totalprice") * 50)
+            .otherwise(col("o_totalprice")).as("o_totalprice")),
+        "o_orderpriority", "o_totalprice", k = 3)
+        .orderBy(col("o_orderpriority"))
     })
 }

@@ -444,6 +444,24 @@ class RelationalSpec extends SparkSpec {
     assert(again.collect().map(_.toSeq).toSet === got.collect().map(_.toSeq).toSet)
   }
 
+  test("madOutliers: hand fixture exact; extreme value can't drag the median") {
+    import spark.implicits._
+    import graft.queries.Audit
+    // group a: values 1..9 plus one absurd 1e9 → med 5 (rank ceil(0.5*10)=5),
+    // adevs {4,3,2,1,0,1,2,3,4,1e9-5} → mad = rank-5 element of sorted
+    // {0,1,1,2,2,3,3,4,4,1e9-5} = 2; only 1e9 exceeds med + 3*2
+    val df = (1 to 9).map(v => ("a", v.toDouble)).:+(("a", 1e9)).toDF("g", "v")
+    val got = Audit.madOutliers(df, "g", "v", k = 3).collect().head
+    assert(got.getString(0) === "a")
+    assert(got.getDouble(1) === 5.0)   // median unmoved by the 1e9 row
+    assert(got.getDouble(2) === 2.0)   // MAD
+    assert(got.getLong(3) === 10L)
+    assert(got.getLong(4) === 1L)      // exactly the planted extreme flagged
+    assert(got.getDouble(5) === 0.1)
+    // mean-based flagging would be blinded: mean ≈ 1e8 makes EVERY
+    // normal row a >3σ "outlier" candidate on the other side
+  }
+
   test("transitionMatrix: steps conserve (n_events - 1 per active user), rows normalize") {
     import graft.queries.EventAnalytics
     val events = Tables.events(spark, sf("sf0.001"))
