@@ -148,6 +148,36 @@ object TextAnalysis {
     df.withColumn("clean",
       trim(regexp_replace(graft.functions.normalize_nfc(col(textCol)), "\\s+", " ")))
 
+  /** FORCAST readability (round 9): grade = 20 − 15·(monosyllabic
+    * words ÷ words), plus vowel-group syllable density. FORCAST
+    * (Caylor et al., 1973) is the one published readability formula
+    * that needs NO sentence segmentation — built for technical
+    * material (forms, listings) that lacks sentence punctuation,
+    * which is exactly this corpus (and plenty of real web text).
+    * Flesch/Kincaid here would divide by a planted sentence count —
+    * a vacuous metric.
+    *
+    * Syllables ≈ vowel groups (`[aeiouy]+`), the standard heuristic;
+    * a word is monosyllabic iff it has exactly one group. Both
+    * regexes are RE2-safe so the oracle replays them; the arithmetic
+    * is exact-integer counts into one division + correctly-rounded
+    * affine map, so the doubles hash cross-engine. Pure map-side
+    * projection — whole-stage codegen, no shuffle, no UDF. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val mono = size(filter(words,
+      w => w.rlike("^[^aeiouy]*[aeiouy]+[^aeiouy]*$")))
+    val syll = size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+    docs.select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      mono.cast("long").as("n_mono"),
+      syll.cast("long").as("n_syll"),
+      (round(syll * lit(1.0) / size(words), 6) + lit(0.0)).as("syll_per_word"),
+      (round(lit(20) - lit(15.0) * (mono * lit(1.0) / size(words)), 6) + lit(0.0))
+        .as("forcast_grade"))
+  }
+
   /** Corpus-familiarity score (round 9): per doc, the MEAN CORPUS
     * FREQUENCY of its word bigrams plus the hapax count — the
     * exact-arithmetic stand-in for n-gram LM perplexity that real
@@ -191,6 +221,24 @@ object TextAnalysis {
   }
 
   val defs: Seq[Q] = Seq(
+
+    // FORCAST readability — the sentence-free formula; both regex
+    // counts and the affine grade replay exactly in DuckDB.
+    Q("text_readability",
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |            w -> regexp_matches(w, '^[^aeiouy]*[aeiouy]+[^aeiouy]*$'))) AS BIGINT)
+        |         AS n_mono,
+        |       CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll,
+        |       ROUND(len(regexp_extract_all(text, '[aeiouy]+')) * 1.0
+        |             / len(string_split(text, ' ')), 6) + 0 AS syll_per_word,
+        |       ROUND(20 - 15.0 * (len(list_filter(string_split(text, ' '),
+        |            w -> regexp_matches(w, '^[^aeiouy]*[aeiouy]+[^aeiouy]*$'))) * 1.0
+        |            / len(string_split(text, ' '))), 6) + 0 AS forcast_grade
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      readability(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
 
     // Corpus-familiarity (the exact-integer LM-perplexity stand-in):
     // the oracle rebuilds the bigram multiset with the same 60-bit

@@ -591,6 +591,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("readability: hand-computed FORCAST grades, vowel-less words count zero syllables") {
+    val d = docs(
+      (1L, "see banana xyz"), // mono: see, xyz (y is a vowel); banana = 3 groups
+      (2L, "zzz"))            // no vowel groups at all
+    val got = graft.llm.TextAnalysis.readability(d)
+      .select("doc_id", "n_words", "n_mono", "n_syll", "syll_per_word", "forcast_grade")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) === ((3L, 2L, 5L, 1.666667, 10.0)), s"got ${got(1L)}")
+    assert(got(2L) === ((1L, 0L, 0L, 0.0, 20.0)), s"got ${got(2L)}")
+  }
+
   test("substring strip keeps exactly ONE copy: the min-doc owner survives verbatim") {
     val S = "meridian harbor lantern crystal summit prairie velvet horizon ember cascade"  // 10 tokens
     def filler(p: String, k: Int) = (1 to k).map(p + _).mkString(" ")
