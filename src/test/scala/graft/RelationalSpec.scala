@@ -462,6 +462,42 @@ class RelationalSpec extends SparkSpec {
     // normal row a >3σ "outlier" candidate on the other side
   }
 
+  test("cooccurrence: hand fixture exact, repeated events don't inflate counts") {
+    import spark.implicits._
+    import graft.queries.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    val ev = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"), // user 1 repeats a — must not inflate
+      (2L, "a"), (2L, "b"),
+      (3L, "a"))
+      .map { case (u, t) => (u, t, ts("2024-01-01")) }
+      .toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.cooccurrence(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(("a", "b", 2L, 3L, 2L, 0.666667)))
+  }
+
+  test("deltaRefresh: incremental state+delta equals full recompute; empty and new-key deltas") {
+    import spark.implicits._
+    import graft.queries.Relational
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val cut = to_date(lit("1998-01-01"))
+    val inc = Relational.deltaRefresh(
+      orders.filter(col("o_orderdate") < cut), orders.filter(col("o_orderdate") >= cut),
+      "o_orderpriority", "o_totalprice").collect().map(_.toSeq).toSet
+    val full = Relational.deltaRefresh(
+      orders, orders.limit(0), "o_orderpriority", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(inc === full)
+    // delta introducing a brand-new key lands with base-less state
+    val base = Seq(("x", 10.0), ("x", 20.0)).toDF("k", "v")
+    val delta = Seq(("y", 5.0)).toDF("k", "v")
+    val got = Relational.deltaRefresh(base, delta, "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got === Set(("x", 2L, 30.0, 15.0), ("y", 1L, 5.0, 5.0)))
+  }
+
   test("transitionMatrix: steps conserve (n_events - 1 per active user), rows normalize") {
     import graft.queries.EventAnalytics
     val events = Tables.events(spark, sf("sf0.001"))
