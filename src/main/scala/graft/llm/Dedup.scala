@@ -1389,6 +1389,56 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Label propagation over two complete triangles joined by ONE
+    // bridge edge per document: CC collapses all six nodes to one
+    // cluster, LPA must keep TWO communities — the sub-component
+    // granularity that motivates the operator. The oracle unrolls all
+    // 5 synchronous rounds (count → argmax with the same (c desc,
+    // label asc) tiebreak → coalesce), so every intermediate state is
+    // pinned, not just the fixed point.
+    Q("graph_label_prop", {
+      val iters = 5
+      val rounds = (1 to iters).map { k =>
+        s"""n$k AS (
+           |  SELECT und.a, l${k - 1}.label, COUNT(*) AS c
+           |  FROM und JOIN l${k - 1} ON l${k - 1}.id = und.b
+           |  GROUP BY und.a, l${k - 1}.label),
+           |w$k AS (
+           |  SELECT a, label FROM (
+           |    SELECT a, label,
+           |           ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           |    FROM n$k) t
+           |  WHERE rn = 1),
+           |l$k AS (
+           |  SELECT g.id, COALESCE(w.label, g.id) AS label
+           |  FROM g LEFT JOIN w$k w ON g.id = w.a)""".stripMargin
+      }.mkString(",\n")
+      val offsets = (0 to 5).map(k => s"SELECT doc_id + ${k}000000 AS id FROM documents")
+        .mkString("\n  UNION ALL ")
+      s"""WITH g AS (
+         |  $offsets),
+         |e AS (
+         |  SELECT doc_id + 0 AS a, doc_id + 1000000 AS b FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+         |  UNION ALL SELECT doc_id + 0, doc_id + 2000000 FROM documents
+         |  UNION ALL SELECT doc_id + 3000000, doc_id + 4000000 FROM documents
+         |  UNION ALL SELECT doc_id + 4000000, doc_id + 5000000 FROM documents
+         |  UNION ALL SELECT doc_id + 3000000, doc_id + 5000000 FROM documents
+         |  UNION ALL SELECT doc_id + 2000000, doc_id + 3000000 FROM documents),
+         |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |l0 AS (SELECT id, id AS label FROM g),
+         |$rounds
+         |SELECT id, label FROM l$iters ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      def off(k: Int) = col("doc_id") + (k * 1000000L)
+      val nodes = (0 to 5).map(k => docs.select(off(k).as("id"))).reduce(_ unionByName _)
+      val edges = Seq((0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3))
+        .map { case (i, j) => docs.select(off(i).as("a"), off(j).as("b")) }
+        .reduce(_ unionByName _)
+      labelPropagation(nodes, edges, iters = 5).orderBy(col("id"))
+    },
+
     // Triangle counts + local clustering coefficient over the chain
     // fixture CLOSED for every third document (a–c added when
     // doc_id % 3 = 0): closed chains are triangles (lcc 1 at all three
@@ -1594,6 +1644,42 @@ object Dedup {
       .join(e.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
     (labels, iter)
+  }
+
+  /** Synchronous label propagation (fixed rounds) — community
+    * detection at SUB-component granularity: connected components
+    * answer "is there any dup path at all", LPA answers "which dense
+    * groups actually belong together" (a chain of borderline pairs
+    * bridging two dense clusters stays two communities; CC would
+    * collapse it to one). Deterministic variant: every node adopts
+    * the most frequent label among its neighbors each round, ties
+    * broken by SMALLEST label; isolated nodes keep their own.
+    * Randomized async LPA converges better on adversarial graphs but
+    * is unreplayable; fixed synchronous rounds with a total tiebreak
+    * order make every round's state — not just the fixed point —
+    * oracle-replayable.
+    *
+    * Each round is one keyed join (labels onto edge destinations) +
+    * one (node, label) count aggregate + one arg-max aggregate
+    * (max_by over (count, −label) — an aggregate, NOT a per-node
+    * window sort), with lineage checkpoint-truncated per round. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+      val winners = counts.groupBy(col("a")).agg(
+        max_by(col("label"), struct(col("c"), (-col("label")).as("nl"))).as("label"))
+      labels = nodes.select(col("id"))
+        .join(winners.withColumnRenamed("a", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint()
+    }
+    labels
   }
 
   /** Per-node triangle counts + local clustering coefficient over a

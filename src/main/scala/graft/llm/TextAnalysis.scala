@@ -148,6 +148,42 @@ object TextAnalysis {
     df.withColumn("clean",
       trim(regexp_replace(graft.functions.normalize_nfc(col(textCol)), "\\s+", " ")))
 
+  /** Keyword search (round 9): rank documents against a bag-of-terms
+    * query by Σ tf(t,d)·idf(t) and return the top k. The complement of
+    * `text_tfidf_exact` (which WEIGHTS every (doc, term)) — this is
+    * the retrieval op: query in, ranked documents out.
+    *
+    * idf is INTEGER — idf(t) = (N·10⁶) div df(t) by floor division —
+    * because the sort key of a top-k must be exact: a 6-dp-rounded
+    * libm log score can tie or flip at the k boundary across engines
+    * (the ADVICE r8 drift class, now in an ORDERING where rounding
+    * guards don't compose). Integer scores make rank + tiebreak
+    * (score desc, doc_id asc) bit-deterministic everywhere.
+    *
+    * Scale shape: the term filter lands IN THE SCAN (isin over a tiny
+    * literal list — predicate pushdown), so only matching postings
+    * leave it; tf is one (doc, term) aggregate, df and idf are frames
+    * bounded by |query|, broadcast back; the final top-k is a
+    * TakeOrdered, never a global sort. */
+  def keywordSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "keywordSearch: terms must be non-empty")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(docs.select(count(lit(1)).as("n_docs"))))
+      .select(col("term"), expr("(n_docs * 1000000L) div df").as("idf"))
+    tf.join(broadcast(idf), "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf") * col("idf")).cast("long").as("score"),
+        count(lit(1)).cast("long").as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** FORCAST readability (round 9): grade = 20 − 15·(monosyllabic
     * words ÷ words), plus vowel-group syllable density. FORCAST
     * (Caylor et al., 1973) is the one published readability formula
@@ -221,6 +257,25 @@ object TextAnalysis {
   }
 
   val defs: Seq[Q] = Seq(
+
+    // Keyword search top-20: integer idf makes rank AND tiebreak
+    // exact, so the oracle pins the result LIST, not just a score set.
+    Q("search_keyword_topk",
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  WHERE term IN ('spark', 'window', 'query')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id,
+        |       CAST(SUM(tf.tf * ((n.n_docs * 1000000) // df.df)) AS BIGINT) AS score,
+        |       CAST(COUNT(*) AS BIGINT) AS n_matched
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      keywordSearch(Tables.documents(s, dir), Seq("spark", "window", "query"), 20)
+    },
 
     // FORCAST readability — the sentence-free formula; both regex
     // counts and the affine grade replay exactly in DuckDB.

@@ -591,6 +591,17 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("keywordSearch: integer idf scores and ranking computed by hand") {
+    val d = docs(
+      (1L, "spark spark window"),
+      (2L, "spark"),
+      (3L, "other text entirely"))
+    val got = graft.llm.TextAnalysis.keywordSearch(d, Seq("spark", "window"), 10)
+      .as[(Long, Long, Long)].collect()
+    // N=3: idf(spark) = 3e6 div 2 = 1,500,000; idf(window) = 3,000,000
+    assert(got.toSeq === Seq((1L, 6000000L, 2L), (2L, 1500000L, 1L)))
+  }
+
   test("readability: hand-computed FORCAST grades, vowel-less words count zero syllables") {
     val d = docs(
       (1L, "see banana xyz"), // mono: see, xyz (y is a vowel); banana = 3 groups
@@ -965,6 +976,24 @@ class LlmSpec extends SparkSpec {
     labels.foreach { case (id, lab) =>
       assert(lab <= id && labels(lab) === lab, s"label $lab of $id is not a canonical member")
     }
+  }
+
+  test("labelPropagation: bridged triangles stay TWO communities where CC merges to one") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    val lpa = Dedup.labelPropagation(nodes, edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aLabels = Set(1L, 2L, 3L).map(lpa)
+    val bLabels = Set(4L, 5L, 6L).map(lpa)
+    assert(aLabels.size === 1, s"triangle A split: $lpa")
+    assert(bLabels.size === 1, s"triangle B split: $lpa")
+    assert(aLabels !== bLabels, s"bridge merged the communities: $lpa")
+    // the same graph is ONE connected component
+    val cc = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(cc.size === 1)
   }
 
   test("triangleStats: K4-minus-an-edge hand fixture, exact counts and lcc") {
