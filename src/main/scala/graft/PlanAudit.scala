@@ -140,6 +140,40 @@ object PlanAudit {
         .select((col("p_partkey") + 10000000L).as("typo_id"), col("p_name").as("name"))
       queries.Linkage.fuzzyLink(base, typos, maxDist = 2)
     })
+    // scd2: ONE full-outer join (delta broadcast-ineligible under
+    // full-outer → shuffle) + filtered projections + union
+    audit("scd2Merge", {
+      val orders = Tables.orders(spark, sfDir)
+      val history = orders.select(col("o_orderkey"), col("o_totalprice"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        to_date(lit("2099-12-31")).as("valid_to"), lit(1).as("is_current"))
+      val delta = orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+      queries.Audit.scd2Merge(history, delta, "o_orderkey", Seq("o_totalprice"),
+        to_date(lit("2024-06-01")))
+    })
+    // MAD: 3 keyed aggregates on the group key + 2 broadcasts of the
+    // bounded stats frames
+    audit("madOutliers", queries.Audit.madOutliers(
+      Tables.orders(spark, sfDir), "o_orderpriority", "o_totalprice", 3))
+    // co-occurrence: distinct + user-keyed self-join + bounded-grid aggs
+    audit("cooccurrence",
+      queries.EventAnalytics.cooccurrence(Tables.events(spark, sfDir)))
+    // delta refresh: two partial aggs + one key-wise full-outer join
+    audit("deltaRefresh", {
+      val orders = Tables.orders(spark, sfDir)
+      val cut = to_date(lit("2000-01-01"))
+      queries.Relational.deltaRefresh(
+        orders.filter(col("o_orderdate") < cut),
+        orders.filter(col("o_orderdate") >= cut),
+        "o_orderpriority", "o_totalprice")
+    })
+    // keyword search: scan-level term filter + (doc,term) agg +
+    // broadcast idf + TakeOrdered
+    audit("keywordSearch", llm.TextAnalysis.keywordSearch(
+      docs, Seq("spark", "window", "query"), 20))
+    // (labelPropagation localCheckpoints per round — audited rounds
+    // would show checkpoint scans; per-round shape is join + 2 aggs)
     audit("tableProfile", queries.Audit.tableProfile(docs, Seq(
       "doc_id" -> col("doc_id").cast("string"), "lang" -> col("lang"))))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))

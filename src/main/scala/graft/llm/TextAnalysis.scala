@@ -167,11 +167,16 @@ object TextAnalysis {
     * TakeOrdered, never a global sort. */
   def keywordSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "keywordSearch: terms must be non-empty")
+    // tf feeds both the df aggregate and the score join — checkpoint
+    // so the corpus explode+filter+agg runs once (it's the only
+    // data-sized stage; everything downstream is |query|-bounded or
+    // per-matching-doc)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint()
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
       .crossJoin(broadcast(docs.select(count(lit(1)).as("n_docs"))))
       .select(col("term"), expr("(n_docs * 1000000L) div df").as("idf"))

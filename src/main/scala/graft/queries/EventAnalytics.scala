@@ -122,7 +122,10 @@ object EventAnalytics {
     * threshold sampling (DISCO); that variant belongs with the LSH
     * tiers. All counts are integers; Jaccard is one exact division. */
   def cooccurrence(events: DataFrame): DataFrame = {
+    // ut feeds both self-join sides and the size aggregate — checkpoint
+    // so the distinct runs once, not three times
     val ut = events.select(col("user_id"), col("event_type").as("t")).distinct()
+      .localCheckpoint()
     val pairs = ut.as("a").join(ut.as("b"), "user_id")
       .filter(col("a.t") < col("b.t"))
       .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
