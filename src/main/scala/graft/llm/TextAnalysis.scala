@@ -148,6 +148,35 @@ object TextAnalysis {
     df.withColumn("clean",
       trim(regexp_replace(graft.functions.normalize_nfc(col(textCol)), "\\s+", " ")))
 
+  /** Overlapping chunk windows (round 9): split each document into
+    * fixed-size token windows with 50% stride — the retrieval-corpus
+    * preparation step (embed chunks, not documents: a 10k-token doc
+    * buried in one vector loses every local match; overlap keeps
+    * answers that straddle a boundary findable in at least one chunk).
+    *
+    * Windows: starts 1, 1+S, 1+2S…, n_chunks = 1 + ⌈max(0, len−W)/S⌉
+    * — the final window covers the tail (shorter than W only when the
+    * whole doc is), no position is dropped. Pure map-side explode:
+    * per-doc fan-out is ⌈len/S⌉, bounded by the doc's own token count
+    * — no shuffle, no state, trivially parallel at any scale. */
+  def chunkWindows(docs: DataFrame, window: Int = 32, stride: Int = 16): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"chunkWindows: need 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0),
+          expr(s"(greatest(size(l) - $window, 0) + ${stride - 1}) div $stride"))).as("i"))
+      .select(
+        col("doc_id"),
+        col("i").cast("int").as("chunk_idx"),
+        (lit(1) + col("i") * stride).cast("long").as("start_tok"),
+        size(slice(col("l"), lit(1) + col("i") * stride, lit(window)))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("l"), lit(1) + col("i") * stride, lit(window)))
+          .as("chunk_text"))
+  }
+
   /** Keyword search (round 9): rank documents against a bag-of-terms
     * query by Σ tf(t,d)·idf(t) and return the top k. The complement of
     * `text_tfidf_exact` (which WEIGHTS every (doc, term)) — this is
@@ -262,6 +291,23 @@ object TextAnalysis {
   }
 
   val defs: Seq[Q] = Seq(
+
+    // Chunk windows (W=32, S=16): the slice arithmetic, counts, and
+    // reassembled chunk text all replay exactly in DuckDB's inclusive
+    // list slicing.
+    Q("text_chunk_windows",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (SELECT doc_id, l,
+        |             unnest(range(0, (greatest(len(l) - 32, 0) + 15) // 16 + 1)) AS i
+        |      FROM t)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |       CAST(1 + i * 16 AS BIGINT) AS start_tok,
+        |       CAST(len(l[(1 + i * 16):(i * 16 + 32)]) AS BIGINT) AS n_tokens,
+        |       array_to_string(l[(1 + i * 16):(i * 16 + 32)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      chunkWindows(Tables.documents(s, dir), window = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
 
     // Keyword search top-20: integer idf makes rank AND tiebreak
     // exact, so the oracle pins the result LIST, not just a score set.

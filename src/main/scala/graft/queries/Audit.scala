@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -168,6 +169,39 @@ object Audit {
       .select(outCols.map(col(_)): _*)
     closedHist.select(outCols.map(col(_)): _*)
       .unionByName(carried).unionByName(closed).unionByName(opened)
+  }
+
+  /** Exact equi-depth histogram over a BOUNDED-domain column — the
+    * ANALYZE-style stats a cost-based optimizer and a skew planner
+    * both feed on. Depth buckets (≈ n/B rows each) beat equi-width on
+    * skewed data: width buckets collapse onto the hot range.
+    *
+    * The scale-honest exact form: per-VALUE counts (one keyed
+    * aggregate — the only data-sized stage), then a cumulative sum
+    * over the sorted DISTINCT values assigns each value's run
+    * [cum−cnt, cum) to bucket = start·B div n. The global window runs
+    * over the NDV-sized frame, NOT the data — exact equi-depth is a
+    * prefix-sum over value granularity, so this form is for bounded
+    * domains (quantities, small dims, enums, dates). For high-NDV
+    * columns exact depth requires a global row sort; use
+    * `repartitionByRange`'s sampled boundaries (approximate) or a GK
+    * sketch instead. Ties never straddle buckets (a whole value run
+    * lands in the bucket of its start position) — deterministic, and
+    * why bucket counts are only ≈ n/B. */
+  def equiDepthHistogram(df: DataFrame, valCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"equiDepthHistogram: buckets must be >= 1, got $buckets")
+    val byVal = df.groupBy(col(valCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = byVal.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      .withColumn("bucket", expr(s"((cum - cnt) * $buckets) div n").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        min(col("v")).as("lo"),
+        max(col("v")).as("hi"),
+        sum(col("cnt")).cast("long").as("n_rows"))
   }
 
   /** Robust per-group outlier profile by median absolute deviation —
@@ -514,6 +548,25 @@ object Audit {
       scd2Merge(history, delta, "o_orderkey", Seq("o_totalprice"),
         to_date(lit("2024-06-01")))
         .orderBy(col("o_orderkey"), col("valid_from"))
+    },
+
+    // Equi-depth histogram of lineitem quantity (NDV 50) in 8 depth
+    // buckets: per-value counts, the NDV-sized prefix sum, and the
+    // start·B div n bucket arithmetic all replay exactly — every
+    // bucket boundary and count hash-pinned.
+    Q("stats_histogram_eqdepth",
+      """WITH bv AS (SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |            FROM lineitem GROUP BY 1),
+        |c AS (SELECT v, cnt,
+        |             SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM bv),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+        |SELECT CAST(((cum - cnt) * 8) // n AS INTEGER) AS bucket,
+        |       MIN(v) AS lo, MAX(v) AS hi,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_rows
+        |FROM c CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      equiDepthHistogram(Tables.lineitem(s, dir), "l_quantity", buckets = 8)
+        .orderBy(col("bucket"))
     },
 
     // Robust outlier profile of order totals per priority class:

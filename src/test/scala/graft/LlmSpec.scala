@@ -591,6 +591,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("chunkWindows: tail covered with overlap, short docs one chunk, exact slices") {
+    val d = docs(
+      (1L, (1 to 40).map("t" + _).mkString(" ")), // 40 tokens → 2 windows
+      (2L, "a b c"))                              // shorter than W → 1 window
+    val got = graft.llm.TextAnalysis.chunkWindows(d, window = 32, stride = 16)
+      .as[(Long, Int, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got(1L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0, 1L, 32L), (1, 17L, 24L)))
+    assert(got(1L)(1)._5 === (17 to 40).map("t" + _).mkString(" "))
+    assert(got(2L).map(c => (c._2, c._3, c._4, c._5)).toSeq === Seq((0, 1L, 3L, "a b c")))
+    // every token position is inside at least one window
+    val covered = got(1L).flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered === (1L to 40L).toSet)
+  }
+
   test("keywordSearch: integer idf scores and ranking computed by hand") {
     val d = docs(
       (1L, "spark spark window"),

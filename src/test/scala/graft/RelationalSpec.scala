@@ -462,6 +462,24 @@ class RelationalSpec extends SparkSpec {
     // normal row a >3σ "outlier" candidate on the other side
   }
 
+  test("equiDepthHistogram: skewed hand fixture, value runs never straddle buckets") {
+    import spark.implicits._
+    import graft.queries.Audit
+    // 6 ones, 1 two, 1 three; B=2 → the hot value owns bucket 0 alone
+    val df = (Seq.fill(6)(1.0) ++ Seq(2.0, 3.0)).toDF("v")
+    val got = Audit.equiDepthHistogram(df, "v", buckets = 2).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((0, 1.0, 1.0, 6L), (1, 2.0, 3.0, 2L)))
+    // counts conserve on real data and buckets are contiguous
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val h = Audit.equiDepthHistogram(li, "l_quantity", buckets = 8).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
+    assert(h.map(_._4).sum === li.count())
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"buckets overlap: $a $b")
+    }
+  }
+
   test("cooccurrence: hand fixture exact, repeated events don't inflate counts") {
     import spark.implicits._
     import graft.queries.EventAnalytics
