@@ -130,6 +130,25 @@ object ScaleProbe {
               col("p.vec_id") =!= col("c.vec_id"))
           .count()
 
+        // triangle tier (round 9): work = oriented wedge count
+        // Σ_a C(outdeg(a), 2) on the REAL minhash pair graph — the
+        // join-output volume the O(m^{3/2}) bound caps. Replica
+        // clusters keep per-cluster degree flat, so wedges must track
+        // the replica count linearly.
+        val triEdges = Dedup.nearDupPairs(docs)
+          .select(col("id_a").as("a"), col("id_b").as("b")).localCheckpoint()
+        val undT = triEdges
+          .unionByName(triEdges.select(col("b").as("a"), col("a").as("b")))
+          .filter(col("a") =!= col("b")).distinct()
+        val degT = undT.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+        val wedgeWork = undT
+          .join(degT.select(col("id").as("a"), col("d").as("da")), "a")
+          .join(degT.select(col("id").as("b"), col("d").as("db")), "b")
+          .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+          .groupBy(col("a")).agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).cast("long"))
+          .head().getLong(0)
+
         // declared query shapes, timed (min of reps, same discipline as Bench)
         val qs = Seq("dedup_ngram_jaccard", "dedup_simhash_pairs",
           "dedup_minhash_pairs", "embed_ann_join", "dedup_substring_spans",
@@ -140,18 +159,20 @@ object ScaleProbe {
           Seq(
             "substringStrip" -> timeMin(Dedup.substringStrip(plantedDocs)),
             "stripContaminated" ->
-              timeMin(graft.llm.Curation.stripContaminated(plantedDocs, evPred)))
+              timeMin(graft.llm.Curation.stripContaminated(plantedDocs, evPred)),
+            "triangleStats(pairs)" -> timeMin(Dedup.triangleStats(triEdges)))
         val outRows = qs.map(q => q -> SparkEntry.queries(q)(spark, dir).count()).toMap ++
           Map(
             "substringStrip" -> Dedup.substringStrip(plantedDocs).count(),
             "stripContaminated" ->
-              graft.llm.Curation.stripContaminated(plantedDocs, evPred).count())
+              graft.llm.Curation.stripContaminated(plantedDocs, evPred).count(),
+            "triangleStats(pairs)" -> Dedup.triangleStats(triEdges).count())
 
         println(f"SCALE x$scale%-3d docs=$nDocs%-7d vecs=$nVecs%-7d " +
           f"ngramWork=$ngramWork%-9d simhashWork=$simhashWork%-9d " +
           f"minhashWork=$tokenWork%-9d annWork=$annWork%-7d substrWork=$substrWork%-9d " +
           f"multiprobeWork=$multiprobeWork%-7d stripWork=$stripWork%-9d " +
-          f"decontamWork=$decontamWork%-9d")
+          f"decontamWork=$decontamWork%-9d wedgeWork=$wedgeWork%-9d")
         times.foreach { case (q, t) =>
           println(f"SCALE x$scale%-3d TIME $q%-22s ${t}%8.3f s  rows=${outRows(q)}")
         }

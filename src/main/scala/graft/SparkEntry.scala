@@ -80,5 +80,9 @@ object SparkEntry {
     // cost is the gram-keyed frequency join + doc rollup, the same
     // class as the overlap matrix, fully exercised without planting.
     "text_familiarity",
+    // Round 9: keyword retrieval on the RAW corpus — scan-level term
+    // filter + posting aggregate + broadcast idf + TakeOrdered, the
+    // search shape none of the other headline queries exercise.
+    "search_keyword_topk",
   )
 }

@@ -236,6 +236,46 @@ object StreamingAlerts {
         .orderBy(col("day"))
     },
 
+    // STREAMING rolling 7-day distinct actives (round 9): rolling
+    // DISTINCT has no distributive window form — and in streaming it
+    // has no watermark-friendly form either, until the same
+    // contribute-forward rewrite the batch query uses turns it into a
+    // STATELESS ×7 explode (each activity day contributes to report
+    // days d..d+6) plus ONE keyed dedup, the only stateful operator.
+    // The watermark must cover the contribution span (7 days ≥ the
+    // 6-day forward fan-out), or late contributions would be dropped
+    // as duplicates-expired state. Same oracle as the batch query
+    // `events_rolling_active`; report days restricted to observed
+    // activity days batch-side on the sink table.
+    Q("streaming_rolling_active",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS day
+        |      FROM act, (SELECT unnest(range(0, 7)) AS o)),
+        |d AS (SELECT DISTINCT day FROM act)
+        |SELECT c.day, CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM c JOIN d USING (day)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val name = "stream_wau_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = eventsStream(s, dir)
+        .select(col("ts"), col("user_id"), to_date(col("ts")).as("day"))
+        .select(col("ts"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("o"), col("day"))
+        .select(col("ts"), col("user_id"), date_add(col("day"), col("o")).as("day"))
+        .withWatermark("ts", "7 days")
+        .dropDuplicatesWithinWatermark("user_id", "day")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val observed = Tables.events(s, dir).select(to_date(col("ts")).as("day")).distinct()
+      s.table(name)
+        .join(observed, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("n_active"))
+        .orderBy(col("day"))
+    },
+
     // STREAMING DECONTAMINATION under the batch oracle (round 8): the
     // arrival-time form of `Curation.decontaminate` — train docs
     // arrive as a stream and are probed against the STATIC eval-gram

@@ -345,4 +345,15 @@ class StreamingSpec extends SparkSpec {
         (5L, "e"), (6L, "f")))
     } finally query.stop()
   }
+
+  test("streaming rolling 7-day distinct actives == batch contribute-forward rewrite") {
+    val dir = sf("sf0.001")
+    val streamed = SparkEntry.queries("streaming_rolling_active")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val batch = graft.queries.EventAnalytics
+      .rollingActiveUsers(Tables.events(spark, dir), 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
