@@ -130,17 +130,33 @@ object ScaleProbe {
               col("p.vec_id") =!= col("c.vec_id"))
           .count()
 
-        // triangle tier (round 9): work = oriented wedge count
-        // Σ_a C(outdeg(a), 2) on the REAL minhash pair graph — the
-        // join-output volume the O(m^{3/2}) bound caps. Replica
-        // clusters keep per-cluster degree flat, so wedges must track
-        // the replica count linearly.
-        val triEdges = Dedup.nearDupPairs(docs)
-          .select(col("id_a").as("a"), col("id_b").as("b")).localCheckpoint()
+        // triangle tier (round 9): the O(m^{3/2}) claim is about HUB
+        // SKEW, so the probe graph is adversarial by construction —
+        // the planted LSH pair graph is useless here (its dup pairs
+        // are DISJOINT edges: zero wedges at any scale). Fixture:
+        // 5-cliques over n nodes (the dup-cluster shape, linear
+        // triangle mass) plus ONE hub adjacent to every node (degree
+        // n). The naive per-node neighbor-pair join does Σ C(deg, 2)
+        // ⊇ C(n, 2) — quadratic in n via the hub alone — while the
+        // degree-ordered orientation gives the hub out-degree ~0, so
+        // oriented wedge work must stay ~linear. Both counted below;
+        // the ratio is the measured claim.
+        val nTri = nDocs
+        val cliq = spark.range(nTri).toDF("id")
+          .select(col("id"), (col("id") - col("id") % 5).as("g"))
+        val triEdges = cliq.as("x").join(cliq.as("y"), "g")
+          .filter(col("x.id") < col("y.id"))
+          .select((col("x.id") + 1).as("a"), (col("y.id") + 1).as("b"))
+          .unionByName(spark.range(nTri).toDF("b")
+            .select(lit(0L).as("a"), (col("b") + 1).as("b")))
+          .localCheckpoint()
         val undT = triEdges
           .unionByName(triEdges.select(col("b").as("a"), col("a").as("b")))
-          .filter(col("a") =!= col("b")).distinct()
+          .filter(col("a") =!= col("b")).distinct().localCheckpoint()
         val degT = undT.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+        val naiveWedges = degT
+          .agg(coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).cast("long"))
+          .head().getLong(0)
         val wedgeWork = undT
           .join(degT.select(col("id").as("a"), col("d").as("da")), "a")
           .join(degT.select(col("id").as("b"), col("d").as("db")), "b")
@@ -172,7 +188,8 @@ object ScaleProbe {
           f"ngramWork=$ngramWork%-9d simhashWork=$simhashWork%-9d " +
           f"minhashWork=$tokenWork%-9d annWork=$annWork%-7d substrWork=$substrWork%-9d " +
           f"multiprobeWork=$multiprobeWork%-7d stripWork=$stripWork%-9d " +
-          f"decontamWork=$decontamWork%-9d wedgeWork=$wedgeWork%-9d")
+          f"decontamWork=$decontamWork%-9d naiveWedges=$naiveWedges%-11d " +
+          f"wedgeWork=$wedgeWork%-9d")
         times.foreach { case (q, t) =>
           println(f"SCALE x$scale%-3d TIME $q%-22s ${t}%8.3f s  rows=${outRows(q)}")
         }

@@ -154,4 +154,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(1L) > 0L, "unicode text must segment")
     assert(out(2L) === -1L, "null text must yield a null struct, not a crash")
   }
+
+  test("round-9 operators survive degenerate inputs") {
+    // triangles on an empty edge set and on a single edge
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.llm.Dedup.triangleStats(noEdges).count() === 0L)
+    val oneEdge = Seq((1L, 2L)).toDF("a", "b")
+    assert(graft.llm.Dedup.triangleStats(oneEdge).count() === 0L,
+      "degree-1 nodes are excluded (lcc undefined)")
+    // fuzzyLink at maxDist = 0 degenerates to exact match on blocked names
+    val l = Seq((1L, "alpha beta")).toDF("orig_id", "name")
+    val r = Seq((2L, "alpha beta"), (3L, "alpha betX")).toDF("typo_id", "name")
+    val exact = graft.queries.Linkage.fuzzyLink(l, r, maxDist = 0).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getInt(2)))
+    assert(exact.toSeq === Seq((1L, 2L, 0)))
+    // chunk windows: single-token doc → exactly one 1-token window
+    val one = graft.llm.TextAnalysis.chunkWindows(
+      Seq((1L, "solo")).toDF("doc_id", "text"), window = 32, stride = 16).collect()
+    assert(one.map(row => (row.getInt(1), row.getLong(3), row.getString(4))).toSeq
+      === Seq((0, 1L, "solo")))
+    // equi-depth histogram with more buckets than NDV: one bucket per value
+    val tiny = Seq(1.0, 2.0).toDF("v")
+    val h = graft.queries.Audit.equiDepthHistogram(tiny, "v", buckets = 8).collect()
+    assert(h.length === 2 && h.map(_.getLong(3)).sum === 2L)
+    // label propagation with zero edges: every node keeps its own label
+    val lone = Seq(7L, 8L).toDF("id")
+    val lp = graft.llm.Dedup.labelPropagation(lone, noEdges, iters = 2).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(lp === Map(7L -> 7L, 8L -> 8L))
+  }
 }
