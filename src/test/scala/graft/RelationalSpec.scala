@@ -78,10 +78,14 @@ class RelationalSpec extends SparkSpec {
     // totals/max/count frame back over the data — the same 1-row
     // broadcast class (the alternative is a window over the whole
     // frame, which is the scale anti-pattern these avoid).
+    // search_keyword_topk crosses the |query|-bounded df frame with
+    // the broadcast 1-row global doc count, and stats_histogram_eqdepth
+    // crosses the NDV-bounded value frame with the broadcast 1-row
+    // total — the same 1-row class as text_tfidf_exact.
     val excluded = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk",
       "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact",
       "audit_key_skew", "curation_mixture_temperature",
-      "curation_negative_pairs")
+      "curation_negative_pairs", "search_keyword_topk", "stats_histogram_eqdepth")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
