@@ -108,6 +108,37 @@ object EventAnalytics {
       .agg(count(lit(1)).cast("long").as("n_active"))
   }
 
+  /** Last-touch attribution: for every conversion event, the most
+    * recent PRECEDING touch event of the same user, plus the
+    * touch→conversion latency — the question every funnel analysis
+    * ends at ("which view gets credit for this purchase").
+    *
+    * The as-of-join-within-one-table shape: ONE user-keyed window
+    * (the only data-sized exchange) with `last(..., ignoreNulls)`
+    * over ROWS UNBOUNDED PRECEDING..1 PRECEDING — running "latest
+    * touch so far" state, O(1) per row, no self-join, no per-user
+    * explode. (event_id breaks ts ties ⇒ deterministic.) Latency is
+    * exact integer µs (unix_micros both engines truncate the nano
+    * source identically); unattributed conversions carry −1. */
+  def lastTouchAttribution(
+      events: DataFrame, touch: String = "view", conv: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("attr_event",
+        last(when(col("event_type") === touch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("attr_ts",
+        last(when(col("event_type") === touch, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === conv)
+      .select(
+        col("event_id").as("conv_id"),
+        col("user_id"),
+        coalesce(col("attr_event"), lit(-1L)).as("attr_event"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("attr_ts")), lit(-1L))
+          .as("latency_us"))
+  }
+
   /** Bipartite co-occurrence projection: project the (user, item)
     * graph onto items, scoring each item pair by shared users and
     * Jaccard over user sets — the item-item similarity at the core of
@@ -210,6 +241,27 @@ object EventAnalytics {
         |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
       transitionMatrix(Tables.events(s, dir))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Last-touch attribution: the IGNORE NULLS running-state window
+    // replays identically (same (ts, event_id) order, same frame);
+    // every credit assignment and integer-µs latency hash-pinned.
+    Q("events_attribution",
+      """WITH w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_event,
+        |         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_ts
+        |  FROM events)
+        |SELECT event_id AS conv_id, user_id,
+        |       COALESCE(attr_event, -1) AS attr_event,
+        |       COALESCE(epoch_us(ts) - epoch_us(attr_ts), -1) AS latency_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY conv_id""".stripMargin) { (s, dir) =>
+      lastTouchAttribution(Tables.events(s, dir)).orderBy(col("conv_id"))
     },
 
     // Item co-occurrence projection: shared-user counts, set sizes,

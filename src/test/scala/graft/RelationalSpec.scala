@@ -484,6 +484,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("lastTouchAttribution: latest view wins, pre-view purchases unattributed, exact latency") {
+    import spark.implicits._
+    import graft.queries.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase"), // before any view → -1
+      (2L, 1L, ts("2024-01-01 11:00:00"), "view"),
+      (3L, 1L, ts("2024-01-01 11:30:00"), "click"),
+      (4L, 1L, ts("2024-01-01 12:00:00"), "view"),     // latest touch
+      (5L, 1L, ts("2024-01-01 12:00:05"), "purchase"), // → view 4, 5 s
+      (6L, 2L, ts("2024-01-01 09:00:00"), "view"),
+      (7L, 2L, ts("2024-01-01 09:00:00"), "purchase")) // same-ts view, SMALLER id → credited
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.lastTouchAttribution(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, -1L, -1L),
+      (5L, 4L, 5000000L),
+      (7L, 6L, 0L)))
+  }
+
   test("cooccurrence: hand fixture exact, repeated events don't inflate counts") {
     import spark.implicits._
     import graft.queries.EventAnalytics
