@@ -65,6 +65,35 @@ object Linkage {
       .select(col("orig_id"), col("typo_id"), col("dist").cast("int").as("dist"))
   }
 
+  /** End-to-end entity resolution: fuzzy pairwise links → transitive
+    * closure (connected components) → one GOLDEN RECORD per entity
+    * cluster — the full master-data pipeline, composed from the tiers
+    * this library already has (pairs alone aren't an answer: a–b and
+    * b–c links must resolve to ONE master even with no a–c link).
+    * Golden rule: the minimum-id member is the master and contributes
+    * the surviving name (`min_by` — an aggregate, deterministic since
+    * ids are unique). Unlinked records resolve to singleton entities,
+    * which IS the correct output, not a miss.
+    *
+    * Scale: links come from the blocked+verified join (never
+    * all-pairs), closure is the O(diameter)-round min-label
+    * propagation (entity clusters are shallow — typo stars, not
+    * chains), and the golden fold is one keyed aggregate. */
+  def entityResolution(left: DataFrame, right: DataFrame, maxDist: Int): DataFrame = {
+    val links = fuzzyLink(left, right, maxDist)
+    val nodes = left.select(col("orig_id").as("id"), col("name"))
+      .unionByName(right.select(col("typo_id").as("id"), col("name")))
+      .localCheckpoint()
+    val labels = graft.llm.Dedup.connectedComponents(
+      nodes.select(col("id")),
+      links.select(col("orig_id").as("a"), col("typo_id").as("b")))
+    nodes.join(labels, "id")
+      .groupBy(col("label").as("golden_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_members"),
+        min_by(col("name"), col("id")).as("golden_name"))
+  }
+
   /** Declared fixture: a deterministic typo table planted from `part`
     * — every 20th part gets a tail substitution (caught by the prefix
     * pass), every 20th+10 a head substitution (caught ONLY by the
@@ -116,6 +145,58 @@ object Linkage {
         |ORDER BY orig_id, typo_id""".stripMargin) { (s, dir) =>
       val (base, typos) = typoFixture(Tables.part(s, dir))
       fuzzyLink(base, typos, maxDist = 2).orderBy(col("orig_id"), col("typo_id"))
+    },
+
+    // Entity resolution end-to-end on the same planted fixture: the
+    // oracle replays the blocking + levenshtein links, closes them
+    // with a recursive reachability CTE, and folds each cluster to
+    // its min-id golden record — every entity's id, size, and
+    // surviving name hash-pinned. (Shared catalog names make REAL
+    // multi-record entities here, not just orig↔typo pairs.)
+    Q("link_entity_golden",
+      """WITH RECURSIVE
+        |base AS (SELECT p_partkey AS orig_id, p_name AS name FROM part),
+        |typo AS (
+        |  SELECT p_partkey + 10000000 AS typo_id,
+        |         CASE WHEN p_partkey % 20 = 0
+        |              THEN substring(p_name, 1, length(p_name) - 2) || 'q' ||
+        |                   substring(p_name, length(p_name), 1)
+        |              ELSE substring(p_name, 1, 1) || 'q' || substring(p_name, 3)
+        |         END AS name
+        |  FROM part WHERE p_partkey % 20 IN (0, 10)),
+        |kb AS (
+        |  SELECT orig_id, name AS ln, substring(name, 1, 4) AS k FROM base
+        |  UNION ALL
+        |  SELECT orig_id, name, substring(name, length(name) - 3, 4) FROM base),
+        |kt AS (
+        |  SELECT typo_id, name AS rn, substring(name, 1, 4) AS k FROM typo
+        |  UNION ALL
+        |  SELECT typo_id, name, substring(name, length(name) - 3, 4) FROM typo),
+        |cand AS (
+        |  SELECT DISTINCT orig_id, typo_id, ln, rn
+        |  FROM kb JOIN kt USING (k)),
+        |links AS (
+        |  SELECT orig_id AS a, typo_id AS b FROM cand
+        |  WHERE levenshtein(ln, rn) <= 2),
+        |nodes AS (
+        |  SELECT orig_id AS id, name FROM base
+        |  UNION ALL SELECT typo_id, name FROM typo),
+        |und AS (SELECT a, b FROM links UNION SELECT b, a FROM links),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a AND r.a <> u.b),
+        |lab AS (
+        |  SELECT n.id, LEAST(n.id, COALESCE(MIN(r.b), n.id)) AS cluster_id
+        |  FROM nodes n LEFT JOIN reach r ON r.a = n.id
+        |  GROUP BY n.id)
+        |SELECT l.cluster_id AS golden_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       arg_min(n.name, n.id) AS golden_name
+        |FROM lab l JOIN nodes n ON n.id = l.id
+        |GROUP BY l.cluster_id ORDER BY golden_id""".stripMargin) { (s, dir) =>
+      val (base, typos) = typoFixture(Tables.part(s, dir))
+      entityResolution(base, typos, maxDist = 2).orderBy(col("golden_id"))
     },
   )
 }

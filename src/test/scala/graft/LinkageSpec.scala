@@ -46,6 +46,20 @@ class LinkageSpec extends SparkSpec {
     assert(!suffixOnly.contains((1L, 101L)))
   }
 
+  test("entityResolution: transitive links fold to ONE golden record; singletons survive") {
+    val left = Seq(
+      (1L, "acme corp x"),
+      (3L, "acme corp x"),   // same name as 1 — bridged via the shared typo
+      (5L, "unrelated name")).toDF("orig_id", "name")
+    val right = Seq((101L, "acme corp q")).toDF("typo_id", "name")
+    val got = Linkage.entityResolution(left, right, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // {1, 3, 101} resolve to master 1 (its name survives); 5 is a singleton entity
+    assert(got === Set(
+      (1L, 3L, "acme corp x"),
+      (5L, 1L, "unrelated name")))
+  }
+
   test("declared fixture: every planted typo links back to its origin") {
     val parts = Tables.part(spark, sf("sf0.001"))
     val q = SparkEntry.queries("link_fuzzy_parts")(spark, sf("sf0.001"))
