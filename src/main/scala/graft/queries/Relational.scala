@@ -34,6 +34,37 @@ object Relational {
     * double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
 
+  /** Market-basket pair mining with lift — "frequently bought
+    * together" over the order↔part bipartite graph. The co-occurrence
+    * sibling of `EventAnalytics.cooccurrence`, but bounded by the
+    * OTHER side: there the item vocabulary capped per-user fan-out;
+    * here the BASKET SIZE caps per-order fan-out (C(|basket|, 2),
+    * ≤ 78 pairs at the observed max of 13 items) no matter how many
+    * orders exist — the standard a-priori-style pair-counting shape.
+    * Lift = P(a,b)/(P(a)P(b)) as exact integer products into one
+    * correctly-rounded division. Final top-k is a TakeOrdered with a
+    * full (n_both desc, part_a, part_b) tiebreak — deterministic at
+    * the k boundary. */
+  def basketPairs(lineitem: DataFrame, topK: Int): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint()
+    val sizes = op.groupBy(col("p")).agg(count(lit(1)).cast("long").as("n"))
+    val pairs = op.as("x").join(op.as("y"), "o")
+      .filter(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("part_a"), col("y.p").as("part_b"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("p").as("part_a"), col("n").as("n_a"))), "part_a")
+      .join(broadcast(sizes.select(col("p").as("part_b"), col("n").as("n_b"))), "part_b")
+      .crossJoin(broadcast(op.agg(countDistinct(col("o")).as("n_orders"))))
+      .select(
+        col("part_a"), col("part_b"), col("n_both"), col("n_a"), col("n_b"),
+        (round(col("n_both") * col("n_orders") * lit(1.0) /
+          (col("n_a") * col("n_b")), 6) + lit(0.0)).as("lift"))
+      .orderBy(col("n_both").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
   /** Incremental (delta) refresh of an algebraic aggregate — the
     * materialized-view maintenance core: the base's aggregate STATE
     * (count + decimal sum per key) combines with the delta's partial
@@ -103,6 +134,22 @@ object Relational {
         countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("l_partkey")).as("n_parts"),
         dsum(col("l_quantity")).as("total_qty"))
+    },
+
+    // Market-basket pairs: integer pair/marginal counts and the lift
+    // ratio replay exactly; the LIST is pinned (full tiebreak).
+    Q("basket_pairs_topk",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pr AS (SELECT x.p AS part_a, y.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_both
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |s AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY p),
+        |t AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op)
+        |SELECT part_a, part_b, n_both, sa.n AS n_a, sb.n AS n_b,
+        |       ROUND(n_both * n_orders * 1.0 / (sa.n * sb.n), 6) + 0 AS lift
+        |FROM pr JOIN s sa ON pr.part_a = sa.p JOIN s sb ON pr.part_b = sb.p
+        |CROSS JOIN t
+        |ORDER BY n_both DESC, part_a, part_b LIMIT 25""".stripMargin) { (s, dir) =>
+      basketPairs(Tables.lineitem(s, dir), topK = 25)
     },
 
     // Incremental view maintenance: the engine combines pre-2000

@@ -85,7 +85,8 @@ class RelationalSpec extends SparkSpec {
     val excluded = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk",
       "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact",
       "audit_key_skew", "curation_mixture_temperature",
-      "curation_negative_pairs", "search_keyword_topk", "stats_histogram_eqdepth")
+      "curation_negative_pairs", "search_keyword_topk", "stats_histogram_eqdepth",
+      "basket_pairs_topk")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
@@ -519,6 +520,22 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5)))
     assert(got.toSeq === Seq(("a", "b", 2L, 3L, 2L, 0.666667)))
+  }
+
+  test("basketPairs: hand-computed pair counts and lift; duplicate lines don't inflate") {
+    import spark.implicits._
+    import graft.queries.Relational
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 10L), // dup line of part 10 in order 1
+      (2L, 10L), (2L, 20L),
+      (3L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Relational.basketPairs(li, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (10L, 20L, 2L, 1.0),   // 2·3/(3·2)
+      (10L, 30L, 1L, 1.0),   // 1·3/(3·1)
+      (20L, 30L, 1L, 1.5)))  // 1·3/(2·1)
   }
 
   test("deltaRefresh: incremental state+delta equals full recompute; empty and new-key deltas") {
