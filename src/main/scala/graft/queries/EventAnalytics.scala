@@ -171,6 +171,24 @@ object EventAnalytics {
           (col("n_a") + col("n_b") - col("co_users")), 6) + lit(0.0)).as("jaccard"))
   }
 
+  /** Shared by the batch query and `streaming_attribution` (the
+    * per-user state machine must produce the identical table). */
+  private[graft] val attributionOracleSql: String =
+    """WITH w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |         LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_event,
+      |         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_ts
+      |  FROM events)
+      |SELECT event_id AS conv_id, user_id,
+      |       COALESCE(attr_event, -1) AS attr_event,
+      |       COALESCE(epoch_us(ts) - epoch_us(attr_ts), -1) AS latency_us
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY conv_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
 
     // Retention matrix over the full 30-day window. The oracle
@@ -246,21 +264,7 @@ object EventAnalytics {
     // Last-touch attribution: the IGNORE NULLS running-state window
     // replays identically (same (ts, event_id) order, same frame);
     // every credit assignment and integer-µs latency hash-pinned.
-    Q("events_attribution",
-      """WITH w AS (
-        |  SELECT event_id, user_id, ts, event_type,
-        |         LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_event,
-        |         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_ts
-        |  FROM events)
-        |SELECT event_id AS conv_id, user_id,
-        |       COALESCE(attr_event, -1) AS attr_event,
-        |       COALESCE(epoch_us(ts) - epoch_us(attr_ts), -1) AS latency_us
-        |FROM w WHERE event_type = 'purchase'
-        |ORDER BY conv_id""".stripMargin) { (s, dir) =>
+    Q("events_attribution", attributionOracleSql) { (s, dir) =>
       lastTouchAttribution(Tables.events(s, dir)).orderBy(col("conv_id"))
     },
 

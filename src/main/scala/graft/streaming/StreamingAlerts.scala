@@ -276,6 +276,21 @@ object StreamingAlerts {
         .orderBy(col("day"))
     },
 
+    // STREAMING last-touch attribution (round 9) under the SAME
+    // oracle as the batch window query: the per-user 2-long state
+    // machine replayed through the real engine must hash-match the
+    // batch IGNORE NULLS window — the online serving form of the
+    // funnel-credit question.
+    Q("streaming_attribution",
+      graft.queries.EventAnalytics.attributionOracleSql) { (s, dir) =>
+      val name = "stream_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streamingAttribution(s, eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("conv_id"))
+    },
+
     // STREAMING DECONTAMINATION under the batch oracle (round 8): the
     // arrival-time form of `Curation.decontaminate` — train docs
     // arrive as a stream and are probed against the STATIC eval-gram
@@ -495,6 +510,52 @@ object StreamingAlerts {
             }
           }
           if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** One attributed conversion (streaming output row). */
+  final case class AttrOut(
+      conv_id: Long, user_id: Long, attr_event: Long, latency_us: Long)
+
+  /** Per-user running state: the latest touch seen so far (−1 none). */
+  final case class TouchState(lastTouchId: Long, lastTouchTs: Long)
+
+  /** Streaming last-touch attribution — the batch IGNORE NULLS window
+    * (`EventAnalytics.lastTouchAttribution`) re-expressed as the
+    * per-user state machine it secretly is: keep the latest touch
+    * (2 longs of state — bounded, no timeline buffering), emit an
+    * attributed row the moment a conversion arrives. This is the
+    * ONLINE form: the batch window needs the day's events at rest;
+    * this one answers during ingestion with O(1) state per user.
+    * Within a trigger, rows replay in the batch window's (ts,
+    * event_id) order, so a same-timestamp touch with a smaller id
+    * still gets credit — the exact frame-boundary semantics of ROWS
+    * … 1 PRECEDING. */
+  def streamingAttribution(
+      spark: SparkSession, events: DataFrame,
+      touch: String = "view", conv: String = "purchase"): Dataset[AttrOut] = {
+    import spark.implicits._
+    val base = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, AttrOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[TouchState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(TouchState(-1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
+          sorted.foreach { case (_, id, ts, typ) =>
+            if (typ == conv) {
+              out += AttrOut(id, userId, st.lastTouchId,
+                if (st.lastTouchId == -1L) -1L else ts - st.lastTouchTs)
+            }
+            if (typ == touch) st = TouchState(id, ts)
+          }
+          state.update(st)
           out.iterator
       }
   }

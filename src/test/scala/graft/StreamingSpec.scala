@@ -346,6 +346,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming attribution: state survives the micro-batch boundary, matches batch window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val streamed = StreamingAlerts.streamingAttribution(
+      spark, mem.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+    val name = "attr_test_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: the touch; batch 2: the conversion — credit must
+      // cross the boundary through state
+      mem.addData((1L, 1L, ts("2024-01-01 10:00:00"), "view"))
+      query.processAllAvailable()
+      mem.addData(
+        (2L, 1L, ts("2024-01-01 10:00:07"), "purchase"),
+        (3L, 2L, ts("2024-01-01 11:00:00"), "purchase")) // user 2: no touch ever
+      query.processAllAvailable()
+      val got = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set((2L, 1L, 7000000L), (3L, -1L, -1L)))
+    } finally query.stop()
+  }
+
   test("streaming rolling 7-day distinct actives == batch contribute-forward rewrite") {
     val dir = sf("sf0.001")
     val streamed = SparkEntry.queries("streaming_rolling_active")(spark, dir)
