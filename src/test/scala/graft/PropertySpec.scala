@@ -302,4 +302,94 @@ class PropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  /** A random small undirected graph as an edge list over n nodes. */
+  private val graphGen: Gen[(Int, List[(Long, Long)])] =
+    for {
+      n <- Gen.choose(3, 12)
+      density <- Gen.choose(0.15, 0.7)
+      flags <- Gen.listOfN(n * (n - 1) / 2, Gen.prob(0.4))
+    } yield {
+      val allPairs = for {
+        a <- 0 until n; b <- a + 1 until n
+      } yield (a.toLong, b.toLong)
+      (n, allPairs.toList.zip(flags).collect { case (e, true) => e })
+    }
+
+  test("property: degree-ordered triangle counts equal brute-force enumeration") {
+    check(Prop.forAll(graphGen) { case (n, edges) =>
+      val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+      // brute force: every ordered triple once
+      val triples = for {
+        x <- 0L until n.toLong; y <- x + 1 until n.toLong; z <- y + 1 until n.toLong
+        if adj(x)(y) && adj(y)(z) && adj(x)(z)
+      } yield Seq(x, y, z)
+      val expected = (0L until n.toLong).map { v =>
+        v -> triples.count(_.contains(v)).toLong
+      }.filter { case (v, _) => adj(v).size >= 2 }.toMap
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else graft.llm.Dedup.triangleStats(edges.toDF("a", "b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      got == expected
+    })
+  }
+
+  test("property: blocked fuzzyLink equals brute-force links that share a block key") {
+    val nameGen = Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val tableGen = for {
+      nl <- Gen.choose(1, 6)
+      nr <- Gen.choose(1, 6)
+      ln <- Gen.listOfN(nl, nameGen)
+      rn <- Gen.listOfN(nr, nameGen)
+    } yield (ln.zipWithIndex.map { case (s, i) => (i.toLong, s) },
+      rn.zipWithIndex.map { case (s, i) => (i.toLong + 100, s) })
+    check(Prop.forAll(tableGen) { case (ls, rs) =>
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      def keys(s: String) = Set(s.take(4), s.takeRight(4))
+      val expected = (for {
+        (li, lname) <- ls; (ri, rname) <- rs
+        if keys(lname).intersect(keys(rname)).nonEmpty && lev(lname, rname) <= 2
+      } yield (li, ri, lev(lname, rname))).toSet
+      val got = graft.queries.Linkage.fuzzyLink(
+        ls.toDF("orig_id", "name"), rs.toDF("typo_id", "name"), maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      got == expected
+    })
+  }
+
+  test("property: equi-depth histogram conserves counts and respects value-run granularity") {
+    val valsGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 6).map(_.toDouble)))
+    check(Prop.forAll(valsGen, Gen.choose(1, 5)) { (vs, b) =>
+      val h = graft.queries.Audit.equiDepthHistogram(vs.toDF("v"), "v", b)
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      val conserve = h.map(_._4).sum == vs.length
+      val ordered = h.sortBy(_._1).sliding(2).forall {
+        case Array(x, y) => x._3 < y._2
+        case _ => true
+      }
+      // reference: bucket of each distinct value from its sorted start rank
+      val counts = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sortedVals = counts.keys.toSeq.sorted
+      val starts = sortedVals.scanLeft(0L)((acc, v) => acc + counts(v))
+      val expected = sortedVals.zip(starts).map { case (v, start) =>
+        v -> ((start * b) / vs.length).toInt
+      }.toMap
+      val assignment = h.forall { case (bucket, lo, hi, _) =>
+        sortedVals.filter(v => v >= lo && v <= hi)
+          .forall(v => expected(v) == bucket)
+      }
+      conserve && ordered && assignment
+    })
+  }
 }
