@@ -177,6 +177,38 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Mixed-language detection (round 9): language-ID per CHUNK, then
+    * per-doc agreement — the CCNet-class curation signal a doc-level
+    * detector can't produce (a half-English half-German page averages
+    * to a confident wrong answer; chunk votes expose the mix).
+    * Composes two existing tiers: `chunkWindows` (overlapping token
+    * windows) and the stopword language scorer of `text_lang_id`.
+    *
+    * The majority language needs a deterministic argmax with a tie
+    * rule both engines share; DuckDB 1.0's `arg_min` takes no struct
+    * key, so the tiebreak is ENCODED: min over
+    * `lpad(999999999 − cnt) || lang` is "max count, then smallest
+    * language", and the language is substring'd back out. Consistency
+    * = majority votes ÷ total votes, one exact division. */
+  def langConsistency(docs: DataFrame, window: Int = 32, stride: Int = 16): DataFrame = {
+    val chunks = chunkWindows(docs, window, stride)
+      .select(col("doc_id"), col("chunk_text").as("text"))
+    val votes = withDetectedLang(chunks)
+      .groupBy(col("doc_id"), col("detected_lang").as("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    votes
+      .withColumn("key",
+        concat(lpad((lit(999999999L) - col("cnt")).cast("string"), 10, "0"), col("lang")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_chunks"),
+        count(lit(1)).cast("long").as("n_langs"),
+        substring(min(col("key")), 11, 10).as("top_lang"),
+        max(col("cnt")).cast("long").as("top_n"))
+      .withColumn("consistency",
+        round(col("top_n") * lit(1.0) / col("n_chunks"), 6) + lit(0.0))
+  }
+
   /** Keyword search (round 9): rank documents against a bag-of-terms
     * query by Σ tf(t,d)·idf(t) and return the top k. The complement of
     * `text_tfidf_exact` (which WEIGHTS every (doc, term)) — this is
@@ -291,6 +323,35 @@ object TextAnalysis {
   }
 
   val defs: Seq[Q] = Seq(
+
+    // Mixed-language consistency: chunk slicing, per-chunk stopword
+    // scores, the encoded-argmax majority, and the agreement ratio
+    // all replay exactly.
+    Q("text_lang_consistency",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |c AS (SELECT doc_id, l,
+         |             unnest(range(0, (greatest(len(l) - 32, 0) + 15) // 16 + 1)) AS i
+         |      FROM t),
+         |ch AS (SELECT doc_id,
+         |              array_to_string(l[(1 + i * 16):(i * 16 + 32)], ' ') AS text
+         |       FROM c),
+         |s AS (SELECT doc_id, $langScoresSql FROM ch),
+         |b AS (SELECT *, $langBestSql AS best FROM s),
+         |d AS (SELECT doc_id, $langCaseSql AS lang FROM b),
+         |g AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM d GROUP BY 1, 2),
+         |k AS (SELECT doc_id, lang, cnt,
+         |             lpad(CAST(999999999 - cnt AS VARCHAR), 10, '0') || lang AS key
+         |      FROM g)
+         |SELECT doc_id,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+         |       CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |       substring(MIN(key), 11, 10) AS top_lang,
+         |       CAST(MAX(cnt) AS BIGINT) AS top_n,
+         |       ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) + 0 AS consistency
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      langConsistency(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
 
     // Chunk windows (W=32, S=16): the slice arithmetic, counts, and
     // reassembled chunk text all replay exactly in DuckDB's inclusive

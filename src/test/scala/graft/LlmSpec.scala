@@ -591,6 +591,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("langConsistency: planted half-English half-German doc splits its chunk votes") {
+    // 32 English-stopword-heavy tokens then 32 German — with W=32/S=16
+    // the pure windows vote en and de, the straddling one ties (en
+    // alphabetically first wins the deterministic tiebreak)
+    val en = Seq.fill(8)("the a of and").mkString(" ")    // 32 tokens
+    val de = Seq.fill(8)("der die das und").mkString(" ") // 32 tokens
+    val d = docs(
+      (1L, en + " " + de),
+      (2L, en)) // pure doc: every chunk votes en
+    val got = graft.llm.TextAnalysis.langConsistency(d)
+      .select("doc_id", "n_chunks", "n_langs", "top_lang", "consistency")
+      .as[(Long, Long, Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (nc, nl, top, cons) = got(1L)
+    assert(nl >= 2L, s"mixed doc must expose >= 2 languages, got ${got(1L)}")
+    assert(cons < 1.0)
+    assert(got(2L)._2 === 1L && got(2L)._3 === "en" && got(2L)._4 === 1.0,
+      s"pure doc: ${got(2L)}")
+  }
+
   test("chunkWindows: tail covered with overlap, short docs one chunk, exact slices") {
     val d = docs(
       (1L, (1 to 40).map("t" + _).mkString(" ")), // 40 tokens → 2 windows
