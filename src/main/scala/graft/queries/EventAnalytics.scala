@@ -268,6 +268,48 @@ object EventAnalytics {
       lastTouchAttribution(Tables.events(s, dir)).orderBy(col("conv_id"))
     },
 
+    // Conversion-latency SLO report: per conversion day, attributed
+    // share and exact p50/p90 touch→conversion latency — attribution
+    // composed with the discrete-quantile aggregate (actual data
+    // elements, so both engines pick identical values).
+    Q("events_attribution_latency",
+      """WITH w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_ts
+        |  FROM events),
+        |conv AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         epoch_us(ts) - epoch_us(attr_ts) AS lat
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_conv,
+        |       CAST(COUNT(lat) AS BIGINT) AS n_attributed,
+        |       ROUND(quantile_disc(CAST(lat AS DOUBLE), 0.5), 6) + 0 AS p50_us,
+        |       ROUND(quantile_disc(CAST(lat AS DOUBLE), 0.9), 6) + 0 AS p90_us
+        |FROM conv GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("attr_ts",
+          last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
+            .over(byUser))
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"),
+          (unix_micros(col("ts")) - unix_micros(col("attr_ts"))).as("lat"))
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).cast("long").as("n_conv"),
+          count(col("lat")).cast("long").as("n_attributed"),
+          (round(graft.functions.exact_quantile(col("lat").cast("double"), 0.5), 6)
+            + lit(0.0)).as("p50_us"),
+          (round(graft.functions.exact_quantile(col("lat").cast("double"), 0.9), 6)
+            + lit(0.0)).as("p90_us"))
+        .orderBy(col("day"))
+    },
+
     // Item co-occurrence projection: shared-user counts, set sizes,
     // and Jaccard all replay exactly (integer counts + one division).
     Q("events_cooccurrence",
