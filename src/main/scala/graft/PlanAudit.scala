@@ -174,6 +174,17 @@ object PlanAudit {
       docs, Seq("spark", "window", "query"), 20))
     // (labelPropagation localCheckpoints per round — audited rounds
     // would show checkpoint scans; per-round shape is join + 2 aggs)
+    // basket pairs: distinct + order-keyed self-join + pair agg +
+    // broadcast marginals + TakeOrdered
+    audit("basketPairs", queries.Relational.basketPairs(
+      Tables.lineitem(spark, sfDir), topK = 25))
+    // attribution: ONE user-keyed window exchange, then a filter
+    audit("lastTouchAttribution",
+      queries.EventAnalytics.lastTouchAttribution(Tables.events(spark, sfDir)))
+    // lang consistency: map-side chunk explode + scores, one
+    // (doc, lang) agg, one doc agg
+    audit("langConsistency",
+      llm.TextAnalysis.langConsistency(Tables.documents(spark, sfDir)))
     audit("tableProfile", queries.Audit.tableProfile(docs, Seq(
       "doc_id" -> col("doc_id").cast("string"), "lang" -> col("lang"))))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))

@@ -286,8 +286,8 @@ object EventAnalytics {
         |SELECT day,
         |       CAST(COUNT(*) AS BIGINT) AS n_conv,
         |       CAST(COUNT(lat) AS BIGINT) AS n_attributed,
-        |       ROUND(quantile_disc(CAST(lat AS DOUBLE), 0.5), 6) + 0 AS p50_us,
-        |       ROUND(quantile_disc(CAST(lat AS DOUBLE), 0.9), 6) + 0 AS p90_us
+        |       CAST(COALESCE(quantile_disc(lat, 0.5), -1) AS BIGINT) AS p50_us,
+        |       CAST(COALESCE(quantile_disc(lat, 0.9), -1) AS BIGINT) AS p90_us
         |FROM conv GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -303,10 +303,17 @@ object EventAnalytics {
         .agg(
           count(lit(1)).cast("long").as("n_conv"),
           count(col("lat")).cast("long").as("n_attributed"),
-          (round(graft.functions.exact_quantile(col("lat").cast("double"), 0.5), 6)
-            + lit(0.0)).as("p50_us"),
-          (round(graft.functions.exact_quantile(col("lat").cast("double"), 0.9), 6)
-            + lit(0.0)).as("p90_us"))
+          // latencies are EXACT integer µs — output them as BIGINT.
+          // ROUND(x,6)+0 here is actively wrong: at ~1e11 µs a
+          // double's spacing (~1.2e-4) exceeds 6-dp precision and the
+          // engines' rounding paths diverge (caught at sf0.001). The
+          // quantile is an element, < 2^53, so the double round-trips
+          // to long exactly. -1 sentinel for all-unattributed days
+          // (NULL→NaN never hash-matches).
+          coalesce(graft.functions.exact_quantile(col("lat").cast("double"), 0.5)
+            .cast("long"), lit(-1L)).as("p50_us"),
+          coalesce(graft.functions.exact_quantile(col("lat").cast("double"), 0.9)
+            .cast("long"), lit(-1L)).as("p90_us"))
         .orderBy(col("day"))
     },
 

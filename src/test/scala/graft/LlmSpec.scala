@@ -604,9 +604,8 @@ class LlmSpec extends SparkSpec {
       .select("doc_id", "n_chunks", "n_langs", "top_lang", "consistency")
       .as[(Long, Long, Long, String, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
-    val (nc, nl, top, cons) = got(1L)
-    assert(nl >= 2L, s"mixed doc must expose >= 2 languages, got ${got(1L)}")
-    assert(cons < 1.0)
+    assert(got(1L)._2 >= 2L, s"mixed doc must expose >= 2 languages, got ${got(1L)}")
+    assert(got(1L)._4 < 1.0)
     assert(got(2L)._2 === 1L && got(2L)._3 === "en" && got(2L)._4 === 1.0,
       s"pure doc: ${got(2L)}")
   }
