@@ -34,6 +34,37 @@ object Relational {
     * double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
 
+  /** Skyline / Pareto frontier (2-D dominance): the rows no other row
+    * beats on BOTH axes — here "bigger and cheaper" over parts. The
+    * operator class relational algebra famously lacks (Börzsönyi et
+    * al., ICDE'01 SKYLINE OF): a plain ORDER BY can rank one axis,
+    * but dominance needs the joint condition.
+    *
+    * Scale-honest two-phase form over a bounded axis domain: (1) best
+    * (min) price PER SIZE — one keyed aggregate, the only data-sized
+    * stage; (2) running min over sizes DESCENDING on the
+    * domain-bounded frame (50 rows here) marks the sizes whose best
+    * price beats every larger size; (3) one semi-join back picks the
+    * frontier rows. A row is dominated iff some strictly-larger size
+    * has price ≤ its own EXCEPT equal-price-equal-size peers — ties
+    * on both axes are co-frontier (kept), expressed as strict <
+    * against the larger-sizes running min. Never a self-join, never
+    * a per-row window over the data. */
+  def paretoFrontier(parts: DataFrame): DataFrame = {
+    val bestPerSize = parts.groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("best_price"))
+    val runMin = bestPerSize.withColumn("better_above",
+      min(col("best_price")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_size").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+    val frontierSizes = runMin
+      .filter(col("better_above").isNull || col("best_price") < col("better_above"))
+      .select(col("p_size"), col("best_price"))
+    parts.join(broadcast(frontierSizes), Seq("p_size"))
+      .filter(col("p_retailprice") === col("best_price"))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+  }
+
   /** Market-basket pair mining with lift — "frequently bought
     * together" over the order↔part bipartite graph. The co-occurrence
     * sibling of `EventAnalytics.cooccurrence`, but bounded by the
@@ -134,6 +165,25 @@ object Relational {
         countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("l_partkey")).as("n_parts"),
         dsum(col("l_quantity")).as("total_qty"))
+    },
+
+    // Skyline: bigger-and-cheaper part frontier; the per-size best,
+    // the running min over the bounded size domain, and the frontier
+    // membership all replay exactly (raw parquet doubles, no
+    // arithmetic).
+    Q("analytics_pareto_frontier",
+      """WITH b AS (SELECT p_size, MIN(p_retailprice) AS best_price
+        |           FROM part GROUP BY 1),
+        |r AS (SELECT p_size, best_price,
+        |             MIN(best_price) OVER (ORDER BY p_size DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better_above
+        |      FROM b),
+        |f AS (SELECT p_size, best_price FROM r
+        |      WHERE better_above IS NULL OR best_price < better_above)
+        |SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p JOIN f ON p.p_size = f.p_size AND p.p_retailprice = f.best_price
+        |ORDER BY p.p_size, p.p_partkey""".stripMargin) { (s, dir) =>
+      paretoFrontier(Tables.part(s, dir)).orderBy(col("p_size"), col("p_partkey"))
     },
 
     // Market-basket pairs: integer pair/marginal counts and the lift

@@ -367,6 +367,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: pareto frontier equals brute-force dominance (ties co-frontier)") {
+    val rowsGen = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(1, 6), Gen.choose(1, 8)))
+        .map(_.zipWithIndex.map { case ((sz, pr), i) =>
+          (i.toLong, sz, pr.toDouble) }))
+    check(Prop.forAll(rowsGen) { rows =>
+      // brute force: r survives iff NO q is >= on size, <= on price,
+      // and strictly better on at least one axis
+      val expected = rows.filter { r =>
+        !rows.exists(q => q._2 >= r._2 && q._3 <= r._3 &&
+          (q._2 > r._2 || q._3 < r._3))
+      }.map(_._1).toSet
+      val got = graft.queries.Relational.paretoFrontier(
+        rows.toDF("p_partkey", "p_size", "p_retailprice"))
+        .collect().map(_.getLong(0)).toSet
+      got == expected
+    })
+  }
+
   test("property: equi-depth histogram conserves counts and respects value-run granularity") {
     val valsGen = Gen.choose(1, 40).flatMap(n =>
       Gen.listOfN(n, Gen.choose(1, 6).map(_.toDouble)))
