@@ -139,6 +139,31 @@ object EventAnalytics {
           .as("latency_us"))
   }
 
+  /** Frequent behavioral sequences: the most common ordered
+    * event-type trigrams across user timelines — the n-gram-over-
+    * sessions form of sequential pattern mining (the support-counting
+    * core of the PrefixSpan/SPADE family, restricted to contiguous
+    * length-3 patterns).
+    *
+    * Deliberately NOT collect_list-per-user (per-user arrays are
+    * unbounded — a bot timeline OOMs the executor): two `lead()`
+    * calls over ONE user-keyed window stream the trigrams out with
+    * O(1) state per row, then one count aggregate on the bounded
+    * types³ grid. The window exchange is the only data-sized
+    * shuffle. */
+  def frequentSequences(events: DataFrame, topK: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("seq3"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("seq3"))
+      .limit(topK)
+  }
+
   /** Bipartite co-occurrence projection: project the (user, item)
     * graph onto items, scoring each item pair by shared users and
     * Jaccard over user sets — the item-item similarity at the core of
@@ -266,6 +291,22 @@ object EventAnalytics {
     // every credit assignment and integer-µs latency hash-pinned.
     Q("events_attribution", attributionOracleSql) { (s, dir) =>
       lastTouchAttribution(Tables.events(s, dir)).orderBy(col("conv_id"))
+    },
+
+    // Frequent trigram sequences: both leads replay under the same
+    // (ts, event_id) order; counts + the full-tiebreak top-k pin the
+    // LIST.
+    Q("events_frequent_sequences",
+      """WITH t AS (
+        |  SELECT event_type,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT event_type || '>' || t2 || '>' || t3 AS seq3,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, seq3 LIMIT 20""".stripMargin) { (s, dir) =>
+      frequentSequences(Tables.events(s, dir), topK = 20)
     },
 
     // Conversion-latency SLO report: per conversion day, attributed

@@ -485,6 +485,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("frequentSequences: trigrams respect per-user order, short timelines contribute none") {
+    import spark.implicits._
+    import graft.queries.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf("2024-01-01 " + s)
+    val ev = Seq(
+      (1L, 1L, ts("10:00:00"), "a"), (2L, 1L, ts("10:01:00"), "b"),
+      (3L, 1L, ts("10:02:00"), "c"), (4L, 1L, ts("10:03:00"), "a"),
+      (5L, 2L, ts("10:00:00"), "a"), (6L, 2L, ts("10:01:00"), "b"),
+      (7L, 2L, ts("10:02:00"), "c"),
+      (8L, 3L, ts("10:00:00"), "x"), (9L, 3L, ts("10:01:00"), "y")) // < 3 events
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.frequentSequences(ev, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // user 1: a>b>c, b>c>a; user 2: a>b>c; user 3: nothing
+    assert(got.toSeq === Seq(("a>b>c", 2L), ("b>c>a", 1L)))
+  }
+
   test("lastTouchAttribution: latest view wins, pre-view purchases unattributed, exact latency") {
     import spark.implicits._
     import graft.queries.EventAnalytics
