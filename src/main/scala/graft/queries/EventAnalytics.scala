@@ -139,6 +139,35 @@ object EventAnalytics {
           .as("latency_us"))
   }
 
+  /** Lifetime survival curve (Kaplan–Meier-lite, no censoring): the
+    * fraction of users still active k days after their first activity
+    * — survival(k) = |{u : lifespan(u) ≥ k}| / |users|, the retention
+    * summary that complements the per-cohort matrix (cohortRetention
+    * answers "how does cohort X behave"; this answers "how long does
+    * a user live, overall").
+    *
+    * Same contribute-forward idiom as the rolling actives: a user of
+    * lifespan s contributes one row to every k ≤ min(s, maxDays) —
+    * a map-only ≤(maxDays+1)× explode of the per-user span frame,
+    * then one bounded count; monotone non-increasing by
+    * construction. */
+  def survivalCurve(events: DataFrame, maxDays: Int = 30): DataFrame = {
+    require(maxDays >= 0, s"survivalCurve: maxDays must be >= 0, got $maxDays")
+    val spans = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(datediff(max(col("day")), min(col("day"))).as("span"))
+    spans
+      .select(explode(sequence(lit(0), least(col("span"), lit(maxDays)))).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_surviving"))
+      .crossJoin(broadcast(spans.agg(count(lit(1)).as("n_users"))))
+      .select(
+        col("k").cast("long").as("k"),
+        col("n_surviving"),
+        (round(col("n_surviving") * lit(1.0) / col("n_users"), 6) + lit(0.0)).as("frac"))
+  }
+
   /** Frequent behavioral sequences: the most common ordered
     * event-type trigrams across user timelines — the n-gram-over-
     * sessions form of sequential pattern mining (the support-counting
@@ -291,6 +320,23 @@ object EventAnalytics {
     // every credit assignment and integer-µs latency hash-pinned.
     Q("events_attribution", attributionOracleSql) { (s, dir) =>
       lastTouchAttribution(Tables.events(s, dir)).orderBy(col("conv_id"))
+    },
+
+    // Survival curve: spans, the contribute explode, and the exact
+    // fractions all replay; monotonicity is structural.
+    Q("events_survival_curve",
+      """WITH d AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |s AS (
+        |  SELECT user_id, date_diff('day', MIN(day), MAX(day)) AS span
+        |  FROM d GROUP BY user_id),
+        |c AS (SELECT unnest(range(0, least(span, 30) + 1)) AS k FROM s),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM s)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       CAST(COUNT(*) AS BIGINT) AS n_surviving,
+        |       ROUND(COUNT(*) * 1.0 / t.n_users, 6) + 0 AS frac
+        |FROM c CROSS JOIN t GROUP BY k, t.n_users ORDER BY k""".stripMargin) { (s, dir) =>
+      survivalCurve(Tables.events(s, dir), maxDays = 30).orderBy(col("k"))
     },
 
     // Frequent trigram sequences: both leads replay under the same

@@ -86,7 +86,7 @@ class RelationalSpec extends SparkSpec {
       "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact",
       "audit_key_skew", "curation_mixture_temperature",
       "curation_negative_pairs", "search_keyword_topk", "stats_histogram_eqdepth",
-      "basket_pairs_topk")
+      "basket_pairs_topk", "events_survival_curve")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
@@ -483,6 +483,24 @@ class RelationalSpec extends SparkSpec {
     h.sliding(2).foreach { case Array(a, b) =>
       assert(a._3 < b._2, s"buckets overlap: $a $b")
     }
+  }
+
+  test("survivalCurve: monotone non-increasing, k=0 covers everyone, hand fixture exact") {
+    import spark.implicits._
+    import graft.queries.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // u1 lives 0 days, u2 lives 2 days, u3 lives 5 days
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-01")),
+      (2L, ts("2024-01-01")), (2L, ts("2024-01-03")),
+      (3L, ts("2024-01-01")), (3L, ts("2024-01-06")))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.survivalCurve(ev, maxDays = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 3L, 1.0), (1L, 2L, 0.666667), (2L, 2L, 0.666667),
+      (3L, 1L, 0.333333), (4L, 1L, 0.333333), (5L, 1L, 0.333333)))
+    got.sliding(2).foreach { case Array(a, b) => assert(a._2 >= b._2) }
   }
 
   test("frequentSequences: trigrams respect per-user order, short timelines contribute none") {
