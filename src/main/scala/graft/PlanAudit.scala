@@ -185,6 +185,16 @@ object PlanAudit {
     // (doc, lang) agg, one doc agg
     audit("langConsistency",
       llm.TextAnalysis.langConsistency(Tables.documents(spark, sfDir)))
+    // sequences: ONE user-keyed window (two leads share it) + bounded
+    // types³ agg + TakeOrdered; survival: span agg + map-only explode
+    // + bounded count; pareto: per-size agg + bounded running min +
+    // broadcast semi-join
+    audit("frequentSequences",
+      queries.EventAnalytics.frequentSequences(Tables.events(spark, sfDir), 20))
+    audit("survivalCurve",
+      queries.EventAnalytics.survivalCurve(Tables.events(spark, sfDir)))
+    audit("paretoFrontier",
+      queries.Relational.paretoFrontier(Tables.part(spark, sfDir)))
     audit("tableProfile", queries.Audit.tableProfile(docs, Seq(
       "doc_id" -> col("doc_id").cast("string"), "lang" -> col("lang"))))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))

@@ -153,10 +153,13 @@ object EventAnalytics {
     * construction. */
   def survivalCurve(events: DataFrame, maxDays: Int = 30): DataFrame = {
     require(maxDays >= 0, s"survivalCurve: maxDays must be >= 0, got $maxDays")
+    // spans feeds the contribute explode AND the totals scalar —
+    // checkpoint so the per-user aggregate runs once
     val spans = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .groupBy(col("user_id"))
       .agg(datediff(max(col("day")), min(col("day"))).as("span"))
+      .localCheckpoint()
     spans
       .select(explode(sequence(lit(0), least(col("span"), lit(maxDays)))).as("k"))
       .groupBy(col("k"))
