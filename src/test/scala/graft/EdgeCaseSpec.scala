@@ -182,5 +182,22 @@ class EdgeCaseSpec extends SparkSpec {
     val lp = graft.llm.Dedup.labelPropagation(lone, noEdges, iters = 2).collect()
       .map(row => row.getLong(0) -> row.getLong(1)).toMap
     assert(lp === Map(7L -> 7L, 8L -> 8L))
+    // pareto frontier when every row is identical: all co-frontier
+    val same = Seq((1L, 5, 9.0), (2L, 5, 9.0), (3L, 5, 9.0))
+      .toDF("p_partkey", "p_size", "p_retailprice")
+    assert(graft.queries.Relational.paretoFrontier(same).count() === 3L)
+    // survival curve of single-day users: one point, everyone at k=0
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 08:00:00")
+    val oneDay = Seq((1L, ts("2024-02-01")), (2L, ts("2024-02-01")))
+      .toDF("user_id", "ts")
+    val sc = graft.queries.EventAnalytics.survivalCurve(oneDay, maxDays = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sc.toSeq === Seq((0L, 2L, 1.0)))
+    // frequent sequences: one user with exactly 3 events → one trigram
+    val three = Seq((1L, 1L, ts("2024-02-01"), "a"), (2L, 1L, ts("2024-02-02"), "b"),
+      (3L, 1L, ts("2024-02-03"), "c")).toDF("event_id", "user_id", "ts", "event_type")
+    val fs = graft.queries.EventAnalytics.frequentSequences(three, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(fs.toSeq === Seq(("a>b>c", 1L)))
   }
 }
