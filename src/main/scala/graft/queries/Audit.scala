@@ -144,7 +144,11 @@ object Audit {
     * the key the merge is a map-side stitch at 100 TB. Change
     * detection is null-safe equality over `changeCols` only — rows
     * arriving identical do NOT spawn a version (the no-op path a
-    * naive "delta always wins" merge gets wrong). */
+    * naive "delta always wins" merge gets wrong). Like `mergeUpsert`,
+    * assumes ONE row per key per side and per merge (snapshot/
+    * changeset semantics); a delta carrying two rows for one key
+    * would open two versions — dedupe upstream (e.g. latest-wins by
+    * CDC sequence) before merging. */
   def scd2Merge(
       history: DataFrame, delta: DataFrame, keyCol: String,
       changeCols: Seq[String], asOf: Column): DataFrame = {

@@ -40,9 +40,17 @@ object Linkage {
   def blockedCandidates(
       left: DataFrame, right: DataFrame,
       keys: Seq[Column => Column]): DataFrame = {
+    // names shorter than a key width would hit the engines' divergent
+    // sub-1 substring-start semantics (Spark treats pos 0 as 1;
+    // DuckDB consumes a length unit before position 1) — exclude them
+    // from blocking rather than risk a cross-engine key mismatch.
+    // (Catalog names here are >= 7 chars; the filter is a guard, not
+    // a behavior change.)
     val passes = keys.map { k =>
-      val l = left.select(col("orig_id"), col("name").as("ln"), k(col("name")).as("k"))
-      val r = right.select(col("typo_id"), col("name").as("rn"), k(col("name")).as("k"))
+      val l = left.filter(length(col("name")) >= 4)
+        .select(col("orig_id"), col("name").as("ln"), k(col("name")).as("k"))
+      val r = right.filter(length(col("name")) >= 4)
+        .select(col("typo_id"), col("name").as("rn"), k(col("name")).as("k"))
       l.join(r, "k").select(col("orig_id"), col("typo_id"), col("ln"), col("rn"))
     }
     passes.reduce(_ unionByName _).distinct()
