@@ -291,6 +291,31 @@ object StreamingAlerts {
       s.table(name).orderBy(col("conv_id"))
     },
 
+    // STREAMING sequence mining (round 9) under the batch oracle: the
+    // double-lead window as a 2-string state machine; trigrams stream
+    // out, the bounded types³ count runs batch-side on the sink.
+    Q("streaming_frequent_sequences",
+      """WITH t AS (
+        |  SELECT event_type,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT event_type || '>' || t2 || '>' || t3 AS seq3,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, seq3 LIMIT 20""".stripMargin) { (s, dir) =>
+      val name = "stream_seq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streamingSequences(s, eventsStream(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("value").as("seq3"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("seq3"))
+        .limit(20)
+    },
+
     // STREAMING DECONTAMINATION under the batch oracle (round 8): the
     // arrival-time form of `Curation.decontaminate` — train docs
     // arrive as a stream and are probed against the STATIC eval-gram
@@ -554,6 +579,39 @@ object StreamingAlerts {
                 if (st.lastTouchId == -1L) -1L else ts - st.lastTouchTs)
             }
             if (typ == touch) st = TouchState(id, ts)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Per-user last-two-events state for streaming sequence mining
+    * ("" = not yet seen). */
+  final case class SeqState(t1: String, t2: String)
+
+  /** Streaming trigram emission — the batch double-lead window
+    * (`EventAnalytics.frequentSequences`) as a per-user state machine:
+    * TWO STRINGS of state (the last two event types), one trigram
+    * emitted per event once warm. The counting/top-k stays batch-side
+    * on the sink table; what streams is exactly the part that needs
+    * the timeline — same split as the other state machines here. */
+  def streamingSequences(spark: SparkSession, events: DataFrame): Dataset[String] = {
+    import spark.implicits._
+    val base = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState[SeqState, String](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[SeqState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(SeqState("", ""))
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          sorted.foreach { case (_, _, _, typ) =>
+            if (st.t1.nonEmpty && st.t2.nonEmpty) out += s"${st.t1}>${st.t2}>$typ"
+            st = SeqState(st.t2, typ)
           }
           state.update(st)
           out.iterator

@@ -370,6 +370,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sequences: a trigram spanning the micro-batch boundary still emits") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val streamed = StreamingAlerts.streamingSequences(
+      spark, mem.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+    val name = "seq_test_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+        (2L, 1L, ts("2024-01-01 10:01:00"), "b"))
+      query.processAllAvailable() // state warm, nothing emitted yet
+      assert(spark.table(name).count() === 0L)
+      mem.addData((3L, 1L, ts("2024-01-01 10:02:00"), "c"))
+      query.processAllAvailable()
+      val got = spark.table(name).collect().map(_.getString(0)).toSeq
+      assert(got === Seq("a>b>c"))
+    } finally query.stop()
+  }
+
   test("streaming rolling 7-day distinct actives == batch contribute-forward rewrite") {
     val dir = sf("sf0.001")
     val streamed = SparkEntry.queries("streaming_rolling_active")(spark, dir)
