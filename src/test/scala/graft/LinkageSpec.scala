@@ -60,6 +60,16 @@ class LinkageSpec extends SparkSpec {
       (5L, 1L, "unrelated name")))
   }
 
+  test("names shorter than the key width are excluded from blocking, not crashed on") {
+    val left = Seq((1L, "abc"), (2L, "abcdefgh")).toDF("orig_id", "name")
+    val right = Seq((101L, "abc"), (102L, "abcdefgq")).toDF("typo_id", "name")
+    val got = Linkage.fuzzyLink(left, right, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 3-char pair is identical but unblockable (sub-key-width);
+    // the 8-char tail-substituted pair links normally
+    assert(got === Set((2L, 102L)))
+  }
+
   test("declared fixture: every planted typo links back to its origin") {
     val parts = Tables.part(spark, sf("sf0.001"))
     val q = SparkEntry.queries("link_fuzzy_parts")(spark, sf("sf0.001"))
