@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.Sessionize
+
+/** Irregular-time-series operators over the `events` table (round 10):
+  * the sweep-line concurrency profile, time-weighted averages, and
+  * CUSUM change-point detection — the three classic "values arrive at
+  * arbitrary timestamps" questions (capacity, fair averaging, drift
+  * alarm) that row-frame windows alone don't answer.
+  *
+  * All three are exact and engine-portable: integer-µs interval
+  * arithmetic, decimal-accumulated sums (order-free addition), and at
+  * most one correctly-rounded double division per output column.
+  */
+object TimeSeries {
+
+  /** Sweep-line concurrency: how many sessions are simultaneously
+    * open at each session boundary, rolled up to a per-day peak.
+    * Sessions are the gap-rule intervals from
+    * [[graft.operators.Sessionize.withSessionIds]]; each contributes
+    * (+1 at start, −1 at end+1µs) so the running sum counts intervals
+    * inclusively. Ties order (ts, delta, user, session) — ends before
+    * starts at the same instant — so the instantaneous peak is
+    * deterministic in both engines.
+    *
+    * Scale shape: a GLOBAL running sum cannot be one window at 100 TB
+    * (single partition). This is the two-phase distributed prefix sum:
+    * (1) per-hour-bucket running sums — windows partitioned BY bucket,
+    * fully parallel; (2) per-bucket totals prefix-summed into bucket
+    * offsets — the one unpartitioned window, but over the bounded
+    * hour-bucket frame (~10⁵ rows for a decade of hours), then
+    * broadcast back. concurrency = bucket_offset + within_bucket_run.
+    * The per-day peak only samples boundaries that fall in the day —
+    * a level carried across a whole silent day is reported on the day
+    * it last changed (documented; with gap-rule sessions every open
+    * interval's endpoints are real events, so silent days have zero
+    * open sessions).
+    */
+  def concurrencyPeak(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val sess = Sessionize
+      .withSessionIds(events.select(col("event_id"), col("ts"), col("user_id")), gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val deltas = sess
+      .select(col("start_ts").as("ts"), lit(1L).as("delta"),
+        col("user_id"), col("session_id"))
+      .unionByName(sess.select(
+        timestamp_micros(unix_micros(col("end_ts")) + 1L).as("ts"),
+        lit(-1L).as("delta"), col("user_id"), col("session_id")))
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+    // Phase 1: bucket totals → running offsets. The orderBy window is
+    // unpartitioned BUT the frame is the bounded bucket grid, never
+    // the data (same class as the equi-depth histogram prefix sum).
+    val offsets = deltas.groupBy(col("bucket"))
+      .agg(sum(col("delta")).as("btot"))
+      .withColumn("boff",
+        coalesce(
+          sum(col("btot")).over(
+            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("boff"))
+    // Phase 2: within-bucket running sums — partitioned, parallel.
+    // (ts, delta, user, session) is a unique total order, so the ROWS
+    // frame is tie-free and replays exactly.
+    val within = Window.partitionBy(col("bucket"))
+      .orderBy(col("ts"), col("delta"), col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("run", sum(col("delta")).over(within))
+      .join(broadcast(offsets), "bucket")
+      .select(col("ts"), (col("boff") + col("run")).as("concurrency"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(max(col("concurrency")).cast("long").as("peak_concurrency"),
+        count(lit(1)).cast("long").as("n_boundaries"))
+  }
+
+  /** Time-weighted average of `value` per (user, day): each
+    * observation holds until the next one, so its weight is the
+    * integer-µs gap to the successor (the day's last observation has
+    * no successor and contributes no interval — TWAP over the
+    * observed span, the standard convention for irregular samples;
+    * a plain AVG would let burst periods dominate).
+    *
+    * Exactness: weights are exact integer µs; value×weight
+    * accumulates in decimal (order-free); the ONE double division is
+    * correctly rounded. One user-day window + one group-by on the
+    * same key — a single exchange.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        to_date(col("ts")).as("day"))
+      .withColumn("nxt", lead(col("ts"), 1).over(byUserDay))
+      .filter(col("nxt").isNotNull)
+      .withColumn("wt", unix_micros(col("nxt")) - unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).cast("long").as("n_intervals"),
+        sum(col("wt")).cast("long").as("span_us"),
+        (round(
+          sum(col("value").cast("decimal(20,6)") * col("wt").cast("decimal(12,0)"))
+            .cast("double") / sum(col("wt")).cast("double"), 6) + lit(0.0)).as("twap"))
+  }
+
+  /** One-sided CUSUM drift alarm (Page 1954) per user over `value`:
+    * S_i = max(0, S_{i-1} + (x_i − target)), alarm when S_i > h.
+    * The recursion is not a window function, but the prefix-sum
+    * identity S_i = P_i − min(0, min_{j≤i} P_j) (P = running sum of
+    * deviations) turns it into TWO windows over one user-keyed
+    * exchange — running sum and running min — which is how CUSUM
+    * distributes: no sequential state, no mapPartitions.
+    *
+    * target is the exact global mean (decimal sum ÷ count, one
+    * rounded division, broadcast scalar); deviations are cast to
+    * decimal(20,6) so every prefix sum is exact — the alarm SET (not
+    * just a statistic) is pinned cross-engine. h is in value units.
+    */
+  def cusumAlarms(events: DataFrame, h: Double = 50.0): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val mean = base.agg(
+      (sum(col("value").cast("decimal(30,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("mu"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = base.crossJoin(broadcast(mean))
+      .withColumn("dev", (col("value") - col("mu")).cast("decimal(20,6)"))
+      .withColumn("p", sum(col("dev")).over(byUser))
+      .withColumn("s",
+        col("p") - least(lit(java.math.BigDecimal.ZERO).cast("decimal(20,6)"),
+          min(col("p")).over(byUser)))
+    s.groupBy(col("user_id"))
+      .agg(
+        (round(max(col("s")).cast("double"), 6) + lit(0.0)).as("max_cusum"),
+        sum((col("s") > h).cast("long")).as("n_alarms"),
+        coalesce(min(when(col("s") > h, col("event_id"))), lit(-1L)).as("first_alarm_event"))
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Peak concurrent sessions per day. The oracle replays the gap
+    // sessionization, the ±1 sweep, and ONE global running sum — the
+    // semantic spec the two-phase prefix sum must equal exactly.
+    Q("events_concurrency_peak",
+      """WITH s0 AS (
+        |  SELECT user_id, ts, event_id,
+        |         LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(CASE WHEN prev_ts IS NULL
+        |                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1
+        |                       ELSE 0 END)
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS session_id
+        |  FROM s0),
+        |sess AS (SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |         FROM s1 GROUP BY 1, 2),
+        |d AS (
+        |  SELECT start_ts AS ts, 1 AS delta, user_id, session_id FROM sess
+        |  UNION ALL
+        |  SELECT end_ts + INTERVAL 1 MICROSECOND, -1, user_id, session_id FROM sess),
+        |r AS (
+        |  SELECT ts, SUM(delta) OVER (ORDER BY ts, delta, user_id, session_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS conc
+        |  FROM d)
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+        |       CAST(COUNT(*) AS BIGINT) AS n_boundaries
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      concurrencyPeak(Tables.events(s, dir)).orderBy(col("day"))
+    },
+
+    // Per-user-day TWAP: integer-µs weights, decimal accumulation,
+    // one rounded division — values and interval counts hash-pinned.
+    Q("events_twap",
+      """WITH n AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value,
+        |         LEAD(ts, 1) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                           ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |       CAST(SUM(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS span_us,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))
+        |                      * CAST(epoch_us(nxt) - epoch_us(ts) AS DECIMAL(12,0))) AS DOUBLE)
+        |             / CAST(SUM(epoch_us(nxt) - epoch_us(ts)) AS DOUBLE), 6) + 0 AS twap
+        |FROM n WHERE nxt IS NOT NULL
+        |GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      twap(Tables.events(s, dir)).orderBy(col("user_id"), col("day"))
+    },
+
+    // CUSUM drift alarms: the prefix-sum identity replays as the same
+    // two windows in DuckDB; exact decimal prefix sums pin the alarm
+    // SET and the first-alarm event, not just the rounded maximum.
+    Q("events_cusum_alarms",
+      """WITH mu AS (
+        |  SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(value - mu AS DECIMAL(20,6)) AS dev
+        |  FROM events CROSS JOIN mu),
+        |p AS (
+        |  SELECT user_id, ts, event_id,
+        |         SUM(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM d),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |         p - LEAST(CAST(0 AS DECIMAL(20,6)),
+        |                   MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM p)
+        |SELECT user_id,
+        |       ROUND(CAST(MAX(s) AS DOUBLE), 6) + 0 AS max_cusum,
+        |       CAST(SUM(CASE WHEN s > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |       COALESCE(MIN(CASE WHEN s > 50.0 THEN event_id END), -1) AS first_alarm_event
+        |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      cusumAlarms(Tables.events(s, dir)).orderBy(col("user_id"))
+    },
+  )
+}
