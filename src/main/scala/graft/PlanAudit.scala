@@ -247,6 +247,14 @@ object PlanAudit {
       ts.join(bs, Seq("doc_id"), "left")
     }
     println(f"TIME  repetition generator=$tRepNew%.3fs leadWindow=$tRepOld%.3fs speedup=${tRepOld / tRepNew}%.2fx")
+
+    // round-10 additions: the sketch tier + the SCD-2 time-travel read.
+    // (The graph loops are audited per-round in PLANS.md — their final
+    // frame is a checkpoint, so a whole-query audit would read 0.)
+    audit("kmvDistinct", queries.Sketches.kmvDistinct(
+      Tables.lineitem(spark, sfDir), "l_returnflag", "l_orderkey"))
+    audit("cmsTopTokens", queries.Sketches.cmsTopTokens(docs, 15))
+    audit("scd2AsOf(query)", SparkEntry.queries("audit_scd2_asof")(spark, sfDir))
     spark.stop()
   }
 }

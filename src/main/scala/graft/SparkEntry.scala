@@ -6,7 +6,7 @@ import graft.llm.{Curation, Dedup, Multimodal, QualityModel, Similarity, TextAna
 import graft.ml.FailureModel
 import graft.operators.{AsOfJoin, ChunkedWindow, RangeJoin, Salted, Sessionize}
 import graft.pipeline.{Telemetry, TrainingData}
-import graft.queries.{Audit, EventAnalytics, Ingest, Linkage, Relational, TimeSeries, Typed}
+import graft.queries.{Audit, EventAnalytics, Graphs, Ingest, Linkage, Relational, Sketches, TimeSeries, Typed}
 import graft.streaming.StreamingAlerts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
       QualityModel.defs ++
       Multimodal.defs ++ Salted.defs ++ AsOfJoin.defs ++ ChunkedWindow.defs ++
       Sessionize.defs ++ RangeJoin.defs ++ StreamingAlerts.defs ++ Typed.defs ++ Audit.defs ++
-      EventAnalytics.defs ++ Linkage.defs ++ TimeSeries.defs
+      EventAnalytics.defs ++ Linkage.defs ++ TimeSeries.defs ++ Graphs.defs ++ Sketches.defs
 
   /** Flagship: the reference's semantic heart — label → rolling features
     * → threshold alert → per-day rollup — on sf0.001 (driver smoke-checks
@@ -84,5 +84,9 @@ object SparkEntry {
     // filter + posting aggregate + broadcast idf + TakeOrdered, the
     // search shape none of the other headline queries exercise.
     "search_keyword_topk",
+    // Round 10: the count-min build+probe on the RAW corpus — a
+    // fixed-size-summary aggregate (key space d·w) plus a
+    // vocabulary-bounded broadcast probe join, the sketch shape.
+    "sketch_cms_topk",
   )
 }

@@ -175,6 +175,19 @@ object Audit {
       .unionByName(carried).unionByName(closed).unionByName(opened)
   }
 
+  /** Time-travel read over an SCD-2 history: the table snapshot as it
+    * was current at `asOf` — rows whose validity interval contains the
+    * instant (`valid_from <= asOf < valid_to`; the half-open contract
+    * means a version closed AT t is already superseded at t, matching
+    * `scd2Merge` writing the same date to the closing row's valid_to
+    * and the opening row's valid_from). This is the read side SCD-2
+    * exists FOR: every historical state reconstructable from one
+    * filter — no log replay. At 100 TB the two date predicates are
+    * min/max-sargable, so a history partitioned or z-ordered on
+    * valid_from serves any snapshot from a pruned scan. */
+  def scd2AsOf(history: DataFrame, asOf: Column): DataFrame =
+    history.filter(col("valid_from") <= asOf && asOf < col("valid_to"))
+
   /** Exact equi-depth histogram over a BOUNDED-domain column — the
     * ANALYZE-style stats a cost-based optimizer and a skew planner
     * both feed on. Depth buckets (≈ n/B rows each) beat equi-width on
@@ -552,6 +565,68 @@ object Audit {
       scd2Merge(history, delta, "o_orderkey", Seq("o_totalprice"),
         to_date(lit("2024-06-01")))
         .orderBy(col("o_orderkey"), col("valid_from"))
+    },
+
+    // Time travel over the SAME merged history: snapshots as of
+    // 2024-03-01 (pre-merge — must reproduce the day-one table
+    // verbatim: closed versions were still current then) and
+    // 2024-07-01 (post-merge — doubled %10==3 prices, %17==0 inserts
+    // present, no superseded row leaks through). The oracle replays
+    // the merge and both interval filters, so every snapshot row is
+    // hash-pinned; AuditSpec additionally pins snapshot(pre) ==
+    // original and snapshot(post) == upsert-applied state frame-wise.
+    Q("audit_scd2_asof",
+      """WITH hist AS (
+        |  SELECT o_orderkey, o_totalprice, DATE '2024-01-01' AS valid_from,
+        |         DATE '2099-12-31' AS valid_to, 1 AS is_current
+        |  FROM orders),
+        |delta AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice FROM orders WHERE o_orderkey % 17 = 0),
+        |j AS (
+        |  SELECT h.o_orderkey AS hk, h.o_totalprice AS hp, h.valid_from,
+        |         d.o_orderkey AS dk, d.o_totalprice AS dp
+        |  FROM hist h FULL OUTER JOIN delta d ON h.o_orderkey = d.o_orderkey),
+        |merged AS (
+        |  SELECT hk AS o_orderkey, hp AS o_totalprice, valid_from,
+        |         DATE '2024-06-01' AS valid_to
+        |  FROM j WHERE hk IS NOT NULL AND dk IS NOT NULL AND hp <> dp
+        |  UNION ALL
+        |  SELECT dk, dp, DATE '2024-06-01', DATE '2099-12-31'
+        |  FROM j WHERE dk IS NOT NULL AND (hk IS NULL OR hp <> dp)
+        |  UNION ALL
+        |  SELECT hk, hp, valid_from, DATE '2099-12-31'
+        |  FROM j WHERE hk IS NOT NULL AND (dk IS NULL OR hp = dp))
+        |SELECT s.snap_date, m.o_orderkey, m.o_totalprice
+        |FROM (SELECT unnest([DATE '2024-03-01', DATE '2024-07-01']) AS snap_date) s
+        |JOIN merged m
+        |  ON m.valid_from <= s.snap_date AND s.snap_date < m.valid_to
+        |ORDER BY snap_date, o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val history = orders.select(
+        col("o_orderkey"), col("o_totalprice"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        to_date(lit("2099-12-31")).as("valid_to"),
+        lit(1).as("is_current"))
+      val delta = orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_totalprice")))
+      val merged = scd2Merge(history, delta, "o_orderkey", Seq("o_totalprice"),
+        to_date(lit("2024-06-01")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq("2024-03-01", "2024-07-01").map { d =>
+        scd2AsOf(merged, to_date(lit(d)))
+          .select(to_date(lit(d)).as("snap_date"),
+            col("o_orderkey"), col("o_totalprice"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("snap_date"), col("o_orderkey"))
     },
 
     // Equi-depth histogram of lineitem quantity (NDV 50) in 8 depth

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Iterative graph traversal (round 10): multi-source BFS hop
+  * distances — the reachability/how-far primitive under impact
+  * analysis, blast-radius queries, and lineage tracing, complementing
+  * the existing component/PageRank/label-propagation tier (those
+  * converge on ALL nodes; BFS expands a frontier from a seed set and
+  * touches only what it reaches).
+  *
+  * Pregel-style execution: each round is one join of the current
+  * frontier against the (pre-shuffled, persisted) adjacency plus an
+  * anti-join against the visited set — per-round cost tracks the
+  * FRONTIER size, not the graph; rounds = eccentricity of the seed
+  * set, with a hard `maxIter` bound. Lineage is truncated per round
+  * (localCheckpoint) so the plan never grows with iterations — the
+  * same discipline as `Dedup.connectedComponents`.
+  */
+object Graphs {
+
+  /** Minimum hop count from any seed, for every reachable node.
+    * Frontier BFS gives min-hop by construction (a node is first
+    * reached at its true distance and anti-joined out of later
+    * rounds). Unreached nodes are absent — reachability IS the
+    * result. Deterministic: hop labels don't depend on tie order. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, "bfsHops: maxIter must be >= 1")
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // materialize once; every round reuses the shuffle-free cache
+    var dist = seeds.select(col("id"), lit(0L).as("hop")).distinct().localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    var grew = true
+    while (grew && iter < maxIter) {
+      iter += 1
+      val next = und.join(frontier, und("a") === frontier("id"))
+        .select(und("b").as("id"))
+        .distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(iter.toLong).as("hop"))
+        .localCheckpoint()
+      grew = next.limit(1).count() > 0
+      if (grew) {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    und.unpersist()
+    dist
+  }
+
+  /** Cost-bounded single-source shortest paths (weighted BFS
+    * generalization): minimum path COST from any seed over positive
+    * integer edge weights, truncated to `maxCost` — the blast-radius
+    * form ("everything within budget C"), which is also what makes the
+    * oracle recursion finitely bounded. Bellman-Ford with frontier
+    * pruning: each round relaxes only edges out of nodes IMPROVED last
+    * round (first round: the seeds), min-combines candidates, and
+    * keeps strict improvements; with positive weights the rounds
+    * needed equal the edge count of the longest optimal path ≤
+    * `maxCost`, and the loop stops as soon as a round improves
+    * nothing. Same per-round shape as [[bfsHops]]: frontier ⋈
+    * persisted adjacency + one keyed min — cost tracks the frontier,
+    * lineage checkpoint-truncated. Deterministic: min cost is unique.
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, weight: (Column, Column) => Column,
+      maxCost: Long, maxIter: Int = 64): DataFrame = {
+    require(maxCost >= 0, "ssspBounded: maxCost must be >= 0")
+    require(maxIter >= 1, "ssspBounded: maxIter must be >= 1")
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .withColumn("w", weight(col("a"), col("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    var dist = seeds.select(col("id"), lit(0L).as("d")).distinct().localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    var improved = true
+    while (improved && iter < maxIter) {
+      iter += 1
+      val cand = und.join(frontier, und("a") === frontier("id"))
+        .select(und("b").as("id"), (frontier("d") + und("w")).as("d"))
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+      val next = cand
+        .join(dist.withColumnRenamed("d", "d0"), Seq("id"), "left_outer")
+        .filter(col("d0").isNull || col("d") < col("d0"))
+        .select(col("id"), col("d"))
+        .localCheckpoint()
+      improved = next.limit(1).count() > 0
+      if (improved) {
+        dist = dist.withColumnRenamed("d", "dOld")
+          .join(next.withColumnRenamed("d", "dNew"), Seq("id"), "full_outer")
+          .select(col("id"), least(col("dOld"), col("dNew")).as("d"))
+          .localCheckpoint()
+        frontier = next
+      }
+    }
+    und.unpersist()
+    dist.filter(col("d") <= maxCost)
+  }
+
+  /** The deterministic dup-graph fixture shared with
+    * `graph_triangles`, widened with sibling links so components span
+    * several document triples and hops reach ~6: chain triples
+    * d—(d+10⁶)—(d+2·10⁶), closure d—(d+2·10⁶) when d%3=0, and
+    * sibling edges d—(d+1) when d%10 ∈ {0,1,2}. */
+  private[graft] def fixtureEdges(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"))
+    d.select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+      .unionByName(d.select((col("doc_id") + 1000000L).as("a"),
+        (col("doc_id") + 2000000L).as("b")))
+      .unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 2000000L).as("b")))
+      .unionByName(d.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b")))
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Min-hop distances from the %97 seed documents. The oracle is a
+    // bounded recursive CTE with MIN(hop) — the declarative spec of
+    // BFS — so every (node, hop) label is hash-pinned, including
+    // which nodes are absent (unreachable).
+    Q("graph_bfs_hops",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 < 3),
+        |und AS (
+        |  SELECT DISTINCT a, b
+        |  FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) t),
+        |r AS (
+        |  SELECT doc_id AS id, 0 AS hop FROM documents WHERE doc_id % 97 = 0
+        |  UNION
+        |  SELECT und.b, r.hop + 1 FROM r JOIN und ON und.a = r.id WHERE r.hop < 20)
+        |SELECT id, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM r GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val seeds = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+      bfsHops(fixtureEdges(docs), seeds).orderBy(col("id"))
+    },
+
+    // Weighted complement of graph_bfs_hops on the same fixture and
+    // seeds: min path COST with w(a,b) = (a+b) % 5 + 1, truncated at
+    // cost 30 (cheap 2-hop detours beat expensive direct edges, so the
+    // answer genuinely differs from hops·w). The oracle's recursion
+    // enumerates every path state (node, cost ≤ 30) — UNION dedups
+    // states so positive weights bound it — and MIN(cost) is the
+    // declarative spec of shortest path; the cost-30 truncation is
+    // part of the operator contract (blast-radius-within-budget), not
+    // an approximation.
+    Q("graph_sssp_bounded",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 < 3),
+        |und AS (
+        |  SELECT a, b, (a + b) % 5 + 1 AS w
+        |  FROM (SELECT DISTINCT a, b
+        |        FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) t) u),
+        |r AS (
+        |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS d
+        |  FROM documents WHERE doc_id % 97 = 0
+        |  UNION
+        |  SELECT und.b, r.d + und.w FROM r JOIN und ON und.a = r.id
+        |  WHERE r.d + und.w <= 30)
+        |SELECT id, CAST(MIN(d) AS BIGINT) AS d
+        |FROM r GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val seeds = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+      ssspBounded(fixtureEdges(docs), seeds,
+        (a, b) => pmod(a + b, lit(5L)) + lit(1L), maxCost = 30L)
+        .orderBy(col("id"))
+    },
+  )
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Mergeable summary sketches (round 10) — the 100 TB aggregation
+  * story made driver-checkable. `agg_approx_distinct` already covers
+  * Spark's built-in HLL++, but HLL internals differ across engines so
+  * that query is rows-only. The two sketches here are built from the
+  * repo's deterministic md5 hash family, so every counter and every
+  * estimate replays exactly in DuckDB — approximation with a
+  * hash-pinned oracle:
+  *
+  *  - KMV (k minimum values, a.k.a. bottom-k / theta sketch): keep the
+  *    k smallest distinct hash values of a key; the k-th smallest
+  *    estimates the cardinality as (k−1)·H/h_k (Bar-Yossef et al.
+  *    RANDOM'02; Beyer et al. SIGMOD'07). Crucially the merge is
+  *    LOSSLESS — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))
+  *    — which is exactly what makes it the distributed/incremental
+  *    cardinality primitive: per-partition (or per-day) sketches of k
+  *    longs union into the global answer without rescanning data.
+  *  - Count-min (Cormode & Muthukrishnan '05): d hash rows × w
+  *    counters; point estimate = min over rows. The summary is d·w
+  *    longs REGARDLESS of data size, merges by cell-wise addition, and
+  *    only ever over-estimates (one-sided error) — the frequency
+  *    complement of the Misra-Gries candidates in
+  *    `text_frequent_tokens` (MG under-estimates, CMS over-estimates).
+  *
+  * Scale shape: the KMV per-group sketch is `row_number ≤ k` over a
+  * hash ordering, which Spark executes as WindowGroupLimit — a
+  * map-side partial top-k per partition BEFORE the shuffle, i.e. the
+  * sketch-merge dataflow (each task keeps k values, the exchange
+  * carries ≤ k·partitions rows, never the data). The CMS build is one
+  * grouped count whose key space is d·w — partial aggregation
+  * collapses each map task to ≤ d·w cells before the exchange.
+  */
+object Sketches {
+
+  /** Sketch size: 1/√(k−1) ≈ 13% expected relative error. */
+  val KmvK = 64
+
+  /** CMS geometry: 4 rows × 512 counters (ε = e/512 of the stream
+    * length, δ = e⁻⁴). */
+  val CmsD = 4
+  val CmsW = 512L
+
+  /** Hash space size 2⁴⁸ as an exact double — 12 hex digits of md5.
+    * 48 bits keeps every value exactly representable in a BIGINT and
+    * in a double (< 2⁵³), so the estimator arithmetic below is
+    * IEEE-exact on both engines. */
+  val Two48: Double = 281474976710656.0
+
+  /** 48-bit uniform hash: first 12 md5 hex digits of `prefix ‖ c`.
+    * DuckDB replay: CAST(concat('0x', substr(md5(prefix || c), 1, 12))
+    * AS BIGINT). */
+  def h48(prefix: String, c: Column): Column =
+    conv(substring(md5(concat(lit(prefix), c)), 1, 12), 16, 10).cast("long")
+
+  /** Per-group KMV distinct-cardinality estimate over `keyCol` of
+    * `df`, PLUS a `*ALL*` row whose estimate is computed purely from
+    * the per-group sketches (the lossless-merge path — the raw data is
+    * not rescanned for the global estimate). Output carries the exact
+    * distinct count next to the estimate so the error is visible and
+    * hash-pinned; at 100 TB you would drop the exact column — it is
+    * the audit baseline here, not part of the operator.
+    *
+    * Estimator: with n ≥ k distinct hashes, est = (k−1)·2⁴⁸/h_k;
+    * with n < k the sketch IS the value set — the estimate is exact
+    * by the standard KMV small-set rule. All arithmetic is integer or
+    * IEEE +,·,/ (no libm), so the doubles are bit-identical across
+    * engines; ROUND(…,6)+0 is kept as house convention only.
+    */
+  /** The per-group bottom-k sketch frame (grp, h) — split out so the
+    * WindowGroupLimit plan shape is assertable before the persist in
+    * [[kmvDistinct]] hides it behind an InMemoryRelation. */
+  def kmvSketch(df: DataFrame, grpCol: String, keyCol: String): DataFrame = {
+    val hashed = df
+      .select(col(grpCol).as("grp"), h48("kmv:", col(keyCol).cast("string")).as("h"))
+      .distinct()
+    // WindowGroupLimit: each task keeps its k smallest per group before
+    // the exchange — the sketch-merge dataflow, not a full sort.
+    hashed.withColumn("rn",
+        row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+      .select(col("grp"), col("h"))
+  }
+
+  def kmvDistinct(df: DataFrame, grpCol: String, keyCol: String): DataFrame = {
+    val byH = Window.partitionBy(col("grp")).orderBy(col("h"))
+    val sketch = kmvSketch(df, grpCol, keyCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Lossless merge: bottom-k of the union of the per-group sketches.
+    val merged = sketch.select(lit("*ALL*").as("grp"), col("h")).distinct()
+      .withColumn("rn", row_number().over(byH))
+      .filter(col("rn") <= KmvK)
+      .select(col("grp"), col("h"))
+    val est = sketch.unionByName(merged)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
+      .withColumn("kmv_est",
+        when(col("cnt") < KmvK, col("cnt").cast("double"))
+          .otherwise(round(
+            lit((KmvK - 1).toDouble) * lit(Two48) / col("hk").cast("double"), 6) + lit(0.0)))
+      .select(col("grp"), col("kmv_est"))
+    val exact = df.select(col(grpCol).as("grp"), col(keyCol).as("k")).distinct()
+      .groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
+      .unionByName(df.select(col(keyCol).as("k")).distinct()
+        .agg(count(lit(1)).as("n_exact"))
+        .select(lit("*ALL*").as("grp"), col("n_exact")))
+    val out = est.join(exact, Seq("grp")).orderBy(col("grp"))
+    out
+  }
+
+  private val cmsRows = array((0 until CmsD).map(lit): _*)
+
+  // Row r's bucket reads md5 hex digits [1+8r, 8+8r) — four
+  // independent 32-bit slices of the 128-bit digest — mod w. One hash
+  // evaluation per element instead of d (the standard CMS
+  // implementation trick; the slices are uniform and independent
+  // enough for the Cormode-Muthukrishnan bounds' purposes).
+
+  /** Stream-shaped CMS build: one (row, bucket) cell per element
+    * occurrence per row, grouped count. THE online/streaming form —
+    * key space d·w, so partial aggregation collapses every map task
+    * to ≤ d·w cells before the exchange, and counter tables from
+    * different partitions/days merge by cell-wise addition. */
+  def cmsCountersStream(toks: DataFrame): DataFrame =
+    toks.select(md5(col("tok")).as("m"), explode(cmsRows).as("r"))
+      .select(col("r"),
+        pmod(conv(expr("substring(m, 1 + 8*r, 8)"), 16, 10).cast("long"), lit(CmsW)).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** Count-min-estimated top-k heavy hitters over the corpus token
+    * stream, with the exact count alongside. Because the output
+    * carries the exact counts anyway, the counters are built from the
+    * per-token frequency table (cell += n per DISTINCT token) — the
+    * counter values are IDENTICAL to the stream build (a cell's count
+    * is the sum of its tokens' occurrence counts either way; pinned by
+    * SketchesSpec), but the ×d explode runs over the vocabulary, not
+    * the corpus: after the one unavoidable data-sized token aggregate,
+    * every downstream frame is vocab- or d·w-bounded. Probe: each
+    * distinct token takes the min over its d cells from the broadcast
+    * counter table. CMS guarantees est ≥ exact (every cell adds its
+    * collisions) — asserted in SketchesSpec and visible in the pinned
+    * output. */
+  def cmsTopTokens(docs: DataFrame, topK: Int): DataFrame = {
+    val exact = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val cells = exact
+      .select(col("tok"), col("n_exact"), md5(col("tok")).as("m"), explode(cmsRows).as("r"))
+      .withColumn("b",
+        pmod(conv(expr("substring(m, 1 + 8*r, 8)"), 16, 10).cast("long"), lit(CmsW)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counters = cells.groupBy(col("r"), col("b")).agg(sum(col("n_exact")).as("c"))
+    val out = cells.join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("c")).cast("long").as("cms_est"))
+      .orderBy(col("cms_est").desc, col("tok"))
+      .limit(topK)
+    out
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // KMV cardinality per returnflag + the sketch-merged global row.
+    // The oracle replays the hash, the bottom-k selection, the merge,
+    // and the estimator arithmetic — the ESTIMATE is hash-pinned, not
+    // just bounded. (Contrast `agg_approx_distinct`: built-in HLL++,
+    // rows-only, because its register layout is engine-private.)
+    Q("sketch_kmv_distinct",
+      s"""WITH li AS (SELECT l_returnflag AS grp, l_orderkey FROM lineitem),
+         |hashed AS (
+         |  SELECT DISTINCT grp,
+         |         CAST(concat('0x', substr(md5('kmv:' || CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |  FROM li),
+         |sk AS (
+         |  SELECT grp, h FROM (
+         |    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+         |    FROM hashed) t WHERE rn <= $KmvK),
+         |merged AS (
+         |  SELECT '*ALL*' AS grp, h FROM (
+         |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |    FROM (SELECT DISTINCT h FROM sk) u) t WHERE rn <= $KmvK),
+         |est AS (
+         |  SELECT grp, COUNT(*) AS cnt, MAX(h) AS hk
+         |  FROM (SELECT grp, h FROM sk UNION ALL SELECT grp, h FROM merged) a
+         |  GROUP BY grp),
+         |exact AS (
+         |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM (SELECT DISTINCT grp, l_orderkey FROM li) d GROUP BY grp
+         |  UNION ALL
+         |  SELECT '*ALL*', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM li)
+         |SELECT e.grp,
+         |       CASE WHEN e.cnt < $KmvK THEN CAST(e.cnt AS DOUBLE)
+         |            ELSE ROUND(CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+         |                       / CAST(e.hk AS DOUBLE), 6) + 0
+         |       END AS kmv_est,
+         |       x.n_exact
+         |FROM est e JOIN exact x ON e.grp = x.grp
+         |ORDER BY e.grp""".stripMargin) { (s, dir) =>
+      kmvDistinct(Tables.lineitem(s, dir), "l_returnflag", "l_orderkey")
+    },
+
+    // Count-min top-15 heavy hitters over document tokens, estimate
+    // and exact side by side (est ≥ exact by construction). Total
+    // order (est DESC, token) makes the k boundary deterministic.
+    Q("sketch_cms_topk",
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |exact AS (SELECT tok, COUNT(*) AS n_exact, md5(tok) AS m
+         |          FROM toks GROUP BY tok),
+         |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         |  SELECT tok, n_exact, r,
+         |         CAST(concat('0x', substr(m, 1 + 8 * r, 8)) AS BIGINT) % $CmsW AS b
+         |  FROM exact, rs),
+         |counters AS (SELECT r, b, SUM(n_exact) AS c FROM cells GROUP BY r, b)
+         |SELECT p.tok, CAST(MIN(c.c) AS BIGINT) AS cms_est,
+         |       CAST(p.n_exact AS BIGINT) AS n_exact
+         |FROM cells p JOIN counters c ON p.r = c.r AND p.b = c.b
+         |GROUP BY p.tok, p.n_exact
+         |ORDER BY cms_est DESC, tok
+         |LIMIT 15""".stripMargin) { (s, dir) =>
+      cmsTopTokens(Tables.documents(s, dir), topK = 15)
+    },
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Graphs
+
+/** Round-10 BFS hop distances: hand fixtures pin min-hop semantics,
+  * multi-seed minimum, unreachable absence, and cycle termination. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*) = es.toDF("a", "b")
+  private def seeds(ids: Long*) = ids.toDF("id")
+
+  private def run(e: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.DataFrame, maxIter: Int = 20): Map[Long, Long] =
+    Graphs.bfsHops(e, s, maxIter).as[(Long, Long)].collect().toMap
+
+  test("bfs: path graph distances, direction-free traversal") {
+    // 1-2-3-4-5, seed 1; edge 4-5 given reversed to pin undirectedness
+    val got = run(edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 4L), seeds(1L))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfs: multiple seeds take the minimum; unreachable nodes are absent") {
+    // two components: 1-2-3 (seed 1) and 10-11 (no seed); seed 3 also
+    // in the first -> node 2 is 1 hop from either side
+    val got = run(edges(1L -> 2L, 2L -> 3L, 10L -> 11L), seeds(1L, 3L))
+    assert(got === Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
+  }
+
+  test("bfs: cycles terminate and keep first-reach distances") {
+    val got = run(edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L), seeds(1L))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfs: maxIter truncates the expansion radius") {
+    val got = run(edges(1L -> 2L, 2L -> 3L, 3L -> 4L), seeds(1L), maxIter = 2)
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  private def runSssp(e: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.DataFrame,
+      w: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      maxCost: Long): Map[Long, Long] =
+    Graphs.ssspBounded(e, s, w, maxCost).as[(Long, Long)].collect().toMap
+
+  test("sssp: cheap multi-hop detour beats the expensive direct edge") {
+    // 1-4 direct costs 10; 1-2-3-4 costs 3 (unit edges)
+    val w = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      when(least(a, b) === 1L && greatest(a, b) === 4L, 10L).otherwise(1L)
+    val got = runSssp(edges(1L -> 4L, 1L -> 2L, 2L -> 3L, 3L -> 4L), seeds(1L), w, 100L)
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("sssp: maxCost truncates; cycles terminate; multi-seed minimum") {
+    val unit = (_: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column) => lit(3L)
+    // triangle 1-2-3 plus tail 3-4; seeds 1 and 4; every edge costs 3
+    val got = runSssp(edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L),
+      seeds(1L, 4L), unit, 3L)
+    // 2 is 3 from seed 1; 3 is 3 from either; nothing costs > 3
+    assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("sssp: fixture costs dominate hops and respect the bound") {
+    val docs = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"))
+    val seedsDf = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+    val hops = Graphs.bfsHops(Graphs.fixtureEdges(docs), seedsDf)
+      .withColumnRenamed("hop", "h")
+    val dist = Graphs.ssspBounded(Graphs.fixtureEdges(docs), seedsDf,
+      (a, b) => pmod(a + b, lit(5L)) + lit(1L), maxCost = 30L)
+    assert(dist.filter(col("d") > 30L).count() === 0L)
+    assert(dist.filter(col("d") === 0L).count() === seedsDf.count())
+    // weights >= 1 => cost >= hop count, for every node both produce
+    val both = dist.join(hops, dist("id") === hops("id"))
+    assert(both.count() > 0)
+    assert(both.filter(col("d") < col("h")).count() === 0L)
+  }
+
+  test("bfs: fixture reaches every seed component member within the bound") {
+    val docs = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"))
+    val seedsDf = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+    val nSeeds = seedsDf.count()
+    val got = Graphs.bfsHops(Graphs.fixtureEdges(docs), seedsDf)
+    assert(got.filter(col("hop") === 0).count() === nSeeds)
+    // sibling chains cap the eccentricity well under the default bound
+    assert(got.agg(max(col("hop"))).as[Long].head() <= 8L)
+    assert(got.count() > nSeeds)
+  }
+}

@@ -82,11 +82,13 @@ class RelationalSpec extends SparkSpec {
     // the broadcast 1-row global doc count, and stats_histogram_eqdepth
     // crosses the NDV-bounded value frame with the broadcast 1-row
     // total — the same 1-row class as text_tfidf_exact.
+    // events_cusum_alarms joins the broadcast 1-row global mean (the
+    // CUSUM target) back over the data — same 1-row class.
     val excluded = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk",
       "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact",
       "audit_key_skew", "curation_mixture_temperature",
       "curation_negative_pairs", "search_keyword_topk", "stats_histogram_eqdepth",
-      "basket_pairs_topk", "events_survival_curve")
+      "basket_pairs_topk", "events_survival_curve", "events_cusum_alarms")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
@@ -447,6 +449,37 @@ class RelationalSpec extends SparkSpec {
       .filter(col("count") > 1).count() === 0L)
     val again = Audit.scd2Merge(got, delta, "k", Seq("price"), to_date(lit("2024-07-01")))
     assert(again.collect().map(_.toSeq).toSet === got.collect().map(_.toSeq).toSet)
+  }
+
+  test("scd2AsOf: time travel reconstructs every historical state; boundary is half-open") {
+    import spark.implicits._
+    import graft.queries.Audit
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val history = Seq(
+      (1L, 10.0, d("2024-01-01"), d("2099-12-31"), 1),
+      (2L, 20.0, d("2024-01-01"), d("2099-12-31"), 1),
+      (4L, 5.0, d("2023-01-01"), d("2024-01-01"), 0),
+      (4L, 6.0, d("2024-01-01"), d("2099-12-31"), 1))
+      .toDF("k", "price", "valid_from", "valid_to", "is_current")
+    val delta = Seq((1L, 11.0), (9L, 90.0)).toDF("k", "price")
+    val merged = Audit.scd2Merge(history, delta, "k", Seq("price"), to_date(lit("2024-06-01")))
+    def snap(at: String): Set[(Long, Double)] =
+      Audit.scd2AsOf(merged, to_date(lit(at)))
+        .select("k", "price").as[(Long, Double)].collect().toSet
+    // before day one of key 4's second version: its FIRST version shows
+    assert(snap("2023-06-01") === Set((4L, 5.0)))
+    // pre-merge: the day-one current state, including the to-be-closed 1
+    assert(snap("2024-03-01") === Set((1L, 10.0), (2L, 20.0), (4L, 6.0)))
+    // post-merge: updated 1, inserted 9
+    assert(snap("2024-07-01") === Set((1L, 11.0), (2L, 20.0), (4L, 6.0), (9L, 90.0)))
+    // half-open boundary: AT the merge instant the new version is
+    // already current and the closed one is gone
+    assert(snap("2024-06-01") === Set((1L, 11.0), (2L, 20.0), (4L, 6.0), (9L, 90.0)))
+    // a snapshot is always one row per key
+    Seq("2023-06-01", "2024-03-01", "2024-06-01", "2024-07-01").foreach { at =>
+      assert(Audit.scd2AsOf(merged, to_date(lit(at)))
+        .groupBy("k").count().filter(col("count") > 1).count() === 0L, at)
+    }
   }
 
   test("madOutliers: hand fixture exact; extreme value can't drag the median") {

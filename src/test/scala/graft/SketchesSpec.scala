@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Sketches
+
+/** Round-10 mergeable sketches: KMV small-set exactness, lossless
+  * merge, estimator accuracy, and the WindowGroupLimit (map-side
+  * partial top-k) plan shape; CMS one-sided error, bounded summary
+  * size, and heavy-hitter recovery. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmv: below-k groups are exact (the sketch IS the set)") {
+    val df = ((1 to 10).map(i => ("a", i)) ++ (1 to 3).map(i => ("b", i * 100)))
+      .toDF("g", "k")
+    val got = Sketches.kmvDistinct(df, "g", "k").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got("a") === ((10.0, 10L)))
+    assert(got("b") === ((3.0, 3L)))
+    // 13 distinct keys overall (hash collisions impossible to matter
+    // below k) — the merged row is exact too
+    assert(got("*ALL*") === ((13.0, 13L)))
+  }
+
+  test("kmv: merge of per-group sketches equals the sketch of the union") {
+    // Same keys presented (a) split across 3 groups and (b) as one
+    // group: the *ALL* estimate must be IDENTICAL — bottom-k of
+    // bottom-k sketches is bottom-k of the union, the lossless-merge
+    // property that makes KMV the distributed cardinality primitive.
+    val keys = (1 to 2000).map(i => i * 7919)
+    val split = keys.map(i => (s"g${i % 3}", i)).toDF("g", "k")
+    val one = keys.map(i => ("all", i)).toDF("g", "k")
+    val viaMerge = Sketches.kmvDistinct(split, "g", "k")
+      .filter(col("grp") === "*ALL*").select("kmv_est").as[Double].head()
+    val direct = Sketches.kmvDistinct(one, "g", "k")
+      .filter(col("grp") === "all").select("kmv_est").as[Double].head()
+    assert(viaMerge === direct)
+  }
+
+  test("kmv: estimate lands within the sketch's error regime") {
+    // 1/sqrt(k-1) ~ 13% expected rel-err at k=64; allow 4 sigma.
+    val got = Sketches.kmvDistinct(Tables.lineitem(spark, sf("sf0.001")),
+      "l_returnflag", "l_orderkey").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (est, exact) = (r.getDouble(1), r.getLong(2))
+      assert(exact > Sketches.KmvK, s"fixture too small for ${r.getString(0)}")
+      assert(math.abs(est - exact) / exact < 0.52,
+        s"grp=${r.getString(0)} est=$est exact=$exact")
+    }
+  }
+
+  test("kmv: plans a WindowGroupLimit — per-map bottom-k before the exchange") {
+    // orders, not lineitem: kmvDistinct in the sibling test PERSISTS
+    // the lineitem sketch, and the cache manager would swap this
+    // identical plan for the InMemoryRelation, hiding the shape.
+    val df = Sketches.kmvSketch(Tables.orders(spark, sf("sf0.001")),
+      "o_orderstatus", "o_custkey")
+    df.collect()
+    val plan = collectPlan(df.queryExecution.executedPlan)
+    assert(plan.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
+      "kmv sketch should select bottom-k via WindowGroupLimit, not a full sort")
+  }
+
+  test("cms: hand fixture — estimates never undercount, heavy hitter on top") {
+    val docs = Seq(
+      (1L, "a a a a a b c"),
+      (2L, "a a b d e"),
+      (3L, "a c d")).toDF("doc_id", "text")
+    val got = Sketches.cmsTopTokens(docs, topK = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = Map("a" -> 8L, "b" -> 2L, "c" -> 2L, "d" -> 2L, "e" -> 1L)
+    assert(got.map(_._1).toSet === exact.keySet)
+    got.foreach { case (tok, nExact, est) =>
+      assert(nExact === exact(tok))
+      assert(est >= nExact, s"CMS undercounted $tok: $est < $nExact")
+    }
+    // est-desc, token-asc total order puts the (collision-inflated or
+    // exact) heaviest token first; with 4x512 cells vs 5 tokens the
+    // top estimate is a's
+    assert(got.head._1 === "a")
+  }
+
+  test("cms: corpus probe — one-sided error everywhere, summary stays d*w-bounded") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val all = Sketches.cmsTopTokens(docs, topK = 1000000).collect()
+    assert(all.nonEmpty)
+    all.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted ${r.getString(0)}")
+    }
+    // declared top-15 contains the exact top-5 (collision noise is
+    // bounded by eps*N/w spread over 4 independent rows)
+    val top15ByEst = all.sortBy(r => (-r.getLong(2), r.getString(0))).take(15)
+      .map(_.getString(0)).toSet
+    val top5ByExact = all.sortBy(r => (-r.getLong(1), r.getString(0))).take(5)
+      .map(_.getString(0)).toSet
+    assert(top5ByExact.subsetOf(top15ByEst))
+    // the counter table itself is the bounded summary
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val counters = Sketches.cmsCountersStream(toks)
+    assert(counters.count() <= Sketches.CmsD * Sketches.CmsW)
+  }
+
+  test("cms: frequency-table build equals the stream build cell for cell") {
+    // The declared query builds counters from per-token counts (the
+    // exact table is in the output anyway); the online form builds
+    // from the raw stream. A cell's value is the sum of its tokens'
+    // occurrence counts either way — pin the identity.
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val stream = Sketches.cmsCountersStream(toks)
+    val fromCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .select(col("tok"), col("n_exact"), md5(col("tok")).as("m"),
+        explode(array((0 until Sketches.CmsD).map(lit): _*)).as("r"))
+      .withColumn("b",
+        pmod(conv(expr("substring(m, 1 + 8*r, 8)"), 16, 10).cast("long"),
+          lit(Sketches.CmsW)))
+      .groupBy(col("r"), col("b")).agg(sum(col("n_exact")).as("c"))
+    val diff = stream.withColumnRenamed("c", "c1")
+      .join(fromCounts.withColumnRenamed("c", "c2"), Seq("r", "b"), "full_outer")
+      .filter(!(col("c1") <=> col("c2")))
+    assert(diff.count() === 0L)
+  }
+}
