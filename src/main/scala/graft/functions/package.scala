@@ -204,6 +204,16 @@ package object functions {
       MisraGries(GraftBridge.expression(c), k).toAggregateExpression())
   }
 
+  /** Bottom-k distinct-longs KMV sketch aggregate: ≤ k values of
+    * state per group regardless of input size, lossless merge, sorted
+    * ascending array out. The streaming/single-pass twin of
+    * `queries/Sketches.kmvSketch` (pinned equal in FunctionsSpec). */
+  def bottom_k(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      BottomK(GraftBridge.expression(c), k).toAggregateExpression())
+  }
+
   private[functions] def quantileArg(e: Expression): Double = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"exact_quantile: second argument must be a numeric literal, got non-foldable expression $e")
@@ -244,6 +254,10 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "normalize_nfc",
       exprs => NormalizeNFC(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bottom_k",
+      exprs => BottomK(exprs.head, intArg(exprs(1), "bottom_k: k"))
+        .toAggregateExpression(), "built-in")
   }
 }
 

@@ -188,6 +188,29 @@ object Audit {
   def scd2AsOf(history: DataFrame, asOf: Column): DataFrame =
     history.filter(col("valid_from") <= asOf && asOf < col("valid_to"))
 
+  /** k-anonymity audit over quasi-identifier columns — the
+    * privacy/compliance gate a training-data pipeline runs before
+    * release: a row is k-anonymous iff its quasi-identifier (QI)
+    * combination is shared by ≥ k rows, so any cell with n < k
+    * re-identifies its members and must be suppressed or generalized.
+    * Two grouped aggregates: per-QI-cell counts (the only data-sized
+    * stage — one shuffle on the QI key), then the report rollup over
+    * the cell frame (cell-domain-sized). Reports per `reportCol`:
+    * cells, rows, risky cells (n < k), and the rows those cells
+    * expose — the numbers that decide between suppression (drop
+    * them) and generalization (coarsen a QI column and re-audit). */
+  def kAnonymity(df: DataFrame, reportCol: Column, qi: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"kAnonymity: k must be >= 1, got $k")
+    val cells = df.groupBy((reportCol.as("report") +: qi): _*)
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy(col("report"))
+      .agg(
+        count(lit(1)).as("cells"),
+        sum(col("n")).cast("long").as("n_rows"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).cast("long").as("risky_cells"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).cast("long").as("suppressed_rows"))
+  }
+
   /** Exact equi-depth histogram over a BOUNDED-domain column — the
     * ANALYZE-style stats a cost-based optimizer and a skew planner
     * both feed on. Depth buckets (≈ n/B rows each) beat equi-width on
@@ -573,8 +596,8 @@ object Audit {
     // 2024-07-01 (post-merge — doubled %10==3 prices, %17==0 inserts
     // present, no superseded row leaks through). The oracle replays
     // the merge and both interval filters, so every snapshot row is
-    // hash-pinned; AuditSpec additionally pins snapshot(pre) ==
-    // original and snapshot(post) == upsert-applied state frame-wise.
+    // hash-pinned; RelationalSpec additionally pins the half-open
+    // boundary and one-row-per-key per snapshot on a hand fixture.
     Q("audit_scd2_asof",
       """WITH hist AS (
         |  SELECT o_orderkey, o_totalprice, DATE '2024-01-01' AS valid_from,
@@ -627,6 +650,34 @@ object Audit {
             col("o_orderkey"), col("o_totalprice"))
       }.reduce(_ unionByName _)
         .orderBy(col("snap_date"), col("o_orderkey"))
+    },
+
+    // k-anonymity audit of customers under the QI (nation, segment,
+    // 1000-unit balance band), k=5, reported per nation: how many QI
+    // cells re-identify their members and how many rows a
+    // suppression release would drop. The band keeps the cell domain
+    // bounded (the audit's own contract) and the floor-of-division
+    // arithmetic replays exactly.
+    Q("audit_k_anonymity",
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |         COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey,
+        |       CAST(COUNT(*) AS BIGINT) AS cells,
+        |       CAST(SUM(n) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_cells,
+        |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS suppressed_rows
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      kAnonymity(Tables.customer(s, dir),
+        col("c_nationkey"),
+        Seq(col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+        k = 5)
+        .select(col("report").as("c_nationkey"), col("cells"),
+          col("n_rows"), col("risky_cells"), col("suppressed_rows"))
+        .orderBy(col("c_nationkey"))
     },
 
     // Equi-depth histogram of lineitem quantity (NDV 50) in 8 depth

@@ -125,6 +125,30 @@ object Relational {
         (round(col("sd").cast("double") / col("n"), 6) + lit(0.0)).as("avg_val"))
   }
 
+  /** Insert-only incremental maintenance of a JOIN view — the join
+    * half of the materialized-view story ([[deltaRefresh]] is the
+    * aggregate half): for V = A ⋈ B and insert-deltas dA, dB,
+    *
+    *   V' = V ∪ (dA ⋈ B) ∪ (A ⋈ dB) ∪ (dA ⋈ dB)
+    *
+    * — every new term joins a DELTA against the other side's base (or
+    * the other delta), so a refresh scans the deltas plus index-sized
+    * probes of the bases, never recomputing A ⋈ B. At 100 TB with
+    * both bases bucketed on the key, each delta term is a map-side
+    * stitch against one bucket file per delta partition. Insert-only
+    * is the classic streaming-append regime; updates/deletes need
+    * retraction rows (signed multiplicities) on top of the same
+    * algebra. The declared query's oracle runs the FULL recompute of
+    * (A ∪ dA) ⋈ (B ∪ dB) — the hash match is the losslessness proof,
+    * the same certificate shape as `agg_delta_refresh`. */
+  def incrementalJoinView(
+      view: DataFrame, a: DataFrame, b: DataFrame,
+      dA: DataFrame, dB: DataFrame, keyCol: String): DataFrame =
+    view
+      .unionByName(dA.join(b, Seq(keyCol)))
+      .unionByName(a.join(dB, Seq(keyCol)))
+      .unionByName(dA.join(dB, Seq(keyCol)))
+
   private def r6(c: Column): Column = round(c, 6) + lit(0.0)
 
   val defs: Seq[Q] = Seq(
@@ -220,6 +244,57 @@ object Relational {
         orders.filter(col("o_orderdate") >= cut),
         "o_orderpriority", "o_totalprice")
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Incremental JOIN-view maintenance: the engine keeps the
+    // materialized orders⋈lineitem view and applies planted insert
+    // deltas on BOTH sides (re-keyed %17 orders with their re-keyed
+    // child lines, plus %7 new lines for EXISTING orders) via the
+    // three delta terms — the base join is never recomputed. The
+    // oracle does the full (A∪dA)⋈(B∪dB) recompute; hash equality of
+    // the rollup proves the incremental algebra lossless.
+    Q("join_view_refresh",
+      """WITH a0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |da AS (
+        |  SELECT o_orderkey + 200000000 AS o_orderkey, o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |b0 AS (SELECT l_orderkey AS o_orderkey, l_quantity FROM lineitem),
+        |db AS (
+        |  SELECT l_orderkey AS o_orderkey, l_quantity + 5 AS l_quantity
+        |  FROM lineitem WHERE l_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey + 200000000, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 17 = 0),
+        |v AS (
+        |  SELECT a.o_orderstatus, a.o_totalprice, b.l_quantity
+        |  FROM (SELECT * FROM a0 UNION ALL SELECT * FROM da) a
+        |  JOIN (SELECT * FROM b0 UNION ALL SELECT * FROM db) b USING (o_orderkey))
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val a = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val dA = Tables.orders(s, dir).filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+          col("o_orderstatus"), (col("o_totalprice") * 2).as("o_totalprice"))
+      val dB = Tables.lineitem(s, dir).filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").as("o_orderkey"),
+          (col("l_quantity") + 5).as("l_quantity"))
+        .unionByName(Tables.lineitem(s, dir).filter(col("l_orderkey") % 17 === 0)
+          .select((col("l_orderkey") + 200000000L).as("o_orderkey"),
+            col("l_quantity")))
+      val view = a.join(b, Seq("o_orderkey"))
+      incrementalJoinView(view, a, b, dA, dB, "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     },
 
     // A2 (star variant): two-level aggregate — per-day revenue, then

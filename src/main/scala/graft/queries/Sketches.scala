@@ -163,6 +163,70 @@ object Sketches {
     out
   }
 
+  /** Theta-sketch-style SET OPERATIONS from per-group KMV sketches:
+    * for every group pair (g1 < g2), estimate |A ∪ B| and |A ∩ B|
+    * using ONLY the two k-long sketches — the distributed form of
+    * "how much do these partitions/days/sources overlap" that never
+    * rescans (or even co-shuffles) the data sides. Union: bottom-k of
+    * the two sketches' union, est = (k−1)·2⁴⁸/θ (θ = that sketch's
+    * k-th min — the KMV estimator again, valid because bottom-k
+    * merge is lossless). Intersection: count the hash values present
+    * in BOTH sketches below θ — each is a uniform sample point of
+    * A ∪ B at threshold θ, so est = c·2⁴⁸/θ (Theta-sketch
+    * intersection, Dasgupta et al.); error scales with |A ∪ B|, not
+    * |A ∩ B| — the documented sketch trade. Below k the sketches ARE
+    * the hash sets and both estimates are exact. Exact baselines ride
+    * along for the driver to pin the error (audit harness, as in
+    * [[kmvDistinct]]); the per-key exact-intersection join fans out
+    * |groups-containing-key|² per key — bounded by the group-count
+    * domain (3 flags here), the regime the exact side is for. */
+  def kmvSetOps(df: DataFrame, grpCol: String, keyCol: String): DataFrame = {
+    val sk = kmvSketch(df, grpCol, keyCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = sk.select(col("grp")).distinct()
+    val pairs = groups.select(col("grp").as("g1"))
+      .join(groups.select(col("grp").as("g2")), col("g1") < col("g2"))
+    val s1 = sk.select(col("grp").as("g1"), col("h"))
+    val s2 = sk.select(col("grp").as("g2"), col("h"))
+    val ha = pairs.join(s1, Seq("g1")).select(col("g1"), col("g2"), col("h"))
+    val hb = pairs.join(s2, Seq("g2")).select(col("g1"), col("g2"), col("h"))
+    val byPair = Window.partitionBy(col("g1"), col("g2")).orderBy(col("h"))
+    val theta = ha.unionByName(hb).distinct()
+      .withColumn("rn", row_number().over(byPair)).filter(col("rn") <= KmvK)
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("cnt_u"), max(col("h")).as("theta"))
+    val common = ha.join(hb, Seq("g1", "g2", "h"))
+    val cBelow = common.join(theta, Seq("g1", "g2"))
+      .filter(col("h") <= col("theta"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("c"))
+    val est = theta.join(cBelow, Seq("g1", "g2"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .withColumn("est_union",
+        when(col("cnt_u") < KmvK, col("cnt_u").cast("double"))
+          .otherwise(round(
+            lit((KmvK - 1).toDouble) * lit(Two48) / col("theta").cast("double"), 6) + lit(0.0)))
+      .withColumn("est_intersect",
+        when(col("cnt_u") < KmvK, col("c").cast("double"))
+          .otherwise(round(
+            col("c").cast("double") * lit(Two48) / col("theta").cast("double"), 6) + lit(0.0)))
+    val dk = df.select(col(grpCol).as("g"), col(keyCol).as("k")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ng = dk.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val ni = dk.select(col("g").as("g1"), col("k"))
+      .join(dk.select(col("g").as("g2"), col("k")), Seq("k"))
+      .filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("n_intersect"))
+    est
+      .join(ng.select(col("g").as("g1"), col("n").as("n1")), Seq("g1"))
+      .join(ng.select(col("g").as("g2"), col("n").as("n2")), Seq("g2"))
+      .join(ni, Seq("g1", "g2"), "left_outer")
+      .na.fill(0L, Seq("n_intersect"))
+      .withColumn("n_union", (col("n1") + col("n2") - col("n_intersect")).cast("long"))
+      .select(col("g1"), col("g2"), col("est_union"), col("est_intersect"),
+        col("n_union"), col("n_intersect").cast("long").as("n_intersect"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // KMV cardinality per returnflag + the sketch-merged global row.
@@ -202,6 +266,66 @@ object Sketches {
          |FROM est e JOIN exact x ON e.grp = x.grp
          |ORDER BY e.grp""".stripMargin) { (s, dir) =>
       kmvDistinct(Tables.lineitem(s, dir), "l_returnflag", "l_orderkey")
+    },
+
+    // Pairwise union/intersection cardinalities of the per-returnflag
+    // orderkey sets, estimated from the 64-long sketches alone
+    // (orders genuinely straddle flags, so the intersections are
+    // non-trivial); exact baselines alongside. Every hash, bottom-k
+    // selection, theta, and the IEEE estimator arithmetic replay in
+    // DuckDB — the ESTIMATES are hash-pinned.
+    Q("sketch_kmv_setops",
+      s"""WITH li AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS k FROM lineitem),
+         |hd AS (
+         |  SELECT DISTINCT g,
+         |         CAST(concat('0x', substr(md5('kmv:' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |  FROM li),
+         |sk AS (
+         |  SELECT g, h FROM (
+         |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+         |    FROM hd) t WHERE rn <= $KmvK),
+         |pairs AS (
+         |  SELECT a.g AS g1, b.g AS g2
+         |  FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b
+         |    ON a.g < b.g),
+         |u AS (SELECT DISTINCT p.g1, p.g2, s.h
+         |      FROM pairs p JOIN sk s ON s.g = p.g1 OR s.g = p.g2),
+         |usk AS (
+         |  SELECT g1, g2, h FROM (
+         |    SELECT g1, g2, h, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+         |    FROM u) t WHERE rn <= $KmvK),
+         |th AS (SELECT g1, g2, COUNT(*) AS cnt_u, MAX(h) AS theta
+         |       FROM usk GROUP BY 1, 2),
+         |common AS (
+         |  SELECT p.g1, p.g2, s1.h
+         |  FROM pairs p
+         |  JOIN sk s1 ON s1.g = p.g1
+         |  JOIN sk s2 ON s2.g = p.g2 AND s2.h = s1.h),
+         |cc AS (
+         |  SELECT c.g1, c.g2, COUNT(*) AS c
+         |  FROM common c JOIN th ON c.g1 = th.g1 AND c.g2 = th.g2 AND c.h <= th.theta
+         |  GROUP BY 1, 2),
+         |ng AS (SELECT g, COUNT(*) AS n FROM li GROUP BY g),
+         |ni AS (
+         |  SELECT a.g AS g1, b.g AS g2, COUNT(*) AS n_intersect
+         |  FROM li a JOIN li b ON a.k = b.k AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT th.g1, th.g2,
+         |  CASE WHEN th.cnt_u < $KmvK THEN CAST(th.cnt_u AS DOUBLE)
+         |       ELSE ROUND(CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+         |                  / CAST(th.theta AS DOUBLE), 6) + 0 END AS est_union,
+         |  CASE WHEN th.cnt_u < $KmvK THEN CAST(COALESCE(cc.c, 0) AS DOUBLE)
+         |       ELSE ROUND(CAST(COALESCE(cc.c, 0) AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+         |                  / CAST(th.theta AS DOUBLE), 6) + 0 END AS est_intersect,
+         |  CAST(n1.n + n2.n - COALESCE(ni.n_intersect, 0) AS BIGINT) AS n_union,
+         |  CAST(COALESCE(ni.n_intersect, 0) AS BIGINT) AS n_intersect
+         |FROM th
+         |JOIN ng n1 ON n1.g = th.g1
+         |JOIN ng n2 ON n2.g = th.g2
+         |LEFT JOIN cc ON cc.g1 = th.g1 AND cc.g2 = th.g2
+         |LEFT JOIN ni ON ni.g1 = th.g1 AND ni.g2 = th.g2
+         |ORDER BY th.g1, th.g2""".stripMargin) { (s, dir) =>
+      kmvSetOps(Tables.lineitem(s, dir), "l_returnflag", "l_orderkey")
     },
 
     // Count-min top-15 heavy hitters over document tokens, estimate

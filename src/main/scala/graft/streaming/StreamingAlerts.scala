@@ -276,6 +276,125 @@ object StreamingAlerts {
         .orderBy(col("day"))
     },
 
+    // STREAMING KMV cardinality (round 10): per-day distinct
+    // (user, event_type) estimate where the state store holds exactly
+    // the 64-long bottom-k sketch per day — the `bottom_k`
+    // TypedImperativeAggregate through the real streaming engine.
+    // This is the op's reason to exist: an exact streaming distinct
+    // keeps EVERY key in state (unbounded); the sketch state is O(k)
+    // per group forever, and the estimate is still deterministic
+    // enough to share the batch oracle (same md5 hashes, same
+    // bottom-k, same IEEE estimator arithmetic — micro-batch arrival
+    // order cannot change a bottom-k set). Complete mode because the
+    // finite replay emits the final table; unbounded, the same plan
+    // runs in update mode emitting refined estimates per trigger.
+    Q("streaming_kmv_distinct",
+      """WITH hd AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR) || ':' || event_type), 1, 12)) AS BIGINT) AS h
+        |  FROM events),
+        |sk AS (
+        |  SELECT day, h FROM (
+        |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        |    FROM hd) t WHERE rn <= 64),
+        |est AS (SELECT day, COUNT(*) AS cnt, MAX(h) AS hk FROM sk GROUP BY day)
+        |SELECT day,
+        |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |       ELSE ROUND(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |                  / CAST(hk AS DOUBLE), 6) + 0 END AS kmv_est,
+        |  CAST(cnt AS BIGINT) AS n_sketch
+        |FROM est ORDER BY day""".stripMargin) { (s, dir) =>
+      val name = "stream_kmv_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val h = conv(substring(md5(concat(lit("kmv:"),
+        col("user_id").cast("string"), lit(":"), col("event_type"))), 1, 12), 16, 10)
+        .cast("long")
+      val q = eventsStream(s, dir)
+        .select(to_date(col("ts")).as("day"), h.as("h"))
+        .groupBy(col("day"))
+        .agg(graft.functions.bottom_k(col("h"), 64).as("sk"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("day"), size(col("sk")).cast("long").as("cnt"),
+          element_at(col("sk"), -1).as("hk")) // ascending sketch: last = k-th min
+        .withColumn("kmv_est",
+          when(col("cnt") < 64, col("cnt").cast("double"))
+            .otherwise(round(
+              lit(63.0) * lit(281474976710656.0) / col("hk").cast("double"), 6) + lit(0.0)))
+        .select(col("day"), col("kmv_est"), col("cnt").as("n_sketch"))
+        .orderBy(col("day"))
+    },
+
+    // STREAMING CMS watchlist monitor (round 10): the count-min
+    // counter table as a complete-mode streaming aggregate — state is
+    // the d·w = 2048 cells REGARDLESS of stream length (the other
+    // bounded-state sketch, pairing with streaming_kmv_distinct's
+    // bottom-k) — probed batch-side for a fixed watchlist's estimated
+    // frequencies. Cell-wise counts are arrival-order-invariant, so
+    // the streaming build shares the deterministic batch oracle; the
+    // exact counts ride along as the audit columns. On an unbounded
+    // stream the same plan runs in update mode and the probe reads
+    // the live counter table — a constant-memory frequency monitor.
+    Q("streaming_cms_watchlist",
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |counters AS (
+        |  SELECT r,
+        |         CAST(concat('0x', substr(md5(tok), 1 + 8 * r, 8)) AS BIGINT) % 512 AS b,
+        |         COUNT(*) AS c
+        |  FROM toks, rs GROUP BY 1, 2),
+        |watch AS (SELECT unnest(['the', 'a', 'of', 'and', 'to',
+        |                         'in', 'is', 'on', 'for', 'with']) AS tok),
+        |probes AS (
+        |  SELECT w.tok, r.r,
+        |         CAST(concat('0x', substr(md5(w.tok), 1 + 8 * r.r, 8)) AS BIGINT) % 512 AS b
+        |  FROM watch w, rs r),
+        |exact AS (
+        |  SELECT w.tok, COUNT(t.tok) AS n_exact
+        |  FROM watch w LEFT JOIN toks t ON t.tok = w.tok GROUP BY w.tok)
+        |SELECT p.tok, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_est,
+        |       CAST(x.n_exact AS BIGINT) AS n_exact
+        |FROM probes p
+        |LEFT JOIN counters c ON c.r = p.r AND c.b = p.b
+        |JOIN exact x ON x.tok = p.tok
+        |GROUP BY p.tok, x.n_exact
+        |ORDER BY p.tok""".stripMargin) { (s, dir) =>
+      val name = "stream_cms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = docsStream(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(md5(col("tok")).as("m"),
+          explode(array((0 until 4).map(lit): _*)).as("r"))
+        .select(col("r"),
+          pmod(conv(expr("substring(m, 1 + 8*r, 8)"), 16, 10).cast("long"), lit(512L)).as("b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import s.implicits._
+      val watch = Seq("the", "a", "of", "and", "to",
+        "in", "is", "on", "for", "with").toDF("tok")
+      val probes = watch
+        .select(col("tok"), md5(col("tok")).as("m"),
+          explode(array((0 until 4).map(lit): _*)).as("r"))
+        .withColumn("b",
+          pmod(conv(expr("substring(m, 1 + 8*r, 8)"), 16, 10).cast("long"), lit(512L)))
+      // right join against the watchlist so a token with ZERO
+      // occurrences still reports (n_exact 0), mirroring the oracle's
+      // LEFT JOIN + COUNT(t.tok); the presence column makes the
+      // zero-count arithmetic explicit
+      val exact = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"), lit(1L).as("one"))
+        .join(watch, Seq("tok"), "right_outer")
+        .groupBy(col("tok")).agg(sum(coalesce(col("one"), lit(0L))).as("n_exact"))
+      probes.join(s.table(name), Seq("r", "b"), "left_outer")
+        .groupBy(col("tok"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+        .join(exact, Seq("tok"))
+        .select(col("tok"), col("cms_est"), col("n_exact").cast("long").as("n_exact"))
+        .orderBy(col("tok"))
+    },
+
     // STREAMING last-touch attribution (round 9) under the SAME
     // oracle as the batch window query: the per-user 2-long state
     // machine replayed through the real engine must hash-match the

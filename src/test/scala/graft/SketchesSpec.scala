@@ -63,6 +63,36 @@ class SketchesSpec extends SparkSpec {
       "kmv sketch should select bottom-k via WindowGroupLimit, not a full sort")
   }
 
+  test("kmv setops: below-k pairs are exact; planted overlap recovered") {
+    // Sets below k=64, so sketches ARE the hash sets and both
+    // estimates must be EXACT: A = 1..40, B = 21..60 (∩ = 20),
+    // C = 1000..1019 disjoint from both.
+    val df = ((1 to 40).map(i => ("A", i.toLong)) ++
+      (21 to 60).map(i => ("B", i.toLong)) ++
+      (1000 to 1019).map(i => ("C", i.toLong))).toDF("g", "k")
+    val got = Sketches.kmvSetOps(df, "g", "k").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(("A", "B")) === ((60.0, 20.0, 60L, 20L)))
+    assert(got(("A", "C")) === ((60.0, 0.0, 60L, 0L)))
+    assert(got(("B", "C")) === ((60.0, 0.0, 60L, 0L)))
+  }
+
+  test("kmv setops: estimate regime lands within the union-scaled error band") {
+    val got = Sketches.kmvSetOps(Tables.lineitem(spark, sf("sf0.001")),
+      "l_returnflag", "l_orderkey").collect()
+    assert(got.length === 3) // 3 flags -> 3 pairs
+    got.foreach { r =>
+      val (estU, estI) = (r.getDouble(2), r.getDouble(3))
+      val (nU, nI) = (r.getLong(4), r.getLong(5))
+      assert(nI > 0, "fixture intersections must be non-trivial")
+      // union: the KMV regime (4 sigma of 1/sqrt(k-1))
+      assert(math.abs(estU - nU) / nU < 0.52, s"union est=$estU exact=$nU")
+      // intersection error scales with the UNION size (theta trade)
+      assert(math.abs(estI - nI) <= 0.52 * nU, s"inter est=$estI exact=$nI union=$nU")
+    }
+  }
+
   test("cms: hand fixture — estimates never undercount, heavy hitter on top") {
     val docs = Seq(
       (1L, "a a a a a b c"),
