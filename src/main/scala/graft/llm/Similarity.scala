@@ -608,7 +608,77 @@ object Similarity {
       .limit(kResults)
   }
 
+  /** Dataset-drift monitor: cosine alignment of each label-slice's
+    * centroid against the global centroid — the embedding-space
+    * check a training pipeline runs per source/shard/day to catch
+    * distribution shift before it poisons a mixture. Float means are
+    * partial-sum-order-dependent (cross-engine ulp drift), so the
+    * centroids are computed in EXACT arithmetic: components
+    * micro-quantized to integers with the explicit floor(x·10⁶ + 0.5)
+    * convention (the `embed_quantize_error` rounding idiom), summed
+    * as longs (associative — any partition order), and because
+    * cosine is scale-invariant the SUM vector stands in for the mean
+    * with no division; dot/norms accumulate in decimal, and the only
+    * float ops are the final casts, sqrts, and one division — all
+    * IEEE-correctly-rounded, so the monitor value itself is
+    * hash-checkable. One shuffle on (label, dim) + a dim-keyed
+    * broadcast-sized join; everything after the cell aggregate is
+    * (|labels|·dim)-sized. */
+  def labelDrift(emb: DataFrame): DataFrame = {
+    val cells = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("label"), (col("p") + 1).as("dim"),
+        floor(col("x").cast("double") * 1000000 + lit(0.5)).cast("long").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ls = cells.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).cast("decimal(18,0)").as("s"))
+    val gs = cells.groupBy(col("dim"))
+      .agg(sum(col("q")).cast("decimal(18,0)").as("g"))
+    val agg = ls.join(broadcast(gs), Seq("dim"))
+      .groupBy(col("label"))
+      .agg(
+        sum(col("s") * col("g")).as("dot"),
+        sum(col("s") * col("s")).as("na"),
+        sum(col("g") * col("g")).as("nb"))
+    val nv = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    agg.join(nv, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        when(col("na") === 0 || col("nb") === 0, lit(0.0))
+          .otherwise(round(
+            col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+            + lit(0.0)).as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Per-label centroid alignment vs the global centroid, exact
+    // micro-quantized arithmetic end to end — the drift ESTIMATE is
+    // hash-pinned, not just bounded (see labelDrift's scaladoc).
+    Q("embed_label_drift",
+      """WITH cells AS (
+        |  SELECT label, i AS dim,
+        |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |ls AS (SELECT label, dim, CAST(SUM(q) AS DECIMAL(18,0)) AS s
+        |       FROM cells GROUP BY 1, 2),
+        |gs AS (SELECT dim, CAST(SUM(q) AS DECIMAL(18,0)) AS g
+        |       FROM cells GROUP BY 1),
+        |agg AS (
+        |  SELECT l.label, SUM(l.s * g.g) AS dot, SUM(l.s * l.s) AS na,
+        |         SUM(g.g * g.g) AS nb
+        |  FROM ls l JOIN gs g USING (dim) GROUP BY 1),
+        |nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT a.label, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+        |       CASE WHEN a.na = 0 OR a.nb = 0 THEN CAST(0 AS DOUBLE)
+        |            ELSE ROUND(CAST(a.dot AS DOUBLE)
+        |                       / (sqrt(CAST(a.na AS DOUBLE)) * sqrt(CAST(a.nb AS DOUBLE))), 6) + 0
+        |       END AS drift_cos
+        |FROM agg a JOIN nv USING (label)
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      labelDrift(Tables.embeddings(s, dir))
+    },
 
     // Exact brute-force cosine top-20 vs vec 0 — oracle-checked against
     // DuckDB's list_cosine_similarity over DOUBLE[].

@@ -188,6 +188,28 @@ object Audit {
   def scd2AsOf(history: DataFrame, asOf: Column): DataFrame =
     history.filter(col("valid_from") <= asOf && asOf < col("valid_to"))
 
+  /** Per-row temporal join against an SCD-2 history: each fact row is
+    * enriched with the dimension version current AT THE ROW'S OWN
+    * time — [[scd2AsOf]] generalized from one global instant to
+    * per-row instants (the warehouse "join events to the profile as
+    * it was then", the query pattern SCD-2 histories are BUILT for).
+    * Equi-join on the key plus the half-open interval predicate; the
+    * non-equi part filters within a key's own (short) version chain,
+    * so cost is the equi-join's — per-key version counts are bounded
+    * by change frequency, not data size. For adversarially long
+    * chains use the as-of native operator instead (`join_asof_native`
+    * is the sorted-merge form of the same question against event
+    * streams). Versions partition time, so each fact matches at most
+    * one version (exactly one when its instant is covered). */
+  def scd2TemporalJoin(
+      facts: DataFrame, history: DataFrame, keyCol: String, atCol: String): DataFrame = {
+    val h = history.withColumnRenamed(keyCol, "__scd2_key")
+    facts.join(h,
+      facts(keyCol) === h("__scd2_key") &&
+        h("valid_from") <= facts(atCol) && facts(atCol) < h("valid_to"))
+      .drop("__scd2_key")
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the
     * privacy/compliance gate a training-data pipeline runs before
     * release: a row is k-anonymous iff its quasi-identifier (QI)
@@ -650,6 +672,55 @@ object Audit {
             col("o_orderkey"), col("o_totalprice"))
       }.reduce(_ unionByName _)
         .orderBy(col("snap_date"), col("o_orderkey"))
+    },
+
+    // Temporal enrichment: every event joins the user-profile tier
+    // current ON ITS OWN DAY — the history comes out of the real
+    // scd2Merge (base 'std' tiers, %3 users upgraded to 'pro' on
+    // 2024-01-15, mid-way through the one-month event range), so
+    // upgraded users contribute events to BOTH tiers split at the
+    // upgrade date; n_users pins that (std counts every user, pro
+    // only the upgraded third). The oracle constructs the same
+    // two-version history directly and replays the interval join.
+    Q("join_scd2_temporal",
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |hist AS (
+        |  SELECT user_id, 'std' AS tier, DATE '2024-01-01' AS valid_from,
+        |         CASE WHEN user_id % 3 = 0 THEN DATE '2024-01-15'
+        |              ELSE DATE '2099-12-31' END AS valid_to
+        |  FROM users
+        |  UNION ALL
+        |  SELECT user_id, 'pro', DATE '2024-01-15', DATE '2099-12-31'
+        |  FROM users WHERE user_id % 3 = 0),
+        |j AS (
+        |  SELECT h.tier, e.user_id, e.value
+        |  FROM events e JOIN hist h
+        |    ON h.user_id = e.user_id
+        |   AND h.valid_from <= CAST(date_trunc('day', e.ts) AS DATE)
+        |   AND CAST(date_trunc('day', e.ts) AS DATE) < h.valid_to)
+        |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM j GROUP BY tier ORDER BY tier""".stripMargin) { (s, dir) =>
+      val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      val base = users.select(
+        col("user_id"), lit("std").as("tier"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        to_date(lit("2099-12-31")).as("valid_to"),
+        lit(1).as("is_current"))
+      val delta = users.filter(col("user_id") % 3 === 0)
+        .select(col("user_id"), lit("pro").as("tier"))
+      val history = scd2Merge(base, delta, "user_id", Seq("tier"),
+        to_date(lit("2024-01-15")))
+      val facts = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      scd2TemporalJoin(facts, history, "user_id", "day")
+        .groupBy(col("tier"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+        .orderBy(col("tier"))
     },
 
     // k-anonymity audit of customers under the QI (nation, segment,

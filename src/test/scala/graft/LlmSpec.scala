@@ -1063,4 +1063,31 @@ class LlmSpec extends SparkSpec {
     // only the center has degree >= 2; its triangle count is 0
     assert(got.toSeq === Seq((0L, 50L, 0L, 0.0)))
   }
+
+  test("labelDrift: aligned slice reads 1.0, orthogonal slices read cos to the global mix") {
+    import spark.implicits._
+    // label 0 vectors all along e1, label 1 all along e2, equal mass:
+    // global centroid direction is (1,1)/sqrt(2) -> both drift_cos
+    // = 1/sqrt(2); a third label aligned with the global mix reads ~1
+    val e1 = Array(1.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f)
+    val mix = Array(1.0f, 1.0f)
+    val emb = (
+      (1 to 4).map(i => (i.toLong, e1, 0)) ++
+      (5 to 8).map(i => (i.toLong, e2, 1)) ++
+      (9 to 12).map(i => (i.toLong, mix, 2))).toDF("vec_id", "embedding", "label")
+    val got = graft.llm.Similarity.labelDrift(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0)._1 === 4L)
+    // global sum vector = (4+4, 4+4)*1e6 = direction (1,1)
+    val inv_sqrt2 = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(0)._2 - inv_sqrt2) < 1e-6, got(0)._2.toString)
+    assert(math.abs(got(1)._2 - inv_sqrt2) < 1e-6)
+    assert(got(2)._2 === 1.0)
+    // degenerate: a zero-vector-only label reads the guarded 0.0
+    val zeros = Seq((1L, Array(0.0f, 0.0f), 7)).toDF("vec_id", "embedding", "label")
+    val z = graft.llm.Similarity.labelDrift(zeros).collect()
+    assert(z.head.getDouble(2) === 0.0)
+  }
 }

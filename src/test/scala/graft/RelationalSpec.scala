@@ -526,6 +526,39 @@ class RelationalSpec extends SparkSpec {
     assert(corpus.count() > 0)
   }
 
+  test("scd2TemporalJoin: each fact joins its own instant's version exactly once") {
+    import spark.implicits._
+    import graft.queries.Audit
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // key 1: three versions partitioning [2024-01-01, 2099-12-31)
+    val history = Seq(
+      (1L, "v1", d("2024-01-01"), d("2024-02-01"), 0),
+      (1L, "v2", d("2024-02-01"), d("2024-03-01"), 0),
+      (1L, "v3", d("2024-03-01"), d("2099-12-31"), 1),
+      (2L, "w1", d("2024-01-01"), d("2099-12-31"), 1))
+      .toDF("k", "ver", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (1L, d("2024-01-15")), // inside v1
+      (1L, d("2024-02-01")), // AT the v1->v2 boundary: half-open => v2
+      (1L, d("2024-02-28")), // inside v2
+      (1L, d("2024-07-04")), // open version v3
+      (2L, d("2024-05-05")), // other key
+      (3L, d("2024-05-05"))) // unknown key: no version, dropped
+      .toDF("k", "at")
+    val got = Audit.scd2TemporalJoin(facts, history, "k", "at")
+      .select($"k", $"at", $"ver").as[(Long, java.sql.Date, String)]
+      .collect().map { case (k, at, v) => (k, at.toString, v) }.toSet
+    assert(got === Set(
+      (1L, "2024-01-15", "v1"),
+      (1L, "2024-02-01", "v2"),
+      (1L, "2024-02-28", "v2"),
+      (1L, "2024-07-04", "v3"),
+      (2L, "2024-05-05", "w1")))
+    // versions partition time: never more than one match per fact
+    assert(Audit.scd2TemporalJoin(facts, history, "k", "at")
+      .groupBy("k", "at").count().filter(col("count") > 1).count() === 0L)
+  }
+
   test("madOutliers: hand fixture exact; extreme value can't drag the median") {
     import spark.implicits._
     import graft.queries.Audit
