@@ -322,6 +322,53 @@ object TextAnalysis {
     out
   }
 
+  /** Token-distribution drift per source: total-variation distance
+    * between each source's token distribution and the whole corpus —
+    * the text-side twin of `Similarity.labelDrift` (embedding-space
+    * drift), and the second instance of the exact-arithmetic pattern:
+    * TV = ½·Σ|p_i − q_i| over rationals with different denominators,
+    * so cross-multiply — Σ|o_i·N_g − g_i·N_s| — and every term is an
+    * exact integer, summed in decimal in any partition order. Tokens
+    * ABSENT from a source contribute g_i·N_s each, which folds to the
+    * closed form N_s·(N_g − Σ_present g_i): only tokens PRESENT in
+    * the source are ever joined, so the work is the (source, token)
+    * aggregate + a token-keyed join — no vocab × source cross frame.
+    * The one division happens once per source at the very end
+    * (IEEE-correctly-rounded on identical operands ⇒ the distance is
+    * hash-pinned). TV = 0 for an identical distribution, 1 for a
+    * disjoint vocabulary. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(toks).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("o"))
+    val g = tok.groupBy(col("t")).agg(count(lit(1)).as("g"))
+    val ns = sc.groupBy(col("source")).agg(sum(col("o")).cast("long").as("n_s"))
+    val ng = tok.agg(count(lit(1)).cast("long").as("n_g"))
+    // decimal(18,0) operands keep every product within both engines'
+    // 38-digit cap (18+18 = 36; the summed numerators widen to 38);
+    // counts to 10^18 are far beyond the harness SFs — at true 100 TB
+    // widths, split the cross products
+    def dec(c: Column): Column = c.cast("decimal(18,0)")
+    val pres = sc.join(g, Seq("t"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(ng))
+      .groupBy(col("source"), col("n_s"), col("n_g"))
+      .agg(
+        sum(abs(dec(col("o")) * dec(col("n_g")) - dec(col("g")) * dec(col("n_s"))))
+          .as("num_present"),
+        sum(dec(col("g"))).as("g_present"))
+    pres.select(
+      col("source"),
+      col("n_s").as("n_tokens"),
+      (round(
+        (col("num_present") +
+          (dec(col("n_g")) - dec(col("g_present"))) * dec(col("n_s")))
+          .cast("double") /
+          (lit(2L) * col("n_s") * col("n_g")).cast("double"), 6)
+        + lit(0.0)).as("tv_dist"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Mixed-language consistency: chunk slicing, per-chunk stopword
