@@ -25,16 +25,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and convert
-    * to a µs TimestampType column (session TZ is UTC). The conf is a runtime
-    * SQL conf, so this works under any caller-provided session.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects without `nanosAsLong`, and then surfaces as a raw BIGINT of
+    * nanos) and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which
+    * Spark reads as TIMESTAMP_NTZ). Normalize BOTH to a µs TimestampType
+    * column by inspecting the loaded schema — session TZ is UTC, so the
+    * NTZ→LTZ cast is value-identity and matches what DuckDB sees. The
+    * conf is a runtime SQL conf, so this works under any caller session.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** ts → µs TimestampType regardless of the physical parquet encoding. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -28,10 +28,11 @@ import graft.pipeline.Telemetry
   */
 object StreamingAlerts {
 
-  /** `events` as an unbounded source: same ns→µs timestamp handling as
-    * the batch loader (`Tables.events`), but through `readStream` —
-    * parquet streaming sources need an explicit schema, taken from the
-    * batch footer read (no inference pass over the data). */
+  /** `events` as an unbounded source: same ts normalization as the
+    * batch loader (`Tables.events` — nanos-as-long OR TIMESTAMP_NTZ,
+    * whichever this testdata generation shipped), but through
+    * `readStream` — parquet streaming sources need an explicit schema,
+    * taken from the batch footer read (no inference pass over the data). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -39,8 +40,7 @@ object StreamingAlerts {
     // requires a directory or a glob pattern (a bare file path makes it
     // derive basePath = the file and fail), so address it as a glob —
     // the source then lists the parent dir and matches the one file
-    spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(spark.readStream.schema(schema).parquet(s"$dir/events.*"))
   }
 
   /** The streaming path as a DRIVER-DECLARED query: the tumbling-window
