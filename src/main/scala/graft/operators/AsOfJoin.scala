@@ -119,5 +119,84 @@ object AsOfJoin {
       graft.plans.AsOfJoinNative.asof(b, pub, key = "user_id", tsCol = "ts")
         .orderBy("event_id")
     },
+
+    // TWO-SIDED nearest join — the as-of family's symmetric member
+    // (sensor alignment, "closest error to each purchase"): each probe
+    // row matches the build row with the smallest |Δt| in EITHER
+    // direction, ties to the earlier (preceding) side. Same
+    // union+window rewrite as asofBackward, run once per direction
+    // over ONE exchange+sort: last(build, ignoreNulls) over (-∞,-1]
+    // gives the nearest preceding build row, first(...) over [1,+∞)
+    // the nearest following — then a scalar min picks the side. Cost:
+    // one hash exchange on the key + one sort, vs the quadratic
+    // per-key range join Spark would otherwise plan. Build rows sort
+    // BEFORE probe rows at equal timestamps (side 0 < side 1), so a
+    // same-instant build row is "preceding with gap 0" — the
+    // deterministic tie rule both engines replay via ROWS frames.
+    // All time arithmetic in exact integer µs.
+    Q("join_nearest",
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |         CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('error', 'purchase')),
+        |w AS (
+        |  SELECT user_id, us, event_id, side,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+        |    last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+        |    first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, side, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id,
+        |    first_value(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, side, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+        |  FROM s)
+        |SELECT user_id, event_id AS purchase_id,
+        |       CASE WHEN prev_us IS NOT NULL
+        |                  AND (next_us IS NULL OR us - prev_us <= next_us - us)
+        |            THEN prev_id ELSE next_id END AS error_id,
+        |       CAST(CASE WHEN prev_us IS NOT NULL
+        |                      AND (next_us IS NULL OR us - prev_us <= next_us - us)
+        |                 THEN us - prev_us ELSE next_us - us END AS BIGINT) AS gap_us,
+        |       CASE WHEN prev_us IS NOT NULL
+        |                 AND (next_us IS NULL OR us - prev_us <= next_us - us)
+        |            THEN 'before' ELSE 'after' END AS direction
+        |FROM w
+        |WHERE side = 1 AND (prev_us IS NOT NULL OR next_us IS NOT NULL)
+        |ORDER BY user_id, purchase_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("error", "purchase"))
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type") === "error", 0).otherwise(1).as("side"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("side"), col("event_id"))
+      val back = order.rowsBetween(Window.unboundedPreceding, -1)
+      val fwd = order.rowsBetween(1, Window.unboundedFollowing)
+      val errId = when(col("side") === 0, col("event_id"))
+      val errUs = when(col("side") === 0, col("us"))
+      val w = ev
+        .withColumn("prev_id", last(errId, ignoreNulls = true).over(back))
+        .withColumn("prev_us", last(errUs, ignoreNulls = true).over(back))
+        .withColumn("next_id", first(errId, ignoreNulls = true).over(fwd))
+        .withColumn("next_us", first(errUs, ignoreNulls = true).over(fwd))
+      val takePrev = col("prev_us").isNotNull &&
+        (col("next_us").isNull || col("us") - col("prev_us") <= col("next_us") - col("us"))
+      w.filter(col("side") === 1 &&
+          (col("prev_us").isNotNull || col("next_us").isNotNull))
+        .select(
+          col("user_id"),
+          col("event_id").as("purchase_id"),
+          when(takePrev, col("prev_id")).otherwise(col("next_id")).as("error_id"),
+          when(takePrev, col("us") - col("prev_us"))
+            .otherwise(col("next_us") - col("us")).cast("long").as("gap_us"),
+          when(takePrev, "before").otherwise("after").as("direction"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    },
   )
 }

@@ -810,5 +810,64 @@ object Audit {
             .otherwise(col("o_totalprice")).as("o_totalprice")),
         "o_orderpriority", "o_totalprice", k = 3)
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Winsorized robust aggregate — the ACTING form of the outlier
+    // profile above (MAD reports the tails; winsorization neutralizes
+    // them so downstream means/sums are robust without dropping rows —
+    // the standard pre-normalization step before feature scaling).
+    // Cutoffs are DISCRETE per-group quantiles (exact_quantile ≡
+    // DuckDB quantile_disc — actual data elements, no interpolation),
+    // so the clamped value of every row is one of three ORIGINAL
+    // doubles and the decimal sum is exact cross-engine. Same planted
+    // ×50 spikes as audit_outliers_mad so the clamp path is exercised.
+    // Scale shape: cutoff frame is group-domain-bounded → broadcast
+    // back, clamp + sum is one map-side pass + one keyed aggregate.
+    Q("audit_winsorized_stats",
+      """WITH src AS (
+        |  SELECT o_orderpriority AS g,
+        |         CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 50
+        |              ELSE o_totalprice END AS v
+        |  FROM orders),
+        |cuts AS (
+        |  SELECT g, quantile_disc(v, 0.01) AS lo_cut, quantile_disc(v, 0.99) AS hi_cut
+        |  FROM src GROUP BY g)
+        |SELECT s.g AS o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(MIN(c.lo_cut), 6) + 0 AS lo_cut,
+        |       ROUND(MIN(c.hi_cut), 6) + 0 AS hi_cut,
+        |       CAST(SUM(CAST(CASE WHEN s.v < c.lo_cut THEN c.lo_cut
+        |                          WHEN s.v > c.hi_cut THEN c.hi_cut
+        |                          ELSE s.v END AS DECIMAL(30,6))) AS DOUBLE) AS sum_winsorized,
+        |       CAST(SUM(CASE WHEN s.v < c.lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |       CAST(SUM(CASE WHEN s.v > c.hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi
+        |FROM src s JOIN cuts c USING (g)
+        |GROUP BY s.g ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      winsorizedStats(Tables.orders(s, dir).select(
+        col("o_orderpriority").as("g"),
+        when(col("o_orderkey") % 997 === 0, col("o_totalprice") * 50)
+          .otherwise(col("o_totalprice")).as("v")))
+        .select(col("g").as("o_orderpriority"), col("n"), col("lo_cut"), col("hi_cut"),
+          col("sum_winsorized"), col("n_clamped_lo"), col("n_clamped_hi"))
+        .orderBy(col("o_orderpriority"))
     })
+
+  /** Winsorized per-group stats over a (g, v) frame: clamp v into the
+    * group's discrete [p01, p99] and report the exact decimal sum plus
+    * clamp counts — see the `audit_winsorized_stats` declaration. */
+  def winsorizedStats(src: DataFrame): DataFrame = {
+    val cuts = src.groupBy(col("g")).agg(
+      graft.functions.exact_quantile(col("v"), 0.01).as("lo_cut"),
+      graft.functions.exact_quantile(col("v"), 0.99).as("hi_cut"))
+    src.join(broadcast(cuts), "g")
+      .withColumn("wv", least(greatest(col("v"), col("lo_cut")), col("hi_cut")))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        (round(min(col("lo_cut")), 6) + lit(0.0)).as("lo_cut"),
+        (round(min(col("hi_cut")), 6) + lit(0.0)).as("hi_cut"),
+        sum(col("wv").cast("decimal(30,6)")).cast("double").as("sum_winsorized"),
+        sum(when(col("v") < col("lo_cut"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("v") > col("hi_cut"), 1L).otherwise(0L)).as("n_clamped_hi"))
+  }
 }

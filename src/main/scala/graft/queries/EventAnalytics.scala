@@ -439,5 +439,60 @@ object EventAnalytics {
       rollingActiveUsers(Tables.events(s, dir), 7)
         .orderBy(col("day"))
     },
+
+    // Weekday-seasonal anomaly flags — the ops-monitoring complement
+    // of events_cusum_alarms (CUSUM finds level SHIFTS; this finds
+    // days that break their own weekday's norm, the seasonality CUSUM
+    // deliberately ignores). Baseline = mean daily count per
+    // (event_type, weekday) over observed days; a day is anomalous
+    // when it deviates from its weekday mean by more than 50%. The
+    // test |n − S/D| > 0.5·S/D is evaluated as 2·|n·D − S| > S — pure
+    // int64 arithmetic, no division, so the FLAG is exact on both
+    // engines (the reported mean is display-only under the house
+    // ROUND convention). Two bounded aggregates: per-(type,day) counts
+    // (data-sized scan, day-domain output), then a weekday rollup over
+    // the day-domain frame — nothing data-sized ever re-shuffles.
+    // Spark dayofweek() is 1-based Sunday=1; DuckDB dayofweek() is
+    // 0-based Sunday=0 — aligned by subtracting 1 on the Spark side.
+    Q("events_anomaly_seasonal",
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |wd AS (
+        |  SELECT event_type, day, n, CAST(dayofweek(day) AS BIGINT) AS dow
+        |  FROM d),
+        |base AS (
+        |  SELECT event_type, dow, CAST(SUM(n) AS BIGINT) AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM wd GROUP BY 1, 2)
+        |SELECT w.event_type, w.day, w.n, w.dow,
+        |       ROUND(b.s * 1.0 / b.n_days, 6) + 0 AS weekday_mean,
+        |       CAST(CASE WHEN 2 * abs(w.n * b.n_days - b.s) > b.s
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+        |FROM wd w JOIN base b ON w.event_type = b.event_type AND w.dow = b.dow
+        |ORDER BY w.event_type, w.day""".stripMargin) { (s, dir) =>
+      seasonalAnomalies(Tables.events(s, dir))
+        .orderBy(col("event_type"), col("day"))
+    },
   )
+
+  /** Weekday-baseline anomaly flags over an (event_type, ts) stream —
+    * see the `events_anomaly_seasonal` declaration for the exact
+    * integer-arithmetic contract (strictly-greater-than-50% rule,
+    * pinned at the boundary by RelationalSpec's hand fixture). */
+  def seasonalAnomalies(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+    val base = d.groupBy(col("event_type").as("bt"), col("dow").as("bd"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("n_days"))
+    d.join(broadcast(base), col("event_type") === col("bt") && col("dow") === col("bd"))
+      .select(
+        col("event_type"), col("day"), col("n"), col("dow"),
+        (round(col("s") * lit(1.0) / col("n_days"), 6) + lit(0.0)).as("weekday_mean"),
+        when(lit(2) * abs(col("n") * col("n_days") - col("s")) > col("s"), 1)
+          .otherwise(0).cast("int").as("is_anomaly"))
+  }
 }

@@ -151,6 +151,39 @@ object Relational {
 
   private def r6(c: Column): Column = round(c, 6) + lit(0.0)
 
+  /** The `join_bloom_pruned` pipeline, split out so RelationalSpec can
+    * inspect the un-checkpointed plan (BloomFilterMightContain present,
+    * no UDF node) and frame-compare against the plain join. The
+    * selective side is scanned three times (count, sketch aggregate,
+    * join) — it is the SMALL side by construction (that's why it can
+    * bloom-prune the big one), so the repeat scans cost less than one
+    * persist of the fact side; at 100 TB you'd persist the selective
+    * slice if it were itself expensive to compute. */
+  def bloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val sel = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val nKeys = math.max(sel.count(), 1L)
+    // standard optimum −n·ln(p)/ln²2 at 1% fpp (same sizing rule as
+    // Curation.decontaminateBloom; Spark clamps past its caps, where
+    // the degraded fpp only widens the pre-filter)
+    val numBits = math.ceil(
+      -nKeys * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+    val bf = sel
+      .agg(graft.functions.bloom_filter_agg(col("o_orderkey"), nKeys, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val pruned = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(graft.functions.might_contain(bf, col("l_orderkey")))
+    pruned
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // A1/P4/P5: grouped aggregation with arithmetic + aliases (Q1-style).
@@ -1214,6 +1247,68 @@ object Relational {
         array_max(array_distinct(l)).as("max_tok"),
         size(l).cast("long").as("n_toks"))
         .orderBy(col("doc_id"))
+    },
+
+    // J1f: EXPLICIT bloom-pruned fact-fact join — the runtime-filter
+    // pattern as a first-class declared operator (RelationalSpec
+    // already pins Spark's AUTO runtime bloom; this is the form you
+    // reach for when the selective side is an arbitrary frame the
+    // optimizer can't see through). The selective orders slice folds
+    // its keys into ONE distributed bloom sketch (bounded driver
+    // artifact, ~1.2 KB here / ~1.2 MB per 10⁶ keys at 1% fpp),
+    // shipped as a plan literal into the codegen'd `might_contain`
+    // probe applied MAP-SIDE to lineitem BEFORE the shuffle — at
+    // 100 TB the exchange carries ~the matching fraction of the fact
+    // table instead of all of it. False positives pass the pre-filter
+    // and are killed by the exact equi-join that follows, so the
+    // RESULT is identical to the plain join — which is exactly what
+    // the oracle states (no bloom in the SQL).
+    Q("join_bloom_pruned",
+      """SELECT o.o_orderpriority,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 450000
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      bloomPrunedJoin(s, dir)
+    },
+
+    // J1g: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the
+    // one join equality variant the family lacked. NULL keys are real
+    // in reconciliation workloads (unparsed/unknown dimension values);
+    // a plain equi-join silently DROPS those rows on both sides, while
+    // the null-safe form matches NULL to NULL as a value. Both sides
+    // pre-aggregate to one row per key before the join (the
+    // join_fact_fact discipline), and the nullable key is COALESCEd to
+    // a sentinel only in the OUTPUT projection — the join itself runs
+    // on the real NULL. Spark plans `<=>` as a hash join (null-safe
+    // keys hash like values); it is NOT forced to a nested-loop.
+    Q("join_null_safe",
+      """WITH a AS (
+        |  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k,
+        |         COUNT(*) AS n_even
+        |  FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k,
+        |         COUNT(*) AS n_odd
+        |  FROM orders WHERE o_custkey % 2 = 1 GROUP BY 1)
+        |SELECT COALESCE(a.k, '<null>') AS status_key, a.n_even, b.n_odd
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY status_key""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val k = when(col("o_orderstatus") === "P", lit(null).cast("string"))
+        .otherwise(col("o_orderstatus"))
+      val a = o.filter(col("o_custkey") % 2 === 0)
+        .groupBy(k.as("ka")).agg(count(lit(1)).as("n_even"))
+      val b = o.filter(col("o_custkey") % 2 === 1)
+        .groupBy(k.as("kb")).agg(count(lit(1)).as("n_odd"))
+      a.join(b, col("ka") <=> col("kb"))
+        .select(
+          coalesce(col("ka"), lit("<null>")).as("status_key"),
+          col("n_even"), col("n_odd"))
+        .orderBy(col("status_key"))
     },
   )
 }

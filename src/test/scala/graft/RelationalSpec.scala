@@ -741,4 +741,121 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(got === Map("2024-01-01" -> 2L, "2024-01-03" -> 2L))
   }
+
+  test("bloomPrunedJoin equals the plain join; probe is codegen might_contain, no UDF") {
+    import graft.queries.Relational
+    val dir = sf("sf0.01")
+    val pruned = Relational.bloomPrunedJoin(spark, dir)
+    // plan: the pre-filter is the native BloomFilterMightContain
+    // expression inside codegen, never a closure UDF
+    val planStr = pruned.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("might_contain"), s"no bloom probe in plan:\n$planStr")
+    assert(!planStr.contains("ScalaUDF"), s"UDF leaked into plan:\n$planStr")
+    // result: identical to the plain (un-pruned) join — false
+    // positives die in the exact equi-join
+    val sel = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double").as("revenue"))
+    val got = pruned.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = plain.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("join_null_safe matches NULL keys as values; plain equi-join drops them") {
+    val dir = sf("sf0.01")
+    val rows = SparkEntry.queries("join_null_safe")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the P-status rows were keyed NULL on both sides and still joined
+    assert(rows.contains("<null>"), s"null-safe match missing: ${rows.keySet}")
+    // counts reconcile against direct filters
+    val o = Tables.orders(spark, dir)
+    val expectNullEven = o.filter(col("o_orderstatus") === "P" && col("o_custkey") % 2 === 0).count()
+    val expectNullOdd = o.filter(col("o_orderstatus") === "P" && col("o_custkey") % 2 === 1).count()
+    assert(rows("<null>") === (expectNullEven, expectNullOdd))
+    // the same join with a PLAIN equality drops the NULL group entirely
+    val k = when(col("o_orderstatus") === "P", lit(null).cast("string"))
+      .otherwise(col("o_orderstatus"))
+    val a = o.filter(col("o_custkey") % 2 === 0).groupBy(k.as("ka")).count()
+    val b = o.filter(col("o_custkey") % 2 === 1).groupBy(k.as("kb")).count()
+    val plainKeys = a.join(b, col("ka") === col("kb")).select(col("ka"))
+      .collect().map(_.getString(0)).toSet
+    assert(!plainKeys.contains(null) && plainKeys.size === rows.size - 1)
+  }
+
+  test("join_nearest picks the true two-sided minimum gap with ties to 'before'") {
+    val got = SparkEntry.queries("join_nearest")(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    // brute force: per user, compare every purchase against every error
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.toSeq.flatMap { case (uid, rows) =>
+      val errs = rows.filter(_._4 == "error").map(e => (e._3, e._2)).sorted
+      rows.filter(_._4 == "purchase").flatMap { case (_, pid, pus, _) =>
+        // window order is (us, side, id) with error side first, so an
+        // equal-us error counts as PRECEDING with gap 0
+        val prev = errs.filter(_._1 <= pus).lastOption
+        val next = errs.filter(_._1 > pus).headOption
+        (prev, next) match {
+          case (None, None) => None
+          case (Some((eus, eid)), None) => Some((uid, pid) -> (eid, pus - eus, "before"))
+          case (None, Some((eus, eid))) => Some((uid, pid) -> (eid, eus - pus, "after"))
+          case (Some((bus, bid)), Some((aus, aid))) =>
+            if (pus - bus <= aus - pus) Some((uid, pid) -> (bid, pus - bus, "before"))
+            else Some((uid, pid) -> (aid, aus - pus, "after"))
+        }
+      }
+    }.toMap
+    assert(got === want)
+    assert(got.values.exists(_._3 == "before") && got.values.exists(_._3 == "after"))
+  }
+
+  test("seasonalAnomalies: exact 50% deviation is NOT anomalous (strict rule), fixture exact") {
+    import spark.implicits._
+    import graft.queries.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // three Mondays of type 'a': counts 10, 10, 40 → S=60, D=3, mean=20.
+    // day3 (40): 2·|40·3−60| = 120 > 60 → anomaly.
+    // day1/day2 (10): 2·|10·3−60| = 60 ≯ 60 → exactly −50%, NOT anomalous.
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15")
+    val counts = Seq(10, 10, 40)
+    val fx = mondays.zip(counts).flatMap { case (d, n) =>
+      (1 to n).map(_ => ("a", ts(d)))
+    }.toDF("event_type", "ts")
+    val got = EventAnalytics.seasonalAnomalies(fx).collect()
+      .map(r => r.getDate(1).toString -> (r.getLong(2), r.getDouble(4), r.getInt(5))).toMap
+    assert(got === Map(
+      "2024-01-01" -> (10L, 20.0, 0),
+      "2024-01-08" -> (10L, 20.0, 0),
+      "2024-01-15" -> (40L, 20.0, 1)))
+  }
+
+  test("winsorizedStats: cuts are data elements, clamp counts and sum reconcile") {
+    import spark.implicits._
+    import graft.queries.Audit
+    // integer-valued fixture so the 6-dp display rounding is identity
+    // and the sums recompute exactly in the test
+    val vals = (1 to 200).map(_.toDouble) :+ 100000.0
+    val fx = vals.map(("a", _)).toDF("g", "v")
+    val r = Audit.winsorizedStats(fx).collect().head
+    val (n, lo, hi) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(n === vals.size)
+    assert(vals.contains(lo) && vals.contains(hi), s"cuts ($lo, $hi) not data elements")
+    assert(lo < hi && hi < 100000.0, "spike must be clamped, not chosen as a cut")
+    val clamped = vals.map(v => math.min(math.max(v, lo), hi))
+    assert(r.getDouble(4) === clamped.sum)
+    assert(r.getLong(5) === vals.count(_ < lo))
+    assert(r.getLong(6) === vals.count(_ > hi))
+  }
 }
