@@ -78,5 +78,74 @@ object RangeJoin {
           sum(col("value").cast("decimal(30,6)")).cast("double").as("window_value"))
         .orderBy(col("day"))
     },
+
+    // INTERVAL×INTERVAL overlap join — the genomic/temporal overlap
+    // operator (pointInInterval's two-sided sibling; every pair of
+    // intervals that intersect, never a nested loop). Both sides
+    // explode to the epoch-hour buckets they cover; candidates meet by
+    // equi-join on (day, bucket); a pair that shares k buckets would
+    // surface k times, so the RESPONSIBILITY rule keeps only the row
+    // whose bucket is the pair's FIRST shared bucket — max of the two
+    // start buckets, a pure expression filter: exactly-once without a
+    // distinct. The exact closed-interval predicate then decides.
+    // Candidate work is Σ_b |A_b|·|B_b| instead of the per-day
+    // |A|·|B| a naive same-day join pays. Closed intervals (s ≤ e;
+    // single-event spans are points) — a touching pair counts with
+    // overlap 0, and overlap length is exact integer µs. The oracle
+    // states the textbook overlap join directly; the bucket lowering
+    // must reproduce it row for row.
+    Q("join_interval_overlap",
+      """WITH a AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS sum_overlap_us
+        |FROM a JOIN b ON a.day = b.day AND a.user_id != b.user_id
+        |              AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY a.day ORDER BY a.day""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def spans(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"))
+      intervalOverlap(spans("view"), spans("error"),
+        bucketMicros = 3600L * 1000000)
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(least(col("e"), col("b_e")) - greatest(col("s"), col("b_s")))
+            .cast("long").as("sum_overlap_us"))
+        .orderBy(col("day"))
+    },
   )
+
+  /** Bucketized overlap join of two closed-interval frames, both
+    * shaped (user_id, day, s, e) with s ≤ e in epoch µs. Returns one
+    * row per overlapping pair with a.user_id != b.user_id; the b-side
+    * columns come back as (b_user_id, b_s, b_e). See the
+    * `join_interval_overlap` declaration for the responsibility-rule
+    * contract. */
+  def intervalOverlap(a: DataFrame, b: DataFrame, bucketMicros: Long): DataFrame = {
+    def buckets(df: DataFrame) = df.withColumn("_bucket",
+      explode(sequence(
+        floor(col("s") / bucketMicros),
+        floor(col("e") / bucketMicros))))
+    val aB = buckets(a)
+    val bB = buckets(b).select(
+      col("day").as("b_day"), col("user_id").as("b_user_id"),
+      col("s").as("b_s"), col("e").as("b_e"), col("_bucket").as("b_bucket"))
+    aB.join(bB,
+        col("day") === col("b_day") && col("_bucket") === col("b_bucket") &&
+          col("user_id") =!= col("b_user_id"))
+      // first shared bucket only — each intersecting pair survives once
+      .filter(col("_bucket") ===
+        greatest(floor(col("s") / bucketMicros), floor(col("b_s") / bucketMicros)))
+      // exact closed-interval intersection test
+      .filter(col("s") <= col("b_e") && col("b_s") <= col("e"))
+      .drop("_bucket", "b_bucket", "b_day")
+  }
 }

@@ -850,7 +850,103 @@ object Audit {
         .select(col("g").as("o_orderpriority"), col("n"), col("lo_cut"), col("hi_cut"),
           col("sum_winsorized"), col("n_clamped_lo"), col("n_clamped_hi"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Referential-integrity audit over the star schema — the FK-orphan
+    // report a warehouse runs before trusting any join (an orphan FK
+    // silently DROPS rows from every inner join downstream; the audit
+    // quantifies that loss per edge). Each edge is one left-outer join
+    // to the dim's unique key with total+orphan counts in a single
+    // pass — small dims broadcast, the fact-fact edge shuffles on the
+    // key. The synthetic star is referentially clean (all-zero rows
+    // are themselves the audit's finding), so one extra edge joins to
+    // a DEGRADED orders slice (every 1000th key dropped in-query) to
+    // keep the orphan-counting path exercised and non-vacuous.
+    Q("audit_referential_integrity",
+      """SELECT 'customer.c_nationkey->nation' AS edge,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |       ROUND(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0 AS orphan_frac
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       ROUND(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders[degraded]', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       ROUND(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+        |FROM lineitem l LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 != 0) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       ROUND(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       ROUND(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+        |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       ROUND(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+        |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       ROUND(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       ROUND(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0
+        |FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY edge""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir)
+      fkOrphans(Tables.customer(s, dir), "c_nationkey", n, "n_nationkey",
+          "customer.c_nationkey->nation", bcast = true)
+        .unionByName(fkOrphans(li, "l_orderkey", o, "o_orderkey",
+          "lineitem.l_orderkey->orders", bcast = false))
+        .unionByName(fkOrphans(li, "l_orderkey",
+          o.filter(col("o_orderkey") % 1000 =!= 0), "o_orderkey",
+          "lineitem.l_orderkey->orders[degraded]", bcast = false))
+        .unionByName(fkOrphans(li, "l_partkey", Tables.part(s, dir), "p_partkey",
+          "lineitem.l_partkey->part", bcast = true))
+        .unionByName(fkOrphans(li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey",
+          "lineitem.l_suppkey->supplier", bcast = true))
+        .unionByName(fkOrphans(n, "n_regionkey", Tables.region(s, dir), "r_regionkey",
+          "nation.n_regionkey->region", bcast = true))
+        .unionByName(fkOrphans(o, "o_custkey", Tables.customer(s, dir), "c_custkey",
+          "orders.o_custkey->customer", bcast = true))
+        .unionByName(fkOrphans(Tables.supplier(s, dir), "s_nationkey", n, "n_nationkey",
+          "supplier.s_nationkey->nation", bcast = true))
+        .orderBy(col("edge"))
     })
+
+  /** One FK edge of the referential-integrity audit: fact rows joined
+    * left-outer to the dim's primary key (unique, so no fanout), total
+    * and orphan counts in ONE pass. Small dims broadcast; the big-dim
+    * edges shuffle on the key — the right plan either way. */
+  def fkOrphans(
+      fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+      edge: String, bcast: Boolean): DataFrame = {
+    val d = dim.select(col(pk).as("_pk"))
+    val dimSide = if (bcast) broadcast(d) else d
+    fact.select(col(fk).as("_fk"))
+      .join(dimSide, col("_fk") === col("_pk"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(
+        lit(edge).as("edge"), col("n_rows"), col("n_orphans"),
+        (round(col("n_orphans") * lit(1.0) / col("n_rows"), 6) + lit(0.0))
+          .as("orphan_frac"))
+  }
 
   /** Winsorized per-group stats over a (g, v) frame: clamp v into the
     * group's discrete [p01, p99] and report the exact decimal sum plus

@@ -349,5 +349,73 @@ object Sketches {
          |LIMIT 15""".stripMargin) { (s, dir) =>
       cmsTopTokens(Tables.documents(s, dir), topK = 15)
     },
+
+    // Quantiles completes the sketch triad (KMV = distinct, CMS =
+    // frequency): DETERMINISTIC-HASH row sampling + discrete quantiles
+    // of the sample, exact full-data quantiles alongside as the audit
+    // baseline (drop the exact column at 100 TB — it is the one global
+    // sort here; the sample side sorts only n/16 rows, and at a lower
+    // rate fits one node). A hash rule beats rand(): the sample is
+    // identical across retries, partitionings, and ENGINES — which is
+    // what lets DuckDB replay the membership test and hash-pin the
+    // ESTIMATES (rank error obeys the usual Hoeffding ε·n bound; the
+    // pinned output makes the realized error visible). Quantiles are
+    // element-selecting (`exact_quantile` ≡ `quantile_disc`), so every
+    // emitted value is an original data double.
+    Q("sketch_sample_quantiles", {
+      val hashSql = "CAST(concat('0x', substr(md5('sq:' || CAST(l_orderkey AS VARCHAR)" +
+        " || ':' || CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT)"
+      s"""WITH samp AS (
+         |  SELECT l_extendedprice AS v FROM lineitem
+         |  WHERE $hashSql < ${Two48.toLong / 16}),
+         |sq AS (
+         |  SELECT quantile_disc(v, 0.25) AS q25, quantile_disc(v, 0.5) AS q50,
+         |         quantile_disc(v, 0.9) AS q90, quantile_disc(v, 0.99) AS q99,
+         |         CAST(COUNT(*) AS BIGINT) AS n_sample
+         |  FROM samp),
+         |fq AS (
+         |  SELECT quantile_disc(l_extendedprice, 0.25) AS q25,
+         |         quantile_disc(l_extendedprice, 0.5) AS q50,
+         |         quantile_disc(l_extendedprice, 0.9) AS q90,
+         |         quantile_disc(l_extendedprice, 0.99) AS q99,
+         |         CAST(COUNT(*) AS BIGINT) AS n_total
+         |  FROM lineitem)
+         |SELECT q, sample_q, exact_q, n_sample, n_total FROM (
+         |  SELECT 0.25 AS q, sq.q25 AS sample_q, fq.q25 AS exact_q, n_sample, n_total FROM sq, fq
+         |  UNION ALL
+         |  SELECT 0.5, sq.q50, fq.q50, n_sample, n_total FROM sq, fq
+         |  UNION ALL
+         |  SELECT 0.9, sq.q90, fq.q90, n_sample, n_total FROM sq, fq
+         |  UNION ALL
+         |  SELECT 0.99, sq.q99, fq.q99, n_sample, n_total FROM sq, fq)
+         |ORDER BY q""".stripMargin
+    }) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val keep = h48("sq:",
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))) < lit(Two48.toLong / 16)
+      val sq = li.filter(keep)
+        .agg(
+          graft.functions.exact_quantile(col("l_extendedprice"), 0.25).as("s25"),
+          graft.functions.exact_quantile(col("l_extendedprice"), 0.5).as("s50"),
+          graft.functions.exact_quantile(col("l_extendedprice"), 0.9).as("s90"),
+          graft.functions.exact_quantile(col("l_extendedprice"), 0.99).as("s99"),
+          count(lit(1)).as("n_sample"))
+        .withColumn("k", lit(1))
+      val fq = li
+        .agg(
+          graft.functions.exact_quantile(col("l_extendedprice"), 0.25).as("e25"),
+          graft.functions.exact_quantile(col("l_extendedprice"), 0.5).as("e50"),
+          graft.functions.exact_quantile(col("l_extendedprice"), 0.9).as("e90"),
+          graft.functions.exact_quantile(col("l_extendedprice"), 0.99).as("e99"),
+          count(lit(1)).as("n_total"))
+        .withColumn("k", lit(1))
+      sq.join(fq, "k")
+        .select(expr(
+          "stack(4, 0.25D, s25, e25, 0.5D, s50, e50, 0.9D, s90, e90, 0.99D, s99, e99)" +
+            " as (q, sample_q, exact_q)"),
+          col("n_sample"), col("n_total"))
+        .orderBy(col("q"))
+    },
   )
 }

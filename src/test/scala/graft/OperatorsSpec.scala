@@ -62,6 +62,90 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Seq(1L, 3L, 4L)) // each matched exactly once
   }
 
+  test("intervalOverlap: fixture pins touch/disjoint/multi-bucket; sf0.001 equals naive join") {
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val day = java.sql.Date.valueOf("2024-01-01")
+    // a1 overlaps b1 across THREE shared hour buckets (must count once),
+    // a1 touches b2 at a point (closed semantics -> overlap 0 counts),
+    // a2 is disjoint from everything, and b3 belongs to the same user
+    // as a1 (self pair -> excluded)
+    val a = Seq(
+      (1L, day, us("2024-01-01 10:00:00"), us("2024-01-01 14:00:00")),
+      (2L, day, us("2024-01-01 20:00:00"), us("2024-01-01 20:30:00")))
+      .toDF("user_id", "day", "s", "e")
+    val b = Seq(
+      (10L, day, us("2024-01-01 11:00:00"), us("2024-01-01 13:30:00")),
+      (11L, day, us("2024-01-01 14:00:00"), us("2024-01-01 15:00:00")),
+      (1L, day, us("2024-01-01 10:30:00"), us("2024-01-01 11:00:00")))
+      .toDF("user_id", "day", "s", "e")
+    val got = graft.operators.RangeJoin.intervalOverlap(a, b, 3600L * 1000000)
+      .select(col("user_id"), col("b_user_id")).as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 10L), (1L, 11L)))
+    // whole-table reconciliation: bucket lowering == naive same-day join
+    val ev = Tables.events(spark, sf("sf0.001"))
+    def spans(t: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"))
+    val va = spans("view"); val vb = spans("error")
+    val fast = graft.operators.RangeJoin.intervalOverlap(va, vb, 3600L * 1000000)
+      .select(col("day"), col("user_id"), col("b_user_id"))
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    val naive = va.alias("a").join(vb.alias("b"),
+        col("a.day") === col("b.day") && col("a.user_id") =!= col("b.user_id") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.day"), col("a.user_id"), col("b.user_id"))
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    assert(fast === naive && fast.nonEmpty)
+  }
+
+  test("fkOrphans: clean star edges report zero; degraded dim counts exactly the dropped keys") {
+    import graft.queries.Audit
+    val dir = sf("sf0.001")
+    val rows = SparkEntry.queries("audit_referential_integrity")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size === 8)
+    // every REAL edge of the synthetic star is clean
+    rows.filterNot(_._1.contains("degraded")).foreach { case (e, (_, orph)) =>
+      assert(orph === 0L, s"unexpected orphans on clean edge $e")
+    }
+    // the planted edge loses exactly the lineitems whose order key was
+    // dropped from the degraded dim (and that matched the full dim)
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val expected = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .filter(col("l_orderkey") % 1000 === 0).count()
+    val (nRows, nOrph) = rows("lineitem.l_orderkey->orders[degraded]")
+    assert(nRows === li.count())
+    assert(nOrph === expected && nOrph > 0L,
+      s"degraded edge orphans $nOrph != expected $expected")
+  }
+
+  test("sample quantiles: estimates within the rank-error band, sample size near n/16") {
+    val rows = SparkEntry.queries("sketch_sample_quantiles")(spark, sf("sf0.01")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 4)
+    val sorted = Tables.lineitem(spark, sf("sf0.01"))
+      .select(col("l_extendedprice")).as[Double].collect().sorted
+    val n = sorted.length
+    val (_, _, _, nSample, nTotal) = rows.head
+    assert(nTotal === n.toLong)
+    // Binomial(n, 1/16): ±5 σ band
+    val expS = n / 16.0
+    assert(math.abs(nSample - expS) < 5 * math.sqrt(expS),
+      s"sample size $nSample far from $expS")
+    for ((q, est, exact, _, _) <- rows) {
+      // the exact column IS the discrete quantile of the data
+      assert(exact === sorted(math.max(0, math.ceil(q * n).toInt - 1)) ||
+        exact === sorted(math.min(n - 1, math.ceil(q * n).toInt)),
+        s"exact quantile at $q off the data grid")
+      // the estimate's RANK in the full data stays within ±2.5% of q·n
+      // (Hoeffding/DKW at n/16 samples is far tighter than this)
+      val rank = sorted.count(_ <= est)
+      assert(math.abs(rank - q * n) <= 0.025 * n,
+        s"sample quantile at $q has rank $rank vs ${q * n}")
+    }
+  }
+
   test("CSV modes: PERMISSIVE nulls bad cells, FAILFAST throws on the same file") {
     val path = java.nio.file.Files.createTempDirectory("csv_modes").toString + "/data"
     Seq("1,ok", "not_a_number,bad", "3,ok")

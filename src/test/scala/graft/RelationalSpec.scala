@@ -88,7 +88,10 @@ class RelationalSpec extends SparkSpec {
       "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact",
       "audit_key_skew", "curation_mixture_temperature",
       "curation_negative_pairs", "search_keyword_topk", "stats_histogram_eqdepth",
-      "basket_pairs_topk", "events_survival_curve", "events_cusum_alarms")
+      "basket_pairs_topk", "events_survival_curve", "events_cusum_alarms",
+      // sample-vs-exact quantile rows stitch two 1-ROW aggregate frames
+      // on a constant key — the optimizer folds that to a (1×1) cross
+      "sketch_sample_quantiles")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
