@@ -68,6 +68,38 @@ object AsOfJoin {
     carried.filter(col("_side") === 1).drop("_side")
   }
 
+  /** FORWARD as-of join — the look-ahead member of the family (each
+    * probe row carries the EARLIEST build row at-or-after it; the
+    * label-join direction, where an event looks forward to the summary
+    * that will cover it). Same union+window rewrite and cost as
+    * [[asofBackward]], mirrored: probe rows sort BEFORE build rows on
+    * tie (so an equal-timestamp build row is in the forward frame —
+    * inclusive, `probe.ts <= build.ts`) and the carried payload is
+    * `first(_, ignoreNulls)` over [current, +∞). */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      key: String, tsCol: String): DataFrame = {
+    val payload = right.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val leftOnly = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val overlap = payload.toSet intersect leftOnly.toSet
+    require(overlap.isEmpty,
+      s"asofForward requires disjoint non-key columns; shared: ${overlap.mkString(", ")} " +
+        "(rename the right side's payload columns before joining)")
+    val probe = payload.foldLeft(left.withColumn("_side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val build = leftOnly.foldLeft(right.withColumn("_side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = payload.foldLeft(probe.unionByName(build.select(probe.columns.map(col): _*))) {
+      (df, c) => df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 0).drop("_side")
+  }
+
   /** Shared probe/build inputs for the two declared as-of queries:
     * events as the probe stream, next-day-published per-user daily
     * means as the build side. One definition, two physical operators —
@@ -117,6 +149,47 @@ object AsOfJoin {
     Q("join_asof_native", asofOracleSql) { (s, dir) =>
       val (b, pub) = asofInputs(s, dir)
       graft.plans.AsOfJoinNative.asof(b, pub, key = "user_id", tsCol = "ts")
+        .orderBy("event_id")
+    },
+
+    // FORWARD as-of: each event carries the next-published (at-or-
+    // after) per-user daily mean — the summary that will COVER this
+    // event, i.e. the label-join direction (backward as-of reads
+    // history; forward as-of reads the future, which is exactly what
+    // leakage audits need spelled out as its own operator). DuckDB's
+    // native ASOF is backward-only, so the oracle replays the
+    // union+window rewrite itself — probe before build on ties makes
+    // the match inclusive (event.ts <= pub.ts).
+    Q("join_asof_forward",
+      s"""WITH base AS (${Telemetry.baseSql}),
+         |b AS (SELECT event_id, ts, user_id, value FROM base),
+         |d AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |         ROUND(AVG(value), 6) + 0 AS m
+         |  FROM base GROUP BY 1, 2),
+         |pub AS (
+         |  SELECT user_id, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS ts, m
+         |  FROM d),
+         |u AS (
+         |  SELECT user_id, ts, event_id, value, CAST(NULL AS DOUBLE) AS upcoming_mean, 0 AS side
+         |  FROM b
+         |  UNION ALL
+         |  SELECT user_id, ts, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), m, 1
+         |  FROM pub),
+         |w AS (
+         |  SELECT user_id, ts, event_id, value, side,
+         |    first_value(CASE WHEN side = 1 THEN upcoming_mean END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, side
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS upcoming_mean
+         |  FROM u)
+         |SELECT event_id, ts, user_id, value, upcoming_mean
+         |FROM w WHERE side = 0
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val (b, pub) = asofInputs(s, dir)
+      asofForward(b, pub.withColumnRenamed("prev_day_mean", "upcoming_mean"),
+        key = "user_id", tsCol = "ts")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("upcoming_mean"))
         .orderBy("event_id")
     },
 

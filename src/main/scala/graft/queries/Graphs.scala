@@ -182,5 +182,70 @@ object Graphs {
         (a, b) => pmod(a + b, lit(5L)) + lit(1L), maxCost = 30L)
         .orderBy(col("id"))
     },
+
+    // 2-core of the dup-graph fixture by FIXED-ITERATION peeling
+    // (remove degree-<k nodes, recompute induced degrees, repeat) —
+    // the density filter that strips dangling chains/leaves before
+    // expensive per-component work (a node in the k-core lies on ≥ k
+    // internally-connected paths; dedup clusters that are pure chains
+    // are usually transitive-closure artifacts, cores are real dup
+    // neighborhoods). Peeling is anti-monotone so it has no recursive
+    // -CTE fixpoint form; like dedup_graph_pagerank the oracle UNROLLS
+    // the iterations — 6 levels, measured fixpoint at 4 on this graph
+    // (GraphsSpec asserts a 7th iteration is a no-op, so the declared
+    // result IS the true 2-core, not a truncation). Per round: one
+    // double semi-join of the persisted symmetric edge list against
+    // the surviving node set + a keyed count — each round's cost
+    // tracks the SURVIVING subgraph, lineage cut per round.
+    Q("graph_kcore", {
+      val unroll = (1 to 6).map { i =>
+        s""",d$i AS (
+           |  SELECT u.a AS id, COUNT(*) AS c FROM und u
+           |  JOIN n${i - 1} x ON u.a = x.id JOIN n${i - 1} y ON u.b = y.id
+           |  GROUP BY u.a)
+           |,n$i AS (SELECT id FROM d$i WHERE c >= 2)""".stripMargin
+      }.mkString("\n")
+      s"""WITH e0 AS (
+         |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+         |  UNION ALL SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 < 3),
+         |und AS (
+         |  SELECT DISTINCT a, b
+         |  FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) t),
+         |n0 AS (SELECT DISTINCT a AS id FROM und)
+         |$unroll
+         |SELECT u.a AS id, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM und u JOIN n6 x ON u.a = x.id JOIN n6 y ON u.b = y.id
+         |GROUP BY u.a ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      kCore(fixtureEdges(Tables.documents(s, dir).select(col("doc_id"))),
+        k = 2, iters = 6)
+        .orderBy(col("id"))
+    },
   )
+
+  /** k-core by fixed-iteration peeling over an (a, b) edge frame —
+    * see the `graph_kcore` declaration. Returns (id, degree) of the
+    * surviving induced subgraph after `iters` rounds. */
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    def inducedDegrees(nodes: DataFrame): DataFrame =
+      und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
+        .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
+        .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
+    var nodes = und.select(col("a").as("id")).distinct().localCheckpoint()
+    for (_ <- 1 to iters)
+      nodes = inducedDegrees(nodes).filter(col("c") >= k)
+        .select(col("id")).localCheckpoint()
+    val out = inducedDegrees(nodes)
+      .select(col("id"), col("c").cast("long").as("degree"))
+      .localCheckpoint()
+    und.unpersist()
+    out
+  }
 }

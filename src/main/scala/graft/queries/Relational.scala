@@ -1310,5 +1310,58 @@ object Relational {
           col("n_even"), col("n_odd"))
         .orderBy(col("status_key"))
     },
+
+    // Mode + argmax per group — the "which value, not how much"
+    // aggregates (Spark's max_by/mode are tie-NONDETERMINISTIC, so
+    // both are spelled as rank-1 windows with a total tie order:
+    // mode = most frequent l_linestatus (ties to the smaller status),
+    // argmax = the orderkey holding the group's max extendedprice
+    // (ties to the smaller key)). Both windows plan as
+    // WindowGroupLimit — a map-side partial top-1 per partition
+    // BEFORE the shuffle (asserted in RelationalSpec), so each
+    // exchange carries one candidate row per (partition × group),
+    // never the data. The two frames join on the group key
+    // (group-domain-sized, broadcast).
+    Q("agg_mode_argmax",
+      """WITH m AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_mode
+        |  FROM lineitem GROUP BY 1, 2),
+        |mr AS (
+        |  SELECT l_returnflag, l_linestatus AS mode_status, n_mode,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY n_mode DESC, l_linestatus) AS rn
+        |  FROM m),
+        |ar AS (
+        |  SELECT l_returnflag, l_orderkey AS top_orderkey,
+        |         l_extendedprice AS top_price,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_extendedprice DESC, l_orderkey) AS rn
+        |  FROM lineitem)
+        |SELECT mr.l_returnflag, mr.mode_status, CAST(mr.n_mode AS BIGINT) AS n_mode,
+        |       ar.top_orderkey, ar.top_price
+        |FROM mr JOIN ar ON mr.l_returnflag = ar.l_returnflag
+        |WHERE mr.rn = 1 AND ar.rn = 1
+        |ORDER BY mr.l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      val mode = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_mode"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("n_mode").desc, col("l_linestatus"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus").as("mode_status"), col("n_mode"))
+      val arg = li
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("l_extendedprice").desc, col("l_orderkey"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_orderkey").as("top_orderkey"),
+          col("l_extendedprice").as("top_price"))
+      mode.join(broadcast(arg), "l_returnflag")
+        .select(col("l_returnflag"), col("mode_status"), col("n_mode"),
+          col("top_orderkey"), col("top_price"))
+        .orderBy(col("l_returnflag"))
+    },
   )
 }

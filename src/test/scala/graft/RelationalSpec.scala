@@ -277,6 +277,70 @@ class RelationalSpec extends SparkSpec {
     assert(out(4L) === None)
   }
 
+  test("forward as-of join: earliest at-or-after match, inclusive ties, null after last build") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val probe = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 7L, 10.0), // before any build → earliest build
+      (2L, ts("2024-01-02 00:00:00"), 7L, 20.0), // EXACTLY at build ts → inclusive match
+      (3L, ts("2024-01-02 09:00:00"), 7L, 30.0), // between builds → carries NEXT, not prev
+      (4L, ts("2024-01-03 00:00:01"), 7L, 40.0), // after last build → null
+      (5L, ts("2024-01-05 00:00:00"), 8L, 50.0)) // other key, no builds → null
+      .toDF("event_id", "ts", "user_id", "value")
+    val build = Seq(
+      (7L, ts("2024-01-02 00:00:00"), 1.5),
+      (7L, ts("2024-01-03 00:00:00"), 2.5))
+      .toDF("user_id", "ts", "upcoming_mean")
+    val out = AsOfJoin.asofForward(probe, build, "user_id", "ts")
+      .select("event_id", "upcoming_mean")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === Some(1.5))
+    assert(out(2L) === Some(1.5))
+    assert(out(3L) === Some(2.5))
+    assert(out(4L) === None)
+    assert(out(5L) === None)
+  }
+
+  test("agg_mode_argmax: brute-force parity on sf0.001; both rank-1 windows plan WindowGroupLimit") {
+    val df = SparkEntry.queries("agg_mode_argmax")(spark, sf("sf0.001"))
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val rows = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = rows.groupBy(_._1).map { case (flag, rs) =>
+      val (modeStatus, nMode) = rs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (s, n) => (-n, s) }.head
+      val (_, _, topKey, topPrice) = rs.sortBy { case (_, _, k, p) => (-p, k) }.head
+      flag -> (modeStatus, nMode, topKey, topPrice)
+    }
+    assert(got === want)
+    val wgl = collectPlan(df.queryExecution.executedPlan)
+      .count(_.getClass.getSimpleName.contains("WindowGroupLimit"))
+    assert(wgl >= 2, s"expected both rank-1 windows as WindowGroupLimit, found $wgl:\n" +
+      df.queryExecution.executedPlan)
+  }
+
+  test("kCore: hand fixture strips the tail, keeps the triangle; declared 2-core is a fixpoint") {
+    import spark.implicits._
+    import graft.queries.Graphs
+    // triangle 1-2-3 plus a tail 3-4-5: peeling removes 5 then 4; the
+    // triangle survives with all induced degrees 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graphs.kCore(edges, k = 2, iters = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // the declared query's 6 iterations reach the true 2-core: one
+    // more iteration must be a no-op
+    val fx = Graphs.fixtureEdges(
+      Tables.documents(spark, sf("sf0.001")).select(col("doc_id")))
+    val six = Graphs.kCore(fx, 2, 6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seven = Graphs.kCore(fx, 2, 7).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(six === seven && six.nonEmpty, "declared iteration count is not a fixpoint")
+  }
+
   test("parquet scans prune columns (ReadSchema ⊂ table schema)") {
     val df = SparkEntry.queries("agg_pricing_summary")(spark, sf("sf0.001"))
     val scan = df.queryExecution.executedPlan.toString
