@@ -828,6 +828,59 @@ object Similarity {
       annJoin(emb, emb.filter(col("vec_id") < 8), k = 3)
     },
 
+    // ANN QUALITY as a driver-checked query — "measure, don't guess"
+    // applied to retrieval itself: per probe, the banded-ANN top-3 is
+    // intersected with the BRUTE-FORCE exact top-3 and the hit count /
+    // recall@3 is emitted. Every piece is deterministic (band
+    // signatures, rounded cosines, total tie orders), so the recall
+    // NUMBER is hash-pinned cross-engine — the audit a 100 TB
+    // retrieval deployment runs on a sampled probe set to watch
+    // recall drift as the corpus grows (the exact side costs
+    // |probes|·N cosines — sampling the probes is the knob; the ANN
+    // side stays bucket-bounded).
+    Q("embed_ann_recall",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bands AS ($srpBandedSql),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+         |  FROM bands p JOIN bands c
+         |    ON p.band_idx = c.band_idx AND p.band_sig = c.band_sig
+         |   AND p.vec_id <> c.vec_id
+         |  WHERE p.vec_id < 8),
+         |annr AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                              ORDER BY ROUND(list_cosine_similarity(ep.v, ec.v), 6) + 0 DESC,
+         |                                       cand_id) AS rank
+         |    FROM cand
+         |    JOIN e ep ON ep.vec_id = probe_id
+         |    JOIN e ec ON ec.vec_id = cand_id) t
+         |  WHERE rank <= 3),
+         |exr AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |                              ORDER BY ROUND(list_cosine_similarity(p.v, c.v), 6) + 0 DESC,
+         |                                       c.vec_id) AS rank
+         |    FROM e p JOIN e c ON c.vec_id <> p.vec_id
+         |    WHERE p.vec_id < 8) t
+         |  WHERE rank <= 3),
+         |h AS (
+         |  SELECT a.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM annr a JOIN exr x
+         |    ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
+         |  GROUP BY 1)
+         |SELECT p.vec_id AS probe_id,
+         |       COALESCE(h.n_hits, 0) AS n_hits,
+         |       ROUND(COALESCE(h.n_hits, 0) / 3.0, 6) + 0 AS recall_at_3
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 8) p
+         |LEFT JOIN h ON h.probe_id = p.vec_id
+         |ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      annRecall(Tables.embeddings(s, dir), probePred = col("vec_id") < 8, k = 3)
+        .orderBy(col("probe_id"))
+    },
+
     // Multi-probe ANN: the probe side also searches every hamming-1
     // band bucket (single-bit XOR flips — exact integer arithmetic,
     // replayed verbatim in the oracle). Candidates are a strict
@@ -1102,6 +1155,40 @@ object Similarity {
       .localCheckpoint()
     vecs.unpersist()
     out
+  }
+
+  /** Per-probe recall@k of the banded ANN against the brute-force
+    * exact top-k — see the `embed_ann_recall` declaration. On the
+    * near-orthogonal synthetic corpus low recall is the HONEST
+    * expected result (near-ties everywhere; single-table SRP buckets
+    * rarely contain the marginal top-3) — LlmSpec pins recall = 1 on
+    * a planted-cluster frame, which is the regime banding is for. */
+  def annRecall(emb: DataFrame, probePred: Column, k: Int): DataFrame = {
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val pv = vecs.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val byProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    // brute-force exact top-k: the probe vectors broadcast across the
+    // corpus scan (the audit baseline — |probes|·N cosines)
+    val exact = vecs.join(broadcast(pv), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        (round(cosine(col("v"), col("pv")), 6) + lit(0.0)).as("cos_sim"))
+      .withColumn("rank", row_number().over(byProbe))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"))
+    val ann = annJoin(emb, emb.filter(probePred), k = k)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = ann.join(exact, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    pv.select(col("probe_id"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(
+        col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6) + lit(0.0))
+          .as(s"recall_at_$k"))
   }
 
   /** Candidate pairs from ANY-band signature agreement — the

@@ -1363,5 +1363,52 @@ object Relational {
           col("top_orderkey"), col("top_price"))
         .orderBy(col("l_returnflag"))
     },
+
+    // Weighted median per group — the robust center when rows carry
+    // mass (median price weighted by quantity ≠ median price): the
+    // smallest value whose CUMULATIVE weight reaches half the total.
+    // All weight arithmetic in DECIMAL (associative) and the halving
+    // spelled as 2·cum ≥ tot (no fractional compare), so the SELECTED
+    // element — an original data double — is exact cross-engine.
+    // Shape: per-(group, value) weight aggregate (data-sized scan,
+    // value-domain output), one cumulative window over the collapsed
+    // frame, a broadcast totals join, min-select. The collapsed frame
+    // is |distinct values per group| — the window sort never sees the
+    // raw data.
+    Q("agg_weighted_median",
+      """WITH g AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         SUM(CAST(l_quantity AS DECIMAL(30,6))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v, w,
+        |         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g),
+        |t AS (SELECT l_returnflag, SUM(w) AS tot FROM g GROUP BY 1)
+        |SELECT c.l_returnflag,
+        |       MIN(c.v) AS weighted_median,
+        |       CAST(MIN(t.tot) AS DOUBLE) AS total_weight
+        |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+        |WHERE 2 * c.cum >= t.tot
+        |GROUP BY c.l_returnflag
+        |ORDER BY c.l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("w"))
+      val c = g.withColumn("cum", sum(col("w")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val t = g.groupBy(col("l_returnflag").as("tf"))
+        .agg(sum(col("w")).as("tot"))
+      c.join(broadcast(t), col("l_returnflag") === col("tf"))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(col("v")).as("weighted_median"),
+          min(col("tot")).cast("double").as("total_weight"))
+        .orderBy(col("l_returnflag"))
+    },
   )
 }

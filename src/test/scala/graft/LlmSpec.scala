@@ -202,6 +202,38 @@ class LlmSpec extends SparkSpec {
     assert(approx.contains(0L), "probe's own bucket must contain the probe")
   }
 
+  test("annRecall: planted clusters score recall 1; declared output is a sane audit") {
+    // planted regime: each probe 0..3 has three  0.99-cosine copies at
+    // +100, +200, +300 — the exact top-3 IS the copy set, and banding
+    // must retrieve it (this is the regime LSH is FOR; the near-
+    // orthogonal corpus's low recall is the honest complement)
+    val rnd = new scala.util.Random(11)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(Similarity.Dim)(r.nextGaussian().toFloat)
+    }
+    val probes = (0L until 4L).map(i => (i, vec(i.toInt), 0))
+    val copies = for (i <- 0L until 4L; off <- Seq(100L, 200L, 300L))
+      yield (i + off, vec(i.toInt).map(_ + (rnd.nextGaussian() * 0.03).toFloat), 0)
+    val noise = (10L until 60L).map(i => (i + 1000L, vec(i.toInt + 500), 1))
+    val emb = (probes ++ copies ++ noise).toDF("vec_id", "embedding", "label")
+    val got = Similarity.annRecall(emb, col("vec_id") < 4, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    got.foreach { case (p, hits) =>
+      assert(hits === 3L, s"probe $p recalled $hits of its 3 planted copies")
+    }
+    // declared-query shape on the real corpus: 8 probes, hits in [0, 3],
+    // recall = hits/3 exactly
+    val real = SparkEntry.queries("embed_ann_recall")(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(real.length === 8)
+    real.foreach { case (_, h, rc) =>
+      assert(h >= 0L && h <= 3L)
+      assert(math.abs(rc - h / 3.0) < 1e-6 + 1e-9)
+    }
+  }
+
   test("ANN scans a bounded candidate set, not the whole corpus") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val bucketed = emb.withColumn("bucket",

@@ -323,6 +323,33 @@ class RelationalSpec extends SparkSpec {
       df.queryExecution.executedPlan)
   }
 
+  test("agg_weighted_median: brute-force parity; weight actually moves the median") {
+    val got = SparkEntry.queries("agg_weighted_median")(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val want = rows.groupBy(_._1).map { case (flag, rs) =>
+      // per-(flag, price) weight, cumulative in price order, first value
+      // whose doubled cumulative weight reaches the total (quantities
+      // are small integral doubles — the sums are exact)
+      val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      var cum = 0.0
+      val med = byV.find { case (_, w) => cum += w; 2 * cum >= tot }.get._1
+      flag -> (med, tot)
+    }
+    assert(got === want)
+    // the weighting is not vacuous: for at least one group the weighted
+    // median differs from the unweighted one
+    val unweighted = rows.groupBy(_._1).map { case (flag, rs) =>
+      val vs = rs.map(_._2).sorted
+      flag -> vs((vs.length - 1) / 2)
+    }
+    assert(got.exists { case (f, (m, _)) => m != unweighted(f) },
+      "weighted and unweighted medians coincide everywhere — fixture vacuous")
+  }
+
   test("kCore: hand fixture strips the tail, keeps the triangle; declared 2-core is a fixpoint") {
     import spark.implicits._
     import graft.queries.Graphs
