@@ -88,5 +88,11 @@ object SparkEntry {
     // fixed-size-summary aggregate (key space d·w) plus a
     // vocabulary-bounded broadcast probe join, the sketch shape.
     "sketch_cms_topk",
+    // Round 9 (session 3): the interval×interval overlap join on the
+    // RAW events — bucket-explode + responsibility dedup + exact
+    // predicate, the one headline join whose OUTPUT is quadratic in
+    // per-day concurrency (the operator's semantics; candidate/true
+    // ratio is the plan-quality number, measured scale-stable ~2.3×).
+    "join_interval_overlap",
   )
 }

@@ -428,4 +428,65 @@ class PropertySpec extends SparkSpec {
       conserve && ordered && assignment
     })
   }
+
+  test("property: bucketized intervalOverlap equals the naive overlap join") {
+    import graft.operators.RangeJoin
+    val day = java.sql.Date.valueOf("2024-01-01")
+    // random closed intervals inside one day, in µs from a small grid
+    // so degenerate points, touching endpoints, and bucket-boundary
+    // landings all occur; user ids collide across the two sides so the
+    // self-pair exclusion is exercised
+    val ivGen: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 5L)
+        s <- Gen.choose(0L, 24L * 60 - 1).map(_ * 60000000L)
+        len <- Gen.choose(0L, 6L * 60).map(_ * 60000000L)
+      } yield (u, s, s + len))
+    } yield rows
+    check(Prop.forAll(ivGen, ivGen) { (as, bs) =>
+      val a = as.map { case (u, s, e) => (u, day, s, e) }.toDF("user_id", "day", "s", "e")
+      val b = bs.map { case (u, s, e) => (u, day, s, e) }.toDF("user_id", "day", "s", "e")
+      val got = RangeJoin.intervalOverlap(a, b, 3600L * 1000000)
+        .select(col("user_id"), col("b_user_id"), col("s"), col("b_s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = (for {
+        (ua, sa, ea) <- as
+        (ub, sb, eb) <- bs
+        if ua != ub && sa <= eb && sb <= ea
+      } yield (ua, ub, sa, sb)).groupBy(identity).view.mapValues(_.size).toMap
+      Prop(got == want) :| s"got=$got want=$want"
+    })
+  }
+
+  test("property: kCore equals brute-force peeling on random graphs") {
+    import graft.queries.Graphs
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 16)
+      nEdges <- Gen.choose(1, 28)
+      pairs <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield pairs.filter(p => p._1 != p._2)
+    check(Prop.forAll(graphGen, Gen.choose(2, 3)) { (es, k) =>
+      if (es.isEmpty) Prop(true) else {
+        val got = Graphs.kCore(es.toDF("a", "b"), k, iters = 16).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute: peel to fixpoint on the symmetric simple graph
+        val sym = es.flatMap { case (x, y) => Seq((x, y), (y, x)) }.distinct
+        var nodes = sym.map(_._1).toSet
+        var changed = true
+        while (changed) {
+          val deg = sym.filter(e => nodes(e._1) && nodes(e._2))
+            .groupBy(_._1).view.mapValues(_.size).toMap
+          val keep = nodes.filter(v => deg.getOrElse(v, 0) >= k)
+          changed = keep != nodes
+          nodes = keep
+        }
+        val want = sym.filter(e => nodes(e._1) && nodes(e._2))
+          .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        Prop(got == want) :| s"k=$k got=$got want=$want edges=$es"
+      }
+    })
+  }
 }
