@@ -255,6 +255,21 @@ object PlanAudit {
       Tables.lineitem(spark, sfDir), "l_returnflag", "l_orderkey"))
     audit("cmsTopTokens", queries.Sketches.cmsTopTokens(docs, 15))
     audit("scd2AsOf(query)", SparkEntry.queries("audit_scd2_asof")(spark, sfDir))
+
+    // round-9 session-3 additions: the new join shapes and audits.
+    // join_bloom_pruned / graph_kcore end in collected artifacts or
+    // checkpoints, so their interesting stages are audited directly.
+    audit("intervalOverlap(query)",
+      SparkEntry.queries("join_interval_overlap")(spark, sfDir))
+    audit("joinNearest(query)", SparkEntry.queries("join_nearest")(spark, sfDir))
+    audit("asofForward(query)", SparkEntry.queries("join_asof_forward")(spark, sfDir))
+    audit("modeArgmax(query)", SparkEntry.queries("agg_mode_argmax")(spark, sfDir))
+    audit("weightedMedian(query)", SparkEntry.queries("agg_weighted_median")(spark, sfDir))
+    audit("refIntegrity(query)",
+      SparkEntry.queries("audit_referential_integrity")(spark, sfDir))
+    audit("sampleQuantiles(query)",
+      SparkEntry.queries("sketch_sample_quantiles")(spark, sfDir))
+    audit("annRecall(query)", SparkEntry.queries("embed_ann_recall")(spark, sfDir))
     spark.stop()
   }
 }
