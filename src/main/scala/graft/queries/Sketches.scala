@@ -350,6 +350,79 @@ object Sketches {
       cmsTopTokens(Tables.documents(s, dir), topK = 15)
     },
 
+    // JOIN-SIZE ESTIMATION from two count-min summaries — the
+    // optimizer's cardinality primitive (AMS/CMS inner-product
+    // estimator, Alon–Matias–Szegedy by way of Cormode–Muthukrishnan):
+    // |A ⋈_k B| = Σ_k f_A(k)·f_B(k), and the inner product of the two
+    // counter tables, minimized over the d rows, upper-bounds it with
+    // the usual ε·‖A‖₁·‖B‖₁ excess. The question "how big would this
+    // join be" is answered from two d·w-long summaries WITHOUT running
+    // the join — at 100 TB the sketches merge cell-wise per partition
+    // and the estimate costs O(d·w), which is why engines keep exactly
+    // this summary per join column. Sides: view-events × purchase-
+    // events on user_id (both sides carry real multiplicities, so the
+    // product term is non-trivial). All counters and products are
+    // int64 — est and exact are BOTH hash-pinned, the realized
+    // overestimate visible in the output.
+    Q("sketch_cms_join_size",
+      s"""WITH va AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events
+         |            WHERE event_type = 'view'),
+         |pb AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events
+         |       WHERE event_type = 'purchase'),
+         |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |ca AS (
+         |  SELECT r, CAST(concat('0x', substr(md5(tok), 1 + 8 * r, 8)) AS BIGINT) % $CmsW AS b,
+         |         COUNT(*) AS c
+         |  FROM va, rs GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT r, CAST(concat('0x', substr(md5(tok), 1 + 8 * r, 8)) AS BIGINT) % $CmsW AS b,
+         |         COUNT(*) AS c
+         |  FROM pb, rs GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT ca.r, CAST(SUM(ca.c * cb.c) AS BIGINT) AS dot
+         |  FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
+         |  GROUP BY ca.r),
+         |ex AS (
+         |  SELECT CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT) AS exact_join_size
+         |  FROM (SELECT tok, COUNT(*) AS n FROM va GROUP BY 1) a
+         |  JOIN (SELECT tok, COUNT(*) AS n FROM pb GROUP BY 1) b USING (tok))
+         |SELECT CAST((SELECT COUNT(*) FROM va) AS BIGINT) AS n_views,
+         |       CAST((SELECT COUNT(*) FROM pb) AS BIGINT) AS n_purchases,
+         |       (SELECT MIN(dot) FROM ip) AS est_join_size,
+         |       ex.exact_join_size
+         |FROM ex""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").cast("string").as("tok"))
+      def counters(df: DataFrame) =
+        df.select(md5(col("tok")).as("m"), explode(cmsRows).as("r"))
+          .select(col("r"),
+            pmod(conv(expr("substring(m, 1 + 8*r, 8)"), 16, 10).cast("long"),
+              lit(CmsW)).as("b"))
+          .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val va = side("view").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pb = side("purchase").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val est = counters(va).as("a")
+        .join(counters(pb).as("b"), Seq("r", "b"))
+        .groupBy(col("r")).agg(sum(col("a.c") * col("b.c")).cast("long").as("dot"))
+        .agg(min(col("dot")).as("est_join_size"))
+        .withColumn("k", lit(1))
+      val exact = va.groupBy(col("tok")).agg(count(lit(1)).as("na"))
+        .join(pb.groupBy(col("tok")).agg(count(lit(1)).as("nb")), "tok")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long")
+          .as("exact_join_size"))
+        .withColumn("k", lit(1))
+      val sizes = va.agg(count(lit(1)).as("n_views")).withColumn("k", lit(1))
+        .join(pb.agg(count(lit(1)).as("n_purchases")).withColumn("k", lit(1)), "k")
+      val out = sizes
+        .join(est, "k").join(exact, "k")
+        .select(col("n_views"), col("n_purchases"),
+          col("est_join_size"), col("exact_join_size"))
+        .localCheckpoint()
+      va.unpersist(); pb.unpersist()
+      out
+    },
+
     // Quantiles completes the sketch triad (KMV = distinct, CMS =
     // frequency): DETERMINISTIC-HASH row sampling + discrete quantiles
     // of the sample, exact full-data quantiles alongside as the audit

@@ -90,8 +90,9 @@ class RelationalSpec extends SparkSpec {
       "curation_negative_pairs", "search_keyword_topk", "stats_histogram_eqdepth",
       "basket_pairs_topk", "events_survival_curve", "events_cusum_alarms",
       // sample-vs-exact quantile rows stitch two 1-ROW aggregate frames
-      // on a constant key — the optimizer folds that to a (1×1) cross
-      "sketch_sample_quantiles")
+      // on a constant key — the optimizer folds that to a (1×1) cross;
+      // the join-size estimator stitches four such 1-row frames
+      "sketch_sample_quantiles", "sketch_cms_join_size")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString

@@ -153,4 +153,20 @@ class SketchesSpec extends SparkSpec {
       .filter(!(col("c1") <=> col("c2")))
     assert(diff.count() === 0L)
   }
+
+  test("cms join size: estimate bounds the true join size from above, reconciles with the real join") {
+    val r = SparkEntry.queries("sketch_cms_join_size")(spark, sf("sf0.001")).collect()
+    assert(r.length === 1)
+    val (nV, nP, est, exact) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    // CMS inner product only ADDS collision cross-terms — one-sided
+    assert(est >= exact, s"estimator undercut the join: est=$est exact=$exact")
+    assert(exact > 0L && est <= nV * nP, "degenerate fixture")
+    // the 'exact' column really is the join size: run the join
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val joined = ev.filter(col("event_type") === "view").select(col("user_id"))
+      .join(ev.filter(col("event_type") === "purchase").select(col("user_id")), "user_id")
+      .count()
+    assert(exact === joined)
+  }
 }
