@@ -852,6 +852,88 @@ object Audit {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Two-sample Kolmogorov–Smirnov drift test — THE nonparametric
+    // distribution-shift check an ML pipeline runs between a training
+    // slice and a serving slice before trusting a model. Float CDFs
+    // would make D engine-dependent near ties, so D is computed as an
+    // INTEGER: max over the merged distinct-value grid of
+    // |c1(v)·n2 − c2(v)·n1| (cross-multiplied cumulative counts), the
+    // float division deferred to the final displayed statistic. The
+    // cumulative window runs over the per-value COLLAPSED grid
+    // (value-domain, not data-sized); `ks_at` reports the smallest
+    // value achieving the max. Sides here: A-flag vs R-flag prices —
+    // same generator, so the truthful answer is "no drift" (small D);
+    // the boundary fixtures in RelationalSpec pin D = 1 (disjoint) and
+    // D = 0 (identical).
+    Q("audit_ks_drift",
+      """WITH s AS (
+        |  SELECT l_extendedprice AS v,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |bv AS (
+        |  SELECT v,
+        |         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS a1,
+        |         SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS a2
+        |  FROM s GROUP BY v),
+        |c AS (
+        |  SELECT v,
+        |         SUM(a1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+        |         SUM(a2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+        |  FROM bv),
+        |t AS (
+        |  SELECT SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1,
+        |         SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM s),
+        |d AS (SELECT v, abs(c1 * t.n2 - c2 * t.n1) AS dnum, t.n1, t.n2 FROM c, t),
+        |m AS (SELECT MIN(n1) AS n1, MIN(n2) AS n2, MAX(dnum) AS d_num FROM d)
+        |SELECT CAST(m.n1 AS BIGINT) AS n1, CAST(m.n2 AS BIGINT) AS n2,
+        |       CAST(m.d_num AS BIGINT) AS d_num,
+        |       ROUND(CAST(m.d_num AS DOUBLE) / CAST(m.n1 * m.n2 AS DOUBLE), 6) + 0 AS ks_stat,
+        |       (SELECT MIN(v) FROM d WHERE d.dnum = m.d_num) AS ks_at
+        |FROM m""".stripMargin) { (s, dir) =>
+      ksDrift(Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_extendedprice").as("v"),
+          when(col("l_returnflag") === "A", 1).otherwise(2).as("side")))
+    },
+
+    // EXACT ROC-AUC — the model-eval primitive (Mann–Whitney U) in
+    // pure integer arithmetic, making "how discriminative is this
+    // score" a driver-checked number instead of an MLlib-internal
+    // rows-only metric (M3's PR-AUC evaluator stays for training; this
+    // is the oracle-pinned complement on the deterministic score
+    // surface). Average-rank tie handling is exact by construction:
+    // 2·Σranks(pos) = Σ_v pv·(2·start_v + nv + 1) over distinct
+    // scores. On random values vs error labels the truthful AUC ≈ 0.5;
+    // RelationalSpec pins separated (1.0) and all-tied (exactly 0.5)
+    // fixtures.
+    Q("ml_auc_exact",
+      """WITH s AS (
+        |  SELECT value AS score,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |bv AS (SELECT score, COUNT(*) AS nv, SUM(label) AS pv FROM s GROUP BY score),
+        |c AS (
+        |  SELECT score, nv, pv,
+        |         COALESCE(SUM(nv) OVER (ORDER BY score
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  0) AS start
+        |  FROM bv),
+        |a AS (
+        |  SELECT SUM(pv * (2 * start + nv + 1)) AS two_rank_sum,
+        |         SUM(pv) AS n_pos, SUM(nv) AS n
+        |  FROM c)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+        |       CAST(n - n_pos AS BIGINT) AS n_neg,
+        |       CAST(two_rank_sum - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+        |       ROUND(CAST(two_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
+        |             / CAST(2 * n_pos * (n - n_pos) AS DOUBLE), 6) + 0 AS auc
+        |FROM a""".stripMargin) { (s, dir) =>
+      exactAuc(Tables.events(s, dir)
+        .select(col("value").as("score"),
+          when(col("event_type") === "error", 1).otherwise(0).as("label")))
+    },
+
     // Referential-integrity audit over the star schema — the FK-orphan
     // report a warehouse runs before trusting any join (an orphan FK
     // silently DROPS rows from every inner join downstream; the audit
@@ -946,6 +1028,64 @@ object Audit {
         lit(edge).as("edge"), col("n_rows"), col("n_orphans"),
         (round(col("n_orphans") * lit(1.0) / col("n_rows"), 6) + lit(0.0))
           .as("orphan_frac"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance over a (v, side) frame
+    * (side ∈ {1, 2}): D = max_v |F1(v) − F2(v)|, computed EXACTLY as
+    * max |c1(v)·n2 − c2(v)·n1| over the merged distinct-value grid
+    * (integer numerator — no float CDFs), plus the smallest v
+    * achieving it. See the `audit_ks_drift` declaration. */
+  def ksDrift(df: DataFrame): DataFrame = {
+    val byV = df.groupBy(col("v"))
+      .agg(
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("a2"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV
+      .withColumn("c1", sum(col("a1")).over(w))
+      .withColumn("c2", sum(col("a2")).over(w))
+    val tot = df.agg(
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("side") === 2, 1L).otherwise(0L)).as("n2"))
+      .withColumn("k", lit(1))
+    val d = cum.withColumn("k", lit(1)).join(broadcast(tot), "k")
+      .withColumn("dnum", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+    val mx = d.groupBy(col("n1"), col("n2")).agg(max(col("dnum")).as("d_num"))
+      .withColumn("k", lit(1))
+    val at = d.join(broadcast(mx.select(col("d_num"), col("k"))), "k")
+      .filter(col("dnum") === col("d_num"))
+      .agg(min(col("v")).as("ks_at"))
+      .withColumn("k", lit(1))
+    mx.join(broadcast(at), "k")
+      .select(col("n1"), col("n2"), col("d_num"),
+        (round(col("d_num") / (col("n1") * col("n2")).cast("double"), 6) + lit(0.0))
+          .as("ks_stat"),
+        col("ks_at"))
+  }
+
+  /** EXACT ROC-AUC over a (score, label ∈ {0,1}) frame via the
+    * Mann–Whitney U statistic in pure integer arithmetic: with
+    * average-rank tie handling, 2·Σ(ranks of positives) =
+    * Σ_v pv·(2·start_v + nv + 1) over the distinct-score grid, and
+    * AUC = (2Σ − np(np+1)) / (2·np·nn). Every term is int64; only the
+    * final division is float (exact inputs < 2⁵³). See the
+    * `ml_auc_exact` declaration. */
+  def exactAuc(df: DataFrame): DataFrame = {
+    val byV = df.groupBy(col("score"))
+      .agg(count(lit(1)).as("nv"), sum(col("label").cast("long")).as("pv"))
+    val w = Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byV.withColumn("start", coalesce(sum(col("nv")).over(w), lit(0L)))
+    cum.agg(
+        sum(col("pv") * (col("start") * 2 + col("nv") + 1)).as("two_rank_sum"),
+        sum(col("pv")).as("n_pos"),
+        sum(col("nv")).as("n"))
+      .select(
+        col("n_pos").cast("long").as("n_pos"),
+        (col("n") - col("n_pos")).cast("long").as("n_neg"),
+        (col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1)).cast("long").as("auc_num"),
+        (round((col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).cast("double"), 6) + lit(0.0))
+          .as("auc"))
   }
 
   /** Winsorized per-group stats over a (g, v) frame: clamp v into the

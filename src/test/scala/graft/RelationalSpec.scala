@@ -91,8 +91,9 @@ class RelationalSpec extends SparkSpec {
       "basket_pairs_topk", "events_survival_curve", "events_cusum_alarms",
       // sample-vs-exact quantile rows stitch two 1-ROW aggregate frames
       // on a constant key — the optimizer folds that to a (1×1) cross;
-      // the join-size estimator stitches four such 1-row frames
-      "sketch_sample_quantiles", "sketch_cms_join_size")
+      // the join-size estimator and the KS drift test stitch the same
+      // class of 1-row broadcast frames
+      "sketch_sample_quantiles", "sketch_cms_join_size", "audit_ks_drift")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
@@ -349,6 +350,42 @@ class RelationalSpec extends SparkSpec {
     }
     assert(got.exists { case (f, (m, _)) => m != unweighted(f) },
       "weighted and unweighted medians coincide everywhere — fixture vacuous")
+  }
+
+  test("ksDrift: disjoint distributions read D=1, identical read D=0, shifted fixture exact") {
+    import spark.implicits._
+    import graft.queries.Audit
+    def frame(a: Seq[Double], b: Seq[Double]) =
+      (a.map((_, 1)) ++ b.map((_, 2))).toDF("v", "side")
+    def ks(a: Seq[Double], b: Seq[Double]) = {
+      val r = Audit.ksDrift(frame(a, b)).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    // disjoint: every v of side 1 below side 2 → D = 1 at the side-1 max
+    assert(ks(Seq(1, 2, 3), Seq(10, 11)) === ((3L, 2L, 6L, 1.0, 3.0)))
+    // identical multisets → D = 0 (d_num 0; ks_at is the first grid point)
+    val (_, _, d0, s0, _) = ks(Seq(1, 2, 2, 5), Seq(1, 2, 2, 5))
+    assert(d0 === 0L && s0 === 0.0)
+    // hand-computed mixed case: a={1,2,3,4}, b={3,4,5,6}:
+    // at v=2 |2·4 − 0·4| = 8 is the max → D = 8/16 = 0.5, at v=2
+    assert(ks(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) === ((4L, 4L, 8L, 0.5, 2.0)))
+  }
+
+  test("exactAuc: separated scores give 1, all-tied give exactly 0.5, reversed give 0") {
+    import spark.implicits._
+    import graft.queries.Audit
+    def auc(rows: Seq[(Double, Int)]): (Long, Long, Long, Double) = {
+      val r = Audit.exactAuc(rows.toDF("score", "label")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // positives all score above negatives → AUC 1
+    assert(auc(Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1))) === ((2L, 2L, 8L, 1.0)))
+    // one constant score → average-rank ties give EXACTLY 0.5
+    assert(auc(Seq((5.0, 0), (5.0, 1), (5.0, 0), (5.0, 1))) === ((2L, 2L, 4L, 0.5)))
+    // anti-correlated → AUC 0
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))) === ((2L, 2L, 0L, 0.0)))
+    // mixed hand case: scores 1..4, labels 0,1,0,1 → U = 3, AUC = 0.75
+    assert(auc(Seq((1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1))) === ((2L, 2L, 6L, 0.75)))
   }
 
   test("kCore: hand fixture strips the tail, keeps the triangle; declared 2-core is a fixpoint") {
