@@ -226,6 +226,52 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Banding recall per probe — see the `dedup_minhash_recall`
+    * declaration. `probePred` filters doc_id; ground truth is the
+    * exact-Jaccard ≥ τ set over probe×corpus via a token-keyed join
+    * (never all-pairs — cost is df-weighted and |probes|-scaled), the
+    * found set is the production banded candidates, and recall is
+    * their quotient per probe. The τ comparison is the integer form
+    * 19·|∩| ≥ 9·(|A|+|B|) ⟺ J ≥ 0.9. */
+  def minhashRecall(docs: DataFrame, probePred: Column): DataFrame = {
+    val toks = tokenized(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = toks.select(col("doc_id"), size(col("toks")).cast("long").as("s"))
+    val pt = toks.filter(probePred)
+      .select(col("doc_id").as("pid"), explode(col("toks")).as("t"))
+    val ct = toks.select(col("doc_id").as("cid"), explode(col("toks")).as("t"))
+    val iv = pt.join(ct, "t").filter(col("cid") =!= col("pid"))
+      .groupBy(col("pid"), col("cid")).agg(count(lit(1)).as("i"))
+    val tru = iv
+      .join(sz.select(col("doc_id").as("pid"), col("s").as("sp")), "pid")
+      .join(sz.select(col("doc_id").as("cid"), col("s").as("sc")), "cid")
+      .filter(col("i") * 19 >= (col("sp") + col("sc")) * 9)
+      .select(col("pid"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = tokenBanded(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.filter(probePred).as("p")
+      .join(bands.as("c"),
+        col("p.band_idx") === col("c.band_idx") &&
+          col("p.band_hash") === col("c.band_hash") &&
+          col("p.doc_id") =!= col("c.doc_id"))
+      .select(col("p.doc_id").as("pid"), col("c.doc_id").as("cid"))
+      .distinct()
+    val fnd = tru.join(cand, Seq("pid", "cid"), "left_semi")
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_found"))
+    val nt = tru.groupBy(col("pid")).agg(count(lit(1)).as("n_true"))
+    val out = nt.join(fnd, Seq("pid"), "left_outer")
+      .select(
+        col("pid").as("probe_id"),
+        col("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        (round(coalesce(col("n_found"), lit(0L)) * lit(1.0) / col("n_true"), 6) + lit(0.0))
+          .as("recall"))
+      .localCheckpoint()
+    toks.unpersist(); tru.unpersist(); bands.unpersist()
+    out
+  }
+
   /** 16-bit SimHash: bit k set iff the majority of token hashes have
     * bit k set (ties → 1, deterministic). Native map-side signature
     * (round 7) — the composed form below re-inlined the md5 transform
@@ -1176,6 +1222,68 @@ object Dedup {
     Q("dedup_minhash_pairs",
       s"$minhashPairsSql\nORDER BY id_a, id_b") { (s, dir) =>
       nearDupPairs(Tables.documents(s, dir))
+    },
+
+    // LSH QUALITY as a driver-checked query — the dedup twin of
+    // `embed_ann_recall`: per probe, the banded candidates that are
+    // TRUE near-dups (exact Jaccard ≥ τ, probe×corpus ground truth)
+    // over the number of true near-dups — banding recall, hash-pinned.
+    // Near-dups are planted IN-QUERY (docs < 20 get a copy at +10⁶
+    // with every 15th token dropped ⇒ J ≈ 0.93 ≥ τ = 0.9, token
+    // surgery both engines replay identically), so the truth set is
+    // non-vacuous on the near-unique corpus. The τ test is INTEGER —
+    // J ≥ 0.9 ⟺ 19·|∩| ≥ 9·(|A|+|B|) — so the truth SET can't drift
+    // on a rounding boundary. Exact side costs Σ_probe df-weighted
+    // token joins (|probes| is the sampling knob, exactly as in the
+    // ANN audit); the banding side is the production map-only path.
+    Q("dedup_minhash_recall", {
+      val keptSql = "array_to_string(list_transform(" +
+        "list_filter(range(1, len(string_split(text, ' ')) + 1), i -> i % 15 != 0)," +
+        " i -> string_split(text, ' ')[i]), ' ')"
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, $keptSql FROM documents WHERE doc_id < 20),
+         |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM aug),
+         |sig AS ($signaturesSql),
+         |bands AS ($bandedSql),
+         |sz AS (SELECT doc_id, len(toks) AS s FROM toks),
+         |pt AS (SELECT doc_id AS pid, unnest(toks) AS t FROM toks WHERE doc_id < 20),
+         |ct AS (SELECT doc_id AS cid, unnest(toks) AS t FROM toks),
+         |iv AS (
+         |  SELECT pid, cid, COUNT(*) AS i FROM pt JOIN ct USING (t)
+         |  WHERE cid != pid GROUP BY 1, 2),
+         |tru AS (
+         |  SELECT pid, cid FROM iv
+         |  JOIN sz sp ON sp.doc_id = pid
+         |  JOIN sz sc ON sc.doc_id = cid
+         |  WHERE 19 * i >= 9 * (sp.s + sc.s)),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS pid, c.doc_id AS cid
+         |  FROM bands p JOIN bands c
+         |    ON p.band_idx = c.band_idx AND p.band_hash = c.band_hash
+         |   AND p.doc_id < 20 AND c.doc_id != p.doc_id),
+         |fnd AS (
+         |  SELECT t.pid, COUNT(*) AS n_found
+         |  FROM tru t JOIN cand c ON c.pid = t.pid AND c.cid = t.cid
+         |  GROUP BY 1),
+         |nt AS (SELECT pid, COUNT(*) AS n_true FROM tru GROUP BY 1)
+         |SELECT nt.pid AS probe_id,
+         |       CAST(nt.n_true AS BIGINT) AS n_true,
+         |       CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+         |       ROUND(COALESCE(f.n_found, 0) * 1.0 / nt.n_true, 6) + 0 AS recall
+         |FROM nt LEFT JOIN fnd f ON f.pid = nt.pid
+         |ORDER BY probe_id""".stripMargin
+    }) { (s, dir) =>
+      val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val l = split(col("text"), " ")
+      val keptTxt = array_join(
+        transform(filter(sequence(lit(1), size(l)), i => i % 15 =!= 0),
+          i => element_at(l, i)), " ")
+      val aug = docs0.unionByName(docs0.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), keptTxt.as("text")))
+      minhashRecall(aug, probePred = col("doc_id") < 20)
+        .orderBy(col("probe_id"))
     },
 
     // Multi-tier consensus: pairs flagged by ≥ 2 of the three

@@ -234,6 +234,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("minhashRecall: planted near-dup found, dissimilar probe absent, declared output sane") {
+    // probe 1 has a true near-dup (identical long text), probe 2 has
+    // no neighbor above tau -> it must be ABSENT from the report
+    // (empty truth set), and the far doc never pollutes probe 1's row
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 39).map(i => s"tok$i").mkString(" ") // J = 39/40 > 0.9
+    val fx = docs((1L, base), (2L, "completely different words here entirely"),
+      (10L, near), (11L, "unrelated vocabulary again thanks"))
+    val got = Dedup.minhashRecall(fx.select(col("doc_id"), col("text")),
+        probePred = col("doc_id") < 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map(1L -> (1L, 1L, 1.0)))
+    // declared shape: every planted probe reports, n_found <= n_true
+    val real = SparkEntry.queries("dedup_minhash_recall")(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(real.nonEmpty && real.forall { case (_, t, f, rc) =>
+      t >= 1L && f <= t && rc >= 0.0 && rc <= 1.0
+    })
+  }
+
   test("ANN scans a bounded candidate set, not the whole corpus") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val bucketed = emb.withColumn("bucket",
