@@ -259,14 +259,22 @@ object Dedup {
       .distinct()
     val fnd = tru.join(cand, Seq("pid", "cid"), "left_semi")
       .groupBy(col("pid")).agg(count(lit(1)).as("n_found"))
+    val nc = cand.groupBy(col("pid")).agg(count(lit(1)).as("n_cand"))
     val nt = tru.groupBy(col("pid")).agg(count(lit(1)).as("n_true"))
     val out = nt.join(fnd, Seq("pid"), "left_outer")
+      .join(nc, Seq("pid"), "left_outer")
       .select(
         col("pid").as("probe_id"),
         col("n_true"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("n_found"), lit(0L)).as("n_found"),
         (round(coalesce(col("n_found"), lit(0L)) * lit(1.0) / col("n_true"), 6) + lit(0.0))
-          .as("recall"))
+          .as("recall"),
+        // empty candidate set => vacuous precision 1 (nothing wasted)
+        when(coalesce(col("n_cand"), lit(0L)) === 0, lit(1.0))
+          .otherwise(round(coalesce(col("n_found"), lit(0L)) * lit(1.0) / col("n_cand"), 6)
+            + lit(0.0))
+          .as("cand_precision"))
       .localCheckpoint()
     toks.unpersist(); tru.unpersist(); bands.unpersist()
     out
@@ -1267,12 +1275,19 @@ object Dedup {
          |  SELECT t.pid, COUNT(*) AS n_found
          |  FROM tru t JOIN cand c ON c.pid = t.pid AND c.cid = t.cid
          |  GROUP BY 1),
+         |nc AS (SELECT pid, COUNT(*) AS n_cand FROM cand GROUP BY 1),
          |nt AS (SELECT pid, COUNT(*) AS n_true FROM tru GROUP BY 1)
          |SELECT nt.pid AS probe_id,
          |       CAST(nt.n_true AS BIGINT) AS n_true,
+         |       CAST(COALESCE(c.n_cand, 0) AS BIGINT) AS n_cand,
          |       CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
-         |       ROUND(COALESCE(f.n_found, 0) * 1.0 / nt.n_true, 6) + 0 AS recall
-         |FROM nt LEFT JOIN fnd f ON f.pid = nt.pid
+         |       ROUND(COALESCE(f.n_found, 0) * 1.0 / nt.n_true, 6) + 0 AS recall,
+         |       CASE WHEN COALESCE(c.n_cand, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+         |            ELSE ROUND(COALESCE(f.n_found, 0) * 1.0 / c.n_cand, 6) + 0
+         |       END AS cand_precision
+         |FROM nt
+         |LEFT JOIN fnd f ON f.pid = nt.pid
+         |LEFT JOIN nc c ON c.pid = nt.pid
          |ORDER BY probe_id""".stripMargin
     }) { (s, dir) =>
       val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))

@@ -897,6 +897,54 @@ object Audit {
           when(col("l_returnflag") === "A", 1).otherwise(2).as("side")))
     },
 
+    // The bucketed KS form — the 100 TB path when the tested column is
+    // continuous (near-all-distinct): 64 equi-width buckets bound the
+    // CDF grid regardless of NDV, the bucketed D lower-bounds the true
+    // D at bucket resolution, and the bucket arithmetic (one subtract,
+    // one divide, one multiply, floor — pure IEEE) replays identically
+    // in DuckDB so even the APPROXIMATE form stays hash-exact.
+    // RelationalSpec pins bucketed ≤ exact and equality when buckets
+    // dominate NDV.
+    Q("audit_ks_drift_bucketed",
+      """WITH s0 AS (
+        |  SELECT l_extendedprice AS v,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM s0),
+        |s AS (
+        |  SELECT CAST(CASE WHEN b.hi = b.lo THEN 0
+        |              ELSE least(floor(((s0.v - b.lo) / (b.hi - b.lo)) * 64), 63)
+        |         END AS DOUBLE) AS v,
+        |         side
+        |  FROM s0, bounds b),
+        |bv AS (
+        |  SELECT v,
+        |         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS a1,
+        |         SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS a2
+        |  FROM s GROUP BY v),
+        |c AS (
+        |  SELECT v,
+        |         SUM(a1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+        |         SUM(a2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+        |  FROM bv),
+        |t AS (
+        |  SELECT SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1,
+        |         SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM s),
+        |d AS (SELECT v, abs(c1 * t.n2 - c2 * t.n1) AS dnum, t.n1, t.n2 FROM c, t),
+        |m AS (SELECT MIN(n1) AS n1, MIN(n2) AS n2, MAX(dnum) AS d_num FROM d)
+        |SELECT CAST(m.n1 AS BIGINT) AS n1, CAST(m.n2 AS BIGINT) AS n2,
+        |       CAST(m.d_num AS BIGINT) AS d_num,
+        |       ROUND(CAST(m.d_num AS DOUBLE) / CAST(m.n1 * m.n2 AS DOUBLE), 6) + 0 AS ks_stat,
+        |       CAST((SELECT MIN(v) FROM d WHERE d.dnum = m.d_num) AS BIGINT) AS ks_at_bucket
+        |FROM m""".stripMargin) { (s, dir) =>
+      ksDriftBucketed(Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_extendedprice").as("v"),
+          when(col("l_returnflag") === "A", 1).otherwise(2).as("side")),
+        nBuckets = 64)
+    },
+
     // EXACT ROC-AUC — the model-eval primitive (Mann–Whitney U) in
     // pure integer arithmetic, making "how discriminative is this
     // score" a driver-checked number instead of an MLlib-internal
@@ -1061,6 +1109,29 @@ object Audit {
         (round(col("d_num") / (col("n1") * col("n2")).cast("double"), 6) + lit(0.0))
           .as("ks_stat"),
         col("ks_at"))
+  }
+
+  /** Bucketed KS for the continuous/high-NDV regime (ADVICE r9): on a
+    * column whose values are nearly all distinct, [[ksDrift]]'s
+    * distinct-value grid is data-sized and its global cumulative
+    * window becomes a single-partition sort. Equi-width bucketing
+    * bounds the grid at `nBuckets` regardless of NDV — D over the
+    * bucketed CDF LOWER-bounds the true D with bucket-width
+    * resolution (both engines replay the identical IEEE bucket
+    * arithmetic, so the bucketed answer is still hash-exact). */
+  def ksDriftBucketed(df: DataFrame, nBuckets: Int): DataFrame = {
+    val bounds = df.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("k", lit(1))
+    val bucketed = df.withColumn("k", lit(1)).join(broadcast(bounds), "k")
+      .withColumn("bk",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(
+            floor(((col("v") - col("lo")) / (col("hi") - col("lo"))) * nBuckets),
+            lit(nBuckets - 1L)).cast("long")))
+      .select(col("bk").cast("double").as("v"), col("side"))
+    ksDrift(bucketed)
+      .select(col("n1"), col("n2"), col("d_num"), col("ks_stat"),
+        col("ks_at").cast("long").as("ks_at_bucket"))
   }
 
   /** EXACT ROC-AUC over a (score, label ∈ {0,1}) frame via the

@@ -244,13 +244,17 @@ class LlmSpec extends SparkSpec {
       (10L, near), (11L, "unrelated vocabulary again thanks"))
     val got = Dedup.minhashRecall(fx.select(col("doc_id"), col("text")),
         probePred = col("doc_id") < 3).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
-    assert(got === Map(1L -> (1L, 1L, 1.0)))
-    // declared shape: every planted probe reports, n_found <= n_true
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // probe 1: its near-dup is the only true neighbor AND the only
+    // band candidate -> recall 1, candidate precision 1
+    assert(got === Map(1L -> (1L, 1L, 1L, 1.0, 1.0)))
+    // declared shape: every planted probe reports, found <= min(true, cand)
     val real = SparkEntry.queries("dedup_minhash_recall")(spark, sf("sf0.001")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(real.nonEmpty && real.forall { case (_, t, f, rc) =>
-      t >= 1L && f <= t && rc >= 0.0 && rc <= 1.0
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(real.nonEmpty && real.forall { case (_, t, c, f, rc, pr) =>
+      t >= 1L && f <= t && f <= c && rc >= 0.0 && rc <= 1.0 && pr >= 0.0 && pr <= 1.0
     })
   }
 

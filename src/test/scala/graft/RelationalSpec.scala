@@ -93,7 +93,8 @@ class RelationalSpec extends SparkSpec {
       // on a constant key — the optimizer folds that to a (1×1) cross;
       // the join-size estimator and the KS drift test stitch the same
       // class of 1-row broadcast frames
-      "sketch_sample_quantiles", "sketch_cms_join_size", "audit_ks_drift")
+      "sketch_sample_quantiles", "sketch_cms_join_size", "audit_ks_drift",
+      "audit_ks_drift_bucketed")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
@@ -369,6 +370,21 @@ class RelationalSpec extends SparkSpec {
     // hand-computed mixed case: a={1,2,3,4}, b={3,4,5,6}:
     // at v=2 |2·4 − 0·4| = 8 is the max → D = 8/16 = 0.5, at v=2
     assert(ks(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) === ((4L, 4L, 8L, 0.5, 2.0)))
+  }
+
+  test("ksDriftBucketed: lower-bounds the exact D; equals it when buckets dominate NDV") {
+    import spark.implicits._
+    import graft.queries.Audit
+    val a = (1 to 50).map(_.toDouble); val b = (30 to 80).map(_.toDouble)
+    val fx = (a.map((_, 1)) ++ b.map((_, 2))).toDF("v", "side")
+    val exact = Audit.ksDrift(fx).collect().head.getDouble(3)
+    val coarse = Audit.ksDriftBucketed(fx, 8).collect().head.getDouble(3)
+    val fine = Audit.ksDriftBucketed(fx, 1024).collect().head.getDouble(3)
+    assert(coarse <= exact + 1e-9, s"bucketed $coarse exceeds exact $exact")
+    assert(math.abs(fine - exact) < 1e-9, s"fine bucketing $fine != exact $exact")
+    // degenerate single-value column: one bucket, D = 0
+    val one = (Seq.fill(5)((2.0, 1)) ++ Seq.fill(3)((2.0, 2))).toDF("v", "side")
+    assert(Audit.ksDriftBucketed(one, 64).collect().head.getLong(2) === 0L)
   }
 
   test("exactAuc: separated scores give 1, all-tied give exactly 0.5, reversed give 0") {
