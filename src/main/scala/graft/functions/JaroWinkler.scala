@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler similarity — the record-linkage string metric Spark's
+  * function library lacks (it ships levenshtein only; edit distance
+  * over-penalizes transpositions, which dominate human typos in names
+  * and product titles — "marhta" is one Jaro transposition but two
+  * edits). Standard Winkler parameters: matching window
+  * ⌊max(|a|,|b|)/2⌋−1, transpositions counted half, prefix bonus
+  * 0.1·min(prefix, 4)·(1−jaro) applied only when jaro > 0.7 — the
+  * EXACT variant DuckDB's `jaro_winkler_similarity` implements
+  * (verified value-identical to 10 decimals over fixtures and the
+  * whole sf0.01 candidate space; only +,·,/ arithmetic, no libm, so
+  * the house 6-dp rounding pins it cross-engine).
+  *
+  * Comparison is over UTF-16 code units — identical to the oracle for
+  * ASCII/BMP inputs (the linkage fixtures are ASCII part names); the
+  * subword tokenizer's BMP note (`SubwordStats`) applies here too.
+  * Codegen emits a static call (no CodegenFallback on the linkage
+  * verify path). Null input → null (nullSafeEval).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinkler.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  /** Jaro similarity + Winkler prefix bonus; called from interpreted
+    * and generated code (static call — JITs once). */
+  def compute(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // half-transpositions: matched chars compared in order
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    // the exact evaluation order DuckDB uses: three quotients, summed,
+    // one division by 3 (all IEEE; keep the order for bit parity)
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxP = math.min(4, math.min(la, lb))
+    while (l < maxP && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + 0.1 * l * (1.0 - jaro)
+  }
+}

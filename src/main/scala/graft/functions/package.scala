@@ -27,6 +27,14 @@ package object functions {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** Jaro–Winkler string similarity (DuckDB-variant parameters) —
+    * codegen'd; see [[JaroWinkler]]. */
+  def jaro_winkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(JaroWinkler(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
   /** All SRP band signatures of an `array<double>` vector in ONE
     * codegen'd pass: `weights` = bands·bits hyperplane rows (driver
     * constants), result = array of bands longs, band b bit j = sign of

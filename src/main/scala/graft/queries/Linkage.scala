@@ -155,6 +155,47 @@ object Linkage {
       fuzzyLink(base, typos, maxDist = 2).orderBy(col("orig_id"), col("typo_id"))
     },
 
+    // Jaro–Winkler linkage — the transposition-tolerant complement of
+    // the levenshtein verify above (edit distance over-penalizes the
+    // swaps that dominate human typos; JW is the Fellegi–Sunter-era
+    // name metric). Spark ships no JW, so this runs graft's native
+    // codegen'd `jaro_winkler` expression, parameter-matched to
+    // DuckDB's builtin `jaro_winkler_similarity` (window
+    // ⌊max/2⌋−1, half transpositions, 0.1·prefix≤4 bonus above
+    // jaro > 0.7) — the ORACLE is DuckDB's own implementation, the
+    // strongest cross-check a custom expression can get. Blocked on
+    // the name's first token (map-only key), probes broadcast; only
+    // +,·,/ arithmetic, so the house 6-dp rounding pins every score.
+    Q("link_jaro_parts",
+      """WITH pr AS (
+        |  SELECT p_partkey AS probe_key, p_name AS pn,
+        |         string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_partkey % 97 = 0),
+        |al AS (
+        |  SELECT p_partkey AS cand_key, p_name AS cn,
+        |         string_split(p_name, ' ')[1] AS blk
+        |  FROM part)
+        |SELECT probe_key, cand_key,
+        |       ROUND(jaro_winkler_similarity(pn, cn), 6) + 0 AS jw
+        |FROM pr JOIN al USING (blk)
+        |WHERE cand_key != probe_key
+        |  AND ROUND(jaro_winkler_similarity(pn, cn), 6) + 0 >= 0.88
+        |ORDER BY probe_key, cand_key""".stripMargin) { (s, dir) =>
+      val part = Tables.part(s, dir)
+      val blk = element_at(split(col("p_name"), " "), 1)
+      val pr = part.filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("probe_key"), col("p_name").as("pn"), blk.as("blk"))
+      val al = part
+        .select(col("p_partkey").as("cand_key"), col("p_name").as("cn"), blk.as("blk"))
+      val jw = round(graft.functions.jaro_winkler(col("pn"), col("cn")), 6) + lit(0.0)
+      al.join(broadcast(pr), "blk")
+        .filter(col("cand_key") =!= col("probe_key"))
+        .withColumn("jw", jw)
+        .filter(col("jw") >= 0.88)
+        .select(col("probe_key"), col("cand_key"), col("jw"))
+        .orderBy(col("probe_key"), col("cand_key"))
+    },
+
     // Entity resolution end-to-end on the same planted fixture: the
     // oracle replays the blocking + levenshtein links, closes them
     // with a recursive reachability CTE, and folds each cluster to

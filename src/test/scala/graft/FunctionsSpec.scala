@@ -554,4 +554,35 @@ class FunctionsSpec extends SparkSpec {
     info(f"native: $tNative%.3fs  hof: $tHof%.3fs  speedup: ${tHof / tNative}%.1f×")
     assert(tNative < tHof, f"native ($tNative%.3fs) not faster than HOF ($tHof%.3fs)")
   }
+
+  test("jaro_winkler: textbook values, boost threshold, edge cases, codegen") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "martha", "marhta"),      // one transposition
+      (2L, "dixon", "dicksonx"),
+      (3L, "crate", "trace"),        // jaro > 0.7 but prefix 0 -> no bonus
+      (4L, "abcd", "abqqqqqqqqqqqqqqqqqq"), // jaro <= 0.7 -> NO bonus despite prefix
+      (5L, "abc", "abc"),
+      (6L, "", ""),
+      (7L, "", "abc"),
+      (8L, "a", "b"))
+    val df = cases.toDF("id", "x", "y")
+      .select(col("id"),
+        (round(graft.functions.jaro_winkler(col("x"), col("y")), 6) + lit(0.0)).as("jw"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(
+      1L -> 0.961111, 2L -> 0.813333, 3L -> 0.733333,
+      4L -> 0.533333, // threshold variant: 0.626667 would mean bonus leaked below 0.7
+      5L -> 1.0, 6L -> 1.0, 7L -> 0.0, 8L -> 0.0))
+    // stays inside whole-stage codegen (static-call emission, no
+    // fallback) — over a parquet scan, where a Project stage exists
+    val plan = Tables.part(spark, sf("sf0.001"))
+      .select(graft.functions.jaro_winkler(col("p_name"), lit("small ring")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    // null input -> null, not a crash
+    val n = Seq((Some("abc"), Option.empty[String])).toDF("x", "y")
+      .select(graft.functions.jaro_winkler(col("x"), col("y"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
