@@ -266,6 +266,9 @@ package object functions {
       "bottom_k",
       exprs => BottomK(exprs.head, intArg(exprs(1), "bottom_k: k"))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -308,6 +311,10 @@ package functions {
         FunctionIdentifier("normalize_nfc"),
         new ExpressionInfo(classOf[NormalizeNFC].getName, "normalize_nfc"),
         (exprs: Seq[Expression]) => NormalizeNFC(exprs.head)))
+      e.injectFunction((
+        FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+        (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
     }
   }
 }

@@ -47,6 +47,9 @@ class FunctionsSpec extends SparkSpec {
     val viaStat = Tables.orders(spark, sf("sf0.001"))
       .stat.approxQuantile("o_totalprice", Array(0.5), 0.0).head
     assert(viaSql === viaStat)
+    // jaro_winkler from SQL
+    val jw = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").head().getDouble(0)
+    assert(math.abs(jw - 0.9611111111111111) < 1e-12)
   }
 
   test("expression participates in whole-stage codegen (no fallback)") {
