@@ -128,7 +128,15 @@ object RangeJoin {
     * row per overlapping pair with a.user_id != b.user_id; the b-side
     * columns come back as (b_user_id, b_s, b_e). See the
     * `join_interval_overlap` declaration for the responsibility-rule
-    * contract. */
+    * contract.
+    *
+    * CONTRACT (ADVICE r9): intervals must not span the `day` equi-key
+    * boundary — a pair whose only overlap crosses the key would never
+    * meet in the join (the declared query builds per-day spans, so
+    * this holds by construction). General callers with cross-midnight
+    * intervals must pre-split them at day boundaries; the resulting
+    * sub-intervals then overlap within each day exactly where the
+    * originals did. `pointInInterval` has no such constraint. */
   def intervalOverlap(a: DataFrame, b: DataFrame, bucketMicros: Long): DataFrame = {
     def buckets(df: DataFrame) = df.withColumn("_bucket",
       explode(sequence(
