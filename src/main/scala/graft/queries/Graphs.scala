@@ -248,4 +248,43 @@ object Graphs {
     und.unpersist()
     out
   }
+
+  /** Converge-to-fixpoint peeling (ADVICE r9): the library form for
+    * UNKNOWN topologies, where a fixed round count could truncate the
+    * peel (long induced chains need one round per two chain nodes).
+    * Loops until a round removes nothing — the no-op round is the
+    * fixpoint certificate the fixed form lacks — with a hard
+    * `maxIter` bound; per-round cost still tracks survivors, lineage
+    * checkpoint-cut. The declared `graph_kcore` keeps the fixed count
+    * because its ORACLE must unroll the same iterations; GraphsSpec
+    * pins this form equal to it on the fixture AND correct on a long
+    * chain the fixed count would truncate. */
+  def kCoreConverged(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    def inducedDegrees(nodes: DataFrame): DataFrame =
+      und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
+        .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
+        .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
+    var nodes = und.select(col("a").as("id")).distinct().localCheckpoint()
+    var prev = nodes.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      nodes = inducedDegrees(nodes).filter(col("c") >= k)
+        .select(col("id")).localCheckpoint()
+      val cur = nodes.count()
+      converged = cur == prev
+      prev = cur
+    }
+    val out = inducedDegrees(nodes)
+      .select(col("id"), col("c").cast("long").as("degree"))
+      .localCheckpoint()
+    und.unpersist()
+    out
+  }
 }

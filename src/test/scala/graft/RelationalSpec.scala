@@ -420,6 +420,21 @@ class RelationalSpec extends SparkSpec {
     val six = Graphs.kCore(fx, 2, 6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val seven = Graphs.kCore(fx, 2, 7).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(six === seven && six.nonEmpty, "declared iteration count is not a fixpoint")
+    // the converge-to-fixpoint library form agrees on the fixture...
+    val conv = Graphs.kCoreConverged(fx, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(conv === six)
+    // ...and is CORRECT on a long chain ending in a triangle, where a
+    // fixed 6-round peel would stop early (the chain needs one round
+    // per node peeled from its open end)
+    val chain = ((1L to 20L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L))).toDF("a", "b")
+    val truncated = Graphs.kCore(chain, 2, 6).collect().map(_.getLong(0)).toSet
+    val full = Graphs.kCoreConverged(chain, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === Set((20L, 2L), (21L, 2L), (22L, 2L)),
+      s"converged form must peel the whole chain, got $full")
+    assert(truncated.size > 3, "fixture chain too short to demonstrate truncation")
   }
 
   test("parquet scans prune columns (ReadSchema ⊂ table schema)") {
