@@ -168,5 +168,13 @@ class SketchesSpec extends SparkSpec {
       .join(ev.filter(col("event_type") === "purchase").select(col("user_id")), "user_id")
       .count()
     assert(exact === joined)
+    // Cormode–Muthukrishnan inner-product bound (ADVICE r9): the
+    // collision excess of ONE row exceeds ε·‖A‖₁·‖B‖₁ (ε = e/w) with
+    // probability ≤ 1/e; the min over d = 4 independent rows exceeds
+    // it with probability ≤ e⁻⁴ ≈ 1.8% — assert the bound itself on
+    // the declared fixture (n1·n2 = ‖A‖₁·‖B‖₁ here)
+    val eps = math.E / graft.queries.Sketches.CmsW
+    assert(est - exact <= eps * nV * nP,
+      s"CMS excess ${est - exact} breaks the e/w bound ${eps * nV * nP}")
   }
 }
