@@ -30,8 +30,9 @@ object Tables {
     * rejects without `nanosAsLong`, and then surfaces as a raw BIGINT of
     * nanos) and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which
     * Spark reads as TIMESTAMP_NTZ). Normalize BOTH to a µs TimestampType
-    * column by inspecting the loaded schema — session TZ is UTC, so the
-    * NTZ→LTZ cast is value-identity and matches what DuckDB sees. The
+    * column by inspecting the loaded schema; the NTZ branch interprets
+    * the stored wall-clock as UTC regardless of the caller's session
+    * time zone (see [[normalizeTs]]), matching what DuckDB sees. The
     * conf is a runtime SQL conf, so this works under any caller session.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
@@ -40,13 +41,29 @@ object Tables {
     normalizeTs(load(spark, dir, "events"))
   }
 
-  /** ts → µs TimestampType regardless of the physical parquet encoding. */
+  /** ts → µs TimestampType regardless of the physical parquet encoding.
+    *
+    * The NTZ wall-clock is ALWAYS interpreted as UTC, independent of
+    * `spark.sql.session.timeZone`: a bare `cast("timestamp")` would
+    * re-anchor the wall-clock in the session zone and silently shift
+    * every instant for a non-UTC caller (ADVICE r9). Under a non-UTC
+    * session we cast then undo the session-zone anchoring with
+    * `from_utc_timestamp(_, sessionTz)` — for any wall-clock outside a
+    * DST transition gap of the session zone the round-trip is exact
+    * (cast subtracts offset(tz), from_utc_timestamp adds it back),
+    * recovering the UTC interpretation. Wall-clocks inside a DST gap
+    * of the *session* zone (not of UTC, which has none) are the one
+    * residual edge; TablesSpec pins the non-UTC-session identity. */
   def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        val tz = raw.sparkSession.sessionState.conf.sessionLocalTimeZone
+        if (tz == "UTC") raw.withColumn("ts", col("ts").cast("timestamp"))
+        else raw.withColumn("ts",
+          from_utc_timestamp(col("ts").cast("timestamp"), tz))
       case _ => raw
     }
   }

@@ -18,9 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole sf0.01 candidate space; only +,·,/ arithmetic, no libm, so
   * the house 6-dp rounding pins it cross-engine).
   *
-  * Comparison is over UTF-16 code units — identical to the oracle for
-  * ASCII/BMP inputs (the linkage fixtures are ASCII part names); the
-  * subword tokenizer's BMP note (`SubwordStats`) applies here too.
+  * Comparison is over UTF-16 code units. DuckDB's
+  * `jaro_winkler_similarity` compares UTF-8 BYTES, so parity holds for
+  * ASCII inputs ONLY (one byte == one code unit); any non-ASCII
+  * character — even BMP — is multi-byte in UTF-8 but a single UTF-16
+  * unit, and the two engines score it differently (ADVICE r9; the
+  * divergence is pinned by a LinkageSpec test). The linkage fixtures
+  * are ASCII part names, which is why the oracle hash-matches; a
+  * future non-ASCII fixture must not reuse the DuckDB oracle.
   * Codegen emits a static call (no CodegenFallback on the linkage
   * verify path). Null input → null (nullSafeEval).
   */

@@ -226,26 +226,51 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Banding recall per probe — see the `dedup_minhash_recall`
-    * declaration. `probePred` filters doc_id; ground truth is the
-    * exact-Jaccard ≥ τ set over probe×corpus via a token-keyed join
-    * (never all-pairs — cost is df-weighted and |probes|-scaled), the
-    * found set is the production banded candidates, and recall is
-    * their quotient per probe. The τ comparison is the integer form
-    * 19·|∩| ≥ 9·(|A|+|B|) ⟺ J ≥ 0.9. */
-  def minhashRecall(docs: DataFrame, probePred: Column): DataFrame = {
-    val toks = tokenized(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sz = toks.select(col("doc_id"), size(col("toks")).cast("long").as("s"))
+  /** Truth-candidate pairs for [[minhashRecall]]: probe×corpus pairs
+    * sharing at least one RARE token (corpus document frequency ≤
+    * `maxDf` — the winnow-containment stop-list, ADVICE r9). Without
+    * the stop-list a single universal token costs \|probes\|·N join
+    * rows; with it the join is ≤ maxDf·Σ_probe \|toks\| rows, bounded
+    * by the probe sample regardless of corpus skew. Exposed so
+    * LlmSpec can pin the bound on a planted-stop-word fixture. */
+  def minhashTruthCandidates(
+      toks: DataFrame, probePred: Column, maxDf: Int): DataFrame = {
+    val ct = toks.select(col("doc_id").as("cid"), explode(col("toks")).as("t"))
+    val rare = ct.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("t"))
     val pt = toks.filter(probePred)
       .select(col("doc_id").as("pid"), explode(col("toks")).as("t"))
-    val ct = toks.select(col("doc_id").as("cid"), explode(col("toks")).as("t"))
-    val iv = pt.join(ct, "t").filter(col("cid") =!= col("pid"))
-      .groupBy(col("pid"), col("cid")).agg(count(lit(1)).as("i"))
-    val tru = iv
-      .join(sz.select(col("doc_id").as("pid"), col("s").as("sp")), "pid")
-      .join(sz.select(col("doc_id").as("cid"), col("s").as("sc")), "cid")
-      .filter(col("i") * 19 >= (col("sp") + col("sc")) * 9)
+    pt.join(rare, "t").join(ct, "t").filter(col("cid") =!= col("pid"))
+      .select(col("pid"), col("cid")).distinct()
+  }
+
+  /** Banding recall per probe — see the `dedup_minhash_recall`
+    * declaration. `probePred` filters doc_id; ground truth is the
+    * exact-Jaccard ≥ τ set over probe×corpus, computed in TWO bounded
+    * phases: (1) candidate pairs sharing a rare (df ≤ `maxDf`) token
+    * ([[minhashTruthCandidates]] — the stop-list keeps one universal
+    * token from costing \|probes\|·N rows), then (2) the EXACT
+    * integer τ test 19·|∩| ≥ 9·(|A|+|B|) ⟺ J ≥ 0.9 on just those
+    * pairs via array_intersect. The found set is the production
+    * banded candidates; recall is their quotient per probe.
+    *
+    * Exactness contract: a true pair is missed only if EVERY shared
+    * token has df > maxDf — impossible when any probe token is rare
+    * (J ≥ 0.9 means near-total token sharing). The declared query's
+    * oracle deliberately stays the UNBOUNDED exact-truth form, so a
+    * maxDf too low for the corpus turns the driver hash check red
+    * instead of silently under-counting truth; raise `maxDf` for
+    * corpora whose every token is universal. */
+  def minhashRecall(
+      docs: DataFrame, probePred: Column, maxDf: Int = 1000): DataFrame = {
+    val toks = tokenized(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tru = minhashTruthCandidates(toks, probePred, maxDf)
+      .join(toks.select(col("doc_id").as("pid"), col("toks").as("ta")), "pid")
+      .join(toks.select(col("doc_id").as("cid"), col("toks").as("tb")), "cid")
+      .filter(
+        size(array_intersect(col("ta"), col("tb"))).cast("long") * 19 >=
+          (size(col("ta")).cast("long") + size(col("tb")).cast("long")) * 9)
       .select(col("pid"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = tokenBanded(docs)

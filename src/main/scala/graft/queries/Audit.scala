@@ -1098,13 +1098,17 @@ object Audit {
       .withColumn("k", lit(1))
     val d = cum.withColumn("k", lit(1)).join(broadcast(tot), "k")
       .withColumn("dnum", abs(col("c1") * col("n2") - col("c2") * col("n1")))
-    val mx = d.groupBy(col("n1"), col("n2")).agg(max(col("dnum")).as("d_num"))
-      .withColumn("k", lit(1))
-    val at = d.join(broadcast(mx.select(col("d_num"), col("k"))), "k")
+    // Global (ungrouped) aggregates so the shape is ONE row even on an
+    // empty input frame — the SQL oracle's aggregate CTE yields one row
+    // of NULLs there, and a groupBy spine would yield zero (ADVICE r9).
+    // `tot` (always one row) carries n1/n2; values are unchanged on
+    // non-empty input because tot is a single row either way.
+    val mx = d.agg(max(col("dnum")).as("d_num")).withColumn("k", lit(1))
+    val at = d.join(broadcast(mx), "k")
       .filter(col("dnum") === col("d_num"))
       .agg(min(col("v")).as("ks_at"))
       .withColumn("k", lit(1))
-    mx.join(broadcast(at), "k")
+    tot.join(broadcast(mx), "k").join(broadcast(at), "k")
       .select(col("n1"), col("n2"), col("d_num"),
         (round(col("d_num") / (col("n1") * col("n2")).cast("double"), 6) + lit(0.0))
           .as("ks_stat"),

@@ -588,4 +588,24 @@ class FunctionsSpec extends SparkSpec {
       .select(graft.functions.jaro_winkler(col("x"), col("y"))).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("jaro_winkler: non-ASCII diverges from DuckDB's byte-level scoring (documented)") {
+    // ADVICE r9: we compare UTF-16 code units; DuckDB compares UTF-8
+    // BYTES. "café"/"cafe": our view is 4 chars vs 4 chars (m=3,
+    // jaro=2.5/3, prefix 3) → 0.883333; DuckDB's byte view is 5 bytes
+    // ('é' = 0xC3 0xA9) vs 4 (m=3, jaro=(3/5+3/4+1)/3=0.783333,
+    // prefix 3) → 0.848333. This test pins OUR semantic so a future
+    // non-ASCII linkage fixture is forced to confront the divergence
+    // instead of tripping the oracle hash silently. ASCII inputs are
+    // byte==code-unit, hence parity-safe — the linkage fixtures stay
+    // ASCII-only by contract (JaroWinkler.scala scaladoc).
+    import spark.implicits._
+    val jw = Seq(("café", "cafe")).toDF("x", "y")
+      .select(graft.functions.jaro_winkler(col("x"), col("y")))
+      .head().getDouble(0)
+    assert(math.abs(jw - 0.8833333333333333) < 1e-12,
+      s"UTF-16-unit jaro_winkler drifted: $jw")
+    assert(math.abs(jw - 0.8483333333333334) > 1e-3,
+      "matches DuckDB's byte-level value — semantics changed; update the scaladoc contract")
+  }
 }

@@ -258,6 +258,33 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("minhashRecall: df stop-list bounds the truth join under a planted universal token") {
+    // ADVICE r9: a universal stop-word token used to cost |probes|·N
+    // truth-join rows. Fixture: every doc shares "the"; docs otherwise
+    // carry unique tokens; probe 1 has a planted near-dup (J = 20/21).
+    val n = 200
+    val probeText = "the " + (1 to 20).map(i => s"p$i").mkString(" ")
+    val dupText = "the " + (1 to 19).map(i => s"p$i").mkString(" ") // J = 20/21 ≥ 0.9
+    val filler = (2L to n.toLong).map(i =>
+      (i, s"the f${i}a f${i}b f${i}c f${i}d f${i}e"))
+    val fx = docs(Seq((1L, probeText), (1000L, dupText)) ++ filler: _*)
+      .select(col("doc_id"), col("text"))
+    val toks = Dedup.tokenized(fx)
+    // with the stop-list ("the" has df = n+1 > maxDf): candidates come
+    // only from rare tokens — exactly the one planted pair
+    val bounded = Dedup.minhashTruthCandidates(toks, col("doc_id") === 1L, maxDf = 50)
+    assert(bounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 1000L)))
+    // without it (maxDf ≥ N): the universal token joins the probe to
+    // EVERY doc — the |probes|·N blow-up the stop-list exists to stop
+    val unbounded = Dedup.minhashTruthCandidates(toks, col("doc_id") === 1L, maxDf = n + 1)
+    assert(unbounded.count() === n.toLong, "universal token should reach every doc")
+    // end-to-end: recall is still exact — the planted pair is found
+    val got = Dedup.minhashRecall(fx, probePred = col("doc_id") === 1L, maxDf = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L)._1 === 1L && got(1L)._4 === 1.0, s"planted pair lost: $got")
+  }
+
   test("ANN scans a bounded candidate set, not the whole corpus") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val bucketed = emb.withColumn("bucket",

@@ -254,4 +254,33 @@ class OperatorsSpec extends SparkSpec {
       Bench.deleteRecursively(frag); Bench.deleteRecursively(out)
     }
   }
+
+  test("normalizeTs: NTZ wall-clock is interpreted as UTC under a NON-UTC session zone") {
+    // ADVICE r9: a bare NTZ→LTZ cast re-anchors the wall-clock in the
+    // session zone — under America/New_York every instant shifted by
+    // 4-5 h. normalizeTs now routes through from_utc_timestamp so the
+    // parquet wall-clock means UTC no matter the caller's session.
+    import org.apache.spark.sql.types.TimestampType
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ntz = Seq("2024-01-15 12:34:56.789", "2024-07-01 00:00:00")
+        .toDF("s").select(expr("to_timestamp_ntz(s)").as("ts"))
+      val out = Tables.normalizeTs(ntz)
+      assert(out.schema("ts").dataType === TimestampType)
+      val got = out.select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+      val want = Seq("2024-01-15T12:34:56.789Z", "2024-07-01T00:00:00Z")
+        .map(java.time.Instant.parse)
+        .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L).sorted
+      assert(got === want,
+        s"NTZ wall-clock not pinned to UTC under non-UTC session: $got vs $want")
+      // and the UTC-session fast path agrees with the general path
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val gotUtc = Tables.normalizeTs(
+          Seq("2024-01-15 12:34:56.789", "2024-07-01 00:00:00")
+            .toDF("s").select(expr("to_timestamp_ntz(s)").as("ts")))
+        .select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+      assert(gotUtc === want)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -372,6 +372,20 @@ class RelationalSpec extends SparkSpec {
     assert(ks(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) === ((4L, 4L, 8L, 0.5, 2.0)))
   }
 
+  test("ksDrift: empty input yields ONE row of NULLs, matching the oracle's aggregate CTE") {
+    // ADVICE r9: a groupBy spine returned ZERO rows on an empty frame
+    // while the SQL oracle's aggregate CTE returns one NULL row — a
+    // shape mismatch if either drift side ever filters to empty. The
+    // global-agg spine makes the shapes agree.
+    import spark.implicits._
+    import graft.queries.Audit
+    val empty = Seq.empty[(Double, Int)].toDF("v", "side")
+    val rows = Audit.ksDrift(empty).collect()
+    assert(rows.length === 1, s"expected one row, got ${rows.length}")
+    val r = rows.head
+    assert((0 to 4).forall(r.isNullAt), s"expected all-NULL row, got $r")
+  }
+
   test("ksDriftBucketed: lower-bounds the exact D; equals it when buckets dominate NDV") {
     import spark.implicits._
     import graft.queries.Audit
