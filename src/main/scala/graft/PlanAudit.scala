@@ -198,6 +198,16 @@ object PlanAudit {
     audit("tableProfile", queries.Audit.tableProfile(docs, Seq(
       "doc_id" -> col("doc_id").cast("string"), "lang" -> col("lang"))))
     audit("boilerplateChunks", llm.Curation.boilerplateChunks(docs))
+    // Q8-shaped market share (r10): 3 shuffles (lineitem⋈filtered-
+    // orders keyed join feeding the o_custkey partial agg, the
+    // custkey-keyed customer join, the 25-row n_name agg; the share
+    // window + top-10 ride the single post-agg partition) + 3
+    // broadcasts at THIS scale (nation declared; AQE flips the
+    // filtered-orders AND customer sides under the threshold — at
+    // 100 TB those two revert to the keyed shuffle joins already in
+    // the plan) — measured line mirrored in PLANS.md
+    audit("marketShare(Q8)",
+      SparkEntry.queries("analytics_market_share")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))

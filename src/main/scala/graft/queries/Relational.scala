@@ -924,6 +924,72 @@ object Relational {
         .limit(20)
     },
 
+    // TPC-H Q8-shaped composite (r10): date-filtered fact-fact-dim-dim
+    // join with grouped top-k over REVENUE SHARE. Shape for scale: the
+    // year filter pushes into the orders scan (15% selectivity) so the
+    // big lineitem⋈orders shuffle carries only the filtered year;
+    // items collapse to one row per CUSTOMER before the customer dim
+    // joins in (|items| >> |customers| — partial-agg placement);
+    // nation broadcasts down the dim chain; the share denominator is
+    // an unpartitioned window over the 25-row post-agg frame (never
+    // over data); top-10 is TakeOrderedAndProject. Decimal discipline:
+    // both sum levels stay decimal(38,6)-exact, ONE cast to double on
+    // each division operand — the share is a single correctly-rounded
+    // IEEE divide, hash-stable cross-engine.
+    Q("analytics_market_share",
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS rev_dec,
+        |         COUNT(*) AS n_items
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+        |    AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
+        |  GROUP BY o.o_custkey),
+        |bynat AS (
+        |  SELECT n.n_name, SUM(r.rev_dec) AS rev_dec,
+        |         CAST(SUM(r.n_items) AS BIGINT) AS n_items
+        |  FROM rev r
+        |  JOIN customer c ON r.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT n_name,
+        |       CAST(rev_dec AS DOUBLE) AS revenue,
+        |       n_items,
+        |       ROUND(CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE), 6) + 0
+        |         AS revenue_share
+        |FROM bynat
+        |ORDER BY revenue_share DESC, n_name
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1995-01-01") &&
+          col("o_orderdate").cast("date") < lit("1996-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val perCust = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev").cast("decimal(30,6)")).as("rev_dec"),
+          count(lit(1)).as("n_items"))
+      val byNation = perCust
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_dec")).as("rev_dec"), sum(col("n_items")).as("n_items"))
+      byNation
+        .select(col("n_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("n_items"),
+          (round(col("rev_dec").cast("double") /
+            sum(col("rev_dec")).over(Window.partitionBy()).cast("double"), 6) + lit(0.0))
+            .as("revenue_share"))
+        .orderBy(col("revenue_share").desc, col("n_name"))
+        .limit(10)
+    },
+
     // The custom TypedImperativeAggregate under the driver's oracle:
     // graft's one-pass distributed ExactQuantile (the collect-free
     // replacement for the reference's driver-side threshold rule,
