@@ -1,13 +1,16 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev harness (round 10): measures the claimed growth axis of the
-  * iterative graph ops — per-round frontier sizes and round counts for
-  * BFS and cost-bounded SSSP on the fixture graph — across real scale
-  * factors. Per-round cost is frontier ⋈ adjacency, so the frontier
-  * histogram IS the work profile; PLANS.md records the output.
+/** Dev harness (r9, extended r10): measures the claimed growth axis of
+  * the iterative graph ops — per-round frontier sizes, round counts,
+  * and wall time for BFS and cost-bounded SSSP — on (a) the fixture
+  * graph across real scale factors and (b) a 1×/10× disjoint-replica
+  * axis (VERDICT r9 #3: ten shifted copies of the sf0.1 fixture; the
+  * frontier must scale 10× per round with IDENTICAL round count, and
+  * wall time must stay round-dominated, the signature of work tracking
+  * the frontier rather than the graph). PLANS.md records the output.
   * (`sbt "runMain graft.GraphProbe"`) */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
@@ -18,25 +21,49 @@ object GraphProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val docs = Tables.documents(spark, s"/root/testdata/$sf").select(col("doc_id"))
-      val nDocs = docs.count()
-      val seeds = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+
+    def runBoth(tag: String, docs: DataFrame, seeds: DataFrame): Unit = {
       val edges = queries.Graphs.fixtureEdges(docs)
+      val bfsRounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
       val t0 = System.nanoTime()
-      val hops = queries.Graphs.bfsHops(edges, seeds)
+      val hops = queries.Graphs.bfsHops(edges, seeds,
+        roundProbe = Some((i, n) => bfsRounds += ((i, n))))
+      val nBfs = hops.count()
       val tBfs = (System.nanoTime() - t0) / 1e9
-      val hist = hops.groupBy("hop").count().orderBy("hop").collect()
-        .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
+      val ssspRounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
       val t1 = System.nanoTime()
       val dist = queries.Graphs.ssspBounded(edges, seeds,
-        (a, b) => pmod(a + b, lit(5L)) + lit(1L), maxCost = 30L)
-      val tSssp = (System.nanoTime() - t1) / 1e9
+        (a, b) => pmod(a + b, lit(5L)) + lit(1L), maxCost = 30L,
+        roundProbe = Some((i, n) => ssspRounds += ((i, n))))
       val nSssp = dist.count()
-      val maxD = dist.agg(max(col("d"))).head().getLong(0)
-      println(f"PROBE $sf docs=$nDocs seeds=${seeds.count()} " +
-        f"bfs_reached=${hops.count()} bfs_rounds(hop:frontier)=[$hist] bfs_s=$tBfs%.2f " +
-        f"sssp_reached=$nSssp sssp_maxcost=$maxD sssp_s=$tSssp%.2f")
+      val tSssp = (System.nanoTime() - t1) / 1e9
+      def fmt(rs: Seq[(Int, Long)]) = rs.map { case (i, n) => s"$i:$n" }.mkString(" ")
+      println(f"PROBE $tag docs=${docs.count()} seeds=${seeds.count()} " +
+        f"bfs_reached=$nBfs bfs_rounds=${bfsRounds.size} bfs_frontier=[${fmt(bfsRounds.toSeq)}] bfs_s=$tBfs%.2f " +
+        f"sssp_reached=$nSssp sssp_rounds=${ssspRounds.size} sssp_improved=[${fmt(ssspRounds.toSeq)}] sssp_s=$tSssp%.2f")
+    }
+
+    // real-SF sweep (the fixture graph tracks the documents table)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = Tables.documents(spark, s"/root/testdata/$sf").select(col("doc_id"))
+      val seeds = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+      runBoth(sf, docs, seeds)
+    }
+
+    // disjoint-replica axis: k shifted copies of the sf0.1 id space.
+    // The offset must clear the fixture's +2·10^6 node offsets AND be
+    // ≡ 0 mod lcm(3, 10, 97) = 2910 (closure %3, sibling %10, seed
+    // %97; 10 covers the %5 weights) so every replica is EXACTLY
+    // isomorphic — then each round's frontier is exactly k× the base
+    // with identical round count.
+    val off = 2910L * 3437 // = 10,001,670 > 10^7
+    val base = Tables.documents(spark, "/root/testdata/sf0.1").select(col("doc_id"))
+    for (k <- Seq(1, 10)) {
+      val rep = base.withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+        .select((col("doc_id") + col("_r") * off).as("doc_id"))
+      val seeds = rep.filter(col("doc_id") % off % 97 === 0)
+        .select(col("doc_id").as("id"))
+      runBoth(s"replica${k}x", rep, seeds)
     }
     spark.stop()
   }

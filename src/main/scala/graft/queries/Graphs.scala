@@ -27,7 +27,8 @@ object Graphs {
     * reached at its true distance and anti-joined out of later
     * rounds). Unreached nodes are absent — reachability IS the
     * result. Deterministic: hop labels don't depend on tie order. */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxIter: Int = 20): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxIter: Int = 20,
+      roundProbe: Option[(Int, Long) => Unit] = None): DataFrame = {
     require(maxIter >= 1, "bfsHops: maxIter must be >= 1")
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
@@ -46,7 +47,12 @@ object Graphs {
         .join(dist, Seq("id"), "left_anti")
         .select(col("id"), lit(iter.toLong).as("hop"))
         .localCheckpoint()
-      grew = next.limit(1).count() > 0
+      // production path: cheap non-emptiness test; GraphProbe passes a
+      // roundProbe to record the full frontier size instead
+      grew = roundProbe match {
+        case Some(f) => val n = next.count(); f(iter, n); n > 0
+        case None => next.limit(1).count() > 0
+      }
       if (grew) {
         dist = dist.unionByName(next).localCheckpoint()
         frontier = next
@@ -71,7 +77,8 @@ object Graphs {
     * lineage checkpoint-truncated. Deterministic: min cost is unique.
     */
   def ssspBounded(edges: DataFrame, seeds: DataFrame, weight: (Column, Column) => Column,
-      maxCost: Long, maxIter: Int = 64): DataFrame = {
+      maxCost: Long, maxIter: Int = 64,
+      roundProbe: Option[(Int, Long) => Unit] = None): DataFrame = {
     require(maxCost >= 0, "ssspBounded: maxCost must be >= 0")
     require(maxIter >= 1, "ssspBounded: maxIter must be >= 1")
     val und = edges.select(col("a"), col("b"))
@@ -94,7 +101,10 @@ object Graphs {
         .filter(col("d0").isNull || col("d") < col("d0"))
         .select(col("id"), col("d"))
         .localCheckpoint()
-      improved = next.limit(1).count() > 0
+      improved = roundProbe match {
+        case Some(f) => val n = next.count(); f(iter, n); n > 0
+        case None => next.limit(1).count() > 0
+      }
       if (improved) {
         dist = dist.withColumnRenamed("d", "dOld")
           .join(next.withColumnRenamed("d", "dNew"), Seq("id"), "full_outer")
