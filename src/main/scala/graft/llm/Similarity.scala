@@ -290,8 +290,15 @@ object Similarity {
     * session component keeps concurrent sessions (parallel suites, two
     * drivers on one host) from racing on read/overwrite of a shared
     * fixed path (ADVICE r6). */
-  private val ivfSession: String =
-    java.util.UUID.randomUUID().toString.take(8)
+  private val ivfSession: String = {
+    val s = java.util.UUID.randomUUID().toString.take(8)
+    // same discipline as Bench.lshFixtureCached (ADVICE r7 / VERDICT r9
+    // #8): session-unique scratch must not accumulate across JVM runs
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.Bench.deleteRecursively(java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_qtmp", s"ivf_$s").toString)))
+    s
+  }
   private def ivfTmp(name: String): String =
     java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_qtmp", s"ivf_$ivfSession", name).toString

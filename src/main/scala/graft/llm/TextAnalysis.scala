@@ -739,6 +739,67 @@ object TextAnalysis {
       subwordStats(docs, learnSubwordVocab(docs)).orderBy("doc_id")
     },
 
+    // The ENCODE path under the driver's oracle (VERDICT r9 #5): the
+    // same learn→encode pipeline, hash-pinned. The unlock is the
+    // PER-WORD decomposition: greedy maximal munch segments each
+    // whitespace word independently, so the oracle replays it over the
+    // DISTINCT-WORD table (recursion depth = max word length, not doc
+    // length — no doc cap needed) and rolls per-doc stats up through
+    // the word join. Learn is plain SQL (n-gram candidates over the
+    // distinct-word frame, SUM(freq), top-512 under the total
+    // (w DESC, piece ASC) order — exactly `learnSubwordVocab`);
+    // encode precomputes the longest vocab match at every (word, pos)
+    // with one LEFT JOIN + MAX(len) (no match ⇒ advance 1 as UNK),
+    // then a recursive CTE walks the cursor chain — pure pointer
+    // chasing, one terminal row per word. The rows-only query above
+    // stays as the native-expression form; this declaration proves
+    // the two ends of the tokenizer agree cross-engine.
+    Q("text_subword_encode_pinned",
+      """WITH RECURSIVE wfreq AS (
+        |  SELECT t, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1),
+        |cand AS (
+        |  SELECT freq, unnest(flatten(list_transform(
+        |           list_filter(range(1, 7), n -> n <= length(t)),
+        |           n -> list_transform(range(0, length(t) - n + 1),
+        |                               p -> substr(t, p + 1, n))))) AS piece
+        |  FROM wfreq),
+        |vocab AS (
+        |  SELECT piece, length(piece) AS len FROM (
+        |    SELECT piece, SUM(freq) AS w FROM cand GROUP BY 1
+        |    ORDER BY w DESC, piece ASC LIMIT 512)),
+        |pos AS (
+        |  SELECT t AS word, unnest(range(1, length(t) + 1)) AS p
+        |  FROM wfreq WHERE length(t) > 0),
+        |best AS (
+        |  SELECT pos.word, pos.p,
+        |         COALESCE(MAX(v.len), 1) AS adv,
+        |         CASE WHEN MAX(v.len) IS NULL THEN 1 ELSE 0 END AS u
+        |  FROM pos LEFT JOIN vocab v
+        |    ON v.len <= length(pos.word) - pos.p + 1
+        |   AND substr(pos.word, pos.p, v.len) = v.piece
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT t AS word, 1 AS p, 0 AS pieces, 0 AS unk FROM wfreq
+        |  UNION ALL
+        |  SELECT r.word, r.p + b.adv, r.pieces + 1, r.unk + b.u
+        |  FROM r JOIN best b ON b.word = r.word AND b.p = r.p
+        |  WHERE r.p <= length(r.word)),
+        |wstats AS (SELECT word, pieces, unk FROM r WHERE p > length(word)),
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |agg AS (
+        |  SELECT d.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(w.pieces) AS BIGINT) AS n_pieces,
+        |         CAST(SUM(w.unk) AS BIGINT) AS n_unk
+        |  FROM dw d JOIN wstats w ON w.word = d.word GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_pieces, n_unk,
+        |       ROUND(n_pieces * 1.0 / n_tokens, 6) + 0 AS pieces_per_token
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      subwordStats(docs, learnSubwordVocab(docs)).orderBy("doc_id")
+    },
+
     // TRUE iterative BPE (learn 8 merges on the corpus's word-frequency
     // table, replay them in learned order per doc). The iterative
     // argmax is not SQL-expressible (each iteration's pair counts

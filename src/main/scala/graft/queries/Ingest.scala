@@ -26,7 +26,15 @@ object Ingest {
     * (parallel suites, two Verify runs) must never write-then-read the
     * same sink path (the round-6 IVF race, fixed for every scratch
     * writer). */
-  private val session: String = java.util.UUID.randomUUID().toString.take(8)
+  private val session: String = {
+    val s = java.util.UUID.randomUUID().toString.take(8)
+    // scratch dies with the JVM (ADVICE r7 / VERDICT r9 #8 — the
+    // lshFixture shutdown-hook discipline, applied to every writer)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.Bench.deleteRecursively(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_qtmp", s"ingest_$s").toString)))
+    s
+  }
   private def tmp(name: String): String =
     Paths.get(sys.props("java.io.tmpdir"), "graft_qtmp", s"ingest_$session", name).toString
 

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
 
   test("bucketed fact-fact join runs without any shuffle exchange") {
-    val wh = Files.createTempDirectory("graft_warehouse").toString
+    val wh = tempDir("graft_warehouse")
     // pay the shuffle once, at write time (external-table paths under a
     // scratch dir; warehouse conf is static and stays untouched):
     Tables.orders(spark, sf("sf0.001"))

@@ -342,7 +342,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("IVF index builds once; the search path reads it (no fit) with partition pruning") {
-    val path = java.nio.file.Files.createTempDirectory("ivf_split").toString
+    val path = tempDir("ivf_split")
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     Similarity.buildIvfIndex(emb, path, nClusters = 8)
     // index shape: exactly nClusters centroids, every vector assigned
@@ -377,7 +377,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("IVF index cache keys on corpus content: rewritten corpus gets a fresh index (ADVICE r7)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_fp").toString
+    val dir = tempDir("graft_ivf_fp")
     def writeCorpus(n: Int): Unit =
       Tables.embeddings(spark, sf("sf0.001")).limit(n)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -410,7 +410,7 @@ class LlmSpec extends SparkSpec {
         (1L to 5L).map(i => (i, base.map(_ + (rnd.nextGaussian() * 0.05).toFloat), 0)) ++:
         (10L until 210L).map(i => (i, vec(i.toInt), 1))
     val emb = rows.toDF("vec_id", "embedding", "label")
-    val path = java.nio.file.Files.createTempDirectory("pq_planted").toString
+    val path = tempDir("pq_planted")
     try {
       Similarity.buildPqIndex(emb, path, m = 8, k = 16, nClusters = 8)
       // index shape: m·k codebook rows, every vector encoded, 8 coarse centroids
@@ -758,7 +758,7 @@ class LlmSpec extends SparkSpec {
     val delta = corpus.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
     val tbl = "gram_idx_spec"
-    val path = java.nio.file.Files.createTempDirectory("graft_gram_idx_spec").toString
+    val path = tempDir("graft_gram_idx_spec")
     Dedup.buildGramIndex(corpus, spark, tbl, s"$path/$tbl")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -808,7 +808,7 @@ class LlmSpec extends SparkSpec {
         Seq((10L, baseB, 1), (11L, baseB, 1)) ++
         (100L until 260L).map(i => (i, vec(i.toInt), 2))
     val emb = rows.toDF("vec_id", "embedding", "label")
-    val path = java.nio.file.Files.createTempDirectory("semdedup").toString
+    val path = tempDir("semdedup")
     try {
       Similarity.buildIvfIndex(emb, path, nClusters = 8)
       val out = Similarity.semDeDup(spark, path, tau = 0.99)

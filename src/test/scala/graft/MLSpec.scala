@@ -144,7 +144,7 @@ class MLSpec extends SparkSpec {
   }
 
   test("model save/load round-trip scores identically (S6)") {
-    val dir = Files.createTempDirectory("graft_model").toString
+    val dir = tempDir("graft_model")
     FailureModel.saveModel(model, dir)
     val reloaded = FailureModel.loadModel(dir)
     val a = scoredValid.select("event_id", "failure_probability")
@@ -155,7 +155,7 @@ class MLSpec extends SparkSpec {
   }
 
   test("threshold JSON sidecar round-trip (S5)") {
-    val path = Paths.get(Files.createTempDirectory("graft_thr").toString, "threshold.json")
+    val path = Paths.get(tempDir("graft_thr"), "threshold.json")
     FailureModel.saveThreshold(path.toString, 0.13615384697914124, 0.8, 292L)
     val tau = FailureModel.loadThreshold(spark, path.toString)
     assert(tau === 0.13615384697914124)
@@ -170,7 +170,7 @@ class MLSpec extends SparkSpec {
   }
 
   test("importances CSV sink round-trip (S7)") {
-    val dir = Files.createTempDirectory("graft_imp").toString + "/importances"
+    val dir = tempDir("graft_imp") + "/importances"
     FailureModel.importances(spark, model)
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
     val back = spark.read.option("header", "true")

@@ -147,7 +147,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("CSV modes: PERMISSIVE nulls bad cells, FAILFAST throws on the same file") {
-    val path = java.nio.file.Files.createTempDirectory("csv_modes").toString + "/data"
+    val path = tempDir("csv_modes") + "/data"
     Seq("1,ok", "not_a_number,bad", "3,ok")
       .toDF("value").write.mode("overwrite").text(path)
     val schema = "k LONG, status STRING"
@@ -168,21 +168,23 @@ class OperatorsSpec extends SparkSpec {
   test("partitioned sink: day filter reaches the scan as a partition filter") {
     val path = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_qtmp", "events_partitioned_spec").toString
-    Tables.events(spark, sf("sf0.001"))
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
-        to_date(col("ts")).as("day"))
-      .write.mode("overwrite").partitionBy("day").parquet(path)
-    val df = spark.read.parquet(path)
-      .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
-    df.count()
-    val scans = collectPlan(df.queryExecution.executedPlan)
-      .collect { case f: FileSourceScanExec => f }
-    assert(scans.nonEmpty)
-    val scan = scans.head
-    assert(scan.partitionFilters.nonEmpty,
-      s"day predicate did not become a partition filter:\n${df.queryExecution.executedPlan}")
-    // pruning is real: the selected partition count is 1, not |days|
-    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).size === 1)
+    try {
+      Tables.events(spark, sf("sf0.001"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val df = spark.read.parquet(path)
+        .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
+      df.count()
+      val scans = collectPlan(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      val scan = scans.head
+      assert(scan.partitionFilters.nonEmpty,
+        s"day predicate did not become a partition filter:\n${df.queryExecution.executedPlan}")
+      // pruning is real: the selected partition count is 1, not |days|
+      assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).size === 1)
+    } finally Bench.deleteRecursively(path)
   }
 
   test("range-partitioned sorted writer emits key-disjoint files (stats pruning layout)") {
@@ -192,45 +194,49 @@ class OperatorsSpec extends SparkSpec {
     // stats can skip whole files for a point/range predicate.
     val path = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_qtmp", "orders_range_sorted").toString
-    Tables.orders(spark, sf("sf0.001"))
-      .repartitionByRange(4, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .write.mode("overwrite").parquet(path)
-    val files = new java.io.File(path).listFiles
-      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
-    assert(files.length === 4)
-    val ranges = files.map { f =>
-      val r = spark.read.parquet(f)
-        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
-      (r.getLong(0), r.getLong(1))
-    }.sortBy(_._1)
-    ranges.sliding(2).foreach {
-      case Array((_, hi), (lo, _)) =>
-        assert(hi < lo, s"file key ranges overlap: ${ranges.toSeq}")
-      case _ =>
-    }
+    try {
+      Tables.orders(spark, sf("sf0.001"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      val files = new java.io.File(path).listFiles
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length === 4)
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) =>
+          assert(hi < lo, s"file key ranges overlap: ${ranges.toSeq}")
+        case _ =>
+      }
+    } finally Bench.deleteRecursively(path)
   }
 
   test("corrupt parquet file: default read throws, ignoreCorruptFiles recovers the good rows") {
-    val path = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
-    val n = Tables.region(spark, sf("sf0.001")).count()
-    Tables.region(spark, sf("sf0.001")).write.mode("overwrite").parquet(path)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "part-99999-garbage.parquet"),
-      "this is not a parquet file".getBytes("UTF-8"))
-    // default: the broken footer fails the scan (fail-loud is the default)
-    val e = intercept[Exception] {
-      spark.read.parquet(path).count()
-    }
-    assert(e.getMessage != null)
-    // opted in: the scan skips the corrupt file, good rows intact
-    assert(spark.read.option("ignoreCorruptFiles", "true").parquet(path).count() === n)
+    val path = tempDir("graft_corrupt")
+    try {
+      val n = Tables.region(spark, sf("sf0.001")).count()
+      Tables.region(spark, sf("sf0.001")).write.mode("overwrite").parquet(path)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "part-99999-garbage.parquet"),
+        "this is not a parquet file".getBytes("UTF-8"))
+      // default: the broken footer fails the scan (fail-loud is the default)
+      val e = intercept[Exception] {
+        spark.read.parquet(path).count()
+      }
+      assert(e.getMessage != null)
+      // opted in: the scan skips the corrupt file, good rows intact
+      assert(spark.read.option("ignoreCorruptFiles", "true").parquet(path).count() === n)
+    } finally Bench.deleteRecursively(path)
   }
 
   test("small-file compaction: 64 fragments collapse to the byte-target count, rows intact") {
     import graft.queries.Ingest
-    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = tempDir("graft_frag")
+    val out = tempDir("graft_compact")
     try {
       val docs = Tables.documents(spark, sf("sf0.01"))
       docs.repartition(64).write.mode("overwrite").parquet(frag)

@@ -78,7 +78,7 @@ class QualitySpec extends SparkSpec {
 
   test("model artifact round-trip: loaded model scores identically") {
     val model = QualityModel.train(planted, "is_ref")
-    val path = java.nio.file.Files.createTempDirectory("graft_qm").toString + "/m"
+    val path = tempDir("graft_qm") + "/m"
     QualityModel.saveModel(model, path)
     val loaded = QualityModel.loadModel(path)
     val a = QualityModel.score(model, planted)

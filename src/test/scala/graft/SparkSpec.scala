@@ -12,6 +12,12 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(name: String): String = s"/root/testdata/$name"
 
+  /** Scratch dir that dies with the test JVM (VERDICT r9 #8 — raw
+    * `Files.createTempDirectory` call sites leaked one dir per suite
+    * run into /tmp; every spec scratch path now routes through the
+    * shared exit-hook registry). */
+  def tempDir(prefix: String): String = SparkSpec.tempDir(prefix)
+
   /** Walk a physical plan INCLUDING adaptive wrappers — AQE hides
     * finalized stages behind `QueryStageExec.plan` (not in children),
     * so a naive children-walk undercounts operators. */
@@ -27,6 +33,16 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  private val scratch = scala.collection.mutable.ArrayBuffer.empty[String]
+  def tempDir(prefix: String): String = scratch.synchronized {
+    if (scratch.isEmpty)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scratch.synchronized(scratch.foreach(Bench.deleteRecursively))))
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratch += p
+    p
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

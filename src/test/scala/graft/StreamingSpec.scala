@@ -89,7 +89,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming parquet file sink with checkpoint delivers every scored row") {
     implicit val sqlCtx = spark.sqlContext
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val out = tempDir("graft_stream_out")
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
     val streamDf = mem.toDF()
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -112,7 +112,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("checkpoint resume: a restarted query processes ONLY new files, no reprocessing") {
-    val base = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val base = tempDir("graft_resume")
     val srcDir = s"$base/src"
     val outDir = s"$base/out"
     val ckpt = s"$base/ckpt"
@@ -155,7 +155,7 @@ class StreamingSpec extends SparkSpec {
     // emitted batches to the batch interval join: no duplicates, no loss —
     // including alert→error matches that STRADDLE the restart (alert in run
     // 1, error in run 2, joined out of retained state).
-    val base = java.nio.file.Files.createTempDirectory("graft_ssj_resume").toString
+    val base = tempDir("graft_ssj_resume")
     val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
     new java.io.File(srcDir).mkdirs()
     val events = Tables.events(spark, sf("sf0.001"))
