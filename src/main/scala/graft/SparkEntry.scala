@@ -94,5 +94,10 @@ object SparkEntry {
     // per-day concurrency (the operator's semantics; candidate/true
     // ratio is the plan-quality number, measured scale-stable ~2.3×).
     "join_interval_overlap",
+    // Round 10: the Q8-shaped multi-join composite — the one headline
+    // query exercising join ORDER + partial-agg placement across four
+    // tables (filtered fact-fact keyed join → per-customer rollup →
+    // dim chain → share window → top-k).
+    "analytics_market_share",
   )
 }

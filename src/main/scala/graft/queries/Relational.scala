@@ -990,6 +990,90 @@ object Relational {
         .limit(10)
     },
 
+    // TPC-H Q4-shaped correlated-predicate EXISTS (r10): orders in a
+    // date window having AT LEAST ONE late lineitem (shipped > 60 days
+    // after the order date), counted per priority. Unlike `join_semi`
+    // (pure key-equality EXISTS), the subquery here correlates on the
+    // OUTER row's date inside the predicate — the form Catalyst's
+    // RewritePredicateSubquery turns into a left-semi join with a
+    // compound (equi + non-equi) condition; we declare that join
+    // directly. Shape for scale: the date filter prunes orders before
+    // the shuffle; the semi join never duplicates orders regardless of
+    // per-order lineitem fanout; the rollup is priority-bounded.
+    Q("join_semi_correlated",
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1995-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("od"))
+        .filter(col("od") >= lit("1995-01-01") && col("od") < lit("1995-07-01"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+      ords.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("sd") > date_add(col("od"), 60), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q17-shaped group-baseline filter (r10): rows compared
+    // against THEIR OWN group's aggregate — the correlated-scalar-
+    // subquery pattern ("quantity below 20% of this part's average"),
+    // declared directly in its decorrelated join form (exactly what
+    // Catalyst's RewriteCorrelatedScalarSubquery produces: per-key
+    // aggregate ⋈ fact on the correlation key). The threshold test is
+    // EXACT decimal arithmetic — qty < 0.2·avg ⟺ 5·qty·cnt < Σqty
+    // with a decimal Σ — because a float AVG would put boundary rows
+    // one ulp apart across engines and flip the hash. Shape for
+    // scale: both the aggregate and the join shuffle on l_partkey
+    // (AQE can co-locate), the brand dim broadcasts, the final
+    // rollup is brand-bounded.
+    Q("analytics_small_qty_revenue",
+      """WITH pa AS (
+        |  SELECT l_partkey, COUNT(*) AS cnt,
+        |         SUM(CAST(l_quantity AS DECIMAL(30,6))) AS qsum
+        |  FROM lineitem GROUP BY 1),
+        |small AS (
+        |  SELECT l.l_partkey, l.l_extendedprice
+        |  FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+        |  WHERE CAST(l.l_quantity AS DECIMAL(12,6)) * CAST(5 * pa.cnt AS DECIMAL(18,0))
+        |        < pa.qsum)
+        |SELECT p.p_brand,
+        |       CAST(COUNT(*) AS BIGINT) AS n_small_items,
+        |       CAST(COUNT(DISTINCT s.l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(SUM(CAST(s.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS small_revenue
+        |FROM small s JOIN part p ON p.p_partkey = s.l_partkey
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
+      val pa = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(30,6)")).as("qsum"))
+      val small = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(pa, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("decimal(12,6)") *
+          (col("cnt") * 5).cast("decimal(18,0)") < col("qsum"))
+      small
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_small_items"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          dsum(col("l_extendedprice")).as("small_revenue"))
+        .orderBy(col("p_brand"))
+    },
+
     // The custom TypedImperativeAggregate under the driver's oracle:
     // graft's one-pass distributed ExactQuantile (the collect-free
     // replacement for the reference's driver-side threshold rule,
