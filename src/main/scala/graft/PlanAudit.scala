@@ -208,6 +208,12 @@ object PlanAudit {
     // the plan) — measured line mirrored in PLANS.md
     audit("marketShare(Q8)",
       SparkEntry.queries("analytics_market_share")(spark, sfDir))
+    // Q17 shape: partkey agg + partkey join (AQE co-locates) + brand
+    // rollup; Q4 shape: date-pruned semi join + bounded priority agg
+    audit("smallQtyRevenue(Q17)",
+      SparkEntry.queries("analytics_small_qty_revenue")(spark, sfDir))
+    audit("semiCorrelated(Q4)",
+      SparkEntry.queries("join_semi_correlated")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))

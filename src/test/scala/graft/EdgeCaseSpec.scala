@@ -200,4 +200,28 @@ class EdgeCaseSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(fs.toSeq === Seq(("a>b>c", 1L)))
   }
+
+  test("round-10 operators survive degenerate inputs") {
+    // preSplitAtDayBoundaries: empty frame → empty; inverted interval
+    // dropped; single-instant interval → one 1-µs piece on its day
+    val noIv = Seq.empty[(Long, Long, Long)].toDF("user_id", "s", "e")
+    assert(graft.operators.RangeJoin.preSplitAtDayBoundaries(noIv).count() === 0L)
+    val bad = Seq((1L, 100L, 50L)).toDF("user_id", "s", "e")
+    assert(graft.operators.RangeJoin.preSplitAtDayBoundaries(bad).count() === 0L,
+      "inverted interval must be dropped, not exploded")
+    val point = Seq((1L, 86400000000L, 86400000000L)).toDF("user_id", "s", "e")
+    val p = graft.operators.RangeJoin.preSplitAtDayBoundaries(point).collect()
+    assert(p.length === 1 &&
+      p.head.getAs[java.sql.Date]("day").toString === "1970-01-02")
+    // minhashRecall: empty corpus and probe-free corpus both yield an
+    // empty report (no NPE, no ghost rows)
+    assert(Dedup.minhashRecall(emptyDocs.select(col("doc_id"), col("text")),
+      probePred = col("doc_id") < 5).count() === 0L)
+    assert(Dedup.minhashRecall(oneDoc.select(col("doc_id"), col("text")),
+      probePred = col("doc_id") < 0).count() === 0L)
+    // minhashTruthCandidates: maxDf = 0 stops every token — empty, not a crash
+    val toks = Dedup.tokenized(oneDoc.select(col("doc_id"), col("text")))
+    assert(Dedup.minhashTruthCandidates(toks, col("doc_id") === 1L, maxDf = 0)
+      .count() === 0L)
+  }
 }
