@@ -259,13 +259,23 @@ object Dedup {
     * (J ≥ 0.9 means near-total token sharing). The declared query's
     * oracle deliberately stays the UNBOUNDED exact-truth form, so a
     * maxDf too low for the corpus turns the driver hash check red
-    * instead of silently under-counting truth; raise `maxDf` for
-    * corpora whose every token is universal. */
+    * instead of silently under-counting truth — which is exactly how
+    * the first fixed default (1000) was caught at sf0.1, where the
+    * 31-token fixture vocabulary puts EVERY df near 0.8·N. The
+    * default is therefore ADAPTIVE: max(1000, ⌈0.95·N⌉) — only
+    * effectively-universal tokens (df > 95% of docs) are auto-dropped,
+    * which a J ≥ 0.9 pair can only rely on when virtually the whole
+    * corpus shares them. Pass an absolute `maxDf > 0` on Zipfian
+    * corpora for the tight \|probes\|-scaled bound. */
   def minhashRecall(
-      docs: DataFrame, probePred: Column, maxDf: Int = 1000): DataFrame = {
+      docs: DataFrame, probePred: Column, maxDf: Int = -1): DataFrame = {
     val toks = tokenized(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tru = minhashTruthCandidates(toks, probePred, maxDf)
+    val effMaxDf =
+      if (maxDf > 0) maxDf
+      else math.max(1000L, math.ceil(0.95 * toks.count()).toLong)
+        .min(Int.MaxValue.toLong).toInt
+    val tru = minhashTruthCandidates(toks, probePred, effMaxDf)
       .join(toks.select(col("doc_id").as("pid"), col("toks").as("ta")), "pid")
       .join(toks.select(col("doc_id").as("cid"), col("toks").as("tb")), "cid")
       .filter(
