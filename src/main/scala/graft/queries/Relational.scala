@@ -1514,6 +1514,62 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Gini concentration per group (r10): revenue inequality across a
+    // nation's customers — the concentration/balance audit (the same
+    // statistic answers "is the training corpus dominated by a few
+    // sources"). Exact sorted-prefix form: with per-customer revenue
+    // x_i sorted ascending (custkey tiebreak), G = Σ(2i − n − 1)·x_i
+    // / (n·Σx_i) — numerator and denominator both DECIMAL-exact (the
+    // tie weights Σ(2i−n−1) over an equal-value block are permutation
+    // -invariant, so the statistic is deterministic regardless of the
+    // tiebreak), ONE double division at the end. Shape: per-customer
+    // aggregate (data-sized scan), nation dim broadcast, one
+    // nation-keyed window over the CUSTOMER frame (never raw orders),
+    // nation-bounded output.
+    Q("agg_gini_concentration",
+      """WITH cr AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n.n_name, cr.o_custkey, cr.rev
+        |  FROM cr JOIN customer c ON c.c_custkey = cr.o_custkey
+        |          JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |rk AS (
+        |  SELECT n_name, rev,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev, o_custkey) AS i,
+        |         COUNT(*) OVER (PARTITION BY n_name) AS n
+        |  FROM j)
+        |SELECT n_name,
+        |       CAST(MAX(n) AS BIGINT) AS n_customers,
+        |       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        |       ROUND(CAST(SUM((2 * i - n - 1) * rev) AS DOUBLE) /
+        |             (CAST(MAX(n) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 6) + 0 AS gini
+        |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cr = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,6)")).as("rev"))
+      val j = cr
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey"), col("rev"))
+      val w = Window.partitionBy(col("n_name"))
+      val rk = j
+        .withColumn("i", row_number().over(w.orderBy(col("rev"), col("o_custkey"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(w).cast("long"))
+      rk.groupBy(col("n_name"))
+        .agg(
+          max(col("n")).as("n_customers"),
+          sum(col("rev")).cast("double").as("total_revenue"),
+          (round(
+            sum((col("i") * 2 - col("n") - 1) * col("rev")).cast("double") /
+              (max(col("n")).cast("double") * sum(col("rev")).cast("double")), 6)
+            + lit(0.0)).as("gini"))
+        .orderBy(col("n_name"))
+    },
+
     // Weighted median per group — the robust center when rows carry
     // mass (median price weighted by quantity ≠ median price): the
     // smallest value whose CUMULATIVE weight reaches half the total.
