@@ -107,6 +107,32 @@ object Relational {
     * bit-equal to a full recompute in ANY arrival order, which is the
     * invariant the declared query's oracle certifies (the oracle runs
     * the full recompute; the engine runs the incremental path). */
+  /** Exact per-group Gini coefficient over a (group, unique tie-break
+    * key, DECIMAL value) frame — see the `agg_gini_concentration`
+    * declaration. Sorted-prefix form G = Σ(2i−n−1)·x_i / (n·Σx_i):
+    * the numerator stays decimal-exact, tie weights are permutation-
+    * invariant within equal-value blocks (PropertySpec pins equality
+    * with the brute-force mean-absolute-difference identity
+    * Σ_ij \|x_i−x_j\| / (2n·Σx)), one double division at the end.
+    * Returns (group, n_rows, total, gini). */
+  def giniByGroup(
+      df: DataFrame, group: String, key: String, value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group))
+    df
+      .withColumn("_i",
+        row_number().over(w.orderBy(col(value), col(key))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(w).cast("long"))
+      .groupBy(col(group))
+      .agg(
+        max(col("_n")).as("n_rows"),
+        sum(col(value)).cast("double").as("total"),
+        (round(
+          sum((col("_i") * 2 - col("_n") - 1) * col(value)).cast("double") /
+            (max(col("_n")).cast("double") * sum(col(value)).cast("double")), 6)
+          + lit(0.0)).as("gini"))
+  }
+
   def deltaRefresh(
       base: DataFrame, delta: DataFrame, keyCol: String, valCol: String): DataFrame = {
     def partial(df: DataFrame) = df.groupBy(col(keyCol)).agg(
@@ -1545,7 +1571,6 @@ object Relational {
         |       ROUND(CAST(SUM((2 * i - n - 1) * rev) AS DOUBLE) /
         |             (CAST(MAX(n) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 6) + 0 AS gini
         |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val cr = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(30,6)")).as("rev"))
@@ -1555,18 +1580,9 @@ object Relational {
         .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"), col("o_custkey"), col("rev"))
-      val w = Window.partitionBy(col("n_name"))
-      val rk = j
-        .withColumn("i", row_number().over(w.orderBy(col("rev"), col("o_custkey"))).cast("long"))
-        .withColumn("n", count(lit(1)).over(w).cast("long"))
-      rk.groupBy(col("n_name"))
-        .agg(
-          max(col("n")).as("n_customers"),
-          sum(col("rev")).cast("double").as("total_revenue"),
-          (round(
-            sum((col("i") * 2 - col("n") - 1) * col("rev")).cast("double") /
-              (max(col("n")).cast("double") * sum(col("rev")).cast("double")), 6)
-            + lit(0.0)).as("gini"))
+      giniByGroup(j, "n_name", "o_custkey", "rev")
+        .select(col("n_name"), col("n_rows").as("n_customers"),
+          col("total").as("total_revenue"), col("gini"))
         .orderBy(col("n_name"))
     },
 

@@ -489,4 +489,32 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: sorted-prefix Gini == brute-force mean-absolute-difference identity") {
+    // G = Σ(2i−n−1)x_i / (n·Σx) over sorted x must equal the O(n²)
+    // definition Σ_ij |x_i−x_j| / (2n·Σx) on random grouped data —
+    // including duplicate values, where the tie weights must be
+    // permutation-invariant for the identity to hold at all.
+    val giniGen: Gen[List[(String, Long, Double)]] = for {
+      n <- Gen.choose(1, 30)
+      gs <- Gen.listOfN(n, Gen.choose(0, 2))
+      vs <- Gen.listOfN(n, Gen.choose(1, 20000)) // cents; dup-friendly range
+    } yield gs.zip(vs).zipWithIndex.map { case ((g, v), k) =>
+      (s"g$g", k.toLong, v / 100.0)
+    }
+    check(Prop.forAll(giniGen) { rows =>
+      val df = rows.toDF("grp", "k", "v")
+        .select(col("grp"), col("k"), col("v").cast("decimal(30,6)").as("v"))
+      val got = graft.queries.Relational.giniByGroup(df, "grp", "k", "v")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val xs = rs.map(_._3)
+        val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+        g -> (xs.length.toLong, mad / (2.0 * xs.length * xs.sum))
+      }
+      Prop(got.keySet == want.keySet && want.forall { case (g, (n, gv)) =>
+        got(g)._1 == n && math.abs(got(g)._2 - gv) < 2e-6
+      }) :| s"got=$got want=$want"
+    })
+  }
 }
