@@ -66,6 +66,50 @@ object EventAnalytics {
       .drop("base")
   }
 
+  /** Strict WINDOWED funnel (the ClickHouse-`windowFunnel` shape,
+    * anchored at each user's FIRST step-0 occurrence): step k counts
+    * only if it happens AFTER the matched step k−1 and BEFORE the
+    * anchor deadline t0 + `windowUs`. With the deadline fixed at the
+    * anchor, matching each step to its EARLIEST valid event is
+    * conversion-optimal (an exchange argument: a later choice only
+    * shrinks the next step's feasible range), so the greedy chain is
+    * both deterministic and maximal — unlike a fixed per-step-gap
+    * rule, where greedy-earliest can miss chains. The anchored-first-
+    * occurrence simplification vs ClickHouse's all-anchors sweep is
+    * the documented contract.
+    *
+    * Shape for scale: one per-user aggregate for the anchor, then one
+    * (filtered scan ⋈ chain ⋈ min-combine) pass per step — every join
+    * keyed on user_id, co-partitioned after the first exchange; the
+    * event_type filters push into each scan; the final rollup is a
+    * steps-bounded stack. */
+  def windowedFunnel(
+      events: DataFrame, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.size >= 2, "windowedFunnel: need at least two steps")
+    require(windowUs > 0, "windowedFunnel: windowUs must be positive")
+    val ev = events.select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    var chain = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
+      .withColumn("deadline", col("t0") + windowUs)
+    for (i <- 1 until steps.size) {
+      val stepMin = ev.filter(col("event_type") === steps(i))
+        .join(chain.select(col("user_id"), col(s"t${i - 1}"), col("deadline")), "user_id")
+        .filter(col("tus") >= col(s"t${i - 1}") && col("tus") <= col("deadline"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as(s"t$i"))
+      chain = chain.join(stepMin, Seq("user_id"), "left_outer")
+    }
+    val reached = steps.indices.map(i =>
+      sum(col(s"t$i").isNotNull.cast("long")).as(s"n$i"))
+    val wide = chain.agg(reached.head, reached.tail: _*)
+    val stacked = steps.indices.map(i => s"'${i + 1}:${steps(i)}', `n$i`").mkString(", ")
+    wide.select(expr(s"stack(${steps.size}, $stacked) AS (step, n_users)"),
+        col("n0").as("base"))
+      .withColumn("conversion",
+        round(col("n_users") * lit(1.0) / col("base"), 6) + lit(0.0))
+      .drop("base")
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: count and row-normalized probability of each
     * (from_type → to_type) step. One user-keyed window (lead) is the
@@ -298,6 +342,50 @@ object EventAnalytics {
         |       ROUND(n_users * 1.0 / base, 6) + 0 AS conversion
         |FROM s ORDER BY step""".stripMargin) { (s, dir) =>
       stepFunnel(Tables.events(s, dir), Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step"))
+    },
+
+    // Strict 72-hour windowed funnel (r10): every chained min and the
+    // integer-µs deadline arithmetic replay exactly in SQL, so counts
+    // and conversions are hash-pinned. Contrast with the loose
+    // first-occurrence funnel above: there step mins are GLOBAL per
+    // type; here each step's min is constrained by the previous
+    // matched event and the anchor deadline — the chains genuinely
+    // differ (fewer conversions under the window).
+    Q("events_funnel_windowed", {
+      val w = 72L * 3600 * 1000000
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         |c0 AS (SELECT user_id, MIN(tus) AS t0 FROM e
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |c1 AS (SELECT e.user_id, MIN(e.tus) AS t1
+         |       FROM e JOIN c0 ON c0.user_id = e.user_id
+         |       WHERE e.event_type = 'view'
+         |         AND e.tus >= c0.t0 AND e.tus <= c0.t0 + $w GROUP BY 1),
+         |c2 AS (SELECT e.user_id, MIN(e.tus) AS t2
+         |       FROM e JOIN c0 ON c0.user_id = e.user_id
+         |              JOIN c1 ON c1.user_id = e.user_id
+         |       WHERE e.event_type = 'click'
+         |         AND e.tus >= c1.t1 AND e.tus <= c0.t0 + $w GROUP BY 1),
+         |c3 AS (SELECT e.user_id, MIN(e.tus) AS t3
+         |       FROM e JOIN c0 ON c0.user_id = e.user_id
+         |              JOIN c2 ON c2.user_id = e.user_id
+         |       WHERE e.event_type = 'purchase'
+         |         AND e.tus >= c2.t2 AND e.tus <= c0.t0 + $w GROUP BY 1),
+         |w AS (SELECT (SELECT COUNT(*) FROM c0) AS n0,
+         |             (SELECT COUNT(*) FROM c1) AS n1,
+         |             (SELECT COUNT(*) FROM c2) AS n2,
+         |             (SELECT COUNT(*) FROM c3) AS n3),
+         |s AS (
+         |  SELECT '1:signup' AS step, n0 AS n_users, n0 AS base FROM w
+         |  UNION ALL SELECT '2:view', n1, n0 FROM w
+         |  UNION ALL SELECT '3:click', n2, n0 FROM w
+         |  UNION ALL SELECT '4:purchase', n3, n0 FROM w)
+         |SELECT step, CAST(n_users AS BIGINT) AS n_users,
+         |       ROUND(n_users * 1.0 / base, 6) + 0 AS conversion
+         |FROM s ORDER BY step""".stripMargin
+    }) { (s, dir) =>
+      windowedFunnel(Tables.events(s, dir),
+        Seq("signup", "view", "click", "purchase"), 72L * 3600 * 1000000)
         .orderBy(col("step"))
     },
 

@@ -593,6 +593,42 @@ class RelationalSpec extends SparkSpec {
       ("3:click", 1L, round6(1.0 / 3)), ("4:purchase", 1L, round6(1.0 / 3))))
   }
 
+  test("windowedFunnel: deadline cuts chains the loose funnel counts; greedy chain is maximal") {
+    import spark.implicits._
+    import graft.queries.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val H = 3600L * 1000000
+    // u1: completes signup→view→purchase within 5 h (inside the 6 h window)
+    // u2: has all steps IN ORDER but the purchase lands 10 h after the
+    //     signup anchor — the loose funnel counts it, the window cuts it
+    // u3: two views; the EARLIER one (1 h) must be matched and still
+    //     admits the purchase at 5 h (greedy-earliest is maximal here)
+    val fx = Seq(
+      (1L, "signup", ts("2024-01-01 00:00:00")), (1L, "view", ts("2024-01-01 02:00:00")),
+      (1L, "purchase", ts("2024-01-01 05:00:00")),
+      (2L, "signup", ts("2024-01-01 00:00:00")), (2L, "view", ts("2024-01-01 01:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:00:00")),
+      (3L, "signup", ts("2024-01-01 00:00:00")), (3L, "view", ts("2024-01-01 01:00:00")),
+      (3L, "view", ts("2024-01-01 04:00:00")), (3L, "purchase", ts("2024-01-01 05:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq("signup", "view", "purchase")
+    val windowed = EventAnalytics.windowedFunnel(fx, steps, 6 * H)
+      .orderBy("step").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(windowed.toSeq === Seq(("1:signup", 3L), ("2:view", 3L), ("3:purchase", 2L)),
+      s"windowed: ${windowed.mkString(",")}")
+    val loose = EventAnalytics.stepFunnel(fx, steps)
+      .orderBy("step").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(loose.toSeq === Seq(("1:signup", 3L), ("2:view", 3L), ("3:purchase", 3L)),
+      "loose funnel must count u2 — otherwise the window fixture is vacuous")
+    // declared shape sanity at sf0.001: monotone non-increasing
+    val real = EventAnalytics.windowedFunnel(
+        Tables.events(spark, sf("sf0.001")),
+        Seq("signup", "view", "click", "purchase"), 72L * 3600 * 1000000)
+      .orderBy("step").collect().map(_.getLong(1))
+    assert(real.length === 4 && real.sliding(2).forall(p => p(0) >= p(1)),
+      real.mkString(","))
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
