@@ -199,6 +199,57 @@ object TimeSeries {
       twap(Tables.events(s, dir)).orderBy(col("user_id"), col("day"))
     },
 
+    // Seasonal-baseline deviation monitor (r10): hourly event volume
+    // and value mass against the SAME HOUR ONE WEEK EARLIER — the
+    // workhorse anomaly check for strongly-periodic telemetry (a
+    // global mean would flag every diurnal peak; the seasonal lag
+    // self-join doesn't). Shape for scale: ONE data-sized hour-bucket
+    // aggregate, then everything — the 168-hour-offset self-join, the
+    // ratio projection, the flag — runs on the BOUNDED hour grid
+    // (same class as the sweep-line's prefix-sum frame; the offset is
+    // epoch-hour integer arithmetic, never a row-lag, so grid gaps
+    // can't misalign the baseline). Counts and decimal sums exact;
+    // the one rounded division is the ratio; hours with no baseline
+    // (first week / silent prior hour) report ratio −1 and never
+    // flag.
+    Q("events_seasonal_deviation",
+      """WITH h AS (
+        |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(value AS DECIMAL(30,6))) AS v
+        |  FROM events GROUP BY 1)
+        |SELECT a.hr,
+        |       a.n, CAST(a.v AS DOUBLE) AS value_sum,
+        |       COALESCE(b.n, -1) AS baseline_n,
+        |       CASE WHEN b.n IS NULL THEN CAST(-1.0 AS DOUBLE)
+        |            ELSE ROUND(a.n * 1.0 / b.n, 6) + 0 END AS volume_ratio,
+        |       CAST(CASE WHEN b.n IS NOT NULL
+        |                  AND (a.n * 2 < b.n OR a.n > b.n * 2) THEN 1 ELSE 0 END
+        |            AS BIGINT) AS flagged
+        |FROM h a LEFT JOIN h b ON b.hr = a.hr - 168
+        |ORDER BY a.hr""".stripMargin) { (s, dir) =>
+      val h = Tables.events(s, dir)
+        // `div`: exact integer division — a double `/` then cast could
+        // round across an hour boundary at extreme epochs
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,6)")).as("v"))
+      val b = h.select(col("hr").as("b_hr"), col("n").as("b_n"))
+      h.join(b, col("b_hr") === col("hr") - 168, "left_outer")
+        .select(
+          col("hr"),
+          col("n"),
+          col("v").cast("double").as("value_sum"),
+          coalesce(col("b_n"), lit(-1L)).as("baseline_n"),
+          when(col("b_n").isNull, lit(-1.0))
+            .otherwise(round(col("n") * lit(1.0) / col("b_n"), 6) + lit(0.0))
+            .as("volume_ratio"),
+          when(col("b_n").isNotNull &&
+              (col("n") * 2 < col("b_n") || col("n") > col("b_n") * 2), 1L)
+            .otherwise(0L).as("flagged"))
+        .orderBy(col("hr"))
+    },
+
     // CUSUM drift alarms: the prefix-sum identity replays as the same
     // two windows in DuckDB; exact decimal prefix sums pin the alarm
     // SET and the first-alarm event, not just the rounded maximum.
