@@ -274,6 +274,44 @@ object EventAnalytics {
 
   /** Shared by the batch query and `streaming_attribution` (the
     * per-user state machine must produce the identical table). */
+  /** Shared by `events_funnel_windowed` AND its streaming twin
+    * (`streaming_windowed_funnel`) — the driver independently
+    * certifies the two forms hash-identical, the tierAgreement
+    * discipline. Chained per-step mins under the 72 h anchor
+    * deadline; integer-µs arithmetic throughout. */
+  private[graft] val funnelWindowedOracleSql: String = {
+    val w = 72L * 3600 * 1000000
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |c0 AS (SELECT user_id, MIN(tus) AS t0 FROM e
+       |       WHERE event_type = 'signup' GROUP BY 1),
+       |c1 AS (SELECT e.user_id, MIN(e.tus) AS t1
+       |       FROM e JOIN c0 ON c0.user_id = e.user_id
+       |       WHERE e.event_type = 'view'
+       |         AND e.tus >= c0.t0 AND e.tus <= c0.t0 + $w GROUP BY 1),
+       |c2 AS (SELECT e.user_id, MIN(e.tus) AS t2
+       |       FROM e JOIN c0 ON c0.user_id = e.user_id
+       |              JOIN c1 ON c1.user_id = e.user_id
+       |       WHERE e.event_type = 'click'
+       |         AND e.tus >= c1.t1 AND e.tus <= c0.t0 + $w GROUP BY 1),
+       |c3 AS (SELECT e.user_id, MIN(e.tus) AS t3
+       |       FROM e JOIN c0 ON c0.user_id = e.user_id
+       |              JOIN c2 ON c2.user_id = e.user_id
+       |       WHERE e.event_type = 'purchase'
+       |         AND e.tus >= c2.t2 AND e.tus <= c0.t0 + $w GROUP BY 1),
+       |w AS (SELECT (SELECT COUNT(*) FROM c0) AS n0,
+       |             (SELECT COUNT(*) FROM c1) AS n1,
+       |             (SELECT COUNT(*) FROM c2) AS n2,
+       |             (SELECT COUNT(*) FROM c3) AS n3),
+       |s AS (
+       |  SELECT '1:signup' AS step, n0 AS n_users, n0 AS base FROM w
+       |  UNION ALL SELECT '2:view', n1, n0 FROM w
+       |  UNION ALL SELECT '3:click', n2, n0 FROM w
+       |  UNION ALL SELECT '4:purchase', n3, n0 FROM w)
+       |SELECT step, CAST(n_users AS BIGINT) AS n_users,
+       |       ROUND(n_users * 1.0 / base, 6) + 0 AS conversion
+       |FROM s ORDER BY step""".stripMargin
+  }
+
   private[graft] val attributionOracleSql: String =
     """WITH w AS (
       |  SELECT event_id, user_id, ts, event_type,
@@ -352,38 +390,7 @@ object EventAnalytics {
     // type; here each step's min is constrained by the previous
     // matched event and the anchor deadline — the chains genuinely
     // differ (fewer conversions under the window).
-    Q("events_funnel_windowed", {
-      val w = 72L * 3600 * 1000000
-      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
-         |c0 AS (SELECT user_id, MIN(tus) AS t0 FROM e
-         |       WHERE event_type = 'signup' GROUP BY 1),
-         |c1 AS (SELECT e.user_id, MIN(e.tus) AS t1
-         |       FROM e JOIN c0 ON c0.user_id = e.user_id
-         |       WHERE e.event_type = 'view'
-         |         AND e.tus >= c0.t0 AND e.tus <= c0.t0 + $w GROUP BY 1),
-         |c2 AS (SELECT e.user_id, MIN(e.tus) AS t2
-         |       FROM e JOIN c0 ON c0.user_id = e.user_id
-         |              JOIN c1 ON c1.user_id = e.user_id
-         |       WHERE e.event_type = 'click'
-         |         AND e.tus >= c1.t1 AND e.tus <= c0.t0 + $w GROUP BY 1),
-         |c3 AS (SELECT e.user_id, MIN(e.tus) AS t3
-         |       FROM e JOIN c0 ON c0.user_id = e.user_id
-         |              JOIN c2 ON c2.user_id = e.user_id
-         |       WHERE e.event_type = 'purchase'
-         |         AND e.tus >= c2.t2 AND e.tus <= c0.t0 + $w GROUP BY 1),
-         |w AS (SELECT (SELECT COUNT(*) FROM c0) AS n0,
-         |             (SELECT COUNT(*) FROM c1) AS n1,
-         |             (SELECT COUNT(*) FROM c2) AS n2,
-         |             (SELECT COUNT(*) FROM c3) AS n3),
-         |s AS (
-         |  SELECT '1:signup' AS step, n0 AS n_users, n0 AS base FROM w
-         |  UNION ALL SELECT '2:view', n1, n0 FROM w
-         |  UNION ALL SELECT '3:click', n2, n0 FROM w
-         |  UNION ALL SELECT '4:purchase', n3, n0 FROM w)
-         |SELECT step, CAST(n_users AS BIGINT) AS n_users,
-         |       ROUND(n_users * 1.0 / base, 6) + 0 AS conversion
-         |FROM s ORDER BY step""".stripMargin
-    }) { (s, dir) =>
+    Q("events_funnel_windowed", funnelWindowedOracleSql) { (s, dir) =>
       windowedFunnel(Tables.events(s, dir),
         Seq("signup", "view", "click", "purchase"), 72L * 3600 * 1000000)
         .orderBy(col("step"))

@@ -435,6 +435,34 @@ object StreamingAlerts {
         .limit(20)
     },
 
+    // STREAMING windowed funnel (r10) under the SAME oracle as the
+    // batch `events_funnel_windowed` — the driver certifies the state
+    // machine and the chained-min joins hash-identical (the
+    // tierAgreement discipline). Advances stream out per stage
+    // reached; the steps-bounded rollup runs batch-side on the sink.
+    Q("streaming_windowed_funnel",
+      graft.queries.EventAnalytics.funnelWindowedOracleSql) { (s, dir) =>
+      val steps = Seq("signup", "view", "click", "purchase")
+      val name = "stream_wfun_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streamingWindowedFunnel(s, eventsStream(s, dir),
+          steps, 72L * 3600 * 1000000)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val mx = s.table(name).groupBy(col("user_id"))
+        .agg(max(col("stage")).as("mx"))
+      val reached = steps.indices.map(i =>
+        sum((col("mx") >= i + 1).cast("long")).as(s"n$i"))
+      val wide = mx.agg(reached.head, reached.tail: _*)
+      val stacked = steps.indices.map(i => s"'${i + 1}:${steps(i)}', `n$i`").mkString(", ")
+      wide.select(expr(s"stack(${steps.size}, $stacked) AS (step, n_users)"),
+          col("n0").as("base"))
+        .withColumn("conversion",
+          round(col("n_users") * lit(1.0) / col("base"), 6) + lit(0.0))
+        .drop("base")
+        .orderBy(col("step"))
+    },
+
     // STREAMING DECONTAMINATION under the batch oracle (round 8): the
     // arrival-time form of `Curation.decontaminate` — train docs
     // arrive as a stream and are probed against the STATIC eval-gram
@@ -731,6 +759,58 @@ object StreamingAlerts {
           sorted.foreach { case (_, _, _, typ) =>
             if (st.t1.nonEmpty && st.t2.nonEmpty) out += s"${st.t1}>${st.t2}>$typ"
             st = SeqState(st.t2, typ)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Per-user windowed-funnel state: matched step timestamps (−1 =
+    * unmatched) + the anchor deadline. Fixed-size regardless of
+    * timeline length — the state machine never buffers events. */
+  final case class FunnelState(matched: Seq[Long], deadline: Long)
+
+  /** One funnel advance (user reached 1-based `stage`). */
+  final case class FunnelAdvance(user_id: Long, stage: Int)
+
+  /** STREAMING windowed funnel — `EventAnalytics.windowedFunnel` as a
+    * per-user state machine: the anchor (first step-0) fixes the
+    * deadline, each later step matches the first qualifying event
+    * (after the matched predecessor, before the deadline), and an
+    * advance row streams out the moment a stage is reached — the
+    * online "who just converted" feed. Greedy-earliest is exactly the
+    * batch chain (deadline fixed ⇒ greedy optimal), so the sink
+    * rollup shares the batch oracle verbatim. State is steps+1 longs
+    * per user, forever. */
+  def streamingWindowedFunnel(
+      spark: SparkSession, events: DataFrame,
+      steps: Seq[String], windowUs: Long): Dataset[FunnelAdvance] = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      "streamingWindowedFunnel: need >= 2 distinct steps")
+    import spark.implicits._
+    val base = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(
+            FunnelState(Seq.fill(steps.size)(-1L), -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          sorted.foreach { case (_, _, ts, typ) =>
+            val i = steps.indexOf(typ)
+            if (i == 0 && st.matched.head == -1L) {
+              st = FunnelState(st.matched.updated(0, ts), ts + windowUs)
+              out += FunnelAdvance(userId, 1)
+            } else if (i > 0 && st.matched(i) == -1L && st.matched(i - 1) != -1L &&
+                ts >= st.matched(i - 1) && ts <= st.deadline) {
+              st = st.copy(matched = st.matched.updated(i, ts))
+              out += FunnelAdvance(userId, i + 1)
+            }
           }
           state.update(st)
           out.iterator

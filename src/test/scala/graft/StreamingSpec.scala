@@ -392,6 +392,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming windowed funnel: chain and deadline survive the micro-batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val streamed = StreamingAlerts.streamingWindowedFunnel(
+      spark, mem.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+      Seq("signup", "view", "purchase"), 6L * 3600 * 1000000) // 6 h window
+    val name = "wfun_test_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 anchors and views; user 2 anchors
+      mem.addData(
+        (1L, 1L, ts("2024-01-01 00:00:00"), "signup"),
+        (2L, 1L, ts("2024-01-01 02:00:00"), "view"),
+        (3L, 2L, ts("2024-01-01 00:00:00"), "signup"))
+      query.processAllAvailable()
+      // batch 2: user 1 purchases INSIDE the deadline (stage 3 crosses
+      // the boundary through state); user 2 views OUTSIDE it — the
+      // deadline must also survive the boundary and reject it
+      mem.addData(
+        (4L, 1L, ts("2024-01-01 05:00:00"), "purchase"),
+        (5L, 2L, ts("2024-01-01 07:00:00"), "view"))
+      query.processAllAvailable()
+      val got = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got === Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)),
+        s"got=$got — user 1 must reach stage 3 across the boundary, user 2 must stay at 1")
+    } finally query.stop()
+  }
+
   test("streaming rolling 7-day distinct actives == batch contribute-forward rewrite") {
     val dir = sf("sf0.001")
     val streamed = SparkEntry.queries("streaming_rolling_active")(spark, dir)
