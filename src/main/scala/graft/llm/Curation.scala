@@ -1243,6 +1243,41 @@ object Curation {
         .orderBy(col("split"), col("lang"))
     },
 
+    // Deterministic STRATIFIED sample with exact per-source quotas
+    // (r10): keep exactly ⌈n_s/5⌉ docs per source, selected by
+    // hash-RANK (smallest md5 first) rather than a hash-threshold or
+    // rand() — threshold sampling only hits the quota in expectation,
+    // rank sampling hits it exactly, and the hash ordering keeps the
+    // selection resume/ingest-stable (the hashSplit rationale: a doc's
+    // selection can only change if the stratum's membership changes).
+    // Fully hash-pinned — the ONE sampler the driver can verify
+    // row-for-row (the rand(seed) samplers are engine-private →
+    // rows-only). Shape: one source-partitioned window (parallel per
+    // stratum), no shuffle beyond it, quota arithmetic in exact
+    // integer div.
+    Q("curation_stratified_sample",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn, CAST(n AS BIGINT) AS n_source
+        |FROM r WHERE rn <= (n + 4) // 5
+        |ORDER BY source, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val by = Window.partitionBy(col("source"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(
+          by.orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))),
+            col("doc_id"))).cast("long"))
+        .withColumn("n_source", count(lit(1)).over(by).cast("long"))
+        .filter(col("rn") <= expr("(n_source + 4) div 5"))
+        .select(col("doc_id"), col("source"), col("rn"), col("n_source"))
+        .orderBy(col("source"), col("rn"))
+    },
+
     // Contrastive negatives: 4 per anchor, hash-modular addressing.
     // The oracle replays the md5-mod arithmetic AND the attribute
     // join, so every (anchor, j) → negative assignment is hash-pinned
