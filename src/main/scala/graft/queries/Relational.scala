@@ -1540,6 +1540,35 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Top-N per group (r10): the "3 biggest orders per priority"
+    // reshape — declared so the WindowGroupLimit optimization is
+    // first-class verified surface, not just a test detail: Spark
+    // rewrites rank-filter-over-window into a per-partition group
+    // limit BEFORE the exchange, so each map task forwards ≤ N rows
+    // per group and the window sort never sees the full data (the
+    // same dataflow that makes the KMV sketch build map-side;
+    // RelationalSpec asserts the operator is present in THIS query's
+    // plan). Unique (price DESC, orderkey) order ⇒ deterministic.
+    Q("window_topn_per_group",
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+
     // Gini concentration per group (r10): revenue inequality across a
     // nation's customers — the concentration/balance audit (the same
     // statistic answers "is the training corpus dominated by a few

@@ -593,6 +593,17 @@ class RelationalSpec extends SparkSpec {
       ("3:click", 1L, round6(1.0 / 3)), ("4:purchase", 1L, round6(1.0 / 3))))
   }
 
+  test("window_topn_per_group: plan carries WindowGroupLimit (map-side group limit)") {
+    val df = SparkEntry.queries("window_topn_per_group")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not lower to WindowGroupLimit:\n$plan")
+    // and the limit is real: exactly <= 3 rows per priority
+    val byP = df.collect().groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(byP.values.forall(_ <= 3) && byP.nonEmpty)
+  }
+
   test("windowedFunnel: deadline cuts chains the loose funnel counts; greedy chain is maximal") {
     import spark.implicits._
     import graft.queries.EventAnalytics
