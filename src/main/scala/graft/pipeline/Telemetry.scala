@@ -90,6 +90,30 @@ object Telemetry {
     features(events)
       .withColumn("alert", when(col("value_mean_7") >= tau, 1).otherwise(0))
 
+  /** Calibration buckets over the scored frame — see the
+    * `ml_calibration_curve` declaration. Equi-width over the observed
+    * [min, max] of `value_mean_7` (broadcast bounds row, degenerate
+    * range → bucket 0), per-bucket mean score (decimal-summed) and
+    * observed failure fraction. */
+  def calibration(scoredDf: DataFrame, buckets: Int = 10): DataFrame = {
+    val b = scoredDf
+      .agg(min(col("value_mean_7")).as("lo"), max(col("value_mean_7")).as("hi"))
+      .withColumn("k", lit(1))
+    scoredDf.withColumn("k", lit(1)).join(broadcast(b), "k")
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(
+            floor((col("value_mean_7") - col("lo")) / (col("hi") - col("lo")) * buckets),
+            lit(buckets - 1L)).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        r6(sum(col("value_mean_7").cast("decimal(20,6)")).cast("double") / count(lit(1)))
+          .as("mean_score"),
+        sum(col("failure_next")).cast("long").as("n_pos"),
+        r6(sum(col("failure_next")) * lit(1.0) / count(lit(1))).as("frac_pos"))
+  }
+
   /** A2 level 1: alerts per day. */
   def daily(scoredDf: DataFrame): DataFrame =
     scoredDf
@@ -193,6 +217,33 @@ object Telemetry {
     Q("telemetry_scored",
       s"${scoredSql()} SELECT * FROM scored ORDER BY event_id") {
       (s, dir) => scored(ev(s, dir)).orderBy("event_id")
+    },
+
+    // Calibration / reliability curve over the alerting score (r10):
+    // does a score bucket's observed failure rate track the score? —
+    // the deployment check between the threshold rule and the
+    // confusion matrix. Equi-width buckets over the OBSERVED score
+    // range via a broadcast bounds row (the ksDriftBucketed idiom —
+    // both engines replay identical IEEE bucket arithmetic, and the
+    // 6-dp score is decimal-exact to sum); one data-sized aggregate,
+    // bucket-bounded output.
+    Q("ml_calibration_curve",
+      s"""${scoredSql()},
+         |b AS (SELECT MIN(value_mean_7) AS lo, MAX(value_mean_7) AS hi FROM scored),
+         |k AS (
+         |  SELECT s.value_mean_7, s.failure_next,
+         |         CASE WHEN b.hi = b.lo THEN 0
+         |              ELSE LEAST(CAST(FLOOR((s.value_mean_7 - b.lo) / (b.hi - b.lo) * 10)
+         |                         AS BIGINT), 9) END AS bucket
+         |  FROM scored s, b)
+         |SELECT bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       ROUND(CAST(SUM(CAST(value_mean_7 AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0
+         |         AS mean_score,
+         |       CAST(SUM(failure_next) AS BIGINT) AS n_pos,
+         |       ROUND(SUM(failure_next) * 1.0 / COUNT(*), 6) + 0 AS frac_pos
+         |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      calibration(scored(ev(s, dir))).orderBy(col("bucket"))
     },
     Q("telemetry_daily",
       s"""${scoredSql()}

@@ -64,7 +64,56 @@ object TrainingData {
        |     WHEN ts < TIMESTAMP '$ValidEnd' THEN 'valid'
        |     ELSE 'test' END""".stripMargin
 
+  /** Leakage-safe GROUPED k-fold assignment (r10): the fold is a
+    * function of the GROUP key (user), never the row, so every row of
+    * a user lands in one fold — the grouped-CV discipline that keeps
+    * correlated per-entity rows from leaking across train/test folds
+    * (row-level folding on timeline data overfits silently). Hash
+    * assignment, not RNG — a rerun, a resumed job, or a different
+    * engine assigns identical folds (the hashSplit rationale). */
+  def groupKFold(events: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2, "groupKFold: need k >= 2")
+    val lab = Telemetry.labeled(events)
+    val folds = lab.select(col("user_id")).distinct()
+      .withColumn("fold",
+        conv(substring(md5(concat(lit("fold:"), col("user_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % k)
+    lab.join(folds, "user_id")
+      .groupBy(col("fold"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_rows"),
+        sum(col("failure_next")).cast("long").as("n_pos"),
+        (round(sum(col("failure_next")) * lit(1.0) / count(lit(1)), 6) + lit(0.0))
+          .as("pos_rate"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Grouped k-fold report (r10): fold id, user/row counts, and label
+    // balance per fold — the oracle replays the md5-mod assignment AND
+    // the label pipeline, so the ASSIGNMENT is hash-pinned, not just
+    // the counts; balance across folds is the stratification-quality
+    // readout a CV harness checks before trusting fold metrics.
+    Q("ml_group_kfold",
+      s"""WITH base AS (${Telemetry.baseSql}),
+         |lab AS (
+         |  SELECT *, CASE WHEN LEAD(is_error, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+         |                 THEN 1 ELSE 0 END AS failure_next
+         |  FROM base),
+         |f AS (
+         |  SELECT user_id,
+         |         CAST(concat('0x', substr(md5('fold:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+         |  FROM (SELECT DISTINCT user_id FROM base))
+         |SELECT f.fold,
+         |       CAST(COUNT(DISTINCT l.user_id) AS BIGINT) AS n_users,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(l.failure_next) AS BIGINT) AS n_pos,
+         |       ROUND(SUM(l.failure_next) * 1.0 / COUNT(*), 6) + 0 AS pos_rate
+         |FROM lab l JOIN f ON f.user_id = l.user_id
+         |GROUP BY f.fold ORDER BY f.fold""".stripMargin) { (s, dir) =>
+      groupKFold(Tables.events(s, dir)).orderBy(col("fold"))
+    },
 
     // F2: the three chronological splits as row-level queries.
     Q("split_train",
