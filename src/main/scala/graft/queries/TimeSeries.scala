@@ -199,6 +199,87 @@ object TimeSeries {
       twap(Tables.events(s, dir)).orderBy(col("user_id"), col("day"))
     },
 
+    // Rolling 7-row MEDIAN per user (r10): the burst-robust rolling
+    // center the mean features can't give (one spike drags a mean for
+    // its whole window; the median shrugs it off). Exact: the window
+    // holds ≤ 7 values, so the per-row sort is O(1); the median is a
+    // SELECTED data element (lower-middle rule (n+1)÷2, no
+    // interpolation — the quantile_disc discipline), so the output is
+    // an exact input double, hash-safe. Same one user-keyed exchange
+    // as every rolling feature; the array never leaves the row.
+    Q("events_rolling_median",
+      """WITH l AS (
+        |  SELECT event_id, user_id, value,
+        |         list_sort(list(value) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vs
+        |  FROM events)
+        |SELECT event_id, user_id, value,
+        |       vs[CAST((len(vs) + 1) // 2 AS INT)] AS roll_median
+        |FROM l ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w7 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .withColumn("vs", array_sort(collect_list(col("value")).over(w7)))
+        .select(col("event_id"), col("user_id"), col("value"),
+          element_at(col("vs"), ((size(col("vs")) + 1) / 2).cast("int")).as("roll_median"))
+        .orderBy(col("event_id"))
+    },
+
+    // Lag-1 autocorrelation per user (r10): does this series remember
+    // its last value? — the single most informative stationarity/
+    // persistence scalar for telemetry (white noise ~0, trending ~1,
+    // oscillating < 0). Pearson corr of (value, previous value) via
+    // the decimal-sum moment formula (the agg_stats_family
+    // discipline: exact decimal Σx Σy Σxx Σyy Σxy, double arithmetic
+    // only in the final expression — identical IEEE both engines).
+    // Degenerate users (constant series, < 3 pairs) are excluded by
+    // the same deterministic predicate on both sides. One user-keyed
+    // window + one aggregate on the same key.
+    Q("events_autocorr_lag1",
+      """WITH p AS (
+        |  SELECT user_id, value AS y,
+        |         LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |       ROUND((sxy - sx * sy / n) /
+        |             sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) + 0
+        |         AS autocorr_lag1
+        |FROM m
+        |WHERE n >= 3 AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      def ds(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(c.cast("decimal(30,6)")).cast("double")
+      val byU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val p = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value").as("y"))
+        .withColumn("x", lag(col("y"), 1).over(byU))
+        .filter(col("x").isNotNull)
+      p.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          ds(col("x")).as("sx"), ds(col("y")).as("sy"),
+          ds(col("x") * col("x")).as("sxx"), ds(col("y") * col("y")).as("syy"),
+          ds(col("x") * col("y")).as("sxy"))
+        .filter(col("n") >= 3 &&
+          col("sxx") - col("sx") * col("sx") / col("n") > 0 &&
+          col("syy") - col("sy") * col("sy") / col("n") > 0)
+        .select(col("user_id"), col("n").as("n_pairs"),
+          (round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))), 6) + lit(0.0))
+            .as("autocorr_lag1"))
+        .orderBy(col("user_id"))
+    },
+
     // Seasonal-baseline deviation monitor (r10): hourly event volume
     // and value mass against the SAME HOUR ONE WEEK EARLIER — the
     // workhorse anomaly check for strongly-periodic telemetry (a
