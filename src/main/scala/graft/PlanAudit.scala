@@ -214,6 +214,21 @@ object PlanAudit {
       SparkEntry.queries("analytics_small_qty_revenue")(spark, sfDir))
     audit("semiCorrelated(Q4)",
       SparkEntry.queries("join_semi_correlated")(spark, sfDir))
+    // r10 tail: windowed funnel (chained user-keyed mins — one
+    // exchange, reused by every step's join+agg), seasonal deviation
+    // (one hour agg, grid self-join broadcast), rolling median /
+    // autocorr / gini / kfold / topn / stratified (each one keyed
+    // window or agg exchange + bounded tails)
+    audit("windowedFunnel", SparkEntry.queries("events_funnel_windowed")(spark, sfDir))
+    audit("seasonalDeviation", SparkEntry.queries("events_seasonal_deviation")(spark, sfDir))
+    audit("rollingMedian", SparkEntry.queries("events_rolling_median")(spark, sfDir))
+    audit("autocorrLag1", SparkEntry.queries("events_autocorr_lag1")(spark, sfDir))
+    audit("giniConcentration", SparkEntry.queries("agg_gini_concentration")(spark, sfDir))
+    audit("groupKFold", SparkEntry.queries("ml_group_kfold")(spark, sfDir))
+    audit("calibrationCurve", SparkEntry.queries("ml_calibration_curve")(spark, sfDir))
+    audit("topnPerGroup", SparkEntry.queries("window_topn_per_group")(spark, sfDir))
+    audit("stratifiedSample", SparkEntry.queries("curation_stratified_sample")(spark, sfDir))
+    audit("subwordEncodePinned", SparkEntry.queries("text_subword_encode_pinned")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))
