@@ -219,7 +219,14 @@ object PlanAudit {
     // (one hour agg, grid self-join broadcast), rolling median /
     // autocorr / gini / kfold / topn / stratified (each one keyed
     // window or agg exchange + bounded tails)
-    audit("windowedFunnel", SparkEntry.queries("events_funnel_windowed")(spark, sfDir))
+    audit("windowedFunnel(core)", {
+      // un-checkpointed core (the public API checkpoints) — measures
+      // the real chained-join pipeline, not a checkpoint scan
+      val (core, _) = queries.EventAnalytics.windowedFunnelPlan(
+        Tables.events(spark, sfDir),
+        Seq("signup", "view", "click", "purchase"), 72L * 3600 * 1000000)
+      core
+    })
     audit("seasonalDeviation", SparkEntry.queries("events_seasonal_deviation")(spark, sfDir))
     audit("rollingMedian", SparkEntry.queries("events_rolling_median")(spark, sfDir))
     audit("autocorrLag1", SparkEntry.queries("events_autocorr_lag1")(spark, sfDir))

@@ -85,10 +85,32 @@ object EventAnalytics {
     * steps-bounded stack. */
   def windowedFunnel(
       events: DataFrame, steps: Seq[String], windowUs: Long): DataFrame = {
+    val (out, ev) = windowedFunnelPlan(events, steps, windowUs)
+    // steps-row result: checkpoint it so the persisted scan can be
+    // released before returning (storage hygiene)
+    val materialized = out.localCheckpoint()
+    ev.unpersist()
+    materialized
+  }
+
+  /** Un-checkpointed core of [[windowedFunnel]] plus its persisted
+    * event frame — split out so PlanAudit can inspect the REAL
+    * pipeline (the public API's localCheckpoint would otherwise hide
+    * it behind a checkpoint scan — the `spanRowsPlan` convention). */
+  private[graft] def windowedFunnelPlan(
+      events: DataFrame, steps: Seq[String], windowUs: Long): (DataFrame, DataFrame) = {
     require(steps.size >= 2, "windowedFunnel: need at least two steps")
     require(windowUs > 0, "windowedFunnel: windowUs must be positive")
-    val ev = events.select(
-      col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    // ONE user-keyed shuffle for the event side, paid up front and
+    // persisted: every per-step filter preserves the hash
+    // partitioning, so the k−1 step joins and min-combines all reuse
+    // it instead of re-exchanging the (big) event side per step — the
+    // chain side is the only thing that moves after this.
+    val ev = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .repartition(col("user_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var chain = ev.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
       .withColumn("deadline", col("t0") + windowUs)
@@ -103,11 +125,12 @@ object EventAnalytics {
       sum(col(s"t$i").isNotNull.cast("long")).as(s"n$i"))
     val wide = chain.agg(reached.head, reached.tail: _*)
     val stacked = steps.indices.map(i => s"'${i + 1}:${steps(i)}', `n$i`").mkString(", ")
-    wide.select(expr(s"stack(${steps.size}, $stacked) AS (step, n_users)"),
+    val out = wide.select(expr(s"stack(${steps.size}, $stacked) AS (step, n_users)"),
         col("n0").as("base"))
       .withColumn("conversion",
         round(col("n_users") * lit(1.0) / col("base"), 6) + lit(0.0))
       .drop("base")
+    (out, ev)
   }
 
   /** First-order Markov transition matrix over per-user event
