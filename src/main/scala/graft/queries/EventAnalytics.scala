@@ -87,9 +87,11 @@ object EventAnalytics {
       events: DataFrame, steps: Seq[String], windowUs: Long): DataFrame = {
     val (out, ev) = windowedFunnelPlan(events, steps, windowUs)
     // steps-row result: checkpoint it so the persisted scan can be
-    // released before returning (storage hygiene)
+    // released before returning (storage hygiene). Blocking unpersist:
+    // the async form raced the checkpoint job's block reads
+    // (BlockNotFoundException, caught by EdgeCaseSpec).
     val materialized = out.localCheckpoint()
-    ev.unpersist()
+    ev.unpersist(blocking = true)
     materialized
   }
 
@@ -121,14 +123,22 @@ object EventAnalytics {
         .groupBy(col("user_id")).agg(min(col("tus")).as(s"t$i"))
       chain = chain.join(stepMin, Seq("user_id"), "left_outer")
     }
+    // coalesce: a seedless corpus (empty chain) must report 0 per
+    // stage — a bare global sum would give one row of NULLs while the
+    // oracle's COUNT(*) scalar subqueries give 0 (the ksDrift empty-
+    // shape lesson)
     val reached = steps.indices.map(i =>
-      sum(col(s"t$i").isNotNull.cast("long")).as(s"n$i"))
+      coalesce(sum(col(s"t$i").isNotNull.cast("long")), lit(0L)).as(s"n$i"))
     val wide = chain.agg(reached.head, reached.tail: _*)
     val stacked = steps.indices.map(i => s"'${i + 1}:${steps(i)}', `n$i`").mkString(", ")
+    // base = 0 (no step-0 user at all) → −1 sentinel: ANSI mode makes
+    // the bare division THROW on the empty corpus (EdgeCaseSpec)
     val out = wide.select(expr(s"stack(${steps.size}, $stacked) AS (step, n_users)"),
         col("n0").as("base"))
       .withColumn("conversion",
-        round(col("n_users") * lit(1.0) / col("base"), 6) + lit(0.0))
+        when(col("base") > 0,
+          round(col("n_users") * lit(1.0) / col("base"), 6) + lit(0.0))
+          .otherwise(lit(-1.0)))
       .drop("base")
     (out, ev)
   }

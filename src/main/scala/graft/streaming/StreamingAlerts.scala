@@ -452,13 +452,15 @@ object StreamingAlerts {
       val mx = s.table(name).groupBy(col("user_id"))
         .agg(max(col("stage")).as("mx"))
       val reached = steps.indices.map(i =>
-        sum((col("mx") >= i + 1).cast("long")).as(s"n$i"))
+        coalesce(sum((col("mx") >= i + 1).cast("long")), lit(0L)).as(s"n$i"))
       val wide = mx.agg(reached.head, reached.tail: _*)
       val stacked = steps.indices.map(i => s"'${i + 1}:${steps(i)}', `n$i`").mkString(", ")
       wide.select(expr(s"stack(${steps.size}, $stacked) AS (step, n_users)"),
           col("n0").as("base"))
         .withColumn("conversion",
-          round(col("n_users") * lit(1.0) / col("base"), 6) + lit(0.0))
+          when(col("base") > 0,
+            round(col("n_users") * lit(1.0) / col("base"), 6) + lit(0.0))
+            .otherwise(lit(-1.0)))
         .drop("base")
         .orderBy(col("step"))
     },

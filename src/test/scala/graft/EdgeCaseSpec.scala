@@ -223,5 +223,13 @@ class EdgeCaseSpec extends SparkSpec {
     val toks = Dedup.tokenized(oneDoc.select(col("doc_id"), col("text")))
     assert(Dedup.minhashTruthCandidates(toks, col("doc_id") === 1L, maxDf = 0)
       .count() === 0L)
+    // windowedFunnel on an empty/seedless stream: every stage reports
+    // ZERO users (not a NULL row), one row per step
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val wf = graft.queries.EventAnalytics.windowedFunnel(
+      noEvents, Seq("signup", "view"), 3600L * 1000000).collect()
+    assert(wf.length === 2 && wf.forall(_.getLong(1) === 0L),
+      s"empty funnel must report zeros: ${wf.mkString(",")}")
   }
 }
