@@ -76,10 +76,18 @@ object EventProbe {
       val grid = ev.select(date_trunc("hour", col("ts"))).distinct().count()
       val tConc = timeMin(queries.TimeSeries.concurrencyPeak(ev, 1800L))
 
+      // windowed funnel (r10): work = step-filtered event rows (the one
+      // shuffled side); chain rounds = |steps| regardless of data
+      val funnelSteps = Seq("signup", "view", "click", "purchase")
+      val funnelRows = ev.filter(col("event_type").isin(funnelSteps: _*)).count()
+      val tFun = timeMin(queries.EventAnalytics.windowedFunnel(
+        ev, funnelSteps, 72L * 3600 * 1000000))
+
       println(f"EVPROBE x$k%-3d events=$nEv%-9d actRows=$actRows%-8d " +
         f"rollContrib=$contribRows%-9d roll_s=$tRoll%6.2f " +
         f"users=$nUsers%-8d survContrib=$survRows%-9d surv_s=$tSurv%6.2f " +
-        f"sessions=$nSess%-8d boundaries=${2 * nSess}%-9d hourGrid=$grid%-6d conc_s=$tConc%6.2f")
+        f"sessions=$nSess%-8d boundaries=${2 * nSess}%-9d hourGrid=$grid%-6d conc_s=$tConc%6.2f " +
+        f"funnelRows=$funnelRows%-9d funnel_s=$tFun%6.2f")
     }
     spark.stop()
   }
