@@ -255,8 +255,9 @@ object Dedup {
     * banded candidates; recall is their quotient per probe.
     *
     * Exactness contract: a true pair is missed only if EVERY shared
-    * token has df > maxDf — impossible when any probe token is rare
-    * (J ≥ 0.9 means near-total token sharing). The declared query's
+    * token has df > maxDf (J ≥ 0.9 means near-total token sharing,
+    * so a rare probe token is almost surely shared — but the loud
+    * oracle below, not this argument, is the guarantee). The declared query's
     * oracle deliberately stays the UNBOUNDED exact-truth form, so a
     * maxDf too low for the corpus turns the driver hash check red
     * instead of silently under-counting truth — which is exactly how

@@ -207,6 +207,9 @@ object TimeSeries {
     // interpolation — the quantile_disc discipline), so the output is
     // an exact input double, hash-safe. Same one user-keyed exchange
     // as every rolling feature; the array never leaves the row.
+    // Contract: value must be non-null (Spark collect_list DROPS
+    // nulls, DuckDB list() keeps them — window lengths would diverge
+    // on a nullable column; events.value is non-null by schema).
     Q("events_rolling_median",
       """WITH l AS (
         |  SELECT event_id, user_id, value,
