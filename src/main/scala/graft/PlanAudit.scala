@@ -308,6 +308,13 @@ object PlanAudit {
     audit("sampleQuantiles(query)",
       SparkEntry.queries("sketch_sample_quantiles")(spark, sfDir))
     audit("annRecall(query)", SparkEntry.queries("embed_ann_recall")(spark, sfDir))
+    // r10 session-2 TPC shapes: Q15 (suppkey agg + 1-row max broadcast
+    // + winners broadcast into the dim), Q22 (global baseline row
+    // broadcast + date-pruned anti join), Q21 (three lineitem sides
+    // sharing ONE l_orderkey partitioning through semi+anti+agg)
+    audit("topSupplier(Q15)", SparkEntry.queries("analytics_top_supplier")(spark, sfDir))
+    audit("globalBaseline(Q22)", SparkEntry.queries("analytics_global_baseline")(spark, sfDir))
+    audit("antiCorrelated(Q21)", SparkEntry.queries("join_anti_correlated")(spark, sfDir))
     spark.stop()
   }
 }

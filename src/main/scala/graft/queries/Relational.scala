@@ -1661,5 +1661,161 @@ object Relational {
           min(col("tot")).cast("double").as("total_weight"))
         .orderBy(col("l_returnflag"))
     },
+
+    // TPC-H Q15-shaped view + MAX scalar subquery (r10): revenue per
+    // supplier over a ship-date quarter, then the supplier(s) whose
+    // revenue EQUALS the maximum — the "create view + where total =
+    // (select max from view)" pattern, declared in its decorrelated
+    // form: one global MAX aggregate (1 row) cross-broadcast against
+    // the per-supplier frame. Revenue stays DECIMAL through the
+    // equality test — a double MAX would make "equals the max" a
+    // 1-ulp lottery across engines; decimal compare is exact, so
+    // ties (multiple max suppliers) are handled identically. Shape
+    // for scale: the fact scan aggregates by suppkey (one shuffle),
+    // the max is a 1-row broadcast, the WINNERS (ties only) are a
+    // broadcast into the supplier dim — the dim side never shuffles.
+    // The per-supplier frame is localCheckpointed: without it the
+    // max branch and the winners branch plan SEPARATE fact scans
+    // (column pruning drops n_items from the max branch, so the
+    // aggregate subplans differ and exchange reuse never fires —
+    // two full 100 TB scans; measured in the r10 PlanAudit). The
+    // checkpoint is |suppliers|-bounded, the natural materialization
+    // point.
+    Q("analytics_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS rev_dec,
+        |         COUNT(*) AS n_items
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1995-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT MAX(rev_dec) AS mx FROM rev)
+        |SELECT s.s_suppkey, s.s_name,
+        |       CAST(r.rev_dec AS DOUBLE) AS total_revenue,
+        |       CAST(r.n_items AS BIGINT) AS n_items
+        |FROM rev r
+        |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.rev_dec = (SELECT mx FROM m)
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1995-01-01") &&
+          col("l_shipdate").cast("date") < lit("1995-04-01"))
+        .select(col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("rev").cast("decimal(30,6)")).as("rev_dec"),
+          count(lit(1)).as("n_items"))
+        .localCheckpoint()
+      val mx = rev.agg(max(col("rev_dec")).as("mx"))
+      val winners = rev.crossJoin(broadcast(mx))
+        .filter(col("rev_dec") === col("mx"))
+        .select(col("l_suppkey"), col("rev_dec"), col("n_items"))
+      Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+        .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"),
+          col("n_items"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q22-shaped global-baseline + anti join (r10): customers
+    // whose balance beats the positive-balance AVERAGE (a scalar
+    // subquery over a DIFFERENT filter of the same table) AND who
+    // have placed no orders since 2001 (NOT EXISTS over a
+    // date-filtered fact → left anti) — the "well-funded but lapsed
+    // accounts" report. The average test is exact cross-multiplied
+    // decimal arithmetic — bal > sum/cnt ⟺ bal·cnt > sum — because
+    // a float AVG puts boundary customers one ulp apart across
+    // engines (the Q17 discipline applied to a GLOBAL baseline).
+    // Shape for scale: one global (sum, cnt) aggregate broadcasts as
+    // a single row, the filter is map-side, the date filter prunes
+    // the anti side BEFORE its custkey shuffle (AQE co-locates),
+    // segment-bounded rollup.
+    Q("analytics_global_baseline",
+      """WITH b AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS s, COUNT(*) AS c
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_mktsegment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer c, b
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * b.c > b.s
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND CAST(o.o_orderdate AS DATE) >= DATE '2001-01-01')
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val base = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,6)")).as("s"),
+          count(lit(1)).as("c"))
+      cust.crossJoin(broadcast(base))
+        .filter(col("c_acctbal").cast("decimal(18,6)") * col("c") > col("s"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date") >= lit("2001-01-01"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("double").as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // TPC-H Q21-shaped DOUBLE correlation (r10): suppliers who were
+    // the ONLY supplier with a returned line on a finished
+    // multi-supplier order — one correlated EXISTS (another supplier
+    // shipped on the order) AND one correlated NOT EXISTS (no OTHER
+    // supplier's line was returned), both on the same fact table.
+    // Declared in the decorrelated form Catalyst produces: a
+    // left-semi then a left-anti join, each with a compound
+    // (equi on orderkey + non-equi on suppkey) condition. Shape for
+    // scale: all three lineitem sides shuffle on the SAME key
+    // (l_orderkey) so the semi and anti reuse one co-partitioning;
+    // the status-filtered orders side prunes l1 before the
+    // correlation joins; supplier is a broadcast dim; the top-10 is
+    // a TakeOrdered with a full (numwait DESC, s_name) tiebreak —
+    // deterministic at the k boundary.
+    Q("join_anti_correlated",
+      """WITH l1 AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R')
+        |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val fo = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(fo, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1
+        .join(l2, col("l_orderkey") === col("k2") && col("s2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("s3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
   )
 }
