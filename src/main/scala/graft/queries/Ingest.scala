@@ -360,5 +360,45 @@ object Ingest {
           countDistinct(col("user_id")).as("n_users"),
           sum(col("value").cast("decimal(30,6)")).cast("double").as("day_value"))
     },
+
+    // Bucketed co-located fact-fact join — the OTHER 100 TB layout
+    // lever (partitioning prunes files; bucketing pre-pays the join
+    // shuffle): both facts are written `bucketBy(join key)` once, and
+    // every subsequent join between them needs NO exchange at read
+    // time — output partitioning satisfies the join's distribution
+    // requirement directly, so a 100 TB × 100 TB join moves zero
+    // bytes over the network. The `merge` hint pins the sort-merge
+    // path (a broadcast would bypass the bucketing demo at this SF;
+    // at 100 TB neither side broadcasts and the hint is a no-op).
+    // BucketingSpec pins the zero-exchange claim on THIS declared
+    // query's executed plan (no ShuffleExchange below the
+    // SortMergeJoin); the oracle proves the bucketed write+read+join
+    // is lossless against the plain tables. Scratch tables are
+    // session-suffixed (two concurrent drivers never collide) and
+    // their data dirs die with the JVM like every Ingest sink.
+    Q("join_bucketed_colocated",
+      """SELECT o.o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val oTab = s"graft_bkt_orders_$session"
+      val lTab = s"graft_bkt_lineitem_$session"
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmp("orders_bkt")).saveAsTable(oTab)
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmp("lineitem_bkt")).saveAsTable(lTab)
+      s.table(oTab).hint("merge")
+        .join(s.table(lTab), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double").as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    },
   )
 }

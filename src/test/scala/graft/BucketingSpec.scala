@@ -56,6 +56,21 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("declared join_bucketed_colocated plans no exchange below the sort-merge join") {
+    val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf("sf0.001"))
+    df.count() // finalize AQE
+    val smjs = collectPlan(df.queryExecution.executedPlan)
+      .collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smjs.nonEmpty,
+      s"expected a SortMergeJoin (merge hint):\n${df.queryExecution.executedPlan}")
+    // the join's whole input subtree must be exchange-free — the
+    // bucketed layout, not a shuffle, satisfies its distribution
+    // requirement (the final 3-key status rollup above it may exchange)
+    val below = smjs.flatMap(j => j.children.flatMap(collectPlan))
+    assert(below.count(_.isInstanceOf[ShuffleExchangeExec]) === 0,
+      s"bucketed join input shuffles:\n${df.queryExecution.executedPlan}")
+  }
+
   test("salted aggregation plans two aggregate phases and matches the plain result") {
     val salted = SparkEntry.queries("agg_salted_sum")(spark, sf("sf0.001"))
     val plain = Tables.lineitem(spark, sf("sf0.001"))
