@@ -945,6 +945,51 @@ object Audit {
         nBuckets = 64)
     },
 
+    // PSI drift — the bucket-integrated companion to the KS pair
+    // (see psiDrift's scaladoc): early orders (pre-1998) as the
+    // baseline population vs late orders as current, over
+    // o_totalprice in 32 equi-width buckets. Same generator both
+    // sides, so the truthful answer is "stable" (PSI near 0);
+    // RelationalSpec pins a planted-shift fixture high and an
+    // identical-sides fixture at exactly 0.
+    Q("audit_psi_drift",
+      """WITH s0 AS (
+        |  SELECT o_totalprice AS v,
+        |         CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |              THEN 1 ELSE 2 END AS side
+        |  FROM orders),
+        |bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM s0),
+        |c AS (
+        |  SELECT CASE WHEN b.hi = b.lo THEN 0
+        |              ELSE least(floor(((s0.v - b.lo) / (b.hi - b.lo)) * 32), 31)
+        |         END AS bk,
+        |         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1b,
+        |         SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS n2b
+        |  FROM s0, bounds b GROUP BY 1),
+        |g AS (SELECT t.bucket FROM range(32) t(bucket)),
+        |f AS (
+        |  SELECT g.bucket, COALESCE(c.n1b, 0) AS n1b, COALESCE(c.n2b, 0) AS n2b
+        |  FROM g LEFT JOIN c ON c.bk = g.bucket),
+        |t AS (SELECT SUM(n1b) AS n1, SUM(n2b) AS n2 FROM f),
+        |x AS (
+        |  SELECT f.bucket, f.n1b, f.n2b,
+        |         ROUND(((f.n2b + 1) / (t.n2 + 32.0) - (f.n1b + 1) / (t.n1 + 32.0)) *
+        |               LN(((f.n2b + 1) / (t.n2 + 32.0)) /
+        |                  ((f.n1b + 1) / (t.n1 + 32.0))), 6) + 0 AS contrib
+        |  FROM f, t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(n1b AS BIGINT) AS n_base,
+        |       CAST(n2b AS BIGINT) AS n_curr,
+        |       contrib AS psi_contrib,
+        |       CAST(SUM(CAST(contrib AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi_total
+        |FROM x ORDER BY bucket""".stripMargin) { (s, dir) =>
+      psiDrift(Tables.orders(s, dir)
+        .select(col("o_totalprice").as("v"),
+          when(col("o_orderdate").cast("date") < lit("1998-01-01"), 1)
+            .otherwise(2).as("side")),
+        nBuckets = 32)
+    },
+
     // EXACT ROC-AUC — the model-eval primitive (Mann–Whitney U) in
     // pure integer arithmetic, making "how discriminative is this
     // score" a driver-checked number instead of an MLlib-internal
@@ -1136,6 +1181,64 @@ object Audit {
     ksDrift(bucketed)
       .select(col("n1"), col("n2"), col("d_num"), col("ks_stat"),
         col("ks_at").cast("long").as("ks_at_bucket"))
+  }
+
+  /** Population Stability Index over a (v, side ∈ {1,2}) frame — the
+    * industry-standard "did the distribution move" monitor (model-risk
+    * heritage; rule of thumb: < 0.1 stable, 0.1–0.25 watch, > 0.25
+    * shifted). Complements [[ksDrift]]: KS reads the single WORST CDF
+    * gap; PSI integrates log-ratio mass movement across ALL buckets,
+    * so a broad small shift that never opens one big gap still
+    * registers. Equi-width buckets over the combined observed range
+    * (the [[ksDriftBucketed]] IEEE bucket idiom — both engines replay
+    * identical arithmetic), and add-one (Laplace) smoothing — the
+    * standard empty-bucket epsilon made exact and deterministic:
+    * p_b = (n1_b+1)/(n1+B), q_b = (n2_b+1)/(n2+B), contribution
+    * (q_b−p_b)·ln(q_b/p_b) ≥ 0. The grid is generated 0..B−1 so
+    * buckets empty on both sides still carry their smoothing-prior
+    * term (and the empty-INPUT shape is the same B rows, PSI = 0 —
+    * no empty-frame divergence, the ksDrift ADVICE lesson).
+    *
+    * Shape for scale: one bounds aggregate (1-row broadcast), one
+    * bucket-keyed count aggregate (grid is B rows regardless of
+    * data), everything after runs on the bounded grid. Determinism:
+    * identical IEEE expression order cross-engine, ROUND(,6)+0 at
+    * the edge (ln on identical doubles — the tfidf precedent);
+    * psi_total sums the ROUNDED contributions in DECIMAL over the
+    * grid, so addition order cannot matter. */
+  def psiDrift(df: DataFrame, nBuckets: Int): DataFrame = {
+    val bounds = df.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("k", lit(1))
+    val counts = df.withColumn("k", lit(1)).join(broadcast(bounds), "k")
+      .withColumn("bk",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(
+            floor(((col("v") - col("lo")) / (col("hi") - col("lo"))) * nBuckets),
+            lit(nBuckets - 1L)).cast("long")))
+      .groupBy(col("bk"))
+      .agg(
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n1b"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("n2b"))
+    val grid = df.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    val full = grid.join(counts, col("bucket") === col("bk"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("n1b"), lit(0L)).as("n1b"),
+        coalesce(col("n2b"), lit(0L)).as("n2b"))
+    val w = Window.partitionBy()
+    full
+      .withColumn("n1", sum(col("n1b")).over(w))
+      .withColumn("n2", sum(col("n2b")).over(w))
+      .withColumn("p",
+        (col("n1b") + 1).cast("double") / (col("n1") + nBuckets).cast("double"))
+      .withColumn("q",
+        (col("n2b") + 1).cast("double") / (col("n2") + nBuckets).cast("double"))
+      .withColumn("contrib",
+        round((col("q") - col("p")) * log(col("q") / col("p")), 6) + lit(0.0))
+      .select(col("bucket"), col("n1b").as("n_base"), col("n2b").as("n_curr"),
+        col("contrib").as("psi_contrib"),
+        sum(col("contrib").cast("decimal(18,6)")).over(w)
+          .cast("double").as("psi_total"))
+      .orderBy(col("bucket"))
   }
 
   /** EXACT ROC-AUC over a (score, label ∈ {0,1}) frame via the

@@ -386,6 +386,34 @@ class RelationalSpec extends SparkSpec {
     assert((0 to 4).forall(r.isNullAt), s"expected all-NULL row, got $r")
   }
 
+  test("psiDrift: identical sides read exactly 0, planted shift reads high, empty grid is full") {
+    import spark.implicits._
+    import graft.queries.Audit
+    def frame(a: Seq[Double], b: Seq[Double]) =
+      (a.map((_, 1)) ++ b.map((_, 2))).toDF("v", "side")
+    // identical multisets → every bucket has p = q → each contribution
+    // and the total are EXACTLY 0 (not merely small)
+    val vs = (1 to 64).map(_.toDouble)
+    val same = Audit.psiDrift(frame(vs, vs), 8).collect()
+    assert(same.length === 8)
+    assert(same.forall(_.getDouble(3) === 0.0), s"identical sides nonzero: ${same.toSeq}")
+    assert(same.head.getDouble(4) === 0.0)
+    // planted shift: baseline mass in the low half, current in the high
+    // half → way past the 0.25 "shifted" rule of thumb
+    val shifted = Audit.psiDrift(
+      frame(Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0), Seq.fill(50)(99.0) ++ Seq.fill(50)(100.0)),
+      8).collect()
+    assert(shifted.head.getDouble(4) > 1.0,
+      s"planted full shift should read PSI >> 0.25, got ${shifted.head.getDouble(4)}")
+    // smoothing: buckets empty on BOTH sides still appear (full grid)
+    // and carry only the finite prior term — no NaN/Inf anywhere
+    assert(shifted.length === 8)
+    assert(shifted.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    // empty input: same B-row shape, PSI exactly 0 (p = q = 1/B prior)
+    val empty = Audit.psiDrift(Seq.empty[(Double, Int)].toDF("v", "side"), 8).collect()
+    assert(empty.length === 8 && empty.head.getDouble(4) === 0.0)
+  }
+
   test("ksDriftBucketed: lower-bounds the exact D; equals it when buckets dominate NDV") {
     import spark.implicits._
     import graft.queries.Audit
