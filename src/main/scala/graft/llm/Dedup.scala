@@ -696,6 +696,37 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.ngram_hashes(col("text"), n, 15).as(Seq("pos", "gram_h")))
 
+  /** Per-doc n-gram NOVELTY against everything that arrived before it
+    * — the corpus freshness/memorization audit ("how much of this doc
+    * is new text vs restatement of earlier docs"): a gram is novel in
+    * the doc holding its corpus-wide FIRST occurrence (min doc_id —
+    * ingest order is the time axis, the incremental-dedup convention),
+    * and a doc whose novelty is ~0 adds no new n-grams to the corpus.
+    * The inverse lens of [[duplicatedSpans]]: spans localize repeats
+    * inside a doc; novelty scores the doc's contribution to the
+    * corpus. Per-doc DISTINCT gram keys, so a gram repeated within
+    * one doc counts once.
+    *
+    * Shape for scale: one (doc_id, gram_h) distinct exchange, then
+    * first-occurrence via groupBy MIN — partial (map-side) min makes
+    * stop-word-grade grams cheap, where a per-gram window would sort
+    * entire skewed gram partitions on one task — one gram-keyed join
+    * back, one doc rollup. Keys are the native 60-bit scan-side
+    * generator; gram strings never shuffle. Docs with < n tokens
+    * yield no grams and are absent in both engines. */
+  def gramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = gramPosRows(docs, n)
+      .select(col("doc_id"), col("gram_h")).distinct()
+    val first = grams.groupBy(col("gram_h")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gram_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (round(col("n_novel") * lit(1.0) / col("n_grams"), 6) + lit(0.0)).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   private def spansFromGrams(grams: DataFrame, n: Int): DataFrame = {
     val dupGrams = grams.groupBy(col("gram_h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
@@ -1145,6 +1176,34 @@ object Dedup {
         when(col("doc_id") % 3 === 0, concat(lit(SpanHeader + " "), col("text")))
           .otherwise(col("text")).as("text"))
       duplicatedSpans(planted).orderBy(col("doc_id"))
+    },
+
+    // Per-doc first-occurrence novelty (see gramNovelty's scaladoc):
+    // the freshness/memorization audit on the RAW corpus — ingest
+    // order (doc_id) is the time axis; the oracle replays the exact
+    // 60-bit md5 gram keys, so the score is hash-pinned end to end.
+    Q("dedup_gram_novelty", {
+      val n = 8
+      s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |gs AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(l) - ${n - 1}, 0) + 1),
+         |                               i -> array_to_string(l[i:i+${n - 1}], ' '))) AS gram
+         |  FROM corpus),
+         |g AS (SELECT DISTINCT doc_id,
+         |             CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+         |      FROM gs),
+         |f AS (SELECT gram_h, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+         |SELECT g.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+         |             / COUNT(*), 6) + 0 AS novelty
+         |FROM g JOIN f USING (gram_h)
+         |GROUP BY g.doc_id
+         |ORDER BY g.doc_id""".stripMargin
+    }) { (s, dir) =>
+      gramNovelty(Tables.documents(s, dir))
     },
 
     // WITHIN-doc self-repetition coverage (Gopher-class drop rule).

@@ -170,6 +170,27 @@ class LlmSpec extends SparkSpec {
     assert(got === Set((100L, "dup", 1L), (101L, "new", -1L)), s"got $got")
   }
 
+  test("gramNovelty: originals score 1, an exact copy 0, a half-copy in between") {
+    // 16 single-char tokens → 9 distinct 8-gram windows per doc
+    val orig = (0 until 16).map(i => s"a$i").mkString(" ")
+    val fresh = (0 until 16).map(i => s"b$i").mkString(" ")
+    // half-copy: first 8 tokens from orig, next 8 fresh → its only
+    // repeated gram is the opening window; the 8 windows that cross
+    // into (or sit in) the fresh half are novel
+    val half = ((0 until 8).map(i => s"a$i") ++ (0 until 8).map(i => s"c$i")).mkString(" ")
+    val docs = Seq((1L, orig), (2L, orig), (3L, fresh), (4L, half))
+      .toDF("doc_id", "text")
+    val got = llm.Dedup.gramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((9L, 9L, 1.0)), s"first occurrence owns all grams: $got")
+    assert(got(2L) === ((9L, 0L, 0.0)), s"exact copy is pure repetition: $got")
+    assert(got(3L) === ((9L, 9L, 1.0)), s"fresh doc fully novel: $got")
+    assert(got(4L) === ((9L, 8L, 0.888889)), s"half-copy: only the opening window repeats: $got")
+    // short doc (< n tokens) yields no grams → absent, not zero-row
+    val withShort = docs.unionByName(Seq((5L, "just three tokens")).toDF("doc_id", "text"))
+    assert(!llm.Dedup.gramNovelty(withShort).collect().exists(_.getLong(0) == 5L))
+  }
+
   test("exact dedup collapses planted duplicates to one victor each") {
     val out = SparkEntry.queries("dedup_exact")(spark, sf("sf0.001"))
     val n = Tables.documents(spark, sf("sf0.001")).count()
