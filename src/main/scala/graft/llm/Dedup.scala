@@ -727,6 +727,66 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking (CDC) — the rolling-hash boundary rule
+    * from dedup storage (Muthitacharoen et al., LBFS SOSP'01; the
+    * Rabin-fingerprint family): cut BEFORE token q whenever the
+    * w-token gram ending at q−1 hashes to 0 mod `divisor`, so chunk
+    * boundaries depend only on LOCAL content. That buys the property
+    * fixed-stride chunking ([[graft.functions.ChunkGenerator]])
+    * cannot have: inserting a prefix shifts every stride window and
+    * kills all sharing, but CDC boundaries re-align right after the
+    * edit and every downstream chunk fingerprint survives —
+    * chunk-level dedup that is robust to insertions. Expected chunk
+    * length ≈ `divisor` tokens. Output is one row per chunk with its
+    * 60-bit fingerprint and how many docs share it.
+    *
+    * Shape for scale: ONE persisted (doc, text, toks, len) projection
+    * feeds all three consumers (the shared-scan discipline — three
+    * raw corpus scans otherwise); gram keys come from the native
+    * scan-side generator (gram strings never shuffle); the
+    * boundary→chunk assignment windows over INTEGER positions only;
+    * per-doc spans collapse to ONE sorted array row (sort_array ∘
+    * collect_list — per-doc bounded), so the doc's text crosses the
+    * join exactly once; chunk slicing + fingerprinting are map-side;
+    * the sharing count is a fingerprint-keyed aggregate + join on
+    * the chunk frame. Per-doc state is bounded by doc length. */
+  def contentChunks(docs: DataFrame, w: Int = 4, divisor: Int = 16): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .withColumn("len", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = base.select(col("doc_id"), col("len"),
+      graft.functions.ngram_hashes(col("text"), w, 15).as(Seq("pos", "gram_h")))
+    val cuts = g
+      .filter(pmod(col("gram_h"), lit(divisor)) === 0 && col("pos") + w < col("len"))
+      .select(col("doc_id"), (col("pos") + w).as("s"))
+    val starts = cuts.unionByName(
+      base.filter(col("len") > 0).select(col("doc_id"), lit(0).as("s")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val spans = starts.join(base.select(col("doc_id"), col("len")), Seq("doc_id"))
+      .withColumn("e", coalesce(lead(col("s"), 1).over(byDoc), col("len")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val out = base.join(spans, Seq("doc_id"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("spans")).as(Seq("chunk_idx", "sp")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("sp.s").as("start_pos"),
+        (col("sp.e") - col("sp.s")).as("n_tokens"),
+        conv(substring(md5(
+          array_join(slice(col("toks"), col("sp.s") + 1, col("sp.e") - col("sp.s")), " ")),
+          1, 15), 16, 10).cast("long").as("chunk_fp"))
+    val sharing = out.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+    val res = out.join(sharing, Seq("chunk_fp"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        col("n_tokens"), col("chunk_fp"), col("n_docs_sharing"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .localCheckpoint()
+    base.unpersist()
+    res
+  }
+
   private def spansFromGrams(grams: DataFrame, n: Int): DataFrame = {
     val dupGrams = grams.groupBy(col("gram_h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
@@ -1176,6 +1236,58 @@ object Dedup {
         when(col("doc_id") % 3 === 0, concat(lit(SpanHeader + " "), col("text")))
           .otherwise(col("text")).as("text"))
       duplicatedSpans(planted).orderBy(col("doc_id"))
+    },
+
+    // Content-defined chunking (see contentChunks' scaladoc): the
+    // insertion-robust chunk-level dedup surface on the RAW corpus —
+    // rolling-hash cut rule, per-chunk 60-bit fingerprints, cross-doc
+    // sharing counts; every boundary decision and fingerprint replays
+    // exactly in the oracle's md5 arithmetic. LlmSpec pins THE CDC
+    // property: a planted prefix insertion preserves all but the
+    // first chunk's sharing while fixed-stride sharing drops to zero.
+    Q("dedup_cdc_chunks", {
+      val w = 4; val d = 16
+      s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |lens AS (SELECT doc_id, len(l) AS len FROM corpus),
+         |gs AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, greatest(len(l) - ${w - 1}, 0) + 1)) AS i,
+         |         unnest(list_transform(range(1, greatest(len(l) - ${w - 1}, 0) + 1),
+         |                               i -> array_to_string(l[i:i+${w - 1}], ' '))) AS gram
+         |  FROM corpus),
+         |cuts AS (
+         |  SELECT g.doc_id, (g.i - 1) + $w AS s
+         |  FROM gs g JOIN lens USING (doc_id)
+         |  WHERE CAST(concat('0x', substr(md5(g.gram), 1, 15)) AS BIGINT) % $d = 0
+         |    AND (g.i - 1) + $w < lens.len),
+         |starts AS (
+         |  SELECT doc_id, s FROM cuts
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS s FROM lens WHERE len > 0),
+         |ch AS (
+         |  SELECT st.doc_id, st.s,
+         |         COALESCE(LEAD(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
+         |                  lens.len) AS e,
+         |         ROW_NUMBER() OVER (PARTITION BY st.doc_id ORDER BY st.s) - 1 AS chunk_idx
+         |  FROM starts st JOIN lens USING (doc_id)),
+         |fp AS (
+         |  SELECT ch.doc_id, ch.chunk_idx, ch.s AS start_pos,
+         |         ch.e - ch.s AS n_tokens,
+         |         CAST(concat('0x', substr(md5(
+         |           array_to_string(c.l[ch.s + 1:ch.e], ' ')), 1, 15)) AS BIGINT) AS chunk_fp
+         |  FROM ch JOIN corpus c USING (doc_id)),
+         |sh AS (SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs_sharing
+         |       FROM fp GROUP BY 1)
+         |SELECT fp.doc_id,
+         |       CAST(fp.chunk_idx AS INT) AS chunk_idx,
+         |       CAST(fp.start_pos AS INT) AS start_pos,
+         |       CAST(fp.n_tokens AS INT) AS n_tokens,
+         |       fp.chunk_fp,
+         |       CAST(sh.n_docs_sharing AS BIGINT) AS n_docs_sharing
+         |FROM fp JOIN sh USING (chunk_fp)
+         |ORDER BY fp.doc_id, fp.chunk_idx""".stripMargin
+    }) { (s, dir) =>
+      contentChunks(Tables.documents(s, dir))
     },
 
     // Per-doc first-occurrence novelty (see gramNovelty's scaladoc):

@@ -191,6 +191,33 @@ class LlmSpec extends SparkSpec {
     assert(!llm.Dedup.gramNovelty(withShort).collect().exists(_.getLong(0) == 5L))
   }
 
+  test("contentChunks: prefix insertion keeps CDC sharing; fixed-stride sharing drops to zero") {
+    // 200 varied tokens — enough content for several rolling-hash cuts
+    val aToks = (0 until 200).map(i => s"w${(i * 37) % 211}x$i")
+    val bToks = (0 until 5).map(i => s"ins$i") ++ aToks // planted prefix edit
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = llm.Dedup.contentChunks(docs).collect()
+    val aChunks = rows.filter(_.getLong(0) == 1L)
+    assert(aChunks.length >= 3, s"fixture too short for CDC cuts: ${aChunks.length} chunks")
+    // CDC: boundaries re-align after the edit — every A-chunk from the
+    // first cut onward has an identical twin in B, so at most the
+    // opening chunk is unshared
+    val unshared = aChunks.count(_.getLong(5) == 1L)
+    assert(unshared <= 1,
+      s"CDC should keep all but the first chunk shared, ${unshared}/${aChunks.length} unshared")
+    // contrast: fixed 16-token stride chunks of the same pair share
+    // NOTHING — the insertion shifts every stride window
+    val strided = docs.select(col("doc_id"),
+        graft.functions.chunks(col("text"), 16).as(Seq("chunk", "chunk_text")))
+      .groupBy(col("chunk_text")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).count()
+    assert(strided === 0L, s"fixed-stride unexpectedly shared $strided chunks")
+    // chunks tile each doc exactly: sum of n_tokens == token count
+    assert(aChunks.map(_.getInt(3)).sum === 200)
+    assert(rows.filter(_.getLong(0) == 2L).map(_.getInt(3)).sum === 205)
+  }
+
   test("exact dedup collapses planted duplicates to one victor each") {
     val out = SparkEntry.queries("dedup_exact")(spark, sf("sf0.001"))
     val n = Tables.documents(spark, sf("sf0.001")).count()
