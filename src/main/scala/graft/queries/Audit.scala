@@ -945,6 +945,64 @@ object Audit {
         nBuckets = 64)
     },
 
+    // Approximate functional dependency source → lang over documents
+    // (see fdAudit's scaladoc): does a document's source determine
+    // its language, and how many rows break it — per source the
+    // majority language (deterministic tiebreak) and the
+    // minimum-repair violation count. The multilingual corpus makes
+    // the truthful answer "violated", which is the point of an FD
+    // PROFILER (a checker would just say no).
+    Q("audit_functional_dependency",
+      """WITH pc AS (
+        |  SELECT source AS a, lang AS b, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT a, b, c,
+        |         ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn
+        |  FROM pc)
+        |SELECT a AS source,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct_b,
+        |       MAX(CASE WHEN rn = 1 THEN b END) AS majority_b,
+        |       CAST(SUM(c) - MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS n_violations
+        |FROM r GROUP BY a ORDER BY a""".stripMargin) { (s, dir) =>
+      fdAudit(Tables.documents(s, dir)
+        .select(col("source").as("a"), col("lang").as("b")))
+        .withColumnRenamed("a", "source")
+    },
+
+    // Benford first-digit screen on event values (see benfordAudit's
+    // scaladoc): per-digit observed vs log10(1+1/d) expectation plus
+    // chi-square. The synthetic uniform generator honestly FAILS
+    // Benford — the audit reports the deviation it exists to catch;
+    // RelationalSpec pins a multiplicative fixture conforming and
+    // the uniform one failing.
+    Q("audit_benford",
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM events WHERE value >= 1),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |g AS (SELECT CAST(t.digit AS INT) AS digit FROM range(1, 10) t(digit)),
+        |f AS (SELECT g.digit, COALESCE(c.n, 0) AS n FROM g LEFT JOIN c USING (digit)),
+        |t AS (SELECT SUM(n) AS n_total FROM f),
+        |x AS (
+        |  SELECT f.digit, f.n, t.n_total,
+        |         LN(1.0 + 1.0 / f.digit) / LN(10.0) AS pb,
+        |         f.n - t.n_total * (LN(1.0 + 1.0 / f.digit) / LN(10.0)) AS dev,
+        |         t.n_total * (LN(1.0 + 1.0 / f.digit) / LN(10.0)) AS expected
+        |  FROM f, t)
+        |SELECT digit,
+        |       CAST(n AS BIGINT) AS n,
+        |       ROUND(pb, 6) + 0 AS p_benford,
+        |       CASE WHEN n_total > 0 THEN ROUND(n / CAST(n_total AS DOUBLE), 6) + 0
+        |            ELSE 0 END AS p_observed,
+        |       CAST(SUM(CASE WHEN n_total > 0
+        |                     THEN CAST(ROUND(dev * dev / expected, 6) + 0 AS DECIMAL(18,6))
+        |                     ELSE CAST(0 AS DECIMAL(18,6)) END) OVER () AS DOUBLE) AS chi_square
+        |FROM x ORDER BY digit""".stripMargin) { (s, dir) =>
+      benfordAudit(Tables.events(s, dir).select(col("value").as("v")))
+    },
+
     // PSI drift — the bucket-integrated companion to the KS pair
     // (see psiDrift's scaladoc): early orders (pre-1998) as the
     // baseline population vs late orders as current, over
@@ -1239,6 +1297,84 @@ object Audit {
         sum(col("contrib").cast("decimal(18,6)")).over(w)
           .cast("double").as("psi_total"))
       .orderBy(col("bucket"))
+  }
+
+  /** Approximate functional-dependency audit A→B over a (a, b) frame
+    * — the profiling question "does column A determine column B, and
+    * if not, how broken is it": per determinant value, the majority
+    * consequent (mode with a deterministic (count DESC, value) ASC
+    * tiebreak) and the g3-style violation count = rows that would
+    * need repair to make the FD hold exactly (Kivinen–Mannila's
+    * minimum-deletion error measure). All integer arithmetic.
+    *
+    * Shape for scale: one (a, b) count aggregate (output bounded by
+    * the observed pair domain), then ONE a-keyed window + rollup on
+    * the collapsed frame — the window never sees raw rows. */
+  def fdAudit(df: DataFrame): DataFrame = {
+    val pairCnt = df.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val byA = Window.partitionBy(col("a"))
+      .orderBy(col("c").desc, col("b"))
+    pairCnt
+      .withColumn("rn", row_number().over(byA))
+      .groupBy(col("a"))
+      .agg(
+        sum(col("c")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct_b"),
+        max(when(col("rn") === 1, col("b"))).as("majority_b"),
+        (sum(col("c")) - max(when(col("rn") === 1, col("c"))))
+          .cast("long").as("n_violations"))
+      .orderBy(col("a"))
+  }
+
+  /** Benford first-digit audit over a positive numeric column — the
+    * classic fabricated/degenerate-data screen (Newcomb 1881, Benford
+    * 1938; Nigrini's forensic-accounting use): naturally-grown
+    * multiplicative quantities put P(d) = log10(1+1/d) mass on first
+    * significant digit d, while uniform or hand-made numbers spread
+    * digits evenly. Reports per-digit observed counts vs the Benford
+    * expectation and the chi-square statistic. On the synthetic
+    * uniform fixture the truthful answer IS "fails Benford" — the
+    * audit's job is to say so, not to pass.
+    *
+    * Determinism: the first digit comes from the DECIMAL STRING of
+    * floor(v) as a BIGINT (truncation then int→string — both exact
+    * cross-engine), never from log10/pow of the double, whose 1-ulp
+    * wobble at digit boundaries would flip bucket membership; only
+    * the bounded 9-row expectation/chi-square tail touches libm
+    * (ROUND+0 at the edge, the tfidf precedent). Rows with v < 1
+    * have no first significant digit ≥ 1 at integer resolution and
+    * are excluded by the same predicate in both engines.
+    *
+    * Shape for scale: one map-side digit projection + one 9-bucket
+    * aggregate; everything after runs on the 9-row grid. */
+  def benfordAudit(df: DataFrame): DataFrame = {
+    val digits = df.filter(col("v") >= 1)
+      .select(substring(floor(col("v")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))
+    val w = Window.partitionBy()
+    grid.join(counts, Seq("digit"), "left_outer")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("n_total", sum(col("n")).over(w))
+      // ln-ratio, NOT log10: Spark lowers a log10 call differently
+      // than DuckDB's native log10 (1-ulp divergence); the explicit
+      // ln(x)/ln(10) lowers identically in both engines. Same reason
+      // the chi term squares by multiplication instead of pow.
+      .withColumn("p_benford",
+        log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      .withColumn("expected", col("n_total") * col("p_benford"))
+      .withColumn("dev", col("n") - col("expected"))
+      .select(col("digit"), col("n"),
+        (round(col("p_benford"), 6) + lit(0.0)).as("p_benford"),
+        when(col("n_total") > 0,
+            round(col("n") / col("n_total").cast("double"), 6) + lit(0.0))
+          .otherwise(lit(0.0)).as("p_observed"),
+        sum(when(col("n_total") > 0,
+            round(col("dev") * col("dev") / col("expected"), 6) + lit(0.0))
+          .otherwise(lit(0.0)).cast("decimal(18,6)")).over(w)
+          .cast("double").as("chi_square"))
+      .orderBy(col("digit"))
   }
 
   /** EXACT ROC-AUC over a (score, label ∈ {0,1}) frame via the

@@ -386,6 +386,45 @@ class RelationalSpec extends SparkSpec {
     assert((0 to 4).forall(r.isNullAt), s"expected all-NULL row, got $r")
   }
 
+  test("fdAudit: a held dependency reads zero violations; a broken one counts repairs") {
+    import spark.implicits._
+    import graft.queries.Audit
+    val df = Seq(
+      ("k1", "x"), ("k1", "x"), ("k1", "x"),      // held
+      ("k2", "x"), ("k2", "y"), ("k2", "y"), ("k2", "z") // majority y, 2 repairs
+    ).toDF("a", "b")
+    val got = Audit.fdAudit(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(got("k1") === ((3L, 1L, "x", 0L)))
+    assert(got("k2") === ((4L, 3L, "y", 2L)))
+    // tiebreak: equal counts pick the smaller consequent, deterministically
+    val tie = Audit.fdAudit(Seq(("k", "b"), ("k", "a")).toDF("a", "b")).collect().head
+    assert(tie.getString(3) === "a" && tie.getLong(4) === 1L)
+  }
+
+  test("benfordAudit: multiplicative data conforms, uniform data fails loudly") {
+    import spark.implicits._
+    import graft.queries.Audit
+    // powers of a ratio spiral through magnitudes — the classic
+    // Benford-conforming generator (deterministic, no randomness)
+    val mult = (0 until 2000).map(i => math.pow(1.01, i)).filter(_ >= 1)
+    val chiMult = Audit.benfordAudit(mult.toDF("v")).collect().head.getDouble(4)
+    val unif = (1 to 2000).map(_.toDouble)
+    val chiUnif = Audit.benfordAudit(unif.toDF("v")).collect().head.getDouble(4)
+    // chi-square critical value at 8 dof / 0.01 is 20.1: the
+    // multiplicative fixture sits well under, uniform far over
+    assert(chiMult < 20.1, s"multiplicative fixture should conform, chi=$chiMult")
+    assert(chiUnif > 100.0, s"uniform fixture should fail loudly, chi=$chiUnif")
+    // grid is always the full 1..9 even when digits are missing
+    val sparse = Audit.benfordAudit(Seq(1.0, 1.5, 19.0).toDF("v")).collect()
+    assert(sparse.length === 9 && sparse.count(_.getLong(1) > 0) === 1)
+    // sub-1 values carry no first significant digit at integer
+    // resolution and are excluded
+    assert(Audit.benfordAudit(Seq(0.3, 0.9).toDF("v")).collect()
+      .forall(_.getLong(1) === 0L))
+  }
+
   test("psiDrift: identical sides read exactly 0, planted shift reads high, empty grid is full") {
     import spark.implicits._
     import graft.queries.Audit
