@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: empirical 10× point for the content-defined chunking
+  * pipeline (`dedup_cdc_chunks`). Scaling axis: k doc replicas
+  * (doc_id + r·10⁶, text untouched), so boundary decisions are
+  * identical per replica — cut rows and chunk rows must scale exactly
+  * k×. Replicated text also makes every chunk k-ways shared, so the
+  * fingerprint aggregate runs under maximal duplication (the workload
+  * CDC exists for) rather than the no-dup easy case. Wall time is
+  * min-of-`reps` of the declared pipeline (un-checkpointed core, over
+  * a materialized replica frame). PLANS.md records the output.
+  * (`sbt "runMain graft.CdcProbe [sfDir] [m] [reps]"`) */
+object CdcProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val m = args.lift(1).map(_.toInt).getOrElse(10)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timeMin(df: => DataFrame): Double = {
+      df.count()
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    for (k <- Seq(1, m)) {
+      val docs = docs0.withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+        .select((col("doc_id") + col("_r") * 1000000L).as("doc_id"), col("text"))
+        .localCheckpoint() // probe the op, not the replica explode
+      val nDocs = docs.count()
+      val base = docs
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+        .withColumn("len", size(col("toks")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the two work drivers: rolling-hash cut rows and chunk rows
+      val cuts = base
+        .select(col("doc_id"), col("len"),
+          graft.functions.ngram_hashes(col("text"), 4, 15).as(Seq("pos", "gram_h")))
+        .filter(pmod(col("gram_h"), lit(16)) === 0 && col("pos") + 4 < col("len"))
+        .count()
+      val out = llm.Dedup.contentChunksFrom(base, 4, 16)
+      val chunkRows = out.count()
+      val maxShare = out.agg(max(col("n_docs_sharing"))).head().getLong(0)
+      val t = timeMin(llm.Dedup.contentChunksFrom(base, 4, 16))
+      println(f"CDCPROBE k=$k%-3d docs=$nDocs%-7d cutRows=$cuts%-8d " +
+        f"chunkRows=$chunkRows%-8d maxShare=$maxShare%-4d wall=$t%.3fs")
+      base.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -315,6 +315,19 @@ object PlanAudit {
     audit("topSupplier(Q15)", SparkEntry.queries("analytics_top_supplier")(spark, sfDir))
     audit("globalBaseline(Q22)", SparkEntry.queries("analytics_global_baseline")(spark, sfDir))
     audit("antiCorrelated(Q21)", SparkEntry.queries("join_anti_correlated")(spark, sfDir))
+    // r10 session-2 audits + dedup additions: PSI (bounds row + one
+    // bucket agg, grid tail), FD (pair agg + collapsed-frame window),
+    // Benford (map-side digit + 9-bucket agg), novelty (distinct +
+    // map-side-min first-occurrence agg + join + doc rollup), CDC
+    // chunking (audited un-checkpointed via the core pipeline — the
+    // declared query checkpoints)
+    audit("psiDrift(query)", SparkEntry.queries("audit_psi_drift")(spark, sfDir))
+    audit("fdAudit(query)", SparkEntry.queries("audit_functional_dependency")(spark, sfDir))
+    audit("benford(query)", SparkEntry.queries("audit_benford")(spark, sfDir))
+    audit("gramNovelty(query)", SparkEntry.queries("dedup_gram_novelty")(spark, sfDir))
+    audit("cdcChunks(core)", llm.Dedup.contentChunksFrom(
+      docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+        .withColumn("len", size(col("toks"))), 4, 16))
     spark.stop()
   }
 }

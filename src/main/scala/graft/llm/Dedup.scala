@@ -755,6 +755,17 @@ object Dedup {
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .withColumn("len", size(col("toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = contentChunksFrom(base, w, divisor).localCheckpoint()
+    base.unpersist()
+    res
+  }
+
+  /** The CDC pipeline over an already-projected (doc_id, text, toks,
+    * len) frame, WITHOUT persist/checkpoint — PlanAudit inspects this
+    * (the public API's localCheckpoint hides the plan; the
+    * spanRowsPlan convention). */
+  private[graft] def contentChunksFrom(
+      base: DataFrame, w: Int, divisor: Int): DataFrame = {
     val g = base.select(col("doc_id"), col("len"),
       graft.functions.ngram_hashes(col("text"), w, 15).as(Seq("pos", "gram_h")))
     val cuts = g
@@ -778,13 +789,10 @@ object Dedup {
           1, 15), 16, 10).cast("long").as("chunk_fp"))
     val sharing = out.groupBy(col("chunk_fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
-    val res = out.join(sharing, Seq("chunk_fp"))
+    out.join(sharing, Seq("chunk_fp"))
       .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
         col("n_tokens"), col("chunk_fp"), col("n_docs_sharing"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-      .localCheckpoint()
-    base.unpersist()
-    res
   }
 
   private def spansFromGrams(grams: DataFrame, n: Int): DataFrame = {
