@@ -108,6 +108,50 @@ object TextAnalysis {
     out
   }
 
+  /** Zipf rank-frequency slope over the top-`topK` tokens — the
+    * corpus-health scalar (Zipf 1949: natural language puts
+    * freq ∝ rank^s with s ≈ −1 on log-log axes; a slope far from −1
+    * flags template/boilerplate floods (too steep) or shredded/
+    * synthetic vocabulary (too flat) before any downstream filter
+    * sees the text). Least-squares fit of ln(freq) on ln(rank) over
+    * the deterministic top-K frame ((freq DESC, token) total order),
+    * reporting slope, intercept, and R².
+    *
+    * Shape for scale: one token-count aggregate (vocabulary-bounded)
+    * + a TakeOrdered top-K; the fit runs on the K-row frame.
+    * Determinism: ranks/freqs are small exact integers, ln on
+    * identical doubles (the tfidf precedent); every regression SUM
+    * ingests ROUND(·,12)-then-DECIMAL terms so addition order cannot
+    * matter, and the closed-form slope/intercept/R² arithmetic is
+    * the same IEEE expression tree in both engines. */
+  def zipfSlope(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+    val ranked = freq.orderBy(col("freq").desc, col("t")).limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("t"))))
+    val xy = ranked.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"))
+    def dsum12(c: Column) = sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+    val s = xy.agg(
+      count(lit(1)).as("k"),
+      dsum12(col("x")).as("sx"), dsum12(col("y")).as("sy"),
+      dsum12(col("x") * col("y")).as("sxy"),
+      dsum12(col("x") * col("x")).as("sxx"),
+      dsum12(col("y") * col("y")).as("syy"))
+    val slopeNum = col("k") * col("sxy") - col("sx") * col("sy")
+    val slopeDen = col("k") * col("sxx") - col("sx") * col("sx")
+    s.select(
+      col("k").cast("long").as("n_ranks"),
+      (round(slopeNum / slopeDen, 6) + lit(0.0)).as("slope"),
+      (round((col("sy") - (slopeNum / slopeDen) * col("sx")) / col("k"), 6) + lit(0.0))
+        .as("intercept"),
+      (round((slopeNum * slopeNum) /
+        (slopeDen * (col("k") * col("syy") - col("sy") * col("sy"))), 6) + lit(0.0))
+        .as("r2"))
+  }
+
   /** Per-SOURCE heavy hitters (round 8): the grouped form of
     * `frequentTokens` — one Misra-Gries sketch per source (the
     * TypedImperativeAggregate's partial merges keep the
@@ -507,6 +551,31 @@ object TextAnalysis {
         |HAVING COUNT(*) * 50 > tot.n
         |ORDER BY source, freq DESC, token""".stripMargin) { (s, dir) =>
       frequentTokensBySource(Tables.documents(s, dir), k = 50)
+    },
+
+    // Zipf rank-frequency fit (see zipfSlope's scaladoc): the
+    // corpus-health scalar over the top-100 token frequencies.
+    Q("text_zipf_slope",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |f AS (SELECT t, COUNT(*) AS freq FROM tok GROUP BY t),
+        |top AS (SELECT t, freq FROM f ORDER BY freq DESC, t LIMIT 100),
+        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS rank FROM top),
+        |xy AS (SELECT LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(freq AS DOUBLE)) AS y FROM r),
+        |s AS (SELECT COUNT(*) AS k,
+        |  CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        | FROM xy)
+        |SELECT CAST(k AS BIGINT) AS n_ranks,
+        |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0 AS slope,
+        |  ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6) + 0
+        |    AS intercept,
+        |  ROUND(((k * sxy - sx * sy) * (k * sxy - sx * sy)) /
+        |        ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) + 0 AS r2
+        |FROM s""".stripMargin) { (s, dir) =>
+      zipfSlope(Tables.documents(s, dir))
     },
 
     // TF-IDF summary per doc (no-oracle: murmur3 hash space is

@@ -1764,6 +1764,62 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     },
 
+    // TPC-H Q11-shaped value-share threshold (r10): suppliers whose
+    // shipped PROMO-part quantity exceeds 1.1× the MEAN supplier's —
+    // the "important stock" pattern: an IN-style dimension
+    // restriction, a per-key aggregate, and a HAVING against a
+    // scalar fraction-of-global subquery. Q11's fixed fraction is
+    // deliberately made scale-FREE (a constant 2% cut empties as the
+    // supplier count grows — every share tends to 1/n; a mean-relative
+    // cut is selective at any n). The threshold is exact cross-
+    // multiplication (10·qty·n > 11·total ⟺ qty > 1.1·total/n) — no
+    // float division decides membership. Shape for
+    // scale: the filtered part dim broadcasts into the fact scan
+    // (the only data-sized pass), the per-supplier aggregate
+    // shuffles on suppkey, the global total re-aggregates the
+    // SUPPLIER frame (not the fact) into a 1-row broadcast, and the
+    // share is computed per supplier-row. Output ordered by share
+    // rank with a full tiebreak.
+    Q("analytics_value_share",
+      """WITH pq AS (
+        |  SELECT l.l_suppkey,
+        |         SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS qty,
+        |         COUNT(*) AS n_items
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_type = 'PROMO'
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(qty) AS total, COUNT(*) AS n FROM pq)
+        |SELECT s.s_suppkey, s.s_name,
+        |       CAST(pq.qty AS DOUBLE) AS promo_qty,
+        |       CAST(pq.n_items AS BIGINT) AS n_items,
+        |       ROUND(CAST(pq.qty AS DOUBLE) / CAST(t.total AS DOUBLE), 6) + 0 AS share
+        |FROM pq CROSS JOIN t
+        |JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+        |WHERE pq.qty * 10 * t.n > t.total * 11
+        |ORDER BY share DESC, s.s_suppkey""".stripMargin) { (s, dir) =>
+      val promoParts = Tables.part(s, dir)
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val pq = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("qty"),
+          count(lit(1)).as("n_items"))
+        .localCheckpoint()
+      val tot = pq.agg(sum(col("qty")).as("total"), count(lit(1)).as("n"))
+      pq.crossJoin(broadcast(tot))
+        .filter(col("qty") * 10 * col("n") > col("total") * 11)
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("qty").cast("double").as("promo_qty"),
+          col("n_items"),
+          (round(col("qty").cast("double") / col("total").cast("double"), 6) + lit(0.0))
+            .as("share"))
+        .orderBy(col("share").desc, col("s_suppkey"))
+    },
+
     // TPC-H Q21-shaped DOUBLE correlation (r10): suppliers who were
     // the ONLY supplier with a returned line on a finished
     // multi-supplier order — one correlated EXISTS (another supplier
