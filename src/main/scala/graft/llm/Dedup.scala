@@ -795,6 +795,43 @@ object Dedup {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Row-LOCAL CDC chunker: the same cut rule as [[contentChunks]]
+    * computed entirely inside each row with higher-order functions —
+    * no windows, no joins, no aggregates, no state. This is the form
+    * that makes CDC chunking's parallelism explicit: chunk assignment
+    * depends only on the row, so it runs unchanged as a STATELESS
+    * streaming projection (`streaming_cdc_chunks`), and LlmSpec pins
+    * it chunk-identical to the window-based batch pipeline. Cost
+    * note: gram hashes here are interpreted md5 per position
+    * (row-local); the batch path keeps the native scan-side
+    * generator — the two meet at identical fingerprints. */
+  def contentChunkRows(docs: DataFrame, w: Int = 4, divisor: Int = 16): DataFrame = {
+    val toks = split(col("text"), " ")
+    val len = size(toks)
+    def gramH(s0: Column): Column =
+      conv(substring(md5(array_join(slice(toks, s0 + 1, lit(w)), " ")), 1, 15), 16, 10)
+        .cast("long")
+    val sCand = when(len > w, sequence(lit(0), len - w - 1))
+      .otherwise(array().cast("array<int>"))
+    val cuts = filter(transform(sCand, s0 => s0 + w),
+      q => pmod(gramH(q - w), lit(divisor)) === 0)
+    val starts = when(len > 0, concat(array(lit(0)), cuts))
+      .otherwise(array().cast("array<int>"))
+    val ends = when(size(starts) > 0,
+        concat(slice(starts, lit(2), size(starts) - 1), array(len)))
+      .otherwise(array().cast("array<int>"))
+    val spans = zip_with(starts, ends, (s0, e0) => struct(s0.as("s"), e0.as("e")))
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        posexplode(spans).as(Seq("chunk_idx", "sp")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("sp.s").as("start_pos"),
+        (col("sp.e") - col("sp.s")).as("n_tokens"),
+        conv(substring(md5(array_join(
+          slice(col("toks"), col("sp.s") + 1, col("sp.e") - col("sp.s")), " ")),
+          1, 15), 16, 10).cast("long").as("chunk_fp"))
+  }
+
   private def spansFromGrams(grams: DataFrame, n: Int): DataFrame = {
     val dupGrams = grams.groupBy(col("gram_h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
@@ -1139,6 +1176,52 @@ object Dedup {
     out
   }
 
+  /** Oracle for the CDC chunk surface — shared verbatim by the batch
+    * query and the stateless streaming form (the tierAgreement
+    * discipline: the driver certifies them hash-identical). */
+  private[graft] val cdcChunksOracleSql: String = {
+    val w = 4; val d = 16
+    s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |lens AS (SELECT doc_id, len(l) AS len FROM corpus),
+         |gs AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, greatest(len(l) - ${w - 1}, 0) + 1)) AS i,
+         |         unnest(list_transform(range(1, greatest(len(l) - ${w - 1}, 0) + 1),
+         |                               i -> array_to_string(l[i:i+${w - 1}], ' '))) AS gram
+         |  FROM corpus),
+         |cuts AS (
+         |  SELECT g.doc_id, (g.i - 1) + $w AS s
+         |  FROM gs g JOIN lens USING (doc_id)
+         |  WHERE CAST(concat('0x', substr(md5(g.gram), 1, 15)) AS BIGINT) % $d = 0
+         |    AND (g.i - 1) + $w < lens.len),
+         |starts AS (
+         |  SELECT doc_id, s FROM cuts
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS s FROM lens WHERE len > 0),
+         |ch AS (
+         |  SELECT st.doc_id, st.s,
+         |         COALESCE(LEAD(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
+         |                  lens.len) AS e,
+         |         ROW_NUMBER() OVER (PARTITION BY st.doc_id ORDER BY st.s) - 1 AS chunk_idx
+         |  FROM starts st JOIN lens USING (doc_id)),
+         |fp AS (
+         |  SELECT ch.doc_id, ch.chunk_idx, ch.s AS start_pos,
+         |         ch.e - ch.s AS n_tokens,
+         |         CAST(concat('0x', substr(md5(
+         |           array_to_string(c.l[ch.s + 1:ch.e], ' ')), 1, 15)) AS BIGINT) AS chunk_fp
+         |  FROM ch JOIN corpus c USING (doc_id)),
+         |sh AS (SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs_sharing
+         |       FROM fp GROUP BY 1)
+         |SELECT fp.doc_id,
+         |       CAST(fp.chunk_idx AS INT) AS chunk_idx,
+         |       CAST(fp.start_pos AS INT) AS start_pos,
+         |       CAST(fp.n_tokens AS INT) AS n_tokens,
+         |       fp.chunk_fp,
+         |       CAST(sh.n_docs_sharing AS BIGINT) AS n_docs_sharing
+         |FROM fp JOIN sh USING (chunk_fp)
+         |ORDER BY fp.doc_id, fp.chunk_idx""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Winnowing-fingerprint containment: every (a, b) where ≥ half of
@@ -1253,48 +1336,7 @@ object Dedup {
     // exactly in the oracle's md5 arithmetic. LlmSpec pins THE CDC
     // property: a planted prefix insertion preserves all but the
     // first chunk's sharing while fixed-stride sharing drops to zero.
-    Q("dedup_cdc_chunks", {
-      val w = 4; val d = 16
-      s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |lens AS (SELECT doc_id, len(l) AS len FROM corpus),
-         |gs AS (
-         |  SELECT doc_id,
-         |         unnest(range(1, greatest(len(l) - ${w - 1}, 0) + 1)) AS i,
-         |         unnest(list_transform(range(1, greatest(len(l) - ${w - 1}, 0) + 1),
-         |                               i -> array_to_string(l[i:i+${w - 1}], ' '))) AS gram
-         |  FROM corpus),
-         |cuts AS (
-         |  SELECT g.doc_id, (g.i - 1) + $w AS s
-         |  FROM gs g JOIN lens USING (doc_id)
-         |  WHERE CAST(concat('0x', substr(md5(g.gram), 1, 15)) AS BIGINT) % $d = 0
-         |    AND (g.i - 1) + $w < lens.len),
-         |starts AS (
-         |  SELECT doc_id, s FROM cuts
-         |  UNION ALL
-         |  SELECT doc_id, 0 AS s FROM lens WHERE len > 0),
-         |ch AS (
-         |  SELECT st.doc_id, st.s,
-         |         COALESCE(LEAD(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
-         |                  lens.len) AS e,
-         |         ROW_NUMBER() OVER (PARTITION BY st.doc_id ORDER BY st.s) - 1 AS chunk_idx
-         |  FROM starts st JOIN lens USING (doc_id)),
-         |fp AS (
-         |  SELECT ch.doc_id, ch.chunk_idx, ch.s AS start_pos,
-         |         ch.e - ch.s AS n_tokens,
-         |         CAST(concat('0x', substr(md5(
-         |           array_to_string(c.l[ch.s + 1:ch.e], ' ')), 1, 15)) AS BIGINT) AS chunk_fp
-         |  FROM ch JOIN corpus c USING (doc_id)),
-         |sh AS (SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs_sharing
-         |       FROM fp GROUP BY 1)
-         |SELECT fp.doc_id,
-         |       CAST(fp.chunk_idx AS INT) AS chunk_idx,
-         |       CAST(fp.start_pos AS INT) AS start_pos,
-         |       CAST(fp.n_tokens AS INT) AS n_tokens,
-         |       fp.chunk_fp,
-         |       CAST(sh.n_docs_sharing AS BIGINT) AS n_docs_sharing
-         |FROM fp JOIN sh USING (chunk_fp)
-         |ORDER BY fp.doc_id, fp.chunk_idx""".stripMargin
-    }) { (s, dir) =>
+    Q("dedup_cdc_chunks", cdcChunksOracleSql) { (s, dir) =>
       contentChunks(Tables.documents(s, dir))
     },
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.{Q, Tables}
-import graft.llm.{Curation, Similarity}
+import graft.llm.{Curation, Dedup, Similarity}
 import graft.pipeline.Telemetry
 
 /** Structured Streaming variant of the alerting pipeline (SURVEY §2.10:
@@ -551,6 +551,38 @@ object StreamingAlerts {
       q.awaitTermination()
       Similarity.verifyAndRank(s.table(name), emb, k = 3)
         .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // STREAMING CDC CHUNKING (r10): documents arrive as a stream and
+    // are content-defined-chunked by the ROW-LOCAL kernel
+    // (`Dedup.contentChunkRows` — the cut rule computed entirely
+    // inside each row with HOFs), so the streaming plan is a pure
+    // STATELESS projection in append mode: no watermark, no state
+    // store, unbounded-safe by construction — the measured form of
+    // "CDC chunking is embarrassingly parallel". Cross-doc sharing
+    // counts need corpus-wide visibility, so they run batch-side
+    // over the sunk chunk rows (the verifyAndRank convention: the
+    // serving window naturally batches). Shares the batch query's
+    // oracle VERBATIM — the driver certifies stream ≡ batch
+    // hash-identical (the tierAgreement discipline); StreamingSpec
+    // additionally pins the streaming kernel stateless in-plan.
+    Q("streaming_cdc_chunks", Dedup.cdcChunksOracleSql) { (s, dir) =>
+      val name = "stream_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Dedup.contentChunkRows(
+          docsStream(s, dir).select(col("doc_id"), col("text")))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // localCheckpoint: the memory-sink view is not re-instantiable
+      // under a self-join (MemoryPlan leaf — conflicting attr ids);
+      // the checkpointed RDD leaf is
+      val rows = s.table(name).localCheckpoint()
+      val sharing = rows.groupBy(col("chunk_fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+      rows.join(sharing, Seq("chunk_fp"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+          col("n_tokens"), col("chunk_fp"), col("n_docs_sharing"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
 
   /** `orders` as an unbounded source (same glob-addressing trick as

@@ -317,6 +317,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CDC chunking is stateless and chunk-identical to the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (0 until 60).map(i => s"q${(i * 13) % 47}z$i").mkString(" ")),
+      (2L, (0 until 30).map(i => s"r$i").mkString(" ")),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = llm.Dedup.contentChunkRows(mem.toDF().toDF("doc_id", "text"))
+    val query = out.writeStream
+      .format("memory").queryName("stream_cdc_spec").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, docs.collect()(0).getString(1))))
+      query.processAllAvailable()
+      mem.addData(Seq((2L, docs.collect()(1).getString(1)),
+        (3L, docs.collect()(2).getString(1))))
+      query.processAllAvailable()
+      // stateless: the row-local kernel holds NO streaming state
+      assert(query.lastProgress.stateOperators.isEmpty,
+        s"CDC chunking should plan no state operators: ${query.lastProgress}")
+      val got = spark.table("stream_cdc_spec")
+        .select("doc_id", "chunk_idx", "start_pos", "n_tokens", "chunk_fp")
+        .as[(Long, Int, Int, Int, Long)].collect().toSet
+      // the window-based batch pipeline over the same docs must agree
+      // chunk for chunk (fingerprints included)
+      val batch = llm.Dedup.contentChunks(docs)
+        .select("doc_id", "chunk_idx", "start_pos", "n_tokens", "chunk_fp")
+        .as[(Long, Int, Int, Int, Long)].collect().toSet
+      assert(got === batch, s"stream $got != batch $batch")
+      assert(got.exists(_._1 == 3L), "short doc must still yield its single chunk")
+    } finally query.stop()
+  }
+
   test("streaming CDC merge: per-batch merges compose to the one-shot whole-delta merge") {
     implicit val sqlCtx = spark.sqlContext
     import graft.queries.Audit
