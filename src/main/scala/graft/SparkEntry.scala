@@ -99,5 +99,10 @@ object SparkEntry {
     // tables (filtered fact-fact keyed join → per-customer rollup →
     // dim chain → share window → top-k).
     "analytics_market_share",
+    // Round 10 (session 2): content-defined chunking on the RAW
+    // corpus — the integer-position window + sorted-span-array
+    // collapse + map-side slice/fingerprint shape no other headline
+    // query exercises (text crosses its one doc-keyed join once).
+    "dedup_cdc_chunks",
   )
 }

@@ -1048,6 +1048,66 @@ object Audit {
         nBuckets = 32)
     },
 
+    // Per-feature PSI drift table (see psiDriftByFeature's scaladoc):
+    // the whole-feature-table screen in one pass — lineitem's three
+    // numeric features unpivoted map-side, early ship-dates as the
+    // baseline vs late as current, 16 buckets per feature on each
+    // feature's own range. Same generator both sides → truthful
+    // "stable" rows; RelationalSpec pins a one-feature-shifted
+    // fixture flagging ONLY that feature.
+    Q("audit_psi_by_feature",
+      """WITH s0 AS (
+        |  SELECT m.f, m.v,
+        |         CASE WHEN CAST(m.sd AS DATE) < DATE '1998-01-01' THEN 1 ELSE 2 END AS side
+        |  FROM (
+        |    SELECT 'discount' AS f, l_discount AS v, l_shipdate AS sd FROM lineitem
+        |    UNION ALL
+        |    SELECT 'extendedprice', l_extendedprice, l_shipdate FROM lineitem
+        |    UNION ALL
+        |    SELECT 'quantity', l_quantity, l_shipdate FROM lineitem) m),
+        |bounds AS (SELECT f, MIN(v) AS lo, MAX(v) AS hi FROM s0 GROUP BY f),
+        |c AS (
+        |  SELECT s0.f,
+        |         CASE WHEN b.hi = b.lo THEN 0
+        |              ELSE least(floor(((s0.v - b.lo) / (b.hi - b.lo)) * 16), 15)
+        |         END AS bk,
+        |         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1b,
+        |         SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS n2b
+        |  FROM s0 JOIN bounds b USING (f) GROUP BY 1, 2),
+        |g AS (SELECT b.f, t.bucket FROM bounds b CROSS JOIN range(16) t(bucket)),
+        |fz AS (
+        |  SELECT g.f, g.bucket, COALESCE(c.n1b, 0) AS n1b, COALESCE(c.n2b, 0) AS n2b
+        |  FROM g LEFT JOIN c ON c.f = g.f AND c.bk = g.bucket),
+        |t AS (SELECT f, SUM(n1b) AS n1, SUM(n2b) AS n2 FROM fz GROUP BY f),
+        |x AS (
+        |  SELECT fz.f, fz.bucket, fz.n1b, fz.n2b,
+        |         ROUND(((fz.n2b + 1) / (t.n2 + 16.0) - (fz.n1b + 1) / (t.n1 + 16.0)) *
+        |               LN(((fz.n2b + 1) / (t.n2 + 16.0)) /
+        |                  ((fz.n1b + 1) / (t.n1 + 16.0))), 6) + 0 AS contrib
+        |  FROM fz JOIN t USING (f))
+        |SELECT f AS feature,
+        |       CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(n1b AS BIGINT) AS n_base,
+        |       CAST(n2b AS BIGINT) AS n_curr,
+        |       contrib AS psi_contrib,
+        |       CAST(SUM(CAST(contrib AS DECIMAL(18,6))) OVER (PARTITION BY f) AS DOUBLE)
+        |         AS psi_total
+        |FROM x ORDER BY feature, bucket""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_discount"), col("l_extendedprice"), col("l_quantity"),
+          col("l_shipdate"))
+        .withColumn("side",
+          when(col("l_shipdate").cast("date") < lit("1998-01-01"), 1).otherwise(2))
+      val long = li.unpivot(
+        ids = Array(col("side")),
+        values = Array(col("l_discount").as("discount"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_quantity").as("quantity")),
+        variableColumnName = "f",
+        valueColumnName = "v")
+      psiDriftByFeature(long.select(col("f"), col("v"), col("side")), nBuckets = 16)
+    },
+
     // EXACT ROC-AUC — the model-eval primitive (Mann–Whitney U) in
     // pure integer arithmetic, making "how discriminative is this
     // score" a driver-checked number instead of an MLlib-internal
@@ -1375,6 +1435,56 @@ object Audit {
           .otherwise(lit(0.0)).cast("decimal(18,6)")).over(w)
           .cast("double").as("chi_square"))
       .orderBy(col("digit"))
+  }
+
+  /** Per-FEATURE PSI drift table over a (f, v, side) frame — the
+    * deployment-monitoring generalization of [[psiDrift]]: one row
+    * per (feature, bucket) with the feature's own equi-width bucket
+    * grid (per-feature bounds) and per-feature PSI total, so a whole
+    * feature table is screened in ONE pass instead of a query per
+    * column. Same Laplace smoothing, same decimal-summed rounded
+    * contributions; the bucket grid is generated per feature via a
+    * |features|×B cross of the bounds frame, so features empty on
+    * both sides in some bucket still carry their prior term and the
+    * output shape is fixed at |features|·B rows.
+    *
+    * Shape for scale: one per-feature bounds aggregate (broadcast —
+    * |features| rows), one (f, bucket) count aggregate, and a
+    * grid-bounded tail; the unpivot feeding it is map-side. */
+  def psiDriftByFeature(df: DataFrame, nBuckets: Int): DataFrame = {
+    val bounds = df.groupBy(col("f"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val counts = df.join(broadcast(bounds), Seq("f"))
+      .withColumn("bk",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(
+            floor(((col("v") - col("lo")) / (col("hi") - col("lo"))) * nBuckets),
+            lit(nBuckets - 1L)).cast("long")))
+      .groupBy(col("f"), col("bk"))
+      .agg(
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n1b"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("n2b"))
+    val grid = bounds.select(col("f"))
+      .crossJoin(df.sparkSession.range(nBuckets).select(col("id").as("bucket")))
+    val w = Window.partitionBy(col("f"))
+    grid.join(counts, grid("f") === counts("f") && col("bucket") === col("bk"), "left_outer")
+      .select(grid("f"), col("bucket"),
+        coalesce(col("n1b"), lit(0L)).as("n1b"),
+        coalesce(col("n2b"), lit(0L)).as("n2b"))
+      .withColumn("n1", sum(col("n1b")).over(w))
+      .withColumn("n2", sum(col("n2b")).over(w))
+      .withColumn("p",
+        (col("n1b") + 1).cast("double") / (col("n1") + nBuckets).cast("double"))
+      .withColumn("q",
+        (col("n2b") + 1).cast("double") / (col("n2") + nBuckets).cast("double"))
+      .withColumn("contrib",
+        round((col("q") - col("p")) * log(col("q") / col("p")), 6) + lit(0.0))
+      .select(col("f").as("feature"), col("bucket"),
+        col("n1b").as("n_base"), col("n2b").as("n_curr"),
+        col("contrib").as("psi_contrib"),
+        sum(col("contrib").cast("decimal(18,6)")).over(w)
+          .cast("double").as("psi_total"))
+      .orderBy(col("feature"), col("bucket"))
   }
 
   /** EXACT ROC-AUC over a (score, label ∈ {0,1}) frame via the

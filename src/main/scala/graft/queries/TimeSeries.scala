@@ -142,6 +142,30 @@ object TimeSeries {
         coalesce(min(when(col("s") > h, col("event_id"))), lit(-1L)).as("first_alarm_event"))
   }
 
+  /** Strict local-extrema detection per user over (event_id, ts,
+    * user_id, value) — see the `events_peak_detection` declaration
+    * for semantics (strict > on both neighbors; plateaus and series
+    * endpoints never qualify; first_max_at = min ts among maximal
+    * peaks). */
+  def peakDetection(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val peaks = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("pv", lag(col("value"), 1).over(byUser))
+      .withColumn("nv", lead(col("value"), 1).over(byUser))
+      .filter(col("pv").isNotNull && col("nv").isNotNull &&
+        col("value") > col("pv") && col("value") > col("nv"))
+    peaks
+      .withColumn("mx", max(col("value")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_peaks"),
+        max(col("value")).as("max_peak"),
+        min(when(col("value") === col("mx"), col("ts"))).as("first_max_at"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Peak concurrent sessions per day. The oracle replays the gap
@@ -228,6 +252,40 @@ object TimeSeries {
         .select(col("event_id"), col("user_id"), col("value"),
           element_at(col("vs"), ((size(col("vs")) + 1) / 2).cast("int")).as("roll_median"))
         .orderBy(col("event_id"))
+    },
+
+    // Local-extrema (peak) detection per user (r10): a strict local
+    // maximum — value above BOTH neighbors in the (ts, event_id)
+    // order — is the burst/spike marker a threshold rule misses when
+    // the baseline wanders (a peak at value 40 on a baseline of 10
+    // alerts; the same 40 on a baseline of 50 doesn't). Strict >
+    // makes plateaus peak-free deterministically (equal neighbors
+    // never qualify — no tiebreak ambiguity cross-engine); series
+    // endpoints have one neighbor and are excluded by the same
+    // NOT-NULL predicate both engines evaluate. Per-user rollup:
+    // peak count, the maximum peak value (an exact input double),
+    // and the time of the FIRST maximal peak (deterministic min-ts
+    // under the max). One user-keyed window exchange + one same-key
+    // aggregate — the rolling-feature shape.
+    Q("events_peak_detection",
+      """WITH n AS (
+        |  SELECT user_id, ts, value,
+        |         LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+        |         LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, ts, value FROM n
+        |  WHERE pv IS NOT NULL AND nv IS NOT NULL AND value > pv AND value > nv),
+        |r AS (
+        |  SELECT user_id, COUNT(*) AS n_peaks, MAX(value) AS max_peak
+        |  FROM p GROUP BY user_id)
+        |SELECT r.user_id,
+        |       CAST(r.n_peaks AS BIGINT) AS n_peaks,
+        |       r.max_peak,
+        |       (SELECT MIN(p.ts) FROM p
+        |        WHERE p.user_id = r.user_id AND p.value = r.max_peak) AS first_max_at
+        |FROM r ORDER BY r.user_id""".stripMargin) { (s, dir) =>
+      peakDetection(Tables.events(s, dir))
     },
 
     // Lag-1 autocorrelation per user (r10): does this series remember

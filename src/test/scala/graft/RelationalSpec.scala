@@ -94,7 +94,13 @@ class RelationalSpec extends SparkSpec {
       // the join-size estimator and the KS drift test stitch the same
       // class of 1-row broadcast frames
       "sketch_sample_quantiles", "sketch_cms_join_size", "audit_ks_drift",
-      "audit_ks_drift_bucketed")
+      "audit_ks_drift_bucketed",
+      // r10 session-2 scalar-subquery composites: each crosses the data
+      // frame with a broadcast SINGLE-ROW aggregate (the decorrelated
+      // MAX / global-baseline / fraction-of-global scalar) — the same
+      // 1-row broadcast class as the probe joins above
+      "analytics_top_supplier", "analytics_global_baseline",
+      "analytics_value_share")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
@@ -451,6 +457,38 @@ class RelationalSpec extends SparkSpec {
     // empty input: same B-row shape, PSI exactly 0 (p = q = 1/B prior)
     val empty = Audit.psiDrift(Seq.empty[(Double, Int)].toDF("v", "side"), 8).collect()
     assert(empty.length === 8 && empty.head.getDouble(4) === 0.0)
+  }
+
+  test("psiDriftByFeature: flags only the shifted feature; grid is per-feature complete") {
+    import spark.implicits._
+    import graft.queries.Audit
+    // feature a: identical sides; feature b: full shift
+    val vs = (1 to 40).map(_.toDouble)
+    val rows =
+      vs.map(v => ("a", v, 1)) ++ vs.map(v => ("a", v, 2)) ++
+        vs.map(v => ("b", v, 1)) ++ vs.map(v => ("b", v + 1000.0, 2))
+    val got = Audit.psiDriftByFeature(rows.toDF("f", "v", "side"), 8).collect()
+    assert(got.length === 16, s"2 features × 8 buckets expected, got ${got.length}")
+    val totals = got.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(totals("a") === 0.0, s"identical feature must read exactly 0: $totals")
+    assert(totals("b") > 1.0, s"shifted feature must flag loudly: $totals")
+  }
+
+  test("peak detection: strict local maxima only — plateaus and endpoints never qualify") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: 1,5,2,2,9,9,3 → one strict peak (5); the 9-plateau is not
+    // strict. user 2: monotone 1..4 → no peaks (endpoint max excluded).
+    val ev = Seq(
+      (1L, 1.0), (2L, 5.0), (3L, 2.0), (4L, 2.0), (5L, 9.0), (6L, 9.0), (7L, 3.0))
+      .zipWithIndex.map { case ((id, v), i) => (id, t(i), 1L, v) } ++
+      (1 to 4).map(i => (100L + i, t(i), 2L, i.toDouble))
+    val df = ev.toDF("event_id", "ts", "user_id", "value")
+    val got = graft.queries.TimeSeries.peakDetection(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((1L, 5.0)), s"plateau must not count as a peak: $got")
+    assert(!got.contains(2L), s"monotone series has no interior peak: $got")
   }
 
   test("ksDriftBucketed: lower-bounds the exact D; equals it when buckets dominate NDV") {
