@@ -328,6 +328,11 @@ object PlanAudit {
     audit("cdcChunks(core)", llm.Dedup.contentChunksFrom(
       docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
         .withColumn("len", size(col("toks"))), 4, 16))
+    // r10 session-2 tail: per-feature PSI (map-side unpivot + bounds
+    // broadcast + (f,bucket) agg + grid window) and peak detection
+    // (one user window exchange + same-key rollup)
+    audit("psiByFeature(query)", SparkEntry.queries("audit_psi_by_feature")(spark, sfDir))
+    audit("peakDetection(query)", SparkEntry.queries("events_peak_detection")(spark, sfDir))
     spark.stop()
   }
 }
