@@ -361,6 +361,48 @@ object Ingest {
           sum(col("value").cast("decimal(30,6)")).cast("double").as("day_value"))
     },
 
+    // DYNAMIC partition pruning — the third 100 TB layout lever
+    // (static pruning needs the literal in the query; bucketing
+    // pre-pays the shuffle; DPP prunes partitions whose keys are
+    // only known at RUNTIME, from the filtered dim side of a join):
+    // the fact is written day-partitioned, the dim side is the
+    // Monday-filtered day dimension, and Catalyst injects the dim's
+    // surviving keys as a subquery partition filter into the fact
+    // scan — a 100 TB day-partitioned fact joined to a filtered
+    // calendar reads only the matching partitions' files, with no
+    // literal date anywhere in the query. OperatorsSpec pins
+    // `dynamicpruning` inside THIS declared query's partitionFilters
+    // and that only the Monday partitions' files are read. Weekday
+    // arithmetic is Spark `weekday` (0 = Monday) ⇔ DuckDB `isodow`
+    // (1 = Monday) — pinned explicitly because the engines' default
+    // dayofweek numberings disagree. The oracle proves the
+    // partitioned round-trip + pruned join lossless against the
+    // original table.
+    Q("join_dynamic_partition_prune",
+      """WITH mondays AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |  WHERE isodow(CAST(ts AS DATE)) = 1)
+        |SELECT e.day,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS day_value
+        |FROM (SELECT CAST(ts AS DATE) AS day, value FROM events) e
+        |JOIN mondays m ON m.day = e.day
+        |GROUP BY e.day
+        |ORDER BY e.day""".stripMargin) { (s, dir) =>
+      val path = tmp("events_dpp")
+      val ev = Tables.events(s, dir)
+      ev.select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+        .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+      val mondays = ev.select(to_date(col("ts")).as("day"))
+        .filter(weekday(col("day")) === 0).distinct()
+      s.read.parquet(path)
+        .join(broadcast(mondays), Seq("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("day_value"))
+        .orderBy(col("day"))
+    },
+
     // Bucketed co-located fact-fact join — the OTHER 100 TB layout
     // lever (partitioning prunes files; bucketing pre-pays the join
     // shuffle): both facts are written `bucketBy(join key)` once, and

@@ -187,6 +187,32 @@ class OperatorsSpec extends SparkSpec {
     } finally Bench.deleteRecursively(path)
   }
 
+  test("dynamic partition pruning fires in the declared DPP query's fact scan") {
+    val df = SparkEntry.queries("join_dynamic_partition_prune")(spark, sf("sf0.001"))
+    // execute THIS QueryExecution's plan instance (the PlanAudit trick)
+    // so its DPP subquery finishes and its metrics populate — a plain
+    // df.count() runs a fresh copy and leaves this instance's
+    // InSubqueryExec unevaluated
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    val scans = collectPlan(qe.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.partitionFilters.nonEmpty)
+    assert(scans.nonEmpty, s"no partition-filtered scan found:\n${qe.executedPlan}")
+    val fact = scans.head
+    // the filter is the RUNTIME kind (dim-derived subquery), not a literal
+    assert(fact.partitionFilters.mkString(",").contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter, got: ${fact.partitionFilters}")
+    // pruning is real: the fact scan emitted ONLY the Monday partitions'
+    // rows, and Mondays are a strict subset of all days
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val allRows = ev.count()
+    val mondayRows = ev.filter(weekday(to_date(col("ts"))) === 0).count()
+    assert(mondayRows < allRows, "fixture vacuous: every row is a Monday")
+    assert(fact.metrics("numOutputRows").value === mondayRows,
+      s"fact scan read ${fact.metrics("numOutputRows").value} rows, want only $mondayRows")
+  }
+
   test("range-partitioned sorted writer emits key-disjoint files (stats pruning layout)") {
     // The single-column physical-layout complement of zorder_tiles:
     // repartitionByRange + sortWithinPartitions gives every output
