@@ -294,6 +294,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Conjunctive (ALL-terms) retrieval — the boolean-AND complement
+    * of [[keywordSearch]]'s disjunctive scorer: a doc qualifies only
+    * if EVERY query term occurs, the posting-list-intersection shape
+    * (count of distinct matched terms == |terms| — one grouped
+    * aggregate, no k-way self-join). Ranked by total matched-term
+    * frequency with a (score DESC, doc_id) tiebreak — integers end
+    * to end, nothing to round. Shape for scale: the term filter
+    * pushes into the scan, the per-(doc, term) aggregate is the one
+    * data-sized stage, the conjunctive test is a HAVING on its
+    * |matching docs|-bounded output, TakeOrdered top-k. */
+  def conjunctiveSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "conjunctiveSearch: terms must be non-empty")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_terms"),
+        sum(col("tf")).cast("long").as("total_tf"))
+      .filter(col("n_terms") === terms.distinct.length)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy(col("total_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** FORCAST readability (round 9): grade = 20 − 15·(monosyllabic
     * words ÷ words), plus vowel-group syllable density. FORCAST
     * (Caylor et al., 1973) is the one published readability formula
@@ -478,6 +505,23 @@ object TextAnalysis {
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       keywordSearch(Tables.documents(s, dir), Seq("spark", "window", "query"), 20)
+    },
+
+    // Conjunctive ALL-terms retrieval (see conjunctiveSearch's
+    // scaladoc): the posting-intersection shape as one grouped
+    // aggregate + HAVING — no k-way self-join.
+    Q("search_conjunctive",
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  WHERE term IN ('data', 'join', 'scan')
+        |  GROUP BY doc_id, term)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+        |FROM tf
+        |GROUP BY doc_id
+        |HAVING COUNT(*) = 3
+        |ORDER BY total_tf DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      conjunctiveSearch(Tables.documents(s, dir), Seq("data", "join", "scan"), 20)
     },
 
     // FORCAST readability — the sentence-free formula; both regex
