@@ -315,6 +315,20 @@ package functions {
         FunctionIdentifier("jaro_winkler"),
         new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
         (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
+      // aggregate sketches — keep the cluster surface in lockstep with
+      // registerAll (these two had drifted: session-registered only)
+      e.injectFunction((
+        FunctionIdentifier("misra_gries"),
+        new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+        (exprs: Seq[Expression]) =>
+          MisraGries(exprs.head, graft.functions.intArg(exprs(1), "misra_gries: k"))
+            .toAggregateExpression()))
+      e.injectFunction((
+        FunctionIdentifier("bottom_k"),
+        new ExpressionInfo(classOf[BottomK].getName, "bottom_k"),
+        (exprs: Seq[Expression]) =>
+          BottomK(exprs.head, graft.functions.intArg(exprs(1), "bottom_k: k"))
+            .toAggregateExpression()))
     }
   }
 }

@@ -52,6 +52,39 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(jw - 0.9611111111111111) < 1e-12)
   }
 
+  test("extensions surface: a session built with GraftExtensions resolves the family from SQL") {
+    // The cluster registration path (--conf spark.sql.extensions=...)
+    // must stay in lockstep with registerAll — misra_gries/bottom_k had
+    // drifted (session-registered only). Build a NEW SparkSession on
+    // the shared context with the extensions applied, probe one
+    // function of each kind, restore the shared session.
+    import org.apache.spark.sql.SparkSession
+    val shared = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      assert(ext ne shared, "expected a fresh session carrying the extensions")
+      val jw = ext.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").head().getDouble(0)
+      assert(math.abs(jw - 0.9611111111111111) < 1e-12)
+      // the two formerly-drifted aggregates resolve now
+      val mg = ext.sql(
+        "SELECT misra_gries(t, 2) FROM VALUES ('a'),('a'),('a'),('b') AS v(t)")
+        .head().getSeq[String](0)
+      assert(mg.contains("a"))
+      val bk = ext.sql(
+        "SELECT bottom_k(x, 2) FROM VALUES (3L),(1L),(2L) AS v(x)").head().getSeq[Long](0)
+      assert(bk === Seq(1L, 2L))
+      // generator + scalar round out the kinds
+      val ch = ext.sql("SELECT chunks('a b c', 2)").count()
+      assert(ch === 2L)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     val df = emb.select(
       graft.functions.cosine_similarity(col("v"), col("v")).as("c"))
