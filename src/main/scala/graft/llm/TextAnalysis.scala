@@ -119,6 +119,10 @@ object TextAnalysis {
     *
     * Shape for scale: one token-count aggregate (vocabulary-bounded)
     * + a TakeOrdered top-K; the fit runs on the K-row frame.
+    * Contract: the corpus must yield ≥ 2 ranked tokens — on a
+    * 0/1-token vocabulary the regression denominator is 0 and the
+    * slope degenerates to NULL/NaN (both engines; no real corpus
+    * hits this, documented rather than special-cased).
     * Determinism: ranks/freqs are small exact integers, ln on
     * identical doubles (the tfidf precedent); every regression SUM
     * ingests ROUND(·,12)-then-DECIMAL terms so addition order cannot
