@@ -333,6 +333,8 @@ object PlanAudit {
     // (one user window exchange + same-key rollup)
     audit("psiByFeature(query)", SparkEntry.queries("audit_psi_by_feature")(spark, sfDir))
     audit("peakDetection(query)", SparkEntry.queries("events_peak_detection")(spark, sfDir))
+    audit("conjunctive(query)", SparkEntry.queries("search_conjunctive")(spark, sfDir))
+    audit("dppJoin(query)", SparkEntry.queries("join_dynamic_partition_prune")(spark, sfDir))
     spark.stop()
   }
 }

@@ -142,6 +142,27 @@ object TimeSeries {
         coalesce(min(when(col("s") > h, col("event_id"))), lit(-1L)).as("first_alarm_event"))
   }
 
+  /** Oracle for the peak surface — shared verbatim by the batch query
+    * and the online streaming form (the tierAgreement discipline). */
+  private[graft] val peakDetectionOracleSql: String =
+    """WITH n AS (
+      |  SELECT user_id, ts, value,
+      |         LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+      |         LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, ts, value FROM n
+      |  WHERE pv IS NOT NULL AND nv IS NOT NULL AND value > pv AND value > nv),
+      |r AS (
+      |  SELECT user_id, COUNT(*) AS n_peaks, MAX(value) AS max_peak
+      |  FROM p GROUP BY user_id)
+      |SELECT r.user_id,
+      |       CAST(r.n_peaks AS BIGINT) AS n_peaks,
+      |       r.max_peak,
+      |       (SELECT MIN(p.ts) FROM p
+      |        WHERE p.user_id = r.user_id AND p.value = r.max_peak) AS first_max_at
+      |FROM r ORDER BY r.user_id""".stripMargin
+
   /** Strict local-extrema detection per user over (event_id, ts,
     * user_id, value) — see the `events_peak_detection` declaration
     * for semantics (strict > on both neighbors; plateaus and series
@@ -267,24 +288,7 @@ object TimeSeries {
     // and the time of the FIRST maximal peak (deterministic min-ts
     // under the max). One user-keyed window exchange + one same-key
     // aggregate — the rolling-feature shape.
-    Q("events_peak_detection",
-      """WITH n AS (
-        |  SELECT user_id, ts, value,
-        |         LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
-        |         LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
-        |  FROM events),
-        |p AS (
-        |  SELECT user_id, ts, value FROM n
-        |  WHERE pv IS NOT NULL AND nv IS NOT NULL AND value > pv AND value > nv),
-        |r AS (
-        |  SELECT user_id, COUNT(*) AS n_peaks, MAX(value) AS max_peak
-        |  FROM p GROUP BY user_id)
-        |SELECT r.user_id,
-        |       CAST(r.n_peaks AS BIGINT) AS n_peaks,
-        |       r.max_peak,
-        |       (SELECT MIN(p.ts) FROM p
-        |        WHERE p.user_id = r.user_id AND p.value = r.max_peak) AS first_max_at
-        |FROM r ORDER BY r.user_id""".stripMargin) { (s, dir) =>
+    Q("events_peak_detection", peakDetectionOracleSql) { (s, dir) =>
       peakDetection(Tables.events(s, dir))
     },
 

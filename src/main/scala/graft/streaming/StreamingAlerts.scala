@@ -553,6 +553,35 @@ object StreamingAlerts {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // STREAMING PEAK DETECTION (r10): the online form of
+    // events_peak_detection (see streamingPeaks' scaladoc — a strict
+    // peak is decidable one event after it happens, so state is a
+    // 2-observation ring per user and peaks stream out with one-event
+    // latency). The per-user rollup (count / max / first-max time)
+    // needs the whole day's peaks, so it runs batch-side over the
+    // sunk peak rows (the verifyAndRank convention). Shares the
+    // batch query's oracle VERBATIM — the driver certifies
+    // stream ≡ batch hash-identical (tierAgreement discipline).
+    Q("streaming_peak_detection", graft.queries.TimeSeries.peakDetectionOracleSql) {
+      (s, dir) =>
+        val name = "stream_peak_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = streamingPeaks(s, eventsStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val peaks = s.table(name).localCheckpoint()
+          .select(col("user_id"), timestamp_micros(col("ts")).as("ts"), col("value"))
+        peaks
+          .withColumn("mx", max(col("value")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_peaks"),
+            max(col("value")).as("max_peak"),
+            min(when(col("value") === col("mx"), col("ts"))).as("first_max_at"))
+          .orderBy(col("user_id"))
+    },
+
     // STREAMING CDC CHUNKING (r10): documents arrive as a stream and
     // are content-defined-chunked by the ROW-LOCAL kernel
     // (`Dedup.contentChunkRows` — the cut rule computed entirely
@@ -860,6 +889,55 @@ object StreamingAlerts {
 
   /** Bounded per-user state: the last up-to-6 non-error observations. */
   final case class RollState(recent: Seq[Double])
+
+  /** Emitted online peak: the user's observation at `ts` (unix µs)
+    * was strictly above both neighbors. */
+  final case class PeakRow(user_id: Long, ts: Long, value: Double)
+
+  /** Two-observation lookbehind per user: (event_id, ts µs, value)
+    * of the last two arrivals in (ts, event_id) order. */
+  final case class PeakState(last2: Seq[(Long, Long, Double)])
+
+  /** Online strict-peak detector — the streaming form of
+    * [[graft.queries.TimeSeries.peakDetection]]: a peak is decidable
+    * the moment its SUCCESSOR arrives (strict > on both neighbors
+    * needs exactly one lookahead), so the state is a bounded
+    * two-observation ring per user and each peak streams out one
+    * event after it happens — the online "the metric just spiked"
+    * feed. Within a trigger the group's rows sort by (ts, event_id),
+    * the batch window's total order; across triggers the ring
+    * carries the boundary, so a peak whose neighbors straddle
+    * micro-batches still emits (pinned in StreamingSpec). Endpoint
+    * semantics match batch by construction: the first observation
+    * has no predecessor and the last never gets a successor. */
+  def streamingPeaks(
+      spark: SparkSession, events: DataFrame): Dataset[PeakRow] = {
+    import spark.implicits._
+    val base = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+    base.groupByKey(_._1)
+      .flatMapGroupsWithState[PeakState, PeakRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[PeakState]) =>
+          val sorted = rows.map { case (_, id, ts, v) => (id, ts, v) }
+            .toSeq.sortBy(t => (t._2, t._1))
+          var last = state.getOption.map(_.last2).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[PeakRow]
+          sorted.foreach { e =>
+            if (last.size == 2) {
+              val prev = last.head; val curr = last(1)
+              if (curr._3 > prev._3 && curr._3 > e._3)
+                out += PeakRow(userId, curr._2, curr._3)
+            }
+            last = (last :+ e).takeRight(2)
+          }
+          state.update(PeakState(last))
+          out.result().iterator
+      }
+  }
 
   /** Incremental per-user rolling mean-7 + threshold alert, mirroring
     * the batch `features → scored` path on the FILTERED (non-error)

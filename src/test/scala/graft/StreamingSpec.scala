@@ -317,6 +317,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming peaks: a peak whose neighbors straddle micro-batches still emits") {
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val out = StreamingAlerts.streamingPeaks(spark,
+      mem.toDF().toDF("event_id", "ts", "user_id", "value"))
+    val query = out.writeStream
+      .format("memory").queryName("stream_peak_spec").outputMode("append").start()
+    try {
+      // batch 1 ends right AT the peak: its successor hasn't arrived
+      mem.addData(Seq((1L, t(0), 1L, 1.0), (2L, t(1), 1L, 9.0)))
+      query.processAllAvailable()
+      assert(spark.table("stream_peak_spec").count() === 0,
+        "peak must not emit before its successor arrives")
+      // batch 2 delivers the successor → the straddling peak emits;
+      // a later equal-value plateau never does
+      mem.addData(Seq((3L, t(2), 1L, 2.0), (4L, t(3), 1L, 5.0), (5L, t(4), 1L, 5.0)))
+      query.processAllAvailable()
+      val got = spark.table("stream_peak_spec")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === Set((1L, t(1).getTime * 1000L, 9.0)),
+        s"expected exactly the straddling strict peak, got $got")
+    } finally query.stop()
+  }
+
   test("streaming CDC chunking is stateless and chunk-identical to the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
