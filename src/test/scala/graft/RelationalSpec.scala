@@ -100,7 +100,11 @@ class RelationalSpec extends SparkSpec {
       // MAX / global-baseline / fraction-of-global scalar) — the same
       // 1-row broadcast class as the probe joins above
       "analytics_top_supplier", "analytics_global_baseline",
-      "analytics_value_share")
+      "analytics_value_share",
+      // per-feature PSI generates its bucket grid as |features| × B —
+      // a cross of two BOUNDED frames (3 × 16 here), the same
+      // domain-grid class as range(B) in the ungrouped psi/benford
+      "audit_psi_by_feature")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
