@@ -1340,6 +1340,45 @@ object Dedup {
       contentChunks(Tables.documents(s, dir))
     },
 
+    // Cross-source duplicate matrix (r10): the provenance view of the
+    // near-dup detector — CONFIRMED duplicate pairs rolled up by
+    // unordered source pair ("which crawls copy from which, and how
+    // close"), the report a curation team reads before dropping a
+    // source. Distinct from corpus_source_overlap (token-level
+    // vocabulary sharing): this counts verified J ≥ 0.9 PAIRS.
+    // least/greatest normalizes the pair so A→B and B→A land in one
+    // cell; mean Jaccard sums the already-6-dp-rounded scores in
+    // DECIMAL (order-free). Pair volume is the LSH candidate set —
+    // never all-pairs; the source joins are dim-keyed.
+    Q("dedup_source_matrix",
+      s"""WITH pairs AS ($minhashPairsSql),
+         |src AS (SELECT doc_id, source FROM documents),
+         |m AS (
+         |  SELECT least(sa.source, sb.source) AS source_a,
+         |         greatest(sa.source, sb.source) AS source_b,
+         |         p.jaccard
+         |  FROM pairs p JOIN src sa ON sa.doc_id = p.id_a
+         |               JOIN src sb ON sb.doc_id = p.id_b)
+         |SELECT source_a, source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |         + 0 AS mean_jaccard
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = nearDupPairs(docs.select(col("doc_id"), col("text")))
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (round(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6) + lit(0.0)).as("mean_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // Per-doc first-occurrence novelty (see gramNovelty's scaladoc):
     // the freshness/memorization audit on the RAW corpus — ingest
     // order (doc_id) is the time axis; the oracle replays the exact

@@ -292,6 +292,48 @@ object TimeSeries {
       peakDetection(Tables.events(s, dir))
     },
 
+    // Inter-arrival profile per user (r10): the cadence fingerprint —
+    // gap count, mean gap, the exact-selection median gap (robust to
+    // one long outage the way the rolling median is to one spike),
+    // and the worst gap, all from integer-µs timestamp differences.
+    // Median/max stay EXACT integers end to end (µs gaps < 2⁵³ pass
+    // through double selection losslessly, cast back to BIGINT); only
+    // the mean divides, reported in seconds so the 6-dp rounding has
+    // headroom (a µs-scale mean ~1e8 sits near ROUND+0's documented
+    // 1e10 cliff). Single-event users have no gaps and are absent in
+    // both engines. One user-keyed window + one same-key aggregate.
+    Q("events_interarrival",
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |d AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |       ROUND(CAST(SUM(gap) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) + 0
+        |         AS mean_gap_s,
+        |       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_us,
+        |       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .withColumn("gap",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          (round(sum(col("gap")).cast("double") / (count(lit(1)) * lit(1000000.0)), 6)
+            + lit(0.0)).as("mean_gap_s"),
+          graft.functions.exact_quantile(col("gap").cast("double"), 0.5)
+            .cast("long").as("median_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .orderBy(col("user_id"))
+    },
+
     // Lag-1 autocorrelation per user (r10): does this series remember
     // its last value? — the single most informative stationarity/
     // persistence scalar for telemetry (white noise ~0, trending ~1,
