@@ -295,12 +295,16 @@ object TimeSeries {
     // Inter-arrival profile per user (r10): the cadence fingerprint —
     // gap count, mean gap, the exact-selection median gap (robust to
     // one long outage the way the rolling median is to one spike),
-    // and the worst gap, all from integer-µs timestamp differences.
-    // Median/max stay EXACT integers end to end (µs gaps < 2⁵³ pass
-    // through double selection losslessly, cast back to BIGINT); only
-    // the mean divides, reported in seconds so the 6-dp rounding has
-    // headroom (a µs-scale mean ~1e8 sits near ROUND+0's documented
-    // 1e10 cliff). Single-event users have no gaps and are absent in
+    // and the worst gap, all from integer-µs timestamp differences —
+    // and ALL FOUR integers end to end. The mean rounds half-up to
+    // whole µs in pure integer arithmetic ((2·Σ + n) div 2n): gaps
+    // are integer µs, so a ROUND(Σ/n, 6) double mean terminates
+    // EXACTLY ON 6-dp boundaries and the engines' 1-ulp quotient
+    // difference flips the last digit — caught live by the sf0.1
+    // sweep on this query's first draft (one user's mean sat on the
+    // boundary; printed values identical, hashes not). Median/max
+    // pass through double selection losslessly (µs < 2⁵³), cast back
+    // to BIGINT. Single-event users have no gaps and are absent in
     // both engines. One user-keyed window + one same-key aggregate.
     Q("events_interarrival",
       """WITH g AS (
@@ -311,8 +315,8 @@ object TimeSeries {
         |d AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL)
         |SELECT user_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_gaps,
-        |       ROUND(CAST(SUM(gap) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) + 0
-        |         AS mean_gap_s,
+        |       CAST((2 * SUM(gap) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+        |         AS mean_gap_us,
         |       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_us,
         |       CAST(MAX(gap) AS BIGINT) AS max_gap_us
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
@@ -326,8 +330,8 @@ object TimeSeries {
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_gaps"),
-          (round(sum(col("gap")).cast("double") / (count(lit(1)) * lit(1000000.0)), 6)
-            + lit(0.0)).as("mean_gap_s"),
+          expr("CAST((2 * sum(gap) + count(1)) DIV (2 * count(1)) AS BIGINT)")
+            .as("mean_gap_us"),
           graft.functions.exact_quantile(col("gap").cast("double"), 0.5)
             .cast("long").as("median_gap_us"),
           max(col("gap")).as("max_gap_us"))
