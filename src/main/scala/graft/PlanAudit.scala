@@ -325,9 +325,19 @@ object PlanAudit {
     audit("fdAudit(query)", SparkEntry.queries("audit_functional_dependency")(spark, sfDir))
     audit("benford(query)", SparkEntry.queries("audit_benford")(spark, sfDir))
     audit("gramNovelty(query)", SparkEntry.queries("dedup_gram_novelty")(spark, sfDir))
-    audit("cdcChunks(core)", llm.Dedup.contentChunksFrom(
+    audit("cdcChunksComposed(core)", llm.Dedup.contentChunksComposedFrom(
       docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
         .withColumn("len", size(col("toks"))), 4, 16))
+    // generator form: chunk rows leave the scan directly — only the
+    // sharing aggregate + join + sort remain (audited un-checkpointed)
+    audit("cdcChunks(native)", {
+      val rows = docs.select(col("doc_id"),
+        graft.functions.cdc_chunks(col("text"), 4, 16)
+          .as(Seq("chunk_idx", "start_pos", "n_tokens", "chunk_fp")))
+      val sharing = rows.groupBy(col("chunk_fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+      rows.join(sharing, Seq("chunk_fp"))
+    })
     // r10 session-2 tail: per-feature PSI (map-side unpivot + bounds
     // broadcast + (f,bucket) agg + grid window) and peak detection
     // (one user window exchange + same-key rollup)

@@ -139,6 +139,16 @@ package object functions {
     GraftBridge.column(ChunkGenerator(GraftBridge.expression(text), n))
   }
 
+  /** Content-defined chunks as (chunk_idx, start_pos, n_tokens,
+    * chunk_fp) rows — the CDC cut rule + 60-bit fingerprints fused
+    * into one scan-side pass (see [[CdcChunkGenerator]]); replaces
+    * the gram-explode + position-window + span-collapse + text-join
+    * pipeline with zero pre-aggregate shuffles. */
+  def cdc_chunks(text: Column, w: Int, divisor: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CdcChunkGenerator(GraftBridge.expression(text), w, divisor))
+  }
+
   /** Winnowing fingerprints of a string as sorted distinct rows —
     * `select(col("doc_id"), winnow_fingerprints(col("text"), 8, 4).as("fp"))`.
     * One per-row pass, no shuffle (replaces posexplode + windowed-min
@@ -269,6 +279,11 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "jaro_winkler",
       exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cdc_chunks",
+      exprs => CdcChunkGenerator(exprs.head,
+        intArg(exprs(1), "cdc_chunks: w"), intArg(exprs(2), "cdc_chunks: divisor")),
+      "built-in")
   }
 }
 
@@ -329,6 +344,13 @@ package functions {
         (exprs: Seq[Expression]) =>
           BottomK(exprs.head, graft.functions.intArg(exprs(1), "bottom_k: k"))
             .toAggregateExpression()))
+      e.injectFunction((
+        FunctionIdentifier("cdc_chunks"),
+        new ExpressionInfo(classOf[CdcChunkGenerator].getName, "cdc_chunks"),
+        (exprs: Seq[Expression]) =>
+          CdcChunkGenerator(exprs.head,
+            graft.functions.intArg(exprs(1), "cdc_chunks: w"),
+            graft.functions.intArg(exprs(2), "cdc_chunks: divisor"))))
     }
   }
 }

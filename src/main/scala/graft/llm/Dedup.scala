@@ -751,20 +751,43 @@ object Dedup {
     * the sharing count is a fingerprint-keyed aggregate + join on
     * the chunk frame. Per-doc state is bounded by doc length. */
   def contentChunks(docs: DataFrame, w: Int = 4, divisor: Int = 16): DataFrame = {
+    // one corpus pass: the native generator emits finished chunk rows
+    // inside the scan (cut decisions + fingerprints fused over one
+    // UTF-8 encoding of the tokens); the checkpoint bounds the frame
+    // so the sharing aggregate and the join both read chunk rows, not
+    // the corpus. The window pipeline this replaced lives on as
+    // [[contentChunksComposed]] — LlmSpec pins the two row-identical
+    // and the declared oracle (unchanged) re-proves it at driver time.
+    val rows = docs.select(col("doc_id"),
+        graft.functions.cdc_chunks(col("text"), w, divisor)
+          .as(Seq("chunk_idx", "start_pos", "n_tokens", "chunk_fp")))
+      .localCheckpoint()
+    val sharing = rows.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+    rows.join(sharing, Seq("chunk_fp"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        col("n_tokens"), col("chunk_fp"), col("n_docs_sharing"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** The composed (gram-explode + position-window + span-collapse +
+    * text-join) CDC pipeline — the pre-generator form, kept as the
+    * verification baseline for [[CdcChunkGenerator]] and the PlanAudit
+    * head-to-head (the boilerplateChunks convention). */
+  def contentChunksComposed(docs: DataFrame, w: Int = 4, divisor: Int = 16): DataFrame = {
     val base = docs
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .withColumn("len", size(col("toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val res = contentChunksFrom(base, w, divisor).localCheckpoint()
+    val res = contentChunksComposedFrom(base, w, divisor).localCheckpoint()
     base.unpersist()
     res
   }
 
-  /** The CDC pipeline over an already-projected (doc_id, text, toks,
-    * len) frame, WITHOUT persist/checkpoint — PlanAudit inspects this
-    * (the public API's localCheckpoint hides the plan; the
-    * spanRowsPlan convention). */
-  private[graft] def contentChunksFrom(
+  /** The composed CDC pipeline over an already-projected (doc_id,
+    * text, toks, len) frame, WITHOUT persist/checkpoint — PlanAudit
+    * inspects this (the spanRowsPlan convention). */
+  private[graft] def contentChunksComposedFrom(
       base: DataFrame, w: Int, divisor: Int): DataFrame = {
     val g = base.select(col("doc_id"), col("len"),
       graft.functions.ngram_hashes(col("text"), w, 15).as(Seq("pos", "gram_h")))

@@ -191,6 +191,32 @@ class LlmSpec extends SparkSpec {
     assert(!llm.Dedup.gramNovelty(withShort).collect().exists(_.getLong(0) == 5L))
   }
 
+  test("CDC three-way parity: native generator == composed window pipeline == row-local HOF") {
+    val docs = Seq(
+      (1L, (0 until 120).map(i => s"v${(i * 29) % 83}u$i").mkString(" ")),
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (3L, "short text"),
+      (4L, "")).toDF("doc_id", "text")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "chunk_idx", "start_pos", "n_tokens", "chunk_fp")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    val native = rowsOf(docs.select(col("doc_id"),
+      graft.functions.cdc_chunks(col("text"), 4, 16)
+        .as(Seq("chunk_idx", "start_pos", "n_tokens", "chunk_fp"))))
+    val composed = rowsOf(llm.Dedup.contentChunksComposed(docs))
+    val hof = rowsOf(llm.Dedup.contentChunkRows(docs))
+    assert(native === composed, s"native != composed:\n${native.diff(composed)}")
+    assert(native === hof, s"native != HOF:\n${native.diff(hof)}")
+    // empty text still yields its single empty chunk in all three
+    assert(native.count(_._1 == 4L) === 1)
+    // null text yields no rows
+    val withNull = docs.unionByName(
+      Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(!rowsOf(withNull.select(col("doc_id"),
+      graft.functions.cdc_chunks(col("text"), 4, 16)
+        .as(Seq("chunk_idx", "start_pos", "n_tokens", "chunk_fp")))).exists(_._1 == 5L))
+  }
+
   test("contentChunks: prefix insertion keeps CDC sharing; fixed-stride sharing drops to zero") {
     // 200 varied tokens — enough content for several rolling-hash cuts
     val aToks = (0 until 200).map(i => s"w${(i * 37) % 211}x$i")
