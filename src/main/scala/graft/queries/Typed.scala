@@ -80,6 +80,60 @@ object Typed {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     },
 
+    // SQL front door for the CDC generator (r10): LATERAL VIEW
+    // cdc_chunks through the registered-function surface — a SQL-only
+    // user's view of content-defined chunking must yield the Column
+    // API's exact rows (the oracle replays the full cut rule in
+    // DuckDB). min/max fingerprints per doc keep the check on exact
+    // BIGINTs (a fp SUM would overflow int64).
+    Q("sql_frontdoor_cdc", {
+      val w = 4; val d = 16
+      s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |lens AS (SELECT doc_id, len(l) AS len FROM corpus),
+         |gs AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, greatest(len(l) - ${w - 1}, 0) + 1)) AS i,
+         |         unnest(list_transform(range(1, greatest(len(l) - ${w - 1}, 0) + 1),
+         |                               i -> array_to_string(l[i:i+${w - 1}], ' '))) AS gram
+         |  FROM corpus),
+         |cuts AS (
+         |  SELECT g.doc_id, (g.i - 1) + $w AS s
+         |  FROM gs g JOIN lens USING (doc_id)
+         |  WHERE CAST(concat('0x', substr(md5(g.gram), 1, 15)) AS BIGINT) % $d = 0
+         |    AND (g.i - 1) + $w < lens.len),
+         |starts AS (
+         |  SELECT doc_id, s FROM cuts
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS s FROM lens WHERE len > 0),
+         |ch AS (
+         |  SELECT st.doc_id, st.s,
+         |         COALESCE(LEAD(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
+         |                  lens.len) AS e
+         |  FROM starts st JOIN lens USING (doc_id)),
+         |fp AS (
+         |  SELECT ch.doc_id,
+         |         CAST(concat('0x', substr(md5(
+         |           array_to_string(c.l[ch.s + 1:ch.e], ' ')), 1, 15)) AS BIGINT) AS chunk_fp
+         |  FROM ch JOIN corpus c USING (doc_id))
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       MIN(chunk_fp) AS min_fp,
+         |       MAX(chunk_fp) AS max_fp
+         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.registerAll(s)
+      val v = "docs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables.documents(s, dir).createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT doc_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           |       MIN(chunk_fp) AS min_fp,
+           |       MAX(chunk_fp) AS max_fp
+           |FROM $v LATERAL VIEW cdc_chunks(text, 4, 16) c
+           |  AS chunk_idx, start_pos, n_tokens, chunk_fp
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+
     // Typed Dataset path: case-class Encoders + groupByKey/mapGroups
     // imperative per-group fold. Exactness discipline: values carry 2
     // decimals, so the fold sums LONG CENTS (associative, order-free)
