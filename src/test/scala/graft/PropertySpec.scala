@@ -528,4 +528,68 @@ class PropertySpec extends SparkSpec {
       }) :| s"got=$got want=$want"
     })
   }
+  /** Random token docs for the CDC properties: small vocab forces
+    * both shared grams (cuts) and collisions. */
+  private val cdcDocGen: Gen[List[String]] = for {
+    nDocs <- Gen.choose(1, 4)
+    docs <- Gen.listOfN(nDocs, for {
+      n <- Gen.choose(0, 60)
+      toks <- Gen.listOfN(n, Gen.choose(0, 30).map(i => s"t$i"))
+    } yield toks.mkString(" "))
+  } yield docs
+
+  test("property: CDC chunks tile every doc exactly and agree across all three forms") {
+    check(Prop.forAll(cdcDocGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = docs.select(col("doc_id"),
+          graft.functions.cdc_chunks(col("text"), 4, 16)
+            .as(Seq("chunk_idx", "start_pos", "n_tokens", "chunk_fp")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      val hof = graft.llm.Dedup.contentChunkRows(docs)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      val tiles = texts.zipWithIndex.forall { case (t, i) =>
+        val len = t.split(" ", -1).length
+        val mine = native.filter(_._1 == i.toLong).sortBy(_._2)
+        mine.map(_._4).sum == len &&                       // covers every token
+        mine.headOption.forall(_._3 == 0) &&               // starts at 0
+        mine.sliding(2).forall {                            // contiguous
+          case Array(a, b) => a._3 + a._4 == b._3
+          case _ => true
+        }
+      }
+      Prop(tiles && native.toSet == hof.toSet) :|
+        s"native=${native.toSeq.sorted} hof=${hof.toSeq.sorted}"
+    })
+  }
+
+  test("property: a single-token edit never moves CDC cuts outside its gram window") {
+    // THE content-defined property: boundary decisions depend only on
+    // the w tokens of their gram, so mutating token p can only add or
+    // remove cut positions q with q - w <= p <= q - 1 + ... i.e. cuts
+    // whose gram [q-w, q-1] contains p; all other cuts are identical.
+    val genDoc = for {
+      n <- Gen.choose(10, 80)
+      toks <- Gen.listOfN(n, Gen.choose(0, 30).map(i => s"t$i"))
+      p <- Gen.choose(0, n - 1)
+    } yield (toks, p)
+    check(Prop.forAll(genDoc) { case (toks, p) =>
+      val w = 4
+      def cuts(ts: List[String]): Set[Int] = {
+        val df = Seq((1L, ts.mkString(" "))).toDF("doc_id", "text")
+        df.select(graft.functions.cdc_chunks(col("text"), w, 16)
+            .as(Seq("ci", "s", "n", "fp")))
+          .collect().map(_.getInt(1)).toSet - 0
+      }
+      val before = cuts(toks)
+      val after = cuts(toks.updated(p, "MUTATED"))
+      // cuts outside the affected gram window must be identical
+      val affected = (q: Int) => q - w <= p && p <= q - 1
+      val stableBefore = before.filterNot(affected)
+      val stableAfter = after.filterNot(affected)
+      Prop(stableBefore == stableAfter) :|
+        s"p=$p before=$before after=$after"
+    })
+  }
+
 }
