@@ -187,6 +187,150 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Linear interpolation over each user's daily spine: the gapfill
+    * query marks missing days; this one FILLS them — the value a
+    * feature pipeline actually wants on a silent day is the line
+    * between the surrounding observations, not a zero (a zero-filled
+    * rolling mean reads a quiet weekend as a crash).
+    *
+    * Semantics: per (user, day) mean of `value` in exact integer
+    * µ-units with half-up rounding ((2Σ+n) div 2n — the
+    * events_interarrival discipline); the spine runs min..max
+    * observed day per user (every missing day is therefore interior —
+    * both brackets exist); a missing day at integer day-offset d
+    * between observations (d0,m0) and (d1,m1) gets
+    * ((d1−d)·m0 + (d−d0)·m1)/(d1−d0), again exact-integer with
+    * half-up rounding.
+    *
+    * Determinism: this query's first draft used ROUND(Σdec/n, 6)
+    * double means and the sf0.1 sweep failed it on exactly 9 rows —
+    * 2-dp inputs with 2ᵃ5ᵇ-divisor day counts land the true mean
+    * EXACTLY on a 6-dp half boundary, where the engines' round
+    * implementations split. Integer µ-unit arithmetic removes the
+    * boundary entirely; the only double op left is the final
+    * µ-units→units division of an exact ≤ 2⁵³ integer by 10⁶, which
+    * is one correctly-rounded op in both engines.
+    *
+    * Shape for scale: daily agg, spine explode, left join, and the
+    * two ignore-null bracket windows are ALL keyed/partitioned by
+    * user — one exchange class end to end; spine cardinality is
+    * users × span-days, tiny next to events.
+    */
+  def interpolateDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(20,6)") * lit(1000000)).cast("long")).as("s_us"))
+      .withColumn("m_us", expr("(2 * s_us + n) div (2 * n)"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(col("user_id"),
+        explode(sequence(col("dmin"), col("dmax"), expr("interval 1 day"))).as("day"))
+    val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("n").isNotNull, col("day"))
+    val obsM = when(col("n").isNotNull, col("m_us"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("pm", last(obsM, ignoreNulls = true).over(back))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+      .withColumn("nm", first(obsM, ignoreNulls = true).over(fwd))
+      .withColumn("v_us",
+        when(col("n").isNotNull, col("m_us"))
+          .otherwise(expr(
+            """(2 * (datediff(nd, day) * pm + datediff(day, pd) * nm)
+              |   + datediff(nd, pd)) div (2 * datediff(nd, pd))""".stripMargin)))
+      .select(
+        col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
+        when(col("n").isNotNull, 1L).otherwise(0L).as("observed"),
+        (col("v_us").cast("double") / lit(1000000.0)).as("value_filled"))
+  }
+
+  /** Rolling 7-row OLS trend slope per user: the direction-and-rate
+    * feature the rolling mean/stddev family lacks (a mean of 50 can
+    * be a flat 50 or a 20→80 ramp; the slope tells them apart — the
+    * FORCAST-style trend feature over the observation index).
+    *
+    * x is the per-user observation index (row_number over the unique
+    * (ts, event_id) order), so the slope is value-units per
+    * observation — deliberately index-based, not time-based: the
+    * companion inter-arrival profile carries the cadence, and an
+    * index slope is immune to the irregular-gap leverage that makes
+    * time-based rolling OLS unstable on bursty series.
+    *
+    * Exactness: Σx/Σx² are integers; Σy/Σxy accumulate in decimal;
+    * numerator and denominator of the closed-form slope
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) are exact, ONE rounded double
+    * division. Frames with n=1 have zero variance and are excluded
+    * by the same n ≥ 2 predicate both engines evaluate. One
+    * user-keyed window exchange.
+    */
+  def rollingSlope(events: DataFrame): DataFrame = {
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w7 = byU.rowsBetween(-6, 0)
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("x", row_number().over(byU).cast("long"))
+      .withColumn("n", count(lit(1)).over(w7))
+      .withColumn("sx", sum(col("x")).over(w7))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w7))
+      .withColumn("sy", sum(col("value").cast("decimal(20,6)")).over(w7))
+      .withColumn("sxy",
+        sum(col("x").cast("decimal(12,0)") * col("value").cast("decimal(20,6)")).over(w7))
+      .filter(col("n") >= 2)
+      .select(
+        col("event_id"), col("user_id"), col("n").as("n_frame"),
+        (round(
+          (col("n").cast("decimal(3,0)") * col("sxy").cast("decimal(25,6)") -
+            col("sx").cast("decimal(12,0)") * col("sy").cast("decimal(16,6)"))
+            .cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6) + lit(0.0))
+          .as("trend_slope"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Truncated exponentially-weighted moving average (α = 1/2, 20-lag
+    * window) per user — the recency-weighted level feature between
+    * the uniform rolling mean and the last value. α = 1/2 is chosen
+    * because its weights are EXACT dyadic rationals: scaling
+    * numerator and denominator by 2²⁰ turns the whole EWMA into
+    * integer arithmetic (value in exact µ-units × a power-of-two
+    * weight), so the only rounding in the pipeline is the final
+    * division — no accumulated float recursion, and the truncation
+    * at 20 lags is not an approximation knob but the exact
+    * definition (weights below 2⁻²⁰ are dropped AND the normalizer
+    * 1 − 2⁻ᵐ matches, so short frames are exactly renormalized).
+    *
+    * N = Σ_{k=0..19} vi(lag k)·2^(19−k)  (µ-unit BIGINTs, ≤ ~5·10¹⁴)
+    * D = 2²⁰ − 2^(20−m),  m = min(row_number, 20)
+    * ewma = N / D / 10⁶ — identical IEEE trees both engines.
+    *
+    * One user-keyed window exchange; the 20 lags and the row_number
+    * share one window spec, so Spark evaluates them in a single
+    * window pass.
+    */
+  def ewma(events: DataFrame): DataFrame = {
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val num = (0 until 20).map { k =>
+      val v = if (k == 0) col("vi") else coalesce(lag(col("vi"), k).over(byU), lit(0L))
+      v * lit(1L << (19 - k))
+    }.reduce(_ + _)
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("vi", (col("value").cast("decimal(20,6)") * lit(1000000)).cast("long"))
+      .withColumn("m", least(row_number().over(byU), lit(20)).cast("long"))
+      .withColumn("num", num)
+      .select(
+        col("event_id"), col("user_id"), col("m").as("n_frame"),
+        (round(col("num").cast("double") /
+          (lit(1048576L) - expr("shiftleft(cast(1 as bigint), cast(20 - m as int))"))
+            .cast("double") / lit(1000000.0), 6) + lit(0.0)).as("ewma"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Peak concurrent sessions per day. The oracle replays the gap
@@ -471,6 +615,106 @@ object TimeSeries {
         |FROM s GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
       cusumAlarms(Tables.events(s, dir)).orderBy(col("user_id"))
+    },
+
+    // Daily linear interpolation (r10 s3): gapfill marks holes, this
+    // fills them with the bracket line — exact integer µ-unit
+    // arithmetic with half-up rounding end to end; the only double op
+    // is the final µ-units→units division.
+    Q("timeseries_interpolate_linear",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         COUNT(*) AS n,
+        |         SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS s_us,
+        |         (2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |          + COUNT(*)) // (2 * COUNT(*)) AS m_us
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS dmin, MAX(day) AS dmax
+        |         FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |f AS (
+        |  SELECT s.user_id, s.day, d.n, d.m_us,
+        |         LAST_VALUE(CASE WHEN d.n IS NOT NULL THEN s.day END IGNORE NULLS)
+        |           OVER (PARTITION BY s.user_id ORDER BY s.day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |         LAST_VALUE(CASE WHEN d.n IS NOT NULL THEN d.m_us END IGNORE NULLS)
+        |           OVER (PARTITION BY s.user_id ORDER BY s.day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+        |         FIRST_VALUE(CASE WHEN d.n IS NOT NULL THEN s.day END IGNORE NULLS)
+        |           OVER (PARTITION BY s.user_id ORDER BY s.day
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+        |         FIRST_VALUE(CASE WHEN d.n IS NOT NULL THEN d.m_us END IGNORE NULLS)
+        |           OVER (PARTITION BY s.user_id ORDER BY s.day
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+        |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, day,
+        |       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+        |       CAST(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+        |       CAST(CASE WHEN n IS NOT NULL THEN m_us
+        |            ELSE (2 * (datediff('day', day, nd) * pm
+        |                       + datediff('day', pd, day) * nm)
+        |                  + datediff('day', pd, nd)) // (2 * datediff('day', pd, nd))
+        |       END AS DOUBLE) / 1000000.0 AS value_filled
+        |FROM f ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      interpolateDaily(Tables.events(s, dir)).orderBy(col("user_id"), col("day"))
+    },
+
+    // Rolling 7-row OLS trend slope (r10 s3): exact decimal/integer
+    // moments, one rounded division; n ≥ 2 excludes the zero-variance
+    // frame on both sides.
+    Q("timeseries_rolling_slope",
+      """WITH b AS (
+        |  SELECT event_id, user_id,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS x,
+        |         CAST(value AS DECIMAL(20,6)) AS y
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (
+        |  SELECT event_id, user_id,
+        |         COUNT(*) OVER f AS n,
+        |         SUM(x) OVER f AS sx,
+        |         SUM(x * x) OVER f AS sxx,
+        |         SUM(y) OVER f AS sy,
+        |         SUM(CAST(x AS DECIMAL(12,0)) * y) OVER f AS sxy
+        |  FROM b WINDOW f AS (PARTITION BY user_id ORDER BY x
+        |                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, CAST(n AS BIGINT) AS n_frame,
+        |       ROUND(CAST(CAST(n AS DECIMAL(3,0)) * CAST(sxy AS DECIMAL(25,6))
+        |                  - CAST(sx AS DECIMAL(12,0)) * CAST(sy AS DECIMAL(16,6))
+        |                  AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0 AS trend_slope
+        |FROM m WHERE n >= 2 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      rollingSlope(Tables.events(s, dir))
+    },
+
+    // Truncated dyadic EWMA (r10 s3): α = 1/2 over 20 lags — integer
+    // µ-unit arithmetic end to end, weights are powers of two, one
+    // final division. The generated 20-term SUM is the same exact
+    // integer both engines accumulate.
+    Q("timeseries_ewma", {
+      val terms = (0 until 20).map { k =>
+        val w = 1L << (19 - k)
+        if (k == 0) s"vi * $w" else s"COALESCE(LAG(vi, $k) OVER w, 0) * $w"
+      }.mkString("\n        |         + ")
+      s"""WITH v AS (
+        |  SELECT event_id, ts, user_id,
+        |         CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS vi
+        |  FROM events),
+        |e AS (
+        |  SELECT event_id, user_id,
+        |         LEAST(ROW_NUMBER() OVER w, 20) AS m,
+        |         $terms
+        |           AS num
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, CAST(m AS BIGINT) AS n_frame,
+        |       ROUND(CAST(num AS DOUBLE)
+        |             / CAST(1048576 - (CAST(1 AS BIGINT) << CAST(20 - m AS INT)) AS DOUBLE)
+        |             / 1000000.0, 6) + 0 AS ewma
+        |FROM e ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      ewma(Tables.events(s, dir))
     },
   )
 }

@@ -121,4 +121,75 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(1L) === ((0L, -1L)))
     assert(got(2L) === ((2L, 210L)))
   }
+
+  test("interpolateDaily: interior gaps get the bracket line, observed days the exact mean") {
+    // u1 observes day 1 (mean 10), day 4 (mean 40), day 5 (mean 20):
+    // days 2,3 interpolate the 1→4 line (20, 30); day 5 is observed.
+    // Day-4 mean comes from TWO events (35 + 45) — exercises the
+    // per-day mean, not just single samples.
+    val e = Seq(
+      (1L, 1L, ts("2024-03-01 08:00:00"), 10.0),
+      (2L, 1L, ts("2024-03-04 08:00:00"), 35.0),
+      (3L, 1L, ts("2024-03-04 09:00:00"), 45.0),
+      (4L, 1L, ts("2024-03-05 08:00:00"), 20.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.interpolateDaily(e).orderBy(col("day"))
+      .select(col("day").cast("string"), col("observed"), col("value_filled"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("2024-03-01", 1L, 10.0),
+      ("2024-03-02", 0L, 20.0),
+      ("2024-03-03", 0L, 30.0),
+      ("2024-03-04", 1L, 40.0),
+      ("2024-03-05", 1L, 20.0)))
+  }
+
+  test("interpolateDaily: a fully-dense user is returned verbatim (no spine rows invented)") {
+    val e = Seq(
+      (1L, 7L, ts("2024-03-01 00:00:00"), 5.0),
+      (2L, 7L, ts("2024-03-02 00:00:00"), 6.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.interpolateDaily(e).collect()
+    assert(got.length === 2)
+    assert(got.forall(_.getAs[Long]("observed") === 1L))
+  }
+
+  test("rollingSlope: linear ramp recovers its step; constant series slopes zero") {
+    // u1 = 3, 5, 7, 9 (slope 2 per index everywhere); u2 constant.
+    val e = (1 to 4).map(i => (10L + i, 1L, ts(f"2024-01-01 00:00:$i%02d"), 1.0 + 2.0 * i)) ++
+      (1 to 3).map(i => (20L + i, 2L, ts(f"2024-01-01 00:00:$i%02d"), 4.0))
+    val got = TimeSeries.rollingSlope(e.toDF("event_id", "user_id", "ts", "value"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("trend_slope")).toMap
+    // first row of each user (n=1) excluded
+    assert(!got.contains(11L) && !got.contains(21L))
+    assert(got(12L) === 2.0 && got(13L) === 2.0 && got(14L) === 2.0)
+    assert(got(22L) === 0.0 && got(23L) === 0.0)
+  }
+
+  test("ewma: dyadic weights renormalize exactly on short frames") {
+    // [2, 4]: row 1 → 2.0; row 2 → (4·½ + 2·¼)/(¾) = 10/3 ≈ 3.333333.
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:01"), 2.0),
+      (2L, 1L, ts("2024-01-01 00:00:02"), 4.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.ewma(e).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    assert(got(1L) === 2.0)
+    assert(got(2L) === 3.333333)
+  }
+
+  test("ewma: beyond 20 lags the window forgets exactly (truncation is the definition)") {
+    // 25 samples: first 5 are a huge level (1000), the rest 0. At row
+    // 25, lags 0..19 are all zeros (rows 6..25) — the EWMA is exactly
+    // 0: the 1000s fell off the 20-lag window entirely.
+    val e = (1 to 25).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:00:$i%02d"), if (i <= 5) 1000.0 else 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.ewma(e).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    assert(got(25L) === 0.0)
+    // and at row 6 the previous five 1000s still dominate: weight of
+    // the zero at lag 0 is ½, the rest is (¼+…+2⁻⁶)/(1−2⁻⁶) of 1000
+    assert(got(6L) > 400.0 && got(6L) < 500.0)
+  }
 }
