@@ -435,6 +435,111 @@ object Sketches {
     // pinned output makes the realized error visible). Quantiles are
     // element-selecting (`exact_quantile` ≡ `quantile_disc`), so every
     // emitted value is an original data double.
+    // Log-bucketed quantile histogram (r10 s3) — the DDSketch idea
+    // (Masson/Rim/Lee, VLDB'19: relative-error quantiles from
+    // logarithmic buckets) rebuilt on INTEGER arithmetic so the sketch
+    // is hash-pinnable cross-engine: values map to exact µ-units, the
+    // bucket is the two-leading-digit cut ⌊v/10^(d−1)⌋·10^(d−1)
+    // (decade d from the DIGIT COUNT of the integer, never log10 of a
+    // double — the Benford lesson), giving ≤ 10% relative width. The
+    // summary is the bucket histogram: one groupBy count (map-side
+    // combinable, mergeable by addition — the scale path), a
+    // prefix-sum over the BOUNDED bucket grid (≤ 90 buckets/decade),
+    // and rank selection ⌈q·n⌉ in exact integer arithmetic. The query
+    // publishes the audit alongside: the exact disc-quantile (native
+    // one-pass aggregate) falls inside the chosen bucket BY
+    // CONSTRUCTION — `contained` is the driver-visible proof.
+    Q("sketch_log_histogram_quantiles",
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS vi
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT vi,
+        |         CASE WHEN length(CAST(vi AS VARCHAR)) = 1 THEN 1
+        |              ELSE CAST('1' || repeat('0', length(CAST(vi AS VARCHAR)) - 2)
+        |                        AS BIGINT) END AS w
+        |  FROM v),
+        |hist AS (
+        |  SELECT (vi // w) * w AS lo, w, COUNT(*) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |h AS (
+        |  SELECT lo, w, cnt,
+        |         SUM(cnt) OVER (ORDER BY lo ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM hist),
+        |tot AS (SELECT COUNT(*) AS n FROM v),
+        |t AS (
+        |  SELECT q, (n * num + den - 1) // den AS target, n
+        |  FROM (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+        |       AS qs(q, num, den) CROSS JOIN tot),
+        |est AS (
+        |  SELECT t.q, t.target, t.n, MIN(h.lo) AS est_lo
+        |  FROM t JOIN h ON h.cum >= t.target
+        |  GROUP BY 1, 2, 3),
+        |ex AS (
+        |  SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25) AS eq FROM lineitem
+        |  UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+        |  UNION ALL SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        |  UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem)
+        |SELECT est.q,
+        |       CAST(est.target AS BIGINT) AS target_rank,
+        |       CAST(est.n AS BIGINT) AS n_total,
+        |       CAST(est.est_lo AS BIGINT) AS est_lo_us,
+        |       CAST(h.w AS BIGINT) AS width_us,
+        |       CAST(h.cnt AS BIGINT) AS bucket_n,
+        |       CAST(CAST(CAST(ex.eq AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS BIGINT)
+        |         AS exact_q_us,
+        |       CAST(CASE WHEN CAST(CAST(ex.eq AS DECIMAL(20,6)) * 1000000 AS BIGINT)
+        |                      BETWEEN est.est_lo AND est.est_lo + h.w - 1
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS contained
+        |FROM est JOIN h ON h.lo = est.est_lo JOIN ex ON ex.q = est.q
+        |ORDER BY est.q""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val v = li.select(
+        (col("l_extendedprice").cast("decimal(20,6)") * lit(1000000)).cast("long").as("vi"))
+      val b = v.withColumn("w",
+        when(length(col("vi").cast("string")) === 1, lit(1L))
+          .otherwise(expr(
+            "cast(concat('1', repeat('0', length(cast(vi as string)) - 2)) as bigint)")))
+      val hist = b.groupBy(expr("(vi div w) * w").as("lo"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+      // prefix sum over the BOUNDED bucket grid (≤ 90/decade) — the
+      // documented unpartitioned-window-on-a-grid class
+      val h = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("lo"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = v.agg(count(lit(1)).as("n"))
+      val t = Seq((0.25, 1L, 4L), (0.5, 1L, 2L), (0.9, 9L, 10L), (0.99, 99L, 100L))
+        .toDF("q", "num", "den")
+        .crossJoin(broadcast(tot))
+        .select(col("q"), expr("(n * num + den - 1) div den").as("target"), col("n"))
+      val est = broadcast(t).join(h, col("cum") >= col("target"))
+        .groupBy(col("q"), col("target"), col("n"))
+        .agg(min(col("lo")).as("est_lo"))
+      val ex = li.agg(
+        graft.functions.exact_quantile(col("l_extendedprice"), 0.25).as("e25"),
+        graft.functions.exact_quantile(col("l_extendedprice"), 0.5).as("e50"),
+        graft.functions.exact_quantile(col("l_extendedprice"), 0.9).as("e90"),
+        graft.functions.exact_quantile(col("l_extendedprice"), 0.99).as("e99"))
+        .select(expr("stack(4, 0.25D, e25, 0.5D, e50, 0.9D, e90, 0.99D, e99) as (q, eq)"))
+      val exUs = ex.select(col("q").as("xq"),
+        (col("eq").cast("decimal(20,6)") * lit(1000000)).cast("long").as("exact_q_us"))
+      est
+        .join(h.select(col("lo"), col("w"), col("cnt")), col("lo") === col("est_lo"))
+        .join(broadcast(exUs), col("xq") === col("q"))
+        .select(
+          col("q"),
+          col("target").cast("long").as("target_rank"),
+          col("n").cast("long").as("n_total"),
+          col("est_lo").as("est_lo_us"),
+          col("w").as("width_us"),
+          col("cnt").as("bucket_n"),
+          col("exact_q_us"),
+          when(col("exact_q_us").between(col("est_lo"), col("est_lo") + col("w") - 1), 1L)
+            .otherwise(0L).as("contained"))
+        .orderBy(col("q"))
+    },
+
     Q("sketch_sample_quantiles", {
       val hashSql = "CAST(concat('0x', substr(md5('sq:' || CAST(l_orderkey AS VARCHAR)" +
         " || ':' || CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT)"

@@ -104,7 +104,11 @@ class RelationalSpec extends SparkSpec {
       // per-feature PSI generates its bucket grid as |features| × B —
       // a cross of two BOUNDED frames (3 × 16 here), the same
       // domain-grid class as range(B) in the ungrouped psi/benford
-      "audit_psi_by_feature")
+      "audit_psi_by_feature",
+      // log-histogram quantiles crosses the 4-row rank-target frame
+      // with the broadcast 1-row total, then inequality-joins it over
+      // the BOUNDED bucket grid — the domain-grid + 1-row classes
+      "sketch_log_histogram_quantiles")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString

@@ -177,4 +177,54 @@ class SketchesSpec extends SparkSpec {
     assert(est - exact <= eps * nV * nP,
       s"CMS excess ${est - exact} breaks the e/w bound ${eps * nV * nP}")
   }
+
+  test("log-histogram quantiles: containment is structural and width is <= 10% relative") {
+    // Run the declared query on sf0.001: whatever the data, the exact
+    // disc-quantile MUST land in the selected bucket (the rank-target
+    // element is inside the first bucket whose cumulative count covers
+    // it), and every multi-digit bucket's width is one tenth of its
+    // decade.
+    val rows = SparkEntry.queries("sketch_log_histogram_quantiles")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length === 4)
+    for (r <- rows) {
+      assert(r.getAs[Long]("contained") === 1L)
+      val lo = r.getAs[Long]("est_lo_us")
+      val w = r.getAs[Long]("width_us")
+      if (lo >= 10) assert(w * 10 <= lo + w, s"width $w too wide for bucket at $lo")
+      val eq = r.getAs[Long]("exact_q_us")
+      assert(eq >= lo && eq < lo + w)
+    }
+  }
+
+  test("log-histogram: the bucket map is a pure function of the value (merge = addition)") {
+    // Mergeability evidence without private plumbing: bucketing two
+    // halves separately and summing the histograms equals bucketing
+    // the whole — because the (lo, w) key depends only on the value.
+    // Exercised through the same integer digit-count expressions the
+    // query uses.
+    import spark.implicits._
+    val vals = Seq(1L, 9L, 10L, 99L, 100L, 101L, 950L, 951L, 26879390000L)
+    def bucket(vi: Long): (Long, Long) = {
+      val d = vi.toString.length - 1
+      val w = if (d == 0) 1L else math.pow(10, d - 1).toLong
+      ((vi / w) * w, w)
+    }
+    val (a, b) = vals.splitAt(4)
+    val whole = vals.groupBy(bucket).view.mapValues(_.size).toMap
+    val merged = (a.groupBy(bucket).view.mapValues(_.size).toMap.toSeq ++
+      b.groupBy(bucket).view.mapValues(_.size).toMap.toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(whole === merged)
+    // and the Spark-side expression agrees with the model
+    val df = vals.toDF("vi")
+      .withColumn("w",
+        when(length(col("vi").cast("string")) === 1, lit(1L))
+          .otherwise(expr(
+            "cast(concat('1', repeat('0', length(cast(vi as string)) - 2)) as bigint)")))
+      .select(col("vi"), expr("(vi div w) * w").as("lo"), col("w"))
+    val got = df.as[(Long, Long, Long)].collect()
+      .map { case (vi, lo, w) => vi -> ((lo, w)) }.toMap
+    assert(vals.forall(v => got(v) === bucket(v)))
+  }
 }
