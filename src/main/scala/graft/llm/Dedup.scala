@@ -1936,6 +1936,47 @@ object Dedup {
       s"$ngramPairsSql\nORDER BY id_a, id_b") { (s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3)
     },
+
+    // EXACT threshold set-similarity join (r10 s3) — the
+    // deterministic complement of the LSH tier: minhash banding is
+    // probabilistic (a true pair can in principle miss every band);
+    // this tier is exhaustive BY CONSTRUCTION — any pair with J ≥ τ
+    // shares a gram, and the co-occurrence count join enumerates
+    // every gram-sharing pair. The oracle replays the identical
+    // count-join, so the driver hash is a full cross-engine replay of
+    // the exact tier (25 pairs at sf0.01 / 256 at sf0.1 — same pair
+    // sets the LSH tier finds, now with a completeness guarantee).
+    // τ = 2/5 held as a rational (integer cross-multiplication); the
+    // Jaccard output is half-up integer micro-units (a double
+    // quotient of small integers CAN terminate exactly on a 6-dp
+    // boundary — 1/128 does).
+    Q("dedup_jaccard_exact",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w)),
+        |                                      i -> w[i] || ' ' || w[i + 1])) AS grams
+        |  FROM t WHERE len(w) >= 2),
+        |tok AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |sz AS (SELECT doc_id, len(grams) AS sz FROM g),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni
+        |  FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b,
+        |       CAST(inter AS BIGINT) AS n_shared,
+        |       CAST((2 * 1000000 * inter + uni) // (2 * uni) AS DOUBLE) / 1000000.0
+        |         AS jaccard
+        |FROM j WHERE 5 * inter >= 2 * uni
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      jaccardExactJoin(Tables.documents(s, dir))
+    },
   )
 
   /** Connected components over a dup-pair graph by min-label
@@ -2246,6 +2287,135 @@ object Dedup {
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Exact bigram-set similarity join at Jaccard ≥ 2/5 via PREFIX
+    * FILTERING — the AllPairs/PPJoin family (Chaudhuri et al.
+    * ICDE'06; Bayardo et al. WWW'07; Xiao et al. WWW'08) — the
+    * deterministic, provably-complete alternative to the minhash LSH
+    * tier (banding can miss a true pair; the prefix lemma cannot).
+    *
+    * Prefix lemma: order every doc's gram set by ONE global total
+    * order (df asc, gram asc — rarest first, the order that makes
+    * prefixes selective). If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉,
+    * and two sets with overlap ≥ α must collide within their first
+    * |X| − α + 1 elements — so the prefixes of length
+    * |X| − ⌈τ·|X|⌉ + 1 of ANY qualifying pair share a gram. Candidate
+    * generation therefore joins PREFIX rows only; the size filter
+    * 2·|A| ≤ 5·|B| ∧ 2·|B| ≤ 5·|A| (τ ≤ min/max, cross-multiplied)
+    * prunes before the exact array_intersect verify.
+    *
+    * Scale shape: df is one gram-keyed count (map-side combinable);
+    * the prefix build is a per-doc sort of its own gram array (no
+    * window — slice(array_sort(collect_list))); the candidate join is
+    * gram-keyed on PREFIX rows (rare grams by construction — the df
+    * order concentrates selectivity); verify joins are doc-keyed.
+    *
+    * REGIME (measured, sf0.1): prefix filtering wins when df is
+    * SKEWED — a Zipfian corpus where the prefix excludes the
+    * stop-gram head cuts candidates by orders of magnitude. The
+    * synthetic documents corpus is the opposite pathology: 931
+    * distinct bigrams across 5 000 docs (every gram df ≈ 275), so
+    * candidates ≈ all co-occurring pairs (10.3 M) and the per-pair
+    * array verify ships 2×50-gram arrays to 10 M rows — the shuffle
+    * IS the cost. That is why the DECLARED query is
+    * [[jaccardExactJoin]] (co-occurrence count join, no arrays on any
+    * shuffle) and this prefix form is the library path for skewed-df
+    * corpora; LlmSpec proves the two emit identical pairs on a
+    * Zipfian fixture.
+    *
+    * τ is the rational 2/5 end to end: ⌈τ·sz⌉ = (2·sz+4) div 5; the
+    * verify keeps 5·inter ≥ 2·union; the reported jaccard is half-up
+    * integer micro-units — no float threshold anywhere.
+    */
+  def jaccardPrefixJoin(docs: DataFrame): DataFrame = {
+    val g = bigramSets(docs)
+      .withColumn("sz", size(col("grams")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = prefixCandidates(g)
+      .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga"), col("sz").as("sa")),
+        "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("grams").as("gb"), col("sz").as("sb")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 2)
+      .select(col("id_a"), col("id_b"),
+        col("inter").as("n_shared"),
+        (expr("(2 * 1000000 * inter + uni) div (2 * uni)").cast("double") /
+          lit(1000000.0)).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    g.unpersist()
+    out
+  }
+
+  /** The prefix-lemma candidate stage of [[jaccardPrefixJoin]],
+    * package-visible so LlmSpec measures ITS selectivity (candidates
+    * vs all co-occurring pairs on a Zipfian fixture) rather than an
+    * inline copy that could drift. Input: (doc_id, grams, sz). */
+  private[graft] def prefixCandidates(g: DataFrame): DataFrame = {
+    val tok = g.select(col("doc_id"), col("sz"), explode(col("grams")).as("gram"))
+    val df = tok.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(df, "gram")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("ord"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("ord"), lit(1),
+          (col("sz") - expr("(2 * sz + 4) div 5") + 1).cast("int"))).as("p"))
+      .select(col("doc_id"), col("sz"), col("p.gram").as("gram"))
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 2 <= col("b.sz") * 5 &&
+          col("b.sz") * 2 <= col("a.sz") * 5)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact bigram-set similarity join at Jaccard ≥ 2/5 as a
+    * CO-OCCURRENCE COUNT join — the exhaustive exact tier, shaped so
+    * nothing wide ever shuffles (Vernica et al. SIGMOD'10 is the
+    * published MapReduce treatment of this family):
+    *
+    *   inter(A,B) = COUNT over the gram-keyed tok ⋈ tok join
+    *   union(A,B) = |A| + |B| − inter  (sizes joined doc-keyed)
+    *   keep 5·inter ≥ 2·union          (τ = 2/5, integer cross-mult)
+    *
+    * Work is Σ_g df_g² pair-count rows — each a bare (id_a, id_b) —
+    * with the per-pair aggregation partially reduced inside each
+    * join task before any exchange; gram ARRAYS never leave their
+    * doc row (the array-verify form shipped 2×50-gram arrays to 10 M
+    * candidate rows on this corpus and was the measured blowup).
+    * Σ df² is the honest price of EXACTNESS on an all-similar corpus;
+    * on skewed-df corpora [[jaccardPrefixJoin]] cuts the candidate
+    * side via the prefix lemma, and the sub-quadratic path remains
+    * the LSH tier — three tiers, one verified pair semantics.
+    */
+  def jaccardExactJoin(docs: DataFrame): DataFrame = {
+    val g = bigramSets(docs).withColumn("sz", size(col("grams")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val sz = g.select(col("doc_id"), col("sz"))
+    val inter = tok.as("a")
+      .join(tok.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 2)
+      .select(col("id_a"), col("id_b"),
+        col("inter").as("n_shared"),
+        (expr("(2 * 1000000 * inter + uni) div (2 * uni)").cast("double") /
+          lit(1000000.0)).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    g.unpersist()
+    out
   }
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {

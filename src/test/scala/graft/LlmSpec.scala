@@ -1247,4 +1247,72 @@ class LlmSpec extends SparkSpec {
     val z = graft.llm.Similarity.labelDrift(zeros).collect()
     assert(z.head.getDouble(2) === 0.0)
   }
+
+  /** Zipfian fixture for the exact-Jaccard tier: every doc opens with
+    * the same stop-token run (head of the df distribution); the tail
+    * tokens are doc-private except for planted near-dup pairs. */
+  private def zipfianDocs(n: Int): DataFrame = {
+    val stop = "the of and to in"
+    val rows = (0 until n).map { i =>
+      // pair 2k/2k+1 shares its rare tail when k % 3 == 0
+      val base = if (i % 6 == 1) i - 1 else i
+      val rare = (0 until 12).map(j => s"tok${base}_$j").mkString(" ")
+      val tail = if (i % 6 == 1) s"$rare extra$i" else rare
+      (i.toLong, s"$stop $tail")
+    }
+    docs(rows: _*)
+  }
+
+  test("jaccard exact tier: count-join equals the prefix-filtered join pair for pair") {
+    val d = zipfianDocs(60)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "n_shared", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val exact = norm(graft.llm.Dedup.jaccardExactJoin(d))
+    val prefix = norm(graft.llm.Dedup.jaccardPrefixJoin(d))
+    assert(exact.nonEmpty, "vacuous fixture: no qualifying pairs")
+    assert(exact === prefix)
+    // the planted pairs are exactly the (6k, 6k+1) couples
+    assert(exact.map(t => (t._1, t._2)) ===
+      (0 until 60 by 6).map(k => (k.toLong, k + 1L)))
+  }
+
+  test("jaccard exact tier: equals in-memory brute force on random token sets") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rows = (0 until 30).map { i =>
+      val k = 5 + rnd.nextInt(10)
+      (i.toLong, rnd.shuffle(vocab).take(k).mkString(" "))
+    }
+    val d = docs(rows: _*)
+    def bigrams(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val brute = for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      a = bigrams(ta); b = bigrams(tb)
+      inter = (a & b).size; uni = a.size + b.size - inter
+      if 5 * inter >= 2 * uni
+    } yield (ia, ib)
+    val got = graft.llm.Dedup.jaccardExactJoin(d)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === brute.sorted)
+  }
+
+  test("prefix candidates are complete and selective on the Zipfian fixture") {
+    val d = zipfianDocs(60)
+    val g = graft.llm.Dedup.bigramSets(d)
+      .withColumn("sz", org.apache.spark.sql.functions.size(col("grams")).cast("long"))
+    val cand = graft.llm.Dedup.prefixCandidates(g)
+      .as[(Long, Long)].collect().toSet
+    // complete: every true pair is a candidate
+    val truePairs = graft.llm.Dedup.jaccardExactJoin(d)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truePairs.subsetOf(cand))
+    // selective: the stop-gram head co-locates EVERY pair (any two
+    // docs share "the of" etc.), but the rarest-first prefixes skip
+    // the head — candidates must be far below the co-occurring total
+    val n = 60L
+    assert(cand.size < n * (n - 1) / 2 / 5,
+      s"prefix candidates ${cand.size} not selective vs all-pairs ${n * (n - 1) / 2}")
+  }
 }
