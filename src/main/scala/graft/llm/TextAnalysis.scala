@@ -444,6 +444,56 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Corpus-trained add-one bigram language-model score per doc — the
+    * CCNet idea (Wenzek et al., LREC'20: rank documents by an LM's
+    * perplexity and gate on it) with the KenLM stand-in replaced by a
+    * bigram model trained ON the corpus itself, so the whole pipeline
+    * is self-contained and cross-engine exact:
+    *
+    *   P(b|a) = (c₂(a,b) + 1) / (c₁(a) + V)       (add-one smoothing)
+    *   score(doc) = Σ ln P / n_bigrams            (mean log-prob)
+    *
+    * A doc whose bigrams are corpus-typical scores high; shredded or
+    * machine-generated token soup scores low — the quality signal
+    * `text_quality`'s surface ratios can't see (word order).
+    *
+    * Determinism: every ln takes an INTEGER argument (ln(c₂+1),
+    * ln(c₁+V) subtracted — never ln of a quotient), rounded to 12 dp
+    * and summed as decimal (order-free); the zipfSlope discipline.
+    *
+    * Scale shape: bigram rows come from the native ngrams generator
+    * (map-only, no doc-keyed window); the model (c₂ per bigram, c₁
+    * folded FROM c₂ by prefix, scalar V) is vocabulary-bounded with
+    * map-side-combinable counts; per-doc bigrams pre-aggregate to
+    * (doc, gram, multiplicity) so the model join is one
+    * bigram-keyed join of model-sized frames against distinct doc
+    * grams; V broadcasts. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), graft.functions.ngrams(col("text"), 2).as(Seq("pos", "e")))
+      .select(col("doc_id"), col("e"))
+    val c2 = bg.groupBy(col("e")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("e"), " ", 1).as("p"))
+      .agg(sum(col("c2")).as("c1"))
+    val v = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val db = bg.groupBy(col("doc_id"), col("e")).agg(count(lit(1)).as("m"))
+    db.join(c2, "e")
+      .withColumn("p", substring_index(col("e"), " ", 1))
+      .join(c1, "p")
+      .crossJoin(broadcast(v))
+      .withColumn("term",
+        round(log(col("c2") + 1) - log(col("c1") + col("v")), 12)
+          .cast("decimal(28,12)") * col("m").cast("decimal(8,0)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast("long").as("n_bigrams"),
+        sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (round(col("s").cast("double") / col("n_bigrams"), 6) + lit(0.0))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Mixed-language consistency: chunk slicing, per-chunk stopword
@@ -624,6 +674,38 @@ object TextAnalysis {
         |        ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) + 0 AS r2
         |FROM s""".stripMargin) { (s, dir) =>
       zipfSlope(Tables.documents(s, dir))
+    },
+
+    // Add-one bigram LM quality score (r10 s3): the CCNet-style
+    // perplexity gate, self-trained — see bigramLmScore's scaladoc.
+    // Every ln takes an integer argument; terms round to 12 dp and
+    // sum as decimal.
+    Q("text_bigram_lm",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || ' ' || w[i + 1])) AS e
+        |  FROM t),
+        |c2 AS (SELECT e, COUNT(*) AS c2 FROM bg GROUP BY e),
+        |c1 AS (SELECT split_part(e, ' ', 1) AS p, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(w) AS tok FROM t)),
+        |db AS (SELECT doc_id, e, COUNT(*) AS m FROM bg GROUP BY doc_id, e),
+        |s AS (
+        |  SELECT db.doc_id, db.m,
+        |         CAST(ROUND(LN(CAST(c2.c2 + 1 AS DOUBLE))
+        |                    - LN(CAST(c1.c1 + v.v AS DOUBLE)), 12)
+        |              AS DECIMAL(28,12)) * db.m AS term
+        |  FROM db
+        |  JOIN c2 ON c2.e = db.e
+        |  JOIN c1 ON c1.p = split_part(db.e, ' ', 1)
+        |  CROSS JOIN v)
+        |SELECT doc_id,
+        |       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |       ROUND(CAST(SUM(term) AS DOUBLE) / SUM(m), 6) + 0 AS avg_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      bigramLmScore(Tables.documents(s, dir))
     },
 
     // TF-IDF summary per doc (no-oracle: murmur3 hash space is

@@ -1248,6 +1248,36 @@ class LlmSpec extends SparkSpec {
     assert(z.head.getDouble(2) === 0.0)
   }
 
+  test("bigram LM: hand-computed add-one scores on a two-doc corpus") {
+    // corpus: "a b a b" and "a c". Bigrams: (a b)×2, (b a)×1, (a c)×1.
+    // c1: a→3, b→1. V = 3 distinct tokens {a,b,c}.
+    // P(b|a) = (2+1)/(3+3) = 1/2; P(a|b) = (1+1)/(1+3) = 1/2;
+    // P(c|a) = (1+1)/(3+3) = 1/3.
+    // doc1 score = (2·ln½ + ln½)/3 = ln½ = −0.693147
+    // doc2 score = ln⅓ = −1.098612
+    val d = docs((1L, "a b a b"), (2L, "a c"))
+    val got = graft.llm.TextAnalysis.bigramLmScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    assert(got(1L) === ((3L, -0.693147)))
+    assert(got(2L) === ((1L, -1.098612)))
+  }
+
+  test("bigram LM: corpus-typical word order outscores shredded token soup") {
+    // 20 docs share a common phrase structure; one doc uses the SAME
+    // vocabulary in scrambled orders unseen elsewhere — a surface
+    // ratio can't tell them apart, the LM can.
+    val natural = (1L to 20L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number$i"))
+    val shredded = (21L, "dog the over quick lazy brown number3 fox the jumps")
+    val d = docs((natural :+ shredded): _*)
+    val got = graft.llm.TextAnalysis.bigramLmScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    val naturalMin = (1L to 20L).map(got).min
+    assert(got(21L) < naturalMin,
+      s"shredded ${got(21L)} should score below every natural doc (min $naturalMin)")
+  }
+
   /** Zipfian fixture for the exact-Jaccard tier: every doc opens with
     * the same stop-token run (head of the df distribution); the tail
     * tokens are doc-private except for planted near-dup pairs. */
