@@ -603,7 +603,91 @@ object EventAnalytics {
       seasonalAnomalies(Tables.events(s, dir))
         .orderBy(col("event_type"), col("day"))
     },
+
+    // RFM segmentation (r10 s3): the classic customer-value cube —
+    // Recency (days from the user's last purchase to the corpus's
+    // last purchase day), Frequency (purchase count), Monetary
+    // (µ-unit spend) — each cut into quintiles by DETERMINISTIC
+    // integer rank arithmetic: rn = row_number over (metric in the
+    // desirable direction, user_id tiebreak), score = ((rn−1)·5) div
+    // n + 1, so 5 always means best and ties split reproducibly in
+    // both engines (ntile is deliberately NOT used — its tie
+    // placement is engine-arbitrary without the explicit total
+    // order). The three rank windows run on the per-user AGGREGATE
+    // frame (|users|, tiny next to events); at 100 TB the same
+    // two-phase bucket-offset decomposition as the sweep-line prefix
+    // sum applies — documented, not needed at any tested SF.
+    Q("events_rfm_segments",
+      """WITH p AS (
+        |  SELECT user_id, ts,
+        |         CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS v_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1 FROM p),
+        |u AS (
+        |  SELECT user_id,
+        |         datediff('day', CAST(date_trunc('day', MAX(ts)) AS DATE),
+        |                  (SELECT d1 FROM mx)) AS recency_days,
+        |         COUNT(*) AS frequency,
+        |         SUM(v_us) AS m_us
+        |  FROM p GROUP BY user_id),
+        |n AS (SELECT COUNT(*) AS n FROM u),
+        |r AS (
+        |  SELECT u.*, n.n,
+        |         ROW_NUMBER() OVER (ORDER BY recency_days DESC, user_id) AS rr,
+        |         ROW_NUMBER() OVER (ORDER BY frequency ASC, user_id) AS rf,
+        |         ROW_NUMBER() OVER (ORDER BY m_us ASC, user_id) AS rm
+        |  FROM u CROSS JOIN n)
+        |SELECT user_id,
+        |       CAST(recency_days AS BIGINT) AS recency_days,
+        |       CAST(frequency AS BIGINT) AS frequency,
+        |       CAST(m_us AS DOUBLE) / 1000000.0 AS monetary,
+        |       CAST((rr - 1) * 5 // n + 1 AS BIGINT) AS r_score,
+        |       CAST((rf - 1) * 5 // n + 1 AS BIGINT) AS f_score,
+        |       CAST((rm - 1) * 5 // n + 1 AS BIGINT) AS m_score,
+        |       CAST(((rr - 1) * 5 // n + 1) * 100 + ((rf - 1) * 5 // n + 1) * 10
+        |            + ((rm - 1) * 5 // n + 1) AS BIGINT) AS segment
+        |FROM r ORDER BY user_id""".stripMargin) { (s, dir) =>
+      rfmSegments(Tables.events(s, dir))
+    },
   )
+
+  /** RFM quintile segmentation over purchase events — see the
+    * `events_rfm_segments` declaration for the exact rank-arithmetic
+    * contract (row_number with user_id tiebreak; score = ((rn−1)·5)
+    * div n + 1; 5 = best on every axis; monetary in exact µ-units).
+    * Users with no purchases are absent by construction. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(20,6)") * lit(1000000)).cast("long").as("v_us"))
+    val mx = p.agg(to_date(date_trunc("day", max(col("ts")))).as("d1"))
+    val u = p.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("day", max(col("ts")))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("v_us")).as("m_us"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        datediff(col("d1"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("m_us"))
+    val n = u.agg(count(lit(1)).as("n"))
+    val ranked = u.crossJoin(broadcast(n))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))).cast("long"))
+      .withColumn("rf", row_number().over(
+        Window.orderBy(col("frequency").asc, col("user_id"))).cast("long"))
+      .withColumn("rm", row_number().over(
+        Window.orderBy(col("m_us").asc, col("user_id"))).cast("long"))
+      .withColumn("r_score", expr("(rr - 1) * 5 div n + 1"))
+      .withColumn("f_score", expr("(rf - 1) * 5 div n + 1"))
+      .withColumn("m_score", expr("(rm - 1) * 5 div n + 1"))
+    ranked.select(
+      col("user_id"), col("recency_days"), col("frequency"),
+      (col("m_us").cast("double") / lit(1000000.0)).as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+      .orderBy(col("user_id"))
+  }
 
   /** Weekday-baseline anomaly flags over an (event_type, ts) stream —
     * see the `events_anomaly_seasonal` declaration for the exact

@@ -108,7 +108,13 @@ class RelationalSpec extends SparkSpec {
       // log-histogram quantiles crosses the 4-row rank-target frame
       // with the broadcast 1-row total, then inequality-joins it over
       // the BOUNDED bucket grid — the domain-grid + 1-row classes
-      "sketch_log_histogram_quantiles")
+      "sketch_log_histogram_quantiles",
+      // RFM joins the broadcast 1-row anchor day and the 1-row user
+      // count back over the per-user frame — the 1-row class twice
+      "events_rfm_segments",
+      // the bigram LM crosses the broadcast 1-row vocabulary size V
+      // into the scoring join — the text_tfidf_exact 1-row class
+      "text_bigram_lm")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
@@ -1194,5 +1200,30 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(4) === clamped.sum)
     assert(r.getLong(5) === vals.count(_ < lo))
     assert(r.getLong(6) === vals.count(_ > hi))
+  }
+
+  test("rfm: quintiles balance, the dominant user reads 555, non-purchasers are absent") {
+    import java.sql.Timestamp
+    import graft.queries.EventAnalytics
+    import spark.implicits._
+    // 10 purchasing users: user i purchases (i+1) times on day i+1
+    // (later users: more recent, more frequent, bigger spend — all
+    // three rankings agree, so user 10 must read 555 and user 1 reads
+    // 111); user 99 only clicks and must not appear.
+    val rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)] = (1 to 10).flatMap { i =>
+      (1 to i).map(j => (i * 100L + j, i.toLong,
+        Timestamp.valueOf(f"2024-02-$i%02d 10:00:$j%02d"), "purchase", i * 10.0))
+    } :+ ((9999L, 99L, Timestamp.valueOf("2024-02-28 10:00:00"), "click", 5.0))
+    val events = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.rfmSegments(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("segment")).toMap
+    assert(!got.contains(99L))
+    assert(got(10L) === 555L)
+    assert(got(1L) === 111L)
+    // quintile balance: 10 users over 5 buckets = exactly 2 per score
+    val scores = EventAnalytics.rfmSegments(events).collect()
+      .map(_.getAs[Long]("r_score"))
+    assert(scores.groupBy(identity).view.mapValues(_.size).toMap ===
+      (1L to 5L).map(_ -> 2).toMap)
   }
 }
