@@ -1100,6 +1100,48 @@ object Relational {
         .orderBy(col("p_brand"))
     },
 
+    // Q16-shaped supplier-variety composite (r10 s3): how many
+    // DISTINCT suppliers serve each (brand, size-band) part segment,
+    // with a NOT-IN supplier exclusion list — the TPC-H shape whose
+    // heart is a distinct-pair aggregate feeding a grouped
+    // count-distinct through an ANTI join (lineitem's (partkey,
+    // suppkey) pairs stand in for partsupp; the exclusion list is the
+    // deterministic s_acctbal < 0 set, Q16's complaint filter). Plan:
+    // ONE distinct-pair exchange on (partkey, suppkey), broadcast
+    // anti join against the 6-row exclusion, broadcast part-dim join
+    // (keyed at 100 TB), then the two-phase distinct aggregate on the
+    // 25×5 segment grid. Size bands are integer arithmetic
+    // ((p_size − 1) div 10 + 1).
+    Q("analytics_supplier_variety",
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (
+        |  SELECT ps.l_partkey, ps.l_suppkey FROM ps
+        |  WHERE ps.l_suppkey NOT IN
+        |        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p.p_brand,
+        |       CAST((p.p_size - 1) // 10 + 1 AS BIGINT) AS size_band,
+        |       CAST(COUNT(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM ok JOIN part p ON p.p_partkey = ok.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p.p_brand, size_band""".stripMargin) { (s, dir) =>
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excl = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val ok = ps.join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      ok.join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          (expr("(p_size - 1) div 10") + 1).cast("long").as("size_band"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_band"))
+    },
+
     // The custom TypedImperativeAggregate under the driver's oracle:
     // graft's one-pass distributed ExactQuantile (the collect-free
     // replacement for the reference's driver-side threshold rule,
