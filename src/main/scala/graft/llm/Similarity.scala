@@ -615,6 +615,34 @@ object Similarity {
       .limit(kResults)
   }
 
+  /** Two-stage ANN: ADC shortlist → EXACT re-rank — the standard
+    * production composition (Jégou et al. TPAMI'11 §V: asymmetric
+    * distances select a candidate list, exact distances re-rank it):
+    * PQ compression buys the cheap scan but its quantization error
+    * can swap near-ties; re-ranking the top C = candMult·k shortlist
+    * with TRUE cosines repairs exactly those swaps for the price of
+    * C exact distance evaluations — the candidate list is the knob,
+    * bounded and independent of corpus size. The probe vector rides
+    * along as a collected literal (one driver-side row, the pqSearch
+    * LUT convention); the shortlist join is vec_id-keyed. */
+  def pqSearchRerank(
+      spark: SparkSession, path: String, probeId: Long, kResults: Int,
+      candMult: Int = 4, nProbe: Int = 0): DataFrame = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val probeU = assigned.filter(col("vec_id") === probeId)
+      .select(col("u")).head().getSeq[Double](0)
+    val shortlist = pqSearch(spark, path, probeId, kResults * candMult, nProbe)
+      .select(col("vec_id"), col("cluster"), col("adc_score"))
+    shortlist
+      .join(assigned.select(col("vec_id"), col("label"), col("u")), "vec_id")
+      .withColumn("cosine",
+        round(cosine(col("u"), typedLit(probeU)), 6) + lit(0.0))
+      .select(col("vec_id"), col("label"), col("cluster"),
+        col("adc_score"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(kResults)
+  }
+
   /** Dataset-drift monitor: cosine alignment of each label-slice's
     * centroid against the global centroid — the embedding-space
     * check a training pipeline runs per source/shard/day to catch
@@ -1043,6 +1071,16 @@ object Similarity {
     // cartesian) join shape asserted in LlmSpec.
     Q.noOracle("dedup_semantic") { (s, dir) =>
       semDeDup(s, ivfIndexFor(s, dir), tau = 0.99)
+    },
+
+    // Two-stage PQ + exact re-rank (r10 s3): ADC shortlist of 4·k,
+    // true-cosine re-rank of just those 80 rows — the Faiss-style
+    // refinement stage. KMeans clusters are not SQL-expressible → no
+    // oracle; LlmSpec pins recall ≥ the unrefined scan's on the
+    // planted fixture and the shortlist-bounded candidate count.
+    Q.noOracle("embed_pq_rerank") { (s, dir) =>
+      pqSearchRerank(s, pqIndexFor(s, dir), probeId = 0L, kResults = 20,
+        candMult = 4, nProbe = 0)
     },
 
     // IVF-PQ ANN: the same PQ index pruned to the nProbe nearest

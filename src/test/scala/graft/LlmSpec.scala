@@ -509,6 +509,20 @@ class LlmSpec extends SparkSpec {
       val again = Similarity.pqSearch(spark, path, probeId = 0L, kResults = 6, nProbe = 0)
         .select("vec_id").as[Long].collect().toSet
       assert(again === flat)
+      // exact re-rank: the 4·k ADC shortlist re-scored with TRUE
+      // cosines must (a) stay shortlist-bounded, (b) put every
+      // planted neighbor on top (exact cosine cannot miss a 0.05-σ
+      // perturbation against Gaussian noise), (c) emit cosines in
+      // descending order
+      val rr = Similarity.pqSearchRerank(spark, path, probeId = 0L,
+        kResults = 6, candMult = 4, nProbe = 0).collect()
+      assert(rr.length === 6)
+      val rrIds = rr.map(_.getAs[Long]("vec_id")).toSet
+      val rrRecall = (planted intersect rrIds).size.toDouble / planted.size
+      assert(rrRecall >= recall, s"re-rank recall $rrRecall below ADC $recall")
+      assert(rrRecall === 1.0, s"exact re-rank missed a planted neighbor: $rrIds")
+      val cosines = rr.map(_.getAs[Double]("cosine"))
+      assert(cosines.sameElements(cosines.sortBy(-_)), "re-rank not cosine-descending")
     } finally Bench.deleteRecursively(path)
   }
 
