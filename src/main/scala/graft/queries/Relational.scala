@@ -1611,6 +1611,42 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("rn"))
     },
 
+    // Exact running count-distinct (r10 s3): how many DISTINCT event
+    // types has this user touched so far — the engagement-breadth
+    // curve. COUNT(DISTINCT) OVER a running frame is unsupported in
+    // Spark (and quadratic where it exists); the standard exact
+    // rewrite is the FIRST-OCCURRENCE FLAG: rn = row_number over
+    // (user, type) marks each type's first event, and a running SUM
+    // of those flags over (user) IS the running distinct count.
+    // Two window exchanges ((user,type) then (user) — the second is a
+    // strict prefix key, so bucketing by user at 100 TB makes both
+    // local); integers end to end.
+    Q("window_running_distinct",
+      """WITH f AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                      ORDER BY ts, event_id) = 1
+        |              THEN 1 ELSE 0 END AS first_flag
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        |       CAST(SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS distinct_so_far
+        |FROM f ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("first_flag",
+          when(row_number().over(byUserType) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          sum(col("first_flag")).over(run).cast("long").as("distinct_so_far"))
+        .orderBy(col("event_id"))
+    },
+
     // Gini concentration per group (r10): revenue inequality across a
     // nation's customers — the concentration/balance audit (the same
     // statistic answers "is the training corpus dominated by a few
