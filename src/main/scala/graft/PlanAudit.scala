@@ -345,6 +345,30 @@ object PlanAudit {
     audit("peakDetection(query)", SparkEntry.queries("events_peak_detection")(spark, sfDir))
     audit("conjunctive(query)", SparkEntry.queries("search_conjunctive")(spark, sfDir))
     audit("dppJoin(query)", SparkEntry.queries("join_dynamic_partition_prune")(spark, sfDir))
+    // round-10 session-3 operators
+    audit("interpolateLinear(query)",
+      SparkEntry.queries("timeseries_interpolate_linear")(spark, sfDir))
+    audit("rollingSlope(query)", SparkEntry.queries("timeseries_rolling_slope")(spark, sfDir))
+    audit("ewma(query)", SparkEntry.queries("timeseries_ewma")(spark, sfDir))
+    audit("logHistQuantiles(query)",
+      SparkEntry.queries("sketch_log_histogram_quantiles")(spark, sfDir))
+    audit("jaccardExact(core)", {
+      val g = llm.Dedup.bigramSets(docs)
+        .withColumn("sz", size(col("grams")).cast("long"))
+      llm.Dedup.jaccardExactJoinPlan(g)
+    })
+    audit("bigramLm(core)", {
+      val bg = docs.select(col("doc_id"),
+          graft.functions.ngrams(col("text"), 2).as(Seq("pos", "e")))
+        .select(col("doc_id"), col("e"))
+      llm.TextAnalysis.bigramLmScoreFrom(docs,
+        bg.groupBy(col("doc_id"), col("e")).agg(count(lit(1)).as("m")))
+    })
+    audit("rfmSegments(query)", SparkEntry.queries("events_rfm_segments")(spark, sfDir))
+    audit("supplierVariety(Q16)",
+      SparkEntry.queries("analytics_supplier_variety")(spark, sfDir))
+    audit("runningDistinct(query)",
+      SparkEntry.queries("window_running_distinct")(spark, sfDir))
     spark.stop()
   }
 }

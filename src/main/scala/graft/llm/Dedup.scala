@@ -2396,6 +2396,16 @@ object Dedup {
   def jaccardExactJoin(docs: DataFrame): DataFrame = {
     val g = bigramSets(docs).withColumn("sz", size(col("grams")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = jaccardExactJoinPlan(g).localCheckpoint()
+    g.unpersist()
+    out
+  }
+
+  /** The un-checkpointed core of [[jaccardExactJoin]] — the
+    * spanRowsPlan convention: the public API localCheckpoints (and
+    * releases the persisted gram scan), so PlanAudit reads THIS to
+    * see the real exchanges. Input: (doc_id, grams, sz). */
+  private[graft] def jaccardExactJoinPlan(g: DataFrame): DataFrame = {
     val tok = g.select(col("doc_id"), explode(col("grams")).as("gram"))
     val sz = g.select(col("doc_id"), col("sz"))
     val inter = tok.as("a")
@@ -2403,7 +2413,7 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    val out = inter
+    inter
       .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
       .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
       .withColumn("uni", col("sa") + col("sb") - col("inter"))
@@ -2413,9 +2423,6 @@ object Dedup {
         (expr("(2 * 1000000 * inter + uni) div (2 * uni)").cast("double") /
           lit(1000000.0)).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-      .localCheckpoint()
-    g.unpersist()
-    out
   }
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {

@@ -472,15 +472,35 @@ object TextAnalysis {
     val bg = docs
       .select(col("doc_id"), graft.functions.ngrams(col("text"), 2).as(Seq("pos", "e")))
       .select(col("doc_id"), col("e"))
-    val c2 = bg.groupBy(col("e")).agg(count(lit(1)).as("c2"))
+    // ONE data-sized aggregate: per-doc bigram multiplicities,
+    // PERSISTED because the model folds FROM it (c2 = Σ_doc m,
+    // c1 = Σ_prefix c2) and a differently-pruned second consumer
+    // would silently re-scan and re-shuffle the corpus otherwise —
+    // the analytics_top_supplier lesson. c1 pre-joins onto c2 while
+    // both are vocabulary-bounded, so the scoring join below is the
+    // only data-sized join; the doc-rollup result localCheckpoints
+    // and the persisted frame is released.
+    val db = bg.groupBy(col("doc_id"), col("e")).agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bigramLmScoreFrom(docs, db).localCheckpoint()
+    db.unpersist()
+    out
+  }
+
+  /** The scoring pipeline over a prepared (doc_id, e, m) bigram frame
+    * — the un-checkpointed core the public API persists/checkpoints
+    * around (spanRowsPlan convention; PlanAudit reads this with a
+    * cold db to count the real exchanges). */
+  private[graft] def bigramLmScoreFrom(docs: DataFrame, db: DataFrame): DataFrame = {
+    val c2 = db.groupBy(col("e")).agg(sum(col("m")).as("c2"))
     val c1 = c2.groupBy(substring_index(col("e"), " ", 1).as("p"))
       .agg(sum(col("c2")).as("c1"))
+    val model = c2.withColumn("p", substring_index(col("e"), " ", 1))
+      .join(c1, "p")
+      .select(col("e"), col("c2"), col("c1"))
     val v = docs.select(explode(split(col("text"), " ")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    val db = bg.groupBy(col("doc_id"), col("e")).agg(count(lit(1)).as("m"))
-    db.join(c2, "e")
-      .withColumn("p", substring_index(col("e"), " ", 1))
-      .join(c1, "p")
+    db.join(model, "e")
       .crossJoin(broadcast(v))
       .withColumn("term",
         round(log(col("c2") + 1) - log(col("c1") + col("v")), 12)
