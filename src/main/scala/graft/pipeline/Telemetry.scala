@@ -114,6 +114,49 @@ object Telemetry {
         r6(sum(col("failure_next")) * lit(1.0) / count(lit(1))).as("frac_pos"))
   }
 
+  /** Lift / gains table over the alerting score (r10 s3): sort by
+    * score descending, cut into deciles, and report how many of ALL
+    * failures the top k/10 of alerts captures (gain) and how much
+    * better than random that is (lift) — the triage-budget question
+    * ("page on the top decile only — what do we catch?") that
+    * precision/recall at one threshold can't answer.
+    *
+    * Shape: the ml_auc_exact discipline — pre-aggregate to the
+    * DISTINCT-score value frame, run the cumulative and whole-frame
+    * windows THERE (same priced-in class as the exact AUC: the frame
+    * is score-NDV-sized), and assign deciles at the BLOCK level
+    * (decile of a tie-block = (start·10) div n + 1 of its first
+    * element) so tied scores are never split across buckets — the
+    * statistically honest choice and the deterministic one. gain and
+    * lift are exact-integer cross-ratios with one rounded division
+    * each.
+    */
+  def liftTable(scoredDf: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bv = scoredDf.groupBy(col("value_mean_7").as("score"))
+      .agg(count(lit(1)).as("nv"), sum(col("failure_next")).cast("long").as("pv"))
+    val desc = Window.orderBy(col("score").desc)
+    val cum = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = desc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bv
+      .withColumn("cum_n", sum(col("nv")).over(cum))
+      .withColumn("cum_pos", sum(col("pv")).over(cum))
+      .withColumn("tn", sum(col("nv")).over(whole))
+      .withColumn("tp", sum(col("pv")).over(whole))
+      .withColumn("decile", expr(s"((cum_n - nv) * $buckets) div tn + 1"))
+      .groupBy(col("decile"))
+      .agg(
+        sum(col("nv")).cast("long").as("n"),
+        sum(col("pv")).cast("long").as("n_pos"),
+        max(col("cum_n")).cast("long").as("cum_n"),
+        max(col("cum_pos")).cast("long").as("cum_pos"),
+        r6(max(col("cum_pos")).cast("double") / max(col("tp")).cast("double"))
+          .as("gain"),
+        r6((max(col("cum_pos")) * max(col("tn"))).cast("double") /
+          (max(col("cum_n")) * max(col("tp"))).cast("double")).as("lift"))
+      .orderBy(col("decile"))
+  }
+
   /** A2 level 1: alerts per day. */
   def daily(scoredDf: DataFrame): DataFrame =
     scoredDf
@@ -245,6 +288,37 @@ object Telemetry {
          |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
       calibration(scored(ev(s, dir))).orderBy(col("bucket"))
     },
+    // Lift / gains table (r10 s3): deciles over the descending score
+    // with tie-blocks never split — see liftTable's scaladoc.
+    Q("ml_lift_table",
+      s"""${scoredSql()},
+         |bv AS (
+         |  SELECT value_mean_7 AS score, COUNT(*) AS nv,
+         |         SUM(failure_next) AS pv
+         |  FROM scored GROUP BY 1),
+         |c AS (
+         |  SELECT score, nv, pv,
+         |         SUM(nv) OVER (ORDER BY score DESC
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |         SUM(pv) OVER (ORDER BY score DESC
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         |         SUM(nv) OVER () AS tn,
+         |         SUM(pv) OVER () AS tp
+         |  FROM bv),
+         |d AS (SELECT *, (cum_n - nv) * 10 // tn + 1 AS decile FROM c)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |       CAST(SUM(nv) AS BIGINT) AS n,
+         |       CAST(SUM(pv) AS BIGINT) AS n_pos,
+         |       CAST(MAX(cum_n) AS BIGINT) AS cum_n,
+         |       CAST(MAX(cum_pos) AS BIGINT) AS cum_pos,
+         |       ROUND(CAST(MAX(cum_pos) AS DOUBLE) / CAST(MAX(tp) AS DOUBLE), 6) + 0
+         |         AS gain,
+         |       ROUND(CAST(MAX(cum_pos) * MAX(tn) AS DOUBLE)
+         |             / CAST(MAX(cum_n) * MAX(tp) AS DOUBLE), 6) + 0 AS lift
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
+      liftTable(scored(ev(s, dir)))
+    },
+
     Q("telemetry_daily",
       s"""${scoredSql()}
          |SELECT CAST(ts AS DATE) AS day,

@@ -104,4 +104,29 @@ class TelemetrySpec extends SparkSpec {
       .select("alert").as[Int].collect()
     assert(alerts.toSeq === Seq(1, 0))
   }
+
+  test("liftTable: conservation, monotone gain, terminal 1.0s, perfect-ranking capture") {
+    import org.apache.spark.sql.functions._
+    // synthetic scored frame: 100 rows, scores 100..1 descending, the
+    // 10 positives sit on the 10 HIGHEST scores — a perfect ranking,
+    // so decile 1 captures everything (gain 1.0, lift 10.0)
+    val df = (1 to 100).map(i => (i.toLong, (101 - i).toDouble, if (i <= 10) 1 else 0))
+      .toDF("event_id", "value_mean_7", "failure_next")
+    val rows = Telemetry.liftTable(df).orderBy(col("decile")).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === 100L)
+    assert(rows.map(_.getAs[Long]("n_pos")).sum === 10L)
+    val gains = rows.map(_.getAs[Double]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b }, "gain not monotone")
+    assert(gains.head === 1.0 && gains.last === 1.0)
+    assert(rows.head.getAs[Double]("lift") === 10.0)
+    assert(rows.last.getAs[Double]("lift") === 1.0)
+    // tie-block integrity: give every row the SAME score — all mass
+    // lands in ONE decile row (ties never split), lift degenerates to 1
+    val tied = (1 to 100).map(i => (i.toLong, 42.0, if (i <= 10) 1 else 0))
+      .toDF("event_id", "value_mean_7", "failure_next")
+    val t = Telemetry.liftTable(tied).collect()
+    assert(t.length === 1)
+    assert(t.head.getAs[Long]("n") === 100L)
+    assert(t.head.getAs[Double]("lift") === 1.0)
+  }
 }
