@@ -1797,6 +1797,63 @@ object Relational {
         .orderBy(col("s_suppkey"))
     },
 
+    // TPC-H Q2-shaped per-GROUP minimum decorrelation (r10 s3): for
+    // each small part, the supplier(s) achieving that part's MINIMUM
+    // observed price — Q2's correlated scalar subquery
+    // (ps_supplycost = (SELECT MIN(ps_supplycost) WHERE ps_partkey =
+    // p_partkey)) decorrelated into a per-part aggregate joined back
+    // on equality. Distinct from the Q15 shape (ONE global max) and
+    // mode-argmax (struct-max single winner): here the min is
+    // PER-GROUP and ties keep EVERY achieving supplier, as Q2
+    // requires. The per-(part,supplier) cost is MIN(l_extendedprice)
+    // — an exact input double, no arithmetic. Plan: pair aggregate
+    // localCheckpointed (it feeds the per-part min AND the winners
+    // join — the Q15 differently-pruned-consumers lesson applied
+    // preemptively), per-part min partkey-keyed, winners join on
+    // (partkey, exact cost equality), dims broadcast, TakeOrdered
+    // top-100 (Q2's LIMIT).
+    Q("analytics_cheapest_supplier",
+      """WITH pp AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |mn AS (SELECT l_partkey, MIN(cost) AS mincost FROM pp GROUP BY 1),
+        |w AS (
+        |  SELECT pp.l_partkey, pp.l_suppkey, pp.cost
+        |  FROM pp JOIN mn ON mn.l_partkey = pp.l_partkey AND pp.cost = mn.mincost),
+        |j AS (
+        |  SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, w.cost
+        |  FROM w
+        |  JOIN part p ON p.p_partkey = w.l_partkey AND p.p_size <= 10
+        |  JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey)
+        |SELECT p_partkey, p_brand, s_name, n_name, cost
+        |FROM j
+        |ORDER BY cost DESC, p_partkey, s_name
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val pp = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+        .localCheckpoint()
+      val mn = pp.groupBy(col("l_partkey").as("mpk"))
+        .agg(min(col("cost")).as("mincost"))
+      val w = pp.join(mn,
+        col("l_partkey") === col("mpk") && col("cost") === col("mincost"))
+      w.join(broadcast(Tables.part(s, dir)
+          .filter(col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+          col("cost"))
+        .orderBy(col("cost").desc, col("p_partkey"), col("s_name"))
+        .limit(100)
+    },
+
     // TPC-H Q22-shaped global-baseline + anti join (r10): customers
     // whose balance beats the positive-balance AVERAGE (a scalar
     // subquery over a DIFFERENT filter of the same table) AND who
