@@ -612,6 +612,47 @@ object StreamingAlerts {
         .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
           col("n_tokens"), col("chunk_fp"), col("n_docs_sharing"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // STREAMING log-bucket histogram (r10 s3): the third bounded-state
+    // sketch, pairing with bottom-k (KMV) and the CMS counter table —
+    // state is the BUCKET GRID (≤ 90 cells/decade) regardless of
+    // stream length, because the (lo, w) key is a pure stateless
+    // projection of the value (integer digit-count arithmetic, no
+    // window, no lookup) and the count per cell is
+    // arrival-order-invariant. The oracle is the identical batch
+    // histogram; on an unbounded stream the same plan runs in update
+    // mode and quantile reads probe the live grid (the batch
+    // `sketch_log_histogram_quantiles` shows that read).
+    Q("streaming_log_histogram",
+      """WITH v AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS vi
+        |  FROM events),
+        |b AS (
+        |  SELECT vi,
+        |         CASE WHEN length(CAST(vi AS VARCHAR)) = 1 THEN 1
+        |              ELSE CAST('1' || repeat('0', length(CAST(vi AS VARCHAR)) - 2)
+        |                        AS BIGINT) END AS w
+        |  FROM v)
+        |SELECT (vi // w) * w AS lo_us, CAST(w AS BIGINT) AS width_us,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY lo_us""".stripMargin) { (s, dir) =>
+      val name = "stream_loghist_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val vi = (col("value").cast("decimal(20,6)") * lit(1000000)).cast("long")
+      val q = eventsStream(s, dir)
+        .select(vi.as("vi"))
+        .withColumn("w",
+          when(length(col("vi").cast("string")) === 1, lit(1L))
+            .otherwise(expr(
+              "cast(concat('1', repeat('0', length(cast(vi as string)) - 2)) as bigint)")))
+        .groupBy(expr("(vi div w) * w").as("lo_us"), col("w").as("width_us"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("lo_us"), col("width_us"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("lo_us"))
     })
 
   /** `orders` as an unbounded source (same glob-addressing trick as

@@ -491,4 +491,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming log histogram: state rows equal the bucket grid, counts merge across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Double]
+    val vi = (col("value").cast("decimal(20,6)") * lit(1000000)).cast("long")
+    val out = mem.toDF().toDF("value")
+      .select(vi.as("vi"))
+      .withColumn("w",
+        when(length(col("vi").cast("string")) === 1, lit(1L))
+          .otherwise(expr(
+            "cast(concat('1', repeat('0', length(cast(vi as string)) - 2)) as bigint)")))
+      .groupBy(expr("(vi div w) * w").as("lo_us"), col("w").as("width_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val query = out.writeStream.format("memory").queryName("stream_loghist_spec")
+      .outputMode("complete").start()
+    try {
+      // two batches hitting the SAME bucket (1.0 and 1.05 both land in
+      // [1000000, 1100000)) plus distinct ones — counts must merge
+      mem.addData(Seq(1.0, 0.000005, 25.0))
+      query.processAllAvailable()
+      mem.addData(Seq(1.05, 25.5, 990.0))
+      query.processAllAvailable()
+      val got = spark.table("stream_loghist_spec")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        (5L, 1L, 1L),                    // 0.000005 → vi=5, width 1
+        (1000000L, 100000L, 2L),         // 1.0 and 1.05 merged
+        (25000000L, 1000000L, 2L),       // 25.0 and 25.5 merged
+        (990000000L, 10000000L, 1L)))
+      // bounded state: exactly one state row per occupied bucket
+      val st = query.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal === 4L,
+        s"state should be the 4-cell bucket grid: ${query.lastProgress}")
+    } finally query.stop()
+  }
 }
