@@ -331,6 +331,46 @@ object TimeSeries {
       .orderBy(col("event_id"))
   }
 
+  /** Multi-window SLO burn-rate alert (the Google SRE workbook rule):
+    * page only when the error budget burns fast on BOTH a long and a
+    * short window — the long window proves it's sustained (not a
+    * blip), the short window proves it's still happening (not
+    * recovered). Windows are trailing event-time hours on the bucket
+    * grid: per-hour (errors, total) counts — ONE data-sized aggregate
+    * — then 1 h and 6 h trailing sums as RANGE windows over the
+    * integer epoch-hour axis (grid-bounded frames; gaps cannot
+    * misalign a range frame). burn = error_rate / budget_rate with
+    * budget 1% expressed as the exact integer cross-multiplication
+    * err·100 > thr·total (no float division decides an alert);
+    * thresholds 14.4× (1 h) and 6× (6 h) are the workbook's fast/slow
+    * pair scaled to the hour grid, held as rationals 72/5 and 6/1.
+    */
+  def sloBurn(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+    // 1 h trailing = the hour row itself; 6 h trailing = a RANGE frame
+    // over the integer epoch-hour axis (grid-bounded, gap-safe — a
+    // silent hour is simply absent from the frame sum)
+    val w6 = Window.orderBy(col("hr")).rangeBetween(-5, 0)
+    hourly
+      .withColumn("e1", col("errors"))
+      .withColumn("t1", col("total"))
+      .withColumn("e6", sum(col("errors")).over(w6))
+      .withColumn("t6", sum(col("total")).over(w6))
+      // budget 1%: burn_k = (e_k/t_k) / 0.01 = 100·e_k/t_k.
+      // fast rule: burn1 > 72/5  ⟺  500·e1 > 72·t1
+      // slow rule: burn6 > 6     ⟺  100·e6 > 6·t6
+      .select(
+        col("hr"), col("errors").cast("long").as("errors"),
+        col("total").cast("long").as("total"),
+        (round(col("e1") * 100.0 / col("t1"), 6) + lit(0.0)).as("burn_1h"),
+        (round(col("e6") * 100.0 / col("t6"), 6) + lit(0.0)).as("burn_6h"),
+        when(col("e1") * 500 > col("t1") * 72 && col("e6") * 100 > col("t6") * 6, 1L)
+          .otherwise(0L).as("page"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Peak concurrent sessions per day. The oracle replays the gap
@@ -687,6 +727,31 @@ object TimeSeries {
         |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0 AS trend_slope
         |FROM m WHERE n >= 2 ORDER BY event_id""".stripMargin) { (s, dir) =>
       rollingSlope(Tables.events(s, dir))
+    },
+
+    // Multi-window SLO burn-rate (r10 s3): page iff BOTH the 1 h and
+    // 6 h trailing error-budget burns exceed the workbook pair —
+    // alert decisions by integer cross-multiplication only.
+    Q("events_slo_burn",
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |         COUNT(*) AS total,
+        |         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hr, errors, total,
+        |         SUM(errors) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6,
+        |         SUM(total) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS t6
+        |  FROM h)
+        |SELECT CAST(hr AS BIGINT) AS hr,
+        |       CAST(errors AS BIGINT) AS errors,
+        |       CAST(total AS BIGINT) AS total,
+        |       ROUND(errors * 100.0 / total, 6) + 0 AS burn_1h,
+        |       ROUND(e6 * 100.0 / t6, 6) + 0 AS burn_6h,
+        |       CAST(CASE WHEN errors * 500 > total * 72 AND e6 * 100 > t6 * 6
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS page
+        |FROM w ORDER BY hr""".stripMargin) { (s, dir) =>
+      sloBurn(Tables.events(s, dir)).orderBy(col("hr"))
     },
 
     // Truncated dyadic EWMA (r10 s3): α = 1/2 over 20 lags — integer

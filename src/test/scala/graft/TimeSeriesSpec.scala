@@ -122,6 +122,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2L) === ((2L, 210L)))
   }
 
+  test("sloBurn: pages only when BOTH windows burn; sustained-but-recovered stays silent") {
+    // Hour 0-4: clean baseline (100 events, 0 errors each hour).
+    // Hour 5: catastrophic hour — 30 errors / 100 events: burn_1h =
+    // 30 > 14.4 AND burn_6h = 30/600·100 = 5.0 < 6 → 6h window not
+    // yet burning → NO page (a blip must sustain).
+    // Hour 6: still failing — 40/100: burn_1h = 40, 6h window now
+    // (30+40)/600·100 = 11.67 > 6 → PAGE.
+    // Hour 7: recovered — 0/100: burn_1h = 0 → no page even though
+    // the 6h window still carries the incident.
+    def mk(h: Int, errs: Int, tot: Int) = (0 until tot).map { j =>
+      (h * 1000L + j, 1L, ts(f"2024-01-01 $h%02d:00:${j % 60}%02d"),
+        if (j < errs) "error" else "view", 1.0)
+    }
+    val rows = (0 to 4).flatMap(mk(_, 0, 100)) ++
+      mk(5, 30, 100) ++ mk(6, 40, 100) ++ mk(7, 0, 100)
+    val e = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = TimeSeries.sloBurn(e).orderBy(col("hr")).collect()
+      .map(r => r.getAs[Long]("hr") % 24 -> r.getAs[Long]("page")).toMap
+    assert(got(5L) === 0L, "one catastrophic hour alone must not page (long window gate)")
+    assert(got(6L) === 1L, "sustained fast burn must page")
+    assert(got(7L) === 0L, "recovered hour must not page (short window gate)")
+    assert((0L to 4L).forall(got(_) === 0L))
+  }
+
   test("interpolateDaily: interior gaps get the bracket line, observed days the exact mean") {
     // u1 observes day 1 (mean 10), day 4 (mean 40), day 5 (mean 20):
     // days 2,3 interpolate the 1→4 line (20, 30); day 5 is observed.
