@@ -247,5 +247,74 @@ object Linkage {
       val (base, typos) = typoFixture(Tables.part(s, dir))
       entityResolution(base, typos, maxDist = 2).orderBy(col("golden_id"))
     },
+
+    // Blocking-recall audit (r10 s3) — the minhashRecall discipline
+    // applied to the linkage tier: does first-token blocking actually
+    // catch the JW ≥ 0.88 pairs? Truth is the EXHAUSTIVE probe×corpus
+    // JW join on the deterministic probe sample (|probes|·N — the
+    // annRecall exact-side shape, probe count is the knob); blocked
+    // candidates replay link_jaro_parts' first-token join; the audit
+    // reports truth / found / missed / recall in ONE driver-visible
+    // row. An imperfect recall here is the AUDIT's finding (a pair
+    // whose typo hit the first token is invisible to this blocking),
+    // not a defect — that is exactly what the audit exists to expose.
+    Q("link_blocking_recall",
+      """WITH pr AS (
+        |  SELECT p_partkey AS probe_key, p_name AS pn,
+        |         string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_partkey % 97 = 0),
+        |al AS (
+        |  SELECT p_partkey AS cand_key, p_name AS cn,
+        |         string_split(p_name, ' ')[1] AS blk
+        |  FROM part),
+        |truth AS (
+        |  SELECT pr.probe_key, al.cand_key
+        |  FROM pr CROSS JOIN al
+        |  WHERE al.cand_key != pr.probe_key
+        |    AND ROUND(jaro_winkler_similarity(pr.pn, al.cn), 6) + 0 >= 0.88),
+        |blocked AS (
+        |  SELECT pr.probe_key, al.cand_key
+        |  FROM pr JOIN al USING (blk)
+        |  WHERE al.cand_key != pr.probe_key
+        |    AND ROUND(jaro_winkler_similarity(pr.pn, al.cn), 6) + 0 >= 0.88),
+        |m AS (
+        |  SELECT t.probe_key, t.cand_key
+        |  FROM truth t LEFT JOIN blocked b
+        |    ON b.probe_key = t.probe_key AND b.cand_key = t.cand_key
+        |  WHERE b.probe_key IS NULL)
+        |SELECT (SELECT COUNT(*) FROM pr) AS n_probes,
+        |       (SELECT COUNT(*) FROM truth) AS n_truth,
+        |       (SELECT COUNT(*) FROM blocked) AS n_found,
+        |       (SELECT COUNT(*) FROM m) AS n_missed,
+        |       ROUND((SELECT COUNT(*) FROM blocked) * 1.0
+        |             / (SELECT COUNT(*) FROM truth), 6) + 0 AS recall""".stripMargin) {
+      (s, dir) =>
+      val part = Tables.part(s, dir)
+      val blk = element_at(split(col("p_name"), " "), 1)
+      val pr = part.filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("probe_key"), col("p_name").as("pn"), blk.as("blk"))
+      val al = part
+        .select(col("p_partkey").as("cand_key"), col("p_name").as("cn"),
+          blk.as("cblk"))
+      val jwOk = (round(graft.functions.jaro_winkler(col("pn"), col("cn")), 6) +
+        lit(0.0)) >= 0.88
+      val truth = al.crossJoin(broadcast(pr))
+        .filter(col("cand_key") =!= col("probe_key") && jwOk)
+        .select(col("probe_key"), col("cand_key"))
+        .localCheckpoint()
+      val blocked = al.join(broadcast(pr), col("cblk") === col("blk"))
+        .filter(col("cand_key") =!= col("probe_key") && jwOk)
+        .select(col("probe_key"), col("cand_key"))
+        .localCheckpoint()
+      val missed = truth.join(blocked, Seq("probe_key", "cand_key"), "left_anti")
+      val nP = pr.count()
+      val nT = truth.count()
+      val nF = blocked.count()
+      val nM = missed.count()
+      import s.implicits._
+      Seq((nP, nT, nF, nM)).toDF("n_probes", "n_truth", "n_found", "n_missed")
+        .withColumn("recall",
+          round(col("n_found") * lit(1.0) / col("n_truth"), 6) + lit(0.0))
+    },
   )
 }
