@@ -2008,5 +2008,271 @@ object Relational {
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(10)
     },
+
+    // TPC-H Q13-shaped outer-join count distribution (r10 s4): how
+    // many customers placed exactly k qualifying orders — INCLUDING
+    // k = 0, which is what forces the OUTER join (an inner join can
+    // never produce the zero bucket). Scale shape: the fact side
+    // pre-aggregates to one row per customer BEFORE the join (the
+    // partial-agg-placement rule — the outer join then moves |custs|
+    // rows, not |orders|), and the second aggregate runs on a frame
+    // bounded by max-orders-per-customer, not by data. COALESCE to 0L
+    // keeps the bucket key BIGINT in both engines.
+    Q("analytics_order_count_distribution",
+      """WITH oc AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+        |  FROM orders WHERE o_orderpriority <> '5-LOW'
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(oc.c_count, 0) AS c_count,
+        |       CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      val oc = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("c_count"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q18-shaped large-order screen (r10 s4): orders whose TOTAL
+    // lineitem quantity clears a threshold, joined back out to the
+    // order + customer detail — the "HAVING an aggregate over a
+    // different table" shape. Scale: the per-order aggregate is the
+    // only data-sized stage and the HAVING cuts it to the qualifying
+    // tail (q99.9 here) BEFORE any join; the join back to orders is
+    // keyed on the already-filtered frame and customer resolves last
+    // on the again-smaller frame; top-100 is TakeOrderedAndProject
+    // with a unique tiebreak. Quantities are integer-valued — the
+    // DECIMAL sum and its final DOUBLE cast are exact cross-engine.
+    Q("analytics_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(20,6))) AS tq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(20,6))) > 300)
+        |SELECT c.c_name, o.o_orderkey,
+        |       CAST(o.o_orderdate AS DATE) AS o_date,
+        |       CAST(b.tq AS DOUBLE) AS total_qty
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY total_qty DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(20,6)")).as("tq"))
+        .filter(col("tq") > lit(300))
+      big
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderdate").cast("date").as("o_date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_date"),
+          col("tq").cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q19-shaped disjunctive-predicate join (r10 s4): revenue
+    // under an OR of conjunctive (brand, size-range, qty-range)
+    // groups that straddles BOTH join sides — the query whose whole
+    // point is what the optimizer does with a DNF filter above a
+    // join. Catalyst's CNF extraction (PushExtraPredicateThroughJoin)
+    // derives each side's implied disjunction and pushes it below the
+    // join into the scans (part: brand/size groups; lineitem: the
+    // union of qty ranges) while the full DNF still evaluates on the
+    // joined row — OperatorsSpec pins pushed filters on both scans.
+    // At 100 TB that pre-scan cut (~3 brands of 25, qty 1–30 of
+    // 1–50) is the difference between scanning the corpus and
+    // scanning the candidates.
+    Q("analytics_dnf_revenue",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                     AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |        AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |        AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+        |        AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val p = broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+
+    // TPC-H Q20-shaped nested-aggregate semi chain (r10 s4):
+    // suppliers who shipped MORE THAN 2× the fair per-supplier share
+    // of some 'cold'-named part — the shape where the semi-join's
+    // subquery itself contains a correlated aggregate over a third
+    // frame (Q20's availqty > ½·sum(qty), decorrelated). The fixed
+    // 50% cut is deliberately made scale-FREE the Q11 way: with many
+    // suppliers per part no one holds half, so membership is "share
+    // beats 2× the mean supplier's" (sq·n_supp > 2·Σq), exact
+    // decimal×integer cross-multiplication — never float division.
+    // Scale: the part-name restriction broadcasts into the fact scan
+    // BEFORE the pair aggregate (per-part predicate, semantics
+    // unchanged); pair agg → per-part rollup → threshold filter are
+    // all partkey-keyed; the final DISTINCT suppkey frame drives a
+    // left-semi so supplier rows never duplicate.
+    Q("join_semi_agg_threshold",
+      """WITH pq AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |         SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS sq
+        |  FROM lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+        |  GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT l_partkey AS pk, SUM(sq) AS tq,
+        |         CAST(COUNT(*) AS BIGINT) AS ns
+        |  FROM pq GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT pq.l_suppkey FROM pq JOIN pt ON pt.pk = pq.l_partkey
+        |  WHERE pq.sq * pt.ns > pt.tq * 2)
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, dir) =>
+      val coldParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("cold%")).select(col("p_partkey")))
+      val pq = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(coldParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(20,6)")).as("sq"))
+      val pt = pq.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+      val dom = pq.join(pt, col("l_partkey") === col("pk"))
+        .filter(col("sq") * col("ns") > col("tq") * lit(2))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+        .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q7-shaped cross-nation volume (r10 s4): revenue flowing
+    // between two SPECIFIC nations per ship-year, where the supplier
+    // sits in one and the customer in the other (either direction) —
+    // the shape whose join graph touches two fact tables and the same
+    // dim twice under different roles. Scale: both nation restrictions
+    // push into their dim joins FIRST (supplier and customer each cut
+    // to 2 of 25 nations before any fact touches them — the supplier
+    // side broadcasts into the lineitem scan, the customer side cuts
+    // the custkey shuffle ~12×); the residual pair predicate
+    // (supp ≠ cust nation) is a map-side compare on the joined row.
+    Q("analytics_nation_volume",
+      """WITH s2 AS (
+        |  SELECT s.s_suppkey, n.n_name AS supp_nation
+        |  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  WHERE n.n_name IN ('NATION_3', 'NATION_7')),
+        |c2 AS (
+        |  SELECT c.c_custkey, n.n_name AS cust_nation
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  WHERE n.n_name IN ('NATION_3', 'NATION_7'))
+        |SELECT s2.supp_nation, c2.cust_nation,
+        |       CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS yr,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                     AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN c2 ON c2.c_custkey = o.o_custkey
+        |JOIN s2 ON s2.s_suppkey = l.l_suppkey
+        |WHERE s2.supp_nation <> c2.cust_nation
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val nat = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select(col("n_nationkey"), col("n_name"))
+      val s2 = broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val c2 = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_shipdate").cast("date").as("sd"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .join(s2, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c2, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("sd")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("rev")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+    },
+
+    // TPC-H Q9-shaped profit rollup (r10 s4): per supplier-nation,
+    // per ship-year profit on a name-restricted part family, where
+    // profit nets revenue against a cost term built from OTHER
+    // tables' columns (no partsupp table in this schema, so the cost
+    // stand-in is the deterministic 0.6·p_retailprice·l_quantity —
+    // documented, same shape as ps_supplycost·l_quantity). The
+    // per-row expression is pure double arithmetic in ONE pinned
+    // association order, so both engines produce bit-identical
+    // doubles; the sum then runs in decimal (order-independent).
+    // Scale: the part-name filter broadcasts into the fact scan
+    // (~12% of parts), supplier+nation resolve as one broadcast dim
+    // chain, and the only data-sized exchange is the final two-key
+    // aggregate.
+    Q("analytics_profit_by_nation",
+      """SELECT n.n_name AS nation,
+        |       CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS yr,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount))
+        |                     - ((0.6 * p.p_retailprice) * l.l_quantity)
+        |                     AS DECIMAL(30,6))) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%bolt%'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val boltParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val suppNat = broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation")))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"),
+          col("l_shipdate").cast("date").as("sd"))
+        .join(boltParts, col("l_partkey") === col("p_partkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .select(col("nation"), year(col("sd")).cast("long").as("yr"),
+          ((col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+            ((lit(0.6) * col("p_retailprice")) * col("l_quantity"))).as("amount"))
+        .groupBy(col("nation"), col("yr"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("amount")).as("profit"))
+        .orderBy(col("nation"), col("yr"))
+    },
   )
 }

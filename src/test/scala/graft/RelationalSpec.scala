@@ -586,6 +586,31 @@ class RelationalSpec extends SparkSpec {
       s"filter not pushed:\n$physical")
   }
 
+  test("analytics_dnf_revenue: per-side disjunctions extracted from the DNF reach BOTH scans") {
+    // The Q19 shape's point: the OR-of-ANDs straddles the join, but
+    // Catalyst's CNF extraction must still derive each side's implied
+    // disjunction and push it into the parquet scan — part sees the
+    // (brand∧size) groups, lineitem sees the union of qty ranges.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("analytics_dnf_revenue")(spark, sf("sf0.001"))
+    val scans = collectPlan(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    def pushed(table: String): String =
+      scans.find(_.metadata("Location").contains(s"$table.parquet"))
+        .getOrElse(fail(s"no $table scan in plan"))
+        .metadata("PushedFilters")
+    val partSide = pushed("part")
+    assert(partSide.contains("EqualTo(p_brand,Brand#12)") &&
+      partSide.contains("EqualTo(p_brand,Brand#23)") &&
+      partSide.contains("Or("),
+      s"part-side disjunction not pushed: $partSide")
+    val liSide = pushed("lineitem")
+    assert(liSide.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      liSide.contains("LessThanOrEqual(l_quantity,30.0)") &&
+      liSide.contains("Or("),
+      s"lineitem-side qty disjunction not pushed: $liSide")
+  }
+
   test("mergeUpsert: delta wins on collision, inserts land, base carries, no row comparison") {
     import spark.implicits._
     import graft.queries.Audit
