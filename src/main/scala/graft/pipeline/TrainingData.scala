@@ -115,6 +115,58 @@ object TrainingData {
       groupKFold(Tables.events(s, dir)).orderBy(col("fold"))
     },
 
+    // Leakage-safe out-of-fold target encoding (r10 s4): replace a
+    // categorical feature (customer market segment) with the target
+    // rate estimated from the OTHER folds — encoding fold f's rows
+    // with statistics that include fold f leaks the label into the
+    // feature (the classic target-encoding overfit; Micci-Barreca
+    // 2001 is the smoothing form). Encoded value for (segment, fold):
+    //   (pos_excl + α·prior) / (n_excl + α),  α = 10, prior = P/N
+    // computed EXACTLY as one integer division — cross-multiplied to
+    //   (pos_excl·N + α·P) / (N·(n_excl + α))
+    // so both operands are exact BIGINTs (< 2^53) and the quotient is
+    // a single correctly-rounded IEEE divide, hash-stable. The md5
+    // fold assignment is the hashSplit/groupKFold idiom (rerun- and
+    // engine-stable). Shape for scale: one custkey-keyed fact join,
+    // ONE data-sized (segment, fold) aggregate; the exclusion
+    // arithmetic runs on the |segments|·|folds| frame (25 rows) via
+    // two broadcast re-aggregates — per-row encoded output is then a
+    // broadcast map join, never a second scan.
+    Q("ml_target_encode",
+      """WITH r AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |         CAST(concat('0x', substr(md5('te:' || CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |sf AS (
+        |  SELECT seg, fold, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM r GROUP BY 1, 2),
+        |st AS (
+        |  SELECT seg, CAST(SUM(n) AS BIGINT) AS tn,
+        |         CAST(SUM(pos) AS BIGINT) AS tpos
+        |  FROM sf GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS gn,
+        |         CAST(SUM(pos) AS BIGINT) AS gpos
+        |  FROM sf)
+        |SELECT sf.seg, sf.fold, sf.n AS n_rows, sf.pos AS n_pos,
+        |       CAST((st.tpos - sf.pos) * g.gn + 10 * g.gpos AS DOUBLE)
+        |         / CAST(g.gn * ((st.tn - sf.n) + 10) AS DOUBLE) AS enc
+        |FROM sf JOIN st ON st.seg = sf.seg CROSS JOIN g
+        |ORDER BY sf.seg, sf.fold""".stripMargin) { (s, dir) =>
+      val r = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderstatus") === "F").cast("long").as("y"))
+        .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("fold",
+          conv(substring(md5(concat(lit("te:"),
+            col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long") % 5)
+      targetEncodeFolds(r, alpha = 10).orderBy(col("seg"), col("fold"))
+    },
+
     // F2: the three chronological splits as row-level queries.
     Q("split_train",
       s"${Telemetry.featSql} SELECT * FROM feat WHERE ts < TIMESTAMP '$TrainEnd' ORDER BY event_id") {
@@ -241,5 +293,29 @@ object TrainingData {
       row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** Out-of-fold target encoding over a (seg, fold, y) frame — see the
+    * `ml_target_encode` declaration. Returns one row per observed
+    * (seg, fold) with the smoothed encoding computed EXCLUDING that
+    * fold's own rows:  (pos_excl·N + α·P) / (N·(n_excl + α))  as one
+    * exact-integer IEEE divide (operands must stay < 2^53 — holds for
+    * any per-run partition of a corpus; shard the encode by seg range
+    * beyond that). */
+  def targetEncodeFolds(r: DataFrame, alpha: Int): DataFrame = {
+    require(alpha > 0, "targetEncodeFolds: alpha must be positive")
+    val sf = r.groupBy(col("seg"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val st = sf.groupBy(col("seg").as("seg2"))
+      .agg(sum(col("n")).as("tn"), sum(col("pos")).as("tpos"))
+    val g = sf.agg(sum(col("n")).as("gn"), sum(col("pos")).as("gpos"))
+    sf.join(broadcast(st), col("seg") === col("seg2"))
+      .crossJoin(broadcast(g))
+      .select(col("seg"), col("fold"),
+        col("n").as("n_rows"), col("pos").as("n_pos"),
+        (((col("tpos") - col("pos")) * col("gn") + lit(alpha) * col("gpos"))
+          .cast("double") /
+          (col("gn") * (col("tn") - col("n") + lit(alpha))).cast("double"))
+          .as("enc"))
   }
 }

@@ -233,7 +233,80 @@ object Graphs {
         k = 2, iters = 6)
         .orderBy(col("id"))
     },
+
+    // Link prediction by common-neighborhood scoring (r10 s4): for
+    // every NON-edge pair sharing ≥1 neighbor, the common-neighbor
+    // count plus the resource-allocation index Σ_z 1/deg(z) (Zhou,
+    // Lü & Zhang 2009 — Adamic–Adar's 1/log cousin; chosen because
+    // 1/deg keeps the score in exact integer µ-units, no libm log on
+    // the value path). This is the "which dup-pairs did the pairing
+    // tier MISS" / entity-resolution candidate-expansion primitive
+    // over the same fixture graph as the traversal tier. Shape for
+    // scale: the wedge enumeration is the triangles discipline — cost
+    // Σ_z deg(z)², bounded by the maxDeg hub cap (a universal hub
+    // contributes deg² wedges and ~zero signal: 1/deg ≈ 0 — same
+    // rationale as the minhash df stop-list); candidate scoring is
+    // one (x,y)-keyed aggregate; existing edges leave via one
+    // anti-join; top-k is TakeOrdered under a unique total order.
+    Q("graph_common_neighbors",
+      """WITH e0 AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 < 3),
+        |und AS (
+        |  SELECT DISTINCT a, b
+        |  FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) t),
+        |deg AS (
+        |  SELECT a AS z, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM und GROUP BY 1),
+        |w AS (
+        |  SELECT u1.b AS x, u2.b AS y, u1.a AS z
+        |  FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b),
+        |sc AS (
+        |  SELECT w.x, w.y, CAST(COUNT(*) AS BIGINT) AS cn,
+        |         CAST(SUM(CAST(ROUND(1000000.0 / deg.d) AS BIGINT)) AS BIGINT)
+        |           AS ra_micro
+        |  FROM w JOIN deg ON deg.z = w.z
+        |  WHERE deg.d <= 1000
+        |  GROUP BY 1, 2)
+        |SELECT sc.x AS a, sc.y AS b, sc.cn, sc.ra_micro
+        |FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = sc.x AND und.b = sc.y)
+        |ORDER BY sc.cn DESC, ra_micro DESC, a, b
+        |LIMIT 200""".stripMargin) { (s, dir) =>
+      commonNeighbors(
+        fixtureEdges(Tables.documents(s, dir).select(col("doc_id"))),
+        maxDeg = 1000, k = 200)
+    },
   )
+
+  /** Top-k predicted links by (common-neighbor count, resource-
+    * allocation score) over non-edges — see `graph_common_neighbors`.
+    * `maxDeg` caps wedge centers: a hub of degree d contributes d²
+    * wedge rows but only 1/d per score, so the cap bounds the Σdeg²
+    * enumeration with negligible score loss (document the cap when
+    * reporting). ra_micro is Σ round(10⁶/deg(z)) — integer-exact. */
+  def commonNeighbors(edges: DataFrame, maxDeg: Long, k: Int): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = und.groupBy(col("a").as("z"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg)
+    val centered = und.select(col("a").as("z"), col("b"))
+      .join(deg, "z")
+    val w = centered.select(col("z"), col("b").as("x"), col("d"))
+      .join(centered.select(col("z"), col("b").as("y")), "z")
+      .filter(col("x") < col("y"))
+    val sc = w.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1000000.0) / col("d")).cast("long")).as("ra_micro"))
+    sc.join(und, sc("x") === und("a") && sc("y") === und("b"), "left_anti")
+      .select(col("x").as("a"), col("y").as("b"), col("cn"), col("ra_micro"))
+      .orderBy(col("cn").desc, col("ra_micro").desc, col("a"), col("b"))
+      .limit(k)
+  }
 
   /** k-core by fixed-iteration peeling over an (a, b) edge frame —
     * see the `graph_kcore` declaration. Returns (id, degree) of the

@@ -2088,7 +2088,7 @@ object Relational {
     // derives each side's implied disjunction and pushes it below the
     // join into the scans (part: brand/size groups; lineitem: the
     // union of qty ranges) while the full DNF still evaluates on the
-    // joined row — OperatorsSpec pins pushed filters on both scans.
+    // joined row — RelationalSpec pins pushed filters on both scans.
     // At 100 TB that pre-scan cut (~3 brands of 25, qty 1–30 of
     // 1–50) is the difference between scanning the corpus and
     // scanning the candidates.

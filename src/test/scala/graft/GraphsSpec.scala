@@ -87,4 +87,28 @@ class GraphsSpec extends SparkSpec {
     assert(got.agg(max(col("hop"))).as[Long].head() <= 8L)
     assert(got.count() > nSeeds)
   }
+
+  test("commonNeighbors: square diagonals score cn=2, existing edges never predicted") {
+    // square 1-2-3-4-1: the only non-edges are the diagonals (1,3) and
+    // (2,4); each shares BOTH its two neighbors (deg 2 → 500000 µ each)
+    val got = Graphs.commonNeighbors(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L), maxDeg = 10, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("commonNeighbors: maxDeg drops hub-centered wedges; wide cap restores them") {
+    // star 0-{1..5} plus edge 1-2: every 2-path runs through hub 0
+    // (deg 5) except the two deg-2 wedges whose endpoints are edges
+    val star = edges(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L, 0L -> 5L, 1L -> 2L)
+    val capped = Graphs.commonNeighbors(star, maxDeg = 3, k = 100)
+    assert(capped.isEmpty, "deg-5 hub must be excluded at maxDeg=3")
+    val full = Graphs.commonNeighbors(star, maxDeg = 10, k = 100)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // C(5,2)=10 leaf pairs through the hub, minus the (1,2) edge
+    assert(full.size === 9)
+    assert(full.forall { case (a, b, cn, ra) =>
+      cn === 1L && ra === 200000L && a < b && a >= 1L && b <= 5L })
+    assert(!full.exists { case (a, b, _, _) => (a, b) === ((1L, 2L)) })
+  }
 }

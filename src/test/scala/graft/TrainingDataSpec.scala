@@ -96,4 +96,31 @@ class TrainingDataSpec extends SparkSpec {
       .orderBy("event_id").collect().toSeq
     assert(before === after)
   }
+
+  test("targetEncodeFolds: own fold excluded exactly, smoothing pulls toward the prior") {
+    import spark.implicits._
+    // seg A: fold0 = {1,0}, fold1 = {1}; seg B: fold0 = {0}.
+    // N=4, P=2, α=10:
+    //   enc(A,0) = ((2−1)·4 + 10·2) / (4·((3−2)+10)) = 24/44 = 6/11
+    //   enc(A,1) = ((2−1)·4 + 10·2) / (4·((3−1)+10)) = 24/48 = 1/2
+    //   enc(B,0) = ((0−0)·4 + 10·2) / (4·((1−1)+10)) = 20/40 = 1/2
+    val r = Seq(("A", 0L, 1L), ("A", 0L, 0L), ("A", 1L, 1L), ("B", 0L, 0L))
+      .toDF("seg", "fold", "y")
+    val got = TrainingData.targetEncodeFolds(r, alpha = 10)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map { case (s, f, n, p, e) => (s, f) -> ((n, p, e)) }.toMap
+    assert(got(("A", 0L)) === ((2L, 1L, 6.0 / 11.0)))
+    assert(got(("A", 1L)) === ((1L, 1L, 0.5)))
+    assert(got(("B", 0L)) === ((1L, 0L, 0.5)))
+    // leakage check: a label flip in fold f moves every OTHER fold's
+    // encoding of that segment but never fold f's own numerator count
+    val r2 = Seq(("A", 0L, 0L), ("A", 0L, 0L), ("A", 1L, 1L), ("B", 0L, 0L))
+      .toDF("seg", "fold", "y")
+    val got2 = TrainingData.targetEncodeFolds(r2, alpha = 10)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map { case (s, f, n, p, e) => (s, f) -> ((n, p, e)) }.toMap
+    // fold0's own rows changed (1 pos → 0) but enc(A,0) depends only on
+    // fold1 (+ global): ((1−0)·4 + 10·1)/(4·((3−2)+10)) = 14/44 = 7/22
+    assert(got2(("A", 0L)) === ((2L, 0L, 7.0 / 22.0)))
+  }
 }
