@@ -236,6 +236,17 @@ object PlanAudit {
     audit("topnPerGroup", SparkEntry.queries("window_topn_per_group")(spark, sfDir))
     audit("stratifiedSample", SparkEntry.queries("curation_stratified_sample")(spark, sfDir))
     audit("subwordEncodePinned", SparkEntry.queries("text_subword_encode_pinned")(spark, sfDir))
+    // r10 s4 TPC-H shapes + the two new library tiers
+    audit("orderCountDist(Q13)",
+      SparkEntry.queries("analytics_order_count_distribution")(spark, sfDir))
+    audit("largeOrders(Q18)", SparkEntry.queries("analytics_large_orders")(spark, sfDir))
+    audit("dnfRevenue(Q19)", SparkEntry.queries("analytics_dnf_revenue")(spark, sfDir))
+    audit("semiAggThreshold(Q20)",
+      SparkEntry.queries("join_semi_agg_threshold")(spark, sfDir))
+    audit("nationVolume(Q7)", SparkEntry.queries("analytics_nation_volume")(spark, sfDir))
+    audit("profitByNation(Q9)", SparkEntry.queries("analytics_profit_by_nation")(spark, sfDir))
+    audit("commonNeighbors", SparkEntry.queries("graph_common_neighbors")(spark, sfDir))
+    audit("targetEncode", SparkEntry.queries("ml_target_encode")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))

@@ -298,6 +298,55 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones / Okapi, k1 = 1.2,
+    * b = 0.75) — [[keywordSearch]]'s flat tf·idf ignores both tf
+    * saturation (the 50th occurrence shouldn't count like the 1st)
+    * and document length (a term hit in a tweet outweighs one in a
+    * book); BM25's tf-normalization term adds exactly those two.
+    * Determinism: the idf uses this repo's exact integer convention
+    * ((N·1000) div df — milli-idf, documented substitution for the
+    * log idf: libm stays off the value path and the scale keeps
+    * per-term contributions < 1e8 so the 6-dp decimal sum is ulp-safe)
+    * while the tf-normalization is pure IEEE double arithmetic in ONE
+    * pinned association order — identical in both engines — and the
+    * per-term contributions are summed in DECIMAL(30,6)
+    * (order-independent). Shape for scale: ONE corpus pass (doc
+    * length rides the explode as a carried column — no second scan or
+    * doc_id join), term filter pushed to the scan, df/idf and the
+    * corpus totals are broadcast |query|-bounded frames, TakeOrdered
+    * top-k. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Search: terms must be non-empty")
+    val totals = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("n_tokens"))
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint()
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("term"), expr("(n_docs * 1000L) div df").as("idf_milli"),
+        col("n_docs"), col("n_tokens"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("avgdl",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("tfnorm",
+        (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum((col("idf_milli") * col("tfnorm")).cast("decimal(30,6)"))
+          .cast("double").as("score"),
+        count(lit(1)).cast("long").as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Conjunctive (ALL-terms) retrieval — the boolean-AND complement
     * of [[keywordSearch]]'s disjunctive scorer: a doc qualifies only
     * if EVERY query term occurs, the posting-list-intersection shape
@@ -579,6 +628,38 @@ object TextAnalysis {
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       keywordSearch(Tables.documents(s, dir), Seq("spark", "window", "query"), 20)
+    },
+
+    // BM25 ranked retrieval (see bm25Search's scaladoc): integer
+    // milli-idf + pinned-order IEEE tf-normalization + decimal
+    // contribution sum → the ranked LIST is hash-pinned, not just
+    // score sets.
+    Q("search_bm25_topk",
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(dl) AS BIGINT) AS n_tokens
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  WHERE term IN ('spark', 'window', 'query')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |       CAST(SUM(CAST(
+        |         ((n.n_docs * 1000) // df.df) *
+        |         ((tf.tf * 2.2) /
+        |          (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) /
+        |            (CAST(n.n_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+        |         AS DECIMAL(30,6))) AS DOUBLE) AS score,
+        |       CAST(COUNT(*) AS BIGINT) AS n_matched
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      bm25Search(Tables.documents(s, dir), Seq("spark", "window", "query"), 20)
     },
 
     // Conjunctive ALL-terms retrieval (see conjunctiveSearch's

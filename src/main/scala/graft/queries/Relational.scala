@@ -2274,5 +2274,55 @@ object Relational {
         .agg(count(lit(1)).as("n_items"), dsum(col("amount")).as("profit"))
         .orderBy(col("nation"), col("yr"))
     },
+
+    // TPC-H Q5-shaped local-supplier volume (r10 s4): revenue per
+    // nation per year restricted to LOCAL fulfilment — the supplier's
+    // nation must EQUAL the customer's (s_nationkey = c_nationkey as
+    // a join constraint between two different dims of two different
+    // facts — the join-graph cycle that makes Q5 a join-order test),
+    // within one region. Scale: the region restriction prunes the
+    // supplier dim chain BEFORE it broadcasts (5 of 25 nations); the
+    // customer side shuffles once on custkey; the nation-equality
+    // constraint is evaluated as the broadcast-join condition so
+    // non-local rows die before the aggregate; the rollup is
+    // (5 nations × years)-bounded.
+    Q("analytics_local_volume",
+      """WITH sn AS (
+        |  SELECT s.s_suppkey, s.s_nationkey, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  WHERE n.n_regionkey = 2)
+        |SELECT sn.n_name AS nation,
+        |       CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS yr,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                     AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN sn ON sn.s_suppkey = l.l_suppkey AND sn.s_nationkey = c.c_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val sn = broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_regionkey") === 2)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_shipdate").cast("date").as("sd"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("sd")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("rev")).as("revenue"))
+        .orderBy(col("nation"), col("yr"))
+    },
   )
 }

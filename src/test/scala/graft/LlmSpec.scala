@@ -807,6 +807,26 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 6000000L, 2L), (2L, 1500000L, 1L)))
   }
 
+  test("bm25Search: tf saturates sub-linearly and longer docs score lower at equal tf") {
+    val d = docs(
+      (1L, "q a a a"),                 // tf=1, dl=4
+      (2L, "q q a a"),                 // tf=2, dl=4
+      (3L, "q q q q"),                 // tf=4, dl=4
+      (4L, "q a a a a a a a"),         // tf=1, dl=8
+      (5L, "b b b b"))                 // no match
+    val got = graft.llm.TextAnalysis.bm25Search(d, Seq("q"), 10)
+      .as[(Long, Double, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(3L, 2L, 1L, 4L),
+      s"ranking wrong: ${got.toSeq}")
+    val score = got.map(r => r._1 -> r._2).toMap
+    // saturation: the 2→4 tf jump buys less than the 1→2 jump
+    assert(score(3L) - score(2L) < score(2L) - score(1L))
+    // length normalization: identical tf, doubled length → lower score
+    assert(score(4L) < score(1L))
+    // flat tf·idf would rank 3 at exactly 4× doc 1; BM25 must not
+    assert(score(3L) < 4.0 * score(1L))
+  }
+
   test("readability: hand-computed FORCAST grades, vowel-less words count zero syllables") {
     val d = docs(
       (1L, "see banana xyz"), // mono: see, xyz (y is a vowel); banana = 3 groups
