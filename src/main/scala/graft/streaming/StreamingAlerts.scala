@@ -219,6 +219,64 @@ object StreamingAlerts {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // NATIVE session windows (r10 s4): the same gap-sessionization as
+    // `streaming_sessionize`, but through Spark's built-in
+    // `session_window` aggregate instead of flatMapGroupsWithState —
+    // the engine merges/extends window state internally and APPEND
+    // mode emits a session only once the event-time watermark passes
+    // its end (no more merges possible: any future event lies > gap
+    // past the last one). The split rule is diff > gap — an event
+    // EXACTLY at the merge horizon still extends the session
+    // (StreamingSpec pins this empirically), identical to the
+    // custom-state form's strict-gt rule; the one semantic difference
+    // the oracle replays is the window END: last-event + gap (the
+    // merge horizon), not the last event itself. The
+    // finite replay emits sessions with end ≤ final watermark
+    // (max ts − 1 day); the last day's sessions stay in state —
+    // exactly what an unbounded run would hold open, so the oracle
+    // applies the same cutoff. Scale: state is per-OPEN-session (not
+    // per-event), keyed by user — the watermark bounds it.
+    Q("streaming_session_window",
+      """WITH e AS (SELECT event_id, ts, user_id, value FROM events),
+        |s AS (
+        |  SELECT *,
+        |         CAST(SUM(CASE WHEN prev_ts IS NULL
+        |                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1
+        |                       ELSE 0 END)
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS session_id
+        |  FROM (SELECT *, LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM e)),
+        |r AS (
+        |  SELECT user_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         MIN(ts) AS session_start,
+        |         MAX(ts) + INTERVAL 1800 SECONDS AS session_end,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+        |  FROM s GROUP BY user_id, session_id),
+        |wm AS (SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM events)
+        |SELECT r.user_id, r.n_events, r.session_start, r.session_end,
+        |       r.session_value
+        |FROM r CROSS JOIN wm
+        |WHERE r.session_end <= wm.w
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      val name = "stream_sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = eventsStream(s, dir)
+        .select(col("ts"), col("user_id"), col("value"))
+        .withWatermark("ts", "1 day")
+        .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds").as("sw"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("session_value"))
+        .select(col("user_id"), col("n_events"),
+          col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+          col("session_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("user_id"), col("session_start"))
+    },
+
     Q("streaming_dedup_daily",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |       COUNT(DISTINCT user_id) AS n_unique_users

@@ -87,6 +87,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("native session_window: merge under gap, split AT the gap, end = last + gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L) // 2024-01-01 UTC
+    val streamDf = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds").as("sw"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(col("user_id"), col("sw.start").as("s"), col("sw.end").as("e"), col("n"))
+    val q = streamDf.writeStream.format("memory").queryName("sw_sem")
+      .outputMode("append").start()
+    try {
+      // diff 1799 s merges; an event EXACTLY at the merge horizon
+      // (prev + 1800 s) ALSO merges — the split rule is strictly
+      // greater than the gap, so only the +1801 s event opens a new
+      // session. The +3.5 d event only advances the watermark so the
+      // earlier sessions finalize.
+      mem.addData(Seq((1L, ts(0), 1.0), (1L, ts(1799), 1.0),
+        (1L, ts(1799 + 1800), 1.0), (1L, ts(1799 + 1800 + 1801), 1.0),
+        (9L, ts(300000), 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("sw_sem")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(got === Set(
+        (1L, ts(0), ts(3599 + 1800), 3L),       // horizon event merged; end = last + gap
+        (1L, ts(5400), ts(5400 + 1800), 1L)),   // gap-exceeding event = new session
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming parquet file sink with checkpoint delivers every scored row") {
     implicit val sqlCtx = spark.sqlContext
     val out = tempDir("graft_stream_out")
