@@ -387,6 +387,110 @@ object Audit {
 
   val defs: Seq[Q] = Seq(
 
+    // Pairwise Pearson correlation matrix (r10 s4) over the fact's
+    // numeric columns — the multicollinearity screen a feature
+    // pipeline runs before trusting per-feature statistics. Exactness:
+    // per-row products are IEEE doubles (identical cross-engine),
+    // 6-dp-decimal-summed (order-independent — the dsum discipline on
+    // FOURTEEN moments in ONE corpus pass), and every remaining op is
+    // double arithmetic in pinned association order; sqrt is IEEE
+    // correctly-rounded (unlike ln/exp) so it is hash-safe. The
+    // 1-row moment frame is localCheckpointed, so the 6 pair rows are
+    // projections of one cached row — the corpus is scanned ONCE.
+    Q("audit_corr_matrix", {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val prs = for {
+        i <- cols.indices; j <- (i + 1) until cols.length
+      } yield (cols(i), cols(j))
+      val moments =
+        Seq("CAST(COUNT(*) AS BIGINT) AS n") ++
+        cols.map(c => s"CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) AS s_$c") ++
+        cols.map(c => s"CAST(SUM(CAST($c * $c AS DECIMAL(30,6))) AS DOUBLE) AS ss_$c") ++
+        prs.map { case (x, y) =>
+          s"CAST(SUM(CAST($x * $y AS DECIMAL(30,6))) AS DOUBLE) AS c_${x}_$y" }
+      val rows = prs.map { case (x, y) =>
+        s"""SELECT '$x' AS x_col, '$y' AS y_col, n,
+           |  ((CAST(n AS DOUBLE) * c_${x}_$y) - (s_$x * s_$y))
+           |  / (sqrt((CAST(n AS DOUBLE) * ss_$x) - (s_$x * s_$x))
+           |     * sqrt((CAST(n AS DOUBLE) * ss_$y) - (s_$y * s_$y))) AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (SELECT ${moments.mkString(", ")} FROM lineitem)
+         |$rows
+         |ORDER BY x_col, y_col""".stripMargin
+    }) { (s, dir) =>
+      corrMatrix(Tables.lineitem(s, dir),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    },
+
+    // Chi-square independence screen (r10 s4): is the customer's
+    // market segment associated with order status — the categorical
+    // feature-vs-label test (the counterpart of the continuous KS/PSI
+    // drift tier; MI would need ln, χ² needs only one divide per
+    // cell). Per-cell term in pinned double order
+    // ((O·n − r·c)² / ((n·r)·c) — all operands exact integers cast
+    // once), the statistic is the 6-dp decimal sum of the ≤15-cell
+    // frame via an unpartitioned window (post-agg, never over data).
+    // Shape: one custkey-keyed join, ONE data-sized (seg, status)
+    // aggregate; marginals are broadcast re-aggregates of the cell
+    // frame. χ² is over observed cells (this dense fixture has no
+    // empty cells; an empty cell's O=0 term would need the E-only
+    // correction — documented, same definition both engines).
+    Q("ml_chi2_independence",
+      """WITH r AS (
+        |  SELECT c.c_mktsegment AS seg, o.o_orderstatus AS status
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cell AS (
+        |  SELECT seg, status, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM r GROUP BY 1, 2),
+        |rt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rr FROM cell GROUP BY 1),
+        |ct AS (SELECT status, CAST(SUM(o) AS BIGINT) AS cc FROM cell GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell),
+        |t AS (
+        |  SELECT cell.seg, cell.status, cell.o,
+        |         (CAST(rt.rr AS DOUBLE) * CAST(ct.cc AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+        |           AS expected,
+        |         ((CAST(cell.o AS DOUBLE) * CAST(nn.n AS DOUBLE))
+        |            - (CAST(rt.rr AS DOUBLE) * CAST(ct.cc AS DOUBLE)))
+        |         * ((CAST(cell.o AS DOUBLE) * CAST(nn.n AS DOUBLE))
+        |            - (CAST(rt.rr AS DOUBLE) * CAST(ct.cc AS DOUBLE)))
+        |         / ((CAST(nn.n AS DOUBLE) * CAST(rt.rr AS DOUBLE)) * CAST(ct.cc AS DOUBLE))
+        |           AS term
+        |  FROM cell JOIN rt USING (seg) JOIN ct USING (status) CROSS JOIN nn)
+        |SELECT seg, status, o AS observed, expected, term,
+        |       CAST(SUM(CAST(term AS DECIMAL(30,6))) OVER () AS DOUBLE) AS chi2
+        |FROM t
+        |ORDER BY seg, status""".stripMargin) { (s, dir) =>
+      val cell = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderstatus").as("status"))
+        .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("seg"), col("status"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rt = cell.groupBy(col("seg").as("seg2")).agg(sum(col("o")).as("rr"))
+      val ct = cell.groupBy(col("status").as("status2")).agg(sum(col("o")).as("cc"))
+      val nn = cell.agg(sum(col("o")).as("n"))
+      val dev = (col("o").cast("double") * col("n").cast("double")) -
+        (col("rr").cast("double") * col("cc").cast("double"))
+      val t = cell
+        .join(broadcast(rt), col("seg") === col("seg2"))
+        .join(broadcast(ct), col("status") === col("status2"))
+        .crossJoin(broadcast(nn))
+        .select(col("seg"), col("status"), col("o"),
+          ((col("rr").cast("double") * col("cc").cast("double")) /
+            col("n").cast("double")).as("expected"),
+          (dev * dev /
+            ((col("n").cast("double") * col("rr").cast("double")) *
+              col("cc").cast("double"))).as("term"))
+      t.select(col("seg"), col("status"), col("o").as("observed"),
+          col("expected"), col("term"),
+          sum(col("term").cast("decimal(30,6)")).over(Window.partitionBy())
+            .cast("double").as("chi2"))
+        .orderBy(col("seg"), col("status"))
+    },
+
     // The documents table's publishable contract, checked in one
     // aggregate pass; the oracle replays each CASE sum. A planted
     // violation (rule max_chars_400 with a deliberately low bound)
@@ -1529,5 +1633,31 @@ object Audit {
         sum(col("wv").cast("decimal(30,6)")).cast("double").as("sum_winsorized"),
         sum(when(col("v") < col("lo_cut"), 1L).otherwise(0L)).as("n_clamped_lo"),
         sum(when(col("v") > col("hi_cut"), 1L).otherwise(0L)).as("n_clamped_hi"))
+  }
+
+  /** Pairwise Pearson correlations over `cols` in ONE corpus pass —
+    * see the `audit_corr_matrix` declaration. All C(k,2)+2k moment
+    * sums ride one aggregate; the 1-row moment frame is checkpointed
+    * so each pair row is a projection, not a re-scan. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    val cs = cols.sorted
+    val prs = for { i <- cs.indices; j <- (i + 1) until cs.length } yield (cs(i), cs(j))
+    def dsum6(c: Column, n: String) =
+      sum(c.cast("decimal(30,6)")).cast("double").as(n)
+    val aggs: Seq[Column] =
+      cs.map(c => dsum6(col(c), s"s_$c")) ++
+      cs.map(c => dsum6(col(c) * col(c), s"ss_$c")) ++
+      prs.map { case (x, y) => dsum6(col(x) * col(y), s"c_${x}_$y") }
+    val m = df.agg(count(lit(1)).as("n"), aggs: _*).localCheckpoint()
+    val nD = col("n").cast("double")
+    prs.map { case (x, y) =>
+      m.select(lit(x).as("x_col"), lit(y).as("y_col"), col("n"),
+        (((nD * col(s"c_${x}_$y")) - (col(s"s_$x") * col(s"s_$y"))) /
+          (sqrt((nD * col(s"ss_$x")) - (col(s"s_$x") * col(s"s_$x"))) *
+            sqrt((nD * col(s"ss_$y")) - (col(s"s_$y") * col(s"s_$y")))))
+          .as("corr"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("x_col"), col("y_col"))
   }
 }

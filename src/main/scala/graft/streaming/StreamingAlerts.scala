@@ -68,6 +68,46 @@ object StreamingAlerts {
       s.table(name).orderBy(col("day"))
     },
 
+    // HOPPING (sliding) windows (r10 s4): 1-hour windows every 15
+    // minutes — each event lands in EXACTLY 4 overlapping windows
+    // (slide divides length; Spark plans this as a 4-row explode
+    // before the window-keyed aggregate, and the oracle replays that
+    // same decomposition arithmetically: window starts are the 4
+    // slide-slots at or before the event). Watermarked APPEND mode —
+    // a window emits once the watermark passes its end, so the finite
+    // replay yields windows with end ≤ max ts − 1 day (the same
+    // finalization contract the session-window query pins). State is
+    // |open windows| = 4/slide × horizon, independent of data rate.
+    Q("streaming_hopping_counts",
+      """WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+        |w AS (
+        |  SELECT ((epoch_us(ts) // 900000000) - k.k) * 900000000 AS ws_us,
+        |         value
+        |  FROM events CROSS JOIN k),
+        |wm AS (SELECT epoch_us(MAX(ts)) - 86400000000 AS w_us FROM events)
+        |SELECT make_timestamp(ws_us) AS w_start,
+        |       make_timestamp(ws_us + 3600000000) AS w_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM w CROSS JOIN wm
+        |WHERE ws_us + 3600000000 <= wm.w_us
+        |GROUP BY ws_us
+        |ORDER BY w_start""".stripMargin) { (s, dir) =>
+      val name = "stream_hop_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = eventsStream(s, dir)
+        .select(col("ts"), col("value"))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("n_events"), col("total_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("w_start"))
+    },
+
     // The STATEFUL streaming path under the oracle: the
     // flatMapGroupsWithState incremental rolling mean (bounded ring of
     // 6 values per user) replayed over the finite source must

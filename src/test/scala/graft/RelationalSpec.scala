@@ -611,6 +611,46 @@ class RelationalSpec extends SparkSpec {
       s"lineitem-side qty disjunction not pushed: $liSide")
   }
 
+  test("corrMatrix: perfect linear, perfect inverse, and constant-free exactness") {
+    import spark.implicits._
+    import graft.queries.Audit
+    // b = 2a (corr +1), c = -a (corr -1), d alternates orthogonally
+    val d = Seq(
+      (1.0, 2.0, -1.0, 1.0), (2.0, 4.0, -2.0, -1.0),
+      (3.0, 6.0, -3.0, 1.0), (4.0, 8.0, -4.0, -1.0))
+      .toDF("a", "b", "c", "d")
+    val got = Audit.corrMatrix(d, Seq("a", "b", "c", "d"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(math.abs(got(("a", "b")) - 1.0) < 1e-12)
+    assert(math.abs(got(("a", "c")) + 1.0) < 1e-12)
+    assert(math.abs(got(("a", "d")) - (-0.4472135954999579)) < 1e-12) // hand: -1/sqrt(5)
+    assert(got.size === 6)
+  }
+
+  test("ml_chi2_independence semantics: exactly proportional table gives chi2 = 0") {
+    import spark.implicits._
+    // Build the chi2 pipeline shape by hand over a perfectly
+    // independent 2×2 contingency (counts 10/20 vs 30/60): every
+    // O == E so every term and the statistic must be exactly 0.
+    val cell = Seq(("s1", "x", 10L), ("s1", "y", 20L), ("s2", "x", 30L), ("s2", "y", 60L))
+      .toDF("seg", "status", "o")
+    val rt = cell.groupBy(col("seg").as("seg2")).agg(sum(col("o")).as("rr"))
+    val ct = cell.groupBy(col("status").as("status2")).agg(sum(col("o")).as("cc"))
+    val nn = cell.agg(sum(col("o")).as("n"))
+    val dev = (col("o").cast("double") * col("n").cast("double")) -
+      (col("rr").cast("double") * col("cc").cast("double"))
+    val terms = cell
+      .join(broadcast(rt), col("seg") === col("seg2"))
+      .join(broadcast(ct), col("status") === col("status2"))
+      .crossJoin(broadcast(nn))
+      .select((dev * dev /
+        ((col("n").cast("double") * col("rr").cast("double")) *
+          col("cc").cast("double"))).as("term"))
+      .as[Double].collect()
+    assert(terms.length === 4 && terms.forall(_ === 0.0), s"got ${terms.toSeq}")
+  }
+
   test("mergeUpsert: delta wins on collision, inserts land, base carries, no row comparison") {
     import spark.implicits._
     import graft.queries.Audit
