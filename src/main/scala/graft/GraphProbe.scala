@@ -65,6 +65,27 @@ object GraphProbe {
         .select(col("doc_id").as("id"))
       runBoth(s"replica${k}x", rep, seeds)
     }
+
+    // commonNeighbors growth probe (r10 s4): work driver is the wedge
+    // count Σ deg·(deg−1)/2 — on disjoint isomorphic replicas it must
+    // grow exactly k× (the engine axis; output/top-k is bounded).
+    def runCn(tag: String, docs: DataFrame): Unit = {
+      val edges = queries.Graphs.fixtureEdges(docs)
+      val und = edges.select(col("a"), col("b"))
+        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+      val wedges = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .agg(sum(col("d") * (col("d") - 1) / 2).cast("long")).head().getLong(0)
+      val t0 = System.nanoTime()
+      val n = queries.Graphs.commonNeighbors(edges, maxDeg = 1000, k = 200).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE-CN $tag wedges=$wedges topk_rows=$n wall_s=$t%.2f")
+    }
+    for (k <- Seq(1, 10)) {
+      val rep = base.withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+        .select((col("doc_id") + col("_r") * off).as("doc_id"))
+      runCn(s"replica${k}x", rep)
+    }
     spark.stop()
   }
 }

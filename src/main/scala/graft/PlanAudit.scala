@@ -247,6 +247,10 @@ object PlanAudit {
     audit("profitByNation(Q9)", SparkEntry.queries("analytics_profit_by_nation")(spark, sfDir))
     audit("commonNeighbors", SparkEntry.queries("graph_common_neighbors")(spark, sfDir))
     audit("targetEncode", SparkEntry.queries("ml_target_encode")(spark, sfDir))
+    audit("localVolume(Q5)", SparkEntry.queries("analytics_local_volume")(spark, sfDir))
+    audit("bm25TopK", SparkEntry.queries("search_bm25_topk")(spark, sfDir))
+    audit("corrMatrix", SparkEntry.queries("audit_corr_matrix")(spark, sfDir))
+    audit("chi2Independence", SparkEntry.queries("ml_chi2_independence")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))

@@ -114,7 +114,13 @@ class RelationalSpec extends SparkSpec {
       "events_rfm_segments",
       // the bigram LM crosses the broadcast 1-row vocabulary size V
       // into the scoring join — the text_tfidf_exact 1-row class
-      "text_bigram_lm")
+      "text_bigram_lm",
+      // r10 session-4: target encoding and chi-square cross the
+      // broadcast 1-row GLOBAL totals frame into bounded per-group
+      // frames (25 rows / 15 cells); BM25 crosses the 1-row corpus
+      // totals into the |query|-bounded df frame — all the same
+      // 1-row broadcast class
+      "ml_target_encode", "ml_chi2_independence", "search_bm25_topk")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
