@@ -201,6 +201,73 @@ object StreamingAlerts {
       s.table(name).orderBy(col("alert_id"), col("error_id"))
     },
 
+    // Stream-stream LEFT OUTER interval join (r10 s4): the alert keeps
+    // flowing even when NO error follows it — the semantics the inner
+    // form can't express. Matched pairs emit as they occur (inner
+    // behavior); an UNMATCHED alert emits null-extended only when the
+    // watermark proves no future match is possible (its whole match
+    // window alert_ts + 1 day lies behind the watermark) — Spark runs
+    // the no-data batch after the last data batch precisely so this
+    // final eviction happens under AvailableNow. The oracle replays
+    // both populations: all matched pairs, plus unmatched alerts whose
+    // window closed against the final GLOBAL watermark — and that
+    // watermark is min over the two streams' watermark NODES, which
+    // sit AFTER their filters, so each side's max is the max of the
+    // FILTERED rows (the first draft used the raw events max and
+    // over-emitted exactly the alerts between the two cutoffs —
+    // empirically pinned: cutoff = min(max alert_ts, max error_ts)
+    // − 2 days, ms-truncated like the engine's watermark).
+    // error_id is COALESCEd to −1 on both sides (a NULL→NaN column can
+    // never hash-match — the verify-skill gotcha). State is the
+    // in-window alert/error rows, watermark-bounded.
+    Q("streaming_alert_error_left_join",
+      s"""WITH a AS (
+         |  SELECT user_id, event_id AS alert_id, ts AS alert_ts
+         |  FROM events WHERE value >= ${Telemetry.Tau}),
+         |e AS (
+         |  SELECT user_id, event_id AS error_id, ts AS error_ts
+         |  FROM events WHERE event_type = '${Telemetry.FailureType}'),
+         |wm AS (
+         |  SELECT ((least((SELECT epoch_us(MAX(alert_ts)) FROM a),
+         |                 (SELECT epoch_us(MAX(error_ts)) FROM e))
+         |           // 1000) - 86400000) * 1000 AS w_us)
+         |SELECT a.user_id, a.alert_id, e.error_id
+         |FROM a JOIN e ON a.user_id = e.user_id
+         | AND e.error_ts > a.alert_ts
+         | AND e.error_ts <= a.alert_ts + INTERVAL 1 DAY
+         |UNION ALL
+         |SELECT a.user_id, a.alert_id, -1 AS error_id
+         |FROM a CROSS JOIN wm
+         |WHERE NOT EXISTS (
+         |    SELECT 1 FROM e
+         |    WHERE e.user_id = a.user_id
+         |      AND e.error_ts > a.alert_ts
+         |      AND e.error_ts <= a.alert_ts + INTERVAL 1 DAY)
+         |  AND epoch_us(a.alert_ts) + 86400000000 < wm.w_us
+         |ORDER BY alert_id, error_id""".stripMargin) { (s, dir) =>
+      val alerts = eventsStream(s, dir)
+        .filter(col("value") >= Telemetry.Tau)
+        .select(col("user_id"), col("event_id").as("alert_id"), col("ts").as("alert_ts"))
+        .withWatermark("alert_ts", "1 day")
+      val errors = eventsStream(s, dir)
+        .filter(col("event_type") === Telemetry.FailureType)
+        .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"),
+          col("ts").as("error_ts"))
+        .withWatermark("error_ts", "1 day")
+      val name = "stream_lsj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = alerts.join(errors,
+          col("user_id") === col("e_user_id") &&
+            col("error_ts") > col("alert_ts") &&
+            col("error_ts") <= col("alert_ts") + expr("INTERVAL 1 DAY"),
+          "left_outer")
+        .select(col("user_id"), col("alert_id"),
+          coalesce(col("error_id"), lit(-1L)).as("error_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("alert_id"), col("error_id"))
+    },
+
     // STREAMING DEDUP under the oracle: dropDuplicatesWithinWatermark
     // keyed (user_id, day) through the real streaming engine (state one
     // entry per in-horizon key, emitted on first sight — append mode
