@@ -423,6 +423,50 @@ object Audit {
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
     },
 
+    // Spearman rank correlation matrix (r10 s4) — see
+    // spearmanMatrix's scaladoc: monotone association robust to the
+    // outliers and nonlinearity that fool Pearson; average-rank
+    // (tie-correct) transform kept exact as the integer 2·avg_rank,
+    // ranks computed on the NDV-bounded value frames (≤50 rows — the
+    // window never sees data), then the corrMatrix moment discipline.
+    Q("audit_spearman_corr", {
+      val cols = Seq("l_discount", "l_quantity", "l_tax")
+      val rankCtes = cols.map { c =>
+        s"""r_$c AS (
+           |  SELECT v, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |         + cnt + 1 AS ar2
+           |  FROM (SELECT $c AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+           |        FROM lineitem GROUP BY 1))""".stripMargin
+      }.mkString(",\n")
+      val joined = cols.map(c => s"r_$c.ar2 AS $c").mkString(", ")
+      val joins = cols.map(c => s"JOIN r_$c ON r_$c.v = l.$c").mkString(" ")
+      val prs = for {
+        i <- cols.indices; j <- (i + 1) until cols.length
+      } yield (cols(i), cols(j))
+      val moments =
+        Seq("CAST(COUNT(*) AS BIGINT) AS n") ++
+        cols.map(c => s"CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) AS s_$c") ++
+        cols.map(c => s"CAST(SUM(CAST($c * $c AS DECIMAL(30,6))) AS DOUBLE) AS ss_$c") ++
+        prs.map { case (x, y) =>
+          s"CAST(SUM(CAST($x * $y AS DECIMAL(30,6))) AS DOUBLE) AS c_${x}_$y" }
+      val rows = prs.map { case (x, y) =>
+        s"""SELECT '$x' AS x_col, '$y' AS y_col, n,
+           |  ((CAST(n AS DOUBLE) * c_${x}_$y) - (s_$x * s_$y))
+           |  / (sqrt((CAST(n AS DOUBLE) * ss_$x) - (s_$x * s_$x))
+           |     * sqrt((CAST(n AS DOUBLE) * ss_$y) - (s_$y * s_$y))) AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $rankCtes,
+         |j AS (SELECT $joined FROM lineitem l $joins),
+         |m AS (SELECT ${moments.mkString(", ")} FROM j)
+         |$rows
+         |ORDER BY x_col, y_col""".stripMargin
+    }) { (s, dir) =>
+      spearmanMatrix(Tables.lineitem(s, dir),
+        Seq("l_discount", "l_quantity", "l_tax"))
+    },
+
     // Chi-square independence screen (r10 s4): is the customer's
     // market segment associated with order status — the categorical
     // feature-vs-label test (the counterpart of the continuous KS/PSI
@@ -1633,6 +1677,32 @@ object Audit {
         sum(col("wv").cast("decimal(30,6)")).cast("double").as("sum_winsorized"),
         sum(when(col("v") < col("lo_cut"), 1L).otherwise(0L)).as("n_clamped_lo"),
         sum(when(col("v") > col("hi_cut"), 1L).otherwise(0L)).as("n_clamped_hi"))
+  }
+
+  /** Spearman rank correlation matrix — Pearson over AVERAGE-rank
+    * transforms (the tie-correct form; with heavy ties min-rank
+    * Spearman is biased). Exactness: average ranks live in half-steps,
+    * so the transform is the INTEGER 2·avg_rank = 2·(#smaller) + cnt
+    * + 1 (scale-invariance of Pearson absorbs the 2×) and the whole
+    * pipeline stays in the corrMatrix discipline. Scale-honesty: this
+    * form computes ranks from the per-VALUE count frame — the rank
+    * window runs over NDV rows, not data rows — so it is the right
+    * plan exactly when the columns are low-cardinality (≤50 here; a
+    * continuous column would need a global sort — that cost is
+    * Spearman's definition, use bucketed approximate ranks at 100 TB
+    * if ±ε is acceptable). Rank maps broadcast back; ONE data pass
+    * for the counts, one for the moments. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val ranked = cols.foldLeft(df.select(cols.map(col): _*)) { (acc, c) =>
+      val vc = df.groupBy(col(c).as(s"v_$c")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col(s"v_$c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = vc.select(col(s"v_$c"),
+        (coalesce(sum(col("cnt")).over(w), lit(0L)) * 2 + col("cnt") + 1)
+          .as(s"ar2_$c"))
+      acc.join(broadcast(r), acc(c) === col(s"v_$c")).drop(s"v_$c")
+    }.select(cols.map(c => col(s"ar2_$c").as(c)): _*)
+    corrMatrix(ranked, cols)
   }
 
   /** Pairwise Pearson correlations over `cols` in ONE corpus pass —

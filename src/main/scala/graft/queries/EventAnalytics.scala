@@ -363,6 +363,59 @@ object EventAnalytics {
 
   val defs: Seq[Q] = Seq(
 
+    // OHLC time-bucket downsampling (r10 s4): per (user, day) the
+    // open/high/low/close/volume bar — the standard lossy series
+    // compaction (a 100 TB telemetry lake keeps bars hot and raw
+    // cold). Open/close are the FIRST/LAST values under the unique
+    // (ts, event_id) order — selected via two row_number windows over
+    // the SAME (user, day) partition (one exchange serves both: same
+    // keys, opposite sort directions ride the one shuffle, and the
+    // bucket-local sort is bounded by events-per-user-day), then one
+    // grouped aggregate. min_by/arg_min were rejected: a tied ts
+    // would pick an engine-arbitrary row; the composite-order
+    // row_number is deterministic by construction. Volume is the
+    // decimal sum.
+    Q("events_ohlc_bars",
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         ts, event_id, value
+        |  FROM events),
+        |o AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |                            ORDER BY ts, event_id) AS rn_a,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT user_id, day,
+        |       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       MAX(value) AS high,
+        |       MIN(value) AS low,
+        |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
+        |FROM o GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val part = Window.partitionBy(col("user_id"), col("day"))
+      val o = e
+        .withColumn("rn_a", row_number().over(part.orderBy(col("ts"), col("event_id"))))
+        .withColumn("rn_d", row_number().over(
+          part.orderBy(col("ts").desc, col("event_id").desc)))
+      o.groupBy(col("user_id"), col("day"))
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_obs"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("volume"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // Retention matrix over the full 30-day window. The oracle
     // replays day truncation, the per-user first day, and the offset
     // grid — every cell count hash-pinned.

@@ -634,6 +634,26 @@ class RelationalSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("spearmanMatrix: monotone nonlinear data gives rho=1 where Pearson < 1; ties averaged") {
+    import spark.implicits._
+    import graft.queries.Audit
+    val d = Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0), (5.0, 125.0))
+      .toDF("x", "y") // y = x³: perfectly monotone, not linear
+    val rho = Audit.spearmanMatrix(d, Seq("x", "y"))
+      .as[(String, String, Long, Double)].head()._4
+    assert(math.abs(rho - 1.0) < 1e-12, s"rho=$rho")
+    val pearson = Audit.corrMatrix(d, Seq("x", "y"))
+      .as[(String, String, Long, Double)].head()._4
+    assert(pearson < 0.95, s"cubic fixture too linear for the contrast: $pearson")
+    // ties: co-monotone with duplicated values must still be exactly 1
+    // (average ranks — a min-rank transform would break the symmetry)
+    val t = Seq((1.0, 3.0), (1.0, 3.0), (2.0, 5.0), (2.0, 5.0), (4.0, 9.0))
+      .toDF("x", "y")
+    val rhoT = Audit.spearmanMatrix(t, Seq("x", "y"))
+      .as[(String, String, Long, Double)].head()._4
+    assert(math.abs(rhoT - 1.0) < 1e-12, s"tied rho=$rhoT")
+  }
+
   test("ml_chi2_independence semantics: exactly proportional table gives chi2 = 0") {
     import spark.implicits._
     // Build the chi2 pipeline shape by hand over a perfectly
