@@ -2324,5 +2324,75 @@ object Relational {
         .agg(count(lit(1)).as("n_items"), dsum(col("rev")).as("revenue"))
         .orderBy(col("nation"), col("yr"))
     },
+
+    // TPC-H Q3-shaped shipping priority (r10 s4): top unshipped-value
+    // orders at a cutoff date — the date predicate lands on BOTH fact
+    // sides (orders placed BEFORE, lineitems shipping AFTER) and the
+    // grouping key IS the join key, so the aggregate rides the join's
+    // co-partitioning. Scale: the segment restriction cuts customers
+    // 1/5 and flows through the custkey join BEFORE lineitem joins
+    // in; both date filters push to their scans; top-10 is
+    // TakeOrdered under (revenue DESC, orderkey) — revenue is the
+    // exact decimal sum cast once.
+    Q("analytics_shipping_priority",
+      """SELECT l.l_orderkey,
+        |       CAST(o.o_orderdate AS DATE) AS o_date,
+        |       o.o_orderpriority,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                     AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1995-06-30'
+        |  AND CAST(l.l_shipdate AS DATE) > DATE '1995-06-30'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val custs = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
+        .filter(col("o_date") < lit("1995-06-30"))
+        .join(custs, col("o_custkey") === col("c_custkey"), "left_semi")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .filter(col("sd") > lit("1995-06-30"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_date"), col("o_orderpriority"))
+        .agg(dsum(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Multi-distinct aggregate (r10 s4): TWO COUNT(DISTINCT) columns
+    // beside plain aggregates in one GROUP BY — the shape Catalyst
+    // plans via Expand (each input row replicated once per distinct
+    // group + once for the plain aggregates, then a two-phase
+    // aggregate de-dups each lane; RelationalSpec pins the Expand
+    // operator in THIS query's plan). The ×3 row multiplier is the
+    // honest cost of exact multi-distinct in one pass — the
+    // alternatives are separate self-joined aggregates (×3 scans) or
+    // the KMV/CMS sketch tier when approximate is acceptable.
+    Q("agg_mixed_distinct",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          sum(col("l_quantity").cast("decimal(20,6)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
   )
 }

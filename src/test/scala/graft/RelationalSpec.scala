@@ -634,6 +634,13 @@ class RelationalSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("agg_mixed_distinct plans via Expand (one-pass exact multi-distinct)") {
+    val df = SparkEntry.queries("agg_mixed_distinct")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"multi-distinct should plan via Expand:\n$plan")
+  }
+
   test("spearmanMatrix: monotone nonlinear data gives rho=1 where Pearson < 1; ties averaged") {
     import spark.implicits._
     import graft.queries.Audit
