@@ -251,6 +251,11 @@ object PlanAudit {
     audit("bm25TopK", SparkEntry.queries("search_bm25_topk")(spark, sfDir))
     audit("corrMatrix", SparkEntry.queries("audit_corr_matrix")(spark, sfDir))
     audit("chi2Independence", SparkEntry.queries("ml_chi2_independence")(spark, sfDir))
+    audit("ohlcBars", SparkEntry.queries("events_ohlc_bars")(spark, sfDir))
+    audit("spearmanCorr", SparkEntry.queries("audit_spearman_corr")(spark, sfDir))
+    audit("shippingPriority(Q3)",
+      SparkEntry.queries("analytics_shipping_priority")(spark, sfDir))
+    audit("mixedDistinct", SparkEntry.queries("agg_mixed_distinct")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))
