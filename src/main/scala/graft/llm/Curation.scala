@@ -391,6 +391,51 @@ object Curation {
     out
   }
 
+  /** Honesty audit for the bloom pre-filter tier (the
+    * dedup_minhash_recall / embed_ann_recall pattern applied to
+    * decontamination): measure the sketch's ACTUAL false-positive
+    * rate against the exact gram set, and pin its no-false-negative
+    * guarantee. One row: distinct training grams probed, bloom hits,
+    * true hits, false positives, misses (MUST be 0 — a bloom can
+    * over-approximate but never under-approximate), and the realized
+    * FP µ-rate over the true negatives. Declared rows-only (the
+    * filter's bits are engine-internal — DuckDB can't replay
+    * might_contain); CurationSpec pins miss=0 and fpr ≤ 3× the
+    * configured fpp. Same bounded-driver shape as the decontam path:
+    * the one collected artifact is the serialized filter. */
+  def bloomFprAudit(
+      docs: DataFrame, evalPred: Column, n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val grams = gramHashRows(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalIds = docs.filter(evalPred).select(col("doc_id"))
+    val ev = grams.join(evalIds, Seq("doc_id"), "left_semi")
+      .select(col("gram_h")).distinct()
+    val p = grams.join(evalIds, Seq("doc_id"), "left_anti")
+      .select(col("gram_h")).distinct()
+    val evCount = math.max(ev.count(), 1L)
+    val numBits = math.ceil(
+      -evCount * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomBytes = ev
+      .agg(graft.functions.bloom_filter_agg(col("gram_h"), evCount, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val out = p
+      .withColumn("hit",
+        graft.functions.might_contain(bloomBytes, col("gram_h")).cast("long"))
+      .join(ev.withColumn("t", lit(1L)), Seq("gram_h"), "left")
+      .select(col("hit"), coalesce(col("t"), lit(0L)).as("t"))
+      .agg(
+        count(lit(1)).cast("long").as("n_probes"),
+        sum(col("hit")).cast("long").as("n_bloom_hits"),
+        sum(col("t")).cast("long").as("n_true"),
+        sum(col("hit") * (lit(1L) - col("t"))).cast("long").as("n_false_pos"),
+        sum((lit(1L) - col("hit")) * col("t")).cast("long").as("n_missed"))
+      .withColumn("fpr_micro",
+        expr("(n_false_pos * 1000000) div greatest(n_probes - n_true, 1)"))
+      .localCheckpoint()
+    grams.unpersist()
+    out
+  }
+
   /** Domain-weighted mixing: keep a doc iff its content-hash bucket
     * (0..999) falls under its language's rate. Hash rules are stable
     * under retries and re-runs — a seeded Bernoulli is not — so the
@@ -1004,6 +1049,13 @@ object Curation {
     Q("decontam_overlap_bloom", decontamOracleSql) { (s, dir) =>
       decontaminateBloom(Tables.documents(s, dir), col("doc_id") % 7 === 0)
         .orderBy(col("doc_id"))
+    },
+
+    // The bloom tier's measured honesty (see bloomFprAudit's
+    // scaladoc): realized FPR + the no-false-negative pin, made
+    // driver-visible the way dedup_minhash_recall is.
+    Q.noOracle("decontam_bloom_fpr") { (s, dir) =>
+      bloomFprAudit(Tables.documents(s, dir), col("doc_id") % 7 === 0)
     },
 
     Q("corpus_training_ready", {

@@ -373,6 +373,54 @@ object TimeSeries {
 
   val defs: Seq[Q] = Seq(
 
+    // Seasonal-naive forecast backtest (r10 s4): forecast each day's
+    // per-user mean with the value ONE SEASON (7 days) earlier, and
+    // report the mean absolute percentage error — the baseline every
+    // real forecasting model must beat, and the shape of a rolling
+    // backtest harness (join the series to itself at lag = season).
+    // Exactness: day means in integer µ-units with half-up rounding
+    // ((2Σ+n) div 2n — the interpolate discipline), APE in integer
+    // µ-rate ((|m−f|·10⁶) div m), per-user MAPE again via the
+    // half-up integer mean — BIGINTs end to end, nothing to round.
+    // Shape: one (user, day) aggregate, one self-join on the
+    // (user, day−7) key riding the same partitioning, one per-user
+    // rollup. The m>0 guard is vacuous on this positive-valued
+    // fixture but keeps the integer division total.
+    Q("timeseries_seasonal_naive_mape",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         (2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |          + COUNT(*)) // (2 * COUNT(*)) AS m_us
+        |  FROM events GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT c.user_id,
+        |         (ABS(c.m_us - p.m_us) * 1000000) // c.m_us AS ape_micro
+        |  FROM daily c
+        |  JOIN daily p ON p.user_id = c.user_id AND p.day = c.day - 7
+        |  WHERE c.m_us > 0)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_backtest,
+        |       CAST((2 * SUM(ape_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+        |         AS mape_micro
+        |FROM bt GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(expr(
+          """(2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+            | + COUNT(*)) div (2 * COUNT(*))""".stripMargin).as("m_us"))
+      val p = daily.select(col("user_id").as("p_user"), col("day").as("p_day"),
+        col("m_us").as("f_us"))
+      daily.filter(col("m_us") > 0)
+        .join(p, col("user_id") === col("p_user") &&
+          col("p_day") === date_sub(col("day"), 7))
+        .select(col("user_id"),
+          expr("(ABS(m_us - f_us) * 1000000) div m_us").as("ape_micro"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_backtest"),
+          expr("CAST((2 * SUM(ape_micro) + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)")
+            .as("mape_micro"))
+        .orderBy(col("user_id"))
+    },
+
     // Peak concurrent sessions per day. The oracle replays the gap
     // sessionization, the ±1 sweep, and ONE global running sum — the
     // semantic spec the two-phase prefix sum must equal exactly.

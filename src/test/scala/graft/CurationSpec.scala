@@ -505,4 +505,21 @@ class CurationSpec extends SparkSpec {
         col("plus3m") <= col("d"))
     assert(bad.count() === 0)
   }
+
+  test("bloomFprAudit: zero false negatives, realized FPR within 3x the configured fpp") {
+    val row = graft.llm.Curation.bloomFprAudit(
+      Tables.documents(spark, sf("sf0.001")), col("doc_id") % 7 === 0, n = 8, fpp = 0.01)
+      .head()
+    val nProbes = row.getAs[Long]("n_probes")
+    val nMissed = row.getAs[Long]("n_missed")
+    val nFp = row.getAs[Long]("n_false_pos")
+    val nTrue = row.getAs[Long]("n_true")
+    assert(nProbes > 0, "audit vacuous: no probes")
+    // the bloom guarantee: a present element can NEVER be missed
+    assert(nMissed === 0L, s"bloom missed $nMissed present grams")
+    // realized FPR over the true negatives stays near the configured 1%
+    val negs = math.max(nProbes - nTrue, 1L)
+    assert(nFp.toDouble / negs <= 0.03,
+      s"realized FPR ${nFp.toDouble / negs} exceeds 3x configured fpp")
+  }
 }
