@@ -443,4 +443,25 @@ object Ingest {
         .orderBy(col("o_orderstatus"))
     },
   )
+
+  /** Zero-extra-scan pipeline observability: attach row/null/sum
+    * metrics to a frame via `observe` so they are collected AS A SIDE
+    * EFFECT of whatever action consumes it (a sink write, an
+    * aggregate) — at 100 TB the alternative is a second full scan per
+    * metric batch. Returns the instrumented frame plus the
+    * [[org.apache.spark.sql.Observation]] to read after the action:
+    * `rows`, one `nulls_<col>` per audited column, and the exact
+    * decimal-summed `sum_<col>` for numeric columns requested.
+    * OperatorsSpec pins metrics == direct computation while the only
+    * job run is the sink write itself. */
+  def observedLoad(df: DataFrame, nullCols: Seq[String], sumCols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val metrics: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("rows")) ++
+      nullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")) ++
+      sumCols.map(c =>
+        sum(col(c).cast("decimal(30,6)")).cast("double").as(s"sum_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

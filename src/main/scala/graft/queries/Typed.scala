@@ -53,6 +53,39 @@ object Typed {
            |ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // LATERAL correlated subquery through the SQL front door (r10
+    // s4): each customer's top-2 orders by price — the per-row
+    // dependent subquery SQL users reach for before they know the
+    // window-function form. Catalyst decorrelates the LATERAL + LIMIT
+    // into the same rank-over-partition plan `topk_per_group`
+    // declares directly (DSL and SQL meet in one optimizer); DuckDB
+    // runs the identical LATERAL text, so the surface is pinned
+    // cross-engine. Unique (price DESC, orderkey) order keeps the
+    // top-2 deterministic.
+    Q("sql_frontdoor_lateral",
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o.o_orderkey, o.o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin) { (s, dir) =>
+      val vc = "cust_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val vo = "ord_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables.customer(s, dir).createOrReplaceTempView(vc)
+      Tables.orders(s, dir).createOrReplaceTempView(vo)
+      s.sql(
+        s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           |FROM $vc c,
+           |LATERAL (SELECT o.o_orderkey, o.o_totalprice
+           |         FROM $vo o
+           |         WHERE o.o_custkey = c.c_custkey
+           |         ORDER BY o.o_totalprice DESC, o.o_orderkey
+           |         LIMIT 2) t
+           |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+    },
+
     // SQL front door for the CURATION tier (round 7): the native
     // n-gram Generator driven entirely through spark.sql — SQL
     // registration (registerAll / GraftExtensions) + LATERAL VIEW is

@@ -320,6 +320,25 @@ class OperatorsSpec extends SparkSpec {
     assert(lenSplit === lenOrig, "split pieces must exactly tile the originals")
   }
 
+  test("observedLoad: metrics ride the sink write — no second scan, values exact") {
+    import graft.queries.Ingest
+    val src = Tables.orders(spark, sf("sf0.001"))
+    val (instrumented, obs) = Ingest.observedLoad(src,
+      nullCols = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
+    val out = java.nio.file.Files.createTempDirectory("observed_").toString
+    try {
+      instrumented.write.mode("overwrite").parquet(out) // the ONLY action
+      val m = obs.get
+      assert(m("rows") === src.count())
+      assert(m("nulls_o_custkey") === src.filter(col("o_custkey").isNull).count())
+      val want = src.agg(
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")).head().getDouble(0)
+      assert(m("sum_o_totalprice") === want)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("normalizeTs: NTZ wall-clock is interpreted as UTC under a NON-UTC session zone") {
     // ADVICE r9: a bare NTZ→LTZ cast re-anchors the wall-clock in the
     // session zone — under America/New_York every instant shifted by
