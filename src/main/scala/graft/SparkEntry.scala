@@ -104,5 +104,14 @@ object SparkEntry {
     // collapse + map-side slice/fingerprint shape no other headline
     // query exercises (text crosses its one doc-keyed join once).
     "dedup_cdc_chunks",
+    // Round 10 (session 4): BM25 on the RAW corpus — the one-pass
+    // retrieval shape with the length-normalization join folded into
+    // the explode (keyword_topk measures the flat-idf skeleton; this
+    // measures the full scorer).
+    "search_bm25_topk",
+    // Round 10 (session 4): OHLC bars on the RAW events — the
+    // double-direction window + grouped-aggregate downsampling shape
+    // (the other window headlines are single-direction frames).
+    "events_ohlc_bars",
   )
 }

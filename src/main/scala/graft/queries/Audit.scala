@@ -1293,6 +1293,45 @@ object Audit {
           when(col("event_type") === "error", 1).otherwise(0).as("label")))
     },
 
+    // Per-fold exact AUC (r10 s4) — the cross-validation readout the
+    // pooled ml_auc_exact hides: the SAME md5 user-fold assignment as
+    // ml_group_kfold (an entity's rows never straddle folds), rank
+    // windows partitioned by fold, every fold's Mann–Whitney AUC in
+    // exact integer arithmetic with one final divide. Fold-to-fold
+    // spread here IS the variance estimate a single pooled AUC
+    // cannot give.
+    Q("ml_cv_auc_per_fold",
+      """WITH s AS (
+        |  SELECT value AS score,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label,
+        |         CAST(concat('0x', substr(md5('fold:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+        |  FROM events),
+        |bv AS (SELECT fold, score, COUNT(*) AS nv, SUM(label) AS pv
+        |       FROM s GROUP BY 1, 2),
+        |c AS (
+        |  SELECT fold, score, nv, pv,
+        |         COALESCE(SUM(nv) OVER (PARTITION BY fold ORDER BY score
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  0) AS start
+        |  FROM bv),
+        |a AS (
+        |  SELECT fold, SUM(pv * (2 * start + nv + 1)) AS two_rank_sum,
+        |         SUM(pv) AS n_pos, SUM(nv) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT fold,
+        |       CAST(n_pos AS BIGINT) AS n_pos,
+        |       CAST(n - n_pos AS BIGINT) AS n_neg,
+        |       ROUND(CAST(two_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
+        |             / CAST(2 * n_pos * (n - n_pos) AS DOUBLE), 6) + 0 AS auc
+        |FROM a ORDER BY fold""".stripMargin) { (s, dir) =>
+      exactAucByFold(Tables.events(s, dir)
+        .select(col("value").as("score"),
+          when(col("event_type") === "error", 1).otherwise(0).as("label"),
+          (conv(substring(md5(concat(lit("fold:"),
+            col("user_id").cast("string"))), 1, 8), 16, 10).cast("long") % 5)
+            .as("fold")))
+    },
+
     // Referential-integrity audit over the star schema — the FK-orphan
     // report a warehouse runs before trusting any join (an orphan FK
     // silently DROPS rows from every inner join downstream; the audit
@@ -1658,6 +1697,33 @@ object Audit {
         (round((col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
           (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).cast("double"), 6) + lit(0.0))
           .as("auc"))
+  }
+
+  /** [[exactAuc]] per fold over a (score, label, fold) frame — the
+    * cross-validation readout: rank windows PARTITIONED by fold, so
+    * each fold's AUC is the exact Mann–Whitney statistic over only
+    * its own rows (a pooled AUC hides fold variance — the thing CV
+    * exists to expose). Same all-integer arithmetic; one window + two
+    * aggregates, all fold-keyed. */
+  def exactAucByFold(df: DataFrame): DataFrame = {
+    val byV = df.groupBy(col("fold"), col("score"))
+      .agg(count(lit(1)).as("nv"), sum(col("label").cast("long")).as("pv"))
+    val w = Window.partitionBy(col("fold")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byV.withColumn("start", coalesce(sum(col("nv")).over(w), lit(0L)))
+    cum.groupBy(col("fold"))
+      .agg(
+        sum(col("pv") * (col("start") * 2 + col("nv") + 1)).as("two_rank_sum"),
+        sum(col("pv")).as("n_pos"),
+        sum(col("nv")).as("n"))
+      .select(
+        col("fold"),
+        col("n_pos").cast("long").as("n_pos"),
+        (col("n") - col("n_pos")).cast("long").as("n_neg"),
+        (round((col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).cast("double"), 6) + lit(0.0))
+          .as("auc"))
+      .orderBy(col("fold"))
   }
 
   /** Winsorized per-group stats over a (g, v) frame: clamp v into the
