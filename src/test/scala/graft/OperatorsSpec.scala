@@ -322,7 +322,14 @@ class OperatorsSpec extends SparkSpec {
 
   test("observedLoad: metrics ride the sink write — no second scan, values exact") {
     import graft.queries.Ingest
-    val src = Tables.orders(spark, sf("sf0.001"))
+    // Isolated session: the Observation registers in the session's
+    // ObservationManager, and a registered entry makes the
+    // SparkSession object non-serializable — which breaks any LATER
+    // test whose ML closure drags the shared session in via a
+    // trainingSummary (QualitySpec, observed as a cross-suite flake).
+    // newSession() shares the context but owns a fresh manager.
+    val session = spark.newSession()
+    val src = Tables.orders(session, sf("sf0.001"))
     val (instrumented, obs) = Ingest.observedLoad(src,
       nullCols = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
     val out = java.nio.file.Files.createTempDirectory("observed_").toString
