@@ -1720,8 +1720,12 @@ object Audit {
         col("fold"),
         col("n_pos").cast("long").as("n_pos"),
         (col("n") - col("n_pos")).cast("long").as("n_neg"),
-        (round((col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
-          (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).cast("double"), 6) + lit(0.0))
+        // one-class guard: AUC undefined when a fold has no positives
+        // or no negatives — NULL, not an ANSI divide-by-zero throw
+        when(col("n_pos") > 0 && col("n") > col("n_pos"),
+          round((col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).cast("double"), 6)
+            + lit(0.0))
           .as("auc"))
       .orderBy(col("fold"))
   }
@@ -1788,11 +1792,15 @@ object Audit {
     val m = df.agg(count(lit(1)).as("n"), aggs: _*).localCheckpoint()
     val nD = col("n").cast("double")
     prs.map { case (x, y) =>
+      // zero-variance guard: a constant column makes the denominator
+      // 0.0 and ANSI-mode double division THROWS (Spark 4 default) —
+      // the degenerate contract is NULL (correlation undefined), and
+      // on real data the guard is a no-op (EdgeCaseSpec pins it)
+      val den = sqrt((nD * col(s"ss_$x")) - (col(s"s_$x") * col(s"s_$x"))) *
+        sqrt((nD * col(s"ss_$y")) - (col(s"s_$y") * col(s"s_$y")))
+      val num = (nD * col(s"c_${x}_$y")) - (col(s"s_$x") * col(s"s_$y"))
       m.select(lit(x).as("x_col"), lit(y).as("y_col"), col("n"),
-        (((nD * col(s"c_${x}_$y")) - (col(s"s_$x") * col(s"s_$y"))) /
-          (sqrt((nD * col(s"ss_$x")) - (col(s"s_$x") * col(s"s_$x"))) *
-            sqrt((nD * col(s"ss_$y")) - (col(s"s_$y") * col(s"s_$y")))))
-          .as("corr"))
+        when(den =!= 0.0, num / den).as("corr"))
     }.reduce(_ unionByName _)
       .orderBy(col("x_col"), col("y_col"))
   }

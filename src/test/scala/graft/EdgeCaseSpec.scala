@@ -272,6 +272,62 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.queries.TimeSeries.peakDetection(twoEv).count() === 0L,
       "a 2-event series has no interior and no peaks")
   }
+
+  test("round-10 session-4 operators survive degenerate inputs") {
+    import graft.queries.{Audit, Graphs}
+    // common neighbors: empty edge set → empty; a single edge has no
+    // wedge (both endpoints deg 1)
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graphs.commonNeighbors(noEdges, maxDeg = 10, k = 5).count() === 0L)
+    assert(Graphs.commonNeighbors(
+      Seq((1L, 2L)).toDF("a", "b"), maxDeg = 10, k = 5).count() === 0L)
+    // corrMatrix: a CONSTANT column has zero variance → correlation
+    // undefined → NULL (the guard matters: ANSI-mode double division
+    // by zero THROWS in Spark 4, so an unguarded divide would take
+    // the whole job down on a degenerate frame)
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    val cm = Audit.corrMatrix(const, Seq("x", "y")).collect()
+    assert(cm.length === 1 && cm.head.isNullAt(3))
+    // spearman: same contract through the rank transform (a constant
+    // column ranks to one tied value — still zero variance)
+    val sm = Audit.spearmanMatrix(const, Seq("x", "y")).collect()
+    assert(sm.length === 1 && sm.head.isNullAt(3))
+    // target encoding: a single fold means EVERY row's own fold is
+    // excluded → the exclusion frame is empty and the encoding
+    // collapses to the pure prior α·P/(N·α) = P/N
+    val oneFold = Seq(("A", 0L, 1L), ("A", 0L, 0L), ("B", 0L, 1L))
+      .toDF("seg", "fold", "y")
+    val te = graft.pipeline.TrainingData.targetEncodeFolds(oneFold, alpha = 10)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(te.forall(r => math.abs(r._5 - 2.0 / 3.0) < 1e-12),
+      s"single-fold encoding must equal the global prior: ${te.toSeq}")
+    // bm25: empty corpus → empty ranking; all-absent terms → empty
+    assert(graft.llm.TextAnalysis.bm25Search(
+      emptyDocs, Seq("a"), 5).count() === 0L)
+    assert(graft.llm.TextAnalysis.bm25Search(
+      oneDoc, Seq("absent_term"), 5).count() === 0L)
+    // per-fold AUC: a fold with one class only → AUC undefined →
+    // NULL, counts still exact (the caller reads n_pos/n_neg before
+    // trusting auc)
+    val oneClass = Seq((0.3, 1, 0L), (0.7, 1, 0L)).toDF("score", "label", "fold")
+    val auc = Audit.exactAucByFold(oneClass).collect()
+    assert(auc.length === 1 && auc.head.getLong(1) === 2L &&
+      auc.head.getLong(2) === 0L && auc.head.isNullAt(3))
+    // seasonal-naive backtest shape: a series shorter than one season
+    // produces no backtest rows (nothing to join at lag 7) — pinned
+    // through the declared query's daily-join shape on a 2-day frame
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val shortEv = Seq(
+      (1L, t1, 1L, "view", 1.0, ""),
+      (2L, new java.sql.Timestamp(t1.getTime + 86400000L), 1L, "view", 2.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val daily = shortEv.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lagJoin = daily.join(
+      daily.select(col("user_id").as("u2"), col("day").as("d2")),
+      col("user_id") === col("u2") && col("d2") === date_sub(col("day"), 7))
+    assert(lagJoin.count() === 0L)
+  }
 }
 
 /** The source-matrix pipeline is declared inline; rebuild its core here
