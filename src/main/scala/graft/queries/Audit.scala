@@ -1694,8 +1694,13 @@ object Audit {
         col("n_pos").cast("long").as("n_pos"),
         (col("n") - col("n_pos")).cast("long").as("n_neg"),
         (col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1)).cast("long").as("auc_num"),
-        (round((col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
-          (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).cast("double"), 6) + lit(0.0))
+        // one-class guard (the exactAucByFold contract): AUC is
+        // undefined without both classes — NULL, not an ANSI
+        // divide-by-zero throw on a filtered slice
+        when(col("n_pos") > 0 && col("n") > col("n_pos"),
+          round((col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).cast("double"), 6)
+            + lit(0.0))
           .as("auc"))
   }
 
