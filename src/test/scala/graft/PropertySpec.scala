@@ -592,4 +592,103 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  /** Random small numeric frames for the correlation tier. */
+  private val pairsGen: Gen[List[(Double, Double)]] =
+    for {
+      n <- Gen.choose(3, 20)
+      xs <- Gen.listOfN(n, Gen.choose(-50, 50).map(_ / 4.0))
+      ys <- Gen.listOfN(n, Gen.choose(-50, 50).map(_ / 4.0))
+    } yield xs.zip(ys)
+
+  test("property: Pearson and Spearman always land in [-1, 1] or NULL") {
+    check(Prop.forAll(pairsGen) { rows =>
+      val df = rows.toDF("x", "y")
+      val p = graft.queries.Audit.corrMatrix(df, Seq("x", "y")).collect().head
+      val s = graft.queries.Audit.spearmanMatrix(df, Seq("x", "y")).collect().head
+      def ok(r: org.apache.spark.sql.Row) =
+        r.isNullAt(3) || (r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+      Prop(ok(p) && ok(s)) :| s"pearson=$p spearman=$s"
+    })
+  }
+
+  test("property: Spearman is invariant under any strictly monotone transform of x") {
+    check(Prop.forAll(pairsGen) { rows =>
+      val df = rows.toDF("x", "y")
+      // x -> x³ + 2x is strictly increasing: identical ranks, so the
+      // statistic must not move AT ALL (bit-equal, both computed from
+      // the same integer rank frames)
+      val tf = rows.map { case (x, y) => (x * x * x + 2 * x, y) }.toDF("x", "y")
+      val a = graft.queries.Audit.spearmanMatrix(df, Seq("x", "y")).collect().head
+      val b = graft.queries.Audit.spearmanMatrix(tf, Seq("x", "y")).collect().head
+      val same = (a.isNullAt(3) && b.isNullAt(3)) ||
+        (!a.isNullAt(3) && !b.isNullAt(3) && a.getDouble(3) == b.getDouble(3))
+      Prop(same) :| s"a=$a b=$b"
+    })
+  }
+
+  /** Random (seg, fold, y) frames for target encoding. */
+  private val teGen: Gen[List[(String, Long, Long)]] =
+    for {
+      n <- Gen.choose(2, 30)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("A", "B", "C")
+        f <- Gen.choose(0L, 3L)
+        y <- Gen.oneOf(0L, 1L)
+      } yield (s, f, y))
+    } yield rows
+
+  test("property: target encoding stays strictly inside (0, 1) and counts reconcile") {
+    check(Prop.forAll(teGen) { rows =>
+      // with α > 0 and 0 ≤ P ≤ N the smoothed estimate can touch the
+      // open interval's ends only if P=0 (then enc = 0·…? no: α·P=0 and
+      // pos_excl=0 → enc=0) — allow the closed interval, require
+      // per-(seg,fold) counts to reconcile with the input exactly
+      val df = rows.toDF("seg", "fold", "y")
+      val out = graft.pipeline.TrainingData.targetEncodeFolds(df, alpha = 10)
+        .collect()
+      val inCounts = rows.groupBy(r => (r._1, r._2))
+        .view.mapValues(g => (g.size.toLong, g.map(_._3).sum)).toMap
+      val all = out.forall { r =>
+        val k = (r.getString(0), r.getLong(1))
+        val e = r.getDouble(4)
+        e >= 0.0 && e <= 1.0 &&
+          inCounts(k) == ((r.getLong(2), r.getLong(3)))
+      }
+      Prop(all && out.length == inCounts.size) :| out.mkString(";")
+    })
+  }
+
+  test("property: OHLC invariants — low <= open/close <= high, volume = exact sum") {
+    val ohlcGen = for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 2L)
+        d <- Gen.choose(1, 3)
+        s <- Gen.choose(0, 86399)
+        v <- Gen.choose(1, 99999).map(_ / 100.0)
+      } yield (u, d, s, v))
+    } yield rows.zipWithIndex.map { case ((u, d, s, v), i) => (i.toLong, u, d, s, v) }
+    check(Prop.forAll(ohlcGen) { rows =>
+      val ev = rows.map { case (id, u, d, s, v) =>
+        (id, new Timestamp(Timestamp.valueOf(f"2024-01-$d%02d 00:00:00").getTime
+          + s * 1000L), u, "view", v, "")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dir = tempDir("prop_ohlc")
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = SparkEntry.queries("events_ohlc_bars")(spark, dir).collect()
+      graft.Bench.deleteRecursively(dir)
+      val ok = out.forall { r =>
+        val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        l <= o && o <= h && l <= c && c <= h && r.getLong(6) >= 1L
+      }
+      // volume reconciles exactly with the per-(user, day) input sum
+      val want = rows.groupBy { case (_, u, d, _, _) => (u, d) }
+        .view.mapValues(g => g.map { case (_, _, _, _, v) => BigDecimal(v) }.sum).toMap
+      val vols = out.map { r =>
+        ((r.getLong(0), r.getDate(1).toLocalDate.getDayOfMonth), BigDecimal(r.getDouble(7)))
+      }.toMap
+      Prop(ok && vols.forall { case (k, v) => (v - want(k)).abs < BigDecimal("0.000001") })
+        .:|(out.mkString(";"))
+    })
+  }
 }
