@@ -2367,6 +2367,66 @@ object Relational {
         .limit(10)
     },
 
+    // TPC-H Q6-shaped forecast-revenue filter (r10 s4): the classic
+    // pure scan-side query — three conjunctive predicates, no join,
+    // one global aggregate. Its whole value is WHERE the predicates
+    // execute: all three must reach the parquet scan as PushedFilters
+    // (RelationalSpec pins discount/quantity pushed and the date
+    // bound surviving as a scan-level filter) — at 100 TB this query
+    // is row-group statistics + a map-side sum, nothing else.
+    Q("analytics_forecast_revenue",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+        |            AS DOUBLE) AS revenue_delta
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1995-01-01") &&
+          col("l_shipdate").cast("date") < lit("1996-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * col("l_discount")).as("revenue_delta"))
+    },
+
+    // TPC-H Q14-shaped promo share (r10 s4): the conditional-ratio
+    // shape where the CASE discriminates on the JOINED dim's
+    // attribute (agg_conditional_family's cases are single-table) —
+    // numerator and denominator ride ONE aggregate over one month of
+    // fact. Both sums decimal-exact; the share is a single double
+    // divide of the two exact sums, 6-dp rounded.
+    Q("analytics_promo_share",
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |                  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))
+        |                  ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
+        |         AS DOUBLE) AS total_revenue
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-03-01'
+        |    AND CAST(l.l_shipdate AS DATE) < DATE '1995-04-01')
+        |SELECT promo_revenue, total_revenue,
+        |       ROUND(promo_revenue / total_revenue, 6) + 0 AS promo_share
+        |FROM m""".stripMargin) { (s, dir) =>
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1995-03-01") &&
+          col("l_shipdate").cast("date") < lit("1995-04-01"))
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev.cast("decimal(30,6)"))
+            .otherwise(lit(0).cast("decimal(30,6)"))).cast("double").as("promo_revenue"),
+          sum(rev.cast("decimal(30,6)")).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (round(col("promo_revenue") / col("total_revenue"), 6) + lit(0.0))
+            .as("promo_share"))
+    },
+
     // Multi-distinct aggregate (r10 s4): TWO COUNT(DISTINCT) columns
     // beside plain aggregates in one GROUP BY — the shape Catalyst
     // plans via Expand (each input row replicated once per distinct

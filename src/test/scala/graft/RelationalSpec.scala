@@ -634,6 +634,18 @@ class RelationalSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("analytics_forecast_revenue: all scan-side predicates reach the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("analytics_forecast_revenue")(spark, sf("sf0.001"))
+    val scan = collectPlan(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      pushed.contains("LessThanOrEqual(l_discount,0.07)") &&
+      pushed.contains("LessThan(l_quantity,24.0)"),
+      s"numeric predicates not pushed: $pushed")
+  }
+
   test("agg_mixed_distinct plans via Expand (one-pass exact multi-distinct)") {
     val df = SparkEntry.queries("agg_mixed_distinct")(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
