@@ -288,9 +288,13 @@ object Graphs {
     * enumeration with negligible score loss (document the cap when
     * reporting). ra_micro is Σ round(10⁶/deg(z)) — integer-exact. */
   def commonNeighbors(edges: DataFrame, maxDeg: Long, k: Int): DataFrame = {
+    // the symmetric-distinct edge list feeds the degree frame, BOTH
+    // wedge sides, and the final anti-join — checkpoint it so the
+    // union+distinct exchange is paid once, not re-derived per consumer
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .localCheckpoint()
     val deg = und.groupBy(col("a").as("z"))
       .agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDeg)
