@@ -304,8 +304,13 @@ object TrainingData {
     * beyond that). */
   def targetEncodeFolds(r: DataFrame, alpha: Int): DataFrame = {
     require(alpha > 0, "targetEncodeFolds: alpha must be positive")
+    // the (seg, fold) cell frame feeds the per-seg rollup, the global
+    // rollup, AND the output join — checkpoint the |segs|·|folds| rows
+    // so the data-sized aggregate (and its upstream fact join) runs
+    // once, not once per consumer
     val sf = r.groupBy(col("seg"), col("fold"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint()
     val st = sf.groupBy(col("seg").as("seg2"))
       .agg(sum(col("n")).as("tn"), sum(col("pos")).as("tpos"))
     val g = sf.agg(sum(col("n")).as("gn"), sum(col("pos")).as("gpos"))
