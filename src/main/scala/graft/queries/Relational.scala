@@ -2427,6 +2427,61 @@ object Relational {
             .as("promo_share"))
     },
 
+    // TPC-H Q10-shaped returned-item ranking (r10 s4): which
+    // customers returned the most value in a quarter — the
+    // fact-filter → custkey rollup → dim-resolve → top-k shape that
+    // completes the TPC-H set expressible on this schema (Q12 needs
+    // l_shipmode, which the generator does not emit — documented).
+    // Scale: the returnflag + quarter filters prune the fact scan,
+    // the orders join carries only (orderkey, custkey), the rollup
+    // reaches one row per customer BEFORE the customer/nation dims
+    // resolve, top-20 is TakeOrdered under the exact decimal revenue
+    // with a unique custkey tiebreak.
+    Q("analytics_returned_customers",
+      """WITH r AS (
+        |  SELECT o.o_custkey,
+        |         CAST(COUNT(*) AS BIGINT) AS n_items,
+        |         SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                  AS DECIMAL(30,6))) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+        |    AND CAST(o.o_orderdate AS DATE) < DATE '1995-04-01'
+        |  GROUP BY o.o_custkey)
+        |SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+        |       r.n_items, CAST(r.rev AS DOUBLE) AS returned_revenue
+        |FROM r
+        |JOIN customer c ON c.c_custkey = r.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |ORDER BY returned_revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("od"))
+        .filter(col("od") >= lit("1995-01-01") && col("od") < lit("1995-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val perCust = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rv"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rv").cast("decimal(30,6)")).as("rev"))
+      perCust
+        .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("nation"),
+          col("n_items"), col("rev").cast("double").as("returned_revenue"))
+        .orderBy(col("returned_revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // Multi-distinct aggregate (r10 s4): TWO COUNT(DISTINCT) columns
     // beside plain aggregates in one GROUP BY — the shape Catalyst
     // plans via Expand (each input row replicated once per distinct
