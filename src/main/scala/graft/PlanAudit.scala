@@ -256,6 +256,15 @@ object PlanAudit {
     audit("shippingPriority(Q3)",
       SparkEntry.queries("analytics_shipping_priority")(spark, sfDir))
     audit("mixedDistinct", SparkEntry.queries("agg_mixed_distinct")(spark, sfDir))
+    audit("forecastRevenue(Q6)",
+      SparkEntry.queries("analytics_forecast_revenue")(spark, sfDir))
+    audit("promoShare(Q14)", SparkEntry.queries("analytics_promo_share")(spark, sfDir))
+    audit("returnedCustomers(Q10)",
+      SparkEntry.queries("analytics_returned_customers")(spark, sfDir))
+    audit("seasonalNaiveMape",
+      SparkEntry.queries("timeseries_seasonal_naive_mape")(spark, sfDir))
+    audit("cvAucPerFold", SparkEntry.queries("ml_cv_auc_per_fold")(spark, sfDir))
+    audit("lateralTopk", SparkEntry.queries("sql_frontdoor_lateral")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))
