@@ -1173,6 +1173,42 @@ object Curation {
         .orderBy(col("source"), col("doc_id"))
     },
 
+    // Packing-efficiency readout (r10 s4) for the pack_token_bins
+    // tiling: contiguous stream packing fills every bin to the 512
+    // budget except each source's LAST, so the whole utilization
+    // story is three integers per source — bins used, last-bin fill,
+    // and the µ-rate utilization total/(n_bins·budget). All integer
+    // arithmetic (the ceil is (total+511) div 512); the report a
+    // training-data job reads before deciding whether cross-source
+    // packing (filling tails with another source's docs) is worth
+    // the provenance mixing.
+    Q("pack_bin_utilization", {
+      val budget = 512
+      s"""WITH t AS (
+         |  SELECT source,
+         |         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY 1)
+         |SELECT source, total_tokens,
+         |       (total_tokens + ${budget - 1}) // $budget AS n_bins,
+         |       total_tokens - ((total_tokens + ${budget - 1}) // $budget - 1) * $budget
+         |         AS last_bin_fill,
+         |       (total_tokens * 1000000) // (((total_tokens + ${budget - 1}) // $budget) * $budget)
+         |         AS util_micro
+         |FROM t ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val budget = 512
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+        .select(col("source"), col("total_tokens"),
+          expr(s"(total_tokens + ${budget - 1}) div $budget").as("n_bins"),
+          expr(s"total_tokens - ((total_tokens + ${budget - 1}) div $budget - 1) * $budget")
+            .as("last_bin_fill"),
+          expr(s"(total_tokens * 1000000) div (((total_tokens + ${budget - 1}) div $budget) * $budget)")
+            .as("util_micro"))
+        .orderBy(col("source"))
+    },
+
     // The pipeline funnel: per-stage survivor counts under the same
     // stage semantics (and the same %7 eval slice, 40-token gate,
     // MixRates) as corpus_training_ready — the oracle replays every

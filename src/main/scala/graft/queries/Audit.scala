@@ -1293,6 +1293,43 @@ object Audit {
           when(col("event_type") === "error", 1).otherwise(0).as("label")))
     },
 
+    // TTL / retention sweep (r10 s4): the compliance primitive every
+    // production lake runs — which rows are past their retention
+    // window, bucketed by day, plus the survivor count the DELETE
+    // would leave. The TTL anchor is the CORPUS max timestamp (the
+    // RFM anchor-day idiom — wall-clock now() would make the result
+    // time-dependent and unhashable); expiry is a pure row predicate
+    // (age > 20 days), so at 100 TB the sweep is scan + map-side
+    // flag + day-bounded rollup, and the deletion itself is the
+    // partition-level drop this report drives (day-partitioned
+    // layout ⇒ expired days drop as whole partitions, never a
+    // row-level rewrite).
+    Q("audit_ttl_sweep",
+      """WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+        |flagged AS (
+        |  SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+        |         CASE WHEN e.ts < a.mx - INTERVAL 20 DAY THEN 1 ELSE 0 END AS expired
+        |  FROM events e CROSS JOIN anchor a)
+        |SELECT day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(expired) AS BIGINT) AS n_expired,
+        |       CAST(SUM(1 - expired) AS BIGINT) AS n_retained
+        |FROM flagged
+        |GROUP BY day
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("ts"))
+      val anchor = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(anchor))
+        .select(to_date(col("ts")).as("day"),
+          when(col("ts") < col("mx") - expr("INTERVAL 20 DAY"), 1)
+            .otherwise(0).as("expired"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("expired")).cast("long").as("n_expired"),
+          sum(lit(1) - col("expired")).cast("long").as("n_retained"))
+        .orderBy(col("day"))
+    },
+
     // Per-fold exact AUC (r10 s4) — the cross-validation readout the
     // pooled ml_auc_exact hides: the SAME md5 user-fold assignment as
     // ml_group_kfold (an entity's rows never straddle folds), rank
