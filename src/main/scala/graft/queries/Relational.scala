@@ -2158,6 +2158,9 @@ object Relational {
         .join(coldParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast("decimal(20,6)")).as("sq"))
+        // pq feeds the per-part rollup AND the threshold join —
+        // checkpoint so the fact scan + pair aggregate run once
+        .localCheckpoint()
       val pt = pq.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
       val dom = pq.join(pt, col("l_partkey") === col("pk"))
