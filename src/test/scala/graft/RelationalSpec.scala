@@ -120,7 +120,10 @@ class RelationalSpec extends SparkSpec {
       // frames (25 rows / 15 cells); BM25 crosses the 1-row corpus
       // totals into the |query|-bounded df frame — all the same
       // 1-row broadcast class
-      "ml_target_encode", "ml_chi2_independence", "search_bm25_topk")
+      "ml_target_encode", "ml_chi2_independence", "search_bm25_topk",
+      // the TTL sweep crosses the broadcast 1-row corpus-max anchor
+      // over the data — the RFM anchor-day 1-row class
+      "audit_ttl_sweep")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
