@@ -76,7 +76,10 @@ object StreamingAlerts {
     // slide-slots at or before the event). Watermarked APPEND mode —
     // a window emits once the watermark passes its end, so the finite
     // replay yields windows with end ≤ max ts − 1 day (the same
-    // finalization contract the session-window query pins). State is
+    // finalization contract the session-window query pins). The oracle
+    // ms-truncates the cutoff because Spark's event-time watermark is
+    // millisecond-floored (EventTimeWatermark tracks ms longs) — the
+    // same form the left-join oracle below uses. State is
     // |open windows| = 4/slide × horizon, independent of data rate.
     Q("streaming_hopping_counts",
       """WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
@@ -84,7 +87,7 @@ object StreamingAlerts {
         |  SELECT ((epoch_us(ts) // 900000000) - k.k) * 900000000 AS ws_us,
         |         value
         |  FROM events CROSS JOIN k),
-        |wm AS (SELECT epoch_us(MAX(ts)) - 86400000000 AS w_us FROM events)
+        |wm AS (SELECT ((epoch_us(MAX(ts)) // 1000) - 86400000) * 1000 AS w_us FROM events)
         |SELECT make_timestamp(ws_us) AS w_start,
         |       make_timestamp(ws_us + 3600000000) AS w_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -339,7 +342,9 @@ object StreamingAlerts {
     // the oracle replays is the window END: last-event + gap (the
     // merge horizon), not the last event itself. The
     // finite replay emits sessions with end ≤ final watermark
-    // (max ts − 1 day); the last day's sessions stay in state —
+    // (ms-truncated max ts − 1 day — Spark's watermark is a
+    // millisecond-floored long, so the oracle floors before
+    // subtracting the delay); the last day's sessions stay in state —
     // exactly what an unbounded run would hold open, so the oracle
     // applies the same cutoff. Scale: state is per-OPEN-session (not
     // per-event), keyed by user — the watermark bounds it.
@@ -362,7 +367,7 @@ object StreamingAlerts {
         |         MAX(ts) + INTERVAL 1800 SECONDS AS session_end,
         |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
         |  FROM s GROUP BY user_id, session_id),
-        |wm AS (SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM events)
+        |wm AS (SELECT make_timestamp(((epoch_us(MAX(ts)) // 1000) - 86400000) * 1000) AS w FROM events)
         |SELECT r.user_id, r.n_events, r.session_start, r.session_end,
         |       r.session_value
         |FROM r CROSS JOIN wm
