@@ -2370,6 +2370,49 @@ object Relational {
         .limit(10)
     },
 
+    // TPC-H Q12-shaped priority-class counts (r11): the schema has no
+    // l_shipmode, so the mode analog is l_returnflag restricted to two
+    // of its three classes (Q12's `l_shipmode IN ('MAIL','SHIP')`), and
+    // Q12's commit<receipt late-delivery predicates become the one date
+    // pair this schema carries: l_shipdate > o_orderdate — a CROSS-table
+    // compare, so unlike the original it cannot be pushed below the join
+    // and must run as a join post-condition (the optimizer shape this
+    // query pins: year+flag filters prune the lineitem scan, orders is
+    // projected to three columns, the shuffle join on orderkey carries
+    // the residual date predicate, and the two-class conditional counts
+    // fold map-side into a 2-row result). At 100 TB the whole query is
+    // a pruned fact scan + one keyed exchange.
+    Q("analytics_shipmode_classes",
+      """SELECT l.l_returnflag AS flag_class,
+        |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_returnflag IN ('A', 'R')
+        |  AND CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag").as("flag_class"),
+          col("l_shipdate").cast("date").as("sd"))
+        .filter(col("flag_class").isin("A", "R") &&
+          col("sd") >= lit("1997-01-01") && col("sd") < lit("1998-01-01"))
+        .join(ords, col("l_orderkey") === col("o_orderkey") &&
+          col("sd") > col("o_date"))
+        .groupBy(col("flag_class"))
+        .agg(sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(hi, 0).otherwise(1)).cast("long").as("low_line_count"))
+        .orderBy(col("flag_class"))
+    },
+
     // TPC-H Q6-shaped forecast-revenue filter (r10 s4): the classic
     // pure scan-side query — three conjunctive predicates, no join,
     // one global aggregate. Its whole value is WHERE the predicates
