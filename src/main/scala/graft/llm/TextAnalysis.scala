@@ -123,27 +123,35 @@ object TextAnalysis {
     * 0/1-token vocabulary the regression denominator is 0 and the
     * slope degenerates to NULL/NaN (both engines; no real corpus
     * hits this, documented rather than special-cased).
-    * Determinism: ranks/freqs are small exact integers, ln on
-    * identical doubles (the tfidf precedent); every regression SUM
-    * ingests ROUND(·,12)-then-DECIMAL terms so addition order cannot
-    * matter, and the closed-form slope/intercept/R² arithmetic is
-    * the same IEEE expression tree in both engines. */
+    * Determinism: ranks/freqs are small exact integers and every ln
+    * takes an INTEGER argument, 12-dp rounded into DECIMAL before
+    * any product (the bigram-LM convention) — the regression sums
+    * and cross terms are exact decimal arithmetic, and the
+    * closed-form slope/intercept/R² arithmetic is the same IEEE
+    * expression tree in both engines. */
   def zipfSlope(docs: DataFrame, topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val freq = docs.select(explode(split(col("text"), " ")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("freq"))
     val ranked = freq.orderBy(col("freq").desc, col("t")).limit(topK)
       .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("t"))))
+    // r11: each ln (integer argument — rank and freq are exact ints)
+    // rounds to 12 dp into DECIMAL *before* any product, so the x·y /
+    // x² / y² cross terms and every regression SUM are exact decimal
+    // arithmetic — libm's only exposure is ln of ≤ 2K distinct
+    // integers, each individually 12-dp absorbed (the bigram-LM
+    // convention; r10 rounded the double products, leaving a per-term
+    // ulp path into the hash).
     val xy = ranked.select(
-      log(col("rank").cast("double")).as("x"),
-      log(col("freq").cast("double")).as("y"))
-    def dsum12(c: Column) = sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+      round(log(col("rank").cast("double")), 12).cast("decimal(16,12)").as("x"),
+      round(log(col("freq").cast("double")), 12).cast("decimal(16,12)").as("y"))
+    def dsum(c: Column) = sum(c).cast("double")
     val s = xy.agg(
       count(lit(1)).as("k"),
-      dsum12(col("x")).as("sx"), dsum12(col("y")).as("sy"),
-      dsum12(col("x") * col("y")).as("sxy"),
-      dsum12(col("x") * col("x")).as("sxx"),
-      dsum12(col("y") * col("y")).as("syy"))
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
     val slopeNum = col("k") * col("sxy") - col("sx") * col("sy")
     val slopeDen = col("k") * col("sxx") - col("sx") * col("sx")
     s.select(
@@ -759,13 +767,14 @@ object TextAnalysis {
         |f AS (SELECT t, COUNT(*) AS freq FROM tok GROUP BY t),
         |top AS (SELECT t, freq FROM f ORDER BY freq DESC, t LIMIT 100),
         |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS rank FROM top),
-        |xy AS (SELECT LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(freq AS DOUBLE)) AS y FROM r),
+        |xy AS (SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 12) AS DECIMAL(16,12)) AS x,
+        |              CAST(ROUND(LN(CAST(freq AS DOUBLE)), 12) AS DECIMAL(16,12)) AS y FROM r),
         |s AS (SELECT COUNT(*) AS k,
-        |  CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
-        |  CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        |  CAST(SUM(x) AS DOUBLE) AS sx,
+        |  CAST(SUM(y) AS DOUBLE) AS sy,
+        |  CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |  CAST(SUM(y * y) AS DOUBLE) AS syy
         | FROM xy)
         |SELECT CAST(k AS BIGINT) AS n_ranks,
         |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0 AS slope,

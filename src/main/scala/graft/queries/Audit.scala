@@ -1180,8 +1180,11 @@ object Audit {
         |x AS (
         |  SELECT f.bucket, f.n1b, f.n2b,
         |         ROUND(((f.n2b + 1) / (t.n2 + 32.0) - (f.n1b + 1) / (t.n1 + 32.0)) *
-        |               LN(((f.n2b + 1) / (t.n2 + 32.0)) /
-        |                  ((f.n1b + 1) / (t.n1 + 32.0))), 6) + 0 AS contrib
+        |               CAST(CAST(ROUND(LN(CAST(f.n2b + 1 AS DOUBLE)), 12) AS DECIMAL(20,12))
+        |                  - CAST(ROUND(LN(CAST(t.n2 + 32 AS DOUBLE)), 12) AS DECIMAL(20,12))
+        |                  - CAST(ROUND(LN(CAST(f.n1b + 1 AS DOUBLE)), 12) AS DECIMAL(20,12))
+        |                  + CAST(ROUND(LN(CAST(t.n1 + 32 AS DOUBLE)), 12) AS DECIMAL(20,12))
+        |                 AS DOUBLE), 6) + 0 AS contrib
         |  FROM f, t)
         |SELECT CAST(bucket AS BIGINT) AS bucket,
         |       CAST(n1b AS BIGINT) AS n_base,
@@ -1230,8 +1233,11 @@ object Audit {
         |x AS (
         |  SELECT fz.f, fz.bucket, fz.n1b, fz.n2b,
         |         ROUND(((fz.n2b + 1) / (t.n2 + 16.0) - (fz.n1b + 1) / (t.n1 + 16.0)) *
-        |               LN(((fz.n2b + 1) / (t.n2 + 16.0)) /
-        |                  ((fz.n1b + 1) / (t.n1 + 16.0))), 6) + 0 AS contrib
+        |               CAST(CAST(ROUND(LN(CAST(fz.n2b + 1 AS DOUBLE)), 12) AS DECIMAL(20,12))
+        |                  - CAST(ROUND(LN(CAST(t.n2 + 16 AS DOUBLE)), 12) AS DECIMAL(20,12))
+        |                  - CAST(ROUND(LN(CAST(fz.n1b + 1 AS DOUBLE)), 12) AS DECIMAL(20,12))
+        |                  + CAST(ROUND(LN(CAST(t.n1 + 16 AS DOUBLE)), 12) AS DECIMAL(20,12))
+        |                 AS DOUBLE), 6) + 0 AS contrib
         |  FROM fz JOIN t USING (f))
         |SELECT f AS feature,
         |       CAST(bucket AS BIGINT) AS bucket,
@@ -1544,10 +1550,23 @@ object Audit {
     * Shape for scale: one bounds aggregate (1-row broadcast), one
     * bucket-keyed count aggregate (grid is B rows regardless of
     * data), everything after runs on the bounded grid. Determinism:
-    * identical IEEE expression order cross-engine, ROUND(,6)+0 at
-    * the edge (ln on identical doubles — the tfidf precedent);
-    * psi_total sums the ROUNDED contributions in DECIMAL over the
-    * grid, so addition order cannot matter. */
+    * identical IEEE expression order cross-engine, and the
+    * log-ratio follows the bigram-LM convention — ln(q/p) expands to
+    * four INTEGER-argument ln terms (ln(n2b+1) − ln(n2+B) −
+    * ln(n1b+1) + ln(n1+B)), each 12-dp rounded into DECIMAL and
+    * combined exactly, so libm only ever sees bit-identical integer
+    * arguments and a 1-ulp divergence must land within an ulp of a
+    * 12-dp boundary on one of ≤ 2B+2 distinct integers to flip
+    * anything (r10 this was ln of a computed double quotient —
+    * per-bucket exposure); psi_total sums the ROUNDED contributions
+    * in DECIMAL over the grid, so addition order cannot matter. */
+  /** ln of an INTEGER-valued column, 12-dp rounded into exact
+    * DECIMAL(20,12) — the bigram-LM determinism convention: libm only
+    * sees bit-identical integer arguments, and everything downstream
+    * of the rounding is exact decimal arithmetic. */
+  private def ln12(c: Column): Column =
+    round(log(c.cast("double")), 12).cast("decimal(20,12)")
+
   def psiDrift(df: DataFrame, nBuckets: Int): DataFrame = {
     val bounds = df.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
       .withColumn("k", lit(1))
@@ -1574,8 +1593,11 @@ object Audit {
         (col("n1b") + 1).cast("double") / (col("n1") + nBuckets).cast("double"))
       .withColumn("q",
         (col("n2b") + 1).cast("double") / (col("n2") + nBuckets).cast("double"))
+      .withColumn("lnr",
+        (ln12(col("n2b") + 1) - ln12(col("n2") + nBuckets)
+          - ln12(col("n1b") + 1) + ln12(col("n1") + nBuckets)).cast("double"))
       .withColumn("contrib",
-        round((col("q") - col("p")) * log(col("q") / col("p")), 6) + lit(0.0))
+        round((col("q") - col("p")) * col("lnr"), 6) + lit(0.0))
       .select(col("bucket"), col("n1b").as("n_base"), col("n2b").as("n_curr"),
         col("contrib").as("psi_contrib"),
         sum(col("contrib").cast("decimal(18,6)")).over(w)
@@ -1701,8 +1723,11 @@ object Audit {
         (col("n1b") + 1).cast("double") / (col("n1") + nBuckets).cast("double"))
       .withColumn("q",
         (col("n2b") + 1).cast("double") / (col("n2") + nBuckets).cast("double"))
+      .withColumn("lnr",
+        (ln12(col("n2b") + 1) - ln12(col("n2") + nBuckets)
+          - ln12(col("n1b") + 1) + ln12(col("n1") + nBuckets)).cast("double"))
       .withColumn("contrib",
-        round((col("q") - col("p")) * log(col("q") / col("p")), 6) + lit(0.0))
+        round((col("q") - col("p")) * col("lnr"), 6) + lit(0.0))
       .select(col("f").as("feature"), col("bucket"),
         col("n1b").as("n_base"), col("n2b").as("n_curr"),
         col("contrib").as("psi_contrib"),
