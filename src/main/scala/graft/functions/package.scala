@@ -72,6 +72,22 @@ package object functions {
     * (subspace, code)) — the O(m) table-lookup approximation of the
     * inner product, codegen'd as one flat loop. Bit-identical to the
     * `transform`+`aggregate` fold (same accumulation order). */
+  /** Saabas tree-path margin contributions of an `array<double>`
+    * feature vector against a flattened tree ensemble (driver
+    * constants) — one codegen'd walk, array<double> of per-feature
+    * contributions out; see [[SaabasContribs]]. Replaced the repo's
+    * last closure UDF (`graft.ml.TreeContributions`). */
+  def saabas_contribs(
+      v: Column,
+      feat: Seq[Int], thr: Seq[Double], pred: Seq[Double],
+      left: Seq[Int], right: Seq[Int],
+      roots: Seq[Int], weights: Seq[Double], nFeatures: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(SaabasContribs(
+      GraftBridge.expression(v.cast("array<double>")),
+      feat, thr, pred, left, right, roots, weights, nFeatures))
+  }
+
   def pq_adc_score(codes: Column, lut: Seq[Double], k: Int): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(PqAdcScore(

@@ -50,11 +50,54 @@ object TreeContributions {
       case cat: CategoricalSplit => cat.leftCategories.contains(v(cat.featureIndex))
     }
 
+  /** The ensemble flattened into parallel node arrays for the native
+    * [[graft.functions.SaabasContribs]] expression: one preorder slot
+    * per node — `feat` = split feature (−1 for a leaf), `thr`,
+    * `pred`, `left`/`right` child slots — plus per-tree `roots` and
+    * `weights`. Continuous splits only: the GBT here trains on an
+    * assembled numeric vector with no nominal metadata, so MLlib can
+    * never emit a categorical split; flattening one anyway is a
+    * build-time error, not a silent mis-walk. */
+  def flatten(model: GBTClassificationModel): (
+      Seq[Int], Seq[Double], Seq[Double], Seq[Int], Seq[Int], Seq[Int], Seq[Double]) = {
+    val feat = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val thr = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pred = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val left = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val right = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def add(node: Node): Int = {
+      val slot = feat.size
+      node match {
+        case leaf: LeafNode =>
+          feat += -1; thr += 0.0; pred += leaf.prediction; left += -1; right += -1
+        case in: InternalNode =>
+          val fi = in.split match {
+            case cs: ContinuousSplit => cs.featureIndex
+            case _: CategoricalSplit => throw new UnsupportedOperationException(
+              "saabas flatten: categorical splits are not representable " +
+                "(the pipeline's assembled features carry no nominal metadata)")
+          }
+          feat += fi
+          thr += in.split.asInstanceOf[ContinuousSplit].threshold
+          pred += in.prediction
+          left += -1; right += -1 // reserve, then patch after recursion
+          val l = add(in.leftChild)
+          val r = add(in.rightChild)
+          left(slot) = l
+          right(slot) = r
+      }
+      slot
+    }
+    val roots = model.trees.map(t => add(t.rootNode)).toSeq
+    (feat.toSeq, thr.toSeq, pred.toSeq, left.toSeq, right.toSeq,
+      roots, model.treeWeights.toSeq)
+  }
+
   /** Per-feature margin contributions of one row (length
-    * `nFeatures`). Pure function of (broadcast model, vector) —
-    * wrapped in a UDF below, the one place a UDF is the right tool
-    * (tree traversal over an opaque model has no Catalyst form;
-    * MLlib's own transform() does exactly this internally). */
+    * `nFeatures`) — the closure-walk REFERENCE implementation the
+    * native expression is spec-pinned against (MLSpec: native ==
+    * closure bit-identically). Not on any declared path; `explain`
+    * runs the codegen'd [[graft.functions.SaabasContribs]] walk. */
   def rowContributions(
       model: GBTClassificationModel, nFeatures: Int)(v: Vector): Array[Double] = {
     val acc = new Array[Double](nFeatures)
@@ -80,9 +123,12 @@ object TreeContributions {
     * assembled `features` vector (as produced inside
     * `FailureModel.score`'s pipeline). */
   def explain(df: DataFrame, model: GBTClassificationModel, featureNames: Seq[String]): DataFrame = {
-    val contribUdf = udf(rowContributions(model, featureNames.size) _)
+    val (feat, thr, pred, left, right, roots, weights) = flatten(model)
     val names = typedLit(featureNames)
-    df.withColumn("contrib", contribUdf(col("features")))
+    df.withColumn("contrib",
+        graft.functions.saabas_contribs(
+          org.apache.spark.ml.functions.vector_to_array(col("features")),
+          feat, thr, pred, left, right, roots, weights, featureNames.size))
       // a multi-column generator needs the select form (not withColumn)
       .select(df.columns.map(col) :+
         posexplode(col("contrib")).as(Seq("fpos", "contribution")): _*)

@@ -74,6 +74,39 @@ class MLSpec extends SparkSpec {
     assert(perRow.forall(_.getAs[Long]("nf") === FailureModel.FeatureCols.size.toLong))
   }
 
+  test("native Saabas walk is bit-identical to the closure reference and codegen'd") {
+    import graft.ml.TreeContributions
+    val scored = FailureModel.scoreWithFeatures(model, TrainingData.valid(feat))
+      .orderBy(col("failure_probability").desc, col("event_id")).limit(50)
+    // the explain() attribution itself must be the native expression,
+    // not a closure UDF (the r11 no-closure-UDF closing move); MLlib's
+    // own transform() UDFs upstream (rawPrediction et al.) are its
+    // internals, not graft's
+    val exp = TreeContributions.explain(scored, model, FailureModel.FeatureCols)
+    val allExprs = exp.queryExecution.analyzed.collect { case p => p.expressions }.flatten
+      .flatMap(e => e +: e.collectLeaves() ++: e.collect { case c => c })
+    assert(allExprs.exists(_.isInstanceOf[graft.functions.SaabasContribs]),
+      "native saabas_contribs expression missing from the analyzed plan")
+    // bit-identical: same (event_id, feature) → same IEEE double as the
+    // closure walk (identical accumulation order over identical arrays)
+    val closure = TreeContributions.rowContributions(model, FailureModel.FeatureCols.size) _
+    val nativeRows = exp
+      .select(col("event_id"), col("feature"), col("contribution")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val vecs = scored.select(col("event_id"), col("features")).collect()
+    assert(vecs.nonEmpty)
+    vecs.foreach { r =>
+      val id = r.getLong(0)
+      val contribs = closure(r.getAs[org.apache.spark.ml.linalg.Vector](1))
+      FailureModel.FeatureCols.zipWithIndex.foreach { case (fname, i) =>
+        val n = nativeRows((id, fname))
+        assert(java.lang.Double.doubleToLongBits(n) ==
+          java.lang.Double.doubleToLongBits(contribs(i)),
+          s"event $id feature $fname: native $n != closure ${contribs(i)}")
+      }
+    }
+  }
+
   test("GBT learns planted signal: PR-AUC beats the positive-rate baseline") {
     // The driver testdata's labels are independent of its values (random
     // event types), so no model can beat baseline there. Plant real
