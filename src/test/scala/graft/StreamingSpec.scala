@@ -325,6 +325,171 @@ class StreamingSpec extends SparkSpec {
     assert(straddling > 0, "fixture has no cross-restart matches — weaken the cut")
   }
 
+  test("hopping windows across a kill/restart: straddling windows merge through state") {
+    // VERDICT r10 task 4: the r10 window forms had no checkpoint-restart
+    // coverage. Same two-AvailableNow-runs-on-one-checkpoint pattern as
+    // the session-window test, time-cut at the median event: a 1-hour
+    // window whose events land on both sides of the cut must accumulate
+    // across the restart inside the state store and emit ONCE with the
+    // full count/sum when the watermark passes its end.
+    val base = tempDir("graft_hop_resume")
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val events = Tables.events(spark, sf("sf0.001")).select("ts", "value")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("ts TIMESTAMP, value DOUBLE").parquet(srcDir)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("n_events"), col("total_value"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // place the cut INSIDE a real multi-event finalized window (at
+    // sf0.001 events are sparse — a median-time cut lands in a
+    // single-event window and the merge path goes untested): the
+    // window's first event goes to run 1, the rest to run 2
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = (maxUs / 1000L - 86400000L) * 1000L
+    val winStats = events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(min(unix_millis(col("ts"))).as("first_ms"),
+        max(unix_millis(col("ts"))).as("last_ms"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("last_ms") > col("first_ms") &&
+        unix_micros(col("w.end")) <= wmUs)
+      .select(unix_micros(col("w.start")).as("ws"), col("first_ms"), col("n"))
+      .orderBy(col("first_ms")).collect()
+    assert(winStats.nonEmpty, "no multi-event finalized window to straddle")
+    val pick = winStats(winStats.length / 2)
+    val cutMs = pick.getAs[Long]("first_ms")
+    events.filter(unix_millis(col("ts")) <= cutMs)
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val afterRun1 = spark.read.parquet(outDir).count()
+    events.filter(unix_millis(col("ts")) > cutMs)
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .select(unix_micros(col("w_start")), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === got.distinct.length, "duplicate window emissions")
+    // batch truth: the same 4-per-event hopping decomposition, windows
+    // finalized against the ms-truncated final watermark (max ts − 1 day);
+    // decimal sums are order-free so cross-restart partials merge exactly
+    val want = events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+      .filter(unix_micros(col("w.end")) <= wmUs)
+      .select(unix_micros(col("w.start")), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(want.nonEmpty, "fixture yields no finalized windows — vacuous")
+    assert(got.toSet === want.toSet,
+      s"streaming∪restart (${got.length}) != batch truth (${want.length})")
+    assert(afterRun1 < got.length, "run 2 emitted nothing — restart not exercised")
+    // non-vacuous by construction: the picked window's first event went
+    // to run 1 and its later events to run 2, and it must still emit
+    // exactly once with the FULL merged count
+    assert(got.exists { case (ws, n, _) =>
+      ws == pick.getAs[Long]("ws") && n == pick.getAs[Long]("n")
+    }, "the straddling window did not emit once with its merged count")
+  }
+
+  test("stream-stream LEFT OUTER join across a kill/restart: null emissions exactly once") {
+    // VERDICT r10 task 4, the half with real restart risk: an unmatched
+    // alert's null-extended row is emitted by state EVICTION when the
+    // watermark proves no match can come — exactly the state a restart
+    // could perturb (evict twice → duplicate -1 row; lose the row →
+    // silent drop; evict early → a -1 row for an alert whose error
+    // arrives in run 2). Two AvailableNow runs on one checkpoint, cut at
+    // a median matched alert so matches straddle the restart; the union
+    // of emissions must equal the batch truth: matched pairs ∪ unmatched
+    // alerts whose window closed against the FINAL global watermark
+    // (min of the two filtered streams' maxes, ms-truncated, − 1 day).
+    val base = tempDir("graft_loj_resume")
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val events = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val a0 = events.filter(col("value") >= Telemetry.Tau)
+      .select(col("user_id"), col("event_id").as("alert_id"), col("ts").as("alert_ts"))
+    val e0 = events.filter(col("event_type") === Telemetry.FailureType)
+      .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+    val matched = a0.join(e0,
+        col("user_id") === col("e_user_id") &&
+          col("error_ts") > col("alert_ts") &&
+          col("error_ts") <= col("alert_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("alert_id"), col("error_id"), col("alert_ts")).collect()
+    assert(matched.nonEmpty, "fixture yields no matches at all")
+    val cut = matched.map(_.getTimestamp(2)).sorted(
+      Ordering.by((t: java.sql.Timestamp) => t.getTime)).apply(matched.length / 2)
+    def runOnce(): Unit = {
+      val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+      def src = spark.readStream.schema(schema).parquet(srcDir)
+      val alerts = src.filter(col("value") >= Telemetry.Tau)
+        .select(col("user_id"), col("event_id").as("alert_id"), col("ts").as("alert_ts"))
+        .withWatermark("alert_ts", "1 day")
+      val errors = src.filter(col("event_type") === Telemetry.FailureType)
+        .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"),
+          col("ts").as("error_ts"))
+        .withWatermark("error_ts", "1 day")
+      val q = alerts.join(errors,
+          col("user_id") === col("e_user_id") &&
+            col("error_ts") > col("alert_ts") &&
+            col("error_ts") <= col("alert_ts") + expr("INTERVAL 1 DAY"),
+          "left_outer")
+        .select(col("user_id"), col("alert_id"),
+          coalesce(col("error_id"), lit(-1L)).as("error_id"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    events.filter(col("ts") <= lit(cut)).write.mode("append").parquet(srcDir)
+    runOnce()
+    val nullsAfterRun1 = spark.read.parquet(outDir)
+      .filter(col("error_id") === -1L).count()
+    events.filter(col("ts") > lit(cut)).write.mode("append").parquet(srcDir)
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .select("alert_id", "error_id").as[(Long, Long)].collect().toSeq
+    assert(got.size === got.distinct.size,
+      "restart produced duplicate emissions (a double-evicted null row?)")
+    // batch truth under the final global watermark (the declared query's
+    // empirically-pinned emission contract)
+    val maxAlertUs = a0.agg(max(unix_micros(col("alert_ts")))).head().getLong(0)
+    val maxErrorUs = e0.agg(max(unix_micros(col("error_ts")))).head().getLong(0)
+    val wmUs = (math.min(maxAlertUs, maxErrorUs) / 1000L - 86400000L) * 1000L
+    val matchedSet = matched.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unmatchedSet = a0
+      .join(e0, col("user_id") === col("e_user_id") &&
+        col("error_ts") > col("alert_ts") &&
+        col("error_ts") <= col("alert_ts") + expr("INTERVAL 1 DAY"), "left_anti")
+      .filter(unix_micros(col("alert_ts")) + 86400000000L < wmUs)
+      .select(col("alert_id")).as[Long].collect().map(id => (id, -1L)).toSet
+    assert(unmatchedSet.nonEmpty, "fixture yields no null-extended rows — vacuous")
+    assert(got.toSet === (matchedSet ++ unmatchedSet),
+      s"streaming∪restart (${got.size}) != matched (${matchedSet.size}) " +
+        s"∪ unmatched (${unmatchedSet.size})")
+    // the restart exercised both populations: a match straddles the cut
+    // (alert in run 1, error in run 2, joined out of restored state) and
+    // at least one null eviction happened in run 2
+    val tsById = events.select("event_id", "ts")
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(matchedSet.exists { case (aId, eId) =>
+      !tsById(aId).after(cut) && tsById(eId).after(cut)
+    }, "no match straddles the restart — state restoration went untested")
+    assert(nullsAfterRun1 < unmatchedSet.size,
+      "every null row emitted in run 1 — run 2's eviction path went untested")
+  }
+
   test("watermarked tumbling daily aggregate == batch per-day counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
