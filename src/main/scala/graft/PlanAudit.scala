@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   * forked JVM — the sbt console classloader breaks typedLit encoder
   * resolution, so audits must run here, not in `sbt console`.) */
 object PlanAudit {
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case _ => p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    p +: through
+  }
+
+  /** Executes `df` (finalizing AQE on the SAME QueryExecution) and
+    * returns its (shuffle, broadcast) exchange counts — the number
+    * PLANS.md's audit tables record and PlanAuditSpec gates on. */
+  def exchangeCounts(df: DataFrame): (Int, Int) = {
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count() // finalize AQE on the SAME QueryExecution
+    val all = walk(qe.executedPlan)
+    (all.count(_.isInstanceOf[ShuffleExchangeExec]),
+      all.count(_.isInstanceOf[BroadcastExchangeExec]))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -22,21 +44,8 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val through = p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
-        case r: ReusedExchangeExec => walk(r.child)
-        case _ => p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
-      }
-      p +: through
-    }
     def audit(name: String, df: DataFrame): Unit = {
-      val qe = df.queryExecution
-      qe.executedPlan.execute().count() // finalize AQE on the SAME QueryExecution
-      val all = walk(qe.executedPlan)
-      val sh = all.count(_.isInstanceOf[ShuffleExchangeExec])
-      val bc = all.count(_.isInstanceOf[BroadcastExchangeExec])
+      val (sh, bc) = exchangeCounts(df)
       println(f"AUDIT $name%-28s shuffles=$sh broadcasts=$bc")
     }
 

@@ -1,0 +1,64 @@
+package graft
+
+/** Plan-shape regression gate (VERDICT r10 task 6): the AQE-final
+  * exchange counts PLANS.md's audit tables record for the expensive
+  * composites were measured prose until this spec — a Spark upgrade,
+  * an AQE threshold drift, or a careless refactor could silently
+  * re-introduce the multi-consumer re-scan plans the audits caught
+  * (windowed funnel 8→1, common-neighbors 8→3, target-encode 6→3,
+  * Q20 5→3) and nothing would fail until something got slow.
+  *
+  * Gate form: for each audited query, at sf0.01 (the scale the
+  * PLANS.md numbers were recorded at),
+  *   shuffles ≤ SH   and   shuffles + broadcasts ≤ SH + BC.
+  * The joint bound tolerates AQE's legitimate shuffle→broadcast flips
+  * (a flip trades one shuffle for one broadcast, so the total never
+  * grows) while still failing LOUD on any plan that adds an exchange
+  * on either axis. Bounds are the recorded values, not aspirations —
+  * tightening one requires re-measuring, loosening one is a reviewed
+  * regression.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = sf("sf0.01")
+
+  /** name → (shuffles, broadcasts) as recorded in PLANS.md's
+    * session-4 audit tables (TPC-H shapes + retrieval/statistics tier
+    * + continuation sweep) and VERDICT r10's market-share audit. */
+  private val recorded: Map[String, (Int, Int)] = Map(
+    "analytics_order_count_distribution" -> ((3, 1)),
+    "analytics_large_orders" -> ((1, 2)),
+    "analytics_dnf_revenue" -> ((1, 1)),
+    "join_semi_agg_threshold" -> ((3, 2)),
+    "analytics_nation_volume" -> ((3, 5)),
+    "analytics_profit_by_nation" -> ((2, 3)),
+    "analytics_local_volume" -> ((2, 4)),
+    "search_bm25_topk" -> ((3, 2)),
+    "audit_corr_matrix" -> ((1, 0)),
+    "ml_chi2_independence" -> ((4, 3)),
+    "graph_common_neighbors" -> ((3, 4)),
+    "ml_target_encode" -> ((3, 2)),
+    "events_ohlc_bars" -> ((2, 0)),
+    "audit_spearman_corr" -> ((1, 0)),
+    "analytics_shipping_priority" -> ((1, 2)),
+    "agg_mixed_distinct" -> ((3, 0)),
+    "analytics_market_share" -> ((3, 3)),
+    // r11: the Q12 analog — measured at sf0.01: AQE broadcasts the
+    // year+flag-pruned lineitem side into the orderkey join, plus the
+    // conditional-count agg and output-sort exchanges on the 2-row
+    // tail; at 100 TB the join reverts to a keyed shuffle (the
+    // market-share pattern) and the joint bound still holds
+    "analytics_shipmode_classes" -> ((2, 1)),
+  )
+
+  recorded.foreach { case (name, (sh, bc)) =>
+    test(s"$name: shuffles <= $sh and exchanges <= ${sh + bc}") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val (gotSh, gotBc) = PlanAudit.exchangeCounts(df)
+      assert(gotSh <= sh,
+        s"$name shuffle count regressed: $gotSh > recorded $sh (broadcasts $gotBc)")
+      assert(gotSh + gotBc <= sh + bc,
+        s"$name total exchanges regressed: $gotSh+$gotBc > recorded $sh+$bc")
+    }
+  }
+}
