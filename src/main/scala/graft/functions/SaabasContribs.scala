@@ -30,11 +30,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * scoring itself. MLSpec pins native == closure-walk bit-identically
   * on a real trained model.
   *
-  * Null semantics: null input → null; a null element, or a vector too
-  * short for some split's feature index, poisons the row to null
-  * (strictly — a silent wrong attribution is worse; the PqAdcScore
-  * convention). Only continuous splits exist in the flattened form —
-  * the flattener rejects categorical ensembles at build time.
+  * Null semantics: null input → null; a null element poisons the row
+  * to null (strictly — a silent wrong attribution is worse; the
+  * PqAdcScore convention). A too-short vector poisons LAZILY, at walk
+  * time, only when some root-to-leaf path actually reads an
+  * out-of-range feature index (ADVICE r11: the first draft poisoned
+  * eagerly on max-split-index+1, nulling ragged rows whose walked
+  * paths never touch the missing index — stricter than the closure
+  * reference walk, which only dereferences indices on the taken
+  * path). Only continuous splits exist in the flattened form — the
+  * flattener rejects categorical ensembles at build time.
+  *
+  * Plan-string hygiene: the flattened ensemble rides as constructor
+  * Seqs, so the default TreeNode printers would inline every node
+  * array into explain output, the Spark UI SQL tab, and test failure
+  * messages — plan strings scaling with ensemble size (ADVICE r11,
+  * the PqAdcScore lut precedent writ larger). `toString`/
+  * `simpleString`/`flatArguments` are overridden to a compact
+  * `saabas_contribs(child, nodes=N, trees=T)` summary; equality and
+  * canonicalization still compare the full arrays (correctness over
+  * print cost — two different ensembles must not alias).
   */
 case class SaabasContribs(
     child: Expression,
@@ -71,13 +86,16 @@ case class SaabasContribs(
   @transient private lazy val rightA: Array[Int] = right.toArray
   @transient private lazy val rootsA: Array[Int] = roots.toArray
   @transient private lazy val weightsA: Array[Double] = weights.toArray
-  // The shortest vector the ensemble can route: every split index +1.
-  private val minLen: Int = feat.foldLeft(0)(math.max) + 1
+
+  override def toString: String =
+    s"saabas_contribs($child, nodes=${feat.size}, trees=${roots.size})"
+  override def simpleString(maxFields: Int): String = toString
+  override def flatArguments: Iterator[Any] =
+    Iterator(child, s"nodes=${feat.size}", s"trees=${roots.size}")
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n < minLen) return null
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -92,6 +110,7 @@ case class SaabasContribs(
       val w = weightsA(t)
       var fi = featA(idx)
       while (fi >= 0) {
+        if (fi >= n) return null // lazy poison: walked path needs a missing index
         val c = if (v(fi) <= thrA(idx)) leftA(idx) else rightA(idx)
         acc(fi) += w * (predA(c) - predA(idx))
         idx = c
@@ -123,24 +142,23 @@ case class SaabasContribs(
       val c = ctx.freshName("c")
       s"""
          |int $n = $a.numElements();
-         |boolean $poisoned = $n < $minLen;
+         |boolean $poisoned = false;
          |double[] $v = new double[$n];
          |for (int $i = 0; $i < $n && !$poisoned; $i++) {
          |  if ($a.isNullAt($i)) { $poisoned = true; }
          |  else { $v[$i] = $a.getDouble($i); }
          |}
          |double[] $acc = new double[$nFeatures];
-         |if (!$poisoned) {
-         |  for (int $t = 0; $t < ${rootsA.length}; $t++) {
-         |    int $idx = $rootsR[$t];
-         |    double $w = $wR[$t];
-         |    int $fi = $featR[$idx];
-         |    while ($fi >= 0) {
-         |      int $c = ($v[$fi] <= $thrR[$idx]) ? $leftR[$idx] : $rightR[$idx];
-         |      $acc[$fi] += $w * ($predR[$c] - $predR[$idx]);
-         |      $idx = $c;
-         |      $fi = $featR[$idx];
-         |    }
+         |for (int $t = 0; $t < ${rootsA.length} && !$poisoned; $t++) {
+         |  int $idx = $rootsR[$t];
+         |  double $w = $wR[$t];
+         |  int $fi = $featR[$idx];
+         |  while ($fi >= 0) {
+         |    if ($fi >= $n) { $poisoned = true; break; }
+         |    int $c = ($v[$fi] <= $thrR[$idx]) ? $leftR[$idx] : $rightR[$idx];
+         |    $acc[$fi] += $w * ($predR[$c] - $predR[$idx]);
+         |    $idx = $c;
+         |    $fi = $featR[$idx];
          |  }
          |}
          |${ev.isNull} = $poisoned;

@@ -83,9 +83,9 @@ class MLSpec extends SparkSpec {
     // own transform() UDFs upstream (rawPrediction et al.) are its
     // internals, not graft's
     val exp = TreeContributions.explain(scored, model, FailureModel.FeatureCols)
-    val allExprs = exp.queryExecution.analyzed.collect { case p => p.expressions }.flatten
-      .flatMap(e => e +: e.collectLeaves() ++: e.collect { case c => c })
-    assert(allExprs.exists(_.isInstanceOf[graft.functions.SaabasContribs]),
+    assert(
+      exp.queryExecution.analyzed.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[graft.functions.SaabasContribs]))),
       "native saabas_contribs expression missing from the analyzed plan")
     // bit-identical: same (event_id, feature) → same IEEE double as the
     // closure walk (identical accumulation order over identical arrays)
@@ -105,6 +105,54 @@ class MLSpec extends SparkSpec {
           s"event $id feature $fname: native $n != closure ${contribs(i)}")
       }
     }
+  }
+
+  test("saabas_contribs: lazy length poisoning and compact plan strings") {
+    import graft.functions.SaabasContribs
+    import org.apache.spark.sql.GraftBridge
+    import spark.implicits._
+    // hand-built 1-tree ensemble: root splits on f0 (<= 0.5), the left
+    // branch is a leaf, the RIGHT branch splits on f5 — so a length-1
+    // vector routed left never needs index 5 and must get a computed
+    // attribution (ADVICE r11: the first draft's eager max-index+1
+    // check nulled it), while one routed right reads the missing index
+    // and must poison to null
+    val feat = Seq(0, -1, 5, -1, -1)
+    val thr = Seq(0.5, 0.0, 0.0, 0.0, 0.0)
+    val pred = Seq(0.2, 1.0, -0.3, -1.0, 0.5)
+    val left = Seq(1, -1, 3, -1, -1)
+    val right = Seq(2, -1, 4, -1, -1)
+    def contribs(vcol: org.apache.spark.sql.Column) =
+      GraftBridge.column(SaabasContribs(
+        GraftBridge.expression(vcol), feat, thr, pred, left, right,
+        Seq(0), Seq(1.0), nFeatures = 6))
+    // codegen path (DataFrame select, whole-stage codegen on)
+    val rows = Seq((1L, Seq(0.0)), (2L, Seq(1.0))).toDF("id", "v")
+      .select(col("id"), contribs(col("v")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val leftWalk = rows(1L).get.asInstanceOf[scala.collection.Seq[Double]].toSeq
+    assert(leftWalk === Seq(0.8, 0.0, 0.0, 0.0, 0.0, 0.0),
+      s"left walk (never touches f5) should attribute, got $leftWalk")
+    assert(rows(2L).isEmpty, "right walk dereferences missing f5: must poison")
+    // interpreted path agrees (eval over a literal array child)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def evalOn(v: Seq[Double]) = SaabasContribs(
+      Literal.create(v, ArrayType(DoubleType)), feat, thr, pred, left, right,
+      Seq(0), Seq(1.0), nFeatures = 6).eval(null)
+    assert(evalOn(Seq(0.0)).asInstanceOf[ArrayData].toDoubleArray().toSeq ===
+      Seq(0.8, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(evalOn(Seq(1.0)) == null)
+    // plan strings stay O(1) in ensemble size: the node arrays must not
+    // print (ADVICE r11 — explain/UI/test-failure output used to
+    // inline every array)
+    val e = SaabasContribs(
+      Literal.create(Seq(9.0), ArrayType(DoubleType)), feat, thr, pred, left, right,
+      Seq(0), Seq(1.0), nFeatures = 6)
+    assert(e.toString === "saabas_contribs([9.0], nodes=5, trees=1)")
+    assert(e.simpleString(100) === e.toString)
+    assert(!e.toString.contains("0.5"), "node arrays leaked into toString")
   }
 
   test("GBT learns planted signal: PR-AUC beats the positive-rate baseline") {

@@ -61,4 +61,30 @@ class PlanAuditSpec extends SparkSpec {
         s"$name total exchanges regressed: $gotSh+$gotBc > recorded $sh+$bc")
     }
   }
+
+  // The scaladoc's headline motivating regression — windowed funnel
+  // 8→1 — is not name-addressable through SparkEntry.queries (the
+  // public API localCheckpoints, hiding the chained-join pipeline
+  // behind a checkpoint scan), so the map above cannot gate it
+  // (ADVICE r11). Gate the un-checkpointed core directly: ONE
+  // user-keyed exchange paid up front (the event repartition), every
+  // step filter/join/min-combine reusing that partitioning — the
+  // first-draft plan re-exchanged the event side per step (8 shuffles
+  // at 4 steps). Measured at sf0.01: 1 shuffle, 10 broadcasts — AQE
+  // flips the (user-bounded, steps-deep) chain frames to broadcast
+  // joins at this scale; at 100 TB those revert to keyed joins that
+  // are already co-partitioned on user_id, so the shuffle count — the
+  // axis the 8→1 fix was about — still holds at 1.
+  test("windowedFunnel core: shuffles <= 1 and exchanges <= 11") {
+    val (core, ev) = queries.EventAnalytics.windowedFunnelPlan(
+      Tables.events(spark, sfDir),
+      Seq("signup", "view", "click", "purchase"), 72L * 3600 * 1000000)
+    try {
+      val (gotSh, gotBc) = PlanAudit.exchangeCounts(core)
+      assert(gotSh <= 1,
+        s"funnel core shuffle count regressed: $gotSh > 1 (broadcasts $gotBc)")
+      assert(gotSh + gotBc <= 11,
+        s"funnel core total exchanges regressed: $gotSh+$gotBc > 11")
+    } finally ev.unpersist(blocking = true)
+  }
 }
