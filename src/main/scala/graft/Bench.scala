@@ -121,6 +121,53 @@ object Bench {
       fixtureCache.getOrElseUpdate(sfDir, lshFixture(spark, sfDir))
     }
 
+  /** Drift anchors (VERDICT r10 task 1): three fixed synthetic
+    * workloads built ONLY from `spark.range` — no table data, no graft
+    * query code — so their cost depends on the VM/JIT/scheduler state
+    * alone, never on this round's plans. Cross-run host drift (r10's
+    * uniform 1.36×±0.08 "regression" on untouched queries) then
+    * cancels in the double ratio
+    *
+    *   drift_controlled(q) = (q_rN / q_rM) / (A_rN / A_rM),
+    *   A = geometric mean of the three anchor mins,
+    *
+    * which is the interleaved-A/B estimate the r10 verdict asked for,
+    * with the anchors standing in for the old jar (the old jar itself
+    * is not runnable from a fresh build). Anchors run interleaved with
+    * the suite — before the query loop, after half the queries, and
+    * after all of them — so their reps sample the same machine-state
+    * window the query timings do; published min/median/max pools the
+    * three phases.
+    *
+    * FROZEN: any edit to these bodies breaks round-over-round anchor
+    * comparability — add a new anchor instead of changing one.
+    *  - anchor_cpu: whole-stage-codegen arithmetic reduce over 48M
+    *    longs (8 splits) — CPU + codegen speed, no exchange;
+    *  - anchor_shuffle: 6M-row hash aggregate onto 64k keys (one
+    *    exchange) + the 64k-row rollup — shuffle write/read path;
+    *  - anchor_sort: full range-partitioned sort of 4M longs into a
+    *    noop sink (the sink defeats Catalyst's sort-under-count
+    *    elision) — sort + serialization path.
+    */
+  val anchors: Seq[(String, SparkSession => Unit)] = Seq(
+    ("anchor_cpu", { s =>
+      s.range(0, 48000000L, 1, 8)
+        .selectExpr("sum((id * 2654435761L % 1000003) * 1.0000001) AS s")
+        .collect(); ()
+    }),
+    ("anchor_shuffle", { s =>
+      s.range(0, 6000000L, 1, 8)
+        .selectExpr("id % 65536 AS k", "id AS v")
+        .groupBy("k").agg(sum(col("v")).as("sv"), count(lit(1)).as("c"))
+        .selectExpr("sum(sv * c) AS s").collect(); ()
+    }),
+    ("anchor_sort", { s =>
+      s.range(0, 4000000L, 1, 8)
+        .selectExpr("(id * 2654435761L % 1000003) AS k", "id AS v")
+        .orderBy(col("k"), col("v"))
+        .write.format("noop").mode("overwrite").save()
+    }))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -174,7 +221,30 @@ object Bench {
     val FastCutoff = 0.3
     val run = SparkEntry.all.filter(q => SparkEntry.headline.contains(q.name))
     var errors = Map.empty[String, String] // first message per query only
-    val results = run.map { q =>
+
+    // anchor timing: AnchorReps timed reps per phase (plus one
+    // discarded warm-up), pooled across the three phases
+    val AnchorReps = 3
+    val anchorTimes =
+      scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    def runAnchors(): Unit = anchors.foreach { case (name, body) =>
+      try {
+        body(spark) // warm-up, discarded
+        val ts = (1 to AnchorReps).map { _ =>
+          val t0 = System.nanoTime(); body(spark); (System.nanoTime() - t0) / 1e9
+        }
+        anchorTimes(name) = anchorTimes(name) ++ ts
+      } catch {
+        case e: Throwable =>
+          if (!errors.contains(name))
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    }
+
+    runAnchors() // phase 1: before any query timing
+    val half = run.size / 2
+    val results = run.zipWithIndex.map { case (q, qi) =>
+      if (qi == half) runAnchors() // phase 2: midway through the suite
       val dir =
         if (fixtureQueries.contains(q.name)) fixtureDir.getOrElse(sfDir) else sfDir
       def rep(): Option[Double] = {
@@ -196,6 +266,7 @@ object Bench {
         else base
       q.name -> times.sorted
     }
+    runAnchors() // phase 3: after the suite
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -223,7 +294,16 @@ object Bench {
       s"""{"queries":[${fixtureQueries.toSeq.sorted.map(jstr).mkString(",")}],""" +
         s""""planted_dup_rate":${1.0 / DupEvery}}"""
     }.getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
+    val anchorStats = anchors.collect {
+      case (name, _) if anchorTimes(name).nonEmpty =>
+        val ts = anchorTimes(name).sorted
+        val (mn, md, mx) = stat(ts)
+        name -> ((mn, md, mx, ts.size))
+    }
+    val anchorsJson = anchorStats.map { case (k, (mn, md, mx, n)) =>
+      s"""${jstr(k)}:{"min":$mn,"median":$md,"max":$mx,"reps":$n}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"anchors":$anchorsJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
     // Compact SECOND line (VERDICT r7 "What's wrong" #1): the full
     // spread-bearing line above outgrew the driver's tail-capture window
     // in round 7, leaving BENCH_r07.json "parsed": null. The driver
@@ -234,7 +314,13 @@ object Bench {
     val qsCompact = results.map { case (k, ts) =>
       s"${jstr(k)}:${if (ts.size >= Reps) r4(ts.head) else "-1"}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":${jstr(sfDir)}}""")
+    // anchor mins ride the compact line too (the one the driver always
+    // parses), so drift normalization survives even when the spread
+    // line outgrows the tail-capture window
+    val anchorsCompact = anchorStats.map { case (k, (mn, _, _, _)) =>
+      s"${jstr(k)}:${r4(mn)}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"anchors":$anchorsCompact,"sf":${jstr(sfDir)}}""")
 
     // drop the fixture's salted parquet copy — it lives in a fresh temp
     // dir per run and would otherwise accumulate in /tmp (ADVICE r7)

@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   * CDC exists for) rather than the no-dup easy case. Wall time is
   * min-of-`reps` of the declared pipeline (un-checkpointed core, over
   * a materialized replica frame). PLANS.md records the output.
-  * (`sbt "runMain graft.CdcProbe [sfDir] [m] [reps]"`) */
+  *
+  * The scales arg takes a comma list (VERDICT r10 task 5: the 100×
+  * point): `10,100` probes 1×/10×/100× in one run — at sf0.01 base
+  * that is a compound two-decade span of the replica axis, checking
+  * that the 10× linearity isn't a scheduling-floor artifact.
+  * (`sbt "runMain graft.CdcProbe [sfDir] [scales] [reps]"`) */
 object CdcProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val m = args.lift(1).map(_.toInt).getOrElse(10)
+    val scales = args.lift(1).map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(10))
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -35,7 +40,7 @@ object CdcProbe {
     }
 
     val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    for (k <- Seq(1, m)) {
+    for (k <- (1 +: scales).distinct) {
       val docs = docs0.withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
         .select((col("doc_id") + col("_r") * 1000000L).as("doc_id"), col("text"))
         .localCheckpoint() // probe the op, not the replica explode
