@@ -101,5 +101,73 @@ object QualityModel {
         .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"),
           round(col("pareto_draw"), 6).as("pareto_draw"), col("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // The HASH-PINNED half of model-based quality filtering (VERDICT
+    // r10 task 8): training is unpinnable (float reduction order), but
+    // the entire SERVING pipeline — hashed bag-of-words featurization,
+    // linear margin, squash to a score, deterministic keep rule — is,
+    // once the model is a frozen artifact. This variant freezes the
+    // coefficient table to the md5-derived family (artifact-as-formula:
+    // bucket k's weight is a pure function of k, so neither engine
+    // needs a 32k-row literal), accumulates the margin in INTEGER
+    // micro-units (order-free exact sum — the bigram-LM convention; no
+    // libm anywhere: the logistic squash is replaced by the rational
+    // m/(1+|m|) sigmoid and the Pareto tail by keep iff u < s^9 with
+    // an explicitly-parenthesized multiply tree both engines replay
+    // bit-for-bit). The TRAINED form above stays rows-only.
+    Q("curation_quality_model_pinned",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tw AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5('qw:' || CAST(
+        |           CAST(concat('0x', substr(md5('qb:' || t), 1, 8)) AS BIGINT) % 32768
+        |         AS VARCHAR)), 1, 8)) AS BIGINT) % 1000001 - 500000 AS cw
+        |  FROM toks),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(cw) AS BIGINT) AS margin_u
+        |  FROM tw GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, n_tokens, margin_u,
+        |         0.5 + (CAST(margin_u AS DOUBLE) / 1000000.0)
+        |             / (2.0 * (1.0 + abs(CAST(margin_u AS DOUBLE) / 1000000.0))) AS s
+        |  FROM agg),
+        |p2t AS (SELECT *, s * s AS p2 FROM sc),
+        |p4t AS (SELECT *, p2 * p2 AS p4 FROM p2t),
+        |fin AS (
+        |  SELECT *, (p4 * p4) * s AS p9,
+        |         CAST(CAST(concat('0x', substr(md5('pk:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |           / 4294967296.0 AS u
+        |  FROM p4t)
+        |SELECT doc_id, n_tokens, margin_u,
+        |       ROUND(s, 6) + 0 AS quality_score,
+        |       CAST(u < p9 AS INT) AS keep
+        |FROM fin ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val bucket =
+        conv(substring(md5(concat(lit("qb:"), col("t"))), 1, 8), 16, 10)
+          .cast("long") % 32768
+      val cw =
+        conv(substring(md5(concat(lit("qw:"), bucket.cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000001L - 500000L
+      toks.select(col("doc_id"), cw.as("cw"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("cw")).as("margin_u"))
+        .withColumn("m", col("margin_u").cast("double") / lit(1000000.0))
+        .withColumn("s",
+          lit(0.5) + col("m") / (lit(2.0) * (lit(1.0) + abs(col("m")))))
+        .withColumn("p2", col("s") * col("s"))
+        .withColumn("p4", col("p2") * col("p2"))
+        .withColumn("p9", (col("p4") * col("p4")) * col("s"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("pk:"), col("doc_id"))), 1, 8), 16, 10)
+            .cast("long").cast("double") / lit(4294967296.0))
+        .select(col("doc_id"), col("n_tokens"), col("margin_u"),
+          (round(col("s"), 6) + lit(0.0)).as("quality_score"),
+          (col("u") < col("p9")).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -1073,6 +1073,53 @@ object Similarity {
       semDeDup(s, ivfIndexFor(s, dir), tau = 0.99)
     },
 
+    // The HASH-PINNED half of semantic dedup (VERDICT r10 task 8, the
+    // subword-encode playbook): everything downstream of the quantizer
+    // — cluster-scoped pairing, the cosine ≥ τ victim rule, min-id
+    // victor, anti-join survivors — is SQL-expressible, so this
+    // variant swaps the (unpinnable) k-means quantizer for the
+    // deterministic md5-hyperplane SRP bucket both engines already
+    // replay, and the driver hash-checks the ENTIRE selection
+    // semantics cross-engine. 50 near-dup twins are planted in-query
+    // (the dedup_embed_cosine_planted convention: per-dim scale
+    // factors 0.96…1.04, cosine ≈ 0.9996 ≥ τ) so the victim rule is
+    // exercised, not vacuously green on the near-orthogonal corpus.
+    // The k-means form above stays as the uncapped SemDeDup shape.
+    Q("dedup_semantic_pinned",
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (
+         |  SELECT vec_id + 1000000 AS vec_id, label,
+         |         list_transform(range(1, ${Dim + 1}),
+         |                        i -> v[i] * (1.0 + 0.02 * (((i - 1) % 5) - 2))) AS v
+         |  FROM base WHERE vec_id < 50),
+         |e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |b AS (SELECT vec_id, label, v,
+         |             CAST($srpBucketSql AS BIGINT) AS cluster FROM e),
+         |victims AS (
+         |  SELECT DISTINCT x.vec_id FROM b x JOIN b y
+         |    ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+         |  WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) + 0 >= 0.99)
+         |SELECT b.vec_id, b.label, b.cluster
+         |FROM b LEFT JOIN victims ON victims.vec_id = b.vec_id
+         |WHERE victims.vec_id IS NULL
+         |ORDER BY b.vec_id""".stripMargin) { (s, dir) =>
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        transform(col("v"),
+          (x, i) => x * (lit(1.0) + lit(0.02) * ((i % 5) - lit(2)))).as("v"))
+      val assigned = base.unionByName(planted)
+        .withColumn("cluster", srpBucket(col("v")))
+      val victims = assigned.as("x").join(assigned.as("y"),
+          col("x.cluster") === col("y.cluster") && col("x.vec_id") > col("y.vec_id"))
+        .filter(round(cosine(col("x.v"), col("y.v")), 6) + lit(0.0) >= 0.99)
+        .select(col("x.vec_id").as("vec_id")).distinct()
+      assigned.join(victims, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"), col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+
     // Two-stage PQ + exact re-rank (r10 s3): ADC shortlist of 4·k,
     // true-cosine re-rank of just those 80 rows — the Faiss-style
     // refinement stage. KMeans clusters are not SQL-expressible → no
