@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.llm.{Curation, Dedup, Multimodal, QualityModel, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, QualityModel, Retrieval, Similarity, TextAnalysis}
 import graft.ml.FailureModel
 import graft.operators.{AsOfJoin, ChunkedWindow, RangeJoin, Salted, Sessionize}
 import graft.pipeline.{Telemetry, TrainingData}
@@ -21,7 +21,7 @@ object SparkEntry {
   def all: Seq[Q] =
     Telemetry.defs ++ TrainingData.defs ++ Relational.defs ++ Ingest.defs ++
       FailureModel.defs ++ Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++ Curation.defs ++
-      QualityModel.defs ++
+      QualityModel.defs ++ Retrieval.defs ++
       Multimodal.defs ++ Salted.defs ++ AsOfJoin.defs ++ ChunkedWindow.defs ++
       Sessionize.defs ++ RangeJoin.defs ++ StreamingAlerts.defs ++ Typed.defs ++ Audit.defs ++
       EventAnalytics.defs ++ Linkage.defs ++ TimeSeries.defs ++ Graphs.defs ++ Sketches.defs

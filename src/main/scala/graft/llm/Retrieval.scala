@@ -1,0 +1,297 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Retrieval composition tier (round 12): rank FUSION across the
+  * lexical and semantic retrievers, result DIVERSIFICATION, and
+  * temperature-scaled source MIXING — the three standard steps between
+  * "a ranked list exists" and "a training batch / RAG context is
+  * assembled", each from the published literature:
+  *
+  *  - Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+  *    fuse rankings by Σ 1/(c + rank) — the robust default hybrid
+  *    search everywhere BM25 and embedding retrieval coexist;
+  *  - Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+  *    greedy re-rank trading relevance against similarity to the
+  *    already-selected set — λ·rel − (1−λ)·max-sim;
+  *  - temperature-scaled mixing (the multilingual-sampling rule of
+  *    Arivazhagan et al. 2019, used verbatim for data mixing in
+  *    mT5/PaLM): source s sampled ∝ n_s^(1/T), flattening the source
+  *    distribution so heavy domains don't drown light ones.
+  *
+  * Determinism conventions (everything here hash-pins cross-engine):
+  * ranks are integers from row_number over exact sort keys (BM25's
+  * decimal-summed score and the 6-dp-rounded cosine are already
+  * engine-identical); RRF terms are two IEEE divides of exact
+  * integers summed in ONE written order; MMR arithmetic is halving
+  * and subtraction of engine-identical doubles (both exact); the
+  * temperature weight uses T = 2 so the exponent is sqrt — IEEE
+  * correctly-rounded in both engines, the one libm-free fractional
+  * power — half-up fixed to integer micro-units before any sum.
+  */
+object Retrieval {
+
+  /** RRF constant: the SIGIR'09 paper's c = 60 (insensitive per the
+    * paper; frozen here so rankings are comparable across rounds). */
+  val RrfC = 60
+
+  /** Fuse the BM25 top-`n` and the cosine top-`n` by reciprocal rank.
+    * Shape for scale: each retriever's cost is its own (one corpus
+    * pass / one index probe); fusion itself touches 2·n rows — the
+    * rank windows and the full-outer join run on n-bounded frames
+    * (broadcast-sized by construction; a global window over ≤ n rows
+    * is the documented bounded-frame idiom). */
+  def rrfFusion(
+      docs: DataFrame, emb: DataFrame, terms: Seq[String], probeId: Long,
+      n: Int, k: Int): DataFrame = {
+    val lex = TextAnalysis.bm25Search(docs, terms, n)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("r_lex"))
+    val sem = Similarity.cosineTopK(emb, probeId, n)
+      .select(col("vec_id").as("id"),
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+          .cast("long").as("r_sem"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfC) + col("r_lex")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("r_sem")).cast("double"), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("doc_id"),
+        coalesce(col("r_lex"), lit(-1L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(-1L)).as("r_sem"),
+        (round(col("rrf"), 6) + lit(0.0)).as("rrf_score"))
+  }
+
+  /** MMR-diversified re-rank of the cosine top-`nCand` down to `k`
+    * (λ = 0.5): step t picks argmax of 0.5·rel − 0.5·max-sim-to-picked
+    * with a (score DESC, vec_id) tiebreak; the empty-set diversity
+    * term is 0, so step 1 is the plain relevance argmax.
+    *
+    * The greedy is the standard SERVING-side step: k·nCand-bounded
+    * work over an nCand-bounded candidate frame, so the loop runs on
+    * the driver over collected candidates (the M1 bounded-artifact
+    * convention — nCand ≤ tens, never data-sized). All doubles the
+    * loop compares come FROM the engine (6-dp-rounded cosines), and
+    * halving/subtraction are IEEE-exact, so the DuckDB replay — the
+    * same k steps unrolled as CTEs, the k-core fixed-unroll precedent
+    * — picks identical rows. */
+  def mmrRerank(
+      spark: SparkSession, emb: DataFrame, probeId: Long,
+      nCand: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val cand = Similarity.cosineTopK(emb, probeId, nCand)
+      .select(col("vec_id"), col("cos_sim").as("rel"))
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val candV = cand.join(vecs, "vec_id")
+    val pairSims = candV.as("a").join(candV.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        (round(Similarity.cosine(col("a.v"), col("b.v")), 6) + lit(0.0)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cands = cand.orderBy(col("rel").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(cands: _*)
+    var step = 1L
+    while (step <= k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { case (id, rel) =>
+        val ms = if (picked.isEmpty) 0.0
+          else picked.iterator.map(p => pairSims((id, p._2))).max
+        (id, rel, ms, 0.5 * rel - 0.5 * ms)
+      }.reduceLeft { (x, y) =>
+        if (y._4 > x._4 || (y._4 == x._4 && y._1 < x._1)) y else x
+      }
+      picked += ((step, best._1, best._2, round6(best._4)))
+      remaining.remove(best._1)
+      step += 1
+    }
+    picked.toSeq.toDF("rank", "vec_id", "rel", "mmr_score")
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB replay of [[mmrRerank]]: the k greedy steps unrolled as
+    * chained CTEs (fixed unroll — the graph_kcore precedent), each
+    * picking one row by the identical argmax + tiebreak. Every CTE is
+    * MATERIALIZED: DuckDB inlines CTEs by default, and the chain
+    * references each predecessor from two places, so the inlined plan
+    * tree — and the recomputation of `cand`/`pairs` inside it — grows
+    * EXPONENTIALLY in k (the un-hinted form planned for minutes at
+    * k = 8; materialization makes it the k·nCand-bounded walk it is). */
+  private def mmrOracleSql(probeId: Long, nCand: Int, k: Int): String = {
+    val steps = (2 to k).map { t =>
+      val prev = t - 1
+      s"""m$t AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel,
+         |         (SELECT MAX(p.s) FROM pairs p
+         |          WHERE p.ia = c.vec_id AND p.ib IN (SELECT vec_id FROM p$prev)) AS ms
+         |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p$prev)),
+         |s$t AS MATERIALIZED (
+         |  SELECT vec_id, rel, ms FROM m$t
+         |  ORDER BY CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * ms DESC, vec_id
+         |  LIMIT 1),
+         |p$t AS MATERIALIZED (
+         |  SELECT vec_id FROM p$prev UNION ALL SELECT vec_id FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to k).map { t =>
+      s"""UNION ALL SELECT CAST($t AS BIGINT), vec_id, rel,
+         |ROUND(CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * ms, 6) + 0 FROM s$t""".stripMargin
+    }.mkString("\n")
+    s"""WITH probe AS MATERIALIZED (
+       |  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = $probeId),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], probe.p), 6) + 0 AS rel
+       |  FROM embeddings e, probe
+       |  ORDER BY rel DESC, vec_id LIMIT $nCand),
+       |cv AS MATERIALIZED (
+       |  SELECT c.vec_id, e.embedding::DOUBLE[] AS v
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |         ROUND(list_cosine_similarity(a.v, b.v), 6) + 0 AS s
+       |  FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |p1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+       |       ROUND(CAST(0.5 AS DOUBLE) * rel, 6) + 0 AS mmr_score FROM s1
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** Temperature-2 source mixing: quota_s = T_total · √n_s / Σ√n_s
+    * (floored), selection by stable md5 hash-rank within source (the
+    * curation_stratified_sample machinery — resume/ingest-stable,
+    * exact quotas). √ weights (T = 2) flatten the source distribution
+    * between proportional (T = 1) and uniform (T → ∞); T = 2 is the
+    * published default neighborhood AND the one temperature whose
+    * power is sqrt — IEEE-exact, no libm. Weights are half-up-fixed
+    * to integer micro-units before summing (order-free), and quotas
+    * are pure integer (target · w) div W arithmetic.
+    * Shape for scale: one source-keyed count, a broadcast quota
+    * frame, one source-partitioned rank window — no global sort, no
+    * data-sized driver state. */
+  def temperatureMix(docs: DataFrame, keepHalf: Boolean = true): DataFrame = {
+    val src = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_src"))
+      .withColumn("w6u",
+        floor(sqrt(col("n_src").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    val tot = src.agg(sum(col("w6u")).cast("long").as("w_total"),
+      sum(col("n_src")).cast("long").as("n_total"))
+    val quota = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_src"),
+        expr("((n_total div 2) * w6u) div w_total").as("target"))
+    val ranked = docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(concat(lit("tmix:"), col("doc_id").cast("string"))),
+            col("doc_id"))).cast("long"))
+    ranked.join(broadcast(quota), "source")
+      .filter(col("rn") <= col("target"))
+      .select(col("doc_id"), col("source"), col("rn"), col("n_src"), col("target"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val defs: Seq[Q] = Seq(
+    // Hybrid lexical+semantic retrieval via RRF — both engines must
+    // agree on BOTH input rankings (already individually pinned) AND
+    // the fused list: ranks are exact, the two reciprocal terms are
+    // IEEE divides summed in one written order.
+    Q("search_rrf_fusion",
+      s"""WITH dl AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |n AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(dl) AS BIGINT) AS n_tokens
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+         |  WHERE term IN ('spark', 'window', 'query')
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |         CAST(SUM(CAST(
+         |           ((n.n_docs * 1000) // df.df) *
+         |           ((tf.tf * 2.2) /
+         |            (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) /
+         |              (CAST(n.n_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+         |           AS DECIMAL(30,6))) AS DOUBLE) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+         |  GROUP BY tf.doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 50),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+         |  FROM bm),
+         |probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+         |cos AS (
+         |  SELECT e.vec_id,
+         |         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], probe.p), 6) + 0 AS cos_sim
+         |  FROM embeddings e, probe
+         |  ORDER BY cos_sim DESC, vec_id LIMIT 50),
+         |sem AS (
+         |  SELECT vec_id AS id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS r_sem
+         |  FROM cos),
+         |f AS (
+         |  SELECT COALESCE(lex.id, sem.id) AS doc_id, r_lex, r_sem,
+         |         COALESCE(CAST(1 AS DOUBLE) / CAST($RrfC + r_lex AS DOUBLE), CAST(0 AS DOUBLE)) +
+         |         COALESCE(CAST(1 AS DOUBLE) / CAST($RrfC + r_sem AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+         |SELECT doc_id, COALESCE(r_lex, -1) AS r_lex, COALESCE(r_sem, -1) AS r_sem,
+         |       ROUND(rrf, 6) + 0 AS rrf_score
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      rrfFusion(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        Seq("spark", "window", "query"), probeId = 0L, n = 50, k = 20)
+    },
+
+    // MMR diversification of the cosine top-20 down to 8 — the greedy
+    // selection itself is hash-pinned: both engines replay the same
+    // 8 argmax steps over identical rounded similarities.
+    Q("search_mmr_rerank", mmrOracleSql(probeId = 0L, nCand = 20, k = 8)) {
+      (s, dir) =>
+        mmrRerank(s, Tables.embeddings(s, dir), probeId = 0L, nCand = 20, k = 8)
+    },
+
+    // Temperature-2 source mixing: the quota arithmetic (sqrt weights
+    // in integer micro-units, floor seat allocation) and the stable
+    // hash-rank selection are both replayed — every kept doc_id is
+    // pinned, not just per-source totals.
+    Q("curation_temperature_mix",
+      """WITH src AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_src,
+        |         CAST(FLOOR(sqrt(CAST(n_src AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w6u
+        |  FROM src),
+        |tot AS (
+        |  SELECT CAST(SUM(w6u) AS BIGINT) AS w_total,
+        |         CAST(SUM(n_src) AS BIGINT) AS n_total
+        |  FROM w),
+        |q AS (
+        |  SELECT w.source, w.n_src,
+        |         ((tot.n_total // 2) * w.w6u) // tot.w_total AS target
+        |  FROM w, tot),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.rn, q.n_src, q.target
+        |FROM r JOIN q USING (source) WHERE r.rn <= q.target
+        |ORDER BY r.source, r.rn""".stripMargin) { (s, dir) =>
+      temperatureMix(Tables.documents(s, dir))
+    })
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Retrieval
+
+/** Semantics of the round-12 retrieval composition tier — properties
+  * the DuckDB hash check can't express (the oracle pins cross-engine
+  * agreement; these pin that the operators DO the published thing). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = sf("sf0.01")
+
+  test("RRF: fused list is consistent with its input rankings") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val fused = Retrieval.rrfFusion(docs, emb,
+      Seq("spark", "window", "query"), probeId = 0L, n = 50, k = 20).collect()
+    assert(fused.length == 20)
+    // rank sentinels: every row carries at least one real rank, and a
+    // real rank is within [1, 50]
+    fused.foreach { r =>
+      val (rl, rs) = (r.getAs[Long]("r_lex"), r.getAs[Long]("r_sem"))
+      assert(rl != -1L || rs != -1L)
+      Seq(rl, rs).filter(_ != -1L).foreach(x => assert(x >= 1L && x <= 50L))
+    }
+    // the RRF identity: score == sum of the present reciprocal terms
+    fused.foreach { r =>
+      val terms = Seq(r.getAs[Long]("r_lex"), r.getAs[Long]("r_sem"))
+        .filter(_ != -1L).map(x => 1.0 / (Retrieval.RrfC + x)).sum
+      assert(math.abs(r.getAs[Double]("rrf_score") - terms) < 1e-6)
+    }
+    // dominance: a doc ranked 1 in BOTH lists would beat any doc in one
+    // list only; weaker testable form — the fused top-1 beats every
+    // single-list-only doc's best possible score at its ranks
+    val top = fused.head.getAs[Double]("rrf_score")
+    fused.filter(r => r.getAs[Long]("r_lex") == -1L || r.getAs[Long]("r_sem") == -1L)
+      .foreach(r => assert(top >= r.getAs[Double]("rrf_score")))
+  }
+
+  test("MMR: step 1 is the relevance argmax; diversification picks both planted clusters") {
+    // two tight clusters of near-duplicates: pure top-k relevance fills
+    // with copies of the probe's own cluster; MMR must reach into the
+    // second cluster early (the Carbonell–Goldstein point)
+    val dim = 8
+    def vec(base: Array[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (x, i) => x + eps * ((i % 3) - 1) * 0.01 }.toSeq
+    val a = Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val rows =
+      (0 until 6).map(i => (i.toLong, vec(a, i + 1), 0)) ++ // cluster A (probe-like)
+        (6 until 12).map(i => (i.toLong, vec(b, i - 5), 1)) // cluster B
+    val emb = (Seq((99L, a.toSeq, 0)) ++ rows).toDF("vec_id", "embedding", "label")
+    val out = Retrieval.mmrRerank(spark, emb, probeId = 99L, nCand = 12, k = 4).collect()
+    assert(out.length == 4)
+    // step 1 = plain relevance argmax = the most probe-similar candidate
+    val rel1 = out.head.getAs[Double]("rel")
+    assert(out.forall(_.getAs[Double]("rel") <= rel1))
+    // by step 4 both clusters are represented (pure relevance would
+    // still be inside cluster A: 6 A-candidates outscore every B)
+    val pickedIds = out.map(_.getAs[Long]("vec_id")).toSet
+    assert(pickedIds.exists(_ < 6L), s"no cluster-A pick in $pickedIds")
+    assert(pickedIds.exists(id => id >= 6L && id < 12L), s"no cluster-B pick in $pickedIds")
+    // mmr scores are non-increasing over steps (greedy argmax over a
+    // shrinking candidate set with a growing diversity penalty)
+    val scores = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("mmr_score"))
+    assert(scores.zip(scores.tail).forall { case (x, y) => y <= x + 1e-9 })
+  }
+
+  test("temperature mix: flatter than proportional, quotas exact, selection stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Retrieval.temperatureMix(docs)
+    val quotas = out.groupBy(col("source"))
+      .agg(max(col("target")).as("target"), max(col("n_src")).as("n_src"),
+        count(lit(1)).as("kept"))
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("target"), r.getAs[Long]("n_src"), r.getAs[Long]("kept")))
+    // every source's kept count equals its quota (rank rule is exact,
+    // never "in expectation"), and quotas never exceed availability
+    quotas.foreach { case (s, t, n, kept) =>
+      assert(kept == t, s"$s kept $kept != target $t")
+      assert(t <= n, s"$s target $t > available $n")
+    }
+    // temperature flattening: kept share vs proportional share must
+    // rise for the smallest source and fall for the largest
+    val n = quotas.map(_._3).sum.toDouble
+    val t = quotas.map(_._2).sum.toDouble
+    val smallest = quotas.minBy(q => (q._3, q._1))
+    val largest = quotas.maxBy(q => (q._3, q._1))
+    assert(smallest._2 / t >= smallest._3 / n - 1e-9,
+      s"smallest source share shrank: ${smallest._2 / t} < ${smallest._3 / n}")
+    assert(largest._2 / t <= largest._3 / n + 1e-9,
+      s"largest source share grew: ${largest._2 / t} > ${largest._3 / n}")
+    // target total: floor allocation never exceeds the half-corpus goal
+    assert(t.toLong <= (n.toLong / 2))
+    // stability: rerun selects the identical doc set (hash-rank, no rand)
+    val again = Retrieval.temperatureMix(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+}
