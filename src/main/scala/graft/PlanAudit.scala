@@ -274,6 +274,10 @@ object PlanAudit {
       SparkEntry.queries("timeseries_seasonal_naive_mape")(spark, sfDir))
     audit("cvAucPerFold", SparkEntry.queries("ml_cv_auc_per_fold")(spark, sfDir))
     audit("lateralTopk", SparkEntry.queries("sql_frontdoor_lateral")(spark, sfDir))
+    // r12 retrieval composition tier
+    audit("rrfFusion", SparkEntry.queries("search_rrf_fusion")(spark, sfDir))
+    audit("mmrRerank", SparkEntry.queries("search_mmr_rerank")(spark, sfDir))
+    audit("temperatureMix", SparkEntry.queries("curation_temperature_mix")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))

@@ -49,6 +49,16 @@ class PlanAuditSpec extends SparkSpec {
     // tail; at 100 TB the join reverts to a keyed shuffle (the
     // market-share pattern) and the joint bound still holds
     "analytics_shipmode_classes" -> ((2, 1)),
+    // r12 retrieval composition tier (measured at sf0.01): RRF = the
+    // BM25 pass's exchanges + the two n-bounded rank windows and the
+    // fusion join (AQE broadcasts the 50-row frames); MMR = the one
+    // cosine top-k exchange (the greedy is driver-side over bounded
+    // collects); temperature mix = src count agg + totals agg + the
+    // source-partitioned rank window + quota join + output sort, all
+    // small except the window and the count, each data-sized once
+    "search_rrf_fusion" -> ((3, 3)),
+    "search_mmr_rerank" -> ((1, 0)),
+    "curation_temperature_mix" -> ((5, 2)),
   )
 
   recorded.foreach { case (name, (sh, bc)) =>
