@@ -15,13 +15,15 @@ import graft.llm.{Dedup, Similarity}
   * time of the DECLARED query shape. Linear growth in all four
   * columns is the pass criterion recorded in PLANS.md.
   *
-  * `sbt "runMain graft.ScaleProbe [sfDir] [m] [reps]"`.
+  * The scales arg takes a comma list (the CdcProbe convention —
+  * VERDICT r10 task 5): `10,100` probes 1×/10×/100× in one run.
+  * `sbt "runMain graft.ScaleProbe [sfDir] [scales] [reps]"`.
   */
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val m = args.lift(1).map(_.toInt).getOrElse(10)
+    val scales = args.lift(1).map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(10))
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -46,7 +48,7 @@ object ScaleProbe {
       }.min
     }
 
-    for (scale <- Seq(1, m)) {
+    for (scale <- (1 +: scales).distinct) {
       val dir = Bench.lshFixtureScaled(spark, sfDir, scale)
       Bench.embFixtureScaled(spark, sfDir, scale, dir)
       try {

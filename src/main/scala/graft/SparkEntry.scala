@@ -113,5 +113,10 @@ object SparkEntry {
     // double-direction window + grouped-aggregate downsampling shape
     // (the other window headlines are single-direction frames).
     "events_ohlc_bars",
+    // Round 12: hybrid retrieval — BOTH retriever passes (BM25 corpus
+    // pass + brute-force cosine) plus the n-bounded rank/fusion tail
+    // in one number; the fusion overhead over the two standalone
+    // retrievers is the quantity worth watching round-over-round.
+    "search_rrf_fusion",
   )
 }

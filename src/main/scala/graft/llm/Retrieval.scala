@@ -169,7 +169,9 @@ object Retrieval {
   /** Temperature-2 source mixing: quota_s = T_total · √n_s / Σ√n_s
     * (floored), selection by stable md5 hash-rank within source (the
     * curation_stratified_sample machinery — resume/ingest-stable,
-    * exact quotas). √ weights (T = 2) flatten the source distribution
+    * exact quotas). Complements `curation_mixture_temperature`, which
+    * reports the per-source WEIGHTS — this op carries them through to
+    * integer quotas and the actual doc selection. √ weights (T = 2) flatten the source distribution
     * between proportional (T = 1) and uniform (T → ∞); T = 2 is the
     * published default neighborhood AND the one temperature whose
     * power is sqrt — IEEE-exact, no libm. Weights are half-up-fixed

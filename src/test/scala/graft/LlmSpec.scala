@@ -942,6 +942,31 @@ class LlmSpec extends SparkSpec {
     } finally Bench.deleteRecursively(path)
   }
 
+  test("pinned semantic dedup: planted twins collapse to min ids, SRP bucket scopes the pairing") {
+    // the declared dedup_semantic_pinned plants 50 scaled twins
+    // in-query (cosine ≈ 0.9996 ≥ 0.99); the min-id victor rule must
+    // remove twins (id + 1M loses to its base) while the
+    // near-orthogonal originals survive untouched
+    val out = SparkEntry.queries("dedup_semantic_pinned")(spark, sf("sf0.01"))
+    val survivors = out.select("vec_id").as[Long].collect().toSet
+    val n = Tables.embeddings(spark, sf("sf0.01")).count()
+    // every original survives (no base vector has a LOWER-id near-dup:
+    // twins sit at +1M, and the raw corpus is near-orthogonal)
+    assert((0L until n).forall(survivors.contains),
+      "an original vector was removed")
+    // most planted twins collapse; the stragglers are SRP recall
+    // misses (twin hashed into a different bucket), bounded small
+    val plantedSurvivors = survivors.filter(_ >= 1000000L)
+    assert(plantedSurvivors.size <= 15,
+      s"too many planted twins survived: ${plantedSurvivors.size}")
+    // the pairing is bucket-scoped — never cartesian
+    val bad = collectPlan(out.queryExecution.executedPlan).exists {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+      case _ => false
+    }
+    assert(!bad, "pinned semantic dedup planned a cartesian pairing")
+  }
+
   test("SRP hot-bucket diagnostic surfaces a planted degenerate bucket; quiet on the real corpus") {
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)

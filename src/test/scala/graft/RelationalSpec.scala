@@ -121,6 +121,13 @@ class RelationalSpec extends SparkSpec {
       // totals into the |query|-bounded df frame — all the same
       // 1-row broadcast class
       "ml_target_encode", "ml_chi2_independence", "search_bm25_topk",
+      // r12: RRF fuses the BM25 list (whose plan carries bm25's 1-row
+      // corpus-totals broadcast cross) with the cosine list (the 1-row
+      // probe cross) — both inherited members of the same class; the
+      // temperature mix crosses its |sources|-bounded weight frame
+      // with the broadcast 1-row totals (W, N) — the audit_key_skew
+      // 1-row totals class
+      "search_rrf_fusion", "curation_temperature_mix",
       // the TTL sweep crosses the broadcast 1-row corpus-max anchor
       // over the data — the RFM anchor-day 1-row class
       "audit_ttl_sweep")
