@@ -47,6 +47,15 @@ object Sketches {
   val CmsD = 4
   val CmsW = 512L
 
+  /** HLL geometry: m = 256 registers (p = 8), 48-bit md5 hashes — 8
+    * bits route to a register, the remaining 40 feed the leading-zero
+    * rank, so ρ ∈ [1, 41] on a nonempty register and the scaled
+    * indicator Σ 2^(41−ρ) stays an exact BIGINT (≤ 256·2⁴¹ = 2⁴⁹).
+    * Declared BEFORE `defs` — the SQL interpolations below read these
+    * at object init, and a later declaration would read as 0. */
+  val HllM = 256
+  val HllRhoMax = 41
+
   /** Hash space size 2⁴⁸ as an exact double — 12 hex digits of md5.
     * 48 bits keeps every value exactly representable in a BIGINT and
     * in a double (< 2⁵³), so the estimator arithmetic below is
@@ -595,5 +604,115 @@ object Sketches {
           col("n_sample"), col("n_total"))
         .orderBy(col("q"))
     },
+
+    // HLL with a hash-pinned estimate (round 12): graft-native
+    // HyperLogLog over the md5 hash family, completing the mergeable
+    // family — `agg_approx_distinct` exercises Spark's built-in HLL++
+    // (engine-internal → rows-only); THIS registers table and estimate
+    // replay exactly in DuckDB. Per-priority register tables plus the
+    // '*ALL*' row merged REGISTER-WISE (max per slot — the lossless
+    // HLL merge, the whole point of the sketch at 100 TB: per-
+    // partition 256-byte registers, never the data). See hllDistinct's
+    // scaladoc for the raw-estimator honesty note.
+    Q("sketch_hll_distinct",
+      s"""WITH h AS (
+         |  SELECT o_orderpriority AS grp,
+         |         CAST(concat('0x', substr(md5('hll:' || CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |  FROM orders),
+         |r AS (
+         |  SELECT grp, h % $HllM AS j,
+         |         CASE WHEN h // $HllM = 0 THEN $HllRhoMax
+         |              ELSE $HllRhoMax - length(bin(h // $HllM)) END AS rho
+         |  FROM h),
+         |regs AS (SELECT grp, j, MAX(rho) AS m_j FROM r GROUP BY grp, j),
+         |allregs AS (
+         |  SELECT grp, j, m_j FROM regs
+         |  UNION ALL
+         |  SELECT '*ALL*' AS grp, j, MAX(m_j) AS m_j FROM regs GROUP BY j),
+         |grid AS (
+         |  SELECT g.grp, t.range AS j
+         |  FROM (SELECT DISTINCT grp FROM allregs) g CROSS JOIN range($HllM) t),
+         |filled AS (
+         |  SELECT grid.grp, grid.j, COALESCE(a.m_j, 0) AS m_j
+         |  FROM grid LEFT JOIN allregs a ON a.grp = grid.grp AND a.j = grid.j),
+         |s AS (
+         |  SELECT grp,
+         |         CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - m_j)) AS BIGINT) AS s_scaled,
+         |         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+         |  FROM filled GROUP BY grp),
+         |exact AS (
+         |  SELECT o_orderpriority AS grp,
+         |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+         |  FROM orders GROUP BY 1
+         |  UNION ALL
+         |  SELECT '*ALL*', CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+         |SELECT s.grp,
+         |       ROUND(((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($HllM AS DOUBLE)))
+         |               * CAST(${HllM * HllM} AS DOUBLE) * CAST(${1L << HllRhoMax} AS DOUBLE))
+         |             / CAST(s.s_scaled AS DOUBLE), 6) + 0 AS hll_est,
+         |       s.n_zero_regs, x.n_exact
+         |FROM s JOIN exact x ON s.grp = x.grp
+         |ORDER BY s.grp""".stripMargin) { (s, dir) =>
+      hllDistinct(Tables.orders(s, dir), "o_orderpriority", "o_custkey")
+    },
   )
+
+  /** Per-group HLL distinct-cardinality estimate over `keyCol`, plus
+    * a `*ALL*` row merged register-wise from the per-group tables
+    * (slot-wise max — HLL's lossless merge; the raw data is never
+    * rescanned for the global estimate). Exact counts ride along as
+    * the audit baseline, same contract as [[kmvDistinct]].
+    *
+    * Estimator honesty: this is Flajolet's RAW estimator
+    * α_m·m²/Σ2^(−M_j) with NO small-range (linear-counting) or
+    * large-range correction — both corrections need ln, and libm is
+    * banned from value paths (the repo-wide exactness rule). Below
+    * n ≈ 2.5·m the raw estimate reads high — the published bias the
+    * corrections exist for; `n_zero_regs` (linear counting's input)
+    * is emitted so a consumer can SEE when the estimate is in that
+    * regime, and the KMV sketch is the repo's exact-small-range tool.
+    * All arithmetic: integer register routing, length(bin(w)) leading-
+    * zero ranks (no log2), BIGINT shift sums (order-free exact), one
+    * IEEE divide — the ESTIMATE hash-pins cross-engine.
+    *
+    * Scale shape: one grouped max over (grp, j) — partial aggregation
+    * collapses every map task to ≤ m cells per group before the
+    * exchange (the 256-byte-sketch dataflow); the grid fill and the
+    * estimator run on |groups|·m-bounded frames. */
+  def hllDistinct(df: DataFrame, grpCol: String, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val regs = df
+      .select(col(grpCol).as("grp"), h48("hll:", col(keyCol).cast("string")).as("h"))
+      .selectExpr("grp", s"h % $HllM AS j", s"h div $HllM AS w")
+      .withColumn("rho",
+        when(col("w") === 0L, lit(HllRhoMax))
+          .otherwise(lit(HllRhoMax) - length(bin(col("w")))))
+      .groupBy(col("grp"), col("j"))
+      .agg(max(col("rho")).as("m_j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merged = regs.groupBy(col("j")).agg(max(col("m_j")).as("m_j"))
+      .select(lit("*ALL*").as("grp"), col("j"), col("m_j"))
+    val allRegs = regs.select(col("grp").cast("string").as("grp"), col("j"), col("m_j"))
+      .unionByName(merged)
+    val grid = allRegs.select(col("grp")).distinct()
+      .crossJoin(broadcast(spark.range(HllM).toDF("j")))
+    val s = grid.join(allRegs, Seq("grp", "j"), "left_outer")
+      .withColumn("m_j", coalesce(col("m_j"), lit(0)))
+      .groupBy(col("grp"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - m_j)")).cast("long")
+          .as("s_scaled"),
+        sum(when(col("m_j") === 0, 1).otherwise(0)).cast("long").as("n_zero_regs"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+    val exact = df.groupBy(col(grpCol).cast("string").as("grp"))
+      .agg(countDistinct(col(keyCol)).cast("long").as("n_exact"))
+      .unionByName(df.agg(countDistinct(col(keyCol)).cast("long").as("n_exact"))
+        .select(lit("*ALL*").as("grp"), col("n_exact")))
+    s.join(exact, "grp")
+      .select(col("grp"),
+        (round((alpha * lit((HllM * HllM).toDouble) * lit((1L << HllRhoMax).toDouble))
+          / col("s_scaled").cast("double"), 6) + lit(0.0)).as("hll_est"),
+        col("n_zero_regs"), col("n_exact"))
+      .orderBy(col("grp"))
+  }
 }

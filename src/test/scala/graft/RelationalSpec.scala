@@ -109,6 +109,10 @@ class RelationalSpec extends SparkSpec {
       // with the broadcast 1-row total, then inequality-joins it over
       // the BOUNDED bucket grid — the domain-grid + 1-row classes
       "sketch_log_histogram_quantiles",
+      // r12: the HLL register fill crosses the |groups|-bounded frame
+      // with the broadcast 256-slot register grid — the same
+      // domain-grid class as the PSI bucket grid
+      "sketch_hll_distinct",
       // RFM joins the broadcast 1-row anchor day and the 1-row user
       // count back over the per-user frame — the 1-row class twice
       "events_rfm_segments",

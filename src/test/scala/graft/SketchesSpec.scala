@@ -227,4 +227,49 @@ class SketchesSpec extends SparkSpec {
       .map { case (vi, lo, w) => vi -> ((lo, w)) }.toMap
     assert(vals.forall(v => got(v) === bucket(v)))
   }
+
+  test("hll: merge of per-group registers equals the one-group sketch; estimate in regime") {
+    val orders = Tables.orders(spark, sf("sf0.01"))
+    val grouped = Sketches.hllDistinct(orders, "o_orderpriority", "o_custkey")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("hll_est"), r.getAs[Long]("n_exact")))).toMap
+    // lossless register-wise merge: the *ALL* row (slot-wise max over
+    // per-group register tables) must EQUAL the sketch built with no
+    // grouping at all — same registers, same estimate, bit for bit
+    val single = Sketches.hllDistinct(
+      orders.withColumn("one", lit("x")), "one", "o_custkey")
+      .filter(col("grp") === "x").head()
+    assert(grouped("*ALL*")._1 === single.getAs[Double]("hll_est"),
+      "merged *ALL* estimate != ungrouped sketch estimate")
+    // estimator regime at n ≈ 1300 >> 2.5·m: raw HLL's published
+    // relative error is 1.04/√m ≈ 6.5%; allow 3σ
+    grouped.foreach { case (g, (est, exact)) =>
+      val rel = math.abs(est - exact) / exact
+      assert(rel < 0.20, f"$g: hll est $est vs exact $exact (rel $rel%.3f)")
+    }
+    // registers are data-size-independent: the sketch frame the merge
+    // consumed is ≤ m rows per group
+    val regs = Sketches.hllDistinct(orders, "o_orderpriority", "o_custkey")
+    assert(regs.count() === 6L) // 5 priorities + *ALL*
+  }
+
+  test("hll: leading-zero rank via bin-length matches the arithmetic definition") {
+    // rho = HllRhoMax - bitlength(w), w = h div m — pin the bin()
+    // trick against a direct Scala computation on real hashes
+    val hashes = Tables.orders(spark, sf("sf0.001"))
+      .select(Sketches.h48("hll:", col("o_custkey").cast("string")).as("h"))
+      .limit(200)
+      .selectExpr("h", s"h div ${Sketches.HllM} AS w")
+      .withColumn("rho",
+        when(col("w") === 0L, lit(Sketches.HllRhoMax))
+          .otherwise(lit(Sketches.HllRhoMax) - length(bin(col("w")))))
+      .as[(Long, Long, Int)].collect()
+    assert(hashes.nonEmpty)
+    hashes.foreach { case (h, w, rho) =>
+      val expected =
+        if (w == 0L) Sketches.HllRhoMax
+        else Sketches.HllRhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      assert(rho === expected, s"h=$h w=$w")
+    }
+  }
 }

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Drift-controlled round-over-round bench comparison.
+
+DEV/JUDGE HARNESS. Cross-run VM drift has twice read as a uniform
+per-query "regression" on untouched plans (VERDICT r10: 1.36x +/- 0.08
+across the board). Bench interleaves three FROZEN spark.range-only
+anchor workloads with the query suite and publishes their mins as
+"anchors"; because the anchor code never changes, the anchor ratio
+between two rounds measures the HOST, and
+
+    drift_controlled(q) = (q_new / q_old) / (A_new / A_old),
+    A = geometric mean of the shared anchor mins,
+
+is the comparison with host drift cancelled.
+
+Usage: python3 tools/drift_compare.py BENCH_old.json BENCH_new.json
+
+Reads either the driver's wrapper JSON ({"parsed": {...}}) or a bare
+Bench line. If either side lacks anchors (rounds before r12), falls
+back to raw ratios and says so.
+"""
+import json
+import math
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        doc = json.load(f)
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        parsed = doc["parsed"]
+        # anchors may only exist on the compact line the driver parsed,
+        # or on the wrapper's captured tail — prefer parsed, fall back
+        # to scanning the tail for the last JSON object with anchors
+        if "anchors" not in parsed and "tail" in doc:
+            for line in reversed(doc["tail"].splitlines()):
+                line = line.strip()
+                if line.startswith("{") and '"anchors"' in line:
+                    try:
+                        parsed = json.loads(line)
+                        break
+                    except json.JSONDecodeError:
+                        continue
+        doc = parsed
+    queries = doc.get("queries", {})
+    anchors = doc.get("anchors", {})
+    # spread-line anchors are {"min": ...} objects; compact-line are floats
+    anchors = {k: (v["min"] if isinstance(v, dict) else v)
+               for k, v in anchors.items()}
+    return queries, anchors
+
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    q_old, a_old = load(sys.argv[1])
+    q_new, a_new = load(sys.argv[2])
+    shared_anchors = sorted(set(a_old) & set(a_new))
+    if shared_anchors:
+        g_old = math.exp(sum(math.log(a_old[a]) for a in shared_anchors)
+                         / len(shared_anchors))
+        g_new = math.exp(sum(math.log(a_new[a]) for a in shared_anchors)
+                         / len(shared_anchors))
+        host = g_new / g_old
+        print(f"anchors shared: {', '.join(shared_anchors)}")
+        for a in shared_anchors:
+            print(f"  {a:16s} {a_old[a]:8.4f} -> {a_new[a]:8.4f}  "
+                  f"x{a_new[a] / a_old[a]:.3f}")
+        print(f"host drift factor (anchor geomean ratio): x{host:.3f}")
+    else:
+        host = 1.0
+        print("WARNING: no shared anchors — raw ratios only "
+              "(one side predates the r12 anchor protocol)")
+    shared = sorted(set(q_old) & set(q_new))
+    dropped = [q for q in shared if q_old[q] <= 0 or q_new[q] <= 0]
+    shared = [q for q in shared if q not in dropped]
+    if dropped:
+        print(f"skipped (errored in one side): {', '.join(dropped)}")
+    print(f"\n{'query':34s} {'old':>8s} {'new':>8s} {'raw':>7s} {'drift-ctl':>9s}")
+    ctl = []
+    for q in shared:
+        raw = q_new[q] / q_old[q]
+        dc = raw / host
+        ctl.append(dc)
+        print(f"{q:34s} {q_old[q]:8.4f} {q_new[q]:8.4f} x{raw:6.3f} x{dc:8.3f}")
+    if ctl:
+        tot_raw = sum(q_new[q] for q in shared) / sum(q_old[q] for q in shared)
+        g_ctl = math.exp(sum(math.log(x) for x in ctl) / len(ctl))
+        print(f"\nshared-total raw ratio: x{tot_raw:.3f}   "
+              f"per-query drift-controlled geomean: x{g_ctl:.3f}")
+
+
+if __name__ == "__main__":
+    main()
