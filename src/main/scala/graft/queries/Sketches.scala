@@ -679,21 +679,24 @@ object Sketches {
     * collapses every map task to ≤ m cells per group before the
     * exchange (the 256-byte-sketch dataflow); the grid fill and the
     * estimator run on |groups|·m-bounded frames. */
-  def hllDistinct(df: DataFrame, grpCol: String, keyCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val regs = df
-      .select(col(grpCol).as("grp"), h48("hll:", col(keyCol).cast("string")).as("h"))
+  /** Per-row register rows (grp, j, rho) for `keyCol` — the pre-
+    * aggregation half of the HLL build, shared by the batch query and
+    * the streaming form (which applies its own streaming
+    * groupBy(grp, j).max over these rows). */
+  def hllRowRegisters(df: DataFrame, grpCol: String, keyCol: String): DataFrame =
+    df.select(col(grpCol).as("grp"), h48("hll:", col(keyCol).cast("string")).as("h"))
       .selectExpr("grp", s"h % $HllM AS j", s"h div $HllM AS w")
       .withColumn("rho",
         when(col("w") === 0L, lit(HllRhoMax))
           .otherwise(lit(HllRhoMax) - length(bin(col("w")))))
-      .groupBy(col("grp"), col("j"))
-      .agg(max(col("rho")).as("m_j"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merged = regs.groupBy(col("j")).agg(max(col("m_j")).as("m_j"))
-      .select(lit("*ALL*").as("grp"), col("j"), col("m_j"))
-    val allRegs = regs.select(col("grp").cast("string").as("grp"), col("j"), col("m_j"))
-      .unionByName(merged)
+      .select(col("grp"), col("j"), col("rho"))
+
+  /** Estimate from a register table (grp, j, m_j): fill the m-slot
+    * grid per group, sum the scaled indicator in exact BIGINTs, one
+    * IEEE divide — (grp, hll_est, n_zero_regs). The `grp` column may
+    * be any type (string groups batch-side, DATE days streaming-side). */
+  def hllEstimate(allRegs: DataFrame): DataFrame = {
+    val spark = allRegs.sparkSession
     val grid = allRegs.select(col("grp")).distinct()
       .crossJoin(broadcast(spark.range(HllM).toDF("j")))
     val s = grid.join(allRegs, Seq("grp", "j"), "left_outer")
@@ -704,15 +707,28 @@ object Sketches {
           .as("s_scaled"),
         sum(when(col("m_j") === 0, 1).otherwise(0)).cast("long").as("n_zero_regs"))
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+    s.select(col("grp"),
+      (round((alpha * lit((HllM * HllM).toDouble) * lit((1L << HllRhoMax).toDouble))
+        / col("s_scaled").cast("double"), 6) + lit(0.0)).as("hll_est"),
+      col("n_zero_regs"))
+  }
+
+  def hllDistinct(df: DataFrame, grpCol: String, keyCol: String): DataFrame = {
+    val regs = hllRowRegisters(df, grpCol, keyCol)
+      .groupBy(col("grp"), col("j"))
+      .agg(max(col("rho")).as("m_j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merged = regs.groupBy(col("j")).agg(max(col("m_j")).as("m_j"))
+      .select(lit("*ALL*").as("grp"), col("j"), col("m_j"))
+    val allRegs = regs.select(col("grp").cast("string").as("grp"), col("j"), col("m_j"))
+      .unionByName(merged)
     val exact = df.groupBy(col(grpCol).cast("string").as("grp"))
       .agg(countDistinct(col(keyCol)).cast("long").as("n_exact"))
       .unionByName(df.agg(countDistinct(col(keyCol)).cast("long").as("n_exact"))
         .select(lit("*ALL*").as("grp"), col("n_exact")))
-    s.join(exact, "grp")
-      .select(col("grp"),
-        (round((alpha * lit((HllM * HllM).toDouble) * lit((1L << HllRhoMax).toDouble))
-          / col("s_scaled").cast("double"), 6) + lit(0.0)).as("hll_est"),
-        col("n_zero_regs"), col("n_exact"))
+    hllEstimate(allRegs)
+      .join(exact, "grp")
+      .select(col("grp"), col("hll_est"), col("n_zero_regs"), col("n_exact"))
       .orderBy(col("grp"))
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.{Q, Tables}
 import graft.llm.{Curation, Dedup, Similarity}
 import graft.pipeline.Telemetry
+import graft.queries.Sketches
 
 /** Structured Streaming variant of the alerting pipeline (SURVEY §2.10:
   * the reference's "deployment" is a batch job simulating daily cadence,
@@ -493,6 +494,63 @@ object StreamingAlerts {
             .otherwise(round(
               lit(63.0) * lit(281474976710656.0) / col("hk").cast("double"), 6) + lit(0.0)))
         .select(col("day"), col("kmv_est"), col("cnt").as("n_sketch"))
+        .orderBy(col("day"))
+    },
+
+    // STREAMING HLL (round 12): the register table as a complete-mode
+    // streaming aggregate — state is ≤ 256 slots per day REGARDLESS
+    // of stream length, the third bounded-state sketch alongside
+    // bottom-k and the CMS counters. max(rho) is arrival-order-
+    // invariant, so the deterministic batch oracle pins the streaming
+    // build; the estimate is read batch-side from the live register
+    // table via the SAME Sketches.hllEstimate the batch query uses —
+    // merge and estimator identical by construction, which is HLL's
+    // deployment story (per-partition registers, slot-wise max, one
+    // read). On an unbounded stream the same plan runs in update mode
+    // with a day watermark.
+    Q("streaming_hll_distinct",
+      s"""WITH h AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         CAST(concat('0x', substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT day, h % ${Sketches.HllM} AS j,
+         |         CASE WHEN h // ${Sketches.HllM} = 0 THEN ${Sketches.HllRhoMax}
+         |              ELSE ${Sketches.HllRhoMax} - length(bin(h // ${Sketches.HllM})) END AS rho
+         |  FROM h),
+         |regs AS (SELECT day, j, MAX(rho) AS m_j FROM r GROUP BY day, j),
+         |grid AS (
+         |  SELECT d.day, t.range AS j
+         |  FROM (SELECT DISTINCT day FROM regs) d CROSS JOIN range(${Sketches.HllM}) t),
+         |filled AS (
+         |  SELECT grid.day, grid.j, COALESCE(regs.m_j, 0) AS m_j
+         |  FROM grid LEFT JOIN regs ON regs.day = grid.day AND regs.j = grid.j),
+         |s AS (
+         |  SELECT day,
+         |         CAST(SUM(CAST(1 AS BIGINT) << (${Sketches.HllRhoMax} - m_j)) AS BIGINT) AS s_scaled,
+         |         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+         |  FROM filled GROUP BY day)
+         |SELECT day,
+         |       ROUND(((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(${Sketches.HllM} AS DOUBLE)))
+         |               * CAST(${Sketches.HllM * Sketches.HllM} AS DOUBLE) * CAST(${1L << Sketches.HllRhoMax} AS DOUBLE))
+         |             / CAST(s_scaled AS DOUBLE), 6) + 0 AS hll_est,
+         |       n_zero_regs
+         |FROM s ORDER BY day""".stripMargin) { (s, dir) =>
+      val name = "stream_hll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Sketches.hllRowRegisters(
+          eventsStream(s, dir).select(to_date(col("ts")).as("day"), col("user_id")),
+          "day", "user_id")
+        .groupBy(col("grp"), col("j")).agg(max(col("rho")).as("m_j"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // localCheckpoint: hllEstimate self-joins its input (grid fill),
+      // and joining a memory-sink VIEW against itself resolves both
+      // sides to the SAME attribute ids → analyzer INTERNAL_ERROR
+      // (conflicting references); checkpointing the ≤ days·m register
+      // table gives the join fresh ids. Bounded by construction.
+      Sketches.hllEstimate(s.table(name).localCheckpoint())
+        .select(col("grp").as("day"), col("hll_est"), col("n_zero_regs"))
         .orderBy(col("day"))
     },
 

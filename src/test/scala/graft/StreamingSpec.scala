@@ -797,4 +797,41 @@ class StreamingSpec extends SparkSpec {
         s"state should be the 4-cell bucket grid: ${query.lastProgress}")
     } finally query.stop()
   }
+
+  test("streaming HLL: registers merge across batches, state bounded by occupied slots") {
+    import graft.queries.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val rows = Sketches.hllRowRegisters(
+      mem.toDF().toDF("k").withColumn("g", lit("x")), "g", "k")
+    val query = rows.groupBy(col("grp"), col("j")).agg(max(col("rho")).as("m_j"))
+      .writeStream.format("memory").queryName("stream_hll_spec")
+      .outputMode("complete").start()
+    try {
+      // two batches with overlapping keys: the register table must
+      // equal the batch build over the union (max is order- and
+      // duplication-invariant — the sketch's merge law)
+      mem.addData(1L to 400L)
+      query.processAllAvailable()
+      mem.addData(201L to 600L)
+      query.processAllAvailable()
+      val streamed = spark.table("stream_hll_spec")
+        .as[(String, Long, Int)].collect().toSet
+      val batch = Sketches.hllRowRegisters(
+          (1L to 600L).toDF("k").withColumn("g", lit("x")), "g", "k")
+        .groupBy(col("grp"), col("j")).agg(max(col("rho")).as("m_j"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(streamed === batch, "streaming registers != batch registers")
+      // bounded state: one row per occupied register, ≤ m regardless
+      // of stream length
+      assert(streamed.size <= Sketches.HllM)
+      val st = query.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal === streamed.size.toLong)
+      // and the shared estimator over those registers is in regime for
+      // n = 600 (≈ 2.3·m: upper edge of the biased zone — generous band)
+      val est = Sketches.hllEstimate(spark.table("stream_hll_spec").localCheckpoint())
+        .head().getAs[Double]("hll_est")
+      assert(est > 300 && est < 1200, s"estimate $est wildly out of regime for n=600")
+    } finally query.stop()
+  }
 }
