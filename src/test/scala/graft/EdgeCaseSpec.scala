@@ -328,6 +328,47 @@ class EdgeCaseSpec extends SparkSpec {
       col("user_id") === col("u2") && col("d2") === date_sub(col("day"), 7))
     assert(lagJoin.count() === 0L)
   }
+
+  test("round-12 operators survive degenerate inputs") {
+    import graft.llm.Retrieval
+    import graft.queries.Sketches
+    // RRF on an empty corpus+index: both retriever lists are empty and
+    // the fused list is too — no head() on a missing probe, no NaN
+    assert(Retrieval.rrfFusion(emptyDocs, emptyEmb,
+      Seq("spark"), probeId = 0L, n = 50, k = 20).count() === 0L)
+    // MMR with an empty index: the greedy loop gets no candidates and
+    // returns a typed empty frame; with fewer candidates than k it
+    // returns them all, ranked
+    assert(Retrieval.mmrRerank(spark, emptyEmb, 0L, nCand = 20, k = 8).count() === 0L)
+    val threeVecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0), (2L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val picked = Retrieval.mmrRerank(spark, threeVecs, 0L, nCand = 20, k = 8)
+    assert(picked.count() === 3L)
+    // temperature mix: empty corpus → empty selection (no ANSI
+    // null-div throw from the null totals row); one source gets the
+    // whole half-corpus quota
+    assert(Retrieval.temperatureMix(emptyDocs).count() === 0L)
+    val oneSrc = (1L to 10L).map(i => (i, s"doc $i", "en", "only", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mixed = Retrieval.temperatureMix(oneSrc)
+    assert(mixed.count() === 5L) // n_total div 2, single source keeps all of it
+    // HLL: empty input → empty register table and an empty estimate
+    // frame (the grid has no groups to fill); a 1-key input reads the
+    // RAW estimator's documented small-range floor ≈ α·m ≈ 0.72·256
+    // (no linear-counting correction by design — libm ban), with
+    // n_zero_regs = m−1 lighting the regime diagnostic exactly as the
+    // scaladoc promises
+    assert(Sketches.hllDistinct(emptyDocs, "source", "doc_id").count() === 0L)
+    val one = Sketches.hllDistinct(oneDoc, "source", "doc_id").collect()
+    assert(one.length === 2) // the group and its *ALL* merge
+    one.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 1L)
+      assert(r.getAs[Long]("n_zero_regs") === (Sketches.HllM - 1).toLong)
+      val est = r.getAs[Double]("hll_est")
+      assert(est > 150 && est < 200, s"1-key raw estimate should sit at ~alpha*m: $est")
+    }
+  }
 }
 
 /** The source-matrix pipeline is declared inline; rebuild its core here
