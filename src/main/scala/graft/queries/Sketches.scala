@@ -208,8 +208,17 @@ object Sketches {
     val cBelow = common.join(theta, Seq("g1", "g2"))
       .filter(col("h") <= col("theta"))
       .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("c"))
+    // A-side retained hashes (≤ θ): with the common count this gives
+    // the third standard theta operation, A-not-B — (ca − c)·2⁴⁸/θ
+    // (Dasgupta et al., theta-sketch framework). Below k the sketch
+    // IS the set and the difference is exact.
+    val caBelow = ha.join(theta, Seq("g1", "g2"))
+      .filter(col("h") <= col("theta"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("ca"))
     val est = theta.join(cBelow, Seq("g1", "g2"), "left_outer")
       .na.fill(0L, Seq("c"))
+      .join(caBelow, Seq("g1", "g2"), "left_outer")
+      .na.fill(0L, Seq("ca"))
       .withColumn("est_union",
         when(col("cnt_u") < KmvK, col("cnt_u").cast("double"))
           .otherwise(round(
@@ -218,6 +227,11 @@ object Sketches {
         when(col("cnt_u") < KmvK, col("c").cast("double"))
           .otherwise(round(
             col("c").cast("double") * lit(Two48) / col("theta").cast("double"), 6) + lit(0.0)))
+      .withColumn("est_anb",
+        when(col("cnt_u") < KmvK, (col("ca") - col("c")).cast("double"))
+          .otherwise(round(
+            (col("ca") - col("c")).cast("double") * lit(Two48)
+              / col("theta").cast("double"), 6) + lit(0.0)))
     val dk = df.select(col(grpCol).as("g"), col(keyCol).as("k")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ng = dk.groupBy(col("g")).agg(count(lit(1)).as("n"))
@@ -232,7 +246,8 @@ object Sketches {
       .na.fill(0L, Seq("n_intersect"))
       .withColumn("n_union", (col("n1") + col("n2") - col("n_intersect")).cast("long"))
       .select(col("g1"), col("g2"), col("est_union"), col("est_intersect"),
-        col("n_union"), col("n_intersect").cast("long").as("n_intersect"))
+        col("est_anb"), col("n_union"), col("n_intersect").cast("long").as("n_intersect"),
+        (col("n1") - col("n_intersect")).cast("long").as("n_anb"))
       .orderBy(col("g1"), col("g2"))
   }
 
@@ -314,6 +329,12 @@ object Sketches {
          |  SELECT c.g1, c.g2, COUNT(*) AS c
          |  FROM common c JOIN th ON c.g1 = th.g1 AND c.g2 = th.g2 AND c.h <= th.theta
          |  GROUP BY 1, 2),
+         |ca AS (
+         |  SELECT p.g1, p.g2, COUNT(*) AS ca
+         |  FROM pairs p
+         |  JOIN sk s1 ON s1.g = p.g1
+         |  JOIN th ON p.g1 = th.g1 AND p.g2 = th.g2 AND s1.h <= th.theta
+         |  GROUP BY 1, 2),
          |ng AS (SELECT g, COUNT(*) AS n FROM li GROUP BY g),
          |ni AS (
          |  SELECT a.g AS g1, b.g AS g2, COUNT(*) AS n_intersect
@@ -326,12 +347,17 @@ object Sketches {
          |  CASE WHEN th.cnt_u < $KmvK THEN CAST(COALESCE(cc.c, 0) AS DOUBLE)
          |       ELSE ROUND(CAST(COALESCE(cc.c, 0) AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
          |                  / CAST(th.theta AS DOUBLE), 6) + 0 END AS est_intersect,
+         |  CASE WHEN th.cnt_u < $KmvK THEN CAST(COALESCE(ca.ca, 0) - COALESCE(cc.c, 0) AS DOUBLE)
+         |       ELSE ROUND(CAST(COALESCE(ca.ca, 0) - COALESCE(cc.c, 0) AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+         |                  / CAST(th.theta AS DOUBLE), 6) + 0 END AS est_anb,
          |  CAST(n1.n + n2.n - COALESCE(ni.n_intersect, 0) AS BIGINT) AS n_union,
-         |  CAST(COALESCE(ni.n_intersect, 0) AS BIGINT) AS n_intersect
+         |  CAST(COALESCE(ni.n_intersect, 0) AS BIGINT) AS n_intersect,
+         |  CAST(n1.n - COALESCE(ni.n_intersect, 0) AS BIGINT) AS n_anb
          |FROM th
          |JOIN ng n1 ON n1.g = th.g1
          |JOIN ng n2 ON n2.g = th.g2
          |LEFT JOIN cc ON cc.g1 = th.g1 AND cc.g2 = th.g2
+         |LEFT JOIN ca ON ca.g1 = th.g1 AND ca.g2 = th.g2
          |LEFT JOIN ni ON ni.g1 = th.g1 AND ni.g2 = th.g2
          |ORDER BY th.g1, th.g2""".stripMargin) { (s, dir) =>
       kmvSetOps(Tables.lineitem(s, dir), "l_returnflag", "l_orderkey")

@@ -72,10 +72,13 @@ class SketchesSpec extends SparkSpec {
       (1000 to 1019).map(i => ("C", i.toLong))).toDF("g", "k")
     val got = Sketches.kmvSetOps(df, "g", "k").collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
-    assert(got(("A", "B")) === ((60.0, 20.0, 60L, 20L)))
-    assert(got(("A", "C")) === ((60.0, 0.0, 60L, 0L)))
-    assert(got(("B", "C")) === ((60.0, 0.0, 60L, 0L)))
+        ((r.getAs[Double]("est_union"), r.getAs[Double]("est_intersect"),
+          r.getAs[Double]("est_anb"), r.getAs[Long]("n_union"),
+          r.getAs[Long]("n_intersect"), r.getAs[Long]("n_anb")))).toMap
+    // below k everything is exact, A-not-B included (r12)
+    assert(got(("A", "B")) === ((60.0, 20.0, 20.0, 60L, 20L, 20L)))
+    assert(got(("A", "C")) === ((60.0, 0.0, 40.0, 60L, 0L, 40L)))
+    assert(got(("B", "C")) === ((60.0, 0.0, 40.0, 60L, 0L, 40L)))
   }
 
   test("kmv setops: estimate regime lands within the union-scaled error band") {
@@ -83,13 +86,19 @@ class SketchesSpec extends SparkSpec {
       "l_returnflag", "l_orderkey").collect()
     assert(got.length === 3) // 3 flags -> 3 pairs
     got.foreach { r =>
-      val (estU, estI) = (r.getDouble(2), r.getDouble(3))
-      val (nU, nI) = (r.getLong(4), r.getLong(5))
+      val (estU, estI, estA) = (r.getAs[Double]("est_union"),
+        r.getAs[Double]("est_intersect"), r.getAs[Double]("est_anb"))
+      val (nU, nI, nA) = (r.getAs[Long]("n_union"),
+        r.getAs[Long]("n_intersect"), r.getAs[Long]("n_anb"))
       assert(nI > 0, "fixture intersections must be non-trivial")
       // union: the KMV regime (4 sigma of 1/sqrt(k-1))
       assert(math.abs(estU - nU) / nU < 0.52, s"union est=$estU exact=$nU")
       // intersection error scales with the UNION size (theta trade)
       assert(math.abs(estI - nI) <= 0.52 * nU, s"inter est=$estI exact=$nI union=$nU")
+      // A-not-B shares the same union-scaled band (r12), and the three
+      // estimates telescope exactly: anb = (A-side retained) - common,
+      // so est_intersect + est_anb estimates |A| within the band too
+      assert(math.abs(estA - nA) <= 0.52 * nU, s"anb est=$estA exact=$nA union=$nU")
     }
   }
 
