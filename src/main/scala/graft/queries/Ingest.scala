@@ -219,6 +219,49 @@ object Ingest {
         .orderBy(col("c_mktsegment"))
     },
 
+    // VARIANT semi-structured extraction (r12): Spark 4's open-format
+    // binary VARIANT is the engine's semi-structured story —
+    // parse_json once into the typed binary encoding, then
+    // variant_get path extraction with result types, no per-access
+    // re-parse (the shredded-JSON performance model). A NESTED
+    // document is built in-query from event columns (deterministic —
+    // both engines assemble the identical string; the raw props are
+    // flat, so nesting and array paths would otherwise go
+    // unexercised), Spark reads it through parse_json + variant_get
+    // ($.meta.type string, $.meta.k long, $.vals[1] 0-based array
+    // index), DuckDB replays the same paths with its JSON functions.
+    // The VARIANT value itself never leaves the plan (binary out of a
+    // declared query is banned); only extracted scalars do. A missing
+    // $.k lands as JSON null → typed extraction yields SQL NULL on
+    // both engines → SUM skips it.
+    Q("ingest_variant_extract",
+      """WITH j AS (
+        |  SELECT concat('{"meta":{"type":"', event_type, '","k":',
+        |                COALESCE(json_extract_string(props, '$.k'), 'null'),
+        |                '},"vals":[', CAST(user_id AS VARCHAR), ',',
+        |                CAST(user_id * 2 AS VARCHAR), ']}') AS js
+        |  FROM events)
+        |SELECT json_extract_string(js, '$.meta.type') AS etype,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(json_extract_string(js, '$.meta.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(js, '$.vals[1]') AS BIGINT)) AS BIGINT) AS sum_v1
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val v = "ev_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables.events(s, dir).createOrReplaceTempView(v)
+      s.sql(
+        s"""WITH j AS (
+           |  SELECT parse_json(concat('{"meta":{"type":"', event_type, '","k":',
+           |                    COALESCE(get_json_object(props, '$$.k'), 'null'),
+           |                    '},"vals":[', CAST(user_id AS STRING), ',',
+           |                    CAST(user_id * 2 AS STRING), ']}')) AS doc
+           |  FROM $v)
+           |SELECT variant_get(doc, '$$.meta.type', 'string') AS etype,
+           |       COUNT(*) AS n,
+           |       CAST(SUM(variant_get(doc, '$$.meta.k', 'long')) AS BIGINT) AS sum_k,
+           |       CAST(SUM(variant_get(doc, '$$.vals[1]', 'long')) AS BIGINT) AS sum_v1
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // ORC sink → ORC scan → aggregate (columnar alternative to parquet;
     // same lossless-round-trip oracle shape).
     Q("orc_source_roundtrip",

@@ -86,6 +86,37 @@ object Typed {
            |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
     },
 
+    // Recursive CTE front door (r12): Spark 4 ships WITH RECURSIVE
+    // (SPARK-24497), the SQL surface for iterative reachability that
+    // previously required the DSL loop forms (BFS/SSSP/k-core). The
+    // halving chain s → s div 2 → … → 1 gives every supplier a
+    // deterministic ancestry walk with log₂(maxkey) bounded depth —
+    // recursion terminates structurally, well under Spark's
+    // cteRecursionLevelLimit (100) — and DuckDB executes the
+    // identical recursion, so every (k, depth, chain_len) row is
+    // hash-pinned. The DSL graph tier remains the scale path (its
+    // iterations checkpoint and re-partition); this pins the SQL
+    // surface itself.
+    Q("sql_frontdoor_recursive",
+      """WITH RECURSIVE walk(k, a, d) AS (
+        |  SELECT s_suppkey AS k, s_suppkey AS a, 0 AS d FROM supplier
+        |  UNION ALL
+        |  SELECT k, a // 2, d + 1 FROM walk WHERE a > 1)
+        |SELECT k AS s_suppkey, CAST(MAX(d) AS BIGINT) AS depth,
+        |       CAST(COUNT(*) AS BIGINT) AS chain_len
+        |FROM walk GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      val v = "supp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables.supplier(s, dir).createOrReplaceTempView(v)
+      s.sql(
+        s"""WITH RECURSIVE walk(k, a, d) AS (
+           |  SELECT s_suppkey AS k, s_suppkey AS a, 0 AS d FROM $v
+           |  UNION ALL
+           |  SELECT k, a div 2, d + 1 FROM walk WHERE a > 1)
+           |SELECT k AS s_suppkey, CAST(MAX(d) AS BIGINT) AS depth,
+           |       CAST(COUNT(*) AS BIGINT) AS chain_len
+           |FROM walk GROUP BY k ORDER BY k""".stripMargin)
+    },
+
     // SQL front door for the CURATION tier (round 7): the native
     // n-gram Generator driven entirely through spark.sql — SQL
     // registration (registerAll / GraftExtensions) + LATERAL VIEW is

@@ -111,8 +111,9 @@ class RelationalSpec extends SparkSpec {
       "sketch_log_histogram_quantiles",
       // r12: the HLL register fill crosses the |groups|-bounded frame
       // with the broadcast 256-slot register grid — the same
-      // domain-grid class as the PSI bucket grid
-      "sketch_hll_distinct",
+      // domain-grid class as the PSI bucket grid (batch and the
+      // streaming read-out share hllEstimate, hence both names)
+      "sketch_hll_distinct", "streaming_hll_distinct",
       // RFM joins the broadcast 1-row anchor day and the 1-row user
       // count back over the per-user frame — the 1-row class twice
       "events_rfm_segments",
