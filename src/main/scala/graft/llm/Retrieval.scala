@@ -202,6 +202,41 @@ object Retrieval {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** Deterministic topic extraction (the BERTopic recipe with every
+    * unpinnable part swapped for this repo's deterministic analog):
+    * BERTopic = embedding clusters + class-TF-IDF top terms; here the
+    * cluster assignment is the low-4-bit SRP signature (16 half-space
+    * cells — the md5-hyperplane quantizer both engines replay, the
+    * dedup_semantic_pinned precedent) and the term weight is
+    * tf(token, topic) · ((N·1000) div df(token)) — the integer
+    * milli-idf convention, so common tokens sink without a libm log.
+    * Top-`k` terms per topic under (weight DESC, token).
+    *
+    * Shape for scale: docs⋈embeddings rides the shared id space (one
+    * keyed join), ONE token explode feeds both the (topic, token)
+    * aggregate and the token-keyed df aggregate, the rank window
+    * partitions by topic over tf-collapsed rows. */
+  def topicTerms(docs: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    val topics = emb.select(col("vec_id").as("doc_id"),
+      (Similarity.srpBucket(col("embedding").cast("array<double>")) % 16).as("topic"))
+    val toks = docs.join(topics, "doc_id")
+      .select(col("doc_id"), col("topic"), explode(split(col("text"), " ")).as("token"))
+      .localCheckpoint() // feeds both tf and df — one explode, not two
+    val tf = toks.groupBy(col("topic"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf_topic"))
+    val df_ = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(docs.select(count(lit(1)).as("n_docs"))))
+    val w = Window.partitionBy(col("topic"))
+      .orderBy(col("weight").desc, col("token"))
+    tf.join(df_, "token")
+      .withColumn("weight", expr("tf_topic * ((n_docs * 1000L) div df)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("topic"), col("rnk"), col("token"), col("tf_topic"), col("weight"))
+      .orderBy(col("topic"), col("rnk"))
+  }
+
   val defs: Seq[Q] = Seq(
     // Hybrid lexical+semantic retrieval via RRF — both engines must
     // agree on BOTH input rankings (already individually pinned) AND
@@ -295,5 +330,38 @@ object Retrieval {
         |FROM r JOIN q USING (source) WHERE r.rn <= q.target
         |ORDER BY r.source, r.rn""".stripMargin) { (s, dir) =>
       temperatureMix(Tables.documents(s, dir))
+    },
+
+    // Deterministic topic extraction (see topicTerms): SRP half-space
+    // topics over the embedding space + integer c-TF-IDF top terms —
+    // every (topic, rank, token) row pins cross-engine because the
+    // quantizer is the replayed md5-hyperplane bucket and the weight
+    // is pure integer arithmetic.
+    Q("corpus_topic_terms",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |tp AS (SELECT vec_id AS doc_id,
+         |              CAST(${Similarity.srpBucketSql} AS BIGINT) % 16 AS topic
+         |       FROM e),
+         |toks AS (
+         |  SELECT d.doc_id, tp.topic, unnest(string_split(d.text, ' ')) AS token
+         |  FROM documents d JOIN tp USING (doc_id)),
+         |tf AS (SELECT topic, token, CAST(COUNT(*) AS BIGINT) AS tf_topic
+         |       FROM toks GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |wtd AS (
+         |  SELECT tf.topic, tf.token, tf.tf_topic,
+         |         tf.tf_topic * ((n.n_docs * 1000) // dfreq.df) AS weight
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         |r AS (
+         |  SELECT topic, token, tf_topic, weight,
+         |         CAST(ROW_NUMBER() OVER (
+         |           PARTITION BY topic ORDER BY weight DESC, token) AS BIGINT) AS rnk
+         |  FROM wtd)
+         |SELECT topic, rnk, token, tf_topic, CAST(weight AS BIGINT) AS weight
+         |FROM r WHERE rnk <= 5 ORDER BY topic, rnk""".stripMargin) { (s, dir) =>
+      topicTerms(Tables.documents(s, dir), Tables.embeddings(s, dir), k = 5)
     })
 }

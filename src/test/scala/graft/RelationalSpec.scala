@@ -133,6 +133,9 @@ class RelationalSpec extends SparkSpec {
       // with the broadcast 1-row totals (W, N) — the audit_key_skew
       // 1-row totals class
       "search_rrf_fusion", "curation_temperature_mix",
+      // topic terms crosses the token-df frame with the broadcast
+      // 1-row global doc count — the search_keyword_topk idf class
+      "corpus_topic_terms",
       // the TTL sweep crosses the broadcast 1-row corpus-max anchor
       // over the data — the RFM anchor-day 1-row class
       "audit_ttl_sweep")

@@ -99,4 +99,33 @@ class RetrievalSpec extends SparkSpec {
     val first = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == first)
   }
+
+  test("topic terms: planted clusters separate and their marker tokens rank first") {
+    // two embedding clusters at v and −v: every SRP projection flips
+    // sign, so bucket(−v) is the bitwise complement of bucket(v) and
+    // the low-4-bit topics differ ALWAYS (b ≠ 15−b since 15 is odd);
+    // each cluster's marker token (high tf, cluster-exclusive df)
+    // must out-weight the shared filler under integer c-TF-IDF
+    val r = new scala.util.Random(7)
+    val vX = Array.fill(64)(r.nextGaussian().toFloat)
+    val vY = vX.map(x => -x)
+    val docs = ((0L until 20L).map(i => (i, "xylophone xylophone the data")) ++
+      (20L until 40L).map(i => (i, "yodel yodel the data")))
+      .toDF("doc_id", "text")
+    val emb = ((0L until 20L).map(i => (i, vX.toSeq, 0)) ++
+      (20L until 40L).map(i => (i, vY.toSeq, 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Retrieval.topicTerms(docs, emb, k = 5).collect()
+    val topics = out.map(_.getAs[Long]("topic")).distinct
+    assert(topics.length === 2, s"expected 2 occupied topics, got ${topics.toSeq}")
+    val top1 = out.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("topic") -> r.getAs[String]("token")).toMap
+    assert(top1.values.toSet === Set("xylophone", "yodel"),
+      s"marker tokens should top their topics: $top1")
+    // per-topic weights are non-increasing in rank (the window order)
+    out.groupBy(_.getAs[Long]("topic")).foreach { case (_, rows) =>
+      val ws = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("weight"))
+      assert(ws.zip(ws.tail).forall { case (a, b) => b <= a })
+    }
+  }
 }
