@@ -278,6 +278,11 @@ object PlanAudit {
     audit("rrfFusion", SparkEntry.queries("search_rrf_fusion")(spark, sfDir))
     audit("mmrRerank", SparkEntry.queries("search_mmr_rerank")(spark, sfDir))
     audit("temperatureMix", SparkEntry.queries("curation_temperature_mix")(spark, sfDir))
+    // r12 tail: HLL registers, topic terms, the two Spark-4 front doors
+    audit("hllDistinct", SparkEntry.queries("sketch_hll_distinct")(spark, sfDir))
+    audit("topicTerms", SparkEntry.queries("corpus_topic_terms")(spark, sfDir))
+    audit("recursiveWalk", SparkEntry.queries("sql_frontdoor_recursive")(spark, sfDir))
+    audit("variantExtract", SparkEntry.queries("ingest_variant_extract")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))

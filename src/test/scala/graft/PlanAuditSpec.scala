@@ -59,6 +59,16 @@ class PlanAuditSpec extends SparkSpec {
     "search_rrf_fusion" -> ((3, 3)),
     "search_mmr_rerank" -> ((1, 0)),
     "curation_temperature_mix" -> ((5, 2)),
+    // r12 tail (measured at sf0.01): HLL's 8 includes the exact-count
+    // audit baselines (two extra data-sized aggregates you would drop
+    // at 100 TB — the register build itself is ONE data-sized
+    // exchange); topic terms = docs⋈topics join + tf agg + df
+    // distinct/agg + rank window + sort; the front doors are scan +
+    // recursion/extract + rollup + sort
+    "sketch_hll_distinct" -> ((8, 3)),
+    "corpus_topic_terms" -> ((6, 2)),
+    "sql_frontdoor_recursive" -> ((2, 0)),
+    "ingest_variant_extract" -> ((2, 0)),
   )
 
   recorded.foreach { case (name, (sh, bc)) =>
