@@ -421,6 +421,92 @@ object TimeSeries {
         .orderBy(col("user_id"))
     },
 
+    // Holt double-exponential smoothing backtest (r12): the level +
+    // trend forecaster one notch above seasonal-naive and EWMA — the
+    // classical sequential recurrence
+    //   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1}),
+    //   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    // at α = β = ½ (every smoothing multiply is an EXACT binary
+    // halving; zero-trend init l₁ = y₁, b₁ = 0) over the half-up
+    // integer-µ-unit day means the seasonal-naive query established.
+    // A per-series recurrence is inherently sequential, so the fold
+    // runs INSIDE one row — `aggregate` over the user's sorted
+    // (day, m_us) array, series-bounded (≤ days) — and the oracle
+    // replays the identical step order as a recursive CTE: same
+    // inputs, same IEEE ops, same order ⇒ bit-identical level/trend/
+    // MAE doubles. One-step-ahead |y_t − (l+b)| accumulates from
+    // t = 2; MAE = Σ/(n−1), −1-sentineled for 1-day series (NULL
+    // would NaN the hash). Shape: one (user, day) aggregate + one
+    // per-user collect — state per user is the 4-field struct,
+    // never the series twice.
+    Q("timeseries_holt_backtest",
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         (2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |          + COUNT(*)) // (2 * COUNT(*)) AS m_us
+        |  FROM events GROUP BY 1, 2),
+        |rk AS MATERIALIZED (
+        |  SELECT user_id, m_us,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS t
+        |  FROM daily),
+        |cnt AS MATERIALIZED (SELECT user_id, MAX(t) AS n FROM rk GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, 1 AS t, CAST(m_us AS DOUBLE) AS l,
+        |         CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS es
+        |  FROM rk WHERE t = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.t + 1,
+        |         CAST(0.5 AS DOUBLE) * CAST(x.m_us AS DOUBLE)
+        |           + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+        |         CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(x.m_us AS DOUBLE)
+        |           + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+        |           + CAST(0.5 AS DOUBLE) * r.b,
+        |         r.es + abs(CAST(x.m_us AS DOUBLE) - (r.l + r.b))
+        |  FROM r JOIN rk x ON x.user_id = r.user_id AND x.t = r.t + 1),
+        |fin AS (
+        |  SELECT r.user_id, r.t, r.l, r.b, r.es
+        |  FROM r JOIN cnt ON cnt.user_id = r.user_id AND r.t = cnt.n)
+        |SELECT user_id, CAST(t AS BIGINT) AS n_days,
+        |       COALESCE(CASE WHEN t >= 2 THEN ROUND(es / (t - 1), 6) + 0 END, -1.0)
+        |         AS holt_mae,
+        |       ROUND(l, 6) + 0 AS level,
+        |       ROUND(b, 6) + 0 AS trend
+        |FROM fin ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(expr(
+          """(2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+            | + COUNT(*)) div (2 * COUNT(*))""".stripMargin).as("m_us"))
+      daily.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("day"), col("m_us")))).as("s"))
+        .withColumn("st", expr(
+          """aggregate(
+            |  s,
+            |  named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+            |               'es', CAST(0.0 AS DOUBLE), 'n', 0),
+            |  (acc, x) -> CASE WHEN acc.n = 0
+            |    THEN named_struct('l', CAST(x.m_us AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+            |                      'es', CAST(0.0 AS DOUBLE), 'n', 1)
+            |    ELSE named_struct(
+            |      'l', CAST(0.5 AS DOUBLE) * CAST(x.m_us AS DOUBLE)
+            |             + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
+            |      'b', CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(x.m_us AS DOUBLE)
+            |             + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+            |             + CAST(0.5 AS DOUBLE) * acc.b,
+            |      'es', acc.es + abs(CAST(x.m_us AS DOUBLE) - (acc.l + acc.b)),
+            |      'n', acc.n + 1)
+            |    END)""".stripMargin))
+        .select(col("user_id"),
+          size(col("s")).cast("long").as("n_days"),
+          coalesce(
+            when(col("st.n") >= 2,
+              round(col("st.es") / (col("st.n") - 1), 6) + lit(0.0)),
+            lit(-1.0)).as("holt_mae"),
+          (round(col("st.l"), 6) + lit(0.0)).as("level"),
+          (round(col("st.b"), 6) + lit(0.0)).as("trend"))
+        .orderBy(col("user_id"))
+    },
+
     // Peak concurrent sessions per day. The oracle replays the gap
     // sessionization, the ±1 sweep, and ONE global running sum — the
     // semantic spec the two-phase prefix sum must equal exactly.

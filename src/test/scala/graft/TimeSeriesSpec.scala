@@ -216,4 +216,51 @@ class TimeSeriesSpec extends SparkSpec {
     // the zero at lag 0 is ½, the rest is (¼+…+2⁻⁶)/(1−2⁻⁶) of 1000
     assert(got(6L) > 400.0 && got(6L) < 500.0)
   }
+
+  test("holt backtest: hand-computed recurrence on a 3-day series (r12)") {
+    import java.sql.Timestamp
+    // one event per day with values 10, 20, 30 (means = values):
+    //   t1: l=10, b=0
+    //   t2: f=10,  err=10;   l=½·20+½·10=15,      b=½·(15−10)+0=2.5
+    //   t3: f=17.5, err=12.5; l=½·30+½·17.5=23.75, b=½·(23.75−15)+1.25=5.625
+    // MAE = 22.5/2 = 11.25 — all dyadic, so the doubles are EXACT
+    val day0 = Timestamp.valueOf("2024-03-01 12:00:00")
+    def ts(d: Int) = new Timestamp(day0.getTime + d * 86400000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 10.0, ""),
+      (2L, ts(1), 7L, "view", 20.0, ""),
+      (3L, ts(2), 7L, "view", 30.0, ""),
+      (4L, ts(0), 8L, "view", 5.0, "")) // 1-day series → sentinel MAE
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // rebuild the declared query's exact pipeline on the fixture
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr(
+        """(2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+          | + COUNT(*)) div (2 * COUNT(*))""".stripMargin).as("m_us"))
+    val got = daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("m_us")))).as("s"))
+      .withColumn("st", expr(
+        """aggregate(
+          |  s,
+          |  named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+          |               'es', CAST(0.0 AS DOUBLE), 'n', 0),
+          |  (acc, x) -> CASE WHEN acc.n = 0
+          |    THEN named_struct('l', CAST(x.m_us AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+          |                      'es', CAST(0.0 AS DOUBLE), 'n', 1)
+          |    ELSE named_struct(
+          |      'l', CAST(0.5 AS DOUBLE) * CAST(x.m_us AS DOUBLE)
+          |             + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
+          |      'b', CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(x.m_us AS DOUBLE)
+          |             + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+          |             + CAST(0.5 AS DOUBLE) * acc.b,
+          |      'es', acc.es + abs(CAST(x.m_us AS DOUBLE) - (acc.l + acc.b)),
+          |      'n', acc.n + 1)
+          |    END)""".stripMargin))
+      .select(col("user_id"), col("st.l"), col("st.b"), col("st.es"), col("st.n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    // µ-unit means: value·1e6 exactly (one event per day, half-up exact)
+    assert(got(7L) === ((23750000.0, 5625000.0, 22500000.0, 3)))
+    assert(got(8L) === ((5000000.0, 0.0, 0.0, 1)))
+  }
 }
