@@ -332,6 +332,47 @@ object Retrieval {
       temperatureMix(Tables.documents(s, dir))
     },
 
+    // Hard-negative mining for contrastive training (the standard
+    // embedding-training recipe: the most informative negatives are
+    // the CLOSEST non-duplicates — random negatives are too easy, and
+    // near-duplicates would be false negatives): per anchor, the
+    // top-2 neighbors under the dup threshold (cos < 0.95, the
+    // dedup_embed_cosine cutoff), ranked (cos DESC, vec_id).
+    // Complements curation_negative_pairs (hash-random negatives) with
+    // the similarity-targeted tier. Shape: the anchor set is a
+    // broadcast bounded frame (32 rows), the corpus is scanned once —
+    // |anchors|·N cosine work, the cosineTopK batch class; the rank
+    // window partitions by anchor over anchor-bounded rows.
+    Q("curation_hard_negatives",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < 32),
+        |cand AS (
+        |  SELECT a.anchor_id, e.vec_id AS neg_id,
+        |         ROUND(list_cosine_similarity(e.v, a.av), 6) + 0 AS cos_sim
+        |  FROM a JOIN e ON e.vec_id <> a.anchor_id),
+        |r AS (
+        |  SELECT anchor_id, neg_id, cos_sim,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id) AS BIGINT) AS rnk
+        |  FROM cand WHERE cos_sim < 0.95)
+        |SELECT anchor_id, rnk, neg_id, cos_sim
+        |FROM r WHERE rnk <= 2 ORDER BY anchor_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val anchors = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("anchor_id"), col("v").as("av"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos_sim").desc, col("neg_id"))
+      e.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("vec_id").as("neg_id"),
+          (round(Similarity.cosine(col("v"), col("av")), 6) + lit(0.0)).as("cos_sim"))
+        .filter(col("cos_sim") < 0.95)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select(col("anchor_id"), col("rnk"), col("neg_id"), col("cos_sim"))
+        .orderBy(col("anchor_id"), col("rnk"))
+    },
+
     // Deterministic topic extraction (see topicTerms): SRP half-space
     // topics over the embedding space + integer c-TF-IDF top terms —
     // every (topic, rank, token) row pins cross-engine because the
