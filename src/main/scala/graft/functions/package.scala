@@ -94,6 +94,14 @@ package object functions {
       GraftBridge.expression(codes.cast("array<int>")), lut, k))
   }
 
+  /** HLL leading-zero rank of a bigint (see [[HllRho]]): one LZCNT
+    * intrinsic replacing the `length(bin(w))` string allocation on
+    * the register-build scan. */
+  def hll_rho(w: Column, maxRho: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(HllRho(GraftBridge.expression(w.cast("long")), maxRho))
+  }
+
   /** Greedy longest-match subword segmentation stats of a
     * space-tokenized string against a fixed vocabulary:
     * struct(n_pieces, n_unk). The vocab is shipped once as a codegen

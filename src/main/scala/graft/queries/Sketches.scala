@@ -708,13 +708,16 @@ object Sketches {
   /** Per-row register rows (grp, j, rho) for `keyCol` — the pre-
     * aggregation half of the HLL build, shared by the batch query and
     * the streaming form (which applies its own streaming
-    * groupBy(grp, j).max over these rows). */
+    * groupBy(grp, j).max over these rows). The rank is the native
+    * [[graft.functions.HllRho]] (one LZCNT intrinsic in codegen);
+    * the DuckDB oracle keeps the value-identical
+    * `maxRho − length(bin(w))` form, and SketchesSpec pins the two
+    * equal on real hashes — native is the no-string-allocation path
+    * for the one data-sized scan of the build. */
   def hllRowRegisters(df: DataFrame, grpCol: String, keyCol: String): DataFrame =
     df.select(col(grpCol).as("grp"), h48("hll:", col(keyCol).cast("string")).as("h"))
       .selectExpr("grp", s"h % $HllM AS j", s"h div $HllM AS w")
-      .withColumn("rho",
-        when(col("w") === 0L, lit(HllRhoMax))
-          .otherwise(lit(HllRhoMax) - length(bin(col("w")))))
+      .withColumn("rho", graft.functions.hll_rho(col("w"), HllRhoMax))
       .select(col("grp"), col("j"), col("rho"))
 
   /** Estimate from a register table (grp, j, m_j): fill the m-slot

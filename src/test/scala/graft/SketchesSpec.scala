@@ -262,23 +262,34 @@ class SketchesSpec extends SparkSpec {
     assert(regs.count() === 6L) // 5 priorities + *ALL*
   }
 
-  test("hll: leading-zero rank via bin-length matches the arithmetic definition") {
-    // rho = HllRhoMax - bitlength(w), w = h div m — pin the bin()
-    // trick against a direct Scala computation on real hashes
+  test("hll: native hll_rho == bin-length form == the arithmetic definition") {
+    // three ways to the same rank on real hashes: the native LZCNT
+    // expression (the register-scan path), the length(bin(w)) form
+    // (the DuckDB oracle's arithmetic), and a direct Scala
+    // computation — all must agree row for row
     val hashes = Tables.orders(spark, sf("sf0.001"))
       .select(Sketches.h48("hll:", col("o_custkey").cast("string")).as("h"))
       .limit(200)
       .selectExpr("h", s"h div ${Sketches.HllM} AS w")
-      .withColumn("rho",
+      .withColumn("rho_bin",
         when(col("w") === 0L, lit(Sketches.HllRhoMax))
           .otherwise(lit(Sketches.HllRhoMax) - length(bin(col("w")))))
-      .as[(Long, Long, Int)].collect()
+      .withColumn("rho_native", graft.functions.hll_rho(col("w"), Sketches.HllRhoMax))
+      .as[(Long, Long, Int, Int)].collect()
     assert(hashes.nonEmpty)
-    hashes.foreach { case (h, w, rho) =>
+    hashes.foreach { case (h, w, rhoBin, rhoNative) =>
       val expected =
         if (w == 0L) Sketches.HllRhoMax
         else Sketches.HllRhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
-      assert(rho === expected, s"h=$h w=$w")
+      assert(rhoBin === expected, s"bin form: h=$h w=$w")
+      assert(rhoNative === expected, s"native form: h=$h w=$w")
     }
+    // boundary values through the interpreted path too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def evalOn(w: Long) =
+      graft.functions.HllRho(Literal(w), Sketches.HllRhoMax).eval(null)
+    assert(evalOn(0L) === Sketches.HllRhoMax)
+    assert(evalOn(1L) === Sketches.HllRhoMax - 1)
+    assert(evalOn((1L << 40) - 1) === Sketches.HllRhoMax - 40)
   }
 }
