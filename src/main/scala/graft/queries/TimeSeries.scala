@@ -467,10 +467,10 @@ object TimeSeries {
         |  SELECT r.user_id, r.t, r.l, r.b, r.es
         |  FROM r JOIN cnt ON cnt.user_id = r.user_id AND r.t = cnt.n)
         |SELECT user_id, CAST(t AS BIGINT) AS n_days,
-        |       COALESCE(CASE WHEN t >= 2 THEN ROUND(es / (t - 1), 6) + 0 END, -1.0)
-        |         AS holt_mae,
-        |       ROUND(l, 6) + 0 AS level,
-        |       ROUND(b, 6) + 0 AS trend
+        |       COALESCE(CASE WHEN t >= 2
+        |         THEN CAST(FLOOR(es / (t - 1) + 0.5) AS BIGINT) END, -1) AS mae_us,
+        |       CAST(FLOOR(l + 0.5) AS BIGINT) AS level_us,
+        |       CAST(FLOOR(b + 0.5) AS BIGINT) AS trend_us
         |FROM fin ORDER BY user_id""".stripMargin) { (s, dir) =>
       val daily = Tables.events(s, dir)
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -500,10 +500,117 @@ object TimeSeries {
           size(col("s")).cast("long").as("n_days"),
           coalesce(
             when(col("st.n") >= 2,
-              round(col("st.es") / (col("st.n") - 1), 6) + lit(0.0)),
-            lit(-1.0)).as("holt_mae"),
-          (round(col("st.l"), 6) + lit(0.0)).as("level"),
-          (round(col("st.b"), 6) + lit(0.0)).as("trend"))
+              floor(col("st.es") / (col("st.n") - 1) + lit(0.5)).cast("long")),
+            lit(-1L)).as("mae_us"),
+          floor(col("st.l") + lit(0.5)).cast("long").as("level_us"),
+          floor(col("st.b") + lit(0.5)).cast("long").as("trend_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // Additive Holt-Winters (r12): the seasonal rung above
+    // timeseries_holt_backtest — level + trend + a 7-slot seasonal
+    // state (m = 7, the weekly cycle the seasonal-naive query
+    // established), α = β = γ = ½ so every smoothing multiply is an
+    // exact binary halving; zero seasonal init (first-cycle forecasts
+    // reduce to Holt — documented variant; the classical first-cycle
+    // decomposition init is a different published choice, not a
+    // correctness axis). Same fold-parity architecture as Holt: the
+    // recurrence folds inside one row via `aggregate` (the seasonal
+    // array updates through `transform` with Spark's 0-BASED lambda
+    // index), the oracle replays it as a recursive CTE updating a
+    // LIST through `list_transform` with DuckDB's 1-BASED index —
+    // same values, per-engine index conventions, bit-identical
+    // doubles. One-step errors accumulate from t = 2; season_amp =
+    // max − min of the final seasonal state (exact array reductions).
+    Q("timeseries_holt_winters",
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         (2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |          + COUNT(*)) // (2 * COUNT(*)) AS m_us
+        |  FROM events GROUP BY 1, 2),
+        |rk AS MATERIALIZED (
+        |  SELECT user_id, m_us,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS t
+        |  FROM daily),
+        |cnt AS MATERIALIZED (SELECT user_id, MAX(t) AS n FROM rk GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, 1 AS t, CAST(m_us AS DOUBLE) AS l,
+        |         CAST(0 AS DOUBLE) AS b,
+        |         [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |          CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |          CAST(0 AS DOUBLE)] AS s,
+        |         CAST(0 AS DOUBLE) AS es
+        |  FROM rk WHERE t = 1
+        |  UNION ALL
+        |  SELECT user_id, t + 1, l2,
+        |         CAST(0.5 AS DOUBLE) * (l2 - l) + CAST(0.5 AS DOUBLE) * b,
+        |         list_transform(s, (v, i) -> CASE WHEN i = pos + 1
+        |           THEN CAST(0.5 AS DOUBLE) * (y - l2) + CAST(0.5 AS DOUBLE) * sp
+        |           ELSE v END),
+        |         es + abs(y - (l + b + sp))
+        |  FROM (
+        |    SELECT r.user_id, r.t, r.l, r.b, r.s, r.es,
+        |           CAST(x.m_us AS DOUBLE) AS y,
+        |           r.t % 7 AS pos,
+        |           r.s[(r.t % 7) + 1] AS sp,
+        |           CAST(0.5 AS DOUBLE) * (CAST(x.m_us AS DOUBLE) - r.s[(r.t % 7) + 1])
+        |             + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS l2
+        |    FROM r JOIN rk x ON x.user_id = r.user_id AND x.t = r.t + 1) q),
+        |fin AS (
+        |  SELECT r.user_id, r.t, r.l, r.b, r.s, r.es
+        |  FROM r JOIN cnt ON cnt.user_id = r.user_id AND r.t = cnt.n)
+        |SELECT user_id, CAST(t AS BIGINT) AS n_days,
+        |       COALESCE(CASE WHEN t >= 2
+        |         THEN CAST(FLOOR(es / (t - 1) + 0.5) AS BIGINT) END, -1) AS mae_us,
+        |       CAST(FLOOR(l + 0.5) AS BIGINT) AS level_us,
+        |       CAST(FLOOR(b + 0.5) AS BIGINT) AS trend_us,
+        |       CAST(FLOOR(list_max(s) - list_min(s) + 0.5) AS BIGINT) AS amp_us
+        |FROM fin ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(expr(
+          """(2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+            | + COUNT(*)) div (2 * COUNT(*))""".stripMargin).as("m_us"))
+      daily.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("day"), col("m_us")))).as("sr"))
+        .withColumn("st", expr(
+          """aggregate(
+            |  sr,
+            |  named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+            |               's', array_repeat(CAST(0.0 AS DOUBLE), 7),
+            |               'es', CAST(0.0 AS DOUBLE), 'n', 0),
+            |  (acc, x) -> CASE WHEN acc.n = 0
+            |    THEN named_struct('l', CAST(x.m_us AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+            |                      's', acc.s, 'es', CAST(0.0 AS DOUBLE), 'n', 1)
+            |    ELSE named_struct(
+            |      'l', CAST(0.5 AS DOUBLE) * (CAST(x.m_us AS DOUBLE)
+            |             - element_at(acc.s, pmod(acc.n, 7) + 1))
+            |             + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
+            |      'b', CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * (CAST(x.m_us AS DOUBLE)
+            |             - element_at(acc.s, pmod(acc.n, 7) + 1))
+            |             + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+            |             + CAST(0.5 AS DOUBLE) * acc.b,
+            |      's', transform(acc.s, (v, i) -> IF(i = pmod(acc.n, 7),
+            |             CAST(0.5 AS DOUBLE) * (CAST(x.m_us AS DOUBLE)
+            |               - (CAST(0.5 AS DOUBLE) * (CAST(x.m_us AS DOUBLE)
+            |                   - element_at(acc.s, pmod(acc.n, 7) + 1))
+            |                  + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)))
+            |               + CAST(0.5 AS DOUBLE) * element_at(acc.s, pmod(acc.n, 7) + 1),
+            |             v)),
+            |      'es', acc.es + abs(CAST(x.m_us AS DOUBLE)
+            |              - (acc.l + acc.b + element_at(acc.s, pmod(acc.n, 7) + 1))),
+            |      'n', acc.n + 1)
+            |    END)""".stripMargin))
+        .select(col("user_id"),
+          size(col("sr")).cast("long").as("n_days"),
+          coalesce(
+            when(col("st.n") >= 2,
+              floor(col("st.es") / (col("st.n") - 1) + lit(0.5)).cast("long")),
+            lit(-1L)).as("mae_us"),
+          floor(col("st.l") + lit(0.5)).cast("long").as("level_us"),
+          floor(col("st.b") + lit(0.5)).cast("long").as("trend_us"),
+          floor(array_max(col("st.s")) - array_min(col("st.s")) + lit(0.5))
+            .cast("long").as("amp_us"))
         .orderBy(col("user_id"))
     },
 
