@@ -283,6 +283,9 @@ object PlanAudit {
     audit("topicTerms", SparkEntry.queries("corpus_topic_terms")(spark, sfDir))
     audit("recursiveWalk", SparkEntry.queries("sql_frontdoor_recursive")(spark, sfDir))
     audit("variantExtract", SparkEntry.queries("ingest_variant_extract")(spark, sfDir))
+    audit("hardNegatives", SparkEntry.queries("curation_hard_negatives")(spark, sfDir))
+    audit("holtBacktest", SparkEntry.queries("timeseries_holt_backtest")(spark, sfDir))
+    audit("holtWinters", SparkEntry.queries("timeseries_holt_winters")(spark, sfDir))
     audit("boilerplateChunksComposed", llm.Curation.boilerplateChunksComposed(docs))
     audit("repetitionSignals", llm.Curation.repetitionSignals(docs))
     audit("packTokenBins", llm.Curation.packTokenBins(docs))

@@ -69,6 +69,12 @@ class PlanAuditSpec extends SparkSpec {
     "corpus_topic_terms" -> ((6, 2)),
     "sql_frontdoor_recursive" -> ((2, 0)),
     "ingest_variant_extract" -> ((2, 0)),
+    // hard negatives = anchor broadcast + rank window + output sort;
+    // the Holt folds = (user, day) agg + per-user collect + sort —
+    // the whole recurrence rides inside one row, no per-step exchange
+    "curation_hard_negatives" -> ((2, 1)),
+    "timeseries_holt_backtest" -> ((3, 0)),
+    "timeseries_holt_winters" -> ((3, 0)),
   )
 
   recorded.foreach { case (name, (sh, bc)) =>
