@@ -167,6 +167,70 @@ object TrainingData {
       targetEncodeFolds(r, alpha = 10).orderBy(col("seg"), col("fold"))
     },
 
+    // Split conformal prediction (Vovk's inductive conformal; Lei et
+    // al., JASA 2018; Angelopoulos & Bates 2023): the distribution-free
+    // serving-side guarantee every deployed point predictor should ship
+    // with — calibrate a residual quantile on held-out data, then
+    // |y − ŷ| ≤ q̂ covers ≥ 90% of exchangeable test rows, NO model or
+    // distribution assumptions. Predictor: per-part mean price from the
+    // train split (floor-div cents — exact, the target-encode class;
+    // unseen parts fall back to the global train mean). q̂ is the
+    // ⌈(n_cal+1)·0.9⌉-th smallest calibration score — the EXACT order
+    // statistic, not an approximate percentile: selected from the
+    // collapsed score-frequency frame (the eqdepth discipline; the
+    // cum-window sees score-domain-bounded rows, never the raw split).
+    // Everything is BIGINT cents/µ-units end to end — no float on any
+    // value path. Shape for scale: one fact pass builds split+cents,
+    // the train aggregate is part-bounded (broadcast back), cal/test
+    // are map work over the same pass, output is ONE row.
+    Q("ml_conformal_interval",
+      """WITH r AS (
+        |  SELECT l_partkey AS grp,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(concat('0x', substr(md5('cp:' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT grp, cents,
+        |         CASE WHEN b < 6 THEN 'train' WHEN b < 8 THEN 'cal' ELSE 'test' END AS split
+        |  FROM r),
+        |tp AS (SELECT grp, CAST(SUM(cents) AS BIGINT) // COUNT(*) AS pred
+        |       FROM s WHERE split = 'train' GROUP BY 1),
+        |g AS (SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) AS gpred,
+        |             CAST(COUNT(*) AS BIGINT) AS n_train
+        |      FROM s WHERE split = 'train'),
+        |sc AS (SELECT s.split, abs(s.cents - COALESCE(tp.pred, g.gpred)) AS score
+        |       FROM s LEFT JOIN tp USING (grp) CROSS JOIN g WHERE s.split <> 'train'),
+        |ch AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM sc WHERE split = 'cal' GROUP BY 1),
+        |cc AS (SELECT score,
+        |              SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum,
+        |              CAST(SUM(cnt) OVER () AS BIGINT) AS n_cal
+        |       FROM ch),
+        |q AS (SELECT score AS qhat, n_cal FROM cc
+        |      WHERE cum >= ((n_cal + 1) * 900000 + 999999) // 1000000
+        |      ORDER BY score LIMIT 1)
+        |SELECT g.n_train, q.n_cal,
+        |       CAST(COUNT(*) AS BIGINT) AS n_test,
+        |       q.qhat AS qhat_cents,
+        |       CAST(2 * q.qhat AS BIGINT) AS width_cents,
+        |       CAST(SUM(CASE WHEN sc.score <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |       (CAST(SUM(CASE WHEN sc.score <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |         // CAST(COUNT(*) AS BIGINT) AS coverage_micro
+        |FROM sc CROSS JOIN q CROSS JOIN g
+        |WHERE sc.split = 'test'
+        |GROUP BY g.n_train, q.n_cal, q.qhat""".stripMargin) { (s, dir) =>
+      val rows = Tables.lineitem(s, dir)
+        .withColumn("b",
+          conv(substring(md5(concat(lit("cp:"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).cast("string"))), 1, 8),
+            16, 10).cast("long") % 10)
+        .select(
+          col("l_partkey").as("grp"),
+          (col("l_extendedprice").cast("decimal(20,2)") * lit(100)).cast("long").as("cents"),
+          when(col("b") < 6, "train").when(col("b") < 8, "cal").otherwise("test").as("split"))
+      conformalReport(rows, covMicro = 900000L)
+    },
+
     // F2: the three chronological splits as row-level queries.
     Q("split_train",
       s"${Telemetry.featSql} SELECT * FROM feat WHERE ts < TIMESTAMP '$TrainEnd' ORDER BY event_id") {
@@ -322,5 +386,70 @@ object TrainingData {
           .cast("double") /
           (col("gn") * (col("tn") - col("n") + lit(alpha))).cast("double"))
           .as("enc"))
+  }
+
+  /** Split conformal interval report over a prepared
+    * (split ∈ train/cal/test, grp, cents) frame — see the
+    * `ml_conformal_interval` declaration. Returns ONE row:
+    * train/cal/test sizes, q̂ (the ⌈(n_cal+1)·cov⌉-th smallest
+    * calibration |residual|), the resulting interval width, and the
+    * realized test coverage in µ-units. `covMicro` is the target
+    * coverage in µ-units (900000 = 90%).
+    *
+    * Exactness: the predictor is floor-div cents (BIGINT), scores are
+    * BIGINT |differences|, q̂ is an exact order statistic read off the
+    * cumulative count of the collapsed (score → freq) frame, and
+    * coverage is integer µ-division — no float touches any value path,
+    * so the single output row hash-pins at any SF.
+    *
+    * Shape for scale: the train aggregate collapses to the grp domain
+    * (dim-bounded → broadcast back over the fact); the score
+    * histogram collapses cal rows to the score domain before the one
+    * single-partition cumulative window (the eqdepth/exact-quantile
+    * discipline — at 100 TB the window input is the score-domain
+    * frame, and a money domain is bounded; if the domain itself were
+    * data-sized, the two-phase per-partition-histogram merge is the
+    * documented path); the test pass is one map-side compare against
+    * the broadcast 1-row q̂ frame. */
+  def conformalReport(rows: DataFrame, covMicro: Long): DataFrame = {
+    require(covMicro > 0 && covMicro < 1000000L,
+      "conformalReport: covMicro must be in (0, 1000000)")
+    val tr = rows.filter(col("split") === "train")
+    val preds = tr.groupBy(col("grp"))
+      .agg(expr("sum(cents) div count(1)").as("pred"))
+    val gpred = tr.agg(
+      expr("sum(cents) div count(1)").as("gpred"),
+      count(lit(1)).as("n_train"))
+    val scored = rows.filter(col("split") =!= "train")
+      .join(broadcast(preds), Seq("grp"), "left_outer")
+      .crossJoin(broadcast(gpred))
+      .withColumn("score", abs(col("cents") - coalesce(col("pred"), col("gpred"))))
+      .localCheckpoint() // one fact pass feeds the cal histogram AND the test compare
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val q = scored.filter(col("split") === "cal")
+      .groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_cal", sum(col("cnt")).over(wAll))
+      .filter(col("cum") >=
+        expr(s"((n_cal + 1) * $covMicro + 999999) div 1000000"))
+      .orderBy(col("score")).limit(1)
+      .select(col("score").as("qhat"), col("n_cal"))
+    scored.filter(col("split") === "test")
+      .crossJoin(broadcast(q))
+      .groupBy(col("n_cal"), col("qhat"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum((col("score") <= col("qhat")).cast("long")).as("n_covered"))
+      .crossJoin(broadcast(gpred.select(col("n_train"))))
+      .select(
+        col("n_train"), col("n_cal"), col("n_test"),
+        col("qhat").as("qhat_cents"),
+        (col("qhat") * 2).as("width_cents"),
+        col("n_covered"),
+        expr("(n_covered * 1000000) div n_test").as("coverage_micro"))
   }
 }

@@ -123,4 +123,33 @@ class TrainingDataSpec extends SparkSpec {
     // fold1 (+ global): ((1−0)·4 + 10·1)/(4·((3−2)+10)) = 14/44 = 7/22
     assert(got2(("A", 0L)) === ((2L, 0L, 7.0 / 22.0)))
   }
+
+  test("conformalReport: exact order-statistic q̂, cold-start fallback, coverage count") {
+    import spark.implicits._
+    // grp 1 train = {100, 200} → pred = 150 (floor-div); global = 150.
+    // cal scores (|cents − 150|) = {10, 20, ..., 90}: n_cal = 9,
+    // k = ⌈(9+1)·0.9⌉ = 9 → q̂ = 90.
+    val train = Seq((1L, 100L), (1L, 200L)).map { case (g, c) => ("train", g, c) }
+    val cal = (1 to 9).map(i => ("cal", 1L, 150L + 10L * i))
+    // test: scores 0 (covered), 90 (covered, boundary), 91 (not);
+    // the score-91 row uses an UNSEEN grp → global fallback pred 150.
+    val test = Seq(("test", 1L, 150L), ("test", 1L, 240L), ("test", 99L, 241L))
+    val rows = (train ++ cal ++ test).toDF("split", "grp", "cents")
+    val r = TrainingData.conformalReport(rows, covMicro = 900000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r === ((2L, 9L, 3L, 90L, 180L, 2L, 666666L)))
+    // lower target coverage → strictly smaller order statistic:
+    // k = ⌈10·0.5⌉ = 5 → q̂ = 50, and only score-0 is covered
+    val r2 = TrainingData.conformalReport(rows, covMicro = 500000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r2._4 === 50L && r2._6 === 1L)
+    // tied calibration scores collapse into one histogram cell but
+    // still count individually toward the order statistic: nine copies
+    // of score 10 → k = 9 reached inside the single cell, q̂ = 10
+    val tied = (train ++ (1 to 9).map(_ => ("cal", 1L, 160L)) ++ test)
+      .toDF("split", "grp", "cents")
+    val r3 = TrainingData.conformalReport(tied, covMicro = 900000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r3._4 === 10L && r3._2 === 9L)
+  }
 }
