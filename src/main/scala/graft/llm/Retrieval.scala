@@ -237,7 +237,131 @@ object Retrieval {
       .orderBy(col("topic"), col("rnk"))
   }
 
+  /** NDCG discount table w_r = ⌊10⁶/log₂(r+1) + ½⌋ for ranks 1..k, as
+    * frozen integer µ-units. libm runs ONCE, driver-side, over the k
+    * bounded integer ranks, and the SAME constants are interpolated
+    * into both the Spark plan and the oracle SQL — identical by
+    * construction, so the ln-ban on engine value paths holds (the
+    * milli-idf convention applied to the DCG discount). */
+  private[graft] def dcgW(k: Int): Seq[Long] =
+    (1 to k).map(r => Math.floor(1e6 / (Math.log(r + 1.0) / Math.log(2.0)) + 0.5).toLong)
+
+  /** Retrieval-quality evaluation (the standard IR harness: Manning,
+    * Raghavan & Schütze ch. 8; Järvelin & Kekäläinen's NDCG, TOIS
+    * 2002): for each probe vector, retrieve the cosine top-`k` and
+    * score it against label-match relevance (same `label`, self
+    * excluded) — hits, MRR, precision@k, recall@k, DCG and NDCG, all
+    * in integer µ-units (rank reciprocals and coverage ratios are
+    * exact integer divisions; the DCG discount is the frozen [[dcgW]]
+    * table; IDCG is its prefix sum at min(n_rel, k)). n_rel = 0 →
+    * recall/NDCG are −1-sentineled (never NULL/NaN).
+    *
+    * Shape for scale: probes are a bounded broadcast frame, the corpus
+    * is scanned ONCE (|probes|·N cosine — the cosineTopK batch-eval
+    * class), the per-probe rank window runs partitioned by probe; a
+    * data-sized probe set would draw candidates from the IVF/LSH index
+    * tier instead of the exact scan (embed_ivf_topk), with the same
+    * metric arithmetic downstream. Label counts are one label-domain
+    * aggregate, broadcast back. */
+  def evalMetrics(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    val w = dcgW(k)
+    val idcgPrefix = w.scanLeft(0L)(_ + _).tail
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"), col("v").as("pv"))
+    val labCnt = e.groupBy(col("label").as("lbl")).agg(count(lit(1)).as("lab_n"))
+    val wArr = array(w.map(lit): _*)
+    val idcgArr = array(idcgPrefix.map(lit): _*)
+    val ranked = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        round(Similarity.cosine(col("v"), col("pv")), 6) + lit(0.0))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .withColumn("rel", (col("label") === col("plabel")).cast("long"))
+    ranked.groupBy(col("probe_id"), col("plabel"))
+      .agg(
+        sum(col("rel")).as("hits"),
+        sum(col("rel") * element_at(wArr, col("rank"))).as("dcg_micro"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+      .join(broadcast(labCnt), col("plabel") === col("lbl"))
+      .withColumn("n_rel", col("lab_n") - 1)
+      .withColumn("idcg_micro",
+        when(col("n_rel") > 0,
+          element_at(idcgArr, least(col("n_rel"), lit(k.toLong)).cast("int")))
+          .otherwise(lit(0L)))
+      .select(
+        col("probe_id"),
+        col("plabel").as("label"),
+        col("n_rel"),
+        col("hits"),
+        coalesce(expr("cast(1000000 as bigint) div cast(first_rel as bigint)"),
+          lit(0L)).as("mrr_micro"),
+        expr(s"(hits * 1000000) div cast($k as bigint)").as("precision_micro"),
+        when(col("n_rel") > 0, expr("(hits * 1000000) div n_rel"))
+          .otherwise(lit(-1L)).as("recall_micro"),
+        col("dcg_micro"),
+        when(col("idcg_micro") > 0, expr("(dcg_micro * 1000000) div idcg_micro"))
+          .otherwise(lit(-1L)).as("ndcg_micro"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** DuckDB replay of [[evalMetrics]] with the same interpolated
+    * discount constants. */
+  private def evalOracleSql(nProbes: Int, k: Int): String = {
+    val w = dcgW(k)
+    val wVals = w.zipWithIndex.map { case (x, i) => s"(${i + 1}, $x)" }.mkString(", ")
+    val icVals = w.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (x, i) => s"(${i + 1}, $x)" }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv FROM e WHERE vec_id < $nProbes),
+       |lc AS (SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS lab_n FROM e GROUP BY 1),
+       |cand AS (
+       |  SELECT p.probe_id, p.plabel, e.vec_id, e.label,
+       |         ROUND(list_cosine_similarity(e.v, p.pv), 6) + 0 AS cos_sim
+       |  FROM e JOIN p ON e.vec_id <> p.probe_id),
+       |r AS (
+       |  SELECT probe_id, plabel, label,
+       |         CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand),
+       |t AS (SELECT probe_id, plabel, rank,
+       |             CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel
+       |      FROM r WHERE rank <= $k),
+       |wt AS (SELECT * FROM (VALUES $wVals) AS v(rank, w)),
+       |ic AS (SELECT * FROM (VALUES $icVals) AS v(m, idcg)),
+       |a AS (
+       |  SELECT probe_id, plabel,
+       |         CAST(SUM(rel) AS BIGINT) AS hits,
+       |         CAST(SUM(rel * wt.w) AS BIGINT) AS dcg_micro,
+       |         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel
+       |  FROM t JOIN wt USING (rank) GROUP BY 1, 2),
+       |f AS (
+       |  SELECT a.probe_id, a.plabel AS label, lc.lab_n - 1 AS n_rel,
+       |         a.hits, a.dcg_micro, a.first_rel,
+       |         CASE WHEN lc.lab_n - 1 > 0 THEN ic.idcg ELSE 0 END AS idcg_micro
+       |  FROM a JOIN lc ON lc.lbl = a.plabel
+       |  LEFT JOIN ic ON ic.m = LEAST(lc.lab_n - 1, $k))
+       |SELECT probe_id, label, n_rel, hits,
+       |       CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS mrr_micro,
+       |       CAST((hits * 1000000) // $k AS BIGINT) AS precision_micro,
+       |       CAST(CASE WHEN n_rel > 0 THEN (hits * 1000000) // n_rel ELSE -1 END AS BIGINT) AS recall_micro,
+       |       dcg_micro,
+       |       CAST(CASE WHEN idcg_micro > 0 THEN (dcg_micro * 1000000) // idcg_micro ELSE -1 END AS BIGINT) AS ndcg_micro
+       |FROM f ORDER BY probe_id""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // IR-metric evaluation of the semantic retriever against
+    // label-match relevance — MRR/P@k/R@k/DCG/NDCG per probe, all
+    // integer µ-units; the frozen log2 discount table is interpolated
+    // into BOTH engines from one driver-side computation.
+    Q("search_eval_metrics", evalOracleSql(nProbes = 8, k = 10)) { (s, dir) =>
+      evalMetrics(Tables.embeddings(s, dir), nProbes = 8, k = 10)
+    },
     // Hybrid lexical+semantic retrieval via RRF — both engines must
     // agree on BOTH input rankings (already individually pinned) AND
     // the fused list: ranks are exact, the two reciprocal terms are

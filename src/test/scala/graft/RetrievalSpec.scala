@@ -128,4 +128,44 @@ class RetrievalSpec extends SparkSpec {
       assert(ws.zip(ws.tail).forall { case (a, b) => b <= a })
     }
   }
+
+  test("evalMetrics: planted relevance yields exact hand-computed IR metrics") {
+    // probe = vec 0 (label 1). Corpus cosines to the probe order as
+    // id1 > id2 > id3 > id4; labels make id1 relevant (rank 1) and id4
+    // relevant but OUTSIDE the top-3 cut → n_rel = 2, hits = 1.
+    val rows = Seq(
+      (0L, 1, Seq(1.0, 0.0)),
+      (1L, 1, Seq(0.9, 0.1)), // relevant, rank 1
+      (2L, 0, Seq(0.8, 0.2)),
+      (3L, 0, Seq(0.5, 0.5)),
+      (4L, 1, Seq(0.0, 1.0))) // relevant, missed at k = 3
+      .toDF("vec_id", "label", "embedding")
+    val w = Retrieval.dcgW(3)
+    val m = Retrieval.evalMetrics(rows, nProbes = 1, k = 3).collect()
+    assert(m.length === 1)
+    val r = m.head
+    assert(r.getAs[Long]("n_rel") === 2L)
+    assert(r.getAs[Long]("hits") === 1L)
+    assert(r.getAs[Long]("mrr_micro") === 1000000L) // first relevant at rank 1
+    assert(r.getAs[Long]("precision_micro") === 333333L)
+    assert(r.getAs[Long]("recall_micro") === 500000L)
+    assert(r.getAs[Long]("dcg_micro") === w.head) // one hit at rank 1
+    // IDCG = w1 + w2 (two relevant, both would fit in k = 3)
+    assert(r.getAs[Long]("ndcg_micro") === w.head * 1000000L / (w.head + w(1)))
+    // swap labels so the only hit falls to rank 2: every metric drops
+    val rows2 = Seq(
+      (0L, 1, Seq(1.0, 0.0)),
+      (1L, 0, Seq(0.9, 0.1)),
+      (2L, 1, Seq(0.8, 0.2)), // relevant, now rank 2
+      (3L, 0, Seq(0.5, 0.5)),
+      (4L, 1, Seq(0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val r2 = Retrieval.evalMetrics(rows2, nProbes = 1, k = 3).head()
+    assert(r2.getAs[Long]("mrr_micro") === 500000L)
+    assert(r2.getAs[Long]("dcg_micro") === w(1))
+    assert(r2.getAs[Long]("ndcg_micro") < r.getAs[Long]("ndcg_micro"))
+    // discount table sanity: strictly decreasing, rank-1 weight is 10^6
+    assert(Retrieval.dcgW(10).head === 1000000L)
+    assert(Retrieval.dcgW(10).sliding(2).forall(p => p(1) < p.head))
+  }
 }
