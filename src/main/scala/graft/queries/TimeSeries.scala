@@ -371,7 +371,97 @@ object TimeSeries {
           .otherwise(0L).as("page"))
   }
 
+  /** Theil–Sen estimator over a (user_id, day, m_us) daily series
+    * derived from raw events — see the `timeseries_theilsen_slope`
+    * declaration for semantics, exactness, and the scale shape.
+    * Users with a single day have no pairs and are absent (a robust
+    * slope of one point is undefined; the seasonal-naive −1-sentinel
+    * convention does not apply because the whole ROW is meaningless,
+    * not one column). */
+  def theilSenSlope(events: DataFrame): DataFrame = {
+    // the daily frame feeds both sides of the pair join — checkpoint
+    // so the events scan and aggregate run once, not twice
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr(
+        """(2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+          | + COUNT(*)) div (2 * COUNT(*))""".stripMargin).as("m_us"))
+      .localCheckpoint()
+    val nDays = daily.groupBy(col("user_id").as("u3"))
+      .agg(count(lit(1)).as("n_days"))
+    val b = daily.select(col("user_id").as("u2"), col("day").as("d2"),
+      col("m_us").as("m2"))
+    val pairs = daily
+      .join(b, col("user_id") === col("u2") && col("day") < col("d2"))
+      .select(col("user_id"), col("day").as("d1"), col("d2"),
+        ((col("m2") - col("m_us")).cast("double") /
+          datediff(col("d2"), col("day")).cast("double")).as("slope"))
+    val wRank = Window.partitionBy(col("user_id"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    val wAll = Window.partitionBy(col("user_id"))
+    pairs
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("(np + 2) div 2"))
+      .groupBy(col("user_id"), col("np"))
+      .agg(count(lit(1)).as("nmid"), sum(col("slope")).as("ssum"))
+      .join(broadcast(nDays), col("user_id") === col("u3"))
+      .select(col("user_id"), col("n_days"), col("np").as("n_pairs"),
+        floor(when(col("nmid") === 1, col("ssum"))
+          .otherwise(col("ssum") / lit(2.0)) + lit(0.5)).cast("long")
+          .as("slope_med_micro"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Theil–Sen robust trend slope (Theil 1950; Sen, JASA 1968): the
+    // median of all pairwise slopes (m_j − m_i)/(d_j − d_i) over each
+    // user's daily-mean series — the robust replacement for the OLS
+    // slope (rolling_slope) with a 29.3% breakdown point: a burst of
+    // outlier days that drags least-squares arbitrarily far moves the
+    // pairwise-slope MEDIAN not at all. Exactness: day means are the
+    // half-up integer-µ-unit discipline, each slope is ONE IEEE divide
+    // of exact integers (µ-units/day), the median is an exact order
+    // statistic under a (slope, d1, d2) total order — the even-count
+    // midpoint is a halving of two engine-identical doubles — and the
+    // output is half-up-floored to BIGINT µ-units (the Holt emission
+    // lesson: integer emission removes the 6-dp rounding-tie class).
+    // Shape for scale: the pair explosion is per-series C(days, 2) —
+    // bounded by the calendar, independent of row count; the rank
+    // window runs partitioned by user over pair frames, never raw
+    // events. (For series long enough that C(n,2) bites, the published
+    // O(n log n) randomized slope-selection is the alternative; at a
+    // month of days the exact frame is ~465 rows/user.)
+    Q("timeseries_theilsen_slope",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         (2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |          + COUNT(*)) // (2 * COUNT(*)) AS m_us
+        |  FROM events GROUP BY 1, 2),
+        |dc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+        |pr AS (
+        |  SELECT a.user_id, a.day AS d1, b.day AS d2,
+        |         CAST(b.m_us - a.m_us AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON b.user_id = a.user_id AND a.day < b.day),
+        |r AS (
+        |  SELECT user_id, slope,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY user_id ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS np
+        |  FROM pr),
+        |mid AS (
+        |  SELECT user_id, np, CAST(COUNT(*) AS BIGINT) AS nmid, SUM(slope) AS ssum
+        |  FROM r WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |  GROUP BY 1, 2)
+        |SELECT m.user_id, dc.n_days, m.np AS n_pairs,
+        |       CAST(FLOOR(CASE WHEN m.nmid = 1 THEN m.ssum
+        |                       ELSE m.ssum / CAST(2 AS DOUBLE) END + 0.5) AS BIGINT)
+        |         AS slope_med_micro
+        |FROM mid m JOIN dc ON dc.user_id = m.user_id
+        |ORDER BY m.user_id""".stripMargin) { (s, dir) =>
+      theilSenSlope(Tables.events(s, dir)).orderBy(col("user_id"))
+    },
 
     // Seasonal-naive forecast backtest (r10 s4): forecast each day's
     // per-user mean with the value ONE SEASON (7 days) earlier, and

@@ -263,4 +263,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(7L) === ((23750000.0, 5625000.0, 22500000.0, 3)))
     assert(got(8L) === ((5000000.0, 0.0, 0.0, 1)))
   }
+
+  test("theilSenSlope: odd/even medians exact; outlier day cannot drag the slope (r12)") {
+    def ev(id: Long, u: Long, day: Int, v: Double) =
+      (id, u, ts(f"2024-01-$day%02d 12:00:00"), v)
+    // u1: days 1..3 values 0/10/40 → pair slopes {10, 20, 30} µ/day·10⁶,
+    // odd count → median 20e6 exactly.
+    // u2: days 1..4 values 0/10/40/40 → slopes {10, 20, 40/3, 30, 15, 0}
+    // sorted {0, 10, 40/3, 15, 20, 30}, even count → (40/3 + 15)/2 µ.
+    // u3: linear ramp +5/day with day 4 a 1000× outlier: 4 of 10 pair
+    // slopes touch the outlier, the median stays the clean trend 5e6 —
+    // the 29% breakdown point in action (OLS would move by ~10⁸).
+    val e = (Seq(
+      ev(1, 1, 1, 0), ev(2, 1, 2, 10), ev(3, 1, 3, 40),
+      ev(4, 2, 1, 0), ev(5, 2, 2, 10), ev(6, 2, 3, 40), ev(7, 2, 4, 40)) ++
+      Seq(1, 2, 3, 5, 6).map(d => ev(10L + d, 3L, d, 5.0 * d)) :+
+      ev(14, 3, 4, 5000.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.theilSenSlope(e).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("slope_med_micro")))).toMap
+    assert(got(1L) === ((3L, 3L, 20000000L)))
+    val evenMed = (40e6 / 3.0 + 15e6) / 2.0
+    assert(got(2L) === ((4L, 6L, math.floor(evenMed + 0.5).toLong)))
+    assert(got(3L) === ((6L, 15L, 5000000L)))
+    // a single-day user yields no pairs and no row
+    val lone = Seq(ev(20, 9, 1, 3.0)).toDF("event_id", "user_id", "ts", "value")
+    assert(TimeSeries.theilSenSlope(lone).count() === 0L)
+  }
 }
