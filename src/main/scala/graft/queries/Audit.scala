@@ -233,6 +233,69 @@ object Audit {
         sum(when(col("n") < k, col("n")).otherwise(0L)).cast("long").as("suppressed_rows"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al., TKDD 2007) — the
+    * privacy gate k-anonymity misses: a QI group can be large (k-safe)
+    * yet carry ONE sensitive value, so membership alone discloses it
+    * (the homogeneity attack). Per QI group: distinct-l (how many
+    * sensitive values appear) and the dominant value's share in
+    * µ-units (the attacker's best-guess confidence — the quantity
+    * behind the stronger entropy/recursive variants, exposed here
+    * without their ln). All integer arithmetic. Shape: one (QI, sens)
+    * keyed aggregate — the only data-sized stage — then a rollup on
+    * the cell frame (cell-domain-bounded). */
+  def lDiversity(df: DataFrame, qi: Seq[String], sens: String): DataFrame = {
+    val cells = df.groupBy((qi :+ sens).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(qi.map(col): _*)
+      .agg(
+        sum(col("c")).cast("long").as("n_rows"),
+        count(lit(1)).as("l_distinct"),
+        expr("(MAX(c) * 1000000) div SUM(c)").cast("long").as("top_share_micro"))
+  }
+
+  /** t-closeness audit for an ORDERED sensitive attribute (Li, Li &
+    * Venkatasubramanian, ICDE 2007): per QI group, the Earth Mover's
+    * Distance between the group's sensitive-value distribution and the
+    * global one — l-diversity's fix for the skewness attack (a group
+    * can be diverse yet still far from the corpus base rate). For an
+    * ordinal domain of m values the EMD has the closed form
+    * Σ_j |cum_g(j) − cum(j)| / (m − 1). Probabilities are the repo's
+    * fixed-point µ-units ((cnt·10⁶) div n — exact integers at ANY
+    * group/corpus size, unlike the n_g·N cross-multiplied form whose
+    * products overflow 2⁵³ at corpus scale; quantization error is
+    * ≤ m/10⁶, documented), so the whole statistic is BIGINT.
+    * Shape: one (QI, ord) keyed aggregate (the data-sized stage), the
+    * full QI×domain grid generated on the bounded cell frame (absent
+    * cells are REAL zeros — dropping them would shift every cum
+    * after), global distribution broadcast, cum windows partitioned
+    * by QI over m rows. */
+  def tCloseness(df: DataFrame, qi: Seq[String], ord: String): DataFrame = {
+    val qiCols = qi.map(col)
+    val cells = df.groupBy((qi :+ ord).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds groups, domain, AND the grid join
+    val grps = cells.groupBy(qiCols: _*).agg(sum(col("c")).cast("long").as("n_g"))
+    val dom = cells.groupBy(col(ord)).agg(sum(col("c")).cast("long").as("cj"))
+    val tot = dom.agg(sum(col("cj")).cast("long").as("n_all"),
+      count(lit(1)).as("m"))
+    val grid = grps
+      .crossJoin(broadcast(dom))
+      .crossJoin(broadcast(tot))
+      .join(cells, qi :+ ord, "left_outer")
+      .withColumn("pg_micro", expr("(COALESCE(c, 0) * 1000000) div n_g"))
+      .withColumn("p_micro", expr("(cj * 1000000) div n_all"))
+    val wCum = Window.partitionBy(qiCols: _*).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_g", sum(col("pg_micro")).over(wCum))
+      .withColumn("cum", sum(col("p_micro")).over(wCum))
+      .groupBy((qiCols :+ col("n_g").as("n_rows") :+ col("m")): _*)
+      .agg(sum(abs(col("cum_g") - col("cum"))).as("s"))
+      .select((qiCols :+ col("n_rows") :+
+        when(col("m") > 1, expr("s div (m - 1)")).otherwise(lit(0L))
+          .cast("long").as("emd_micro")): _*)
+  }
+
   /** Exact equi-depth histogram over a BOUNDED-domain column — the
     * ANALYZE-style stats a cost-based optimizer and a skew planner
     * both feed on. Depth buckets (≈ n/B rows each) beat equi-width on
@@ -897,6 +960,77 @@ object Audit {
         .select(col("report").as("c_nationkey"), col("cells"),
           col("n_rows"), col("risky_cells"), col("suppressed_rows"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // l-diversity per (nation, segment) QI group over order priority —
+    // the homogeneity-attack gate k-anonymity misses (see lDiversity);
+    // distinct-l and the dominant value's µ-share, all integer.
+    Q("audit_l_diversity",
+      """WITH r AS (
+        |  SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sens
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, sens, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+        |       CAST((MAX(c) * 1000000) // CAST(SUM(c) AS BIGINT) AS BIGINT) AS top_share_micro
+        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val r = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("o_orderpriority").as("sens"))
+      lDiversity(r, Seq("c_nationkey", "c_mktsegment"), "sens")
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
+
+    // t-closeness per (nation, segment) QI group: ordered EMD between
+    // the group's priority distribution and the global one, in
+    // fixed-point µ-units (see tCloseness) — the skewness-attack gate
+    // above l-diversity. The priority's leading digit is the ordinal.
+    Q("audit_t_closeness",
+      """WITH r AS (
+        |  SELECT c.c_nationkey, c.c_mktsegment,
+        |         CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS j
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, j, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2, 3),
+        |grps AS (SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_g
+        |         FROM cells GROUP BY 1, 2),
+        |dom AS (SELECT j, CAST(SUM(c) AS BIGINT) AS cj FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cj) AS BIGINT) AS n_all,
+        |               CAST(COUNT(*) AS BIGINT) AS m FROM dom),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, d.j, t.m,
+        |         (COALESCE(cl.c, 0) * 1000000) // g.n_g AS pg_micro,
+        |         (d.cj * 1000000) // t.n_all AS p_micro
+        |  FROM grps g CROSS JOIN dom d CROSS JOIN tot t
+        |  LEFT JOIN cells cl ON cl.c_nationkey = g.c_nationkey
+        |    AND cl.c_mktsegment = g.c_mktsegment AND cl.j = d.j),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n_g, m,
+        |         SUM(pg_micro) OVER w AS cum_g, SUM(p_micro) OVER w AS cum
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+        |               ORDER BY j ROWS UNBOUNDED PRECEDING))
+        |SELECT c_nationkey, c_mktsegment, CAST(n_g AS BIGINT) AS n_rows,
+        |       CAST(CASE WHEN m > 1
+        |                 THEN CAST(SUM(ABS(cum_g - cum)) AS BIGINT) // (m - 1)
+        |                 ELSE 0 END AS BIGINT) AS emd_micro
+        |FROM cum GROUP BY c_nationkey, c_mktsegment, n_g, m
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val r = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("j"))
+      tCloseness(r, Seq("c_nationkey", "c_mktsegment"), "j")
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
     },
 
     // Equi-depth histogram of lineitem quantity (NDV 50) in 8 depth

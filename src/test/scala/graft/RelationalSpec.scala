@@ -997,6 +997,38 @@ class RelationalSpec extends SparkSpec {
     assert(corpus.count() > 0)
   }
 
+  test("lDiversity: homogeneous group flagged with l=1 and full dominant share (r12)") {
+    import spark.implicits._
+    import graft.queries.Audit
+    val df = (Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++ Seq.fill(2)(("B", "x")))
+      .toDF("g", "sens")
+    val got = Audit.lDiversity(df, Seq("g"), "sens").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("l_distinct"),
+          r.getAs[Long]("top_share_micro")))).toMap
+    assert(got("A") === ((4L, 2L, 750000L)))
+    assert(got("B") === ((2L, 1L, 1000000L))) // the homogeneity attack row
+  }
+
+  test("tCloseness: one-sided groups hit the closed-form EMD, matching group scores 0 (r12)") {
+    import spark.implicits._
+    import graft.queries.Audit
+    // global over j∈{1,2} is 50/50 → a group entirely on one side has
+    // EMD 1/2 (either side), and a group matching the global mix has 0
+    val df = (Seq.fill(2)(("A", 1L)) ++ Seq.fill(2)(("B", 2L)) ++
+      Seq(("C", 1L), ("C", 2L)))
+      .toDF("g", "j")
+    val got = Audit.tCloseness(df, Seq("g"), "j").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("emd_micro")).toMap
+    assert(got("A") === 500000L)
+    assert(got("B") === 500000L) // zero cells in the grid are REAL zeros
+    assert(got("C") === 0L)
+    // degenerate single-value domain: m = 1 → EMD defined as 0
+    val one = Seq(("A", 1L), ("B", 1L)).toDF("g", "j")
+    assert(Audit.tCloseness(one, Seq("g"), "j").collect()
+      .forall(_.getAs[Long]("emd_micro") == 0L))
+  }
+
   test("scd2TemporalJoin: each fact joins its own instant's version exactly once") {
     import spark.implicits._
     import graft.queries.Audit
