@@ -571,7 +571,80 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Shannon token entropy per source + the '*ALL*' corpus row — the
+    * lexical-diversity diagnostic of a data-curation report (a boiler-
+    * plate-heavy or template-spammed source shows depressed entropy;
+    * dedup raises it): H = ln N − (Σ c·ln c)/N nats over the token
+    * frequency profile, plus vocab size and H/ln V (Pielou evenness,
+    * −1-sentineled for single-token vocabularies). Determinism: every
+    * ln argument is an exact INTEGER (the bigram-LM/PSI convention —
+    * 12-dp-rounded into DECIMAL so libm only ever sees bit-identical
+    * integer inputs), the Σ c·ln12(c) accumulates in DECIMAL
+    * (order-free), and the final H is two IEEE ops in one written
+    * order. The global row's counts are the per-source cells
+    * re-aggregated (c_all(t) = Σ_s c_s(t)) — one corpus pass total.
+    * Shape for scale: ONE token explode → one (source, token) keyed
+    * aggregate (the data-sized stage, checkpointed); both rollups run
+    * on the |sources|·V cell frame. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    def ln12(c: Column): Column =
+      round(log(c.cast("double")), 12).cast("decimal(20,12)")
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val per = st.groupBy(col("source")).agg(
+      sum(col("c")).as("n"), count(lit(1)).as("v"),
+      sum(col("c") * ln12(col("c"))).as("s"))
+    val glob = st.groupBy(col("token")).agg(sum(col("c")).as("c"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+        sum(col("c") * ln12(col("c"))).as("s"))
+      .withColumn("source", lit("*ALL*"))
+    per.unionByName(glob.select(col("source"), col("n"), col("v"), col("s")))
+      .withColumn("h",
+        ln12(col("n")).cast("double") -
+          col("s").cast("double") / col("n").cast("double"))
+      .select(
+        col("source"),
+        col("n").cast("long").as("n_tokens"),
+        col("v").as("vocab"),
+        (round(col("h"), 6) + lit(0.0)).as("entropy"),
+        when(col("v") > 1,
+          round(col("h") / ln12(col("v")).cast("double"), 6) + lit(0.0))
+          .otherwise(lit(-1.0)).as("norm_entropy"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Token-entropy diversity report (see tokenEntropy): integer-
+    // argument ln only, decimal accumulation, per-source + '*ALL*'.
+    Q("text_token_entropy",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v,
+        |         SUM(c * CAST(ROUND(ln(c), 12) AS DECIMAL(20,12))) AS s
+        |  FROM st GROUP BY 1
+        |  UNION ALL
+        |  SELECT '*ALL*', CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |         SUM(c * CAST(ROUND(ln(c), 12) AS DECIMAL(20,12)))
+        |  FROM (SELECT token, CAST(SUM(c) AS BIGINT) AS c FROM st GROUP BY 1)),
+        |h AS (
+        |  SELECT source, n, v,
+        |         CAST(CAST(ROUND(ln(n), 12) AS DECIMAL(20,12)) AS DOUBLE)
+        |           - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS h
+        |  FROM cells)
+        |SELECT source, n AS n_tokens, v AS vocab,
+        |       ROUND(h, 6) + 0 AS entropy,
+        |       CASE WHEN v > 1
+        |            THEN ROUND(h / CAST(CAST(ROUND(ln(v), 12) AS DECIMAL(20,12)) AS DOUBLE), 6) + 0
+        |            ELSE -1.0 END AS norm_entropy
+        |FROM h ORDER BY source""".stripMargin) { (s, dir) =>
+      tokenEntropy(Tables.documents(s, dir))
+    },
 
     // Mixed-language consistency: chunk slicing, per-chunk stopword
     // scores, the encoded-argmax majority, and the agreement ratio

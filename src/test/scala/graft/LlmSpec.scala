@@ -1404,4 +1404,26 @@ class LlmSpec extends SparkSpec {
     assert(cand.size < n * (n - 1) / 2 / 5,
       s"prefix candidates ${cand.size} not selective vs all-pairs ${n * (n - 1) / 2}")
   }
+
+  test("tokenEntropy: uniform maxes evenness, repetition zeroes H, skew lowers it (r12)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "uni"), // uniform over 4 → H = ln 4, evenness 1
+      (2L, "x x x x", "mono"), // single token → H = 0, evenness sentinel
+      (3L, "a a a b", "skew")) // 3:1 → H = ln4 − (3 ln 3)/4
+      .toDF("doc_id", "text", "source")
+    val got = graft.llm.TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy")))).toMap
+    assert(math.abs(got("uni")._3 - math.log(4)) < 2e-6)
+    assert(got("uni")._4 === 1.0)
+    assert(got("mono") === ((4L, 1L, 0.0, -1.0)))
+    val hSkew = math.log(4) - 3 * math.log(3) / 4
+    assert(math.abs(got("skew")._3 - hSkew) < 2e-6)
+    assert(got("skew")._3 < got("uni")._3) // skew strictly lowers entropy
+    // the corpus row re-aggregates cells: 'a' appears 5× total etc.
+    val all = got("*ALL*")
+    assert(all._1 === 12L && all._2 === 5L)
+  }
 }
