@@ -64,7 +64,118 @@ object Multimodal {
       }
   }
 
+  /** Difference-hash (dHash) perceptual fingerprint over the opaque
+    * payload + LSH band join — image/media near-dup detection re-
+    * expressed on the binary-column plumbing (the multimodal analog of
+    * `dedup_simhash_pairs`): sample 65 payload bytes on a FIXED
+    * RESOLUTION-INDEPENDENT grid (p_i = 1 + ⌊i·(L−1)/64⌋ — the
+    * 9×8-resize step of the published dHash, so payloads of different
+    * lengths stay comparable), take the 64 adjacent-sample comparisons
+    * as bits, split into 4×16-bit bands. Candidates = pairs sharing
+    * ANY band cell (LSH — quadratic only within identical 16-bit
+    * cells); verification = exact Hamming distance via
+    * bit_count(xor) over the 4 band words, keep ≤ `maxHam`.
+    * A REAL image pipeline swaps the byte-sampling stage for the
+    * decode→grayscale→9×8-resize of `decodeStub`'s slot; everything
+    * from the bit extraction down — bands, join, Hamming verify — is
+    * the production shape unchanged. All integer arithmetic; bands
+    * and distances hash-pin cross-engine.
+    *
+    * Shape for scale: fingerprints are map-side scan work (the
+    * payload bytes never shuffle — 4 BIGINT words per doc do); the
+    * band join shuffles on (band_idx, value); Hamming verify joins
+    * the 4-word vectors back by id. */
+  def phashPairs(docs: DataFrame, maxHam: Int): DataFrame = {
+    val bt = "transform(sequence(0, 64), i -> " +
+      "ascii(substring(text, cast(1 + (i * (length(text) - 1)) div 64 as int), 1)))"
+    def band(k: Int): String =
+      s"aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> " +
+        s"acc + if(element_at(bt, 16 * $k + j + 1) > element_at(bt, 16 * $k + j + 2), " +
+        s"shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+    val fp = docs
+      .withColumn("bt", expr(bt))
+      .select((col("doc_id") +: (0 until 4).map(k => expr(band(k)).as(s"b$k"))): _*)
+      .localCheckpoint() // feeds the band explode AND both verify sides
+    val bands = fp.select(col("doc_id"),
+      explode(map_from_arrays(
+        expr("array(0, 1, 2, 3)"), expr("array(b0, b1, b2, b3)")))
+        .as(Seq("k", "band")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val fa = fp.select(col("doc_id").as("da"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val fb = fp.select(col("doc_id").as("db"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand
+      .join(fa, col("doc_a") === col("da"))
+      .join(fb, col("doc_b") === col("db"))
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)")
+        .cast("long"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // dHash near-dup pairs over the binary payload (see phashPairs):
+    // the image-dedup shape with the decode stage stood in by the
+    // deterministic byte grid — bands, LSH join, and Hamming verify
+    // all replay exactly in DuckDB. The corpus' planted "dups" are
+    // token-order SHUFFLES (set-identical, sequence-different), which
+    // an order-sensitive spatial hash rightly does NOT match — so, per
+    // the dedup_embed_cosine_planted precedent, 25 length-preserving
+    // byte-perturbed twins (translate e→f, the re-encode/pixel-noise
+    // analog) are planted in-query to keep the ≤ maxHam rule
+    // non-vacuous: twins land at Hamming 0–1, shuffles at ≥ 15.
+    Q("multimodal_phash_pairs",
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, translate(text, 'e', 'f')
+        |  FROM documents WHERE doc_id < 25),
+        |fp AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 65), i -> ascii(substr(text,
+        |           CAST(1 + (i * (length(text) - 1)) // 64 AS INTEGER), 1))) AS bt
+        |  FROM base),
+        |bw AS (
+        |  SELECT doc_id, k,
+        |         CAST(list_sum(list_transform(range(0, 16), j ->
+        |           CASE WHEN bt[16 * k + j + 1] > bt[16 * k + j + 2]
+        |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS band
+        |  FROM fp, (SELECT unnest(range(0, 4)) AS k)),
+        |vec AS (
+        |  SELECT doc_id,
+        |         MAX(CASE WHEN k = 0 THEN band END) AS b0,
+        |         MAX(CASE WHEN k = 1 THEN band END) AS b1,
+        |         MAX(CASE WHEN k = 2 THEN band END) AS b2,
+        |         MAX(CASE WHEN k = 3 THEN band END) AS b3
+        |  FROM bw GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        |  FROM bw a JOIN bw b ON a.k = b.k AND a.band = b.band
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+        |       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
+        |         AS hamming
+        |FROM cand c JOIN vec x ON x.doc_id = c.doc_a JOIN vec y ON y.doc_id = c.doc_b
+        |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"), "e", "f").as("text"))
+      phashPairs(d.unionByName(twins), maxHam = 6)
+    },
 
     // Binary-column plumbing stats — oracle-checked (DuckDB encode()
     // gives the same UTF-8 bytes).

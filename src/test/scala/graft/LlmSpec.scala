@@ -1163,6 +1163,35 @@ class LlmSpec extends SparkSpec {
     assert(out(1).mean_byte === 0.0)
   }
 
+  test("phashPairs: identical and rescaled payloads match, different content does not (r12)") {
+    import spark.implicits._
+    // smooth (band-limited) payloads — the signal class dHash's grid
+    // resampling is designed for; a high-frequency pattern would alias
+    // under rescaling exactly as it does for images
+    def sine(freq: Double, phase: Double): String =
+      (0 until 300).map(i =>
+        ('a' + (12.5 + 12.4 * math.sin(i / freq + phase)).toInt).toChar).mkString
+    val t = sine(20.0, 0.0)
+    val other = sine(7.0, 2.0)
+    val doubled = t.flatMap(c => s"$c$c") // 2× "upsample": same signal, twice the bytes
+    val bumped = t.updated(150, (t(150) + 3).toChar).mkString("") // tiny local edit
+    val df = Seq((1L, t), (2L, t), (3L, doubled), (4L, other), (5L, bumped))
+      .toDF("doc_id", "text")
+    val got = Multimodal.phashPairs(df, maxHam = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_shared_bands"), r.getAs[Long]("hamming")))).toMap
+    // identical payloads: all 4 bands shared, Hamming 0
+    assert(got((1L, 2L)) === ((4L, 0L)))
+    // resolution independence: the 2× upsample samples (nearly) the
+    // same grid — the pair must clear the ≤ 6 rule
+    assert(got.contains((1L, 3L)), s"rescaled twin missed: ${got.keySet}")
+    // a length-preserving local edit stays within threshold
+    assert(got.contains((1L, 5L)))
+    // different content never pairs with the t-family
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated content matched: ${got.keySet}")
+  }
+
   test("language ID agrees with itself across engines' tie rules (deterministic)") {
     val a = SparkEntry.queries("text_lang_id")(spark, sf("sf0.001"))
       .select("doc_id", "detected_lang").as[(Long, String)].collect().toMap
