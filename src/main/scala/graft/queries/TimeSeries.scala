@@ -413,6 +413,51 @@ object TimeSeries {
           .as("slope_med_micro"))
   }
 
+  /** Mann–Kendall trend test over the per-user daily-mean series —
+    * the nonparametric significance companion to [[theilSenSlope]]
+    * (Mann 1945; Kendall's S): S = Σ_{i<j} sign(m_j − m_i) detects a
+    * monotone trend with NO distributional assumption, and the
+    * tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * is pure integer arithmetic. The continuity-corrected normal score
+    * z = (S ∓ 1)/√(Var) uses only sqrt and divide — both IEEE
+    * correctly-rounded (the corrMatrix precedent; no ln anywhere) —
+    * and is emitted half-up-floored in µ-units. S = 0 or Var = 0
+    * (constant series) → z = 0. Shape for scale: the same
+    * calendar-bounded C(days, 2) pair frame as Theil–Sen plus one
+    * (user, value) tie aggregate — nothing data-sized after the day
+    * rollup. */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr(
+        """(2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+          | + COUNT(*)) div (2 * COUNT(*))""".stripMargin).as("m_us"))
+      .localCheckpoint()
+    val b = daily.select(col("user_id").as("u2"), col("day").as("d2"),
+      col("m_us").as("m2"))
+    val sPairs = daily
+      .join(b, col("user_id") === col("u2") && col("day") < col("d2"))
+      .groupBy(col("user_id"))
+      .agg(sum(signum(col("m2") - col("m_us")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy(col("user_id"), col("m_us"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("user_id").as("u3"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    sPairs.join(ties, col("user_id") === col("u3"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_term"))
+      .select(
+        col("user_id"), col("n").as("n_days"), col("n_pairs"),
+        col("s_stat"), col("var18"),
+        when(col("s_stat") === 0 || col("var18") === 0, lit(0L))
+          .otherwise(floor(
+            (col("s_stat") - signum(col("s_stat")).cast("long")).cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0)) * lit(1e6) + lit(0.5))
+            .cast("long")).as("z_micro"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Theil–Sen robust trend slope (Theil 1950; Sen, JASA 1968): the
@@ -461,6 +506,42 @@ object TimeSeries {
         |FROM mid m JOIN dc ON dc.user_id = m.user_id
         |ORDER BY m.user_id""".stripMargin) { (s, dir) =>
       theilSenSlope(Tables.events(s, dir)).orderBy(col("user_id"))
+    },
+
+    // Mann–Kendall monotone-trend test (see mannKendall): the
+    // significance readout beside the Theil–Sen slope — integer S and
+    // tie-corrected 18·Var, sqrt/divide-only z in µ-units.
+    Q("timeseries_mann_kendall",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         (2 * SUM(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |          + COUNT(*)) // (2 * COUNT(*)) AS m_us
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT a.user_id,
+        |         CAST(SUM(CASE WHEN b.m_us > a.m_us THEN 1
+        |                       WHEN b.m_us < a.m_us THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+        |         CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM daily a JOIN daily b ON b.user_id = a.user_id AND a.day < b.day
+        |  GROUP BY 1),
+        |tg AS (SELECT user_id, m_us, CAST(COUNT(*) AS BIGINT) AS t
+        |       FROM daily GROUP BY 1, 2),
+        |ti AS (
+        |  SELECT user_id, CAST(SUM(t) AS BIGINT) AS n,
+        |         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM tg GROUP BY 1),
+        |v AS (
+        |  SELECT sp.user_id, ti.n AS n_days, sp.n_pairs, sp.s_stat,
+        |         ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tie_term AS var18
+        |  FROM sp JOIN ti ON ti.user_id = sp.user_id)
+        |SELECT user_id, n_days, n_pairs, s_stat, CAST(var18 AS BIGINT) AS var18,
+        |       CAST(CASE WHEN s_stat = 0 OR var18 = 0 THEN 0
+        |                 ELSE FLOOR(CAST(s_stat - CASE WHEN s_stat > 0 THEN 1 ELSE -1 END AS DOUBLE)
+        |                            / sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))
+        |                            * 1000000.0 + 0.5)
+        |            END AS BIGINT) AS z_micro
+        |FROM v ORDER BY user_id""".stripMargin) { (s, dir) =>
+      mannKendall(Tables.events(s, dir)).orderBy(col("user_id"))
     },
 
     // Seasonal-naive forecast backtest (r10 s4): forecast each day's

@@ -291,4 +291,28 @@ class TimeSeriesSpec extends SparkSpec {
     val lone = Seq(ev(20, 9, 1, 3.0)).toDF("event_id", "user_id", "ts", "value")
     assert(TimeSeries.theilSenSlope(lone).count() === 0L)
   }
+
+  test("mannKendall: monotone series hit ±S_max, constants zero out, ties correct Var (r12)") {
+    def ev(id: Long, u: Long, day: Int, v: Double) =
+      (id, u, ts(f"2024-01-$day%02d 12:00:00"), v)
+    // u1 strictly increasing over 4 days → S = 6, var18 = 4·3·13 = 156;
+    // u2 strictly decreasing → S = −6; u3 constant → S = 0, var18 = 0
+    // (one tie group of 4 cancels the n-term exactly);
+    // u4 = {1, 1, 2} → one tie pair: S = 2, var18 = 3·2·11 − 2·1·9 = 48
+    val e = (1 to 4).map(d => ev(d.toLong, 1, d, d * 10.0)) ++
+      (1 to 4).map(d => ev(10L + d, 2, d, 50.0 - d * 10.0)) ++
+      (1 to 4).map(d => ev(20L + d, 3, d, 7.0)) ++
+      Seq(ev(31, 4, 1, 1.0), ev(32, 4, 2, 1.0), ev(33, 4, 3, 2.0))
+    val got = TimeSeries.mannKendall(e.toDF("event_id", "user_id", "ts", "value"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("s_stat"), r.getAs[Long]("var18"), r.getAs[Long]("z_micro")))).toMap
+    def z(s: Long, var18: Long): Long =
+      math.floor((s - s.sign).toDouble / math.sqrt(var18.toDouble / 18.0) * 1e6 + 0.5).toLong
+    assert(got(1L) === ((6L, 156L, z(6, 156))))
+    assert(got(2L) === ((-6L, 156L, z(-6, 156))))
+    assert(got(3L) === ((0L, 0L, 0L)))
+    assert(got(4L) === ((2L, 48L, z(2, 48))))
+    // antisymmetry: reversing the trend flips S and z exactly
+    assert(got(1L)._1 === -got(2L)._1 && got(1L)._3 === -got(2L)._3)
+  }
 }
