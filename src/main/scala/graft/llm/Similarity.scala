@@ -686,7 +686,84 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Matryoshka prefix-truncation audit (Kusupati et al., NeurIPS
+    * 2022): MRL-trained embeddings promise that the FIRST d dims are
+    * themselves a usable embedding — the serving question is "which
+    * prefix dim still retrieves what the full vector retrieves". For
+    * each probe and each prefix d, rank the corpus by prefix-cosine
+    * and report the top-k's overlap with the full-dim top-k (recall@k
+    * vs the full ranking) plus whether the top-1 survives. The d =
+    * full lane is the tautological sanity row (overlap = k). All
+    * outputs are integers; prefix cosines follow the 6-dp +
+    * vec_id-tiebreak convention, so both engines rank identically.
+    *
+    * Shape for scale: ONE corpus pass — the |dims| lanes ride a
+    * 4-row explode on the same scan (|dims|·|probes|·N cosine work,
+    * the batch-eval class); rank windows partition by (d, probe);
+    * the full-dim reference set is the d = 64 lane of the SAME
+    * frame (checkpointed), never a second scan. The verdict drives
+    * the stored-dim choice: serve the shortest prefix whose recall
+    * holds, and the ANN index shrinks proportionally. */
+  def matryoshkaAudit(emb: DataFrame, nProbes: Int, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "matryoshkaAudit: dims must be non-empty")
+    val fullDim = dims.max
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val ranked = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("d", explode(array(dims.map(lit): _*)))
+      .withColumn("cos_sim",
+        round(cosine(slice(col("v"), lit(1), col("d")),
+          slice(col("pv"), lit(1), col("d"))), 6) + lit(0.0))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d"), col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("d"), col("probe_id"), col("vec_id"), col("rnk"))
+      .localCheckpoint() // the full-dim lane is read back as the reference set
+    val full = ranked.filter(col("d") === fullDim)
+      .select(col("probe_id").as("fp"), col("vec_id").as("fv"), lit(1L).as("hit"))
+    ranked
+      .join(broadcast(full),
+        col("probe_id") === col("fp") && col("vec_id") === col("fv"), "left_outer")
+      .groupBy(col("d").cast("long").as("d"), col("probe_id"))
+      .agg(
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        max(when(col("rnk") === 1 && col("hit") === 1L, 1L).otherwise(0L))
+          .as("top1_in_full"))
+      .orderBy(col("d"), col("probe_id"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Matryoshka prefix audit (see matryoshkaAudit): per (prefix dim,
+    // probe), the top-10 overlap against the full 64-dim ranking —
+    // integers end to end, prefix cosines under the standard pinning.
+    Q("embed_matryoshka_prefix",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+        |dd AS (SELECT unnest([8, 16, 32, 64]) AS d),
+        |cand AS (
+        |  SELECT dd.d, p.probe_id, e.vec_id,
+        |         ROUND(list_cosine_similarity(e.v[1:dd.d], p.pv[1:dd.d]), 6) + 0 AS cos_sim
+        |  FROM e JOIN p ON e.vec_id <> p.probe_id CROSS JOIN dd),
+        |r AS (
+        |  SELECT d, probe_id, vec_id,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY d, probe_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM cand),
+        |t AS (SELECT * FROM r WHERE rnk <= 10),
+        |f AS (SELECT probe_id AS fp, vec_id AS fv, 1 AS hit FROM t WHERE d = 64)
+        |SELECT CAST(t.d AS BIGINT) AS d, t.probe_id,
+        |       CAST(SUM(COALESCE(f.hit, 0)) AS BIGINT) AS n_overlap,
+        |       CAST(MAX(CASE WHEN t.rnk = 1 AND f.hit = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS top1_in_full
+        |FROM t LEFT JOIN f ON f.fp = t.probe_id AND f.fv = t.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      matryoshkaAudit(Tables.embeddings(s, dir), nProbes = 8, k = 10,
+        dims = Seq(8, 16, 32, 64))
+    },
 
     // Per-label centroid alignment vs the global centroid, exact
     // micro-quantized arithmetic end to end — the drift ESTIMATE is

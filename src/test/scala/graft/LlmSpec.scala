@@ -1192,6 +1192,28 @@ class LlmSpec extends SparkSpec {
       s"unrelated content matched: ${got.keySet}")
   }
 
+  test("matryoshkaAudit: tail-heavy vectors break the prefix, aligned ones keep it (r12)") {
+    import spark.implicits._
+    // probe 0 along e1; v1/v2 carry their signal in the FIRST dims
+    // (prefix-faithful), v6 hides its mass in the tail: prefix-2 ranks
+    // it TOP (its 2-prefix is colinear with the probe) while the full
+    // ranking puts it last — the failure mode the audit exists to catch
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (2L, Seq(0.7, 0.2, 0.1, 0.0)),
+      (6L, Seq(0.8, 0.0, 2.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity
+      .matryoshkaAudit(rows, nProbes = 1, k = 2, dims = Seq(2, 4))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_overlap"), r.getAs[Long]("top1_in_full")))).toMap
+    // full top-2 = {1, 2}; prefix-2 top-2 = {6, 1} → overlap 1, top-1 lost
+    assert(got(2L) === ((1L, 0L)))
+    // the full-dim lane is the tautology row: overlap = k, top-1 kept
+    assert(got(4L) === ((2L, 1L)))
+  }
+
   test("language ID agrees with itself across engines' tie rules (deterministic)") {
     val a = SparkEntry.queries("text_lang_id")(spark, sf("sf0.001"))
       .select("doc_id", "detected_lang").as[(Long, String)].collect().toMap
