@@ -114,6 +114,47 @@ object Telemetry {
         r6(sum(col("failure_next")) * lit(1.0) / count(lit(1))).as("frac_pos"))
   }
 
+  /** Isotonic calibration of the reliability curve (Barlow et al.
+    * 1972; Zadrozny & Elkan KDD 2002): fit the best NON-DECREASING
+    * step function to the per-bucket positive rates — the standard
+    * score→probability recalibration between the raw model and the
+    * threshold rule. Computed via the minimax identity
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} (Σ pos[j..k]) / (Σ n[j..k])
+    * (Robertson–Wright–Dykstra), equivalent to the sequential
+    * pool-adjacent-violators walk but DECLARATIVE: on the B-bounded
+    * bin frame the O(B³) interval grid is three joins over ≤ B²
+    * rows — no driver loop, no recursion, and the engine plans it
+    * like any other bounded rollup (the eqdepth small-frame class).
+    * Determinism: every interval average is ONE IEEE divide of exact
+    * integer sums, and min/max over those doubles pick identical
+    * values cross-engine. Input: a (bucket, n, n_pos) frame with
+    * buckets in score order. */
+  def isotonicCalibration(bins: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = bins
+      .withColumn("cp", sum(col("n_pos")).over(wCum))
+      .withColumn("cn", sum(col("n")).over(wCum))
+      .localCheckpoint() // B rows; feeds both sides of the interval grid
+    val jSide = c.select(col("bucket").as("j"),
+      (col("cp") - col("n_pos")).as("pj"), (col("cn") - col("n")).as("nj"))
+    val kSide = c.select(col("bucket").as("k"),
+      col("cp").as("pk"), col("cn").as("nk"))
+    val iv = jSide.join(kSide, col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        ((col("pk") - col("pj")).cast("double") /
+          (col("nk") - col("nj")).cast("double")).as("avgv"))
+    val iso = bins.select(col("bucket").as("i"))
+      .join(iv, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("avgv")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("iso"))
+    bins.join(iso, col("bucket") === col("i"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000000) div n").as("raw_micro"),
+        (round(col("iso"), 6) + lit(0.0)).as("iso_cal"))
+      .orderBy(col("bucket"))
+  }
+
   /** Lift / gains table over the alerting score (r10 s3): sort by
     * score descending, cut into deciles, and report how many of ALL
     * failures the top k/10 of alerts captures (gain) and how much
@@ -288,6 +329,48 @@ object Telemetry {
          |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
       calibration(scored(ev(s, dir))).orderBy(col("bucket"))
     },
+
+    // Isotonic recalibration of the reliability curve (see
+    // isotonicCalibration): the PAV fit via the minimax closed form on
+    // the bucket frame — monotone by construction, every interval
+    // average one IEEE divide of exact integers.
+    Q("ml_isotonic_calibration",
+      s"""${scoredSql()},
+         |b AS (SELECT MIN(value_mean_7) AS lo, MAX(value_mean_7) AS hi FROM scored),
+         |kk AS (
+         |  SELECT s.failure_next,
+         |         CASE WHEN b.hi = b.lo THEN 0
+         |              ELSE LEAST(CAST(FLOOR((s.value_mean_7 - b.lo) / (b.hi - b.lo) * 10)
+         |                         AS BIGINT), 9) END AS bucket
+         |  FROM scored s, b),
+         |bins AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(failure_next) AS BIGINT) AS n_pos
+         |  FROM kk GROUP BY bucket),
+         |c AS (
+         |  SELECT bucket, n, n_pos,
+         |         CAST(SUM(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+         |         CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+         |  FROM bins),
+         |iv AS (
+         |  SELECT j.bucket AS j, k.bucket AS k,
+         |         CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+         |           / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avgv
+         |  FROM c j JOIN c k ON k.bucket >= j.bucket),
+         |m AS (
+         |  SELECT i.bucket AS bucket, iv.j, MIN(iv.avgv) AS mn
+         |  FROM bins i JOIN iv ON iv.j <= i.bucket AND iv.k >= i.bucket
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT bucket, MAX(mn) AS iso FROM m GROUP BY 1)
+         |SELECT b2.bucket, b2.n, b2.n_pos,
+         |       CAST((b2.n_pos * 1000000) // b2.n AS BIGINT) AS raw_micro,
+         |       ROUND(iso.iso, 6) + 0 AS iso_cal
+         |FROM bins b2 JOIN iso USING (bucket) ORDER BY bucket""".stripMargin) {
+      (s, dir) =>
+        isotonicCalibration(
+          calibration(scored(ev(s, dir))).select(col("bucket"), col("n"), col("n_pos")))
+    },
+
     // Lift / gains table (r10 s3): deciles over the descending score
     // with tie-blocks never split — see liftTable's scaladoc.
     Q("ml_lift_table",

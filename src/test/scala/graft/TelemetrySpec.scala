@@ -129,4 +129,34 @@ class TelemetrySpec extends SparkSpec {
     assert(t.head.getAs[Long]("n") === 100L)
     assert(t.head.getAs[Double]("lift") === 1.0)
   }
+
+  test("isotonicCalibration: PAV pooling exact on hand bins, monotone on the corpus (r12)") {
+    import spark.implicits._
+    // equal-weight rates {0.1, 0.3, 0.2, 0.4}: the 0.3/0.2 violation
+    // pools to 0.25, the ends stay — the textbook PAV case
+    val bins = Seq((0L, 10L, 1L), (1L, 10L, 3L), (2L, 10L, 2L), (3L, 10L, 4L))
+      .toDF("bucket", "n", "n_pos")
+    val got = Telemetry.isotonicCalibration(bins).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("iso_cal")).toMap
+    assert(got === Map(0L -> 0.1, 1L -> 0.25, 2L -> 0.25, 3L -> 0.4))
+    // weights matter: rate-1.0 (n=1) before rate-0 (n=3) pools to 1/4,
+    // not to the unweighted 1/2
+    val w = Seq((0L, 1L, 1L), (1L, 3L, 0L)).toDF("bucket", "n", "n_pos")
+    val gotW = Telemetry.isotonicCalibration(w).collect()
+      .map(_.getAs[Double]("iso_cal")).toSeq
+    assert(gotW === Seq(0.25, 0.25))
+    // an already-monotone curve is a fixed point
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))
+      .toDF("bucket", "n", "n_pos")
+    val gotM = Telemetry.isotonicCalibration(mono).collect()
+      .map(_.getAs[Double]("iso_cal")).toSeq
+    assert(gotM === Seq(0.1, 0.5, 0.9))
+    // corpus run: output is non-decreasing in bucket order (the
+    // defining constraint), with bin counts preserved
+    val corpus = SparkEntry.queries("ml_isotonic_calibration")(spark, sf("sf0.001"))
+      .collect()
+    val isoSeq = corpus.map(_.getAs[Double]("iso_cal")).toSeq
+    assert(isoSeq.zip(isoSeq.tail).forall { case (a, b) => b >= a }, s"not monotone: $isoSeq")
+    assert(corpus.map(_.getAs[Long]("n")).sum > 0)
+  }
 }
