@@ -419,6 +419,14 @@ object PlanAudit {
       SparkEntry.queries("analytics_supplier_variety")(spark, sfDir))
     audit("runningDistinct(query)",
       SparkEntry.queries("window_running_distinct")(spark, sfDir))
+    // r12 session-5 tier: conformal/IR-eval/robust-trend/privacy/
+    // entropy/phash/matryoshka/isotonic
+    Seq("ml_conformal_interval", "search_eval_metrics",
+      "timeseries_theilsen_slope", "timeseries_mann_kendall",
+      "audit_l_diversity", "audit_t_closeness", "text_token_entropy",
+      "multimodal_phash_pairs", "embed_matryoshka_prefix",
+      "ml_isotonic_calibration")
+      .foreach(n => audit(s"$n(query)", SparkEntry.queries(n)(spark, sfDir)))
     spark.stop()
   }
 }

@@ -33,6 +33,62 @@ object Typed {
     // the identical Catalyst pipeline). View names are salted per call
     // — Verify runs queries concurrently in ONE session, and temp
     // views are session-scoped.
+    // GROUP BY ALL — the Spark 4 / modern-SQL surface that infers the
+    // grouping key from the non-aggregate select list (SPARK-40218);
+    // DuckDB speaks the identical dialect, so the oracle runs the SAME
+    // text — the surface itself is pinned cross-engine, not just the
+    // result. Plan-wise it lowers to the ordinary two-key hash
+    // aggregate (nothing new at 100 TB — this pins the FRONT DOOR).
+    Q("sql_frontdoor_groupby_all",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+      val v = "orders_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables.orders(s, dir).createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |       COUNT(*) AS n_orders,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           |FROM $v
+           |GROUP BY ALL
+           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
+    // SQL PIVOT clause — the relational front door for the
+    // wide-reports shape the DSL query pivot_status_priority declares
+    // via groupBy().pivot(): Spark's PIVOT (SPARK-24722) with aliased
+    // values and aggregates produces the deterministic {value}_{agg}
+    // column family; the oracle replays as conditional aggregation
+    // (the universal lowering — DuckDB's own PIVOT invents its own
+    // column names, so the CASE form IS the portable semantics, and
+    // Spark lowers PIVOT to exactly this plan: one hash aggregate
+    // over |statuses|·|aggs| conditional lanes, no extra exchange).
+    Q("sql_frontdoor_pivot",
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_n,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS f_rev,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_n,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS o_rev,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS p_rev
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val v = "orders_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables.orders(s, dir).createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT * FROM (
+           |  SELECT o_orderpriority, o_orderstatus,
+           |         CAST(o_totalprice AS DECIMAL(30,6)) AS price FROM $v)
+           |PIVOT (
+           |  COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS rev
+           |  FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+           |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     Q("sql_frontdoor_revenue",
       """SELECT o_orderpriority,
         |       COUNT(*) AS n_orders,
