@@ -425,7 +425,7 @@ object PlanAudit {
       "timeseries_theilsen_slope", "timeseries_mann_kendall",
       "audit_l_diversity", "audit_t_closeness", "text_token_entropy",
       "multimodal_phash_pairs", "embed_matryoshka_prefix",
-      "ml_isotonic_calibration")
+      "ml_isotonic_calibration", "embed_bq_recall")
       .foreach(n => audit(s"$n(query)", SparkEntry.queries(n)(spark, sfDir)))
     spark.stop()
   }

@@ -735,7 +735,107 @@ object Similarity {
       .orderBy(col("d"), col("probe_id"))
   }
 
+  /** Binary-quantization recall audit — the PRECISION-reduction
+    * counterpart of [[matryoshkaAudit]]'s dim reduction (the 1-bit
+    * sign quantization of Jégou et al.'s spectrum, as deployed in
+    * modern vector stores): each 64-dim vector collapses to 4×16-bit
+    * sign words (32× smaller, Hamming-searchable with bit_count —
+    * the phashPairs machinery pointed at embeddings), and per probe
+    * the Hamming top-k's overlap with the exact cosine top-k is the
+    * recall readout that decides whether the BQ index can serve as
+    * the first-stage retriever (with exact re-rank on the shortlist).
+    * All integers; Hamming ties break on vec_id; both rankings pinned.
+    *
+    * Shape for scale: sign words are map-side scan work (4 BIGINTs
+    * per vector shuffle, never the floats); the Hamming ranking is
+    * the same |probes|·N batch-eval pass as the exact reference —
+    * at index scale the BQ lane is where the win lives (the scan
+    * reads 32× fewer bytes and the distance is 4 xor+popcounts). */
+  def bqRecall(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    def word(kk: Int): String =
+      s"aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> " +
+        s"acc + if(element_at(v, 16 * $kk + j + 1) > cast(0 as double), " +
+        s"shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val words = e.select((col("vec_id") +: col("v") +:
+      (0 until 4).map(kk => expr(word(kk)).as(s"w$kk"))): _*)
+      .localCheckpoint() // one scan builds words for probes AND corpus
+    val probes = words.filter(col("vec_id") < nProbes)
+      .select((col("vec_id").as("probe_id") +: col("v").as("pv") +:
+        (0 until 4).map(kk => col(s"w$kk").as(s"p$kk"))): _*)
+    val wRank = org.apache.spark.sql.expressions.Window
+    val cand = words.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming", expr(
+        "bit_count(w0 ^ p0) + bit_count(w1 ^ p1) + bit_count(w2 ^ p2) + bit_count(w3 ^ p3)")
+        .cast("long"))
+      .withColumn("cos_sim",
+        round(cosine(col("v"), col("pv")), 6) + lit(0.0))
+      .localCheckpoint() // both rankings read the same pass
+    val bq = cand.withColumn("rnk", row_number().over(
+        wRank.partitionBy(col("probe_id"))
+          .orderBy(col("hamming"), col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rnk"))
+    val exact = cand.withColumn("rnk", row_number().over(
+        wRank.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id").as("ep"), col("vec_id").as("ev"),
+        col("rnk").as("ernk"))
+    bq.join(broadcast(exact),
+        col("probe_id") === col("ep") && col("vec_id") === col("ev"), "left_outer")
+      .groupBy(col("probe_id"))
+      .agg(
+        sum(when(col("ev").isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+        max(when(col("ernk") === 1 && col("ev").isNotNull, 1L).otherwise(0L))
+          .as("exact_top1_kept"))
+      .orderBy(col("probe_id"))
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // BQ recall audit (see bqRecall): per probe, the sign-bit Hamming
+    // top-10's overlap with the exact cosine top-10 — integers end to
+    // end, both rankings pinned.
+    Q("embed_bq_recall",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |w AS (
+        |  SELECT vec_id, v,
+        |         CAST(list_sum(list_transform(range(0, 16), j ->
+        |           CASE WHEN v[0 + j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS w0,
+        |         CAST(list_sum(list_transform(range(0, 16), j ->
+        |           CASE WHEN v[16 + j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS w1,
+        |         CAST(list_sum(list_transform(range(0, 16), j ->
+        |           CASE WHEN v[32 + j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS w2,
+        |         CAST(list_sum(list_transform(range(0, 16), j ->
+        |           CASE WHEN v[48 + j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS w3
+        |  FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, w0 AS p0, w1 AS p1, w2 AS p2, w3 AS p3
+        |      FROM w WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT p.probe_id, w.vec_id,
+        |         CAST(bit_count(xor(w.w0, p.p0)) + bit_count(xor(w.w1, p.p1))
+        |            + bit_count(xor(w.w2, p.p2)) + bit_count(xor(w.w3, p.p3)) AS BIGINT) AS hamming,
+        |         ROUND(list_cosine_similarity(w.v, p.pv), 6) + 0 AS cos_sim
+        |  FROM w JOIN p ON w.vec_id <> p.probe_id),
+        |bq AS (
+        |  SELECT probe_id, vec_id,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY probe_id ORDER BY hamming, vec_id) AS BIGINT) AS rnk
+        |  FROM cand QUALIFY rnk <= 10),
+        |ex AS (
+        |  SELECT probe_id AS ep, vec_id AS ev,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS ernk
+        |  FROM cand QUALIFY ernk <= 10)
+        |SELECT bq.probe_id,
+        |       CAST(SUM(CASE WHEN ex.ev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |       CAST(MAX(CASE WHEN ex.ernk = 1 AND ex.ev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS exact_top1_kept
+        |FROM bq LEFT JOIN ex ON ex.ep = bq.probe_id AND ex.ev = bq.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      bqRecall(Tables.embeddings(s, dir), nProbes = 8, k = 10)
+    },
 
     // Matryoshka prefix audit (see matryoshkaAudit): per (prefix dim,
     // probe), the top-10 overlap against the full 64-dim ranking —

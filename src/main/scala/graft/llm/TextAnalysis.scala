@@ -601,6 +601,10 @@ object TextAnalysis {
         sum(col("c") * ln12(col("c"))).as("s"))
       .withColumn("source", lit("*ALL*"))
     per.unionByName(glob.select(col("source"), col("n"), col("v"), col("s")))
+      // an empty corpus leaves the global agg as one all-NULL row —
+      // drop it so the empty input yields an EMPTY report, not a NULL
+      // entropy (the EdgeCaseSpec sane-empty convention)
+      .filter(col("n").isNotNull)
       .withColumn("h",
         ln12(col("n")).cast("double") -
           col("s").cast("double") / col("n").cast("double"))

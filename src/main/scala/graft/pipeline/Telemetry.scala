@@ -130,9 +130,13 @@ object Telemetry {
     * values cross-engine. Input: a (bucket, n, n_pos) frame with
     * buckets in score order. */
   def isotonicCalibration(bins: DataFrame): DataFrame = {
+    // the bin frame feeds the cum window, the i-grid, AND the output
+    // join — checkpoint it so the (possibly expensive) upstream that
+    // PRODUCED the bins runs once, not three times
+    val bb = bins.localCheckpoint()
     val wCum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = bins
+    val c = bb
       .withColumn("cp", sum(col("n_pos")).over(wCum))
       .withColumn("cn", sum(col("n")).over(wCum))
       .localCheckpoint() // B rows; feeds both sides of the interval grid
@@ -144,11 +148,11 @@ object Telemetry {
       .select(col("j"), col("k"),
         ((col("pk") - col("pj")).cast("double") /
           (col("nk") - col("nj")).cast("double")).as("avgv"))
-    val iso = bins.select(col("bucket").as("i"))
+    val iso = bb.select(col("bucket").as("i"))
       .join(iv, col("j") <= col("i") && col("k") >= col("i"))
       .groupBy(col("i"), col("j")).agg(min(col("avgv")).as("mn"))
       .groupBy(col("i")).agg(max(col("mn")).as("iso"))
-    bins.join(iso, col("bucket") === col("i"))
+    bb.join(iso, col("bucket") === col("i"))
       .select(col("bucket"), col("n"), col("n_pos"),
         expr("(n_pos * 1000000) div n").as("raw_micro"),
         (round(col("iso"), 6) + lit(0.0)).as("iso_cal"))

@@ -369,6 +369,61 @@ class EdgeCaseSpec extends SparkSpec {
       assert(est > 150 && est < 200, s"1-key raw estimate should sit at ~alpha*m: $est")
     }
   }
+
+  test("round-12 session-5 operators survive degenerate inputs") {
+    import graft.llm.{Multimodal, Retrieval, Similarity, TextAnalysis}
+    import graft.pipeline.{Telemetry, TrainingData}
+    import graft.queries.{Audit, TimeSeries}
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType))))
+    // conformal: an empty frame (and a frame with no calibration rows)
+    // yields an EMPTY report — q̂ does not exist, nothing to cover
+    val emptyCp = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("split", StringType),
+        StructField("grp", LongType), StructField("cents", LongType))))
+    assert(TrainingData.conformalReport(emptyCp, 900000L).count() === 0L)
+    assert(TrainingData.conformalReport(
+      Seq(("train", 1L, 100L), ("test", 1L, 90L)).toDF("split", "grp", "cents"),
+      900000L).count() === 0L)
+    // IR eval / matryoshka on an empty index: no probes, no rows
+    assert(Retrieval.evalMetrics(emptyEmb, nProbes = 8, k = 10).count() === 0L)
+    assert(Similarity.matryoshkaAudit(emptyEmb, nProbes = 8, k = 10,
+      dims = Seq(8, 16)).count() === 0L)
+    // trend tests: empty series and the no-pairs singleton vanish
+    assert(TimeSeries.theilSenSlope(emptyEvents).count() === 0L)
+    assert(TimeSeries.mannKendall(emptyEvents).count() === 0L)
+    // privacy audits: empty relation → empty report
+    val emptyQi = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("g", StringType), StructField("sens", StringType),
+        StructField("j", LongType))))
+    assert(Audit.lDiversity(emptyQi, Seq("g"), "sens").count() === 0L)
+    assert(Audit.tCloseness(emptyQi, Seq("g"), "j").count() === 0L)
+    // token entropy: empty corpus → EMPTY report (no NULL *ALL* row)
+    assert(TextAnalysis.tokenEntropy(emptyDocs).count() === 0L)
+    // phash: empty and singleton corpora pair nothing; two 1-char
+    // payloads hash to the all-zero word and pair at Hamming 0 (equal
+    // constant signals ARE duplicates)
+    assert(Multimodal.phashPairs(emptyDocs, maxHam = 6).count() === 0L)
+    assert(Multimodal.phashPairs(oneDoc.select(col("doc_id"), col("text")),
+      maxHam = 6).count() === 0L)
+    val tiny = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val tinyGot = Multimodal.phashPairs(tiny, maxHam = 6).collect()
+    assert(tinyGot.length === 1 && tinyGot.head.getAs[Long]("hamming") === 0L)
+    // isotonic: empty bins → empty fit; a single bin is its own rate
+    val emptyBins = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("bucket", LongType), StructField("n", LongType),
+        StructField("n_pos", LongType))))
+    assert(Telemetry.isotonicCalibration(emptyBins).count() === 0L)
+    val oneBin = Telemetry.isotonicCalibration(
+      Seq((0L, 4L, 1L)).toDF("bucket", "n", "n_pos")).collect()
+    assert(oneBin.length === 1 && oneBin.head.getAs[Double]("iso_cal") === 0.25)
+  }
 }
 
 /** The source-matrix pipeline is declared inline; rebuild its core here

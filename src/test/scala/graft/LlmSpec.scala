@@ -1214,6 +1214,28 @@ class LlmSpec extends SparkSpec {
     assert(got(4L) === ((2L, 1L)))
   }
 
+  test("bqRecall: sign-preserving scaling is invisible, magnitude is the blind spot (r12)") {
+    import spark.implicits._
+    val s64 = Array.tabulate(64)(i => if (i < 32) 1.0 else -1.0)
+    def vec(f: Int => Double): Seq[Double] = Seq.tabulate(64)(i => f(i) * s64(i))
+    val rows = Seq(
+      (0L, vec(_ => 1.0)), // probe
+      (1L, vec(_ => 0.5)), // same signs, scaled → Hamming 0, cosine 1
+      (2L, Seq.tabulate(64)(i => if (i < 8) -s64(i) else s64(i))), // 8 flips
+      (4L, vec(i => if (i == 0) 100.0 else 0.01))) // sign-identical, angle far
+      .toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.bqRecall(rows, nProbes = 1, k = 2).collect()
+    assert(got.length === 1)
+    // BQ top-2 at Hamming 0 = {1, 4} (magnitude-blind); exact top-2 =
+    // {1, 2} → overlap 1, and the exact top-1 (vec 1) survives
+    assert(got.head.getAs[Long]("n_overlap") === 1L)
+    assert(got.head.getAs[Long]("exact_top1_kept") === 1L)
+    // without the magnitude decoy the BQ list recovers the exact one
+    val clean = rows.filter(col("vec_id") =!= 4L)
+    val g2 = graft.llm.Similarity.bqRecall(clean, nProbes = 1, k = 2).collect().head
+    assert(g2.getAs[Long]("n_overlap") === 2L)
+  }
+
   test("language ID agrees with itself across engines' tie rules (deterministic)") {
     val a = SparkEntry.queries("text_lang_id")(spark, sf("sf0.001"))
       .select("doc_id", "detected_lang").as[(Long, String)].collect().toMap

@@ -75,6 +75,26 @@ class PlanAuditSpec extends SparkSpec {
     "curation_hard_negatives" -> ((2, 1)),
     "timeseries_holt_backtest" -> ((3, 0)),
     "timeseries_holt_winters" -> ((3, 0)),
+    // r12 session 5 (measured at sf0.01): conformal = split scan +
+    // part-keyed train agg + score histogram + output rollup, q̂ and
+    // gpred riding broadcast 1-row frames; the trend pair = the
+    // (user, day) agg + pair-join + rank/tie rollups, all user-keyed;
+    // t-closeness = cells agg + the grid/cum machinery on bounded
+    // frames; entropy = explode agg + two rollups + union sort;
+    // phash = the fingerprint scan (map-only — checkpointed) + band
+    // join + verify joins (AQE broadcasts the pair frames); isotonic
+    // collapsed 11→3 by checkpointing the bins input (the telemetry
+    // upstream ran 3× before)
+    "ml_conformal_interval" -> ((4, 2)),
+    "search_eval_metrics" -> ((3, 2)),
+    "timeseries_theilsen_slope" -> ((3, 2)),
+    "timeseries_mann_kendall" -> ((4, 2)),
+    "audit_l_diversity" -> ((3, 1)),
+    "audit_t_closeness" -> ((6, 3)),
+    "text_token_entropy" -> ((4, 0)),
+    "multimodal_phash_pairs" -> ((2, 3)),
+    "embed_matryoshka_prefix" -> ((2, 1)),
+    "ml_isotonic_calibration" -> ((3, 3)),
   )
 
   recorded.foreach { case (name, (sh, bc)) =>

@@ -138,7 +138,14 @@ class RelationalSpec extends SparkSpec {
       "corpus_topic_terms",
       // the TTL sweep crosses the broadcast 1-row corpus-max anchor
       // over the data — the RFM anchor-day 1-row class
-      "audit_ttl_sweep")
+      "audit_ttl_sweep",
+      // r12 session 5: conformal crosses the broadcast 1-row gpred/
+      // n_train frame and the 1-row q̂ order-statistic frame over the
+      // cal/test rows — the 1-row broadcast class twice; t-closeness
+      // crosses the QI-group frame with the m-bounded domain and the
+      // broadcast 1-row (N, m) totals — the PSI domain-grid + 1-row
+      // classes
+      "ml_conformal_interval", "audit_t_closeness")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
