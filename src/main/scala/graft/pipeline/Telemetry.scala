@@ -240,6 +240,87 @@ object Telemetry {
         when(col("tp") + col("fn") > 0, r6(col("tp") / (col("tp") + col("fn")))).otherwise(0.0))
   }
 
+  /** Threshold-quality metrics beyond precision/recall — the one-row
+    * readout that compares OPERATING POINTS fairly on an imbalanced
+    * problem (the reference's 0.005%-positive regime is exactly where
+    * accuracy and even F1 mislead): F1, balanced accuracy, Youden's J,
+    * Cohen's κ, and Matthews correlation, all from the same one-pass
+    * confusion frame. κ is one EXACT-integer divide (2(tp·tn − fp·fn)
+    * over an integer denominator); MCC's denominator needs √ of a
+    * product that overflows 2⁶³ at corpus scale, so the two pair
+    * products stay exact BIGINTs and the final multiply/sqrt/divide
+    * are three IEEE ops in pinned order (the Mann–Kendall z
+    * convention). Undefined marginals → −1 sentinels. */
+  def thresholdMetrics(scoredDf: DataFrame): DataFrame = {
+    confusion(scoredDf)
+      .withColumn("f1",
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          r6(col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn"))))
+          .otherwise(lit(0.0)))
+      .withColumn("balanced_acc",
+        when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+          r6((col("tp") / (col("tp") + col("fn")) +
+            col("tn") / (col("tn") + col("fp"))) / 2))
+          .otherwise(lit(-1.0)))
+      .withColumn("youden_j",
+        when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+          r6(col("tp") / (col("tp") + col("fn")) +
+            col("tn") / (col("tn") + col("fp")) - 1))
+          .otherwise(lit(-1.0)))
+      .withColumn("kappa",
+        when((col("tp") + col("fp")) * (col("fp") + col("tn")) +
+          (col("tp") + col("fn")) * (col("fn") + col("tn")) > 0,
+          r6((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") * 2 /
+            ((col("tp") + col("fp")) * (col("fp") + col("tn")) +
+              (col("tp") + col("fn")) * (col("fn") + col("tn"))).cast("double")))
+          .otherwise(lit(-1.0)))
+      .withColumn("mcc",
+        when((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0 &&
+          (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0,
+          r6((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+            sqrt(((col("tp") + col("fp")) * (col("tp") + col("fn"))).cast("double") *
+              ((col("tn") + col("fp")) * (col("tn") + col("fn"))).cast("double"))))
+          .otherwise(lit(-1.0)))
+  }
+
+  /** Expected / maximum calibration error over the [0,1]-normalized
+    * score (Naeini et al., AAAI 2015's ECE; MCE beside it): per
+    * equi-width confidence bin, |accuracy − confidence| with the
+    * n_b/N weight — and the per-bin weighted gap collapses to the
+    * EXACT decimal |pos_b − Σs01_b| (n_b·|pos/n − ssum/n| = |pos −
+    * ssum|), so ECE = Σ|pos_b − ssum_b| / N is one divide over an
+    * exact decimal sum. Per-row normalized scores are 6-dp-rounded
+    * into DECIMAL before summing (the corrMatrix dsum discipline —
+    * order-free). Emits the psiDrift shape: per-bin rows + the
+    * window-summed totals. */
+  def calibrationError(scoredDf: DataFrame, buckets: Int = 10): DataFrame = {
+    val b = scoredDf
+      .agg(min(col("value_mean_7")).as("lo"), max(col("value_mean_7")).as("hi"))
+      .withColumn("k", lit(1))
+    val s01 = when(col("hi") === col("lo"), lit(0.5))
+      .otherwise((col("value_mean_7") - col("lo")) / (col("hi") - col("lo")))
+    val bins = scoredDf.withColumn("k", lit(1)).join(broadcast(b), "k")
+      .withColumn("s01r", round(s01, 6).cast("decimal(10,6)"))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(floor(s01 * buckets), lit(buckets - 1L)).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("failure_next")).cast("long").as("n_pos"),
+        sum(col("s01r")).as("ssum"))
+      .withColumn("contrib", abs(col("n_pos") - col("ssum")))
+    val w = Window.partitionBy()
+    bins.select(
+      col("bucket"), col("n"), col("n_pos"),
+      r6(col("ssum").cast("double") / col("n")).as("conf"),
+      r6(col("n_pos") / col("n")).as("acc"),
+      r6(col("contrib").cast("double") / col("n")).as("gap"),
+      r6(sum(col("contrib")).over(w).cast("double") /
+        sum(col("n")).over(w)).as("ece_total"),
+      r6(max(col("contrib").cast("double") / col("n")).over(w)).as("mce_total"))
+      .orderBy(col("bucket"))
+  }
+
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB). Mirrors the Spark lineage above 1:1; kept
   // adjacent so the two cannot drift silently. Conventions for exact

@@ -95,6 +95,9 @@ class PlanAuditSpec extends SparkSpec {
     "multimodal_phash_pairs" -> ((2, 3)),
     "embed_matryoshka_prefix" -> ((2, 1)),
     "ml_isotonic_calibration" -> ((3, 3)),
+    // BQ recall: the checkpointed word/cosine pass + two rank windows
+    // + the reference join (AQE broadcasts the k-bounded exact list)
+    "embed_bq_recall" -> ((3, 1)),
   )
 
   recorded.foreach { case (name, (sh, bc)) =>
