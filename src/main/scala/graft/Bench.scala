@@ -108,6 +108,30 @@ object Bench {
       .parquet(s"$out/embeddings.parquet")
   }
 
+  /** Hot-key skew fixture (VERDICT r12 task 2): the events table with
+    * every 5th event (event_id % 5 == 0 — deterministic, ~20% of rows)
+    * re-keyed to ONE hot user_id (−1, outside the id space). Under
+    * `Window.partitionBy(user_id)` that user's whole history serializes
+    * into a single task — the pathology `ChunkedWindow.features` exists
+    * to dissolve — so timing `telemetry_features` vs
+    * `telemetry_features_chunked` on this fixture measures the
+    * mitigation's benefit instead of asserting it. Timestamps pass
+    * through `Tables.normalizeTs` on the read side (already µs
+    * TimestampType after the round-trip). */
+  def skewFixture(spark: SparkSession, sfDir: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_bench_skew").toString
+    Tables.events(spark, sfDir)
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(5L)) === 0, lit(-1L))
+          .otherwise(col("user_id")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/events.parquet")
+    out
+  }
+
+  /** Fraction of fixture rows held by the planted hot user. */
+  val SkewHotFrac = 0.2
+
   /** Test-facing fixture accessor: one build per source dir per JVM
     * (LlmSpec used to rebuild the same fixture in three tests), all
     * cached dirs removed by a shutdown hook — /tmp no longer
@@ -167,6 +191,47 @@ object Bench {
         .orderBy(col("k"), col("v"))
         .write.format("noop").mode("overwrite").save()
     }))
+
+  /** Previous-round baseline for the drift-controlled table (VERDICT
+    * r12 task 1): the newest `BENCH_r{N}.json` in the repo (or
+    * `SPARK_GRAFT_BENCH_BASELINE`), parsed for its per-query mins and
+    * anchor mins. Returns (filename, queries, anchors). Tolerates both
+    * the compact-line number format and {"min": …} spread objects;
+    * any parse failure degrades to None — the bench must never fail
+    * because last round's artifact is odd. */
+  def loadBaseline(): Option[(String, Map[String, Double], Map[String, Double])] =
+    try {
+      val explicit = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(new java.io.File(_))
+      val file = explicit.orElse {
+        val cands = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+          .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        if (cands.isEmpty) None
+        else Some(cands.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt))
+      }
+      file.flatMap { f =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val parsed =
+          if (root.has("parsed") && root.get("parsed").isObject) root.get("parsed") else root
+        def numMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] =
+          if (node == null || !node.isObject) Map.empty
+          else {
+            val it = node.fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val e = it.next()
+              val v = e.getValue
+              if (v.isNumber) b += e.getKey -> v.asDouble()
+              else if (v.isObject && v.has("min")) b += e.getKey -> v.get("min").asDouble()
+            }
+            b.result()
+          }
+        val qs = numMap(parsed.get("queries")).filter(_._2 > 0)
+        val as = numMap(parsed.get("anchors")).filter(_._2 > 0)
+        if (qs.nonEmpty && as.nonEmpty) Some((f.getName, qs, as)) else None
+      }
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -244,7 +309,9 @@ object Bench {
     runAnchors() // phase 1: before any query timing
     val half = run.size / 2
     val results = run.zipWithIndex.map { case (q, qi) =>
-      if (qi == half) runAnchors() // phase 2: midway through the suite
+      // half > 0 guard (ADVICE r12): with a single headline query the
+      // midpoint would be index 0 and phase 2 would duplicate phase 1
+      if (qi == half && half > 0) runAnchors() // phase 2: midway through the suite
       val dir =
         if (fixtureQueries.contains(q.name)) fixtureDir.getOrElse(sfDir) else sfDir
       def rep(): Option[Double] = {
@@ -267,6 +334,104 @@ object Bench {
       q.name -> times.sorted
     }
     runAnchors() // phase 3: after the suite
+
+    // ---- hot-key skew probe (VERDICT r12 task 2) -----------------------
+    // One planted hot user holding ~20% of events: the single-window
+    // pipeline serializes that user's history into one task; the chunked
+    // rewrite bounds every task by (user, week). min-of-SkewReps each,
+    // one discarded warm-up — the PAIR's ratio is the published number,
+    // so both run in the same machine-state window back to back.
+    val SkewReps = 3
+    val skew: Option[(Double, Double)] =
+      try {
+        val dir = skewFixture(spark, sfDir)
+        Tables.events(spark, dir).count() // first-scan warm-up
+        def time(body: () => Unit): Double = {
+          body() // warm-up, discarded
+          (1 to SkewReps).map { _ =>
+            val t0 = System.nanoTime(); body(); (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        // sum one output per window frame: a bare .count() would let
+        // ColumnPruning drop the Window operators and time a scan
+        // (SkewProbe measured exactly that) — this consumer forces
+        // every frame on both variants equally
+        def force(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.agg(sum(col("value_mean_7") + col("value_std_7") + col("value_max_7") +
+            col("value_mean_14") + col("value_delta_1") + col("obs_seq"))).head()
+          ()
+        }
+        val plain = time(() =>
+          force(pipeline.Telemetry.features(Tables.events(spark, dir))))
+        val chunked = time(() =>
+          force(operators.ChunkedWindow.features(
+            pipeline.Telemetry.filtered(Tables.events(spark, dir)))))
+        deleteRecursively(dir)
+        Some((plain, chunked))
+      } catch {
+        case e: Throwable =>
+          if (!errors.contains("skew_probe"))
+            errors += "skew_probe" ->
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+      }
+
+    // ---- second scale point (VERDICT r12 task 6) -----------------------
+    // The same headline suite at the sibling sf0.01 dir (10× smaller):
+    // per-query big/small min ratios turn PLANS.md's scale-linearity
+    // claims into a per-round regression artifact. min-of-2 + warm-up —
+    // coarse, but a ratio that should sit near ~1–10 doesn't need the
+    // 7-rep noise floor (a superlinear blow-up moves it far outside the
+    // noise band).
+    val SmallReps = 2
+    val smallDir = sfDir.replace("sf0.1", "sf0.01")
+    val smallTimes: Map[String, Double] =
+      if (smallDir == sfDir || !new java.io.File(smallDir).isDirectory) Map.empty
+      else try {
+        for (t <- Tables.allTables if t != "events")
+          try Tables.load(spark, smallDir, t).count()
+          catch { case _: Throwable => () }
+        try Tables.events(spark, smallDir).count()
+        catch { case _: Throwable => () }
+        val smallFixture =
+          try {
+            val d = lshFixture(spark, smallDir)
+            Tables.documents(spark, d).count()
+            Some(d)
+          } catch { case _: Throwable => None }
+        val out = run.flatMap { q =>
+          val dir =
+            if (fixtureQueries.contains(q.name)) smallFixture.getOrElse(smallDir)
+            else smallDir
+          def rep(): Option[Double] = {
+            val t0 = System.nanoTime()
+            try { q.run(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
+          }
+          rep() // warm-up, discarded
+          val ts = (1 to SmallReps).flatMap(_ => rep())
+          if (ts.size == SmallReps) Some(q.name -> ts.min) else None
+        }.toMap
+        smallFixture.foreach(deleteRecursively)
+        out
+      } catch { case _: Throwable => Map.empty }
+
+    // ---- drift-controlled round-over-round table (VERDICT r12 task 1) --
+    // dc(q) = (q_now / q_prev) / (A_now / A_prev), A = geometric mean of
+    // the anchor mins shared with the baseline artifact. The anchors are
+    // FROZEN spark.range-only workloads, so A_now/A_prev measures the
+    // HOST (VM/JIT/scheduler drift — the r10 phantom 1.36×) and dc is
+    // the code-regression signal with that drift cancelled.
+    val baseline = loadBaseline()
+    val anchorMinsNow: Map[String, Double] = anchors.collect {
+      case (name, _) if anchorTimes(name).nonEmpty => name -> anchorTimes(name).min
+    }.toMap
+    val anchorRatio: Option[Double] = baseline.flatMap { case (_, _, prevA) =>
+      val shared = anchorMinsNow.keySet.intersect(prevA.keySet).toSeq.sorted
+      if (shared.isEmpty) None
+      else Some(math.exp(
+        shared.map(a => math.log(anchorMinsNow(a) / prevA(a))).sum / shared.size))
+    }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -303,14 +468,45 @@ object Bench {
     val anchorsJson = anchorStats.map { case (k, (mn, md, mx, n)) =>
       s"""${jstr(k)}:{"min":$mn,"median":$md,"max":$mx,"reps":$n}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"anchors":$anchorsJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
+    def r4(d: Double): String = f"$d%.4f"
+    def r2(d: Double): String = f"$d%.2f"
+    // verbose drift/scale/skew blocks for the big line (humans + the
+    // drift_compare.py harness); the compact line below carries the
+    // same data in aligned-array form so it survives the driver's
+    // 2000-char tail-capture window
+    val driftVerbose = (baseline, anchorRatio) match {
+      case (Some((bName, prevQ, _)), Some(ar)) =>
+        val rows = results.collect {
+          case (k, ts) if ts.size >= Reps && prevQ.contains(k) =>
+            val raw = ts.head / prevQ(k)
+            s"""${jstr(k)}:{"raw":${r4(raw)},"dc":${r4(raw / ar)}}"""
+        }.mkString("{", ",", "}")
+        s"""{"baseline":${jstr(bName)},"anchor_ratio":${r4(ar)},"queries":$rows}"""
+      case _ => "null"
+    }
+    val scaleVerbose =
+      if (smallTimes.isEmpty) "null"
+      else {
+        val rows = results.collect {
+          case (k, ts) if ts.size >= Reps && smallTimes.contains(k) =>
+            s"""${jstr(k)}:{"small":${r4(smallTimes(k))},"ratio":${r4(ts.head / smallTimes(k))}}"""
+        }.mkString("{", ",", "}")
+        s"""{"dir":${jstr(smallDir)},"queries":$rows}"""
+      }
+    val skewJson = skew.map { case (plain, chunked) =>
+      s"""{"hot_frac":$SkewHotFrac,"plain":${r4(plain)},"chunked":${r4(chunked)},""" +
+        s""""speedup":${r2(plain / chunked)},"reps":$SkewReps}"""
+    }.getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"anchors":$anchorsJson,"drift_controlled":$driftVerbose,"scale_ratios":$scaleVerbose,"skew":$skewJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
     // Compact SECOND line (VERDICT r7 "What's wrong" #1): the full
     // spread-bearing line above outgrew the driver's tail-capture window
-    // in round 7, leaving BENCH_r07.json "parsed": null. The driver
-    // parses the LAST complete JSON line it finds, so this short line —
-    // total + per-query mins only, rounded to 4 dp — is the one that
-    // must always fit; the spread line stays above for humans/diffing.
-    def r4(d: Double): String = f"$d%.4f"
+    // (2000 chars) in round 7, leaving BENCH_r07.json "parsed": null.
+    // The driver parses the LAST complete JSON line it finds, so this
+    // line — per-query mins at 4 dp plus the drift/scale/skew summaries
+    // in ALIGNED-ARRAY form ("dc"/"sr" entries align 1:1 with the
+    // "queries" key order; null where a query has no baseline/small
+    // counterpart) — is the one that must always fit; the verbose line
+    // above carries the same data as named maps for humans/diffing.
     val qsCompact = results.map { case (k, ts) =>
       s"${jstr(k)}:${if (ts.size >= Reps) r4(ts.head) else "-1"}"
     }.mkString("{", ",", "}")
@@ -320,7 +516,20 @@ object Bench {
     val anchorsCompact = anchorStats.map { case (k, (mn, _, _, _)) =>
       s"${jstr(k)}:${r4(mn)}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"anchors":$anchorsCompact,"sf":${jstr(sfDir)}}""")
+    val dcCompact = (baseline, anchorRatio) match {
+      case (Some((bName, prevQ, _)), Some(ar)) =>
+        val arr = results.map { case (k, ts) =>
+          if (ts.size >= Reps && prevQ.contains(k)) r2(ts.head / prevQ(k) / ar) else "null"
+        }.mkString("[", ",", "]")
+        s"""{"base":${jstr(bName)},"ar":${r2(ar)},"dc":$arr}"""
+      case _ => "null"
+    }
+    val srCompact =
+      if (smallTimes.isEmpty) "null"
+      else results.map { case (k, ts) =>
+        if (ts.size >= Reps && smallTimes.contains(k)) r2(ts.head / smallTimes(k)) else "null"
+      }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"anchors":$anchorsCompact,"drift":$dcCompact,"sr":$srCompact,"skew":$skewJson,"sf":${jstr(sfDir)}}""")
 
     // drop the fixture's salted parquet copy — it lives in a fresh temp
     // dir per run and would otherwise accumulate in /tmp (ADVICE r7)

@@ -86,8 +86,13 @@ object Multimodal {
     * band join shuffles on (band_idx, value); Hamming verify joins
     * the 4-word vectors back by id. */
   def phashPairs(docs: DataFrame, maxHam: Int): DataFrame = {
+    // greatest(·, 0): for an EMPTY text, length−1 = −1 and Spark's div
+    // truncates toward zero while DuckDB's // floors — positions 1 vs 0
+    // would diverge cross-engine (ADVICE r12). Clamping pins both
+    // engines to position 1 (ascii of '' = 0 in both, so empty payloads
+    // get the all-zero fingerprint on each side).
     val bt = "transform(sequence(0, 64), i -> " +
-      "ascii(substring(text, cast(1 + (i * (length(text) - 1)) div 64 as int), 1)))"
+      "ascii(substring(text, cast(1 + (i * greatest(length(text) - 1, 0)) div 64 as int), 1)))"
     def band(k: Int): String =
       s"aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> " +
         s"acc + if(element_at(bt, 16 * $k + j + 1) > element_at(bt, 16 * $k + j + 2), " +
@@ -120,6 +125,30 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Column-expression replay of `decodeStub`'s byte features — the
+    * `multimodal_decode_features_pinned` body (ASCII precondition:
+    * ascii(char_i) = byte_i; LlmSpec asserts it corpus-wide). Exact
+    * integers only: BIGINT byte sum, floor-div micro-mean, lowercased
+    * 4-byte head hex. The empty-text guard matters: sequence(1, 0)
+    * would DESCEND ([1, 0]) in Spark, and 0-length division needs the
+    * sentinel on both engines. */
+  def decodeFeaturesPinned(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("byte_sum",
+        when(length(col("text")) === 0 || col("text").isNull, lit(0L)).otherwise(
+          expr("aggregate(sequence(1, length(text)), cast(0 as bigint)," +
+            " (acc, i) -> acc + ascii(substring(text, i, 1)))")))
+      .select(
+        col("doc_id"),
+        coalesce(length(col("text").cast("binary")), lit(0)).cast("long").as("n_bytes"),
+        col("byte_sum"),
+        when(length(col("text")) === 0 || col("text").isNull, lit(0L))
+          .otherwise(expr("(byte_sum * 1000000) div length(cast(text as binary))"))
+          .as("mean_byte_micro"),
+        coalesce(lower(hex(substring(col("text").cast("binary"), 1, 4))), lit(""))
+          .as("head_hex"))
+      .orderBy("doc_id")
+
   val defs: Seq[Q] = Seq(
 
     // dHash near-dup pairs over the binary payload (see phashPairs):
@@ -141,7 +170,7 @@ object Multimodal {
         |fp AS (
         |  SELECT doc_id,
         |         list_transform(range(0, 65), i -> ascii(substr(text,
-        |           CAST(1 + (i * (length(text) - 1)) // 64 AS INTEGER), 1))) AS bt
+        |           CAST(1 + (i * greatest(length(text) - 1, 0)) // 64 AS INTEGER), 1))) AS bt
         |  FROM base),
         |bw AS (
         |  SELECT doc_id, k,
@@ -198,6 +227,34 @@ object Multimodal {
     // independently computed values.
     Q.noOracle("multimodal_decode_features") { (s, dir) =>
       decodeStub(s, withPayload(Tables.documents(s, dir))).toDF().orderBy("doc_id")
+    },
+
+    // Hash-pinned counterpart (VERDICT r12 task 3, the
+    // dedup_semantic_pinned pattern): the stub's decode output is
+    // deterministic, so its byte-level features replay in DuckDB —
+    // only the MEAN leaves the oracle (math.rint is half-even, SQL
+    // ROUND is half-away), so the pin carries the exact BIGINT byte
+    // sum and its floor-div micro-mean instead; LlmSpec asserts the
+    // pinned frame is row-identical to what decodeStub emits
+    // (n_bytes/head_hex equal, |mean − sum/n| ≤ 1e−6). The corpus is
+    // ASCII (n_bytes = length — asserted by the same test), so
+    // ascii(char_i) IS byte_i in both engines; the payload's 4-byte
+    // head replays as lowercased hex. Scale shape: map-only scan work
+    // over the payload column, one pass, nothing shuffles but the
+    // output sort.
+    Q("multimodal_decode_features_pinned",
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+        |              i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT)
+        |         AS byte_sum,
+        |       CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE (CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+        |                   i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT)
+        |                  * 1000000) // octet_length(encode(text)) END AS mean_byte_micro,
+        |       lower(substr(hex(encode(text)), 1, 8)) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      decodeFeaturesPinned(Tables.documents(s, dir))
     },
 
     // Resize + frame-sample plumbing (the remaining two media

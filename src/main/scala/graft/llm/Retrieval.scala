@@ -181,6 +181,12 @@ object Retrieval {
     * frame, one source-partitioned rank window — no global sort, no
     * data-sized driver state. */
   def temperatureMix(docs: DataFrame, keepHalf: Boolean = true): DataFrame = {
+    // keepHalf toggles the token budget: half the corpus (the declared
+    // query's mixing-with-headroom regime) vs the full corpus (pure
+    // re-balancing — oversampled sources shrink, undersampled ones keep
+    // everything their quota allows). ADVICE r12: the parameter used to
+    // be declared but unread — the divisor is now derived from it.
+    val budgetDiv = if (keepHalf) 2 else 1
     val src = docs.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_src"))
       .withColumn("w6u",
@@ -190,7 +196,7 @@ object Retrieval {
       sum(col("n_src")).cast("long").as("n_total"))
     val quota = src.crossJoin(broadcast(tot))
       .select(col("source"), col("n_src"),
-        expr("((n_total div 2) * w6u) div w_total").as("target"))
+        expr(s"((n_total div $budgetDiv) * w6u) div w_total").as("target"))
     val ranked = docs.select(col("doc_id"), col("source"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source"))

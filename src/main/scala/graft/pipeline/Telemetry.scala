@@ -520,6 +520,81 @@ object Telemetry {
          |FROM c""".stripMargin) {
       (s, dir) => confusion(scored(ev(s, dir)))
     },
+
+    // Full operating-point readout (see thresholdMetrics) — wired as a
+    // declared query per ADVICE r12 (it was library-only dead code):
+    // F1 / balanced accuracy / Youden's J / Cohen's κ / MCC from the
+    // same one-pass confusion frame. Every divide replays in DuckDB:
+    // BIGINT pair products stay exact, κ is one double divide of exact
+    // integers, MCC is multiply→sqrt→divide in pinned order.
+    Q("telemetry_threshold_metrics",
+      s"""${scoredSql()},
+         |c AS (
+         |  SELECT CAST(SUM(CASE WHEN alert = 1 AND failure_next = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN alert = 1 AND failure_next = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(SUM(CASE WHEN alert = 0 AND failure_next = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(SUM(CASE WHEN alert = 0 AND failure_next = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |         COUNT(*) AS n
+         |  FROM scored),
+         |m AS (
+         |  SELECT *,
+         |         CASE WHEN tp + fp > 0 THEN ROUND(tp / (tp + fp), 6) + 0 ELSE 0.0 END AS precision,
+         |         CASE WHEN tp + fn > 0 THEN ROUND(tp / (tp + fn), 6) + 0 ELSE 0.0 END AS recall
+         |  FROM c)
+         |SELECT *,
+         |       CASE WHEN tp * 2 + fp + fn > 0
+         |            THEN ROUND(tp * 2 / (tp * 2 + fp + fn), 6) + 0 ELSE 0.0 END AS f1,
+         |       CASE WHEN tp + fn > 0 AND tn + fp > 0
+         |            THEN ROUND((tp / (tp + fn) + tn / (tn + fp)) / 2, 6) + 0
+         |            ELSE -1.0 END AS balanced_acc,
+         |       CASE WHEN tp + fn > 0 AND tn + fp > 0
+         |            THEN ROUND(tp / (tp + fn) + tn / (tn + fp) - 1, 6) + 0
+         |            ELSE -1.0 END AS youden_j,
+         |       CASE WHEN (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) > 0
+         |            THEN ROUND(CAST(tp * tn - fp * fn AS DOUBLE) * 2 /
+         |                       CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) AS DOUBLE), 6) + 0
+         |            ELSE -1.0 END AS kappa,
+         |       CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+         |            THEN ROUND(CAST(tp * tn - fp * fn AS DOUBLE) /
+         |                       sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE) *
+         |                            CAST((tn + fp) * (tn + fn) AS DOUBLE)), 6) + 0
+         |            ELSE -1.0 END AS mcc
+         |FROM m""".stripMargin) {
+      (s, dir) => thresholdMetrics(scored(ev(s, dir)))
+    },
+
+    // Expected/maximum calibration error over the [0,1]-normalized
+    // score (see calibrationError) — wired per ADVICE r12. The per-bin
+    // weighted gap collapses to |pos_b − Σs01_b| on 6-dp DECIMAL
+    // rounded scores, so ECE/MCE are exact-decimal sums + one IEEE
+    // divide each; both engines replay the identical bucket and
+    // normalization arithmetic (the ml_calibration_curve idiom).
+    Q("telemetry_calibration_error",
+      s"""${scoredSql()},
+         |b AS (SELECT MIN(value_mean_7) AS lo, MAX(value_mean_7) AS hi FROM scored),
+         |k AS (
+         |  SELECT s.failure_next,
+         |         CASE WHEN b.hi = b.lo THEN CAST(0.5 AS DOUBLE)
+         |              ELSE (s.value_mean_7 - b.lo) / (b.hi - b.lo) END AS s01,
+         |         CASE WHEN b.hi = b.lo THEN 0
+         |              ELSE LEAST(CAST(FLOOR((s.value_mean_7 - b.lo) / (b.hi - b.lo) * 10)
+         |                         AS BIGINT), 9) END AS bucket
+         |  FROM scored s, b),
+         |g AS (
+         |  SELECT bucket, COUNT(*) AS n,
+         |         CAST(SUM(failure_next) AS BIGINT) AS n_pos,
+         |         SUM(CAST(ROUND(s01, 6) AS DECIMAL(10,6))) AS ssum
+         |  FROM k GROUP BY bucket),
+         |h AS (SELECT *, ABS(n_pos - ssum) AS contrib FROM g)
+         |SELECT bucket, n, n_pos,
+         |       ROUND(CAST(ssum AS DOUBLE) / n, 6) + 0 AS conf,
+         |       ROUND(n_pos / n, 6) + 0 AS acc,
+         |       ROUND(CAST(contrib AS DOUBLE) / n, 6) + 0 AS gap,
+         |       ROUND(CAST(SUM(contrib) OVER () AS DOUBLE) / SUM(n) OVER (), 6) + 0 AS ece_total,
+         |       ROUND(MAX(CAST(contrib AS DOUBLE) / n) OVER (), 6) + 0 AS mce_total
+         |FROM h ORDER BY bucket""".stripMargin) {
+      (s, dir) => calibrationError(scored(ev(s, dir)))
+    },
     // §7.5.1 range-frame variant: CALENDAR 7-day window (value-based
     // frame over epoch seconds) vs the reference's row-count frames —
     // a reporting gap no longer silently shifts the horizon. Range

@@ -234,6 +234,41 @@ object Graphs {
         .orderBy(col("id"))
     },
 
+    // Per-iteration survivor counts of the same peel, one level PAST
+    // the declared unroll (VERDICT r12 task 8): graph_kcore's
+    // fixpoint-at-4 / no-op-at-7 claim was spec-only (a GraphsSpec
+    // assertion); this trace makes it ORACLE-visible — iterations 4–7
+    // carry equal counts in the hash-pinned result, and since peeling
+    // only ever shrinks the node set, an equal count IS an equal set
+    // (the no-op certificate). Iteration 0 is the full node set.
+    Q("graph_kcore_trace", {
+      val unroll = (1 to 7).map { i =>
+        s""",d$i AS (
+           |  SELECT u.a AS id, COUNT(*) AS c FROM und u
+           |  JOIN n${i - 1} x ON u.a = x.id JOIN n${i - 1} y ON u.b = y.id
+           |  GROUP BY u.a)
+           |,n$i AS (SELECT id FROM d$i WHERE c >= 2)""".stripMargin
+      }.mkString("\n")
+      val levels = (0 to 7).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS iter, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM n$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH e0 AS (
+         |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+         |  UNION ALL SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 < 3),
+         |und AS (
+         |  SELECT DISTINCT a, b
+         |  FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) t),
+         |n0 AS (SELECT DISTINCT a AS id FROM und)
+         |$unroll
+         |$levels
+         |ORDER BY iter""".stripMargin
+    }) { (s, dir) =>
+      kCoreTrace(fixtureEdges(Tables.documents(s, dir).select(col("doc_id"))),
+        k = 2, iters = 7)
+    },
+
     // Link prediction by common-neighborhood scoring (r10 s4): for
     // every NON-edge pair sharing ≥1 neighbor, the common-neighbor
     // count plus the resource-allocation index Σ_z 1/deg(z) (Zhou,
@@ -332,6 +367,38 @@ object Graphs {
     val out = inducedDegrees(nodes)
       .select(col("id"), col("c").cast("long").as("degree"))
       .localCheckpoint()
+    und.unpersist()
+    out
+  }
+
+  /** Survivor-count trace of the fixed-iteration peel — see the
+    * `graph_kcore_trace` declaration. One (iter, n_nodes) row per
+    * level 0..`iters`; each level's count is a 1-row aggregate over
+    * the checkpointed survivor frame, so the trace costs one extra
+    * count-job per level on top of the peel itself. */
+  def kCoreTrace(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    def inducedDegrees(nodes: DataFrame): DataFrame =
+      und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
+        .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
+        .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
+    var nodes = und.select(col("a").as("id")).distinct().localCheckpoint()
+    def level(i: Int, n: DataFrame): DataFrame =
+      n.agg(count(lit(1)).cast("long").as("n_nodes"))
+        .select(lit(i.toLong).as("iter"), col("n_nodes"))
+    val levels = Seq.newBuilder[DataFrame]
+    levels += level(0, nodes)
+    for (i <- 1 to iters) {
+      nodes = inducedDegrees(nodes).filter(col("c") >= k)
+        .select(col("id")).localCheckpoint()
+      levels += level(i, nodes)
+    }
+    val out = levels.result().reduce(_ unionByName _)
+      .orderBy(col("iter")).localCheckpoint()
     und.unpersist()
     out
   }

@@ -44,6 +44,46 @@ class DocsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"headline references unknown queries: $missing")
   }
 
+  test("every rows-only query is documented-seeded or has a _pinned/_exact sibling") {
+    // VERDICT r12 task 5: the rows-only population must never grow
+    // silently. A `Q.noOracle` declaration is legitimate only when the
+    // nondeterminism is inherent (seeded sampling, engine-private
+    // sketch bits, ML training, k-means codebooks) — in which case it
+    // must be on the documented list below with its reason — or when a
+    // hash-pinned `<name>_pinned` / `<name>_exact` counterpart pins
+    // the same semantics. Any new rows-only query fails here until it
+    // is paired or documented, so the code and the round ADVICE's
+    // nondeterminism inventory cannot drift apart.
+    val documentedSeeded: Map[String, String] = Map(
+      "agg_approx_distinct" -> "Spark-internal HLL++ sketch bits; exact distincts oracle-checked in the same family",
+      "decontam_bloom_fpr" -> "engine-private bloom filter bits; exact decontamination queries are oracle-checked",
+      "embed_ivf_topk" -> "k-means codebook seeds; recall vs exact pinned by embed_ann_recall",
+      "embed_pq_topk" -> "k-means codebook seeds; recall vs exact pinned by embed_ann_recall/embed_bq_recall",
+      "embed_pq_rerank" -> "k-means codebook seeds; exact rerank tail tested in spec",
+      "embed_ivfpq_topk" -> "k-means codebook seeds; recall audits oracle-checked",
+      "ml_contributions" -> "GBT training output; Saabas identity Σcontrib=score−bias tested in spec",
+      "ml_e2e_metrics" -> "MLlib GBT training nondeterminism; exact AUC pinned by ml_auc_exact",
+      "ml_e2e_early_stop" -> "MLlib GBT training nondeterminism; planted-signal PR-AUC tested in spec",
+      "sample_downsample_union" -> "seeded Bernoulli sampler; exact stratified sampler oracle-checked (curation_stratified_sample)",
+      "sample_topk_rand" -> "seeded rand() ordering; invariants tested in spec, exact weighted sampler oracle-checked (sample_weighted_es)",
+      "text_bpe_encode" -> "vocabulary learned from corpus statistics; deterministic encode pinned by text_subword_encode_pinned",
+    )
+    val names = SparkEntry.all.map(_.name).toSet
+    val rowsOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name)
+    val unpaired = rowsOnly.filterNot { n =>
+      documentedSeeded.contains(n) ||
+        names.contains(s"${n}_pinned") || names.contains(s"${n}_exact")
+    }
+    assert(unpaired.isEmpty,
+      s"rows-only queries with neither a documented-seeded reason nor a " +
+        s"_pinned/_exact sibling: ${unpaired.mkString(", ")}")
+    // the documented list must not go stale: every entry still declared,
+    // still rows-only (an oracle upgrade should remove its entry)
+    val stale = documentedSeeded.keys.filterNot(rowsOnly.contains)
+    assert(stale.isEmpty,
+      s"documented-seeded entries no longer rows-only declarations: ${stale.mkString(", ")}")
+  }
+
   test("every declared query name appears in COVERAGE.md's inventory") {
     // VERDICT r7 task 5: the totals line is derived-checked above, but two
     // line-by-line rows were still skipped in r7 — names, not just counts,

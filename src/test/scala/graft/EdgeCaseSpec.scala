@@ -424,6 +424,53 @@ class EdgeCaseSpec extends SparkSpec {
       Seq((0L, 4L, 1L)).toDF("bucket", "n", "n_pos")).collect()
     assert(oneBin.length === 1 && oneBin.head.getAs[Double]("iso_cal") === 0.25)
   }
+
+  test("round-13 operators survive degenerate inputs") {
+    import graft.llm.Multimodal
+    import graft.pipeline.Telemetry
+    import graft.queries.Graphs
+    // threshold metrics on an empty scored frame: the global aggregate
+    // still emits its one row — counts NULL, ratio metrics at their
+    // documented sentinels (0.0 for precision/recall/f1, −1 for the
+    // marginal-dependent ones), never NaN or a divide error
+    val emptyScored = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("alert", IntegerType),
+        StructField("failure_next", IntegerType))))
+    val tm = Telemetry.thresholdMetrics(emptyScored).collect()
+    assert(tm.length === 1)
+    assert(tm.head.isNullAt(tm.head.fieldIndex("tp")))
+    assert(tm.head.getAs[Double]("f1") === 0.0)
+    assert(tm.head.getAs[Double]("mcc") === -1.0)
+    // calibration error on an empty frame: no bins, empty report (the
+    // bounds row exists but joins against nothing)
+    val emptyCal = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("value_mean_7", DoubleType),
+        StructField("failure_next", IntegerType))))
+    assert(Telemetry.calibrationError(emptyCal).count() === 0L)
+    // k-core trace on an edge-free graph: every level reports 0
+    // survivors — the trace stays total (one row per level), it never
+    // collapses to an empty frame
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    val trace = Graphs.kCoreTrace(emptyEdges, k = 2, iters = 3).collect()
+    assert(trace.map(_.getAs[Long]("iter")).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(trace.forall(_.getAs[Long]("n_nodes") === 0L))
+    // decode pin: empty corpus → empty; empty-text row → all-zero
+    // features with an empty head (sequence(1,0) would DESCEND in
+    // Spark — the guard is what this pins)
+    assert(Multimodal.decodeFeaturesPinned(emptyDocs).count() === 0L)
+    val pin = Multimodal.decodeFeaturesPinned(
+      Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")).collect()
+    assert(pin(0).getAs[Long]("n_bytes") === 0L)
+    assert(pin(0).getAs[Long]("byte_sum") === 0L)
+    assert(pin(0).getAs[Long]("mean_byte_micro") === 0L)
+    assert(pin(0).getAs[String]("head_hex") === "")
+    assert(pin(1).getAs[Long]("byte_sum") === ('a'.toInt + 'b'.toInt).toLong)
+    assert(pin(1).getAs[String]("head_hex") === "6162")
+  }
 }
 
 /** The source-matrix pipeline is declared inline; rebuild its core here

@@ -1163,6 +1163,37 @@ class LlmSpec extends SparkSpec {
     assert(out(1).mean_byte === 0.0)
   }
 
+  test("decode-features pin is row-identical to the stub on the corpus (r13)") {
+    // the _pinned oracle replays byte features in DuckDB; this test
+    // closes the loop on the Spark side: the pinned column-expression
+    // frame and the mapPartitions stub must describe the SAME bytes —
+    // n_bytes/head_hex equal, pinned byte_sum consistent with the
+    // stub's rounded mean, and the ascii()-path precondition (pure
+    // ASCII: n_bytes = char length) holds corpus-wide.
+    val dir = sf("sf0.001")
+    val stub = SparkEntry.queries("multimodal_decode_features")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Double]("mean_byte"), r.getAs[String]("head_hex")))).toMap
+    val pinned = SparkEntry.queries("multimodal_decode_features_pinned")(spark, dir)
+      .collect()
+    assert(pinned.length === stub.size)
+    val ascii = Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.length(col("text")) =!=
+        org.apache.spark.sql.functions.length(col("text").cast("binary")))
+      .count()
+    assert(ascii === 0L, s"$ascii non-ASCII docs — the ascii()-per-byte pin would diverge")
+    pinned.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nb, mean, hex) = stub(id)
+      assert(r.getAs[Long]("n_bytes") === nb, s"doc $id n_bytes")
+      assert(r.getAs[String]("head_hex") === hex, s"doc $id head_hex")
+      val sum = r.getAs[Long]("byte_sum")
+      val exact = if (nb == 0) 0.0 else sum.toDouble / nb
+      assert(math.abs(mean - exact) <= 1e-6, s"doc $id mean $mean vs $exact")
+      assert(r.getAs[Long]("mean_byte_micro") === (if (nb == 0) 0L else sum * 1000000L / nb))
+    }
+  }
+
   test("phashPairs: identical and rescaled payloads match, different content does not (r12)") {
     import spark.implicits._
     // smooth (band-limited) payloads — the signal class dHash's grid

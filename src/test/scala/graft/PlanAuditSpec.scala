@@ -98,6 +98,15 @@ class PlanAuditSpec extends SparkSpec {
     // BQ recall: the checkpointed word/cosine pass + two rank windows
     // + the reference join (AQE broadcasts the k-bounded exact list)
     "embed_bq_recall" -> ((3, 1)),
+    // r13 (measured at sf0.01): the skew-resistant chunked window —
+    // the label window + the documented two (user, chunk) exchanges +
+    // offsets window + context-ship join + final sort; AQE broadcasts
+    // the tiny offsets/dests frames. The gate protects the operator's
+    // reason to exist: SkewProbe measured its hottest-task bound (one
+    // user-week vs one user-history) only holds while the plan keeps
+    // the (user, chunk) keying — an extra data-sized exchange here
+    // means the rewrite regressed toward the single-partition form.
+    "telemetry_features_chunked" -> ((9, 3)),
   )
 
   recorded.foreach { case (name, (sh, bc)) =>

@@ -577,6 +577,12 @@ class RelationalSpec extends SparkSpec {
     val got = Graphs.kCore(edges, k = 2, iters = 6).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // the r13 trace narrates the same peel level by level: 5 nodes,
+    // then 4 (node 5 peeled), then the triangle, then no-ops — and its
+    // terminal count equals the kCore survivor count by construction
+    val trace = Graphs.kCoreTrace(edges, k = 2, iters = 4).collect()
+      .map(r => r.getAs[Long]("iter") -> r.getAs[Long]("n_nodes")).toMap
+    assert(trace === Map(0L -> 5L, 1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
     // the declared query's 6 iterations reach the true 2-core: one
     // more iteration must be a no-op
     val fx = Graphs.fixtureEdges(

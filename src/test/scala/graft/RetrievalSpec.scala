@@ -98,6 +98,24 @@ class RetrievalSpec extends SparkSpec {
     val again = Retrieval.temperatureMix(docs).select("doc_id").collect().map(_.getLong(0)).toSet
     val first = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == first)
+    // keepHalf=false (ADVICE r12: the parameter was declared but
+    // unread): the quota budget doubles to the full corpus — each
+    // source's target is exactly the keepHalf quota computed over
+    // n_total instead of n_total div 2, and the kept set grows
+    val full = Retrieval.temperatureMix(docs, keepHalf = false)
+    val fullQuotas = full.groupBy(col("source")).agg(max(col("target")).as("t"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    quotas.foreach { case (s, halfT, nSrc, _) =>
+      val fullT = fullQuotas(s)
+      assert(fullT >= halfT, s"$s full-budget quota $fullT < half-budget $halfT")
+      // same integer arithmetic at 2× budget: ((2·(n div 2) ≤ n) means
+      // fullT can exceed 2·halfT by at most the flooring slack of w6u/W
+      assert(fullT <= 2 * halfT + 2, s"$s full-budget quota $fullT >> 2×$halfT")
+      // (no availability bound here: with the full budget a √-boosted
+      // small source's QUOTA may exceed its n_src — the rn filter then
+      // caps the KEPT rows at availability, checked by the count below)
+    }
+    assert(full.count() >= out.count())
   }
 
   test("topic terms: planted clusters separate and their marker tokens rank first") {

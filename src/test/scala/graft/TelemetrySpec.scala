@@ -159,4 +159,51 @@ class TelemetrySpec extends SparkSpec {
     assert(isoSeq.zip(isoSeq.tail).forall { case (a, b) => b >= a }, s"not monotone: $isoSeq")
     assert(corpus.map(_.getAs[Long]("n")).sum > 0)
   }
+
+  test("thresholdMetrics: hand confusion tp=2 fp=1 fn=1 tn=6 gives the textbook scores (r13)") {
+    import spark.implicits._
+    // (alert, failure_next) multiset: 2×(1,1), 1×(1,0), 1×(0,1), 6×(0,0)
+    val scored = (Seq.fill(2)((1, 1)) ++ Seq((1, 0), (0, 1)) ++ Seq.fill(6)((0, 0)))
+      .toDF("alert", "failure_next")
+    val r = Telemetry.thresholdMetrics(scored).head()
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"), r.getAs[Long]("n")) === ((2L, 1L, 1L, 6L, 10L)))
+    assert(r.getAs[Double]("f1") === 0.666667)          // 4/6
+    assert(r.getAs[Double]("balanced_acc") === 0.761905) // (2/3 + 6/7)/2
+    assert(r.getAs[Double]("youden_j") === 0.52381)      // 2/3 + 6/7 − 1
+    assert(r.getAs[Double]("kappa") === 0.52381)         // 2·(12−1)/(21+21)
+    assert(r.getAs[Double]("mcc") === 0.52381)           // 11/√(3·3·7·7) = 11/21
+    // undefined marginals → sentinels, not NaN/divide-by-zero: no
+    // positives at all in truth or prediction
+    val allNeg = Seq.fill(4)((0, 0)).toDF("alert", "failure_next")
+    val s = Telemetry.thresholdMetrics(allNeg).head()
+    assert(s.getAs[Double]("f1") === 0.0)
+    assert(s.getAs[Double]("balanced_acc") === -1.0)
+    assert(s.getAs[Double]("mcc") === -1.0)
+  }
+
+  test("calibrationError: ECE = Σ|pos−Σs|/N on hand bins; degenerate equal-score frame (r13)") {
+    import spark.implicits._
+    // scores span [0,1] so s01 = score; only the 0.2-score row is
+    // miscalibrated (predicted 0.2, observed 1) → ECE = 0.8/5, MCE = 0.8
+    val scored = Seq((0.0, 0), (0.2, 1), (0.5, 1), (0.5, 0), (1.0, 1))
+      .toDF("value_mean_7", "failure_next")
+    val rows = Telemetry.calibrationError(scored).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq === Seq(0L, 2L, 5L, 9L))
+    val b2 = rows.find(_.getAs[Long]("bucket") == 2L).get
+    assert(b2.getAs[Double]("conf") === 0.2)
+    assert(b2.getAs[Double]("acc") === 1.0)
+    assert(b2.getAs[Double]("gap") === 0.8)
+    assert(rows.head.getAs[Double]("ece_total") === 0.16) // 0.8/5
+    assert(rows.head.getAs[Double]("mce_total") === 0.8)
+    // hi == lo: every row lands in bucket 0 at s01 = 0.5 — no NaN from
+    // the zero-width range
+    val flat = Seq((0.3, 1), (0.3, 0), (0.3, 0), (0.3, 0))
+      .toDF("value_mean_7", "failure_next")
+    val f = Telemetry.calibrationError(flat).collect()
+    assert(f.length === 1 && f.head.getAs[Long]("bucket") === 0L)
+    assert(f.head.getAs[Double]("conf") === 0.5)
+    assert(f.head.getAs[Double]("acc") === 0.25)
+    assert(f.head.getAs[Double]("ece_total") === 0.25) // |1 − 2.0|/4
+  }
 }
