@@ -120,17 +120,35 @@ object Bench {
     * TimestampType after the round-trip). */
   def skewFixture(spark: SparkSession, sfDir: String): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_bench_skew").toString
-    Tables.events(spark, sfDir)
-      .withColumn("user_id",
-        when(pmod(col("event_id"), lit(5L)) === 0, lit(-1L))
-          .otherwise(col("user_id")))
+    hotKeyed(Tables.events(spark, sfDir))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/events.parquet")
     out
   }
 
+  /** The hot-user re-key shared by `skewFixture` and `SkewProbe` (one
+    * definition so the bench's published `skew` block and PLANS.md's
+    * crossover table can never measure different fixtures): every 5th
+    * event_id → user −1 (outside the id space), ~`SkewHotFrac` of rows. */
+  def hotKeyed(events: DataFrame): DataFrame =
+    events.withColumn("user_id",
+      when(pmod(col("event_id"), lit(5L)) === 0, lit(-1L))
+        .otherwise(col("user_id")))
+
   /** Fraction of fixture rows held by the planted hot user. */
   val SkewHotFrac = 0.2
+
+  /** Forces every window frame of a `Telemetry.features`-shaped frame
+    * to execute (shared by the skew probes): a bare `.count()` lets
+    * ColumnPruning DROP the Window operators — no downstream reference
+    * to any window output — and times a bare scan (SkewProbe measured
+    * a flat ~0.19 s from 100k to 10M rows before this). One output per
+    * distinct frame, same consumer for every variant. */
+  def forceFeatures(df: DataFrame): Unit = {
+    df.agg(sum(col("value_mean_7") + col("value_std_7") + col("value_max_7") +
+      col("value_mean_14") + col("value_delta_1") + col("obs_seq"))).head()
+    ()
+  }
 
   /** Test-facing fixture accessor: one build per source dir per JVM
     * (LlmSpec used to rebuild the same fixture in three tests), all
@@ -203,9 +221,14 @@ object Bench {
     try {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(new java.io.File(_))
       val file = explicit.orElse {
+        // prefer the cwd's artifacts; the repo-root fallback only fires
+        // when the fork's cwd has none (a stale OTHER checkout's
+        // baseline would produce misleading dc ratios — r13 review)
+        def benches(d: java.io.File): Seq[java.io.File] =
+          Option(d.listFiles()).toSeq.flatten
+            .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         val cands = Seq(new java.io.File("."), new java.io.File("/root/repo"))
-          .flatMap(d => Option(d.listFiles()).toSeq.flatten)
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .map(benches).find(_.nonEmpty).getOrElse(Seq.empty)
         if (cands.isEmpty) None
         else Some(cands.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt))
       }
@@ -342,31 +365,24 @@ object Bench {
     // one discarded warm-up — the PAIR's ratio is the published number,
     // so both run in the same machine-state window back to back.
     val SkewReps = 3
-    val skew: Option[(Double, Double)] =
+    val skew: Option[(Double, Double)] = {
+      // fixture dir cleaned in finally — a failed probe must not
+      // accumulate parquet copies in /tmp (the ADVICE r7 class)
+      var dir: Option[String] = None
       try {
-        val dir = skewFixture(spark, sfDir)
-        Tables.events(spark, dir).count() // first-scan warm-up
+        dir = Some(skewFixture(spark, sfDir))
+        Tables.events(spark, dir.get).count() // first-scan warm-up
         def time(body: () => Unit): Double = {
           body() // warm-up, discarded
           (1 to SkewReps).map { _ =>
             val t0 = System.nanoTime(); body(); (System.nanoTime() - t0) / 1e9
           }.min
         }
-        // sum one output per window frame: a bare .count() would let
-        // ColumnPruning drop the Window operators and time a scan
-        // (SkewProbe measured exactly that) — this consumer forces
-        // every frame on both variants equally
-        def force(df: org.apache.spark.sql.DataFrame): Unit = {
-          df.agg(sum(col("value_mean_7") + col("value_std_7") + col("value_max_7") +
-            col("value_mean_14") + col("value_delta_1") + col("obs_seq"))).head()
-          ()
-        }
         val plain = time(() =>
-          force(pipeline.Telemetry.features(Tables.events(spark, dir))))
+          forceFeatures(pipeline.Telemetry.features(Tables.events(spark, dir.get))))
         val chunked = time(() =>
-          force(operators.ChunkedWindow.features(
-            pipeline.Telemetry.filtered(Tables.events(spark, dir)))))
-        deleteRecursively(dir)
+          forceFeatures(operators.ChunkedWindow.features(
+            pipeline.Telemetry.filtered(Tables.events(spark, dir.get)))))
         Some((plain, chunked))
       } catch {
         case e: Throwable =>
@@ -374,7 +390,8 @@ object Bench {
             errors += "skew_probe" ->
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           None
-      }
+      } finally dir.foreach(deleteRecursively)
+    }
 
     // ---- second scale point (VERDICT r12 task 6) -----------------------
     // The same headline suite at the sibling sf0.01 dir (10× smaller):
@@ -387,34 +404,36 @@ object Bench {
     val smallDir = sfDir.replace("sf0.1", "sf0.01")
     val smallTimes: Map[String, Double] =
       if (smallDir == sfDir || !new java.io.File(smallDir).isDirectory) Map.empty
-      else try {
-        for (t <- Tables.allTables if t != "events")
-          try Tables.load(spark, smallDir, t).count()
+      else {
+        var smallFixture: Option[String] = None // cleaned in finally
+        try {
+          for (t <- Tables.allTables if t != "events")
+            try Tables.load(spark, smallDir, t).count()
+            catch { case _: Throwable => () }
+          try Tables.events(spark, smallDir).count()
           catch { case _: Throwable => () }
-        try Tables.events(spark, smallDir).count()
-        catch { case _: Throwable => () }
-        val smallFixture =
-          try {
-            val d = lshFixture(spark, smallDir)
-            Tables.documents(spark, d).count()
-            Some(d)
-          } catch { case _: Throwable => None }
-        val out = run.flatMap { q =>
-          val dir =
-            if (fixtureQueries.contains(q.name)) smallFixture.getOrElse(smallDir)
-            else smallDir
-          def rep(): Option[Double] = {
-            val t0 = System.nanoTime()
-            try { q.run(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
-            catch { case _: Throwable => None }
-          }
-          rep() // warm-up, discarded
-          val ts = (1 to SmallReps).flatMap(_ => rep())
-          if (ts.size == SmallReps) Some(q.name -> ts.min) else None
-        }.toMap
-        smallFixture.foreach(deleteRecursively)
-        out
-      } catch { case _: Throwable => Map.empty }
+          smallFixture =
+            try {
+              val d = lshFixture(spark, smallDir)
+              Tables.documents(spark, d).count()
+              Some(d)
+            } catch { case _: Throwable => None }
+          run.flatMap { q =>
+            val dir =
+              if (fixtureQueries.contains(q.name)) smallFixture.getOrElse(smallDir)
+              else smallDir
+            def rep(): Option[Double] = {
+              val t0 = System.nanoTime()
+              try { q.run(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+              catch { case _: Throwable => None }
+            }
+            rep() // warm-up, discarded
+            val ts = (1 to SmallReps).flatMap(_ => rep())
+            if (ts.size == SmallReps) Some(q.name -> ts.min) else None
+          }.toMap
+        } catch { case _: Throwable => Map.empty[String, Double] }
+        finally smallFixture.foreach(deleteRecursively)
+      }
 
     // ---- drift-controlled round-over-round table (VERDICT r12 task 1) --
     // dc(q) = (q_now / q_prev) / (A_now / A_prev), A = geometric mean of

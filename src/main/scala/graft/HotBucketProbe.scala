@@ -39,6 +39,8 @@ object HotBucketProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val clusterSize = args.lift(1).map(_.toInt).getOrElse(500)
     val keep10 = args.lift(2).map(_.toInt).getOrElse(8)
+    require(clusterSize >= 2, s"clusterSize must be >= 2 to form pairs, got $clusterSize")
+    require(keep10 >= 1 && keep10 <= 10, s"keep10 must be in [1, 10], got $keep10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -45,10 +45,9 @@ object SkewProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val base = Tables.events(spark, sfDir)
-      .withColumn("user_id",
-        when(pmod(col("event_id"), lit(5L)) === 0, lit(-1L))
-          .otherwise(col("user_id")))
+    // the hot-user re-key is Bench's (one definition — the bench's
+    // published skew block and this table must measure the same fixture)
+    val base = Bench.hotKeyed(Tables.events(spark, sfDir))
       .select("event_id", "ts", "user_id", "event_type", "value")
     val bounds = base.agg(
       min(unix_micros(col("ts"))).as("lo"),
@@ -78,21 +77,13 @@ object SkewProbe {
       out
     }
 
-    // .count() would let ColumnPruning DROP the Window operators
-    // entirely (no downstream reference to any window output → the
-    // probe would time a bare scan; measured: plain stayed flat at
-    // ~0.19 s from 100k to 10M rows). Summing one output per frame
-    // forces every window to actually execute — the same consumer for
-    // both variants, so the ratio stays fair.
-    def force(df: DataFrame): Unit = {
-      df.agg(sum(col("value_mean_7") + col("value_std_7") + col("value_max_7") +
-        col("value_mean_14") + col("value_delta_1") + col("obs_seq"))).head()
-      ()
-    }
+    // Bench.forceFeatures: .count() would let ColumnPruning DROP the
+    // Window operators and time a bare scan (see its scaladoc)
     def timeMin(df: => DataFrame): Double = {
-      force(df) // warm-up: codegen + scan cache
+      Bench.forceFeatures(df) // warm-up: codegen + scan cache
       (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); force(df); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime(); Bench.forceFeatures(df)
+        (System.nanoTime() - t0) / 1e9
       }.min
     }
 

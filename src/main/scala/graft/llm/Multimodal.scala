@@ -239,21 +239,26 @@ object Multimodal {
     // (n_bytes/head_hex equal, |mean − sum/n| ≤ 1e−6). The corpus is
     // ASCII (n_bytes = length — asserted by the same test), so
     // ascii(char_i) IS byte_i in both engines; the payload's 4-byte
-    // head replays as lowercased hex. Scale shape: map-only scan work
-    // over the payload column, one pass, nothing shuffles but the
-    // output sort.
+    // head replays as lowercased hex. NULL/empty text → all-zero
+    // features with an empty head on BOTH engines (the COALESCE/CASE
+    // guards here mirror decodeFeaturesPinned's — r13 review: the
+    // guards existed Spark-side only). Scale shape: map-only scan
+    // work over the payload column, one pass, nothing shuffles but
+    // the output sort.
     Q("multimodal_decode_features_pinned",
-      """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
-        |              i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT)
-        |         AS byte_sum,
-        |       CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
-        |            ELSE (CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
-        |                   i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT)
-        |                  * 1000000) // octet_length(encode(text)) END AS mean_byte_micro,
-        |       lower(substr(hex(encode(text)), 1, 8)) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+        |         CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+        |                i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT)
+        |           AS byte_sum,
+        |         COALESCE(lower(substr(hex(encode(text)), 1, 8)), '') AS head_hex
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, byte_sum,
+        |       CASE WHEN n_bytes = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE (byte_sum * 1000000) // n_bytes END AS mean_byte_micro,
+        |       head_hex
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
       decodeFeaturesPinned(Tables.documents(s, dir))
     },
 

@@ -1177,9 +1177,12 @@ class LlmSpec extends SparkSpec {
     val pinned = SparkEntry.queries("multimodal_decode_features_pinned")(spark, dir)
       .collect()
     assert(pinned.length === stub.size)
+    // coalesce(-1): a NULL text row would make the inequality NULL and
+    // silently pass the filter (r13 review); NULL texts are fine (both
+    // engines emit all-zero features) but non-ASCII must still flag
     val ascii = Tables.documents(spark, dir)
-      .filter(org.apache.spark.sql.functions.length(col("text")) =!=
-        org.apache.spark.sql.functions.length(col("text").cast("binary")))
+      .filter(coalesce(length(col("text")), lit(-1)) =!=
+        coalesce(length(col("text").cast("binary")), lit(-1)))
       .count()
     assert(ascii === 0L, s"$ascii non-ASCII docs — the ascii()-per-byte pin would diverge")
     pinned.foreach { r =>
