@@ -87,6 +87,21 @@ class DocsSpec extends AnyFunSuite {
       s"documented-seeded entries no longer rows-only declarations: ${stale.mkString(", ")}")
   }
 
+  test("Bench.loadBaseline parses the newest round artifact (drift table precondition)") {
+    // the drift-controlled table silently degrades to null when the
+    // baseline parse fails — this pins the parser against the REAL
+    // artifact format so a driver-side format change breaks a test,
+    // not the round's perf signal
+    val base = Bench.loadBaseline()
+    assert(base.nonEmpty, "no BENCH_r{N}.json parsed from the repo")
+    val (name, queries, anchors) = base.get
+    assert(name.matches("BENCH_r\\d+\\.json"), s"unexpected baseline $name")
+    assert(queries.nonEmpty && queries.values.forall(_ > 0),
+      s"baseline queries empty or nonpositive: $queries")
+    assert(anchors.keySet === Set("anchor_cpu", "anchor_shuffle", "anchor_sort"),
+      s"anchor set drifted: ${anchors.keySet}")
+  }
+
   test("every declared query name appears in COVERAGE.md's inventory") {
     // VERDICT r7 task 5: the totals line is derived-checked above, but two
     // line-by-line rows were still skipped in r7 — names, not just counts,

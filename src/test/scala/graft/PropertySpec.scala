@@ -501,6 +501,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: kCoreTrace is total, non-increasing, and lands on the kCore survivor count") {
+    import graft.queries.Graphs
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 14)
+      nEdges <- Gen.choose(1, 24)
+      pairs <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield pairs.filter(p => p._1 != p._2)
+    check(Prop.forAll(graphGen, Gen.choose(2, 3)) { (es, k) =>
+      if (es.isEmpty) Prop(true) else {
+        val iters = 6
+        val trace = Graphs.kCoreTrace(es.toDF("a", "b"), k, iters).collect()
+          .sortBy(_.getAs[Long]("iter")).map(_.getAs[Long]("n_nodes")).toSeq
+        val survivors = Graphs.kCore(es.toDF("a", "b"), k, iters).collect()
+          .map(_.getLong(0)).distinct.length.toLong
+        (Prop(trace.size == iters + 1) :| s"trace not total: $trace") &&
+          (Prop(trace.zip(trace.tail).forall { case (a, b) => b <= a }) :|
+            s"peel grew: $trace") &&
+          (Prop(trace.last == survivors) :|
+            s"terminal count ${trace.last} != kCore survivors $survivors")
+      }
+    })
+  }
+
   test("property: sorted-prefix Gini == brute-force mean-absolute-difference identity") {
     // G = Σ(2i−n−1)x_i / (n·Σx) over sorted x must equal the O(n²)
     // definition Σ_ij |x_i−x_j| / (2n·Σx) on random grouped data —

@@ -552,6 +552,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup across a kill/restart: seen-hash state survives, no re-emission") {
+    // r13: the dedup tier's restart-perturbable state — the seen
+    // content-hash set behind dropDuplicatesWithinWatermark. A lost
+    // state row re-emits a duplicate doc into the training corpus
+    // (silent data poisoning); a replayed source file re-emits the
+    // SAME doc twice. Two AvailableNow runs on one checkpoint: run-2
+    // duplicates of run-1 content must stay suppressed (state
+    // restored), and nothing already emitted may re-emit.
+    val base = tempDir("graft_dedup_resume")
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(srcDir)
+      val q = StreamingAlerts.streamingDedup(src)
+        .select("doc_id")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq((1L, t(0), "alpha beta"), (2L, t(1), "gamma"), (3L, t(2), "ALPHA BETA"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(srcDir)
+    run() // emits 1, 2; suppresses 3 (same-run dup of 1)
+    val afterRun1 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(afterRun1 === Set(1L, 2L))
+    Seq((4L, t(3), "alpha beta"), // CROSS-RESTART dup of 1 — restored state must suppress
+      (5L, t(4), "delta"),        // genuinely new content
+      (6L, t(5), "Gamma"))        // cross-restart dup of 2 (case-folded)
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(srcDir)
+    run()
+    val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSeq
+    assert(got.size === got.distinct.size, s"restart re-emitted a row: $got")
+    assert(got.toSet === Set(1L, 2L, 5L),
+      s"expected cross-restart dups 4/6 suppressed and 5 emitted, got ${got.toSet}")
+  }
+
   test("streaming decontamination over two micro-batches == batch decontaminate") {
     implicit val sqlCtx = spark.sqlContext
     val evalText = "e1 e2 e3 e4 e5 e6 e7 e8 e9" // 9 tokens → 2 grams
