@@ -548,7 +548,7 @@ object Bench {
       else results.map { case (k, ts) =>
         if (ts.size >= Reps && smallTimes.contains(k)) r2(ts.head / smallTimes(k)) else "null"
       }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"anchors":$anchorsCompact,"drift":$dcCompact,"sr":$srCompact,"skew":$skewJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"anchors":$anchorsCompact,"drift":$dcCompact,"sr":$srCompact,"align":"dc and sr arrays follow the queries key order; dc = (q_now/q_prev)/(anchor_now/anchor_prev), sr = q_sf0.1/q_sf0.01","skew":$skewJson,"sf":${jstr(sfDir)}}""")
 
     // drop the fixture's salted parquet copy — it lives in a fresh temp
     // dir per run and would otherwise accumulate in /tmp (ADVICE r7)

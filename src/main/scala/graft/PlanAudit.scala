@@ -34,6 +34,33 @@ object PlanAudit {
       all.count(_.isInstanceOf[BroadcastExchangeExec]))
   }
 
+  /** Executes `df` and returns the BYTES its exchanges actually moved —
+    * (shuffle bytes written, shuffle records, broadcast data size) —
+    * from the executed plan's SQLMetrics. Exchange COUNTS say how many
+    * barriers a plan has; at 100 TB the cost driver is the VOLUME per
+    * barrier, and this is the measured per-row shuffle footprint that
+    * PLANS.md's scale extrapolations multiply out. Reused exchanges
+    * are deduplicated by node identity (walk() traverses through
+    * `ReusedExchangeExec`, so the underlying node appears once per
+    * consumer; its metrics must be summed once). */
+  def shuffleStats(df: DataFrame): (Long, Long, Long) = {
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def m(p: SparkPlan, key: String): Long =
+      p.metrics.get(key).map(_.value).getOrElse(0L)
+    var sBytes = 0L; var sRecs = 0L; var bBytes = 0L
+    walk(qe.executedPlan).foreach {
+      case s: ShuffleExchangeExec if seen.add(s) =>
+        sBytes += m(s, "shuffleBytesWritten"); sRecs += m(s, "shuffleRecordsWritten")
+      case b: BroadcastExchangeExec if seen.add(b) =>
+        bBytes += m(b, "dataSize")
+      case _ => ()
+    }
+    (sBytes, sRecs, bBytes)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()

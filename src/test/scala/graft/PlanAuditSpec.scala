@@ -145,4 +145,29 @@ class PlanAuditSpec extends SparkSpec {
         s"funnel core total exchanges regressed: $gotSh+$gotBc > 11")
     } finally ev.unpersist(blocking = true)
   }
+
+  // r13: shuffle VOLUME gates (PlanAudit.shuffleStats) — counts bound
+  // how many barriers a plan pays; these bound what the barriers MOVE,
+  // which is the wire cost at 100 TB. A payload column accidentally
+  // carried through an exchange (the regression class counts cannot
+  // see: same exchange count, 10× the bytes) fails here. Record
+  // bounds: measured at sf0.01 (ShuffleProbe, PLANS.md r13 table) —
+  // records are plan-determined and gated tight; bytes are serialized
+  // sizes and get ~2× headroom for codec/platform drift.
+  private val volumeGates: Map[String, (Long, Long)] = Map(
+    // query -> (max shuffle records, max shuffle bytes)
+    "telemetry_features" -> ((25000L, 1500000L)),  // measured 17986 / 0.64 MB
+    "join_fact_fact" -> ((35000L, 1000000L)),      // measured 29486 / 0.44 MB
+    "events_ohlc_bars" -> ((17000L, 800000L)),     // measured 14006 / 0.35 MB
+    "dedup_exact" -> ((2000L, 150000L)),           // measured 1500 / 0.06 MB
+  )
+  volumeGates.foreach { case (name, (maxRecs, maxBytes)) =>
+    test(s"$name: shuffle volume <= $maxRecs rows / $maxBytes bytes") {
+      val (sb, srec, _) = PlanAudit.shuffleStats(SparkEntry.queries(name)(spark, sfDir))
+      assert(srec <= maxRecs,
+        s"$name shuffled $srec records > $maxRecs — a stage stopped pre-aggregating?")
+      assert(sb <= maxBytes,
+        s"$name shuffled $sb bytes > $maxBytes — a payload column entered an exchange?")
+    }
+  }
 }
