@@ -30,7 +30,14 @@ class PlanAuditSpec extends SparkSpec {
     "analytics_large_orders" -> ((1, 2)),
     "analytics_dnf_revenue" -> ((1, 1)),
     "join_semi_agg_threshold" -> ((3, 2)),
-    "analytics_nation_volume" -> ((3, 5)),
+    // (4, 5) not (3, 5): AQE sometimes materializes the o_custkey
+    // sort-merge shuffle stage BEFORE deciding to flip that join to
+    // broadcast, and then builds the broadcast FROM the already-
+    // materialized shuffle output — the exchange stays in the executed
+    // plan as the broadcast's input. Timing-dependent: measured 4/5 on
+    // a cold session's first run and 3/5 on warm reruns (r13). The
+    // extra exchange is AQE's flip artifact, not a plan regression.
+    "analytics_nation_volume" -> ((4, 5)),
     "analytics_profit_by_nation" -> ((2, 3)),
     "analytics_local_volume" -> ((2, 4)),
     "search_bm25_topk" -> ((3, 2)),
