@@ -578,18 +578,25 @@ class StreamingSpec extends SparkSpec {
     }
     Seq((1L, t(0), "alpha beta"), (2L, t(1), "gamma"), (3L, t(2), "ALPHA BETA"))
       .toDF("doc_id", "ts", "text").write.mode("append").parquet(srcDir)
-    run() // emits 1, 2; suppresses 3 (same-run dup of 1)
+    run()
+    // within ONE micro-batch dropDuplicatesWithinWatermark keeps the
+    // first row PROCESSED, not the first by event time — the winner
+    // between same-content 1 and 3 is partition-order-dependent, so
+    // assert per CONTENT: exactly one of {1, 3} plus 2
     val afterRun1 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
-    assert(afterRun1 === Set(1L, 2L))
-    Seq((4L, t(3), "alpha beta"), // CROSS-RESTART dup of 1 — restored state must suppress
+    assert(afterRun1.size === 2 && afterRun1.contains(2L) &&
+      (afterRun1 - 2L).subsetOf(Set(1L, 3L)),
+      s"run 1 must emit one alpha-beta winner and gamma, got $afterRun1")
+    Seq((4L, t(3), "alpha beta"), // CROSS-RESTART dup — restored state must suppress
       (5L, t(4), "delta"),        // genuinely new content
       (6L, t(5), "Gamma"))        // cross-restart dup of 2 (case-folded)
       .toDF("doc_id", "ts", "text").write.mode("append").parquet(srcDir)
     run()
     val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSeq
     assert(got.size === got.distinct.size, s"restart re-emitted a row: $got")
-    assert(got.toSet === Set(1L, 2L, 5L),
-      s"expected cross-restart dups 4/6 suppressed and 5 emitted, got ${got.toSet}")
+    assert(got.toSet === afterRun1 + 5L,
+      s"expected cross-restart dups 4/6 suppressed and 5 emitted: " +
+        s"run1=$afterRun1 final=${got.toSet}")
   }
 
   test("streaming decontamination over two micro-batches == batch decontaminate") {
