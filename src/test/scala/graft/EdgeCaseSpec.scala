@@ -470,6 +470,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pin(0).getAs[String]("head_hex") === "")
     assert(pin(1).getAs[Long]("byte_sum") === ('a'.toInt + 'b'.toInt).toLong)
     assert(pin(1).getAs[String]("head_hex") === "6162")
+    // salted join on an empty fact side: empty result, no divide/explode
+    // faults from the salt machinery
+    val emptyFact = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType))))
+    val tinyDim = Seq((1L, 10L), (2L, 20L)).toDF("dk", "p")
+    assert(graft.operators.Salted.joinSalted(
+      emptyFact, tinyDim, "k", "dk", saltSource = Seq("v")).count() === 0L)
+    // bench hot-key re-key: exactly the event_id % 5 == 0 rows move to
+    // user −1, everyone else keeps their user (the published hot_frac
+    // in the BENCH skew block depends on this staying exact)
+    val ev = (0L until 20L).map(i => (i, i % 7)).toDF("event_id", "user_id")
+    val keyed = Bench.hotKeyed(ev).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("user_id")).toMap
+    (0L until 20L).foreach { i =>
+      if (i % 5 == 0) assert(keyed(i) === -1L, s"event $i should be hot")
+      else assert(keyed(i) === i % 7, s"event $i should keep its user")
+    }
   }
 }
 
