@@ -138,6 +138,37 @@ object Bench {
   /** Fraction of fixture rows held by the planted hot user. */
   val SkewHotFrac = 0.2
 
+  /** `skewFixture` with the HOT USER'S HISTORY amplified `m`-fold
+    * (replica k of the hot rows only, timestamps shifted by k·(span +
+    * 1 day), event_ids by k·10⁹): total = base + (m−1)·hot, so the
+    * plain window plan's critical path converges to the single hot
+    * partition while per-(user, week) chunk sizes stay constant —
+    * the regime `ChunkedWindow` exists for (SkewProbe's crossover
+    * table; at the raw 20% fixture the hot partition is below the
+    * crossover and the chunked rewrite's extra exchanges dominate).
+    * Shared by Bench's published `skew.amp` block and SkewProbe so
+    * both measure the same fixture recipe. */
+  def skewAmplifiedFixture(spark: SparkSession, sfDir: String, m: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft_bench_skew_x$m").toString
+    val base = hotKeyed(Tables.events(spark, sfDir))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val bounds = base.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val shiftUs = bounds.getLong(1) - bounds.getLong(0) + 86400000000L
+    val hotBase = base.filter(col("user_id") === -1L)
+    val hotReplicas = (1 until m).map { k =>
+      hotBase.select(
+        (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) + lit(k * shiftUs)).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    }
+    (base +: hotReplicas).reduce(_ unionByName _)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/events.parquet")
+    out
+  }
+
   /** Forces every window frame of a `Telemetry.features`-shaped frame
     * to execute (shared by the skew probes): a bare `.count()` lets
     * ColumnPruning DROP the Window operators — no downstream reference
@@ -392,6 +423,37 @@ object Bench {
           None
       } finally dir.foreach(deleteRecursively)
     }
+    // amplified point: the raw 20% fixture sits BELOW the chunked
+    // window's crossover (its hot partition fits one task, so the
+    // published speedup reads < 1); hot×SkewAmpM puts the published
+    // pair in the regime the mitigation exists for, so BENCH_r{N}
+    // demonstrates both sides of the crossover (SkewProbe's table)
+    val SkewAmpM = 30
+    val skewAmp: Option[(Double, Double)] = {
+      var dir: Option[String] = None
+      try {
+        dir = Some(skewAmplifiedFixture(spark, sfDir, SkewAmpM))
+        Tables.events(spark, dir.get).count()
+        def time(body: () => Unit): Double = {
+          body()
+          (1 to SkewReps).map { _ =>
+            val t0 = System.nanoTime(); body(); (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        val plain = time(() =>
+          forceFeatures(pipeline.Telemetry.features(Tables.events(spark, dir.get))))
+        val chunked = time(() =>
+          forceFeatures(operators.ChunkedWindow.features(
+            pipeline.Telemetry.filtered(Tables.events(spark, dir.get)))))
+        Some((plain, chunked))
+      } catch {
+        case e: Throwable =>
+          if (!errors.contains("skew_amp_probe"))
+            errors += "skew_amp_probe" ->
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+      } finally dir.foreach(deleteRecursively)
+    }
 
     // ---- second scale point (VERDICT r12 task 6) -----------------------
     // The same headline suite at the sibling sf0.01 dir (10× smaller):
@@ -512,9 +574,12 @@ object Bench {
         }.mkString("{", ",", "}")
         s"""{"dir":${jstr(smallDir)},"queries":$rows}"""
       }
+    val skewAmpJson = skewAmp.map { case (p, c) =>
+      s""","amp":{"m":$SkewAmpM,"plain":${r4(p)},"chunked":${r4(c)},"speedup":${r2(p / c)}}"""
+    }.getOrElse("")
     val skewJson = skew.map { case (plain, chunked) =>
       s"""{"hot_frac":$SkewHotFrac,"plain":${r4(plain)},"chunked":${r4(chunked)},""" +
-        s""""speedup":${r2(plain / chunked)},"reps":$SkewReps}"""
+        s""""speedup":${r2(plain / chunked)},"reps":$SkewReps$skewAmpJson}"""
     }.getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"anchors":$anchorsJson,"drift_controlled":$driftVerbose,"scale_ratios":$scaleVerbose,"skew":$skewJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
     // Compact SECOND line (VERDICT r7 "What's wrong" #1): the full

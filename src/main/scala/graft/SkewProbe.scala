@@ -45,37 +45,15 @@ object SkewProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // the hot-user re-key is Bench's (one definition — the bench's
-    // published skew block and this table must measure the same fixture)
-    val base = Bench.hotKeyed(Tables.events(spark, sfDir))
-      .select("event_id", "ts", "user_id", "event_type", "value")
-    val bounds = base.agg(
-      min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
-    val shiftUs = bounds.getLong(1) - bounds.getLong(0) + 86400000000L
-
-    // Replicate ONLY the hot user's rows: skew means one entity's
-    // history outgrew everyone else's, not that the table grew — a
-    // whole-table replication (first draft) buried the hot task's
-    // serialization under m× more well-distributed work and chunked's
-    // two extra exchanges on THAT swamped the saving (measured: 0.6×
-    // at m=100). Here total = base + (m−1)·hot, so the plain plan's
-    // critical path converges to the single hot-partition sort while
-    // chunked's hottest task stays one user-week.
-    val hotBase = base.filter(col("user_id") === -1L)
-    def fixture(m: Int): String = {
-      val out = java.nio.file.Files.createTempDirectory(s"graft_skew_x$m").toString
-      val hotReplicas = (1 until m).map { k =>
-        hotBase.select(
-          (col("event_id") + lit(k * 1000000000L)).as("event_id"),
-          timestamp_micros(unix_micros(col("ts")) + lit(k * shiftUs)).as("ts"),
-          col("user_id"), col("event_type"), col("value"))
-      }
-      (base +: hotReplicas).reduce(_ unionByName _)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$out/events.parquet")
-      out
-    }
+    // The fixture recipe is Bench's (one definition — the bench's
+    // published skew block and this table must measure the same
+    // fixture): hot-user re-key + hot-rows-ONLY replication. Whole-
+    // table replication (first draft) buried the hot task's
+    // serialization under m× more well-distributed work (measured:
+    // 0.6× at m=100); replicating only the hot history makes the
+    // plain plan's critical path converge to the single hot-partition
+    // sort while chunked's hottest task stays one user-week.
+    def fixture(m: Int): String = Bench.skewAmplifiedFixture(spark, sfDir, m)
 
     // Bench.forceFeatures: .count() would let ColumnPruning DROP the
     // Window operators and time a bare scan (see its scaladoc)
