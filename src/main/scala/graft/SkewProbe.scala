@@ -68,14 +68,15 @@ object SkewProbe {
     println(f"${"m"}%4s ${"rows"}%10s ${"hot_rows"}%10s ${"plain_s"}%9s ${"chunked_s"}%9s ${"plain/chunked"}%13s")
     for (m <- 1 +: scales) {
       val dir = fixture(m)
-      val ev = Tables.events(spark, dir)
-      val rows = ev.count()
-      val hot = ev.filter(col("user_id") === -1L).count()
-      val plain = timeMin(Telemetry.features(Tables.events(spark, dir)))
-      val chunked = timeMin(
-        ChunkedWindow.features(Telemetry.filtered(Tables.events(spark, dir))))
-      println(f"$m%4d $rows%10d $hot%10d $plain%9.3f $chunked%9.3f ${plain / chunked}%13.2f")
-      Bench.deleteRecursively(dir)
+      try {
+        val ev = Tables.events(spark, dir)
+        val rows = ev.count()
+        val hot = ev.filter(col("user_id") === -1L).count()
+        val plain = timeMin(Telemetry.features(Tables.events(spark, dir)))
+        val chunked = timeMin(
+          ChunkedWindow.features(Telemetry.filtered(Tables.events(spark, dir))))
+        println(f"$m%4d $rows%10d $hot%10d $plain%9.3f $chunked%9.3f ${plain / chunked}%13.2f")
+      } finally Bench.deleteRecursively(dir) // a crashed rep must not leak the fixture
     }
     spark.stop()
   }
