@@ -245,13 +245,18 @@ object Telemetry {
     * problem (the reference's 0.005%-positive regime is exactly where
     * accuracy and even F1 mislead): F1, balanced accuracy, Youden's J,
     * Cohen's κ, and Matthews correlation, all from the same one-pass
-    * confusion frame. κ is one EXACT-integer divide (2(tp·tn − fp·fn)
-    * over an integer denominator); MCC's denominator needs √ of a
-    * product that overflows 2⁶³ at corpus scale, so the two pair
-    * products stay exact BIGINTs and the final multiply/sqrt/divide
-    * are three IEEE ops in pinned order (the Mann–Kendall z
-    * convention). Undefined marginals → −1 sentinels. */
+    * confusion frame. Overflow discipline (ADVICE r13): a PAIR PRODUCT
+    * of confusion marginals — (tp+fp)·(fp+tn) etc. — exceeds 2⁶³ once
+    * n passes ~3·10⁹ rows, and Spark 4's ANSI default (and DuckDB)
+    * would throw mid-query at exactly the 100 TB design point; so each
+    * MARGINAL (≤ n, always BIGINT-safe) is cast to double FIRST and
+    * every product/sum/sqrt/divide after that is IEEE arithmetic in
+    * pinned order, replayed operation-for-operation by the oracle (the
+    * Mann–Kendall z convention). The ≤2⁵³ exactness loss this trades
+    * away is ~1e-16 relative — invisible under the 6-dp rounding.
+    * Undefined marginals → −1 sentinels. */
   def thresholdMetrics(scoredDf: DataFrame): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
     confusion(scoredDf)
       .withColumn("f1",
         when(col("tp") * 2 + col("fp") + col("fn") > 0,
@@ -268,18 +273,18 @@ object Telemetry {
             col("tn") / (col("tn") + col("fp")) - 1))
           .otherwise(lit(-1.0)))
       .withColumn("kappa",
-        when((col("tp") + col("fp")) * (col("fp") + col("tn")) +
-          (col("tp") + col("fn")) * (col("fn") + col("tn")) > 0,
-          r6((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") * 2 /
-            ((col("tp") + col("fp")) * (col("fp") + col("tn")) +
-              (col("tp") + col("fn")) * (col("fn") + col("tn"))).cast("double")))
+        when(d(col("tp") + col("fp")) * d(col("fp") + col("tn")) +
+          d(col("tp") + col("fn")) * d(col("fn") + col("tn")) > 0,
+          r6((d(col("tp")) * d(col("tn")) - d(col("fp")) * d(col("fn"))) * 2 /
+            (d(col("tp") + col("fp")) * d(col("fp") + col("tn")) +
+              d(col("tp") + col("fn")) * d(col("fn") + col("tn")))))
           .otherwise(lit(-1.0)))
       .withColumn("mcc",
         when((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0 &&
           (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0,
-          r6((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
-            sqrt(((col("tp") + col("fp")) * (col("tp") + col("fn"))).cast("double") *
-              ((col("tn") + col("fp")) * (col("tn") + col("fn"))).cast("double"))))
+          r6((d(col("tp")) * d(col("tn")) - d(col("fp")) * d(col("fn"))) /
+            sqrt(d(col("tp") + col("fp")) * d(col("tp") + col("fn")) *
+              (d(col("tn") + col("fp")) * d(col("tn") + col("fn"))))))
           .otherwise(lit(-1.0)))
   }
 
@@ -524,9 +529,10 @@ object Telemetry {
     // Full operating-point readout (see thresholdMetrics) — wired as a
     // declared query per ADVICE r12 (it was library-only dead code):
     // F1 / balanced accuracy / Youden's J / Cohen's κ / MCC from the
-    // same one-pass confusion frame. Every divide replays in DuckDB:
-    // BIGINT pair products stay exact, κ is one double divide of exact
-    // integers, MCC is multiply→sqrt→divide in pinned order.
+    // same one-pass confusion frame. Every divide replays in DuckDB;
+    // κ/MCC cast each MARGINAL to double before any product (BIGINT
+    // pair products would overflow both engines past ~3e9 rows —
+    // ADVICE r13) and run the same IEEE ops in the same pinned order.
     Q("telemetry_threshold_metrics",
       s"""${scoredSql()},
          |c AS (
@@ -550,14 +556,18 @@ object Telemetry {
          |       CASE WHEN tp + fn > 0 AND tn + fp > 0
          |            THEN ROUND(tp / (tp + fn) + tn / (tn + fp) - 1, 6) + 0
          |            ELSE -1.0 END AS youden_j,
-         |       CASE WHEN (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) > 0
-         |            THEN ROUND(CAST(tp * tn - fp * fn AS DOUBLE) * 2 /
-         |                       CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) AS DOUBLE), 6) + 0
+         |       CASE WHEN CAST(tp + fp AS DOUBLE) * CAST(fp + tn AS DOUBLE) +
+         |                 CAST(tp + fn AS DOUBLE) * CAST(fn + tn AS DOUBLE) > 0
+         |            THEN ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) -
+         |                        CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) * 2 /
+         |                       (CAST(tp + fp AS DOUBLE) * CAST(fp + tn AS DOUBLE) +
+         |                        CAST(tp + fn AS DOUBLE) * CAST(fn + tn AS DOUBLE)), 6) + 0
          |            ELSE -1.0 END AS kappa,
          |       CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
-         |            THEN ROUND(CAST(tp * tn - fp * fn AS DOUBLE) /
-         |                       sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE) *
-         |                            CAST((tn + fp) * (tn + fn) AS DOUBLE)), 6) + 0
+         |            THEN ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) -
+         |                        CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) /
+         |                       sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) *
+         |                            (CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))), 6) + 0
          |            ELSE -1.0 END AS mcc
          |FROM m""".stripMargin) {
       (s, dir) => thresholdMetrics(scored(ev(s, dir)))
