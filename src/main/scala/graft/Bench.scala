@@ -154,12 +154,18 @@ object Bench {
       .select("event_id", "ts", "user_id", "event_type", "value")
     val bounds = base.agg(
       min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
+      max(unix_micros(col("ts"))).as("hi"),
+      max(col("event_id")).as("mx")).head()
     val shiftUs = bounds.getLong(1) - bounds.getLong(0) + 86400000000L
+    // id stride from the data, not a constant: a fixed 10⁹ assumed base
+    // event_ids stay below it — at a larger SF replica ids would collide
+    // with base ids and corrupt the (ts, event_id) window tiebreak the
+    // fixture feeds (ADVICE r13)
+    val idStride = bounds.getLong(2) + 1L
     val hotBase = base.filter(col("user_id") === -1L)
     val hotReplicas = (1 until m).map { k =>
       hotBase.select(
-        (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+        (col("event_id") + lit(k * idStride)).as("event_id"),
         timestamp_micros(unix_micros(col("ts")) + lit(k * shiftUs)).as("ts"),
         col("user_id"), col("event_type"), col("value"))
     }
@@ -178,6 +184,28 @@ object Bench {
   def forceFeatures(df: DataFrame): Unit = {
     df.agg(sum(col("value_mean_7") + col("value_std_7") + col("value_max_7") +
       col("value_mean_14") + col("value_delta_1") + col("obs_seq"))).head()
+    ()
+  }
+
+  /** Headline queries whose dominant operator is a Window: under the
+    * headline's `.count()` consumer ColumnPruning legitimately DROPS
+    * the Window operators (nothing downstream reads their outputs), so
+    * the published number times the scan+filter, not the window —
+    * VERDICT r13 "What's wrong" #2. These queries are therefore ALSO
+    * timed under [[forceAll]] and published as `queries_forced` /
+    * `forced`; the `.count()` column stays for cross-round
+    * comparability of the historical series. */
+  val forcedQueries: Seq[String] =
+    Seq("telemetry_features", "telemetry_scored", "events_ohlc_bars")
+
+  /** Consumer that defeats column pruning for ANY frame: one xxhash64
+    * over every output column, summed — every operator producing an
+    * output column must actually run (the generic `forceFeatures`).
+    * The hashes are summed as DOUBLE: full-range longs overflow an
+    * ANSI BIGINT sum within a handful of rows, and the sum's value is
+    * discarded anyway — only the forced computation matters. */
+  def forceAll(df: DataFrame): Unit = {
+    df.select(sum(xxhash64(df.columns.map(col): _*).cast("double"))).head()
     ()
   }
 
@@ -287,6 +315,81 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** (min, median, max) of an ASCENDING-sorted timing vector; true
+    * median (mean of the two middle elements when the rep count is
+    * even — ADVICE r7: upper-middle biased it high). */
+  private[graft] def stat(ts: Seq[Double]): (Double, Double, Double) = {
+    val med =
+      if (ts.size % 2 == 1) ts(ts.size / 2)
+      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+    (ts.head, med, ts.last)
+  }
+
+  private[graft] def r4(d: Double): String = f"$d%.4f"
+  private[graft] def r2(d: Double): String = f"$d%.2f"
+
+  /** dc band outside which a query's median is published beside its min
+    * on the compact line (VERDICT r13 task 4: the r13 phantom — dc 2.26
+    * on an untouched plan — was adjudicable only by a judge re-run; the
+    * min-vs-median divergence that diagnoses per-query jitter was
+    * computed but truncated off the driver-parsed line). */
+  val DcOutlier = 1.3
+
+  /** Renders the compact driver-parsed line. This is the line that must
+    * ALWAYS fit the driver's 2000-char tail-capture window (BENCH_r07
+    * overflowed it → "parsed": null, the failure this line exists to
+    * prevent), so everything here is minimal: per-query mins at 4 dp,
+    * anchor mins, dc/sr in aligned-array form (entries follow the
+    * "queries" key order — formulas documented here, not on the wire:
+    * dc = (q_now/q_prev)/(anchor_now/anchor_prev), sr = q_sf0.1/q_sf0.01),
+    * medians only for dc outliers, forced-consumer mins, and the skew
+    * pair reduced to its two speedups (full detail rides the verbose
+    * line). Pure function of its inputs so BenchJsonSpec can gate the
+    * rendered length at worst-case shapes (ADVICE r13). */
+  private[graft] def compactJson(
+      total: Double,
+      mins: Seq[(String, Option[Double])],
+      anchors: Seq[(String, Double)],
+      drift: Option[(String, Double, Seq[Option[Double]])],
+      sr: Option[Seq[Option[Double]]],
+      med: Seq[(String, Double)],
+      forced: Seq[(String, Double)],
+      skewBase: Option[(Double, Double)],
+      skewAmp: Option[(Double, Double)],
+      sfDir: String): String = {
+    val qs = mins.map { case (k, t) =>
+      s"${jstr(k)}:${t.map(r4).getOrElse("-1")}"
+    }.mkString("{", ",", "}")
+    val anchorsJson = anchors.map { case (k, t) => s"${jstr(k)}:${r4(t)}" }
+      .mkString("{", ",", "}")
+    val driftJson = drift.map { case (base, ar, dc) =>
+      val arr = dc.map(_.map(r2).getOrElse("null")).mkString("[", ",", "]")
+      s"""{"base":${jstr(base)},"ar":${r2(ar)},"dc":$arr}"""
+    }.getOrElse("null")
+    val srJson = sr.map(_.map(_.map(r2).getOrElse("null")).mkString("[", ",", "]"))
+      .getOrElse("null")
+    val medJson = med.map { case (k, t) => s"${jstr(k)}:${r4(t)}" }
+      .mkString("{", ",", "}")
+    val forcedJson = forced.map { case (k, t) => s"${jstr(k)}:${r4(t)}" }
+      .mkString("{", ",", "}")
+    val skewJson =
+      if (skewBase.isEmpty && skewAmp.isEmpty) "null"
+      else {
+        def sp(t: Option[(Double, Double)]): String =
+          t.map { case (p, c) => r2(p / c) }.getOrElse("null")
+        s"""{"speedup":${sp(skewBase)},"amp_speedup":${sp(skewAmp)}}"""
+      }
+    s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,""" +
+      s""""anchors":$anchorsJson,"drift":$driftJson,"sr":$srJson,"med":$medJson,""" +
+      s""""forced":$forcedJson,"skew":$skewJson,"sf":${jstr(sfDir)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -386,6 +489,32 @@ object Bench {
           base ++ (1 to Reps).flatMap(_ => rep())
         else base
       q.name -> times.sorted
+    }
+
+    // forced-consumer pass for the window-bearing headline queries
+    // (VERDICT r13 task 3): same frames, same rep discipline, but the
+    // consumer references every output column so the Window operators
+    // cannot be pruned — this is the number that carries the window's
+    // real cost; the `.count()` series above keeps its historical
+    // comparability. Runs inside the anchor bracket (before phase 3)
+    // so the drift anchors sample the same machine-state window.
+    val forcedTimes: Seq[(String, Double)] = forcedQueries.flatMap { name =>
+      run.find(_.name == name).flatMap { q =>
+        def rep(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try { forceAll(q.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              if (!errors.contains(s"forced_$name"))
+                errors += s"forced_$name" ->
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              None
+          }
+        }
+        rep() // warm-up, discarded
+        val ts = (1 to Reps).flatMap(_ => rep())
+        if (ts.size == Reps) Some(name -> ts.min) else None
+      }
     }
     runAnchors() // phase 3: after the suite
 
@@ -514,19 +643,6 @@ object Bench {
         shared.map(a => math.log(anchorMinsNow(a) / prevA(a))).sum / shared.size))
     }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    def stat(ts: Seq[Double]): (Double, Double, Double) = {
-      // ts is sorted; true median (mean of the two middle elements when
-      // the rep count is even — ADVICE r7: upper-middle biased it high)
-      val med =
-        if (ts.size % 2 == 1) ts(ts.size / 2)
-        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-      (ts.head, med, ts.last)
-    }
     val qs = results.map { case (k, ts) =>
       s"${jstr(k)}:${if (ts.size >= Reps) ts.head else -1.0}"
     }.mkString("{", ",", "}")
@@ -549,8 +665,6 @@ object Bench {
     val anchorsJson = anchorStats.map { case (k, (mn, md, mx, n)) =>
       s"""${jstr(k)}:{"min":$mn,"median":$md,"max":$mx,"reps":$n}"""
     }.mkString("{", ",", "}")
-    def r4(d: Double): String = f"$d%.4f"
-    def r2(d: Double): String = f"$d%.2f"
     // verbose drift/scale/skew blocks for the big line (humans + the
     // drift_compare.py harness); the compact line below carries the
     // same data in aligned-array form so it survives the driver's
@@ -574,46 +688,69 @@ object Bench {
         }.mkString("{", ",", "}")
         s"""{"dir":${jstr(smallDir)},"queries":$rows}"""
       }
-    val skewAmpJson = skewAmp.map { case (p, c) =>
-      s""","amp":{"m":$SkewAmpM,"plain":${r4(p)},"chunked":${r4(c)},"speedup":${r2(p / c)}}"""
-    }.getOrElse("")
-    val skewJson = skew.map { case (plain, chunked) =>
-      s"""{"hot_frac":$SkewHotFrac,"plain":${r4(plain)},"chunked":${r4(chunked)},""" +
-        s""""speedup":${r2(plain / chunked)},"reps":$SkewReps$skewAmpJson}"""
-    }.getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"anchors":$anchorsJson,"drift_controlled":$driftVerbose,"scale_ratios":$scaleVerbose,"skew":$skewJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
+    // independently nullable base/amp members (ADVICE r13): the old
+    // shape only emitted the amp block inside skew.map, so a failed
+    // base probe silently dropped the amp measurement — the side of
+    // the crossover the mitigation actually exists for
+    def skewSide(t: Option[(Double, Double)], extra: String): String =
+      t.map { case (p, c) =>
+        s"""{$extra"plain":${r4(p)},"chunked":${r4(c)},"speedup":${r2(p / c)}}"""
+      }.getOrElse("null")
+    val skewJson =
+      if (skew.isEmpty && skewAmp.isEmpty) "null"
+      else s"""{"hot_frac":$SkewHotFrac,"reps":$SkewReps,""" +
+        s""""base":${skewSide(skew, "")},""" +
+        s""""amp":${skewSide(skewAmp, s""""m":$SkewAmpM,""")}}"""
+    val forcedJson = forcedTimes.map { case (k, t) => s"${jstr(k)}:${r4(t)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"queries_forced":$forcedJson,"anchors":$anchorsJson,"drift_controlled":$driftVerbose,"scale_ratios":$scaleVerbose,"skew":$skewJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
     // Compact SECOND line (VERDICT r7 "What's wrong" #1): the full
     // spread-bearing line above outgrew the driver's tail-capture window
     // (2000 chars) in round 7, leaving BENCH_r07.json "parsed": null.
     // The driver parses the LAST complete JSON line it finds, so this
-    // line — per-query mins at 4 dp plus the drift/scale/skew summaries
-    // in ALIGNED-ARRAY form ("dc"/"sr" entries align 1:1 with the
-    // "queries" key order; null where a query has no baseline/small
-    // counterpart) — is the one that must always fit; the verbose line
-    // above carries the same data as named maps for humans/diffing.
-    val qsCompact = results.map { case (k, ts) =>
-      s"${jstr(k)}:${if (ts.size >= Reps) r4(ts.head) else "-1"}"
-    }.mkString("{", ",", "}")
-    // anchor mins ride the compact line too (the one the driver always
-    // parses), so drift normalization survives even when the spread
-    // line outgrows the tail-capture window
-    val anchorsCompact = anchorStats.map { case (k, (mn, _, _, _)) =>
-      s"${jstr(k)}:${r4(mn)}"
-    }.mkString("{", ",", "}")
-    val dcCompact = (baseline, anchorRatio) match {
-      case (Some((bName, prevQ, _)), Some(ar)) =>
-        val arr = results.map { case (k, ts) =>
-          if (ts.size >= Reps && prevQ.contains(k)) r2(ts.head / prevQ(k) / ar) else "null"
-        }.mkString("[", ",", "]")
-        s"""{"base":${jstr(bName)},"ar":${r2(ar)},"dc":$arr}"""
-      case _ => "null"
+    // line must always fit — rendered by [[compactJson]], whose char
+    // budget BenchJsonSpec gates at worst-case query counts.
+    val dcByQuery: Map[String, Double] = (baseline, anchorRatio) match {
+      case (Some((_, prevQ, _)), Some(ar)) =>
+        results.collect { case (k, ts) if ts.size >= Reps && prevQ.contains(k) =>
+          k -> ts.head / prevQ(k) / ar
+        }.toMap
+      case _ => Map.empty
     }
-    val srCompact =
-      if (smallTimes.isEmpty) "null"
-      else results.map { case (k, ts) =>
-        if (ts.size >= Reps && smallTimes.contains(k)) r2(ts.head / smallTimes(k)) else "null"
-      }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"anchors":$anchorsCompact,"drift":$dcCompact,"sr":$srCompact,"align":"dc and sr arrays follow the queries key order; dc = (q_now/q_prev)/(anchor_now/anchor_prev), sr = q_sf0.1/q_sf0.01","skew":$skewJson,"sf":${jstr(sfDir)}}""")
+    // min-vs-median jitter evidence (VERDICT r13 task 4): for any query
+    // whose dc leaves the [1/1.3, 1.3] band, publish its MEDIAN beside
+    // the min on the driver-parsed line — min≪median is the signature
+    // of the r13 phantom (per-query host jitter), min≈median of a real
+    // plan change; capped at the 8 largest excursions to bound the line
+    val medians: Seq[(String, Double)] = dcByQuery.toSeq
+      .filter { case (_, dc) => dc > DcOutlier || dc < 1 / DcOutlier }
+      .sortBy { case (_, dc) => -math.abs(math.log(dc)) }
+      .take(8)
+      .flatMap { case (k, _) =>
+        results.find(_._1 == k).map { case (_, ts) => k -> stat(ts)._2 }
+      }
+    println(compactJson(
+      total = total,
+      mins = results.map { case (k, ts) =>
+        k -> (if (ts.size >= Reps) Some(ts.head) else None)
+      },
+      anchors = anchorStats.map { case (k, (mn, _, _, _)) => k -> mn },
+      drift = (baseline, anchorRatio) match {
+        case (Some((bName, _, _)), Some(ar)) =>
+          Some((bName, ar, results.map { case (k, _) => dcByQuery.get(k) }))
+        case _ => None
+      },
+      sr =
+        if (smallTimes.isEmpty) None
+        else Some(results.map { case (k, ts) =>
+          if (ts.size >= Reps && smallTimes.contains(k)) Some(ts.head / smallTimes(k))
+          else None
+        }),
+      med = medians,
+      forced = forcedTimes,
+      skewBase = skew,
+      skewAmp = skewAmp,
+      sfDir = sfDir))
 
     // drop the fixture's salted parquet copy — it lives in a fresh temp
     // dir per run and would otherwise accumulate in /tmp (ADVICE r7)

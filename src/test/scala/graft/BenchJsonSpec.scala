@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The compact second Bench line is the one the driver's 2000-char
+  * tail-capture window must always hold (BENCH_r07 overflowed it →
+  * "parsed": null, and the round's perf data was lost). r13 measured
+  * the rendered line at 1493 chars and ADVICE flagged that a dozen
+  * more headline queries would overflow it again — so the renderer is
+  * now a pure function and this spec gates its length at WORST-CASE
+  * shapes: every optional block present, the med map at its 8-entry
+  * cap, long realistic query names, -1 error sentinels. Headroom,
+  * not the cliff, is the bound: the line must stay under 1900 chars
+  * so a few more queries or a longer sf path cannot tip it over
+  * between rounds.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private def worstCase(names: Seq[String]): String = {
+    val mins = names.zipWithIndex.map { case (n, i) =>
+      // one errored query (renders "-1"), the rest 4-dp values
+      n -> (if (i == 3) None else Some(1.2345 + i * 0.01))
+    }
+    Bench.compactJson(
+      total = 123.4567,
+      mins = mins,
+      anchors = Bench.anchors.map { case (a, _) => a -> 12.3456 },
+      drift = Some(("BENCH_r99.json", 1.07, names.map(_ => Some(1.23)))),
+      sr = Some(names.map(_ => Some(12.34))),
+      med = names.take(8).map(n => n -> 1.2345),
+      forced = Bench.forcedQueries.map(n => n -> 1.2345),
+      skewBase = Some((1.2345, 2.3456)),
+      skewAmp = Some((3.4567, 1.2345)),
+      sfDir = "/root/testdata/sf0.1")
+  }
+
+  test("compact line fits the driver tail window with headroom") {
+    val line = worstCase(SparkEntry.headline)
+    info(s"worst-case compact line: ${line.length} chars (driver window 2000)")
+    assert(line.length < 1900,
+      s"compact line is ${line.length} chars — the driver tail-capture " +
+        "window is 2000; trim a block or shorten keys before adding queries")
+  }
+
+  test("compact line is valid JSON with the driver-read keys") {
+    val line = worstCase(SparkEntry.headline)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(line)
+    for (k <- Seq("metric", "value", "unit", "queries", "anchors", "drift",
+        "sr", "med", "forced", "skew", "sf"))
+      assert(root.has(k), s"compact line lost the '$k' key")
+    assert(root.get("queries").size() === SparkEntry.headline.size)
+    assert(root.get("drift").get("dc").size() === SparkEntry.headline.size,
+      "dc array must align 1:1 with the queries key order")
+    assert(root.get("sr").size() === SparkEntry.headline.size,
+      "sr array must align 1:1 with the queries key order")
+    assert(root.get("skew").get("speedup").isNumber)
+    assert(root.get("skew").get("amp_speedup").isNumber)
+  }
+
+  test("compact line renders null-side skew and absent drift without keys lost") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // amp alive with base dead — the ADVICE r13 case: the amp block
+    // must survive a failed base probe
+    val ampOnly = Bench.compactJson(1.0, Seq("q" -> Some(1.0)), Nil, None,
+      None, Nil, Nil, None, Some((2.0, 1.0)), "sf")
+    val r1 = om.readTree(ampOnly)
+    assert(r1.get("skew").get("speedup").isNull)
+    assert(r1.get("skew").get("amp_speedup").asDouble() === 2.0)
+    // both probes dead → skew is null, line still parses
+    val none = Bench.compactJson(1.0, Seq("q" -> None), Nil, None,
+      None, Nil, Nil, None, None, "sf")
+    val r2 = om.readTree(none)
+    assert(r2.get("skew").isNull)
+    assert(r2.get("queries").get("q").asInt() === -1)
+  }
+}
