@@ -324,21 +324,35 @@ object Curation {
     // (a long-lived session would otherwise leak it per invocation).
     val grams = gramHashRows(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val evalIds = docs.filter(evalPred).select(col("doc_id"))
+    // eager materialization (flagged docs only — a bounded aggregate),
+    // then drop the gram cache: no storage outlives the call
+    val out = contaminatedFrom(grams, docs.filter(evalPred).select(col("doc_id")))
+      .localCheckpoint()
+    grams.unpersist()
+    out
+  }
+
+  /** The contamination aggregate shared by [[decontaminate]] and the
+    * probe-facing [[decontaminatePlan]]: eval-gram distinct, train-side
+    * distinct, the gram-keyed probe join, per-doc contam rollup. */
+  private def contaminatedFrom(grams: DataFrame, evalIds: DataFrame): DataFrame = {
     val ev = grams.join(evalIds, Seq("doc_id"), "left_semi").select(col("gram_h")).distinct()
     val tr = grams.join(evalIds, Seq("doc_id"), "left_anti").distinct()
-    val out = tr.join(ev.withColumn("hit", lit(1)), Seq("gram_h"), "left")
+    tr.join(ev.withColumn("hit", lit(1)), Seq("gram_h"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contam"))
       .filter(col("n_contam") > 0)
-      // eager materialization (flagged docs only — a bounded aggregate),
-      // then drop the gram cache: no storage outlives the call
-      .localCheckpoint()
-    grams.unpersist()
-    out
   }
+
+  /** Un-persisted, un-checkpointed decontamination PLAN (VERDICT r13
+    * task 1): same exchanges as [[decontaminate]] — persistence only
+    * dedups the map-side gram generator — but probe-readable by
+    * `PlanAudit.shuffleStats`. */
+  private[graft] def decontaminatePlan(
+      docs: DataFrame, evalPred: Column, n: Int = 8): DataFrame =
+    contaminatedFrom(gramHashRows(docs, n), docs.filter(evalPred).select(col("doc_id")))
 
   /** `decontaminate` with a BLOOM-FILTER pre-filter — the shuffle
     * reducer for the 100 TB shape: the eval side's gram hashes are
@@ -577,14 +591,48 @@ object Curation {
   def trainingReady(
       docs: DataFrame, evalPred: Column, minTokens: Int,
       rates: Seq[(String, Int)], defaultRate: Int, budget: Int): DataFrame = {
-    val survivors = docs.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     // the dedup survivors feed decontamination AND the kept-side
     // filters — persist so the groupBy+semi join runs once
-    val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val corpus = exactDedupCorpus(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contam = decontaminate(corpus, evalPred).select(col("doc_id"))
+    val out = trainingReadyFrom(
+      corpus, contam, evalPred, minTokens, rates, defaultRate, budget)
+      // eager: the packed listing is one narrow row per kept doc (no
+      // text column) — far smaller than the text-bearing corpus cache
+      // it lets us drop; without this the session leaks the cache
+      .localCheckpoint()
+    corpus.unpersist()
+    out
+  }
+
+  /** The capstone's exact-dedup stage: survivors (first doc_id per
+    * content hash) semi-joined back onto the corpus. */
+  private[graft] def exactDedupCorpus(docs: DataFrame): DataFrame = {
+    val survivors = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    docs.join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+  }
+
+  /** Un-persisted, un-checkpointed capstone PLAN (VERDICT r13 task 1):
+    * the exact-dedup semi-join, decontamination, length gate, mixing
+    * and packing stages in one probe-readable lineage — what the
+    * public API shields behind its persisted corpus and two
+    * localCheckpoints. Exchange volumes match the public form; only
+    * map-side re-derivation differs. */
+  private[graft] def trainingReadyPlan(
+      docs: DataFrame, evalPred: Column, minTokens: Int,
+      rates: Seq[(String, Int)], defaultRate: Int, budget: Int): DataFrame = {
+    val corpus = exactDedupCorpus(docs)
+    trainingReadyFrom(
+      corpus, decontaminatePlan(corpus, evalPred).select(col("doc_id")),
+      evalPred, minTokens, rates, defaultRate, budget)
+  }
+
+  private def trainingReadyFrom(
+      corpus: DataFrame, contam: DataFrame, evalPred: Column, minTokens: Int,
+      rates: Seq[(String, Int)], defaultRate: Int, budget: Int): DataFrame = {
     val kept = stratifiedSample(
       corpus.filter(!evalPred)
         .join(contam, Seq("doc_id"), "left_anti")
@@ -593,15 +641,9 @@ object Curation {
       rates, defaultRate)
     val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = kept.withColumn("cum", sum(col("n_tokens")).over(bySource))
+    kept.withColumn("cum", sum(col("n_tokens")).over(bySource))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $budget").as("start_bin"))
-      // eager: the packed listing is one narrow row per kept doc (no
-      // text column) — far smaller than the text-bearing corpus cache
-      // it lets us drop; without this the session leaks the cache
-      .localCheckpoint()
-    corpus.unpersist()
-    out
   }
 
   /** Funnel report over the SAME stage semantics as `trainingReady`:

@@ -206,6 +206,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = tokenBanded(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupPairsFrom(toks, bands, threshold)
+  }
+
+  /** The un-persisted minhash pair PLAN — same candidate + verify
+    * pipeline built from raw (re-derivable, map-only) `toks`/`bands`
+    * frames, so `PlanAudit.shuffleStats` can read the band self-join
+    * and verify-join exchange volumes the public API's persisted
+    * frames hide behind InMemoryRelation (VERDICT r13 task 1: the
+    * heaviest 100 TB stages were the ones the r13 volume gates could
+    * not see). Exchange volumes are identical to the public form —
+    * persistence only dedups the MAP-SIDE token/signature derivation,
+    * never what crosses the wire. */
+  private[graft] def nearDupPairsPlan(
+      docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame =
+    nearDupPairsFrom(tokenized(docs), tokenBanded(docs), threshold)
+
+  private def nearDupPairsFrom(
+      toks: DataFrame, bands: DataFrame, threshold: Double): DataFrame = {
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -470,6 +488,23 @@ object Dedup {
           .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") > bound),
         Seq("band_idx", "band_bits"), bound)
     }
+    val out = simhashPairsFrom(sh, banded, maxHamming).localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
+  /** Un-persisted, un-checkpointed simhash pair PLAN (VERDICT r13
+    * task 1) — the band self-join + hamming verify pipeline with the
+    * map-only signature derivation rebuilt on each side, so its
+    * exchange volumes are probe-readable; see [[nearDupPairsPlan]]. */
+  private[graft] def simhashPairsPlan(
+      docs: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    val sh = simhashed64(docs)
+    simhashPairsFrom(sh, simhashBanded(sh), maxHamming)
+  }
+
+  private def simhashPairsFrom(
+      sh: DataFrame, banded: DataFrame, maxHamming: Int): DataFrame = {
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -477,7 +512,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val out = cand
+    cand
       .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("ha")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("hb")), "id_b")
       .withColumn("hamming",
@@ -485,9 +520,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
-      .localCheckpoint()
-    sh.unpersist()
-    out
   }
 
   /** Incremental (delta-vs-corpus) exact dedup — the shape a 100 TB
@@ -2433,6 +2465,21 @@ object Dedup {
     // Spark to reuse across the two sides
     val bands = ngramBanded(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = ngramJaccardPairsFrom(g, bands, threshold).localCheckpoint()
+    g.unpersist()
+    bands.unpersist()
+    out
+  }
+
+  /** Un-persisted, un-checkpointed bigram-Jaccard pair PLAN (VERDICT
+    * r13 task 1) — probe-readable exchange volumes; see
+    * [[nearDupPairsPlan]]. */
+  private[graft] def ngramJaccardPairsPlan(
+      docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardPairsFrom(bigramSets(docs), ngramBanded(docs), threshold)
+
+  private def ngramJaccardPairsFrom(
+      g: DataFrame, bands: DataFrame, threshold: Double): DataFrame = {
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -2440,7 +2487,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val out = cand
+    cand
       .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
       .join(g.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
       .withColumn("jaccard",
@@ -2448,9 +2495,5 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-      .localCheckpoint()
-    g.unpersist()
-    bands.unpersist()
-    out
   }
 }

@@ -1399,6 +1399,25 @@ object Similarity {
     }
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = annJoinFrom(vecs, probes, k, expandProbes).localCheckpoint()
+    vecs.unpersist()
+    out
+  }
+
+  /** Un-persisted, un-checkpointed banded-ANN join PLAN (VERDICT r13
+    * task 1) — band join, cosine verify, and per-probe rank window
+    * with exchange volumes probe-readable (the public API's persisted
+    * `vecs`/final checkpoint hide them); volumes match the public form
+    * because persistence only dedups the map-side float→double cast. */
+  private[graft] def annJoinPlan(
+      emb: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    annJoinFrom(
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      probes, k, identity)
+
+  private def annJoinFrom(
+      vecs: DataFrame, probes: DataFrame, k: Int,
+      expandProbes: DataFrame => DataFrame): DataFrame = {
     val corpusBands = srpBanded(vecs.select(col("vec_id"), col("v").as("embedding")))
     val probeVecs = vecs.join(probes.select(col("vec_id")), "vec_id")
     val probeBands =
@@ -1413,7 +1432,7 @@ object Similarity {
     val byProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
-    val out = cand
+    cand
       .join(vecs.select(col("vec_id").as("probe_id"), col("v").as("pv")), "probe_id")
       .join(vecs.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
       .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6) + lit(0.0))
@@ -1421,9 +1440,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("cand_id"), col("cos_sim"), col("rank"))
       .orderBy(col("probe_id"), col("rank"))
-      .localCheckpoint()
-    vecs.unpersist()
-    out
   }
 
   /** Per-probe recall@k of the banded ANN against the brute-force
