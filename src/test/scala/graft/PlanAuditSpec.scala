@@ -177,4 +177,64 @@ class PlanAuditSpec extends SparkSpec {
         s"$name shuffled $sb bytes > $maxBytes — a payload column entered an exchange?")
     }
   }
+
+  // r14: pre-checkpoint CORE volume gates (VERDICT r13 task 1) — the
+  // LSH pair tier and the curation capstone persist/localCheckpoint
+  // mid-pipeline, so the query-addressable gates above can only see
+  // their post-checkpoint tails; these run the package-private *Plan
+  // variants (identical exchange volumes — persistence only dedups
+  // map-side derivation). Broadcast joins are disabled for the
+  // measurement: at sf0.01 AQE flips the band/verify joins to
+  // broadcast and the wire volume hides in broadcast bytes, while at
+  // 100 TB neither side fits a broadcast and every one of those joins
+  // is the keyed shuffle gated here. Pair cores run on Bench's
+  // planted LSH fixture (what Bench times; the raw corpus is
+  // vocabulary-dense and its candidate set degenerates to all-pairs).
+  // Measured r14 at sf0.01 (ShuffleProbe "[sj]" rows): minhash
+  // 2725 / 0.23 MB, ngram 3775 / 0.51 MB, simhash 11061 / 0.14 MB,
+  // ann 2820 / 0.24 MB, capstone 26455 / 0.44 MB. Records gated with
+  // ~25% headroom (plan/data-determined), bytes ~2× (serialized sizes
+  // drift with codec/platform).
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.col
+
+  private def withShuffleJoins[A](body: => A): A = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+  private lazy val fixtureDocs: DataFrame =
+    Tables.documents(spark, Bench.lshFixtureCached(spark, sfDir))
+
+  private val coreVolumeGates: Seq[(String, () => DataFrame, Long, Long)] = Seq(
+    ("core:dedup_minhash_pairs",
+      () => llm.Dedup.nearDupPairsPlan(fixtureDocs), 3500L, 500000L),
+    ("core:dedup_ngram_jaccard",
+      () => llm.Dedup.ngramJaccardPairsPlan(fixtureDocs, 0.3), 4800L, 1100000L),
+    ("core:dedup_simhash_pairs",
+      () => llm.Dedup.simhashPairsPlan(fixtureDocs), 14000L, 300000L),
+    ("core:embed_ann_join",
+      () => {
+        val emb = Tables.embeddings(spark, sfDir)
+        llm.Similarity.annJoinPlan(emb, emb.filter(col("vec_id") < 8), 3)
+      }, 3600L, 500000L),
+    ("core:corpus_training_ready",
+      () => llm.Curation.trainingReadyPlan(
+        Tables.documents(spark, sfDir), col("doc_id") % 7 === 0,
+        minTokens = 40, rates = llm.Curation.MixRates,
+        defaultRate = 100, budget = 512), 33000L, 950000L))
+
+  coreVolumeGates.foreach { case (name, mk, maxRecs, maxBytes) =>
+    test(s"$name: pre-checkpoint shuffle volume <= $maxRecs rows / $maxBytes bytes") {
+      val (sb, srec, _) = withShuffleJoins(PlanAudit.shuffleStats(mk()))
+      assert(srec <= maxRecs,
+        s"$name shuffled $srec records > $maxRecs — a stage stopped pre-aggregating?")
+      assert(sb <= maxBytes,
+        s"$name shuffled $sb bytes > $maxBytes — a payload column entered an exchange?")
+    }
+  }
 }
