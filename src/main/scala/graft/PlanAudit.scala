@@ -61,6 +61,21 @@ object PlanAudit {
     (sBytes, sRecs, bBytes)
   }
 
+  /** Executes `df` and returns, per finalized shuffle stage, the array
+    * of per-reduce-partition COMPRESSED map-output bytes — the numbers
+    * AQE's skew-join detector compares against
+    * `skewedPartitionThresholdInBytes` (SaltProbe's blind-spot
+    * readout: a partition hot in decompressed work but small in
+    * compressed bytes evades the detector). */
+  def shufflePartitionBytes(df: DataFrame): Seq[Array[Long]] = {
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    walk(qe.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+        org.apache.spark.sql.GraftBridge.mapOutputBytes(s)
+    }.flatten
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()

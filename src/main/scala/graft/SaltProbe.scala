@@ -63,16 +63,18 @@ object SaltProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     // 1-in-hotEvery fact rows on key 0; remainder uniform over [1, dimN)
-    def fact: DataFrame = {
-      val base = spark.range(0, n, 1, 32).select(
+    def factOf(s: SparkSession): DataFrame = {
+      val base = s.range(0, n, 1, 32).select(
         when(pmod(col("id"), lit(hotEvery)) === 0, lit(0L))
           .otherwise(pmod(hash(col("id")), lit(dimN - 1)) + 1).as("k"),
         col("id").as("v"))
       if (payloadW <= 0) base
       else base.withColumn("fpay", rpad(hex(col("v")), payloadW, "x"))
     }
-    def dim: DataFrame = spark.range(0, dimN, 1, 8).select(
+    def fact: DataFrame = factOf(spark)
+    def dimOf(s: SparkSession): DataFrame = s.range(0, dimN, 1, 8).select(
       col("id").as("dk"), (col("id") * 37 % 1000).as("payload"))
+    def dim: DataFrame = dimOf(spark)
 
     // the consumer aggregates across the join output, so the join
     // executes in full; touching v, payload, and the wide column
@@ -121,6 +123,52 @@ object SaltProbe {
     println(f"${"plain (AQE skew on)"}%-22s $plainAqe%8.3f")
     println(f"${s"salted x$salts (AQE off)"}%-22s $salted%8.3f")
     println(f"speedup salted vs naive: ${plainOff / salted}%.2f  |  AQE vs naive: ${plainOff / plainAqe}%.2f")
+
+    // ---- AQE compressed-bytes blind-spot readout (VERDICT r13 task 5)
+    // The skew detector thresholds on COMPRESSED map-output bytes
+    // (spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes,
+    // 256 MB default, AND 5× the median partition); the reducer pays
+    // the DECOMPRESSED volume. Read the same planted-hot shuffle's
+    // per-partition map stats twice — compressed on the live context,
+    // then identically with shuffle compression disabled on a fresh
+    // context — and the ratio is the blind factor: AQE sees H/ratio
+    // where the reducer buffers H, so the detector stays silent until
+    // the TRUE hot-partition volume exceeds ratio × threshold.
+    def hotStats(s: SparkSession): (Double, Double) = {
+      val conf = s.conf
+      val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val stages = PlanAudit.shufflePartitionBytes(
+          factOf(s).join(dimOf(s), col("k") === col("dk"))
+            .select(sum(col("v") + col("payload")).as("s")))
+        // the fact-side stage owns the global max partition (the hot key)
+        val hot = stages.map(a => if (a.isEmpty) 0L else a.max).max
+        val med = {
+          val a = stages.maxBy(a => if (a.isEmpty) 0L else a.max).sorted
+          a(a.length / 2)
+        }
+        (hot / 1048576.0, med / 1048576.0)
+      } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+    val (hotC, medC) = hotStats(spark)
     spark.stop()
+    val sparkU = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .getOrCreate()
+    sparkU.sparkContext.setLogLevel("ERROR")
+    val (hotU, medU) = hotStats(sparkU)
+    val ratio = if (hotC > 0) hotU / hotC else Double.NaN
+    println(f"AQE-VIEW hot_partition compressed=$hotC%.1f MB  uncompressed=$hotU%.1f MB  " +
+      f"ratio=$ratio%.2f  (median partition: $medC%.2f / $medU%.2f MB)")
+    println(f"AQE blind while true hot-partition volume < ${ratio * 256}%.0f MB " +
+      f"(ratio x 256 MB default threshold; detector also needs hot > 5 x median)")
+    sparkU.stop()
   }
 }

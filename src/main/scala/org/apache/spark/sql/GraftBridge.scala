@@ -25,6 +25,15 @@ object GraftBridge {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
 
+  /** Per-reduce-partition COMPRESSED map-output bytes of one finalized
+    * shuffle stage — the exact per-partition numbers AQE's skew-join
+    * detector thresholds on (`MapOutputStatistics` is private[spark],
+    * so the unwrap lives here; SaltProbe's compressed-vs-decompressed
+    * blind-spot readout is the consumer). */
+  def mapOutputBytes(
+      stage: execution.adaptive.ShuffleQueryStageExec): Option[Array[Long]] =
+    stage.mapStats.map(_.bytesByPartitionId)
+
   /** Idempotently append a logical optimizer rule to a live session. */
   def addOptimization(
       spark: SparkSession,
