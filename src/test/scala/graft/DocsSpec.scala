@@ -55,7 +55,7 @@ class DocsSpec extends AnyFunSuite {
     // is paired or documented, so the code and the round ADVICE's
     // nondeterminism inventory cannot drift apart.
     val documentedSeeded: Map[String, String] = Map(
-      "agg_approx_distinct" -> "Spark-internal HLL++ sketch bits; exact distincts oracle-checked in the same family",
+      "agg_approx_distinct" -> "Spark-internal HLL++ sketch bits; bounded against the exact count AND the oracle-pinned native register HLL (SketchesSpec 2σ-envelope test)",
       "decontam_bloom_fpr" -> "engine-private bloom filter bits; exact decontamination queries are oracle-checked",
       "embed_ivf_topk" -> "k-means codebook seeds; recall vs exact pinned by embed_ann_recall",
       "embed_pq_topk" -> "k-means codebook seeds; recall vs exact pinned by embed_ann_recall/embed_bq_recall",
