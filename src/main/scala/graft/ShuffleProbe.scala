@@ -91,6 +91,25 @@ object ShuffleProbe {
       report(name, mk(
         Tables.documents(spark, fixtureDir.getOrElse(sfDir)),
         Tables.documents(spark, sfDir)))
+    // the same cores with broadcast joins disabled: at probe scale AQE
+    // flips the band/verify joins to broadcast (the pair tier reads as
+    // ~0 shuffled bytes + the banded/toks frames as broadcast bytes);
+    // at 100 TB neither side fits a broadcast and every one of those
+    // joins is a keyed shuffle — this is the volume that hits the wire
+    // there, and the shape PlanAuditSpec's core volume gates pin.
+    if (cores.nonEmpty) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try
+        for ((name, mk) <- cores)
+          report(name + "[sj]", mk(
+            Tables.documents(spark, fixtureDir.getOrElse(sfDir)),
+            Tables.documents(spark, sfDir)))
+      finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
     fixtureDir.foreach(Bench.deleteRecursively)
     spark.stop()
   }

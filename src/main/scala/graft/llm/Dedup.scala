@@ -557,8 +557,20 @@ object Dedup {
         col("d.band_idx") === col("c.band_idx") &&
           col("d.band_hash") === col("c.band_hash"))
       .select(col("d.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"))
-      .distinct()
-    val dups = cand
+    nearDupVerdictFrom(cand, corpus, delta, threshold)
+  }
+
+  /** The verify + verdict TAIL of [[incrementalNearDedup]], over a raw
+    * (delta_id, corpus_id) candidate frame that may carry duplicates
+    * (several agreeing bands, or a streaming generator's per-batch
+    * emissions — the `verifyAndRank` convention): distinct, exact
+    * token-set Jaccard, deterministic min-id corpus victor, and every
+    * delta doc reported 'near_dup' or 'new'. Exposed so the streaming
+    * band probe hands its sunk pairs to the SAME verification. */
+  private[graft] def nearDupVerdictFrom(
+      cand: DataFrame, corpus: DataFrame, delta: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val dups = cand.select(col("delta_id"), col("corpus_id")).distinct()
       .join(tokenized(delta).select(col("doc_id").as("delta_id"), col("toks").as("dt")),
         "delta_id")
       .join(tokenized(corpus).select(col("doc_id").as("corpus_id"), col("toks").as("ct")),
@@ -573,6 +585,64 @@ object Dedup {
         col("doc_id"),
         when(col("dup_of").isNull, "new").otherwise("near_dup").as("status"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  /** The declared incremental-near delta fixture (shared by the batch
+    * query and the streaming band probe — map-only, so it lifts to an
+    * unbounded source unchanged): exact copies of every 5th corpus
+    * doc, appended-revision variants of every 7th, and genuinely novel
+    * texts for every 11th. */
+  private[graft] def incrementalNearDelta(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" appended revision")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("completely novel content payload "),
+            col("doc_id").cast("string")).as("text")))
+
+  /** Oracle for [[incrementalNearDedup]] over [[incrementalNearDelta]]
+    * — both sides' banding and the exact-Jaccard verify replayed in
+    * SQL. Shared verbatim by `dedup_incremental_near` and
+    * `streaming_neardup_probe`. */
+  private[graft] def incrementalNearOracleSql: String = {
+    val ctoksSql = "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"
+    val dtoksSql = "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM delta"
+    s"""WITH delta AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text || ' appended revision' AS text
+       |  FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id,
+       |         'completely novel content payload ' || CAST(doc_id AS VARCHAR) AS text
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |ctoks AS ($ctoksSql),
+       |dtoks AS ($dtoksSql),
+       |csig AS (${affineSigSql("mh", NumHashes, "mh", "SELECT doc_id, unnest(toks) AS e FROM ctoks")}),
+       |dsig AS (${affineSigSql("mh", NumHashes, "mh", "SELECT doc_id, unnest(toks) AS e FROM dtoks")}),
+       |cbands AS (${bandedSqlFrom("csig")}),
+       |dbands AS (${bandedSqlFrom("dsig")}),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+       |  FROM dbands d JOIN cbands c
+       |    ON d.band_idx = c.band_idx AND d.band_hash = c.band_hash),
+       |dup AS (
+       |  SELECT delta_id, MIN(corpus_id) AS dup_of
+       |  FROM cand
+       |  JOIN dtoks dt ON dt.doc_id = delta_id
+       |  JOIN ctoks ct ON ct.doc_id = corpus_id
+       |  WHERE ROUND(len(list_intersect(dt.toks, ct.toks)) * 1.0 /
+       |        (len(dt.toks) + len(ct.toks) - len(list_intersect(dt.toks, ct.toks))), 6)
+       |        >= $JaccardThreshold
+       |  GROUP BY delta_id)
+       |SELECT d.doc_id,
+       |       CASE WHEN u.dup_of IS NULL THEN 'new' ELSE 'near_dup' END AS status,
+       |       COALESCE(u.dup_of, -1) AS dup_of
+       |FROM delta d LEFT JOIN dup u ON d.doc_id = u.delta_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** The declared cluster fixture: a deterministic 3-link chain per
@@ -1719,54 +1789,12 @@ object Dedup {
     // minhash index — candidates only where a full band agrees, exact
     // Jaccard verify, deterministic min-id corpus victor. Fully
     // oracle-checked: both sides' banding and the verify replay in SQL.
-    Q("dedup_incremental_near", {
-      val ctoksSql = "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"
-      val dtoksSql = "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM delta"
-      s"""WITH delta AS (
-         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 2000000 AS doc_id, text || ' appended revision' AS text
-         |  FROM documents WHERE doc_id % 7 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 3000000 AS doc_id,
-         |         'completely novel content payload ' || CAST(doc_id AS VARCHAR) AS text
-         |  FROM documents WHERE doc_id % 11 = 0),
-         |ctoks AS ($ctoksSql),
-         |dtoks AS ($dtoksSql),
-         |csig AS (${affineSigSql("mh", NumHashes, "mh", "SELECT doc_id, unnest(toks) AS e FROM ctoks")}),
-         |dsig AS (${affineSigSql("mh", NumHashes, "mh", "SELECT doc_id, unnest(toks) AS e FROM dtoks")}),
-         |cbands AS (${bandedSqlFrom("csig")}),
-         |dbands AS (${bandedSqlFrom("dsig")}),
-         |cand AS (
-         |  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
-         |  FROM dbands d JOIN cbands c
-         |    ON d.band_idx = c.band_idx AND d.band_hash = c.band_hash),
-         |dup AS (
-         |  SELECT delta_id, MIN(corpus_id) AS dup_of
-         |  FROM cand
-         |  JOIN dtoks dt ON dt.doc_id = delta_id
-         |  JOIN ctoks ct ON ct.doc_id = corpus_id
-         |  WHERE ROUND(len(list_intersect(dt.toks, ct.toks)) * 1.0 /
-         |        (len(dt.toks) + len(ct.toks) - len(list_intersect(dt.toks, ct.toks))), 6)
-         |        >= $JaccardThreshold
-         |  GROUP BY delta_id)
-         |SELECT d.doc_id,
-         |       CASE WHEN u.dup_of IS NULL THEN 'new' ELSE 'near_dup' END AS status,
-         |       COALESCE(u.dup_of, -1) AS dup_of
-         |FROM delta d LEFT JOIN dup u ON d.doc_id = u.delta_id
-         |ORDER BY d.doc_id""".stripMargin
-    }) { (s, dir) =>
+    // (Oracle and delta fixture are shared VERBATIM with the streaming
+    // form `streaming_neardup_probe` — the driver certifies
+    // stream ≡ batch hash-identical, the tierAgreement discipline.)
+    Q("dedup_incremental_near", incrementalNearOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val delta = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            concat(col("text"), lit(" appended revision")).as("text")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            concat(lit("completely novel content payload "),
-              col("doc_id").cast("string")).as("text")))
-      incrementalNearDedup(docs, delta).orderBy(col("doc_id"))
+      incrementalNearDedup(docs, incrementalNearDelta(docs)).orderBy(col("doc_id"))
     },
 
     // Incremental SUBSTRING probe: which passages of the delta batch

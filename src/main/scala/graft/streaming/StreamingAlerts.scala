@@ -781,6 +781,38 @@ object StreamingAlerts {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // STREAMING NEAR-DUP INGEST GATE (r14): the online form of
+    // dedup_incremental_near — new documents arrive as a stream, are
+    // minhash-banded MAP-SIDE (`Dedup.tokenBanded` is one fused
+    // stateless projection, so the streaming plan needs no state
+    // store or watermark), and probe the STATIC corpus band index via
+    // a stream-static join: only the arriving batch's band keys cross
+    // the wire, the corpus index reads in place — the at-ingest dedup
+    // shape a 100 TB pipeline runs so duplicates never reach storage.
+    // The exact-Jaccard verify and the deterministic min-id victor
+    // need corpus-wide candidate visibility, so they run batch-side
+    // over the sunk candidate pairs (the verifyAndRank convention via
+    // `Dedup.nearDupVerdictFrom`, which also dedups pairs emitted by
+    // several agreeing bands). Shares dedup_incremental_near's oracle
+    // and delta fixture VERBATIM — the driver certifies
+    // stream ≡ batch hash-identical (the tierAgreement discipline).
+    Q("streaming_neardup_probe", Dedup.incrementalNearOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val staticBands = Dedup.tokenBanded(docs)
+        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
+      val name = "stream_ndp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Dedup.tokenBanded(
+          Dedup.incrementalNearDelta(docsStream(s, dir).select(col("doc_id"), col("text"))))
+        .join(staticBands, Seq("band_idx", "band_hash"))
+        .select(col("doc_id").as("delta_id"), col("corpus_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Dedup.nearDupVerdictFrom(
+          s.table(name).localCheckpoint(), docs, Dedup.incrementalNearDelta(docs))
+        .orderBy(col("doc_id"))
+    },
+
     // STREAMING PEAK DETECTION (r10): the online form of
     // events_peak_detection (see streamingPeaks' scaladoc — a strict
     // peak is decidable one event after it happens, so state is a

@@ -693,6 +693,54 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup probe: stateless band join, verdict == batch incremental near-dedup") {
+    // r14: the at-ingest minhash gate (streaming_neardup_probe). The
+    // streaming half is a map-side banding + STREAM-STATIC join — no
+    // watermark, no state store (pinned below) — and the batch-side
+    // verdict must equal the one-shot incrementalNearDedup on the same
+    // frames, including when an exact copy's pairs are emitted once
+    // per agreeing band (the verdict's distinct dedups them).
+    implicit val sqlCtx = spark.sqlContext
+    val w40 = (0 until 40).map(i => s"w${(i * 7) % 53}x$i")
+    val corpus = Seq(
+      (1L, w40.mkString(" ")),
+      (2L, (0 until 40).map(i => s"k$i").mkString(" ")),
+      (3L, "standalone short corpus doc")).toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, w40.mkString(" ")),                          // exact copy of 1
+      (102L, ((0 until 40).map(i => s"k$i") :+ "rev").mkString(" ")), // J=40/41
+      (103L, "completely unrelated novel payload words")) // new
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val staticBands = llm.Dedup.tokenBanded(corpus)
+      .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
+    val out = llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
+      .join(staticBands, Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("delta_id"), col("corpus_id"))
+    val query = out.writeStream
+      .format("memory").queryName("stream_ndp_spec").outputMode("append").start()
+    try {
+      mem.addData(Seq((101L, delta.collect()(0).getString(1))))
+      query.processAllAvailable()
+      mem.addData(Seq((102L, delta.collect()(1).getString(1)),
+        (103L, delta.collect()(2).getString(1))))
+      query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.isEmpty,
+        s"band probe should plan no state operators: ${query.lastProgress}")
+      val sunk = spark.table("stream_ndp_spec").localCheckpoint()
+      // an exact copy agrees in EVERY band → its pair emits multiple times
+      assert(sunk.filter(col("delta_id") === 101L && col("corpus_id") === 1L)
+        .count() > 1, "exact copy should collide in more than one band")
+      val got = llm.Dedup.nearDupVerdictFrom(sunk, corpus, delta)
+        .as[(Long, String, Long)].collect().toSet
+      val want = llm.Dedup.incrementalNearDedup(corpus, delta)
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === want, s"stream verdict $got != batch $want")
+      assert(got.contains((101L, "near_dup", 1L)), "exact copy must flag near_dup")
+      assert(got.contains((103L, "new", -1L)), "novel doc must pass as new")
+    } finally query.stop()
+  }
+
   test("streaming CDC merge: per-batch merges compose to the one-shot whole-delta merge") {
     implicit val sqlCtx = spark.sqlContext
     import graft.queries.Audit
