@@ -359,7 +359,7 @@ object Bench {
       drift: Option[(String, Double, Seq[Option[Double]])],
       sr: Option[Seq[Option[Double]]],
       med: Seq[(String, Double)],
-      forced: Seq[(String, Double)],
+      forced: Seq[(String, Option[Double])],
       skewBase: Option[(Double, Double)],
       skewAmp: Option[(Double, Double)],
       sfDir: String): String = {
@@ -376,8 +376,9 @@ object Bench {
       .getOrElse("null")
     val medJson = med.map { case (k, t) => s"${jstr(k)}:${r4(t)}" }
       .mkString("{", ",", "}")
-    val forcedJson = forced.map { case (k, t) => s"${jstr(k)}:${r4(t)}" }
-      .mkString("{", ",", "}")
+    val forcedJson = forced.map { case (k, t) =>
+      s"${jstr(k)}:${t.map(r4).getOrElse("-1")}"
+    }.mkString("{", ",", "}")
     val skewJson =
       if (skewBase.isEmpty && skewAmp.isEmpty) "null"
       else {
@@ -492,14 +493,17 @@ object Bench {
     }
 
     // forced-consumer pass for the window-bearing headline queries
-    // (VERDICT r13 task 3): same frames, same rep discipline, but the
-    // consumer references every output column so the Window operators
-    // cannot be pruned — this is the number that carries the window's
-    // real cost; the `.count()` series above keeps its historical
-    // comparability. Runs inside the anchor bracket (before phase 3)
-    // so the drift anchors sample the same machine-state window.
-    val forcedTimes: Seq[(String, Double)] = forcedQueries.flatMap { name =>
-      run.find(_.name == name).flatMap { q =>
+    // (VERDICT r13 task 3): same frames, same rep discipline (warm-up,
+    // Reps draws, FastCutoff doubling), but the consumer references
+    // every output column so the Window operators cannot be pruned —
+    // this is the number that carries the window's real cost; the
+    // `.count()` series above keeps its historical comparability. Runs
+    // inside the anchor bracket (before phase 3) so the drift anchors
+    // sample the same machine-state window. A failed query publishes
+    // the -1 sentinel (None), exactly like the main series — a missing
+    // key would be indistinguishable from a removed query.
+    val forcedTimes: Seq[(String, Option[Double])] = forcedQueries.flatMap { name =>
+      run.find(_.name == name).map { q =>
         def rep(): Option[Double] = {
           val t0 = System.nanoTime()
           try { forceAll(q.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -512,8 +516,12 @@ object Bench {
           }
         }
         rep() // warm-up, discarded
-        val ts = (1 to Reps).flatMap(_ => rep())
-        if (ts.size == Reps) Some(name -> ts.min) else None
+        val base = (1 to Reps).flatMap(_ => rep())
+        val ts =
+          if (base.size == Reps && base.min < FastCutoff)
+            base ++ (1 to Reps).flatMap(_ => rep())
+          else base
+        name -> (if (ts.size >= Reps) Some(ts.min) else None)
       }
     }
     runAnchors() // phase 3: after the suite
@@ -701,8 +709,9 @@ object Bench {
       else s"""{"hot_frac":$SkewHotFrac,"reps":$SkewReps,""" +
         s""""base":${skewSide(skew, "")},""" +
         s""""amp":${skewSide(skewAmp, s""""m":$SkewAmpM,""")}}"""
-    val forcedJson = forcedTimes.map { case (k, t) => s"${jstr(k)}:${r4(t)}" }
-      .mkString("{", ",", "}")
+    val forcedJson = forcedTimes.map { case (k, t) =>
+      s"${jstr(k)}:${t.map(r4).getOrElse("-1")}"
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"queries_forced":$forcedJson,"anchors":$anchorsJson,"drift_controlled":$driftVerbose,"scale_ratios":$scaleVerbose,"skew":$skewJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
     // Compact SECOND line (VERDICT r7 "What's wrong" #1): the full
     // spread-bearing line above outgrew the driver's tail-capture window

@@ -136,21 +136,25 @@ object SaltProbe {
     // the TRUE hot-partition volume exceeds ratio × threshold.
     def hotStats(s: SparkSession): (Double, Double) = {
       val conf = s.conf
-      val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
       try {
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         val stages = PlanAudit.shufflePartitionBytes(
           factOf(s).join(dimOf(s), col("k") === col("dk"))
             .select(sum(col("v") + col("payload")).as("s")))
-        // the fact-side stage owns the global max partition (the hot key)
+        // the fact-side stage owns the global max partition (the hot key);
+        // Bench.stat's true median — a(n/2) on the always-even partition
+        // count is the upper-middle bias ADVICE r7 fixed
         val hot = stages.map(a => if (a.isEmpty) 0L else a.max).max
-        val med = {
-          val a = stages.maxBy(a => if (a.isEmpty) 0L else a.max).sorted
-          a(a.length / 2)
-        }
+        val med = Bench.stat(
+          stages.maxBy(a => if (a.isEmpty) 0L else a.max).sorted.map(_.toDouble).toSeq)._2
         (hot / 1048576.0, med / 1048576.0)
-      } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      } finally {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
+      }
     }
     val (hotC, medC) = hotStats(spark)
     spark.stop()

@@ -67,8 +67,13 @@ object ShuffleProbe {
           raw, col("doc_id") % 7 === 0, minTokens = 40,
           rates = llm.Curation.MixRates, defaultRate = 100, budget = 512)))
       .filter { case (n, _) => only.isEmpty || only(n) }
+    // the fixture is the dominant probe cost at sf0.1 — build it only
+    // when a selected query/core actually reads it (the pair tiers)
+    val pairCores = Set("core:dedup_minhash_pairs", "core:dedup_ngram_jaccard",
+      "core:dedup_simhash_pairs")
     val fixtureDir =
-      if (run.exists(q => Bench.fixtureQueries.contains(q.name)) || cores.nonEmpty)
+      if (run.exists(q => Bench.fixtureQueries.contains(q.name)) ||
+        cores.exists(c => pairCores(c._1)))
         Some(Bench.lshFixture(spark, sfDir))
       else None
 

@@ -18,19 +18,21 @@ class BenchJsonSpec extends AnyFunSuite {
 
   private def worstCase(names: Seq[String]): String = {
     val mins = names.zipWithIndex.map { case (n, i) =>
-      // one errored query (renders "-1"), the rest 4-dp values
-      n -> (if (i == 3) None else Some(1.2345 + i * 0.01))
+      // one errored query (renders "-1"), the rest 4-dp values at a
+      // pathologically slow magnitude (>=100 s per query) so the bound
+      // covers value WIDTHS, not just value shapes
+      n -> (if (i == 3) None else Some(123.4567 + i * 0.01))
     }
     Bench.compactJson(
-      total = 123.4567,
+      total = 12345.6789,
       mins = mins,
-      anchors = Bench.anchors.map { case (a, _) => a -> 12.3456 },
-      drift = Some(("BENCH_r99.json", 1.07, names.map(_ => Some(1.23)))),
-      sr = Some(names.map(_ => Some(12.34))),
-      med = names.take(8).map(n => n -> 1.2345),
-      forced = Bench.forcedQueries.map(n => n -> 1.2345),
-      skewBase = Some((1.2345, 2.3456)),
-      skewAmp = Some((3.4567, 1.2345)),
+      anchors = Bench.anchors.map { case (a, _) => a -> 123.4567 },
+      drift = Some(("BENCH_r99.json", 11.07, names.map(_ => Some(12.34)))),
+      sr = Some(names.map(_ => Some(123.45))),
+      med = names.take(8).map(n => n -> 123.4567),
+      forced = Bench.forcedQueries.map(n => n -> Some(123.4567)),
+      skewBase = Some((123.4567, 23.4567)),
+      skewAmp = Some((345.6789, 12.3456)),
       sfDir = "/root/testdata/sf0.1")
   }
 
