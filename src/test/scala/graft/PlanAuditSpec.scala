@@ -237,4 +237,34 @@ class PlanAuditSpec extends SparkSpec {
         s"$name shuffled $sb bytes > $maxBytes — a payload column entered an exchange?")
     }
   }
+
+  // r14: the forced-consumer measurement assumption itself, pinned.
+  // Bench's queries_forced block exists because a bare count() lets
+  // ColumnPruning drop the Window operators (nothing downstream reads
+  // their outputs) — the headline then times the scan, not the window
+  // (VERDICT r13 "What's wrong" #2; SkewProbe measured a flat ~0.19 s
+  // from 100k to 10M rows before the probes switched consumers). If a
+  // Spark upgrade ever changes either side — count() keeping windows
+  // (forced pass becomes redundant) or forceAll losing them (forced
+  // pass measures nothing) — this fails loud instead of the bench
+  // silently publishing a wrong-shaped number.
+  test("forceAll keeps the Window operators that count() prunes") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val feats = pipeline.Telemetry.features(Tables.events(spark, sfDir))
+    val counted = feats.groupBy().count()
+    counted.collect()
+    val prunedWindows = collectPlan(counted.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(prunedWindows.isEmpty,
+      "count() now keeps Window operators — the forced consumer is redundant")
+    val forced = feats.select(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.xxhash64(feats.columns.map(col): _*)
+          .cast("double")))
+    forced.collect()
+    val keptWindows = collectPlan(forced.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(keptWindows.nonEmpty,
+      "forceAll's consumer no longer keeps the Window operators — it measures nothing")
+  }
 }
