@@ -47,14 +47,20 @@ def load(path):
     # spread-line anchors are {"min": ...} objects; compact-line are floats
     anchors = {k: (v["min"] if isinstance(v, dict) else v)
                for k, v in anchors.items()}
-    return queries, anchors
+    # r14+: forced-consumer window timings ("forced" on the compact
+    # line, "queries_forced" on the verbose line); -1 marks a failed
+    # forced pass and is dropped like an errored query
+    forced = doc.get("forced", doc.get("queries_forced", {})) or {}
+    forced = {k: v for k, v in forced.items()
+              if isinstance(v, (int, float)) and v > 0}
+    return queries, anchors, forced
 
 
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    q_old, a_old = load(sys.argv[1])
-    q_new, a_new = load(sys.argv[2])
+    q_old, a_old, f_old = load(sys.argv[1])
+    q_new, a_new, f_new = load(sys.argv[2])
     shared_anchors = sorted(set(a_old) & set(a_new))
     if shared_anchors:
         g_old = math.exp(sum(math.log(a_old[a]) for a in shared_anchors)
@@ -88,6 +94,14 @@ def main():
         g_ctl = math.exp(sum(math.log(x) for x in ctl) / len(ctl))
         print(f"\nshared-total raw ratio: x{tot_raw:.3f}   "
               f"per-query drift-controlled geomean: x{g_ctl:.3f}")
+    shared_f = sorted(set(f_old) & set(f_new))
+    if shared_f:
+        print(f"\nforced-consumer series (window cost, not the scan):")
+        print(f"{'query':34s} {'old':>8s} {'new':>8s} {'raw':>7s} {'drift-ctl':>9s}")
+        for q in shared_f:
+            raw = f_new[q] / f_old[q]
+            print(f"{q:34s} {f_old[q]:8.4f} {f_new[q]:8.4f} "
+                  f"x{raw:6.3f} x{raw / host:8.3f}")
 
 
 if __name__ == "__main__":
