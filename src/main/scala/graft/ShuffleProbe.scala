@@ -65,7 +65,15 @@ object ShuffleProbe {
       ("core:corpus_training_ready",
         (_: DataFrame, raw: DataFrame) => llm.Curation.trainingReadyPlan(
           raw, col("doc_id") % 7 === 0, minTokens = 40,
-          rates = llm.Curation.MixRates, defaultRate = 100, budget = 512)))
+          rates = llm.Curation.MixRates, defaultRate = 100, budget = 512)),
+      // ONE LPA round, un-checkpointed: the iterative loop materializes
+      // per round (Pregel discipline), so this is the per-iteration
+      // wire cost a capacity plan multiplies by the round count
+      ("core:graph_label_prop_round",
+        (_: DataFrame, raw: DataFrame) => {
+          val (nodes, edges) = llm.Dedup.lpaFixture(raw.select(col("doc_id")))
+          llm.Dedup.labelPropagationRoundPlan(nodes, edges)
+        }))
       .filter { case (n, _) => only.isEmpty || only(n) }
     // the fixture is the dominant probe cost at sf0.1 — build it only
     // when a selected query/core actually reads it (the pair tiers)

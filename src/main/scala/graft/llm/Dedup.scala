@@ -1932,12 +1932,7 @@ object Dedup {
          |$rounds
          |SELECT id, label FROM l$iters ORDER BY id""".stripMargin
     }) { (s, dir) =>
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      def off(k: Int) = col("doc_id") + (k * 1000000L)
-      val nodes = (0 to 5).map(k => docs.select(off(k).as("id"))).reduce(_ unionByName _)
-      val edges = Seq((0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3))
-        .map { case (i, j) => docs.select(off(i).as("a"), off(j).as("b")) }
-        .reduce(_ unionByName _)
+      val (nodes, edges) = lpaFixture(Tables.documents(s, dir).select(col("doc_id")))
       labelPropagation(nodes, edges, iters = 5).orderBy(col("id"))
     },
 
@@ -2207,22 +2202,52 @@ object Dedup {
     * (max_by over (count, −label) — an aggregate, NOT a per-node
     * window sort), with lineage checkpoint-truncated per round. */
   def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val und = undirectedEdges(edges).localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("label"))
-    for (_ <- 1 to iters) {
-      val counts = und
-        .join(labels.select(col("id").as("b"), col("label")), "b")
-        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
-      val winners = counts.groupBy(col("a")).agg(
-        max_by(col("label"), struct(col("c"), (-col("label")).as("nl"))).as("label"))
-      labels = nodes.select(col("id"))
-        .join(winners.withColumnRenamed("a", "id"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iters) labels = lpaRound(und, nodes, labels).localCheckpoint()
     labels
+  }
+
+  /** The declared `graph_label_prop` fixture: two complete triangles
+    * per document joined by one bridge edge (offsets 0-1-2 and 3-4-5,
+    * bridge 2-3) — shared by the query, the probe, and the spec. */
+  private[graft] def lpaFixture(docs: DataFrame): (DataFrame, DataFrame) = {
+    def off(k: Int) = col("doc_id") + (k * 1000000L)
+    val nodes = (0 to 5).map(k => docs.select(off(k).as("id"))).reduce(_ unionByName _)
+    val edges = Seq((0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3))
+      .map { case (i, j) => docs.select(off(i).as("a"), off(j).as("b")) }
+      .reduce(_ unionByName _)
+    (nodes, edges)
+  }
+
+  private def undirectedEdges(edges: DataFrame): DataFrame =
+    edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** One synchronous LPA round: neighbor-label counts, per-node argmax
+    * winner with the (c desc, label asc) tiebreak, coalesce to self. */
+  private def lpaRound(und: DataFrame, nodes: DataFrame, labels: DataFrame): DataFrame = {
+    val counts = und
+      .join(labels.select(col("id").as("b"), col("label")), "b")
+      .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+    val winners = counts.groupBy(col("a")).agg(
+      max_by(col("label"), struct(col("c"), (-col("label")).as("nl"))).as("label"))
+    nodes.select(col("id"))
+      .join(winners.withColumnRenamed("a", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** ONE un-checkpointed LPA round from the initial self-labels
+    * (VERDICT r13 task 1 family): [[labelPropagation]] materializes
+    * per round by design (the Pregel lineage-bounding discipline), so
+    * whole-query metrics only ever see the last checkpoint scan — this
+    * exposes the per-ITERATION exchange volume, which is the number a
+    * 100 TB capacity plan multiplies by the round count. */
+  private[graft] def labelPropagationRoundPlan(
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = undirectedEdges(edges)
+    lpaRound(und, nodes, nodes.select(col("id"), col("id").as("label")))
   }
 
   /** Per-node triangle counts + local clustering coefficient over a

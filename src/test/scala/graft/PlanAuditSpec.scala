@@ -226,7 +226,17 @@ class PlanAuditSpec extends SparkSpec {
       () => llm.Curation.trainingReadyPlan(
         Tables.documents(spark, sfDir), col("doc_id") % 7 === 0,
         minTokens = 40, rates = llm.Curation.MixRates,
-        defaultRate = 100, budget = 512), 33000L, 950000L))
+        defaultRate = 100, budget = 512), 33000L, 950000L),
+    // one un-checkpointed LPA round (measured 30000 / 0.29 MB at
+    // sf0.01, exactly 10x at sf0.1 — ids and labels only, ~10 B/row);
+    // the declared query's per-round localCheckpoints hide this, and
+    // it is the per-iteration wire cost the loop multiplies
+    ("core:graph_label_prop_round",
+      () => {
+        val (nodes, edges) = llm.Dedup.lpaFixture(
+          Tables.documents(spark, sfDir).select(col("doc_id")))
+        llm.Dedup.labelPropagationRoundPlan(nodes, edges)
+      }, 37500L, 600000L))
 
   coreVolumeGates.foreach { case (name, mk, maxRecs, maxBytes) =>
     test(s"$name: pre-checkpoint shuffle volume <= $maxRecs rows / $maxBytes bytes") {
