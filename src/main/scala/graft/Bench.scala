@@ -633,6 +633,23 @@ object Bench {
         } catch { case _: Throwable => Map.empty[String, Double] }
         finally smallFixture.foreach(deleteRecursively)
       }
+    // forced-consumer small point: the sr array's entries for the
+    // window-bearing queries scale the SCAN (count() consumer); this
+    // is the window tier's own scale evidence (verbose line only)
+    val forcedSmall: Map[String, Double] =
+      if (smallDir == sfDir || !new java.io.File(smallDir).isDirectory) Map.empty
+      else forcedQueries.flatMap { name =>
+        run.find(_.name == name).flatMap { q =>
+          def rep(): Option[Double] = {
+            val t0 = System.nanoTime()
+            try { forceAll(q.run(spark, smallDir)); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
+          }
+          rep() // warm-up, discarded
+          val ts = (1 to SmallReps).flatMap(_ => rep())
+          if (ts.size == SmallReps) Some(name -> ts.min) else None
+        }
+      }.toMap
 
     // ---- drift-controlled round-over-round table (VERDICT r12 task 1) --
     // dc(q) = (q_now / q_prev) / (A_now / A_prev), A = geometric mean of
@@ -712,7 +729,11 @@ object Bench {
     val forcedJson = forcedTimes.map { case (k, t) =>
       s"${jstr(k)}:${t.map(r4).getOrElse("-1")}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"queries_forced":$forcedJson,"anchors":$anchorsJson,"drift_controlled":$driftVerbose,"scale_ratios":$scaleVerbose,"skew":$skewJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
+    val forcedScaleJson = forcedTimes.collect {
+      case (k, Some(t)) if forcedSmall.contains(k) =>
+        s"""${jstr(k)}:{"small":${r4(forcedSmall(k))},"ratio":${r4(t / forcedSmall(k))}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"queries_forced":$forcedJson,"queries_forced_scale":$forcedScaleJson,"anchors":$anchorsJson,"drift_controlled":$driftVerbose,"scale_ratios":$scaleVerbose,"skew":$skewJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
     // Compact SECOND line (VERDICT r7 "What's wrong" #1): the full
     // spread-bearing line above outgrew the driver's tail-capture window
     // (2000 chars) in round 7, leaving BENCH_r07.json "parsed": null.
