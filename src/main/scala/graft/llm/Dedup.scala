@@ -569,12 +569,22 @@ object Dedup {
     * band probe hands its sunk pairs to the SAME verification. */
   private[graft] def nearDupVerdictFrom(
       cand: DataFrame, corpus: DataFrame, delta: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold): DataFrame =
+    nearDupVerdictFromToks(cand,
+      tokenized(corpus).select(col("doc_id").as("corpus_id"), col("toks").as("ct")),
+      delta, threshold)
+
+  /** [[nearDupVerdictFrom]] with the corpus token sets supplied as a
+    * (corpus_id, ct) frame — the served form reads them from the
+    * persisted [[buildBandIndex]] table instead of re-tokenizing the
+    * raw corpus. */
+  private def nearDupVerdictFromToks(
+      cand: DataFrame, corpusToks: DataFrame, delta: DataFrame,
+      threshold: Double): DataFrame = {
     val dups = cand.select(col("delta_id"), col("corpus_id")).distinct()
       .join(tokenized(delta).select(col("doc_id").as("delta_id"), col("toks").as("dt")),
         "delta_id")
-      .join(tokenized(corpus).select(col("doc_id").as("corpus_id"), col("toks").as("ct")),
-        "corpus_id")
+      .join(corpusToks, "corpus_id")
       .filter(round(graft.functions.jaccard_similarity(col("dt"), col("ct")), 6)
         >= threshold)
       .groupBy(col("delta_id"))
@@ -585,6 +595,48 @@ object Dedup {
         col("doc_id"),
         when(col("dup_of").isNull, "new").otherwise("near_dup").as("status"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  /** Persist the corpus's near-dup SERVING pair: the banded minhash
+    * index bucketed (and sorted) by band_hash, and the token-set table
+    * bucketed by corpus_id — the standing artifacts an at-scale ingest
+    * gate maintains. Both corpus-sized shuffles are paid ONCE at
+    * build; every later probe joins co-located against the bucket
+    * files, so only the arriving delta crosses the wire (the
+    * [[buildGramIndex]] discipline applied to the minhash tier, which
+    * is also what the stream-static `streaming_neardup_probe` join
+    * would read in place at 100 TB instead of rescanning the raw
+    * corpus per micro-batch). */
+  def buildBandIndex(
+      corpus: DataFrame, spark: SparkSession, table: String, path: String,
+      buckets: Int = 8): Unit = {
+    tokenBanded(corpus)
+      .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
+      .write.mode("overwrite")
+      // bucket on BOTH join keys: a bucketed scan only replaces the
+      // exchange when the bucket spec equals the join's partitioning
+      .bucketBy(buckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+      .option("path", s"$path/bands").saveAsTable(s"${table}_bands")
+    tokenized(corpus)
+      .select(col("doc_id").as("corpus_id"), col("toks").as("ct"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "corpus_id").sortBy("corpus_id")
+      .option("path", s"$path/toks").saveAsTable(s"${table}_toks")
+  }
+
+  /** Probe newly arrived docs against a persisted [[buildBandIndex]]
+    * pair: identical semantics to [[incrementalNearDedup]], but the
+    * candidate join shuffles ONLY the delta side (one small exchange
+    * to match the band bucketing — LlmSpec pins exactly one exchange
+    * on the probe with broadcast disabled) and the verify reads the
+    * persisted token sets co-located on corpus_id. */
+  def probeBandIndex(
+      delta: DataFrame, spark: SparkSession, table: String,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val cand = tokenBanded(delta)
+      .join(spark.table(s"${table}_bands"), Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("delta_id"), col("corpus_id"))
+    nearDupVerdictFromToks(cand, spark.table(s"${table}_toks"), delta, threshold)
   }
 
   /** The declared incremental-near delta fixture (shared by the batch
@@ -1795,6 +1847,29 @@ object Dedup {
     Q("dedup_incremental_near", incrementalNearOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       incrementalNearDedup(docs, incrementalNearDelta(docs)).orderBy(col("doc_id"))
+    },
+
+    // The SERVING form of the same probe: the corpus's banded minhash
+    // index and token-set table are PERSISTED, bucketed on their join
+    // keys (band_hash / corpus_id) — the candidate join then shuffles
+    // ONLY the delta side and the verify reads token sets co-located
+    // (their corpus-sized shuffles were paid once at build). Same
+    // oracle — identical answer by construction; LlmSpec pins the
+    // single-exchange probe shape and frame equality with the
+    // in-query form (the dedup_incremental_substring_idx discipline
+    // applied to the minhash tier).
+    Q("dedup_incremental_near_idx", incrementalNearOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tbl = "band_idx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_band_idx").toString
+      buildBandIndex(docs, s, tbl, s"$path/$tbl")
+      try probeBandIndex(incrementalNearDelta(docs), s, tbl)
+        .orderBy(col("doc_id")).localCheckpoint()
+      finally {
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+        graft.Bench.deleteRecursively(path)
+      }
     },
 
     // Incremental SUBSTRING probe: which passages of the delta batch

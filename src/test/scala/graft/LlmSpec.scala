@@ -860,6 +860,45 @@ class LlmSpec extends SparkSpec {
     assert(survivors === 1, s"expected exactly one surviving copy, got $survivors")
   }
 
+  test("bucketed band index: probe shuffles ONLY the delta side, answers match the in-query form") {
+    // r14: the minhash tier's serving pair (buildBandIndex /
+    // probeBandIndex) under the gram-index discipline — the candidate
+    // join against the persisted band table must re-bucket only the
+    // delta's band rows (ONE exchange with broadcast disabled; the
+    // index reads its bucket files co-located), and the served verdict
+    // must equal the in-query incrementalNearDedup frame-for-frame.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val delta = Dedup.incrementalNearDelta(corpus)
+    val tbl = "band_idx_spec"
+    val path = tempDir("graft_band_idx_spec")
+    Dedup.buildBandIndex(corpus, spark, tbl, s"$path/$tbl")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probeCand = spark.table(s"${tbl}_bands")
+        .join(Dedup.tokenBanded(delta), Seq("band_idx", "band_hash"))
+      probeCand.count()
+      val shuffles = collectPlan(probeCand.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles === 1,
+        s"probe must shuffle only the delta side:\n${probeCand.queryExecution.executedPlan}")
+      val served = Dedup.probeBandIndex(delta, spark, tbl)
+        .orderBy("doc_id").collect().toSeq
+      val direct = Dedup.incrementalNearDedup(corpus, delta)
+        .orderBy("doc_id").collect().toSeq
+      assert(served === direct, s"served $served != direct $direct")
+      assert(served.exists(_.getString(1) == "near_dup"),
+        "exact delta copies must be flagged near_dup")
+      assert(served.exists(_.getString(1) == "new"),
+        "novel delta docs must pass as new")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+    }
+  }
+
   test("bucketed gram index: probe shuffles ONLY the delta side, answers match the in-query form") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
