@@ -1040,6 +1040,26 @@ object Similarity {
       annJoin(emb, emb.filter(col("vec_id") < 8), k = 3)
     },
 
+    // The SERVING form of the same retrieval: SRP band table + vector
+    // table PERSISTED bucketed on their join keys, so only the probe
+    // set re-buckets at query time (the dedup_incremental_near_idx
+    // discipline on the embedding tier). Same oracle — identical
+    // answer by construction; LlmSpec pins the single-exchange
+    // candidate join and frame equality with annJoin.
+    Q("embed_ann_join_idx", annJoinOracleSql) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val tbl = "srp_idx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_srp_idx").toString
+      buildSrpIndex(emb, s, tbl, s"$path/$tbl")
+      try probeSrpIndex(emb.filter(col("vec_id") < 8), s, tbl, k = 3)
+        .orderBy(col("probe_id"), col("rank")).localCheckpoint()
+      finally {
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_vecs")
+        graft.Bench.deleteRecursively(path)
+      }
+    },
+
     // ANN QUALITY as a driver-checked query — "measure, don't guess"
     // applied to retrieval itself: per probe, the banded-ANN top-3 is
     // intersected with the BRUTE-FORCE exact top-3 and the hit count /
@@ -1414,6 +1434,56 @@ object Similarity {
     annJoinFrom(
       emb.select(col("vec_id"), asDouble(col("embedding")).as("v")),
       probes, k, identity)
+
+  /** Persist the corpus's ANN SERVING pair — the claim in
+    * [[srpBanded]]'s scaladoc ("computed once at ingest, stored
+    * bucketed by (band_idx, band_sig)") made real: the SRP band table
+    * bucketed on BOTH candidate-join keys, and the double-cast vector
+    * table bucketed on vec_id for the co-located cosine verify. Both
+    * corpus-sized shuffles are paid ONCE at build; every later probe
+    * joins against the bucket files (the `Dedup.buildBandIndex`
+    * discipline on the embedding tier). */
+  def buildSrpIndex(
+      emb: DataFrame, spark: SparkSession, table: String, path: String,
+      buckets: Int = 8): Unit = {
+    srpBanded(emb)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band_idx", "band_sig").sortBy("band_idx", "band_sig")
+      .option("path", s"$path/bands").saveAsTable(s"${table}_bands")
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$path/vecs").saveAsTable(s"${table}_vecs")
+  }
+
+  /** Probe a persisted [[buildSrpIndex]] pair: identical semantics to
+    * [[annJoin]], but the corpus band table reads co-located (only
+    * probe-derived frames re-bucket — LlmSpec pins the candidate join
+    * at ONE exchange with broadcast disabled) and the verify reads
+    * the persisted vectors instead of re-casting the raw corpus. */
+  def probeSrpIndex(
+      probes: DataFrame, spark: SparkSession, table: String, k: Int): DataFrame = {
+    val vecs = spark.table(s"${table}_vecs")
+    val probeVecs = vecs.join(probes.select(col("vec_id")), "vec_id")
+    val probeBands = srpBanded(probeVecs.select(col("vec_id"), col("v").as("embedding")))
+    val cand = probeBands.as("p")
+      .join(spark.table(s"${table}_bands").as("c"),
+        col("p.band_idx") === col("c.band_idx") &&
+          col("p.band_sig") === col("c.band_sig") &&
+          col("p.vec_id") =!= col("c.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("cand_id"))
+      .distinct()
+    val byProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    cand
+      .join(vecs.select(col("vec_id").as("probe_id"), col("v").as("pv")), "probe_id")
+      .join(vecs.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
+      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6) + lit(0.0))
+      .withColumn("rank", row_number().over(byProbe).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"), col("cos_sim"), col("rank"))
+  }
 
   private def annJoinFrom(
       vecs: DataFrame, probes: DataFrame, k: Int,

@@ -860,6 +860,40 @@ class LlmSpec extends SparkSpec {
     assert(survivors === 1, s"expected exactly one surviving copy, got $survivors")
   }
 
+  test("bucketed SRP index: candidate join shuffles ONLY the probe side, answers match annJoin") {
+    // r14: the embedding tier's serving pair (buildSrpIndex /
+    // probeSrpIndex) — the persisted band table must read its bucket
+    // files co-located in the candidate join (one exchange: the probe
+    // side's re-bucketing, with broadcast disabled), and the served
+    // top-k must equal the in-query annJoin frame-for-frame.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val probes = emb.filter(col("vec_id") < 8)
+    val tbl = "srp_idx_spec"
+    val path = tempDir("graft_srp_idx_spec")
+    Similarity.buildSrpIndex(emb, spark, tbl, s"$path/$tbl")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val candJoin = spark.table(s"${tbl}_bands")
+        .join(Similarity.srpBanded(probes), Seq("band_idx", "band_sig"))
+      candJoin.count()
+      val shuffles = collectPlan(candJoin.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles === 1,
+        s"candidate join must shuffle only the probe side:\n${candJoin.queryExecution.executedPlan}")
+      val served = Similarity.probeSrpIndex(probes, spark, tbl, k = 3)
+        .orderBy("probe_id", "rank").collect().toSeq
+      val direct = Similarity.annJoin(emb, probes, k = 3).collect().toSeq
+      assert(served === direct, s"served $served != direct $direct")
+      assert(served.nonEmpty, "the near-orthogonal fixture still yields some candidates")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_vecs")
+    }
+  }
+
   test("bucketed band index: probe shuffles ONLY the delta side, answers match the in-query form") {
     // r14: the minhash tier's serving pair (buildBandIndex /
     // probeBandIndex) under the gram-index discipline — the candidate
