@@ -205,7 +205,7 @@ object Bench {
     * ANSI BIGINT sum within a handful of rows, and the sum's value is
     * discarded anyway — only the forced computation matters. */
   def forceAll(df: DataFrame): Unit = {
-    df.select(sum(xxhash64(df.columns.map(col): _*).cast("double"))).head()
+    df.select(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("double"))).head()
     ()
   }
 

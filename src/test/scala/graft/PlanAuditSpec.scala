@@ -269,7 +269,7 @@ class PlanAuditSpec extends SparkSpec {
       "count() now keeps Window operators — the forced consumer is redundant")
     val forced = feats.select(
       org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.xxhash64(feats.columns.map(col): _*)
+        org.apache.spark.sql.functions.xxhash64(feats.columns.toIndexedSeq.map(col): _*)
           .cast("double")))
     forced.collect()
     val keptWindows = collectPlan(forced.queryExecution.executedPlan)
