@@ -529,16 +529,44 @@ object Dedup {
     * delta doc with status 'dup' (and its canonical duplicate) or
     * 'new'. At scale the index is bucketed by hash so the join
     * shuffles only the delta. */
-  def incrementalDedup(corpus: DataFrame, delta: DataFrame): DataFrame = {
-    val idx = corpus.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keep_id"))
+  def incrementalDedup(corpus: DataFrame, delta: DataFrame): DataFrame =
+    hashVerdictFrom(
+      corpus.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id")),
+      delta)
+
+  /** The probe + verdict tail shared by [[incrementalDedup]] and the
+    * served [[probeHashIndex]] — delta rows hashed map-side, left
+    * join against the (h, keep_id) index, 'dup'/'new' verdict. */
+  private def hashVerdictFrom(idx: DataFrame, delta: DataFrame): DataFrame =
     delta.select(col("doc_id"), md5(col("text")).as("h"))
       .join(idx, Seq("h"), "left")
       .select(
         col("doc_id"),
         when(col("keep_id").isNull, "new").otherwise("dup").as("status"),
         coalesce(col("keep_id"), lit(-1L)).as("dup_of"))
-  }
+
+  /** Persist the corpus's content-hash index (hash → canonical
+    * keep_id) bucketed by h — the standing exact-dedup artifact the
+    * [[incrementalDedup]] scaladoc describes ("at scale the index is
+    * bucketed by hash so the join shuffles only the delta"), made
+    * real like the band/SRP/gram serving tables. The groupBy's
+    * corpus-sized shuffle is paid ONCE at build. */
+  def buildHashIndex(
+      corpus: DataFrame, spark: SparkSession, table: String, path: String,
+      buckets: Int = 8): Unit =
+    corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "h").sortBy("h")
+      .option("path", path).saveAsTable(table)
+
+  /** Probe newly arrived docs against a persisted [[buildHashIndex]]
+    * table: identical semantics to [[incrementalDedup]], with the
+    * probe join shuffling ONLY the delta side (LlmSpec pins one
+    * exchange with broadcast disabled). */
+  def probeHashIndex(delta: DataFrame, spark: SparkSession, table: String): DataFrame =
+    hashVerdictFrom(spark.table(table), delta)
 
   /** Incremental NEAR-dup (delta-vs-corpus banded index) — the
     * production ingest shape for near-duplicates, completing
@@ -654,6 +682,32 @@ object Dedup {
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(lit("completely novel content payload "),
             col("doc_id").cast("string")).as("text")))
+
+  /** The exact-tier delta fixture (copies of the %5 slice + revised
+    * %7 texts), shared by `dedup_incremental` and its served `_idx`
+    * form. */
+  private[graft] def incrementalExactDelta(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" appended revision")).as("text")))
+
+  /** Oracle for [[incrementalDedup]] over [[incrementalExactDelta]],
+    * shared verbatim by `dedup_incremental` and `dedup_incremental_idx`. */
+  private[graft] val incrementalExactOracleSql: String =
+    """WITH idx AS (
+      |  SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
+      |delta AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' appended revision' AS text
+      |  FROM documents WHERE doc_id % 7 = 0)
+      |SELECT d.doc_id,
+      |       CASE WHEN i.keep_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+      |       COALESCE(i.keep_id, -1) AS dup_of
+      |FROM delta d LEFT JOIN idx i ON md5(d.text) = i.h
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Oracle for [[incrementalNearDedup]] over [[incrementalNearDelta]]
     * — both sides' banding and the exact-Jaccard verify replayed in
@@ -1814,26 +1868,27 @@ object Dedup {
     // %5 slice + genuinely-new texts from the %7 slice) probes the
     // corpus's content-hash index — the delta-only shape a production
     // ingest runs (the corpus never rescans per batch).
-    Q("dedup_incremental",
-      """WITH idx AS (
-        |  SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
-        |delta AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000 AS doc_id, text || ' appended revision' AS text
-        |  FROM documents WHERE doc_id % 7 = 0)
-        |SELECT d.doc_id,
-        |       CASE WHEN i.keep_id IS NULL THEN 'new' ELSE 'dup' END AS status,
-        |       COALESCE(i.keep_id, -1) AS dup_of
-        |FROM delta d LEFT JOIN idx i ON md5(d.text) = i.h
-        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    Q("dedup_incremental", incrementalExactOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val delta = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            concat(col("text"), lit(" appended revision")).as("text")))
-      incrementalDedup(docs, delta).orderBy(col("doc_id"))
+      incrementalDedup(docs, incrementalExactDelta(docs)).orderBy(col("doc_id"))
+    },
+
+    // The SERVING form: the content-hash index PERSISTED bucketed by
+    // h, so the probe join shuffles only the delta (the groupBy's
+    // corpus-sized shuffle was paid once at build). Same oracle —
+    // identical answer by construction; LlmSpec pins the
+    // single-exchange probe shape (the near/SRP/gram-idx discipline).
+    Q("dedup_incremental_idx", incrementalExactOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tbl = "hash_idx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_hash_idx").toString
+      buildHashIndex(docs, s, tbl, s"$path/$tbl")
+      try probeHashIndex(incrementalExactDelta(docs), s, tbl)
+        .orderBy(col("doc_id")).localCheckpoint()
+      finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.Bench.deleteRecursively(path)
+      }
     },
 
     // Incremental NEAR-dedup: the delta batch (exact copies, light

@@ -860,6 +860,39 @@ class LlmSpec extends SparkSpec {
     assert(survivors === 1, s"expected exactly one surviving copy, got $survivors")
   }
 
+  test("bucketed hash index: probe shuffles ONLY the delta side, answers match incrementalDedup") {
+    // r14: the exact tier's serving table (buildHashIndex /
+    // probeHashIndex) — the left probe join against the persisted
+    // content-hash index must re-bucket only the delta's hashed rows
+    // (one exchange with broadcast disabled), and the served verdict
+    // must equal the in-query incrementalDedup frame-for-frame.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val delta = Dedup.incrementalExactDelta(corpus)
+    val tbl = "hash_idx_spec"
+    val path = tempDir("graft_hash_idx_spec")
+    Dedup.buildHashIndex(corpus, spark, tbl, s"$path/$tbl")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val served = Dedup.probeHashIndex(delta, spark, tbl)
+      served.count()
+      val shuffles = collectPlan(served.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles === 1,
+        s"probe must shuffle only the delta side:\n${served.queryExecution.executedPlan}")
+      val got = served.orderBy("doc_id").collect().toSeq
+      val direct = Dedup.incrementalDedup(corpus, delta)
+        .orderBy("doc_id").collect().toSeq
+      assert(got === direct, s"served $got != direct $direct")
+      assert(got.exists(_.getString(1) == "dup"), "exact copies must flag dup")
+      assert(got.exists(_.getString(1) == "new"), "revised texts must pass as new")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("bucketed SRP index: candidate join shuffles ONLY the probe side, answers match annJoin") {
     // r14: the embedding tier's serving pair (buildSrpIndex /
     // probeSrpIndex) — the persisted band table must read its bucket
