@@ -187,16 +187,23 @@ object Bench {
     ()
   }
 
-  /** Headline queries whose dominant operator is a Window: under the
-    * headline's `.count()` consumer ColumnPruning legitimately DROPS
-    * the Window operators (nothing downstream reads their outputs), so
-    * the published number times the scan+filter, not the window —
-    * VERDICT r13 "What's wrong" #2. These queries are therefore ALSO
-    * timed under [[forceAll]] and published as `queries_forced` /
-    * `forced`; the `.count()` column stays for cross-round
-    * comparability of the historical series. */
+  /** Headline queries that LOSE operators under the headline's
+    * `.count()` consumer: ColumnPruning legitimately drops Window
+    * operators nothing downstream reads (VERDICT r13 "What's wrong"
+    * #2), and an aggregate consumed for its row count alone prunes its
+    * value columns — taking their window inputs with it (which is how
+    * telemetry_daily/confusion lost their two windows despite being
+    * aggregates OF window outputs; r14 audit). These queries are
+    * therefore ALSO timed under [[forceAll]] and published as
+    * `queries_forced` / `forced`; the `.count()` column stays for
+    * cross-round comparability of the historical series. Membership
+    * is GATED, not hand-maintained: PlanAuditSpec re-derives the
+    * diverging set per run ("every headline query that loses plan
+    * operators under count() is forced") so a new headline query
+    * cannot silently publish a hollow number. */
   val forcedQueries: Seq[String] =
-    Seq("telemetry_features", "telemetry_scored", "events_ohlc_bars")
+    Seq("telemetry_features", "telemetry_scored", "telemetry_daily",
+      "telemetry_confusion", "events_ohlc_bars")
 
   /** Consumer that defeats column pruning for ANY frame: one xxhash64
     * over every output column, summed — every operator producing an

@@ -258,6 +258,43 @@ class PlanAuditSpec extends SparkSpec {
   // (forced pass becomes redundant) or forceAll losing them (forced
   // pass measures nothing) — this fails loud instead of the bench
   // silently publishing a wrong-shaped number.
+  // r14 audit, promoted to a gate: the forced set is exactly the
+  // headline queries whose executed plan LOSES operators under a
+  // count() consumer — windows pruned (nothing reads their outputs)
+  // or, for aggregates consumed for row count alone, value columns
+  // pruned taking their window inputs with them (how telemetry_daily/
+  // confusion hid their windows despite aggregating window outputs).
+  // A count()-only divergent query publishes a hollow headline number;
+  // this derives the divergent set per run and fails if any member is
+  // missing from Bench.forcedQueries. (Join-shaped divergence — e.g.
+  // Catalyst eliminating a left join against a unique-keyed aggregate,
+  // the serving-probe measurement bug — is counted too.)
+  test("every headline query that loses plan operators under count() is forced") {
+    import org.apache.spark.sql.functions.{sum, xxhash64}
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      val names = collectPlan(qe.executedPlan).map(_.getClass.getSimpleName)
+      (names.count(_.contains("Join")), names.count(_.startsWith("Window")))
+    }
+    val tiny = sf("sf0.001")
+    val fixtureTiny = Bench.lshFixtureCached(spark, tiny)
+    val divergent = SparkEntry.all
+      .filter(q => SparkEntry.headline.contains(q.name))
+      .flatMap { q =>
+        val dir = if (Bench.fixtureQueries.contains(q.name)) fixtureTiny else tiny
+        val base = q.run(spark, dir)
+        val counted = shape(base.groupBy().count())
+        val forced = shape(base.select(
+          sum(xxhash64(base.columns.toIndexedSeq.map(col): _*).cast("double"))))
+        if (counted != forced) Some(q.name) else None
+      }
+    val missing = divergent.filterNot(Bench.forcedQueries.contains)
+    assert(missing.isEmpty,
+      s"headline queries lose operators under count() but are not in " +
+        s"Bench.forcedQueries: ${missing.mkString(", ")}")
+  }
+
   test("forceAll keeps the Window operators that count() prunes") {
     import org.apache.spark.sql.execution.window.WindowExec
     val feats = pipeline.Telemetry.features(Tables.events(spark, sfDir))
