@@ -798,19 +798,30 @@ object StreamingAlerts {
     // stream ≡ batch hash-identical (the tierAgreement discipline).
     Q("streaming_neardup_probe", Dedup.incrementalNearOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val staticBands = Dedup.tokenBanded(docs)
-        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
-      val name = "stream_ndp_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = Dedup.tokenBanded(
-          Dedup.incrementalNearDelta(docsStream(s, dir).select(col("doc_id"), col("text"))))
-        .join(staticBands, Seq("band_idx", "band_hash"))
-        .select(col("doc_id").as("delta_id"), col("corpus_id"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      Dedup.nearDupVerdictFrom(
-          s.table(name).localCheckpoint(), docs, Dedup.incrementalNearDelta(docs))
-        .orderBy(col("doc_id"))
+      // the static side is the PERSISTED bucketed band index — the
+      // artifact an at-scale gate maintains (Dedup.buildBandIndex) —
+      // not a per-run re-derivation of the corpus bands: each
+      // micro-batch reads the bucket files in place
+      val tbl = "stream_ndp_idx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_stream_ndp").toString
+      Dedup.buildBandIndex(docs, s, tbl, s"$path/$tbl")
+      try {
+        val name = "stream_ndp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = Dedup.tokenBanded(
+            Dedup.incrementalNearDelta(docsStream(s, dir).select(col("doc_id"), col("text"))))
+          .join(s.table(s"${tbl}_bands"), Seq("band_idx", "band_hash"))
+          .select(col("doc_id").as("delta_id"), col("corpus_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        Dedup.nearDupVerdictFrom(
+            s.table(name).localCheckpoint(), docs, Dedup.incrementalNearDelta(docs))
+          .orderBy(col("doc_id")).localCheckpoint()
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+        graft.Bench.deleteRecursively(path)
+      }
     },
 
     // STREAMING PEAK DETECTION (r10): the online form of
