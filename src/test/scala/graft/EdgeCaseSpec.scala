@@ -37,6 +37,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhashPairs(emptyDocs).count() === 0)
   }
 
+  test("serving indexes tolerate an empty probe batch and an empty corpus build") {
+    // r14: an empty delta is the quiet micro-batch every standing
+    // ingest gate sees routinely; an empty-corpus build is day zero.
+    val base = tempDir("graft_edge_idx")
+    Dedup.buildHashIndex(oneDoc, spark, "edge_hash_idx", s"$base/h")
+    Dedup.buildBandIndex(oneDoc, spark, "edge_band_idx", s"$base/b")
+    Similarity.buildSrpIndex(
+      Seq((1L, Array.fill(Similarity.Dim)(0.1f), 0)).toDF("vec_id", "embedding", "label"),
+      spark, "edge_srp_idx", s"$base/s")
+    try {
+      assert(Dedup.probeHashIndex(emptyDocs, spark, "edge_hash_idx").count() === 0)
+      assert(Dedup.probeBandIndex(emptyDocs, spark, "edge_band_idx").count() === 0)
+      assert(Similarity.probeSrpIndex(emptyEmb, spark, "edge_srp_idx", 3).count() === 0)
+      // a non-empty probe against the singleton index still answers
+      val hit = Dedup.probeHashIndex(
+        oneDoc.select((col("doc_id") + 10L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), spark, "edge_hash_idx")
+      assert(hit.collect().map(r => (r.getString(1), r.getLong(2))).toSeq ===
+        Seq(("dup", 1L)))
+      // day-zero: empty-corpus indexes build and probe to all-new
+      Dedup.buildHashIndex(emptyDocs, spark, "edge_hash_idx0", s"$base/h0")
+      Dedup.buildBandIndex(emptyDocs, spark, "edge_band_idx0", s"$base/b0")
+      val allNew = Dedup.probeHashIndex(oneDoc, spark, "edge_hash_idx0")
+      assert(allNew.collect().map(_.getString(1)).toSeq === Seq("new"))
+      assert(Dedup.probeBandIndex(oneDoc, spark, "edge_band_idx0")
+        .collect().map(_.getString(1)).toSeq === Seq("new"))
+    } finally Seq("edge_hash_idx", "edge_band_idx_bands", "edge_band_idx_toks",
+      "edge_srp_idx_bands", "edge_srp_idx_vecs", "edge_hash_idx0",
+      "edge_band_idx0_bands", "edge_band_idx0_toks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("dedup operators find no pairs in a single-document corpus") {
     assert(Dedup.nearDupPairs(oneDoc).count() === 0)
     assert(Dedup.ngramJaccardPairs(oneDoc, 0.3).count() === 0)
