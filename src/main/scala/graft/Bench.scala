@@ -278,12 +278,14 @@ object Bench {
 
   /** Previous-round baseline for the drift-controlled table (VERDICT
     * r12 task 1): the newest `BENCH_r{N}.json` in the repo (or
-    * `SPARK_GRAFT_BENCH_BASELINE`), parsed for its per-query mins and
-    * anchor mins. Returns (filename, queries, anchors). Tolerates both
-    * the compact-line number format and {"min": …} spread objects;
-    * any parse failure degrades to None — the bench must never fail
-    * because last round's artifact is odd. */
-  def loadBaseline(): Option[(String, Map[String, Double], Map[String, Double])] =
+    * `SPARK_GRAFT_BENCH_BASELINE`), parsed for its per-query mins,
+    * anchor mins, and (r15, VERDICT r14 task 2) the forced-consumer
+    * mins. Returns (filename, queries, anchors, forced) — forced is
+    * empty for pre-r14 artifacts. Tolerates both the compact-line
+    * number format and {"min": …} spread objects; any parse failure
+    * degrades to None — the bench must never fail because last
+    * round's artifact is odd. */
+  def loadBaseline(): Option[(String, Map[String, Double], Map[String, Double], Map[String, Double])] =
     try {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(new java.io.File(_))
       val file = explicit.orElse {
@@ -317,8 +319,17 @@ object Bench {
             b.result()
           }
         val qs = numMap(parsed.get("queries")).filter(_._2 > 0)
-        val as = numMap(parsed.get("anchors")).filter(_._2 > 0)
-        if (qs.nonEmpty && as.nonEmpty) Some((f.getName, qs, as)) else None
+        // r15+ compact lines carry prefix-stripped anchor keys ("cpu");
+        // restore the canonical names so cross-round intersection holds
+        val as = numMap(parsed.get("anchors")).filter(_._2 > 0).map {
+          case (k, v) if !k.startsWith("anchor_") => s"anchor_$k" -> v
+          case kv => kv
+        }
+        // compact line carries "forced", the verbose line "queries_forced";
+        // -1 failure sentinels drop like errored queries
+        val fs = (numMap(parsed.get("forced")) ++
+          numMap(parsed.get("queries_forced"))).filter(_._2 > 0)
+        if (qs.nonEmpty && as.nonEmpty) Some((f.getName, qs, as, fs)) else None
       }
     } catch { case _: Throwable => None }
 
@@ -339,6 +350,7 @@ object Bench {
   }
 
   private[graft] def r4(d: Double): String = f"$d%.4f"
+  private[graft] def r3(d: Double): String = f"$d%.3f"
   private[graft] def r2(d: Double): String = f"$d%.2f"
 
   /** dc band outside which a query's median is published beside its min
@@ -351,14 +363,21 @@ object Bench {
   /** Renders the compact driver-parsed line. This is the line that must
     * ALWAYS fit the driver's 2000-char tail-capture window (BENCH_r07
     * overflowed it → "parsed": null, the failure this line exists to
-    * prevent), so everything here is minimal: per-query mins at 4 dp,
-    * anchor mins, dc/sr in aligned-array form (entries follow the
+    * prevent), so everything here is minimal: per-query mins at 3 dp
+    * (1 ms resolution — sub-0.5% of the fastest headline query, far
+    * inside the ±11% rep noise floor; the 4-dp spread objects ride the
+    * verbose line), anchor mins, dc/sr in aligned-array form (entries
+    * follow the
     * "queries" key order — formulas documented here, not on the wire:
     * dc = (q_now/q_prev)/(anchor_now/anchor_prev), sr = q_sf0.1/q_sf0.01),
-    * medians only for dc outliers, forced-consumer mins, and the skew
-    * pair reduced to its two speedups (full detail rides the verbose
-    * line). Pure function of its inputs so BenchJsonSpec can gate the
-    * rendered length at worst-case shapes (ADVICE r13). */
+    * medians only for dc outliers (headline, or "f:"-prefixed forced),
+    * forced-consumer mins with their own dc array `fdc` (aligned to the
+    * "forced" key order — VERDICT r14 task 2), and the skew pair
+    * reduced to its two speedups (full detail rides the verbose line).
+    * "sf" renders the dir's basename only (the full path burned 15
+    * chars of window for zero information — r15 headroom trim). Pure
+    * function of its inputs so BenchJsonSpec can gate the rendered
+    * length at worst-case shapes (ADVICE r13). */
   private[graft] def compactJson(
       total: Double,
       mins: Seq[(String, Option[Double])],
@@ -367,25 +386,34 @@ object Bench {
       sr: Option[Seq[Option[Double]]],
       med: Seq[(String, Double)],
       forced: Seq[(String, Option[Double])],
+      fdc: Option[Seq[Option[Double]]],
       skewBase: Option[(Double, Double)],
       skewAmp: Option[(Double, Double)],
       sfDir: String): String = {
     val qs = mins.map { case (k, t) =>
-      s"${jstr(k)}:${t.map(r4).getOrElse("-1")}"
+      s"${jstr(k)}:${t.map(r3).getOrElse("-1")}"
     }.mkString("{", ",", "}")
-    val anchorsJson = anchors.map { case (k, t) => s"${jstr(k)}:${r4(t)}" }
-      .mkString("{", ",", "}")
+    // anchor keys drop their uniform "anchor_" prefix on the wire
+    // (r15 headroom trim); loadBaseline and drift_compare.py restore it
+    val anchorsJson = anchors.map { case (k, t) =>
+      s"${jstr(k.stripPrefix("anchor_"))}:${r3(t)}"
+    }.mkString("{", ",", "}")
     val driftJson = drift.map { case (base, ar, dc) =>
       val arr = dc.map(_.map(r2).getOrElse("null")).mkString("[", ",", "]")
-      s"""{"base":${jstr(base)},"ar":${r2(ar)},"dc":$arr}"""
+      // "BENCH_r14.json" → "r14": the surrounding digits are the only
+      // information (loadBaseline resolves the file again next round)
+      val short = "r\\d+".r.findFirstIn(base).getOrElse(base)
+      s"""{"base":${jstr(short)},"ar":${r2(ar)},"dc":$arr}"""
     }.getOrElse("null")
     val srJson = sr.map(_.map(_.map(r2).getOrElse("null")).mkString("[", ",", "]"))
       .getOrElse("null")
-    val medJson = med.map { case (k, t) => s"${jstr(k)}:${r4(t)}" }
+    val medJson = med.map { case (k, t) => s"${jstr(k)}:${r3(t)}" }
       .mkString("{", ",", "}")
     val forcedJson = forced.map { case (k, t) =>
-      s"${jstr(k)}:${t.map(r4).getOrElse("-1")}"
+      s"${jstr(k)}:${t.map(r3).getOrElse("-1")}"
     }.mkString("{", ",", "}")
+    val fdcJson = fdc.map(_.map(_.map(r2).getOrElse("null")).mkString("[", ",", "]"))
+      .getOrElse("null")
     val skewJson =
       if (skewBase.isEmpty && skewAmp.isEmpty) "null"
       else {
@@ -393,9 +421,10 @@ object Bench {
           t.map { case (p, c) => r2(p / c) }.getOrElse("null")
         s"""{"speedup":${sp(skewBase)},"amp_speedup":${sp(skewAmp)}}"""
       }
-    s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,""" +
+    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
       s""""anchors":$anchorsJson,"drift":$driftJson,"sr":$srJson,"med":$medJson,""" +
-      s""""forced":$forcedJson,"skew":$skewJson,"sf":${jstr(sfDir)}}"""
+      s""""forced":$forcedJson,"fdc":$fdcJson,"skew":$skewJson,"sf":${jstr(sfBase)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -509,28 +538,44 @@ object Bench {
     // sample the same machine-state window. A failed query publishes
     // the -1 sentinel (None), exactly like the main series — a missing
     // key would be indistinguishable from a removed query.
-    val forcedTimes: Seq[(String, Option[Double])] = forcedQueries.flatMap { name =>
-      run.find(_.name == name).map { q =>
-        def rep(): Option[Double] = {
-          val t0 = System.nanoTime()
-          try { forceAll(q.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-          catch {
-            case e: Throwable =>
-              if (!errors.contains(s"forced_$name"))
-                errors += s"forced_$name" ->
-                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-              None
+    val forcedResults: Seq[(String, Seq[Double])] = forcedQueries.map { name =>
+      run.find(_.name == name) match {
+        case None =>
+          // a forced query absent from the headline run must surface as
+          // the -1 sentinel, not vanish from the map (ADVICE r14: a
+          // flatMap here made a headline/forcedQueries rename skew
+          // silently shrink the published block)
+          if (!errors.contains(s"forced_$name"))
+            errors += s"forced_$name" -> "not in headline run"
+          name -> Seq.empty[Double]
+        case Some(q) =>
+          // same dir resolution as the main loop (ADVICE r14): a fixture
+          // query forced against the raw vocabulary-dense corpus would
+          // publish an all-pairs blowup, not the plan's cost
+          val dir =
+            if (fixtureQueries.contains(name)) fixtureDir.getOrElse(sfDir) else sfDir
+          def rep(): Option[Double] = {
+            val t0 = System.nanoTime()
+            try { forceAll(q.run(spark, dir)); Some((System.nanoTime() - t0) / 1e9) }
+            catch {
+              case e: Throwable =>
+                if (!errors.contains(s"forced_$name"))
+                  errors += s"forced_$name" ->
+                    Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+                None
+            }
           }
-        }
-        rep() // warm-up, discarded
-        val base = (1 to Reps).flatMap(_ => rep())
-        val ts =
-          if (base.size == Reps && base.min < FastCutoff)
-            base ++ (1 to Reps).flatMap(_ => rep())
-          else base
-        name -> (if (ts.size >= Reps) Some(ts.min) else None)
+          rep() // warm-up, discarded
+          val base = (1 to Reps).flatMap(_ => rep())
+          val ts =
+            if (base.size == Reps && base.min < FastCutoff)
+              base ++ (1 to Reps).flatMap(_ => rep())
+            else base
+          name -> (if (ts.size >= Reps) ts.sorted else Seq.empty[Double])
       }
     }
+    val forcedTimes: Seq[(String, Option[Double])] =
+      forcedResults.map { case (k, ts) => k -> ts.headOption }
     runAnchors() // phase 3: after the suite
 
     // ---- hot-key skew probe (VERDICT r12 task 2) -----------------------
@@ -608,8 +653,16 @@ object Bench {
     // noise band).
     val SmallReps = 2
     val smallDir = sfDir.replace("sf0.1", "sf0.01")
-    val smallTimes: Map[String, Double] =
-      if (smallDir == sfDir || !new java.io.File(smallDir).isDirectory) Map.empty
+    // forcedSmall is the forced-consumer small point: the sr array's
+    // entries for the window-bearing queries scale the SCAN (count()
+    // consumer); the forced pair is the window tier's own scale
+    // evidence (verbose line only). Computed INSIDE the same block as
+    // smallTimes so a fixture-resolved forced query reads the small
+    // fixture while it is still alive (ADVICE r14: the old second pass
+    // ran after the fixture's finally-delete and pinned sfDir-only).
+    val (smallTimes, forcedSmall): (Map[String, Double], Map[String, Double]) =
+      if (smallDir == sfDir || !new java.io.File(smallDir).isDirectory)
+        (Map.empty, Map.empty)
       else {
         var smallFixture: Option[String] = None // cleaned in finally
         try {
@@ -624,39 +677,29 @@ object Bench {
               Tables.documents(spark, d).count()
               Some(d)
             } catch { case _: Throwable => None }
-          run.flatMap { q =>
-            val dir =
-              if (fixtureQueries.contains(q.name)) smallFixture.getOrElse(smallDir)
-              else smallDir
+          def dirFor(name: String): String =
+            if (fixtureQueries.contains(name)) smallFixture.getOrElse(smallDir)
+            else smallDir
+          def timeSmall(name: String, body: DataFrame => Unit,
+              mk: () => DataFrame): Option[(String, Double)] = {
             def rep(): Option[Double] = {
               val t0 = System.nanoTime()
-              try { q.run(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+              try { body(mk()); Some((System.nanoTime() - t0) / 1e9) }
               catch { case _: Throwable => None }
             }
             rep() // warm-up, discarded
             val ts = (1 to SmallReps).flatMap(_ => rep())
-            if (ts.size == SmallReps) Some(q.name -> ts.min) else None
-          }.toMap
-        } catch { case _: Throwable => Map.empty[String, Double] }
+            if (ts.size == SmallReps) Some(name -> ts.min) else None
+          }
+          val st = run.flatMap(q =>
+            timeSmall(q.name, _.count(): Unit, () => q.run(spark, dirFor(q.name)))).toMap
+          val fs = forcedQueries.flatMap(name =>
+            run.find(_.name == name).flatMap(q =>
+              timeSmall(name, forceAll, () => q.run(spark, dirFor(name))))).toMap
+          (st, fs)
+        } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, Double]) }
         finally smallFixture.foreach(deleteRecursively)
       }
-    // forced-consumer small point: the sr array's entries for the
-    // window-bearing queries scale the SCAN (count() consumer); this
-    // is the window tier's own scale evidence (verbose line only)
-    val forcedSmall: Map[String, Double] =
-      if (smallDir == sfDir || !new java.io.File(smallDir).isDirectory) Map.empty
-      else forcedQueries.flatMap { name =>
-        run.find(_.name == name).flatMap { q =>
-          def rep(): Option[Double] = {
-            val t0 = System.nanoTime()
-            try { forceAll(q.run(spark, smallDir)); Some((System.nanoTime() - t0) / 1e9) }
-            catch { case _: Throwable => None }
-          }
-          rep() // warm-up, discarded
-          val ts = (1 to SmallReps).flatMap(_ => rep())
-          if (ts.size == SmallReps) Some(name -> ts.min) else None
-        }
-      }.toMap
 
     // ---- drift-controlled round-over-round table (VERDICT r12 task 1) --
     // dc(q) = (q_now / q_prev) / (A_now / A_prev), A = geometric mean of
@@ -668,7 +711,7 @@ object Bench {
     val anchorMinsNow: Map[String, Double] = anchors.collect {
       case (name, _) if anchorTimes(name).nonEmpty => name -> anchorTimes(name).min
     }.toMap
-    val anchorRatio: Option[Double] = baseline.flatMap { case (_, _, prevA) =>
+    val anchorRatio: Option[Double] = baseline.flatMap { case (_, _, prevA, _) =>
       val shared = anchorMinsNow.keySet.intersect(prevA.keySet).toSeq.sorted
       if (shared.isEmpty) None
       else Some(math.exp(
@@ -702,13 +745,22 @@ object Bench {
     // same data in aligned-array form so it survives the driver's
     // 2000-char tail-capture window
     val driftVerbose = (baseline, anchorRatio) match {
-      case (Some((bName, prevQ, _)), Some(ar)) =>
+      case (Some((bName, prevQ, _, prevF)), Some(ar)) =>
         val rows = results.collect {
           case (k, ts) if ts.size >= Reps && prevQ.contains(k) =>
             val raw = ts.head / prevQ(k)
             s"""${jstr(k)}:{"raw":${r4(raw)},"dc":${r4(raw / ar)}}"""
         }.mkString("{", ",", "}")
-        s"""{"baseline":${jstr(bName)},"anchor_ratio":${r4(ar)},"queries":$rows}"""
+        // forced round-over-round (VERDICT r14 task 2): the window
+        // tier's real cost against last round's forced block, same
+        // anchor-cancelled dc as the headline table
+        val fRows = forcedResults.collect {
+          case (k, ts) if ts.nonEmpty && prevF.contains(k) =>
+            val raw = ts.head / prevF(k)
+            s"""${jstr(k)}:{"raw":${r4(raw)},"dc":${r4(raw / ar)}}"""
+        }.mkString("{", ",", "}")
+        s"""{"baseline":${jstr(bName)},"anchor_ratio":${r4(ar)},"queries":$rows,""" +
+          s""""forced":$fRows}"""
       case _ => "null"
     }
     val scaleVerbose =
@@ -748,24 +800,40 @@ object Bench {
     // line must always fit — rendered by [[compactJson]], whose char
     // budget BenchJsonSpec gates at worst-case query counts.
     val dcByQuery: Map[String, Double] = (baseline, anchorRatio) match {
-      case (Some((_, prevQ, _)), Some(ar)) =>
+      case (Some((_, prevQ, _, _)), Some(ar)) =>
         results.collect { case (k, ts) if ts.size >= Reps && prevQ.contains(k) =>
           k -> ts.head / prevQ(k) / ar
         }.toMap
       case _ => Map.empty
     }
+    // forced-series dc (VERDICT r14 task 2): same anchor-cancelled
+    // ratio over the forced-consumer mins — a forced excursion is
+    // adjudicated exactly like a headline one (median beside the min)
+    val dcForced: Map[String, Double] = (baseline, anchorRatio) match {
+      case (Some((_, _, _, prevF)), Some(ar)) =>
+        forcedResults.collect { case (k, ts) if ts.nonEmpty && prevF.contains(k) =>
+          k -> ts.head / prevF(k) / ar
+        }.toMap
+      case _ => Map.empty
+    }
     // min-vs-median jitter evidence (VERDICT r13 task 4): for any query
-    // whose dc leaves the [1/1.3, 1.3] band, publish its MEDIAN beside
-    // the min on the driver-parsed line — min≪median is the signature
-    // of the r13 phantom (per-query host jitter), min≈median of a real
-    // plan change; capped at the 8 largest excursions to bound the line
-    val medians: Seq[(String, Double)] = dcByQuery.toSeq
-      .filter { case (_, dc) => dc > DcOutlier || dc < 1 / DcOutlier }
-      .sortBy { case (_, dc) => -math.abs(math.log(dc)) }
-      .take(8)
-      .flatMap { case (k, _) =>
-        results.find(_._1 == k).map { case (_, ts) => k -> stat(ts)._2 }
-      }
+    // whose dc leaves the [1/1.3, 1.3] band — headline or forced — its
+    // MEDIAN is published beside the min on the driver-parsed line;
+    // min≪median is the signature of the r13 phantom (per-query host
+    // jitter), min≈median of a real plan change. Forced entries carry
+    // an "f:" key prefix. Capped at the 4 largest excursions to bound
+    // the line (8→4, VERDICT r14 task 5 headroom; measured excursion
+    // counts per round are 0–2, so the cap binds only in pathology).
+    val medOf: Map[String, Seq[Double]] =
+      results.toMap ++ forcedResults.map { case (k, ts) => s"f:$k" -> ts }
+    val medians: Seq[(String, Double)] =
+      (dcByQuery.toSeq ++ dcForced.toSeq.map { case (k, dc) => (s"f:$k", dc) })
+        .filter { case (_, dc) => dc > DcOutlier || dc < 1 / DcOutlier }
+        .sortBy { case (_, dc) => -math.abs(math.log(dc)) }
+        .take(4)
+        .flatMap { case (k, _) =>
+          medOf.get(k).filter(_.nonEmpty).map(ts => k -> stat(ts)._2)
+        }
     println(compactJson(
       total = total,
       mins = results.map { case (k, ts) =>
@@ -773,10 +841,13 @@ object Bench {
       },
       anchors = anchorStats.map { case (k, (mn, _, _, _)) => k -> mn },
       drift = (baseline, anchorRatio) match {
-        case (Some((bName, _, _)), Some(ar)) =>
+        case (Some((bName, _, _, _)), Some(ar)) =>
           Some((bName, ar, results.map { case (k, _) => dcByQuery.get(k) }))
         case _ => None
       },
+      fdc =
+        if (dcForced.isEmpty) None
+        else Some(forcedResults.map { case (k, _) => dcForced.get(k) }),
       sr =
         if (smallTimes.isEmpty) None
         else Some(results.map { case (k, ts) =>

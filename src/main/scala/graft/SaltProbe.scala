@@ -141,16 +141,30 @@ object SaltProbe {
       try {
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        // consumer must mirror the timed runs': with payloadW > 0 the
+        // timed join ships fpay through the shuffle, so the readout must
+        // too — a sum over (v, payload) alone lets column pruning drop
+        // the wide column and the "blind factor" would reflect bare
+        // longs, not the compressible rows the probe is about (ADVICE r14)
+        val wide = if (payloadW > 0) length(col("fpay")) else lit(0)
         val stages = PlanAudit.shufflePartitionBytes(
           factOf(s).join(dimOf(s), col("k") === col("dk"))
-            .select(sum(col("v") + col("payload")).as("s")))
-        // the fact-side stage owns the global max partition (the hot key);
-        // Bench.stat's true median — a(n/2) on the always-even partition
-        // count is the upper-middle bias ADVICE r7 fixed
-        val hot = stages.map(a => if (a.isEmpty) 0L else a.max).max
-        val med = Bench.stat(
-          stages.maxBy(a => if (a.isEmpty) 0L else a.max).sorted.map(_.toDouble).toSeq)._2
-        (hot / 1048576.0, med / 1048576.0)
+            .select(sum(col("v") + col("payload") + wide).as("s")))
+        if (stages.isEmpty) {
+          // AQE disabled (user conf/env) → no ShuffleQueryStageExec to
+          // read; report instead of throwing away the timed results
+          println("AQE-VIEW unavailable: no AQE query stages found " +
+            "(is spark.sql.adaptive.enabled off?)")
+          (0.0, 0.0)
+        } else {
+          // the fact-side stage owns the global max partition (the hot key);
+          // Bench.stat's true median — a(n/2) on the always-even partition
+          // count is the upper-middle bias ADVICE r7 fixed
+          val hot = stages.map(a => if (a.isEmpty) 0L else a.max).max
+          val med = Bench.stat(
+            stages.maxBy(a => if (a.isEmpty) 0L else a.max).sorted.map(_.toDouble).toSeq)._2
+          (hot / 1048576.0, med / 1048576.0)
+        }
       } finally {
         conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
         conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)

@@ -94,12 +94,16 @@ class DocsSpec extends AnyFunSuite {
     // not the round's perf signal
     val base = Bench.loadBaseline()
     assert(base.nonEmpty, "no BENCH_r{N}.json parsed from the repo")
-    val (name, queries, anchors) = base.get
+    val (name, queries, anchors, forced) = base.get
     assert(name.matches("BENCH_r\\d+\\.json"), s"unexpected baseline $name")
     assert(queries.nonEmpty && queries.values.forall(_ > 0),
       s"baseline queries empty or nonpositive: $queries")
     assert(anchors.keySet === Set("anchor_cpu", "anchor_shuffle", "anchor_sort"),
       s"anchor set drifted: ${anchors.keySet}")
+    // r14+ artifacts carry the forced-consumer block; its parse is the
+    // precondition of the forced drift table (VERDICT r14 task 2)
+    assert(forced.nonEmpty && forced.values.forall(_ > 0),
+      s"baseline forced block empty or nonpositive: $forced")
   }
 
   test("every declared query name appears in COVERAGE.md's inventory") {

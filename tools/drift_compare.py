@@ -44,8 +44,11 @@ def load(path):
         doc = parsed
     queries = doc.get("queries", {})
     anchors = doc.get("anchors", {})
-    # spread-line anchors are {"min": ...} objects; compact-line are floats
-    anchors = {k: (v["min"] if isinstance(v, dict) else v)
+    # spread-line anchors are {"min": ...} objects; compact-line are floats.
+    # r15+ compact lines strip the uniform "anchor_" key prefix (line
+    # headroom) — restore it so old/new rounds intersect by name.
+    anchors = {(k if k.startswith("anchor_") else f"anchor_{k}"):
+               (v["min"] if isinstance(v, dict) else v)
                for k, v in anchors.items()}
     # r14+: forced-consumer window timings ("forced" on the compact
     # line, "queries_forced" on the verbose line); -1 marks a failed
