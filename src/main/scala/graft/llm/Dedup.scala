@@ -568,6 +568,57 @@ object Dedup {
   def probeHashIndex(delta: DataFrame, spark: SparkSession, table: String): DataFrame =
     hashVerdictFrom(spark.table(table), delta)
 
+  /** Append `rows` into an existing bucketed table under the TABLE'S
+    * OWN bucket spec (read from the catalog, never re-declared at the
+    * call site — a drifted spec would silently leave the new files
+    * mis-bucketed and re-introduce a probe-side corpus exchange).
+    * Bucketed writes are shuffle-free (each task routes its rows to
+    * bucket files by hash), so an append's wire cost is exactly the
+    * cost of deriving `rows`. Shared by the four `append*Index`
+    * maintenance paths (VERDICT r14 task 1). */
+  private[graft] def bucketedAppend(
+      rows: DataFrame, spark: SparkSession, table: String): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bucket spec — append maintenance is for the bucketed serving tables"))
+    val bucketed = rows.write.mode("append")
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    val sorted = spec.sortColumnNames match {
+      case Nil => bucketed
+      case s => bucketed.sortBy(s.head, s.tail: _*)
+    }
+    sorted.saveAsTable(table)
+  }
+
+  /** The rows an [[appendHashIndex]] call writes: the delta's hashes
+    * anti-joined against the standing index (only genuinely NEW
+    * hashes enter; the index side reads its bucket files co-located,
+    * so the anti-join re-buckets ONLY the delta), grouped to the
+    * per-hash min doc_id. Exposed separately so LlmSpec can pin the
+    * append plan at one delta-sized exchange. */
+  private[graft] def appendHashIndexRows(
+      delta: DataFrame, spark: SparkSession, table: String): DataFrame =
+    delta.select(md5(col("text")).as("h"), col("doc_id"))
+      .join(spark.table(table), Seq("h"), "left_anti")
+      // the anti-join leaves the delta hash-partitioned on h, so this
+      // groupBy reuses that partitioning — no second exchange
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+
+  /** Incremental (append) maintenance for [[buildHashIndex]] — at
+    * 100 TB the standing ingest gate cannot re-pay the corpus-sized
+    * build per batch (VERDICT r14 task 1). Writes only the delta's
+    * NEW (h, keep_id) rows into the bucketed table; existing hashes
+    * keep their canonical keep_id (first-write-wins, which equals the
+    * global min-id victor whenever doc_ids are assigned monotonically
+    * at ingest — the convention every incremental tier here assumes).
+    * Probe-after-append is row-identical to a probe against a
+    * from-scratch rebuild over corpus ∪ delta (LlmSpec pins it). */
+  def appendHashIndex(delta: DataFrame, spark: SparkSession, table: String): Unit =
+    bucketedAppend(appendHashIndexRows(delta, spark, table), spark, table)
+
   /** Incremental NEAR-dup (delta-vs-corpus banded index) — the
     * production ingest shape for near-duplicates, completing
     * `incrementalDedup` (exact tier): the corpus's banded minhash
@@ -665,6 +716,26 @@ object Dedup {
       .join(spark.table(s"${table}_bands"), Seq("band_idx", "band_hash"))
       .select(col("doc_id").as("delta_id"), col("corpus_id"))
     nearDupVerdictFromToks(cand, spark.table(s"${table}_toks"), delta, threshold)
+  }
+
+  /** Incremental (append) maintenance for [[buildBandIndex]]: the
+    * delta's band rows and token sets are PER-DOC facts — no cross-doc
+    * aggregation lives in these tables — so appending them yields a
+    * table whose contents are row-identical to a from-scratch rebuild
+    * over corpus ∪ delta, and probe-after-append ≡ probe-after-rebuild
+    * exactly (LlmSpec pins it). Both derivations are map-only (native
+    * minhash Generator + posexplode) and the bucketed write routes
+    * rows to bucket files inside each task, so the append ships ZERO
+    * shuffled bytes — the full build's two corpus-sized exchanges are
+    * never re-paid (VERDICT r14 task 1). */
+  def appendBandIndex(delta: DataFrame, spark: SparkSession, table: String): Unit = {
+    bucketedAppend(
+      tokenBanded(delta)
+        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash")),
+      spark, s"${table}_bands")
+    bucketedAppend(
+      tokenized(delta).select(col("doc_id").as("corpus_id"), col("toks").as("ct")),
+      spark, s"${table}_toks")
   }
 
   /** The declared incremental-near delta fixture (shared by the batch
@@ -1198,6 +1269,29 @@ object Dedup {
       .select(col("doc_id"), col("pos"))
     spanRollup(delta, islandSpans(hits, n))
   }
+
+  /** The rows an [[appendGramIndex]] call writes: the delta's gram
+    * keys anti-joined against the standing index (index side reads
+    * its bucket files co-located — the anti-join re-buckets ONLY the
+    * delta's gram rows), then deduplicated — the distinct reuses the
+    * join's hash partitioning on gram_h, so the whole derivation is
+    * one delta-sized exchange (LlmSpec pins it). */
+  private[graft] def appendGramIndexRows(
+      delta: DataFrame, spark: SparkSession, table: String, n: Int = 8): DataFrame =
+    gramPosRows(delta, n).select(col("gram_h"))
+      .join(spark.table(table), Seq("gram_h"), "left_anti")
+      .distinct()
+
+  /** Incremental (append) maintenance for [[buildGramIndex]]: only
+    * the delta's genuinely NEW gram keys enter the table, so its
+    * contents stay exactly the distinct gram set of corpus ∪ delta —
+    * probe-after-append ≡ probe-after-rebuild by construction (the
+    * probe is a LEFT SEMI join, insensitive to row order; LlmSpec
+    * pins frame equality). The build's corpus-sized distinct is never
+    * re-paid (VERDICT r14 task 1). */
+  def appendGramIndex(
+      delta: DataFrame, spark: SparkSession, table: String, n: Int = 8): Unit =
+    bucketedAppend(appendGramIndexRows(delta, spark, table, n), spark, table)
 
   /** Delta fixture shared by the incremental-substring queries: exact
     * copies (+1M), appended revisions (+2M), novel docs (+3M) — the
@@ -1891,6 +1985,29 @@ object Dedup {
       }
     },
 
+    // APPEND-maintained serving index (VERDICT r14 task 1): build the
+    // hash index from the first-ingested slice (doc_id < 200 — the
+    // split is MONOTONE like real ingest, which is exactly the
+    // assumption first-write-wins needs: the testdata carries a few
+    // duplicate texts, and a non-monotone split could hand the later
+    // batch the smaller id), appendHashIndex the remainder (one
+    // delta-sized exchange — only NEW hashes enter), then probe. Same
+    // oracle: probe-after-append must be row-identical to a probe
+    // against a from-scratch rebuild over the full corpus.
+    Q("dedup_incremental_idx_append", incrementalExactOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tbl = "hash_app_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_hash_app").toString
+      buildHashIndex(docs.filter(col("doc_id") < 200), s, tbl, s"$path/$tbl")
+      appendHashIndex(docs.filter(col("doc_id") >= 200), s, tbl)
+      try probeHashIndex(incrementalExactDelta(docs), s, tbl)
+        .orderBy(col("doc_id")).localCheckpoint()
+      finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.Bench.deleteRecursively(path)
+      }
+    },
+
     // Incremental NEAR-dedup: the delta batch (exact copies, light
     // revisions, genuinely novel texts) probes the corpus's BANDED
     // minhash index — candidates only where a full band agrees, exact
@@ -1927,6 +2044,27 @@ object Dedup {
       }
     },
 
+    // APPEND-maintained serving pair (VERDICT r14 task 1): build the
+    // band/token tables from the first-ingested slice, appendBandIndex
+    // the remainder (ZERO shuffled bytes — per-doc facts, map-only
+    // derivation), then probe. Same oracle: the band and token tables
+    // are per-doc facts, so probe-after-append is row-identical to a
+    // probe against a from-scratch rebuild over the full corpus.
+    Q("dedup_incremental_near_idx_append", incrementalNearOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tbl = "band_app_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_band_app").toString
+      buildBandIndex(docs.filter(col("doc_id") < 200), s, tbl, s"$path/$tbl")
+      appendBandIndex(docs.filter(col("doc_id") >= 200), s, tbl)
+      try probeBandIndex(incrementalNearDelta(docs), s, tbl)
+        .orderBy(col("doc_id")).localCheckpoint()
+      finally {
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+        graft.Bench.deleteRecursively(path)
+      }
+    },
+
     // Incremental SUBSTRING probe: which passages of the delta batch
     // already exist verbatim in the corpus. Same delta construction as
     // dedup_incremental_near (exact copies / appended revisions /
@@ -1950,6 +2088,25 @@ object Dedup {
       val tbl = "gram_idx_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files.createTempDirectory("graft_gram_idx").toString
       buildGramIndex(docs, s, tbl, s"$path/$tbl")
+      try probeGramIndex(delta, s, tbl).orderBy(col("doc_id")).localCheckpoint()
+      finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.Bench.deleteRecursively(path)
+      }
+    },
+
+    // APPEND-maintained gram index (VERDICT r14 task 1): build from
+    // the first-ingested slice, appendGramIndex the remainder (one
+    // delta-sized exchange — only genuinely NEW gram keys enter), then
+    // probe. Same oracle: the table stays exactly the distinct gram
+    // set of the full corpus, so probe-after-append is row-identical
+    // to a probe against a from-scratch rebuild.
+    Q("dedup_incremental_substring_idx_append", incrementalSubstringOracleSql) { (s, dir) =>
+      val (docs, delta) = incrementalSubstringFixture(s, dir)
+      val tbl = "gram_app_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_gram_app").toString
+      buildGramIndex(docs.filter(col("doc_id") < 200), s, tbl, s"$path/$tbl")
+      appendGramIndex(docs.filter(col("doc_id") >= 200), s, tbl)
       try probeGramIndex(delta, s, tbl).orderBy(col("doc_id")).localCheckpoint()
       finally {
         s.sql(s"DROP TABLE IF EXISTS $tbl")

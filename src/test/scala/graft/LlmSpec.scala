@@ -1004,6 +1004,124 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("append maintenance: probe-after-append equals probe-after-rebuild on all four tiers") {
+    // VERDICT r14 task 1 (b): for each serving tier, build from the
+    // first-ingested slice + append the remainder, and the probe must
+    // be ROW-IDENTICAL to a probe against a from-scratch rebuild over
+    // the full corpus — the invariant that makes append-only
+    // maintenance sound as the standing 100 TB ingest artifact.
+    val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val base = corpus.filter(col("doc_id") < 200)
+    val tail = corpus.filter(col("doc_id") >= 200)
+    val path = tempDir("graft_append_equiv")
+
+    // exact tier
+    Dedup.buildHashIndex(corpus, spark, "hx_full", s"$path/hx_full")
+    Dedup.buildHashIndex(base, spark, "hx_app", s"$path/hx_app")
+    Dedup.appendHashIndex(tail, spark, "hx_app")
+    val exactDelta = Dedup.incrementalExactDelta(corpus)
+    try {
+      assert(Dedup.probeHashIndex(exactDelta, spark, "hx_app")
+        .orderBy("doc_id").collect().toSeq ===
+        Dedup.probeHashIndex(exactDelta, spark, "hx_full")
+          .orderBy("doc_id").collect().toSeq)
+      // the appended table holds each hash ONCE (the left-anti gate):
+      // duplicate h rows would multiply probe output rows
+      val idx = spark.table("hx_app")
+      assert(idx.count() === idx.select("h").distinct().count(),
+        "appendHashIndex must not duplicate existing hashes")
+    } finally Seq("hx_full", "hx_app").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // near tier (band + token tables)
+    Dedup.buildBandIndex(corpus, spark, "bx_full", s"$path/bx_full")
+    Dedup.buildBandIndex(base, spark, "bx_app", s"$path/bx_app")
+    Dedup.appendBandIndex(tail, spark, "bx_app")
+    val nearDelta = Dedup.incrementalNearDelta(corpus)
+    try {
+      assert(Dedup.probeBandIndex(nearDelta, spark, "bx_app")
+        .orderBy("doc_id").collect().toSeq ===
+        Dedup.probeBandIndex(nearDelta, spark, "bx_full")
+          .orderBy("doc_id").collect().toSeq)
+    } finally Seq("bx_full_bands", "bx_full_toks", "bx_app_bands", "bx_app_toks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // substring tier (distinct gram set)
+    Dedup.buildGramIndex(corpus, spark, "gx_full", s"$path/gx_full")
+    Dedup.buildGramIndex(base, spark, "gx_app", s"$path/gx_app")
+    Dedup.appendGramIndex(tail, spark, "gx_app")
+    try {
+      assert(Dedup.probeGramIndex(nearDelta, spark, "gx_app")
+        .orderBy("doc_id").collect().toSeq ===
+        Dedup.probeGramIndex(nearDelta, spark, "gx_full")
+          .orderBy("doc_id").collect().toSeq)
+      // appended index stays a SET: content equality with the rebuild
+      val app = spark.table("gx_app")
+      assert(app.count() === spark.table("gx_full").count(),
+        "appendGramIndex must write exactly the new distinct grams")
+    } finally Seq("gx_full", "gx_app").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // embedding tier (SRP band + vector tables)
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    Similarity.buildSrpIndex(emb, spark, "sx_full", s"$path/sx_full")
+    Similarity.buildSrpIndex(emb.filter(col("vec_id") < 200), spark, "sx_app", s"$path/sx_app")
+    Similarity.appendSrpIndex(emb.filter(col("vec_id") >= 200), spark, "sx_app")
+    val probes = emb.filter(col("vec_id") < 8)
+    try {
+      assert(Similarity.probeSrpIndex(probes, spark, "sx_app", k = 3)
+        .orderBy("probe_id", "rank").collect().toSeq ===
+        Similarity.probeSrpIndex(probes, spark, "sx_full", k = 3)
+          .orderBy("probe_id", "rank").collect().toSeq)
+    } finally Seq("sx_full_bands", "sx_full_vecs", "sx_app_bands", "sx_app_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("append maintenance shuffles only the delta: plan pins per tier") {
+    // VERDICT r14 task 1 (a): the append derivations must never
+    // re-shuffle the corpus — the hash/gram rows-builders re-bucket
+    // ONLY the delta (one exchange; the index side reads its bucket
+    // files co-located), and the band/SRP appends are map-only (ZERO
+    // exchanges — per-doc facts; the bucketed write routes rows to
+    // bucket files inside each task, no exchange added).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val base = corpus.filter(col("doc_id") < 200)
+    val tail = corpus.filter(col("doc_id") >= 200)
+    val path = tempDir("graft_append_plan")
+    Dedup.buildHashIndex(base, spark, "hp_idx", s"$path/hp_idx")
+    Dedup.buildGramIndex(base, spark, "gp_idx", s"$path/gp_idx")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count()
+        collectPlan(df.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec])
+      }
+      val hashRows = Dedup.appendHashIndexRows(tail, spark, "hp_idx")
+      assert(shuffles(hashRows) === 1,
+        s"hash append must re-bucket only the delta (anti-join + reused " +
+          s"groupBy partitioning):\n${hashRows.queryExecution.executedPlan}")
+      val gramRows = Dedup.appendGramIndexRows(tail, spark, "gp_idx")
+      assert(shuffles(gramRows) === 1,
+        s"gram append must re-bucket only the delta (anti-join + reused " +
+          s"distinct partitioning):\n${gramRows.queryExecution.executedPlan}")
+      // band/SRP append frames: pure map-side derivations of the delta
+      val bandRows = Dedup.tokenBanded(tail)
+        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
+      assert(shuffles(bandRows) === 0,
+        s"band append derivation must be map-only:\n${bandRows.queryExecution.executedPlan}")
+      val emb = Tables.embeddings(spark, sf("sf0.001"))
+      val srpRows = Similarity.srpBanded(emb.filter(col("vec_id") >= 200))
+      assert(shuffles(srpRows) === 0,
+        s"SRP append derivation must be map-only:\n${srpRows.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("hp_idx", "gp_idx").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("SemDeDup collapses planted near-duplicate vectors within clusters; distinct vectors survive") {
     val rnd = new scala.util.Random(23)
     def vec(seed: Int): Array[Float] = {
