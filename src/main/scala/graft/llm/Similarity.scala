@@ -428,6 +428,49 @@ object Similarity {
     ivfSearch(emb.sparkSession, path, probeId, k, nProbe)
   }
 
+  /** The IVF serving codepath over a DETERMINISTIC hash-seeded coarse
+    * quantizer (declared as `embed_ivf_topk_pinned`): the nCells
+    * centroids are the corpus vectors with the smallest
+    * md5(vec_id) — a hash-seeded init with zero Lloyd updates — so
+    * cell assignment (argmax rounded cosine, min-seed tiebreak),
+    * probe-side cell ranking, the nProbe prune, and the exact-cosine
+    * top-k all replay in SQL and the WHOLE serving path hash-pins
+    * cross-engine. Same plan skeleton as [[ivfSearch]]: the seed set
+    * is nCells rows (broadcast both into assignment and the probe's
+    * cell ranking), the candidate scan touches only the pruned cells'
+    * rows, and at scale the assignment is the ingest-time step that
+    * [[buildIvfIndex]] persists partitioned by cell. k-means quality
+    * stays with [[ivfSearch]]; THIS pins the machinery around it. */
+  def ivfTopKPinned(
+      emb: DataFrame, probeId: Long, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    // argmax rounded cosine with min-seed tiebreak, as a max_by over
+    // (cos, -seed) — an aggregate argmax, not a per-vector window sort
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("cs", round(cosine(col("v"), col("sv")), 6) + lit(0.0))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("seed_id"),
+        struct(col("cs"), (lit(0L) - col("seed_id")).as("ns"))).as("cluster"))
+    val probe = e.filter(col("vec_id") === probeId).select(col("v").as("pv"))
+    val near = seeds.crossJoin(broadcast(probe))
+      .withColumn("cs", round(cosine(col("sv"), col("pv")), 6) + lit(0.0))
+      .orderBy(col("cs").desc, col("seed_id"))
+      .limit(nProbe)
+      .select(col("seed_id").as("cluster"))
+    assigned.join(broadcast(near), "cluster")
+      .join(e, "vec_id")
+      .crossJoin(broadcast(probe))
+      .withColumn("cos_sim", round(cosine(col("v"), col("pv")), 6) + lit(0.0))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cluster"), col("cos_sim"))
+  }
+
   // ── Product quantization (PQ / IVF-PQ) ─────────────────────────────
 
   /** PQ geometry: 8 subspaces × 8 dims, 16 centroids per subspace —
@@ -958,6 +1001,47 @@ object Similarity {
     // determinism, and pruning asserted in LlmSpec.
     Q.noOracle("embed_ivf_topk") { (s, dir) =>
       ivfSearch(s, ivfIndexFor(s, dir), probeId = 0L, k = 20)
+    },
+
+    // The HASH-PINNED sibling of the IVF serving codepath (VERDICT r14
+    // task 3, the dedup_semantic_pinned playbook): everything in IVF
+    // search EXCEPT the Lloyd iterations — coarse-rank the quantizer
+    // cells against the probe, prune to the nProbe nearest, exact-
+    // cosine top-k inside them — is SQL-expressible, so this variant
+    // swaps the k-means centroids for MD5-SEEDED centroids (the 16
+    // corpus vectors with the smallest md5(vec_id), i.e. a
+    // deterministic hash-seeded k-means++ init step with zero Lloyd
+    // updates) and the driver hash-checks the ENTIRE serving path
+    // cross-engine: cell assignment (argmax rounded cosine, min-seed
+    // tiebreak), probe-side cell ranking, the nProbe=4 prune, and the
+    // final exact top-20. The k-means form above stays as the
+    // uncapped quality shape; its recall is audited in LlmSpec.
+    Q("embed_ivf_topk_pinned",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id AS seed_id, v AS sv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT e.vec_id, s.seed_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ROUND(list_cosine_similarity(e.v, s.sv), 6) + 0 DESC,
+         |                      s.seed_id) AS rn
+         |    FROM e CROSS JOIN seeds s) WHERE rn = 1),
+         |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         |near AS (
+         |  SELECT seed_id AS cluster FROM seeds, probe
+         |  ORDER BY ROUND(list_cosine_similarity(sv, pv), 6) + 0 DESC, seed_id
+         |  LIMIT 4)
+         |SELECT e.vec_id, e.label, a.cluster,
+         |       ROUND(list_cosine_similarity(e.v, p.pv), 6) + 0 AS cos_sim
+         |FROM assigned a
+         |JOIN near n ON n.cluster = a.cluster
+         |JOIN e ON e.vec_id = a.vec_id, probe p
+         |ORDER BY cos_sim DESC, e.vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      ivfTopKPinned(Tables.embeddings(s, dir), probeId = 0L, k = 20)
     },
 
     // Embedding-cosine near-dedup: candidate pairs from MULTI-BAND SRP
