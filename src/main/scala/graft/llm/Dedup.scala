@@ -2185,42 +2185,30 @@ object Dedup {
     // 5 synchronous rounds (count → argmax with the same (c desc,
     // label asc) tiebreak → coalesce), so every intermediate state is
     // pinned, not just the fixed point.
-    Q("graph_label_prop", {
-      val iters = 5
-      val rounds = (1 to iters).map { k =>
-        s"""n$k AS (
-           |  SELECT und.a, l${k - 1}.label, COUNT(*) AS c
-           |  FROM und JOIN l${k - 1} ON l${k - 1}.id = und.b
-           |  GROUP BY und.a, l${k - 1}.label),
-           |w$k AS (
-           |  SELECT a, label FROM (
-           |    SELECT a, label,
-           |           ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
-           |    FROM n$k) t
-           |  WHERE rn = 1),
-           |l$k AS (
-           |  SELECT g.id, COALESCE(w.label, g.id) AS label
-           |  FROM g LEFT JOIN w$k w ON g.id = w.a)""".stripMargin
-      }.mkString(",\n")
-      val offsets = (0 to 5).map(k => s"SELECT doc_id + ${k}000000 AS id FROM documents")
-        .mkString("\n  UNION ALL ")
-      s"""WITH g AS (
-         |  $offsets),
-         |e AS (
-         |  SELECT doc_id + 0 AS a, doc_id + 1000000 AS b FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
-         |  UNION ALL SELECT doc_id + 0, doc_id + 2000000 FROM documents
-         |  UNION ALL SELECT doc_id + 3000000, doc_id + 4000000 FROM documents
-         |  UNION ALL SELECT doc_id + 4000000, doc_id + 5000000 FROM documents
-         |  UNION ALL SELECT doc_id + 3000000, doc_id + 5000000 FROM documents
-         |  UNION ALL SELECT doc_id + 2000000, doc_id + 3000000 FROM documents),
-         |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-         |l0 AS (SELECT id, id AS label FROM g),
-         |$rounds
-         |SELECT id, label FROM l$iters ORDER BY id""".stripMargin
-    }) { (s, dir) =>
+    Q("graph_label_prop",
+      s"""WITH ${lpaCtesSql(5)}
+         |SELECT id, label FROM l5 ORDER BY id""".stripMargin) { (s, dir) =>
       val (nodes, edges) = lpaFixture(Tables.documents(s, dir).select(col("doc_id")))
       labelPropagation(nodes, edges, iters = 5).orderBy(col("id"))
+    },
+
+    // LPA CONVERGENCE TRACE (VERDICT r14 task 8, the graph_kcore_trace
+    // discipline): per-round changed-label counts over the same
+    // fixture and the same unrolled-CTE oracle, so the fixed-5-rounds
+    // choice in graph_label_prop is EVIDENCE, not convention — on the
+    // triangle+bridge chains the sync dynamics change 6·N, 4·N, 1·N
+    // nodes in rounds 1-3, hit the fixed point at round 4 (changed 0),
+    // and round 5 certifies one round PAST convergence (still 0).
+    Q("graph_label_prop_trace",
+      s"""WITH ${lpaCtesSql(5)}
+         |${(1 to 5).map(k =>
+             s"""SELECT CAST($k AS BIGINT) AS round,
+                |       CAST((SELECT COUNT(*) FROM l$k x JOIN l${k - 1} y
+                |             ON x.id = y.id WHERE x.label <> y.label) AS BIGINT) AS changed"""
+               .stripMargin).mkString("\nUNION ALL ")}
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      val (nodes, edges) = lpaFixture(Tables.documents(s, dir).select(col("doc_id")))
+      labelPropagationTrace(nodes, edges, iters = 5)
     },
 
     // Triangle counts + local clustering coefficient over the chain
@@ -2493,6 +2481,70 @@ object Dedup {
     var labels = nodes.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) labels = lpaRound(und, nodes, labels).localCheckpoint()
     labels
+  }
+
+  /** Per-round changed-label counts of [[labelPropagation]] — the
+    * convergence trace (declared `graph_label_prop_trace`): round k's
+    * row counts the nodes whose label differs from round k−1, so a
+    * fixed-point run reads as a descending series hitting (and
+    * staying at) zero. The count per round is the SAME comparison
+    * `connectedComponents` already uses as its stopping test, here
+    * surfaced as data; driver state is `iters` rows. */
+  def labelPropagationTrace(
+      nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val und = undirectedEdges(edges).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    val rows = (1 to iters).map { k =>
+      val next = lpaRound(und, nodes, labels).localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      (k.toLong, changed)
+    }
+    rows.toDF("round", "changed").orderBy(col("round"))
+  }
+
+  /** The shared unrolled-CTE oracle prefix for the LPA queries
+    * (`graph_label_prop` / `graph_label_prop_trace`): fixture graph,
+    * undirected edges, self-labels l0, and one (count → argmax →
+    * coalesce) CTE triple per round up to l`iters`. One definition so
+    * the final-state query and the convergence trace can never replay
+    * different dynamics. */
+  private def lpaCtesSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""n$k AS (
+         |  SELECT und.a, l${k - 1}.label, COUNT(*) AS c
+         |  FROM und JOIN l${k - 1} ON l${k - 1}.id = und.b
+         |  GROUP BY und.a, l${k - 1}.label),
+         |w$k AS (
+         |  SELECT a, label FROM (
+         |    SELECT a, label,
+         |           ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+         |    FROM n$k) t
+         |  WHERE rn = 1),
+         |l$k AS (
+         |  SELECT g.id, COALESCE(w.label, g.id) AS label
+         |  FROM g LEFT JOIN w$k w ON g.id = w.a)""".stripMargin
+    }.mkString(",\n")
+    val offsets = (0 to 5).map(k => s"SELECT doc_id + ${k}000000 AS id FROM documents")
+      .mkString("\n  UNION ALL ")
+    s"""g AS (
+       |  $offsets),
+       |e AS (
+       |  SELECT doc_id + 0 AS a, doc_id + 1000000 AS b FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+       |  UNION ALL SELECT doc_id + 0, doc_id + 2000000 FROM documents
+       |  UNION ALL SELECT doc_id + 3000000, doc_id + 4000000 FROM documents
+       |  UNION ALL SELECT doc_id + 4000000, doc_id + 5000000 FROM documents
+       |  UNION ALL SELECT doc_id + 3000000, doc_id + 5000000 FROM documents
+       |  UNION ALL SELECT doc_id + 2000000, doc_id + 3000000 FROM documents),
+       |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |l0 AS (SELECT id, id AS label FROM g),
+       |$rounds""".stripMargin
   }
 
   /** The declared `graph_label_prop` fixture: two complete triangles
