@@ -76,6 +76,63 @@ object PlanAudit {
     }.flatten
   }
 
+  /** The compressed-vs-true blind factor SaltProbe measured on padded
+    * payloads (PLANS.md round-14 AQE blind-spot table): AQE's skew
+    * detector thresholds on COMPRESSED map-output bytes while the
+    * reducer pays the decompressed volume, and on compressible wide
+    * rows the gap was 4.59×. Callers with their own measured ratio
+    * pass it to [[skewAdvice]]. */
+  val MeasuredBlindFactor = 4.59
+
+  /** One shuffle's skew decision, from the numbers AQE itself reads
+    * (per-reduce-partition COMPRESSED map-output bytes of the hottest
+    * finalized stage) plus the measured compressed→true blind factor:
+    *  - `advice = "none"`      — no skewed partition (hot ≤ factor·median);
+    *  - `advice = "aqe-handles"` — skewed AND hot's compressed bytes
+    *    already clear the detector threshold: the runtime split fires,
+    *    do nothing;
+    *  - `advice = "salt"`     — skewed, but hot's COMPRESSED bytes sit
+    *    under the threshold, so the detector stays silent while the
+    *    reducer buffers ≈ blindFactor × hot true bytes: the plan needs
+    *    `Salted.joinSalted` (AQE cannot see this one). */
+  final case class SkewAdvice(
+      hotBytes: Long, medianBytes: Double, skewFactor: Double,
+      thresholdBytes: Long, detectorFactor: Double,
+      estTrueHotBytes: Double, aqeWouldSplit: Boolean, advice: String)
+
+  /** Apply the AQE skew detector's OWN two conditions (hot > factor ×
+    * median AND hot > skewedPartitionThresholdInBytes, both on
+    * compressed bytes) to `df`'s hottest finalized shuffle stage, and
+    * report whether the runtime mitigation will fire or the plan needs
+    * manual salting — the PLANS.md round-14 decision rule ("AQE blind
+    * while true hot-partition volume < ratio × 256 MB") as a callable
+    * (VERDICT r14 task 7). Executes `df`; None when AQE is disabled
+    * (no query stages to read) or the plan has no shuffle. */
+  def skewAdvice(
+      df: DataFrame,
+      blindFactor: Double = MeasuredBlindFactor): Option[SkewAdvice] = {
+    val stages = shufflePartitionBytes(df).filter(_.nonEmpty)
+    if (stages.isEmpty) None
+    else {
+      val hotStage = stages.maxBy(_.max)
+      val hot = hotStage.max
+      val med = Bench.stat(hotStage.sorted.map(_.toDouble).toSeq)._2
+      val conf = df.sparkSession.conf
+      val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"))
+      val factor =
+        conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0").toDouble
+      val skewFactor =
+        if (med > 0) hot / med else if (hot > 0) Double.PositiveInfinity else 0.0
+      val skewed = hot > 0 && skewFactor > factor
+      val wouldSplit = skewed && hot > threshold
+      val advice =
+        if (!skewed) "none" else if (wouldSplit) "aqe-handles" else "salt"
+      Some(SkewAdvice(hot, med, skewFactor, threshold, factor,
+        hot * blindFactor, wouldSplit, advice))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()

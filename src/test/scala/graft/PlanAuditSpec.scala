@@ -314,4 +314,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(keptWindows.nonEmpty,
       "forceAll's consumer no longer keeps the Window operators — it measures nothing")
   }
+
+  test("skewAdvice applies the AQE detector's conditions to the planted-hot fixture") {
+    // VERDICT r14 task 7: the blind-spot decision rule as a callable.
+    // SaltProbe's planted-hot shape in miniature: 4-in-5 fact rows on
+    // ONE join key. The fraction is deliberately high because the
+    // fixture must clear the detector's 5× factor IN COMPRESSED BYTES
+    // — the hot partition's repeated key compresses far better than
+    // the uniform ones (the 4.59× blind gap this rule exists for), so
+    // a 50% hot fraction reads only ~3.4× compressed. Still far below
+    // 256 MB — exactly the regime where AQE's detector stays silent
+    // and the advice must be "salt".
+    import org.apache.spark.sql.functions._
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try {
+      def planted(hot: Boolean) = {
+        val fact = spark.range(0, 200000L, 1, 8).select(
+          (if (hot) when(pmod(col("id"), lit(5L)) < 4, lit(0L))
+            .otherwise(pmod(hash(col("id")), lit(9999L)) + 1)
+          else pmod(hash(col("id")), lit(10000L))).as("k"),
+          col("id").as("v"))
+        val dim = spark.range(0, 10000L, 1, 4)
+          .select(col("id").as("dk"), (col("id") % 100).as("payload"))
+        fact.join(dim, col("k") === col("dk"))
+          .select(sum(col("v") + col("payload")).as("s"))
+      }
+      val hotAdv = PlanAudit.skewAdvice(planted(hot = true))
+      assert(hotAdv.nonEmpty, "planted-hot join must yield a readable shuffle stage")
+      val a = hotAdv.get
+      assert(a.skewFactor > a.detectorFactor,
+        s"planted hot key must exceed the detector factor: $a")
+      assert(a.hotBytes < a.thresholdBytes,
+        s"fixture must sit under the 256 MB threshold (the blind regime): $a")
+      assert(!a.aqeWouldSplit && a.advice === "salt", s"expected salt advice: $a")
+      assert(a.estTrueHotBytes === a.hotBytes * PlanAudit.MeasuredBlindFactor)
+      // uniform keys → no skewed partition → "none"
+      val uniAdv = PlanAudit.skewAdvice(planted(hot = false))
+      assert(uniAdv.nonEmpty && uniAdv.get.advice === "none",
+        s"uniform join must advise none: $uniAdv")
+      // detector regime: drop the threshold below the hot partition's
+      // compressed bytes and the SAME shape reads "aqe-handles"
+      val prevThresh =
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      try {
+        val fires = PlanAudit.skewAdvice(planted(hot = true))
+        assert(fires.nonEmpty && fires.get.aqeWouldSplit &&
+          fires.get.advice === "aqe-handles",
+          s"with the threshold under the hot bytes the detector fires: $fires")
+      } finally spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevThresh)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+    }
+  }
 }
