@@ -78,13 +78,21 @@ object Bench {
           concat(col("text"), lit(" xdup#"), col("doc_id")).as("text"))
       salted.unionByName(dups)
     }
-    replicas.reduce(_ unionByName _)
+    balancedUnion(replicas)
       .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/documents.parquet")
     out
   }
+
+  /** Union a replica list as a balanced tree (depth log₂ n, not n):
+    * a left-fold union of hundreds of replicas nests the logical plan
+    * deep enough to overflow the analyzer stack at the m=1000 decade
+    * probes; row content is identical. */
+  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else balancedUnion(dfs.grouped(2).map(_.reduce(_ unionByName _)).toSeq)
 
   /** Embeddings companion of `lshFixtureScaled`: replica k shifts
     * vec_ids by k·`ReplicaSpan` and cyclically rotates the vector by k
@@ -103,7 +111,7 @@ object Bench {
           s" i -> embedding[(i + $k) % size(embedding)])").as("embedding"),
         col("label"))
     }
-    replicas.reduce(_ unionByName _)
+    balancedUnion(replicas)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/embeddings.parquet")
   }

@@ -16,15 +16,23 @@ import org.apache.spark.sql.SparkSession
   * PLANS.md records bytes-per-input-row at two SFs — scale-stable
   * per-row footprints are the pass criterion.
   *
-  * `sbt "runMain graft.ShuffleProbe [sfDir] [query ...]"` — defaults
-  * to the Bench headline set on the raw corpus (fixture queries run on
-  * Bench's planted LSH fixture, matching what Bench times).
+  * `sbt "runMain graft.ShuffleProbe [sfDir] [m=N] [query ...]"` —
+  * defaults to the Bench headline set on the raw corpus (fixture
+  * queries run on Bench's planted LSH fixture, matching what Bench
+  * times). An `m=N` arg scales the planted fixture N× (VERDICT r14
+  * task 6: the volume table one decade beyond sf0.1) — with it, the
+  * pair cores AND the capstone core read the SALTED fixture replicas
+  * (disjoint vocabularies, constant bucket occupancy — the linear
+  * axis), so their B/row coefficients are comparable across decades.
   */
 object ShuffleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val only: Set[String] = args.drop(1).toSet
+    val mScale = args.drop(1).collectFirst {
+      case a if a.startsWith("m=") => a.stripPrefix("m=").toInt
+    }.getOrElse(1)
+    val only: Set[String] = args.drop(1).filterNot(_.startsWith("m=")).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,9 +89,15 @@ object ShuffleProbe {
       "core:dedup_simhash_pairs")
     val fixtureDir =
       if (run.exists(q => Bench.fixtureQueries.contains(q.name)) ||
-        cores.exists(c => pairCores(c._1)))
-        Some(Bench.lshFixture(spark, sfDir))
+        cores.exists(c => pairCores(c._1)) || mScale > 1)
+        Some(Bench.lshFixtureScaled(spark, sfDir, mScale))
       else None
+    // at m>1 the capstone/LPA cores read the salted fixture replicas
+    // too — the same-shape decade axis — instead of the raw corpus
+    def rawFor(): org.apache.spark.sql.DataFrame =
+      if (mScale > 1) Tables.documents(spark, fixtureDir.get)
+      else Tables.documents(spark, sfDir)
+    if (mScale > 1) println(s"(fixture scaled x$mScale; capstone cores on fixture docs)")
 
     println(f"${"query"}%-30s ${"shuffle_MB"}%11s ${"shuffle_rows"}%13s ${"bcast_MB"}%9s")
     def report(name: String, df: => DataFrame): Unit =
@@ -102,8 +116,7 @@ object ShuffleProbe {
     }
     for ((name, mk) <- cores)
       report(name, mk(
-        Tables.documents(spark, fixtureDir.getOrElse(sfDir)),
-        Tables.documents(spark, sfDir)))
+        Tables.documents(spark, fixtureDir.getOrElse(sfDir)), rawFor()))
     // the same cores with broadcast joins disabled: at probe scale AQE
     // flips the band/verify joins to broadcast (the pair tier reads as
     // ~0 shuffled bytes + the banded/toks frames as broadcast bytes);
@@ -116,8 +129,7 @@ object ShuffleProbe {
       try
         for ((name, mk) <- cores)
           report(name + "[sj]", mk(
-            Tables.documents(spark, fixtureDir.getOrElse(sfDir)),
-            Tables.documents(spark, sfDir)))
+            Tables.documents(spark, fixtureDir.getOrElse(sfDir)), rawFor()))
       finally {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
