@@ -145,7 +145,12 @@ class RelationalSpec extends SparkSpec {
       // crosses the QI-group frame with the m-bounded domain and the
       // broadcast 1-row (N, m) totals — the PSI domain-grid + 1-row
       // classes
-      "ml_conformal_interval", "audit_t_closeness")
+      "ml_conformal_interval", "audit_t_closeness",
+      // r15: the pinned IVF serving path crosses every vector with the
+      // broadcast 16-row hash-seeded centroid frame (the PSI
+      // domain-grid class) and the broadcast 1-row probe twice (the
+      // embed_cosine_topk probe class)
+      "embed_ivf_topk_pinned")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
