@@ -741,6 +741,70 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static gate vs appendBandIndex: mid-stream append visibility is pinned") {
+    // r15 (append-maintenance operational contract): the standing gate
+    // joins micro-batches against the PERSISTED band index. When
+    // appendBandIndex lands new bucket files mid-stream, does a later
+    // micro-batch see them, or is the static side's file listing
+    // frozen at query start? Whichever Spark does, the gate's refresh
+    // discipline depends on it — so this test PINS the behavior
+    // instead of letting a Spark upgrade silently change the gate's
+    // semantics.
+    implicit val sqlCtx = spark.sqlContext
+    val w40 = (0 until 40).map(i => s"s${(i * 11) % 59}y$i")
+    val docA = w40.mkString(" ")
+    val docB = (0 until 40).map(i => s"q${i}z").mkString(" ")
+    val corpusA = Seq((1L, docA)).toDF("doc_id", "text")
+    val corpusB = Seq((2L, docB)).toDF("doc_id", "text")
+    val tbl = "stream_app_idx_spec"
+    val path = tempDir("graft_stream_app_idx")
+    llm.Dedup.buildBandIndex(corpusA, spark, tbl, s"$path/$tbl")
+    val mem = MemoryStream[(Long, String)]
+    def gate() = llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
+      .join(spark.table(s"${tbl}_bands"), Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("delta_id"), col("corpus_id"))
+    val q1 = gate().writeStream
+      .format("memory").queryName("stream_app_run1").outputMode("append").start()
+    try {
+      try {
+        mem.addData(Seq((101L, docA)))
+        q1.processAllAvailable()
+        val hitsA = spark.table("stream_app_run1")
+          .filter(col("delta_id") === 101L && col("corpus_id") === 1L).count()
+        assert(hitsA > 0, "probe against the built index must hit corpus doc 1")
+        // append corpus doc B mid-stream, then probe for it
+        llm.Dedup.appendBandIndex(corpusB, spark, tbl)
+        mem.addData(Seq((102L, docB)))
+        q1.processAllAvailable()
+        val midStreamHitsB = spark.table("stream_app_run1")
+          .filter(col("delta_id") === 102L && col("corpus_id") === 2L).count()
+        // PINNED: the running query's static side re-plans per
+        // micro-batch from the catalog relation, so appended bucket
+        // files ARE visible to later batches (Spark 4 behavior). If
+        // this ever starts failing, the gate's refresh discipline
+        // changed: appends then require a query restart, and the
+        // ingest pipeline must bounce the gate after each index
+        // maintenance window.
+        assert(midStreamHitsB > 0,
+          "mid-stream append no longer visible to later micro-batches — " +
+            "stream-static listing semantics changed; gate now needs a restart per append")
+      } finally q1.stop()
+      // restart path must see the appended rows regardless
+      val q2 = gate().writeStream
+        .format("memory").queryName("stream_app_run2").outputMode("append").start()
+      try {
+        mem.addData(Seq((103L, docB)))
+        q2.processAllAvailable()
+        assert(spark.table("stream_app_run2")
+          .filter(col("delta_id") === 103L && col("corpus_id") === 2L).count() > 0,
+          "restarted gate must see the appended index rows")
+      } finally q2.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+    }
+  }
+
   test("streaming CDC merge: per-batch merges compose to the one-shot whole-delta merge") {
     implicit val sqlCtx = spark.sqlContext
     import graft.queries.Audit
