@@ -69,6 +69,42 @@ class EdgeCaseSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("append maintenance tolerates an empty delta and a day-zero base") {
+    // r15: the quiet maintenance window (nothing new arrived) and the
+    // day-zero gate (index built empty, ALL content arrives as
+    // appends) — both must leave the tables probe-correct.
+    val base = tempDir("graft_edge_app")
+    val twoDocs = oneDoc.select(col("doc_id"), col("text"))
+      .unionByName(Seq((2L, "entirely different second text payload"))
+        .toDF("doc_id", "text"))
+    Dedup.buildHashIndex(oneDoc, spark, "edge_hash_app", s"$base/h")
+    Dedup.buildBandIndex(oneDoc, spark, "edge_band_app", s"$base/b")
+    Dedup.buildGramIndex(oneDoc, spark, "edge_gram_app", s"$base/g")
+    Dedup.buildHashIndex(emptyDocs, spark, "edge_hash_app0", s"$base/h0")
+    try {
+      // empty-delta appends: no rows enter, probes unchanged
+      Dedup.appendHashIndex(emptyDocs, spark, "edge_hash_app")
+      Dedup.appendBandIndex(emptyDocs, spark, "edge_band_app")
+      Dedup.appendGramIndex(emptyDocs, spark, "edge_gram_app")
+      assert(spark.table("edge_hash_app").count() === 1)
+      val hit = Dedup.probeHashIndex(
+        oneDoc.select((col("doc_id") + 10L).as("doc_id"), col("text")),
+        spark, "edge_hash_app")
+      assert(hit.collect().map(r => (r.getString(1), r.getLong(2))).toSeq ===
+        Seq(("dup", 1L)))
+      // day-zero base: everything arrives as appends, probe == rebuild
+      Dedup.appendHashIndex(twoDocs, spark, "edge_hash_app0")
+      val got = Dedup.probeHashIndex(
+        twoDocs.select((col("doc_id") + 10L).as("doc_id"), col("text")),
+        spark, "edge_hash_app0").orderBy("doc_id")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(got === Seq(("dup", 1L), ("dup", 2L)),
+        s"day-zero appended index must answer like a rebuild: $got")
+    } finally Seq("edge_hash_app", "edge_band_app_bands", "edge_band_app_toks",
+      "edge_gram_app", "edge_hash_app0")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("dedup operators find no pairs in a single-document corpus") {
     assert(Dedup.nearDupPairs(oneDoc).count() === 0)
     assert(Dedup.ngramJaccardPairs(oneDoc, 0.3).count() === 0)
