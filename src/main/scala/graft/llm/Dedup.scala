@@ -619,6 +619,46 @@ object Dedup {
   def appendHashIndex(delta: DataFrame, spark: SparkSession, table: String): Unit =
     bucketedAppend(appendHashIndexRows(delta, spark, table), spark, table)
 
+  /** Compact a bucketed serving table after a run of appends — the
+    * maintenance tail of the build → append → compact lifecycle: each
+    * [[bucketedAppend]] lands one file set per batch, and while the
+    * bucketed PROBE plan never regresses (hash partitioning is a
+    * property of the spec, not the file count), a K-append bucket is
+    * K+1 files of task overhead and lost within-file sort locality.
+    * Compaction rewrites the table's CONTENT (never re-deriving from
+    * text — this reads the index, not the corpus) into fresh bucket
+    * files at `newPath`, pre-repartitioned on the bucket columns so
+    * each writer task holds exactly one bucket (one file per bucket),
+    * then swaps the catalog name. Probe results are identical by
+    * construction (same rows, same spec — CompactSpec pins file-count
+    * collapse AND probe equality). */
+  def compactIndex(spark: SparkSession, table: String, newPath: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — compaction is for the bucketed serving tables"))
+    val cols = spec.bucketColumnNames
+    // read the table's FILES plainly, not the catalog table: the
+    // bucketed relation advertises HashPartitioning(cols, n), which
+    // lets Catalyst elide the repartition below as redundant while
+    // autoBucketedScan independently reads plain file splits — the
+    // write's tasks then hold arbitrary bucket mixes and emit
+    // (tasks × buckets) files instead of one per bucket (measured:
+    // 16 files for 8 buckets). A plain read carries no partitioning
+    // claim, so the repartition survives and aligns task ↔ bucket.
+    val rewritten = spark.read.parquet(meta.location.toString)
+      .repartition(spec.numBuckets, cols.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
+    val sorted = spec.sortColumnNames match {
+      case Nil => rewritten
+      case s => rewritten.sortBy(s.head, s.tail: _*)
+    }
+    sorted.option("path", newPath).saveAsTable(s"${table}_compacting")
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
+  }
+
   /** Incremental NEAR-dup (delta-vs-corpus banded index) — the
     * production ingest shape for near-duplicates, completing
     * `incrementalDedup` (exact tier): the corpus's banded minhash

@@ -1077,6 +1077,57 @@ class LlmSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("compactIndex folds appended file sets into one file per bucket, probe-identical") {
+    // r15: the maintenance tail — three append batches land three file
+    // sets per bucket; compaction reads the INDEX (never the corpus),
+    // rewrites one file per bucket, and the probe answers identically.
+    val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val slices = Seq(
+      corpus.filter(col("doc_id") < 100),
+      corpus.filter(col("doc_id") >= 100 && col("doc_id") < 250),
+      corpus.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+      corpus.filter(col("doc_id") >= 400))
+    val path = tempDir("graft_compact_idx")
+    Dedup.buildHashIndex(slices.head, spark, "cx_idx", s"$path/cx")
+    slices.tail.foreach(d => Dedup.appendHashIndex(d, spark, "cx_idx"))
+    def dataFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .count(f => f.getName.startsWith("part-"))
+    val filesBefore = dataFiles(s"$path/cx")
+    val delta = Dedup.incrementalExactDelta(corpus)
+    val before = Dedup.probeHashIndex(delta, spark, "cx_idx")
+      .orderBy("doc_id").collect().toSeq
+    try {
+      Dedup.compactIndex(spark, "cx_idx", s"$path/cx2")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cx_idx"))
+      val buckets = meta.bucketSpec.get.numBuckets
+      val filesAfter = dataFiles(s"$path/cx2")
+      assert(filesBefore > buckets,
+        s"fixture must accumulate >1 file set before compaction: $filesBefore")
+      assert(filesAfter <= buckets,
+        s"compaction must fold to at most one file per bucket: $filesAfter vs $buckets")
+      val after = Dedup.probeHashIndex(delta, spark, "cx_idx")
+        .orderBy("doc_id").collect().toSeq
+      assert(after === before, "probe must be identical after compaction")
+      // the compacted table still serves with a bucketed (delta-only)
+      // probe plan — the spec survived the swap
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val served = Dedup.probeHashIndex(delta, spark, "cx_idx")
+        served.count()
+        assert(collectPlan(served.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec]) === 1,
+          "compacted probe must still shuffle only the delta")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cx_idx")
+      spark.sql("DROP TABLE IF EXISTS cx_idx_compacting")
+    }
+  }
+
   test("append maintenance shuffles only the delta: plan pins per tier") {
     // VERDICT r14 task 1 (a): the append derivations must never
     // re-shuffle the corpus — the hash/gram rows-builders re-bucket
