@@ -76,13 +76,18 @@ object PlanAudit {
     }.flatten
   }
 
-  /** The compressed-vs-true blind factor SaltProbe measured on padded
-    * payloads (PLANS.md round-14 AQE blind-spot table): AQE's skew
-    * detector thresholds on COMPRESSED map-output bytes while the
-    * reducer pays the decompressed volume, and on compressible wide
-    * rows the gap was 4.59×. Callers with their own measured ratio
-    * pass it to [[skewAdvice]]. */
-  val MeasuredBlindFactor = 4.59
+  /** The compressed-vs-true blind factor SaltProbe measured on 200 B
+    * padded-hex payloads with the payload ACTUALLY crossing the wire
+    * (r15 — the r14 readout's consumer let column pruning drop the
+    * wide column, so its published 4.59× was the bare-numeric-row
+    * ratio, ADVICE r14): AQE's skew detector thresholds on COMPRESSED
+    * map-output bytes while the reducer pays the decompressed volume,
+    * and on compressible wide rows the measured gap is 19.25×
+    * (49.2 MB seen vs 947.6 MB paid — detector blind under ~4.9 GB of
+    * true hot-partition volume at default confs). Payload-dependent:
+    * 4.59× for bare numeric rows, higher still for repetitive text —
+    * callers with their own measured ratio pass it to [[skewAdvice]]. */
+  val MeasuredBlindFactor = 19.25
 
   /** One shuffle's skew decision, from the numbers AQE itself reads
     * (per-reduce-partition COMPRESSED map-output bytes of the hottest
