@@ -765,20 +765,34 @@ object StreamingAlerts {
       snapshot.orderBy(col("o_orderkey"))
     },
 
+    // The static side is the PERSISTED bucketed SRP index
+    // (Similarity.buildSrpIndex) — the artifact an at-scale gate
+    // maintains — not a per-run re-derivation of the corpus bands:
+    // each micro-batch reads the bucket files in place (r15, aligning
+    // this gate with streaming_neardup_probe's r14 discipline).
     Q("streaming_ann_probe", Similarity.annJoinOracleSql) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val staticBands = Similarity.srpBanded(emb)
-        .select(col("vec_id").as("cand_id"), col("band_idx"), col("band_sig"))
-      val name = "stream_ann_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = Similarity.srpBanded(embStream(s, dir).filter(col("vec_id") < 8))
-        .join(staticBands, Seq("band_idx", "band_sig"))
-        .filter(col("vec_id") =!= col("cand_id"))
-        .select(col("vec_id").as("probe_id"), col("cand_id"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      Similarity.verifyAndRank(s.table(name), emb, k = 3)
-        .orderBy(col("probe_id"), col("rank"))
+      val tbl = "stream_ann_idx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_stream_ann").toString
+      Similarity.buildSrpIndex(emb, s, tbl, s"$path/$tbl")
+      try {
+        val staticBands = s.table(s"${tbl}_bands")
+          .select(col("vec_id").as("cand_id"), col("band_idx"), col("band_sig"))
+        val name = "stream_ann_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = Similarity.srpBanded(embStream(s, dir).filter(col("vec_id") < 8))
+          .join(staticBands, Seq("band_idx", "band_sig"))
+          .filter(col("vec_id") =!= col("cand_id"))
+          .select(col("vec_id").as("probe_id"), col("cand_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        Similarity.verifyAndRank(s.table(name).localCheckpoint(), emb, k = 3)
+          .orderBy(col("probe_id"), col("rank"))
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_vecs")
+        graft.Bench.deleteRecursively(path)
+      }
     },
 
     // STREAMING NEAR-DUP INGEST GATE (r14): the online form of
