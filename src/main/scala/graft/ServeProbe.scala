@@ -108,6 +108,27 @@ object ServeProbe {
             f"amortize=$amort batches")
           delta.unpersist()
         }
+        // maintenance economics (r15, the append-path motivation made
+        // a number): per arriving batch, the standing gate pays
+        // appendBandIndex(delta) — delta-bounded, map-only — where a
+        // rebuild pays buildBandIndex(corpus ∪ delta), corpus-sized.
+        // One representative ~1% batch, timed once each (cold; these
+        // are write jobs, not repeatable consumers).
+        val delta1 = deltaOf(docs, n, math.max(50L, n / 100))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b1 = delta1.count()
+        val ta0 = System.nanoTime()
+        Dedup.appendBandIndex(delta1, spark, tbl)
+        val tAppend = (System.nanoTime() - ta0) / 1e9
+        val tbl2 = s"${tbl}_rb"
+        val tr0 = System.nanoTime()
+        Dedup.buildBandIndex(docs.unionByName(delta1), spark, tbl2, s"$path/$tbl2")
+        val tRebuild = (System.nanoTime() - tr0) / 1e9
+        println(f"SERVE[$tag] maintain batch=$b1%-7d append=$tAppend%7.3f s " +
+          f"rebuild=$tRebuild%7.3f s ratio=${tRebuild / tAppend}%5.2f")
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl2}_bands")
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl2}_toks")
+        delta1.unpersist()
       } finally {
         spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
         spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")

@@ -758,24 +758,44 @@ object Dedup {
     nearDupVerdictFromToks(cand, spark.table(s"${table}_toks"), delta, threshold)
   }
 
+  /** The genuinely NEW docs of an [[appendBandIndex]] delta: ids not
+    * already in the token-set table (which is bucketed on corpus_id,
+    * so the anti-join reads the index co-located and re-buckets ONLY
+    * the delta — one exchange, LlmSpec pins it). Exposed for the
+    * append plan pin. */
+  private[graft] def appendBandIndexNew(
+      delta: DataFrame, spark: SparkSession, table: String): DataFrame =
+    delta.join(
+      spark.table(s"${table}_toks").select(col("corpus_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Incremental (append) maintenance for [[buildBandIndex]]: the
     * delta's band rows and token sets are PER-DOC facts — no cross-doc
     * aggregation lives in these tables — so appending them yields a
     * table whose contents are row-identical to a from-scratch rebuild
     * over corpus ∪ delta, and probe-after-append ≡ probe-after-rebuild
-    * exactly (LlmSpec pins it). Both derivations are map-only (native
-    * minhash Generator + posexplode) and the bucketed write routes
-    * rows to bucket files inside each task, so the append ships ZERO
-    * shuffled bytes — the full build's two corpus-sized exchanges are
-    * never re-paid (VERDICT r14 task 1). */
+    * exactly (LlmSpec pins it). IDEMPOTENT under at-least-once
+    * redelivery (r15): already-indexed doc_ids are anti-joined out
+    * against the corpus_id-bucketed token table first — a redelivered
+    * batch appends nothing, and a same-id revision keeps the
+    * first-ingested content (the hash tier's first-write-wins
+    * convention). Cost: the anti-join re-buckets only the delta (one
+    * delta-bounded exchange; the derivations stay map-only — native
+    * minhash Generator + posexplode — and the bucketed write routes
+    * rows to bucket files inside each task). The full build's two
+    * corpus-sized exchanges are never re-paid (VERDICT r14 task 1). */
   def appendBandIndex(delta: DataFrame, spark: SparkSession, table: String): Unit = {
-    bucketedAppend(
-      tokenBanded(delta)
-        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash")),
-      spark, s"${table}_bands")
-    bucketedAppend(
-      tokenized(delta).select(col("doc_id").as("corpus_id"), col("toks").as("ct")),
-      spark, s"${table}_toks")
+    val newDocs = appendBandIndexNew(delta, spark, table)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bucketedAppend(
+        tokenBanded(newDocs)
+          .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash")),
+        spark, s"${table}_bands")
+      bucketedAppend(
+        tokenized(newDocs).select(col("doc_id").as("corpus_id"), col("toks").as("ct")),
+        spark, s"${table}_toks")
+    } finally { newDocs.unpersist(); () }
   }
 
   /** The declared incremental-near delta fixture (shared by the batch
@@ -2086,10 +2106,11 @@ object Dedup {
 
     // APPEND-maintained serving pair (VERDICT r14 task 1): build the
     // band/token tables from the first-ingested slice, appendBandIndex
-    // the remainder (ZERO shuffled bytes — per-doc facts, map-only
-    // derivation), then probe. Same oracle: the band and token tables
-    // are per-doc facts, so probe-after-append is row-identical to a
-    // probe against a from-scratch rebuild over the full corpus.
+    // the remainder (one delta-bounded exchange — the r15 idempotence
+    // anti-join; derivation itself is map-only per-doc facts), then
+    // probe. Same oracle: the band and token tables are per-doc facts,
+    // so probe-after-append is row-identical to a probe against a
+    // from-scratch rebuild over the full corpus.
     Q("dedup_incremental_near_idx_append", incrementalNearOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val tbl = "band_app_" + java.util.UUID.randomUUID().toString.replace("-", "")

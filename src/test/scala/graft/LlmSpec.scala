@@ -1130,11 +1130,13 @@ class LlmSpec extends SparkSpec {
 
   test("append maintenance shuffles only the delta: plan pins per tier") {
     // VERDICT r14 task 1 (a): the append derivations must never
-    // re-shuffle the corpus — the hash/gram rows-builders re-bucket
-    // ONLY the delta (one exchange; the index side reads its bucket
-    // files co-located), and the band/SRP appends are map-only (ZERO
-    // exchanges — per-doc facts; the bucketed write routes rows to
-    // bucket files inside each task, no exchange added).
+    // re-shuffle the corpus — every tier re-buckets ONLY the delta:
+    // hash/gram via the anti-join + a reused groupBy/distinct
+    // partitioning, band/SRP via the idempotence anti-join against
+    // the id-bucketed side table (r15) followed by a map-only
+    // derivation. One delta-bounded exchange each; the index side
+    // always reads its bucket files co-located, and the bucketed
+    // write adds no exchange (rows route to bucket files per task).
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
     val base = corpus.filter(col("doc_id") < 200)
@@ -1142,6 +1144,9 @@ class LlmSpec extends SparkSpec {
     val path = tempDir("graft_append_plan")
     Dedup.buildHashIndex(base, spark, "hp_idx", s"$path/hp_idx")
     Dedup.buildGramIndex(base, spark, "gp_idx", s"$path/gp_idx")
+    Dedup.buildBandIndex(base, spark, "bp_idx", s"$path/bp_idx")
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    Similarity.buildSrpIndex(emb.filter(col("vec_id") < 200), spark, "sp_idx", s"$path/sp_idx")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -1158,19 +1163,71 @@ class LlmSpec extends SparkSpec {
       assert(shuffles(gramRows) === 1,
         s"gram append must re-bucket only the delta (anti-join + reused " +
           s"distinct partitioning):\n${gramRows.queryExecution.executedPlan}")
-      // band/SRP append frames: pure map-side derivations of the delta
-      val bandRows = Dedup.tokenBanded(tail)
+      // band/SRP append frames: the idempotence anti-join (one
+      // delta-side exchange; the id-bucketed side table co-located)
+      // feeding a map-only derivation
+      val bandRows = Dedup.tokenBanded(
+          Dedup.appendBandIndexNew(tail, spark, "bp_idx"))
         .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
-      assert(shuffles(bandRows) === 0,
-        s"band append derivation must be map-only:\n${bandRows.queryExecution.executedPlan}")
-      val emb = Tables.embeddings(spark, sf("sf0.001"))
-      val srpRows = Similarity.srpBanded(emb.filter(col("vec_id") >= 200))
-      assert(shuffles(srpRows) === 0,
-        s"SRP append derivation must be map-only:\n${srpRows.queryExecution.executedPlan}")
+      assert(shuffles(bandRows) === 1,
+        s"band append must re-bucket only the delta:\n${bandRows.queryExecution.executedPlan}")
+      val srpRows = Similarity.srpBanded(
+        emb.filter(col("vec_id") >= 200).join(
+          spark.table("sp_idx_vecs").select(col("vec_id")), Seq("vec_id"), "left_anti"))
+      assert(shuffles(srpRows) === 1,
+        s"SRP append must re-bucket only the delta:\n${srpRows.queryExecution.executedPlan}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      Seq("hp_idx", "gp_idx").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq("hp_idx", "gp_idx", "bp_idx_bands", "bp_idx_toks",
+        "sp_idx_bands", "sp_idx_vecs").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
+  }
+
+  test("appends are idempotent under at-least-once redelivery on every tier") {
+    // r15: a standing gate's source redelivers batches; re-appending
+    // the SAME delta must change nothing — the probe answers
+    // identically and no tier accumulates duplicate rows (the SRP
+    // tier would otherwise emit duplicate top-k rows: its verify join
+    // has no absorbing aggregate).
+    val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val base = corpus.filter(col("doc_id") < 300)
+    val tail = corpus.filter(col("doc_id") >= 300)
+    val path = tempDir("graft_append_idem")
+    Dedup.buildHashIndex(base, spark, "ih_idx", s"$path/ih")
+    Dedup.buildBandIndex(base, spark, "ib_idx", s"$path/ib")
+    Dedup.buildGramIndex(base, spark, "ig_idx", s"$path/ig")
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    Similarity.buildSrpIndex(emb.filter(col("vec_id") < 300), spark, "is_idx", s"$path/is")
+    try {
+      Seq(1, 2).foreach { _ =>
+        Dedup.appendHashIndex(tail, spark, "ih_idx")
+        Dedup.appendBandIndex(tail, spark, "ib_idx")
+        Dedup.appendGramIndex(tail, spark, "ig_idx")
+        Similarity.appendSrpIndex(emb.filter(col("vec_id") >= 300), spark, "is_idx")
+      }
+      // no duplicate rows accumulated anywhere
+      def dups(t: String, keys: Seq[String]): Long = {
+        val df = spark.table(t)
+        df.count() - df.select(keys.map(col): _*).distinct().count()
+      }
+      assert(dups("ih_idx", Seq("h")) === 0, "hash index duplicated rows")
+      assert(dups("ib_idx_toks", Seq("corpus_id")) === 0, "token table duplicated docs")
+      assert(dups("ib_idx_bands", Seq("corpus_id", "band_idx", "band_hash")) === 0,
+        "band table duplicated rows")
+      assert(dups("ig_idx", Seq("gram_h")) === 0, "gram index duplicated keys")
+      assert(dups("is_idx_vecs", Seq("vec_id")) === 0, "vector table duplicated rows")
+      // and the probes still answer exactly like a single rebuild
+      val delta = Dedup.incrementalNearDelta(corpus)
+      assert(Dedup.probeBandIndex(delta, spark, "ib_idx")
+        .orderBy("doc_id").collect().toSeq ===
+        Dedup.incrementalNearDedup(corpus, delta).orderBy("doc_id").collect().toSeq)
+      val probes = emb.filter(col("vec_id") < 8)
+      assert(Similarity.probeSrpIndex(probes, spark, "is_idx", k = 3)
+        .orderBy("probe_id", "rank").collect().toSeq ===
+        Similarity.annJoin(emb, probes, k = 3).collect().toSeq)
+    } finally Seq("ih_idx", "ib_idx_bands", "ib_idx_toks", "ig_idx",
+      "is_idx_bands", "is_idx_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("SemDeDup collapses planted near-duplicate vectors within clusters; distinct vectors survive") {
