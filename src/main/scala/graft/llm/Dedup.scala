@@ -630,8 +630,11 @@ object Dedup {
     * files at `newPath`, pre-repartitioned on the bucket columns so
     * each writer task holds exactly one bucket (one file per bucket),
     * then swaps the catalog name. Probe results are identical by
-    * construction (same rows, same spec — CompactSpec pins file-count
-    * collapse AND probe equality). */
+    * construction (same rows, same spec — LlmSpec pins file-count
+    * collapse AND probe equality). The drop→rename swap is not
+    * atomic: a crash between the two leaves the compacted table
+    * registered as `<table>_compacting` with all data intact —
+    * recovery is re-issuing the RENAME, never a rebuild. */
   def compactIndex(spark: SparkSession, table: String, newPath: String): Unit = {
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
