@@ -1225,6 +1225,23 @@ class LlmSpec extends SparkSpec {
       assert(Similarity.probeSrpIndex(probes, spark, "is_idx", k = 3)
         .orderBy("probe_id", "rank").collect().toSeq ===
         Similarity.annJoin(emb, probes, k = 3).collect().toSeq)
+      // the single-exchange probe shape must SURVIVE appends: a bucket
+      // holding several appended file sets still satisfies the join's
+      // hash partitioning (files union per bucket) — if Spark ever
+      // stopped honoring multi-file buckets, the probe would silently
+      // regress to a full corpus shuffle and this catches it
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val cand = Dedup.tokenBanded(delta)
+          .join(spark.table("ib_idx_bands"), Seq("band_idx", "band_hash"))
+        cand.count()
+        assert(collectPlan(cand.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec]) === 1,
+          s"appended band table lost its bucketed-read co-location:\n" +
+            s"${cand.queryExecution.executedPlan}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally Seq("ih_idx", "ib_idx_bands", "ib_idx_toks", "ig_idx",
       "is_idx_bands", "is_idx_vecs")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
