@@ -471,6 +471,73 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cluster"), col("cos_sim"))
   }
 
+  /** The PQ serving codepath over DETERMINISTIC hash-seeded codebooks
+    * (declared `embed_pq_topk_pinned` — [[ivfTopKPinned]]'s discipline
+    * applied to the quantization tier): codebook entries are the
+    * SUBVECTORS of the same `nCodes` md5-smallest corpus vectors, the
+    * per-subspace encode is an argmax of the PROVEN rounded cosine
+    * (min-seed tiebreak), the probe's LUT is the nCodes × m grid of
+    * rounded probe-subvector cosines, and the ADC score is the LUT
+    * lookup sum — summed as DECIMAL(20,6) so the m addends are
+    * order-free cross-engine (the repo's 6-dp decimal-sum convention).
+    * Every stage of pqSearch's machinery — encode, LUT, ADC fold,
+    * top-k — thereby hash-pins in SQL; k-means codebook QUALITY stays
+    * with [[pqSearch]]'s recall audits. (Spherical-PQ flavor: cosine
+    * per subspace instead of L2 — the legitimate variant for
+    * normalized embeddings, chosen because `cosine` ≡
+    * `list_cosine_similarity` is the established exact pair.) */
+  def pqTopKPinned(
+      emb: DataFrame, probeId: Long, k: Int,
+      m: Int = PqM, nCodes: Int = PqK): DataFrame = {
+    val dim = Dim
+    val subDim = dim / m
+    val e = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCodes)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    // encode: per subspace, argmax rounded subvector cosine over the
+    // nCodes codebook entries (an aggregate argmax per vector — at
+    // ingest scale this is m broadcast-grid passes, the same bounded
+    // driver state as buildPqIndex's m codebook fits)
+    var enc = e.select(col("vec_id"), col("label"), col("v"))
+    for (s <- 0 until m) {
+      val codes = e.crossJoin(broadcast(seeds))
+        .withColumn("cs", round(cosine(
+          slice(col("v"), s * subDim + 1, subDim),
+          slice(col("sv"), s * subDim + 1, subDim)), 6) + lit(0.0))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("seed_id"),
+          struct(col("cs"), (lit(0L) - col("seed_id")).as("ns"))).as(s"code_$s"))
+      enc = enc.join(codes, "vec_id")
+    }
+    // probe LUT: the nCodes × m grid of rounded probe-subvector
+    // cosines (bounded, broadcast)
+    val probe = e.filter(col("vec_id") === probeId).select(col("v").as("pv"))
+    val lut = seeds.crossJoin(broadcast(probe))
+      .select(col("seed_id") +: (0 until m).map(s =>
+        (round(cosine(
+          slice(col("pv"), s * subDim + 1, subDim),
+          slice(col("sv"), s * subDim + 1, subDim)), 6) + lit(0.0))
+          .as(s"lut_$s")): _*)
+    // ADC: per candidate, look up each code's LUT cell and sum the m
+    // terms as DECIMAL(20,6) — order-free, so both engines produce the
+    // identical score no matter how they associate the addends
+    var scored = enc
+    for (s <- 0 until m) {
+      scored = scored.join(
+        broadcast(lut.select(col("seed_id").as(s"code_$s"), col(s"lut_$s"))),
+        Seq(s"code_$s"))
+    }
+    val adc = (0 until m).map(s => col(s"lut_$s").cast("decimal(20,6)"))
+      .reduce(_ + _)
+    scored
+      .withColumn("adc_score", adc.cast("double"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("adc_score"))
+  }
+
   // ── Product quantization (PQ / IVF-PQ) ─────────────────────────────
 
   /** PQ geometry: 8 subspaces × 8 dims, 16 centroids per subspace —
@@ -1363,6 +1430,55 @@ object Similarity {
     // serving, and native==HOF ADC identity asserted in LlmSpec.
     Q.noOracle("embed_pq_topk") { (s, dir) =>
       pqSearch(s, pqIndexFor(s, dir), probeId = 0L, kResults = 20, nProbe = 0)
+    },
+
+    // The HASH-PINNED sibling of the PQ serving codepath (r15, the
+    // embed_ivf_topk_pinned playbook on the quantization tier): every
+    // stage of pqSearch's MACHINERY — per-subspace encode (argmax
+    // rounded subvector cosine, min-code tiebreak), the probe's
+    // nCodes × m LUT, the ADC lookup-sum scan (order-free 6-dp
+    // DECIMAL addends), and the top-k — replays in SQL over
+    // md5-seeded codebooks (entries = subvectors of the 16
+    // md5-smallest corpus vectors), so the driver hash-checks the
+    // whole serving path cross-engine; only k-means codebook QUALITY
+    // stays with the rows-only form's recall audits.
+    Q("embed_pq_topk_pinned", {
+      val m = PqM
+      val nCodes = PqK
+      val subDim = Dim / m
+      def sliceSql(v: String): String =
+        s"$v[sub.s*$subDim+1 : sub.s*$subDim+$subDim]"
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id AS seed_id, v AS sv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCodes),
+         |sub AS (SELECT unnest(range(0, $m)) AS s),
+         |codes AS (
+         |  SELECT vec_id, s, seed_id AS code FROM (
+         |    SELECT e.vec_id, sub.s, sd.seed_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY e.vec_id, sub.s
+         |             ORDER BY ROUND(list_cosine_similarity(
+         |                        ${sliceSql("e.v")}, ${sliceSql("sd.sv")}), 6) + 0 DESC,
+         |                      sd.seed_id) AS rn
+         |    FROM e CROSS JOIN sub CROSS JOIN seeds sd) t WHERE rn = 1),
+         |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT sd.seed_id AS code, sub.s,
+         |         ROUND(list_cosine_similarity(
+         |           ${sliceSql("p.pv")}, ${sliceSql("sd.sv")}), 6) + 0 AS lv
+         |  FROM seeds sd CROSS JOIN sub CROSS JOIN probe p),
+         |adc AS (
+         |  SELECT c.vec_id,
+         |         CAST(SUM(CAST(l.lv AS DECIMAL(20,6))) AS DOUBLE) AS adc_score
+         |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+         |  GROUP BY c.vec_id)
+         |SELECT e.vec_id, e.label, a.adc_score
+         |FROM adc a JOIN e ON e.vec_id = a.vec_id
+         |ORDER BY a.adc_score DESC, e.vec_id
+         |LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      pqTopKPinned(Tables.embeddings(s, dir), probeId = 0L, k = 20)
     },
 
     // SemDeDup semantic dedup: survivors after removing every vector

@@ -57,14 +57,14 @@ class DocsSpec extends AnyFunSuite {
     val documentedSeeded: Map[String, String] = Map(
       "agg_approx_distinct" -> "Spark-internal HLL++ sketch bits; bounded against the exact count AND the oracle-pinned native register HLL (SketchesSpec 2σ-envelope test)",
       "decontam_bloom_fpr" -> "engine-private bloom filter bits; exact decontamination queries are oracle-checked",
-      // embed_ivf_topk pairs through its oracle-green sibling
-      // embed_ivf_topk_pinned (r15): the full serving path — cell
-      // assignment, probe-side cell ranking, nProbe prune, exact
-      // top-k — hash-pins over md5-seeded centroids; only Lloyd
-      // iteration quality stays with the recall audits.
-      "embed_pq_topk" -> "k-means codebook seeds; recall vs exact pinned by embed_ann_recall/embed_bq_recall; IVF serving path pinned by embed_ivf_topk_pinned",
-      "embed_pq_rerank" -> "k-means codebook seeds; exact rerank tail tested in spec",
-      "embed_ivfpq_topk" -> "k-means codebook seeds; recall audits oracle-checked; cell-pruned serving path pinned by embed_ivf_topk_pinned",
+      // embed_ivf_topk and embed_pq_topk pair through their
+      // oracle-green siblings embed_ivf_topk_pinned / embed_pq_topk_pinned
+      // (r15): the full serving paths — cell assignment + nProbe prune
+      // + exact top-k, and subspace encode + LUT + ADC sum + top-k —
+      // hash-pin over md5-seeded centroids/codebooks; only k-means
+      // iteration QUALITY stays with the recall audits.
+      "embed_pq_rerank" -> "k-means codebook seeds; exact rerank tail tested in spec; encode/LUT/ADC machinery pinned by embed_pq_topk_pinned",
+      "embed_ivfpq_topk" -> "k-means codebook seeds; recall audits oracle-checked; both composed serving paths pinned (embed_ivf_topk_pinned cell pruning + embed_pq_topk_pinned ADC)",
       "ml_contributions" -> "GBT training output; Saabas identity Σcontrib=score−bias tested in spec",
       "ml_e2e_metrics" -> "MLlib GBT training nondeterminism; exact AUC pinned by ml_auc_exact",
       "ml_e2e_early_stop" -> "MLlib GBT training nondeterminism; planted-signal PR-AUC tested in spec",

@@ -146,11 +146,11 @@ class RelationalSpec extends SparkSpec {
       // broadcast 1-row (N, m) totals — the PSI domain-grid + 1-row
       // classes
       "ml_conformal_interval", "audit_t_closeness",
-      // r15: the pinned IVF serving path crosses every vector with the
-      // broadcast 16-row hash-seeded centroid frame (the PSI
-      // domain-grid class) and the broadcast 1-row probe twice (the
-      // embed_cosine_topk probe class)
-      "embed_ivf_topk_pinned")
+      // r15: the pinned IVF/PQ serving paths cross every vector with
+      // the broadcast 16-row hash-seeded centroid/codebook frame (the
+      // PSI domain-grid class), the broadcast 128-cell LUT grid, and
+      // the broadcast 1-row probe (the embed_cosine_topk probe class)
+      "embed_ivf_topk_pinned", "embed_pq_topk_pinned")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
