@@ -90,9 +90,15 @@ object Bench {
     * a left-fold union of hundreds of replicas nests the logical plan
     * deep enough to overflow the analyzer stack at the m=1000 decade
     * probes; row content is identical. */
-  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame = {
+    // empty input would recurse forever (Seq().grouped(2) is empty, so
+    // the else branch calls balancedUnion(Seq.empty) again — ADVICE
+    // r15, reachable via a probe's user-supplied m=0 arg); fail loudly
+    // like the pre-r15 reduce did
+    require(dfs.nonEmpty, "balancedUnion of zero frames (fixture replica count m < 1?)")
     if (dfs.size == 1) dfs.head
     else balancedUnion(dfs.grouped(2).map(_.reduce(_ unionByName _)).toSeq)
+  }
 
   /** Embeddings companion of `lshFixtureScaled`: replica k shifts
     * vec_ids by k·`ReplicaSpan` and cyclically rotates the vector by k

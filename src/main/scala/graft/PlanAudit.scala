@@ -76,6 +76,51 @@ object PlanAudit {
     }.flatten
   }
 
+  /** The shuffle stages that feed a sort-merge / shuffled-hash JOIN
+    * input in `p` — the only stages `OptimizeSkewedJoin` is allowed to
+    * split (ADVICE r15: the rule rewrites SMJ/SHJ children exclusively;
+    * a skewed AGGREGATION shuffle, or any other non-join consumer,
+    * never gets the runtime split no matter how far it clears the size
+    * thresholds). Identity set: a stage reached from a join child
+    * without crossing another join (a nested join's inputs belong to
+    * that join, and a join directly under a join shares its output
+    * partitioning — no splittable stage in between). */
+  private def joinInputStages(p: SparkPlan): java.util.Set[SparkPlan] = {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val found = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def topStage(n: SparkPlan): Unit = n match {
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+        found.add(s); ()
+      case _: SortMergeJoinExec | _: ShuffledHashJoinExec => ()
+      case a: AdaptiveSparkPlanExec => topStage(a.executedPlan)
+      case q: QueryStageExec => q.plan.children.foreach(topStage)
+      case r: ReusedExchangeExec => topStage(r.child)
+      case other => other.children.foreach(topStage)
+    }
+    walk(p).foreach {
+      case j: SortMergeJoinExec => j.children.foreach(topStage)
+      case j: ShuffledHashJoinExec => j.children.foreach(topStage)
+      case _ => ()
+    }
+    found
+  }
+
+  /** [[shufflePartitionBytes]] plus, per stage, whether it feeds an
+    * SMJ/SHJ join input (the `OptimizeSkewedJoin` applicability bit
+    * [[skewAdvice]] needs). Executes `df`. */
+  private[graft] def shuffleStagesWithJoinFlag(
+      df: DataFrame): Seq[(Array[Long], Boolean)] = {
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    val joinFed = joinInputStages(qe.executedPlan)
+    walk(qe.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+        org.apache.spark.sql.GraftBridge.mapOutputBytes(s)
+          .map(bytes => (bytes, joinFed.contains(s)))
+    }.flatten
+  }
+
   /** The compressed-vs-true blind factor SaltProbe measured on 200 B
     * padded-hex payloads with the payload ACTUALLY crossing the wire
     * (r15 — the r14 readout's consumer let column pruning drop the
@@ -91,35 +136,49 @@ object PlanAudit {
 
   /** One shuffle's skew decision, from the numbers AQE itself reads
     * (per-reduce-partition COMPRESSED map-output bytes of the hottest
-    * finalized stage) plus the measured compressed→true blind factor:
+    * finalized stage) plus the measured compressed→true blind factor
+    * AND `OptimizeSkewedJoin`'s applicability bit (ADVICE r15 — the
+    * rule only ever splits stages feeding an SMJ/SHJ join input):
     *  - `advice = "none"`      — no skewed partition (hot ≤ factor·median);
-    *  - `advice = "aqe-handles"` — skewed AND hot's compressed bytes
-    *    already clear the detector threshold: the runtime split fires,
-    *    do nothing;
-    *  - `advice = "salt"`     — skewed, but hot's COMPRESSED bytes sit
-    *    under the threshold, so the detector stays silent while the
-    *    reducer buffers ≈ blindFactor × hot true bytes: the plan needs
-    *    `Salted.joinSalted` (AQE cannot see this one). */
+    *  - `advice = "aqe-handles"` — skewed, hot's compressed bytes clear
+    *    the detector threshold, AND the hot stage feeds a splittable
+    *    join input: the runtime split fires, do nothing;
+    *  - `advice = "salt"`     — skewed, but the runtime split will NOT
+    *    fire: either hot's COMPRESSED bytes sit under the threshold
+    *    (the detector is blind while the reducer buffers
+    *    ≈ blindFactor × hot true bytes), or the hot stage feeds a
+    *    non-join consumer — an aggregation, window, or sort shuffle —
+    *    which `OptimizeSkewedJoin` never rewrites regardless of size.
+    *    The plan needs `Salted.joinSalted` (join) or a salted two-stage
+    *    aggregate.
+    * Caveat: `hotIsJoinInput = true` is necessary, not sufficient — the
+    * runtime rule additionally requires the OTHER join side to permit
+    * splitting (e.g. it declines when both sides of a full-outer join
+    * are skewed); "aqe-handles" is the optimistic reading of the two
+    * size thresholds plus this bit. */
   final case class SkewAdvice(
       hotBytes: Long, medianBytes: Double, skewFactor: Double,
       thresholdBytes: Long, detectorFactor: Double,
-      estTrueHotBytes: Double, aqeWouldSplit: Boolean, advice: String)
+      estTrueHotBytes: Double, hotIsJoinInput: Boolean,
+      aqeWouldSplit: Boolean, advice: String)
 
   /** Apply the AQE skew detector's OWN two conditions (hot > factor ×
     * median AND hot > skewedPartitionThresholdInBytes, both on
-    * compressed bytes) to `df`'s hottest finalized shuffle stage, and
-    * report whether the runtime mitigation will fire or the plan needs
-    * manual salting — the PLANS.md round-14 decision rule ("AQE blind
-    * while true hot-partition volume < ratio × 256 MB") as a callable
-    * (VERDICT r14 task 7). Executes `df`; None when AQE is disabled
-    * (no query stages to read) or the plan has no shuffle. */
+    * compressed bytes) — restricted to `OptimizeSkewedJoin`'s actual
+    * applicability (SMJ/SHJ join inputs only, ADVICE r15) — to `df`'s
+    * hottest finalized shuffle stage, and report whether the runtime
+    * mitigation will fire or the plan needs manual salting — the
+    * PLANS.md round-14 decision rule ("AQE blind while true
+    * hot-partition volume < ratio × 256 MB") as a callable (VERDICT
+    * r14 task 7). Executes `df`; None when AQE is disabled (no query
+    * stages to read) or the plan has no shuffle. */
   def skewAdvice(
       df: DataFrame,
       blindFactor: Double = MeasuredBlindFactor): Option[SkewAdvice] = {
-    val stages = shufflePartitionBytes(df).filter(_.nonEmpty)
+    val stages = shuffleStagesWithJoinFlag(df).filter(_._1.nonEmpty)
     if (stages.isEmpty) None
     else {
-      val hotStage = stages.maxBy(_.max)
+      val (hotStage, joinInput) = stages.maxBy(_._1.max)
       val hot = hotStage.max
       val med = Bench.stat(hotStage.sorted.map(_.toDouble).toSeq)._2
       val conf = df.sparkSession.conf
@@ -130,11 +189,11 @@ object PlanAudit {
       val skewFactor =
         if (med > 0) hot / med else if (hot > 0) Double.PositiveInfinity else 0.0
       val skewed = hot > 0 && skewFactor > factor
-      val wouldSplit = skewed && hot > threshold
+      val wouldSplit = skewed && hot > threshold && joinInput
       val advice =
         if (!skewed) "none" else if (wouldSplit) "aqe-handles" else "salt"
       Some(SkewAdvice(hot, med, skewFactor, threshold, factor,
-        hot * blindFactor, wouldSplit, advice))
+        hot * blindFactor, joinInput, wouldSplit, advice))
     }
   }
 

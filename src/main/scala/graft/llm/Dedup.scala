@@ -631,11 +631,44 @@ object Dedup {
     * each writer task holds exactly one bucket (one file per bucket),
     * then swaps the catalog name. Probe results are identical by
     * construction (same rows, same spec — LlmSpec pins file-count
-    * collapse AND probe equality). The drop→rename swap is not
-    * atomic: a crash between the two leaves the compacted table
-    * registered as `<table>_compacting` with all data intact —
-    * recovery is re-issuing the RENAME, never a rebuild. */
+    * collapse AND probe equality).
+    *
+    * OPERATIONAL CONTRACT (ADVICE r15):
+    *  - The drop→rename swap is not atomic: the table name is
+    *    unresolvable for a window, and a crash inside it leaves the
+    *    compacted table registered as `<table>_compacting` with all
+    *    data intact. Recovery is [[recoverCompact]] — re-issuing the
+    *    swap's remaining steps, never a rebuild (LlmSpec constructs
+    *    the crashed state and proves probe equality after recovery).
+    *  - Streaming readers need a full BOUNCE (stop → compact →
+    *    restart), not merely avoiding the drop→rename window: a
+    *    stream-static gate refreshes its file LISTING per micro-batch
+    *    (appends become visible) but holds the RELATION — and its
+    *    location — resolved at query start, so after even a clean
+    *    between-trigger swap the next micro-batch lists the retired
+    *    location and fails with FAILED_READ_FILE (measured Spark 4
+    *    behavior, pinned in StreamingSpec's needs-gate-bounce test;
+    *    fail-stop here is the point — without the location cleanup the
+    *    gate would silently serve the superseded index forever).
+    *  - The superseded table's files at its old external location are
+    *    deleted after a successful rename (repeated compactions used
+    *    to leak the old paths' disk). */
   def compactIndex(spark: SparkSession, table: String, newPath: String): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    compactWrite(spark, table, newPath)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
+    deleteTableLocation(meta.location)
+  }
+
+  /** [[compactIndex]]'s WRITE step alone: commit the rewritten bucket
+    * files as `<table>_compacting` at `newPath`, touching nothing
+    * else. Exposed `private[graft]` so LlmSpec can CONSTRUCT the
+    * swap's crash states (committed-write-then-crash, dropped-then-
+    * crash) and prove [[recoverCompact]] completes each one. */
+  private[graft] def compactWrite(
+      spark: SparkSession, table: String, newPath: String): Unit = {
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -658,8 +691,52 @@ object Dedup {
       case s => rewritten.sortBy(s.head, s.tail: _*)
     }
     sorted.option("path", newPath).saveAsTable(s"${table}_compacting")
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
+  }
+
+  /** Best-effort delete of a superseded table's file: URI (harness:
+    * local fs; at scale the same contract is the object store's
+    * delete-prefix). Non-file schemes are left alone. */
+  private def deleteTableLocation(location: java.net.URI): Unit =
+    if (location.getScheme == null || location.getScheme == "file")
+      graft.Bench.deleteRecursively(java.nio.file.Paths.get(location).toString)
+
+  /** Crash recovery for [[compactIndex]]'s non-atomic swap — the
+    * documented procedure as CODE (VERDICT r15 task 2: "a recovery
+    * procedure that exists only in a comment is untested ops code").
+    * Idempotent over every state the swap can crash in:
+    *  - `<table>_compacting` alone (crash between DROP and RENAME) —
+    *    finish with the RENAME;
+    *  - both registered (crash between the compacted write's commit
+    *    and the DROP) — finish the whole swap: the compacted content
+    *    is complete once `<table>_compacting` committed, so drop the
+    *    old table, rename, and delete the superseded files;
+    *  - `table` alone — nothing to recover (clean state or an
+    *    already-recovered one);
+    *  - neither — unrecoverable here (the compacted write itself never
+    *    committed): loud error, the caller re-runs [[compactIndex]].
+    * Never re-derives from the corpus. Returns the action taken
+    * ("renamed" / "swapped" / "noop"). */
+  def recoverCompact(spark: SparkSession, table: String): String = {
+    val cat = spark.sessionState.catalog
+    def exists(t: String) =
+      cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    (exists(table), exists(s"${table}_compacting")) match {
+      case (false, true) =>
+        spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
+        "renamed"
+      case (true, true) =>
+        val oldLoc = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
+        deleteTableLocation(oldLoc)
+        "swapped"
+      case (true, false) => "noop"
+      case (false, false) =>
+        throw new IllegalStateException(
+          s"neither $table nor ${table}_compacting is registered — the compacted " +
+            "write never committed; re-run compactIndex (the probe tables are gone)")
+    }
   }
 
   /** Incremental NEAR-dup (delta-vs-corpus banded index) — the
@@ -780,9 +857,15 @@ object Dedup {
     * exactly (LlmSpec pins it). IDEMPOTENT under at-least-once
     * redelivery (r15): already-indexed doc_ids are anti-joined out
     * against the corpus_id-bucketed token table first — a redelivered
-    * batch appends nothing, and a same-id revision keeps the
-    * first-ingested content (the hash tier's first-write-wins
-    * convention). Cost: the anti-join re-buckets only the delta (one
+    * batch appends nothing. NOTE the ingest assumption this encodes
+    * (ADVICE r15): ids must never be REUSED with different content —
+    * this tier (and the gram/SRP tiers) anti-join on doc_id, so a
+    * same-id revision is dropped, while [[appendHashIndex]] anti-joins
+    * on CONTENT hash, so the same revision DOES enter the hash index;
+    * under id reuse the tiers' verdicts diverge. All four append paths
+    * therefore assume monotone, never-reused ingest ids (the same
+    * assumption that makes first-write-wins equal the min-id victor).
+    * Cost: the anti-join re-buckets only the delta (one
     * delta-bounded exchange; the derivations stay map-only — native
     * minhash Generator + posexplode — and the bucketed write routes
     * rows to bucket files inside each task). The full build's two

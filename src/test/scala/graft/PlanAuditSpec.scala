@@ -350,6 +350,7 @@ class PlanAuditSpec extends SparkSpec {
       assert(a.hotBytes < a.thresholdBytes,
         s"fixture must sit under the 256 MB threshold (the blind regime): $a")
       assert(!a.aqeWouldSplit && a.advice === "salt", s"expected salt advice: $a")
+      assert(a.hotIsJoinInput, s"the planted-hot stage feeds an SMJ/SHJ input: $a")
       assert(a.estTrueHotBytes === a.hotBytes * PlanAudit.MeasuredBlindFactor)
       // uniform keys → no skewed partition → "none"
       val uniAdv = PlanAudit.skewAdvice(planted(hot = false))
@@ -365,6 +366,25 @@ class PlanAuditSpec extends SparkSpec {
         assert(fires.nonEmpty && fires.get.aqeWouldSplit &&
           fires.get.advice === "aqe-handles",
           s"with the threshold under the hot bytes the detector fires: $fires")
+        // ADVICE r15: OptimizeSkewedJoin only rewrites SMJ/SHJ inputs —
+        // the SAME hot key feeding an AGGREGATION shuffle must read
+        // "salt" even when it clears both size thresholds, because the
+        // runtime split will never fire on a non-join consumer. The
+        // old verdict said "aqe-handles" here — the opposite of the
+        // needed guidance.
+        val aggHot = spark.range(0, 200000L, 1, 8).select(
+            when(pmod(col("id"), lit(5L)) < 4, lit(0L))
+              .otherwise(pmod(hash(col("id")), lit(9999L)) + 1).as("k"),
+            col("id").as("v"))
+          .groupBy(col("k")).agg(sum(col("v")).as("s"))
+          .groupBy().agg(sum(col("s")))
+        val aggAdv = PlanAudit.skewAdvice(aggHot)
+        assert(aggAdv.nonEmpty, "agg fixture must yield a readable shuffle stage")
+        val ag = aggAdv.get
+        assert(ag.skewFactor > ag.detectorFactor && ag.hotBytes > ag.thresholdBytes,
+          s"agg fixture must be skewed above the (lowered) threshold: $ag")
+        assert(!ag.hotIsJoinInput && !ag.aqeWouldSplit && ag.advice === "salt",
+          s"a skewed non-join shuffle must advise salt (AQE never splits it): $ag")
       } finally spark.conf.set(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevThresh)
     } finally {

@@ -805,6 +805,84 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static gate vs compactIndex: needs-gate-bounce is pinned") {
+    // VERDICT r15 task 3 (the append pin's harder sibling): compaction
+    // DROPs and RENAMEs the very table a running gate's stream-static
+    // join reads, and now also DELETES the superseded location's
+    // files. MEASURED Spark 4 behavior, pinned here: the static side
+    // refreshes its FILE LISTING per micro-batch (which is why appends
+    // become visible — the r15 pin above) but holds the RELATION — and
+    // its location — resolved at query START. A swap landing even
+    // cleanly BETWEEN triggers therefore breaks the running gate: the
+    // next micro-batch lists the OLD location and fails loudly with
+    // FAILED_READ_FILE (and without the r16 old-location cleanup it
+    // would be worse: silently serving the superseded index forever).
+    // Operational rule (compactIndex scaladoc + PLANS.md lifecycle):
+    // compaction requires a gate BOUNCE — stop, compact, restart —
+    // not merely avoiding the drop→rename window.
+    implicit val sqlCtx = spark.sqlContext
+    val w40 = (0 until 40).map(i => s"c${(i * 13) % 61}v$i")
+    val docA = w40.mkString(" ")
+    val docB = (0 until 40).map(i => s"m${i}n").mkString(" ")
+    val tbl = "stream_compact_idx_spec"
+    val path = tempDir("graft_stream_compact_idx")
+    // build + append so the pre-compaction table holds >1 file set
+    llm.Dedup.buildBandIndex(Seq((1L, docA)).toDF("doc_id", "text"),
+      spark, tbl, s"$path/$tbl")
+    llm.Dedup.appendBandIndex(Seq((2L, docB)).toDF("doc_id", "text"), spark, tbl)
+    val mem = MemoryStream[(Long, String)]
+    // def, not val: each (re)start must re-resolve the catalog table
+    def gate() = llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
+      .join(spark.table(s"${tbl}_bands"), Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("delta_id"), col("corpus_id"))
+    val q1 = gate().writeStream
+      .format("memory").queryName("stream_compact_run1").outputMode("append").start()
+    try {
+      try {
+        mem.addData(Seq((101L, docA)))
+        q1.processAllAvailable()
+        assert(spark.table("stream_compact_run1")
+          .filter(col("delta_id") === 101L && col("corpus_id") === 1L).count() > 0,
+          "pre-compaction probe must hit corpus doc 1")
+        // the whole swap lands cleanly between triggers: write, drop,
+        // rename, delete the old location's files
+        llm.Dedup.compactIndex(spark, s"${tbl}_bands", s"$path/${tbl}_c2")
+        mem.addData(Seq((102L, docB)))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+        // PINNED: the running gate reads the start-time location, which
+        // the swap retired — fail-stop, not a quiet re-resolve. If this
+        // assertion ever fails the other way (the batch succeeds), the
+        // static side started re-resolving the RELATION per batch and
+        // the bounce rule can relax to quiesce-across-the-window only.
+        def chain(t: Throwable): Seq[Throwable] =
+          Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+        assert(chain(ex).exists(t => Option(t.getMessage).exists(m =>
+          m.contains("FAILED_READ_FILE") || m.contains("does not exist"))),
+          s"expected the old-location read to fail loudly, got: $ex")
+      } finally q1.stop()
+      // the BOUNCED gate re-resolves the renamed table at its new
+      // location and answers identically over the compacted index
+      // (the fresh query replays the MemoryStream from offset 0)
+      val q2 = gate().writeStream
+        .format("memory").queryName("stream_compact_run2").outputMode("append").start()
+      try {
+        mem.addData(Seq((103L, docA)))
+        q2.processAllAvailable()
+        val sunk = spark.table("stream_compact_run2")
+        assert(sunk.filter(col("delta_id") === 102L && col("corpus_id") === 2L).count() > 0,
+          "bounced gate must serve the batch that failed mid-swap")
+        assert(sunk.filter(col("delta_id") === 103L && col("corpus_id") === 1L).count() > 0,
+          "bounced gate must hit the original corpus rows in the compacted index")
+      } finally q2.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+    }
+  }
+
   test("streaming CDC merge: per-batch merges compose to the one-shot whole-delta merge") {
     implicit val sqlCtx = spark.sqlContext
     import graft.queries.Audit
