@@ -367,22 +367,31 @@ class PlanAuditSpec extends SparkSpec {
           fires.get.advice === "aqe-handles",
           s"with the threshold under the hot bytes the detector fires: $fires")
         // ADVICE r15: OptimizeSkewedJoin only rewrites SMJ/SHJ inputs —
-        // the SAME hot key feeding an AGGREGATION shuffle must read
-        // "salt" even when it clears both size thresholds, because the
-        // runtime split will never fire on a non-join consumer. The
-        // old verdict said "aqe-handles" here — the opposite of the
-        // needed guidance.
-        val aggHot = spark.range(0, 200000L, 1, 8).select(
+        // the SAME hot key feeding a non-join shuffle must read "salt"
+        // even when it clears both size thresholds, because the
+        // runtime split never fires on a non-join consumer. The old
+        // verdict said "aqe-handles" here — the opposite of the needed
+        // guidance. The fixture is a WINDOW shuffle, the genuinely
+        // skew-vulnerable non-join case (a groupBy-sum would NOT do:
+        // map-side partial aggregation collapses the hot key to one
+        // row per task before the wire — that absorption is exactly
+        // why plain hash aggregates rarely skew, and why the first
+        // draft of this test measured skewFactor 1.02 on an 80%-hot
+        // key); ChunkedWindow.features is the mitigation this verdict
+        // routes to.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("v"))
+        val winHot = spark.range(0, 200000L, 1, 8).select(
             when(pmod(col("id"), lit(5L)) < 4, lit(0L))
               .otherwise(pmod(hash(col("id")), lit(9999L)) + 1).as("k"),
             col("id").as("v"))
-          .groupBy(col("k")).agg(sum(col("v")).as("s"))
-          .groupBy().agg(sum(col("s")))
-        val aggAdv = PlanAudit.skewAdvice(aggHot)
-        assert(aggAdv.nonEmpty, "agg fixture must yield a readable shuffle stage")
-        val ag = aggAdv.get
+          .withColumn("rn", row_number().over(w))
+          .groupBy().agg(sum(col("rn")).as("s"))
+        val winAdv = PlanAudit.skewAdvice(winHot)
+        assert(winAdv.nonEmpty, "window fixture must yield a readable shuffle stage")
+        val ag = winAdv.get
         assert(ag.skewFactor > ag.detectorFactor && ag.hotBytes > ag.thresholdBytes,
-          s"agg fixture must be skewed above the (lowered) threshold: $ag")
+          s"window fixture must be skewed above the (lowered) threshold: $ag")
         assert(!ag.hotIsJoinInput && !ag.aqeWouldSplit && ag.advice === "salt",
           s"a skewed non-join shuffle must advise salt (AQE never splits it): $ag")
       } finally spark.conf.set(
