@@ -338,6 +338,85 @@ object Similarity {
     * pins that repeat declared-query invocations do NOT increment it). */
   val ivfBuildCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** The pinned-IVF oracle (shared by `embed_ivf_topk_pinned` and its
+    * append-maintenance form): md5-seeded zero-Lloyd cells, argmax
+    * rounded-cosine assignment with min-seed tiebreak, nProbe=4 prune,
+    * exact-cosine top-20 vs vec 0. `seedWhere` restricts the SEED POOL
+    * — "" is the full-corpus build, "WHERE vec_id < 200" replays a
+    * build-on-base + append-the-rest lifecycle (frozen seeds, every
+    * vector still assigned and scored). One definition so the two
+    * declared queries can never replay different dynamics. */
+  private def ivfPinnedSql(seedWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv FROM e $seedWhere
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |assigned AS (
+       |  SELECT vec_id, seed_id AS cluster FROM (
+       |    SELECT e.vec_id, s.seed_id,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY e.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(e.v, s.sv), 6) + 0 DESC,
+       |                      s.seed_id) AS rn
+       |    FROM e CROSS JOIN seeds s) WHERE rn = 1),
+       |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |near AS (
+       |  SELECT seed_id AS cluster FROM seeds, probe
+       |  ORDER BY ROUND(list_cosine_similarity(sv, pv), 6) + 0 DESC, seed_id
+       |  LIMIT 4)
+       |SELECT e.vec_id, e.label, a.cluster,
+       |       ROUND(list_cosine_similarity(e.v, p.pv), 6) + 0 AS cos_sim
+       |FROM assigned a
+       |JOIN near n ON n.cluster = a.cluster
+       |JOIN e ON e.vec_id = a.vec_id, probe p
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT 20""".stripMargin
+
+  /** The pinned-PQ oracle (shared by `embed_pq_topk_pinned` and its
+    * append-maintenance form): md5-seeded codebooks, per-subspace
+    * argmax rounded-cosine encode (min-code tiebreak), nCodes × m
+    * probe LUT, order-free DECIMAL(20,6) ADC sum, top-20. `seedWhere`
+    * restricts the CODEBOOK SEED POOL only — "" is the full-corpus
+    * form; "WHERE vec_id < 200" freezes the codebooks to the base
+    * slice while every vector still encodes and scores (the
+    * appendPqIndex dynamics). One definition for both queries. */
+  private def pqPinnedSql(seedWhere: String): String = {
+    val m = PqM
+    val nCodes = PqK
+    val subDim = Dim / m
+    def sliceSql(v: String): String =
+      s"$v[sub.s*$subDim+1 : sub.s*$subDim+$subDim]"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv FROM e $seedWhere
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCodes),
+       |sub AS (SELECT unnest(range(0, $m)) AS s),
+       |codes AS (
+       |  SELECT vec_id, s, seed_id AS code FROM (
+       |    SELECT e.vec_id, sub.s, sd.seed_id,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY e.vec_id, sub.s
+       |             ORDER BY ROUND(list_cosine_similarity(
+       |                        ${sliceSql("e.v")}, ${sliceSql("sd.sv")}), 6) + 0 DESC,
+       |                      sd.seed_id) AS rn
+       |    FROM e CROSS JOIN sub CROSS JOIN seeds sd) t WHERE rn = 1),
+       |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT sd.seed_id AS code, sub.s,
+       |         ROUND(list_cosine_similarity(
+       |           ${sliceSql("p.pv")}, ${sliceSql("sd.sv")}), 6) + 0 AS lv
+       |  FROM seeds sd CROSS JOIN sub CROSS JOIN probe p),
+       |adc AS (
+       |  SELECT c.vec_id,
+       |         CAST(SUM(CAST(l.lv AS DECIMAL(20,6))) AS DOUBLE) AS adc_score
+       |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+       |  GROUP BY c.vec_id)
+       |SELECT e.vec_id, e.label, a.adc_score
+       |FROM adc a JOIN e ON e.vec_id = a.vec_id
+       |ORDER BY a.adc_score DESC, e.vec_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** The persisted-index path for a corpus dir, building the index on
     * first use only. The whole check-build-publish runs under the
     * key's `computeIfAbsent` lock, so two racing FIRST calls for the
@@ -428,6 +507,192 @@ object Similarity {
     ivfSearch(emb.sparkSession, path, probeId, k, nProbe)
   }
 
+  // ── k-means serving-tier MAINTENANCE (append to frozen centroids) ──
+
+  /** Diagnostic: frozen-centroid appends in this JVM (LlmSpec pins
+    * that append never triggers a KMeans refit — [[ivfBuildCount]] /
+    * [[pqBuildCount]] stay flat across appends). */
+  val ivfAppendCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Squared-L2 distances of `v` to each of the `cents` literal
+    * centroid vectors, as an array column (index i = centroid i) — the
+    * map-only assignment kernel of the k-means append paths. Whole-row
+    * work is m·d multiplies in whole-stage codegen; no exchange. */
+  private def sqDistsTo(v: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedLit(cents), c =>
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+
+  /** argmin over a distance array: FIRST index achieving the minimum
+    * (`array_position` returns the first match) — the same
+    * lowest-index tiebreak MLlib KMeans' findClosest applies, so an
+    * appended vector gets exactly the cluster a build-time
+    * `model.transform` would have given it. */
+  private def argminIdx(dists: Column): Column =
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+
+  /** The idempotence guard shared by the k-means append paths: drop
+    * delta rows whose vec_id already sits in the index, reading ONLY
+    * the delta's target clusters' files (assignment to frozen
+    * centroids is deterministic, so a redelivered vector can only
+    * collide inside the cluster it maps to — the `isin` filter is
+    * file-level partition pruning, the delta-bounded analog of the
+    * bucketed tiers' anti-join). */
+  private def dropAlreadyIndexed(
+      assignedDelta: DataFrame, spark: SparkSession, assignedPath: String): DataFrame = {
+    val targets = assignedDelta.select(col("cluster")).distinct()
+      .collect().map(_.get(0))
+    val existing = spark.read.parquet(assignedPath)
+      .filter(col("cluster").isin(targets: _*))
+      .select(col("vec_id"))
+    assignedDelta.join(existing, Seq("vec_id"), "left_anti")
+  }
+
+  /** Incremental (append) maintenance for [[buildIvfIndex]] — VERDICT
+    * r15 task 1: the one serving family without an append path was the
+    * k-means tier, forcing a standing 100 TB gate to re-pay the full
+    * KMeans fit + corpus rewrite per arriving batch. Appends assign
+    * the delta to the FROZEN persisted centroids (no refit — the
+    * centroid file is read once, bounded, and shipped as an array
+    * literal, so assignment is a map-only codegen'd fold exactly like
+    * the build-time encode at scale), then land the rows as new files
+    * under their clusters' partitions. Probe semantics after append
+    * are ivfSearch over corpus ∪ delta with build-time centroids —
+    * identical to what a full rebuild with the SAME centroids would
+    * serve (LlmSpec pins it; the oracle-green pinned twin is
+    * `embed_ivf_topk_append_pinned`). What append does NOT do is adapt
+    * the centroids to drift — the staleness/refit-cadence measurements
+    * live in PLANS.md (IvfStaleProbe). Idempotent under at-least-once
+    * redelivery via [[dropAlreadyIndexed]] (assumes never-reused
+    * vec_ids, the ingest convention all append tiers share). */
+  def appendIvfIndex(delta: DataFrame, spark: SparkSession, path: String): Unit = {
+    ivfAppendCount.incrementAndGet()
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(r.fieldIndex("cluster")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids at $path — build the index first")
+    // cluster ids are 0..k-1 by construction (zipWithIndex at build),
+    // so the sorted array index IS the cluster id
+    val assignedDelta = delta
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("cluster", argminIdx(sqDistsTo(col("v"), cents.map(_._2))))
+    dropAlreadyIndexed(assignedDelta, spark, s"$path/assigned")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster").parquet(s"$path/assigned")
+  }
+
+  /** Incremental (append) maintenance for [[buildPqIndex]] — the same
+    * frozen-statistics discipline on the quantization tier: normalize
+    * the delta, assign the coarse cluster against the frozen coarse
+    * centroids, encode the m subspace codes against the frozen
+    * codebooks (argmin subvector L2, first-index tiebreak — exactly
+    * the per-subspace `model.transform` of the build), and append
+    * under the cluster partitions. Codebooks are STATISTICS, not
+    * indexes (buildPqIndex's own scale note): freezing them is the
+    * design, and recall drift under distribution shift is the
+    * IvfStaleProbe refit-cadence question, not a correctness one. */
+  def appendPqIndex(delta: DataFrame, spark: SparkSession, path: String): Unit = {
+    ivfAppendCount.incrementAndGet()
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+    require(books.nonEmpty, s"no codebooks at $path — build the index first")
+    val m = books.iterator.map(_.getInt(0)).max + 1
+    val bySub: Map[Int, Seq[Seq[Double]]] = books
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.sortBy(_._2).map(_._3).toSeq }
+    val subDim = bySub(0).head.size
+    val coarse = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(r.fieldIndex("cluster")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq))
+      .sortBy(_._1).map(_._2).toSeq
+    val base = delta
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v0"))
+      .withColumn("nrm", norm(col("v0")))
+      .select(col("vec_id"), col("label"),
+        when(col("nrm") === 0, col("v0"))
+          .otherwise(transform(col("v0"), x => x / col("nrm"))).as("u"))
+    val assignedDelta = base.select(
+      col("vec_id"), col("label"), col("u"),
+      array((0 until m).map(s => argminIdx(sqDistsTo(
+        slice(col("u"), s * subDim + 1, subDim), bySub(s)))): _*).as("codes"),
+      argminIdx(sqDistsTo(col("u"), coarse)).as("cluster"))
+    dropAlreadyIndexed(assignedDelta, spark, s"$path/assigned")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster").parquet(s"$path/assigned")
+  }
+
+  // ── PINNED IVF serving-index lifecycle (md5 seeds, on disk) ────────
+
+  /** Pinned assignment — argmax ROUNDED cosine against the seed set,
+    * min-seed tiebreak, as an aggregate argmax — shared by the pinned
+    * build, append, and in-memory query paths so all three replay ONE
+    * assignment rule (the rule the oracle SQL unrolls). */
+  private def pinnedAssign(e: DataFrame, seeds: DataFrame): DataFrame =
+    e.join(
+      e.crossJoin(broadcast(seeds))
+        .withColumn("cs", round(cosine(col("v"), col("sv")), 6) + lit(0.0))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("seed_id"),
+          struct(col("cs"), (lit(0L) - col("seed_id")).as("ns"))).as("cluster")),
+      "vec_id")
+
+  /** [[buildIvfIndex]]'s ORACLE-REPLAYABLE twin (VERDICT r15 task 1):
+    * the coarse quantizer is the md5-seeded zero-Lloyd init
+    * [[ivfTopKPinned]] established, persisted as a real on-disk
+    * serving pair — `<path>/seeds` (the nCells seed vectors) and
+    * `<path>/assigned` PARTITIONED BY the winning seed — so the whole
+    * build → append → probe lifecycle hash-pins cross-engine
+    * (`embed_ivf_topk_append_pinned`), not just a single in-memory
+    * computation. */
+  def buildIvfIndexPinned(base: DataFrame, path: String, nCells: Int = 16): Unit = {
+    val e = base.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    seeds.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/seeds")
+    pinnedAssign(e, seeds)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$path/assigned")
+  }
+
+  /** Append to a [[buildIvfIndexPinned]] index: assign the delta to
+    * the FROZEN persisted seeds with the identical pinned rule and
+    * land the rows under their cluster partitions — the k-means
+    * [[appendIvfIndex]] with every step SQL-expressible, which is what
+    * lets the driver hash-check probe-after-append cross-engine. */
+  def appendIvfIndexPinned(delta: DataFrame, spark: SparkSession, path: String): Unit = {
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val e = delta.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    dropAlreadyIndexed(pinnedAssign(e, seeds), spark, s"$path/assigned")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster").parquet(s"$path/assigned")
+  }
+
+  /** Probe a [[buildIvfIndexPinned]] index: rank the persisted seeds
+    * against the probe by rounded cosine (seed-id tiebreak), prune to
+    * the nProbe nearest clusters' FILES (static `isin` partition
+    * pruning, the [[ivfSearch]] shape), exact-cosine top-k inside
+    * them. Driver state: nCells seed rows + one probe row. */
+  def ivfSearchPinned(
+      spark: SparkSession, path: String, probeId: Long, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val probeVec = assigned.filter(col("vec_id") === probeId)
+      .select(col("v")).head().getSeq[Double](0)
+    val near = spark.read.parquet(s"$path/seeds")
+      .withColumn("cs", round(cosine(col("sv"), typedLit(probeVec)), 6) + lit(0.0))
+      .orderBy(col("cs").desc, col("seed_id"))
+      .limit(nProbe)
+      .collect().map(r => r.getLong(r.fieldIndex("seed_id")))
+    assigned
+      .filter(col("cluster").isin(near.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id"), col("label"), col("cluster"),
+        (round(cosine(col("v"), typedLit(probeVec)), 6) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** The IVF serving codepath over a DETERMINISTIC hash-seeded coarse
     * quantizer (declared as `embed_ivf_topk_pinned`): the nCells
     * centroids are the corpus vectors with the smallest
@@ -488,11 +753,15 @@ object Similarity {
     * `list_cosine_similarity` is the established exact pair.) */
   def pqTopKPinned(
       emb: DataFrame, probeId: Long, k: Int,
-      m: Int = PqM, nCodes: Int = PqK): DataFrame = {
+      m: Int = PqM, nCodes: Int = PqK,
+      seedFilter: Column = lit(true)): DataFrame = {
     val dim = Dim
     val subDim = dim / m
     val e = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val seeds = e
+    // seedFilter restricts the SEED POOL only (the append-maintenance
+    // pinned form freezes codebooks to the base slice's md5-smallest
+    // vectors; every vector still encodes and scores)
+    val seeds = e.filter(seedFilter)
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCodes)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"))
@@ -536,6 +805,63 @@ object Similarity {
       .orderBy(col("adc_score").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), col("adc_score"))
+  }
+
+  /** ONE md5-seeded Lloyd round, fully pinned (VERDICT r15 task 5 —
+    * the k-core/LPA "unroll the iteration CTE-by-CTE" playbook applied
+    * to k-means): seed with the nCells md5-smallest vectors, ASSIGN
+    * (the proven argmax-rounded-cosine rule), UPDATE each cluster's
+    * centroid to the per-dimension mean — summed as DECIMAL(20,6) over
+    * 6-dp-rounded addends so the mean is order-free cross-engine, then
+    * rounded back to 6 dp — and REASSIGN every vector against the
+    * updated centroids. Output per surviving cluster: member count
+    * before and after the update, plus the centroid's exact digit-sum
+    * (pins the mean VECTORS, not just their downstream effect). With
+    * this, the entire Lloyd machinery — init, assign, update, reassign
+    * — is oracle-replayable; only iteration-to-convergence QUALITY
+    * stays with the k-means forms' recall audits. Spherical flavor
+    * (cosine assignment over unnormalized means) to stay inside the
+    * repo's proven `cosine ≡ list_cosine_similarity` exact pair.
+    * Scale shape: two broadcast-grid assignment passes (map-side
+    * partial max_by) + one (cluster, dim)-keyed mean — all k-bounded
+    * driver state, no all-pairs term. */
+  def kmeansStepPinned(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    def assign(cents: DataFrame, cid: String, cvec: String): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("cs", round(cosine(col("v"), col(cvec)), 6) + lit(0.0))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col(cid),
+          struct(col("cs"), (lit(0L) - col(cid)).as("ns"))).as("cluster"))
+    val a0 = assign(seeds, "seed_id", "sv")
+    // UPDATE: per-(cluster, dim) mean with an exact decimal sum; the
+    // 6-dp pre-round makes the addends exact decimals, the sum is
+    // therefore associativity-free, and the /count + 6-dp re-round is
+    // one deterministic double op per dimension
+    val dims = a0.join(e, "vec_id")
+      .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+    val cd = dims.groupBy(col("cluster"), col("d")).agg(
+      (round(sum(round(col("x"), 6).cast("decimal(20,6)")).cast("double")
+        / count(lit(1)), 6) + lit(0.0)).as("cx"))
+    val cents = cd.groupBy(col("cluster")).agg(
+      transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("cv"),
+      sum(col("cx").cast("decimal(20,6)")).cast("double").as("c_sum"))
+    val a1 = assign(cents.select(col("cluster").as("c1"), col("cv")), "c1", "cv")
+    val n0 = a0.groupBy(col("cluster")).agg(count(lit(1)).as("n_before"))
+    val n1 = a1.groupBy(col("cluster")).agg(count(lit(1)).as("n_after"))
+    cents.select(col("cluster"), col("c_sum"))
+      .join(n0, Seq("cluster"), "left")
+      .join(n1, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (round(col("c_sum"), 6) + lit(0.0)).as("c_sum"))
+      .orderBy(col("cluster"))
   }
 
   // ── Product quantization (PQ / IVF-PQ) ─────────────────────────────
@@ -1083,32 +1409,48 @@ object Similarity {
     // tiebreak), probe-side cell ranking, the nProbe=4 prune, and the
     // final exact top-20. The k-means form above stays as the
     // uncapped quality shape; its recall is audited in LlmSpec.
-    Q("embed_ivf_topk_pinned",
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS (
-         |  SELECT vec_id AS seed_id, v AS sv FROM e
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         |assigned AS (
-         |  SELECT vec_id, seed_id AS cluster FROM (
-         |    SELECT e.vec_id, s.seed_id,
-         |           ROW_NUMBER() OVER (
-         |             PARTITION BY e.vec_id
-         |             ORDER BY ROUND(list_cosine_similarity(e.v, s.sv), 6) + 0 DESC,
-         |                      s.seed_id) AS rn
-         |    FROM e CROSS JOIN seeds s) WHERE rn = 1),
-         |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
-         |near AS (
-         |  SELECT seed_id AS cluster FROM seeds, probe
-         |  ORDER BY ROUND(list_cosine_similarity(sv, pv), 6) + 0 DESC, seed_id
-         |  LIMIT 4)
-         |SELECT e.vec_id, e.label, a.cluster,
-         |       ROUND(list_cosine_similarity(e.v, p.pv), 6) + 0 AS cos_sim
-         |FROM assigned a
-         |JOIN near n ON n.cluster = a.cluster
-         |JOIN e ON e.vec_id = a.vec_id, probe p
-         |ORDER BY cos_sim DESC, e.vec_id
-         |LIMIT 20""".stripMargin) { (s, dir) =>
+    Q("embed_ivf_topk_pinned", ivfPinnedSql(seedWhere = "")) { (s, dir) =>
       ivfTopKPinned(Tables.embeddings(s, dir), probeId = 0L, k = 20)
+    },
+
+    // APPEND-maintained pinned IVF serving index (VERDICT r15 task 1):
+    // the k-means tier was the one serving family without an append
+    // path — this is its oracle-backed twin as a REAL on-disk
+    // lifecycle: build the md5-seeded index from the first-ingested
+    // slice (vec_id < 200), appendIvfIndexPinned the remainder against
+    // the FROZEN persisted seeds (map-only assignment + a partition-
+    // pruned idempotence anti-join), then probe the appended pair. The
+    // oracle replays the same dynamics with one changed clause: the
+    // seed CTE draws from the BASE slice only — so cell assignment of
+    // both slices, the nProbe prune, and the exact top-k over the
+    // appended index all hash-pin cross-engine. The k-means twin
+    // (appendIvfIndex, declared embed_ivf_topk_append) carries the
+    // same maintenance semantics with real Lloyd centroids.
+    Q("embed_ivf_topk_append_pinned",
+      ivfPinnedSql(seedWhere = "WHERE vec_id < 200")) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = ivfTmp(s"appp_${java.util.UUID.randomUUID().toString.take(8)}")
+      buildIvfIndexPinned(emb.filter(col("vec_id") < 200), path)
+      appendIvfIndexPinned(emb.filter(col("vec_id") >= 200), s, path)
+      try ivfSearchPinned(s, path, probeId = 0L, k = 20, nProbe = 4).localCheckpoint()
+      finally graft.Bench.deleteRecursively(path)
+    },
+
+    // The k-means append itself, serving-probe shape: fresh build on
+    // the base slice, frozen-centroid append of the remainder, probe.
+    // KMeans centroids are not SQL-expressible → no oracle; the ENTIRE
+    // maintenance machinery (frozen assignment, partition-pruned
+    // idempotence, append visibility, probe equality vs an
+    // assign-everything-at-once rebuild over the same centroids) is
+    // pinned by embed_ivf_topk_append_pinned's oracle and asserted in
+    // LlmSpec for the k-means path.
+    Q.noOracle("embed_ivf_topk_append") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = ivfTmp(s"kapp_${java.util.UUID.randomUUID().toString.take(8)}")
+      buildIvfIndex(emb.filter(col("vec_id") < 200), path)
+      appendIvfIndex(emb.filter(col("vec_id") >= 200), s, path)
+      try ivfSearch(s, path, probeId = 0L, k = 20).localCheckpoint()
+      finally graft.Bench.deleteRecursively(path)
     },
 
     // Embedding-cosine near-dedup: candidate pairs from MULTI-BAND SRP
@@ -1442,43 +1784,91 @@ object Similarity {
     // md5-smallest corpus vectors), so the driver hash-checks the
     // whole serving path cross-engine; only k-means codebook QUALITY
     // stays with the rows-only form's recall audits.
-    Q("embed_pq_topk_pinned", {
-      val m = PqM
-      val nCodes = PqK
-      val subDim = Dim / m
-      def sliceSql(v: String): String =
-        s"$v[sub.s*$subDim+1 : sub.s*$subDim+$subDim]"
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    Q("embed_pq_topk_pinned", pqPinnedSql(seedWhere = "")) { (s, dir) =>
+      pqTopKPinned(Tables.embeddings(s, dir), probeId = 0L, k = 20)
+    },
+
+    // APPEND-maintenance pinned PQ (VERDICT r15 task 1, quantization
+    // tier): codebooks FROZEN to the base slice's md5-smallest vectors
+    // (the seed pool a build-on-base would have learned), every vector
+    // — base and appended alike — encoded and ADC-scored against them.
+    // The oracle replays the identical frozen-codebook dynamics, so
+    // "encode new arrivals against old statistics" — the exact
+    // operation appendPqIndex performs with k-means codebooks — is
+    // hash-pinned cross-engine end to end.
+    Q("embed_pq_topk_append_pinned",
+      pqPinnedSql(seedWhere = "WHERE vec_id < 200")) { (s, dir) =>
+      pqTopKPinned(Tables.embeddings(s, dir), probeId = 0L, k = 20,
+        seedFilter = col("vec_id") < 200)
+    },
+
+    // The k-means PQ append itself, serving-probe shape: fresh
+    // buildPqIndex on the base slice, frozen-codebook appendPqIndex of
+    // the remainder, flat-ADC probe over the appended index. KMeans
+    // codebooks are not SQL-expressible → no oracle; the frozen-encode
+    // machinery is pinned by embed_pq_topk_append_pinned and the
+    // assignment law (appended codes == build-time codes under the
+    // same codebooks) is asserted in LlmSpec.
+    Q.noOracle("embed_pq_topk_append") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = ivfTmp(s"pqapp_${java.util.UUID.randomUUID().toString.take(8)}")
+      buildPqIndex(emb.filter(col("vec_id") < 200), path)
+      appendPqIndex(emb.filter(col("vec_id") >= 200), s, path)
+      try pqSearch(s, path, probeId = 0L, kResults = 20, nProbe = 0).localCheckpoint()
+      finally graft.Bench.deleteRecursively(path)
+    },
+
+    // One full Lloyd round, hash-pinned (VERDICT r15 task 5): seed →
+    // assign → mean-update → reassign, with the centroid means made
+    // order-free by exact DECIMAL(20,6) summation of 6-dp addends. The
+    // oracle unrolls the identical round; the output pins the updated
+    // centroids themselves (digit-sum), the pre-update memberships,
+    // and the post-update REASSIGNMENT — so the rows-only k-means
+    // forms' unpinned remainder shrinks to iteration-to-convergence
+    // quality alone (their recall audits).
+    Q("embed_kmeans_step_pinned",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (
          |  SELECT vec_id AS seed_id, v AS sv FROM e
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCodes),
-         |sub AS (SELECT unnest(range(0, $m)) AS s),
-         |codes AS (
-         |  SELECT vec_id, s, seed_id AS code FROM (
-         |    SELECT e.vec_id, sub.s, sd.seed_id,
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |a0 AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT e.vec_id, s.seed_id,
          |           ROW_NUMBER() OVER (
-         |             PARTITION BY e.vec_id, sub.s
-         |             ORDER BY ROUND(list_cosine_similarity(
-         |                        ${sliceSql("e.v")}, ${sliceSql("sd.sv")}), 6) + 0 DESC,
-         |                      sd.seed_id) AS rn
-         |    FROM e CROSS JOIN sub CROSS JOIN seeds sd) t WHERE rn = 1),
-         |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
-         |lut AS (
-         |  SELECT sd.seed_id AS code, sub.s,
-         |         ROUND(list_cosine_similarity(
-         |           ${sliceSql("p.pv")}, ${sliceSql("sd.sv")}), 6) + 0 AS lv
-         |  FROM seeds sd CROSS JOIN sub CROSS JOIN probe p),
-         |adc AS (
-         |  SELECT c.vec_id,
-         |         CAST(SUM(CAST(l.lv AS DECIMAL(20,6))) AS DOUBLE) AS adc_score
-         |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
-         |  GROUP BY c.vec_id)
-         |SELECT e.vec_id, e.label, a.adc_score
-         |FROM adc a JOIN e ON e.vec_id = a.vec_id
-         |ORDER BY a.adc_score DESC, e.vec_id
-         |LIMIT 20""".stripMargin
-    }) { (s, dir) =>
-      pqTopKPinned(Tables.embeddings(s, dir), probeId = 0L, k = 20)
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ROUND(list_cosine_similarity(e.v, s.sv), 6) + 0 DESC,
+         |                      s.seed_id) AS rn
+         |    FROM e CROSS JOIN seeds s) WHERE rn = 1),
+         |dims AS (
+         |  SELECT a0.cluster, dd.d, e.v[dd.d] AS x
+         |  FROM a0 JOIN e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS d) dd),
+         |cd AS (
+         |  SELECT cluster, d,
+         |         ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(20,6))) AS DOUBLE)
+         |               / COUNT(*), 6) + 0 AS cx
+         |  FROM dims GROUP BY cluster, d),
+         |cents AS (
+         |  SELECT cluster, list(cx ORDER BY d) AS cv,
+         |         CAST(SUM(CAST(cx AS DECIMAL(20,6))) AS DOUBLE) AS c_sum
+         |  FROM cd GROUP BY cluster),
+         |a1 AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.cluster,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) + 0 DESC,
+         |                      c.cluster) AS rn
+         |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+         |n0 AS (SELECT cluster, COUNT(*) AS nb FROM a0 GROUP BY cluster),
+         |n1 AS (SELECT cluster, COUNT(*) AS na FROM a1 GROUP BY cluster)
+         |SELECT c.cluster,
+         |       CAST(COALESCE(n0.nb, 0) AS BIGINT) AS n_before,
+         |       CAST(COALESCE(n1.na, 0) AS BIGINT) AS n_after,
+         |       ROUND(c.c_sum, 6) + 0 AS c_sum
+         |FROM cents c LEFT JOIN n0 USING (cluster) LEFT JOIN n1 USING (cluster)
+         |ORDER BY c.cluster""".stripMargin) { (s, dir) =>
+      kmeansStepPinned(Tables.embeddings(s, dir))
     },
 
     // SemDeDup semantic dedup: survivors after removing every vector

@@ -63,8 +63,8 @@ class DocsSpec extends AnyFunSuite {
       // + exact top-k, and subspace encode + LUT + ADC sum + top-k —
       // hash-pin over md5-seeded centroids/codebooks; only k-means
       // iteration QUALITY stays with the recall audits.
-      "embed_pq_rerank" -> "k-means codebook seeds; exact rerank tail tested in spec; encode/LUT/ADC machinery pinned by embed_pq_topk_pinned",
-      "embed_ivfpq_topk" -> "k-means codebook seeds; recall audits oracle-checked; both composed serving paths pinned (embed_ivf_topk_pinned cell pruning + embed_pq_topk_pinned ADC)",
+      "embed_pq_rerank" -> "k-means codebook seeds; exact rerank tail tested in spec; encode/LUT/ADC machinery pinned by embed_pq_topk_pinned, the Lloyd UPDATE step by embed_kmeans_step_pinned (r16)",
+      "embed_ivfpq_topk" -> "k-means codebook seeds; recall audits oracle-checked; both composed serving paths pinned (embed_ivf_topk_pinned cell pruning + embed_pq_topk_pinned ADC) and the Lloyd UPDATE step by embed_kmeans_step_pinned (r16) — the unpinned remainder is iteration-to-convergence quality alone",
       "ml_contributions" -> "GBT training output; Saabas identity Σcontrib=score−bias tested in spec",
       "ml_e2e_metrics" -> "MLlib GBT training nondeterminism; exact AUC pinned by ml_auc_exact",
       "ml_e2e_early_stop" -> "MLlib GBT training nondeterminism; planted-signal PR-AUC tested in spec",

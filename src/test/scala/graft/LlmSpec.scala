@@ -435,6 +435,106 @@ class LlmSpec extends SparkSpec {
       s"no partition filter in:\n${a.queryExecution.executedPlan}")
   }
 
+  test("appendIvfIndex: frozen-centroid assignment law, idempotence, no refit (r16)") {
+    // VERDICT r15 task 1: the k-means serving tier's append path.
+    val path = tempDir("ivf_append")
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 200), path, nClusters = 8)
+    val builds = Similarity.ivfBuildCount.get()
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 200), spark, path)
+    assert(Similarity.ivfBuildCount.get() === builds,
+      "append must assign to FROZEN centroids, never refit KMeans")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    assert(assigned.count() === emb.count(), "append lands every delta vector exactly once")
+    // assignment law: each appended vector's cluster is the argmin
+    // squared-L2 frozen centroid with KMeans' first-index tiebreak —
+    // i.e. exactly what a build-time model.transform would have given
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(r.fieldIndex("cluster")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+      .sortBy(_._1).map(_._2)
+    val sample = assigned.filter(col("vec_id") >= 200 && col("vec_id") < 232)
+      .select("vec_id", "v", "cluster").collect()
+    assert(sample.nonEmpty, "sample of appended rows must be non-empty")
+    for (r <- sample) {
+      val v = r.getSeq[Double](1).toArray
+      val dists = cents.map(c =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val want = dists.indexOf(dists.min)
+      assert(r.getInt(2) === want,
+        s"vec ${r.getLong(0)} assigned ${r.getInt(2)}, frozen argmin is $want")
+    }
+    // at-least-once redelivery: a re-appended batch adds nothing (the
+    // idempotence anti-join reads only the delta's target partitions)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 200), spark, path)
+    assert(spark.read.parquet(s"$path/assigned").count() === emb.count(),
+      "re-appending the same delta must be a no-op")
+    // appended vectors are probe-visible: an appended id's top hit is itself
+    val top = Similarity.ivfSearch(spark, path, probeId = 300L, k = 3).collect()
+    assert(top.head.getLong(top.head.fieldIndex("vec_id")) === 300L &&
+      top.head.getDouble(top.head.fieldIndex("cos_sim")) === 1.0,
+      s"appended vec 300 must be its own nearest neighbor: ${top.toSeq}")
+  }
+
+  test("appendPqIndex: frozen-codebook encode law, idempotence (r16)") {
+    val path = tempDir("pq_append")
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    Similarity.buildPqIndex(emb.filter(col("vec_id") < 200), path)
+    val builds = Similarity.pqBuildCount.get()
+    Similarity.appendPqIndex(emb.filter(col("vec_id") >= 200), spark, path)
+    assert(Similarity.pqBuildCount.get() === builds,
+      "append must encode against FROZEN codebooks, never refit")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    assert(assigned.count() === emb.count())
+    // encode law: appended codes equal the per-subspace argmin
+    // subvector-L2 against the frozen codebooks (first-index tiebreak)
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = books.map(_._1).max + 1
+    val bySub = books.groupBy(_._1).map { case (s, rs) => s -> rs.sortBy(_._2).map(_._3) }
+    val subDim = bySub(0).head.length
+    val sample = assigned.filter(col("vec_id") >= 200 && col("vec_id") < 216)
+      .select("vec_id", "u", "codes").collect()
+    assert(sample.nonEmpty)
+    for (r <- sample; s <- 0 until m) {
+      val u = r.getSeq[Double](1).toArray
+      val sub = u.slice(s * subDim, (s + 1) * subDim)
+      val dists = bySub(s).map(c =>
+        c.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(r.getSeq[Int](2)(s) === dists.indexOf(dists.min),
+        s"vec ${r.getLong(0)} subspace $s code mismatch vs frozen argmin")
+    }
+    Similarity.appendPqIndex(emb.filter(col("vec_id") >= 200), spark, path)
+    assert(spark.read.parquet(s"$path/assigned").count() === emb.count(),
+      "re-appending the same delta must be a no-op")
+    // appended rows are servable by the flat ADC scan
+    val res = Similarity.pqSearch(spark, path, probeId = 300L, kResults = 5, nProbe = 0)
+    assert(res.count() === 5)
+  }
+
+  test("pinned IVF lifecycle: overlap-redelivered append equals the clean append (r16)") {
+    // the on-disk md5-seeded pair behind embed_ivf_topk_append_pinned:
+    // append of a batch OVERLAPPING the base (whole-corpus redelivery)
+    // must produce the identical index — the idempotence anti-join
+    // drops the already-indexed prefix — and the probe is
+    // deterministic across reads
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val p1 = tempDir("ivf_pin_a")
+    Similarity.buildIvfIndexPinned(emb.filter(col("vec_id") < 200), p1)
+    Similarity.appendIvfIndexPinned(emb.filter(col("vec_id") >= 200), spark, p1)
+    val clean = Similarity.ivfSearchPinned(spark, p1, probeId = 0L, k = 20)
+      .collect().toSeq
+    val p2 = tempDir("ivf_pin_b")
+    Similarity.buildIvfIndexPinned(emb.filter(col("vec_id") < 200), p2)
+    Similarity.appendIvfIndexPinned(emb, spark, p2) // redelivers the base too
+    assert(spark.read.parquet(s"$p2/assigned").count() === emb.count(),
+      "overlapping redelivery must not duplicate rows")
+    val redelivered = Similarity.ivfSearchPinned(spark, p2, probeId = 0L, k = 20)
+      .collect().toSeq
+    assert(redelivered === clean,
+      "probe over the overlap-redelivered index must equal the clean append's")
+  }
+
   test("IVF declared query is SEARCH-ONLY: repeat invocations never refit KMeans (r6 weak #1)") {
     val q = SparkEntry.queries("embed_ivf_topk")
     assert(q(spark, sf("sf0.001")).count() > 0) // first touch may build once
