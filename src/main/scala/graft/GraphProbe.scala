@@ -86,6 +86,30 @@ object GraphProbe {
         .select((col("doc_id") + col("_r") * off).as("doc_id"))
       runCn(s"replica${k}x", rep)
     }
+
+    // LPA materialization cadence (r16, VERDICT r15 task 8): 19% of
+    // the r15 bench headline was graph_label_prop, adjudicated as
+    // per-round JOB-LAUNCH overhead at toy scale — so the falsifiable
+    // form: time the declared 5-round LPA with a localCheckpoint every
+    // round (cadence 1, the pre-r16 shape) vs every second round
+    // (cadence 2, the new default). min-of-3 + warm-up each; identical
+    // results by construction (checkpointing never changes values).
+    {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1").select(col("doc_id"))
+      val (nodes, lEdges) = llm.Dedup.lpaFixture(docs)
+      for (ce <- Seq(1, 2)) {
+        def run(): Unit = {
+          llm.Dedup.labelPropagation(nodes, lEdges, iters = 5, checkpointEvery = ce)
+            .count(); ()
+        }
+        run() // warm-up
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROBE-LPA sf0.1 cadence=$ce min=${ts.min}%.2f s " +
+          f"reps=[${ts.map(t => f"$t%.2f").mkString(" ")}]")
+      }
+    }
     spark.stop()
   }
 }

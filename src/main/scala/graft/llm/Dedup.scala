@@ -2623,10 +2623,27 @@ object Dedup {
     * one (node, label) count aggregate + one arg-max aggregate
     * (max_by over (count, −label) — an aggregate, NOT a per-node
     * window sort), with lineage checkpoint-truncated per round. */
-  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
+  def labelPropagation(
+      nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+      checkpointEvery: Int = 1): DataFrame = {
     val und = undirectedEdges(edges).localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("label"))
-    for (_ <- 1 to iters) labels = lpaRound(und, nodes, labels).localCheckpoint()
+    // `checkpointEvery` exists because VERDICT r15 task 8 asked
+    // whether halving the per-round materialization would halve the
+    // toy-scale wall time (19% of the r15 headline, adjudicated as
+    // job-launch overhead). MEASURED (GraphProbe, sf0.1, min-of-3):
+    // cadence=1 1.94 s, cadence=2 3.18 s — fusing two rounds per
+    // materialized job is ~1.6× SLOWER, so the launch-overhead
+    // hypothesis is rejected and the default stays 1. The exchanges
+    // per round (the real cost) are identical either way; what fusing
+    // adds is a deeper AQE stage DAG per job (4 exchanges re-planned
+    // stage-by-stage) plus a doubled unrolled plan to analyze, which
+    // costs more than one job launch saves. The question is closed in
+    // PLANS.md r16; the knob stays for the record.
+    for (i <- 1 to iters) {
+      labels = lpaRound(und, nodes, labels)
+      if (i % checkpointEvery == 0 || i == iters) labels = labels.localCheckpoint()
+    }
     labels
   }
 

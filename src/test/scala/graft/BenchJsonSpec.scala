@@ -8,15 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * the rendered line at 1493 chars and ADVICE flagged that a dozen
   * more headline queries would overflow it again — so the renderer is
   * now a pure function and this spec gates its length at WORST-CASE
-  * shapes: every optional block present, the med map at its 8-entry
-  * cap, long realistic query names, -1 error sentinels. Headroom,
-  * not the cliff, is the bound: the line must stay under 1900 chars
-  * so a few more queries or a longer sf path cannot tip it over
-  * between rounds.
+  * shapes: every optional block present, the med map at its cap, long
+  * realistic query names, -1 error sentinels. Headroom, not the
+  * cliff, is the bound. r16 (VERDICT r15 task 7): the forced block's
+  * index-keying and the skew key shortening bought the bound down to
+  * 1600 at the 4-med cap, with a demonstrated SPARE fifth med slot
+  * still under the old 1700 line — the slots the widened MedBand
+  * (task 4) can now fill.
   */
 class BenchJsonSpec extends AnyFunSuite {
 
-  private def worstCase(names: Seq[String]): String = {
+  private def worstCase(names: Seq[String], medCap: Int = 4): String = {
     val mins = names.zipWithIndex.map { case (n, i) =>
       // one errored query (renders "-1"), the rest 4-dp values at a
       // pathologically slow magnitude (>=100 s per query) so the bound
@@ -29,9 +31,10 @@ class BenchJsonSpec extends AnyFunSuite {
       anchors = Bench.anchors.map { case (a, _) => a -> 123.4567 },
       drift = Some(("BENCH_r99.json", 11.07, names.map(_ => Some(12.34)))),
       sr = Some(names.map(_ => Some(123.45))),
-      // med at its 4-entry cap, with the longest plausible keys: the
+      // med at its cap, with the longest plausible keys: the
       // "f:"-prefixed forced names (VERDICT r14 task 2 excursions)
-      med = (Bench.forcedQueries.map("f:" + _) ++ names).take(4).map(n => n -> 123.4567),
+      med = (Bench.forcedQueries.map("f:" + _) ++ names).take(medCap)
+        .map(n => n -> 123.4567),
       forced = Bench.forcedQueries.map(n => n -> Some(123.4567)),
       fdc = Some(Bench.forcedQueries.map(_ => Some(12.34))),
       skewBase = Some((123.4567, 23.4567)),
@@ -42,11 +45,22 @@ class BenchJsonSpec extends AnyFunSuite {
   test("compact line fits the driver tail window with headroom") {
     val line = worstCase(SparkEntry.headline)
     info(s"worst-case compact line: ${line.length} chars (driver window 2000)")
-    // 1700, not 1900 (VERDICT r14 task 5): the forced-drift block is
-    // now on the line, so the bound pre-buys the next rounds' growth
-    assert(line.length <= 1700,
+    // 1600, not 1700 (VERDICT r15 task 7): the r16 trim pre-buys the
+    // next rounds' growth AND the widened med net's extra entries
+    assert(line.length <= 1600,
       s"compact line is ${line.length} chars — the driver tail-capture " +
         "window is 2000; trim a block or shorten keys before adding queries")
+  }
+
+  test("spare med slot: a FIFTH median entry still fits the pre-trim bound") {
+    // VERDICT r15 task 7's 'done' condition: the trim must leave at
+    // least one demonstrated spare med slot — a fifth entry (beyond
+    // the 4-cap) keeps the line under the pre-trim 1700 gate
+    val line = worstCase(SparkEntry.headline, medCap = 5)
+    info(s"5-med compact line: ${line.length} chars")
+    assert(line.length <= 1700,
+      s"compact line with a spare med entry is ${line.length} chars — " +
+        "the trim no longer leaves a free slot")
   }
 
   test("compact line is valid JSON with the driver-read keys") {
@@ -63,10 +77,42 @@ class BenchJsonSpec extends AnyFunSuite {
       "sr array must align 1:1 with the queries key order")
     assert(root.get("fdc").size() === Bench.forcedQueries.size,
       "fdc array must align 1:1 with the forced key order")
-    assert(root.get("skew").get("speedup").isNumber)
-    assert(root.get("skew").get("amp_speedup").isNumber)
+    assert(root.get("skew").get("s").isNumber)
+    assert(root.get("skew").get("as").isNumber)
     assert(root.get("sf").asText() === "sf0.1",
       "sf renders the dir basename only (headroom trim)")
+  }
+
+  test("index-keyed forced block round-trips back to query names (r16 trim)") {
+    val line = worstCase(SparkEntry.headline)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(line)
+    // every forced key is an index into the queries key order...
+    val qOrder = {
+      val it = root.get("queries").fieldNames()
+      val b = IndexedSeq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val fIt = root.get("forced").fields()
+    val fMap = Map.newBuilder[String, Double]
+    while (fIt.hasNext) { val e = fIt.next(); fMap += e.getKey -> e.getValue.asDouble() }
+    val forced = fMap.result()
+    assert(forced.keySet.forall(k => k.forall(_.isDigit)),
+      s"forced keys must be indexes on the compact line: ${forced.keySet}")
+    // ...and loadBaseline's resolver maps them back to the exact
+    // forcedQueries names (same path next round's drift table takes)
+    val resolved = Bench.resolveIdxKeys(forced, qOrder)
+    assert(resolved.keySet === Bench.forcedQueries.toSet,
+      s"index resolution drifted: ${resolved.keySet}")
+    // pre-r16 artifacts carry full names — those pass through untouched
+    val legacy = Map("telemetry_features" -> 1.0, "events_ohlc_bars" -> 2.0)
+    assert(Bench.resolveIdxKeys(legacy, qOrder) === legacy)
+    // a forced query absent from the headline run falls back to its
+    // full name (stays self-describing, never a dangling index)
+    val missing = Bench.compactJson(1.0, Seq("q" -> Some(1.0)), Nil, None, None,
+      Nil, Seq("ghost_query" -> None), None, None, None, "sf")
+    assert(om.readTree(missing).get("forced").has("ghost_query"))
   }
 
   test("compact line renders null-side skew and absent drift without keys lost") {
@@ -76,8 +122,8 @@ class BenchJsonSpec extends AnyFunSuite {
     val ampOnly = Bench.compactJson(1.0, Seq("q" -> Some(1.0)), Nil, None,
       None, Nil, Nil, None, None, Some((2.0, 1.0)), "sf")
     val r1 = om.readTree(ampOnly)
-    assert(r1.get("skew").get("speedup").isNull)
-    assert(r1.get("skew").get("amp_speedup").asDouble() === 2.0)
+    assert(r1.get("skew").get("s").isNull)
+    assert(r1.get("skew").get("as").asDouble() === 2.0)
     // both probes dead → skew is null, line still parses
     val none = Bench.compactJson(1.0, Seq("q" -> None), Nil, None,
       None, Nil, Nil, None, None, None, "sf")

@@ -52,9 +52,14 @@ def load(path):
                for k, v in anchors.items()}
     # r14+: forced-consumer window timings ("forced" on the compact
     # line, "queries_forced" on the verbose line); -1 marks a failed
-    # forced pass and is dropped like an errored query
+    # forced pass and is dropped like an errored query. r16+ compact
+    # lines key "forced" by INDEX into the queries key order (line
+    # headroom trim) — resolve back via insertion order (json.load
+    # preserves document key order in Python dicts).
     forced = doc.get("forced", doc.get("queries_forced", {})) or {}
-    forced = {k: v for k, v in forced.items()
+    qorder = list(queries.keys())
+    forced = {(qorder[int(k)] if k.isdigit() and int(k) < len(qorder) else k): v
+              for k, v in forced.items()
               if isinstance(v, (int, float)) and v > 0}
     return queries, anchors, forced
 
