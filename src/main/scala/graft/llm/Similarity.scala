@@ -621,6 +621,73 @@ object Similarity {
       .partitionBy("cluster").parquet(s"$path/assigned")
   }
 
+  /** Compact a cluster-partitioned `assigned` table after a run of
+    * appends — the k-means tier's analog of `Dedup.compactIndex`
+    * (each append lands one file set per touched cluster partition;
+    * K appends = K+1 files of task overhead per partition). Rewrites
+    * the table's CONTENT (reads the index, never the corpus) with one
+    * writer task per cluster (`repartition(cluster)` routes every
+    * cluster's rows to a single task → exactly one file per cluster
+    * directory), then swaps directories. Same operational contract as
+    * compactIndex: the two-rename swap is not atomic — a crash leaves
+    * `assigned_compacting`/`assigned_retired` beside (or in place of)
+    * `assigned`, and [[recoverCompactIvf]] completes the swap from
+    * any such state; probes must be quiesced across the swap (a
+    * running reader holds the old directory's listing). Works on any
+    * index whose data sits at `<path>/assigned` partitioned by
+    * cluster — IVF, PQ, and the pinned pair alike. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(path, "assigned")
+    val tmp = Paths.get(path, "assigned_compacting")
+    spark.read.parquet(dir.toString)
+      .repartition(col("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(tmp.toString)
+    val retired = Paths.get(path, "assigned_retired")
+    graft.Bench.deleteRecursively(retired.toString) // stale from a prior crash
+    Files.move(dir, retired)
+    Files.move(tmp, dir)
+    graft.Bench.deleteRecursively(retired.toString)
+  }
+
+  /** Crash recovery for [[compactIvfIndex]]'s directory swap — the
+    * compactIndex/recoverCompact discipline on the path-based tier.
+    * Idempotent over every crash state; never re-derives:
+    *  - `assigned_compacting` alone (crash between the two moves) —
+    *    move it into place;
+    *  - `assigned` + `assigned_compacting` (crash before the first
+    *    move) — finish the whole swap (the compacted write committed);
+    *  - `assigned` + `assigned_retired` (crash before the cleanup) —
+    *    delete the retired files;
+    *  - `assigned` alone — no-op; neither — loud error (re-run
+    *    compactIvfIndex after a rebuild: the index data is gone). */
+  def recoverCompactIvf(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(path, "assigned")
+    val tmp = Paths.get(path, "assigned_compacting")
+    val retired = Paths.get(path, "assigned_retired")
+    (Files.exists(dir), Files.exists(tmp)) match {
+      case (false, true) =>
+        Files.move(tmp, dir)
+        graft.Bench.deleteRecursively(retired.toString)
+        "renamed"
+      case (true, true) =>
+        graft.Bench.deleteRecursively(retired.toString) // stale from a prior crash
+        Files.move(dir, retired)
+        Files.move(tmp, dir)
+        graft.Bench.deleteRecursively(retired.toString)
+        "swapped"
+      case (true, false) if Files.exists(retired) =>
+        graft.Bench.deleteRecursively(retired.toString)
+        "cleaned"
+      case (true, false) => "noop"
+      case (false, false) =>
+        throw new IllegalStateException(
+          s"no assigned table at $path in any swap state — the index data is gone")
+    }
+  }
+
   // ── PINNED IVF serving-index lifecycle (md5 seeds, on disk) ────────
 
   /** Pinned assignment — argmax ROUNDED cosine against the seed set,

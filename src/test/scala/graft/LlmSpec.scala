@@ -512,6 +512,48 @@ class LlmSpec extends SparkSpec {
     assert(res.count() === 5)
   }
 
+  test("compactIvfIndex folds appended file sets to one file per cluster, probe-identical, recoverable (r16)") {
+    // the k-means tier's compaction + crash recovery, mirroring the
+    // bucketed tiers' compactIndex/recoverCompact discipline
+    val path = tempDir("ivf_compact")
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 150), path, nClusters = 8)
+    Similarity.appendIvfIndex(
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 300), spark, path)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 300), spark, path)
+    def files(): Map[String, Int] =
+      Option(new java.io.File(s"$path/assigned").listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("cluster="))
+        .map(d => d.getName ->
+          Option(d.listFiles()).toSeq.flatten.count(_.getName.startsWith("part-")))
+        .toMap
+    assert(files().values.exists(_ > 1),
+      s"fixture must accumulate >1 file set in some cluster: ${files()}")
+    val before = Similarity.ivfSearch(spark, path, probeId = 0L, k = 10).collect().toSeq
+    Similarity.compactIvfIndex(spark, path)
+    assert(files().values.forall(_ <= 1),
+      s"compaction must fold to one file per cluster: ${files()}")
+    assert(Similarity.ivfSearch(spark, path, probeId = 0L, k = 10).collect().toSeq
+      === before, "probe must be identical after compaction")
+    // crash state 1: compacted write committed, swap not started
+    spark.read.parquet(s"$path/assigned").repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/assigned_compacting")
+    assert(Similarity.recoverCompactIvf(path) === "swapped")
+    assert(Similarity.ivfSearch(spark, path, probeId = 0L, k = 10).collect().toSeq
+      === before)
+    // crash state 2: between the two moves (assigned gone, _compacting present)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path, "assigned"),
+      java.nio.file.Paths.get(path, "assigned_compacting"))
+    assert(Similarity.recoverCompactIvf(path) === "renamed")
+    assert(Similarity.ivfSearch(spark, path, probeId = 0L, k = 10).collect().toSeq
+      === before)
+    // clean state: explicit no-op; nothing at all: loud error
+    assert(Similarity.recoverCompactIvf(path) === "noop")
+    intercept[IllegalStateException](
+      Similarity.recoverCompactIvf(tempDir("ivf_compact_empty")))
+  }
+
   test("pinned IVF lifecycle: overlap-redelivered append equals the clean append (r16)") {
     // the on-disk md5-seeded pair behind embed_ivf_topk_append_pinned:
     // append of a batch OVERLAPPING the base (whole-corpus redelivery)
