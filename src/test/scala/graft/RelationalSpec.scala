@@ -150,7 +150,13 @@ class RelationalSpec extends SparkSpec {
       // the broadcast 16-row hash-seeded centroid/codebook frame (the
       // PSI domain-grid class), the broadcast 128-cell LUT grid, and
       // the broadcast 1-row probe (the embed_cosine_topk probe class)
-      "embed_ivf_topk_pinned", "embed_pq_topk_pinned")
+      "embed_ivf_topk_pinned", "embed_pq_topk_pinned",
+      // r16: the append-pinned PQ form is the same pqTopKPinned
+      // machinery (frozen base-slice codebooks — identical grid/LUT/
+      // probe crosses), and the pinned Lloyd round crosses every
+      // vector with the broadcast 16-row seed/centroid frames twice
+      // (assign + reassign) — the same k-bounded domain-grid class
+      "embed_pq_topk_append_pinned", "embed_kmeans_step_pinned")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
