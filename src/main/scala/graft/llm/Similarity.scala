@@ -736,6 +736,79 @@ object Similarity {
       .partitionBy("cluster").parquet(s"$path/assigned")
   }
 
+  /** The refit-cadence SIGNAL as a declared query (r16, PLANS's own
+    * r17 note 1 pulled forward): IvfStaleProbe measured that frozen-
+    * centroid appends cost recall ONLY on arrivals the centroids never
+    * saw — so the operational rule is "watch recall over RECENT
+    * ARRIVALS and refit when it sags". This runs that audit on the
+    * pinned (md5-seeded, SQL-replayable) tier: for a fixed sample of
+    * appended-slice probes, recall@k of the nProbe-pruned search under
+    * the STALE quantizer (seeds frozen to the base slice — exactly the
+    * appended index's state) and under a REFIT (seeds re-drawn from
+    * the full corpus), both against the exact brute-force top-k. Every
+    * piece — assignment, cell ranking, candidate top-k, exact top-k,
+    * the hit counts — is deterministic, so the recall NUMBERS
+    * hash-pin cross-engine and the stale-vs-refit gap per probe is a
+    * driver-checked artifact each round, not a probe-only narrative.
+    * Scale shape: two broadcast seed grids + one probe-bounded exact
+    * pass (|probes|·N — the sampling knob, same as annRecall). */
+  def ivfStalenessAudit(
+      emb: DataFrame, baseCut: Long = 200, k: Int = 3,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = e
+      .filter(col("vec_id") >= baseCut && col("vec_id") < 500 &&
+        col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    def seedsFrom(pool: DataFrame): DataFrame = pool
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    val perProbe = Window.partitionBy(col("probe_id"))
+    // one branch = the pruned search under one quantizer state:
+    // per-probe cell ranking → nProbe prune → candidate top-k
+    def branch(seeds: DataFrame): DataFrame = {
+      val nearTop = probes.crossJoin(broadcast(seeds))
+        .withColumn("cs", round(cosine(col("sv"), col("pv")), 6) + lit(0.0))
+        .withColumn("rk", row_number().over(
+          perProbe.orderBy(col("cs").desc, col("seed_id"))))
+        .filter(col("rk") <= nProbe)
+        .select(col("probe_id"), col("seed_id").as("cluster"))
+      pinnedAssign(e, seeds)
+        .join(nearTop, "cluster")
+        .join(probes, "probe_id")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cs", round(cosine(col("v"), col("pv")), 6) + lit(0.0))
+        .withColumn("rk", row_number().over(
+          perProbe.orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rk") <= k)
+        .select(col("probe_id"), col("vec_id").as("cand_id"))
+    }
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cs", round(cosine(col("v"), col("pv")), 6) + lit(0.0))
+      .withColumn("rk", row_number().over(
+        perProbe.orderBy(col("cs").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id").as("cand_id"))
+    def hits(b: DataFrame, name: String): DataFrame = b
+      .join(exact, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as(name))
+    probes.select(col("probe_id"))
+      .join(hits(branch(seedsFrom(e.filter(col("vec_id") < baseCut))), "hs"),
+        Seq("probe_id"), "left")
+      .join(hits(branch(seedsFrom(e)), "hr"), Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("hs"), lit(0L)).as("hits_stale"),
+        coalesce(col("hr"), lit(0L)).as("hits_refit"),
+        (round(coalesce(col("hs"), lit(0L)) / lit(k.toDouble), 6) + lit(0.0))
+          .as("recall_stale"),
+        (round(coalesce(col("hr"), lit(0L)) / lit(k.toDouble), 6) + lit(0.0))
+          .as("recall_refit"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Probe a [[buildIvfIndexPinned]] index: rank the persisted seeds
     * against the probe by rounded cosine (seed-id tiebreak), prune to
     * the nProbe nearest clusters' FILES (static `isin` partition
@@ -1936,6 +2009,80 @@ object Similarity {
          |FROM cents c LEFT JOIN n0 USING (cluster) LEFT JOIN n1 USING (cluster)
          |ORDER BY c.cluster""".stripMargin) { (s, dir) =>
       kmeansStepPinned(Tables.embeddings(s, dir))
+    },
+
+    // The refit-cadence signal as a DRIVER-CHECKED query (r16): per
+    // recent-arrival probe, recall@3 of the nProbe-pruned pinned
+    // search under the STALE quantizer (seeds frozen to the base
+    // slice — the appended index's exact state) and under a REFIT
+    // (seeds from the full corpus), both vs the exact top-3. The
+    // IvfStaleProbe curve showed staleness costs recall only on
+    // arrivals the quantizer never saw; this is that measurement
+    // running under the oracle every round — the number the
+    // refit-or-not decision reads.
+    Q("embed_ivf_staleness_audit", {
+      def branchSql(tag: String, seedWhere: String): String =
+        s"""seeds_$tag AS (
+           |  SELECT vec_id AS seed_id, v AS sv FROM e $seedWhere
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |asg_$tag AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT e.vec_id, s.seed_id AS cluster,
+           |           ROW_NUMBER() OVER (
+           |             PARTITION BY e.vec_id
+           |             ORDER BY ROUND(list_cosine_similarity(e.v, s.sv), 6) + 0 DESC,
+           |                      s.seed_id) AS rn
+           |    FROM e CROSS JOIN seeds_$tag s) t WHERE rn = 1),
+           |near_$tag AS (
+           |  SELECT probe_id, cluster FROM (
+           |    SELECT p.probe_id, s.seed_id AS cluster,
+           |           ROW_NUMBER() OVER (
+           |             PARTITION BY p.probe_id
+           |             ORDER BY ROUND(list_cosine_similarity(s.sv, p.pv), 6) + 0 DESC,
+           |                      s.seed_id) AS rk
+           |    FROM probes p CROSS JOIN seeds_$tag s) t WHERE rk <= 4),
+           |ann_$tag AS (
+           |  SELECT probe_id, cand_id FROM (
+           |    SELECT n.probe_id, a.vec_id AS cand_id,
+           |           ROW_NUMBER() OVER (
+           |             PARTITION BY n.probe_id
+           |             ORDER BY ROUND(list_cosine_similarity(ev.v, p.pv), 6) + 0 DESC,
+           |                      a.vec_id) AS rk
+           |    FROM near_$tag n
+           |    JOIN asg_$tag a ON a.cluster = n.cluster
+           |    JOIN e ev ON ev.vec_id = a.vec_id
+           |    JOIN probes p ON p.probe_id = n.probe_id
+           |    WHERE a.vec_id <> n.probe_id) t WHERE rk <= 3),
+           |h_$tag AS (
+           |  SELECT a.probe_id, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM ann_$tag a JOIN exr x
+           |    ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, v AS pv FROM e
+         |  WHERE vec_id >= 200 AND vec_id < 500 AND vec_id % 50 = 0),
+         |exr AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT p.probe_id, c.vec_id AS cand_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY p.probe_id
+         |             ORDER BY ROUND(list_cosine_similarity(c.v, p.pv), 6) + 0 DESC,
+         |                      c.vec_id) AS rk
+         |    FROM probes p JOIN e c ON c.vec_id <> p.probe_id) t WHERE rk <= 3),
+         |${branchSql("s", "WHERE vec_id < 200")},
+         |${branchSql("r", "")}
+         |SELECT p.probe_id,
+         |       CAST(COALESCE(hs.n, 0) AS BIGINT) AS hits_stale,
+         |       CAST(COALESCE(hr.n, 0) AS BIGINT) AS hits_refit,
+         |       ROUND(COALESCE(hs.n, 0) / 3.0, 6) + 0 AS recall_stale,
+         |       ROUND(COALESCE(hr.n, 0) / 3.0, 6) + 0 AS recall_refit
+         |FROM probes p
+         |LEFT JOIN h_s hs ON hs.probe_id = p.probe_id
+         |LEFT JOIN h_r hr ON hr.probe_id = p.probe_id
+         |ORDER BY p.probe_id""".stripMargin
+    }) { (s, dir) =>
+      ivfStalenessAudit(Tables.embeddings(s, dir))
     },
 
     // SemDeDup semantic dedup: survivors after removing every vector

@@ -156,7 +156,12 @@ class RelationalSpec extends SparkSpec {
       // probe crosses), and the pinned Lloyd round crosses every
       // vector with the broadcast 16-row seed/centroid frames twice
       // (assign + reassign) — the same k-bounded domain-grid class
-      "embed_pq_topk_append_pinned", "embed_kmeans_step_pinned")
+      "embed_pq_topk_append_pinned", "embed_kmeans_step_pinned",
+      // the staleness audit crosses the 6-row probe frame with the
+      // two broadcast 16-row seed grids and the corpus with the
+      // broadcast probe frame — the annRecall probe class + the
+      // k-bounded domain-grid class
+      "embed_ivf_staleness_audit")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
