@@ -567,6 +567,17 @@ object Similarity {
     * vec_ids, the ingest convention all append tiers share). */
   def appendIvfIndex(delta: DataFrame, spark: SparkSession, path: String): Unit = {
     ivfAppendCount.incrementAndGet()
+    appendIvfIndexRows(delta, spark, path)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster").parquet(s"$path/assigned")
+  }
+
+  /** The frozen-centroid assignment alone — map-only: the centroid
+    * file is bounded driver state shipped as an array literal, so the
+    * plan is ONE codegen'd scan projection, zero exchanges (LlmSpec
+    * pins it). Exposed for [[appendIvfIndexRows]] and the plan pin. */
+  private[graft] def ivfAssignRows(
+      delta: DataFrame, spark: SparkSession, path: String): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(r.fieldIndex("cluster")),
         r.getSeq[Double](r.fieldIndex("centroid")).toSeq))
@@ -574,13 +585,22 @@ object Similarity {
     require(cents.nonEmpty, s"no centroids at $path — build the index first")
     // cluster ids are 0..k-1 by construction (zipWithIndex at build),
     // so the sorted array index IS the cluster id
-    val assignedDelta = delta
+    delta
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("cluster", argminIdx(sqDistsTo(col("v"), cents.map(_._2))))
-    dropAlreadyIndexed(assignedDelta, spark, s"$path/assigned")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cluster").parquet(s"$path/assigned")
   }
+
+  /** The rows an [[appendIvfIndex]] call writes: map-only frozen
+    * assignment + the partition-pruned idempotence anti-join. Exposed
+    * so LlmSpec can pin the append plan's exchange count (2 with
+    * broadcast disabled: the delta side plus the PRUNED index side's
+    * vec_ids — the partitioned tier has no vec_id bucketing, so its
+    * idempotence honestly costs one pruned-index-side exchange where
+    * the bucketed tiers pay none; the pruning bounds it by the
+    * delta's TARGET clusters, not the corpus). */
+  private[graft] def appendIvfIndexRows(
+      delta: DataFrame, spark: SparkSession, path: String): DataFrame =
+    dropAlreadyIndexed(ivfAssignRows(delta, spark, path), spark, s"$path/assigned")
 
   /** Incremental (append) maintenance for [[buildPqIndex]] — the same
     * frozen-statistics discipline on the quantization tier: normalize

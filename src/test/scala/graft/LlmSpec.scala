@@ -1366,6 +1366,30 @@ class LlmSpec extends SparkSpec {
           spark.table("sp_idx_vecs").select(col("vec_id")), Seq("vec_id"), "left_anti"))
       assert(shuffles(srpRows) === 1,
         s"SRP append must re-bucket only the delta:\n${srpRows.queryExecution.executedPlan}")
+      // k-means tier (r16): the frozen assignment is MAP-ONLY (zero
+      // exchanges — centroids ride as an array literal), and the full
+      // append derivation pays exactly 2 exchanges with broadcast
+      // disabled: the delta side + the PRUNED index side's vec_ids
+      // (no vec_id bucketing on the partitioned tier; pruning bounds
+      // that side by the delta's target clusters, not the corpus —
+      // the scan's PartitionFilters pin below is what makes "pruned"
+      // a plan property rather than a hope)
+      val ivfPath = s"$path/ivf_plan"
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 200), ivfPath, nClusters = 8)
+      val assignOnly = Similarity.ivfAssignRows(
+        emb.filter(col("vec_id") >= 200), spark, ivfPath)
+      assert(shuffles(assignOnly) === 0,
+        s"frozen-centroid assignment must be map-only:\n${assignOnly.queryExecution.executedPlan}")
+      val ivfRows = Similarity.appendIvfIndexRows(
+        emb.filter(col("vec_id") >= 200), spark, ivfPath)
+      assert(shuffles(ivfRows) === 2,
+        s"IVF append must shuffle the delta + pruned-index vec_ids only:\n" +
+          s"${ivfRows.queryExecution.executedPlan}")
+      val scans = collectPlan(ivfRows.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.exists(_.partitionFilters.nonEmpty),
+        s"idempotence anti-join must partition-prune the index side:\n" +
+          s"${ivfRows.queryExecution.executedPlan}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       Seq("hp_idx", "gp_idx", "bp_idx_bands", "bp_idx_toks",
