@@ -829,6 +829,143 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  // ── incremental SEMANTIC dedup (delta-vs-corpus, pinned quantizer) ──
+
+  /** The declared incremental-semantic delta fixture (shared by the
+    * batch query and the streaming gate — map-only, so it lifts to an
+    * unbounded source unchanged; the `incrementalNearDelta` convention
+    * on the embedding tier): exact copies of every 5th vector (cosine
+    * 1 with their source → 'near_dup'), and 7-dimension ROTATIONS of
+    * every 11th (near-orthogonal to the whole corpus — rotation, not
+    * scaling, because cosine is scale-invariant → 'new'). */
+  private[graft] def semDeDupDelta(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+      .unionByName(e.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("v"), (_, i) =>
+            element_at(col("v"), ((i + lit(7)) % lit(Dim)) + 1)).as("v")))
+  }
+
+  /** MAP-ONLY pinned cell assignment — the streaming form of
+    * [[pinnedAssign]]: the (bounded) seed set rides as two array
+    * literals and the argmax-rounded-cosine-with-min-seed-tiebreak
+    * becomes one codegen'd per-row fold (seeds sorted ascending, so
+    * `array_position`'s first-max IS the min-seed tiebreak). A
+    * streaming gate needs this because the aggregate form would plan
+    * a state store; LlmSpec pins expression ≡ aggregate on the whole
+    * corpus. */
+  private[graft] def pinnedAssignExpr(
+      seeds: Seq[(Long, Seq[Double])], v: Column): Column = {
+    val sorted = seeds.sortBy(_._1)
+    val cs = transform(typedLit(sorted.map(_._2)),
+      sv => round(cosine(v, sv), 6) + lit(0.0))
+    element_at(typedLit(sorted.map(_._1)),
+      array_position(cs, array_max(cs)).cast("int"))
+  }
+
+  /** The verify + verdict TAIL of [[incrementalSemDedup]], over a raw
+    * (delta_id, corpus_id) candidate frame that may carry duplicates
+    * (a streaming generator's per-batch emissions) — the
+    * `nearDupVerdictFrom` convention on the embedding tier: distinct,
+    * exact rounded cosine ≥ tau, deterministic min-id corpus victor,
+    * every delta vector reported 'near_dup' or 'new'. */
+  private[graft] def semVerdictFrom(
+      cand: DataFrame, emb: DataFrame, delta: DataFrame,
+      tau: Double = 0.99): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dups = cand.select(col("delta_id"), col("corpus_id")).distinct()
+      .join(delta.select(col("vec_id").as("delta_id"), col("v").as("dv")), "delta_id")
+      .join(e.select(col("vec_id").as("corpus_id"), col("v").as("cv")), "corpus_id")
+      .filter(round(cosine(col("dv"), col("cv")), 6) + lit(0.0) >= tau)
+      .groupBy(col("delta_id")).agg(min(col("corpus_id")).as("dup_of"))
+    delta.select(col("vec_id"))
+      .join(dups.withColumnRenamed("delta_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("dup_of").isNull, "new").otherwise("near_dup").as("status"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Incremental (delta-vs-corpus) SEMANTIC dedup — `incrementalDedup`
+    * / `incrementalNearDedup`'s missing third tier: new EMBEDDINGS
+    * arrive, and each must be checked against the corpus for semantic
+    * (cosine ≥ tau) duplicates WITHOUT an all-pairs pass. Candidates
+    * are bounded by the pinned md5-seeded quantizer cell (the SemDeDup
+    * blocking rule, with the oracle-replayable quantizer instead of
+    * k-means — a duplicate lands in its source's cell by construction
+    * because assignment is a deterministic function of the vector):
+    * only same-cell (delta, corpus) pairs are cosine-verified, and the
+    * verdict is the standard min-id victor. At scale the corpus side
+    * is the PERSISTED cluster-partitioned assignment the streaming
+    * gate also reads — only the delta assigns per batch (map-only).
+    * Fully oracle-checked: quantizer, blocking, verify, and verdict
+    * all replay in SQL. */
+  def incrementalSemDedup(
+      emb: DataFrame, delta: DataFrame, tau: Double = 0.99,
+      nCells: Int = 16): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    val cand = pinnedAssign(delta, seeds)
+      .select(col("vec_id").as("delta_id"), col("cluster"))
+      .join(pinnedAssign(e, seeds)
+        .select(col("vec_id").as("corpus_id"), col("cluster")), "cluster")
+      .select(col("delta_id"), col("corpus_id"))
+    semVerdictFrom(cand, emb, delta, tau)
+  }
+
+  /** Shared oracle for `dedup_semantic_incremental` and
+    * `streaming_semdedup_probe` (the incrementalNearOracleSql
+    * discipline: ONE SQL text, so the driver certifies stream ≡ batch
+    * hash-identical): delta fixture, md5 seeds, pinned assignment of
+    * corpus and delta, same-cell blocking, rounded-cosine ≥ 0.99
+    * verify, min-id victor. */
+  private[graft] def incrementalSemOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |delta AS (
+       |  SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id % 5 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 3000000 AS vec_id,
+       |         list_transform(range(1, ${Dim + 1}),
+       |                        i -> v[1 + ((i - 1 + 7) % $Dim)]) AS v
+       |  FROM e WHERE vec_id % 11 = 0),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |asg_c AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, s.seed_id AS cluster,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY e.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(e.v, s.sv), 6) + 0 DESC,
+       |                      s.seed_id) AS rn
+       |    FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+       |asg_d AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT d.vec_id, s.seed_id AS cluster,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY d.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(d.v, s.sv), 6) + 0 DESC,
+       |                      s.seed_id) AS rn
+       |    FROM delta d CROSS JOIN seeds s) t WHERE rn = 1),
+       |dups AS (
+       |  SELECT d.vec_id AS delta_id, MIN(c.vec_id) AS dup_of
+       |  FROM asg_d d
+       |  JOIN asg_c c ON c.cluster = d.cluster
+       |  JOIN delta ed ON ed.vec_id = d.vec_id
+       |  JOIN e ec ON ec.vec_id = c.vec_id
+       |  WHERE ROUND(list_cosine_similarity(ed.v, ec.v), 6) + 0 >= 0.99
+       |  GROUP BY 1)
+       |SELECT d.vec_id,
+       |       CASE WHEN dups.dup_of IS NULL THEN 'new' ELSE 'near_dup' END AS status,
+       |       CAST(COALESCE(dups.dup_of, -1) AS BIGINT) AS dup_of
+       |FROM delta d LEFT JOIN dups ON dups.delta_id = d.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+
   /** Probe a [[buildIvfIndexPinned]] index: rank the persisted seeds
     * against the probe by rounded cosine (seed-id tiebreak), prune to
     * the nProbe nearest clusters' FILES (static `isin` partition
@@ -2103,6 +2240,22 @@ object Similarity {
          |ORDER BY p.probe_id""".stripMargin
     }) { (s, dir) =>
       ivfStalenessAudit(Tables.embeddings(s, dir))
+    },
+
+    // Incremental SEMANTIC dedup (r16): the third tier of the
+    // delta-vs-corpus family — exact (hash), token near-dup (bands),
+    // and now embedding-semantic (pinned quantizer cells as the
+    // blocking key, exact cosine ≥ 0.99 verify, min-id victor).
+    // Candidates are same-cell only (a duplicate lands in its
+    // source's cell because assignment is a deterministic function of
+    // the vector); the delta plants exact copies (every 5th vector →
+    // 'near_dup') and 7-dim rotations (every 11th → 'new'), so both
+    // verdicts are exercised, not vacuously green. Shares its oracle
+    // VERBATIM with streaming_semdedup_probe — the driver certifies
+    // batch ≡ stream hash-identical (the tierAgreement discipline).
+    Q("dedup_semantic_incremental", incrementalSemOracleSql) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      incrementalSemDedup(emb, semDeDupDelta(emb))
     },
 
     // SemDeDup semantic dedup: survivors after removing every vector

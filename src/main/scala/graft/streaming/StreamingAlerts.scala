@@ -838,6 +838,46 @@ object StreamingAlerts {
       }
     },
 
+    // STREAMING SEMANTIC DEDUP INGEST GATE (r16): the online form of
+    // dedup_semantic_incremental — new embeddings arrive as a stream,
+    // each is assigned its pinned quantizer cell MAP-SIDE
+    // (`pinnedAssignExpr`: the bounded seed set rides as array
+    // literals, so the streaming plan needs no state store — the
+    // aggregate assignment form would have planned one), and probes
+    // the STATIC persisted cluster-partitioned assignment
+    // (buildIvfIndexPinned — the artifact an at-scale gate maintains
+    // and appendIvfIndexPinned keeps fresh) via a stream-static join
+    // on the cell: only the arriving batch crosses the wire. The
+    // exact-cosine verify and min-id victor need corpus-wide candidate
+    // visibility, so they run batch-side over the sunk same-cell pairs
+    // (`semVerdictFrom`, the verifyAndRank convention). Shares
+    // dedup_semantic_incremental's oracle and delta fixture VERBATIM —
+    // the driver certifies stream ≡ batch hash-identical.
+    Q("streaming_semdedup_probe", Similarity.incrementalSemOracleSql) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_stream_sdp").toString
+      Similarity.buildIvfIndexPinned(emb, path)
+      try {
+        val seeds = s.read.parquet(s"$path/seeds").collect()
+          .map(r => (r.getLong(r.fieldIndex("seed_id")),
+            r.getSeq[Double](r.fieldIndex("sv")).toSeq)).toSeq
+        val assignedStatic = s.read.parquet(s"$path/assigned")
+          .select(col("vec_id").as("corpus_id"), col("cluster"))
+        val name = "stream_sdp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = Similarity.semDeDupDelta(
+            embStream(s, dir).select(col("vec_id"), col("embedding")))
+          .withColumn("cluster", Similarity.pinnedAssignExpr(seeds, col("v")))
+          .join(assignedStatic, Seq("cluster"))
+          .select(col("vec_id").as("delta_id"), col("corpus_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        Similarity.semVerdictFrom(
+            s.table(name).localCheckpoint(), emb, Similarity.semDeDupDelta(emb))
+          .localCheckpoint()
+      } finally graft.Bench.deleteRecursively(path)
+    },
+
     // STREAMING PEAK DETECTION (r10): the online form of
     // events_peak_detection (see streamingPeaks' scaladoc — a strict
     // peak is decidable one event after it happens, so state is a

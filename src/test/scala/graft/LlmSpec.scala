@@ -554,6 +554,47 @@ class LlmSpec extends SparkSpec {
       Similarity.recoverCompactIvf(tempDir("ivf_compact_empty")))
   }
 
+  test("incremental semantic dedup: expr==agg assignment, planted verdicts, cell blocking (r16)") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val e = emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    val seedArr = seeds.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    // the streaming gate's MAP-ONLY assignment expression must agree
+    // with the aggregate form on every corpus vector (same argmax,
+    // same min-seed tiebreak) — otherwise stream and batch would
+    // block on different cells
+    val viaExpr = e.select(col("vec_id"),
+        Similarity.pinnedAssignExpr(seedArr, col("v")).as("cluster"))
+      .orderBy("vec_id").collect().toSeq
+    val viaAgg = e.join(
+        e.crossJoin(broadcast(seeds))
+          .withColumn("cs", round(Similarity.cosine(col("v"), col("sv")), 6) + lit(0.0))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("seed_id"),
+            struct(col("cs"), (lit(0L) - col("seed_id")).as("ns"))).as("cluster")),
+        "vec_id")
+      .select(col("vec_id"), col("cluster")).orderBy("vec_id").collect().toSeq
+    assert(viaExpr === viaAgg,
+      "map-only assignment expression diverges from the aggregate form")
+    // planted verdicts: every exact copy flags near_dup OF ITS SOURCE
+    // (the copy shares its source's cell and cosine 1.0; min-id victor
+    // is the source unless an identical lower-id twin exists), every
+    // rotation passes as new
+    val verdict = Similarity.incrementalSemDedup(emb, Similarity.semDeDupDelta(emb))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val copies = verdict.filter(_._1 < 3000000L)
+    assert(copies.nonEmpty && copies.forall(_._2 == "near_dup"),
+      s"every exact copy must flag near_dup: ${copies.filter(_._2 != "near_dup").take(5)}")
+    assert(copies.forall { case (id, _, dupOf) => dupOf <= id - 1000000L },
+      "victor must be a min-id corpus vector at least as low as the source")
+    val rotated = verdict.filter(_._1 >= 3000000L)
+    assert(rotated.nonEmpty && rotated.forall(_._2 == "new"),
+      s"rotated vectors must pass as new: ${rotated.filter(_._2 != "new").take(5)}")
+  }
+
   test("pinned IVF lifecycle: overlap-redelivered append equals the clean append (r16)") {
     // the on-disk md5-seeded pair behind embed_ivf_topk_append_pinned:
     // append of a batch OVERLAPPING the base (whole-corpus redelivery)

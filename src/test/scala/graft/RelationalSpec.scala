@@ -161,7 +161,11 @@ class RelationalSpec extends SparkSpec {
       // two broadcast 16-row seed grids and the corpus with the
       // broadcast probe frame — the annRecall probe class + the
       // k-bounded domain-grid class
-      "embed_ivf_staleness_audit")
+      "embed_ivf_staleness_audit",
+      // incremental semantic dedup assigns corpus + delta via the
+      // broadcast 16-row seed grid (the same k-bounded domain-grid
+      // class as the pinned IVF forms)
+      "dedup_semantic_incremental")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString

@@ -741,6 +741,54 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming semantic gate: stateless map-side assignment, verdict == batch incremental") {
+    // r16: the embedding ingest gate (streaming_semdedup_probe's
+    // dynamics on an in-memory fixture). pinnedAssignExpr keeps the
+    // plan state-free (the aggregate assignment would plan a state
+    // store), and the sunk same-cell pairs verified batch-side must
+    // equal the one-shot incrementalSemDedup on the same frames.
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(llm.Similarity.Dim)(r.nextGaussian().toFloat)
+    }
+    val corpus = (0L until 40L).map(i => (i, vec(i.toInt), 0)).toDF("vec_id", "embedding", "label")
+    val delta = llm.Similarity.semDeDupDelta(corpus) // copies of %5, rotations of %11
+    val path = tempDir("graft_stream_sem_idx")
+    llm.Similarity.buildIvfIndexPinned(corpus, path)
+    val seeds = spark.read.parquet(s"$path/seeds").collect()
+      .map(r => (r.getLong(r.fieldIndex("seed_id")),
+        r.getSeq[Double](r.fieldIndex("sv")).toSeq)).toSeq
+    val assignedStatic = spark.read.parquet(s"$path/assigned")
+      .select(col("vec_id").as("corpus_id"), col("cluster"))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val gate = mem.toDF().toDF("vec_id", "v")
+      .withColumn("cluster", llm.Similarity.pinnedAssignExpr(seeds, col("v")))
+      .join(assignedStatic, Seq("cluster"))
+      .select(col("vec_id").as("delta_id"), col("corpus_id"))
+    val q = gate.writeStream
+      .format("memory").queryName("stream_sem_spec").outputMode("append").start()
+    try {
+      val deltaRows = delta.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      mem.addData(deltaRows.take(5).toSeq)
+      q.processAllAvailable()
+      mem.addData(deltaRows.drop(5).toSeq)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"semantic gate should plan no state operators: ${q.lastProgress}")
+      val got = llm.Similarity.semVerdictFrom(
+          spark.table("stream_sem_spec").localCheckpoint(), corpus, delta)
+        .as[(Long, String, Long)].collect().toSet
+      val want = llm.Similarity.incrementalSemDedup(corpus, delta)
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === want, s"stream verdict $got != batch $want")
+      assert(got.exists { case (id, s, d) => s == "near_dup" && d == id - 1000000L },
+        "an exact copy must flag near_dup of its source")
+      assert(got.exists { case (id, s, _) => id >= 3000000L && s == "new" },
+        "a rotated vector must pass as new")
+    } finally q.stop()
+  }
+
   test("stream-static gate vs appendBandIndex: mid-stream append visibility is pinned") {
     // r15 (append-maintenance operational contract): the standing gate
     // joins micro-batches against the PERSISTED band index. When
