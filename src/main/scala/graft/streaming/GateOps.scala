@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.llm.Dedup
+
+/** The serving-index maintenance lifecycle's STREAMING orchestration —
+  * the two operational rules the r16 pins established, as callable code
+  * instead of scaladoc prose (PLANS.md r17 note 2):
+  *
+  *  1. Compaction under a live gate NEEDS A BOUNCE (StreamingSpec's
+  *     needs-gate-bounce pin: a stream-static join refreshes its file
+  *     LISTING per micro-batch but holds the RELATION's location
+  *     resolved at query start, so a clean between-trigger swap still
+  *     fails the next micro-batch with FAILED_READ_FILE). The bounce is
+  *     [[compactUnderGate]]: quiesce → swap → restart, in that order,
+  *     so no trigger can land inside the drop→rename window at all.
+  *
+  *  2. Every gate start must be RECOVERABLE-BY-CONSTRUCTION: a crash
+  *     anywhere inside [[Dedup.compactIndex]]'s non-atomic swap leaves
+  *     the catalog in one of the states [[Dedup.recoverCompact]]
+  *     completes, so a boot sequence that recovers BEFORE resolving the
+  *     gate's plan ([[bootGate]]) can never start a gate against a
+  *     half-swapped index — the restart path IS the recovery path.
+  *
+  * At scale these run on the ingest orchestrator (one driver owns the
+  * gate and its indexes); nothing here touches executors beyond the
+  * compaction job itself.
+  */
+object GateOps {
+
+  /** Compact a bucketed serving table that a RUNNING stream-static gate
+    * reads, without ever exposing the gate to the swap: stop the query
+    * (Spark's `StreamingQuery.stop()` blocks until the execution thread
+    * terminates, so no micro-batch is in flight afterwards), run the
+    * drop→rename swap, then restart via `restart` — which must rebuild
+    * the gate from `spark.table(...)` so the fresh plan resolves the
+    * renamed table's NEW location. Returns the restarted query.
+    *
+    * A crash after the stop but inside the swap is recovered at the
+    * next boot by [[bootGate]] — the pair is the lifecycle's
+    * crash-consistency story: this function makes the happy path
+    * trigger-free, the boot makes the unhappy path self-healing. */
+  def compactUnderGate(
+      spark: SparkSession, table: String, newPath: String,
+      gate: StreamingQuery, restart: () => StreamingQuery): StreamingQuery = {
+    gate.stop()
+    Dedup.compactIndex(spark, table, newPath)
+    restart()
+  }
+
+  /** Start (or restart) a gate whose stream-static side reads the given
+    * bucketed serving tables, completing any interrupted compaction
+    * swap FIRST: for each table, [[Dedup.recoverCompact]] finishes
+    * whatever half-swap a previous process died inside ("renamed" /
+    * "swapped"), or no-ops on a clean catalog — then, and only then,
+    * `start` resolves the gate's plan against the recovered tables.
+    * Returns the recovery action per table (for the operator's log)
+    * alongside the started query.
+    *
+    * The (false, false) state — neither the table nor its
+    * `_compacting` sibling registered — still throws loudly here: the
+    * compacted write never committed and the probe tables are gone, so
+    * starting a gate would be serving an absent index; the caller
+    * re-runs the build, not the boot. */
+  def bootGate(spark: SparkSession, tables: Seq[String])(
+      start: () => StreamingQuery): (Map[String, String], StreamingQuery) = {
+    val actions = tables.map(t => t -> Dedup.recoverCompact(spark, t)).toMap
+    (actions, start())
+  }
+}

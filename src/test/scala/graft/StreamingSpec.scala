@@ -931,6 +931,124 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("GateOps.compactUnderGate: the bounce as code — no failed trigger, compacted files, identical verdicts") {
+    // PLANS.md r17 note 2 pulled forward: the needs-gate-bounce pin
+    // above proves WHY the bounce is needed (a swap under a live gate
+    // fail-stops the next trigger); this proves the orchestration
+    // helper executes the stop → compact → restart sequence so that NO
+    // trigger ever observes the swap: the restarted gate answers over
+    // the compacted index for both pre- and post-bounce corpus rows,
+    // and the compaction actually collapsed the appended file sets.
+    implicit val sqlCtx = spark.sqlContext
+    val w40 = (0 until 40).map(i => s"g${(i * 17) % 67}b$i")
+    val docA = w40.mkString(" ")
+    val docB = (0 until 40).map(i => s"h${i}k").mkString(" ")
+    val tbl = "gateops_compact_spec"
+    val path = tempDir("graft_gateops_compact")
+    llm.Dedup.buildBandIndex(Seq((1L, docA)).toDF("doc_id", "text"),
+      spark, tbl, s"$path/$tbl")
+    llm.Dedup.appendBandIndex(Seq((2L, docB)).toDF("doc_id", "text"), spark, tbl)
+    val preFiles = spark.table(s"${tbl}_bands").inputFiles.length
+    val mem = MemoryStream[(Long, String)]
+    def gate() = llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
+      .join(spark.table(s"${tbl}_bands"), Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("delta_id"), col("corpus_id"))
+    def start(name: String) = gate().writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val q1 = start("gateops_run1")
+    var q2: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      mem.addData(Seq((101L, docA)))
+      q1.processAllAvailable()
+      assert(spark.table("gateops_run1")
+        .filter(col("delta_id") === 101L && col("corpus_id") === 1L).count() > 0,
+        "pre-bounce probe must hit corpus doc 1")
+      q2 = streaming.GateOps.compactUnderGate(
+        spark, s"${tbl}_bands", s"$path/${tbl}_c2", q1, () => start("gateops_run2"))
+      // the bounced gate replays the MemoryStream from offset 0 and
+      // takes new data — every trigger lands on the compacted table
+      mem.addData(Seq((102L, docB)))
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"bounced gate must not fail: ${q2.exception}")
+      val sunk = spark.table("gateops_run2")
+      assert(sunk.filter(col("delta_id") === 101L && col("corpus_id") === 1L).count() > 0,
+        "bounced gate must hit the pre-bounce corpus row in the compacted index")
+      assert(sunk.filter(col("delta_id") === 102L && col("corpus_id") === 2L).count() > 0,
+        "bounced gate must hit the appended corpus row in the compacted index")
+      // compaction really happened: the catalog table now lives at the
+      // compacted path (file-count collapse itself is LlmSpec's pin —
+      // at this fixture size each bucket may already hold one file)
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${tbl}_bands")).location
+      assert(java.nio.file.Paths.get(loc).toString ==
+        java.nio.file.Paths.get(s"$path/${tbl}_c2").toString,
+        s"table must resolve to the compacted location, got $loc")
+      assert(spark.table(s"${tbl}_bands").inputFiles.length <= preFiles,
+        "compaction must never grow the file count")
+    } finally {
+      q1.stop(); if (q2 != null) q2.stop()
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+    }
+  }
+
+  test("GateOps.bootGate: recoverable-by-construction boot completes a crashed swap before the gate resolves") {
+    // The unhappy half of the lifecycle pair: a process died between
+    // compactWrite's commit and the RENAME (the (absent, _compacting)
+    // crash state LlmSpec constructs for recoverCompact) — the next
+    // boot must finish the swap FIRST, then start the gate, which then
+    // serves the compacted index as if the crash never happened. Also
+    // pins the clean-boot path (action "noop") and the loud
+    // (false, false) refusal.
+    implicit val sqlCtx = spark.sqlContext
+    val w40 = (0 until 40).map(i => s"r${(i * 19) % 71}d$i")
+    val docA = w40.mkString(" ")
+    val tbl = "gateops_boot_spec"
+    val path = tempDir("graft_gateops_boot")
+    llm.Dedup.buildBandIndex(Seq((1L, docA)).toDF("doc_id", "text"),
+      spark, tbl, s"$path/$tbl")
+    val mem = MemoryStream[(Long, String)]
+    def gate() = llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
+      .join(spark.table(s"${tbl}_bands"), Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("delta_id"), col("corpus_id"))
+    try {
+      // construct the crash: compacted write committed, old table
+      // dropped, RENAME never issued
+      llm.Dedup.compactWrite(spark, s"${tbl}_bands", s"$path/${tbl}_c2")
+      spark.sql(s"DROP TABLE ${tbl}_bands")
+      val (actions, q) = streaming.GateOps.bootGate(spark, Seq(s"${tbl}_bands")) {
+        () => gate().writeStream
+          .format("memory").queryName("gateops_boot_run").outputMode("append").start()
+      }
+      try {
+        assert(actions(s"${tbl}_bands") === "renamed",
+          s"boot must finish the interrupted swap, got $actions")
+        mem.addData(Seq((201L, docA)))
+        q.processAllAvailable()
+        assert(spark.table("gateops_boot_run")
+          .filter(col("delta_id") === 201L && col("corpus_id") === 1L).count() > 0,
+          "booted gate must serve the recovered (compacted) index")
+      } finally q.stop()
+      // clean re-boot is a noop recovery
+      val (actions2, q2) = streaming.GateOps.bootGate(spark, Seq(s"${tbl}_bands")) {
+        () => gate().writeStream
+          .format("memory").queryName("gateops_boot_run2").outputMode("append").start()
+      }
+      try assert(actions2(s"${tbl}_bands") === "noop") finally q2.stop()
+      // a table whose compacted write never committed refuses the boot
+      intercept[IllegalStateException] {
+        streaming.GateOps.bootGate(spark, Seq("gateops_absent_tbl")) {
+          () => fail("start must not run when recovery refuses"): org.apache.spark.sql.streaming.StreamingQuery
+        }
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+    }
+  }
+
   test("streaming CDC merge: per-batch merges compose to the one-shot whole-delta merge") {
     implicit val sqlCtx = spark.sqlContext
     import graft.queries.Audit
