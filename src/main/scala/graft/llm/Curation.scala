@@ -903,6 +903,281 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
   }
 
+  /** The INCREMENTAL counterpart of [[trainingReady]] — the standing
+    * ingest gate's full verdict over an arriving batch, composing every
+    * delta-vs-corpus tier this library maintains into one cascade. Each
+    * delta doc gets the FIRST verdict that fires, in cost-escalation
+    * order (cheap content hash before token bands before embedding
+    * cells before gram probes):
+    *
+    *   1. `exact_dup`   — md5(text) hits the corpus content-hash index
+    *                      ([[Dedup.incrementalDedup]] semantics);
+    *   2. `near_dup`    — banded-minhash candidate verified at token
+    *                      Jaccard ≥ 0.9 ([[Dedup.incrementalNearDedup]]);
+    *   3. `sem_dup`     — same pinned quantizer cell, rounded cosine
+    *                      ≥ 0.99 ([[Similarity.incrementalSemDedup]] on
+    *                      the batch's embeddings);
+    *   4. `contaminated`— shares a sliding 8-gram with the eval slice
+    *                      (the [[decontaminate]] probe, delta-side);
+    *   5. `low_quality` — under `minTokens` whitespace tokens;
+    *   6. `train`       — admitted.
+    *
+    * Dup verdicts carry the tier's deterministic min-id corpus victor
+    * in `dup_of` (−1 otherwise). Delta-vs-DELTA duplicates are out of
+    * scope by design — they are the next batch's delta-vs-corpus
+    * problem once this batch's survivors are appended (the
+    * `append*Index` paths), exactly how the per-tier incremental forms
+    * already behave.
+    *
+    * Scale posture: every tier shuffles ONLY the delta — the corpus
+    * sides are the standing artifacts (content-hash / band / cell
+    * assignment / eval-gram set) that the serving-index family
+    * maintains incrementally; this in-query form derives them inline so
+    * the whole cascade (all four probes, both thresholds, every
+    * tiebreak) replays under one DuckDB oracle. The eval-gram set is
+    * eval-slice-sized (broadcast class), and the verdict join tree is
+    * delta-keyed throughout — at 100 TB the wire cost is
+    * O(|delta| · tiers), never corpus-sized. */
+  def incrementalRefresh(
+      docs: DataFrame, emb: DataFrame, deltaDocs: DataFrame,
+      deltaEmb: DataFrame, evalPred: Column, minTokens: Int = 5,
+      tau: Double = 0.99): DataFrame = {
+    val ex = Dedup.incrementalDedup(docs, deltaDocs)
+      .select(col("doc_id"), col("status").as("ex_s"), col("dup_of").as("ex_d"))
+    val nr = Dedup.incrementalNearDedup(docs, deltaDocs)
+      .select(col("doc_id"), col("status").as("nr_s"), col("dup_of").as("nr_d"))
+    val sm = Similarity.incrementalSemDedup(emb, deltaEmb, tau)
+      .select(col("vec_id").as("doc_id"),
+        col("status").as("sm_s"), col("dup_of").as("sm_d"))
+    val evGrams = gramHashRows(docs.filter(evalPred), 8)
+      .select(col("gram_h")).distinct()
+    val contam = gramHashRows(deltaDocs, 8)
+      .join(evGrams, Seq("gram_h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(1))
+    deltaDocs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(ex, Seq("doc_id"), "left")
+      .join(nr, Seq("doc_id"), "left")
+      .join(sm, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("ex_s") === "dup", "exact_dup")
+          .when(col("nr_s") === "near_dup", "near_dup")
+          .when(col("sm_s") === "near_dup", "sem_dup")
+          .when(col("contam").isNotNull, "contaminated")
+          .when(col("n_tokens") < minTokens, "low_quality")
+          .otherwise("train").as("verdict"),
+        when(col("ex_s") === "dup", col("ex_d"))
+          .when(col("nr_s") === "near_dup", col("nr_d"))
+          .when(col("sm_s") === "near_dup", col("sm_d"))
+          .otherwise(lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The refresh batch's DOCUMENT side — six deterministic slices, one
+    * per verdict class the cascade can emit (each +offset keeps the
+    * delta ids disjoint from the corpus and each other):
+    *  - %5 → +1M: verbatim copies (exact tier fires);
+    *  - %7 → +2M: " appended revision" suffix (near tier's fixture —
+    *    long docs stay over the 0.9 Jaccard bar, short ones fall
+    *    through, and the sem tier may still catch them because the
+    *    revision keeps its source's EMBEDDING below);
+    *  - %11 → +3M: wholly novel 6-token payloads (admitted → train);
+    *  - %13 → +4M: paraphrases — novel WORDING with the SOURCE's
+    *    embedding (only the semantic tier can catch these);
+    *  - %17 → +5M: eval leaks — the first 8 tokens of an eval doc
+    *    ((doc_id % 8) · 7 indexes the %7 eval slice at every SF) plus a
+    *    disjoint tail (one shared 8-gram → contaminated);
+    *  - %19 → +6M: 3-token stubs (low_quality at minTokens = 5). */
+  private[graft] def refreshDeltaDocs(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" appended revision")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("completely novel refresh payload item "),
+            col("doc_id").cast("string")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(lit("paraphrase of document "), col("doc_id").cast("string"),
+            lit(" with wholly fresh wording")).as("text")))
+      .unionByName(d.as("dd").filter(col("dd.doc_id") % 17 === 0)
+        .join(d.as("ee"), col("ee.doc_id") === (col("dd.doc_id") % 8) * 7)
+        .select((col("dd.doc_id") + 5000000L).as("doc_id"),
+          concat(array_join(slice(split(col("ee.text"), " "), 1, 8), " "),
+            lit(" wholly disjoint tail "),
+            col("dd.doc_id").cast("string")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(lit("tiny doc "), col("doc_id").cast("string")).as("text")))
+  }
+
+  /** The refresh batch's EMBEDDING side, id-aligned with
+    * [[refreshDeltaDocs]] (the corpus's shared doc_id/vec_id space):
+    * copies, revisions and paraphrases carry their SOURCE vector
+    * (cosine exactly 1 — the sem tier must fire on the paraphrase);
+    * the novel/leak/stub slices carry the 7-rotation (the
+    * `semDeDupDelta` convention for "not a semantic dup"). */
+  private[graft] def refreshDeltaEmb(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def rot = transform(col("v"), (_, i) =>
+      element_at(col("v"), ((i + lit(7)) % lit(Similarity.Dim)) + 1))
+    def slice(m: Int, off: Long, vcol: Column) =
+      e.filter(col("vec_id") % m === 0)
+        .select((col("vec_id") + off).as("vec_id"), vcol.as("v"))
+    slice(5, 1000000L, col("v"))
+      .unionByName(slice(7, 2000000L, col("v")))
+      .unionByName(slice(11, 3000000L, rot))
+      .unionByName(slice(13, 4000000L, col("v")))
+      .unionByName(slice(17, 5000000L, rot))
+      .unionByName(slice(19, 6000000L, rot))
+  }
+
+  /** Oracle for [[incrementalRefresh]] over the declared fixtures —
+    * every tier's machinery replayed in one SQL text: the exact tier's
+    * hash index, the near tier's affine minhash + banding + exact
+    * Jaccard (the `incrementalNearOracleSql` fragments), the semantic
+    * tier's md5-seeded quantizer + rounded cosine (the
+    * `incrementalSemOracleSql` fragments), the 8-gram/fp60
+    * contamination probe (the `decontamOracleSql` convention), the
+    * token-count gate, and the cascade itself. */
+  private[graft] def incrementalRefreshOracleSql: String = {
+    val deltaSql =
+      """SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' appended revision' FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         'completely novel refresh payload item ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |         'paraphrase of document ' || CAST(doc_id AS VARCHAR) || ' with wholly fresh wording'
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+  SELECT dd.doc_id + 5000000,
+        |         array_to_string(string_split(ee.text, ' ')[1:8], ' ') ||
+        |           ' wholly disjoint tail ' || CAST(dd.doc_id AS VARCHAR)
+        |  FROM documents dd JOIN documents ee ON ee.doc_id = (dd.doc_id % 8) * 7
+        |  WHERE dd.doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, 'tiny doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 19 = 0""".stripMargin
+    s"""WITH delta(doc_id, text) AS (
+       |  $deltaSql),
+       |xidx AS (
+       |  SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
+       |xver AS (
+       |  SELECT d.doc_id, i.keep_id FROM delta d JOIN xidx i ON md5(d.text) = i.h),
+       |ctoks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |dtoks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM delta),
+       |csig AS (${Dedup.affineSigSql("mh", Dedup.NumHashes, "mh",
+        "SELECT doc_id, unnest(toks) AS e FROM ctoks")}),
+       |dsig AS (${Dedup.affineSigSql("mh", Dedup.NumHashes, "mh",
+        "SELECT doc_id, unnest(toks) AS e FROM dtoks")}),
+       |cbands AS (${Dedup.bandedSqlFrom("csig")}),
+       |dbands AS (${Dedup.bandedSqlFrom("dsig")}),
+       |ncand AS (
+       |  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+       |  FROM dbands d JOIN cbands c
+       |    ON d.band_idx = c.band_idx AND d.band_hash = c.band_hash),
+       |ndup AS (
+       |  SELECT delta_id, MIN(corpus_id) AS dup_of
+       |  FROM ncand
+       |  JOIN dtoks dt ON dt.doc_id = delta_id
+       |  JOIN ctoks ct ON ct.doc_id = corpus_id
+       |  WHERE ROUND(len(list_intersect(dt.toks, ct.toks)) * 1.0 /
+       |        (len(dt.toks) + len(ct.toks) - len(list_intersect(dt.toks, ct.toks))), 6)
+       |        >= ${Dedup.JaccardThreshold}
+       |  GROUP BY delta_id),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |edelta AS (
+       |  SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id % 5 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 2000000, v FROM e WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 3000000,
+       |         list_transform(range(1, ${Similarity.Dim + 1}),
+       |                        i -> v[1 + ((i - 1 + 7) % ${Similarity.Dim})])
+       |  FROM e WHERE vec_id % 11 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 4000000, v FROM e WHERE vec_id % 13 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 5000000,
+       |         list_transform(range(1, ${Similarity.Dim + 1}),
+       |                        i -> v[1 + ((i - 1 + 7) % ${Similarity.Dim})])
+       |  FROM e WHERE vec_id % 17 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 6000000,
+       |         list_transform(range(1, ${Similarity.Dim + 1}),
+       |                        i -> v[1 + ((i - 1 + 7) % ${Similarity.Dim})])
+       |  FROM e WHERE vec_id % 19 = 0),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |asg_c AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, s.seed_id AS cluster,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY e.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(e.v, s.sv), 6) + 0 DESC,
+       |                      s.seed_id) AS rn
+       |    FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+       |asg_d AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT d.vec_id, s.seed_id AS cluster,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY d.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(d.v, s.sv), 6) + 0 DESC,
+       |                      s.seed_id) AS rn
+       |    FROM edelta d CROSS JOIN seeds s) t WHERE rn = 1),
+       |sdup AS (
+       |  SELECT d.vec_id AS delta_id, MIN(c.vec_id) AS dup_of
+       |  FROM asg_d d
+       |  JOIN asg_c c ON c.cluster = d.cluster
+       |  JOIN edelta ed ON ed.vec_id = d.vec_id
+       |  JOIN e ec ON ec.vec_id = c.vec_id
+       |  WHERE ROUND(list_cosine_similarity(ed.v, ec.v), 6) + 0 >= 0.99
+       |  GROUP BY 1),
+       |dl AS (SELECT doc_id, string_split(text, ' ') AS l FROM delta),
+       |dgs AS (SELECT doc_id,
+       |               unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+       |                                     i -> array_to_string(l[i:i+7], ' '))) AS gram
+       |        FROM dl),
+       |dg AS (SELECT DISTINCT doc_id, ${fp60Sql("gram")} AS gram_h FROM dgs),
+       |el AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id % 7 = 0),
+       |egs AS (SELECT unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+       |                                     i -> array_to_string(l[i:i+7], ' '))) AS gram
+       |        FROM el),
+       |eg AS (SELECT DISTINCT ${fp60Sql("gram")} AS gram_h FROM egs),
+       |contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram_h)),
+       |ntok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM delta)
+       |SELECT d.doc_id,
+       |       CASE WHEN xver.keep_id IS NOT NULL THEN 'exact_dup'
+       |            WHEN ndup.dup_of IS NOT NULL THEN 'near_dup'
+       |            WHEN sdup.dup_of IS NOT NULL THEN 'sem_dup'
+       |            WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+       |            WHEN ntok.n_tokens < 5 THEN 'low_quality'
+       |            ELSE 'train' END AS verdict,
+       |       CAST(CASE WHEN xver.keep_id IS NOT NULL THEN xver.keep_id
+       |            WHEN ndup.dup_of IS NOT NULL THEN ndup.dup_of
+       |            WHEN sdup.dup_of IS NOT NULL THEN sdup.dup_of
+       |            ELSE -1 END AS BIGINT) AS dup_of
+       |FROM delta d
+       |LEFT JOIN xver ON xver.doc_id = d.doc_id
+       |LEFT JOIN ndup ON ndup.delta_id = d.doc_id
+       |LEFT JOIN sdup ON sdup.delta_id = d.doc_id
+       |LEFT JOIN contam ON contam.doc_id = d.doc_id
+       |LEFT JOIN ntok ON ntok.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ── Declared queries (pin the API to the test corpus) ────────────
 
   /** Shared oracle for both decontamination plans (exact-join and
@@ -1534,5 +1809,19 @@ object Curation {
          |FROM m ORDER BY src_a, src_b""".stripMargin
     }) { (s, dir) =>
       sourceOverlapSketch(Tables.documents(s, dir)).orderBy(col("src_a"), col("src_b"))
+    },
+
+    // The incremental capstone: one batch through EVERY delta-vs-corpus
+    // tier — exact hash, banded minhash, semantic cell, 8-gram
+    // decontamination, token gate — cascaded to the first verdict that
+    // fires, all under ONE oracle (each tier's full machinery replays:
+    // the affine minhash family, the md5-seeded quantizer, the fp60
+    // gram keys, both thresholds, every min-id tiebreak).
+    Q("corpus_incremental_refresh", incrementalRefreshOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      incrementalRefresh(
+        docs, emb, refreshDeltaDocs(docs), refreshDeltaEmb(emb),
+        evalPred = col("doc_id") % 7 === 0)
     })
 }

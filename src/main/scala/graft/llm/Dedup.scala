@@ -132,7 +132,7 @@ object Dedup {
 
   /** DuckDB replay of `affineSignatures` over an elements subquery
     * producing (doc_id, e). */
-  private def affineSigSql(
+  private[graft] def affineSigSql(
       fam: String, k: Int, prefix: String, elemsSql: String): String =
     "SELECT doc_id, " + (0 until k).map(i =>
       s"min((h * ${mhA(fam, i)} + ${mhB(fam, i)}) % $MinHashPrime) AS $prefix$i")
@@ -178,7 +178,7 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
   }
-  private def bandedSqlFrom(sigRel: String): String =
+  private[graft] def bandedSqlFrom(sigRel: String): String =
     (0 until Bands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"mh$i")
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', ${cols.mkString(", ")})) AS band_hash FROM $sigRel"

@@ -522,4 +522,47 @@ class CurationSpec extends SparkSpec {
     assert(nFp.toDouble / negs <= 0.03,
       s"realized FPR ${nFp.toDouble / negs} exceeds 3x configured fpp")
   }
+
+  test("incremental refresh: every planted slice lands in its verdict class") {
+    // The capstone cascade (oracle pins exact values; this pins the
+    // fixture DESIGN — each +offset slice was planted to exercise one
+    // verdict, and no tier misfires across slices):
+    //   +1M verbatim copies        → exact_dup, never anything later;
+    //   +2M " appended revision"   → near_dup when the doc is long
+    //        enough to clear Jaccard 0.9, else sem_dup (the revision
+    //        keeps its source's embedding — the sem tier is the net
+    //        under the near tier), never new;
+    //   +3M novel 6-token payloads → train (rotated embedding: no tier
+    //        fires, over the length gate, no eval gram);
+    //   +4M paraphrases            → sem_dup ONLY (novel wording beats
+    //        hash+bands; the source vector rides along at cosine 1);
+    //   +5M eval 8-gram leaks      → contaminated (the dup tiers must
+    //        all miss: novel hash, ~8-token Jaccard, rotated vector);
+    //   +6M 3-token stubs          → low_quality.
+    val out = run("corpus_incremental_refresh")
+      .select(col("doc_id"), col("verdict"), col("dup_of")).collect()
+    assert(out.nonEmpty)
+    val bySlice = out.groupBy(_.getLong(0) / 1000000L)
+      .map { case (s, rows) => s -> rows.map(_.getString(1)).toSet }
+    assert(bySlice(1L) === Set("exact_dup"), s"copies: ${bySlice(1L)}")
+    assert(bySlice(2L).subsetOf(Set("near_dup", "sem_dup")),
+      s"revisions must be caught by near or sem, got ${bySlice(2L)}")
+    assert(bySlice(3L) === Set("train"), s"novel: ${bySlice(3L)}")
+    assert(bySlice(4L) === Set("sem_dup"), s"paraphrases: ${bySlice(4L)}")
+    assert(bySlice(5L) === Set("contaminated"), s"leaks: ${bySlice(5L)}")
+    assert(bySlice(6L) === Set("low_quality"), s"stubs: ${bySlice(6L)}")
+    // every dup verdict carries a real corpus victor; every non-dup -1
+    val badDup = out.count { r =>
+      val isDup = Set("exact_dup", "near_dup", "sem_dup")(r.getString(1))
+      if (isDup) r.getLong(2) < 0 else r.getLong(2) != -1L
+    }
+    assert(badDup === 0, s"$badDup rows break the dup_of contract")
+    // the paraphrase's victor is in its source's cell at cosine 1: the
+    // source itself qualifies, so the min-id victor is <= the source
+    out.filter(r => r.getLong(0) >= 4000000L && r.getLong(0) < 5000000L)
+      .foreach { r =>
+        assert(r.getLong(2) <= r.getLong(0) - 4000000L,
+          s"paraphrase ${r.getLong(0)}: victor ${r.getLong(2)} above its source")
+      }
+  }
 }
