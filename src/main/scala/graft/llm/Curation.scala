@@ -943,18 +943,36 @@ object Curation {
       deltaEmb: DataFrame, evalPred: Column, minTokens: Int = 5,
       tau: Double = 0.99): DataFrame = {
     val ex = Dedup.incrementalDedup(docs, deltaDocs)
-      .select(col("doc_id"), col("status").as("ex_s"), col("dup_of").as("ex_d"))
     val nr = Dedup.incrementalNearDedup(docs, deltaDocs)
-      .select(col("doc_id"), col("status").as("nr_s"), col("dup_of").as("nr_d"))
     val sm = Similarity.incrementalSemDedup(emb, deltaEmb, tau)
-      .select(col("vec_id").as("doc_id"),
-        col("status").as("sm_s"), col("dup_of").as("sm_d"))
-    val evGrams = gramHashRows(docs.filter(evalPred), 8)
-      .select(col("gram_h")).distinct()
     val contam = gramHashRows(deltaDocs, 8)
-      .join(evGrams, Seq("gram_h"), "left_semi")
+      .join(evalGrams(docs, evalPred), Seq("gram_h"), "left_semi")
       .select(col("doc_id")).distinct()
-      .withColumn("contam", lit(1))
+    refreshCascade(deltaDocs, ex, nr, sm, contam, minTokens)
+  }
+
+  /** The eval slice's distinct 8-gram keys — the contamination tier's
+    * standing artifact (eval-slice-sized: broadcast class). */
+  private[graft] def evalGrams(docs: DataFrame, evalPred: Column): DataFrame =
+    gramHashRows(docs.filter(evalPred), 8).select(col("gram_h")).distinct()
+
+  /** [[incrementalRefresh]]'s verdict CASCADE alone, over the three
+    * tiers' verdict frames (each the (id, status, dup_of) convention —
+    * rows may cover only the delta ids a tier SAW: absent rows read as
+    * that tier not firing, so the streaming gate can hand in frames
+    * assembled from sunk candidate hits) and the contaminated-id set.
+    * Shared verbatim by the batch query and the streaming probe so
+    * stream ≡ batch is the same code path from the tier frames down. */
+  private[graft] def refreshCascade(
+      deltaDocs: DataFrame, exact: DataFrame, near: DataFrame,
+      sem: DataFrame, contamIds: DataFrame, minTokens: Int): DataFrame = {
+    val ex = exact.select(col("doc_id"),
+      col("status").as("ex_s"), col("dup_of").as("ex_d"))
+    val nr = near.select(col("doc_id"),
+      col("status").as("nr_s"), col("dup_of").as("nr_d"))
+    val sm = sem.select(col("vec_id").as("doc_id"),
+      col("status").as("sm_s"), col("dup_of").as("sm_d"))
+    val contam = contamIds.select(col("doc_id")).withColumn("contam", lit(1))
     deltaDocs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -992,7 +1010,15 @@ object Curation {
     *    ((doc_id % 8) · 7 indexes the %7 eval slice at every SF) plus a
     *    disjoint tail (one shared 8-gram → contaminated);
     *  - %19 → +6M: 3-token stubs (low_quality at minTokens = 5). */
-  private[graft] def refreshDeltaDocs(docs: DataFrame): DataFrame = {
+  private[graft] def refreshDeltaDocs(docs: DataFrame): DataFrame =
+    refreshDeltaDocs(docs, docs)
+
+  /** [[refreshDeltaDocs]] with the eval-leak slice's SOURCE frame
+    * supplied separately: the streaming form derives the delta from the
+    * docs STREAM but must take the leaked eval text from the static
+    * table (a stream-stream self-join would otherwise appear). */
+  private[graft] def refreshDeltaDocs(
+      docs: DataFrame, evalFrom: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
     d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -1008,7 +1034,8 @@ object Curation {
           concat(lit("paraphrase of document "), col("doc_id").cast("string"),
             lit(" with wholly fresh wording")).as("text")))
       .unionByName(d.as("dd").filter(col("dd.doc_id") % 17 === 0)
-        .join(d.as("ee"), col("ee.doc_id") === (col("dd.doc_id") % 8) * 7)
+        .join(evalFrom.select(col("doc_id"), col("text")).as("ee"),
+          col("ee.doc_id") === (col("dd.doc_id") % 8) * 7)
         .select((col("dd.doc_id") + 5000000L).as("doc_id"),
           concat(array_join(slice(split(col("ee.text"), " "), 1, 8), " "),
             lit(" wholly disjoint tail "),
@@ -1820,8 +1847,16 @@ object Curation {
     Q("corpus_incremental_refresh", incrementalRefreshOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
+      // the batch is DATA by the time a gate sees it — materialize the
+      // derived fixture once (it otherwise re-runs, self-join included,
+      // inside every tier that references the delta; measured 8.2 →
+      // 7.5 s forced at sf0.1 — the remaining cost is the near tier's
+      // raw-corpus candidate density, which is why the HEADLINE entry
+      // times the planted fixture instead, see Bench.fixtureQueries)
       incrementalRefresh(
-        docs, emb, refreshDeltaDocs(docs), refreshDeltaEmb(emb),
+        docs, emb,
+        refreshDeltaDocs(docs).localCheckpoint(),
+        refreshDeltaEmb(emb).localCheckpoint(),
         evalPred = col("doc_id") % 7 === 0)
     })
 }

@@ -878,6 +878,98 @@ object StreamingAlerts {
       } finally graft.Bench.deleteRecursively(path)
     },
 
+    // STREAMING INCREMENTAL REFRESH GATE (r16): the online form of the
+    // corpus_incremental_refresh capstone — ONE streaming query, two
+    // stream sources (documents + their embeddings riding the shared
+    // id space), four stateless map-side probe branches unioned into
+    // one tier-tagged hit stream:
+    //   'x' md5(text) against the PERSISTED content-hash index,
+    //   'n' fused minhash bands against the PERSISTED band index,
+    //   's' pinned-cell assignment (seeds as array literals — no state
+    //       store) against the PERSISTED cluster-partitioned assignment,
+    //   'c' fused 8-gram keys against the eval-gram set (eval-slice-
+    //       sized: the broadcast-class static side).
+    // Every branch is a stream-static join — only the arriving batch
+    // crosses the wire; no state store, no watermark (append mode with
+    // no aggregate or stream-stream join plans none — and StreamingSpec
+    // pins stream ≡ batch frame equality). The Jaccard / cosine verifies and
+    // min-id victors need corpus-wide candidate visibility, so they
+    // run batch-side over the sunk hits, feeding the SAME
+    // `Curation.refreshCascade` the batch capstone uses — and the
+    // query shares the capstone's oracle VERBATIM, so the driver
+    // certifies stream ≡ batch hash-identical from the raw hit stream
+    // through the cascade (the tierAgreement discipline, now for the
+    // whole multi-tier gate at once).
+    Q("streaming_refresh_probe", Curation.incrementalRefreshOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, dir)
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val hashTbl = s"stream_rfr_hash_$uid"
+      val bandTbl = s"stream_rfr_band_$uid"
+      val path = java.nio.file.Files.createTempDirectory("graft_stream_rfr").toString
+      Dedup.buildHashIndex(docs, s, hashTbl, s"$path/$hashTbl")
+      Dedup.buildBandIndex(docs, s, bandTbl, s"$path/$bandTbl")
+      Similarity.buildIvfIndexPinned(emb, s"$path/ivf")
+      try {
+        val seeds = s.read.parquet(s"$path/ivf/seeds").collect()
+          .map(r => (r.getLong(r.fieldIndex("seed_id")),
+            r.getSeq[Double](r.fieldIndex("sv")).toSeq)).toSeq
+        val assignedStatic = s.read.parquet(s"$path/ivf/assigned")
+          .select(col("vec_id").as("corpus_id"), col("cluster"))
+        val evG = Curation.evalGrams(docs, col("doc_id") % 7 === 0)
+        // the delta stream: the eval-leak slice's text comes from the
+        // STATIC table (evalFrom) — the stream never self-joins
+        val dStream = Curation.refreshDeltaDocs(
+          docsStream(s, dir).select(col("doc_id"), col("text")), docs)
+        val x = dStream.select(col("doc_id"), md5(col("text")).as("h"))
+          .join(s.table(hashTbl), Seq("h"))
+          .select(col("doc_id").as("delta_id"), lit("x").as("tier"),
+            col("keep_id").as("cand_id"))
+        val n = Dedup.tokenBanded(dStream)
+          .join(s.table(s"${bandTbl}_bands"), Seq("band_idx", "band_hash"))
+          .select(col("doc_id").as("delta_id"), lit("n").as("tier"),
+            col("corpus_id").as("cand_id"))
+        val c = dStream.select(col("doc_id"),
+            graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("pos", "gram_h")))
+          .join(evG, Seq("gram_h"))
+          .select(col("doc_id").as("delta_id"), lit("c").as("tier"),
+            lit(-1L).as("cand_id"))
+        val sm = Curation.refreshDeltaEmb(
+            embStream(s, dir).select(col("vec_id"), col("embedding")))
+          .withColumn("cluster", Similarity.pinnedAssignExpr(seeds, col("v")))
+          .join(assignedStatic, Seq("cluster"))
+          .select(col("vec_id").as("delta_id"), lit("s").as("tier"),
+            col("corpus_id").as("cand_id"))
+        val name = s"stream_rfr_$uid"
+        val q = x.unionByName(n).unionByName(c).unionByName(sm)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val hits = s.table(name).localCheckpoint()
+        val delta = Curation.refreshDeltaDocs(docs)
+        val ex = hits.filter(col("tier") === "x")
+          .select(col("delta_id").as("doc_id"), col("cand_id")).distinct()
+          .select(col("doc_id"), lit("dup").as("status"), col("cand_id").as("dup_of"))
+        val nr = Dedup.nearDupVerdictFrom(
+          hits.filter(col("tier") === "n")
+            .select(col("delta_id"), col("cand_id").as("corpus_id")),
+          docs, delta)
+        val se = Similarity.semVerdictFrom(
+          hits.filter(col("tier") === "s")
+            .select(col("delta_id"), col("cand_id").as("corpus_id")),
+          emb, Curation.refreshDeltaEmb(emb))
+        val contamIds = hits.filter(col("tier") === "c")
+          .select(col("delta_id").as("doc_id")).distinct()
+        Curation.refreshCascade(delta, ex, nr, se, contamIds, minTokens = 5)
+          .localCheckpoint()
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $hashTbl")
+        s.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")
+        s.sql(s"DROP TABLE IF EXISTS ${bandTbl}_toks")
+        graft.Bench.deleteRecursively(path)
+      }
+    },
+
     // STREAMING PEAK DETECTION (r10): the online form of
     // events_peak_detection (see streamingPeaks' scaladoc — a strict
     // peak is decidable one event after it happens, so state is a

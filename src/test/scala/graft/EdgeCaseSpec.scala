@@ -557,6 +557,45 @@ class EdgeCaseSpec extends SparkSpec {
       else assert(keyed(i) === i % 7, s"event $i should keep its user")
     }
   }
+
+  test("round-16 incremental refresh survives degenerate inputs") {
+    val embOne = Seq((1L, Array.fill(8)(0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val emptyDelta = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val emptyDeltaEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+    // a quiet day's delta: empty batch over a real corpus → empty
+    // verdict frame, no tier throws (the seeds/eval-gram derivations
+    // still run against the corpus)
+    assert(Curation.incrementalRefresh(
+      oneDoc, embOne, emptyDelta, emptyDeltaEmb,
+      evalPred = col("doc_id") % 7 === 0).count() === 0L)
+    // day-zero: EMPTY corpus, first batch arrives → every probe tier
+    // finds nothing (zero seeds, zero grams, empty hash/band indexes);
+    // the verdict is decided by the token gate alone
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
+    val delta = Seq(
+      (1L, "a perfectly ordinary novel arriving document"),
+      (2L, "tiny stub")).toDF("doc_id", "text")
+    val deltaEmb = Seq(
+      (1L, Seq.fill(8)(0.25)), (2L, Seq.fill(8)(0.75))).toDF("vec_id", "v")
+    val dayZero = Curation.incrementalRefresh(
+        emptyDocs, emptyEmb, delta, deltaEmb, evalPred = lit(false))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(dayZero(1L) === (("train", -1L)))
+    assert(dayZero(2L) === (("low_quality", -1L)))
+    // a delta doc with NO embedding row: the sem tier simply never
+    // fires for it (left-join cascade), the other tiers still decide
+    val noEmb = Curation.incrementalRefresh(
+        oneDoc, embOne, Seq((9L, "solitary single document here")).toDF("doc_id", "text"),
+        emptyDeltaEmb, evalPred = lit(false))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(noEmb(9L) === (("exact_dup", 1L)))
+  }
 }
 
 /** The source-matrix pipeline is declared inline; rebuild its core here

@@ -789,6 +789,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming refresh gate == batch capstone, verdict for verdict") {
+    // The whole multi-tier ingest gate at once: the four sunk probe
+    // branches, re-verified and cascaded batch-side, must reproduce the
+    // batch capstone row-for-row (the driver additionally certifies
+    // both against ONE oracle — this pins the equality locally and
+    // earlier, at sf0.001). Every verdict class must appear, or the
+    // equality is vacuous for the missing tier.
+    val got = SparkEntry.queries("streaming_refresh_probe")(spark, sf("sf0.001"))
+      .as[(Long, String, Long)].collect().toSet
+    val want = SparkEntry.queries("corpus_incremental_refresh")(spark, sf("sf0.001"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === want, "streaming refresh gate diverges from the batch capstone")
+    val classes = got.map(_._2)
+    assert(Set("exact_dup", "near_dup", "sem_dup", "contaminated",
+      "low_quality", "train").subsetOf(classes),
+      s"fixture no longer exercises every verdict class: $classes")
+  }
+
   test("stream-static gate vs appendBandIndex: mid-stream append visibility is pinned") {
     // r15 (append-maintenance operational contract): the standing gate
     // joins micro-batches against the PERSISTED band index. When
