@@ -29,7 +29,14 @@ object Bench {
     * the raw corpus (candidate-pair LSH, where vocabulary-dense data
     * degenerates to all-pairs regardless of plan quality). */
   val fixtureQueries: Set[String] =
-    Set("dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash_pairs")
+    Set("dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+      // r16: the refresh capstone embeds the same LSH candidate-pair
+      // core — on the raw corpus its near tier degenerates to the
+      // all-similar pathology (measured: 6.7 of its 7.5 s forced at
+      // sf0.1 is the near tier alone), so its TIMING runs on the
+      // planted fixture, which preserves every planted verdict class
+      // (correctness stays on the raw corpus under the DuckDB oracle)
+      "corpus_incremental_refresh")
 
   /** Planted near-duplicate rate: one doc in `DupEvery` gets a
     * near-identical twin (~5%). */
@@ -83,6 +90,10 @@ object Bench {
       .select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/documents.parquet")
+    // the embeddings companion always rides along (r16: the refresh
+    // capstone's fixture run needs both tables in one dir; a map-only
+    // rotate + write, negligible beside the salted-doc write)
+    embFixtureScaled(spark, sfDir, m, out)
     out
   }
 
@@ -217,7 +228,12 @@ object Bench {
     * cannot silently publish a hollow number. */
   val forcedQueries: Seq[String] =
     Seq("telemetry_features", "telemetry_scored", "telemetry_daily",
-      "telemetry_confusion", "events_ohlc_bars")
+      "telemetry_confusion", "events_ohlc_bars",
+      // r16: under count() the capstone's verdict CASE is pruned and
+      // Catalyst eliminates the tier left-joins with it (the
+      // join-shaped divergence class) — the count-only number would
+      // time the delta fixture scan, not the cascade
+      "corpus_incremental_refresh")
 
   /** Consumer that defeats column pruning for ANY frame: one xxhash64
     * over every output column, summed — every operator producing an
@@ -458,8 +474,22 @@ object Bench {
     }.getOrElse("null")
     val srJson = sr.map(_.map(_.map(r2).getOrElse("null")).mkString("[", ",", "]"))
       .getOrElse("null")
-    val medJson = med.map { case (k, t) => s"${jstr(k)}:${r3(t)}" }
-      .mkString("{", ",", "}")
+    // med keys are indexed like the forced block (r16 headline growth:
+    // the capstone's 27-char name pushed the 4-med worst case past the
+    // 1600 gate): "7" = the eighth queries key, "f:7" = that query's
+    // forced-consumer median. No machine consumer reads med
+    // (drift_compare uses queries/anchors/forced only) — the judge
+    // resolves against the same line's queries order, exactly as for
+    // forced; a name absent from the headline stays self-describing.
+    val medJson = med.map { case (k, t) =>
+      val bare = k.stripPrefix("f:")
+      val idx = mins.indexWhere(_._1 == bare)
+      val key =
+        if (idx < 0) k
+        else if (k.startsWith("f:")) s"f:$idx"
+        else idx.toString
+      s"${jstr(key)}:${r3(t)}"
+    }.mkString("{", ",", "}")
     val forcedJson = forced.map { case (k, t) =>
       val idx = mins.indexWhere(_._1 == k)
       s"${jstr(if (idx >= 0) idx.toString else k)}:${t.map(r3).getOrElse("-1")}"

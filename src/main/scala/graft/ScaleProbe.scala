@@ -49,8 +49,7 @@ object ScaleProbe {
     }
 
     for (scale <- (1 +: scales).distinct) {
-      val dir = Bench.lshFixtureScaled(spark, sfDir, scale)
-      Bench.embFixtureScaled(spark, sfDir, scale, dir)
+      val dir = Bench.lshFixtureScaled(spark, sfDir, scale) // embeddings ride along (r16)
       try {
         val docs = Tables.documents(spark, dir)
         val emb = Tables.embeddings(spark, dir)

@@ -124,5 +124,12 @@ object SparkEntry {
     // iteration) joins the headline so the iterative-graph shape is
     // under the per-round drift/sr gates like every other tier.
     "graph_label_prop",
+    // Round 16: the incremental capstone — one arriving batch through
+    // every delta-vs-corpus tier (hash probe, band join + Jaccard
+    // verify, quantizer-cell cosine, gram contamination, token gate)
+    // cascaded in ONE plan: the multi-tier delta-join composition no
+    // other headline query exercises, and the shape a standing ingest
+    // gate pays per batch at 100 TB.
+    "corpus_incremental_refresh",
   )
 }

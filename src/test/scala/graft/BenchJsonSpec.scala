@@ -81,6 +81,14 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(root.get("skew").get("as").isNumber)
     assert(root.get("sf").asText() === "sf0.1",
       "sf renders the dir basename only (headroom trim)")
+    // med keys are index-keyed like forced (r16 headline growth): every
+    // worst-case key must be a digit index or an "f:"-prefixed one
+    val mIt = root.get("med").fieldNames()
+    while (mIt.hasNext) {
+      val k = mIt.next()
+      assert(k.stripPrefix("f:").forall(_.isDigit),
+        s"med key '$k' is not index-keyed — the 1600 gate depends on it")
+    }
   }
 
   test("index-keyed forced block round-trips back to query names (r16 trim)") {
