@@ -956,6 +956,65 @@ object Curation {
   private[graft] def evalGrams(docs: DataFrame, evalPred: Column): DataFrame =
     gramHashRows(docs.filter(evalPred), 8).select(col("gram_h")).distinct()
 
+  /** [[incrementalRefresh]] against the STANDING serving artifacts —
+    * the production form of the gate: the corpus never appears; every
+    * tier probes the persisted index it maintains (content-hash table,
+    * band + token-set tables, pinned-IVF seeds/assigned — whose `v`
+    * column also supplies the verify-side corpus vectors, so the
+    * semantic verify reads the INDEX, not the raw embeddings), plus the
+    * caller-held eval-gram set. Per batch the wire carries only the
+    * delta (each probe is the pinned one-delta-exchange plan of its
+    * `_idx` sibling); LlmSpec pins this form row-identical to the
+    * in-query [[incrementalRefresh]] over the same corpus. */
+  def incrementalRefreshServed(
+      deltaDocs: DataFrame, deltaEmb: DataFrame, spark: SparkSession,
+      hashTable: String, bandTable: String, ivfPath: String,
+      evGrams: DataFrame, minTokens: Int = 5, tau: Double = 0.99): DataFrame = {
+    val ex = Dedup.probeHashIndex(deltaDocs, spark, hashTable)
+    val nr = Dedup.probeBandIndex(deltaDocs, spark, bandTable)
+    val assigned = spark.read.parquet(s"$ivfPath/assigned")
+    val seeds = spark.read.parquet(s"$ivfPath/seeds").collect()
+      .map(r => (r.getLong(r.fieldIndex("seed_id")),
+        r.getSeq[Double](r.fieldIndex("sv")).toSeq)).toSeq
+    val cand = deltaEmb
+      .withColumn("cluster", Similarity.pinnedAssignExpr(seeds, col("v")))
+      .join(assigned.select(col("vec_id").as("corpus_id"), col("cluster")), "cluster")
+      .select(col("vec_id").as("delta_id"), col("corpus_id"))
+    val sm = Similarity.semVerdictFrom(
+      cand, assigned.select(col("vec_id"), col("v").as("embedding")), deltaEmb, tau)
+    val contam = gramHashRows(deltaDocs, 8)
+      .join(evGrams, Seq("gram_h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    refreshCascade(deltaDocs, ex, nr, sm, contam, minTokens)
+  }
+
+  /** Close the ingest loop: append the refresh batch's ADMITTED docs
+    * ('train' verdicts ONLY — dup verdicts are already represented in
+    * the indexes by their victors, and contaminated / low-quality docs
+    * must never enter the corpus) into every standing index the served
+    * gate probes. Idempotence composes from the per-index append paths
+    * (each anti-joins what it already holds), so redelivering a batch —
+    * or re-admitting its RE-probe, where every former 'train' doc now
+    * reads `exact_dup` of itself — appends nothing. Returns the number
+    * of admitted docs. */
+  def admitRefreshBatch(
+      verdicts: DataFrame, deltaDocs: DataFrame, deltaEmb: DataFrame,
+      spark: SparkSession, hashTable: String, bandTable: String,
+      ivfPath: String): Long = {
+    val admitted = verdicts.filter(col("verdict") === "train")
+      .select(col("doc_id")).localCheckpoint()
+    val docsAdm = deltaDocs.join(admitted, Seq("doc_id"), "left_semi")
+    Dedup.appendHashIndex(docsAdm, spark, hashTable)
+    Dedup.appendBandIndex(docsAdm, spark, bandTable)
+    Similarity.appendIvfIndexPinned(
+      deltaEmb
+        .join(admitted.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), lit(-1).cast("int").as("label"),
+          col("v").as("embedding")),
+      spark, ivfPath)
+    admitted.count()
+  }
+
   /** [[incrementalRefresh]]'s verdict CASCADE alone, over the three
     * tiers' verdict frames (each the (id, status, dup_of) convention —
     * rows may cover only the delta ids a tier SAW: absent rows read as

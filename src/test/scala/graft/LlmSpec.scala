@@ -2137,4 +2137,89 @@ class LlmSpec extends SparkSpec {
     val all = got("*ALL*")
     assert(all._1 === 12L && all._2 === 5L)
   }
+
+  test("refresh → admit → append: the served gate loop closes and is idempotent (r16)") {
+    import graft.llm.Curation
+    // a 40-doc corpus with per-doc-salted vocabulary (no accidental
+    // band collisions) and basis-aligned 8-dim embeddings (same-class
+    // vectors are near-parallel; cross-class cosines stay far under
+    // 0.99), eval slice = %7
+    val corpusDocs = (0L until 40L).map { i =>
+      (i, (0 until 12).map(k => s"w${i}t$k").mkString(" "), "en", "src", 60L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def basisVec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(d => if (d == (i % 8).toInt) 1.0 else 0.01 * ((i + d) % 3))
+    val corpusEmb = (0L until 40L).map(i => (i, basisVec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val hashTbl = s"rfr_loop_hash_$uid"
+    val bandTbl = s"rfr_loop_band_$uid"
+    val path = tempDir("rfr_loop")
+    Dedup.buildHashIndex(corpusDocs, spark, hashTbl, s"$path/$hashTbl")
+    Dedup.buildBandIndex(corpusDocs, spark, bandTbl, s"$path/$bandTbl")
+    Similarity.buildIvfIndexPinned(corpusEmb, s"$path/ivf")
+    try {
+      val evG = Curation.evalGrams(corpusDocs, col("doc_id") % 7 === 0).localCheckpoint()
+      val doc5 = (0 until 12).map(k => s"w5t$k").mkString(" ")
+      val doc7head8 = (0 until 8).map(k => s"w7t$k").mkString(" ")
+      val batchDocs = Seq(
+        (101L, (0 until 12).map(k => s"w3t$k").mkString(" ")), // copy of 3
+        (102L, doc5 + " extrarev"),                            // J = 12/13 vs 5
+        (103L, (0 until 12).map(k => s"p103k$k").mkString(" ")), // novel text
+        (104L, doc7head8 + " novel tail here now"),            // eval 8-gram leak
+        (105L, "tiny stub"),                                   // 2 tokens
+        (106L, (0 until 12).map(k => s"q106k$k").mkString(" "))) // admitted
+        .toDF("doc_id", "text")
+      val batchEmb = Seq(
+        (101L, basisVec(3)), (102L, basisVec(5)),
+        (103L, basisVec(7)), // novel TEXT, corpus vector → only sem can catch
+        (104L, Seq.fill(8)(0.35)),
+        (105L, Seq.tabulate(8)(d => 0.3 + 0.05 * d)),
+        (106L, Seq.tabulate(8)(d => if (d % 2 == 0) 0.35 else -0.35)))
+        .toDF("vec_id", "v")
+      def probe() = Curation.incrementalRefreshServed(
+          batchDocs, batchEmb, spark, hashTbl, bandTbl, s"$path/ivf", evG)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val served = probe()
+      assert(served(101L) === (("exact_dup", 3L)))
+      assert(served(102L) === (("near_dup", 5L)))
+      assert(served(103L) === (("sem_dup", 7L)))
+      assert(served(104L)._1 === "contaminated")
+      assert(served(105L)._1 === "low_quality")
+      assert(served(106L) === (("train", -1L)))
+      // served ≡ in-query over the same corpus, row for row
+      val inQuery = Curation.incrementalRefresh(
+          corpusDocs, corpusEmb, batchDocs, batchEmb,
+          evalPred = col("doc_id") % 7 === 0)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(inQuery === served, "served gate diverges from the in-query cascade")
+      // admit: only the train doc enters the indexes
+      val admitted = Curation.admitRefreshBatch(
+        probeVerdicts(served), batchDocs, batchEmb, spark, hashTbl, bandTbl, s"$path/ivf")
+      assert(admitted === 1L, s"expected 1 admitted doc, got $admitted")
+      // re-probe the SAME batch: the admitted doc now reads exact_dup
+      // of itself (first-write-wins under its own id); everything else
+      // is unchanged
+      val reprobe = probe()
+      assert(reprobe(106L) === (("exact_dup", 106L)))
+      assert(reprobe - 106L === served - 106L,
+        "re-probe changed verdicts beyond the admitted doc")
+      // redelivery: re-admitting the re-probe admits nothing and the
+      // indexes answer identically afterwards
+      val readmit = Curation.admitRefreshBatch(
+        probeVerdicts(reprobe), batchDocs, batchEmb, spark, hashTbl, bandTbl, s"$path/ivf")
+      assert(readmit === 0L)
+      assert(probe() === reprobe, "idempotent re-admit changed the indexes")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $hashTbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_toks")
+    }
+  }
+
+  /** Rebuild a verdict frame from a collected map (the loop test
+    * re-feeds probe output into admitRefreshBatch). */
+  private def probeVerdicts(m: Map[Long, (String, Long)]): DataFrame =
+    m.toSeq.map { case (id, (v, d)) => (id, v, d) }
+      .toDF("doc_id", "verdict", "dup_of")
 }
