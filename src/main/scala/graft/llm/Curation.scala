@@ -963,9 +963,15 @@ object Curation {
     * column also supplies the verify-side corpus vectors, so the
     * semantic verify reads the INDEX, not the raw embeddings), plus the
     * caller-held eval-gram set. Per batch the wire carries only the
-    * delta (each probe is the pinned one-delta-exchange plan of its
-    * `_idx` sibling); LlmSpec pins this form row-identical to the
-    * in-query [[incrementalRefresh]] over the same corpus. */
+    * delta: LlmSpec pins that the composed plan keeps every BUCKETED
+    * index scan (hash / bands / toks) free of exchanges on its
+    * scan→join path (the per-tier `_idx` co-location survives the
+    * four-way composition), and that the directory-partitioned
+    * `assigned` table never shuffles under the default broadcast
+    * config (the delta side broadcasts; if a batch ever outgrows the
+    * threshold, the upgrade is bucketing the assignment like the other
+    * tiers). Also pinned row-identical to the in-query
+    * [[incrementalRefresh]] over the same corpus. */
   def incrementalRefreshServed(
       deltaDocs: DataFrame, deltaEmb: DataFrame, spark: SparkSession,
       hashTable: String, bandTable: String, ivfPath: String,

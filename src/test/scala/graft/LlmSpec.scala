@@ -2222,4 +2222,79 @@ class LlmSpec extends SparkSpec {
   private def probeVerdicts(m: Map[Long, (String, Long)]): DataFrame =
     m.toSeq.map { case (id, (v, d)) => (id, v, d) }
       .toDF("doc_id", "verdict", "dup_of")
+
+  test("served gate composition: the bucketed index reads stay co-located, the partitioned one broadcasts (r16)") {
+    // The per-tier `_idx` pins prove each probe alone shuffles only the
+    // delta; this pins that the CASCADE's composed plan preserves them:
+    // with broadcast disabled, no shuffle exchange sits above a scan of
+    // the hash / band / token BUCKETED tables (their co-location
+    // survives the four-way join tree). The pinned-IVF `assigned` side
+    // is DIRECTORY-partitioned (partition pruning for the search path,
+    // not join co-location), so under broadcast-disabled it legally
+    // re-partitions — and under the DEFAULT config the delta side
+    // broadcasts, so `assigned` never shuffles either (asserted
+    // separately; the bucketed-table upgrade is the noted escape if a
+    // batch ever outgrows the broadcast threshold).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.llm.Curation
+    val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val hashTbl = s"rfr_plan_hash_$uid"
+    val bandTbl = s"rfr_plan_band_$uid"
+    val path = tempDir("rfr_plan")
+    Dedup.buildHashIndex(corpus, spark, hashTbl, s"$path/$hashTbl")
+    Dedup.buildBandIndex(corpus, spark, bandTbl, s"$path/$bandTbl")
+    Similarity.buildIvfIndexPinned(emb, s"$path/ivf")
+    val evG = Curation.evalGrams(corpus, col("doc_id") % 7 === 0).localCheckpoint()
+    val deltaDocs = Curation.refreshDeltaDocs(corpus).localCheckpoint()
+    val deltaEmb = Curation.refreshDeltaEmb(emb).localCheckpoint()
+    def servedPlan() = {
+      val df = Curation.incrementalRefreshServed(
+        deltaDocs, deltaEmb, spark, hashTbl, bandTbl, s"$path/ivf", evG)
+      df.count()
+      df.queryExecution.executedPlan
+    }
+    // a scan is MIS-LOCATED iff a shuffle exchange lies between it and
+    // its nearest ancestor JOIN (downstream cascade shuffles legally
+    // hold every scan in their subtree — only the scan→join path
+    // matters for co-location)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def misLocated(p: SparkPlan, frag: String, shuffledSinceJoin: Boolean): Int = p match {
+      case a: AdaptiveSparkPlanExec => misLocated(a.executedPlan, frag, shuffledSinceJoin)
+      case q: QueryStageExec => misLocated(q.plan, frag, shuffledSinceJoin)
+      case r: ReusedExchangeExec => misLocated(r.child, frag, shuffledSinceJoin)
+      case f: FileSourceScanExec =>
+        if (shuffledSinceJoin &&
+          f.relation.location.rootPaths.exists(_.toString.contains(frag))) 1 else 0
+      case e: ShuffleExchangeExec =>
+        e.children.map(misLocated(_, frag, shuffledSinceJoin = true)).sum
+      case j if j.nodeName.contains("Join") =>
+        j.children.map(misLocated(_, frag, shuffledSinceJoin = false)).sum
+      case other =>
+        other.children.map(misLocated(_, frag, shuffledSinceJoin)).sum
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = servedPlan()
+      for (frag <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks")) {
+        assert(misLocated(plan, frag, shuffledSinceJoin = false) === 0,
+          s"a shuffle sits between the bucketed $frag scan and its join — " +
+            s"co-location lost in composition:\n$plan")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val planB = servedPlan()
+      assert(misLocated(planB, "/ivf/assigned", shuffledSinceJoin = false) === 0,
+        s"under default broadcast the assigned table must never shuffle:\n$planB")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $hashTbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_toks")
+    }
+  }
 }
