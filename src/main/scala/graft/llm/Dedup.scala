@@ -591,6 +591,15 @@ object Dedup {
       case s => bucketed.sortBy(s.head, s.tail: _*)
     }
     sorted.saveAsTable(table)
+    // refresh the CALLER's relation cache explicitly: when `rows`
+    // descends from a foreachBatch frame, the write executes under the
+    // micro-batch's CLONED session and its commit-time refresh hits the
+    // clone's cache only — the caller's session would keep serving the
+    // pre-append file listing and probe the index as if the append
+    // never happened (found by the two-batch ingest-loop test: batch 2
+    // read batch 1's admission from the path-based IVF index but not
+    // from either catalog-backed bucketed table).
+    spark.catalog.refreshTable(table)
   }
 
   /** The rows an [[appendHashIndex]] call writes: the delta's hashes

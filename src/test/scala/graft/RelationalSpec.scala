@@ -165,7 +165,13 @@ class RelationalSpec extends SparkSpec {
       // incremental semantic dedup assigns corpus + delta via the
       // broadcast 16-row seed grid (the same k-bounded domain-grid
       // class as the pinned IVF forms)
-      "dedup_semantic_incremental")
+      "dedup_semantic_incremental",
+      // r16: the refresh capstone embeds the incrementalSemDedup tier,
+      // inheriting its broadcast 16-row seed-grid cross verbatim (the
+      // streaming form assigns via the array-literal expression — no
+      // cross — but its batch-side eval slice of the same cascade
+      // plans the identical seed grid when it re-derives tier frames)
+      "corpus_incremental_refresh")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString

@@ -807,6 +807,89 @@ class StreamingSpec extends SparkSpec {
       s"fixture no longer exercises every verdict class: $classes")
   }
 
+  test("two-batch ingest loop: batch 2 sees batch 1's admissions (foreachBatch probe+admit)") {
+    // The ONLINE admission loop (streaming_merge_upsert's foreachBatch
+    // discipline applied to the refresh gate): per micro-batch, the
+    // served cascade probes the standing indexes, verdicts sink, and
+    // the batch's 'train' survivors are ADMITTED before the next
+    // trigger — so a duplicate arriving one batch later reads as a dup
+    // OF THE ADMITTED DOC, not as fresh content. This is the property
+    // that makes dedup-at-ingest converge: the corpus the gate defends
+    // includes everything the gate already admitted.
+    import graft.llm.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDocs = (0L until 24L).map { i =>
+      (i, (0 until 12).map(k => s"c${i}w$k").mkString(" "), "en", "src", 60L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(d => if (d == (i % 8).toInt) 1.0 else 0.02 * ((i + d) % 2))
+    val corpusEmb = (0L until 24L).map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val hashTbl = s"ingest_loop_hash_$uid"
+    val bandTbl = s"ingest_loop_band_$uid"
+    val path = tempDir("ingest_loop")
+    llm.Dedup.buildHashIndex(corpusDocs, spark, hashTbl, s"$path/$hashTbl")
+    llm.Dedup.buildBandIndex(corpusDocs, spark, bandTbl, s"$path/$bandTbl")
+    llm.Similarity.buildIvfIndexPinned(corpusEmb, s"$path/ivf")
+    try {
+      val evG = Curation.evalGrams(corpusDocs, col("doc_id") % 7 === 0).localCheckpoint()
+      val docA = (0 until 12).map(k => s"a100x$k").mkString(" ")
+      val docB = (0 until 12).map(k => s"b101y$k").mkString(" ")
+      val docC = (0 until 12).map(k => s"c102z$k").mkString(" ")
+      val vA = Seq.tabulate(8)(d => if (d % 2 == 0) 0.4 else -0.4)
+      val vB = Seq.tabulate(8)(d => 0.2 + 0.07 * d)
+      val vC = Seq.tabulate(8)(d => if (d < 4) 0.5 else -0.1)
+      val mem = MemoryStream[(Long, String, Seq[Double])]
+      val verdictLog = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+      // ONE long-running query (a second query would replay the
+      // MemoryStream from offset 0 and re-probe batch 1 post-admission)
+      val q = mem.toDF().toDF("doc_id", "text", "v").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val b = batch.localCheckpoint()
+          val bd = b.select(col("doc_id"), col("text"))
+          val be = b.select(col("doc_id").as("vec_id"), col("v"))
+          val verdicts = Curation.incrementalRefreshServed(
+            bd, be, spark, hashTbl, bandTbl, s"$path/ivf", evG).localCheckpoint()
+          Curation.admitRefreshBatch(
+            verdicts, bd, be, spark, hashTbl, bandTbl, s"$path/ivf")
+          verdictLog.synchronized {
+            verdictLog ++= verdicts.collect().map(r =>
+              (id, r.getLong(0), r.getString(1), r.getLong(2)))
+          }
+          ()
+        }.start()
+      try {
+        // batch 1: two novel docs — both admitted
+        mem.addData(Seq((100L, docA, vA), (101L, docB, vB)))
+        q.processAllAvailable()
+        val hashed = spark.table(hashTbl)
+          .filter(col("h") === md5(lit(docA))).count()
+        assert(hashed === 1L, s"batch-1 admission missing from the hash table ($hashed)")
+        // batch 2: an exact copy of doc 100 (admitted LAST batch, never
+        // in the base corpus), a paraphrase of 101 (same vector, novel
+        // text), and one genuinely new doc
+        mem.addData(Seq(
+          (200L, docA, vA),
+          (201L, (0 until 12).map(k => s"p201q$k").mkString(" "), vB),
+          (202L, docC, vC)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val byId = verdictLog.map(v => v._2 -> ((v._3, v._4))).toMap
+      assert(byId(100L) === (("train", -1L)), s"batch-1 novel doc: ${byId(100L)}")
+      assert(byId(101L) === (("train", -1L)))
+      assert(byId(200L) === (("exact_dup", 100L)),
+        s"batch-2 copy must dup against batch-1's ADMITTED doc: ${byId(200L)}")
+      assert(byId(201L) === (("sem_dup", 101L)),
+        s"batch-2 paraphrase must sem-dup against batch-1's admitted vector: ${byId(201L)}")
+      assert(byId(202L) === (("train", -1L)), s"batch-2 novel doc: ${byId(202L)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $hashTbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_toks")
+    }
+  }
+
   test("stream-static gate vs appendBandIndex: mid-stream append visibility is pinned") {
     // r15 (append-maintenance operational contract): the standing gate
     // joins micro-batches against the PERSISTED band index. When
