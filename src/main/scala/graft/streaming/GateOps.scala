@@ -69,4 +69,18 @@ object GateOps {
     val actions = tables.map(t => t -> Dedup.recoverCompact(spark, t)).toMap
     (actions, start())
   }
+
+  /** [[bootGate]] covering BOTH index families a full refresh gate
+    * reads: the catalog-backed bucketed tables (hash/band/gram/SRP —
+    * [[Dedup.recoverCompact]]) and the path-based cluster-partitioned
+    * IVF pairs ([[graft.llm.Similarity.recoverCompactIvf]], whose swap
+    * states live on the filesystem, not in the catalog). One boot call
+    * heals every standing artifact before the gate's plan resolves. */
+  def bootGate(
+      spark: SparkSession, tables: Seq[String], ivfPaths: Seq[String])(
+      start: () => StreamingQuery): (Map[String, String], StreamingQuery) = {
+    val tableActions = tables.map(t => t -> Dedup.recoverCompact(spark, t))
+    val ivfActions = ivfPaths.map(p => p -> graft.llm.Similarity.recoverCompactIvf(p))
+    ((tableActions ++ ivfActions).toMap, start())
+  }
 }

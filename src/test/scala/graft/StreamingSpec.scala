@@ -1113,18 +1113,32 @@ class StreamingSpec extends SparkSpec {
     def gate() = llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
       .join(spark.table(s"${tbl}_bands"), Seq("band_idx", "band_hash"))
       .select(col("doc_id").as("delta_id"), col("corpus_id"))
+    // a path-based IVF pair crashed mid-swap alongside the table crash:
+    // the combined boot must heal BOTH families before the gate starts
+    val embCorpus = (0L until 20L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 8).toInt) 1.0 else 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    llm.Similarity.buildIvfIndexPinned(embCorpus, s"$path/ivf")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/ivf", "assigned"),
+      java.nio.file.Paths.get(s"$path/ivf", "assigned_compacting"))
     try {
       // construct the crash: compacted write committed, old table
       // dropped, RENAME never issued
       llm.Dedup.compactWrite(spark, s"${tbl}_bands", s"$path/${tbl}_c2")
       spark.sql(s"DROP TABLE ${tbl}_bands")
-      val (actions, q) = streaming.GateOps.bootGate(spark, Seq(s"${tbl}_bands")) {
+      val (actions, q) = streaming.GateOps.bootGate(
+        spark, Seq(s"${tbl}_bands"), Seq(s"$path/ivf")) {
         () => gate().writeStream
           .format("memory").queryName("gateops_boot_run").outputMode("append").start()
       }
       try {
         assert(actions(s"${tbl}_bands") === "renamed",
           s"boot must finish the interrupted swap, got $actions")
+        assert(actions(s"$path/ivf") === "renamed",
+          s"boot must heal the path-based IVF swap too, got $actions")
+        assert(spark.read.parquet(s"$path/ivf/assigned").count() === 20L,
+          "recovered assigned table must serve the full corpus")
         mem.addData(Seq((201L, docA)))
         q.processAllAvailable()
         assert(spark.table("gateops_boot_run")
