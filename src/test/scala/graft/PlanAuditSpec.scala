@@ -248,6 +248,52 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("core:incremental_refresh_served: shuffle volume is delta-bounded") {
+    // The served gate's wire claim, measured (r16): with every corpus
+    // artifact persisted, the composed cascade shuffles ONLY
+    // delta-derived rows — band/gram keys of the arriving batch plus
+    // the verify pairs — never the corpus (the bucketed scans read
+    // co-located; the composition pin in LlmSpec proves the shape,
+    // this gates the VOLUME riding it). Runs on the NON-DEGENERATE
+    // planted fixture: the verify-pair volume is candidate-bounded,
+    // and on the vocabulary-dense raw corpus candidates ≈ delta ×
+    // corpus (measured: 263k recs / 3.6 MB at sf0.01 blowing up 79× /
+    // 45× at sf0.1 — the all-similar pathology, a data property the
+    // candidate-density kill switch exists for), while on a realistic
+    // disjoint-vocabulary corpus candidates ≈ planted dups and the
+    // wire stays a small multiple of the delta.
+    import graft.llm.Curation
+    val fx = Bench.lshFixtureCached(spark, sfDir)
+    val corpus = Tables.documents(spark, fx).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, fx)
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val hashTbl = s"rfr_vol_hash_$uid"
+    val bandTbl = s"rfr_vol_band_$uid"
+    val path = tempDir("rfr_vol")
+    llm.Dedup.buildHashIndex(corpus, spark, hashTbl, s"$path/$hashTbl")
+    llm.Dedup.buildBandIndex(corpus, spark, bandTbl, s"$path/$bandTbl")
+    llm.Similarity.buildIvfIndexPinned(emb, s"$path/ivf")
+    try {
+      val evG = Curation.evalGrams(corpus, col("doc_id") % 7 === 0).localCheckpoint()
+      val deltaDocs = Curation.refreshDeltaDocs(corpus).localCheckpoint()
+      val deltaEmb = Curation.refreshDeltaEmb(emb).localCheckpoint()
+      val (sb, srec, _) = withShuffleJoins(PlanAudit.shuffleStats(
+        Curation.incrementalRefreshServed(
+          deltaDocs, deltaEmb, spark, hashTbl, bandTbl, s"$path/ivf", evG)))
+      info(s"served refresh shuffled $srec records / $sb bytes")
+      // measured 52295 recs / 1.58 MB at sf0.01 (≈158 recs per delta
+      // doc: gram keys + band keys + verify pairs); 665k / 11.9 MB at
+      // sf0.1 = 12.7× / 7.6× at 10× delta — linear in the delta (vs
+      // the raw corpus's 79× candidate blow-up), as claimed
+      assert(srec <= 80000L, s"served refresh shuffled $srec records")
+      assert(sb <= 2500000L, s"served refresh shuffled $sb bytes")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $hashTbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_toks")
+    }
+  }
+
   // r14: the forced-consumer measurement assumption itself, pinned.
   // Bench's queries_forced block exists because a bare count() lets
   // ColumnPruning drop the Window operators (nothing downstream reads
