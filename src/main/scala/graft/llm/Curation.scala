@@ -1001,7 +1001,11 @@ object Curation {
     * gate probes. Idempotence composes from the per-index append paths
     * (each anti-joins what it already holds), so redelivering a batch —
     * or re-admitting its RE-probe, where every former 'train' doc now
-    * reads `exact_dup` of itself — appends nothing. Returns the number
+    * reads `exact_dup` of itself — appends nothing. An admitted doc
+    * with no row in `deltaEmb` enters the text-keyed indexes only (the
+    * sem tier can then never flag its future paraphrases — supply the
+    * embedding if the semantic net matters for that doc); admitted
+    * vectors carry label −1 (unknown at ingest). Returns the number
     * of admitted docs. */
   def admitRefreshBatch(
       verdicts: DataFrame, deltaDocs: DataFrame, deltaEmb: DataFrame,
