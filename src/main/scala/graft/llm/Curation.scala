@@ -1927,5 +1927,34 @@ object Curation {
         refreshDeltaDocs(docs).localCheckpoint(),
         refreshDeltaEmb(emb).localCheckpoint(),
         evalPred = col("doc_id") % 7 === 0)
+    },
+
+    // The gate's health readout (the curation_funnel discipline applied
+    // to the incremental capstone): docs per verdict + distinct corpus
+    // victors per dup tier — "where did my batch go?" as one bounded
+    // frame an operator reads after every ingest window. Same cascade,
+    // one extra hash aggregate; the oracle wraps the capstone's text.
+    Q("corpus_refresh_funnel", {
+      s"""WITH r AS (
+         |${incrementalRefreshOracleSql}
+         |)
+         |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT CASE WHEN dup_of >= 0 THEN dup_of END) AS BIGINT)
+         |         AS n_victors
+         |FROM r GROUP BY verdict ORDER BY verdict""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      incrementalRefresh(
+          docs, emb,
+          refreshDeltaDocs(docs).localCheckpoint(),
+          refreshDeltaEmb(emb).localCheckpoint(),
+          evalPred = col("doc_id") % 7 === 0)
+        .groupBy(col("verdict"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(when(col("dup_of") >= 0, col("dup_of"))).cast("long")
+            .as("n_victors"))
+        .orderBy(col("verdict"))
     })
 }

@@ -564,5 +564,11 @@ class CurationSpec extends SparkSpec {
         assert(r.getLong(2) <= r.getLong(0) - 4000000L,
           s"paraphrase ${r.getLong(0)}: victor ${r.getLong(2)} above its source")
       }
+    // the funnel is the same cascade aggregated: per-verdict doc counts
+    // must equal the capstone's group sizes
+    val funnel = run("corpus_refresh_funnel")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = out.groupBy(_.getString(1)).map { case (v, rs) => v -> rs.length.toLong }
+    assert(funnel === want, s"funnel $funnel != capstone groups $want")
   }
 }

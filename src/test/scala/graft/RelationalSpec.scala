@@ -171,7 +171,9 @@ class RelationalSpec extends SparkSpec {
       // streaming form assigns via the array-literal expression — no
       // cross — but its batch-side eval slice of the same cascade
       // plans the identical seed grid when it re-derives tier frames)
-      "corpus_incremental_refresh")
+      "corpus_incremental_refresh",
+      // the funnel aggregates the same cascade — same inherited cross
+      "corpus_refresh_funnel")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
