@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.llm.Dedup
+import graft.llm.{Curation, Dedup}
 
 /** The serving-index maintenance lifecycle's STREAMING orchestration —
   * the two operational rules the r16 pins established, as callable code
@@ -83,4 +84,40 @@ object GateOps {
     val ivfActions = ivfPaths.map(p => p -> graft.llm.Similarity.recoverCompactIvf(p))
     ((tableActions ++ ivfActions).toMap, start())
   }
+
+  /** The ONLINE admission loop as API (the `streaming_merge_upsert`
+    * foreachBatch discipline applied to the refresh gate): per
+    * micro-batch, [[Curation.incrementalRefreshServed]] probes the
+    * standing indexes with the arriving docs + embeddings, `onVerdicts`
+    * receives the batch's verdict frame (already materialized — sink it
+    * anywhere), and [[Curation.admitRefreshBatch]] enters the batch's
+    * 'train' survivors into every index BEFORE the next trigger — so a
+    * duplicate arriving one batch later duplicates against the ADMITTED
+    * doc (StreamingSpec pins the two-batch loop through this API). The
+    * per-batch work is all batch-plan code under foreachBatch, so
+    * appends re-resolve the catalog each call (no gate bounce needed —
+    * the stream side holds no static relation) and idempotence under
+    * batch replay composes from the per-index anti-joins.
+    *
+    * `batches` must stream (doc_id, text, v) rows — the doc and its
+    * embedding arrive TOGETHER (the shared-id-space convention); docs
+    * without embeddings may pass v = null and skip the semantic net. */
+  def refreshIngestGate(
+      batches: DataFrame, spark: SparkSession,
+      hashTable: String, bandTable: String, ivfPath: String,
+      evGrams: DataFrame,
+      onVerdicts: (DataFrame, Long) => Unit): StreamingQuery =
+    batches.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val bb = b.localCheckpoint()
+        val bd = bb.select(col("doc_id"), col("text"))
+        val be = bb.filter(col("v").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("v"))
+        val verdicts = Curation.incrementalRefreshServed(
+          bd, be, spark, hashTable, bandTable, ivfPath, evGrams).localCheckpoint()
+        Curation.admitRefreshBatch(
+          verdicts, bd, be, spark, hashTable, bandTable, ivfPath)
+        onVerdicts(verdicts, id)
+        ()
+    }.start()
 }

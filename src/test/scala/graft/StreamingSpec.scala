@@ -843,22 +843,15 @@ class StreamingSpec extends SparkSpec {
       val mem = MemoryStream[(Long, String, Seq[Double])]
       val verdictLog = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
       // ONE long-running query (a second query would replay the
-      // MemoryStream from offset 0 and re-probe batch 1 post-admission)
-      val q = mem.toDF().toDF("doc_id", "text", "v").writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val b = batch.localCheckpoint()
-          val bd = b.select(col("doc_id"), col("text"))
-          val be = b.select(col("doc_id").as("vec_id"), col("v"))
-          val verdicts = Curation.incrementalRefreshServed(
-            bd, be, spark, hashTbl, bandTbl, s"$path/ivf", evG).localCheckpoint()
-          Curation.admitRefreshBatch(
-            verdicts, bd, be, spark, hashTbl, bandTbl, s"$path/ivf")
-          verdictLog.synchronized {
-            verdictLog ++= verdicts.collect().map(r =>
-              (id, r.getLong(0), r.getString(1), r.getLong(2)))
-          }
-          ()
-        }.start()
+      // MemoryStream from offset 0 and re-probe batch 1 post-admission),
+      // through the GateOps API — this test IS refreshIngestGate's pin
+      val q = streaming.GateOps.refreshIngestGate(
+        mem.toDF().toDF("doc_id", "text", "v"), spark,
+        hashTbl, bandTbl, s"$path/ivf", evG,
+        onVerdicts = (verdicts, id) => verdictLog.synchronized {
+          verdictLog ++= verdicts.collect().map(r =>
+            (id, r.getLong(0), r.getString(1), r.getLong(2)))
+        })
       try {
         // batch 1: two novel docs — both admitted
         mem.addData(Seq((100L, docA, vA), (101L, docB, vB)))
