@@ -27,7 +27,9 @@ import graft.llm.{Curation, Dedup}
   *
   * At scale these run on the ingest orchestrator (one driver owns the
   * gate and its indexes); nothing here touches executors beyond the
-  * compaction job itself.
+  * compaction job itself. The third member, [[refreshIngestGate]], is
+  * the admission loop itself — per-batch probe + admit over the same
+  * standing indexes the other two maintain.
   */
 object GateOps {
 
