@@ -998,29 +998,43 @@ object Curation {
     * ('train' verdicts ONLY — dup verdicts are already represented in
     * the indexes by their victors, and contaminated / low-quality docs
     * must never enter the corpus) into every standing index the served
-    * gate probes. Idempotence composes from the per-index append paths
-    * (each anti-joins what it already holds), so redelivering a batch —
-    * or re-admitting its RE-probe, where every former 'train' doc now
-    * reads `exact_dup` of itself — appends nothing. An admitted doc
-    * with no row in `deltaEmb` enters the text-keyed indexes only (the
-    * sem tier can then never flag its future paraphrases — supply the
-    * embedding if the semantic net matters for that doc); admitted
-    * vectors carry label −1 (unknown at ingest). Returns the number
-    * of admitted docs. */
+    * gate probes — PLUS any doc whose verdict is `exact_dup` of ITSELF
+    * (`dup_of == doc_id`). Under the never-reused-id convention a
+    * self-dup can only mean one thing: this doc's OWN admission already
+    * reached the hash index (the hash tier's keep_id is the doc's id),
+    * i.e. the batch is an at-least-once REPLAY of a run that crashed
+    * somewhere inside the three sequential index appends below. Routing
+    * the self-dup back through admission makes that partial-admit state
+    * self-healing (ADVICE r16): each index's anti-join completes
+    * whatever append the crash skipped (hash no-ops on the content
+    * hash, band/IVF fill in their missing rows) and no-ops on a fully
+    * committed replay — so the three appends compose to exactly-once
+    * effect without needing to be atomic. An admitted doc with no row
+    * in `deltaEmb` enters the text-keyed indexes only (the sem tier can
+    * then never flag its future paraphrases — supply the embedding if
+    * the semantic net matters for that doc); admitted vectors carry
+    * `deltaEmb`'s `label` column when present, else label −1 (unknown
+    * at ingest). Returns the number of docs routed through admission
+    * (train verdicts + self-heal replays; a fully-replayed batch
+    * therefore returns its former train count while appending
+    * nothing). */
   def admitRefreshBatch(
       verdicts: DataFrame, deltaDocs: DataFrame, deltaEmb: DataFrame,
       spark: SparkSession, hashTable: String, bandTable: String,
       ivfPath: String): Long = {
-    val admitted = verdicts.filter(col("verdict") === "train")
+    val admitted = verdicts.filter(col("verdict") === "train" ||
+        (col("verdict") === "exact_dup" && col("dup_of") === col("doc_id")))
       .select(col("doc_id")).localCheckpoint()
     val docsAdm = deltaDocs.join(admitted, Seq("doc_id"), "left_semi")
+    val labelCol =
+      if (deltaEmb.columns.contains("label")) col("label").cast("int")
+      else lit(-1).cast("int")
     Dedup.appendHashIndex(docsAdm, spark, hashTable)
     Dedup.appendBandIndex(docsAdm, spark, bandTable)
     Similarity.appendIvfIndexPinned(
       deltaEmb
         .join(admitted.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), lit(-1).cast("int").as("label"),
-          col("v").as("embedding")),
+        .select(col("vec_id"), labelCol.as("label"), col("v").as("embedding")),
       spark, ivfPath)
     admitted.count()
   }

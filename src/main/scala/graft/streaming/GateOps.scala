@@ -103,7 +103,21 @@ object GateOps {
     *
     * `batches` must stream (doc_id, text, v) rows — the doc and its
     * embedding arrive TOGETHER (the shared-id-space convention); docs
-    * without embeddings may pass v = null and skip the semantic net. */
+    * without embeddings may pass v = null and skip the semantic net; an
+    * optional `label` column rides into the IVF index with the admitted
+    * vectors (absent → −1, unknown at ingest).
+    *
+    * Sink semantics (ADVICE r16): `onVerdicts` runs BEFORE admission,
+    * on the already-materialized verdict frame, so the sunk history
+    * always records what the probe actually computed for the batch as
+    * it arrived. The sink is still AT-LEAST-ONCE — a crash anywhere in
+    * the batch replays it, and the replay's verdicts read `exact_dup`
+    * of-self for every formerly-admitted doc (the hash index already
+    * holds them); consumers deriving admitted-doc counts should fold
+    * self-dup rows into their originals (same doc_id). Admission itself
+    * is exactly-once-effective under that replay: [[Curation
+    * .admitRefreshBatch]] routes self-dups back through the per-index
+    * anti-joins, healing any partial-admit crash state. */
   def refreshIngestGate(
       batches: DataFrame, spark: SparkSession,
       hashTable: String, bandTable: String, ivfPath: String,
@@ -113,13 +127,15 @@ object GateOps {
       (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val bb = b.localCheckpoint()
         val bd = bb.select(col("doc_id"), col("text"))
-        val be = bb.filter(col("v").isNotNull)
-          .select(col("doc_id").as("vec_id"), col("v"))
+        val embCols = col("doc_id").as("vec_id") +: col("v") +:
+          (if (bb.columns.contains("label")) Seq(col("label")) else Nil)
+        val be = bb.filter(col("v").isNotNull).select(embCols: _*)
         val verdicts = Curation.incrementalRefreshServed(
-          bd, be, spark, hashTable, bandTable, ivfPath, evGrams).localCheckpoint()
+          bd, be.select(col("vec_id"), col("v")), spark,
+          hashTable, bandTable, ivfPath, evGrams).localCheckpoint()
+        onVerdicts(verdicts, id)
         Curation.admitRefreshBatch(
           verdicts, bd, be, spark, hashTable, bandTable, ivfPath)
-        onVerdicts(verdicts, id)
         ()
     }.start()
 }

@@ -2204,12 +2204,93 @@ class LlmSpec extends SparkSpec {
       assert(reprobe(106L) === (("exact_dup", 106L)))
       assert(reprobe - 106L === served - 106L,
         "re-probe changed verdicts beyond the admitted doc")
-      // redelivery: re-admitting the re-probe admits nothing and the
-      // indexes answer identically afterwards
+      // redelivery: re-admitting the re-probe routes the self-dup doc
+      // back through admission (the ADVICE r16 self-healing path — a
+      // replayed batch must re-offer formerly-train docs so a
+      // partial-admit crash completes), but every per-index anti-join
+      // no-ops and the indexes answer identically afterwards
       val readmit = Curation.admitRefreshBatch(
         probeVerdicts(reprobe), batchDocs, batchEmb, spark, hashTbl, bandTbl, s"$path/ivf")
-      assert(readmit === 0L)
+      assert(readmit === 1L, s"self-heal replay should route 1 doc, got $readmit")
       assert(probe() === reprobe, "idempotent re-admit changed the indexes")
+      // a self-dup of a CORPUS doc (dup_of != doc_id) is NOT routed:
+      // only a doc's own replayed admission heals
+      val corpusDup = Curation.admitRefreshBatch(
+        probeVerdicts(Map(101L -> (("exact_dup", 3L)))),
+        batchDocs, batchEmb, spark, hashTbl, bandTbl, s"$path/ivf")
+      assert(corpusDup === 0L, "exact_dup of a DIFFERENT doc must not admit")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $hashTbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_toks")
+    }
+  }
+
+  test("partial-admit crash heals on replay; labels thread through admission (r17)") {
+    import graft.llm.Curation
+    // ADVICE r16 (medium): admitRefreshBatch's three index appends are
+    // sequential and non-atomic. Simulate the worst crash point — the
+    // hash append committed, band + IVF never ran — then replay the
+    // batch: the probe now reads the doc as exact_dup OF ITSELF (its
+    // own id is the hash index's keep_id), the self-heal path routes it
+    // back through admission, and the band/IVF anti-joins complete the
+    // missing appends — so a future near-dup and sem-dup of the doc no
+    // longer escape the gate.
+    val corpusDocs = (0L until 20L).map { i =>
+      (i, (0 until 12).map(k => s"c${i}w$k").mkString(" "), "en", "src", 60L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def basisVec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(d => if (d == (i % 8).toInt) 1.0 else 0.01 * ((i + d) % 3))
+    val corpusEmb = (0L until 20L).map(i => (i, basisVec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val hashTbl = s"heal_hash_$uid"
+    val bandTbl = s"heal_band_$uid"
+    val path = tempDir("heal_admit")
+    Dedup.buildHashIndex(corpusDocs, spark, hashTbl, s"$path/$hashTbl")
+    Dedup.buildBandIndex(corpusDocs, spark, bandTbl, s"$path/$bandTbl")
+    Similarity.buildIvfIndexPinned(corpusEmb, s"$path/ivf")
+    try {
+      val evG = Curation.evalGrams(corpusDocs, col("doc_id") % 7 === 0).localCheckpoint()
+      val novelText = (0 until 12).map(k => s"n200w$k").mkString(" ")
+      val novelVec = Seq.tabulate(8)(d => if (d % 2 == 0) 0.35 else -0.35)
+      val batchDocs = Seq((200L, novelText)).toDF("doc_id", "text")
+      // the labeled delta schema (r17): admission threads `label`
+      // through to the IVF index instead of stamping −1
+      val batchEmb = Seq((200L, novelVec, 4)).toDF("vec_id", "v", "label")
+      def probe(d: DataFrame, e: DataFrame) = Curation.incrementalRefreshServed(
+          d, e.select(col("vec_id"), col("v")), spark,
+          hashTbl, bandTbl, s"$path/ivf", evG)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(probe(batchDocs, batchEmb)(200L) === (("train", -1L)))
+      // CRASH SIMULATION: only the first of the three appends commits
+      Dedup.appendHashIndex(batchDocs, spark, hashTbl)
+      // the doc's future variants now ESCAPE the band + sem tiers (the
+      // broken state the advice describes)...
+      val nearDoc = Seq((201L, novelText + " rev")).toDF("doc_id", "text")
+      val semEmb = Seq((202L, novelVec)).toDF("vec_id", "v")
+      val semDoc = Seq((202L, (0 until 12).map(k => s"p202w$k").mkString(" ")))
+        .toDF("doc_id", "text")
+      assert(probe(nearDoc, semEmb.limit(0))(201L)._1 === "train",
+        "precondition: near-dup escapes before healing")
+      assert(probe(semDoc, semEmb)(202L)._1 === "train",
+        "precondition: sem-dup escapes before healing")
+      // REPLAY: the doc reads exact_dup of itself → self-heal admits it
+      val replay = probe(batchDocs, batchEmb)
+      assert(replay(200L) === (("exact_dup", 200L)))
+      val healed = Curation.admitRefreshBatch(
+        replay.toSeq.map { case (id, (v, d)) => (id, v, d) }
+          .toDF("doc_id", "verdict", "dup_of"),
+        batchDocs, batchEmb, spark, hashTbl, bandTbl, s"$path/ivf")
+      assert(healed === 1L)
+      // ...and after healing they are caught, attributed to the doc
+      assert(probe(nearDoc, semEmb.limit(0))(201L) === (("near_dup", 200L)))
+      assert(probe(semDoc, semEmb)(202L) === (("sem_dup", 200L)))
+      // the admitted vector carries its REAL label into the IVF index
+      val lbl = spark.read.parquet(s"$path/ivf/assigned")
+        .filter(col("vec_id") === 200L).select(col("label"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(lbl === Seq(4), s"admitted label not threaded: $lbl")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $hashTbl")
       spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")

@@ -280,13 +280,22 @@ class PlanAuditSpec extends SparkSpec {
       val (sb, srec, _) = withShuffleJoins(PlanAudit.shuffleStats(
         Curation.incrementalRefreshServed(
           deltaDocs, deltaEmb, spark, hashTbl, bandTbl, s"$path/ivf", evG)))
-      info(s"served refresh shuffled $srec records / $sb bytes")
-      // measured 52295 recs / 1.58 MB at sf0.01 (≈158 recs per delta
-      // doc: gram keys + band keys + verify pairs); 665k / 11.9 MB at
-      // sf0.1 = 12.7× / 7.6× at 10× delta — linear in the delta (vs
-      // the raw corpus's 79× candidate blow-up), as claimed
-      assert(srec <= 80000L, s"served refresh shuffled $srec records")
-      assert(sb <= 2500000L, s"served refresh shuffled $sb bytes")
+      val nDelta = deltaDocs.count()
+      info(f"served refresh shuffled $srec records / $sb bytes over " +
+        f"$nDelta delta docs (${srec.toDouble / nDelta}%.1f recs/doc, " +
+        f"${sb.toDouble / nDelta}%.0f B/doc)")
+      // measured ≈158 recs / ≈4.8 KB per DELTA DOC at sf0.01 (gram
+      // keys + band keys + verify pairs), ≈128 recs / 2.3 KB at sf0.1 —
+      // the delta-bounded property is per-doc wire cost staying flat
+      // while the delta grows, so the gate is a RATIO to the delta row
+      // count (ADVICE r16: absolute ceilings flake on fixture size /
+      // partition count / AQE changes without any plan regression).
+      // Headroom ~1.6× over measured; the raw-corpus pathology reads
+      // ~800 recs/doc at sf0.01 and ~3,000 at sf0.1 — far past it.
+      assert(srec <= nDelta * 250L,
+        f"served refresh shuffled ${srec.toDouble / nDelta}%.1f recs per delta doc")
+      assert(sb <= nDelta * 8192L,
+        f"served refresh shuffled ${sb.toDouble / nDelta}%.0f bytes per delta doc")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $hashTbl")
       spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")
