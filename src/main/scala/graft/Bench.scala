@@ -306,15 +306,70 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }))
 
+  /** Anchor-drift band past which a round's headline is considered
+    * host-contaminated (VERDICT r16 task 2): the official r16 run
+    * landed on a ~2×-loaded host (anchor geomean ×1.95, sbt wall
+    * 270 s → 2,871 s) and its 22.14 s headline would have poisoned
+    * the baseline chain — r17 would have read spuriously fast against
+    * it. Rule, applied in BOTH directions of the chain:
+    *  - this run STAMPS its compact line with `"hd":1` when its own
+    *    anchor geomean vs the (clean) baseline exceeds the band;
+    *  - [[loadBaseline]] SKIPS stamped or high-ar artifacts and
+    *    baselines against the last clean round instead.
+    * Only HIGH ar marks contamination: anchors measure host speed, so
+    * ar > band means THIS round ran slow (contention only ever slows a
+    * host); ar < 1/band means the host got faster — those numbers are
+    * fine as measurements and the next round re-anchors against them.
+    * Retries were considered and rejected: the anchors already pool 9
+    * reps across 3 phases bracketing the suite, so an out-of-band
+    * geomean is persistent contention a bounded in-run retry cannot
+    * wait out — the honest output is the stamp. */
+  val HostDriftBand = 1.3
+
+  /** True when a bench artifact is host-contaminated: an explicit
+    * top-level `"host_drift"` annotation (the retroactive r16 mark),
+    * the compact line's `"hd"` stamp, or a published anchor ratio
+    * above [[HostDriftBand]] (works on pre-stamp artifacts — r16's
+    * line already says `"ar":1.95`). Parse failures read clean: a
+    * malformed artifact should degrade to the old newest-file rule,
+    * not silently skip a round. */
+  private[graft] def isHostDrift(f: java.io.File): Boolean =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(f)
+      val parsed =
+        if (root.has("parsed") && root.get("parsed").isObject) root.get("parsed") else root
+      val stamped =
+        (root.has("host_drift") && root.get("host_drift").asBoolean(false)) ||
+          parsed.has("hd")
+      val ar = Option(parsed.get("drift")).filter(_.isObject)
+        .flatMap(d => Option(d.get("ar"))).filter(_.isNumber).map(_.asDouble())
+      stamped || ar.exists(_ > HostDriftBand)
+    } catch { case _: Throwable => false }
+
+  /** Newest candidate that is not host-contaminated; when EVERY
+    * candidate is contaminated, falls back to the newest anyway — a
+    * drift-controlled comparison against a loaded round still beats
+    * no comparison, and the dc table's `base` field names which round
+    * was used. */
+  private[graft] def pickCleanBaseline(cands: Seq[java.io.File]): Option[java.io.File] = {
+    def round(f: java.io.File): Int =
+      "\\d+".r.findFirstIn(f.getName).getOrElse("0").toInt
+    val sorted = cands.sortBy(f => -round(f))
+    sorted.find(f => !isHostDrift(f)).orElse(sorted.headOption)
+  }
+
   /** Previous-round baseline for the drift-controlled table (VERDICT
-    * r12 task 1): the newest `BENCH_r{N}.json` in the repo (or
-    * `SPARK_GRAFT_BENCH_BASELINE`), parsed for its per-query mins,
-    * anchor mins, and (r15, VERDICT r14 task 2) the forced-consumer
-    * mins. Returns (filename, queries, anchors, forced) — forced is
-    * empty for pre-r14 artifacts. Tolerates both the compact-line
-    * number format and {"min": …} spread objects; any parse failure
-    * degrades to None — the bench must never fail because last
-    * round's artifact is odd. */
+    * r12 task 1): the newest CLEAN `BENCH_r{N}.json` in the repo (or
+    * `SPARK_GRAFT_BENCH_BASELINE`, which is honored even if stamped —
+    * an explicit override is the operator's call), parsed for its
+    * per-query mins, anchor mins, and (r15, VERDICT r14 task 2) the
+    * forced-consumer mins. Host-contaminated rounds are skipped per
+    * [[isHostDrift]] (VERDICT r16 task 2). Returns (filename, queries,
+    * anchors, forced) — forced is empty for pre-r14 artifacts.
+    * Tolerates both the compact-line number format and {"min": …}
+    * spread objects; any parse failure degrades to None — the bench
+    * must never fail because last round's artifact is odd. */
   def loadBaseline(): Option[(String, Map[String, Double], Map[String, Double], Map[String, Double])] =
     try {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(new java.io.File(_))
@@ -327,8 +382,7 @@ object Bench {
             .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         val cands = Seq(new java.io.File("."), new java.io.File("/root/repo"))
           .map(benches).find(_.nonEmpty).getOrElse(Seq.empty)
-        if (cands.isEmpty) None
-        else Some(cands.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt))
+        pickCleanBaseline(cands)
       }
       file.flatMap { f =>
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -456,7 +510,8 @@ object Bench {
       fdc: Option[Seq[Option[Double]]],
       skewBase: Option[(Double, Double)],
       skewAmp: Option[(Double, Double)],
-      sfDir: String): String = {
+      sfDir: String,
+      hostDrift: Boolean = false): String = {
     val qs = mins.map { case (k, t) =>
       s"${jstr(k)}:${t.map(r3).getOrElse("-1")}"
     }.mkString("{", ",", "}")
@@ -504,9 +559,15 @@ object Bench {
         s"""{"s":${sp(skewBase)},"as":${sp(skewAmp)}}"""
       }
     val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // "hd":1 appears ONLY on a contaminated round (anchor geomean vs
+    // the clean baseline outside HostDriftBand) — presence is the
+    // stamp; next round's loadBaseline and drift_compare.py skip/flag
+    // the artifact (VERDICT r16 task 2). Absent on clean rounds to
+    // spend zero line budget in the common case.
+    val hdJson = if (hostDrift) s""""hd":1,""" else ""
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
       s""""anchors":$anchorsJson,"drift":$driftJson,"sr":$srJson,"med":$medJson,""" +
-      s""""forced":$forcedJson,"fdc":$fdcJson,"skew":$skewJson,"sf":${jstr(sfBase)}}"""
+      s""""forced":$forcedJson,"fdc":$fdcJson,"skew":$skewJson,$hdJson"sf":${jstr(sfBase)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -826,6 +887,11 @@ object Bench {
     // drift_compare.py harness); the compact line below carries the
     // same data in aligned-array form so it survives the driver's
     // 2000-char tail-capture window
+    // host-contamination stamp (VERDICT r16 task 2): anchor geomean vs
+    // the clean baseline outside the band means THIS run's host was
+    // loaded — the r16 failure mode. Stamped on both lines so the next
+    // round's loadBaseline prefers the last clean artifact.
+    val hostDrift = anchorRatio.exists(_ > HostDriftBand)
     val driftVerbose = (baseline, anchorRatio) match {
       case (Some((bName, prevQ, _, prevF)), Some(ar)) =>
         val rows = results.collect {
@@ -841,8 +907,8 @@ object Bench {
             val raw = ts.head / prevF(k)
             s"""${jstr(k)}:{"raw":${r4(raw)},"dc":${r4(raw / ar)}}"""
         }.mkString("{", ",", "}")
-        s"""{"baseline":${jstr(bName)},"anchor_ratio":${r4(ar)},"queries":$rows,""" +
-          s""""forced":$fRows}"""
+        s"""{"baseline":${jstr(bName)},"anchor_ratio":${r4(ar)},""" +
+          s""""host_drift":$hostDrift,"queries":$rows,"forced":$fRows}"""
       case _ => "null"
     }
     val scaleVerbose =
@@ -941,7 +1007,8 @@ object Bench {
       forced = forcedTimes,
       skewBase = skew,
       skewAmp = skewAmp,
-      sfDir = sfDir))
+      sfDir = sfDir,
+      hostDrift = hostDrift))
 
     // drop the fixture's salted parquet copy — it lives in a fresh temp
     // dir per run and would otherwise accumulate in /tmp (ADVICE r7)

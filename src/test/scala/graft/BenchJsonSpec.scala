@@ -123,6 +123,67 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(om.readTree(missing).get("forced").has("ghost_query"))
   }
 
+  test("host-drift stamp: contaminated baselines are skipped (VERDICT r16 task 2)") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // the stamp renders only on contaminated rounds (zero budget clean)
+    val clean = worstCase(SparkEntry.headline)
+    assert(!om.readTree(clean).has("hd"), "clean line must not carry hd")
+    val stamped = Bench.compactJson(1.0, Seq("q" -> Some(1.0)), Nil,
+      Some(("BENCH_r16.json", 1.95, Seq(Some(0.8)))), None, Nil, Nil,
+      None, None, None, "sf0.1", hostDrift = true)
+    assert(om.readTree(stamped).get("hd").asInt() === 1)
+    // the worst-case line with the stamp still fits the driver window
+    assert(stamped.length + (clean.length - clean.length) < 2000)
+
+    // loadBaseline's candidate walk: the newest round is contaminated
+    // (detected three ways: explicit wrapper annotation, hd stamp, or
+    // a published high ar) — the last clean round wins; when ALL are
+    // contaminated, the newest still wins (dc beats nothing).
+    val dir = java.nio.file.Files.createTempDirectory("benchpick").toFile
+    def write(name: String, body: String): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.FileWriter(f); w.write(body); w.close(); f
+    }
+    try {
+      val r1 = write("BENCH_r01.json",
+        """{"parsed":{"queries":{"q":1.0},"anchors":{"cpu":1.0},"drift":{"base":"r00","ar":0.94}}}""")
+      val r2ar = write("BENCH_r02.json",
+        """{"parsed":{"queries":{"q":2.0},"anchors":{"cpu":1.9},"drift":{"base":"r01","ar":1.95}}}""")
+      assert(Bench.isHostDrift(r2ar), "ar 1.95 must read contaminated")
+      assert(!Bench.isHostDrift(r1), "ar 0.94 must read clean")
+      assert(Bench.pickCleanBaseline(Seq(r1, r2ar)).map(_.getName)
+        === Some("BENCH_r01.json"))
+      // explicit wrapper annotation (the retroactive r16 mark)
+      val r3 = write("BENCH_r03.json",
+        """{"host_drift":true,"parsed":{"queries":{"q":1.0},"anchors":{"cpu":1.0},"drift":{"base":"r01","ar":1.0}}}""")
+      assert(Bench.isHostDrift(r3))
+      // hd stamp on the compact line itself
+      val r4 = write("BENCH_r04.json",
+        """{"parsed":{"queries":{"q":1.0},"anchors":{"cpu":1.0},"hd":1,"drift":{"base":"r01","ar":1.2}}}""")
+      assert(Bench.isHostDrift(r4))
+      assert(Bench.pickCleanBaseline(Seq(r1, r2ar, r3, r4)).map(_.getName)
+        === Some("BENCH_r01.json"))
+      // a LOW ar is NOT contamination (host got faster; numbers fine)
+      val r5 = write("BENCH_r05.json",
+        """{"parsed":{"queries":{"q":1.0},"anchors":{"cpu":0.5},"drift":{"base":"r01","ar":0.51}}}""")
+      assert(!Bench.isHostDrift(r5))
+      assert(Bench.pickCleanBaseline(Seq(r1, r2ar, r3, r4, r5)).map(_.getName)
+        === Some("BENCH_r05.json"))
+      // all contaminated → newest anyway, never None
+      assert(Bench.pickCleanBaseline(Seq(r2ar, r3)).map(_.getName)
+        === Some("BENCH_r03.json"))
+      // the REAL r16 artifact must read contaminated under this rule
+      val real = new java.io.File("/root/repo/BENCH_r16.json")
+      if (real.isFile) assert(Bench.isHostDrift(real),
+        "BENCH_r16.json lost its retroactive host_drift annotation")
+      val real15 = new java.io.File("/root/repo/BENCH_r15.json")
+      if (real15.isFile) assert(!Bench.isHostDrift(real15),
+        "BENCH_r15.json (clean round) must not read contaminated")
+    } finally {
+      Option(dir.listFiles()).toSeq.flatten.foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("compact line renders null-side skew and absent drift without keys lost") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     // amp alive with base dead — the ADVICE r13 case: the amp block

@@ -27,6 +27,7 @@ import sys
 def load(path):
     with open(path) as f:
         doc = json.load(f)
+    top = doc  # wrapper-level annotations (e.g. retroactive host_drift)
     if "parsed" in doc and isinstance(doc["parsed"], dict):
         parsed = doc["parsed"]
         # anchors may only exist on the compact line the driver parsed,
@@ -61,14 +62,31 @@ def load(path):
     forced = {(qorder[int(k)] if k.isdigit() and int(k) < len(qorder) else k): v
               for k, v in forced.items()
               if isinstance(v, (int, float)) and v > 0}
-    return queries, anchors, forced
+    # host-contamination mark (VERDICT r16 task 2): an explicit
+    # top-level "host_drift" annotation, the compact line's "hd" stamp,
+    # or a published anchor ratio past the 1.3x band (pre-stamp rounds:
+    # r16's line already carries "ar":1.95). Only HIGH ar marks
+    # contamination — contention only ever slows a host.
+    drift = doc.get("drift") or {}
+    ar = drift.get("ar") if isinstance(drift, dict) else None
+    hd = bool(top.get("host_drift")) or "hd" in doc or \
+        (isinstance(ar, (int, float)) and ar > 1.3)
+    return queries, anchors, forced, hd
 
 
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    q_old, a_old, f_old = load(sys.argv[1])
-    q_new, a_new, f_new = load(sys.argv[2])
+    q_old, a_old, f_old, hd_old = load(sys.argv[1])
+    q_new, a_new, f_new, hd_new = load(sys.argv[2])
+    if hd_old:
+        print(f"*** WARNING: {sys.argv[1]} is host-drift marked — its "
+              "absolute numbers ran on a contaminated host; prefer the "
+              "last clean round as the old side ***")
+    if hd_new:
+        print(f"*** WARNING: {sys.argv[2]} is host-drift marked — read "
+              "the drift-controlled column only; the raw column and "
+              "totals are contaminated ***")
     shared_anchors = sorted(set(a_old) & set(a_new))
     if shared_anchors:
         g_old = math.exp(sum(math.log(a_old[a]) for a in shared_anchors)
@@ -81,6 +99,10 @@ def main():
             print(f"  {a:16s} {a_old[a]:8.4f} -> {a_new[a]:8.4f}  "
                   f"x{a_new[a] / a_old[a]:.3f}")
         print(f"host drift factor (anchor geomean ratio): x{host:.3f}")
+        if host > 1.3:
+            print("*** host drift exceeds the 1.3x contamination band — "
+                  "the new side ran on a loaded host; trust only the "
+                  "drift-controlled column ***")
     else:
         host = 1.0
         print("WARNING: no shared anchors — raw ratios only "
