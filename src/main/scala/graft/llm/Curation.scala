@@ -959,35 +959,37 @@ object Curation {
   /** [[incrementalRefresh]] against the STANDING serving artifacts —
     * the production form of the gate: the corpus never appears; every
     * tier probes the persisted index it maintains (content-hash table,
-    * band + token-set tables, pinned-IVF seeds/assigned — whose `v`
-    * column also supplies the verify-side corpus vectors, so the
-    * semantic verify reads the INDEX, not the raw embeddings), plus the
-    * caller-held eval-gram set. Per batch the wire carries only the
-    * delta: LlmSpec pins that the composed plan keeps every BUCKETED
-    * index scan (hash / bands / toks) free of exchanges on its
-    * scan→join path (the per-tier `_idx` co-location survives the
-    * four-way composition), and that the directory-partitioned
-    * `assigned` table never shuffles under the default broadcast
-    * config (the delta side broadcasts; if a batch ever outgrows the
-    * threshold, the upgrade is bucketing the assignment like the other
-    * tiers). Also pinned row-identical to the in-query
-    * [[incrementalRefresh]] over the same corpus. */
+    * band + token-set tables, pinned-IVF seeds + the BUCKETED
+    * `assigned` table — whose `v` column also supplies the verify-side
+    * corpus vectors, so the semantic verify reads the INDEX, not the
+    * raw embeddings), plus the caller-held eval-gram set. Per batch
+    * the wire carries only the delta: LlmSpec pins that the composed
+    * plan keeps every BUCKETED index scan (hash / bands / toks /
+    * assigned) free of exchanges on its scan→join path WITH BROADCAST
+    * DISABLED (VERDICT r16 task 4 closed the last broadcast
+    * dependence: `assigned` is bucketed by cluster and the corpus
+    * vector rides THROUGH the cluster join into the verify, so no
+    * corpus-sized side ever shuffles no matter how large the batch —
+    * a 100×-scale delta just shuffles itself into the buckets). Also
+    * pinned row-identical to the in-query [[incrementalRefresh]] over
+    * the same corpus. */
   def incrementalRefreshServed(
       deltaDocs: DataFrame, deltaEmb: DataFrame, spark: SparkSession,
       hashTable: String, bandTable: String, ivfPath: String,
       evGrams: DataFrame, minTokens: Int = 5, tau: Double = 0.99): DataFrame = {
     val ex = Dedup.probeHashIndex(deltaDocs, spark, hashTable)
     val nr = Dedup.probeBandIndex(deltaDocs, spark, bandTable)
-    val assigned = spark.read.parquet(s"$ivfPath/assigned")
+    val assigned = spark.table(Similarity.ivfPinnedTable(ivfPath))
     val seeds = spark.read.parquet(s"$ivfPath/seeds").collect()
       .map(r => (r.getLong(r.fieldIndex("seed_id")),
         r.getSeq[Double](r.fieldIndex("sv")).toSeq)).toSeq
-    val cand = deltaEmb
-      .withColumn("cluster", Similarity.pinnedAssignExpr(seeds, col("v")))
-      .join(assigned.select(col("vec_id").as("corpus_id"), col("cluster")), "cluster")
-      .select(col("vec_id").as("delta_id"), col("corpus_id"))
-    val sm = Similarity.semVerdictFrom(
-      cand, assigned.select(col("vec_id"), col("v").as("embedding")), deltaEmb, tau)
+    val pairs = deltaEmb
+      .select(col("vec_id").as("delta_id"), col("v").as("dv"))
+      .withColumn("cluster", Similarity.pinnedAssignExpr(seeds, col("dv")))
+      .join(assigned.select(
+        col("vec_id").as("corpus_id"), col("v").as("cv"), col("cluster")), "cluster")
+      .select(col("delta_id"), col("dv"), col("corpus_id"), col("cv"))
+    val sm = Similarity.semVerdictTail(pairs, deltaEmb, tau)
     val contam = gramHashRows(deltaDocs, 8)
       .join(evGrams, Seq("gram_h"), "left_semi")
       .select(col("doc_id")).distinct()
@@ -1056,31 +1058,53 @@ object Curation {
     val sm = sem.select(col("vec_id").as("doc_id"),
       col("status").as("sm_s"), col("dup_of").as("sm_d"))
     val contam = contamIds.select(col("doc_id")).withColumn("contam", lit(1))
+    // stage 0 — BATCH-LOCAL exact dedup (VERDICT r16 task 5): two
+    // copies arriving INSIDE one batch both probe the standing indexes
+    // as new (neither is in any index yet), so without this stage both
+    // would read 'train' and both would be admitted. The batch's own
+    // md5 groups pick a min-id victor per text; every non-victor reads
+    // exact_dup OF THE VICTOR before any corpus tier fires — so only
+    // the victor continues down the cascade (and into admission, which
+    // then represents the whole group in the indexes). A victor's
+    // dup_of is always ANOTHER batch id, never its own, so the
+    // self-heal rule (exact_dup with dup_of == doc_id ⇒ replayed
+    // admission) is untouched. Delta-bounded: one delta-sized groupBy.
+    val bVict = deltaDocs
+      .groupBy(md5(col("text")).as("bh"))
+      .agg(min(col("doc_id")).as("b_keep"))
+    val bx = deltaDocs.select(col("doc_id"), md5(col("text")).as("bh"))
+      .join(bVict, "bh")
+      .filter(col("doc_id") > col("b_keep"))
+      .select(col("doc_id"), col("b_keep"))
     deltaDocs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(bx, Seq("doc_id"), "left")
       .join(ex, Seq("doc_id"), "left")
       .join(nr, Seq("doc_id"), "left")
       .join(sm, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        when(col("ex_s") === "dup", "exact_dup")
+        when(col("b_keep").isNotNull, "exact_dup")
+          .when(col("ex_s") === "dup", "exact_dup")
           .when(col("nr_s") === "near_dup", "near_dup")
           .when(col("sm_s") === "near_dup", "sem_dup")
           .when(col("contam").isNotNull, "contaminated")
           .when(col("n_tokens") < minTokens, "low_quality")
           .otherwise("train").as("verdict"),
-        when(col("ex_s") === "dup", col("ex_d"))
+        when(col("b_keep").isNotNull, col("b_keep"))
+          .when(col("ex_s") === "dup", col("ex_d"))
           .when(col("nr_s") === "near_dup", col("nr_d"))
           .when(col("sm_s") === "near_dup", col("sm_d"))
           .otherwise(lit(-1L)).as("dup_of"))
       .orderBy(col("doc_id"))
   }
 
-  /** The refresh batch's DOCUMENT side — six deterministic slices, one
-    * per verdict class the cascade can emit (each +offset keeps the
-    * delta ids disjoint from the corpus and each other):
+  /** The refresh batch's DOCUMENT side — seven deterministic slices
+    * covering every verdict class the cascade can emit, including the
+    * intra-batch duplicate pair stage 0 exists for (each +offset keeps
+    * the delta ids disjoint from the corpus and each other):
     *  - %5 → +1M: verbatim copies (exact tier fires);
     *  - %7 → +2M: " appended revision" suffix (near tier's fixture —
     *    long docs stay over the 0.9 Jaccard bar, short ones fall
@@ -1126,6 +1150,19 @@ object Curation {
       .unionByName(d.filter(col("doc_id") % 19 === 0)
         .select((col("doc_id") + 6000000L).as("doc_id"),
           concat(lit("tiny doc "), col("doc_id").cast("string")).as("text")))
+      // %23 → +7M AND +8M: the SAME novel text under two batch ids —
+      // the intra-batch duplicate slice (VERDICT r16 task 5). Neither
+      // copy exists in any standing index, so only cascade stage 0
+      // (batch-local exact dedup) can catch the pair: +7M is the
+      // min-id victor (→ train, admitted), +8M reads exact_dup of it.
+      .unionByName(d.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(lit("intra batch duplicate payload "),
+            col("doc_id").cast("string")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          concat(lit("intra batch duplicate payload "),
+            col("doc_id").cast("string")).as("text")))
   }
 
   /** The refresh batch's EMBEDDING side, id-aligned with
@@ -1147,6 +1184,10 @@ object Curation {
       .unionByName(slice(13, 4000000L, col("v")))
       .unionByName(slice(17, 5000000L, rot))
       .unionByName(slice(19, 6000000L, rot))
+      // the intra-batch twins carry rotations (not semantic dups of
+      // any corpus vector — stage 0 must be the ONLY tier that fires)
+      .unionByName(slice(23, 7000000L, rot))
+      .unionByName(slice(23, 8000000L, rot))
   }
 
   /** Oracle for [[incrementalRefresh]] over the declared fixtures —
@@ -1178,9 +1219,22 @@ object Curation {
         |  WHERE dd.doc_id % 17 = 0
         |  UNION ALL
         |  SELECT doc_id + 6000000, 'tiny doc ' || CAST(doc_id AS VARCHAR)
-        |  FROM documents WHERE doc_id % 19 = 0""".stripMargin
+        |  FROM documents WHERE doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 7000000,
+        |         'intra batch duplicate payload ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 8000000,
+        |         'intra batch duplicate payload ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 23 = 0""".stripMargin
     s"""WITH delta(doc_id, text) AS (
        |  $deltaSql),
+       |bvict AS (SELECT md5(text) AS bh, MIN(doc_id) AS b_keep FROM delta GROUP BY 1),
+       |bx AS (
+       |  SELECT d.doc_id, v.b_keep FROM delta d
+       |  JOIN bvict v ON md5(d.text) = v.bh
+       |  WHERE d.doc_id > v.b_keep),
        |xidx AS (
        |  SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
        |xver AS (
@@ -1227,7 +1281,17 @@ object Curation {
        |  SELECT vec_id + 6000000,
        |         list_transform(range(1, ${Similarity.Dim + 1}),
        |                        i -> v[1 + ((i - 1 + 7) % ${Similarity.Dim})])
-       |  FROM e WHERE vec_id % 19 = 0),
+       |  FROM e WHERE vec_id % 19 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 7000000,
+       |         list_transform(range(1, ${Similarity.Dim + 1}),
+       |                        i -> v[1 + ((i - 1 + 7) % ${Similarity.Dim})])
+       |  FROM e WHERE vec_id % 23 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 8000000,
+       |         list_transform(range(1, ${Similarity.Dim + 1}),
+       |                        i -> v[1 + ((i - 1 + 7) % ${Similarity.Dim})])
+       |  FROM e WHERE vec_id % 23 = 0),
        |seeds AS (
        |  SELECT vec_id AS seed_id, v AS sv FROM e
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -1269,17 +1333,20 @@ object Curation {
        |contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram_h)),
        |ntok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM delta)
        |SELECT d.doc_id,
-       |       CASE WHEN xver.keep_id IS NOT NULL THEN 'exact_dup'
+       |       CASE WHEN bx.b_keep IS NOT NULL THEN 'exact_dup'
+       |            WHEN xver.keep_id IS NOT NULL THEN 'exact_dup'
        |            WHEN ndup.dup_of IS NOT NULL THEN 'near_dup'
        |            WHEN sdup.dup_of IS NOT NULL THEN 'sem_dup'
        |            WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
        |            WHEN ntok.n_tokens < 5 THEN 'low_quality'
        |            ELSE 'train' END AS verdict,
-       |       CAST(CASE WHEN xver.keep_id IS NOT NULL THEN xver.keep_id
+       |       CAST(CASE WHEN bx.b_keep IS NOT NULL THEN bx.b_keep
+       |            WHEN xver.keep_id IS NOT NULL THEN xver.keep_id
        |            WHEN ndup.dup_of IS NOT NULL THEN ndup.dup_of
        |            WHEN sdup.dup_of IS NOT NULL THEN sdup.dup_of
        |            ELSE -1 END AS BIGINT) AS dup_of
        |FROM delta d
+       |LEFT JOIN bx ON bx.doc_id = d.doc_id
        |LEFT JOIN xver ON xver.doc_id = d.doc_id
        |LEFT JOIN ndup ON ndup.delta_id = d.doc_id
        |LEFT JOIN sdup ON sdup.delta_id = d.doc_id

@@ -74,16 +74,28 @@ object GateOps {
   }
 
   /** [[bootGate]] covering BOTH index families a full refresh gate
-    * reads: the catalog-backed bucketed tables (hash/band/gram/SRP —
-    * [[Dedup.recoverCompact]]) and the path-based cluster-partitioned
-    * IVF pairs ([[graft.llm.Similarity.recoverCompactIvf]], whose swap
-    * states live on the filesystem, not in the catalog). One boot call
-    * heals every standing artifact before the gate's plan resolves. */
+    * reads: the catalog-backed bucketed tables (hash/band/gram/SRP and,
+    * since the VERDICT r16 task 4 bucketing, the PINNED IVF `assigned`
+    * table — all via [[Dedup.recoverCompact]]) and the path-based
+    * cluster-partitioned IVF/PQ pairs
+    * ([[graft.llm.Similarity.recoverCompactIvf]], whose swap states
+    * live on the filesystem, not in the catalog). Each `ivfPath` is
+    * dispatched by what the catalog knows: if the path's derived
+    * pinned table (or its `_compacting` sibling) is registered, the
+    * swap states are catalog states and the bucketed-table recovery
+    * applies; otherwise the path belongs to the directory-partitioned
+    * family and the filesystem recovery runs. One boot call heals
+    * every standing artifact before the gate's plan resolves. */
   def bootGate(
       spark: SparkSession, tables: Seq[String], ivfPaths: Seq[String])(
       start: () => StreamingQuery): (Map[String, String], StreamingQuery) = {
     val tableActions = tables.map(t => t -> Dedup.recoverCompact(spark, t))
-    val ivfActions = ivfPaths.map(p => p -> graft.llm.Similarity.recoverCompactIvf(p))
+    val ivfActions = ivfPaths.map { p =>
+      val t = graft.llm.Similarity.ivfPinnedTable(p)
+      if (spark.catalog.tableExists(t) || spark.catalog.tableExists(s"${t}_compacting"))
+        p -> Dedup.recoverCompact(spark, t)
+      else p -> graft.llm.Similarity.recoverCompactIvf(p)
+    }
     ((tableActions ++ ivfActions).toMap, start())
   }
 

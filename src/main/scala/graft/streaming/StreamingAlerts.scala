@@ -861,7 +861,7 @@ object StreamingAlerts {
         val seeds = s.read.parquet(s"$path/seeds").collect()
           .map(r => (r.getLong(r.fieldIndex("seed_id")),
             r.getSeq[Double](r.fieldIndex("sv")).toSeq)).toSeq
-        val assignedStatic = s.read.parquet(s"$path/assigned")
+        val assignedStatic = s.table(Similarity.ivfPinnedTable(path))
           .select(col("vec_id").as("corpus_id"), col("cluster"))
         val name = "stream_sdp_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val q = Similarity.semDeDupDelta(
@@ -875,7 +875,7 @@ object StreamingAlerts {
         Similarity.semVerdictFrom(
             s.table(name).localCheckpoint(), emb, Similarity.semDeDupDelta(emb))
           .localCheckpoint()
-      } finally graft.Bench.deleteRecursively(path)
+      } finally Similarity.dropIvfIndexPinned(s, path)
     },
 
     // STREAMING INCREMENTAL REFRESH GATE (r16): the online form of the
@@ -914,34 +914,24 @@ object StreamingAlerts {
         val seeds = s.read.parquet(s"$path/ivf/seeds").collect()
           .map(r => (r.getLong(r.fieldIndex("seed_id")),
             r.getSeq[Double](r.fieldIndex("sv")).toSeq)).toSeq
-        val assignedStatic = s.read.parquet(s"$path/ivf/assigned")
+        val assignedStatic = s.table(Similarity.ivfPinnedTable(s"$path/ivf"))
           .select(col("vec_id").as("corpus_id"), col("cluster"))
         val evG = Curation.evalGrams(docs, col("doc_id") % 7 === 0)
-        // the delta stream: the eval-leak slice's text comes from the
-        // STATIC table (evalFrom) — the stream never self-joins
-        val dStream = Curation.refreshDeltaDocs(
-          docsStream(s, dir).select(col("doc_id"), col("text")), docs)
-        val x = dStream.select(col("doc_id"), md5(col("text")).as("h"))
-          .join(s.table(hashTbl), Seq("h"))
-          .select(col("doc_id").as("delta_id"), lit("x").as("tier"),
-            col("keep_id").as("cand_id"))
-        val n = Dedup.tokenBanded(dStream)
-          .join(s.table(s"${bandTbl}_bands"), Seq("band_idx", "band_hash"))
-          .select(col("doc_id").as("delta_id"), lit("n").as("tier"),
-            col("corpus_id").as("cand_id"))
-        val c = dStream.select(col("doc_id"),
-            graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("pos", "gram_h")))
-          .join(evG, Seq("gram_h"))
-          .select(col("doc_id").as("delta_id"), lit("c").as("tier"),
-            lit(-1L).as("cand_id"))
-        val sm = Curation.refreshDeltaEmb(
-            embStream(s, dir).select(col("vec_id"), col("embedding")))
-          .withColumn("cluster", Similarity.pinnedAssignExpr(seeds, col("v")))
-          .join(assignedStatic, Seq("cluster"))
-          .select(col("vec_id").as("delta_id"), lit("s").as("tier"),
-            col("corpus_id").as("cand_id"))
         val name = s"stream_rfr_$uid"
-        val q = x.unionByName(n).unionByName(c).unionByName(sm)
+        // stateful in-stream dedup CHOSEN BY MEASUREMENT (VERDICT r16
+        // task 3, SinkVolumeProbe): the n tier emits one row per
+        // agreeing band and the c tier one per matching gram, so the
+        // pre-distinct hit stream sank 10.1M rows in ~48 s at sf0.1
+        // (the 233 s Verify class) vs 5.4M rows in ~13 s with
+        // dropDuplicates — the state store absorbs the duplicate keys
+        // for a 3.6× wall win, and the verdict is identical by
+        // construction (every batch-side verdict builder re-distincts
+        // the sunk hits). On an unbounded source the production form
+        // is dropDuplicatesWithinWatermark; under AvailableNow the
+        // state is bounded by the distinct hit set.
+        val q = refreshHitStream(s, dir, docs, hashTbl, bandTbl, seeds,
+            assignedStatic, evG)
+          .dropDuplicates("delta_id", "tier", "cand_id")
           .writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -966,6 +956,7 @@ object StreamingAlerts {
         s.sql(s"DROP TABLE IF EXISTS $hashTbl")
         s.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")
         s.sql(s"DROP TABLE IF EXISTS ${bandTbl}_toks")
+        Similarity.dropIvfIndexPinned(s, s"$path/ivf")
         graft.Bench.deleteRecursively(path)
       }
     },
@@ -1077,6 +1068,52 @@ object StreamingAlerts {
   def ordersStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/orders.parquet").schema
     spark.readStream.schema(schema).parquet(s"$dir/orders.*")
+  }
+
+  /** The streaming refresh gate's four stateless probe branches —
+    * x (content hash) ∪ n (minhash bands) ∪ c (eval 8-grams) ∪ s
+    * (pinned cell) — over the declared delta fixture, unioned into
+    * one tier-tagged hit stream. Every branch is a stream-static
+    * join, so only the arriving batch crosses the wire. Extracted
+    * from the `streaming_refresh_probe` declaration so
+    * [[graft.SinkVolumeProbe]] can measure the sink-volume trade
+    * (pre-distinct hits vs stateful dropDuplicates) on the EXACT
+    * production stream, not a reconstruction (VERDICT r16 task 3).
+    * NOTE: the hit stream is sunk PRE-distinct by default — the
+    * batch-side verdicts re-distinct anyway, so a consumer may
+    * insert `dropDuplicates(delta_id, tier, cand_id)` (or, on an
+    * unbounded source, dropDuplicatesWithinWatermark) without
+    * changing any verdict; see PLANS.md's measured table for when
+    * the state store beats the sink volume. */
+  private[graft] def refreshHitStream(
+      s: SparkSession, dir: String, docs: DataFrame,
+      hashTbl: String, bandTbl: String,
+      seeds: Seq[(Long, Seq[Double])], assignedStatic: DataFrame,
+      evG: DataFrame): DataFrame = {
+    // the delta stream: the eval-leak slice's text comes from the
+    // STATIC table (evalFrom) — the stream never self-joins
+    val dStream = Curation.refreshDeltaDocs(
+      docsStream(s, dir).select(col("doc_id"), col("text")), docs)
+    val x = dStream.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(s.table(hashTbl), Seq("h"))
+      .select(col("doc_id").as("delta_id"), lit("x").as("tier"),
+        col("keep_id").as("cand_id"))
+    val n = Dedup.tokenBanded(dStream)
+      .join(s.table(s"${bandTbl}_bands"), Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("delta_id"), lit("n").as("tier"),
+        col("corpus_id").as("cand_id"))
+    val c = dStream.select(col("doc_id"),
+        graft.functions.ngram_hashes(col("text"), 8, 15).as(Seq("pos", "gram_h")))
+      .join(evG, Seq("gram_h"))
+      .select(col("doc_id").as("delta_id"), lit("c").as("tier"),
+        lit(-1L).as("cand_id"))
+    val sm = Curation.refreshDeltaEmb(
+        embStream(s, dir).select(col("vec_id"), col("embedding")))
+      .withColumn("cluster", Similarity.pinnedAssignExpr(seeds, col("v")))
+      .join(assignedStatic, Seq("cluster"))
+      .select(col("vec_id").as("delta_id"), lit("s").as("tier"),
+        col("corpus_id").as("cand_id"))
+    x.unionByName(n).unionByName(c).unionByName(sm)
   }
 
   /** `documents` as an unbounded source (same glob-addressing trick as

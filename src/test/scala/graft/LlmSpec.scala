@@ -2168,14 +2168,21 @@ class LlmSpec extends SparkSpec {
         (103L, (0 until 12).map(k => s"p103k$k").mkString(" ")), // novel text
         (104L, doc7head8 + " novel tail here now"),            // eval 8-gram leak
         (105L, "tiny stub"),                                   // 2 tokens
-        (106L, (0 until 12).map(k => s"q106k$k").mkString(" "))) // admitted
+        (106L, (0 until 12).map(k => s"q106k$k").mkString(" ")), // admitted
+        // intra-batch twin pair (VERDICT r16 task 5): same novel text
+        // under two ids — NEITHER is in any index, so only cascade
+        // stage 0 can catch the pair; 107 is the min-id victor
+        (107L, (0 until 12).map(k => s"t107k$k").mkString(" ")),
+        (108L, (0 until 12).map(k => s"t107k$k").mkString(" ")))
         .toDF("doc_id", "text")
       val batchEmb = Seq(
         (101L, basisVec(3)), (102L, basisVec(5)),
         (103L, basisVec(7)), // novel TEXT, corpus vector → only sem can catch
         (104L, Seq.fill(8)(0.35)),
         (105L, Seq.tabulate(8)(d => 0.3 + 0.05 * d)),
-        (106L, Seq.tabulate(8)(d => if (d % 2 == 0) 0.35 else -0.35)))
+        (106L, Seq.tabulate(8)(d => if (d % 2 == 0) 0.35 else -0.35)),
+        (107L, Seq.tabulate(8)(d => if (d % 2 == 0) -0.35 else 0.35)),
+        (108L, Seq.tabulate(8)(d => if (d % 2 == 0) -0.35 else 0.35)))
         .toDF("vec_id", "v")
       def probe() = Curation.incrementalRefreshServed(
           batchDocs, batchEmb, spark, hashTbl, bandTbl, s"$path/ivf", evG)
@@ -2187,23 +2194,31 @@ class LlmSpec extends SparkSpec {
       assert(served(104L)._1 === "contaminated")
       assert(served(105L)._1 === "low_quality")
       assert(served(106L) === (("train", -1L)))
+      // stage 0: the twin pair resolves INSIDE the batch — min-id
+      // victor trains, the copy reads exact_dup of the victor
+      assert(served(107L) === (("train", -1L)))
+      assert(served(108L) === (("exact_dup", 107L)))
       // served ≡ in-query over the same corpus, row for row
       val inQuery = Curation.incrementalRefresh(
           corpusDocs, corpusEmb, batchDocs, batchEmb,
           evalPred = col("doc_id") % 7 === 0)
         .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       assert(inQuery === served, "served gate diverges from the in-query cascade")
-      // admit: only the train doc enters the indexes
+      // admit: only the train docs enter the indexes (the twin VICTOR
+      // represents its pair; the batch copy is excluded)
       val admitted = Curation.admitRefreshBatch(
         probeVerdicts(served), batchDocs, batchEmb, spark, hashTbl, bandTbl, s"$path/ivf")
-      assert(admitted === 1L, s"expected 1 admitted doc, got $admitted")
-      // re-probe the SAME batch: the admitted doc now reads exact_dup
-      // of itself (first-write-wins under its own id); everything else
-      // is unchanged
+      assert(admitted === 2L, s"expected 2 admitted docs (106, 107), got $admitted")
+      // re-probe the SAME batch: the admitted docs now read exact_dup
+      // of themselves (first-write-wins under their own ids); the
+      // batch copy still reads exact_dup of the victor (stage 0 fires
+      // before the hash tier); everything else is unchanged
       val reprobe = probe()
       assert(reprobe(106L) === (("exact_dup", 106L)))
-      assert(reprobe - 106L === served - 106L,
-        "re-probe changed verdicts beyond the admitted doc")
+      assert(reprobe(107L) === (("exact_dup", 107L)))
+      assert(reprobe(108L) === (("exact_dup", 107L)))
+      assert(reprobe - 106L - 107L === served - 106L - 107L,
+        "re-probe changed verdicts beyond the admitted docs")
       // redelivery: re-admitting the re-probe routes the self-dup doc
       // back through admission (the ADVICE r16 self-healing path — a
       // replayed batch must re-offer formerly-train docs so a
@@ -2211,7 +2226,7 @@ class LlmSpec extends SparkSpec {
       // no-ops and the indexes answer identically afterwards
       val readmit = Curation.admitRefreshBatch(
         probeVerdicts(reprobe), batchDocs, batchEmb, spark, hashTbl, bandTbl, s"$path/ivf")
-      assert(readmit === 1L, s"self-heal replay should route 1 doc, got $readmit")
+      assert(readmit === 2L, s"self-heal replay should route 2 docs, got $readmit")
       assert(probe() === reprobe, "idempotent re-admit changed the indexes")
       // a self-dup of a CORPUS doc (dup_of != doc_id) is NOT routed:
       // only a doc's own replayed admission heals
@@ -2298,24 +2313,93 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pinned IVF compaction rides the bucketed-table machinery: fold, probe equality, crash recovery (r17)") {
+    // Since the r16-task-4 bucketing the pinned tier is just another
+    // bucketed serving table — its compaction story is
+    // Dedup.compactIndex/recoverCompact, not the path family's
+    // directory swap. This pins the integration: the sortBy'd bucket
+    // spec round-trips through compactWrite, the probe is identical
+    // over the compacted table, and the committed-write-then-DROP
+    // crash heals by catalog recovery.
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = tempDir("ivf_pin_compact")
+    val tbl = Similarity.ivfPinnedTable(path)
+    Similarity.buildIvfIndexPinned(emb.filter(col("vec_id") < 150), path)
+    Similarity.appendIvfIndexPinned(
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 300), spark, path)
+    Similarity.appendIvfIndexPinned(emb.filter(col("vec_id") >= 300), spark, path)
+    try {
+      def loc(): String = java.nio.file.Paths.get(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location).toString
+      def dataFiles(): Int = Option(new java.io.File(loc()).listFiles()).toSeq
+        .flatten.count(_.getName.startsWith("part-"))
+      assert(dataFiles() > Similarity.IvfPinnedBuckets,
+        s"fixture must accumulate appended file sets, got ${dataFiles()}")
+      val before = Similarity.ivfSearchPinned(spark, path, probeId = 0L, k = 20)
+        .collect().toSeq
+      Dedup.compactIndex(spark, tbl, s"$path/assigned_c1")
+      assert(dataFiles() <= Similarity.IvfPinnedBuckets,
+        s"compaction must fold to ≤1 file per bucket, got ${dataFiles()}")
+      assert(Similarity.ivfSearchPinned(spark, path, probeId = 0L, k = 20)
+        .collect().toSeq === before, "probe changed across compaction")
+      // crash state: compacted write committed, DROP issued, RENAME never ran
+      Dedup.compactWrite(spark, tbl, s"$path/assigned_c2")
+      spark.sql(s"DROP TABLE $tbl")
+      assert(Dedup.recoverCompact(spark, tbl) === "renamed")
+      assert(Similarity.ivfSearchPinned(spark, path, probeId = 0L, k = 20)
+        .collect().toSeq === before, "probe changed across crash recovery")
+      // and an append AFTER the compact+recover still lands bucketed
+      // (the spec survived two swaps) — re-appending the corpus is the
+      // idempotence no-op
+      Similarity.appendIvfIndexPinned(emb, spark, path)
+      assert(spark.table(tbl).count() === emb.count(),
+        "post-compaction append lost idempotence")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+      Bench.deleteRecursively(path)
+    }
+  }
+
+  test("planted staleness audit: the stale column measurably sags (r17)") {
+    // VERDICT r16 task 6's 'done' condition: the declared audit must
+    // DEMONSTRATE the refit-cadence signal, not just hash-pin. On the
+    // planted drift fixture every probe is an appended new-topic
+    // member, so stale recall (base-slice seeds) must sit clearly
+    // below refit recall (union seeds). Measured 0.37 vs 0.85 at
+    // sf0.001 (deterministic — same numbers every run and both
+    // engines); the 0.2 floor leaves room for testdata regeneration
+    // to move member counts without ever letting the gap vanish.
+    val rows = Similarity
+      .ivfStalenessAuditPlanted(Tables.embeddings(spark, sf("sf0.001")))
+      .collect()
+    assert(rows.length >= 5, s"need a real probe population, got ${rows.length}")
+    val stale = rows.map(_.getAs[Double]("recall_stale")).sum / rows.length
+    val refit = rows.map(_.getAs[Double]("recall_refit")).sum / rows.length
+    info(f"planted staleness: stale=$stale%.3f refit=$refit%.3f gap=${refit - stale}%.3f")
+    assert(refit - stale >= 0.2,
+      f"stale-vs-refit gap collapsed: stale=$stale%.3f refit=$refit%.3f")
+  }
+
   /** Rebuild a verdict frame from a collected map (the loop test
     * re-feeds probe output into admitRefreshBatch). */
   private def probeVerdicts(m: Map[Long, (String, Long)]): DataFrame =
     m.toSeq.map { case (id, (v, d)) => (id, v, d) }
       .toDF("doc_id", "verdict", "dup_of")
 
-  test("served gate composition: the bucketed index reads stay co-located, the partitioned one broadcasts (r16)") {
+  test("served gate composition: EVERY index read stays co-located with broadcast disabled (r17)") {
     // The per-tier `_idx` pins prove each probe alone shuffles only the
     // delta; this pins that the CASCADE's composed plan preserves them:
     // with broadcast disabled, no shuffle exchange sits above a scan of
-    // the hash / band / token BUCKETED tables (their co-location
-    // survives the four-way join tree). The pinned-IVF `assigned` side
-    // is DIRECTORY-partitioned (partition pruning for the search path,
-    // not join co-location), so under broadcast-disabled it legally
-    // re-partitions — and under the DEFAULT config the delta side
-    // broadcasts, so `assigned` never shuffles either (asserted
-    // separately; the bucketed-table upgrade is the noted escape if a
-    // batch ever outgrows the broadcast threshold).
+    // the hash / band / token / ASSIGNED bucketed tables (their
+    // co-location survives the four-way join tree). The pinned-IVF
+    // `assigned` side was the last broadcast dependence (VERDICT r16
+    // task 4: directory-partitioned, so a batch outgrowing the
+    // broadcast threshold re-partitioned the corpus) — it is now
+    // bucketed by cluster and the corpus vector rides THROUGH the
+    // cluster join into the verify, so the [sj] discipline holds for
+    // all four index scans: a batch of ANY size shuffles only itself.
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.llm.Curation
@@ -2362,11 +2446,14 @@ class LlmSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = servedPlan()
-      for (frag <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks")) {
+      for (frag <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks",
+          "/ivf/assigned")) {
         assert(misLocated(plan, frag, shuffledSinceJoin = false) === 0,
           s"a shuffle sits between the bucketed $frag scan and its join — " +
             s"co-location lost in composition:\n$plan")
       }
+      // and under the default config too (regression guard: a planner
+      // change must never trade the bucketed co-location away)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       val planB = servedPlan()
       assert(misLocated(planB, "/ivf/assigned", shuffledSinceJoin = false) === 0,
@@ -2376,6 +2463,7 @@ class LlmSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $hashTbl")
       spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_bands")
       spark.sql(s"DROP TABLE IF EXISTS ${bandTbl}_toks")
+      llm.Similarity.dropIvfIndexPinned(spark, s"$path/ivf")
     }
   }
 }

@@ -162,6 +162,10 @@ class RelationalSpec extends SparkSpec {
       // broadcast probe frame — the annRecall probe class + the
       // k-bounded domain-grid class
       "embed_ivf_staleness_audit",
+      // r17: the planted-drift variant is the same stalenessTable
+      // machinery over the integer-derived fixture — identical probe
+      // + seed-grid crosses
+      "embed_ivf_staleness_planted",
       // incremental semantic dedup assigns corpus + delta via the
       // broadcast 16-row seed grid (the same k-bounded domain-grid
       // class as the pinned IVF forms)

@@ -1106,22 +1106,32 @@ class StreamingSpec extends SparkSpec {
     def gate() = llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
       .join(spark.table(s"${tbl}_bands"), Seq("band_idx", "band_hash"))
       .select(col("doc_id").as("delta_id"), col("corpus_id"))
-    // a path-based IVF pair crashed mid-swap alongside the table crash:
-    // the combined boot must heal BOTH families before the gate starts
+    // BOTH IVF families crashed mid-swap alongside the band-table
+    // crash: the PINNED tier is a bucketed catalog table since the
+    // r16-task-4 bucketing (its swap states are catalog states —
+    // compacted write committed, DROP issued, RENAME never ran), and
+    // the UNPINNED directory-partitioned tier's states live on the
+    // filesystem. The combined boot must dispatch each ivfPath to the
+    // right recovery and heal all three artifacts before the gate
+    // starts.
     val embCorpus = (0L until 20L)
       .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 8).toInt) 1.0 else 0.0), 0))
       .toDF("vec_id", "embedding", "label")
     llm.Similarity.buildIvfIndexPinned(embCorpus, s"$path/ivf")
+    val pinnedTbl = llm.Similarity.ivfPinnedTable(s"$path/ivf")
+    llm.Dedup.compactWrite(spark, pinnedTbl, s"$path/ivf/assigned_c2")
+    spark.sql(s"DROP TABLE $pinnedTbl")
+    llm.Similarity.buildIvfIndex(embCorpus, s"$path/kmeans", nClusters = 4)
     java.nio.file.Files.move(
-      java.nio.file.Paths.get(s"$path/ivf", "assigned"),
-      java.nio.file.Paths.get(s"$path/ivf", "assigned_compacting"))
+      java.nio.file.Paths.get(s"$path/kmeans", "assigned"),
+      java.nio.file.Paths.get(s"$path/kmeans", "assigned_compacting"))
     try {
       // construct the crash: compacted write committed, old table
       // dropped, RENAME never issued
       llm.Dedup.compactWrite(spark, s"${tbl}_bands", s"$path/${tbl}_c2")
       spark.sql(s"DROP TABLE ${tbl}_bands")
       val (actions, q) = streaming.GateOps.bootGate(
-        spark, Seq(s"${tbl}_bands"), Seq(s"$path/ivf")) {
+        spark, Seq(s"${tbl}_bands"), Seq(s"$path/ivf", s"$path/kmeans")) {
         () => gate().writeStream
           .format("memory").queryName("gateops_boot_run").outputMode("append").start()
       }
@@ -1129,9 +1139,13 @@ class StreamingSpec extends SparkSpec {
         assert(actions(s"${tbl}_bands") === "renamed",
           s"boot must finish the interrupted swap, got $actions")
         assert(actions(s"$path/ivf") === "renamed",
+          s"boot must heal the pinned (catalog) IVF swap too, got $actions")
+        assert(actions(s"$path/kmeans") === "renamed",
           s"boot must heal the path-based IVF swap too, got $actions")
-        assert(spark.read.parquet(s"$path/ivf/assigned").count() === 20L,
-          "recovered assigned table must serve the full corpus")
+        assert(spark.table(pinnedTbl).count() === 20L,
+          "recovered pinned assigned table must serve the full corpus")
+        assert(spark.read.parquet(s"$path/kmeans/assigned").count() === 20L,
+          "recovered path-based assigned table must serve the full corpus")
         mem.addData(Seq((201L, docA)))
         q.processAllAvailable()
         assert(spark.table("gateops_boot_run")
@@ -1154,6 +1168,8 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands_compacting")
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_toks")
+      spark.sql(s"DROP TABLE IF EXISTS $pinnedTbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${pinnedTbl}_compacting")
     }
   }
 
