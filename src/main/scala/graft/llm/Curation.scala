@@ -1061,25 +1061,27 @@ object Curation {
     // stage 0 — BATCH-LOCAL exact dedup (VERDICT r16 task 5): two
     // copies arriving INSIDE one batch both probe the standing indexes
     // as new (neither is in any index yet), so without this stage both
-    // would read 'train' and both would be admitted. The batch's own
-    // md5 groups pick a min-id victor per text; every non-victor reads
-    // exact_dup OF THE VICTOR before any corpus tier fires — so only
-    // the victor continues down the cascade (and into admission, which
-    // then represents the whole group in the indexes). A victor's
-    // dup_of is always ANOTHER batch id, never its own, so the
-    // self-heal rule (exact_dup with dup_of == doc_id ⇒ replayed
-    // admission) is untouched. Delta-bounded: one delta-sized groupBy.
-    val bVict = deltaDocs
-      .groupBy(md5(col("text")).as("bh"))
-      .agg(min(col("doc_id")).as("b_keep"))
-    val bx = deltaDocs.select(col("doc_id"), md5(col("text")).as("bh"))
-      .join(bVict, "bh")
-      .filter(col("doc_id") > col("b_keep"))
-      .select(col("doc_id"), col("b_keep"))
+    // would read 'train' and both would be admitted. A window-min over
+    // the batch's own md5 groups picks a per-text victor; every
+    // non-victor reads exact_dup OF THE VICTOR before any corpus tier
+    // fires — so only the victor continues down the cascade (and into
+    // admission, which then represents the whole group in the
+    // indexes). A victor's dup_of is always ANOTHER batch id, never
+    // its own, so the self-heal rule (exact_dup with dup_of == doc_id
+    // ⇒ replayed admission) is untouched. Delta-bounded and
+    // single-pass: the window rides the SAME scan that computes
+    // n_tokens (one delta-sized shuffle, no join-back — a
+    // groupBy+rejoin form re-derived the uncached 7-slice delta twice
+    // more and cost ~0.9 s on the headline fixture).
+    val byText = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
     deltaDocs
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(bx, Seq("doc_id"), "left")
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        min(col("doc_id")).over(byText).as("b_min"))
+      .withColumn("b_keep",
+        when(col("b_min") < col("doc_id"), col("b_min")))
+      .drop("b_min")
       .join(ex, Seq("doc_id"), "left")
       .join(nr, Seq("doc_id"), "left")
       .join(sm, Seq("doc_id"), "left")

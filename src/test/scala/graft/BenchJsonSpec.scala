@@ -18,7 +18,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchJsonSpec extends AnyFunSuite {
 
-  private def worstCase(names: Seq[String], medCap: Int = 4): String = {
+  private def worstCase(
+      names: Seq[String], medCap: Int = 4, hd: Boolean = true): String = {
     val mins = names.zipWithIndex.map { case (n, i) =>
       // one errored query (renders "-1"), the rest 4-dp values at a
       // pathologically slow magnitude (>=100 s per query) so the bound
@@ -39,17 +40,26 @@ class BenchJsonSpec extends AnyFunSuite {
       fdc = Some(Bench.forcedQueries.map(_ => Some(12.34))),
       skewBase = Some((123.4567, 23.4567)),
       skewAmp = Some((345.6789, 12.3456)),
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      // worst case includes the host-drift stamp (r17): a contaminated
+      // round's line must also fit the driver window
+      hostDrift = hd)
   }
 
   test("compact line fits the driver tail window with headroom") {
-    val line = worstCase(SparkEntry.headline)
-    info(s"worst-case compact line: ${line.length} chars (driver window 2000)")
     // 1600, not 1700 (VERDICT r15 task 7): the r16 trim pre-buys the
-    // next rounds' growth AND the widened med net's extra entries
-    assert(line.length <= 1600,
-      s"compact line is ${line.length} chars — the driver tail-capture " +
+    // next rounds' growth AND the widened med net's extra entries. A
+    // CONTAMINATED round carries the 7-char `"hd":1,` stamp (r17) on
+    // top — gated at 1610 so the stamp can never be the overflow.
+    val clean = worstCase(SparkEntry.headline, hd = false)
+    info(s"worst-case clean compact line: ${clean.length} chars (driver window 2000)")
+    assert(clean.length <= 1600,
+      s"compact line is ${clean.length} chars — the driver tail-capture " +
         "window is 2000; trim a block or shorten keys before adding queries")
+    val stamped = worstCase(SparkEntry.headline)
+    info(s"worst-case stamped compact line: ${stamped.length} chars")
+    assert(stamped.length <= 1610,
+      s"host-drift-stamped line is ${stamped.length} chars")
   }
 
   test("spare med slot: a FIFTH median entry still fits the pre-trim bound") {
@@ -126,7 +136,7 @@ class BenchJsonSpec extends AnyFunSuite {
   test("host-drift stamp: contaminated baselines are skipped (VERDICT r16 task 2)") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     // the stamp renders only on contaminated rounds (zero budget clean)
-    val clean = worstCase(SparkEntry.headline)
+    val clean = worstCase(SparkEntry.headline, hd = false)
     assert(!om.readTree(clean).has("hd"), "clean line must not carry hd")
     val stamped = Bench.compactJson(1.0, Seq("q" -> Some(1.0)), Nil,
       Some(("BENCH_r16.json", 1.95, Seq(Some(0.8)))), None, Nil, Nil,

@@ -596,6 +596,45 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(noEmb(9L) === (("exact_dup", 1L)))
   }
+
+  test("round-17 cascade stage 0 survives degenerate batch shapes") {
+    val embOne = Seq((1L, Array.fill(8)(0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val emptyDeltaEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+    // a batch that is ENTIRELY one text under five ids: the min-id
+    // victor alone continues the cascade (novel + long enough →
+    // train); every other copy reads exact_dup OF THE VICTOR
+    val monoBatch = (10L to 14L)
+      .map(i => (i, "five identical copies of one arriving document"))
+      .toDF("doc_id", "text")
+    val mono = Curation.incrementalRefresh(
+        oneDoc, embOne, monoBatch, emptyDeltaEmb, evalPred = lit(false))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(mono(10L) === (("train", -1L)))
+    for (i <- 11L to 14L)
+      assert(mono(i) === (("exact_dup", 10L)), s"copy $i: ${mono(i)}")
+    // twins of a CORPUS doc: the victor defers to the corpus keep_id
+    // (stage 0 never fires for a victor), the copy to the victor —
+    // batch-local attribution stays batch-local
+    val corpusTwins = Seq(
+      (20L, "solitary single document here"),
+      (21L, "solitary single document here")).toDF("doc_id", "text")
+    val tw = Curation.incrementalRefresh(
+        oneDoc, embOne, corpusTwins, emptyDeltaEmb, evalPred = lit(false))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(tw(20L) === (("exact_dup", 1L)))
+    assert(tw(21L) === (("exact_dup", 20L)))
+    // a single-doc batch: stage 0 is a no-op (the doc is its own
+    // victor) — no self-dup verdict can originate from stage 0
+    val solo = Curation.incrementalRefresh(
+        oneDoc, embOne,
+        Seq((30L, "another wholly novel arriving document")).toDF("doc_id", "text"),
+        emptyDeltaEmb, evalPred = lit(false))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(solo(30L) === (("train", -1L)))
+  }
 }
 
 /** The source-matrix pipeline is declared inline; rebuild its core here
