@@ -807,6 +807,74 @@ object Similarity {
       spark, ivfPinnedTable(path))
   }
 
+  /** REFIT a [[buildIvfIndexPinned]] index from the INDEX ITSELF —
+    * the ACTION the staleness measurements exist for (r17: audit →
+    * cadence rule → refit closes the loop). Re-draws the nCells
+    * md5-order seeds from the assigned table's own rows and
+    * re-assigns every indexed vector: equivalent to
+    * [[buildIvfIndexPinned]] over the same rows (same id set ⇒ same
+    * md5 draw ⇒ same seeds ⇒ same assignment — the declared
+    * `embed_ivf_topk_refit_pinned` pins that equivalence against the
+    * full-corpus oracle), but CORPUS-FREE: at 100 TB the refit cost
+    * is one pass over the index, never a corpus rescan.
+    *
+    * Crash contract: the rewrite lands as `<table>_compacting` at a
+    * fresh path and swaps via the same DROP→RENAME as
+    * [[Dedup.compactIndex]], so a crash inside the swap heals with
+    * [[Dedup.recoverCompact]]. The seeds parquet is written LAST and
+    * is a deterministic CACHE of the table (md5-order head) — a crash
+    * between the swap and the seeds write leaves stale seeds, which
+    * [[recoverRefitSeeds]] detects and rewrites (bootGate's pinned
+    * branch calls it after the table recovery). Like compaction, a
+    * live gate must be bounced around the refit (the stream-static
+    * relation holds the old location). */
+  def refitIvfIndexPinned(spark: SparkSession, path: String, nCells: Int = 16): Unit = {
+    val t = ivfPinnedTable(path)
+    val rows = spark.table(t)
+      .select(col("vec_id"), col("label"), col("v")).localCheckpoint()
+    val seeds = rows
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val newPath =
+      s"$path/assigned_refit_${java.util.UUID.randomUUID().toString.take(8)}"
+    pinnedAssign(rows, seeds)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(IvfPinnedBuckets, "cluster").sortBy("cluster", "vec_id")
+      .option("path", newPath).saveAsTable(s"${t}_compacting")
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
+    if (meta.location.getScheme == null || meta.location.getScheme == "file")
+      graft.Bench.deleteRecursively(java.nio.file.Paths.get(meta.location).toString)
+    seeds.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/seeds")
+  }
+
+  /** Heal the seeds cache after a refit crash: the persisted seeds
+    * parquet must equal the md5-order head of the assigned table (the
+    * invariant both build and refit establish). Recomputes the
+    * expected seeds from the table and rewrites the parquet when they
+    * differ; returns true when a rewrite happened. Idempotent; cheap
+    * (one limit-nCells scan + an nCells-row compare). */
+  def recoverRefitSeeds(spark: SparkSession, path: String, nCells: Int = 16): Boolean = {
+    val t = ivfPinnedTable(path)
+    val expected = spark.table(t)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    def key(df: DataFrame): Seq[(Long, Seq[Double])] = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("seed_id")),
+        r.getSeq[Double](r.fieldIndex("sv")).toSeq)).sortBy(_._1).toSeq
+    val stale =
+      try key(spark.read.parquet(s"$path/seeds")) != key(expected)
+      catch { case _: Throwable => true } // unreadable/missing → rewrite
+    if (stale)
+      expected.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/seeds")
+    stale
+  }
+
   /** The refit-cadence SIGNAL as a declared query (r16, PLANS's own
     * r17 note 1 pulled forward): IvfStaleProbe measured that frozen-
     * centroid appends cost recall ONLY on arrivals the centroids never
@@ -1933,6 +2001,25 @@ object Similarity {
       val path = ivfTmp(s"appp_${java.util.UUID.randomUUID().toString.take(8)}")
       buildIvfIndexPinned(emb.filter(col("vec_id") < 200), path)
       appendIvfIndexPinned(emb.filter(col("vec_id") >= 200), s, path)
+      try ivfSearchPinned(s, path, probeId = 0L, k = 20, nProbe = 4).localCheckpoint()
+      finally dropIvfIndexPinned(s, path)
+    },
+
+    // REFIT-maintained pinned IVF (r17): the staleness loop's ACTION.
+    // Build on the base slice, append the remainder against the
+    // FROZEN seeds (the stale state the audit measures), then REFIT
+    // from the index itself — after which the quantizer must be
+    // indistinguishable from a fresh build over the union: the oracle
+    // is the FULL-CORPUS pinned search (seedWhere = ""), the same SQL
+    // text embed_ivf_topk_pinned replays, so the refit's seed re-draw,
+    // re-assignment, prune, and top-k all hash-pin cross-engine.
+    Q("embed_ivf_topk_refit_pinned",
+      ivfPinnedSql(seedWhere = "")) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = ivfTmp(s"rftp_${java.util.UUID.randomUUID().toString.take(8)}")
+      buildIvfIndexPinned(emb.filter(col("vec_id") < 200), path)
+      appendIvfIndexPinned(emb.filter(col("vec_id") >= 200), s, path)
+      refitIvfIndexPinned(s, path)
       try ivfSearchPinned(s, path, probeId = 0L, k = 20, nProbe = 4).localCheckpoint()
       finally dropIvfIndexPinned(s, path)
     },

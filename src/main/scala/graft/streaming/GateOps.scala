@@ -92,9 +92,14 @@ object GateOps {
     val tableActions = tables.map(t => t -> Dedup.recoverCompact(spark, t))
     val ivfActions = ivfPaths.map { p =>
       val t = graft.llm.Similarity.ivfPinnedTable(p)
-      if (spark.catalog.tableExists(t) || spark.catalog.tableExists(s"${t}_compacting"))
-        p -> Dedup.recoverCompact(spark, t)
-      else p -> graft.llm.Similarity.recoverCompactIvf(p)
+      if (spark.catalog.tableExists(t) || spark.catalog.tableExists(s"${t}_compacting")) {
+        val action = Dedup.recoverCompact(spark, t)
+        // a refit crash can leave the seeds CACHE stale relative to
+        // the (recovered) table — heal it before the gate resolves
+        val seeds =
+          if (graft.llm.Similarity.recoverRefitSeeds(spark, p)) "+seeds" else ""
+        p -> (action + seeds)
+      } else p -> graft.llm.Similarity.recoverCompactIvf(p)
     }
     ((tableActions ++ ivfActions).toMap, start())
   }

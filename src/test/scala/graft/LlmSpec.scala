@@ -2362,6 +2362,54 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pinned IVF refit: index-derived rebuild equals the fresh build; seeds cache heals (r17)") {
+    // the staleness loop's ACTION: refit re-draws the md5 seeds from
+    // the INDEX'S OWN rows and re-assigns — over the same id set that
+    // must be bit-identical to a fresh build over the union (same md5
+    // draw ⇒ same seeds ⇒ same pinned assignment), with the corpus
+    // never touched.
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val p1 = tempDir("ivf_refit_a")
+    val p2 = tempDir("ivf_refit_b")
+    val t1 = Similarity.ivfPinnedTable(p1)
+    try {
+      Similarity.buildIvfIndexPinned(emb.filter(col("vec_id") < 200), p1)
+      Similarity.appendIvfIndexPinned(emb.filter(col("vec_id") >= 200), spark, p1)
+      Similarity.refitIvfIndexPinned(spark, p1)
+      Similarity.buildIvfIndexPinned(emb, p2) // the fresh-build reference
+      def dump(p: String): Seq[(Long, Long)] =
+        spark.table(Similarity.ivfPinnedTable(p))
+          .select(col("vec_id"), col("cluster"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(dump(p1) === dump(p2),
+        "refit assignment diverges from the fresh build over the union")
+      val probeRefit = Similarity.ivfSearchPinned(spark, p1, probeId = 0L, k = 20)
+        .collect().toSeq
+      val probeFresh = Similarity.ivfSearchPinned(spark, p2, probeId = 0L, k = 20)
+        .collect().toSeq
+      assert(probeRefit === probeFresh, "refit probe diverges from fresh build")
+      // seeds-cache crash: clobber the seeds parquet with the STALE
+      // base-slice draw (the state a crash between the table swap and
+      // the seeds write leaves) — recoverRefitSeeds must detect and
+      // rewrite; a clean pair is a no-op
+      val staleSeeds = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+        .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+      staleSeeds.write.mode("overwrite").parquet(s"$p1/seeds")
+      assert(Similarity.recoverRefitSeeds(spark, p1),
+        "stale seeds cache must be detected")
+      assert(Similarity.ivfSearchPinned(spark, p1, probeId = 0L, k = 20)
+        .collect().toSeq === probeFresh, "healed probe diverges")
+      assert(!Similarity.recoverRefitSeeds(spark, p1),
+        "clean seeds pair must be a no-op")
+    } finally {
+      Similarity.dropIvfIndexPinned(spark, p1)
+      Similarity.dropIvfIndexPinned(spark, p2)
+      spark.sql(s"DROP TABLE IF EXISTS ${t1}_compacting")
+    }
+  }
+
   test("planted staleness audit: the stale column measurably sags (r17)") {
     // VERDICT r16 task 6's 'done' condition: the declared audit must
     // DEMONSTRATE the refit-cadence signal, not just hash-pin. On the
