@@ -572,6 +572,27 @@ object Similarity {
       .partitionBy("cluster").parquet(s"$path/assigned")
   }
 
+  /** REFIT the k-means family from the INDEX ITSELF — the unpinned
+    * sibling of [[refitIvfIndexPinned]] (the staleness loop's action
+    * for real Lloyd centroids): read the assigned rows (vec_id,
+    * label, v — one pass over the index, never a corpus rescan),
+    * localCheckpoint them out of the directory being rewritten, and
+    * run [[buildIvfIndex]] over them — fresh centroids fitted to the
+    * drifted union, the IvfStaleProbe refit branch as callable code.
+    * Not oracle-expressible (KMeans), like the build; probe-sanity
+    * and shape are spec-pinned. The overwrite is the build's own
+    * (non-atomic directory rewrite) — quiesce probes around it, and a
+    * crash inside it re-runs the refit (the checkpointed rows are the
+    * recovery input in-session; across a process death the refit
+    * re-runs from the last committed index state, exactly like an
+    * interrupted build). */
+  def refitIvfIndex(spark: SparkSession, path: String, nClusters: Int = 16): Unit = {
+    val rows = spark.read.parquet(s"$path/assigned")
+      .select(col("vec_id"), col("label"), col("v").as("embedding"))
+      .localCheckpoint()
+    buildIvfIndex(rows, path, nClusters)
+  }
+
   /** The frozen-centroid assignment alone — map-only: the centroid
     * file is bounded driver state shipped as an array literal, so the
     * plan is ONE codegen'd scan projection, zero exchanges (LlmSpec

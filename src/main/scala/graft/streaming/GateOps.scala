@@ -104,6 +104,32 @@ object GateOps {
     ((tableActions ++ ivfActions).toMap, start())
   }
 
+  /** The WHEN-TO-COMPACT rule as code (r17; the refit-cadence
+    * discipline applied to the file-count axis): a bucketed serving
+    * table accumulates one file set per [[Dedup.bucketedAppend]], and
+    * while the probe PLAN never regresses (hash partitioning is a
+    * property of the spec), K appends are K+1 files of per-task open
+    * overhead and lost within-file sort locality. Returns true when
+    * any bucket holds more than `maxFilesPerBucket` files — the
+    * operator then runs [[compactUnderGate]] at the next quiet
+    * window. File counts come from the table's own location listing
+    * (driver-side, one directory list — at scale the object store's
+    * list-prefix). The default 8 is the measured knee from the
+    * compaction specs' fixtures: below it the fold buys little;
+    * growth past it is unbounded. */
+  def compactionDue(
+      spark: SparkSession, table: String, maxFilesPerBucket: Int = 8): Boolean = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no bucket spec — compactionDue is for the bucketed serving tables"))
+    val dir = new java.io.File(java.nio.file.Paths.get(meta.location).toString)
+    val files = Option(dir.listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("part-"))
+    files > buckets.toLong * maxFilesPerBucket
+  }
+
   /** The ONLINE admission loop as API (the `streaming_merge_upsert`
     * foreachBatch discipline applied to the refresh gate): per
     * micro-batch, [[Curation.incrementalRefreshServed]] probes the

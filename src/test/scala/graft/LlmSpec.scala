@@ -2410,6 +2410,54 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("compactionDue fires past the file-count knee and resets after the fold (r17)") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = tempDir("ivf_cdue")
+    val tbl = Similarity.ivfPinnedTable(path)
+    Similarity.buildIvfIndexPinned(emb.filter(col("vec_id") < 150), path)
+    try {
+      // low threshold so two appends cross the knee without 60+ appends
+      assert(!streaming.GateOps.compactionDue(spark, tbl, maxFilesPerBucket = 1),
+        "fresh build must not demand compaction at its own file count")
+      Similarity.appendIvfIndexPinned(
+        emb.filter(col("vec_id") >= 150 && col("vec_id") < 300), spark, path)
+      Similarity.appendIvfIndexPinned(emb.filter(col("vec_id") >= 300), spark, path)
+      assert(streaming.GateOps.compactionDue(spark, tbl, maxFilesPerBucket = 1),
+        "appended file sets must trip the rule")
+      Dedup.compactIndex(spark, tbl, s"$path/assigned_c1")
+      assert(!streaming.GateOps.compactionDue(spark, tbl, maxFilesPerBucket = 1),
+        "the fold must reset the rule")
+      // non-bucketed tables are a loud error, not a silent false
+      spark.range(3).write.option("path", s"$path/plain").saveAsTable(s"${tbl}_plain")
+      intercept[IllegalArgumentException](
+        streaming.GateOps.compactionDue(spark, s"${tbl}_plain"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_plain")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+      Similarity.dropIvfIndexPinned(spark, path)
+    }
+  }
+
+  test("k-means refit from the index: fresh centroids, full corpus served, corpus never read (r17)") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = tempDir("ivf_krefit")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 200), path, nClusters = 8)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 200), spark, path)
+    try {
+      val builds = Similarity.ivfBuildCount.get()
+      Similarity.refitIvfIndex(spark, path, nClusters = 8)
+      assert(Similarity.ivfBuildCount.get() === builds + 1, "refit must refit")
+      // every vector survives the refit and the index serves it
+      assert(spark.read.parquet(s"$path/assigned").count() === emb.count())
+      assert(spark.read.parquet(s"$path/centroids").count() === 8L)
+      // post-refit assignment is consistent: every row sits in its own
+      // nearest fresh centroid's cluster ⇒ a probe's top hit via the
+      // pruned search equals itself
+      val res = Similarity.ivfSearch(spark, path, probeId = 0L, k = 5, nProbe = 8)
+      assert(res.count() === 5)
+    } finally Bench.deleteRecursively(path)
+  }
+
   test("planted staleness audit: the stale column measurably sags (r17)") {
     // VERDICT r16 task 6's 'done' condition: the declared audit must
     // DEMONSTRATE the refit-cadence signal, not just hash-pin. On the

@@ -1173,6 +1173,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dropDuplicatesWithinWatermark: the unbounded-source dedup form keeps state only inside the watermark (r17)") {
+    // The sink-dedup measurement (SinkVolumeProbe / VERDICT r16 task 3)
+    // chose stateful in-stream dedup for the refresh gate, with
+    // dropDuplicatesWithinWatermark named as the production form on an
+    // UNBOUNDED source — this pins the semantics that make its state
+    // bounded: a duplicate key arriving while its first occurrence is
+    // inside the watermark is dropped; once the watermark passes the
+    // first occurrence's event time + delay the key's state evicts,
+    // and a LATER re-arrival emits again (at-most-once only within the
+    // watermark window — exactly the contract the gate needs, since a
+    // re-arrival after eviction re-probes the standing indexes where
+    // its admitted first copy now lives).
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val name = "wm_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = mem.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    def out(): Seq[(Long, java.sql.Timestamp)] =
+      spark.table(name).collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    try {
+      mem.addData(Seq((1L, ts(0)))); q.processAllAvailable()
+      assert(out().map(_._1) === Seq(1L), "first arrival must emit")
+      // duplicate INSIDE the watermark window: dropped
+      mem.addData(Seq((1L, ts(1)), (2L, ts(2)))); q.processAllAvailable()
+      assert(out().map(_._1).sorted === Seq(1L, 2L),
+        "within-watermark duplicate must be dropped")
+      // advance event time far past k=1's expiry (10:00 + 10 min):
+      // the watermark sweep evicts its state
+      mem.addData(Seq((3L, ts(50)))); q.processAllAvailable()
+      // a re-arrival AFTER eviction emits again — bounded state, not
+      // forever-dedup (the plain dropDuplicates difference)
+      mem.addData(Seq((1L, ts(51)))); q.processAllAvailable()
+      val ks = out().map(_._1)
+      assert(ks.count(_ == 1L) === 2,
+        s"post-eviction re-arrival must emit again, got $ks")
+      assert(ks.sorted === Seq(1L, 1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming CDC merge: per-batch merges compose to the one-shot whole-delta merge") {
     implicit val sqlCtx = spark.sqlContext
     import graft.queries.Audit
