@@ -142,6 +142,38 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** GROUP-AWARE deterministic split (r17) — the FIX the
+    * `curation_split_leakage` audit motivates: near-duplicates of a
+    * train doc must not land in valid/test, so the split is decided
+    * per DUP-GROUP, not per doc. Groups are connected components over
+    * the supplied near-dup `pairs` (id_a, id_b — the caller picks the
+    * tier: minhash bands, simhash, semantic), and every member routes
+    * by the hash of the GROUP's min-id label — so no group can ever
+    * span splits, and a SINGLETON doc (its own label) gets exactly the
+    * split [[hashSplit]] would give it: the two rules differ only
+    * where leakage was possible. Stability inherits from both parts:
+    * a doc's split changes only if its group's min-id member changes.
+    * Scale: the CC iterations dominate (delta-free corpus pass per
+    * iteration, the `dedup_cluster_canonical` shape); the split
+    * itself is one map-side hash. */
+  def groupAwareSplit(
+      docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"groupAwareSplit: invalid split ($trainPct/$validPct)")
+    val labels = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+    val bucket = fp(concat(lit("split:"), col("group_id").cast("string"))) % 100
+    docs.join(
+        labels.select(col("id").as("doc_id"), col("label").as("group_id")),
+        Seq("doc_id"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
   /** Deterministic negative sampling for contrastive training
     * (round 9): each anchor doc gets `k` pseudo-random negatives via
     * hash-modular addressing — negative j of doc d is the doc with id
@@ -1825,6 +1857,44 @@ object Curation {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
         .orderBy(col("split"), col("lang"))
+    },
+
+    // SPLIT-LEAKAGE AUDIT (r17): the eval-contamination class the
+    // 8-gram decontamination can't see — a NEAR-DUPLICATE of a train
+    // doc landing in valid/test leaks the training distribution into
+    // evaluation even though no verbatim 8-gram crosses. Any near-dup
+    // pair (the production banded minhash tier, J ≥ 0.9) whose two
+    // sides fall in DIFFERENT hash-split buckets is a leak; the fix is
+    // group-aware splitting (route the whole dup-group by its min-id's
+    // hash), and this audit is the evidence that motivates it. Output
+    // is the actionable pair list (ids, splits, exact Jaccard) — the
+    // oracle replays the full band+verify+split pipeline in one text.
+    // Scale: the pairs tier's banded cost + two broadcast-class split
+    // joins (split is derived per id, never shuffled corpus-wide).
+    Q("curation_split_leakage", {
+      s"""WITH pairs AS (${Dedup.minhashPairsSql}),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+         |              WHEN CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'valid'
+         |              ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+         |FROM pairs p
+         |JOIN sp sa ON sa.doc_id = p.id_a
+         |JOIN sp sb ON sb.doc_id = p.id_b
+         |WHERE sa.split <> sb.split
+         |ORDER BY p.id_a, p.id_b""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sp = hashSplit(docs).select(col("doc_id"), col("split"))
+      Dedup.nearDupPairs(docs)
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // Deterministic STRATIFIED sample with exact per-source quotas

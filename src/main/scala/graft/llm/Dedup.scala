@@ -1520,7 +1520,7 @@ object Dedup {
 
   /** Oracle SQL for the three text near-dup PAIR tiers — factored so
     * `dedup_tier_agreement` can replay all three in one statement. */
-  private val minhashPairsSql: String =
+  private[graft] val minhashPairsSql: String =
     s"""WITH toks AS ($tokenizedSql),
        |sig AS ($signaturesSql),
        |bands AS ($bandedSql),
@@ -2283,6 +2283,50 @@ object Dedup {
       connectedComponents(nodes, edges)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
+    },
+
+    // GROUP-AWARE SPLIT over the same chain graph (r17): the fix the
+    // curation_split_leakage audit motivates — every chain member
+    // routes by the hash of its GROUP's min-id label, so a dup-group
+    // can never span train/valid/test (a per-doc hash split would
+    // scatter the id/id+1M/id+2M chain ~one time in four). The oracle
+    // replays reachability (recursive CTE), the min-label group id,
+    // AND the md5-bucket routing — assignment-level pinning, like
+    // curation_hash_split.
+    Q("curation_group_split", {
+      def splitCase(idCol: String): String =
+        s"""CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+           |     WHEN CAST(concat('0x', substr(md5('split:' || CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'valid'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE
+         |nodes AS (
+         |  SELECT doc_id FROM documents
+         |  UNION ALL SELECT doc_id + 1000000 FROM documents
+         |  UNION ALL SELECT doc_id + 2000000 FROM documents),
+         |e AS (
+         |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id + 2000000 FROM documents),
+         |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a AND r.a <> u.b),
+         |cl AS (
+         |  SELECT n.doc_id,
+         |         LEAST(n.doc_id, COALESCE(MIN(r.b), n.doc_id)) AS group_id
+         |  FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+         |  GROUP BY n.doc_id)
+         |SELECT doc_id, group_id,
+         |       ${splitCase("group_id")} AS split
+         |FROM cl ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val (nodes, edges) = chainClusterFixture(s, dir)
+      graft.llm.Curation.groupAwareSplit(
+          nodes.select(col("id").as("doc_id")),
+          edges.select(col("a").as("id_a"), col("b").as("id_b")))
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy(col("doc_id"))
     },
 
     // PageRank over the same chain graph, 5 unrolled power iterations:

@@ -2458,6 +2458,32 @@ class LlmSpec extends SparkSpec {
     } finally Bench.deleteRecursively(path)
   }
 
+  test("group-aware split: zero leaks on real pairs; singletons reduce to hashSplit (r17)") {
+    import graft.llm.Curation
+    val docs = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val pairs = Dedup.nearDupPairs(docs).localCheckpoint()
+    // the per-doc hash split LEAKS on this corpus (the audit's raison
+    // d'être — assert non-vacuity first)
+    val perDoc = Curation.hashSplit(docs).select(col("doc_id"), col("split"))
+    def leaks(sp: DataFrame): Long = pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(leaks(perDoc) > 0, "fixture must exhibit per-doc-split leakage")
+    // the group-aware split has ZERO leaks by construction
+    val grouped = Curation.groupAwareSplit(docs, pairs)
+      .select(col("doc_id"), col("group_id"), col("split")).localCheckpoint()
+    assert(leaks(grouped) === 0L, "group-aware split leaked a near-dup pair")
+    // singleton docs (no pair membership) get EXACTLY the per-doc
+    // split — the rules differ only where leakage was possible
+    val paired = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val diff = grouped.join(paired, Seq("doc_id"), "left_anti").as("g")
+      .join(perDoc.as("p"), "doc_id")
+      .filter(col("g.split") =!= col("p.split")).count()
+    assert(diff === 0L, "singleton docs must keep their hashSplit assignment")
+  }
+
   test("planted staleness audit: the stale column measurably sags (r17)") {
     // VERDICT r16 task 6's 'done' condition: the declared audit must
     // DEMONSTRATE the refit-cadence signal, not just hash-pin. On the
