@@ -2458,6 +2458,59 @@ class LlmSpec extends SparkSpec {
     } finally Bench.deleteRecursively(path)
   }
 
+  test("group-label table: attach-only append, pending-merge signal, refit heals the bridge (r17)") {
+    // two standing groups {1,2} and {3,4}; delta doc 10 ATTACHES to
+    // both — the case attach-only cannot resolve (merging needs
+    // corpus-side rewrites): it must adopt the min label, report ONE
+    // pending merge, and refit must collapse everything to label 1.
+    val tbl = "glbl_spec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = tempDir("glbl_spec")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    Dedup.buildGroupLabels(nodes, edges, spark, tbl, s"$path/$tbl")
+    try {
+      def labels(): Map[Long, Long] = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels() === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      // a clean attachment first: doc 5 joins group 3 — no pending
+      val p0 = Dedup.appendGroupLabels(
+        Seq(5L).toDF("id"), Seq((4L, 5L)).toDF("a", "b"), spark, tbl)
+      assert(p0 === 0L, s"clean attach must report 0 pending, got $p0")
+      assert(labels()(5L) === 3L, "attachment must adopt the standing label")
+      // the BRIDGE: doc 10 touches groups 1 and 3
+      val bridgeNodes = Seq(10L).toDF("id")
+      val bridgeEdges = Seq((2L, 10L), (3L, 10L)).toDF("a", "b")
+      val p1 = Dedup.appendGroupLabels(bridgeNodes, bridgeEdges, spark, tbl)
+      assert(p1 === 1L, s"bridge must report 1 pending merge, got $p1")
+      assert(labels()(10L) === 1L, "attach-only must adopt the MIN label")
+      assert(labels()(3L) === 3L,
+        "attach-only must NOT rewrite corpus labels (that is the refit's job)")
+      // redelivery: appends nothing (anti-join), still reports the
+      // pending merge honestly — the signal persists until the refit
+      val p2 = Dedup.appendGroupLabels(bridgeNodes, bridgeEdges, spark, tbl)
+      assert(p2 === 1L, "replay must keep reporting the unresolved merge")
+      assert(labels().size === 6, "replay must not duplicate label rows")
+      // REFIT over the full graph: the merge lands, everything is 1
+      val allNodes = Seq(1L, 2L, 3L, 4L, 5L, 10L).toDF("id")
+      val allEdges = Seq((1L, 2L), (3L, 4L), (4L, 5L), (2L, 10L), (3L, 10L))
+        .toDF("a", "b")
+      Dedup.refitGroupLabels(allNodes, allEdges, spark, tbl, s"$path/refit1")
+      assert(labels().values.toSet === Set(1L), s"refit must merge: ${labels()}")
+      // and the pending signal clears: the same edges now see ONE label
+      val p3 = Dedup.appendGroupLabels(bridgeNodes, bridgeEdges, spark, tbl)
+      assert(p3 === 0L, "post-refit replay must report 0 pending")
+      // crash inside the refit swap heals by catalog recovery
+      Dedup.compactWrite(spark, tbl, s"$path/refit2")
+      spark.sql(s"DROP TABLE $tbl")
+      assert(Dedup.recoverCompact(spark, tbl) === "renamed")
+      assert(labels().values.toSet === Set(1L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+      Bench.deleteRecursively(path)
+    }
+  }
+
   test("group-aware split: zero leaks on real pairs; singletons reduce to hashSplit (r17)") {
     import graft.llm.Curation
     val docs = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
