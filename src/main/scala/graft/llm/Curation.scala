@@ -174,6 +174,30 @@ object Curation {
           .otherwise("test"))
   }
 
+  /** [[groupAwareSplit]] against the STANDING label table
+    * ([[Dedup.buildGroupLabels]] lifecycle) instead of recomputing the
+    * connected components from pairs — the serving form: one bucketed
+    * probe join, no CC iterations. Same routing rule (hash of the
+    * group label), so on a freshly refit table it is row-identical to
+    * the pairs form (spec-pinned); between refits it reflects the
+    * attach-only labels, whose pending-merge count is the staleness
+    * signal the operator already watches. */
+  def groupAwareSplitServed(
+      docs: DataFrame, spark: SparkSession, labelTable: String,
+      trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"groupAwareSplitServed: invalid split ($trainPct/$validPct)")
+    val bucket = fp(concat(lit("split:"), col("group_id").cast("string"))) % 100
+    docs.join(
+        spark.table(labelTable)
+          .select(col("id").as("doc_id"), col("label").as("group_id")),
+        Seq("doc_id"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
   /** Deterministic negative sampling for contrastive training
     * (round 9): each anchor doc gets `k` pseudo-random negatives via
     * hash-modular addressing — negative j of doc d is the doc with id

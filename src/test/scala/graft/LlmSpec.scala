@@ -2535,6 +2535,22 @@ class LlmSpec extends SparkSpec {
       .join(perDoc.as("p"), "doc_id")
       .filter(col("g.split") =!= col("p.split")).count()
     assert(diff === 0L, "singleton docs must keep their hashSplit assignment")
+    // the SERVED form over a (freshly built ≡ refit) label table is
+    // row-identical to the pairs form — one bucketed probe join, no
+    // CC pass at split time
+    val tbl = "gsplit_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = tempDir("gsplit_served")
+    Dedup.buildGroupLabels(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("id_a").as("a"), col("id_b").as("b")),
+      spark, tbl, s"$path/$tbl")
+    try {
+      val served = Curation.groupAwareSplitServed(docs, spark, tbl)
+        .select(col("doc_id"), col("group_id"), col("split"))
+      assert(served.orderBy("doc_id").collect().toSeq
+        === grouped.orderBy("doc_id").collect().toSeq,
+        "served split diverges from the pairs form on a fresh table")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("planted staleness audit: the stale column measurably sags (r17)") {
