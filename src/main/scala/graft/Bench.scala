@@ -323,7 +323,12 @@ object Bench {
     * Retries were considered and rejected: the anchors already pool 9
     * reps across 3 phases bracketing the suite, so an out-of-band
     * geomean is persistent contention a bounded in-run retry cannot
-    * wait out — the honest output is the stamp. */
+    * wait out — the honest output is the stamp.
+    *
+    * MIRRORED in `tools/drift_compare.py` as `HOST_DRIFT_BAND`
+    * (ADVICE r17): change both together, or the Python reader and this
+    * clean-baseline picker will disagree about which rounds are
+    * contaminated. */
   val HostDriftBand = 1.3
 
   /** True when a bench artifact is host-contaminated: an explicit
@@ -457,9 +462,29 @@ object Bench {
     (ts.head, med, ts.last)
   }
 
+  /** The interleaved rep schedule (VERDICT r17 task 1): pass p runs
+    * rep p of every query in suite order, so two draws of the same
+    * query are always separated by one full pass over the rest of the
+    * suite — a sustained contention window shorter than (passes − 1)
+    * pass durations can never cover every draw of any query, and the
+    * published min (min over passes) survives it. Pure so
+    * BenchJsonSpec can verify the separation property and simulate a
+    * poisoned pass; the main loop's `for (p <- 1 to Reps)
+    * runQueryPass(p, run, …)` executes exactly this sequence. */
+  private[graft] def passMajor[A](queries: Seq[A], passes: Int): Seq[(Int, A)] =
+    for (p <- 1 to passes; q <- queries) yield (p, q)
+
+  /** Min over a per-pass draw matrix — the published-headline estimator
+    * under the pass-major schedule. Pure for BenchJsonSpec's
+    * poisoned-pass simulation: inflating every draw inside one pass
+    * leaves this min unchanged as long as another pass ran clean. */
+  private[graft] def minAcrossPasses(draws: Seq[(Int, Double)]): Option[Double] =
+    if (draws.isEmpty) None else Some(draws.map(_._2).min)
+
   private[graft] def r4(d: Double): String = f"$d%.4f"
   private[graft] def r3(d: Double): String = f"$d%.3f"
   private[graft] def r2(d: Double): String = f"$d%.2f"
+  private[graft] def r1(d: Double): String = f"$d%.1f"
 
   /** dc band outside which a query's median is published beside its min
     * on the compact line (VERDICT r13 task 4: the r13 phantom — dc 2.26
@@ -511,7 +536,8 @@ object Bench {
       skewBase: Option[(Double, Double)],
       skewAmp: Option[(Double, Double)],
       sfDir: String,
-      hostDrift: Boolean = false): String = {
+      hostDrift: Boolean = false,
+      po: Seq[Double] = Seq.empty): String = {
     val qs = mins.map { case (k, t) =>
       s"${jstr(k)}:${t.map(r3).getOrElse("-1")}"
     }.mkString("{", ",", "}")
@@ -565,9 +591,27 @@ object Bench {
     // the artifact (VERDICT r16 task 2). Absent on clean rounds to
     // spend zero line budget in the common case.
     val hdJson = if (hostDrift) s""""hd":1,""" else ""
+    // "po" (r18, VERDICT r17 task 1): base-pass boundary offsets in
+    // seconds from the timing clock's start — Reps start offsets plus
+    // the last pass's end, 1-dp (pass windows are tens of seconds; the
+    // tool only needs to localize a contention window to a pass).
+    // Empty (pre-r18 artifacts, degenerate runs) renders null.
+    val poJson =
+      if (po.isEmpty) "null" else po.map(r1).mkString("[", ",", "]")
+    // "baseline" (r18, VERDICT r17 task 7): names the round the dc
+    // array is computed against, as a first-class field — the
+    // clean-baseline chain is readable from the artifact alone instead
+    // of re-derived from drift.base's filename fragment. Mirrors
+    // drift's (base, ar); null when no baseline resolved.
+    val baselineJson = drift.map { case (base, ar, _) =>
+      val round = "\\d+".r.findFirstIn(base).getOrElse("0")
+      s"""{"round":$round,"ar":${r2(ar)}}"""
+    }.getOrElse("null")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""anchors":$anchorsJson,"drift":$driftJson,"sr":$srJson,"med":$medJson,""" +
-      s""""forced":$forcedJson,"fdc":$fdcJson,"skew":$skewJson,$hdJson"sf":${jstr(sfBase)}}"""
+      s""""anchors":$anchorsJson,"drift":$driftJson,"baseline":$baselineJson,""" +
+      s""""sr":$srJson,"med":$medJson,""" +
+      s""""forced":$forcedJson,"fdc":$fdcJson,"skew":$skewJson,"po":$poJson,""" +
+      s"""$hdJson"sf":${jstr(sfBase)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -643,79 +687,119 @@ object Bench {
       }
     }
 
-    runAnchors() // phase 1: before any query timing
-    val half = run.size / 2
-    val results = run.zipWithIndex.map { case (q, qi) =>
-      // half > 0 guard (ADVICE r12): with a single headline query the
-      // midpoint would be index 0 and phase 2 would duplicate phase 1
-      if (qi == half && half > 0) runAnchors() // phase 2: midway through the suite
-      val dir =
-        if (fixtureQueries.contains(q.name)) fixtureDir.getOrElse(sfDir) else sfDir
-      def rep(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { q.run(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            if (!errors.contains(q.name))
-              errors += q.name ->
-                Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            None
-        }
+    // ---- interleaved pass-major timing (VERDICT r17 task 1) -----------
+    // Consecutive per-query reps let one sustained contention window
+    // poison EVERY draw of the queries it covered (official r17
+    // artifact: the first ~13 queries read ×6–50 with median≈min while
+    // later queries ran faster than r16 — all 7 reps of each early
+    // query sampled the same loaded minutes). The suite therefore runs
+    // PASS-MAJOR per [[passMajor]]: pass p executes rep p of q1..qN in
+    // suite order, so each query's Reps draws come from Reps SEPARATE
+    // time windows and the published min survives any window that
+    // leaves at least one pass clean (BenchJsonSpec simulates a
+    // poisoned pass and proves the min unchanged). Per-pass wall-clock
+    // offsets are published — compact "po" (base-pass boundaries),
+    // verbose "passes" (every window incl. fast/forced passes, plus
+    // the full per-query (pass, time) matrix) — so drift_compare.py
+    // can localize a window and mask its pass from the artifact.
+    val benchT0 = System.nanoTime()
+    def offsetNow(): Double = (System.nanoTime() - benchT0) / 1e9
+    def dirFor(name: String): String =
+      if (fixtureQueries.contains(name)) fixtureDir.getOrElse(sfDir) else sfDir
+    // one timed rep; errors report once per errKey and drop the draw
+    // (a query missing draws publishes the -1 sentinel exactly as the
+    // old consecutive loop did)
+    def repOf(q: Q, consumer: DataFrame => Unit, errKey: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        consumer(q.run(spark, dirFor(q.name)))
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          if (!errors.contains(errKey))
+            errors += errKey -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
       }
-      rep() // warm-up, discarded (a failure here re-reports in the timed reps)
-      val base = (1 to Reps).flatMap(_ => rep())
-      val times =
-        if (base.size == Reps && base.min < FastCutoff)
-          base ++ (1 to Reps).flatMap(_ => rep())
-        else base
-      q.name -> times.sorted
+    }
+    // (label, startOffset, endOffset) of every timed pass, in run order
+    val passWindows = Vector.newBuilder[(String, Double, Double)]
+    val timed = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Int, Double)]]
+    run.foreach(q => timed(q.name) = Vector.empty)
+    def runQueryPass(p: Int, qs: Seq[Q], label: String): Unit = {
+      val t0 = offsetNow()
+      qs.foreach { q =>
+        repOf(q, _.count(): Unit, q.name).foreach(t => timed(q.name) :+= ((p, t)))
+      }
+      passWindows += ((label, t0, offsetNow()))
     }
 
-    // forced-consumer pass for the window-bearing headline queries
-    // (VERDICT r13 task 3): same frames, same rep discipline (warm-up,
-    // Reps draws, FastCutoff doubling), but the consumer references
-    // every output column so the Window operators cannot be pruned —
-    // this is the number that carries the window's real cost; the
-    // `.count()` series above keeps its historical comparability. Runs
-    // inside the anchor bracket (before phase 3) so the drift anchors
-    // sample the same machine-state window. A failed query publishes
-    // the -1 sentinel (None), exactly like the main series — a missing
-    // key would be indistinguishable from a removed query.
-    val forcedResults: Seq[(String, Seq[Double])] = forcedQueries.map { name =>
-      run.find(_.name == name) match {
-        case None =>
-          // a forced query absent from the headline run must surface as
-          // the -1 sentinel, not vanish from the map (ADVICE r14: a
-          // flatMap here made a headline/forcedQueries rename skew
-          // silently shrink the published block)
-          if (!errors.contains(s"forced_$name"))
-            errors += s"forced_$name" -> "not in headline run"
-          name -> Seq.empty[Double]
-        case Some(q) =>
-          // same dir resolution as the main loop (ADVICE r14): a fixture
-          // query forced against the raw vocabulary-dense corpus would
-          // publish an all-pairs blowup, not the plan's cost
-          val dir =
-            if (fixtureQueries.contains(name)) fixtureDir.getOrElse(sfDir) else sfDir
-          def rep(): Option[Double] = {
-            val t0 = System.nanoTime()
-            try { forceAll(q.run(spark, dir)); Some((System.nanoTime() - t0) / 1e9) }
-            catch {
-              case e: Throwable =>
-                if (!errors.contains(s"forced_$name"))
-                  errors += s"forced_$name" ->
-                    Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-                None
-            }
-          }
-          rep() // warm-up, discarded
-          val base = (1 to Reps).flatMap(_ => rep())
-          val ts =
-            if (base.size == Reps && base.min < FastCutoff)
-              base ++ (1 to Reps).flatMap(_ => rep())
-            else base
-          name -> (if (ts.size >= Reps) ts.sorted else Seq.empty[Double])
+    runAnchors() // phase 1: before any query timing
+    // warm-up pass (pass 0, discarded): codegen + C2 of every query's
+    // generated classes compile outside every timed window (a failure
+    // here re-reports in the timed passes)
+    run.foreach(q => repOf(q, _.count(): Unit, q.name))
+    // base-pass start boundaries land on the compact line as "po"
+    val basePassStarts = Vector.newBuilder[Double]
+    for (p <- 1 to Reps) {
+      // Reps > 1 guard (ADVICE r12 class): a single pass must not run
+      // phase 2 right after phase 1
+      if (p == Reps / 2 + 1 && Reps > 1) runAnchors() // phase 2: between mid passes
+      basePassStarts += offsetNow()
+      runQueryPass(p, run, s"q$p")
+    }
+    val basePassEnd = offsetNow()
+    // FastCutoff doubling, itself pass-major over the fast subset only:
+    // sub-300 ms mins need more draws (VERDICT r8), and those extra
+    // draws should ALSO sample distinct windows
+    val fastSet = run.filter { q =>
+      val ts = timed(q.name)
+      ts.size == Reps && ts.map(_._2).min < FastCutoff
+    }
+    if (fastSet.nonEmpty)
+      for (p <- Reps + 1 to 2 * Reps) runQueryPass(p, fastSet, s"q$p")
+    val results: Seq[(String, Seq[Double])] =
+      run.map(q => q.name -> timed(q.name).map(_._2).sorted)
+
+    // forced-consumer series for the window-bearing headline queries
+    // (VERDICT r13 task 3): same frames, same pass discipline (warm-up
+    // pass, Reps interleaved passes, FastCutoff doubling), but the
+    // consumer references every output column so the Window operators
+    // cannot be pruned — this is the number that carries the window's
+    // real cost; the `.count()` series above keeps its historical
+    // comparability. Runs inside the anchor bracket (before phase 3) so
+    // the drift anchors sample the same machine-state window. A query
+    // absent from the headline run surfaces as the -1 sentinel, not a
+    // vanished key (ADVICE r14).
+    val forcedResolved: Seq[(String, Option[Q])] = forcedQueries.map { name =>
+      val q = run.find(_.name == name)
+      if (q.isEmpty && !errors.contains(s"forced_$name"))
+        errors += s"forced_$name" -> "not in headline run"
+      name -> q
+    }
+    val present: Seq[Q] = forcedResolved.collect { case (_, Some(q)) => q }
+    val forcedTimed =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Int, Double)]]
+    present.foreach(q => forcedTimed(q.name) = Vector.empty)
+    def runForcedPass(p: Int, qs: Seq[Q], label: String): Unit = {
+      val t0 = offsetNow()
+      qs.foreach { q =>
+        repOf(q, forceAll, s"forced_${q.name}")
+          .foreach(t => forcedTimed(q.name) :+= ((p, t)))
       }
+      passWindows += ((label, t0, offsetNow()))
+    }
+    present.foreach(q => repOf(q, forceAll, s"forced_${q.name}")) // warm-up pass
+    for (p <- 1 to Reps) runForcedPass(p, present, s"f$p")
+    val fastForced = present.filter { q =>
+      val ts = forcedTimed(q.name)
+      ts.size == Reps && ts.map(_._2).min < FastCutoff
+    }
+    if (fastForced.nonEmpty)
+      for (p <- Reps + 1 to 2 * Reps) runForcedPass(p, fastForced, s"f$p")
+    val forcedResults: Seq[(String, Seq[Double])] = forcedResolved.map {
+      case (name, qo) =>
+        val ts = qo.map(q => forcedTimed(q.name).map(_._2)).getOrElse(Vector.empty)
+        name -> (if (ts.size >= Reps) ts.sorted else Seq.empty[Double])
     }
     val forcedTimes: Seq[(String, Option[Double])] =
       forcedResults.map { case (k, ts) => k -> ts.headOption }
@@ -940,7 +1024,22 @@ object Bench {
       case (k, Some(t)) if forcedSmall.contains(k) =>
         s"""${jstr(k)}:{"small":${r4(forcedSmall(k))},"ratio":${r4(t / forcedSmall(k))}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"queries_forced":$forcedJson,"queries_forced_scale":$forcedScaleJson,"anchors":$anchorsJson,"drift_controlled":$driftVerbose,"scale_ratios":$scaleVerbose,"skew":$skewJson,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
+    // per-pass detail (VERDICT r17 task 1), verbose line only (the
+    // compact line carries the base-pass boundaries as "po"): every
+    // timed window (label q<p>/f<p>, start, end offsets) plus each
+    // query's full (pass, seconds) draw matrix — enough for
+    // drift_compare.py to mask any pass and recompute the mins
+    val passesVerbose = {
+      val ws = passWindows.result().map { case (l, a, b) =>
+        s"""[${jstr(l)},${r2(a)},${r2(b)}]"""
+      }.mkString("[", ",", "]")
+      val cells = (timed.toSeq ++ forcedTimed.toSeq.map { case (k, v) => (s"f:$k", v) })
+        .map { case (k, draws) =>
+          s"${jstr(k)}:${draws.map { case (p, t) => s"[$p,${r4(t)}]" }.mkString("[", ",", "]")}"
+        }.mkString("{", ",", "}")
+      s"""{"windows":$ws,"times":$cells}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"queries_forced":$forcedJson,"queries_forced_scale":$forcedScaleJson,"anchors":$anchorsJson,"drift_controlled":$driftVerbose,"scale_ratios":$scaleVerbose,"skew":$skewJson,"passes":$passesVerbose,"errors":$errs,"fixture":$fixture,"sf":${jstr(sfDir)}}""")
     // Compact SECOND line (VERDICT r7 "What's wrong" #1): the full
     // spread-bearing line above outgrew the driver's tail-capture window
     // (2000 chars) in round 7, leaving BENCH_r07.json "parsed": null.
@@ -1008,7 +1107,8 @@ object Bench {
       skewBase = skew,
       skewAmp = skewAmp,
       sfDir = sfDir,
-      hostDrift = hostDrift))
+      hostDrift = hostDrift,
+      po = basePassStarts.result() :+ basePassEnd))
 
     // drop the fixture's salted parquet copy — it lives in a fresh temp
     // dir per run and would otherwise accumulate in /tmp (ADVICE r7)

@@ -161,7 +161,11 @@ object Curation {
       trainPct: Int = 90, validPct: Int = 5): DataFrame = {
     require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
       s"groupAwareSplit: invalid split ($trainPct/$validPct)")
-    val labels = Dedup.connectedComponents(
+    // star CC (r18): a long chain of pairwise near-dups is a realistic
+    // group shape, and the min-propagation form used to SPLIT it past
+    // its iteration cap — re-introducing cross-split leakage for
+    // exactly the docs the rule exists to protect
+    val labels = Dedup.connectedComponentsStar(
       docs.select(col("doc_id").as("id")),
       pairs.select(col("id_a").as("a"), col("id_b").as("b")))
     val bucket = fp(concat(lit("split:"), col("group_id").cast("string"))) % 100
@@ -181,7 +185,15 @@ object Curation {
     * group label), so on a freshly refit table it is row-identical to
     * the pairs form (spec-pinned); between refits it reflects the
     * attach-only labels, whose pending-merge count is the staleness
-    * signal the operator already watches. */
+    * signal the operator already watches.
+    *
+    * The label probe is a LEFT join with `coalesce(label, doc_id)`
+    * (ADVICE r17): a doc that arrived after the last
+    * build/append — not yet in the table — routes by its OWN id, the
+    * singleton rule [[groupAwareSplit]] applies to docs absent from
+    * `pairs`, and exactly the assignment [[hashSplit]] would give it.
+    * The old inner join silently DROPPED such docs from the split
+    * output — worse than a wrong split. */
   def groupAwareSplitServed(
       docs: DataFrame, spark: SparkSession, labelTable: String,
       trainPct: Int = 90, validPct: Int = 5): DataFrame = {
@@ -190,8 +202,10 @@ object Curation {
     val bucket = fp(concat(lit("split:"), col("group_id").cast("string"))) % 100
     docs.join(
         spark.table(labelTable)
-          .select(col("id").as("doc_id"), col("label").as("group_id")),
-        Seq("doc_id"))
+          .select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("label"), col("doc_id")))
+      .drop("label")
       .withColumn("split",
         when(bucket < trainPct, "train")
           .when(bucket < trainPct + validPct, "valid")

@@ -554,12 +554,14 @@ object Dedup {
     * corpus-sized shuffle is paid ONCE at build. */
   def buildHashIndex(
       corpus: DataFrame, spark: SparkSession, table: String, path: String,
-      buckets: Int = 8): Unit =
+      buckets: Int = 8): Unit = {
     corpus.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "h").sortBy("h")
       .option("path", path).saveAsTable(table)
+    writeSpecSidecar(spark, path, buckets, Seq("h"), Seq("h"))
+  }
 
   /** Probe newly arrived docs against a persisted [[buildHashIndex]]
     * table: identical semantics to [[incrementalDedup]], with the
@@ -600,6 +602,100 @@ object Dedup {
     // read batch 1's admission from the path-based IVF index but not
     // from either catalog-backed bucketed table).
     spark.catalog.refreshTable(table)
+  }
+
+  // ── bucket-spec SIDECAR + fresh-catalog re-attach (r18) ───────────
+  //
+  // Every bucketed serving table's spec (bucket count + columns) used
+  // to live ONLY in the metastore — a fresh process with an in-memory
+  // catalog could see the index FILES but had no safe way to serve
+  // them (attaching with a guessed spec would silently mis-bucket
+  // every probe join into a corpus-side exchange). The fix is the
+  // seeds-file discipline applied to the spec: each build/compact/
+  // refit writes a tiny `_graft_spec.json` beside the bucket files
+  // (the leading underscore keeps Spark's file index from reading it
+  // as data, like _SUCCESS), and [[reattachBucketedTable]] recreates
+  // the catalog entry from location + sidecar — so the PATH is the
+  // durable handle for every family, and the metastore is a cache.
+
+  private[graft] val SpecSidecar = "_graft_spec.json"
+
+  /** Write the bucket-spec sidecar beside a serving table's files.
+    * Hadoop FileSystem API, so the same code serves file:/hdfs:/s3a:
+    * locations. */
+  private[graft] def writeSpecSidecar(
+      spark: SparkSession, path: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String]): Unit = {
+    def arr(cs: Seq[String]) = cs.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val json = s"""{"numBuckets":$buckets,"bucketCols":${arr(bucketCols)},""" +
+      s""""sortCols":${arr(sortCols)}}"""
+    val p = new org.apache.hadoop.fs.Path(path, SpecSidecar)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a location's bucket-spec sidecar; None when absent or
+    * unreadable (the caller decides whether that is fatal). */
+  private[graft] def readSpecSidecar(
+      spark: SparkSession, path: String): Option[(Int, Seq[String], Seq[String])] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path, SpecSidecar)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](4096)
+            var n = in.read(chunk)
+            while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            buf.toByteArray
+          } finally in.close()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+        def strs(f: String): Seq[String] = {
+          val it = root.get(f).elements()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }
+        Some((root.get("numBuckets").asInt(), strs("bucketCols"), strs("sortCols")))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Re-attach a bucketed serving table from its on-disk location into
+    * a FRESH catalog (r18, VERDICT r17 task 3 — the last durable-
+    * metastore assumption): recreates the catalog entry with the
+    * sidecar's bucket spec and the parquet footer schema, pointing at
+    * the existing files. Returns true when a re-attach happened; false
+    * (no-op) when the catalog already knows the table or its
+    * `_compacting` sibling — crash states inside a swap keep recovering
+    * through [[recoverCompact]] on the surviving catalog, and a fresh
+    * catalog combined with a half-finished swap surfaces as multiple
+    * candidate locations at the call site, never a silent pick. Fails
+    * loudly when the sidecar is missing: attaching with a guessed
+    * bucket spec would silently mis-bucket every probe join. */
+  def reattachBucketedTable(
+      spark: SparkSession, table: String, path: String): Boolean = {
+    val cat = spark.sessionState.catalog
+    def exists(t: String) =
+      cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    if (exists(table) || exists(s"${table}_compacting")) false
+    else {
+      val (n, bCols, sCols) = readSpecSidecar(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"no $SpecSidecar under $path — cannot re-attach $table with a " +
+            "known-correct bucket spec (pre-r18 index: rebuild or compact once)"))
+      val schemaDdl = spark.read.parquet(path).schema.toDDL
+      val sorted =
+        if (sCols.nonEmpty) s"SORTED BY (${sCols.mkString(", ")}) " else ""
+      spark.sql(
+        s"CREATE TABLE $table ($schemaDdl) USING parquet " +
+          s"CLUSTERED BY (${bCols.mkString(", ")}) $sorted" +
+          s"INTO $n BUCKETS LOCATION '$path'")
+      true
+    }
   }
 
   /** The rows an [[appendHashIndex]] call writes: the delta's hashes
@@ -700,6 +796,8 @@ object Dedup {
       case s => rewritten.sortBy(s.head, s.tail: _*)
     }
     sorted.option("path", newPath).saveAsTable(s"${table}_compacting")
+    writeSpecSidecar(spark, newPath, spec.numBuckets,
+      spec.bucketColumnNames, spec.sortColumnNames)
   }
 
   /** Best-effort delete of a superseded table's file: URI (harness:
@@ -825,11 +923,14 @@ object Dedup {
       // exchange when the bucket spec equals the join's partitioning
       .bucketBy(buckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
       .option("path", s"$path/bands").saveAsTable(s"${table}_bands")
+    writeSpecSidecar(spark, s"$path/bands", buckets,
+      Seq("band_idx", "band_hash"), Seq("band_idx", "band_hash"))
     tokenized(corpus)
       .select(col("doc_id").as("corpus_id"), col("toks").as("ct"))
       .write.mode("overwrite")
       .bucketBy(buckets, "corpus_id").sortBy("corpus_id")
       .option("path", s"$path/toks").saveAsTable(s"${table}_toks")
+    writeSpecSidecar(spark, s"$path/toks", buckets, Seq("corpus_id"), Seq("corpus_id"))
   }
 
   /** Probe newly arrived docs against a persisted [[buildBandIndex]]
@@ -1406,11 +1507,13 @@ object Dedup {
     * joins co-located against the bucket files. */
   def buildGramIndex(
       corpus: DataFrame, spark: SparkSession, table: String, path: String,
-      n: Int = 8, buckets: Int = 8): Unit =
+      n: Int = 8, buckets: Int = 8): Unit = {
     gramPosRows(corpus, n).select(col("gram_h")).distinct()
       .write.mode("overwrite")
       .bucketBy(buckets, "gram_h").sortBy("gram_h")
       .option("path", path).saveAsTable(table)
+    writeSpecSidecar(spark, path, buckets, Seq("gram_h"), Seq("gram_h"))
+  }
 
   /** Probe newly arrived docs against a persisted `buildGramIndex`
     * table: identical semantics to `incrementalSubstringSpans`, but
@@ -2390,6 +2493,76 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // GROUP-AWARE SPLIT, SERVED FORM (r18, VERDICT r17 task 2): the
+    // standing-gate consumer the label table was built for — no CC at
+    // split time. Lifecycle exercised end to end: base chains are
+    // BUILT into the bucketed label table, a delta slice (id+3M,
+    // attached to each chain's tail) arrives via the attach-only
+    // APPEND and must route by its chain's STANDING min-id label, and
+    // a late slice (id+4M, never appended — arrived after the last
+    // index write) must fall back to its own id (the singleton /
+    // hashSplit rule; ADVICE r17 — the old inner join silently
+    // dropped such docs). The oracle replays reachability over the
+    // union graph (attach-only ≡ full CC here: no delta component
+    // bridges two groups), the min-label group id, the COALESCE
+    // fallback, and the md5-bucket routing — assignment-level pinning.
+    Q("curation_group_split_served", {
+      def splitCase(idCol: String): String =
+        s"""CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+           |     WHEN CAST(concat('0x', substr(md5('split:' || CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'valid'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE
+         |labeled AS (
+         |  SELECT doc_id FROM documents
+         |  UNION ALL SELECT doc_id + 1000000 FROM documents
+         |  UNION ALL SELECT doc_id + 2000000 FROM documents
+         |  UNION ALL SELECT doc_id + 3000000 FROM documents),
+         |docs AS (
+         |  SELECT doc_id FROM labeled
+         |  UNION ALL SELECT doc_id + 4000000 FROM documents),
+         |e AS (
+         |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+         |  UNION ALL SELECT doc_id + 2000000, doc_id + 3000000 FROM documents),
+         |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a AND r.a <> u.b),
+         |cl AS (
+         |  SELECT n.doc_id,
+         |         LEAST(n.doc_id, COALESCE(MIN(r.b), n.doc_id)) AS label
+         |  FROM labeled n LEFT JOIN reach r ON r.a = n.doc_id
+         |  GROUP BY n.doc_id),
+         |sp AS (
+         |  SELECT d.doc_id, COALESCE(cl.label, d.doc_id) AS group_id
+         |  FROM docs d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+         |SELECT doc_id, group_id,
+         |       ${splitCase("group_id")} AS split
+         |FROM sp ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val (nodes, edges) = chainClusterFixture(s, dir)
+      val tbl = "gsplit_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_gsplit").toString
+      buildGroupLabels(nodes, edges, s, tbl, s"$path/$tbl")
+      appendGroupLabels(
+        docs.select((col("doc_id") + 3000000L).as("id")),
+        docs.select((col("doc_id") + 2000000L).as("a"),
+          (col("doc_id") + 3000000L).as("b")),
+        s, tbl)
+      val allDocs = nodes.select(col("id").as("doc_id"))
+        .unionByName(docs.select((col("doc_id") + 3000000L).as("doc_id")))
+        .unionByName(docs.select((col("doc_id") + 4000000L).as("doc_id")))
+      try graft.llm.Curation.groupAwareSplitServed(allDocs, s, tbl)
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy(col("doc_id")).localCheckpoint()
+      finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.Bench.deleteRecursively(path)
+      }
+    },
+
     // PageRank over the same chain graph, 5 unrolled power iterations:
     // the oracle replays the identical algebra CTE by CTE ((1−d)/N +
     // d·Σ rank/deg over undirected neighbors), so every node's rank —
@@ -2609,6 +2782,17 @@ object Dedup {
       iter += 1
     }
     und.unpersist()
+    // r18 (caught by the new split/label edge tests): exiting on the
+    // iteration cap with changes still flowing used to RETURN the
+    // half-converged labels — silently split groups, which in
+    // groupAwareSplit re-introduces the very leakage it exists to
+    // prevent. A wrong answer is never an acceptable cap behavior;
+    // callers with adversarial diameters use the star form.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — a " +
+          "component's diameter exceeds the cap; use connectedComponentsStar " +
+          "(O(log n) rounds) or raise maxIter")
     labels
   }
 
@@ -2636,11 +2820,17 @@ object Dedup {
     * idempotence anti-join read it co-located. */
   def buildGroupLabels(
       nodes: DataFrame, edges: DataFrame, spark: SparkSession,
-      table: String, path: String, buckets: Int = 8): Unit =
-    connectedComponents(nodes, edges)
+      table: String, path: String, buckets: Int = 8): Unit = {
+    // star form (r18): the standing table must label ANY graph shape —
+    // a 1000-hop near-dup chain converges in ~10 alternations here
+    // where min-propagation needs 1000 rounds (and used to return
+    // split groups past its cap)
+    connectedComponentsStar(nodes, edges)
       .write.mode("overwrite")
       .bucketBy(buckets, "id").sortBy("id")
       .option("path", path).saveAsTable(table)
+    writeSpecSidecar(spark, path, buckets, Seq("id"), Seq("id"))
+  }
 
   /** Attach-only append: label the arriving docs against the standing
     * table and return the PENDING-MERGE count (delta components whose
@@ -2660,8 +2850,9 @@ object Dedup {
       .join(dIds.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(dIds.select(col("id").as("b")), Seq("b"), "left_semi")
     // CC over the delta alone is delta-sized; its label is the
-    // component's min delta id
-    val comp = connectedComponents(dIds, eIn)
+    // component's min delta id (star form — a delta batch can itself
+    // carry a long chain, r18)
+    val comp = connectedComponentsStar(dIds, eIn)
       .select(col("id"), col("label").as("comp"))
     // corpus attachments: the non-delta endpoint's standing label,
     // keyed by the delta endpoint (either orientation)
@@ -2700,10 +2891,11 @@ object Dedup {
       table: String, newPath: String, buckets: Int = 8): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-    connectedComponents(nodes, edges)
+    connectedComponentsStar(nodes, edges)
       .write.mode("overwrite")
       .bucketBy(buckets, "id").sortBy("id")
       .option("path", newPath).saveAsTable(s"${table}_compacting")
+    writeSpecSidecar(spark, newPath, buckets, Seq("id"), Seq("id"))
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
     if (meta.location.getScheme == null || meta.location.getScheme == "file")
@@ -2812,6 +3004,14 @@ object Dedup {
       e = next
       iter += 1
     }
+    // same fail-loud cap contract as the plain form (r18); at the
+    // star alternation's O(log n) convergence the default 50 covers
+    // any physically storable graph, so this only ever fires on a
+    // pathological maxIter override
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter alternations — " +
+          "raise maxIter")
     val labels = nodes
       .join(e.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))

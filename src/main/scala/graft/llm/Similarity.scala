@@ -744,11 +744,27 @@ object Similarity {
           struct(col("cs"), (lit(0L) - col("seed_id")).as("ns"))).as("cluster")),
       "vec_id")
 
-  /** Bucket count for the pinned tier's `assigned` table. Sized to
-    * the harness (nCells = 16 clusters over 8 buckets ≈ 2 per
-    * bucket); at scale set it near the cluster count so the
-    * co-located semantic join's parallelism is not bucket-bound. */
-  val IvfPinnedBuckets = 8
+  /** Bucket-count SIZING RULE for the pinned tier's `assigned` table
+    * (r18, VERDICT r17 task 5 — no longer a hard-coded 8): buckets =
+    * max(1, nCells / 2), i.e. the bucket count TRACKS the cluster
+    * count at ~2 clusters per bucket. Rationale: the served semantic
+    * join and the cluster-`isin` probes are keyed by `cluster`, so
+    * their parallelism is min(buckets, clusters touched) — buckets
+    * must grow with nCells or a 4096-cell production index would
+    * serialize onto 8 bucket-files; and one bucket per ~2 clusters
+    * keeps per-file row groups large enough that the probe's bucket
+    * pruning still skips real I/O (1 cluster/bucket halves file size
+    * for no extra parallelism — the join can't outrun the cluster
+    * count). Callers can still override per index (`buckets` param);
+    * the APPEND and REFIT paths never consult this rule — they read
+    * the standing table's own spec from the catalog, so a custom
+    * build choice survives the whole lifecycle. */
+  def ivfPinnedBuckets(nCells: Int): Int = math.max(1, nCells / 2)
+
+  /** The harness-default pinned bucket count —
+    * `ivfPinnedBuckets(16)` = 8 for the default 16-cell index (kept
+    * as a val for the specs' file-count assertions). */
+  val IvfPinnedBuckets: Int = ivfPinnedBuckets(16)
 
   /** Catalog name of a [[buildIvfIndexPinned]] index's `assigned`
     * table, derived from the index root path — the PATH stays the
@@ -763,6 +779,43 @@ object Similarity {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8"))
     "ivf_pinned_" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Locate the pinned family's CURRENT assigned-table data directory
+    * under an index root, from the FILESYSTEM alone (r18, VERDICT r17
+    * task 3): `<path>/assigned` after a build, or the
+    * `<path>/assigned_refit_*` directory a refit swapped in (the refit
+    * deletes the superseded location after its rename, so in every
+    * committed state exactly ONE candidate carries the bucket-spec
+    * sidecar). None when the root holds no sidecar-bearing candidate
+    * (not a pinned index — the directory-partitioned family, or a
+    * pre-sidecar build). Multiple candidates mean a crash left both
+    * swap sides on disk — loud error, the operator resolves via
+    * [[graft.llm.Dedup.recoverCompact]] on a surviving catalog or by
+    * deleting the uncommitted side; silently picking one could serve
+    * a half-refit index. */
+  private[graft] def pinnedAssignedDir(
+      spark: SparkSession, path: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else {
+      val cands = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && {
+          val n = s.getPath.getName
+          n == "assigned" || n.startsWith("assigned_refit_")
+        })
+        .map(_.getPath.toString)
+        .filter(p => Dedup.readSpecSidecar(spark, p).isDefined)
+      cands match {
+        case Seq(one) => Some(one)
+        case Seq() => None
+        case many => throw new IllegalStateException(
+          s"multiple pinned assigned dirs under $path (${many.mkString(", ")}) — " +
+            "a crash left both swap sides; recover via the surviving catalog " +
+            "(recoverCompact) before re-attaching")
+      }
+    }
   }
 
   /** Drop a pinned index: catalog table + on-disk root. The cleanup
@@ -792,7 +845,9 @@ object Similarity {
     * compaction/recovery ride [[Dedup.compactIndex]] /
     * [[Dedup.recoverCompact]] — the pinned tier is now just another
     * bucketed serving table. */
-  def buildIvfIndexPinned(base: DataFrame, path: String, nCells: Int = 16): Unit = {
+  def buildIvfIndexPinned(
+      base: DataFrame, path: String, nCells: Int = 16, buckets: Int = -1): Unit = {
+    val nBuckets = if (buckets > 0) buckets else ivfPinnedBuckets(nCells)
     val e = base.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val seeds = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -801,8 +856,10 @@ object Similarity {
     seeds.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/seeds")
     pinnedAssign(e, seeds)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(IvfPinnedBuckets, "cluster").sortBy("cluster", "vec_id")
+      .bucketBy(nBuckets, "cluster").sortBy("cluster", "vec_id")
       .option("path", s"$path/assigned").saveAsTable(ivfPinnedTable(path))
+    Dedup.writeSpecSidecar(base.sparkSession, s"$path/assigned", nBuckets,
+      Seq("cluster"), Seq("cluster", "vec_id"))
   }
 
   /** Append to a [[buildIvfIndexPinned]] index: assign the delta to
@@ -859,12 +916,18 @@ object Similarity {
       .select(col("vec_id").as("seed_id"), col("v").as("sv"))
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    // the TABLE'S OWN bucket count, not the default rule: a custom
+    // build choice must survive the refit (r18, the bucketedAppend
+    // discipline applied here)
+    val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(IvfPinnedBuckets)
     val newPath =
       s"$path/assigned_refit_${java.util.UUID.randomUUID().toString.take(8)}"
     pinnedAssign(rows, seeds)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(IvfPinnedBuckets, "cluster").sortBy("cluster", "vec_id")
+      .bucketBy(nBuckets, "cluster").sortBy("cluster", "vec_id")
       .option("path", newPath).saveAsTable(s"${t}_compacting")
+    Dedup.writeSpecSidecar(spark, newPath, nBuckets,
+      Seq("cluster"), Seq("cluster", "vec_id"))
     spark.sql(s"DROP TABLE $t")
     spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
     if (meta.location.getScheme == null || meta.location.getScheme == "file")
@@ -880,9 +943,21 @@ object Similarity {
     * (one limit-nCells scan + an nCells-row compare). */
   def recoverRefitSeeds(spark: SparkSession, path: String, nCells: Int = 16): Boolean = {
     val t = ivfPinnedTable(path)
+    // the STORED seeds' row count IS the family's nCells (the build/
+    // refit invariant: seeds = md5-order head-nCells of the table) —
+    // honor it, so a boot-time recovery called with the default
+    // (bootGate cannot know the build parameter) never "heals" an
+    // 8-cell index into a 16-seed cache (r18, caught by the
+    // fresh-catalog boot test). The `nCells` param is the fallback
+    // for a lost or unreadable seeds file only.
+    val storedN =
+      try {
+        val n = spark.read.parquet(s"$path/seeds").count().toInt
+        if (n > 0) n else nCells
+      } catch { case _: Throwable => nCells }
     val expected = spark.table(t)
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nCells)
+      .limit(storedN)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"))
     def key(df: DataFrame): Seq[(Long, Seq[Double])] = df.collect()
       .map(r => (r.getLong(r.fieldIndex("seed_id")),
@@ -980,15 +1055,20 @@ object Similarity {
   /** Shared ORACLE for the two staleness audits (the SQL twin of
     * [[stalenessTable]]): parameterized on the corpus CTE (raw
     * embeddings vs the planted-topic fixture), the probe predicate,
-    * and the stale-seed pool predicate — everything else (md5 seed
-    * draw, pinned assignment, nProbe=4 cell prune, exact top-3, the
-    * hit counts) is the one shared text both declared queries replay. */
+    * the stale-seed pool predicate, AND the k/nCells/nProbe knobs
+    * (ADVICE r17: these were hardcoded 3/16/4 while the Scala twins
+    * are parameterized — a caller passing non-default knobs would get
+    * an oracle text that silently no longer matches the Spark
+    * computation). Everything else (md5 seed draw, pinned assignment,
+    * cell prune, exact top-k, the hit counts) is the one shared text
+    * both declared queries replay. */
   private[graft] def stalenessAuditSql(
-      eCte: String, probesWhere: String, staleSeedWhere: String): String = {
+      eCte: String, probesWhere: String, staleSeedWhere: String,
+      k: Int = 3, nCells: Int = 16, nProbe: Int = 4): String = {
     def branchSql(tag: String, seedWhere: String): String =
       s"""seeds_$tag AS (
          |  SELECT vec_id AS seed_id, v AS sv FROM e $seedWhere
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
          |asg_$tag AS (
          |  SELECT vec_id, cluster FROM (
          |    SELECT e.vec_id, s.seed_id AS cluster,
@@ -1004,7 +1084,7 @@ object Similarity {
          |             PARTITION BY p.probe_id
          |             ORDER BY ROUND(list_cosine_similarity(s.sv, p.pv), 6) + 0 DESC,
          |                      s.seed_id) AS rk
-         |    FROM probes p CROSS JOIN seeds_$tag s) t WHERE rk <= 4),
+         |    FROM probes p CROSS JOIN seeds_$tag s) t WHERE rk <= $nProbe),
          |ann_$tag AS (
          |  SELECT probe_id, cand_id FROM (
          |    SELECT n.probe_id, a.vec_id AS cand_id,
@@ -1016,7 +1096,7 @@ object Similarity {
          |    JOIN asg_$tag a ON a.cluster = n.cluster
          |    JOIN e ev ON ev.vec_id = a.vec_id
          |    JOIN probes p ON p.probe_id = n.probe_id
-         |    WHERE a.vec_id <> n.probe_id) t WHERE rk <= 3),
+         |    WHERE a.vec_id <> n.probe_id) t WHERE rk <= $k),
          |h_$tag AS (
          |  SELECT a.probe_id, CAST(COUNT(*) AS BIGINT) AS n
          |  FROM ann_$tag a JOIN exr x
@@ -1034,14 +1114,14 @@ object Similarity {
        |             PARTITION BY p.probe_id
        |             ORDER BY ROUND(list_cosine_similarity(c.v, p.pv), 6) + 0 DESC,
        |                      c.vec_id) AS rk
-       |    FROM probes p JOIN e c ON c.vec_id <> p.probe_id) t WHERE rk <= 3),
+       |    FROM probes p JOIN e c ON c.vec_id <> p.probe_id) t WHERE rk <= $k),
        |${branchSql("s", staleSeedWhere)},
        |${branchSql("r", "")}
        |SELECT p.probe_id,
        |       CAST(COALESCE(hs.n, 0) AS BIGINT) AS hits_stale,
        |       CAST(COALESCE(hr.n, 0) AS BIGINT) AS hits_refit,
-       |       ROUND(COALESCE(hs.n, 0) / 3.0, 6) + 0 AS recall_stale,
-       |       ROUND(COALESCE(hr.n, 0) / 3.0, 6) + 0 AS recall_refit
+       |       ROUND(COALESCE(hs.n, 0) / ${k}.0, 6) + 0 AS recall_stale,
+       |       ROUND(COALESCE(hr.n, 0) / ${k}.0, 6) + 0 AS recall_refit
        |FROM probes p
        |LEFT JOIN h_s hs ON hs.probe_id = p.probe_id
        |LEFT JOIN h_r hr ON hr.probe_id = p.probe_id
@@ -2510,8 +2590,8 @@ object Similarity {
     // per-probe number still hash-pins cross-engine.
     Q("embed_ivf_staleness_planted",
       stalenessAuditSql(
-        eCte = """SELECT vec_id,
-                 |         list_transform(range(0, 64),
+        eCte = s"""SELECT vec_id,
+                 |         list_transform(range(0, $Dim),
                  |           d -> CASE WHEN d = vec_id % 16 THEN 1.0
                  |                     WHEN d = (vec_id % 16 % 8 + 1 + (vec_id // 16) % 7) % 8 THEN 0.3
                  |                     WHEN d = 16 + ((vec_id // 16) * 5) % 8 THEN 0.5

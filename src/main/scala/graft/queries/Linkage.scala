@@ -92,7 +92,7 @@ object Linkage {
     val nodes = left.select(col("orig_id").as("id"), col("name"))
       .unionByName(right.select(col("typo_id").as("id"), col("name")))
       .localCheckpoint()
-    val labels = graft.llm.Dedup.connectedComponents(
+    val labels = graft.llm.Dedup.connectedComponentsStar(
       nodes.select(col("id")),
       links.select(col("orig_id").as("a"), col("typo_id").as("b")))
     nodes.join(labels, "id")

@@ -43,22 +43,27 @@ class BenchJsonSpec extends AnyFunSuite {
       sfDir = "/root/testdata/sf0.1",
       // worst case includes the host-drift stamp (r17): a contaminated
       // round's line must also fit the driver window
-      hostDrift = hd)
+      hostDrift = hd,
+      // r18: 7 base passes + end boundary at a pathological 5-digit
+      // offset magnitude (a >3 h run) — the widest "po" shape
+      po = (0 to 7).map(p => 12345.6 + p))
   }
 
   test("compact line fits the driver tail window with headroom") {
-    // 1600, not 1700 (VERDICT r15 task 7): the r16 trim pre-buys the
-    // next rounds' growth AND the widened med net's extra entries. A
-    // CONTAMINATED round carries the 7-char `"hd":1,` stamp (r17) on
-    // top — gated at 1610 so the stamp can never be the overflow.
+    // 1720 (r18): the r16 trim's 1600 bound plus the two r17-task
+    // fields — "po" pass boundaries (~70 chars at 5-digit offsets) and
+    // the first-class "baseline" object (~30) — measured 1706 at the
+    // pathological worst case; 280 chars of window headroom remain. A
+    // CONTAMINATED round carries the 7-char `"hd":1,` stamp on top —
+    // gated at 1730 so the stamp can never be the overflow.
     val clean = worstCase(SparkEntry.headline, hd = false)
     info(s"worst-case clean compact line: ${clean.length} chars (driver window 2000)")
-    assert(clean.length <= 1600,
+    assert(clean.length <= 1720,
       s"compact line is ${clean.length} chars — the driver tail-capture " +
         "window is 2000; trim a block or shorten keys before adding queries")
     val stamped = worstCase(SparkEntry.headline)
     info(s"worst-case stamped compact line: ${stamped.length} chars")
-    assert(stamped.length <= 1610,
+    assert(stamped.length <= 1730,
       s"host-drift-stamped line is ${stamped.length} chars")
   }
 
@@ -68,7 +73,9 @@ class BenchJsonSpec extends AnyFunSuite {
     // the 4-cap) keeps the line under the pre-trim 1700 gate
     val line = worstCase(SparkEntry.headline, medCap = 5)
     info(s"5-med compact line: ${line.length} chars")
-    assert(line.length <= 1700,
+    // 1780 = the clean gate's 1720 plus the r15-era ~60-char med-slot
+    // allowance, shifted by the r18 po/baseline fields like the gate
+    assert(line.length <= 1780,
       s"compact line with a spare med entry is ${line.length} chars — " +
         "the trim no longer leaves a free slot")
   }
@@ -78,8 +85,14 @@ class BenchJsonSpec extends AnyFunSuite {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(line)
     for (k <- Seq("metric", "value", "unit", "queries", "anchors", "drift",
-        "sr", "med", "forced", "fdc", "skew", "sf"))
+        "baseline", "sr", "med", "forced", "fdc", "skew", "po", "sf"))
       assert(root.has(k), s"compact line lost the '$k' key")
+    // r18 (VERDICT r17 task 7): the baseline chain is a first-class
+    // field — round number + anchor ratio, matching drift's base/ar
+    assert(root.get("baseline").get("round").asInt() === 99)
+    assert(root.get("baseline").get("ar").asDouble() === 11.07)
+    // r18 (task 1): base-pass boundaries — Reps starts + the final end
+    assert(root.get("po").size() === 8)
     assert(root.get("queries").size() === SparkEntry.headline.size)
     assert(root.get("drift").get("dc").size() === SparkEntry.headline.size,
       "dc array must align 1:1 with the queries key order")
@@ -192,6 +205,48 @@ class BenchJsonSpec extends AnyFunSuite {
     } finally {
       Option(dir.listFiles()).toSeq.flatten.foreach(_.delete()); dir.delete()
     }
+  }
+
+  test("pass-major schedule separates every query's draws (VERDICT r17 task 1)") {
+    val qs = (1 to 29).map(i => s"q$i")
+    val sched = Bench.passMajor(qs, 7)
+    assert(sched.size === 29 * 7)
+    // consecutive draws of the same query are exactly one full suite
+    // apart — the separation that makes a contention window unable to
+    // cover every draw of any query
+    for (q <- qs) {
+      val idxs = sched.zipWithIndex.collect { case ((_, n), i) if n == q => i }
+      assert(idxs.size === 7)
+      assert(idxs.sliding(2).forall { case Seq(a, b) => b - a == qs.size })
+    }
+    // each pass runs every query exactly once, in suite order
+    for (p <- 1 to 7)
+      assert(sched.filter(_._1 == p).map(_._2) === qs)
+  }
+
+  test("simulated slow pass: published min survives a poisoned pass (r17 task 1)") {
+    // the official r17 failure, reconstructed: a sustained contention
+    // window multiplied every draw inside it ×6–50, and because the old
+    // schedule ran all 7 reps of a query consecutively, the covered
+    // queries had NO clean draw (median≈min at ×50). Under pass-major,
+    // a window poisons whole PASSES; simulate every choice of one
+    // poisoned pass and assert each query's min stays its clean cost.
+    val qs = (1 to 13).map(i => s"q$i")
+    val clean: Map[String, Double] = qs.zipWithIndex.map {
+      case (q, i) => q -> (0.1 + i * 0.03)
+    }.toMap
+    for (poisoned <- 1 to 7; q <- qs) {
+      val draws = (1 to 7).map(p =>
+        p -> clean(q) * (if (p == poisoned) 50.0 else 1.0))
+      assert(Bench.minAcrossPasses(draws) === Some(clean(q)),
+        s"min poisoned by pass $poisoned for $q")
+    }
+    // even a window covering 6 of 7 passes leaves the min clean as long
+    // as ONE pass escaped — the structural guarantee the r17 artifact's
+    // consecutive reps lacked
+    val draws = (1 to 7).map(p => p -> (if (p == 4) 1.0 else 50.0))
+    assert(Bench.minAcrossPasses(draws) === Some(1.0))
+    assert(Bench.minAcrossPasses(Nil) === None)
   }
 
   test("compact line renders null-side skew and absent drift without keys lost") {

@@ -635,6 +635,76 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(solo(30L) === (("train", -1L)))
   }
+
+  test("split/label tier: all-singleton corpus, one all-spanning group, group-merging append (r18)") {
+    // VERDICT r17 task 6 — the r17 split/label tier's degenerate
+    // shapes. (1) EMPTY pair set: every doc is a singleton, so
+    // groupAwareSplit must equal hashSplit EXACTLY — rule identity per
+    // row, not merely zero leaks — and each group_id is the doc's own
+    // id.
+    val docs = (1L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val singletons = Curation.groupAwareSplit(docs, emptyPairs)
+      .select("doc_id", "group_id", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val perDoc = Curation.hashSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(singletons.size === 40)
+    for ((id, (gid, sp)) <- singletons) {
+      assert(gid === id, s"singleton $id must label as itself, got $gid")
+      assert(sp === perDoc(id), s"singleton $id must keep its hashSplit assignment")
+    }
+    // ...and an empty CORPUS doesn't hang the CC loop
+    assert(Curation.groupAwareSplit(docs.limit(0), emptyPairs).count() === 0)
+
+    // (2) ONE group spanning every doc: a single label (the min id),
+    // a single split for all 40 — the whole corpus rides one bucket
+    // decision, which is exactly the no-leak guarantee at its extreme
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val giant = Curation.groupAwareSplit(docs, chain)
+      .select("doc_id", "group_id", "split").collect()
+    assert(giant.map(_.getLong(1)).toSet === Set(1L),
+      "an all-spanning group must carry the min-id label everywhere")
+    assert(giant.map(_.getString(2)).toSet.size === 1,
+      "an all-spanning group must land in exactly one split")
+    assert(giant.map(_.getString(2)).head === perDoc(1L),
+      "the group routes by the hash of its min-id label")
+
+    // (3) an append batch whose DELTA COMPONENT merges two standing
+    // groups: docs 10–11 are one delta component, 10 touches group
+    // {1,2} and 11 touches group {5,6} — attach-only cannot merge
+    // corpus groups, so both adopt the MIN standing label and the
+    // pending-merge refit signal fires (count 1)
+    val tbl = "edge_glbl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val p = tempDir("edge_glbl")
+    Dedup.buildGroupLabels(
+      Seq(1L, 2L, 5L, 6L).toDF("id"),
+      Seq((1L, 2L), (5L, 6L)).toDF("a", "b"), spark, tbl, s"$p/$tbl")
+    try {
+      val pending = Dedup.appendGroupLabels(
+        Seq(10L, 11L).toDF("id"),
+        Seq((10L, 11L), (2L, 10L), (6L, 11L)).toDF("a", "b"), spark, tbl)
+      assert(pending === 1L,
+        s"a group-merging delta component must fire the refit signal, got $pending")
+      val labels = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels(10L) === 1L && labels(11L) === 1L,
+        s"merged-component docs must adopt the min standing label: $labels")
+      assert(labels(5L) === 5L,
+        "attach-only must not rewrite the standing corpus labels")
+      // (3b) an EMPTY delta is the quiet micro-batch: no pending, no rows
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType))))
+      val emptyEdges = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+      assert(Dedup.appendGroupLabels(empty, emptyEdges, spark, tbl) === 0L)
+      assert(spark.table(tbl).count() === 6L, "empty append must write nothing")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
 
 /** The source-matrix pipeline is declared inline; rebuild its core here

@@ -2550,6 +2550,33 @@ class LlmSpec extends SparkSpec {
       assert(served.orderBy("doc_id").collect().toSeq
         === grouped.orderBy("doc_id").collect().toSeq,
         "served split diverges from the pairs form on a fresh table")
+      // appended docs route by their STANDING group label (r18,
+      // VERDICT r17 task 2): a new doc attached to an existing group
+      // member adopts that group's label, hence that group's split —
+      // no CC pass at split time
+      val anchor = grouped.filter(col("group_id") =!= col("doc_id"))
+        .select("doc_id", "group_id", "split").head()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val newId = maxId + 1L
+      Dedup.appendGroupLabels(
+        Seq(newId).toDF("id"),
+        Seq((anchor.getLong(0), newId)).toDF("a", "b"), spark, tbl)
+      val lateId = maxId + 2L
+      val probe = Curation.groupAwareSplitServed(
+          Seq(newId, lateId).toDF("doc_id"), spark, tbl)
+        .select("doc_id", "group_id", "split").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(probe(newId)._1 === anchor.getLong(1),
+        "appended doc must carry its standing group label")
+      assert(probe(newId)._2 === anchor.getString(2),
+        "appended doc must route to its group's split")
+      // a doc that arrived AFTER the last append (not in the table)
+      // must fall back to the singleton/hashSplit rule and stay in the
+      // output — the old inner join silently dropped it (ADVICE r17)
+      val lateSplit = Curation.hashSplit(Seq(lateId).toDF("doc_id"))
+        .select("split").head().getString(0)
+      assert(probe(lateId) === ((lateId, lateSplit)),
+        "unlabeled doc must route by its own id, not vanish from the split")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
@@ -2602,7 +2629,24 @@ class LlmSpec extends SparkSpec {
     val path = tempDir("rfr_plan")
     Dedup.buildHashIndex(corpus, spark, hashTbl, s"$path/$hashTbl")
     Dedup.buildBandIndex(corpus, spark, bandTbl, s"$path/$bandTbl")
-    Similarity.buildIvfIndexPinned(emb, s"$path/ivf")
+    // NON-DEFAULT bucket count (r18, VERDICT r17 task 5): the whole
+    // composed-gate pin below runs against a 5-bucket assigned table,
+    // proving co-location is a property of the spec-matched join, not
+    // of the old hard-coded 8 — at scale the count tracks the cluster
+    // count via ivfPinnedBuckets(nCells)
+    Similarity.buildIvfIndexPinned(emb, s"$path/ivf", nCells = 16, buckets = 5)
+    assert(
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          Similarity.ivfPinnedTable(s"$path/ivf")))
+        .bucketSpec.exists(_.numBuckets == 5),
+      "pinned build must honor a caller bucket count")
+    // the sizing rule itself: tracks nCells at ~2 clusters per bucket,
+    // floors at 1, and the harness default reproduces the historic 8
+    assert(Similarity.ivfPinnedBuckets(16) === 8)
+    assert(Similarity.ivfPinnedBuckets(4096) === 2048)
+    assert(Similarity.ivfPinnedBuckets(1) === 1)
+    assert(Similarity.IvfPinnedBuckets === 8)
     val evG = Curation.evalGrams(corpus, col("doc_id") % 7 === 0).localCheckpoint()
     val deltaDocs = Curation.refreshDeltaDocs(corpus).localCheckpoint()
     val deltaEmb = Curation.refreshDeltaEmb(emb).localCheckpoint()

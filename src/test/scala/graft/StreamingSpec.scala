@@ -1173,6 +1173,87 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("GateOps.bootGate: a FRESH catalog heals every index family from paths alone (r18)") {
+    // VERDICT r17 task 3's done condition: build all four catalog-
+    // backed families (hash / band pair / gram / pinned IVF), REFIT
+    // the pinned index so its data lives at an assigned_refit_* dir
+    // (the discovery case), record every probe answer, then DROP all
+    // catalog entries — externally-located tables keep their files,
+    // which is exactly the state a brand-new process with an
+    // in-memory metastore sees. The path-only boot must re-attach
+    // each table from its location + bucket-spec sidecar and every
+    // probe must answer identically.
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val delta = llm.Dedup.incrementalNearDelta(corpus)
+    val path = tempDir("graft_boot_fresh")
+    val hashTbl = "bootfresh_hash"
+    val bandTbl = "bootfresh_band"
+    val gramTbl = "bootfresh_gram"
+    llm.Dedup.buildHashIndex(corpus, spark, hashTbl, s"$path/hash")
+    llm.Dedup.buildBandIndex(corpus, spark, bandTbl, s"$path/band")
+    llm.Dedup.buildGramIndex(corpus, spark, gramTbl, s"$path/gram")
+    val embCorpus = (0L until 24L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 8).toInt) 1.0 else 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    llm.Similarity.buildIvfIndexPinned(embCorpus, s"$path/ivf", nCells = 8)
+    llm.Similarity.refitIvfIndexPinned(spark, s"$path/ivf", nCells = 8)
+    val pinnedTbl = llm.Similarity.ivfPinnedTable(s"$path/ivf")
+    def probes(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      llm.Dedup.probeHashIndex(delta, spark, hashTbl).orderBy("doc_id").collect().toSeq,
+      llm.Dedup.probeBandIndex(delta, spark, bandTbl).orderBy("doc_id").collect().toSeq,
+      llm.Dedup.probeGramIndex(delta, spark, gramTbl).orderBy("doc_id").collect().toSeq,
+      llm.Similarity.ivfSearchPinned(spark, s"$path/ivf", probeId = 3L, k = 4)
+        .collect().toSeq)
+    try {
+      val before = probes()
+      assert(before.forall(_.nonEmpty), "fixture must produce probe hits")
+      // the refit moved the pinned data off <path>/ivf/assigned
+      assert(!new java.io.File(s"$path/ivf/assigned").exists(),
+        "refit must have swapped in an assigned_refit_* dir")
+      // catalog loss: drop every entry; external files stay on disk
+      for (t <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks", gramTbl, pinnedTbl))
+        spark.sql(s"DROP TABLE $t")
+      // every probe now fails — the catalog really knows nothing
+      intercept[Exception](llm.Dedup.probeHashIndex(delta, spark, hashTbl).count())
+      val mem = MemoryStream[(Long, String)]
+      val (actions, q) = streaming.GateOps.bootGate(
+        spark,
+        Map(hashTbl -> s"$path/hash",
+          s"${bandTbl}_bands" -> s"$path/band/bands",
+          s"${bandTbl}_toks" -> s"$path/band/toks",
+          gramTbl -> s"$path/gram"),
+        Seq(s"$path/ivf")) {
+        () => llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
+          .join(spark.table(s"${bandTbl}_bands"), Seq("band_idx", "band_hash"))
+          .select(col("doc_id").as("delta_id"), col("corpus_id"))
+          .writeStream.format("memory")
+          .queryName("bootfresh_run").outputMode("append").start()
+      }
+      try {
+        for (t <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks", gramTbl))
+          assert(actions(t) === "attached+noop",
+            s"$t must re-attach from its sidecar, got $actions")
+        assert(actions(s"$path/ivf") === "attached+noop",
+          s"pinned IVF must re-attach from its refit dir, got $actions")
+        // the re-attached tables carry the original bucket specs
+        val spec = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${bandTbl}_bands")).bucketSpec
+        assert(spec.exists(s => s.numBuckets == 8 &&
+          s.bucketColumnNames == Seq("band_idx", "band_hash")),
+          s"re-attached band table lost its bucket spec: $spec")
+        // and every family answers exactly as before the catalog loss
+        val after = probes()
+        assert(after === before, "probe answers diverged after path-only re-attach")
+      } finally q.stop()
+    } finally {
+      for (t <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks", gramTbl,
+          pinnedTbl, s"${pinnedTbl}_compacting"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: the unbounded-source dedup form keeps state only inside the watermark (r17)") {
     // The sink-dedup measurement (SinkVolumeProbe / VERDICT r16 task 3)
     // chose stateful in-stream dedup for the refresh gate, with

@@ -13,6 +13,15 @@ between two rounds measures the HOST, and
 
 is the comparison with host drift cancelled.
 
+r18 (VERDICT r17 task 1): Bench now runs its reps as interleaved
+pass-major passes and publishes per-pass wall-clock offsets — "po"
+(base-pass boundaries) on the compact line, "passes" (every window +
+the per-query draw matrix) on the verbose line. This tool localizes a
+contention window to its passes and, when the draw matrix is present,
+recomputes each query's min with the slowest pass MASKED — if the
+masked mins match the published ones, the published numbers already
+survived the window.
+
 Usage: python3 tools/drift_compare.py BENCH_old.json BENCH_new.json
 
 Reads either the driver's wrapper JSON ({"parsed": {...}}) or a bare
@@ -22,6 +31,16 @@ back to raw ratios and says so.
 import json
 import math
 import sys
+
+# Contamination band on the anchor geomean ratio. MIRRORS
+# Bench.HostDriftBand (Bench.scala) — change BOTH together, or the
+# Python reader and the Scala clean-baseline picker will disagree
+# about which rounds are contaminated (ADVICE r17).
+HOST_DRIFT_BAND = 1.3
+
+# A pass whose duration exceeds this multiple of the median pass
+# duration is flagged as covering a contention window.
+SLOW_PASS_BAND = 3.0
 
 
 def load(path):
@@ -64,21 +83,105 @@ def load(path):
               if isinstance(v, (int, float)) and v > 0}
     # host-contamination mark (VERDICT r16 task 2): an explicit
     # top-level "host_drift" annotation, the compact line's "hd" stamp,
-    # or a published anchor ratio past the 1.3x band (pre-stamp rounds:
+    # or a published anchor ratio past the band (pre-stamp rounds:
     # r16's line already carries "ar":1.95). Only HIGH ar marks
     # contamination — contention only ever slows a host.
     drift = doc.get("drift") or {}
     ar = drift.get("ar") if isinstance(drift, dict) else None
     hd = bool(top.get("host_drift")) or "hd" in doc or \
-        (isinstance(ar, (int, float)) and ar > 1.3)
-    return queries, anchors, forced, hd
+        (isinstance(ar, (int, float)) and ar > HOST_DRIFT_BAND)
+    # r18: the first-class baseline object ({"round": N, "ar": x}) and
+    # the pass-structure blocks (compact "po", verbose "passes")
+    baseline = doc.get("baseline") if isinstance(doc.get("baseline"), dict) else None
+    po = doc.get("po") if isinstance(doc.get("po"), list) else None
+    passes = doc.get("passes") if isinstance(doc.get("passes"), dict) else None
+    return queries, anchors, forced, hd, baseline, po, passes
+
+
+def pass_report(name, queries, po, passes):
+    """Localize a contention window to its passes and mask it.
+
+    With only "po" (the driver artifact), reports which base pass ran
+    anomalously long — the published per-query mins already exclude it
+    by construction (min over passes). With the verbose "passes" draw
+    matrix, additionally recomputes each query's min EXCLUDING the
+    slow passes and reports any query whose published min came only
+    from them (none, if the interleaving did its job).
+
+    Pass durations are only comparable WITHIN a membership class: the
+    base passes run the whole suite, the FastCutoff-doubling passes run
+    only the sub-300ms subset, forced passes the forced set — so each
+    pass's duration is compared against the median of passes running
+    the SAME query set, never across classes.
+    """
+    durations = []  # (label, seconds)
+    times = (passes or {}).get("times")
+    times = times if isinstance(times, dict) else None
+    if passes and isinstance(passes.get("windows"), list):
+        durations = [(w[0], w[2] - w[1]) for w in passes["windows"]
+                     if isinstance(w, list) and len(w) == 3]
+    elif po and len(po) >= 2:
+        durations = [(f"q{i + 1}", po[i + 1] - po[i])
+                     for i in range(len(po) - 1)]
+    if not durations:
+        return
+
+    def pass_idx(label):
+        return int(label[1:]) if label[1:].isdigit() else None
+
+    def membership(label):
+        p = pass_idx(label)
+        if times is None or p is None:
+            return label[0]  # po-only path: all windows are base passes
+        forced = label[0] == "f"
+        return frozenset(q for q, draws in times.items()
+                         if q.startswith("f:") == forced
+                         and any(dp == p for dp, _ in draws))
+
+    groups = {}
+    for label, d in durations:
+        groups.setdefault(membership(label), []).append((label, d))
+    slow = []  # (label, duration, class median)
+    for ws in groups.values():
+        if len(ws) < 3:
+            continue  # no median to compare against
+        med = sorted(d for _, d in ws)[len(ws) // 2]
+        slow += [(l, d, med) for l, d in ws
+                 if med > 0 and d > SLOW_PASS_BAND * med]
+    for label, d, med in slow:
+        print(f"*** {name}: pass {label} ran {d:.1f}s vs its class "
+              f"median {med:.1f}s (> x{SLOW_PASS_BAND:.0f}) — a "
+              "contention window; interleaved per-query mins sample "
+              "the other passes and survive it ***")
+    if times is not None and slow:
+        slow_q = {pass_idx(l) for l, _, _ in slow if l[0] == "q"}
+        slow_f = {pass_idx(l) for l, _, _ in slow if l[0] == "f"}
+        hit = []
+        for q, draws in times.items():
+            slow_ps = slow_f if q.startswith("f:") else slow_q
+            ts = [t for p, t in draws if isinstance(t, (int, float))]
+            clean = [t for p, t in draws if p not in slow_ps
+                     and isinstance(t, (int, float))]
+            if ts and (not clean or min(clean) > min(ts) * 1.001):
+                hit.append(q)
+        if hit:
+            print(f"*** {name}: queries whose min depends on the slow "
+                  f"pass(es): {', '.join(hit)} — treat their numbers as "
+                  "contaminated ***")
+        else:
+            print(f"{name}: every query's min is clean of the slow "
+                  "pass(es) — published numbers stand")
 
 
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    q_old, a_old, f_old, hd_old = load(sys.argv[1])
-    q_new, a_new, f_new, hd_new = load(sys.argv[2])
+    q_old, a_old, f_old, hd_old, bl_old, po_old, ps_old = load(sys.argv[1])
+    q_new, a_new, f_new, hd_new, bl_new, po_new, ps_new = load(sys.argv[2])
+    for path, bl in ((sys.argv[1], bl_old), (sys.argv[2], bl_new)):
+        if bl:
+            print(f"{path}: declares baseline round {bl.get('round')} "
+                  f"(anchor ratio x{bl.get('ar')})")
     if hd_old:
         print(f"*** WARNING: {sys.argv[1]} is host-drift marked — its "
               "absolute numbers ran on a contaminated host; prefer the "
@@ -87,6 +190,8 @@ def main():
         print(f"*** WARNING: {sys.argv[2]} is host-drift marked — read "
               "the drift-controlled column only; the raw column and "
               "totals are contaminated ***")
+    pass_report(sys.argv[1], q_old, po_old, ps_old)
+    pass_report(sys.argv[2], q_new, po_new, ps_new)
     shared_anchors = sorted(set(a_old) & set(a_new))
     if shared_anchors:
         g_old = math.exp(sum(math.log(a_old[a]) for a in shared_anchors)
@@ -99,10 +204,10 @@ def main():
             print(f"  {a:16s} {a_old[a]:8.4f} -> {a_new[a]:8.4f}  "
                   f"x{a_new[a] / a_old[a]:.3f}")
         print(f"host drift factor (anchor geomean ratio): x{host:.3f}")
-        if host > 1.3:
-            print("*** host drift exceeds the 1.3x contamination band — "
-                  "the new side ran on a loaded host; trust only the "
-                  "drift-controlled column ***")
+        if host > HOST_DRIFT_BAND:
+            print(f"*** host drift exceeds the {HOST_DRIFT_BAND}x "
+                  "contamination band — the new side ran on a loaded "
+                  "host; trust only the drift-controlled column ***")
     else:
         host = 1.0
         print("WARNING: no shared anchors — raw ratios only "
