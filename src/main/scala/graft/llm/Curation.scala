@@ -416,6 +416,38 @@ object Curation {
       .filter(col("n_contam") > 0)
   }
 
+  /** SEMANTIC decontamination (r18) — the embedding-similarity member
+    * of the decontam family (exact 8-gram, bloom-pruned, span-surgical,
+    * streaming): flag every TRAIN vector whose cosine to ANY eval-set
+    * vector reaches `tau`. Verbatim-overlap tiers can't see a
+    * paraphrased or re-tokenized benchmark leak; the embedding tier
+    * can — this is the eval-leak analog of SemDeDup, and the modern
+    * complement to n-gram decontamination.
+    *
+    * Shape: both sides bucket by the deterministic SRP hyperplane
+    * signature ([[Similarity.srpBucket]] — map-only, codegen'd at the
+    * scan), candidates are same-bucket (corpus × eval) pairs, the
+    * exact rounded cosine verifies. At 100 TB the eval side is
+    * benchmark-sized (thousands of vectors) — AQE broadcasts it, so
+    * the corpus never shuffles; candidates are bucket-bounded, never
+    * all-pairs. Blocking recall is the SRP tier's (multi-probe /
+    * banded variants exist for higher recall); determinism is exact,
+    * which is what the oracle checks. Returns
+    * (vec_id, n_hits, max_cos) for flagged corpus vectors only. */
+  def semanticDecontam(
+      emb: DataFrame, evalEmb: DataFrame, tau: Double = 0.99): DataFrame = {
+    val c = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.srpBucket(col("v")))
+    val ev = evalEmb
+      .select(col("vec_id").as("eval_id"), col("embedding").cast("array<double>").as("ev"))
+      .withColumn("bucket", Similarity.srpBucket(col("ev")))
+    c.join(ev, "bucket")
+      .withColumn("cs", round(Similarity.cosine(col("v"), col("ev")), 6) + lit(0.0))
+      .filter(col("cs") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"), max(col("cs")).as("max_cos"))
+  }
+
   /** Un-persisted, un-checkpointed decontamination PLAN (VERDICT r13
     * task 1): same exchanges as [[decontaminate]] — persistence only
     * dedups the map-side gram generator — but probe-readable by
@@ -1622,6 +1654,43 @@ object Curation {
     // driver-visible the way dedup_minhash_recall is.
     Q.noOracle("decontam_bloom_fpr") { (s, dir) =>
       bloomFprAudit(Tables.documents(s, dir), col("doc_id") % 7 === 0)
+    },
+
+    // SEMANTIC decontamination (r18): the embedding tier of the
+    // family — a paraphrased benchmark leak shares no 8-gram, but its
+    // embedding still sits at cosine ≈ 1. Eval vectors are planted
+    // in-query (the dedup_semantic_pinned convention: scaled twins of
+    // corpus vecs < 40 at cos ≈ 0.9996 ≥ τ = 0.99 — the
+    // near-orthogonal raw corpus would make the check vacuous), the
+    // SRP hyperplane bucket blocks candidates, the exact rounded
+    // cosine verifies, and the oracle replays bucket arithmetic +
+    // cosine + rollup bit-for-bit.
+    Q("decontam_semantic", {
+      import Similarity.{srpBucketSql, Dim}
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (
+         |  SELECT vec_id + 1000000 AS eval_id,
+         |         list_transform(range(1, ${Dim + 1}),
+         |                        i -> v[i] * (1.0 + 0.02 * (((i - 1) % 5) - 2))) AS v
+         |  FROM base WHERE vec_id < 40),
+         |cb AS (SELECT vec_id, v,
+         |              CAST($srpBucketSql AS BIGINT) AS bucket FROM base),
+         |eb AS (SELECT eval_id, v,
+         |              CAST($srpBucketSql AS BIGINT) AS bucket FROM ev),
+         |hits AS (
+         |  SELECT c.vec_id, ROUND(list_cosine_similarity(c.v, e.v), 6) + 0 AS cs
+         |  FROM cb c JOIN eb e ON c.bucket = e.bucket
+         |  WHERE ROUND(list_cosine_similarity(c.v, e.v), 6) + 0 >= 0.99)
+         |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(cs) AS max_cos
+         |FROM hits GROUP BY 1 ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val base = Tables.embeddings(s, dir)
+      val planted = base.filter(col("vec_id") < 40).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x * (lit(1.0) + lit(0.02) * ((i % 5) - lit(2)))).as("embedding"),
+        col("label"))
+      semanticDecontam(base, planted).orderBy("vec_id")
     },
 
     Q("corpus_training_ready", {

@@ -532,6 +532,11 @@ class FunctionsSpec extends SparkSpec {
     // pair weights: (e,s)=9 ties (s,t)=9 → pair-asc tie-break picks (e,s);
     // then (es,t)=9 dominates; then (l,o)=7 ties (o,w)=7 → (l,o)
     assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o")), s"got $merges")
+    // the full audit table (r18, the text_bpe_train declaration):
+    // rank + selection-time weight ride along with each merge
+    val table = TextAnalysis.bpeMergeTable(docs, nMerges = 3)
+    assert(table === Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)),
+      s"got $table")
     // greedy apply: "newest" → n,e,w,est (4 pieces); "low" → lo,w (2);
     // "lower" → lo,w,e,r (4); "widest" → w,i,d,est (4)
     val enc = TextAnalysis.bpeStats(docs, merges)

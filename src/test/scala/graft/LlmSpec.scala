@@ -2580,6 +2580,27 @@ class LlmSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("semantic decontam: exact leaks flagged exactly, empty eval flags nothing (r18)") {
+    import graft.llm.Curation
+    val base = Tables.embeddings(spark, sf("sf0.001"))
+    // empty eval set → nothing flagged (vacuity guard)
+    assert(Curation.semanticDecontam(base, base.limit(0)).count() === 0)
+    // eval drawn VERBATIM from the corpus (ids shifted): every leaked
+    // vector matches its identical copy at cos 1.0 in the same bucket,
+    // and on the near-orthogonal corpus nothing else reaches τ = 0.99 —
+    // the flagged set is EXACTLY the leaked ids
+    val leaked = base.filter(col("vec_id") >= 100 && col("vec_id") < 112)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"), col("label"))
+    val flagged = Curation.semanticDecontam(base, leaked)
+      .orderBy("vec_id").collect()
+    assert(flagged.map(_.getLong(0)).toSeq === (100L until 112L).toSeq,
+      s"verbatim leaks must be flagged exactly: ${flagged.map(_.getLong(0)).toSeq}")
+    assert(flagged.forall(r => r.getDouble(2) === 1.0),
+      "a verbatim leak's max cosine is 1.0")
+    assert(flagged.forall(r => r.getLong(1) === 1L),
+      "each corpus vector hits exactly its own copy")
+  }
+
   test("planted staleness audit: the stale column measurably sags (r17)") {
     // VERDICT r16 task 6's 'done' condition: the declared audit must
     // DEMONSTRATE the refit-cadence signal, not just hash-pin. On the
