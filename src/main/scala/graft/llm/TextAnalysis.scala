@@ -1187,12 +1187,15 @@ object TextAnalysis {
     },
 
     // TRUE iterative BPE (learn 8 merges on the corpus's word-frequency
-    // table, replay them in learned order per doc). The iterative
-    // argmax is not SQL-expressible (each iteration's pair counts
-    // depend on the previous merge) → rows-only; merge-order semantics
-    // are pinned in FunctionsSpec on the published worked example, and
-    // the whole path is deterministic (weight-desc/pair-asc argmax).
-    Q.noOracle("text_bpe_encode") { (s, dir) =>
+    // table, replay them in learned order per doc). ORACLE-CHECKED
+    // since r18 (it was rows-only from r9 under the too-strong claim
+    // that the iterative argmax is not SQL-expressible): the unrolled
+    // CTE chain that replays the training (see bpeTrainOracleSql)
+    // terminates in the final per-word segmentation s_8, and the
+    // encode stats are one word-keyed join + per-doc rollup over it.
+    // Merge-order semantics stay pinned in FunctionsSpec on the
+    // published worked example.
+    Q("text_bpe_encode", bpeEncodeOracleSql(8)) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       bpeStats(docs, learnBpeMerges(docs, nMerges = 8)).orderBy("doc_id")
     },
@@ -1316,7 +1319,12 @@ object TextAnalysis {
     * both). Each block: adjacent-pair counts from the split symbol
     * list, the (w DESC, a, b) LIMIT 1 argmax, and the padded-string
     * rewrite feeding the next block. */
-  private[graft] def bpeTrainOracleSql(k: Int): String = {
+  /** The CTE chain shared by the two BPE oracles: w0 (word
+    * frequencies), s0 (each word's padded symbol string, the original
+    * word `t` carried through every block), and k (pair-count, argmax,
+    * rewrite) blocks. [[bpeTrainOracleSql]] reads the t_i argmax rows;
+    * [[bpeEncodeOracleSql]] reads the FINAL s_k segmentation. */
+  private def bpeCtes(k: Int): String = {
     def block(i: Int): String =
       s"""p$i AS (
          |  SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
@@ -1329,27 +1337,53 @@ object TextAnalysis {
          |  GROUP BY 1, 2),
          |t$i AS (SELECT a, b, w FROM p$i ORDER BY w DESC, a, b LIMIT 1),
          |s${i + 1} AS (
-         |  SELECT freq,
+         |  SELECT t, freq,
          |         replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
          |  FROM s$i CROSS JOIN t$i)""".stripMargin
-    val ranks = (0 until k).map(i =>
-      s"SELECT CAST(${i + 1} AS BIGINT) AS rank, a, b, w FROM t$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) z
        |  WHERE length(t) > 0 GROUP BY 1),
        |s0 AS (
-       |  SELECT freq,
+       |  SELECT t, freq,
        |         ' ' || array_to_string(
        |           list_transform(range(1, length(t) + 1), i -> substring(t, i, 1)),
        |           '  ') || ' ' AS s
        |  FROM w0),
-       |${(0 until k).map(block).mkString(",\n")}
+       |${(0 until k).map(block).mkString(",\n")}""".stripMargin
+  }
+
+  private[graft] def bpeTrainOracleSql(k: Int): String = {
+    val ranks = (0 until k).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS rank, a, b, w FROM t$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(k)}
        |SELECT rank, a, b, w FROM (
        |  $ranks) m
        |ORDER BY rank""".stripMargin
   }
+
+  /** Cross-engine ORACLE for [[bpeStats]] under the k-merge learned
+    * tokenizer (r18): the per-word segmentation after k merges IS the
+    * chain's final s_k — its double-space symbol count is the word's
+    * piece count — so the encode stats replay as one word-keyed join
+    * from each doc's tokens onto s_k plus a per-doc rollup. (n_tokens
+    * is computed from the raw split independently of the join, exactly
+    * like the Spark side.) */
+  private[graft] def bpeEncodeOracleSql(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+       |seg AS (SELECT t, len(string_split(trim(s), '  ')) AS np FROM s$k),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |np AS (
+       |  SELECT doc_id, CAST(SUM(seg.np) AS BIGINT) AS n_pieces
+       |  FROM toks JOIN seg USING (t) GROUP BY 1),
+       |nt AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT nt.doc_id, nt.n_tokens, np.n_pieces,
+       |       ROUND(np.n_pieces * 1.0 / nt.n_tokens, 6) + 0 AS pieces_per_token
+       |FROM nt JOIN np USING (doc_id)
+       |ORDER BY nt.doc_id""".stripMargin
 
   /** (freq, a, b) rows of adjacent symbol pairs — zip_with of the two
     * shifted slices (size-1 words produce no rows; `sequence` is

@@ -70,7 +70,10 @@ class DocsSpec extends AnyFunSuite {
       "ml_e2e_early_stop" -> "MLlib GBT training nondeterminism; planted-signal PR-AUC tested in spec",
       "sample_downsample_union" -> "seeded Bernoulli sampler; exact stratified sampler oracle-checked (curation_stratified_sample)",
       "sample_topk_rand" -> "seeded rand() ordering; invariants tested in spec, exact weighted sampler oracle-checked (sample_weighted_es)",
-      "text_bpe_encode" -> "vocabulary learned from corpus statistics; deterministic encode pinned by text_subword_encode_pinned",
+      // text_bpe_encode left this list in r18: the unrolled-CTE BPE
+      // oracle (bpeTrainOracleSql / bpeEncodeOracleSql) made both the
+      // learning and the encode hash-checkable — the first rows-only
+      // SHRINK since the gate was installed.
     )
     // the sibling must itself be ORACLE-checked — a rows-only sibling
     // named _pinned would otherwise satisfy the gate with zero oracle

@@ -1246,6 +1246,21 @@ class StreamingSpec extends SparkSpec {
         // and every family answers exactly as before the catalog loss
         val after = probes()
         assert(after === before, "probe answers diverged after path-only re-attach")
+        // the re-attached spec must be EFFECTIVE, not just recorded:
+        // with broadcast disabled the hash probe still shuffles only
+        // the delta side — the bucketed index scan reads co-located
+        // (the point of carrying the spec through the sidecar)
+        val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val served = llm.Dedup.probeHashIndex(delta, spark, hashTbl)
+          served.count()
+          val shuffles = collectPlan(served.queryExecution.executedPlan).count(
+            _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+          assert(shuffles === 1,
+            s"re-attached index must probe co-located (one delta-side exchange):\n" +
+              served.queryExecution.executedPlan)
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       } finally q.stop()
     } finally {
       for (t <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks", gramTbl,
