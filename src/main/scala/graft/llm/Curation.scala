@@ -427,13 +427,17 @@ object Curation {
     * Shape: both sides bucket by the deterministic SRP hyperplane
     * signature ([[Similarity.srpBucket]] — map-only, codegen'd at the
     * scan), candidates are same-bucket (corpus × eval) pairs, the
-    * exact rounded cosine verifies. At 100 TB the eval side is
-    * benchmark-sized (thousands of vectors) — AQE broadcasts it, so
-    * the corpus never shuffles; candidates are bucket-bounded, never
-    * all-pairs. Blocking recall is the SRP tier's (multi-probe /
-    * banded variants exist for higher recall); determinism is exact,
-    * which is what the oracle checks. Returns
-    * (vec_id, n_hits, max_cos) for flagged corpus vectors only. */
+    * exact rounded cosine verifies. The eval side carries an EXPLICIT
+    * broadcast hint: it is benchmark-sized by contract (thousands of
+    * vectors), and the bucket key has only 2^SrpBits = 256 distinct
+    * values — a stats-driven shuffle join here would serialize the
+    * whole corpus onto 256 reducers, so the plan must never depend on
+    * AQE guessing right. The corpus therefore NEVER shuffles;
+    * candidates are bucket-bounded, never all-pairs. Blocking recall
+    * is the SRP tier's (multi-probe / banded variants exist for
+    * higher recall); determinism is exact, which is what the oracle
+    * checks. Returns (vec_id, n_hits, max_cos) for flagged corpus
+    * vectors only. */
   def semanticDecontam(
       emb: DataFrame, evalEmb: DataFrame, tau: Double = 0.99): DataFrame = {
     val c = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -441,7 +445,7 @@ object Curation {
     val ev = evalEmb
       .select(col("vec_id").as("eval_id"), col("embedding").cast("array<double>").as("ev"))
       .withColumn("bucket", Similarity.srpBucket(col("ev")))
-    c.join(ev, "bucket")
+    c.join(broadcast(ev), "bucket")
       .withColumn("cs", round(Similarity.cosine(col("v"), col("ev")), 6) + lit(0.0))
       .filter(col("cs") >= tau)
       .groupBy(col("vec_id"))

@@ -2599,6 +2599,19 @@ class LlmSpec extends SparkSpec {
       "a verbatim leak's max cosine is 1.0")
     assert(flagged.forall(r => r.getLong(1) === 1L),
       "each corpus vector hits exactly its own copy")
+    // plan shape: the eval side BROADCASTS by hint — the bucket key has
+    // only 2^SrpBits = 256 distinct values, so a stats-driven shuffle
+    // join would serialize the whole corpus onto 256 reducers; the
+    // corpus side must never exchange for the candidate join
+    val df = Curation.semanticDecontam(base, leaked)
+    df.count()
+    val nodes = collectPlan(df.queryExecution.executedPlan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"candidate join must broadcast the eval side:\n${df.queryExecution.executedPlan}")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the 256-key bucket join must never sort-merge")
   }
 
   test("planted staleness audit: the stale column measurably sags (r17)") {
