@@ -1116,11 +1116,16 @@ object TextAnalysis {
 
     // Subword serving: learn the frequency vocab (one agg + a bounded
     // 512-row collect), then encode every doc map-only through the
-    // native expression. Greedy matching is not SQL-expressible →
-    // rows-only; the learn ordering and the segmentation semantics
-    // are pinned in FunctionsSpec/TextSpec planted cases, and the
-    // whole path is deterministic (stable tie-break, fixed vocab).
-    Q.noOracle("text_subword_encode") { (s, dir) =>
+    // native expression. ORACLE-CHECKED since r18 (rows-only from r8
+    // under "greedy matching is not SQL-expressible" — another
+    // too-strong claim): the maximal-munch argmax moves OUT of the
+    // iteration into a plain per-(word, position) longest-match
+    // aggregate, and the walk that consumes the word is a recursive
+    // CTE with PRE-RESOLVED steps — no aggregate in the recursive
+    // member, which is what standard SQL actually forbids (see
+    // subwordEncodeOracleSql). Learn ordering and segmentation
+    // semantics stay pinned in FunctionsSpec's planted cases.
+    Q("text_subword_encode", subwordEncodeOracleSql()) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       subwordStats(docs, learnSubwordVocab(docs)).orderBy("doc_id")
     },
@@ -1383,6 +1388,74 @@ object TextAnalysis {
        |SELECT nt.doc_id, nt.n_tokens, np.n_pieces,
        |       ROUND(np.n_pieces * 1.0 / nt.n_tokens, 6) + 0 AS pieces_per_token
        |FROM nt JOIN np USING (doc_id)
+       |ORDER BY nt.doc_id""".stripMargin
+
+  /** Cross-engine ORACLE for [[subwordStats]] under the corpus-learned
+    * vocab (r18): greedy maximal munch IS SQL-expressible once the
+    * argmax moves out of the iteration. Three stages:
+    *  1. vocab — the top-`maxVocab` pieces by (weight DESC, piece)
+    *     over all 1..`maxPieceLen` char n-gram occurrences of the
+    *     word-frequency table (the exact [[learnSubwordVocab]] rule);
+    *  2. steps — for every (distinct word, position), the LONGEST
+    *     vocab piece matching at that position (a plain LEFT-join
+    *     MAX; a piece longer than the remaining suffix can't match
+    *     because the truncated substring is shorter than it), with
+    *     the no-match UNK fallback (step 1, unk 1) — mirroring the
+    *     native expression's inner loop exactly;
+    *  3. walk — a recursive CTE consuming each word with the
+    *     PRE-RESOLVED steps (standard SQL forbids aggregates in the
+    *     recursive member; with the argmax precomputed, the member is
+    *     a scalar join), terminal row at pos > length. Per-doc rollup
+    *     joins doc tokens onto the per-word (pieces, unk) counts;
+    *     empty tokens contribute nothing on both sides (the native
+    *     expression's split(" ", -1) words with zero code points). */
+  private[graft] def subwordEncodeOracleSql(
+      maxVocab: Int = 512, maxPieceLen: Int = 6): String =
+    s"""WITH RECURSIVE
+       |words AS (
+       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) z
+       |  WHERE length(t) > 0 GROUP BY 1),
+       |vocab AS (
+       |  SELECT piece FROM (
+       |    SELECT piece, SUM(freq) AS w FROM (
+       |      SELECT freq,
+       |             unnest(flatten(list_transform(
+       |               list_filter(range(1, ${maxPieceLen + 1}), n -> n <= length(t)),
+       |               n -> list_transform(range(0, length(t) - n + 1),
+       |                                   p -> substring(t, p + 1, n))))) AS piece
+       |      FROM words) pz
+       |    GROUP BY 1
+       |    ORDER BY w DESC, piece LIMIT $maxVocab) vz),
+       |dwords AS (SELECT DISTINCT t
+       |           FROM (SELECT unnest(string_split(text, ' ')) AS t
+       |                 FROM documents) z2),
+       |wpos AS (SELECT t, unnest(range(1, length(t) + 1)) AS pos FROM dwords),
+       |steps AS (
+       |  SELECT w.t, w.pos,
+       |         COALESCE(MAX(length(v.piece)), 1) AS step,
+       |         CASE WHEN MAX(length(v.piece)) IS NULL THEN 1 ELSE 0 END AS unk
+       |  FROM wpos w LEFT JOIN vocab v
+       |    ON substring(w.t, w.pos, length(v.piece)) = v.piece
+       |  GROUP BY 1, 2),
+       |walk(t, pos, np, nu) AS (
+       |  SELECT t, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dwords
+       |  UNION ALL
+       |  SELECT w.t, w.pos + s.step, w.np + 1, w.nu + s.unk
+       |  FROM walk w JOIN steps s ON s.t = w.t AND s.pos = w.pos
+       |  WHERE w.pos <= length(w.t)),
+       |seg AS (SELECT t, np, nu FROM walk WHERE pos > length(t)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(seg.np) AS BIGINT) AS n_pieces,
+       |         CAST(SUM(seg.nu) AS BIGINT) AS n_unk
+       |  FROM toks JOIN seg USING (t) GROUP BY 1),
+       |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |       FROM documents)
+       |SELECT nt.doc_id, nt.n_tokens, agg.n_pieces, agg.n_unk,
+       |       ROUND(agg.n_pieces * 1.0 / nt.n_tokens, 6) + 0 AS pieces_per_token
+       |FROM nt JOIN agg USING (doc_id)
        |ORDER BY nt.doc_id""".stripMargin
 
   /** (freq, a, b) rows of adjacent symbol pairs — zip_with of the two
