@@ -2810,10 +2810,14 @@ object Similarity {
       .write.mode("overwrite")
       .bucketBy(buckets, "band_idx", "band_sig").sortBy("band_idx", "band_sig")
       .option("path", s"$path/bands").saveAsTable(s"${table}_bands")
+    Dedup.writeSpecSidecar(spark, s"$path/bands", buckets,
+      Seq("band_idx", "band_sig"), Seq("band_idx", "band_sig"))
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .write.mode("overwrite")
       .bucketBy(buckets, "vec_id").sortBy("vec_id")
       .option("path", s"$path/vecs").saveAsTable(s"${table}_vecs")
+    Dedup.writeSpecSidecar(spark, s"$path/vecs", buckets,
+      Seq("vec_id"), Seq("vec_id"))
   }
 
   /** Incremental (append) maintenance for [[buildSrpIndex]]: SRP band

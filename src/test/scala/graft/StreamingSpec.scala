@@ -1200,12 +1200,18 @@ class StreamingSpec extends SparkSpec {
     llm.Similarity.buildIvfIndexPinned(embCorpus, s"$path/ivf", nCells = 8)
     llm.Similarity.refitIvfIndexPinned(spark, s"$path/ivf", nCells = 8)
     val pinnedTbl = llm.Similarity.ivfPinnedTable(s"$path/ivf")
+    // fifth family: the SRP ANN serving pair (bands + vecs tables)
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val srpTbl = "bootfresh_srp"
+    llm.Similarity.buildSrpIndex(emb, spark, srpTbl, s"$path/srp")
     def probes(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
       llm.Dedup.probeHashIndex(delta, spark, hashTbl).orderBy("doc_id").collect().toSeq,
       llm.Dedup.probeBandIndex(delta, spark, bandTbl).orderBy("doc_id").collect().toSeq,
       llm.Dedup.probeGramIndex(delta, spark, gramTbl).orderBy("doc_id").collect().toSeq,
       llm.Similarity.ivfSearchPinned(spark, s"$path/ivf", probeId = 3L, k = 4)
-        .collect().toSeq)
+        .collect().toSeq,
+      llm.Similarity.probeSrpIndex(emb.filter(col("vec_id") < 8), spark, srpTbl, k = 3)
+        .orderBy("probe_id", "rank").collect().toSeq)
     try {
       val before = probes()
       assert(before.forall(_.nonEmpty), "fixture must produce probe hits")
@@ -1213,7 +1219,8 @@ class StreamingSpec extends SparkSpec {
       assert(!new java.io.File(s"$path/ivf/assigned").exists(),
         "refit must have swapped in an assigned_refit_* dir")
       // catalog loss: drop every entry; external files stay on disk
-      for (t <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks", gramTbl, pinnedTbl))
+      for (t <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks", gramTbl,
+          s"${srpTbl}_bands", s"${srpTbl}_vecs", pinnedTbl))
         spark.sql(s"DROP TABLE $t")
       // every probe now fails — the catalog really knows nothing
       intercept[Exception](llm.Dedup.probeHashIndex(delta, spark, hashTbl).count())
@@ -1223,7 +1230,9 @@ class StreamingSpec extends SparkSpec {
         Map(hashTbl -> s"$path/hash",
           s"${bandTbl}_bands" -> s"$path/band/bands",
           s"${bandTbl}_toks" -> s"$path/band/toks",
-          gramTbl -> s"$path/gram"),
+          gramTbl -> s"$path/gram",
+          s"${srpTbl}_bands" -> s"$path/srp/bands",
+          s"${srpTbl}_vecs" -> s"$path/srp/vecs"),
         Seq(s"$path/ivf")) {
         () => llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
           .join(spark.table(s"${bandTbl}_bands"), Seq("band_idx", "band_hash"))
@@ -1232,7 +1241,8 @@ class StreamingSpec extends SparkSpec {
           .queryName("bootfresh_run").outputMode("append").start()
       }
       try {
-        for (t <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks", gramTbl))
+        for (t <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks", gramTbl,
+            s"${srpTbl}_bands", s"${srpTbl}_vecs"))
           assert(actions(t) === "attached+noop",
             s"$t must re-attach from its sidecar, got $actions")
         assert(actions(s"$path/ivf") === "attached+noop",
@@ -1264,6 +1274,7 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     } finally {
       for (t <- Seq(hashTbl, s"${bandTbl}_bands", s"${bandTbl}_toks", gramTbl,
+          s"${srpTbl}_bands", s"${srpTbl}_vecs",
           pinnedTbl, s"${pinnedTbl}_compacting"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
