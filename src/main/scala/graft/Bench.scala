@@ -591,11 +591,13 @@ object Bench {
     // the artifact (VERDICT r16 task 2). Absent on clean rounds to
     // spend zero line budget in the common case.
     val hdJson = if (hostDrift) s""""hd":1,""" else ""
-    // "po" (r18, VERDICT r17 task 1): base-pass boundary offsets in
-    // seconds from the timing clock's start — Reps start offsets plus
-    // the last pass's end, 1-dp (pass windows are tens of seconds; the
-    // tool only needs to localize a contention window to a pass).
-    // Empty (pre-r18 artifacts, degenerate runs) renders null.
+    // "po" (r18, VERDICT r17 task 1): base-pass wall-clock bounds in
+    // seconds from the timing clock's start, as FLAT (start, end)
+    // pairs [s1,e1,…,sReps,eReps] at 1 dp (pass windows are tens of
+    // seconds; the tool only needs to localize a contention window to
+    // a pass). Pairs, not shared boundaries: the phase-2 anchors run
+    // between passes and must never inflate a pass duration. Empty
+    // (pre-r18 artifacts, degenerate runs) renders null.
     val poJson =
       if (po.isEmpty) "null" else po.map(r1).mkString("[", ",", "]")
     // "baseline" (r18, VERDICT r17 task 7): names the round the dc
@@ -604,7 +606,11 @@ object Bench {
     // of re-derived from drift.base's filename fragment. Mirrors
     // drift's (base, ar); null when no baseline resolved.
     val baselineJson = drift.map { case (base, ar, _) =>
-      val round = "\\d+".r.findFirstIn(base).getOrElse("0")
+      // toInt strips the artifact name's zero-padding ("BENCH_r07" →
+      // 7): a bare 07 is an invalid JSON number literal and would
+      // null the driver's whole tail parse (the BENCH_r07 class of
+      // failure, found in review)
+      val round = "\\d+".r.findFirstIn(base).map(_.toInt).getOrElse(0)
       s"""{"round":$round,"ar":${r2(ar)}}"""
     }.getOrElse("null")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
@@ -751,16 +757,20 @@ object Bench {
     // generated classes compile outside every timed window (a failure
     // here re-reports in the timed passes)
     run.foreach(q => repOf(q, _.count(): Unit, q.name))
-    // base-pass start boundaries land on the compact line as "po"
-    val basePassStarts = Vector.newBuilder[Double]
+    // base-pass (start, end) bounds land on the compact line as "po"
+    // — PAIRS, not shared boundaries (review r18): the phase-2 anchor
+    // bracket runs BETWEEN passes, so a start[i+1]−start[i] duration
+    // would bill the whole anchor block to the pass before it and the
+    // tool would flag a phantom contention window on a clean run
+    val basePassBounds = Vector.newBuilder[Double]
     for (p <- 1 to Reps) {
       // Reps > 1 guard (ADVICE r12 class): a single pass must not run
       // phase 2 right after phase 1
       if (p == Reps / 2 + 1 && Reps > 1) runAnchors() // phase 2: between mid passes
-      basePassStarts += offsetNow()
+      basePassBounds += offsetNow()
       runQueryPass(p, run, s"q$p")
+      basePassBounds += offsetNow()
     }
-    val basePassEnd = offsetNow()
     // FastCutoff doubling, itself pass-major over the fast subset only:
     // sub-300 ms mins need more draws (VERDICT r8), and those extra
     // draws should ALSO sample distinct windows
@@ -1121,7 +1131,7 @@ object Bench {
       skewAmp = skewAmp,
       sfDir = sfDir,
       hostDrift = hostDrift,
-      po = basePassStarts.result() :+ basePassEnd))
+      po = basePassBounds.result()))
 
     // drop the fixture's salted parquet copy — it lives in a fresh temp
     // dir per run and would otherwise accumulate in /tmp (ADVICE r7)

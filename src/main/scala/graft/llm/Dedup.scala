@@ -764,7 +764,7 @@ object Dedup {
     compactWrite(spark, table, newPath)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
-    deleteTableLocation(meta.location)
+    deleteTableLocation(spark, meta.location)
   }
 
   /** [[compactIndex]]'s WRITE step alone: commit the rewritten bucket
@@ -800,12 +800,20 @@ object Dedup {
       spec.bucketColumnNames, spec.sortColumnNames)
   }
 
-  /** Best-effort delete of a superseded table's file: URI (harness:
-    * local fs; at scale the same contract is the object store's
-    * delete-prefix). Non-file schemes are left alone. */
-  private def deleteTableLocation(location: java.net.URI): Unit =
-    if (location.getScheme == null || location.getScheme == "file")
-      graft.Bench.deleteRecursively(java.nio.file.Paths.get(location).toString)
+  /** Best-effort delete of a superseded table location through the
+    * Hadoop FileSystem API — file:/hdfs:/s3a: alike (review r18: the
+    * old file-scheme-only guard left the superseded dir AND its spec
+    * sidecar behind on object stores, so a committed refit would read
+    * as TWO sidecar-bearing candidates in [[graft.llm.Similarity
+    * .pinnedAssignedDir]] forever). A failed delete only leaks space —
+    * never fail the swap over cleanup. */
+  private[graft] def deleteTableLocation(
+      spark: SparkSession, location: java.net.URI): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(location)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      ()
+    } catch { case _: Throwable => () }
 
   /** Crash recovery for [[compactIndex]]'s non-atomic swap — the
     * documented procedure as CODE (VERDICT r15 task 2: "a recovery
@@ -836,7 +844,7 @@ object Dedup {
           org.apache.spark.sql.catalyst.TableIdentifier(table)).location
         spark.sql(s"DROP TABLE $table")
         spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
-        deleteTableLocation(oldLoc)
+        deleteTableLocation(spark, oldLoc)
         "swapped"
       case (true, false) => "noop"
       case (false, false) =>
@@ -2898,8 +2906,7 @@ object Dedup {
     writeSpecSidecar(spark, newPath, buckets, Seq("id"), Seq("id"))
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
-    if (meta.location.getScheme == null || meta.location.getScheme == "file")
-      graft.Bench.deleteRecursively(java.nio.file.Paths.get(meta.location).toString)
+    deleteTableLocation(spark, meta.location)
   }
 
   /** Fixed-iteration PageRank over the undirected dup-pair graph —

@@ -930,8 +930,11 @@ object Similarity {
       Seq("cluster"), Seq("cluster", "vec_id"))
     spark.sql(s"DROP TABLE $t")
     spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
-    if (meta.location.getScheme == null || meta.location.getScheme == "file")
-      graft.Bench.deleteRecursively(java.nio.file.Paths.get(meta.location).toString)
+    // Hadoop-FS delete (review r18): the old file-scheme guard left
+    // the superseded assigned dir and its sidecar behind on object
+    // stores — pinnedAssignedDir would then see two committed
+    // candidates on every fresh-catalog boot
+    Dedup.deleteTableLocation(spark, meta.location)
     seeds.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/seeds")
   }
 

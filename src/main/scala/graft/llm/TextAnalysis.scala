@@ -1323,7 +1323,12 @@ object TextAnalysis {
     * Scala fold's no-reconsume rule ("a a a" under (a,a) → "aa a" in
     * both). Each block: adjacent-pair counts from the split symbol
     * list, the (w DESC, a, b) LIMIT 1 argmax, and the padded-string
-    * rewrite feeding the next block. */
+    * rewrite feeding the next block. The rewrite is a LEFT join with a
+    * COALESCE no-op (review r18): when the corpus exhausts before k
+    * merges the argmax t_i is EMPTY, and the old CROSS JOIN emptied
+    * every later s_i — the train oracle's missing ranks happened to
+    * match Scala's early stop, but the ENCODE oracle would have
+    * returned zero rows against a per-doc Spark frame. */
   /** The CTE chain shared by the two BPE oracles: w0 (word
     * frequencies), s0 (each word's padded symbol string, the original
     * word `t` carried through every block), and k (pair-count, argmax,
@@ -1343,8 +1348,9 @@ object TextAnalysis {
          |t$i AS (SELECT a, b, w FROM p$i ORDER BY w DESC, a, b LIMIT 1),
          |s${i + 1} AS (
          |  SELECT t, freq,
-         |         replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
-         |  FROM s$i CROSS JOIN t$i)""".stripMargin
+         |         COALESCE(replace(s, ' ' || tt.a || '  ' || tt.b || ' ',
+         |                          ' ' || tt.a || tt.b || ' '), s) AS s
+         |  FROM s$i LEFT JOIN t$i tt ON TRUE)""".stripMargin
     s"""w0 AS (
        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) z

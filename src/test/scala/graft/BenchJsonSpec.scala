@@ -44,26 +44,28 @@ class BenchJsonSpec extends AnyFunSuite {
       // worst case includes the host-drift stamp (r17): a contaminated
       // round's line must also fit the driver window
       hostDrift = hd,
-      // r18: 7 base passes + end boundary at a pathological 5-digit
-      // offset magnitude (a >3 h run) — the widest "po" shape
-      po = (0 to 7).map(p => 12345.6 + p))
+      // r18: 7 base passes as flat (start, end) pairs at a
+      // pathological 5-digit offset magnitude (a >3 h run) — the
+      // widest "po" shape
+      po = (0 until 14).map(p => 12345.6 + p))
   }
 
   test("compact line fits the driver tail window with headroom") {
-    // 1720 (r18): the r16 trim's 1600 bound plus the two r17-task
-    // fields — "po" pass boundaries (~70 chars at 5-digit offsets) and
-    // the first-class "baseline" object (~30) — measured 1706 at the
-    // pathological worst case; 280 chars of window headroom remain. A
-    // CONTAMINATED round carries the 7-char `"hd":1,` stamp on top —
-    // gated at 1730 so the stamp can never be the overflow.
+    // 1760 (r18): the r16 trim's 1600 bound plus the two r17-task
+    // fields — "po" per-pass (start, end) bound pairs (~110 chars at
+    // 5-digit offsets) and the first-class "baseline" object (~30) —
+    // measured 1754 at the pathological worst case; ~240 chars of
+    // window headroom remain. A CONTAMINATED round carries the 7-char
+    // `"hd":1,` stamp on top — gated at 1770 so the stamp can never
+    // be the overflow.
     val clean = worstCase(SparkEntry.headline, hd = false)
     info(s"worst-case clean compact line: ${clean.length} chars (driver window 2000)")
-    assert(clean.length <= 1720,
+    assert(clean.length <= 1760,
       s"compact line is ${clean.length} chars — the driver tail-capture " +
         "window is 2000; trim a block or shorten keys before adding queries")
     val stamped = worstCase(SparkEntry.headline)
     info(s"worst-case stamped compact line: ${stamped.length} chars")
-    assert(stamped.length <= 1730,
+    assert(stamped.length <= 1770,
       s"host-drift-stamped line is ${stamped.length} chars")
   }
 
@@ -73,9 +75,9 @@ class BenchJsonSpec extends AnyFunSuite {
     // the 4-cap) keeps the line under the pre-trim 1700 gate
     val line = worstCase(SparkEntry.headline, medCap = 5)
     info(s"5-med compact line: ${line.length} chars")
-    // 1780 = the clean gate's 1720 plus the r15-era ~60-char med-slot
+    // 1820 = the clean gate's 1760 plus the r15-era ~60-char med-slot
     // allowance, shifted by the r18 po/baseline fields like the gate
-    assert(line.length <= 1780,
+    assert(line.length <= 1820,
       s"compact line with a spare med entry is ${line.length} chars — " +
         "the trim no longer leaves a free slot")
   }
@@ -91,8 +93,8 @@ class BenchJsonSpec extends AnyFunSuite {
     // field — round number + anchor ratio, matching drift's base/ar
     assert(root.get("baseline").get("round").asInt() === 99)
     assert(root.get("baseline").get("ar").asDouble() === 11.07)
-    // r18 (task 1): base-pass boundaries — Reps starts + the final end
-    assert(root.get("po").size() === 8)
+    // r18 (task 1): base-pass (start, end) pairs — 2·Reps entries
+    assert(root.get("po").size() === 14)
     assert(root.get("queries").size() === SparkEntry.headline.size)
     assert(root.get("drift").get("dc").size() === SparkEntry.headline.size,
       "dc array must align 1:1 with the queries key order")

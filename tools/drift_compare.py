@@ -98,7 +98,7 @@ def load(path):
     return queries, anchors, forced, hd, baseline, po, passes
 
 
-def pass_report(name, queries, po, passes):
+def pass_report(name, po, passes):
     """Localize a contention window to its passes and mask it.
 
     With only "po" (the driver artifact), reports which base pass ran
@@ -121,8 +121,11 @@ def pass_report(name, queries, po, passes):
         durations = [(w[0], w[2] - w[1]) for w in passes["windows"]
                      if isinstance(w, list) and len(w) == 3]
     elif po and len(po) >= 2:
-        durations = [(f"q{i + 1}", po[i + 1] - po[i])
-                     for i in range(len(po) - 1)]
+        # flat (start, end) PAIRS per base pass — durations are pure
+        # pass time (the phase-2 anchor bracket between passes never
+        # bills to a pass)
+        durations = [(f"q{i // 2 + 1}", po[i + 1] - po[i])
+                     for i in range(0, len(po) - 1, 2)]
     if not durations:
         return
 
@@ -190,8 +193,8 @@ def main():
         print(f"*** WARNING: {sys.argv[2]} is host-drift marked — read "
               "the drift-controlled column only; the raw column and "
               "totals are contaminated ***")
-    pass_report(sys.argv[1], q_old, po_old, ps_old)
-    pass_report(sys.argv[2], q_new, po_new, ps_new)
+    pass_report(sys.argv[1], po_old, ps_old)
+    pass_report(sys.argv[2], po_new, ps_new)
     shared_anchors = sorted(set(a_old) & set(a_new))
     if shared_anchors:
         g_old = math.exp(sum(math.log(a_old[a]) for a in shared_anchors)
