@@ -537,7 +537,7 @@ object Bench {
       skewAmp: Option[(Double, Double)],
       sfDir: String,
       hostDrift: Boolean = false,
-      po: Seq[Double] = Seq.empty): String = {
+      pw: Seq[Double] = Seq.empty): String = {
     val qs = mins.map { case (k, t) =>
       s"${jstr(k)}:${t.map(r3).getOrElse("-1")}"
     }.mkString("{", ",", "}")
@@ -591,32 +591,39 @@ object Bench {
     // the artifact (VERDICT r16 task 2). Absent on clean rounds to
     // spend zero line budget in the common case.
     val hdJson = if (hostDrift) s""""hd":1,""" else ""
-    // "po" (r18, VERDICT r17 task 1): base-pass wall-clock bounds in
+    // "pw" (r18, VERDICT r17 task 1): base-pass wall-clock windows in
     // seconds from the timing clock's start, as FLAT (start, end)
     // pairs [s1,e1,…,sReps,eReps] at 1 dp (pass windows are tens of
     // seconds; the tool only needs to localize a contention window to
     // a pass). Pairs, not shared boundaries: the phase-2 anchors run
-    // between passes and must never inflate a pass duration. Empty
-    // (pre-r18 artifacts, degenerate runs) renders null.
-    val poJson =
-      if (po.isEmpty) "null" else po.map(r1).mkString("[", ",", "]")
+    // between passes and must never inflate a pass duration. The key
+    // is "pw" — a brief pre-release revision of this feature emitted
+    // shared boundaries under "po", and reusing that key would have
+    // made the two even-length formats indistinguishable (review r18).
+    // Empty (degenerate runs) renders null.
+    val pwJson =
+      if (pw.isEmpty) "null" else pw.map(r1).mkString("[", ",", "]")
     // "baseline" (r18, VERDICT r17 task 7): names the round the dc
     // array is computed against, as a first-class field — the
     // clean-baseline chain is readable from the artifact alone instead
     // of re-derived from drift.base's filename fragment. Mirrors
     // drift's (base, ar); null when no baseline resolved.
     val baselineJson = drift.map { case (base, ar, _) =>
-      // toInt strips the artifact name's zero-padding ("BENCH_r07" →
-      // 7): a bare 07 is an invalid JSON number literal and would
-      // null the driver's whole tail parse (the BENCH_r07 class of
-      // failure, found in review)
-      val round = "\\d+".r.findFirstIn(base).map(_.toInt).getOrElse(0)
+      // prefer the "r<digits>" form (agreeing with drift.base's short
+      // name), fall back to any digit run; toIntOption both strips
+      // zero-padding (a bare 07 is an invalid JSON literal that would
+      // null the driver's whole tail parse) and absorbs overflow from
+      // operator-named baselines like epoch-millis filenames — the
+      // emitter must never throw at artifact time (review r18 ×2)
+      val round = "r(\\d+)".r.findFirstMatchIn(base).flatMap(_.group(1).toIntOption)
+        .orElse("\\d+".r.findFirstIn(base).flatMap(_.toIntOption))
+        .getOrElse(0)
       s"""{"round":$round,"ar":${r2(ar)}}"""
     }.getOrElse("null")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
       s""""anchors":$anchorsJson,"drift":$driftJson,"baseline":$baselineJson,""" +
       s""""sr":$srJson,"med":$medJson,""" +
-      s""""forced":$forcedJson,"fdc":$fdcJson,"skew":$skewJson,"po":$poJson,""" +
+      s""""forced":$forcedJson,"fdc":$fdcJson,"skew":$skewJson,"pw":$pwJson,""" +
       s"""$hdJson"sf":${jstr(sfBase)}}"""
   }
 
@@ -757,19 +764,11 @@ object Bench {
     // generated classes compile outside every timed window (a failure
     // here re-reports in the timed passes)
     run.foreach(q => repOf(q, _.count(): Unit, q.name))
-    // base-pass (start, end) bounds land on the compact line as "po"
-    // — PAIRS, not shared boundaries (review r18): the phase-2 anchor
-    // bracket runs BETWEEN passes, so a start[i+1]−start[i] duration
-    // would bill the whole anchor block to the pass before it and the
-    // tool would flag a phantom contention window on a clean run
-    val basePassBounds = Vector.newBuilder[Double]
     for (p <- 1 to Reps) {
       // Reps > 1 guard (ADVICE r12 class): a single pass must not run
       // phase 2 right after phase 1
       if (p == Reps / 2 + 1 && Reps > 1) runAnchors() // phase 2: between mid passes
-      basePassBounds += offsetNow()
       runQueryPass(p, run, s"q$p")
-      basePassBounds += offsetNow()
     }
     // FastCutoff doubling, itself pass-major over the fast subset only:
     // sub-300 ms mins need more draws (VERDICT r8), and those extra
@@ -1052,8 +1051,13 @@ object Bench {
     // timed window (label q<p>/f<p>, start, end offsets) plus each
     // query's full (pass, seconds) draw matrix — enough for
     // drift_compare.py to mask any pass and recompute the mins
+    // passWindows is the ONE recorder of pass timing (review r18: a
+    // parallel start/end builder for the compact line could drift from
+    // it by sampling skew) — materialized once, feeding both the
+    // verbose block and the compact "pw" pairs below
+    val allWindows = passWindows.result()
     val passesVerbose = {
-      val ws = passWindows.result().map { case (l, a, b) =>
+      val ws = allWindows.map { case (l, a, b) =>
         s"""[${jstr(l)},${r2(a)},${r2(b)}]"""
       }.mkString("[", ",", "]")
       val cells = (timed.toSeq ++ forcedTimed.toSeq.map { case (k, v) => (s"f:$k", v) })
@@ -1131,7 +1135,13 @@ object Bench {
       skewAmp = skewAmp,
       sfDir = sfDir,
       hostDrift = hostDrift,
-      po = basePassBounds.result()))
+      // the BASE passes' (start, end) pairs, derived from the single
+      // recorder (labels q1..qReps; the FastCutoff extras are qReps+1+
+      // and stay verbose-only)
+      pw = allWindows.collect {
+        case (l, s, e) if l.startsWith("q") &&
+          l.drop(1).toIntOption.exists(_ <= Reps) => Seq(s, e)
+      }.flatten))
 
     // drop the fixture's salted parquet copy — it lives in a fresh temp
     // dir per run and would otherwise accumulate in /tmp (ADVICE r7)

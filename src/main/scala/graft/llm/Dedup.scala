@@ -811,9 +811,22 @@ object Dedup {
       spark: SparkSession, location: java.net.URI): Unit =
     try {
       val p = new org.apache.hadoop.fs.Path(location)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      ()
-    } catch { case _: Throwable => () }
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // review r18 follow-up: best-effort must not be SILENT — a
+      // delete the role can't perform leaves the dual-candidate state
+      // pinnedAssignedDir refuses, and the operator needs to learn it
+      // at swap time, not at the next boot's misleading crash message
+      if (fs.exists(p) && !fs.delete(p, true))
+        System.err.println(
+          s"[graft] WARN superseded location not deleted: $location — remove it " +
+            "manually (a leftover sidecar-bearing dir blocks fresh-catalog re-attach)")
+    } catch {
+      case ie: InterruptedException => Thread.currentThread().interrupt(); throw ie
+      case e: Throwable =>
+        System.err.println(
+          s"[graft] WARN superseded location delete failed: $location " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — remove it manually")
+    }
 
   /** Crash recovery for [[compactIndex]]'s non-atomic swap — the
     * documented procedure as CODE (VERDICT r15 task 2: "a recovery

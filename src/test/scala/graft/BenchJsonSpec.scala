@@ -46,13 +46,13 @@ class BenchJsonSpec extends AnyFunSuite {
       hostDrift = hd,
       // r18: 7 base passes as flat (start, end) pairs at a
       // pathological 5-digit offset magnitude (a >3 h run) — the
-      // widest "po" shape
-      po = (0 until 14).map(p => 12345.6 + p))
+      // widest "pw" shape
+      pw = (0 until 14).map(p => 12345.6 + p))
   }
 
   test("compact line fits the driver tail window with headroom") {
     // 1760 (r18): the r16 trim's 1600 bound plus the two r17-task
-    // fields — "po" per-pass (start, end) bound pairs (~110 chars at
+    // fields — "pw" per-pass (start, end) bound pairs (~110 chars at
     // 5-digit offsets) and the first-class "baseline" object (~30) —
     // measured 1754 at the pathological worst case; ~240 chars of
     // window headroom remain. A CONTAMINATED round carries the 7-char
@@ -76,7 +76,7 @@ class BenchJsonSpec extends AnyFunSuite {
     val line = worstCase(SparkEntry.headline, medCap = 5)
     info(s"5-med compact line: ${line.length} chars")
     // 1820 = the clean gate's 1760 plus the r15-era ~60-char med-slot
-    // allowance, shifted by the r18 po/baseline fields like the gate
+    // allowance, shifted by the r18 pw/baseline fields like the gate
     assert(line.length <= 1820,
       s"compact line with a spare med entry is ${line.length} chars — " +
         "the trim no longer leaves a free slot")
@@ -87,14 +87,14 @@ class BenchJsonSpec extends AnyFunSuite {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(line)
     for (k <- Seq("metric", "value", "unit", "queries", "anchors", "drift",
-        "baseline", "sr", "med", "forced", "fdc", "skew", "po", "sf"))
+        "baseline", "sr", "med", "forced", "fdc", "skew", "pw", "sf"))
       assert(root.has(k), s"compact line lost the '$k' key")
     // r18 (VERDICT r17 task 7): the baseline chain is a first-class
     // field — round number + anchor ratio, matching drift's base/ar
     assert(root.get("baseline").get("round").asInt() === 99)
     assert(root.get("baseline").get("ar").asDouble() === 11.07)
     // r18 (task 1): base-pass (start, end) pairs — 2·Reps entries
-    assert(root.get("po").size() === 14)
+    assert(root.get("pw").size() === 14)
     assert(root.get("queries").size() === SparkEntry.headline.size)
     assert(root.get("drift").get("dc").size() === SparkEntry.headline.size,
       "dc array must align 1:1 with the queries key order")

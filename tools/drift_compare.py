@@ -14,9 +14,9 @@ between two rounds measures the HOST, and
 is the comparison with host drift cancelled.
 
 r18 (VERDICT r17 task 1): Bench now runs its reps as interleaved
-pass-major passes and publishes per-pass wall-clock offsets — "po"
-(base-pass boundaries) on the compact line, "passes" (every window +
-the per-query draw matrix) on the verbose line. This tool localizes a
+pass-major passes and publishes per-pass wall-clock windows — "pw"
+(base-pass (start, end) pairs) on the compact line, "passes" (every
+window + the per-query draw matrix) on the verbose line. This tool localizes a
 contention window to its passes and, when the draw matrix is present,
 recomputes each query's min with the slowest pass MASKED — if the
 masked mins match the published ones, the published numbers already
@@ -91,17 +91,20 @@ def load(path):
     hd = bool(top.get("host_drift")) or "hd" in doc or \
         (isinstance(ar, (int, float)) and ar > HOST_DRIFT_BAND)
     # r18: the first-class baseline object ({"round": N, "ar": x}) and
-    # the pass-structure blocks (compact "po", verbose "passes")
+    # the pass-structure blocks (compact "pw", verbose "passes")
     baseline = doc.get("baseline") if isinstance(doc.get("baseline"), dict) else None
-    po = doc.get("po") if isinstance(doc.get("po"), list) else None
+    # "pw" only — a brief pre-release revision emitted shared
+    # boundaries under "po"; both formats are even-length, so the old
+    # key is ignored rather than guessed at
+    pw = doc.get("pw") if isinstance(doc.get("pw"), list) else None
     passes = doc.get("passes") if isinstance(doc.get("passes"), dict) else None
-    return queries, anchors, forced, hd, baseline, po, passes
+    return queries, anchors, forced, hd, baseline, pw, passes
 
 
-def pass_report(name, po, passes):
+def pass_report(name, pw, passes):
     """Localize a contention window to its passes and mask it.
 
-    With only "po" (the driver artifact), reports which base pass ran
+    With only "pw" (the driver artifact), reports which base pass ran
     anomalously long — the published per-query mins already exclude it
     by construction (min over passes). With the verbose "passes" draw
     matrix, additionally recomputes each query's min EXCLUDING the
@@ -120,12 +123,12 @@ def pass_report(name, po, passes):
     if passes and isinstance(passes.get("windows"), list):
         durations = [(w[0], w[2] - w[1]) for w in passes["windows"]
                      if isinstance(w, list) and len(w) == 3]
-    elif po and len(po) >= 2:
+    elif pw and len(pw) >= 2:
         # flat (start, end) PAIRS per base pass — durations are pure
         # pass time (the phase-2 anchor bracket between passes never
         # bills to a pass)
-        durations = [(f"q{i // 2 + 1}", po[i + 1] - po[i])
-                     for i in range(0, len(po) - 1, 2)]
+        durations = [(f"q{i // 2 + 1}", pw[i + 1] - pw[i])
+                     for i in range(0, len(pw) - 1, 2)]
     if not durations:
         return
 
@@ -135,7 +138,7 @@ def pass_report(name, po, passes):
     def membership(label):
         p = pass_idx(label)
         if times is None or p is None:
-            return label[0]  # po-only path: all windows are base passes
+            return label[0]  # pw-only path: all windows are base passes
         forced = label[0] == "f"
         return frozenset(q for q, draws in times.items()
                          if q.startswith("f:") == forced
@@ -179,8 +182,8 @@ def pass_report(name, po, passes):
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    q_old, a_old, f_old, hd_old, bl_old, po_old, ps_old = load(sys.argv[1])
-    q_new, a_new, f_new, hd_new, bl_new, po_new, ps_new = load(sys.argv[2])
+    q_old, a_old, f_old, hd_old, bl_old, pw_old, ps_old = load(sys.argv[1])
+    q_new, a_new, f_new, hd_new, bl_new, pw_new, ps_new = load(sys.argv[2])
     for path, bl in ((sys.argv[1], bl_old), (sys.argv[2], bl_new)):
         if bl:
             print(f"{path}: declares baseline round {bl.get('round')} "
@@ -193,8 +196,8 @@ def main():
         print(f"*** WARNING: {sys.argv[2]} is host-drift marked — read "
               "the drift-controlled column only; the raw column and "
               "totals are contaminated ***")
-    pass_report(sys.argv[1], po_old, ps_old)
-    pass_report(sys.argv[2], po_new, ps_new)
+    pass_report(sys.argv[1], pw_old, ps_old)
+    pass_report(sys.argv[2], pw_new, ps_new)
     shared_anchors = sorted(set(a_old) & set(a_new))
     if shared_anchors:
         g_old = math.exp(sum(math.log(a_old[a]) for a in shared_anchors)
