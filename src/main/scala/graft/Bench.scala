@@ -352,15 +352,46 @@ object Bench {
       stamped || ar.exists(_ > HostDriftBand)
     } catch { case _: Throwable => false }
 
+  /** True when a bench artifact was produced by the r18+ pass-major
+    * interleaved schedule (its compact line carries the "pw" pass
+    * windows). Pre-pass-major artifacts took each query's reps
+    * consecutively — the early-suite queries drew all their reps on a
+    * still-warming JVM, so their published mins sit at a different
+    * LEVEL than pass-major draws (measured r18: telemetry_* dc
+    * 0.45–0.9 on an untouched plan). The two schedule eras are NOT
+    * comparable per-query; parse failures read pre-era (degrade to
+    * the old rule, never skip a round silently). */
+  private[graft] def isPassMajor(f: java.io.File): Boolean =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(f)
+      val parsed =
+        if (root.has("parsed") && root.get("parsed").isObject) root.get("parsed") else root
+      parsed.has("pw")
+    } catch { case _: Throwable => false }
+
   /** Newest candidate that is not host-contaminated; when EVERY
     * candidate is contaminated, falls back to the newest anyway — a
     * drift-controlled comparison against a loaded round still beats
     * no comparison, and the dc table's `base` field names which round
-    * was used. */
+    * was used.
+    *
+    * Schedule-era rule (r19, VERDICT r18 task 2): once any candidate
+    * is pass-major ("pw" present), ONLY pass-major candidates are
+    * eligible — an hd-stamped pass-major round still beats a clean
+    * pre-pass-major one, because the anchor ratio CORRECTS host speed
+    * (that is the dc construction) but nothing corrects a schedule
+    * level shift. Concretely: r18 ran on a ~2× loaded host (hd:1),
+    * yet baselining r19 against clean-but-consecutive-rep r15 would
+    * re-read the documented one-time telemetry_* level shift as a
+    * spurious 2× speedup every round; against r18 the dc chain is
+    * apples-to-apples again. */
   private[graft] def pickCleanBaseline(cands: Seq[java.io.File]): Option[java.io.File] = {
     def round(f: java.io.File): Int =
       "\\d+".r.findFirstIn(f.getName).getOrElse("0").toInt
-    val sorted = cands.sortBy(f => -round(f))
+    val eraMatched = cands.filter(isPassMajor)
+    val eligible = if (eraMatched.nonEmpty) eraMatched else cands
+    val sorted = eligible.sortBy(f => -round(f))
     sorted.find(f => !isHostDrift(f)).orElse(sorted.headOption)
   }
 

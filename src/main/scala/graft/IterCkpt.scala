@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation policy for the iterative tier (BFS, bounded
+  * SSSP, k-core, connected components — both propagation and
+  * large-star/small-star — PageRank, label propagation), r19
+  * (VERDICT r18 task 4).
+  *
+  * Every Pregel-style loop here must bound its plan: without
+  * truncation the logical plan grows one join+agg layer per round and
+  * analysis/codegen time diverges. The DEFAULT bound is
+  * `localCheckpoint()` each round — fastest (executor-held shuffle
+  * blocks, no external write), but those blocks are UNRELIABLE: an
+  * executor lost mid-run invalidates them, and because a local
+  * checkpoint also severs lineage there is nothing to recompute from —
+  * the job fails. Cosmetic at local[32]; real on a 1000-executor
+  * cluster where a multi-hour iterative job should expect losses.
+  *
+  * Setting `graft.iter.checkpointDir` (session conf) upgrades the
+  * policy to cluster-grade: a RELIABLE `checkpoint()` to that
+  * directory at every `everyK`-th round (default EVERY round), local
+  * checkpoints in between for `everyK` > 1 — so at a checkpointed
+  * round the loop's state survives any executor loss (recovery reads
+  * the checkpoint files; nothing is recomputed), and the job's
+  * unrecoverable window shrinks to the in-between rounds.
+  *
+  * Why every round must still TRUNCATE (not persist): the loops
+  * compose their frames — BFS unions `dist` with each round's
+  * frontier, CC-star diffs `next` against `e` — so without lineage
+  * truncation round r's plan embeds the full TREE of rounds 1..r−1
+  * at every reference, and analysis cost goes exponential in the
+  * round count (measured: an 11-round BFS under a persist-between
+  * variant OOM'd the analyzer in DeduplicateRelations before any
+  * task ran). Truncation every round is what keeps analysis O(1)
+  * per round; the only policy choice is WHICH truncation.
+  *
+  * The `everyK` trade-off (PLANS.md r19): each reliable checkpoint is
+  * a full write of the frame to the checkpoint filesystem. k = 1
+  * (default) makes every round's state durable — executor loss never
+  * kills the job. k > 1 cuts the write traffic k× but the in-between
+  * rounds hold only executor-local blocks with severed lineage, so a
+  * loss inside that window still fails the job ((k−1)/k of the time)
+  * — it is a cost knob for operators whose retry-the-job cost is low
+  * relative to the checkpoint write, not a smaller recovery window.
+  */
+object IterCkpt {
+
+  /** Session-conf key naming the reliable checkpoint directory. Unset
+    * (the default) → localCheckpoint every round. */
+  val ConfKey = "graft.iter.checkpointDir"
+
+  /** Bound `df`'s lineage at iteration `round` (0 for pre-loop seed
+    * frames — those always truncate) under the session's policy. */
+  def truncate(df: DataFrame, round: Int, everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, s"IterCkpt.truncate: everyK must be >= 1, got $everyK")
+    val spark = df.sparkSession
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (round % everyK == 0) {
+          val sc = spark.sparkContext
+          // checkpoint() needs the context-level dir; derive it from
+          // the conf when the operator hasn't set one explicitly
+          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+          df.checkpoint()
+        } else df.localCheckpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+}

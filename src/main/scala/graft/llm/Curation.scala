@@ -556,6 +556,103 @@ object Curation {
     out
   }
 
+  /** [[bloomFprAudit]]'s ORACLE-REPLAYABLE twin (r19, VERDICT r18
+    * task 5 — the BPE playbook applied to the bloom tier): the same
+    * (n_probes, n_bloom_hits, n_true, n_false_pos, n_missed,
+    * fpr_micro) audit, with the filter's BITS expressed RELATIONALLY
+    * instead of through the byte-array aggregate — k md5-derived
+    * positions per gram modulo an integer-sized bit space (numBits =
+    * 10·|eval grams|, integer arithmetic only, so both engines size
+    * identically; ~1.7% expected FPR at k = 3), membership = all k
+    * positions present in the eval side's distinct-position set. That
+    * IS a Bloom filter — same no-false-negative guarantee, same FPR
+    * mechanics — just queryable by DuckDB, so the realized FPR
+    * hash-pins cross-engine while `decontam_bloom_fpr` keeps auditing
+    * the production byte-array path (engine-internal bits → rows-only).
+    *
+    * Scale shape: the bits side is ≤ numBits distinct ints (a few
+    * hundred KB at any corpus size that respects the eval-slice
+    * bound) — broadcast explicitly; the probe side is k map-generated
+    * positions per gram plus one gram-keyed aggregate. */
+  def bloomFprPinned(
+      docs: DataFrame, evalPred: Column, n: Int = 8, k: Int = 3): DataFrame = {
+    val grams = gramHashRows(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalIds = docs.filter(evalPred).select(col("doc_id"))
+    val ev = grams.join(evalIds, Seq("doc_id"), "left_semi")
+      .select(col("gram_h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = grams.join(evalIds, Seq("doc_id"), "left_anti")
+      .select(col("gram_h")).distinct()
+    // integer sizing rule — exact in both engines (the float m =
+    // −E·ln p/ln²2 rule of the production audit would hinge on libm
+    // ULPs); the count is a bounded scalar (the evCount the byte-array
+    // audit already collects)
+    val numBits = math.max(ev.count(), 1L) * 10L
+    def pos(i: Int, g: Column): Column =
+      (conv(substring(md5(concat(lit(s"bfp$i:"), g.cast("string"))), 1, 12), 16, 10)
+        .cast("long") % numBits).as(s"b$i")
+    def posArr(g: Column): Column = array((1 to k).map(pos(_, g)): _*)
+    val bits = ev.select(explode(posArr(col("gram_h"))).as("bit")).distinct()
+    val hit = p.select(col("gram_h"), explode(posArr(col("gram_h"))).as("bit"))
+      .join(broadcast(bits.withColumn("set1", lit(1L))), Seq("bit"), "left")
+      .groupBy(col("gram_h"))
+      .agg(min(coalesce(col("set1"), lit(0L))).as("hit"))
+    val out = hit
+      .join(ev.withColumn("t", lit(1L)), Seq("gram_h"), "left")
+      .select(col("hit"), coalesce(col("t"), lit(0L)).as("t"))
+      .agg(
+        count(lit(1)).cast("long").as("n_probes"),
+        sum(col("hit")).cast("long").as("n_bloom_hits"),
+        sum(col("t")).cast("long").as("n_true"),
+        sum(col("hit") * (lit(1L) - col("t"))).cast("long").as("n_false_pos"),
+        sum((lit(1L) - col("hit")) * col("t")).cast("long").as("n_missed"))
+      .withColumn("fpr_micro",
+        expr("(n_false_pos * 1000000) div greatest(n_probes - n_true, 1)"))
+      .localCheckpoint()
+    ev.unpersist()
+    grams.unpersist()
+    out
+  }
+
+  /** DuckDB replay of [[bloomFprPinned]] — gram CTEs shared with
+    * [[decontamOracleSql]], positions and sizing replayed with the
+    * identical integer arithmetic. */
+  private[graft] def bloomFprPinnedOracleSql(k: Int = 3): String = {
+    val posList = (1 to k).map(i =>
+      s"CAST(concat('0x', substr(md5(concat('bfp$i:', CAST(gram_h AS VARCHAR))), 1, 12)) AS BIGINT) % (SELECT m FROM nb)")
+      .mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |gs AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+       |                                    i -> array_to_string(l[i:i+7], ' '))) AS gram
+       |       FROM base),
+       |g AS (SELECT doc_id, ${fp60Sql("gram")} AS gram_h FROM gs),
+       |ev AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 7 = 0),
+       |p AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 7 <> 0),
+       |nb AS (SELECT GREATEST(COUNT(*), 1) * 10 AS m FROM ev),
+       |bits AS (
+       |  SELECT DISTINCT bit FROM (
+       |    SELECT unnest($posList) AS bit FROM ev) zb),
+       |pb AS (SELECT gram_h, unnest($posList) AS bit FROM p),
+       |hit AS (
+       |  SELECT pb.gram_h,
+       |         MIN(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS hit
+       |  FROM pb LEFT JOIN bits USING (bit)
+       |  GROUP BY pb.gram_h),
+       |rows_ AS (
+       |  SELECT h.hit, CASE WHEN ev.gram_h IS NOT NULL THEN 1 ELSE 0 END AS t
+       |  FROM hit h LEFT JOIN ev USING (gram_h))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       |       CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+       |       CAST(SUM(t) AS BIGINT) AS n_true,
+       |       CAST(SUM(hit * (1 - t)) AS BIGINT) AS n_false_pos,
+       |       CAST(SUM((1 - hit) * t) AS BIGINT) AS n_missed,
+       |       CAST(SUM(hit * (1 - t)) * 1000000
+       |              // GREATEST(COUNT(*) - SUM(t), 1) AS BIGINT) AS fpr_micro
+       |FROM rows_""".stripMargin
+  }
+
   /** Domain-weighted mixing: keep a doc iff its content-hash bucket
     * (0..999) falls under its language's rate. Hash rules are stable
     * under retries and re-runs — a seeded Bernoulli is not — so the
@@ -1658,6 +1755,15 @@ object Curation {
     // driver-visible the way dedup_minhash_recall is.
     Q.noOracle("decontam_bloom_fpr") { (s, dir) =>
       bloomFprAudit(Tables.documents(s, dir), col("doc_id") % 7 === 0)
+    },
+
+    // The SAME audit with the bloom expressed relationally (r19): the
+    // realized FPR, the hit counts, and the no-false-negative pin all
+    // hash-check in DuckDB — the bloom MECHANICS are now oracle-
+    // guaranteed, and only the production byte-array's internal bit
+    // layout stays rows-only above.
+    Q("decontam_bloom_fpr_pinned", bloomFprPinnedOracleSql()) { (s, dir) =>
+      bloomFprPinned(Tables.documents(s, dir), col("doc_id") % 7 === 0)
     },
 
     // SEMANTIC decontamination (r18): the embedding tier of the

@@ -620,30 +620,70 @@ object Dedup {
 
   private[graft] val SpecSidecar = "_graft_spec.json"
 
+  /** Full sidecar contents (r19, VERDICT r18 task 1): the bucket spec
+    * plus the SWAP-COMMIT protocol fields that make crash-inside-swap
+    * × catalog-loss recovery automatic.
+    *
+    *  - `epoch` totally orders the candidate directories of ONE
+    *    logical index: a build writes 0, every compact/refit writes
+    *    its predecessor's epoch + 1 — so after any crash the newest
+    *    COMMITTED candidate is the index's current truth and every
+    *    other candidate is provably superseded or never-committed.
+    *  - `committed` is false while a swap is in flight: the candidate
+    *    sidecar is written (committed=false) right after the data
+    *    commits, and flipped to true ([[commitSpecSidecar]]) only
+    *    AFTER the catalog rename — so a sidecar that says
+    *    committed=true is a state some swap fully reached, and a
+    *    false one is safely discardable (rolling back an in-flight
+    *    refit/compaction loses no data: the previous committed
+    *    candidate still holds every row).
+    *
+    * Pre-r19 sidecars lack both fields and read as (epoch 0,
+    * committed) — exactly the old semantics, so existing indexes keep
+    * re-attaching without a rewrite. */
+  private[graft] case class SpecInfo(
+      numBuckets: Int, bucketCols: Seq[String], sortCols: Seq[String],
+      epoch: Long, committed: Boolean)
+
   /** Write the bucket-spec sidecar beside a serving table's files.
     * Hadoop FileSystem API, so the same code serves file:/hdfs:/s3a:
-    * locations. */
+    * locations. Builds keep the defaults (epoch 0, committed); swap
+    * candidates pass their predecessor's epoch + 1 with
+    * committed=false and flip after the rename. */
   private[graft] def writeSpecSidecar(
       spark: SparkSession, path: String, buckets: Int,
-      bucketCols: Seq[String], sortCols: Seq[String]): Unit = {
+      bucketCols: Seq[String], sortCols: Seq[String],
+      epoch: Long = 0L, committed: Boolean = true): Unit = {
     def arr(cs: Seq[String]) = cs.map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val json = s"""{"numBuckets":$buckets,"bucketCols":${arr(bucketCols)},""" +
-      s""""sortCols":${arr(sortCols)}}"""
+      s""""sortCols":${arr(sortCols)},"epoch":$epoch,"committed":$committed}"""
     val p = new org.apache.hadoop.fs.Path(path, SpecSidecar)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Read a location's bucket-spec sidecar; None when absent or
-    * unreadable (the caller decides whether that is fatal). */
+  /** Read a location's bucket-spec sidecar. None ONLY when the file
+    * (or its directory) does not exist; any other read or parse
+    * failure THROWS (ADVICE r18): a flaky object-store read must not
+    * masquerade as "no sidecar" — that would silently drop a swap
+    * candidate in [[graft.llm.Similarity.pinnedAssignedDir]] (picking
+    * the other, possibly uncommitted, side) or surface in
+    * [[reattachBucketedTable]] as the misleading "pre-r18 index:
+    * rebuild" message. */
   private[graft] def readSpecSidecar(
       spark: SparkSession, path: String): Option[(Int, Seq[String], Seq[String])] =
-    try {
-      val p = new org.apache.hadoop.fs.Path(path, SpecSidecar)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) None
-      else {
+    readSpecSidecarFull(spark, path).map(s => (s.numBuckets, s.bucketCols, s.sortCols))
+
+  /** [[readSpecSidecar]] with the swap-commit fields. Same error
+    * contract: None is exclusively file-not-found. */
+  private[graft] def readSpecSidecarFull(
+      spark: SparkSession, path: String): Option[SpecInfo] = {
+    val p = new org.apache.hadoop.fs.Path(path, SpecSidecar)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      try {
         val in = fs.open(p)
         val bytes =
           try {
@@ -660,9 +700,121 @@ object Dedup {
           while (it.hasNext) b += it.next().asText()
           b.result()
         }
-        Some((root.get("numBuckets").asInt(), strs("bucketCols"), strs("sortCols")))
+        Some(SpecInfo(
+          root.get("numBuckets").asInt(), strs("bucketCols"), strs("sortCols"),
+          // pre-r19 sidecars: epoch 0, committed — the old semantics
+          if (root.has("epoch")) root.get("epoch").asLong() else 0L,
+          if (root.has("committed")) root.get("committed").asBoolean() else true))
+      } catch {
+        // the exists() above raced a concurrent delete — genuinely absent
+        case _: java.io.FileNotFoundException => None
+        case ie: InterruptedException => Thread.currentThread().interrupt(); throw ie
+        case e: Throwable => throw new IllegalStateException(
+          s"unreadable $SpecSidecar under $path " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — refusing to treat " +
+            "a read/parse failure as an absent sidecar (it would silently drop " +
+            "a swap candidate or mis-diagnose a re-attach); retry or inspect " +
+            "the file", e)
       }
-    } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Flip a candidate sidecar to committed=true — the swap's LAST
+    * durable step, issued after the catalog rename. Returns true when
+    * a flip happened; false when the sidecar is already committed or
+    * absent (pre-r19 layouts — recovery must still complete the
+    * catalog swap on them). */
+  private[graft] def commitSpecSidecar(spark: SparkSession, path: String): Boolean =
+    readSpecSidecarFull(spark, path) match {
+      case Some(s) if !s.committed =>
+        writeSpecSidecar(spark, path, s.numBuckets, s.bucketCols, s.sortCols,
+          s.epoch, committed = true)
+        true
+      case _ => false
+    }
+
+  /** The sidecar epoch at a location; 0 when the sidecar is absent
+    * (pre-r19 layout) — the swap that calls this writes epoch + 1, so
+    * the first post-upgrade compact/refit lands at epoch 1 and
+    * outranks nothing it shouldn't. */
+  private[graft] def sidecarEpoch(spark: SparkSession, location: String): Long =
+    readSpecSidecarFull(spark, location).map(_.epoch).getOrElse(0L)
+
+  /** Deterministically resolve ONE logical index's candidate
+    * directories after any crash (r19, VERDICT r18 task 1): among the
+    * sidecar-bearing candidates, the newest COMMITTED epoch wins, and
+    * every other candidate — committed losers and mid-swap
+    * (committed=false) leftovers alike — is DELETED, so recovery from
+    * a crash-inside-swap plus catalog loss is fully automatic instead
+    * of the old loud dual-candidate refusal. Returns the winner's
+    * path; None when no candidate carries a sidecar (nothing to
+    * serve — pre-sidecar layout or never built).
+    *
+    * Only call on a CATALOG-LOSS path: when the catalog still knows
+    * the table (or its `_compacting` sibling), [[recoverCompact]]
+    * owns the swap state and deleting a directory the catalog
+    * references would break that recovery — [[graft.streaming.GateOps]]
+    * guards every call site with a tableExists check.
+    *
+    * Fails loudly on the two genuinely ambiguous states: an epoch TIE
+    * among committed candidates (two independent builds aimed at the
+    * same root — no protocol ordering exists), and an all-uncommitted
+    * candidate set (the protocol flips committed BEFORE deleting the
+    * predecessor, so this state means the sidecars were tampered with
+    * or a pre-r19 process interleaved — nothing is provably safe to
+    * serve). */
+  private[graft] def resolveCommittedCandidate(
+      spark: SparkSession, candidates: Seq[String]): Option[String] = {
+    val specs = candidates.distinct.flatMap(p =>
+      readSpecSidecarFull(spark, p).map(p -> _))
+    if (specs.isEmpty) None
+    else {
+      val committed = specs.filter(_._2.committed)
+      if (committed.isEmpty) throw new IllegalStateException(
+        s"no committed candidate among ${specs.map(_._1).mkString(", ")} — every " +
+          "sidecar is mid-swap (committed=false); the commit protocol never " +
+          "reaches this state (the predecessor stays committed until after the " +
+          "flip), so resolve manually before re-attaching")
+      val maxEpoch = committed.map(_._2.epoch).max
+      committed.filter(_._2.epoch == maxEpoch) match {
+        case Seq((winner, _)) =>
+          for ((loser, _) <- specs if loser != winner)
+            deleteTableLocation(spark, new org.apache.hadoop.fs.Path(loser).toUri)
+          Some(winner)
+        case ties => throw new IllegalStateException(
+          s"epoch tie (${maxEpoch}) among committed candidates " +
+            s"${ties.map(_._1).mkString(", ")} — two independent builds aimed at " +
+            "the same root; delete the stale one manually")
+      }
+    }
+  }
+
+  /** One-shot sidecar BACKFILL for a pre-r18 index (r19, VERDICT r18
+    * task 3): derive the bucket spec from the catalog — the one place
+    * that still knows it — and write the `_graft_spec.json` the
+    * build/compact/refit paths have written since r18, so path-only
+    * re-attach works on existing artifacts without forcing a rebuild.
+    * Returns true when a sidecar was written; false when the location
+    * already carries one (idempotent — safe to run fleet-wide).
+    * Throws when the catalog does not know the table or the table is
+    * not bucketed: with neither catalog nor sidecar there is NO
+    * known-correct spec, and guessing one would silently mis-bucket
+    * every probe join (the exact failure the sidecar exists to
+    * prevent). */
+  def backfillSpecSidecar(spark: SparkSession, table: String): Boolean = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — the sidecar protocol is for the bucketed " +
+        "serving tables"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location).toString
+    if (readSpecSidecarFull(spark, loc).isDefined) false
+    else {
+      writeSpecSidecar(spark, loc, spec.numBuckets,
+        spec.bucketColumnNames, spec.sortColumnNames)
+      true
+    }
+  }
 
   /** Re-attach a bucketed serving table from its on-disk location into
     * a FRESH catalog (r18, VERDICT r17 task 3 — the last durable-
@@ -683,17 +835,46 @@ object Dedup {
       cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
     if (exists(table) || exists(s"${table}_compacting")) false
     else {
-      val (n, bCols, sCols) = readSpecSidecar(spark, path).getOrElse(
+      val spec = readSpecSidecarFull(spark, path).getOrElse(
         throw new IllegalStateException(
           s"no $SpecSidecar under $path — cannot re-attach $table with a " +
-            "known-correct bucket spec (pre-r18 index: rebuild or compact once)"))
-      val schemaDdl = spark.read.parquet(path).schema.toDDL
+            "known-correct bucket spec (pre-r18 index: run backfillSpecSidecar " +
+            "on a catalog that still knows the table, or rebuild/compact once)"))
+      // an uncommitted sidecar marks a mid-swap candidate: attaching it
+      // could serve a half-refit — route through the candidate resolver
+      if (!spec.committed) throw new IllegalStateException(
+        s"the sidecar under $path is mid-swap (committed=false) — re-attach " +
+          "through resolveCommittedCandidate / GateOps.bootGate's candidate " +
+          "form so the newest COMMITTED swap side is served")
+      // ADVICE r18: quote identifiers and escape the path literal so a
+      // column needing backticks or a quoted character in the location
+      // cannot break (or redirect) the statement
+      def q(id: String) = "`" + id.replace("`", "``") + "`"
+      def lit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      // ...and wrap the footer read so an empty or unreadable data dir
+      // yields the same actionable diagnostic as a missing sidecar
+      // instead of a bare schema-inference stack
+      val schemaDdl =
+        try {
+          val sc = spark.read.parquet(path).schema
+          if (sc.isEmpty) throw new IllegalStateException("no columns inferred")
+          sc.toDDL
+        } catch {
+          case ie: InterruptedException => Thread.currentThread().interrupt(); throw ie
+          case e: Throwable => throw new IllegalStateException(
+            s"cannot re-attach $table from $path: the sidecar is present but the " +
+              s"location's parquet data is unreadable or empty " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}) — the index files " +
+              "are gone or corrupt; rebuild the index", e)
+        }
       val sorted =
-        if (sCols.nonEmpty) s"SORTED BY (${sCols.mkString(", ")}) " else ""
+        if (spec.sortCols.nonEmpty)
+          s"SORTED BY (${spec.sortCols.map(q).mkString(", ")}) "
+        else ""
       spark.sql(
-        s"CREATE TABLE $table ($schemaDdl) USING parquet " +
-          s"CLUSTERED BY (${bCols.mkString(", ")}) $sorted" +
-          s"INTO $n BUCKETS LOCATION '$path'")
+        s"CREATE TABLE ${q(table)} ($schemaDdl) USING parquet " +
+          s"CLUSTERED BY (${spec.bucketCols.map(q).mkString(", ")}) $sorted" +
+          s"INTO ${spec.numBuckets} BUCKETS LOCATION ${lit(path)}")
       true
     }
   }
@@ -764,6 +945,12 @@ object Dedup {
     compactWrite(spark, table, newPath)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
+    // commit order matters (r19): flip the candidate sidecar BEFORE
+    // deleting the predecessor, so at every instant at least one
+    // candidate is committed — a crash anywhere leaves either "old
+    // committed wins" (swap rolls back, no data lost) or "new
+    // committed wins, old is a deletable loser"; never ambiguity
+    commitSpecSidecar(spark, newPath)
     deleteTableLocation(spark, meta.location)
   }
 
@@ -796,8 +983,13 @@ object Dedup {
       case s => rewritten.sortBy(s.head, s.tail: _*)
     }
     sorted.option("path", newPath).saveAsTable(s"${table}_compacting")
+    // candidate sidecar: predecessor's epoch + 1, committed=false until
+    // the swap's rename lands ([[commitSpecSidecar]] flips it) — data
+    // is complete the moment this sidecar exists, but a boot must
+    // prefer the still-committed predecessor until the flip
     writeSpecSidecar(spark, newPath, spec.numBuckets,
-      spec.bucketColumnNames, spec.sortColumnNames)
+      spec.bucketColumnNames, spec.sortColumnNames,
+      epoch = sidecarEpoch(spark, meta.location.toString) + 1L, committed = false)
   }
 
   /** Best-effort delete of a superseded table location through the
@@ -850,16 +1042,34 @@ object Dedup {
       cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
     (exists(table), exists(s"${table}_compacting")) match {
       case (false, true) =>
+        val newLoc = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_compacting")).location
         spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
+        // complete the sidecar commit the crashed swap never reached —
+        // otherwise a LATER catalog loss would roll this recovery back
+        // (the predecessor's committed sidecar would outrank an
+        // uncommitted winner). The predecessor's location is unknown in
+        // this state (the DROP already happened); its leftover dir is a
+        // provable epoch-loser the next candidate resolution deletes.
+        commitSpecSidecar(spark, newLoc.toString)
         "renamed"
       case (true, true) =>
         val oldLoc = cat.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table)).location
         spark.sql(s"DROP TABLE $table")
         spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
+        val newLoc = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+        commitSpecSidecar(spark, newLoc.toString)
         deleteTableLocation(spark, oldLoc)
         "swapped"
-      case (true, false) => "noop"
+      case (true, false) =>
+        // a crash BETWEEN the rename and the sidecar flip leaves the
+        // served location's sidecar uncommitted — finish the flip so
+        // the on-disk state agrees with the catalog's
+        val loc = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+        if (commitSpecSidecar(spark, loc.toString)) "committed" else "noop"
       case (false, false) =>
         throw new IllegalStateException(
           s"neither $table nor ${table}_compacting is registered — the compacted " +
@@ -2784,17 +2994,19 @@ object Dedup {
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = graft.IterCkpt.truncate(
+      nodes.select(col("id"), col("id").as("label")), 0)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = und.join(labels, und("a") === labels("id"))
         .groupBy(und("b").as("nid"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(labels("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+      val next = graft.IterCkpt.truncate(
+        labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(labels("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")),
+        iter + 1)
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label"))
@@ -2916,9 +3128,11 @@ object Dedup {
       .write.mode("overwrite")
       .bucketBy(buckets, "id").sortBy("id")
       .option("path", newPath).saveAsTable(s"${table}_compacting")
-    writeSpecSidecar(spark, newPath, buckets, Seq("id"), Seq("id"))
+    writeSpecSidecar(spark, newPath, buckets, Seq("id"), Seq("id"),
+      epoch = sidecarEpoch(spark, meta.location.toString) + 1L, committed = false)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
+    commitSpecSidecar(spark, newPath)
     deleteTableLocation(spark, meta.location)
   }
 
@@ -2952,8 +3166,9 @@ object Dedup {
     val undDeg = und.join(deg, "a")
     val ids = nodes.select(col("id"))
     val n = ids.count().toDouble
-    var ranks = ids.select(col("id"), (lit(1.0) / n).as("rank")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    var ranks = graft.IterCkpt.truncate(
+      ids.select(col("id"), (lit(1.0) / n).as("rank")), 0)
+    for (i <- 1 to iters) {
       val contrib = undDeg
         .join(ranks.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), (col("rank") / col("deg")).as("c"))
@@ -2963,7 +3178,7 @@ object Dedup {
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("in_rank"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint()
+      ranks = graft.IterCkpt.truncate(ranks, i)
     }
     und.unpersist()
     ranks.select(col("id"), (round(col("rank") * n, 6) + lit(0.0)).as("rank_norm"))
@@ -2995,8 +3210,8 @@ object Dedup {
     * DedupSpec can pin the O(log n) convergence on a long chain). */
   def ccStarWithRounds(
       nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    var e = edges.select(col("a"), col("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var e = graft.IterCkpt.truncate(edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct(), 0)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -3019,9 +3234,10 @@ object Dedup {
         .filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .unionByName(mins2.select(col("a"), col("m").as("b")))
-        .distinct().localCheckpoint()
-      changed = next.except(e).count() + e.except(next).count()
-      e = next
+        .distinct()
+      val nextT = graft.IterCkpt.truncate(next, iter + 1)
+      changed = nextT.except(e).count() + e.except(nextT).count()
+      e = nextT
       iter += 1
     }
     // same fail-loud cap contract as the plain form (r18); at the
@@ -3058,7 +3274,7 @@ object Dedup {
   def labelPropagation(
       nodes: DataFrame, edges: DataFrame, iters: Int = 5,
       checkpointEvery: Int = 1): DataFrame = {
-    val und = undirectedEdges(edges).localCheckpoint()
+    val und = graft.IterCkpt.truncate(undirectedEdges(edges), 0)
     var labels = nodes.select(col("id"), col("id").as("label"))
     // `checkpointEvery` exists because VERDICT r15 task 8 asked
     // whether halving the per-round materialization would halve the
@@ -3074,7 +3290,8 @@ object Dedup {
     // PLANS.md r16; the knob stays for the record.
     for (i <- 1 to iters) {
       labels = lpaRound(und, nodes, labels)
-      if (i % checkpointEvery == 0 || i == iters) labels = labels.localCheckpoint()
+      if (i % checkpointEvery == 0 || i == iters)
+        labels = graft.IterCkpt.truncate(labels, i)
     }
     labels
   }
@@ -3090,10 +3307,11 @@ object Dedup {
       nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val und = undirectedEdges(edges).localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    val und = graft.IterCkpt.truncate(undirectedEdges(edges), 0)
+    var labels = graft.IterCkpt.truncate(
+      nodes.select(col("id"), col("id").as("label")), 0)
     val rows = (1 to iters).map { k =>
-      val next = lpaRound(und, nodes, labels).localCheckpoint()
+      val next = graft.IterCkpt.truncate(lpaRound(und, nodes, labels), k)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label"))

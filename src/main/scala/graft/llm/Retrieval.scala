@@ -39,6 +39,12 @@ object Retrieval {
     * paper; frozen here so rankings are comparable across rounds). */
   val RrfC = 60
 
+  /** Hard cap on [[mmrRerank]]'s candidate budget: the greedy's
+    * driver state is nCand rows + an nCand² pair-sim map, so the
+    * bound keeps the collect ≤ ~1.5 MB no matter what a caller passes
+    * (the documented-cap discipline the IVF driver artifacts follow). */
+  val MmrMaxCand = 256
+
   /** Fuse the BM25 top-`n` and the cosine top-`n` by reciprocal rank.
     * Shape for scale: each retriever's cost is its own (one corpus
     * pass / one index probe); fusion itself touches 2·n rows — the
@@ -85,6 +91,17 @@ object Retrieval {
       spark: SparkSession, emb: DataFrame, probeId: Long,
       nCand: Int, k: Int): DataFrame = {
     import spark.implicits._
+    // the IVF-style bounded-driver-artifact discipline (r19, VERDICT
+    // r18 task 6): the greedy collects nCand rows AND an nCand²-entry
+    // pair-sim map, so the budget must be a hard gate, not a
+    // convention — a corpus-sized nCand would OOM the driver before
+    // any loop ran. 256 bounds the collect at ~64k pair entries
+    // (≈1.5 MB), far above any serving-side re-rank (typical nCand is
+    // tens) and far below anything corpus-shaped.
+    require(nCand >= 1 && nCand <= MmrMaxCand,
+      s"mmrRerank: nCand must be in [1, $MmrMaxCand] (got $nCand) — the greedy " +
+        "is a SERVING-side step over a driver-collected candidate set; " +
+        "corpus-scale similarity joins belong to the ANN/dedup tiers")
     val cand = Similarity.cosineTopK(emb, probeId, nCand)
       .select(col("vec_id"), col("cos_sim").as("rel"))
     val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -784,39 +784,24 @@ object Similarity {
   /** Locate the pinned family's CURRENT assigned-table data directory
     * under an index root, from the FILESYSTEM alone (r18, VERDICT r17
     * task 3): `<path>/assigned` after a build, or the
-    * `<path>/assigned_refit_*` directory a refit swapped in (the refit
-    * deletes the superseded location after its rename, so in every
-    * committed state exactly ONE candidate carries the bucket-spec
-    * sidecar). None when the root holds no sidecar-bearing candidate
-    * (not a pinned index — the directory-partitioned family, or a
-    * pre-sidecar build). Multiple candidates mean a crash left both
-    * swap sides on disk — loud error, the operator resolves via
-    * [[graft.llm.Dedup.recoverCompact]] on a surviving catalog or by
-    * deleting the uncommitted side; silently picking one could serve
-    * a half-refit index. */
+    * `<path>/assigned_refit_*` directory a refit swapped in. None when
+    * the root holds no sidecar-bearing candidate (not a pinned index —
+    * the directory-partitioned family, or a pre-sidecar build).
+    *
+    * Since r19 (VERDICT r18 task 1) a crash that left BOTH swap sides
+    * on disk is resolved AUTOMATICALLY instead of failing loud: the
+    * sidecar's commit-epoch protocol
+    * ([[graft.llm.Dedup.resolveCommittedCandidate]]) picks the newest
+    * COMMITTED candidate and deletes the losers — a mid-swap
+    * (committed=false) refit dir rolls back to the still-committed
+    * predecessor; a flipped-but-not-cleaned-up refit wins over the
+    * superseded build. Only call on a catalog-loss path (bootGate
+    * guards with a tableExists check): while the catalog still knows
+    * the table, [[graft.llm.Dedup.recoverCompact]] owns the swap
+    * state and the filesystem must not arbitrate under it. */
   private[graft] def pinnedAssignedDir(
-      spark: SparkSession, path: String): Option[String] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) None
-    else {
-      val cands = fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && {
-          val n = s.getPath.getName
-          n == "assigned" || n.startsWith("assigned_refit_")
-        })
-        .map(_.getPath.toString)
-        .filter(p => Dedup.readSpecSidecar(spark, p).isDefined)
-      cands match {
-        case Seq(one) => Some(one)
-        case Seq() => None
-        case many => throw new IllegalStateException(
-          s"multiple pinned assigned dirs under $path (${many.mkString(", ")}) — " +
-            "a crash left both swap sides; recover via the surviving catalog " +
-            "(recoverCompact) before re-attaching")
-      }
-    }
-  }
+      spark: SparkSession, path: String): Option[String] =
+    Dedup.resolveCommittedCandidate(spark, pinnedCandidateDirs(spark, path))
 
   /** Drop a pinned index: catalog table + on-disk root. The cleanup
     * for temp-path lifecycles (declared queries build under a temp
@@ -847,7 +832,19 @@ object Similarity {
     * bucketed serving table. */
   def buildIvfIndexPinned(
       base: DataFrame, path: String, nCells: Int = 16, buckets: Int = -1): Unit = {
+    val spark = base.sparkSession
     val nBuckets = if (buckets > 0) buckets else ivfPinnedBuckets(nCells)
+    // a REBUILD over a root that already carries candidates (e.g. a
+    // refit swapped the data to an assigned_refit_* dir) must outrank
+    // them in the sidecar epoch order, or a later catalog-loss boot
+    // would resolve to the stale refit dir; the fresh build's sidecar
+    // takes (max existing epoch + 1) and the superseded refit dirs are
+    // deleted once the build commits (r19 — pre-epoch this state was
+    // the loud dual-candidate refusal)
+    val prior = pinnedCandidateDirs(spark, path)
+    val epoch = prior
+      .flatMap(p => Dedup.readSpecSidecarFull(spark, p)).map(_.epoch)
+      .reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
     val e = base.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val seeds = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -858,8 +855,27 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(nBuckets, "cluster").sortBy("cluster", "vec_id")
       .option("path", s"$path/assigned").saveAsTable(ivfPinnedTable(path))
-    Dedup.writeSpecSidecar(base.sparkSession, s"$path/assigned", nBuckets,
-      Seq("cluster"), Seq("cluster", "vec_id"))
+    Dedup.writeSpecSidecar(spark, s"$path/assigned", nBuckets,
+      Seq("cluster"), Seq("cluster", "vec_id"), epoch = epoch)
+    for (p <- prior if new org.apache.hadoop.fs.Path(p).getName != "assigned")
+      Dedup.deleteTableLocation(spark, new org.apache.hadoop.fs.Path(p).toUri)
+  }
+
+  /** The pinned family's candidate data dirs under an index root:
+    * `assigned` (a build's target) plus any `assigned_refit_*` (refit
+    * swap targets), sidecar-bearing or not. The raw listing behind
+    * [[pinnedAssignedDir]]'s committed-candidate resolution and the
+    * build's supersede sweep. */
+  private def pinnedCandidateDirs(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && {
+        val n = s.getPath.getName
+        n == "assigned" || n.startsWith("assigned_refit_")
+      })
+      .map(_.getPath.toString)
   }
 
   /** Append to a [[buildIvfIndexPinned]] index: assign the delta to
@@ -926,14 +942,22 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(nBuckets, "cluster").sortBy("cluster", "vec_id")
       .option("path", newPath).saveAsTable(s"${t}_compacting")
+    // swap-commit protocol (r19): the candidate sidecar is mid-swap
+    // (committed=false, predecessor epoch + 1) until the rename lands —
+    // so a crash anywhere in this window rolls a catalog-loss boot back
+    // to the still-committed predecessor, deterministically
     Dedup.writeSpecSidecar(spark, newPath, nBuckets,
-      Seq("cluster"), Seq("cluster", "vec_id"))
+      Seq("cluster"), Seq("cluster", "vec_id"),
+      epoch = Dedup.sidecarEpoch(spark, meta.location.toString) + 1L,
+      committed = false)
     spark.sql(s"DROP TABLE $t")
     spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
+    Dedup.commitSpecSidecar(spark, newPath)
     // Hadoop-FS delete (review r18): the old file-scheme guard left
     // the superseded assigned dir and its sidecar behind on object
     // stores — pinnedAssignedDir would then see two committed
-    // candidates on every fresh-catalog boot
+    // candidates on every fresh-catalog boot (now self-healing via the
+    // epoch order, but the cleanup still reclaims the space)
     Dedup.deleteTableLocation(spark, meta.location)
     seeds.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/seeds")
   }

@@ -1382,18 +1382,28 @@ object TextAnalysis {
     * is computed from the raw split independently of the join, exactly
     * like the Spark side.) */
   private[graft] def bpeEncodeOracleSql(k: Int): String =
+    // ADVICE r18 degenerate-whitespace agreement: toks keeps only
+    // length>0 words (seg is built from w0's length>0 set, and the
+    // Spark side now filters empty words to 0 pieces), and the final
+    // join is LEFT + COALESCE so a doc of ONLY empty tokens still
+    // reports (n_tokens, 0, 0.0) instead of vanishing
     s"""WITH ${bpeCtes(k)},
        |seg AS (SELECT t, len(string_split(trim(s), '  ')) AS np FROM s$k),
-       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |toks AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) z
+       |  WHERE length(t) > 0),
        |np AS (
        |  SELECT doc_id, CAST(SUM(seg.np) AS BIGINT) AS n_pieces
        |  FROM toks JOIN seg USING (t) GROUP BY 1),
        |nt AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents)
-       |SELECT nt.doc_id, nt.n_tokens, np.n_pieces,
-       |       ROUND(np.n_pieces * 1.0 / nt.n_tokens, 6) + 0 AS pieces_per_token
-       |FROM nt JOIN np USING (doc_id)
+       |SELECT nt.doc_id, nt.n_tokens,
+       |       COALESCE(np.n_pieces, 0) AS n_pieces,
+       |       ROUND(COALESCE(np.n_pieces, 0) * 1.0 / nt.n_tokens, 6) + 0
+       |         AS pieces_per_token
+       |FROM nt LEFT JOIN np USING (doc_id)
        |ORDER BY nt.doc_id""".stripMargin
 
   /** Cross-engine ORACLE for [[subwordStats]] under the corpus-learned
@@ -1494,10 +1504,15 @@ object TextAnalysis {
   def bpeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     def enc(w: Column): Column =
       merges.foldLeft(split(w, "")) { case (acc, (a, b)) => applyMerge(acc, a, b) }
+    // ADVICE r18: an EMPTY word (consecutive/leading/trailing spaces)
+    // must contribute 0 pieces — split("", "") yields [""], which
+    // would count 1 and diverge from the oracle's length>0 token set.
+    // n_tokens intentionally still counts the raw split (both sides).
     docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         aggregate(
-          transform(split(col("text"), " "), w => size(enc(w))),
+          transform(filter(split(col("text"), " "), w => length(w) > 0),
+            w => size(enc(w))),
           lit(0), (s, x) => s + x).cast("long").as("n_pieces"))
       .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
         (round(col("n_pieces") / col("n_tokens"), 6) + lit(0.0)).as("pieces_per_token"))

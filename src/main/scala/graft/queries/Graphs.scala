@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.{IterCkpt, Q, Tables}
 
 /** Iterative graph traversal (round 10): multi-source BFS hop
   * distances — the reachability/how-far primitive under impact
@@ -35,7 +35,7 @@ object Graphs {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count() // materialize once; every round reuses the shuffle-free cache
-    var dist = seeds.select(col("id"), lit(0L).as("hop")).distinct().localCheckpoint()
+    var dist = IterCkpt.truncate(seeds.select(col("id"), lit(0L).as("hop")).distinct(), 0)
     var frontier = dist
     var iter = 0
     var grew = true
@@ -46,16 +46,16 @@ object Graphs {
         .distinct()
         .join(dist, Seq("id"), "left_anti")
         .select(col("id"), lit(iter.toLong).as("hop"))
-        .localCheckpoint()
+      val nextT = IterCkpt.truncate(next, iter)
       // production path: cheap non-emptiness test; GraphProbe passes a
       // roundProbe to record the full frontier size instead
       grew = roundProbe match {
-        case Some(f) => val n = next.count(); f(iter, n); n > 0
-        case None => next.limit(1).count() > 0
+        case Some(f) => val n = nextT.count(); f(iter, n); n > 0
+        case None => nextT.limit(1).count() > 0
       }
       if (grew) {
-        dist = dist.unionByName(next).localCheckpoint()
-        frontier = next
+        dist = IterCkpt.truncate(dist.unionByName(nextT), iter)
+        frontier = nextT
       }
     }
     und.unpersist()
@@ -87,7 +87,7 @@ object Graphs {
       .withColumn("w", weight(col("a"), col("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
-    var dist = seeds.select(col("id"), lit(0L).as("d")).distinct().localCheckpoint()
+    var dist = IterCkpt.truncate(seeds.select(col("id"), lit(0L).as("d")).distinct(), 0)
     var frontier = dist
     var iter = 0
     var improved = true
@@ -100,17 +100,16 @@ object Graphs {
         .join(dist.withColumnRenamed("d", "d0"), Seq("id"), "left_outer")
         .filter(col("d0").isNull || col("d") < col("d0"))
         .select(col("id"), col("d"))
-        .localCheckpoint()
+      val nextT = IterCkpt.truncate(next, iter)
       improved = roundProbe match {
-        case Some(f) => val n = next.count(); f(iter, n); n > 0
-        case None => next.limit(1).count() > 0
+        case Some(f) => val n = nextT.count(); f(iter, n); n > 0
+        case None => nextT.limit(1).count() > 0
       }
       if (improved) {
-        dist = dist.withColumnRenamed("d", "dOld")
-          .join(next.withColumnRenamed("d", "dNew"), Seq("id"), "full_outer")
-          .select(col("id"), least(col("dOld"), col("dNew")).as("d"))
-          .localCheckpoint()
-        frontier = next
+        dist = IterCkpt.truncate(dist.withColumnRenamed("d", "dOld")
+          .join(nextT.withColumnRenamed("d", "dNew"), Seq("id"), "full_outer")
+          .select(col("id"), least(col("dOld"), col("dNew")).as("d")), iter)
+        frontier = nextT
       }
     }
     und.unpersist()
@@ -360,13 +359,12 @@ object Graphs {
       und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
         .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
         .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
-    var nodes = und.select(col("a").as("id")).distinct().localCheckpoint()
-    for (_ <- 1 to iters)
-      nodes = inducedDegrees(nodes).filter(col("c") >= k)
-        .select(col("id")).localCheckpoint()
-    val out = inducedDegrees(nodes)
-      .select(col("id"), col("c").cast("long").as("degree"))
-      .localCheckpoint()
+    var nodes = IterCkpt.truncate(und.select(col("a").as("id")).distinct(), 0)
+    for (i <- 1 to iters)
+      nodes = IterCkpt.truncate(inducedDegrees(nodes).filter(col("c") >= k)
+        .select(col("id")), i)
+    val out = IterCkpt.truncate(inducedDegrees(nodes)
+      .select(col("id"), col("c").cast("long").as("degree")), 0)
     und.unpersist()
     out
   }
@@ -386,19 +384,19 @@ object Graphs {
       und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
         .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
         .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
-    var nodes = und.select(col("a").as("id")).distinct().localCheckpoint()
+    var nodes = IterCkpt.truncate(und.select(col("a").as("id")).distinct(), 0)
     def level(i: Int, n: DataFrame): DataFrame =
       n.agg(count(lit(1)).cast("long").as("n_nodes"))
         .select(lit(i.toLong).as("iter"), col("n_nodes"))
     val levels = Seq.newBuilder[DataFrame]
     levels += level(0, nodes)
     for (i <- 1 to iters) {
-      nodes = inducedDegrees(nodes).filter(col("c") >= k)
-        .select(col("id")).localCheckpoint()
+      nodes = IterCkpt.truncate(inducedDegrees(nodes).filter(col("c") >= k)
+        .select(col("id")), i)
       levels += level(i, nodes)
     }
-    val out = levels.result().reduce(_ unionByName _)
-      .orderBy(col("iter")).localCheckpoint()
+    val out = IterCkpt.truncate(levels.result().reduce(_ unionByName _)
+      .orderBy(col("iter")), 0)
     und.unpersist()
     out
   }
@@ -423,21 +421,20 @@ object Graphs {
       und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
         .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
         .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
-    var nodes = und.select(col("a").as("id")).distinct().localCheckpoint()
+    var nodes = IterCkpt.truncate(und.select(col("a").as("id")).distinct(), 0)
     var prev = nodes.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       iter += 1
-      nodes = inducedDegrees(nodes).filter(col("c") >= k)
-        .select(col("id")).localCheckpoint()
+      nodes = IterCkpt.truncate(inducedDegrees(nodes).filter(col("c") >= k)
+        .select(col("id")), iter)
       val cur = nodes.count()
       converged = cur == prev
       prev = cur
     }
-    val out = inducedDegrees(nodes)
-      .select(col("id"), col("c").cast("long").as("degree"))
-      .localCheckpoint()
+    val out = IterCkpt.truncate(inducedDegrees(nodes)
+      .select(col("id"), col("c").cast("long").as("degree")), 0)
     und.unpersist()
     out
   }

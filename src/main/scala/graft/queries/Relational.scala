@@ -596,6 +596,46 @@ object Relational {
         countDistinct(col("l_orderkey")).as("exact_orders"))
     },
 
+    // The SAME cardinality question with the estimate ITSELF
+    // hash-pinned (r19, VERDICT r18 task 5): graft's md5-hash HLL
+    // (`Sketches.hllDistinct` — register routing, length(bin) ranks,
+    // BIGINT shift sums, one IEEE divide) over the same table/column,
+    // so the approx-distinct STRUCTURE is oracle-guaranteed and only
+    // Spark's HLL++ internal bits stay rows-only above.
+    Q("agg_approx_distinct_pinned", {
+      import graft.queries.Sketches.{HllM, HllRhoMax}
+      s"""WITH h AS (
+         |  SELECT CAST(concat('0x', substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT h % $HllM AS j,
+         |         CASE WHEN h // $HllM = 0 THEN $HllRhoMax
+         |              ELSE $HllRhoMax - length(bin(h // $HllM)) END AS rho
+         |  FROM h),
+         |regs AS (SELECT j, MAX(rho) AS m_j FROM r GROUP BY j),
+         |filled AS (
+         |  SELECT t.range AS j, COALESCE(regs.m_j, 0) AS m_j
+         |  FROM range($HllM) t LEFT JOIN regs ON regs.j = t.range),
+         |s AS (
+         |  SELECT CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - m_j)) AS BIGINT) AS s_scaled,
+         |         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+         |  FROM filled)
+         |SELECT ROUND(((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($HllM AS DOUBLE)))
+         |               * CAST(${HllM * HllM} AS DOUBLE) * CAST(${1L << HllRhoMax} AS DOUBLE))
+         |             / CAST(s.s_scaled AS DOUBLE), 6) + 0 AS approx_orders_est,
+         |       s.n_zero_regs,
+         |       (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+         |         AS exact_orders
+         |FROM s""".stripMargin
+    }) { (s, dir) =>
+      graft.queries.Sketches
+        .hllDistinct(
+          Tables.lineitem(s, dir).withColumn("g", lit("li")), "g", "l_orderkey")
+        .filter(col("grp") === "li")
+        .select(col("hll_est").as("approx_orders_est"), col("n_zero_regs"),
+          col("n_exact").as("exact_orders"))
+    },
+
     // O1/O2/O5: deterministic top-k (total order with unique tiebreak).
     Q("orderby_limit_topk",
       """SELECT o_orderkey, o_totalprice

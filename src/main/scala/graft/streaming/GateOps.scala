@@ -146,6 +146,45 @@ object GateOps {
     }, q)
   }
 
+  /** [[bootGate]] for the LAST uncovered crash combination (r19,
+    * VERDICT r18 task 1): crash INSIDE a compaction/refit swap plus
+    * catalog loss. In that state a bucketed serving table's data can
+    * be at either of two locations — the committed predecessor or the
+    * swap's candidate target — and a fresh catalog knows neither, so
+    * the single-path [[bootGate]] form can't tell which to re-attach.
+    * Here the caller passes EVERY location the table may live at
+    * (typically the last build/compaction target plus the in-flight
+    * one) and [[graft.llm.Dedup.resolveCommittedCandidate]] arbitrates
+    * by the sidecar commit-epoch protocol: the newest COMMITTED
+    * candidate is attached, mid-swap (committed=false) and superseded
+    * candidates are DELETED — recovery is fully automatic for every
+    * crash × catalog-loss combination, with the pinned IVF family
+    * resolved the same way from its root listing (`ivfPaths`, via
+    * [[graft.llm.Similarity.pinnedAssignedDir]]).
+    *
+    * Tables the catalog still knows (or whose `_compacting` sibling it
+    * knows) skip filesystem arbitration entirely: their swap states
+    * are catalog states that [[graft.llm.Dedup.recoverCompact]]
+    * completes, and deleting a directory the catalog references would
+    * break that recovery. A table with NO sidecar-bearing candidate
+    * fails loudly — nothing provably safe exists to serve. */
+  def bootGateFromCandidates(
+      spark: SparkSession, tableCandidates: Map[String, Seq[String]],
+      ivfPaths: Seq[String])(
+      start: () => StreamingQuery): (Map[String, String], StreamingQuery) = {
+    val resolved = tableCandidates.map { case (t, paths) =>
+      val known =
+        spark.catalog.tableExists(t) || spark.catalog.tableExists(s"${t}_compacting")
+      if (known) t -> paths.headOption.getOrElse("")
+      else t -> Dedup.resolveCommittedCandidate(spark, paths).getOrElse(
+        throw new IllegalStateException(
+          s"no sidecar-bearing candidate for $t among ${paths.mkString(", ")} — " +
+            "nothing to re-attach (re-run the build, or backfillSpecSidecar on " +
+            "a catalog that still knows the table)"))
+    }
+    bootGate(spark, resolved, ivfPaths)(start)
+  }
+
   /** The WHEN-TO-COMPACT rule as code (r17; the refit-cadence
     * discipline applied to the file-count axis): a bucketed serving
     * table accumulates one file set per [[Dedup.bucketedAppend]], and

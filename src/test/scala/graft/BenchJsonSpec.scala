@@ -204,6 +204,34 @@ class BenchJsonSpec extends AnyFunSuite {
       val real15 = new java.io.File("/root/repo/BENCH_r15.json")
       if (real15.isFile) assert(!Bench.isHostDrift(real15),
         "BENCH_r15.json (clean round) must not read contaminated")
+
+      // schedule-era rule (r19, VERDICT r18 task 2): once a pass-major
+      // artifact ("pw" present) exists, only pass-major candidates are
+      // eligible — an hd-stamped pass-major round still outranks a
+      // clean consecutive-rep one (anchors correct host speed; nothing
+      // corrects a schedule level shift)
+      val r6pw = write("BENCH_r06.json",
+        """{"parsed":{"queries":{"q":1.0},"anchors":{"cpu":2.0},"hd":1,"pw":[0.0,1.0],"drift":{"base":"r05","ar":2.1}}}""")
+      assert(Bench.isPassMajor(r6pw), "pw must mark the pass-major era")
+      assert(!Bench.isPassMajor(r5), "no pw → pre-pass-major")
+      assert(Bench.pickCleanBaseline(Seq(r1, r5, r6pw)).map(_.getName)
+        === Some("BENCH_r06.json"),
+        "a stamped pass-major round must outrank every pre-era candidate")
+      // ...and a CLEAN pass-major round outranks the stamped one
+      val r7pw = write("BENCH_r07.json",
+        """{"parsed":{"queries":{"q":1.0},"anchors":{"cpu":1.0},"pw":[0.0,1.0],"drift":{"base":"r06","ar":0.5}}}""")
+      assert(Bench.pickCleanBaseline(Seq(r1, r5, r6pw, r7pw)).map(_.getName)
+        === Some("BENCH_r07.json"))
+      // the REAL artifacts: r18 is the first pass-major round and must
+      // be the pick over clean-but-consecutive-rep r15
+      val real18 = new java.io.File("/root/repo/BENCH_r18.json")
+      if (real18.isFile) {
+        assert(Bench.isPassMajor(real18), "BENCH_r18.json lost its pw field")
+        if (real15.isFile)
+          assert(Bench.pickCleanBaseline(Seq(real15, real18)).map(_.getName)
+            === Some("BENCH_r18.json"),
+            "r19+ must baseline against the pass-major chain, not r15")
+      }
     } finally {
       Option(dir.listFiles()).toSeq.flatten.foreach(_.delete()); dir.delete()
     }

@@ -523,6 +523,26 @@ class CurationSpec extends SparkSpec {
       s"realized FPR ${nFp.toDouble / negs} exceeds 3x configured fpp")
   }
 
+  test("bloomFprPinned: the relational bloom twin is non-vacuous and keeps the bloom guarantees (r19)") {
+    // the oracle hash-pins the exact numbers; this pins the audit's
+    // DESIGN — real false positives occur (the FPR measurement means
+    // something) and the no-false-negative law holds structurally
+    val row = graft.llm.Curation.bloomFprPinned(
+      Tables.documents(spark, sf("sf0.001")), col("doc_id") % 7 === 0)
+      .head()
+    assert(row.getAs[Long]("n_probes") > 0, "audit vacuous: no probes")
+    assert(row.getAs[Long]("n_missed") === 0L,
+      "a present gram's positions are all set by construction — miss impossible")
+    assert(row.getAs[Long]("n_false_pos") > 0L,
+      "fixture must realize false positives (numBits = 10E, k = 3 ⇒ ~1.7% FPR)")
+    assert(row.getAs[Long]("n_true") > 0L,
+      "shared grams between eval and train docs must exist (hit-side non-vacuity)")
+    // k = 3 at m/E = 10 ⇒ expected FPR ≈ 1.74%; allow wide slack
+    val negs = math.max(row.getAs[Long]("n_probes") - row.getAs[Long]("n_true"), 1L)
+    val fpr = row.getAs[Long]("n_false_pos").toDouble / negs
+    assert(fpr <= 0.06, s"realized FPR $fpr far above the k=3, m=10E design point")
+  }
+
   test("incremental refresh: every planted slice lands in its verdict class") {
     // The capstone cascade (oracle pins exact values; this pins the
     // fixture DESIGN — each +offset slice was planted to exercise one

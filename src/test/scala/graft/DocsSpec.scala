@@ -55,8 +55,11 @@ class DocsSpec extends AnyFunSuite {
     // is paired or documented, so the code and the round ADVICE's
     // nondeterminism inventory cannot drift apart.
     val documentedSeeded: Map[String, String] = Map(
-      "agg_approx_distinct" -> "Spark-internal HLL++ sketch bits; bounded against the exact count AND the oracle-pinned native register HLL (SketchesSpec 2σ-envelope test)",
-      "decontam_bloom_fpr" -> "engine-private bloom filter bits; exact decontamination queries are oracle-checked",
+      // agg_approx_distinct and decontam_bloom_fpr left this list in
+      // r19: each now pairs through an oracle-green `_pinned` sibling
+      // (the graft-HLL estimate on the same table/column; the
+      // relational bloom FPR audit) — only the engines' private sketch
+      // BITS stay rows-only, per the sibling rule below.
       // embed_ivf_topk and embed_pq_topk pair through their
       // oracle-green siblings embed_ivf_topk_pinned / embed_pq_topk_pinned
       // (r15): the full serving paths — cell assignment + nProbe prune

@@ -547,6 +547,21 @@ class FunctionsSpec extends SparkSpec {
       Seq((1L, "aaa")).toDF("doc_id", "text"), Seq(("a", "a")))
       .select("n_pieces").as[Long].head()
     assert(aa === 2L, s"'aaa' under (a,a) must be [aa, a], got $aa pieces")
+    // degenerate whitespace (ADVICE r18): empty split words contribute
+    // ZERO pieces (split("", "") yields [""] and used to count 1),
+    // while n_tokens keeps counting the raw split — and an
+    // only-empty-tokens doc reports (n_tokens, 0, 0.0), matching the
+    // oracle's length>0 token set + LEFT JOIN/COALESCE form
+    val ws = TextAnalysis.bpeStats(
+      Seq((1L, " low  low "), (2L, "   ")).toDF("doc_id", "text"),
+      Seq(("l", "o")))
+      .orderBy("doc_id")
+      .select("n_tokens", "n_pieces", "pieces_per_token")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 1: split → ["", "low", "", "low", ""] = 5 tokens, the two
+    // real words encode as [lo, w] = 2 pieces each; doc 2: 4 empty
+    // tokens, 0 pieces
+    assert(ws === Seq((5L, 4L, 0.8), (4L, 0L, 0.0)), s"got $ws")
   }
 
   test("bottom_k aggregate equals the declarative window bottom-k, dedups, handles nulls and below-k") {

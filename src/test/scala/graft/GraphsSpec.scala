@@ -39,6 +39,59 @@ class GraphsSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("IterCkpt: reliable-checkpoint mode produces identical results with a truncated, recoverable plan (r19)") {
+    // VERDICT r18 task 4: executor loss during a long localCheckpoint
+    // loop fails the job (unreliable blocks + severed lineage); with
+    // graft.iter.checkpointDir set the iterative tier writes a
+    // RELIABLE checkpoint every k-th round and persists in between —
+    // recomputable from the last checkpoint, plan bounded at k rounds.
+    val ckptDir = tempDir("graft_iter_ckpt")
+    val chain = edges((1L to 12L).sliding(2).map(p => p(0) -> p(1)).toSeq: _*)
+    val lpaFix = graft.llm.Dedup.lpaFixture(
+      Seq(1L, 2L).toDF("doc_id").select(col("doc_id")))
+    // reference results under the default (localCheckpoint) policy
+    val bfsLocal = run(chain, seeds(1L))
+    val kcoreLocal = Graphs.kCoreConverged(chain, k = 1, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    val lpaLocal = graft.llm.Dedup.labelPropagation(lpaFix._1, lpaFix._2, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val ccLocal = graft.llm.Dedup.connectedComponentsStar(
+      chain.select(col("a").as("id")).unionByName(chain.select(col("b").as("id")))
+        .distinct(), chain)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set(graft.IterCkpt.ConfKey, ckptDir)
+    try {
+      val lpaReliable = graft.llm.Dedup.labelPropagation(lpaFix._1, lpaFix._2, iters = 5)
+      // the 5th round hits the every-5 cadence: the returned frame IS
+      // a reliable checkpoint scan — its plan is one leaf, not 5
+      // unrolled join+agg rounds, and its RDD chain names the
+      // ReliableCheckpointRDD (the recoverable artifact)
+      assert(lpaReliable.queryExecution.optimizedPlan.collectLeaves().size === 1,
+        s"plan must be truncated to the checkpoint scan:\n" +
+          lpaReliable.queryExecution.optimizedPlan)
+      assert(lpaReliable.rdd.toDebugString.contains("ReliableCheckpointRDD"),
+        "the final frame must be backed by a RELIABLE checkpoint")
+      assert(lpaReliable.as[(Long, Long)].collect().toMap === lpaLocal,
+        "label propagation must answer identically under reliable checkpointing")
+      assert(run(chain, seeds(1L)) === bfsLocal,
+        "BFS must answer identically under reliable checkpointing")
+      assert(Graphs.kCoreConverged(chain, k = 1, maxIter = 10)
+        .as[(Long, Long)].collect().toMap === kcoreLocal,
+        "k-core must answer identically under reliable checkpointing")
+      assert(graft.llm.Dedup.connectedComponentsStar(
+        chain.select(col("a").as("id")).unionByName(chain.select(col("b").as("id")))
+          .distinct(), chain)
+        .as[(Long, Long)].collect().toMap === ccLocal,
+        "CC-star must answer identically under reliable checkpointing")
+      // the checkpoint dir actually holds the reliable copies
+      def rddFiles(d: java.io.File): Int =
+        Option(d.listFiles()).toSeq.flatten
+          .map(f => if (f.isDirectory) rddFiles(f) else 1).sum
+      assert(rddFiles(new java.io.File(ckptDir)) > 0,
+        "reliable mode must write checkpoint files")
+    } finally spark.conf.unset(graft.IterCkpt.ConfKey)
+  }
+
   private def runSssp(e: org.apache.spark.sql.DataFrame,
       s: org.apache.spark.sql.DataFrame,
       w: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,

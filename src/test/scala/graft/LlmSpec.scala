@@ -1359,6 +1359,137 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("sidecar swap-commit protocol: strict reads, epoch resolution, backfill, and the committed recovery state (r19)") {
+    // VERDICT r18 tasks 1 + 3 and ADVICE r18, unit level. The sidecar
+    // now carries (epoch, committed); this pins each protocol rule in
+    // isolation — the full crash-inside-swap × catalog-loss boot is
+    // StreamingSpec's bootGateFromCandidates test.
+
+    // ADVICE r18 (medium): a read/parse failure must THROW, never read
+    // as "no sidecar" — only genuine absence returns None
+    val junk = tempDir("graft_sidecar_junk")
+    assert(Dedup.readSpecSidecarFull(spark, junk).isEmpty,
+      "a dir without the sidecar file reads as absent")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(junk, Dedup.SpecSidecar), "not json {{".getBytes("UTF-8"))
+    intercept[IllegalStateException](Dedup.readSpecSidecarFull(spark, junk))
+
+    // pre-r19 sidecars (no epoch/committed fields) read as the old
+    // semantics: epoch 0, committed
+    val legacy = tempDir("graft_sidecar_legacy")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacy, Dedup.SpecSidecar),
+      """{"numBuckets":4,"bucketCols":["h"],"sortCols":[]}""".getBytes("UTF-8"))
+    val li = Dedup.readSpecSidecarFull(spark, legacy).get
+    assert(li.numBuckets === 4 && li.epoch === 0L && li.committed,
+      s"legacy sidecar must read (epoch 0, committed): $li")
+
+    // resolveCommittedCandidate: the full decision matrix
+    val root = tempDir("graft_resolve")
+    def mk(name: String, epoch: Long, committed: Boolean): String = {
+      val d = s"$root/$name"
+      new java.io.File(d).mkdirs()
+      Dedup.writeSpecSidecar(spark, d, 8, Seq("h"), Seq("h"), epoch, committed)
+      d
+    }
+    assert(Dedup.resolveCommittedCandidate(spark, Seq(s"$root/none")).isEmpty,
+      "no sidecar-bearing candidate resolves to None")
+    // a mid-swap candidate ROLLS BACK to the committed predecessor and
+    // is deleted — the crash-before-rename state, healed automatically
+    val a0 = mk("a0", 0L, committed = true)
+    val b1u = mk("b1u", 1L, committed = false)
+    assert(Dedup.resolveCommittedCandidate(spark, Seq(a0, b1u)) === Some(a0))
+    assert(!new java.io.File(b1u).exists(), "mid-swap loser must be deleted")
+    // two committed candidates: the newest epoch wins, the superseded
+    // one is deleted — the crash-after-flip-before-cleanup state
+    val b1 = mk("b1", 1L, committed = true)
+    assert(Dedup.resolveCommittedCandidate(spark, Seq(a0, b1)) === Some(b1))
+    assert(!new java.io.File(a0).exists(), "superseded loser must be deleted")
+    // epoch tie among committed candidates: genuinely ambiguous — loud
+    val c1 = mk("c1", 1L, committed = true)
+    intercept[IllegalStateException](
+      Dedup.resolveCommittedCandidate(spark, Seq(b1, c1)))
+    // every candidate mid-swap: unreachable under the protocol — loud
+    val d2u = mk("d2u", 2L, committed = false)
+    intercept[IllegalStateException](
+      Dedup.resolveCommittedCandidate(spark, Seq(d2u)))
+
+    // backfill (VERDICT r18 task 4 seam): an r17-shaped index (no
+    // sidecar) re-attaches after one backfillSpecSidecar call — no
+    // rebuild, no compact
+    val corpus = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val delta = Dedup.incrementalExactDelta(corpus)
+    val bpath = tempDir("graft_backfill")
+    try {
+      Dedup.buildHashIndex(corpus, spark, "bf_idx", s"$bpath/idx")
+      val expected = Dedup.probeHashIndex(delta, spark, "bf_idx")
+        .orderBy("doc_id").collect().toSeq
+      assert(new java.io.File(s"$bpath/idx/${Dedup.SpecSidecar}").delete(),
+        "fixture: strip the sidecar to reconstruct the r17 layout")
+      assert(Dedup.backfillSpecSidecar(spark, "bf_idx"),
+        "backfill must write the missing sidecar from the catalog's spec")
+      assert(!Dedup.backfillSpecSidecar(spark, "bf_idx"),
+        "backfill must be idempotent (sidecar already present)")
+      val bi = Dedup.readSpecSidecarFull(spark, s"$bpath/idx").get
+      assert(bi.numBuckets === 8 && bi.bucketCols === Seq("h") && bi.committed,
+        s"backfilled sidecar must carry the catalog's spec, committed: $bi")
+      spark.sql("DROP TABLE bf_idx") // catalog loss; files stay
+      assert(Dedup.reattachBucketedTable(spark, "bf_idx", s"$bpath/idx"),
+        "backfilled index must re-attach from the path alone")
+      assert(Dedup.probeHashIndex(delta, spark, "bf_idx")
+        .orderBy("doc_id").collect().toSeq === expected,
+        "probe must answer identically through the backfilled re-attach")
+      // ...and with NEITHER catalog nor sidecar there is no safe spec:
+      // backfill on an unknown table throws rather than guessing
+      intercept[Exception](Dedup.backfillSpecSidecar(spark, "bf_idx_ghost"))
+
+      // recoverCompact's new "committed" state: crash BETWEEN the
+      // rename and the sidecar flip — recovery completes the flip
+      Dedup.compactWrite(spark, "bf_idx", s"$bpath/v2")
+      spark.sql("DROP TABLE bf_idx")
+      spark.sql("ALTER TABLE bf_idx_compacting RENAME TO bf_idx")
+      val pre = Dedup.readSpecSidecarFull(spark, s"$bpath/v2").get
+      assert(!pre.committed && pre.epoch === 1L,
+        s"candidate sidecar must be mid-swap at predecessor epoch + 1: $pre")
+      assert(Dedup.recoverCompact(spark, "bf_idx") === "committed",
+        "recovery must finish the sidecar flip the crash skipped")
+      assert(Dedup.readSpecSidecarFull(spark, s"$bpath/v2").get.committed)
+      assert(Dedup.recoverCompact(spark, "bf_idx") === "noop",
+        "a second recovery is the plain clean-state no-op")
+      assert(Dedup.probeHashIndex(delta, spark, "bf_idx")
+        .orderBy("doc_id").collect().toSeq === expected)
+
+      // re-attach refuses a mid-swap sidecar (route through the
+      // resolver instead), and resolution then heals the state
+      Dedup.compactWrite(spark, "bf_idx", s"$bpath/v3")
+      spark.sql("DROP TABLE bf_idx")
+      spark.sql("DROP TABLE bf_idx_compacting") // catalog loss mid-swap
+      val exMid = intercept[IllegalStateException](
+        Dedup.reattachBucketedTable(spark, "bf_idx", s"$bpath/v3"))
+      assert(exMid.getMessage.contains("mid-swap"), exMid.getMessage)
+      assert(Dedup.resolveCommittedCandidate(spark, Seq(s"$bpath/v2", s"$bpath/v3"))
+        === Some(s"$bpath/v2"),
+        "the committed predecessor must win over the mid-swap candidate")
+      assert(!new java.io.File(s"$bpath/v3").exists(),
+        "the mid-swap loser must be deleted")
+      assert(Dedup.reattachBucketedTable(spark, "bf_idx", s"$bpath/v2"))
+      assert(Dedup.probeHashIndex(delta, spark, "bf_idx")
+        .orderBy("doc_id").collect().toSeq === expected,
+        "probe must answer identically after the resolved re-attach")
+
+      // ADVICE r18: a sidecar-bearing dir with no readable data files
+      // produces the actionable diagnostic, not a bare inference stack
+      val ed = tempDir("graft_empty_reattach")
+      Dedup.writeSpecSidecar(spark, ed, 8, Seq("h"), Seq("h"))
+      val exEmpty = intercept[IllegalStateException](
+        Dedup.reattachBucketedTable(spark, "bf_idx_empty", ed))
+      assert(exEmpty.getMessage.contains("unreadable or empty"), exEmpty.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bf_idx")
+      spark.sql("DROP TABLE IF EXISTS bf_idx_compacting")
+    }
+  }
+
   test("append maintenance shuffles only the delta: plan pins per tier") {
     // VERDICT r14 task 1 (a): the append derivations must never
     // re-shuffle the corpus — every tier re-buckets ONLY the delta:

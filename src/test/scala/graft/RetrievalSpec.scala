@@ -66,6 +66,15 @@ class RetrievalSpec extends SparkSpec {
     // shrinking candidate set with a growing diversity penalty)
     val scores = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("mmr_score"))
     assert(scores.zip(scores.tail).forall { case (x, y) => y <= x + 1e-9 })
+    // the driver budget is a HARD gate (r19, VERDICT r18 task 6): the
+    // greedy collects nCand rows + nCand² pair sims, so a corpus-sized
+    // nCand must refuse before any collect runs
+    val cap = intercept[IllegalArgumentException](
+      Retrieval.mmrRerank(spark, emb, probeId = 99L,
+        nCand = Retrieval.MmrMaxCand + 1, k = 4))
+    assert(cap.getMessage.contains("SERVING-side"), cap.getMessage)
+    intercept[IllegalArgumentException](
+      Retrieval.mmrRerank(spark, emb, probeId = 99L, nCand = 0, k = 4))
   }
 
   test("temperature mix: flatter than proportional, quotas exact, selection stable") {

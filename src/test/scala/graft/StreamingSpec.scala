@@ -1280,6 +1280,121 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("GateOps.bootGateFromCandidates: crash INSIDE a swap plus catalog loss heals every family automatically (r19)") {
+    // VERDICT r18 task 1's done condition: kill a swap mid-flight,
+    // drop the catalog, boot fresh, and probe every index family
+    // identically — with the superseded/mid-swap candidate dirs
+    // provably removed. Three distinct crash phases are constructed:
+    //  - hash: killed MID-swap (candidate committed to disk, catalog
+    //    swap unfinished) → the boot ROLLS BACK to the committed
+    //    predecessor and deletes the mid-swap candidate;
+    //  - gram: killed AFTER the sidecar flip but BEFORE the
+    //    predecessor cleanup → the boot ROLLS FORWARD to the newer
+    //    committed epoch and deletes the superseded predecessor;
+    //  - pinned IVF: a refit killed mid-swap → rolls back to the
+    //    build's `assigned` dir, refit candidate deleted;
+    //  - band pair: clean files, catalog loss only (the r18 path).
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val delta = llm.Dedup.incrementalNearDelta(corpus)
+    val path = tempDir("graft_boot_crash")
+    val hashTbl = "bootcrash_hash"
+    val bandTbl = "bootcrash_band"
+    val gramTbl = "bootcrash_gram"
+    llm.Dedup.buildHashIndex(corpus, spark, hashTbl, s"$path/hash_v1")
+    llm.Dedup.buildBandIndex(corpus, spark, bandTbl, s"$path/band")
+    llm.Dedup.buildGramIndex(corpus, spark, gramTbl, s"$path/gram_v1")
+    val embCorpus = (0L until 24L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 8).toInt) 1.0 else 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    llm.Similarity.buildIvfIndexPinned(embCorpus, s"$path/ivf", nCells = 8)
+    val pinnedTbl = llm.Similarity.ivfPinnedTable(s"$path/ivf")
+    def probes(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      llm.Dedup.probeHashIndex(delta, spark, hashTbl).orderBy("doc_id").collect().toSeq,
+      llm.Dedup.probeBandIndex(delta, spark, bandTbl).orderBy("doc_id").collect().toSeq,
+      llm.Dedup.probeGramIndex(delta, spark, gramTbl).orderBy("doc_id").collect().toSeq,
+      llm.Similarity.ivfSearchPinned(spark, s"$path/ivf", probeId = 3L, k = 4)
+        .collect().toSeq)
+    def tableLoc(t: String): String = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .location.toString
+    try {
+      val before = probes()
+      assert(before.forall(_.nonEmpty), "fixture must produce probe hits")
+      // hash — killed mid-swap, then catalog loss: on disk v1 is the
+      // committed epoch 0, v2 the mid-swap epoch 1
+      llm.Dedup.compactWrite(spark, hashTbl, s"$path/hash_v2")
+      spark.sql(s"DROP TABLE $hashTbl")
+      spark.sql(s"DROP TABLE ${hashTbl}_compacting")
+      // gram — swap fully flipped, predecessor cleanup never ran, then
+      // catalog loss: v1 committed epoch 0, v2 committed epoch 1
+      llm.Dedup.compactWrite(spark, gramTbl, s"$path/gram_v2")
+      spark.sql(s"DROP TABLE $gramTbl")
+      spark.sql(s"ALTER TABLE ${gramTbl}_compacting RENAME TO $gramTbl")
+      llm.Dedup.commitSpecSidecar(spark, s"$path/gram_v2")
+      spark.sql(s"DROP TABLE $gramTbl")
+      // pinned IVF — refit killed mid-swap (candidate on disk,
+      // uncommitted), then catalog loss
+      llm.Dedup.compactWrite(spark, pinnedTbl, s"$path/ivf/assigned_refit_crash")
+      spark.sql(s"DROP TABLE $pinnedTbl")
+      spark.sql(s"DROP TABLE ${pinnedTbl}_compacting")
+      // band pair — catalog loss only
+      spark.sql(s"DROP TABLE ${bandTbl}_bands")
+      spark.sql(s"DROP TABLE ${bandTbl}_toks")
+      val mem = MemoryStream[(Long, String)]
+      val (actions, q) = streaming.GateOps.bootGateFromCandidates(
+        spark,
+        Map(hashTbl -> Seq(s"$path/hash_v1", s"$path/hash_v2"),
+          s"${bandTbl}_bands" -> Seq(s"$path/band/bands"),
+          s"${bandTbl}_toks" -> Seq(s"$path/band/toks"),
+          gramTbl -> Seq(s"$path/gram_v1", s"$path/gram_v2")),
+        Seq(s"$path/ivf")) {
+        () => llm.Dedup.tokenBanded(mem.toDF().toDF("doc_id", "text"))
+          .join(spark.table(s"${bandTbl}_bands"), Seq("band_idx", "band_hash"))
+          .select(col("doc_id").as("delta_id"), col("corpus_id"))
+          .writeStream.format("memory")
+          .queryName("bootcrash_run").outputMode("append").start()
+      }
+      try {
+        for ((t, want) <- Seq(hashTbl -> "hash_v1", gramTbl -> "gram_v2")) {
+          assert(actions(t) === "attached+noop", s"$t: $actions")
+          assert(tableLoc(t).endsWith(want),
+            s"$t must serve the resolved committed candidate, got ${tableLoc(t)}")
+        }
+        // mid-swap candidate rolled BACK and deleted
+        assert(!new java.io.File(s"$path/hash_v2").exists(),
+          "the hash mid-swap candidate must be deleted")
+        // superseded predecessor rolled FORWARD over and deleted
+        assert(!new java.io.File(s"$path/gram_v1").exists(),
+          "the gram superseded predecessor must be deleted")
+        // refit candidate rolled back and deleted; the build serves
+        assert(actions(s"$path/ivf") === "attached+noop", s"$actions")
+        assert(!new java.io.File(s"$path/ivf/assigned_refit_crash").exists(),
+          "the pinned mid-swap refit dir must be deleted")
+        assert(tableLoc(pinnedTbl).endsWith("assigned"),
+          s"pinned must roll back to the build dir, got ${tableLoc(pinnedTbl)}")
+        assert(actions(s"${bandTbl}_bands") === "attached+noop", s"$actions")
+        // every family answers exactly as before the crash
+        assert(probes() === before,
+          "probe answers must survive crash-inside-swap × catalog loss")
+      } finally q.stop()
+      // a table with NO sidecar-bearing candidate refuses the boot —
+      // nothing provably safe exists to serve
+      intercept[IllegalStateException] {
+        streaming.GateOps.bootGateFromCandidates(
+          spark, Map("bootcrash_ghost" -> Seq(s"$path/nothing")), Nil) {
+          () => fail("start must not run when resolution refuses"): org.apache.spark.sql.streaming.StreamingQuery
+        }
+      }
+    } finally {
+      for (t <- Seq(hashTbl, s"${hashTbl}_compacting", s"${bandTbl}_bands",
+          s"${bandTbl}_toks", gramTbl, s"${gramTbl}_compacting",
+          pinnedTbl, s"${pinnedTbl}_compacting"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: the unbounded-source dedup form keeps state only inside the watermark (r17)") {
     // The sink-dedup measurement (SinkVolumeProbe / VERDICT r16 task 3)
     // chose stateful in-stream dedup for the refresh gate, with

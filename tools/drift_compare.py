@@ -135,14 +135,33 @@ def pass_report(name, pw, passes):
     def pass_idx(label):
         return int(label[1:]) if label[1:].isdigit() else None
 
+    # Classify passes by LABEL STRUCTURE, not by the exact set of
+    # queries that produced a draw in the pass (ADVICE r18): a single
+    # errored rep used to split its pass into a singleton membership
+    # class that the len(ws) < 3 guard then skipped — disabling
+    # slow-pass detection precisely for troubled passes. The base
+    # passes are q1..qReps (every query draws in them), the
+    # FastCutoff-doubling passes are qReps+1.. (fast subset only),
+    # forced passes are f*. reps is recovered from the draw matrix as
+    # the smallest per-query max pass index — the slow (non-fast)
+    # queries draw exactly in passes 1..reps.
+    reps = None
+    if times is not None:
+        maxes = [max(dp for dp, _ in draws)
+                 for q, draws in times.items()
+                 if not q.startswith("f:") and draws]
+        if maxes:
+            reps = min(maxes)
+
     def membership(label):
         p = pass_idx(label)
-        if times is None or p is None:
-            return label[0]  # pw-only path: all windows are base passes
-        forced = label[0] == "f"
-        return frozenset(q for q, draws in times.items()
-                         if q.startswith("f:") == forced
-                         and any(dp == p for dp, _ in draws))
+        if p is None:
+            return label
+        if label[0] == "f":
+            return "forced"
+        if times is None or reps is None:
+            return "base"  # pw-only path: all windows are base passes
+        return "base" if p <= reps else "fast"
 
     groups = {}
     for label, d in durations:
