@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness (r19, VERDICT r18 task 7): measures the LPA round's
+  * plan shape and wall time under the fused `label_mode` aggregation +
+  * src-pre-partitioned edge layout, against the sf0.1 declared
+  * fixture at the bench's thread count. Prints per-variant min-of-3
+  * wall times and the single-round executed plan's exchange count.
+  * PLANS.md records the output. (`sbt "runMain graft.LpaLayoutProbe"`) */
+object LpaLayoutProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = Tables.documents(spark, dir)
+    val (nodes, edges) = llm.Dedup.lpaFixture(docs)
+    println(s"PROBE nodes=${nodes.count()} edges=${edges.count()}")
+    // warm the JVM/codegen like the bench's interleaved passes do
+    llm.Dedup.labelPropagation(nodes, edges, iters = 5).count()
+    def time(tag: String)(f: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"PROBE $tag%-10s min=${ts.map(_._1).min}%.3f s rows=${ts.head._2}")
+    }
+    // the r18 shape, replicated inline for the same-JVM A/B: und
+    // localCheckpoint (no layout), two-step count -> max_by argmax
+    def lpaOld(iters: Int): Long = {
+      val und = edges.select(col("a"), col("b"))
+        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      var labels = nodes.select(col("id"), col("id").as("label"))
+      for (_ <- 1 to iters) {
+        val counts = und
+          .join(labels.select(col("id").as("b"), col("label")), "b")
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+        val winners = counts.groupBy(col("a")).agg(
+          max_by(col("label"), struct(col("c"), (-col("label")).as("nl"))).as("label"))
+        labels = nodes.select(col("id"))
+          .join(winners.withColumnRenamed("a", "id"), Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+          .localCheckpoint()
+      }
+      labels.count()
+    }
+    lpaOld(5) // warm the old shape's codegen too
+    time("old")(lpaOld(5))
+    time("fused")(llm.Dedup.labelPropagation(nodes, edges, iters = 5).count())
+    time("old2")(lpaOld(5))
+    time("fused2")(llm.Dedup.labelPropagation(nodes, edges, iters = 5).count())
+    // single-round executed plan UNDER THE REAL LAYOUT: pre-partitioned
+    // persisted edges, one fused round
+    val undP = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .repartition(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    undP.count()
+    val nodesP = nodes.select(col("id")).repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodesP.count()
+    val labels0 = nodesP.select(col("id"), col("id").as("label")).localCheckpoint()
+    val winners = undP
+      .join(labels0.select(col("id").as("b"), col("label")), "b")
+      .groupBy(col("a"))
+      .agg(graft.functions.label_mode(col("label")).as("label"))
+    val round = nodesP
+      .join(winners.withColumnRenamed("a", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    round.count()
+    val plan = round.queryExecution.executedPlan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+        case _ => p.children.flatMap(walk)
+      }
+      p +: through
+    }
+    val ops = walk(plan)
+    val nEx = ops.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    val nBc = ops.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
+    println(s"PROBE round_plan shuffle_exchanges=$nEx broadcast_exchanges=$nBc")
+    println(plan.toString.linesIterator.filter(l =>
+      l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate")).mkString("\n"))
+    spark.stop()
+  }
+}

@@ -256,6 +256,15 @@ package object functions {
       BottomK(GraftBridge.expression(c), k).toAggregateExpression())
   }
 
+  /** Exact most-frequent-long argmax with the (count DESC, value ASC)
+    * tiebreak in ONE aggregation — the LPA round's count→argmax fusion
+    * (one keyed exchange per round instead of two). */
+  def label_mode(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      LabelMode(GraftBridge.expression(c)).toAggregateExpression())
+  }
+
   private[functions] def quantileArg(e: Expression): Double = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"exact_quantile: second argument must be a numeric literal, got non-foldable expression $e")
@@ -300,6 +309,9 @@ package object functions {
       "bottom_k",
       exprs => BottomK(exprs.head, intArg(exprs(1), "bottom_k: k"))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "label_mode",
+      exprs => LabelMode(exprs.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
       "jaro_winkler",
       exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")

@@ -3274,8 +3274,27 @@ object Dedup {
   def labelPropagation(
       nodes: DataFrame, edges: DataFrame, iters: Int = 5,
       checkpointEvery: Int = 1): DataFrame = {
-    val und = graft.IterCkpt.truncate(undirectedEdges(edges), 0)
-    var labels = nodes.select(col("id"), col("id").as("label"))
+    // r19 (VERDICT r18 task 7, "pre-bucket the edge table by src"):
+    // the undirected edge frame is PRE-PARTITIONED on the aggregation
+    // key `a` once and persisted, so all `iters` rounds reuse one
+    // layout. With a broadcastable labels frame (the common regime up
+    // to ~10⁸ nodes) each round's join streams the persisted edges and
+    // the fused label_mode aggregation reuses hash(a) — a round runs
+    // with ZERO edge-sized exchanges. When labels outgrow broadcast,
+    // the SMJ re-keys the edges by b per round; at that scale flip the
+    // pre-partition key to b (the join side) — one edge exchange per
+    // round either way, the irreducible LPA communication.
+    val und = undirectedEdges(edges).repartition(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    // the node frame is the left side of every round's coalesce join —
+    // pre-partition it on id once and each round's SMJ reuses the
+    // layout on BOTH sides (winners arrive hash(a), alias-propagated
+    // to id): a round runs with zero shuffles in the broadcast regime
+    val nodesP = nodes.select(col("id")).repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodesP.count()
+    var labels = nodesP.select(col("id"), col("id").as("label"))
     // `checkpointEvery` exists because VERDICT r15 task 8 asked
     // whether halving the per-round materialization would halve the
     // toy-scale wall time (19% of the r15 headline, adjudicated as
@@ -3289,10 +3308,12 @@ object Dedup {
     // costs more than one job launch saves. The question is closed in
     // PLANS.md r16; the knob stays for the record.
     for (i <- 1 to iters) {
-      labels = lpaRound(und, nodes, labels)
+      labels = lpaRound(und, nodesP, labels)
       if (i % checkpointEvery == 0 || i == iters)
         labels = graft.IterCkpt.truncate(labels, i)
     }
+    und.unpersist()
+    nodesP.unpersist()
     labels
   }
 
@@ -3307,11 +3328,17 @@ object Dedup {
       nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val und = graft.IterCkpt.truncate(undirectedEdges(edges), 0)
+    // same one-layout discipline as labelPropagation (r19)
+    val und = undirectedEdges(edges).repartition(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    val nodesP = nodes.select(col("id")).repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodesP.count()
     var labels = graft.IterCkpt.truncate(
-      nodes.select(col("id"), col("id").as("label")), 0)
+      nodesP.select(col("id"), col("id").as("label")), 0)
     val rows = (1 to iters).map { k =>
-      val next = graft.IterCkpt.truncate(lpaRound(und, nodes, labels), k)
+      val next = graft.IterCkpt.truncate(lpaRound(und, nodesP, labels), k)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label"))
@@ -3319,6 +3346,8 @@ object Dedup {
       labels = next
       (k.toLong, changed)
     }
+    und.unpersist()
+    nodesP.unpersist()
     rows.toDF("round", "changed").orderBy(col("round"))
   }
 
@@ -3378,14 +3407,24 @@ object Dedup {
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct()
 
-  /** One synchronous LPA round: neighbor-label counts, per-node argmax
-    * winner with the (c desc, label asc) tiebreak, coalesce to self. */
+  /** One synchronous LPA round: per-node most-frequent neighbor label
+    * with the (c desc, label asc) tiebreak, coalesce to self.
+    *
+    * r19 (VERDICT r18 task 7): the former two-step
+    * `groupBy(a, label).count` → `groupBy(a).max_by` is FUSED into the
+    * single [[graft.functions.LabelMode]] aggregation — the per-round
+    * plan drops one keyed exchange (the (a, label) count table no
+    * longer re-shuffles by a; counting happens inside the aggregation
+    * buffer on both partial and final sides). Per round the remaining
+    * communication is exactly the irreducible LPA pair: labels to
+    * their edge destinations (the join), joined rows to their source's
+    * aggregation (the one exchange) — see LabelMode's scaladoc for the
+    * hub-degree buffer bound this trades for. */
   private def lpaRound(und: DataFrame, nodes: DataFrame, labels: DataFrame): DataFrame = {
-    val counts = und
+    val winners = und
       .join(labels.select(col("id").as("b"), col("label")), "b")
-      .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
-    val winners = counts.groupBy(col("a")).agg(
-      max_by(col("label"), struct(col("c"), (-col("label")).as("nl"))).as("label"))
+      .groupBy(col("a"))
+      .agg(graft.functions.label_mode(col("label")).as("label"))
     nodes.select(col("id"))
       .join(winners.withColumnRenamed("a", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))

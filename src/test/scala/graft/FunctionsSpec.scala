@@ -564,6 +564,41 @@ class FunctionsSpec extends SparkSpec {
     assert(ws === Seq((5L, 4L, 0.8), (4L, 0L, 0.0)), s"got $ws")
   }
 
+  test("label_mode aggregate equals the declarative count→argmax two-step, with the (c desc, label asc) tiebreak") {
+    import spark.implicits._
+    // random-ish grouped labels with planted ties, spread over
+    // partitions so partial buffers really merge across the exchange
+    val rows = (0L until 4000L).map { i =>
+      (i % 37, (i * 2654435761L % 7) % 5) // (group, label) with ties
+    }
+    val df = rows.toDF("a", "label").repartition(13)
+    val viaAgg = df.groupBy(col("a"))
+      .agg(graft.functions.label_mode(col("label")).as("label"))
+    val viaTwoStep = df.groupBy(col("a"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("a"))
+      .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl"))).as("label"))
+    assert(viaAgg.exceptAll(viaTwoStep).count() === 0L &&
+      viaTwoStep.exceptAll(viaAgg).count() === 0L,
+      "fused label_mode must equal the two-step count→argmax")
+    // explicit tie: labels 1 and 2 both twice → smallest label wins
+    val tie = Seq((1L, 2L), (1L, 2L), (1L, 1L), (1L, 1L), (1L, 9L))
+      .toDF("a", "label").repartition(3)
+    assert(tie.groupBy(col("a")).agg(graft.functions.label_mode(col("label")))
+      .collect()(0).getLong(1) === 1L, "tie must break to the smallest label")
+    // SQL registration
+    graft.functions.registerAll(spark)
+    tie.createOrReplaceTempView("lm_tie")
+    assert(spark.sql("SELECT label_mode(label) FROM lm_tie GROUP BY a")
+      .collect()(0).getLong(0) === 1L)
+    // serialize/deserialize round-trip (the partial-buffer wire format)
+    val lm = graft.functions.LabelMode(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L))
+    val buf = scala.collection.mutable.LongMap(5L -> 3L, -2L -> 7L, 0L -> 1L)
+    assert(lm.deserialize(lm.serialize(buf)) === buf)
+    assert(lm.eval(scala.collection.mutable.LongMap.empty[Long]) === null)
+  }
+
   test("bottom_k aggregate equals the declarative window bottom-k, dedups, handles nulls and below-k") {
     import spark.implicits._
     // per-group agg vs queries/Sketches.kmvSketch on the same data:
