@@ -177,7 +177,13 @@ class RelationalSpec extends SparkSpec {
       // plans the identical seed grid when it re-derives tier frames)
       "corpus_incremental_refresh",
       // the funnel aggregates the same cascade — same inherited cross
-      "corpus_refresh_funnel")
+      "corpus_refresh_funnel",
+      // r19: the hash-pinned HLL sibling joins its 1-row estimate to
+      // the broadcast 1-row exact count — the single-group instance
+      // of hllDistinct's grp equi-join, which the optimizer folds to
+      // a 1-row×1-row cross (the same 1-row totals class as
+      // text_tfidf_exact / audit_key_skew above)
+      "agg_approx_distinct_pinned")
     for (q <- SparkEntry.all if !excluded.contains(q.name)) {
       val df = q.run(spark, sf("sf0.001"))
       val plan = df.queryExecution.optimizedPlan.toString
