@@ -2993,6 +2993,7 @@ object Dedup {
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("a")) // one-layout rule: every round joins on a (r19)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = graft.IterCkpt.truncate(
       nodes.select(col("id"), col("id").as("label")), 0)
@@ -3161,9 +3162,16 @@ object Dedup {
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val undDeg = und.join(deg, "a")
+    // persist the DEGREE-ANNOTATED edge frame, pre-partitioned on the
+    // join key (r19, the LPA one-layout discipline): the old code
+    // persisted only `und` and left undDeg lazy, so every iteration
+    // re-ran the degree aggregate AND the deg join from the cache —
+    // per-round work that never changes. One layout, built once, all
+    // `iters` rounds stream it.
+    val undDeg = und.join(deg, "a").repartition(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    undDeg.count()
     val ids = nodes.select(col("id"))
     val n = ids.count().toDouble
     var ranks = graft.IterCkpt.truncate(
@@ -3180,7 +3188,7 @@ object Dedup {
             .as("rank"))
       ranks = graft.IterCkpt.truncate(ranks, i)
     }
-    und.unpersist()
+    undDeg.unpersist()
     ranks.select(col("id"), (round(col("rank") * n, 6) + lit(0.0)).as("rank_norm"))
   }
 

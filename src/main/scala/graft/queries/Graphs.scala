@@ -30,9 +30,13 @@ object Graphs {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxIter: Int = 20,
       roundProbe: Option[(Int, Long) => Unit] = None): DataFrame = {
     require(maxIter >= 1, "bfsHops: maxIter must be >= 1")
+    // pre-partitioned on the frontier-join key (r19, the LPA one-layout
+    // discipline): every round's frontier⋈adjacency reuses hash(a), so
+    // in the big-frontier (SMJ) regime only the frontier side shuffles
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count() // materialize once; every round reuses the shuffle-free cache
     var dist = IterCkpt.truncate(seeds.select(col("id"), lit(0L).as("hop")).distinct(), 0)
@@ -85,6 +89,7 @@ object Graphs {
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .withColumn("w", weight(col("a"), col("b")))
+      .repartition(col("a")) // same one-layout rule as bfsHops (r19)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
     var dist = IterCkpt.truncate(seeds.select(col("id"), lit(0L).as("d")).distinct(), 0)
