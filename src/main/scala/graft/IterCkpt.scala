@@ -50,6 +50,12 @@ object IterCkpt {
     * (the default) → localCheckpoint every round. */
   val ConfKey = "graft.iter.checkpointDir"
 
+  // the conf value this object last pushed into
+  // SparkContext.setCheckpointDir — setCheckpointDir mints a fresh
+  // random subdirectory per call, so it must run once per conf VALUE,
+  // not once per round
+  private var pushedDir: Option[String] = None
+
   /** Bound `df`'s lineage at iteration `round` (0 for pre-loop seed
     * frames — those always truncate) under the session's policy. */
   def truncate(df: DataFrame, round: Int, everyK: Int = 1): DataFrame = {
@@ -59,10 +65,30 @@ object IterCkpt {
       case Some(dir) =>
         if (round % everyK == 0) {
           val sc = spark.sparkContext
-          // checkpoint() needs the context-level dir; derive it from
-          // the conf when the operator hasn't set one explicitly
-          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-          df.checkpoint()
+          // the CONF is the operator's explicit durability intent for
+          // these loops, so it takes precedence over whatever context-
+          // level dir happens to be set (review r19: deferring to a
+          // pre-existing sc dir silently sent "reliable" checkpoints
+          // to an unrelated — possibly local, non-durable — location)
+          synchronized {
+            if (!pushedDir.contains(dir)) {
+              sc.setCheckpointDir(dir)
+              pushedDir = Some(dir)
+            }
+          }
+          // persist around the reliable write (review r19): RDD
+          // checkpointing recomputes the lineage when the files are
+          // written after the materializing action — Spark's
+          // documented caveat — so an unpersisted frame pays every
+          // round's join+agg TWICE; the cache makes the second pass a
+          // read. Superseded round files are reclaimed on GC when
+          // spark.cleaner.referenceTracking.cleanCheckpoints=true —
+          // set it on long-running clusters or the checkpoint dir
+          // grows one frame copy per round.
+          val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val out = cached.checkpoint()
+          cached.unpersist()
+          out
         } else df.localCheckpoint()
       case None => df.localCheckpoint()
     }

@@ -76,22 +76,11 @@ object LpaLayoutProbe {
     val round = nodesP
       .join(winners.withColumnRenamed("a", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-    round.count()
-    val plan = round.queryExecution.executedPlan
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val through = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
-        case _ => p.children.flatMap(walk)
-      }
-      p +: through
-    }
-    val ops = walk(plan)
-    val nEx = ops.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
-    val nBc = ops.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
+    // PlanAudit owns the AQE-aware walk (review r19 — the inline copy
+    // here skipped subqueries and duplicated ~20 lines)
+    val (nEx, nBc) = PlanAudit.exchangeCounts(round)
     println(s"PROBE round_plan shuffle_exchanges=$nEx broadcast_exchanges=$nBc")
-    println(plan.toString.linesIterator.filter(l =>
+    println(round.queryExecution.executedPlan.toString.linesIterator.filter(l =>
       l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate")).mkString("\n"))
     spark.stop()
   }

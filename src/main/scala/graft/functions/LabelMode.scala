@@ -86,6 +86,15 @@ case class LabelMode(
     }
 
   override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
+    // crisp failure instead of a negative-size allocate (review r19):
+    // 4 + size*16 wraps Int past ~134M entries. A buffer that large is
+    // a node whose neighbors carry >134M DISTINCT labels — pathological
+    // round-1 skew; the actionable fallback is the spillable two-step
+    // count→argmax this aggregate fuses.
+    require(buf.size <= (Int.MaxValue - 4) / 16,
+      s"label_mode buffer holds ${buf.size} distinct labels — exceeds the " +
+        "serializable bound; use the two-step groupBy(key, label).count + " +
+        "argmax form for this group's skew")
     val bb = ByteBuffer.allocate(4 + buf.size * 16)
     bb.putInt(buf.size)
     buf.foreach { case (k, c) => bb.putLong(k); bb.putLong(c) }

@@ -659,8 +659,26 @@ object Dedup {
       s""""sortCols":${arr(sortCols)},"epoch":$epoch,"committed":$committed}"""
     val p = new org.apache.hadoop.fs.Path(path, SpecSidecar)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    // write-temp-then-rename, never truncate-in-place (review r19): the
+    // commit FLIP rewrites the sidecar of the dir about to be served —
+    // an in-place fs.create(overwrite) would truncate first, so a crash
+    // mid-write leaves a CORRUPT sidecar the strict reader throws on,
+    // turning every automatic recovery path manual. With the rename
+    // protocol the worst crash states are (a) a stray `_…tmp` file
+    // (underscore-prefixed, invisible to scans, overwritten next write)
+    // and (b) a briefly ABSENT sidecar between delete and rename —
+    // which reads as "not a candidate" and rolls back to the committed
+    // predecessor, exactly the safe answer.
+    val tmp = new org.apache.hadoop.fs.Path(
+      path, s"$SpecSidecar.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"could not move $tmp into place as $p — sidecar write failed")
+    }
   }
 
   /** Read a location's bucket-spec sidecar. None ONLY when the file
@@ -765,8 +783,20 @@ object Dedup {
     * serve). */
   private[graft] def resolveCommittedCandidate(
       spark: SparkSession, candidates: Seq[String]): Option[String] = {
-    val specs = candidates.distinct.flatMap(p =>
-      readSpecSidecarFull(spark, p).map(p -> _))
+    // normalize before distinct (review r19): the same dir passed under
+    // two spellings ("…/v2" and "…/v2/", or scheme-qualified plus bare)
+    // would read one sidecar twice and abort as a spurious epoch tie —
+    // dedupe by the QUALIFIED path, keep answering in the caller's own
+    // first spelling
+    val conf = spark.sessionState.newHadoopConf()
+    val byQualified = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (raw <- candidates) {
+      val hp = new org.apache.hadoop.fs.Path(raw)
+      val q = hp.getFileSystem(conf).makeQualified(hp).toString
+      if (!byQualified.contains(q)) byQualified.update(q, raw)
+    }
+    val specs = byQualified.values.toSeq
+      .flatMap(p => readSpecSidecarFull(spark, p).map(p -> _))
     if (specs.isEmpty) None
     else {
       val committed = specs.filter(_._2.committed)

@@ -1409,6 +1409,10 @@ class LlmSpec extends SparkSpec {
     val c1 = mk("c1", 1L, committed = true)
     intercept[IllegalStateException](
       Dedup.resolveCommittedCandidate(spark, Seq(b1, c1)))
+    // ...but the SAME dir under two spellings is one candidate, never a
+    // spurious tie (review r19), answered in the caller's spelling
+    assert(Dedup.resolveCommittedCandidate(spark, Seq(b1, s"$b1/")) === Some(b1))
+    assert(new java.io.File(b1).exists(), "spelling dedup must not delete the winner")
     // every candidate mid-swap: unreachable under the protocol — loud
     val d2u = mk("d2u", 2L, committed = false)
     intercept[IllegalStateException](
@@ -2538,6 +2542,46 @@ class LlmSpec extends SparkSpec {
       Similarity.dropIvfIndexPinned(spark, p1)
       Similarity.dropIvfIndexPinned(spark, p2)
       spark.sql(s"DROP TABLE IF EXISTS ${t1}_compacting")
+    }
+  }
+
+  test("pinned IVF rebuild over a refit-bearing root outranks the stale refit dir (r19)") {
+    // the epoch protocol's rebuild case: a refit leaves the data at an
+    // assigned_refit_* dir (epoch 1); a later full REBUILD writes
+    // <root>/assigned again and must outrank the refit in the epoch
+    // order AND sweep the superseded dir — pre-epoch this state was a
+    // silent stale-pick hazard on the next catalog-loss boot.
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = tempDir("ivf_rebuild")
+    val tbl = Similarity.ivfPinnedTable(path)
+    try {
+      Similarity.buildIvfIndexPinned(emb.filter(col("vec_id") < 200), path)
+      Similarity.refitIvfIndexPinned(spark, path)
+      assert(!new java.io.File(s"$path/assigned").exists(),
+        "fixture: the refit must have moved the data off <root>/assigned")
+      Similarity.buildIvfIndexPinned(emb, path) // rebuild over the full corpus
+      assert(new java.io.File(s"$path/assigned").exists())
+      val leftover = Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("assigned_refit_"))
+      assert(leftover.isEmpty,
+        s"superseded refit dirs must be swept by the rebuild: $leftover")
+      val spec = Dedup.readSpecSidecarFull(spark, s"$path/assigned").get
+      assert(spec.epoch === 2L && spec.committed,
+        s"rebuild must take (max existing epoch + 1), committed: $spec")
+      val before = Similarity.ivfSearchPinned(spark, path, probeId = 0L, k = 10)
+        .collect().toSeq
+      // catalog loss: the fresh-catalog locate must resolve to the
+      // rebuild and serve identically
+      spark.sql(s"DROP TABLE $tbl")
+      val dir = Similarity.pinnedAssignedDir(spark, path)
+      assert(dir.exists(_.endsWith("assigned")), s"resolved $dir")
+      assert(Dedup.reattachBucketedTable(spark, tbl, dir.get))
+      assert(Similarity.ivfSearchPinned(spark, path, probeId = 0L, k = 10)
+        .collect().toSeq === before,
+        "probe must answer identically through the re-attached rebuild")
+    } finally {
+      Similarity.dropIvfIndexPinned(spark, path)
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
     }
   }
 

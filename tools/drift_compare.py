@@ -135,23 +135,25 @@ def pass_report(name, pw, passes):
     def pass_idx(label):
         return int(label[1:]) if label[1:].isdigit() else None
 
-    # Classify passes by LABEL STRUCTURE, not by the exact set of
-    # queries that produced a draw in the pass (ADVICE r18): a single
-    # errored rep used to split its pass into a singleton membership
-    # class that the len(ws) < 3 guard then skipped — disabling
-    # slow-pass detection precisely for troubled passes. The base
-    # passes are q1..qReps (every query draws in them), the
-    # FastCutoff-doubling passes are qReps+1.. (fast subset only),
-    # forced passes are f*. reps is recovered from the draw matrix as
-    # the smallest per-query max pass index — the slow (non-fast)
-    # queries draw exactly in passes 1..reps.
-    reps = None
+    # Classify passes by PER-PASS DRAW COVERAGE, not by the exact set
+    # of queries that produced a draw in the pass (ADVICE r18): a
+    # single errored rep used to split its pass into a singleton
+    # membership class that the len(ws) < 3 guard then skipped —
+    # disabling slow-pass detection precisely for troubled passes.
+    # Base passes draw (nearly) every non-forced query; the
+    # FastCutoff-doubling passes draw only the sub-cutoff subset; a
+    # missing draw barely moves a pass's coverage count, so the class
+    # assignment survives errored reps on either side (a min-max-index
+    # recovery of the rep count would misfile the LAST base pass as
+    # "fast" whenever any slow query's trailing rep errored).
+    coverage = {}
     if times is not None:
-        maxes = [max(dp for dp, _ in draws)
-                 for q, draws in times.items()
-                 if not q.startswith("f:") and draws]
-        if maxes:
-            reps = min(maxes)
+        for q, draws in times.items():
+            if q.startswith("f:"):
+                continue
+            for dp, _ in draws:
+                coverage[dp] = coverage.get(dp, 0) + 1
+    max_cov = max(coverage.values()) if coverage else 0
 
     def membership(label):
         p = pass_idx(label)
@@ -159,9 +161,9 @@ def pass_report(name, pw, passes):
             return label
         if label[0] == "f":
             return "forced"
-        if times is None or reps is None:
+        if times is None or max_cov == 0:
             return "base"  # pw-only path: all windows are base passes
-        return "base" if p <= reps else "fast"
+        return "base" if coverage.get(p, 0) >= 0.6 * max_cov else "fast"
 
     groups = {}
     for label, d in durations:
