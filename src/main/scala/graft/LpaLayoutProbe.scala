@@ -82,6 +82,20 @@ object LpaLayoutProbe {
     println(s"PROBE round_plan shuffle_exchanges=$nEx broadcast_exchanges=$nBc")
     println(round.queryExecution.executedPlan.toString.linesIterator.filter(l =>
       l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate")).mkString("\n"))
+    // disjoint-replica axis (the GraphProbe discipline): k shifted
+    // copies of the fixture graph — LPA's work must scale ~k× per
+    // round with identical round count and an unchanged plan shape
+    val off = 10000000L // clears the fixture's +5·10⁶ node offsets
+    def rep(df: org.apache.spark.sql.DataFrame, cols: Seq[String], k: Int) =
+      df.withColumn("_r", explode(sequence(lit(0), lit(k - 1))))
+        .select(cols.map(c => (col(c) + col("_r") * off).as(c)): _*)
+    for (k <- Seq(1, 10)) {
+      val n = rep(nodes, Seq("id"), k)
+      val e = rep(edges, Seq("a", "b"), k)
+      val t0 = System.nanoTime()
+      val out = llm.Dedup.labelPropagation(n, e, iters = 5).count()
+      println(f"PROBE replica${k}x labels=$out t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
