@@ -47,7 +47,18 @@ import org.apache.spark.sql.DataFrame
 object IterCkpt {
 
   /** Session-conf key naming the reliable checkpoint directory. Unset
-    * (the default) → localCheckpoint every round. */
+    * (the default) → localCheckpoint every round.
+    *
+    * ONE VALUE PER SparkContext (r20, ADVICE r19):
+    * `SparkContext.checkpointDir` is process-global, so the reliable
+    * policy cannot give two concurrent sessions of one JVM different
+    * durable directories — [[truncate]] serializes reliable
+    * checkpoints and re-pins the context dir under the lock, which
+    * keeps every write in the directory its session asked for, at the
+    * cost of switching the global dir back and forth when sessions
+    * disagree. Deployments should set ONE value per SparkContext;
+    * the reliable tier is for long iterative jobs whose checkpoint
+    * writes dwarf the lock hold anyway. */
   val ConfKey = "graft.iter.checkpointDir"
 
   // the conf value this object last pushed into
@@ -56,9 +67,28 @@ object IterCkpt {
   // not once per round
   private var pushedDir: Option[String] = None
 
+  /** Session-conf key for the reliable-checkpoint CADENCE (r20,
+    * VERDICT r19 task 3): every k-th round writes the reliable
+    * checkpoint, the in-between rounds localCheckpoint. Default 1
+    * (every round durable). The loops of the iterative tier read this
+    * through the 2-arg [[truncate]], so the knob reaches BFS / SSSP /
+    * k-core / CC / PageRank / LPA without a signature change. Cost
+    * guidance (measured, PLANS.md r20 cost-curve table): k trades the
+    * checkpoint WRITE k× against an unrecoverable window of k−1
+    * rounds — a loss there fails the job; pick k > 1 only when
+    * re-running the whole job is cheap relative to the write. */
+  val EveryKConfKey = "graft.iter.reliableEveryK"
+
+  /** [[truncate]] with the cadence taken from the session conf
+    * ([[EveryKConfKey]], default 1) — the form the iterative tier's
+    * loops call. */
+  def truncate(df: DataFrame, round: Int): DataFrame =
+    truncate(df, round,
+      df.sparkSession.conf.getOption(EveryKConfKey).map(_.toInt).getOrElse(1))
+
   /** Bound `df`'s lineage at iteration `round` (0 for pre-loop seed
     * frames — those always truncate) under the session's policy. */
-  def truncate(df: DataFrame, round: Int, everyK: Int = 1): DataFrame = {
+  def truncate(df: DataFrame, round: Int, everyK: Int): DataFrame = {
     require(everyK >= 1, s"IterCkpt.truncate: everyK must be >= 1, got $everyK")
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
@@ -70,12 +100,6 @@ object IterCkpt {
           // level dir happens to be set (review r19: deferring to a
           // pre-existing sc dir silently sent "reliable" checkpoints
           // to an unrelated — possibly local, non-durable — location)
-          synchronized {
-            if (!pushedDir.contains(dir)) {
-              sc.setCheckpointDir(dir)
-              pushedDir = Some(dir)
-            }
-          }
           // persist around the reliable write (review r19): RDD
           // checkpointing recomputes the lineage when the files are
           // written after the materializing action — Spark's
@@ -86,7 +110,29 @@ object IterCkpt {
           // set it on long-running clusters or the checkpoint dir
           // grows one frame copy per round.
           val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val out = cached.checkpoint()
+          // the lock spans the CHECKPOINT itself, not just the dir
+          // push (r20, ADVICE r19): SparkContext.checkpointDir is
+          // process-global, so a push-then-checkpoint-outside-the-lock
+          // window let a second session with a DIFFERENT conf value
+          // interleave and send this session's "reliable" write under
+          // the other session's directory. Serializing the write is
+          // the correctness choice; see [[ConfKey]] for the
+          // one-value-per-SparkContext deployment rule. Inside the
+          // lock the context dir is RE-VERIFIED against the session's
+          // intent each time — an operator-set (or other-session-set)
+          // context dir is re-pinned, never silently trusted.
+          val out = synchronized {
+            val current = sc.getCheckpointDir
+            // re-push when the global dir is not one this conf value
+            // minted (setCheckpointDir creates a random subdir of
+            // `dir`, so prefix-match, not equality)
+            if (!pushedDir.contains(dir) ||
+                !current.exists(_.startsWith(dir))) {
+              sc.setCheckpointDir(dir)
+              pushedDir = Some(dir)
+            }
+            cached.checkpoint()
+          }
           cached.unpersist()
           out
         } else df.localCheckpoint()

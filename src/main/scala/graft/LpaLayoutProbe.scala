@@ -82,6 +82,38 @@ object LpaLayoutProbe {
     println(s"PROBE round_plan shuffle_exchanges=$nEx broadcast_exchanges=$nBc")
     println(round.queryExecution.executedPlan.toString.linesIterator.filter(l =>
       l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate")).mkString("\n"))
+    // r20 (VERDICT r19 task 2): the NON-BROADCAST regime census. Force
+    // the SMJ plan (labels never broadcast — the >10⁸-node regime) and
+    // measure one un-checkpointed round under BOTH edge layouts plus
+    // the timed 5-round loop under the edgeLayoutKey knob. Expected
+    // (pinned in LlmSpec): hash(b) layout → 2 shuffles (the edge-sized
+    // label_mode re-key by a — irreducible — plus the node-sized labels
+    // re-key to b, unavoidable because checkpoint truncation reads back
+    // as UnknownPartitioning under AQE); hash(a) layout → 3 (the SMJ
+    // additionally re-keys the EDGES by b every round).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (key <- Seq("a", "b")) {
+      val undK = edges.select(col("a"), col("b"))
+        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .repartition(col(key))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      undK.count()
+      val roundK = llm.Dedup.lpaRound(undK, nodesP, labels0)
+      val (kEx, kBc) = PlanAudit.exchangeCounts(roundK)
+      val (kBytes, kRecs, _) = PlanAudit.shuffleStats(roundK)
+      println(s"PROBE smj_round layout=hash($key) shuffle_exchanges=$kEx " +
+        s"broadcast_exchanges=$kBc shuffled_bytes=$kBytes shuffled_recs=$kRecs")
+      println(roundK.queryExecution.executedPlan.toString.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate") ||
+          l.contains("Scan") || l.contains("Sort")).mkString("\n"))
+      undK.unpersist()
+    }
+    time("smj_a")(llm.Dedup.labelPropagation(nodes, edges, iters = 5).count())
+    time("smj_b")(llm.Dedup.labelPropagation(
+      nodes, edges, iters = 5, edgeLayoutKey = "b").count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+
     // disjoint-replica axis (the GraphProbe discipline): k shifted
     // copies of the fixture graph — LPA's work must scale ~k× per
     // round with identical round count and an unchanged plan shape

@@ -620,6 +620,66 @@ object Dedup {
 
   private[graft] val SpecSidecar = "_graft_spec.json"
 
+  /** Writer-lease marker beside a MID-SWAP candidate's sidecar
+    * (r20, ADVICE r19): [[resolveCommittedCandidate]]'s loser sweep
+    * must not delete the uncommitted candidate of a writer that is
+    * merely SLOW — a paused or partitioned driver mid-refit looks
+    * identical on disk to a crashed one, and sweeping its directory
+    * would leave that writer's catalog rename serving a deleted
+    * location. The fence is a lease: [[writeSpecSidecar]] stamps this
+    * marker whenever it writes an uncommitted sidecar (and the swap
+    * paths re-stamp it immediately before their catalog mutation), the
+    * sweep skips uncommitted losers whose lease is younger than
+    * `graft.index.sweepLeaseTtlMs` (default 15 min), and
+    * [[commitSpecSidecar]] retires the lease once the candidate is
+    * committed. A crashed writer's lease simply ages out, so recovery
+    * stays automatic — just TTL-delayed for the uncommitted-leftover
+    * case. Pre-r20 mid-swap leftovers carry no lease and sweep
+    * immediately, exactly the old behavior. */
+  private[graft] val LeaseSidecar = "_graft_lease"
+  private[graft] val SweepLeaseTtlConf = "graft.index.sweepLeaseTtlMs"
+  private[graft] val SweepLeaseTtlDefaultMs = 15L * 60L * 1000L
+
+  /** Stamp (or re-stamp) the writer lease at a candidate location.
+    * Plain create-overwrite: the lease carries no payload — its
+    * FileStatus modification time is the heartbeat, so a torn write
+    * still reads as a fresh lease (the conservative direction: keep,
+    * don't sweep). */
+  private[graft] def touchLease(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, LeaseSidecar)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write("lease".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Age of the writer lease at a location in milliseconds; None when
+    * no lease exists (committed candidate, or a pre-r20 layout). Uses
+    * the filesystem's modification time against this JVM's clock — the
+    * TTL default is generous precisely because object-store mtimes and
+    * driver clocks can skew by seconds, not minutes. */
+  private[graft] def leaseAgeMs(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, LeaseSidecar)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      if (!fs.exists(p)) None
+      else Some(math.max(0L,
+        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  private[graft] def deleteLease(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, LeaseSidecar)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.delete(p, false) catch { case _: java.io.IOException => () }
+  }
+
+  /** The sweep-lease TTL in effect for a session: sessions can tighten
+    * it to 0 (tests constructing crash states) or widen it for
+    * long-pause environments. */
+  private[graft] def sweepLeaseTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption(SweepLeaseTtlConf).map(_.toLong)
+      .getOrElse(SweepLeaseTtlDefaultMs)
+
   /** Full sidecar contents (r19, VERDICT r18 task 1): the bucket spec
     * plus the SWAP-COMMIT protocol fields that make crash-inside-swap
     * × catalog-loss recovery automatic.
@@ -679,6 +739,13 @@ object Dedup {
       throw new IllegalStateException(
         s"could not move $tmp into place as $p — sidecar write failed")
     }
+    // writer-lease fence (r20, ADVICE r19): an uncommitted sidecar is
+    // a live swap by definition — stamp the lease so a concurrent
+    // fresh-catalog boot's loser sweep leaves this candidate alone
+    // until the lease ages out. Stamped AFTER the sidecar rename so a
+    // crash between the two leaves (sidecar, no lease) = the pre-r20
+    // immediately-sweepable state, never a lease guarding nothing.
+    if (!committed) touchLease(spark, path)
   }
 
   /** Read a location's bucket-spec sidecar. None ONLY when the file
@@ -747,8 +814,36 @@ object Dedup {
       case Some(s) if !s.committed =>
         writeSpecSidecar(spark, path, s.numBuckets, s.bucketCols, s.sortCols,
           s.epoch, committed = true)
+        // the swap is durable — retire the writer lease so the location
+        // never reads as "possibly live mid-swap" again (committed
+        // candidates are arbitrated by epoch alone)
+        deleteLease(spark, path)
         true
       case _ => false
+    }
+
+  /** Swap-path fence (r20, ADVICE r19): immediately before a swap's
+    * catalog mutation (DROP→RENAME), re-verify the candidate directory
+    * still carries its sidecar and re-stamp the writer lease. A writer
+    * paused long enough for its lease to age out can have its
+    * candidate swept by a concurrent fresh-catalog boot
+    * ([[resolveCommittedCandidate]]) — without this check its rename
+    * would land and serve a deleted location. Failing loudly here
+    * turns that zombie swap into a clean abort: the committed
+    * predecessor is still serving, so the refit simply re-runs. The
+    * check-to-rename window that remains is milliseconds against a
+    * 15-minute lease TTL. */
+  private[graft] def fenceSwapCandidate(spark: SparkSession, path: String): Unit =
+    readSpecSidecarFull(spark, path) match {
+      case None => throw new IllegalStateException(
+        s"swap candidate $path lost its $SpecSidecar before the catalog " +
+          "rename — a concurrent boot's candidate resolution swept it (this " +
+          "writer's lease aged past " + SweepLeaseTtlConf + "). The committed " +
+          "predecessor is untouched; re-run the refit/compaction.")
+      case Some(s) if s.committed => throw new IllegalStateException(
+        s"swap candidate $path is already committed — another process " +
+          "completed a swap at this location; refusing to double-swap.")
+      case _ => touchLease(spark, path)
     }
 
   /** The sidecar epoch at a location; 0 when the sidecar is absent
@@ -767,6 +862,16 @@ object Dedup {
     * of the old loud dual-candidate refusal. Returns the winner's
     * path; None when no candidate carries a sidecar (nothing to
     * serve — pre-sidecar layout or never built).
+    *
+    * Writer-lease fence (r20, ADVICE r19): an uncommitted loser whose
+    * [[LeaseSidecar]] is younger than [[SweepLeaseTtlConf]] is SKIPPED
+    * by the sweep, not deleted — on a shared object store it may be
+    * the live candidate of a slow writer on another driver, and
+    * deleting it would leave that writer's catalog rename serving a
+    * deleted location. The skipped candidate resolves itself: its
+    * writer either commits (next resolution arbitrates by epoch) or
+    * the lease ages out and the next boot reclaims the directory. The
+    * winner choice is unaffected — only the destructive sweep defers.
     *
     * Only call on a CATALOG-LOSS path: when the catalog still knows
     * the table (or its `_compacting` sibling), [[recoverCompact]]
@@ -808,8 +913,22 @@ object Dedup {
       val maxEpoch = committed.map(_._2.epoch).max
       committed.filter(_._2.epoch == maxEpoch) match {
         case Seq((winner, _)) =>
-          for ((loser, _) <- specs if loser != winner)
-            deleteTableLocation(spark, new org.apache.hadoop.fs.Path(loser).toUri)
+          val ttl = sweepLeaseTtlMs(spark)
+          for ((loser, s) <- specs if loser != winner) {
+            // writer-lease fence (r20, ADVICE r19): an UNCOMMITTED
+            // loser with a fresh lease may be a live writer mid-refit
+            // on another driver — leave it; either its own commit flip
+            // arbitrates it later, or its lease ages past the TTL and
+            // the next boot reclaims it. Committed losers have no live
+            // writer by protocol (commit is the swap's last step) and
+            // sweep unconditionally, as do lease-less uncommitted
+            // leftovers (pre-r20 layouts and crash-between-sidecar-
+            // and-lease states).
+            val possiblyLive =
+              !s.committed && leaseAgeMs(spark, loser).exists(_ < ttl)
+            if (!possiblyLive)
+              deleteTableLocation(spark, new org.apache.hadoop.fs.Path(loser).toUri)
+          }
           Some(winner)
         case ties => throw new IllegalStateException(
           s"epoch tie (${maxEpoch}) among committed candidates " +
@@ -973,6 +1092,7 @@ object Dedup {
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     compactWrite(spark, table, newPath)
+    fenceSwapCandidate(spark, newPath)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
     // commit order matters (r19): flip the candidate sidecar BEFORE
@@ -3161,6 +3281,7 @@ object Dedup {
       .option("path", newPath).saveAsTable(s"${table}_compacting")
     writeSpecSidecar(spark, newPath, buckets, Seq("id"), Seq("id"),
       epoch = sidecarEpoch(spark, meta.location.toString) + 1L, committed = false)
+    fenceSwapCandidate(spark, newPath)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
     commitSpecSidecar(spark, newPath)
@@ -3311,18 +3432,36 @@ object Dedup {
     * window sort), with lineage checkpoint-truncated per round. */
   def labelPropagation(
       nodes: DataFrame, edges: DataFrame, iters: Int = 5,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1, edgeLayoutKey: String = "a"): DataFrame = {
     // r19 (VERDICT r18 task 7, "pre-bucket the edge table by src"):
-    // the undirected edge frame is PRE-PARTITIONED on the aggregation
-    // key `a` once and persisted, so all `iters` rounds reuse one
-    // layout. With a broadcastable labels frame (the common regime up
-    // to ~10⁸ nodes) each round's join streams the persisted edges and
-    // the fused label_mode aggregation reuses hash(a) — a round runs
-    // with ZERO edge-sized exchanges. When labels outgrow broadcast,
-    // the SMJ re-keys the edges by b per round; at that scale flip the
-    // pre-partition key to b (the join side) — one edge exchange per
-    // round either way, the irreducible LPA communication.
-    val und = undirectedEdges(edges).repartition(col("a"))
+    // the undirected edge frame is PRE-PARTITIONED once and persisted,
+    // so all `iters` rounds reuse one layout. The RIGHT key depends on
+    // the label-frame regime, and `edgeLayoutKey` is that choice as
+    // API (r20, VERDICT r19 task 2 — previously scaladoc prose, now
+    // plan-census-pinned in LlmSpec/LpaLayoutProbe):
+    //  - "a" (default) for the BROADCAST regime (labels broadcastable,
+    //    up to ~10⁸ nodes): each round's join streams the persisted
+    //    edges and the fused label_mode aggregation reuses hash(a) —
+    //    a round runs with ZERO edge-sized exchanges (r19 census).
+    //  - "b" for the NON-BROADCAST regime (labels beyond broadcast —
+    //    the join plans as SMJ keyed on b): the persisted hash(b)
+    //    layout makes the EDGE side of the join exchange-free, so the
+    //    round pays ONE edge-sized exchange (the label_mode re-key to
+    //    hash(a) — LPA's irreducible communication) plus one
+    //    NODE-sized labels re-key. Under the default "a" layout the
+    //    same regime pays a SECOND edge-sized exchange (the SMJ
+    //    re-keys the edges by b every round) — the flip saves one
+    //    full edge pass per round. Measured census (LpaLayoutProbe /
+    //    LlmSpec plan pin): 2 exchanges under "b" vs 3 under "a".
+    //    The node-sized labels re-key is irreducible under the
+    //    per-round lineage truncation: a checkpointed frame reads
+    //    back as UnknownPartitioning under AQE (measured, Spark 4.1),
+    //    so the labels frame cannot carry hash(id) across rounds —
+    //    and it is the cheap side (|V| rows of two longs vs |E|).
+    require(edgeLayoutKey == "a" || edgeLayoutKey == "b",
+      s"edgeLayoutKey must be \"a\" (broadcast regime) or \"b\" " +
+        s"(non-broadcast regime), got $edgeLayoutKey")
+    val und = undirectedEdges(edges).repartition(col(edgeLayoutKey))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
     // the node frame is the left side of every round's coalesce join —
@@ -3440,7 +3579,7 @@ object Dedup {
     (nodes, edges)
   }
 
-  private def undirectedEdges(edges: DataFrame): DataFrame =
+  private[graft] def undirectedEdges(edges: DataFrame): DataFrame =
     edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct()
@@ -3458,7 +3597,8 @@ object Dedup {
     * their edge destinations (the join), joined rows to their source's
     * aggregation (the one exchange) — see LabelMode's scaladoc for the
     * hub-degree buffer bound this trades for. */
-  private def lpaRound(und: DataFrame, nodes: DataFrame, labels: DataFrame): DataFrame = {
+  private[graft] def lpaRound(
+      und: DataFrame, nodes: DataFrame, labels: DataFrame): DataFrame = {
     val winners = und
       .join(labels.select(col("id").as("b"), col("label")), "b")
       .groupBy(col("a"))

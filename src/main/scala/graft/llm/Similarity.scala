@@ -950,6 +950,7 @@ object Similarity {
       Seq("cluster"), Seq("cluster", "vec_id"),
       epoch = Dedup.sidecarEpoch(spark, meta.location.toString) + 1L,
       committed = false)
+    Dedup.fenceSwapCandidate(spark, newPath)
     spark.sql(s"DROP TABLE $t")
     spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
     Dedup.commitSpecSidecar(spark, newPath)

@@ -160,7 +160,11 @@ object GateOps {
     * candidates are DELETED — recovery is fully automatic for every
     * crash × catalog-loss combination, with the pinned IVF family
     * resolved the same way from its root listing (`ivfPaths`, via
-    * [[graft.llm.Similarity.pinnedAssignedDir]]).
+    * [[graft.llm.Similarity.pinnedAssignedDir]]). One deliberate
+    * deferral (r20, ADVICE r19): a mid-swap candidate whose writer
+    * lease is still fresh is left in place — it may be a LIVE refit on
+    * another driver, not a crash leftover — and is reclaimed by a
+    * later boot once the lease ages past `graft.index.sweepLeaseTtlMs`.
     *
     * Tables the catalog still knows (or whose `_compacting` sibling it
     * knows) skip filesystem arbitration entirely: their swap states

@@ -1392,14 +1392,31 @@ class LlmSpec extends SparkSpec {
       Dedup.writeSpecSidecar(spark, d, 8, Seq("h"), Seq("h"), epoch, committed)
       d
     }
+    // a crashed writer's lease has aged out by the time a boot sweeps;
+    // model that by back-dating the lease file past the TTL
+    def ageLease(dir: String): Unit = {
+      val f = new java.io.File(dir, Dedup.LeaseSidecar)
+      assert(f.exists(), s"fixture: expected a writer lease at $dir")
+      assert(f.setLastModified(
+        System.currentTimeMillis() - 2L * Dedup.SweepLeaseTtlDefaultMs))
+    }
     assert(Dedup.resolveCommittedCandidate(spark, Seq(s"$root/none")).isEmpty,
       "no sidecar-bearing candidate resolves to None")
-    // a mid-swap candidate ROLLS BACK to the committed predecessor and
-    // is deleted — the crash-before-rename state, healed automatically
+    // a mid-swap candidate ROLLS BACK to the committed predecessor —
+    // but while its writer lease is FRESH it may be a live refit on
+    // another driver, so the pick answers read-only and the sweep
+    // defers (r20, ADVICE r19)
     val a0 = mk("a0", 0L, committed = true)
     val b1u = mk("b1u", 1L, committed = false)
     assert(Dedup.resolveCommittedCandidate(spark, Seq(a0, b1u)) === Some(a0))
-    assert(!new java.io.File(b1u).exists(), "mid-swap loser must be deleted")
+    assert(new java.io.File(b1u).exists(),
+      "a fresh-leased mid-swap candidate must survive the sweep (possibly live writer)")
+    // ...once the lease is stale (crashed writer), the next boot
+    // reclaims it — the crash-before-rename state, healed automatically
+    ageLease(b1u)
+    assert(Dedup.resolveCommittedCandidate(spark, Seq(a0, b1u)) === Some(a0))
+    assert(!new java.io.File(b1u).exists(),
+      "a stale-leased mid-swap loser must be deleted")
     // two committed candidates: the newest epoch wins, the superseded
     // one is deleted — the crash-after-flip-before-cleanup state
     val b1 = mk("b1", 1L, committed = true)
@@ -1417,6 +1434,24 @@ class LlmSpec extends SparkSpec {
     val d2u = mk("d2u", 2L, committed = false)
     intercept[IllegalStateException](
       Dedup.resolveCommittedCandidate(spark, Seq(d2u)))
+
+    // writer-lease lifecycle + swap fence (r20, ADVICE r19)
+    val e3 = mk("e3", 3L, committed = false)
+    assert(new java.io.File(e3, Dedup.LeaseSidecar).exists(),
+      "an uncommitted sidecar write must stamp the writer lease")
+    // the fence passes on a live mid-swap candidate (and re-stamps)
+    Dedup.fenceSwapCandidate(spark, e3)
+    assert(Dedup.commitSpecSidecar(spark, e3))
+    assert(!new java.io.File(e3, Dedup.LeaseSidecar).exists(),
+      "the commit flip must retire the writer lease")
+    // fence refuses a double-swap on an already-committed candidate...
+    val exC = intercept[IllegalStateException](Dedup.fenceSwapCandidate(spark, e3))
+    assert(exC.getMessage.contains("already committed"), exC.getMessage)
+    // ...and aborts a ZOMBIE swap whose candidate was swept — the
+    // catalog rename must never land on a deleted location
+    graft.Bench.deleteRecursively(e3)
+    val exS = intercept[IllegalStateException](Dedup.fenceSwapCandidate(spark, e3))
+    assert(exS.getMessage.contains("swept"), exS.getMessage)
 
     // backfill (VERDICT r18 task 4 seam): an r17-shaped index (no
     // sidecar) re-attaches after one backfillSpecSidecar call — no
@@ -1471,6 +1506,10 @@ class LlmSpec extends SparkSpec {
       val exMid = intercept[IllegalStateException](
         Dedup.reattachBucketedTable(spark, "bf_idx", s"$bpath/v3"))
       assert(exMid.getMessage.contains("mid-swap"), exMid.getMessage)
+      // the crashed writer's lease has aged out by boot time (r20)
+      assert(new java.io.File(s"$bpath/v3", Dedup.LeaseSidecar)
+        .setLastModified(
+          System.currentTimeMillis() - 2L * Dedup.SweepLeaseTtlDefaultMs))
       assert(Dedup.resolveCommittedCandidate(spark, Seq(s"$bpath/v2", s"$bpath/v3"))
         === Some(s"$bpath/v2"),
         "the committed predecessor must win over the mid-swap candidate")
@@ -1491,6 +1530,71 @@ class LlmSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS bf_idx")
       spark.sql("DROP TABLE IF EXISTS bf_idx_compacting")
+    }
+  }
+
+  test("compaction-due drill: appends degrade files, policy fires, crash mid-compact, recovery — probe-identical (r20)") {
+    // VERDICT r19 task 7: the maintenance rulebook's pieces —
+    // compactionDue (r17), compactIndex, recoverCompact — were each
+    // tested in isolation; this runs the WHOLE loop over the gram
+    // index as one scenario: appends degrade per-bucket file counts →
+    // the policy fires → the compaction crashes INSIDE its swap →
+    // recovery completes it — with the file counts provably folded
+    // and the probe answer identical at every stage.
+    val docs = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("text"))
+    val s1 = docs.filter(col("doc_id") % 3 === 0)
+    val s2 = docs.filter(col("doc_id") % 3 === 1)
+    val s3 = docs.filter(col("doc_id") % 3 === 2)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail edit")).as("text"))
+    val tbl = "gram_cdrill_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = tempDir("gram_cdrill")
+    Dedup.buildGramIndex(s1, spark, tbl, s"$path/idx")
+    try {
+      def dataFiles(): Int = {
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
+        Option(new java.io.File(loc).listFiles()).toSeq.flatten
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      }
+      assert(!streaming.GateOps.compactionDue(spark, tbl, maxFilesPerBucket = 1),
+        "a fresh build must not demand compaction")
+      // sustained appends degrade the layout: one file set per append
+      Dedup.appendGramIndex(s2, spark, tbl)
+      Dedup.appendGramIndex(s3, spark, tbl)
+      val degraded = dataFiles()
+      assert(streaming.GateOps.compactionDue(spark, tbl, maxFilesPerBucket = 1),
+        s"two appends must trip the file-count rule ($degraded files)")
+      val expected = Dedup.probeGramIndex(delta, spark, tbl)
+        .orderBy("doc_id").collect().toSeq
+      assert(expected.nonEmpty, "fixture must produce probe spans")
+      // the policy fires → compaction runs → CRASH between the DROP
+      // and the RENAME (the worst swap phase: the catalog knows only
+      // the candidate)
+      Dedup.compactWrite(spark, tbl, s"$path/v2")
+      spark.sql(s"DROP TABLE $tbl")
+      assert(Dedup.recoverCompact(spark, tbl) === "renamed",
+        "recovery must complete the crashed swap")
+      val folded = dataFiles()
+      assert(folded < degraded,
+        s"the fold must reduce the file count ($degraded -> $folded)")
+      assert(!streaming.GateOps.compactionDue(spark, tbl, maxFilesPerBucket = 1),
+        "the completed fold must reset the policy")
+      assert(Dedup.probeGramIndex(delta, spark, tbl)
+        .orderBy("doc_id").collect().toSeq === expected,
+        "probe must answer identically through degrade → crash → recovery")
+      // second crash phase: killed BEFORE the DROP (both tables
+      // registered) — recovery finishes the whole swap
+      Dedup.compactWrite(spark, tbl, s"$path/v3")
+      assert(Dedup.recoverCompact(spark, tbl) === "swapped")
+      assert(!streaming.GateOps.compactionDue(spark, tbl, maxFilesPerBucket = 1))
+      assert(Dedup.probeGramIndex(delta, spark, tbl)
+        .orderBy("doc_id").collect().toSeq === expected,
+        "probe must answer identically through the second crash phase")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
     }
   }
 
@@ -2090,6 +2194,67 @@ class LlmSpec extends SparkSpec {
     val cc = Dedup.connectedComponents(nodes, edges).collect()
       .map(r => r.getLong(1)).toSet
     assert(cc.size === 1)
+  }
+
+  test("LPA non-broadcast regime: the b-keyed layout drops the per-round edge re-key (2 vs 3 exchanges) (r20)") {
+    // VERDICT r19 task 2: the labelPropagation scaladoc's "flip the
+    // edge pre-partition key to b beyond ~10⁸ nodes" claim was prose —
+    // this pins it as a plan census. Force the SMJ regime (labels
+    // never broadcast) and measure one un-checkpointed round under
+    // both layouts:
+    //  - edge layout hash(b): the EDGE side of the join is
+    //    exchange-free — the round pays the edge-sized label_mode
+    //    re-key to hash(a) (LPA's irreducible communication) plus the
+    //    node-sized labels re-key to b (irreducible under per-round
+    //    lineage truncation: a checkpointed frame reads back as
+    //    UnknownPartitioning under AQE — measured, Spark 4.1): 2;
+    //  - edge layout hash(a) (the broadcast-regime default): the SMJ
+    //    additionally re-keys the EDGES by b every round → 3, one a
+    //    full extra edge pass — and strictly more shuffled bytes.
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"))
+    val (nodes, edges) = Dedup.lpaFixture(docs)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def roundUnder(key: String): ((Int, Int), Long, Seq[org.apache.spark.sql.Row]) = {
+        val und = Dedup.undirectedEdges(edges).repartition(col(key))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        und.count()
+        val nodesP = nodes.select(col("id")).repartition(col("id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        nodesP.count()
+        val labels0 = nodesP.select(col("id"), col("id").as("label")).localCheckpoint()
+        val round = Dedup.lpaRound(und, nodesP, labels0)
+        val counts = PlanAudit.exchangeCounts(round)
+        val (bytes, _, _) = PlanAudit.shuffleStats(round)
+        val out = round.orderBy(col("id")).collect().toSeq
+        und.unpersist(); nodesP.unpersist()
+        (counts, bytes, out)
+      }
+      val ((shB, bcB), bytesB, outB) = roundUnder("b")
+      val ((shA, bcA), bytesA, outA) = roundUnder("a")
+      assert(bcB === 0 && bcA === 0,
+        s"SMJ regime must hold — no broadcast exchanges (b: $bcB, a: $bcA)")
+      assert(shB === 2,
+        s"b-keyed layout must pay exactly TWO exchanges per round " +
+          s"(edge-sized agg re-key + node-sized labels re-key), got $shB")
+      assert(shA === 3,
+        s"a-keyed layout in the SMJ regime pays THREE exchanges " +
+          s"(edge re-key by b + labels re-key + agg re-key by a), got $shA")
+      assert(bytesB < bytesA,
+        s"the flip must shuffle strictly fewer bytes: b=$bytesB vs a=$bytesA")
+      assert(outA === outB, "round semantics must not depend on the layout key")
+      // the end-to-end knob: the full loop under the b layout answers
+      // identically to the default (the oracle-pinned dynamics)
+      val full = Dedup.labelPropagation(nodes, edges, iters = 5, edgeLayoutKey = "b")
+        .orderBy(col("id")).collect().toSeq
+      val fullA = Dedup.labelPropagation(nodes, edges, iters = 5)
+        .orderBy(col("id")).collect().toSeq
+      assert(full === fullA, "edgeLayoutKey must be plan-only — identical labels")
+      intercept[IllegalArgumentException](
+        Dedup.labelPropagation(nodes, edges, iters = 1, edgeLayoutKey = "id"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
   test("triangleStats: K4-minus-an-edge hand fixture, exact counts and lcc") {

@@ -883,6 +883,121 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("group-label lifecycle under sustained streaming appends: mid-flight refit, idempotent redelivery, lease-deferred sweep (r20)") {
+    // VERDICT r19 task 6: appendGroupLabels / refitGroupLabels / the
+    // sidecar protocol were each tested in isolation — this runs them
+    // as ONE multi-batch streaming sequence with a refit swap going
+    // mid-flight between triggers, and pins three operational truths:
+    //  (1) an append landing AFTER the refit's graph snapshot but
+    //      BEFORE its swap is silently absent from the swapped table —
+    //      the snapshot race is real — and the heal is exactly one
+    //      idempotent redelivery of that delta (the anti-join absorbs
+    //      everything the snapshot did include);
+    //  (2) a second refit killed mid-swap plus catalog loss boots back
+    //      to the committed predecessor while the r20 writer lease
+    //      DEFERS the candidate sweep (fresh lease = possibly live
+    //      writer), and appends keep working against the re-attach;
+    //  (3) once the dead writer's lease ages out, the next boot
+    //      reclaims the candidate directory — recovery is delayed,
+    //      never lost.
+    implicit val sqlCtx = spark.sqlContext
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tbl = s"glbl_live_$uid"
+    val path = tempDir("glbl_live")
+    llm.Dedup.buildGroupLabels(
+      Seq(1L, 2L, 3L, 4L).toDF("id"), Seq((1L, 2L), (3L, 4L)).toDF("a", "b"),
+      spark, tbl, s"$path/$tbl")
+    try {
+      def labels(): Map[Long, Long] = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mem = MemoryStream[(Long, Long, Long)]
+      val pendings = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = mem.toDF().toDF("id", "a", "b").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.localCheckpoint()
+          val p = llm.Dedup.appendGroupLabels(
+            b.select(col("id")).distinct(), b.select(col("a"), col("b")), spark, tbl)
+          pendings.synchronized { pendings += p; () }
+        }.start()
+      try {
+        // batch 1: clean attach — 5 joins {3,4}
+        mem.addData(Seq((5L, 4L, 5L))); q.processAllAvailable()
+        assert(labels()(5L) === 3L && pendings.toSeq === Seq(0L))
+        // batch 2: bridge — 10 touches both groups, pending merge
+        mem.addData(Seq((10L, 2L, 10L), (10L, 3L, 10L))); q.processAllAvailable()
+        assert(pendings.toSeq === Seq(0L, 1L) && labels()(10L) === 1L)
+        // the pending merge triggers a refit; its WRITE step lands
+        // (graph snapshot = everything through batch 2) but the swap
+        // is still mid-flight when the next trigger fires
+        val oldLoc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location).toString
+        val snapNodes = Seq(1L, 2L, 3L, 4L, 5L, 10L).toDF("id")
+        val snapEdges = Seq((1L, 2L), (3L, 4L), (4L, 5L), (2L, 10L), (3L, 10L))
+          .toDF("a", "b")
+        llm.Dedup.connectedComponentsStar(snapNodes, snapEdges)
+          .write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+          .option("path", s"$path/refit1").saveAsTable(s"${tbl}_compacting")
+        llm.Dedup.writeSpecSidecar(spark, s"$path/refit1", 8, Seq("id"), Seq("id"),
+          epoch = llm.Dedup.sidecarEpoch(spark, oldLoc) + 1L, committed = false)
+        // batch 3 arrives WHILE the swap is mid-flight: the append
+        // targets the still-committed table and must succeed
+        mem.addData(Seq((6L, 1L, 6L))); q.processAllAvailable()
+        assert(labels()(6L) === 1L, "append during a mid-flight refit must land")
+        // the swap completes (refitGroupLabels's own commit order)
+        llm.Dedup.fenceSwapCandidate(spark, s"$path/refit1")
+        spark.sql(s"DROP TABLE $tbl")
+        spark.sql(s"ALTER TABLE ${tbl}_compacting RENAME TO $tbl")
+        llm.Dedup.commitSpecSidecar(spark, s"$path/refit1")
+        llm.Dedup.deleteTableLocation(spark, new java.net.URI(oldLoc))
+        // (1) the snapshot race: batch 3's attach is NOT in the refit
+        assert(!labels().contains(6L),
+          "fixture: the refit snapshot must predate batch 3 (the race is real)")
+        // ...and ONE idempotent redelivery heals it — batch 4 replays
+        // the same delta through the same gate
+        mem.addData(Seq((6L, 1L, 6L))); q.processAllAvailable()
+        assert(labels()(6L) === 1L, "redelivery after the swap must re-attach")
+        assert(pendings.toSeq === Seq(0L, 1L, 0L, 0L))
+        // the refit merged the bridge: one group everywhere
+        assert(labels().values.toSet === Set(1L), s"post-refit: ${labels()}")
+      } finally q.stop()
+      // (2) a SECOND refit dies mid-swap, then catalog loss: the boot
+      // resolves the committed predecessor and — r20 — DEFERS sweeping
+      // the fresh-leased candidate (a live writer would look identical)
+      llm.Dedup.connectedComponentsStar(
+          Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L).toDF("id"),
+          Seq((1L, 2L), (3L, 4L), (4L, 5L), (2L, 10L), (3L, 10L), (1L, 6L))
+            .toDF("a", "b"))
+        .write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+        .option("path", s"$path/refit2").saveAsTable(s"${tbl}_compacting")
+      llm.Dedup.writeSpecSidecar(spark, s"$path/refit2", 8, Seq("id"), Seq("id"),
+        epoch = llm.Dedup.sidecarEpoch(spark, s"$path/refit1") + 1L, committed = false)
+      spark.sql(s"DROP TABLE $tbl")
+      spark.sql(s"DROP TABLE ${tbl}_compacting") // crash + catalog loss
+      assert(llm.Dedup.resolveCommittedCandidate(
+        spark, Seq(s"$path/refit1", s"$path/refit2")) === Some(s"$path/refit1"))
+      assert(new java.io.File(s"$path/refit2").exists(),
+        "a fresh-leased mid-swap candidate must survive the boot sweep")
+      assert(llm.Dedup.reattachBucketedTable(spark, tbl, s"$path/refit1"))
+      // appends keep working against the re-attached predecessor
+      val p7 = llm.Dedup.appendGroupLabels(
+        Seq(7L).toDF("id"), Seq((5L, 7L)).toDF("a", "b"), spark, tbl)
+      assert(p7 === 0L && labels()(7L) === 1L,
+        "append must work against the crash-recovered table")
+      // (3) the dead writer's lease ages out — the next boot reclaims
+      val lf = new java.io.File(s"$path/refit2", llm.Dedup.LeaseSidecar)
+      assert(lf.setLastModified(
+        System.currentTimeMillis() - 2L * llm.Dedup.SweepLeaseTtlDefaultMs))
+      assert(llm.Dedup.resolveCommittedCandidate(
+        spark, Seq(s"$path/refit1", s"$path/refit2")) === Some(s"$path/refit1"))
+      assert(!new java.io.File(s"$path/refit2").exists(),
+        "a stale-leased candidate must be reclaimed by the next boot")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+    }
+  }
+
   test("stream-static gate vs appendBandIndex: mid-stream append visibility is pinned") {
     // r15 (append-maintenance operational contract): the standing gate
     // joins micro-batches against the PERSISTED band index. When
@@ -1342,6 +1457,15 @@ class StreamingSpec extends SparkSpec {
       // band pair — catalog loss only
       spark.sql(s"DROP TABLE ${bandTbl}_bands")
       spark.sql(s"DROP TABLE ${bandTbl}_toks")
+      // the killed writers are DEAD — by boot time their writer leases
+      // (r20, ADVICE r19) have aged past the sweep TTL; back-date them
+      // so the boot reclaims the mid-swap dirs instead of deferring
+      for (d <- Seq(s"$path/hash_v2", s"$path/ivf/assigned_refit_crash")) {
+        val lf = new java.io.File(d, llm.Dedup.LeaseSidecar)
+        assert(lf.exists(), s"fixture: expected a writer lease at $d")
+        assert(lf.setLastModified(
+          System.currentTimeMillis() - 2L * llm.Dedup.SweepLeaseTtlDefaultMs))
+      }
       val mem = MemoryStream[(Long, String)]
       val (actions, q) = streaming.GateOps.bootGateFromCandidates(
         spark,
