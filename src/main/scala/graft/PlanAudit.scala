@@ -197,6 +197,95 @@ object PlanAudit {
     }
   }
 
+  /** One driver-side row materialization recorded by
+    * [[auditDriverFetches]]: the action name Spark reported, the
+    * plan-level limit when the root is a CollectLimit/TakeOrdered
+    * (bounded BY PLAN — the strongest form), and the measured row
+    * count otherwise. */
+  final case class DriverFetch(
+      funcName: String, planLimit: Option[Long], rows: Option[Long]) {
+    /** Bounded under `bound` rows: a plan-level limit ≤ bound, or a
+      * measured materialization ≤ bound. */
+    def bounded(bound: Long): Boolean =
+      planLimit.map(_ <= bound).orElse(rows.map(_ <= bound)).getOrElse(false)
+    override def toString: String =
+      s"DriverFetch($funcName, planLimit=${planLimit.getOrElse("-")}, " +
+        s"rows=${rows.getOrElse("-")})"
+  }
+
+  /** The collect-like Dataset actions that ship ROWS to the driver —
+    * scalar actions (count, isEmpty's limit-1 plan is caught as a
+    * CollectLimit anyway) are not budget hazards. */
+  private val FetchActions: Set[String] =
+    Set("collect", "collectAsList", "collectResult", "toLocalIterator",
+      "head", "take", "tail")
+
+  /** THE DRIVER-BUDGET GATE's measurement half (r20, VERDICT r19
+    * task 4): run `body` with a QueryExecutionListener installed and
+    * return every collect-like action it executed, each classified as
+    * plan-bounded (root CollectLimit/TakeOrderedAndProject with its
+    * limit) or measured (the plan re-executed distributed for its row
+    * count — cheap at test scale, and only unlimited roots pay it).
+    * The r19 audit established every `.collect()` site in main is a
+    * bounded artifact by construction or a hard `require`; this turns
+    * that one-time grep into a permanent, failing gate — a new
+    * declared query that collects unbounded rows at construction time
+    * fails PlanAuditSpec instead of shipping a driver OOM at scale.
+    *
+    * The listener hears the whole shared session, so `body` must be
+    * the only Dataset-action traffic while it runs (test suites are
+    * single-threaded here; streaming micro-batches report through the
+    * streaming listener, not this one). */
+  def auditDriverFetches[T](spark: SparkSession)(body: => T): (T, Seq[DriverFetch]) = {
+    import org.apache.spark.sql.execution.{CollectLimitExec, TakeOrderedAndProjectExec}
+    val recorded = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, org.apache.spark.sql.execution.QueryExecution)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (FetchActions.contains(funcName)) { recorded.add((funcName, qe)); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val out =
+      try body
+      finally {
+        // events deliver asynchronously — drain before unregistering
+        try org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
+        finally spark.listenerManager.unregister(listener)
+      }
+    val fetches = recorded.toArray(Array.empty[(String,
+        org.apache.spark.sql.execution.QueryExecution)]).toSeq.map {
+      case (fn, qe) =>
+        def unwrap(p: SparkPlan): SparkPlan = p match {
+          case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+          case other => other
+        }
+        // the action already ran — read its numOutputRows SQLMetric
+        // instead of re-executing (queries legitimately delete their
+        // construction-time temp artifacts after collecting, so a
+        // deferred re-run would read vanished files). Descend through
+        // metric-less 1:1 nodes (Project/Sort/WSCG/exchanges — every
+        // row-count-CHANGING operator carries the metric) to the first
+        // populated one.
+        def outputRows(p: SparkPlan): Option[Long] = p match {
+          case a: AdaptiveSparkPlanExec => outputRows(a.executedPlan)
+          case q: QueryStageExec => outputRows(q.plan)
+          case r: ReusedExchangeExec => outputRows(r.child)
+          case other => other.metrics.get("numOutputRows").map(_.value)
+            .orElse(other.children.headOption.flatMap(outputRows))
+        }
+        unwrap(qe.executedPlan) match {
+          case c: CollectLimitExec => DriverFetch(fn, Some(c.limit.toLong), None)
+          case t: TakeOrderedAndProjectExec => DriverFetch(fn, Some(t.limit.toLong), None)
+          case other => DriverFetch(fn, None, outputRows(other))
+        }
+    }
+    (out, fetches)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()

@@ -820,16 +820,23 @@ object StreamingAlerts {
       val path = java.nio.file.Files.createTempDirectory("graft_stream_ndp").toString
       Dedup.buildBandIndex(docs, s, tbl, s"$path/$tbl")
       try {
-        val name = "stream_ndp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        // FILE sink, not the memory sink (r20 — the driver-budget gate
+        // caught the memory sink collecting the whole corpus-dependent
+        // hit stream into driver memory: 112k rows at sf0.001, 5.4M at
+        // sf0.1; the production at-ingest gate sinks to storage, so the
+        // oracle-replay form now does too and the driver holds nothing)
         val q = Dedup.tokenBanded(
             Dedup.incrementalNearDelta(docsStream(s, dir).select(col("doc_id"), col("text"))))
           .join(s.table(s"${tbl}_bands"), Seq("band_idx", "band_hash"))
           .select(col("doc_id").as("delta_id"), col("corpus_id"))
-          .writeStream.format("memory").queryName(name)
+          .writeStream.format("parquet")
+          .option("path", s"$path/sink")
+          .option("checkpointLocation", s"$path/ckpt")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         Dedup.nearDupVerdictFrom(
-            s.table(name).localCheckpoint(), docs, Dedup.incrementalNearDelta(docs))
+            s.read.parquet(s"$path/sink").localCheckpoint(),
+            docs, Dedup.incrementalNearDelta(docs))
           .orderBy(col("doc_id")).localCheckpoint()
       } finally {
         s.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
@@ -863,17 +870,22 @@ object StreamingAlerts {
             r.getSeq[Double](r.fieldIndex("sv")).toSeq)).toSeq
         val assignedStatic = s.table(Similarity.ivfPinnedTable(path))
           .select(col("vec_id").as("corpus_id"), col("cluster"))
-        val name = "stream_sdp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        // file sink (r20): same driver-budget fix as
+        // streaming_neardup_probe — the same-cell candidate stream is
+        // corpus-dependent, so it sinks to storage, never the driver
         val q = Similarity.semDeDupDelta(
             embStream(s, dir).select(col("vec_id"), col("embedding")))
           .withColumn("cluster", Similarity.pinnedAssignExpr(seeds, col("v")))
           .join(assignedStatic, Seq("cluster"))
           .select(col("vec_id").as("delta_id"), col("corpus_id"))
-          .writeStream.format("memory").queryName(name)
+          .writeStream.format("parquet")
+          .option("path", s"$path/probe_sink")
+          .option("checkpointLocation", s"$path/probe_ckpt")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         Similarity.semVerdictFrom(
-            s.table(name).localCheckpoint(), emb, Similarity.semDeDupDelta(emb))
+            s.read.parquet(s"$path/probe_sink").localCheckpoint(),
+            emb, Similarity.semDeDupDelta(emb))
           .localCheckpoint()
       } finally Similarity.dropIvfIndexPinned(s, path)
     },
@@ -917,7 +929,6 @@ object StreamingAlerts {
         val assignedStatic = s.table(Similarity.ivfPinnedTable(s"$path/ivf"))
           .select(col("vec_id").as("corpus_id"), col("cluster"))
         val evG = Curation.evalGrams(docs, col("doc_id") % 7 === 0)
-        val name = s"stream_rfr_$uid"
         // stateful in-stream dedup CHOSEN BY MEASUREMENT (VERDICT r16
         // task 3, SinkVolumeProbe): the n tier emits one row per
         // agreeing band and the c tier one per matching gram, so the
@@ -928,14 +939,20 @@ object StreamingAlerts {
         // construction (every batch-side verdict builder re-distincts
         // the sunk hits). On an unbounded source the production form
         // is dropDuplicatesWithinWatermark; under AvailableNow the
-        // state is bounded by the distinct hit set.
+        // state is bounded by the distinct hit set. FILE sink (r20):
+        // even deduped, the hit stream is corpus-dependent (5.4M rows
+        // at sf0.1) — the driver-budget gate caught the memory sink
+        // holding it all in driver memory; the gate's production shape
+        // sinks hits to storage, so the oracle-replay form now does too.
         val q = refreshHitStream(s, dir, docs, hashTbl, bandTbl, seeds,
             assignedStatic, evG)
           .dropDuplicates("delta_id", "tier", "cand_id")
-          .writeStream.format("memory").queryName(name)
+          .writeStream.format("parquet")
+          .option("path", s"$path/hit_sink")
+          .option("checkpointLocation", s"$path/hit_ckpt")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        val hits = s.table(name).localCheckpoint()
+        val hits = s.read.parquet(s"$path/hit_sink").localCheckpoint()
         val delta = Curation.refreshDeltaDocs(docs)
         val ex = hits.filter(col("tier") === "x")
           .select(col("delta_id").as("doc_id"), col("cand_id")).distinct()

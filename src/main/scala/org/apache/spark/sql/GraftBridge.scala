@@ -34,6 +34,14 @@ object GraftBridge {
       stage: execution.adaptive.ShuffleQueryStageExec): Option[Array[Long]] =
     stage.mapStats.map(_.bytesByPartitionId)
 
+  /** Drain the shared listener bus — QueryExecutionListener events are
+    * delivered asynchronously, so an audit that registered one must
+    * flush before reading its recordings (`waitUntilEmpty` is
+    * private[spark]; the driver-budget gate in `graft.PlanAudit` is
+    * the consumer). */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Idempotently append a logical optimizer rule to a live session. */
   def addOptimization(
       spark: SparkSession,

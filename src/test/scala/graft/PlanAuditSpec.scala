@@ -456,4 +456,47 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
     }
   }
+
+  test("driver-budget gate: no declared query materializes unbounded rows on the driver (r20)") {
+    // VERDICT r19 task 4: the r19 audit grep ("all 26 .collect() sites
+    // in main are bounded artifacts") as a PERMANENT failing gate — a
+    // new declared query whose CONSTRUCTION collects unbounded rows to
+    // the driver fails here instead of shipping a driver OOM at 100 TB.
+    // Budget: 4096 rows — above every legitimate bounded artifact
+    // (class-count maps, thresholds, mmrRerank's hard 256-candidate
+    // cap, probe rows, BPE merge tables) and below the smallest table's
+    // full row count at this scale (~6k lineitem rows at sf0.001), so
+    // "collected a whole table" can never pass as "bounded artifact".
+    import org.apache.spark.sql.functions.col
+    val gateDir = sf("sf0.001")
+    val Budget = 4096L
+
+    // control: a PLANTED unbounded collect must fail the gate — if it
+    // ever stops failing, the gate is measuring nothing
+    val (_, planted) = PlanAudit.auditDriverFetches(spark) {
+      Tables.lineitem(spark, gateDir).select(col("l_orderkey")).collect()
+    }
+    assert(planted.exists(f => f.funcName == "collect" && !f.bounded(Budget)),
+      s"the planted unbounded collect must be caught: $planted")
+    // ...and a plan-limited fetch passes without a measured re-count
+    val (_, limited) = PlanAudit.auditDriverFetches(spark) {
+      Tables.lineitem(spark, gateDir).orderBy(col("l_orderkey")).limit(10).collect()
+    }
+    assert(limited.exists(f => f.planLimit.contains(10L) && f.bounded(Budget)),
+      s"a CollectLimit fetch must classify as plan-bounded: $limited")
+
+    // the gate: EVERY declared query's construction stays under budget
+    // (construction is where the driver loops live — checkpoint
+    // materializations, threshold selections, rerank loops; the
+    // returned frame itself is executed distributed by Verify)
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val (_, fetches) = PlanAudit.auditDriverFetches(spark) { fn(spark, gateDir); () }
+      for (f <- fetches if !f.bounded(Budget))
+        offenders += s"$name: $f"
+    }
+    assert(offenders.isEmpty,
+      s"declared queries with unbounded driver fetches (budget $Budget rows):\n" +
+        offenders.mkString("\n"))
+  }
 }
