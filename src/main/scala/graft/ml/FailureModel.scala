@@ -224,6 +224,51 @@ object FailureModel {
   private def feat(s: SparkSession, dir: String): DataFrame =
     Telemetry.features(Tables.events(s, dir))
 
+  /** DuckDB replay of `ml_e2e_metrics_pinned` — the threshold rule,
+    * grouped-score average precision, and confusion arithmetic with
+    * the identical cumulative-count formulation (see the query's
+    * declaration comment). */
+  private val pinnedMetricsSql: String =
+    s"""${Telemetry.featSql},
+       |sv AS (
+       |  SELECT event_id, failure_next, $linearScoreSql AS score FROM feat
+       |  WHERE ts >= TIMESTAMP '${TrainingData.TrainEnd}'
+       |    AND ts < TIMESTAMP '${TrainingData.ValidEnd}'),
+       |st AS (
+       |  SELECT failure_next, $linearScoreSql AS score FROM feat
+       |  WHERE ts >= TIMESTAMP '${TrainingData.ValidEnd}'),
+       |pg AS (SELECT score, COUNT(*) AS pc FROM sv WHERE failure_next = 1 GROUP BY 1),
+       |pcum AS (
+       |  SELECT score, pc,
+       |         SUM(pc) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cp,
+       |         SUM(pc) OVER () AS n
+       |  FROM pg),
+       |tau AS (
+       |  SELECT score AS t FROM pcum
+       |  WHERE cp - pc <= LEAST(CAST(FLOOR(n * $TargetRecall) AS BIGINT), n - 1)
+       |    AND LEAST(CAST(FLOOR(n * $TargetRecall) AS BIGINT), n - 1) < cp),
+       |bs AS (SELECT score, COUNT(*) AS nv, SUM(failure_next) AS pv FROM sv GROUP BY 1),
+       |cs AS (
+       |  SELECT pv,
+       |         SUM(nv) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cn,
+       |         SUM(pv) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS ctp
+       |  FROM bs),
+       |ap AS (
+       |  SELECT SUM(CAST(pv AS DOUBLE) * CAST(ctp AS DOUBLE) / CAST(cn AS DOUBLE))
+       |           / CAST(SUM(pv) AS DOUBLE) AS ap
+       |  FROM cs),
+       |c AS (
+       |  SELECT CAST(SUM(CASE WHEN score >= t AND failure_next = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN score >= t AND failure_next = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(SUM(CASE WHEN score < t AND failure_next = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM st, tau)
+       |SELECT ROUND(ap, 6) + 0 AS pr_auc,
+       |       t AS threshold,
+       |       tp, fp, fn,
+       |       CASE WHEN tp + fp > 0 THEN ROUND(tp / (tp + fp), 6) + 0 ELSE 0.0 END AS precision,
+       |       CASE WHEN tp + fn > 0 THEN ROUND(tp / (tp + fn), 6) + 0 ELSE 0.0 END AS recall
+       |FROM c, ap, tau""".stripMargin
+
   val defs: Seq[Q] = Seq(
 
     // X1 as a pure expression: deterministic logistic scorer.
@@ -283,6 +328,56 @@ object FailureModel {
           c.getAs[Double]("precision"), c.getAs[Double]("recall")))
           .toDF("pr_auc", "threshold", "tp", "fp", "fn", "precision", "recall")
       } finally f.unpersist()
+    },
+
+    // ml_e2e_metrics's ARITHMETIC, pinned (r20, VERDICT r19 task 5 —
+    // the decontam_bloom_fpr_pinned playbook): the GBT core is the
+    // only non-replayable piece of the E2E chain, so this sibling
+    // swaps it for the frozen expression scorer (W/Bias, the X1
+    // stand-in) and replays EVERYTHING downstream cross-engine — the
+    // M4 threshold rule, a PR summary, and the test-split confusion
+    // with precision/recall — in the same output shape. The PR
+    // summary is grouped-score average precision: cumulative
+    // (rows, positives) over DISTINCT scores descending, AP =
+    // Σ pv·(ctp/cn) / P. Grouping first makes it tie-invariant (no
+    // row order enters the math) AND bounded at scale: scores are the
+    // 6-dp-rounded logistic output, so the windowed frame never
+    // exceeds ~10⁶ distinct values regardless of corpus size. The
+    // threshold applies the same cumulative trick — the selected
+    // value is a SCORE, so picking the group containing rank
+    // floor(n·recall) equals threshold_select's row-level rule
+    // exactly. ml_e2e_metrics itself stays rows-only for the MLlib
+    // core; every metric FORMULA it reports is now oracle-pinned.
+    Q("ml_e2e_metrics_pinned", pinnedMetricsSql) { (s, dir) =>
+      val f = feat(s, dir)
+      def scored(df: DataFrame) = linearScore(df)
+        .select(col("event_id"), col("failure_next"),
+          col("failure_probability").as("score"))
+      val sv = scored(TrainingData.valid(f)).localCheckpoint()
+      val wS = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val idx = least(floor(col("n") * TargetRecall).cast("long"), col("n") - 1)
+      val tau = sv.filter(col("failure_next") === 1)
+        .groupBy(col("score")).agg(count(lit(1)).as("pc"))
+        .withColumn("cp", sum(col("pc")).over(wS))
+        .withColumn("n", sum(col("pc")).over(Window.partitionBy()))
+        .filter(col("cp") - col("pc") <= idx && idx < col("cp"))
+        .select(col("score").as("t"))
+      val cs = sv.groupBy(col("score"))
+        .agg(count(lit(1)).as("nv"), sum(col("failure_next").cast("long")).as("pv"))
+        .withColumn("cn", sum(col("nv")).over(wS))
+        .withColumn("ctp", sum(col("pv")).over(wS))
+      val ap = cs.agg(
+        (sum(col("pv").cast("double") * col("ctp").cast("double") /
+          col("cn").cast("double")) / sum(col("pv")).cast("double")).as("ap"))
+      val conf = Telemetry.confusion(
+        scored(TrainingData.test(f)).crossJoin(broadcast(tau))
+          .withColumn("alert", when(col("score") >= col("t"), 1).otherwise(0)))
+      conf.crossJoin(broadcast(ap)).crossJoin(broadcast(tau)).select(
+        (round(col("ap"), 6) + lit(0.0)).as("pr_auc"),
+        col("t").as("threshold"),
+        col("tp"), col("fp"), col("fn"),
+        col("precision"), col("recall"))
     },
 
     // M2 early-stopping variant (round 7): GBT trained against the
