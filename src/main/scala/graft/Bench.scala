@@ -352,6 +352,66 @@ object Bench {
       stamped || ar.exists(_ > HostDriftBand)
     } catch { case _: Throwable => false }
 
+  /** An artifact's anchor ratio COMPOUNDED to the last CLEAN round in
+    * its own declared baseline chain (r20, chain hygiene): the
+    * published ar is measured against whatever baseline that run
+    * picked — when THAT baseline is itself contaminated, the ratios
+    * compound, otherwise two consecutively loaded rounds launder each
+    * other clean. The case that motivated this: r19 published ar 1.23
+    * against the hd-stamped r18, whose own anchors read 2.12× the
+    * clean r15 — effective 2.61, far past [[HostDriftBand]], yet the
+    * one-hop rule read r19 clean, and a quieter next host's dc
+    * against it over-corrects uniformly (measured r20: every raw
+    * ratio 0.6–0.9 while dc read 1.0–1.8).
+    *
+    * DIAGNOSTIC ONLY — deliberately not a stamp and not consulted by
+    * [[isHostDrift]]/[[pickCleanBaseline]]: hosts legitimately change
+    * speed between rounds (each driver round is a fresh VM), and
+    * anchoring contamination to an old round's absolute host speed
+    * would stamp every round on a genuinely slower machine forever.
+    * The compact line instead PUBLISHES this value ("bea" in the
+    * baseline block) whenever it clears the band, so a reader of the
+    * dc column knows the baseline's anchors sit ×bea off the last
+    * clean level and adjudicates two-sided (raw + cross-check)
+    * instead of misreading the over-correction as a regression.
+    * Walks BENCH_r<N>.json siblings of `f`; cycle- and depth-guarded;
+    * any parse failure ends the walk at the ratio accumulated so far
+    * (never throws). */
+  private[graft] def effectiveAr(f: java.io.File): Option[Double] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def node(file: java.io.File) = {
+      val root = om.readTree(file)
+      if (root.has("parsed") && root.get("parsed").isObject) root.get("parsed") else root
+    }
+    def directlyStamped(p: com.fasterxml.jackson.databind.JsonNode) = p.has("hd")
+    def walk(file: java.io.File, seen: Set[String]): Option[Double] =
+      if (seen.contains(file.getName) || seen.size > 32) None
+      else try {
+        val p = node(file)
+        val drift = Option(p.get("drift")).filter(_.isObject)
+        val ar = drift.flatMap(d => Option(d.get("ar")))
+          .filter(_.isNumber).map(_.asDouble())
+        val base = drift.flatMap(d => Option(d.get("base")))
+          .filter(_.isTextual).map(_.asText())
+          .flatMap(b => "r(\\d+)".r.findFirstMatchIn(b).map(_.group(1).toInt))
+        (ar, base) match {
+          case (Some(a), Some(r)) =>
+            val bf = new java.io.File(Option(file.getParentFile)
+              .getOrElse(new java.io.File(".")), f"BENCH_r$r%02d.json")
+            // compound while the base itself is contaminated (its own
+            // stamp, or ITS effective ratio past the band); a clean
+            // base ends the chain — a is then already vs-clean
+            val baseDirty = bf.exists() && (try {
+              directlyStamped(node(bf)) || walk(bf, seen + file.getName).exists(_ > HostDriftBand)
+            } catch { case _: Throwable => false })
+            if (baseDirty) walk(bf, seen + file.getName).map(_ * a).orElse(Some(a))
+            else Some(a)
+          case (a, _) => a
+        }
+      } catch { case _: Throwable => None }
+    walk(f, Set.empty)
+  }
+
   /** True when a bench artifact was produced by the r18+ pass-major
     * interleaved schedule (its compact line carries the "pw" pass
     * windows). Pre-pass-major artifacts took each query's reps
@@ -568,7 +628,8 @@ object Bench {
       skewAmp: Option[(Double, Double)],
       sfDir: String,
       hostDrift: Boolean = false,
-      pw: Seq[Double] = Seq.empty): String = {
+      pw: Seq[Double] = Seq.empty,
+      baselineEffAr: Option[Double] = None): String = {
     val qs = mins.map { case (k, t) =>
       s"${jstr(k)}:${t.map(r3).getOrElse("-1")}"
     }.mkString("{", ",", "}")
@@ -649,7 +710,13 @@ object Bench {
       val round = "r(\\d+)".r.findFirstMatchIn(base).flatMap(_.group(1).toIntOption)
         .orElse("\\d+".r.findFirstIn(base).flatMap(_.toIntOption))
         .getOrElse(0)
-      s"""{"round":$round,"ar":${r2(ar)}}"""
+      // "bea" (r20): the baseline's own anchors compounded to the last
+      // CLEAN round in ITS chain, published only past HostDriftBand —
+      // the dc column against such a baseline over-corrects on a
+      // quieter host, and this is the inline evidence (see
+      // [[effectiveAr]]; not a stamp, the chain behavior is unchanged)
+      val bea = baselineEffAr.map(v => s""","bea":${r2(v)}""").getOrElse("")
+      s"""{"round":$round,"ar":${r2(ar)}$bea}"""
     }.getOrElse("null")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
       s""""anchors":$anchorsJson,"drift":$driftJson,"baseline":$baselineJson,""" +
@@ -1172,7 +1239,17 @@ object Bench {
       pw = allWindows.collect {
         case (l, s, e) if l.startsWith("q") &&
           l.drop(1).toIntOption.exists(_ <= Reps) => Seq(s, e)
-      }.flatten))
+      }.flatten,
+      // the baseline's own compounded anchor ratio vs its chain's last
+      // clean round, published as evidence when past the band (r20 —
+      // see [[effectiveAr]]); resolved from the same dirs loadBaseline
+      // searched, so the name always resolves when a baseline did
+      baselineEffAr = baseline.flatMap { case (bName, _, _, _) =>
+        Seq(new java.io.File(bName), new java.io.File("/root/repo", bName))
+          .find(_.exists())
+          .flatMap(effectiveAr)
+          .filter(_ > HostDriftBand)
+      }))
 
     // drop the fixture's salted parquet copy — it lives in a fresh temp
     // dir per run and would otherwise accumulate in /tmp (ADVICE r7)

@@ -47,25 +47,31 @@ class BenchJsonSpec extends AnyFunSuite {
       // r18: 7 base passes as flat (start, end) pairs at a
       // pathological 5-digit offset magnitude (a >3 h run) — the
       // widest "pw" shape
-      pw = (0 until 14).map(p => 12345.6 + p))
+      pw = (0 until 14).map(p => 12345.6 + p),
+      // r20: the baseline-chain evidence field at its widest plausible
+      // magnitude — bea CAN appear on a CLEAN line (a quiet run whose
+      // baseline chain is contaminated is exactly the r20 case), so
+      // both worst cases carry it
+      baselineEffAr = Some(12.34))
   }
 
   test("compact line fits the driver tail window with headroom") {
-    // 1760 (r18): the r16 trim's 1600 bound plus the two r17-task
-    // fields — "pw" per-pass (start, end) bound pairs (~110 chars at
-    // 5-digit offsets) and the first-class "baseline" object (~30) —
-    // measured 1754 at the pathological worst case; ~240 chars of
-    // window headroom remain. A CONTAMINATED round carries the 7-char
-    // `"hd":1,` stamp on top — gated at 1770 so the stamp can never
-    // be the overflow.
+    // 1775 (r20): the r18 bound (1760 — the r16 trim's 1600 plus "pw"
+    // ~110 and "baseline" ~30) plus the r20 baseline-chain evidence
+    // field (`,"bea":12.34`, 12 chars, rendered only when the chain is
+    // contaminated but counted in the worst case because it CAN ride a
+    // clean line) — measured 1766 at the pathological worst case;
+    // ~225 chars of window headroom remain. A CONTAMINATED round
+    // carries the 7-char `"hd":1,` stamp on top — gated at 1785 so
+    // the stamp can never be the overflow.
     val clean = worstCase(SparkEntry.headline, hd = false)
     info(s"worst-case clean compact line: ${clean.length} chars (driver window 2000)")
-    assert(clean.length <= 1760,
+    assert(clean.length <= 1775,
       s"compact line is ${clean.length} chars — the driver tail-capture " +
         "window is 2000; trim a block or shorten keys before adding queries")
     val stamped = worstCase(SparkEntry.headline)
     info(s"worst-case stamped compact line: ${stamped.length} chars")
-    assert(stamped.length <= 1770,
+    assert(stamped.length <= 1785,
       s"host-drift-stamped line is ${stamped.length} chars")
   }
 
@@ -294,5 +300,47 @@ class BenchJsonSpec extends AnyFunSuite {
     val r2 = om.readTree(none)
     assert(r2.get("skew").isNull)
     assert(r2.get("queries").get("q").asInt() === -1)
+  }
+
+  test("effectiveAr compounds through contaminated baselines; bea publishes the evidence (r20)") {
+    // the r19/r18 laundering case in miniature: r02 is hd-stamped at
+    // ar 2.0 vs clean r01; r03 publishes ar 1.2 vs r02 and reads clean
+    // one-hop — its EFFECTIVE anchors vs the clean chain end are 2.4.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bea").toFile
+    def art(n: Int, base: Int, ar: Double, hd: Boolean): java.io.File = {
+      val f = new java.io.File(dir, f"BENCH_r$n%02d.json")
+      val hdJson = if (hd) s""""hd":1,""" else ""
+      java.nio.file.Files.write(f.toPath,
+        s"""{"metric":"total","value":1.0,"queries":{"q":1.0},$hdJson
+           |"drift":{"base":"r$base%02d","ar":$ar,"dc":[1.0]}}"""
+          .stripMargin.replace("\n", "").getBytes("UTF-8"))
+      f
+    }
+    try {
+      val r1 = art(1, 0, 0.9, hd = false)  // chain end (r00 absent → clean)
+      val r2 = art(2, 1, 2.0, hd = true)
+      val r3 = art(3, 2, 1.2, hd = false)
+      assert(Bench.effectiveAr(r1).exists(v => math.abs(v - 0.9) < 1e-9))
+      assert(Bench.effectiveAr(r2).exists(v => math.abs(v - 2.0) < 1e-9))
+      assert(Bench.effectiveAr(r3).exists(v => math.abs(v - 2.4) < 1e-9),
+        s"r03 must compound 1.2 x 2.0 through the stamped r02: " +
+          s"${Bench.effectiveAr(r3)}")
+      // DIAGNOSTIC only: the one-hop stamp rule is unchanged — r03
+      // still reads clean (hosts legitimately change speed; the
+      // evidence ships on the line instead, see effectiveAr's scaladoc)
+      assert(!Bench.isHostDrift(r3) && Bench.isHostDrift(r2))
+      // ...and the compact line renders the evidence inside "baseline"
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val line = Bench.compactJson(1.0, Seq("q" -> Some(1.0)), Nil,
+        Some(("BENCH_r03.json", 0.54, Seq(Some(1.38)))), None, Nil, Nil,
+        None, None, None, "sf0.1", baselineEffAr = Some(2.4))
+      val bl = om.readTree(line).get("baseline")
+      assert(bl.get("round").asInt === 3 && bl.get("bea").asDouble === 2.4, line)
+      val without = Bench.compactJson(1.0, Seq("q" -> Some(1.0)), Nil,
+        Some(("BENCH_r03.json", 0.54, Seq(Some(1.38)))), None, Nil, Nil,
+        None, None, None, "sf0.1")
+      assert(!om.readTree(without).get("baseline").has("bea"),
+        "bea must spend zero line budget when the chain is clean")
+    } finally Bench.deleteRecursively(dir.toString)
   }
 }

@@ -147,13 +147,27 @@ def pass_report(name, pw, passes):
     # recovery of the rep count would misfile the LAST base pass as
     # "fast" whenever any slow query's trailing rep errored).
     coverage = {}
+    q_passes = {}  # query -> set of passes it drew in
     if times is not None:
         for q, draws in times.items():
             if q.startswith("f:"):
                 continue
             for dp, _ in draws:
                 coverage[dp] = coverage.get(dp, 0) + 1
+                q_passes.setdefault(q, set()).add(dp)
     max_cov = max(coverage.values()) if coverage else 0
+    # The two EXPECTED coverage levels (ADVICE r19 — the fixed
+    # 0.6*max_cov ratio misfiled both edges: an error-truncated base
+    # pass below 60% read as "fast", and when >=60% of the suite is
+    # sub-cutoff every fast pass read as "base"). A base pass draws
+    # every non-forced query (level n_all); a FastCutoff-doubling pass
+    # draws only the sub-cutoff subset — and sub-cutoff queries are
+    # exactly the ones drawn in (nearly) every pass, so the subset
+    # size is recoverable from the draw matrix itself, tolerating one
+    # errored rep per query.
+    n_all = len(q_passes)
+    max_qp = max((len(ps) for ps in q_passes.values()), default=0)
+    n_fast = sum(1 for ps in q_passes.values() if len(ps) >= max_qp - 1)
 
     def membership(label):
         p = pass_idx(label)
@@ -163,7 +177,11 @@ def pass_report(name, pw, passes):
             return "forced"
         if times is None or max_cov == 0:
             return "base"  # pw-only path: all windows are base passes
-        return "base" if coverage.get(p, 0) >= 0.6 * max_cov else "fast"
+        if n_fast >= n_all:
+            return "base"  # no fast tier ran (cutoff never fired)
+        c = coverage.get(p, 0)
+        # nearest expected level wins; ties file as base
+        return "base" if abs(c - n_all) <= abs(c - n_fast) else "fast"
 
     groups = {}
     for label, d in durations:
@@ -200,6 +218,50 @@ def pass_report(name, pw, passes):
                   "pass(es) — published numbers stand")
 
 
+def effective_ar(path, seen=None):
+    """An artifact's anchor ratio COMPOUNDED to the last clean round in
+    its declared baseline chain (mirrors Bench.effectiveAr, r20):
+    consecutive loaded rounds launder each other clean under the
+    one-hop rule — r19 published ar 1.23 vs the hd-stamped r18 (itself
+    x2.12 vs clean r15), effective x2.61 — and dc against such a
+    baseline over-corrects on a quieter host. Diagnostic only; walks
+    BENCH_r<N>.json siblings of `path`."""
+    import os
+    import re
+    seen = seen or set()
+    base = os.path.basename(path)
+    if base in seen or len(seen) > 32:
+        return None
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        if "parsed" in doc and isinstance(doc["parsed"], dict):
+            doc = doc["parsed"]
+        drift = doc.get("drift") or {}
+        ar = drift.get("ar") if isinstance(drift, dict) else None
+        ref = drift.get("base") if isinstance(drift, dict) else None
+        if not isinstance(ar, (int, float)):
+            return None
+        m = re.search(r"r(\d+)", str(ref or ""))
+        if not m:
+            return ar
+        sib = os.path.join(os.path.dirname(path) or ".",
+                           f"BENCH_r{int(m.group(1)):02d}.json")
+        if not os.path.exists(sib):
+            return ar
+        with open(sib) as f:
+            sdoc = json.load(f)
+        sp = sdoc.get("parsed", sdoc) if isinstance(sdoc, dict) else {}
+        sub = effective_ar(sib, seen | {base})
+        stamped = bool(sdoc.get("host_drift")) or "hd" in sp
+        dirty = stamped or (isinstance(sub, (int, float)) and sub > HOST_DRIFT_BAND)
+        if dirty and isinstance(sub, (int, float)):
+            return ar * sub
+        return ar
+    except (OSError, json.JSONDecodeError, ValueError):
+        return None
+
+
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
@@ -209,6 +271,14 @@ def main():
         if bl:
             print(f"{path}: declares baseline round {bl.get('round')} "
                   f"(anchor ratio x{bl.get('ar')})")
+    ea_old = effective_ar(sys.argv[1])
+    if not hd_old and isinstance(ea_old, (int, float)) and ea_old > HOST_DRIFT_BAND:
+        print(f"*** NOTE: {sys.argv[1]} reads clean one-hop but its anchors "
+              f"compound to x{ea_old:.2f} vs the last clean round in its "
+              "baseline chain — on a quieter new host the dc column below "
+              "OVER-CORRECTS (uniform high dc with uniform low raw); "
+              "adjudicate two-sided: raw ratios + a cross-check against "
+              "the last clean artifact ***")
     if hd_old:
         print(f"*** WARNING: {sys.argv[1]} is host-drift marked — its "
               "absolute numbers ran on a contaminated host; prefer the "
