@@ -30,6 +30,14 @@ import graft.{Q, Tables}
   */
 object Curation {
 
+  /** Ceiling on the relational bloom audit's explicit bits-side
+    * broadcast (r20, ADVICE r19): 4M distinct bit positions ≈ 32 MB
+    * of raw longs — comfortably driver-safe. numBits = 10·|eval
+    * grams|, so this admits eval slices up to ~400k distinct grams;
+    * broader slices fall back to a shuffled join in
+    * [[bloomFprPinned]]. */
+  private[graft] val MaxBroadcastBloomBits = 4L << 20
+
   /** (doc_id, pos, t) token rows — 0-based pos from posexplode. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
@@ -594,8 +602,19 @@ object Curation {
         .cast("long") % numBits).as(s"b$i")
     def posArr(g: Column): Column = array((1 to k).map(pos(_, g)): _*)
     val bits = ev.select(explode(posArr(col("gram_h"))).as("bit")).distinct()
+    // broadcast only under the documented eval-slice bound (r20,
+    // ADVICE r19): the bits side holds ≤ numBits = 10·|eval grams|
+    // distinct longs, and nothing upstream enforces that evalPred is
+    // narrow — a broad slice would force a multi-hundred-MB driver
+    // broadcast. Reuse the count already paid for numBits as the
+    // gate: past [[MaxBroadcastBloomBits]] the hint is DROPPED and
+    // the planner shuffles the join — the audit stays correct, it
+    // just pays an exchange instead of risking the driver.
+    val bitsSide = bits.withColumn("set1", lit(1L))
+    val bitsJoin =
+      if (numBits <= MaxBroadcastBloomBits) broadcast(bitsSide) else bitsSide
     val hit = p.select(col("gram_h"), explode(posArr(col("gram_h"))).as("bit"))
-      .join(broadcast(bits.withColumn("set1", lit(1L))), Seq("bit"), "left")
+      .join(bitsJoin, Seq("bit"), "left")
       .groupBy(col("gram_h"))
       .agg(min(coalesce(col("set1"), lit(0L))).as("hit"))
     val out = hit
