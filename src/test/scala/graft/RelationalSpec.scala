@@ -84,8 +84,14 @@ class RelationalSpec extends SparkSpec {
     // total — the same 1-row class as text_tfidf_exact.
     // events_cusum_alarms joins the broadcast 1-row global mean (the
     // CUSUM target) back over the data — same 1-row class.
+    // ml_e2e_metrics_pinned crosses the data with THREE broadcast
+    // 1-row frames (the selected threshold, the AP scalar, the
+    // confusion row) — the same 1-row broadcast class; the alternative
+    // is collecting the scalars to the driver, which the r20
+    // driver-budget gate exists to discourage.
     val excluded = Set("embed_cosine_topk", "embed_ann_topk", "embed_ivf_topk",
-      "embed_rp_preserve", "ml_e2e_metrics", "text_tfidf_exact",
+      "embed_rp_preserve", "ml_e2e_metrics", "ml_e2e_metrics_pinned",
+      "text_tfidf_exact",
       "audit_key_skew", "curation_mixture_temperature",
       "curation_negative_pairs", "search_keyword_topk", "stats_histogram_eqdepth",
       "basket_pairs_topk", "events_survival_curve", "events_cusum_alarms",
