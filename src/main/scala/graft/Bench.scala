@@ -381,13 +381,21 @@ object Bench {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def node(file: java.io.File) = {
       val root = om.readTree(file)
-      if (root.has("parsed") && root.get("parsed").isObject) root.get("parsed") else root
+      val parsed =
+        if (root.has("parsed") && root.get("parsed").isObject) root.get("parsed") else root
+      (root, parsed)
     }
-    def directlyStamped(p: com.fasterxml.jackson.databind.JsonNode) = p.has("hd")
+    // both stamp spellings (review r20): the compact line's own "hd"
+    // lives in the parsed block, but a RETROACTIVE adjudication lands
+    // as a top-level "host_drift" wrapper key (BENCH_r16.json) —
+    // isHostDrift and the Python mirror honor both; so must the chain
+    def directlyStamped(root: com.fasterxml.jackson.databind.JsonNode,
+        p: com.fasterxml.jackson.databind.JsonNode) =
+      p.has("hd") || (root.has("host_drift") && root.get("host_drift").asBoolean(false))
     def walk(file: java.io.File, seen: Set[String]): Option[Double] =
       if (seen.contains(file.getName) || seen.size > 32) None
       else try {
-        val p = node(file)
+        val (_, p) = node(file)
         val drift = Option(p.get("drift")).filter(_.isObject)
         val ar = drift.flatMap(d => Option(d.get("ar")))
           .filter(_.isNumber).map(_.asDouble())
@@ -400,11 +408,18 @@ object Bench {
               .getOrElse(new java.io.File(".")), f"BENCH_r$r%02d.json")
             // compound while the base itself is contaminated (its own
             // stamp, or ITS effective ratio past the band); a clean
-            // base ends the chain — a is then already vs-clean
-            val baseDirty = bf.exists() && (try {
-              directlyStamped(node(bf)) || walk(bf, seen + file.getName).exists(_ > HostDriftBand)
-            } catch { case _: Throwable => false })
-            if (baseDirty) walk(bf, seen + file.getName).map(_ * a).orElse(Some(a))
+            // base ends the chain — a is then already vs-clean. The
+            // sub-walk is bound ONCE: re-walking it inside the dirty
+            // branch doubled per dirty link, i.e. 2^depth reads
+            // (review r20).
+            val sub =
+              if (bf.exists()) walk(bf, seen + file.getName) else None
+            val baseDirty = bf.exists() && ((try {
+              val (br, bp) = node(bf)
+              directlyStamped(br, bp)
+            } catch { case _: Throwable => false }) ||
+              sub.exists(_ > HostDriftBand))
+            if (baseDirty) sub.map(_ * a).orElse(Some(a))
             else Some(a)
           case (a, _) => a
         }
@@ -1245,8 +1260,16 @@ object Bench {
       // see [[effectiveAr]]); resolved from the same dirs loadBaseline
       // searched, so the name always resolves when a baseline did
       baselineEffAr = baseline.flatMap { case (bName, _, _, _) =>
-        Seq(new java.io.File(bName), new java.io.File("/root/repo", bName))
-          .find(_.exists())
+        // re-resolve in loadBaseline's own order (review r20): an
+        // explicit SPARK_GRAFT_BENCH_BASELINE override may live outside
+        // the two search dirs — resolving its BASENAME against them
+        // would walk a different file's chain (or silently drop the
+        // evidence); only fall back to the search dirs when no
+        // matching override is set
+        sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(new java.io.File(_))
+          .filter(f => f.exists() && f.getName == bName)
+          .orElse(Seq(new java.io.File(bName), new java.io.File("/root/repo", bName))
+            .find(_.exists()))
           .flatMap(effectiveAr)
           .filter(_ > HostDriftBand)
       }))

@@ -125,9 +125,20 @@ object IterCkpt {
             val current = sc.getCheckpointDir
             // re-push when the global dir is not one this conf value
             // minted (setCheckpointDir creates a random subdir of
-            // `dir`, so prefix-match, not equality)
+            // `dir`, so prefix-match, not equality). The stored value
+            // is the FS-QUALIFIED subdir path ("file:/…/<uuid>"), so
+            // the conf dir must be qualified the same way before
+            // comparing — a bare-path compare re-pushed (new UUID
+            // subdir) every round, and a qualified-prefix conf value
+            // could silently match a SIBLING dir ("…/ck" vs "…/ck-old")
+            // without the separator terminator (review r20).
+            val qualifiedPrefix = {
+              val p = new org.apache.hadoop.fs.Path(dir)
+              val q = p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+              if (q.endsWith("/")) q else q + "/"
+            }
             if (!pushedDir.contains(dir) ||
-                !current.exists(_.startsWith(dir))) {
+                !current.exists(_.startsWith(qualifiedPrefix))) {
               sc.setCheckpointDir(dir)
               pushedDir = Some(dir)
             }

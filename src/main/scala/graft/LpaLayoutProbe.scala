@@ -59,9 +59,9 @@ object LpaLayoutProbe {
     time("fused2")(llm.Dedup.labelPropagation(nodes, edges, iters = 5).count())
     // single-round executed plan UNDER THE REAL LAYOUT: pre-partitioned
     // persisted edges, one fused round
-    val undP = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .filter(col("a") =!= col("b")).distinct()
+    // the SHARED derivation, not an inline copy — the census must
+    // measure exactly the edge frame labelPropagation builds
+    val undP = llm.Dedup.undirectedEdges(edges)
       .repartition(col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     undP.count()
@@ -93,9 +93,7 @@ object LpaLayoutProbe {
     // additionally re-keys the EDGES by b every round).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     for (key <- Seq("a", "b")) {
-      val undK = edges.select(col("a"), col("b"))
-        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-        .filter(col("a") =!= col("b")).distinct()
+      val undK = llm.Dedup.undirectedEdges(edges)
         .repartition(col(key))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       undK.count()

@@ -267,19 +267,31 @@ object PlanAudit {
         // instead of re-executing (queries legitimately delete their
         // construction-time temp artifacts after collecting, so a
         // deferred re-run would read vanished files). Descend through
-        // metric-less 1:1 nodes (Project/Sort/WSCG/exchanges — every
-        // row-count-CHANGING operator carries the metric) to the first
-        // populated one.
+        // metric-less nodes to populated ones: 1:1 nodes (Project/
+        // Sort/WSCG/exchanges) pass their single child through, and a
+        // metric-less MULTI-child node (UnionExec — it concatenates,
+        // so it carries no numOutputRows) contributes the SUM of its
+        // children; any child without a reading poisons the total to
+        // None, which `bounded` fails closed (a first-child-only read
+        // under-counted unions — review r20).
         def outputRows(p: SparkPlan): Option[Long] = p match {
           case a: AdaptiveSparkPlanExec => outputRows(a.executedPlan)
           case q: QueryStageExec => outputRows(q.plan)
           case r: ReusedExchangeExec => outputRows(r.child)
           case other => other.metrics.get("numOutputRows").map(_.value)
-            .orElse(other.children.headOption.flatMap(outputRows))
+            .orElse {
+              val kids = other.children.map(outputRows)
+              if (kids.isEmpty || kids.exists(_.isEmpty)) None
+              else Some(kids.flatten.sum)
+            }
         }
         unwrap(qe.executedPlan) match {
           case c: CollectLimitExec => DriverFetch(fn, Some(c.limit.toLong), None)
           case t: TakeOrderedAndProjectExec => DriverFetch(fn, Some(t.limit.toLong), None)
+          // tail ships at most `limit` rows — charging the child's
+          // full count to a 5-row tail would false-positive the gate
+          case t: org.apache.spark.sql.execution.CollectTailExec =>
+            DriverFetch(fn, Some(t.limit.toLong), None)
           case other => DriverFetch(fn, None, outputRows(other))
         }
     }

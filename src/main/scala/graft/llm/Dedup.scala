@@ -1190,10 +1190,32 @@ object Dedup {
     val cat = spark.sessionState.catalog
     def exists(t: String) =
       cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    // recovery-side sweep fence (review r20, completing the ADVICE r19
+    // lease work): on a shared store, a fresh-catalog boot ELSEWHERE
+    // can have swept this crashed swap's candidate directory once its
+    // lease aged out (resolveCommittedCandidate keeps only the
+    // committed winner). The live swap paths abort via
+    // fenceSwapCandidate; the recovery paths must make the same check
+    // before mutating the catalog — renaming a swept location would
+    // "recover" a table that serves deleted files, silently (the
+    // commitSpecSidecar false return carries no alarm). A location
+    // that exists WITHOUT a sidecar stays recoverable: that is the
+    // pre-r19 layout, whose swaps recovery must still complete.
+    def fenceLocation(loc: java.net.URI, role: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) throw new IllegalStateException(
+        s"$role location $loc is gone — a candidate sweep on another driver " +
+          "reclaimed it (this swap's writer lease aged past " + SweepLeaseTtlConf +
+          " before recovery ran). The swept data was never the committed truth; " +
+          s"DROP the stale catalog entry and re-attach the committed candidate " +
+          "(GateOps.bootGateFromCandidates) or re-run compactIndex.")
+    }
     (exists(table), exists(s"${table}_compacting")) match {
       case (false, true) =>
         val newLoc = cat.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_compacting")).location
+        fenceLocation(newLoc, s"${table}_compacting candidate")
         spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
         // complete the sidecar commit the crashed swap never reached —
         // otherwise a LATER catalog loss would roll this recovery back
@@ -1206,6 +1228,11 @@ object Dedup {
       case (true, true) =>
         val oldLoc = cat.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+        // fence BEFORE the DROP: if the candidate was swept, the old
+        // committed table is still whole — abort with it serving
+        fenceLocation(cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_compacting")).location,
+          s"${table}_compacting candidate")
         spark.sql(s"DROP TABLE $table")
         spark.sql(s"ALTER TABLE ${table}_compacting RENAME TO $table")
         val newLoc = cat.getTableMetadata(
@@ -1216,9 +1243,14 @@ object Dedup {
       case (true, false) =>
         // a crash BETWEEN the rename and the sidecar flip leaves the
         // served location's sidecar uncommitted — finish the flip so
-        // the on-disk state agrees with the catalog's
+        // the on-disk state agrees with the catalog's. Fence first:
+        // in that same crash state the location is still an
+        // UNCOMMITTED candidate on disk, so a fresh-catalog boot
+        // elsewhere can have swept it — "noop" would then bless a
+        // table serving deleted files
         val loc = cat.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+        fenceLocation(loc, s"$table served")
         if (commitSpecSidecar(spark, loc.toString)) "committed" else "noop"
       case (false, false) =>
         throw new IllegalStateException(

@@ -857,8 +857,27 @@ object Similarity {
       .option("path", s"$path/assigned").saveAsTable(ivfPinnedTable(path))
     Dedup.writeSpecSidecar(spark, s"$path/assigned", nBuckets,
       Seq("cluster"), Seq("cluster", "vec_id"), epoch = epoch)
-    for (p <- prior if new org.apache.hadoop.fs.Path(p).getName != "assigned")
-      Dedup.deleteTableLocation(spark, new org.apache.hadoop.fs.Path(p).toUri)
+    // same writer-lease deferral as resolveCommittedCandidate's sweep
+    // (review r20): an uncommitted refit candidate with a fresh lease
+    // may be a LIVE writer mid-swap on another driver — deleting its
+    // directory here would destroy that writer's data (its own
+    // fenceSwapCandidate would then abort the zombie rename, but the
+    // refit work is lost). Skipped dirs resolve themselves: the
+    // build's sidecar outranks them by epoch, so the next candidate
+    // resolution (or the next build, once the lease ages out) reclaims
+    // them.
+    val ttl = Dedup.sweepLeaseTtlMs(spark)
+    for (p <- prior if new org.apache.hadoop.fs.Path(p).getName != "assigned") {
+      val possiblyLive =
+        Dedup.readSpecSidecarFull(spark, p).exists(!_.committed) &&
+          Dedup.leaseAgeMs(spark, p).exists(_ < ttl)
+      if (possiblyLive)
+        System.err.println(s"[graft] supersede sweep deferred: $p holds a fresh " +
+          "writer lease (possibly a live refit on another driver); the next " +
+          "resolution reclaims it once the lease ages out")
+      else
+        Dedup.deleteTableLocation(spark, new org.apache.hadoop.fs.Path(p).toUri)
+    }
   }
 
   /** The pinned family's candidate data dirs under an index root:

@@ -343,4 +343,34 @@ class BenchJsonSpec extends AnyFunSuite {
         "bea must spend zero line budget when the chain is clean")
     } finally Bench.deleteRecursively(dir.toString)
   }
+
+  test("effectiveAr honors the retroactive top-level host_drift stamp (r20)") {
+    // the OTHER stamp spelling: a round adjudicated loaded AFTER its
+    // artifact shipped carries "host_drift": true at the TOP level,
+    // wrapping a clean parsed block (BENCH_r16.json's real shape) —
+    // the chain walker must compound through it exactly like an
+    // in-line "hd" stamp, or the Scala publisher and the Python
+    // mirror disagree about the same chain.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bea_hd").toFile
+    def art(n: Int, base: Int, ar: Double, topStamp: Boolean): java.io.File = {
+      val f = new java.io.File(dir, f"BENCH_r$n%02d.json")
+      val parsed =
+        s"""{"metric":"total","value":1.0,"queries":{"q":1.0},
+           |"drift":{"base":"r$base%02d","ar":$ar,"dc":[1.0]}}"""
+          .stripMargin.replace("\n", "")
+      val doc =
+        if (topStamp) s"""{"host_drift":true,"parsed":$parsed}""" else parsed
+      java.nio.file.Files.write(f.toPath, doc.getBytes("UTF-8"))
+      f
+    }
+    try {
+      art(4, 3, 1.5, topStamp = true) // r03 absent → chain end
+      val r5 = art(5, 4, 1.1, topStamp = false)
+      assert(Bench.isHostDrift(new java.io.File(dir, "BENCH_r04.json")),
+        "fixture: the top-level stamp must read as host drift")
+      assert(Bench.effectiveAr(r5).exists(v => math.abs(v - 1.65) < 1e-9),
+        s"r05 must compound 1.1 x 1.5 through the top-level-stamped r04: " +
+          s"${Bench.effectiveAr(r5)}")
+    } finally Bench.deleteRecursively(dir.toString)
+  }
 }

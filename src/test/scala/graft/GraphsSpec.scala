@@ -89,6 +89,17 @@ class GraphsSpec extends SparkSpec {
           .map(f => if (f.isDirectory) rddFiles(f) else 1).sum
       assert(rddFiles(new java.io.File(ckptDir)) > 0,
         "reliable mode must write checkpoint files")
+      // re-pin stability (review r20): setCheckpointDir mints a fresh
+      // UUID subdir each push, and it stores the FS-QUALIFIED subdir
+      // path — a bare-path prefix compare in IterCkpt's re-verify read
+      // as "foreign dir" every round and re-pushed per reliable
+      // checkpoint. All four loops above share this conf value, so
+      // exactly ONE minted subdir proves the pin held.
+      val minted = Option(new java.io.File(ckptDir).listFiles()).toSeq.flatten
+        .count(_.isDirectory)
+      assert(minted === 1,
+        s"setCheckpointDir minted $minted UUID subdirs across the reliable " +
+          "rounds — the qualified-path re-pin is re-pushing every round")
     } finally spark.conf.unset(graft.IterCkpt.ConfKey)
   }
 

@@ -1359,6 +1359,74 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("recoverCompact refuses a swept candidate location (r20)") {
+    // review r20, completing the ADVICE r19 lease work on the RECOVERY
+    // side: a fresh-catalog boot elsewhere can sweep a crashed swap's
+    // candidate dir once its lease ages out — recovery on the
+    // surviving catalog must then abort LOUDLY, never rename the
+    // catalog onto deleted files (the commitSpecSidecar false return
+    // carried no alarm).
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val path = tempDir("graft_compact_swept")
+    Dedup.buildHashIndex(corpus, spark, "sw_idx", s"$path/v0")
+    val delta = Dedup.incrementalExactDelta(corpus)
+    val expected = Dedup.probeHashIndex(delta, spark, "sw_idx")
+      .orderBy("doc_id").collect().toSeq
+    try {
+      // state (table, _compacting) both registered, candidate SWEPT:
+      // the fence fires BEFORE the DROP, so the committed table keeps
+      // serving after the abort
+      Dedup.compactWrite(spark, "sw_idx", s"$path/v1")
+      Bench.deleteRecursively(s"$path/v1") // the other boot's sweep
+      val e1 = intercept[IllegalStateException](Dedup.recoverCompact(spark, "sw_idx"))
+      assert(e1.getMessage.contains("reclaimed"), e1.getMessage)
+      assert(Dedup.probeHashIndex(delta, spark, "sw_idx")
+        .orderBy("doc_id").collect().toSeq === expected,
+        "the committed table must keep serving after the fenced abort")
+      // state _compacting alone (crash between DROP and RENAME),
+      // candidate swept: the rename must refuse too
+      spark.sql("DROP TABLE sw_idx")
+      val e2 = intercept[IllegalStateException](Dedup.recoverCompact(spark, "sw_idx"))
+      assert(e2.getMessage.contains("reclaimed"), e2.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sw_idx")
+      spark.sql("DROP TABLE IF EXISTS sw_idx_compacting")
+      Bench.deleteRecursively(path)
+    }
+  }
+
+  test("buildIvfIndexPinned supersede sweep defers to a fresh writer lease (r20)") {
+    // review r20: the rebuild's supersede sweep deleted
+    // assigned_refit_* dirs unconditionally — the same
+    // possibly-live-writer hazard resolveCommittedCandidate's sweep
+    // already defers on. A fresh-leased uncommitted candidate
+    // survives the rebuild; a stale-leased one is reclaimed.
+    val emb = Tables.embeddings(spark, sf("sf0.001")).filter(col("vec_id") < 200)
+    val path = tempDir("ivf_sweep_lease")
+    val tbl = Similarity.ivfPinnedTable(path)
+    try {
+      Similarity.buildIvfIndexPinned(emb, path)
+      val cand = s"$path/assigned_refit_live"
+      new java.io.File(cand).mkdirs()
+      Dedup.writeSpecSidecar(spark, cand, 8,
+        Seq("cluster"), Seq("cluster", "vec_id"), epoch = 1L, committed = false)
+      Similarity.buildIvfIndexPinned(emb, path)
+      assert(new java.io.File(cand).exists(),
+        "a fresh-leased refit candidate must survive the rebuild sweep " +
+          "(possibly a live writer on another driver)")
+      val lease = new java.io.File(cand, Dedup.LeaseSidecar)
+      assert(lease.exists() && lease.setLastModified(
+        System.currentTimeMillis() - 2L * Dedup.SweepLeaseTtlDefaultMs))
+      Similarity.buildIvfIndexPinned(emb, path)
+      assert(!new java.io.File(cand).exists(),
+        "a stale-leased candidate must be reclaimed by the next rebuild")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      Bench.deleteRecursively(path)
+    }
+  }
+
   test("sidecar swap-commit protocol: strict reads, epoch resolution, backfill, and the committed recovery state (r19)") {
     // VERDICT r18 tasks 1 + 3 and ADVICE r18, unit level. The sidecar
     // now carries (epoch, committed); this pins each protocol rule in

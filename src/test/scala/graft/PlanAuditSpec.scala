@@ -485,6 +485,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(limited.exists(f => f.planLimit.contains(10L) && f.bounded(Budget)),
       s"a CollectLimit fetch must classify as plan-bounded: $limited")
 
+    // measurement soundness (review r20): a metric-less MULTI-child
+    // root must charge the SUM of its children — the first-child-only
+    // descent let a collected union hide every row after child one
+    // (two 3k-row sides read as 3k, passing a 4k budget on a 6k
+    // fetch). UnionExec carries no numOutputRows, so this exercises
+    // the multi-child path for real.
+    val li = Tables.lineitem(spark, gateDir).select(col("l_orderkey"))
+    val nAll = li.count()
+    val (_, unioned) = PlanAudit.auditDriverFetches(spark) {
+      li.filter(col("l_orderkey") % 2 === 0)
+        .union(li.filter(col("l_orderkey") % 2 =!= 0)).collect()
+    }
+    val uf = unioned.filter(_.funcName == "collect")
+    assert(uf.exists(f => f.planLimit.isEmpty && f.rows.contains(nAll)),
+      s"a collected union must measure the sum of its children ($nAll rows): $uf")
+    // ...and tail is plan-bounded by its limit, not charged the
+    // child's full count (the inverse false positive)
+    val (_, tailed) = PlanAudit.auditDriverFetches(spark) { li.tail(5); () }
+    assert(tailed.exists(f =>
+      f.funcName == "tail" && f.planLimit.contains(5L) && f.bounded(Budget)),
+      s"tail(5) must classify as plan-bounded: $tailed")
+
     // the gate: EVERY declared query's construction stays under budget
     // (construction is where the driver loops live — checkpoint
     // materializations, threshold selections, rerank loops; the

@@ -167,7 +167,12 @@ def pass_report(name, pw, passes):
     # errored rep per query.
     n_all = len(q_passes)
     max_qp = max((len(ps) for ps in q_passes.values()), default=0)
-    n_fast = sum(1 for ps in q_passes.values() if len(ps) >= max_qp - 1)
+    # the one-errored-rep tolerance only makes sense when a query has
+    # >2 passes to be missing from — at max_qp == 2 (Reps=1 plus one
+    # fast pass) "max_qp - 1" admits every base-only query, collapsing
+    # n_fast to n_all and misfiling the genuine fast pass as base
+    fast_floor = max_qp - 1 if max_qp > 2 else max_qp
+    n_fast = sum(1 for ps in q_passes.values() if len(ps) >= fast_floor)
 
     def membership(label):
         p = pass_idx(label)
@@ -251,14 +256,19 @@ def effective_ar(path, seen=None):
             return ar
         with open(sib) as f:
             sdoc = json.load(f)
-        sp = sdoc.get("parsed", sdoc) if isinstance(sdoc, dict) else {}
+        if not isinstance(sdoc, dict):
+            sdoc = {}
+        # "parsed": null is a real artifact shape (the tail-overflow
+        # rounds, e.g. BENCH_r07.json) — get(key, default) returns the
+        # null, not the default, so guard the VALUE's type
+        sp = sdoc["parsed"] if isinstance(sdoc.get("parsed"), dict) else sdoc
         sub = effective_ar(sib, seen | {base})
         stamped = bool(sdoc.get("host_drift")) or "hd" in sp
         dirty = stamped or (isinstance(sub, (int, float)) and sub > HOST_DRIFT_BAND)
         if dirty and isinstance(sub, (int, float)):
             return ar * sub
         return ar
-    except (OSError, json.JSONDecodeError, ValueError):
+    except (OSError, json.JSONDecodeError, ValueError, TypeError):
         return None
 
 
