@@ -379,12 +379,19 @@ object Bench {
     * (never throws). */
   private[graft] def effectiveAr(f: java.io.File): Option[Double] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    def node(file: java.io.File) = {
-      val root = om.readTree(file)
-      val parsed =
-        if (root.has("parsed") && root.get("parsed").isObject) root.get("parsed") else root
-      (root, parsed)
-    }
+    // memoized per walk: each chain link consults its base twice (the
+    // stamp check here, the drift block inside the recursive walk) —
+    // one Jackson parse per file, not two (review r20)
+    val parsedCache = scala.collection.mutable.Map.empty[
+      String, (com.fasterxml.jackson.databind.JsonNode,
+        com.fasterxml.jackson.databind.JsonNode)]
+    def node(file: java.io.File) =
+      parsedCache.getOrElseUpdate(file.getAbsolutePath, {
+        val root = om.readTree(file)
+        val parsed =
+          if (root.has("parsed") && root.get("parsed").isObject) root.get("parsed") else root
+        (root, parsed)
+      })
     // both stamp spellings (review r20): the compact line's own "hd"
     // lives in the parsed block, but a RETROACTIVE adjudication lands
     // as a top-level "host_drift" wrapper key (BENCH_r16.json) —

@@ -310,8 +310,12 @@ class BenchJsonSpec extends AnyFunSuite {
     def art(n: Int, base: Int, ar: Double, hd: Boolean): java.io.File = {
       val f = new java.io.File(dir, f"BENCH_r$n%02d.json")
       val hdJson = if (hd) s""""hd":1,""" else ""
+      // f-interpolator: under s"" the %02d is literal and the base
+      // lands as "r4%02d" — the walker's lenient regex happened to
+      // still extract the digits, leaving the pin one regex-tightening
+      // away from vacuous (review r20)
       java.nio.file.Files.write(f.toPath,
-        s"""{"metric":"total","value":1.0,"queries":{"q":1.0},$hdJson
+        f"""{"metric":"total","value":1.0,"queries":{"q":1.0},$hdJson
            |"drift":{"base":"r$base%02d","ar":$ar,"dc":[1.0]}}"""
           .stripMargin.replace("\n", "").getBytes("UTF-8"))
       f
@@ -355,7 +359,7 @@ class BenchJsonSpec extends AnyFunSuite {
     def art(n: Int, base: Int, ar: Double, topStamp: Boolean): java.io.File = {
       val f = new java.io.File(dir, f"BENCH_r$n%02d.json")
       val parsed =
-        s"""{"metric":"total","value":1.0,"queries":{"q":1.0},
+        f"""{"metric":"total","value":1.0,"queries":{"q":1.0},
            |"drift":{"base":"r$base%02d","ar":$ar,"dc":[1.0]}}"""
           .stripMargin.replace("\n", "")
       val doc =
