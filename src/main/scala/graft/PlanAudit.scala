@@ -341,17 +341,10 @@ object PlanAudit {
       llm.TextAnalysis.subwordStats(docs, Seq("a", "b", "ab", "the"), 6))
     audit("sourceOverlapSketch", llm.Curation.sourceOverlapSketch(docs))
     audit("stripContaminated", llm.Curation.stripContaminated(docs, col("doc_id") % 7 === 0))
-    audit("sourceOverlapExact", {
-      // un-checkpointed core of sourceOverlap (the public API checkpoints)
-      val tok = docs.select(col("source"),
-          explode(split(col("text"), " ")).as("t"))
-        .select(col("source"),
-          conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("tok_h"))
-        .distinct()
-      tok.as("a").join(tok.as("b"),
-          col("a.tok_h") === col("b.tok_h") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source"), col("b.source")).agg(count(lit(1)))
-    })
+    // un-checkpointed core of sourceOverlap — the SHARED plan variant,
+    // not an inline copy (r20: the old inline block silently kept the
+    // retired self-join shape after the one-grouped-pass rewrite)
+    audit("sourceOverlapExact", llm.Curation.sourceOverlapPlan(docs))
     // round-9 ops tier: the merge rewrite is delta ∪ (base ANTI delta)
     // — the anti join must broadcast the delta (small side), and the
     // skew profile is one keyed count + a broadcast totals row

@@ -953,26 +953,57 @@ object Curation {
     * sources (millions) use `sourceOverlapSketch`. Pairs with empty
     * intersection are omitted (inner-join semantics, both engines). */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("source"), explode(split(col("text"), " ")).as("t"))
-      .select(col("source"), fp60(col("t")).as("tok_h"))
-      .distinct()
+    val perTok = perTokenSources(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = tok.groupBy(col("source")).agg(count(lit(1)).as("v"))
-    val pairs = tok.as("a")
-      .join(tok.as("b"),
-        col("a.tok_h") === col("b.tok_h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val out = sourceOverlapFrom(perTok).localCheckpoint()
+    perTok.unpersist()
+    out
+  }
+
+  /** Un-persisted, un-checkpointed overlap PLAN (the decontaminatePlan
+    * convention): shared by the PlanAudit probe so the audited shape
+    * can never drift from the shipped one. */
+  private[graft] def sourceOverlapPlan(docs: DataFrame): DataFrame =
+    sourceOverlapFrom(perTokenSources(docs))
+
+  /** One grouped pass: (tok_h, sorted distinct source list). r20
+    * (optimization round, guide §2.3/§2.4): the former shape paid
+    * THREE corpus-sized exchanges — a (source, tok_h) distinct, then
+    * the tok ⋈ tok self-join on tok_h re-shuffled the distinct frame
+    * on BOTH sides (plus SMJ sorts in the non-broadcast regime). This
+    * pays ONE: collect_set dedups (source, token) inside the partial
+    * aggregation buffers (map-side), and the per-token ≤ S sorted
+    * source list leaves the single tok_h exchange. */
+  private def perTokenSources(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    .select(col("source"), fp60(col("t")).as("tok_h"))
+    .groupBy(col("tok_h"))
+    .agg(sort_array(collect_set(col("source"))).as("ss"))
+
+  /** Pair generation + Jaccard tail over [[perTokenSources]]: the
+    * C(S,2) ordered pairs are generated MAP-SIDE by higher-order array
+    * expressions (src_a < src_b exactly as the retired join predicate
+    * ordered them), counted by a tiny pair-keyed aggregate; per-source
+    * vocabulary sizes fall out of the same aggregated frame (explode +
+    * a source-keyed count). Identical rows to the r19 self-join form:
+    * same oracle SQL, CurationSpec/PropertySpec brute-force
+    * cross-checks unchanged. */
+  private def sourceOverlapFrom(perTok: DataFrame): DataFrame = {
+    val sizes = perTok.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val pairs = perTok
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss) - i - 1), " +
+          "y -> named_struct('src_a', x, 'src_b', y))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).cast("long").as("n_shared"))
-    val out = pairs
+    pairs
       .join(sizes.select(col("source").as("src_a"), col("v").as("va")), "src_a")
       .join(sizes.select(col("source").as("src_b"), col("v").as("vb")), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
         (round(col("n_shared") / (col("va") + col("vb") - col("n_shared")), 6) + lit(0.0))
           .as("jaccard"))
-      .localCheckpoint()
-    tok.unpersist()
-    out
   }
 
   /** Sketch tier of `sourceOverlap`: per-source k-component minhash

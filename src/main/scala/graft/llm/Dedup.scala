@@ -444,8 +444,11 @@ object Dedup {
     val bandStructs = SimHashCombos.zipWithIndex.map { case (combo, ti) =>
       struct(lit(ti).as("band_idx"), comboKey(col("simhash"), combo).as("band_bits"))
     }
-    sh.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_bits"))
+    // carries the 8-byte signature alongside the band key (r20):
+    // simhashPairsFrom verifies straight off the candidate join with
+    // it; key-only consumers (occupancy diagnostics) simply ignore it
+    sh.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_bits"))
   }
 
   /** Simhash table buckets holding more than `bound` docs — the
@@ -505,16 +508,26 @@ object Dedup {
 
   private def simhashPairsFrom(
       sh: DataFrame, banded: DataFrame, maxHamming: Int): DataFrame = {
+    // r20 (optimization round, guide §8 inverted): the verify payload
+    // here is ONE 8-byte long per side, not a token array — so it
+    // rides THROUGH the band self-join (+8 B per 12-byte band row)
+    // instead of being joined back per side, which removes both
+    // signature join-backs (two joins + their exchanges in the
+    // non-broadcast regime) from the plan. The distinct's key widens
+    // by the two hashes, but they are functionally determined by the
+    // ids, so the candidate cardinality — and every emitted pair — is
+    // unchanged (same oracle; PlanAuditSpec's shuffle-record gate
+    // strictly drops). Contrast nearDupPairsFrom, where the verify
+    // needs full token ARRAYS and the join-back is the right trade.
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_bits") === col("b.band_bits") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("ha")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("hb")), "id_b")
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
@@ -3493,13 +3506,21 @@ object Dedup {
     require(edgeLayoutKey == "a" || edgeLayoutKey == "b",
       s"edgeLayoutKey must be \"a\" (broadcast regime) or \"b\" " +
         s"(non-broadcast regime), got $edgeLayoutKey")
-    val und = undirectedEdges(edges).repartition(col(edgeLayoutKey))
+    // r20 (optimization round): rogue edges whose b-endpoint is not a
+    // node are dropped ONCE here — the per-round labels join used to
+    // drop them implicitly (labels only ever covered nodes), and the
+    // winners-only rounds below need the guarantee explicitly so a
+    // non-node endpoint can never leak a label into round 2+. One
+    // setup-time semi-join (broadcast-class: the node-id side), never
+    // per round; a no-op when edge endpoints ⊆ nodes (every caller in
+    // this repo).
+    val und = undirectedEdges(edges)
+      .join(nodes.select(col("id").as("b")), Seq("b"), "left_semi")
+      .repartition(col(edgeLayoutKey))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
-    // the node frame is the left side of every round's coalesce join —
-    // pre-partition it on id once and each round's SMJ reuses the
-    // layout on BOTH sides (winners arrive hash(a), alias-propagated
-    // to id): a round runs with zero shuffles in the broadcast regime
+    // the node frame seeds the self-labels and is the left side of the
+    // single FINAL coalesce join — pre-partition it on id once
     val nodesP = nodes.select(col("id")).repartition(col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     nodesP.count()
@@ -3516,14 +3537,38 @@ object Dedup {
     // stage-by-stage) plus a doubled unrolled plan to analyze, which
     // costs more than one job launch saves. The question is closed in
     // PLANS.md r16; the knob stays for the record.
+    // r20 (optimization round, guide §2.4 — remove per-iteration work):
+    // rounds propagate the WINNERS frame directly instead of the full
+    // coalesced label table. Every label the NEXT round's join reads is
+    // keyed by an edge endpoint b, and every endpoint has degree ≥ 1 in
+    // the symmetric `und` (its reverse row makes it an `a`), so it is
+    // in the winners of every round — the per-round coalesce-to-self
+    // join against the node table only ever filled labels no round
+    // reads (isolated nodes keep their self-label forever). The node
+    // attach therefore runs ONCE after the last round; each round
+    // materializes one join + one fused aggregate, and the checkpointed
+    // frame shrinks to the degree ≥ 1 nodes. Identical labels out
+    // (oracle-pinned; LlmSpec/GraphsSpec unchanged): lpaRound — the
+    // probe-facing one-full-round shape — is winners + the same attach.
     for (i <- 1 to iters) {
-      labels = lpaRound(und, nodesP, labels)
-      if (i % checkpointEvery == 0 || i == iters)
+      labels = lpaWinners(und, labels)
+      if (i != iters && i % checkpointEvery == 0)
         labels = graft.IterCkpt.truncate(labels, i)
     }
+    // final attach: isolated nodes coalesce to self, ONCE. The last
+    // round's truncation moves onto the attached frame, so the call
+    // still materializes exactly `iters / checkpointEvery` frames, the
+    // returned frame stays a bare checkpoint scan (the durability
+    // contract GraphsSpec pins: under the reliable policy the caller
+    // holds a recoverable artifact, not a lazy re-derivation), and the
+    // checkpointed volume of the final round is unchanged from r19
+    // (node-sized, attached). nodesP is still cached here — truncation
+    // is eager, so the attach join reuses the hash(id) layout before
+    // the unpersists below.
+    val out = graft.IterCkpt.truncate(attachIsolated(nodesP, labels), iters)
     und.unpersist()
     nodesP.unpersist()
-    labels
+    out
   }
 
   /** Per-round changed-label counts of [[labelPropagation]] — the
@@ -3630,15 +3675,29 @@ object Dedup {
     * aggregation (the one exchange) — see LabelMode's scaladoc for the
     * hub-degree buffer bound this trades for. */
   private[graft] def lpaRound(
-      und: DataFrame, nodes: DataFrame, labels: DataFrame): DataFrame = {
-    val winners = und
+      und: DataFrame, nodes: DataFrame, labels: DataFrame): DataFrame =
+    attachIsolated(nodes, lpaWinners(und, labels))
+
+  /** The round's propagation core — winners only (degree ≥ 1 nodes),
+    * keyed `id`. [[labelPropagation]] iterates THIS frame (r20: the
+    * per-round coalesce join against the node table filled labels no
+    * round ever read — every join key b has degree ≥ 1, so b is always
+    * in the previous round's winners) and attaches isolated nodes
+    * once at the end; [[lpaRound]] remains the one-full-round shape
+    * the layout census probes. */
+  private[graft] def lpaWinners(und: DataFrame, labels: DataFrame): DataFrame =
+    und
       .join(labels.select(col("id").as("b"), col("label")), "b")
       .groupBy(col("a"))
       .agg(graft.functions.label_mode(col("label")).as("label"))
+      .withColumnRenamed("a", "id")
+
+  /** Left-coalesce `winners` onto the node table: nodes without a
+    * winner row (isolated — degree 0) keep their self-label. */
+  private[graft] def attachIsolated(nodes: DataFrame, winners: DataFrame): DataFrame =
     nodes.select(col("id"))
-      .join(winners.withColumnRenamed("a", "id"), Seq("id"), "left")
+      .join(winners, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-  }
 
   /** ONE un-checkpointed LPA round from the initial self-labels
     * (VERDICT r13 task 1 family): [[labelPropagation]] materializes
