@@ -1382,42 +1382,46 @@ object Curation {
   private[graft] def refreshDeltaDocs(
       docs: DataFrame, evalFrom: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
-    d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      .unionByName(d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(col("text"), lit(" appended revision")).as("text")))
-      .unionByName(d.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(lit("completely novel refresh payload item "),
-            col("doc_id").cast("string")).as("text")))
-      .unionByName(d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 4000000L).as("doc_id"),
-          concat(lit("paraphrase of document "), col("doc_id").cast("string"),
-            lit(" with wholly fresh wording")).as("text")))
-      .unionByName(d.as("dd").filter(col("dd.doc_id") % 17 === 0)
-        .join(evalFrom.select(col("doc_id"), col("text")).as("ee"),
-          col("ee.doc_id") === (col("dd.doc_id") % 8) * 7)
-        .select((col("dd.doc_id") + 5000000L).as("doc_id"),
-          concat(array_join(slice(split(col("ee.text"), " "), 1, 8), " "),
-            lit(" wholly disjoint tail "),
-            col("dd.doc_id").cast("string")).as("text")))
-      .unionByName(d.filter(col("doc_id") % 19 === 0)
-        .select((col("doc_id") + 6000000L).as("doc_id"),
-          concat(lit("tiny doc "), col("doc_id").cast("string")).as("text")))
-      // %23 → +7M AND +8M: the SAME novel text under two batch ids —
-      // the intra-batch duplicate slice (VERDICT r16 task 5). Neither
-      // copy exists in any standing index, so only cascade stage 0
-      // (batch-local exact dedup) can catch the pair: +7M is the
-      // min-id victor (→ train, admitted), +8M reads exact_dup of it.
-      .unionByName(d.filter(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + 7000000L).as("doc_id"),
-          concat(lit("intra batch duplicate payload "),
-            col("doc_id").cast("string")).as("text")))
-      .unionByName(d.filter(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + 8000000L).as("doc_id"),
-          concat(lit("intra batch duplicate payload "),
-            col("doc_id").cast("string")).as("text")))
+    // r20 (optimization round): the seven join-free slices are ONE
+    // scan + explode instead of seven unioned scan legs — the old
+    // union scheduled 8 × shuffle-partitions task legs per
+    // materialization of a row set this small (measured 0.74 s of the
+    // headline fixture's 1.9 s forced time was this derivation alone).
+    // Identical rows out (same oracle SQL); stateless projections, so
+    // the streaming form is unchanged. Only the eval-leak slice keeps
+    // its own branch (it joins the eval text in).
+    def payload(cond: Column, off: Long, t: Column) =
+      when(cond, struct(lit(off).as("off"), t.as("t")))
+    val idStr = col("doc_id").cast("string")
+    val nonJoin = d.select(col("doc_id"), explode(filter(array(
+        payload(col("doc_id") % 5 === 0, 1000000L, col("text")),
+        payload(col("doc_id") % 7 === 0, 2000000L,
+          concat(col("text"), lit(" appended revision"))),
+        payload(col("doc_id") % 11 === 0, 3000000L,
+          concat(lit("completely novel refresh payload item "), idStr)),
+        payload(col("doc_id") % 13 === 0, 4000000L,
+          concat(lit("paraphrase of document "), idStr,
+            lit(" with wholly fresh wording"))),
+        payload(col("doc_id") % 19 === 0, 6000000L,
+          concat(lit("tiny doc "), idStr)),
+        // %23 → +7M AND +8M: the SAME novel text under two batch ids —
+        // the intra-batch duplicate slice (VERDICT r16 task 5). Neither
+        // copy exists in any standing index, so only cascade stage 0
+        // (batch-local exact dedup) can catch the pair: +7M is the
+        // min-id victor (→ train, admitted), +8M reads exact_dup of it.
+        payload(col("doc_id") % 23 === 0, 7000000L,
+          concat(lit("intra batch duplicate payload "), idStr)),
+        payload(col("doc_id") % 23 === 0, 8000000L,
+          concat(lit("intra batch duplicate payload "), idStr))),
+      v => v.isNotNull)).as("v"))
+      .select((col("doc_id") + col("v.off")).as("doc_id"), col("v.t").as("text"))
+    nonJoin.unionByName(d.as("dd").filter(col("dd.doc_id") % 17 === 0)
+      .join(evalFrom.select(col("doc_id"), col("text")).as("ee"),
+        col("ee.doc_id") === (col("dd.doc_id") % 8) * 7)
+      .select((col("dd.doc_id") + 5000000L).as("doc_id"),
+        concat(array_join(slice(split(col("ee.text"), " "), 1, 8), " "),
+          lit(" wholly disjoint tail "),
+          col("dd.doc_id").cast("string")).as("text")))
   }
 
   /** The refresh batch's EMBEDDING side, id-aligned with
@@ -1430,19 +1434,23 @@ object Curation {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     def rot = transform(col("v"), (_, i) =>
       element_at(col("v"), ((i + lit(7)) % lit(Similarity.Dim)) + 1))
+    // one scan + explode instead of eight unioned scan legs (r20 — the
+    // refreshDeltaDocs rationale; rows identical, order-free)
     def slice(m: Int, off: Long, vcol: Column) =
-      e.filter(col("vec_id") % m === 0)
-        .select((col("vec_id") + off).as("vec_id"), vcol.as("v"))
-    slice(5, 1000000L, col("v"))
-      .unionByName(slice(7, 2000000L, col("v")))
-      .unionByName(slice(11, 3000000L, rot))
-      .unionByName(slice(13, 4000000L, col("v")))
-      .unionByName(slice(17, 5000000L, rot))
-      .unionByName(slice(19, 6000000L, rot))
-      // the intra-batch twins carry rotations (not semantic dups of
-      // any corpus vector — stage 0 must be the ONLY tier that fires)
-      .unionByName(slice(23, 7000000L, rot))
-      .unionByName(slice(23, 8000000L, rot))
+      when(col("vec_id") % m === 0, struct(lit(off).as("off"), vcol.as("sv")))
+    e.select(col("vec_id"), explode(filter(array(
+        slice(5, 1000000L, col("v")),
+        slice(7, 2000000L, col("v")),
+        slice(11, 3000000L, rot),
+        slice(13, 4000000L, col("v")),
+        slice(17, 5000000L, rot),
+        slice(19, 6000000L, rot),
+        // the intra-batch twins carry rotations (not semantic dups of
+        // any corpus vector — stage 0 must be the ONLY tier that fires)
+        slice(23, 7000000L, rot),
+        slice(23, 8000000L, rot)),
+      x => x.isNotNull)).as("s"))
+      .select((col("vec_id") + col("s.off")).as("vec_id"), col("s.sv").as("v"))
   }
 
   /** Oracle for [[incrementalRefresh]] over the declared fixtures —

@@ -3649,10 +3649,15 @@ object Dedup {
     * bridge 2-3) — shared by the query, the probe, and the spec. */
   private[graft] def lpaFixture(docs: DataFrame): (DataFrame, DataFrame) = {
     def off(k: Int) = col("doc_id") + (k * 1000000L)
-    val nodes = (0 to 5).map(k => docs.select(off(k).as("id"))).reduce(_ unionByName _)
-    val edges = Seq((0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3))
-      .map { case (i, j) => docs.select(off(i).as("a"), off(j).as("b")) }
-      .reduce(_ unionByName _)
+    // one scan + explode per frame instead of 6 + 7 unioned scan legs
+    // (r20, the refreshDeltaDocs rationale: a union schedules one
+    // task-leg per branch per materialization); rows identical
+    val nodes = docs.select(
+      explode(array((0 to 5).map(off): _*)).as("id"))
+    val edges = docs.select(
+      explode(array(Seq((0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3))
+        .map { case (i, j) => struct(off(i).as("a"), off(j).as("b")) }: _*)).as("e"))
+      .select(col("e.a"), col("e.b"))
     (nodes, edges)
   }
 
