@@ -48,6 +48,17 @@ object PlanDump {
         Tables.documents(spark, sfDir).select(col("doc_id")))
       llm.Dedup.lpaWinners(llm.Dedup.undirectedEdges(edges),
         nodes.select(col("id"), col("id").as("label")))
+    }),
+    // the iterative tier's shared edge-layout setup (bfs/sssp/kcore/
+    // cc/lpa/pagerank): r20 folds the symmetric-edge dedup onto the
+    // layout exchange — repartition(a) THEN distinct, one exchange
+    "graph_bfs_hops" -> (() => {
+      val (_, edges) = llm.Dedup.lpaFixture(
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+      edges.select(col("a"), col("b"))
+        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("a"))
+        .distinct()
     }))
 
   /** r19-shape replicas of the cores CHANGED by the r20 optimization
@@ -113,6 +124,15 @@ object PlanDump {
         Tables.documents(spark, sfDir).select(col("doc_id")))
       llm.Dedup.lpaRound(llm.Dedup.undirectedEdges(edges), nodes,
         nodes.select(col("id"), col("id").as("label")))
+    }),
+    // r19 edge-layout setup: distinct THEN repartition — two exchanges
+    "graph_bfs_hops" -> (() => {
+      val (_, edges) = llm.Dedup.lpaFixture(
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+      edges.select(col("a"), col("b"))
+        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .repartition(col("a"))
     }))
 
   def main(args: Array[String]): Unit = {

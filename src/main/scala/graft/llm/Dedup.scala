@@ -3187,8 +3187,8 @@ object Dedup {
       nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
       .repartition(col("a")) // one-layout rule: every round joins on a (r19)
+      .distinct() // dedup rides the layout exchange (r20)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = graft.IterCkpt.truncate(
       nodes.select(col("id"), col("id").as("label")), 0)
@@ -3355,9 +3355,22 @@ object Dedup {
   def pageRank(
       nodes: DataFrame, edges: DataFrame,
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    // ONE layout exchange for the whole setup (r20): repartition the
+    // raw symmetric rows by a FIRST — the dedup aggregate, the degree
+    // aggregate, AND the deg join all reuse hash(a) (each requires
+    // clustering by a or (a, b), which hash(a) satisfies), where the
+    // r19 shape paid distinct + degree + repartition exchanges. Note
+    // pageRank keeps self-loops out implicitly like before: a
+    // self-loop contributes to its own rank exactly as it did (the
+    // r19 distinct had no a≠b filter here), so rows are identical.
+    // persisted across the setup only: the deg side of the undDeg join
+    // would otherwise re-derive the union+repartition inside the one
+    // materializing job (released right after undDeg.count())
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     // persist the DEGREE-ANNOTATED edge frame, pre-partitioned on the
     // join key (r19, the LPA one-layout discipline): the old code
@@ -3365,9 +3378,10 @@ object Dedup {
     // re-ran the degree aggregate AND the deg join from the cache —
     // per-round work that never changes. One layout, built once, all
     // `iters` rounds stream it.
-    val undDeg = und.join(deg, "a").repartition(col("a"))
+    val undDeg = und.join(deg, "a")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     undDeg.count()
+    und.unpersist()
     val ids = nodes.select(col("id"))
     val n = ids.count().toDouble
     var ranks = graft.IterCkpt.truncate(
@@ -3514,9 +3528,16 @@ object Dedup {
     // setup-time semi-join (broadcast-class: the node-id side), never
     // per round; a no-op when edge endpoints ⊆ nodes (every caller in
     // this repo).
-    val und = undirectedEdges(edges)
+    // the dedup rides the layout exchange (r20): repartition FIRST,
+    // then distinct — hash(edgeLayoutKey) clusters every (a, b) group
+    // into one partition, so the dedup aggregate reuses the layout
+    // instead of paying its own (a, b) exchange; the setup shuffles the
+    // raw symmetric rows once instead of distinct-then-repartition
+    // twice. Same rows, same cached layout.
+    val und = undirectedRaw(edges)
       .join(nodes.select(col("id").as("b")), Seq("b"), "left_semi")
       .repartition(col(edgeLayoutKey))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
     // the node frame seeds the self-labels and is the left side of the
@@ -3582,8 +3603,9 @@ object Dedup {
       nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    // same one-layout discipline as labelPropagation (r19)
-    val und = undirectedEdges(edges).repartition(col("a"))
+    // same one-layout discipline as labelPropagation (r19); dedup on
+    // the layout exchange (r20)
+    val und = undirectedRaw(edges).repartition(col("a")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
     val nodesP = nodes.select(col("id")).repartition(col("id"))
@@ -3662,9 +3684,16 @@ object Dedup {
   }
 
   private[graft] def undirectedEdges(edges: DataFrame): DataFrame =
+    undirectedRaw(edges).distinct()
+
+  /** The symmetric pre-distinct edge rows — split out (r20) so callers
+    * that immediately re-key can ride the dedup on their layout
+    * exchange (repartition(key).distinct(): hash(key) satisfies the
+    * dedup's clustering requirement, one exchange instead of two). */
+  private[graft] def undirectedRaw(edges: DataFrame): DataFrame =
     edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b"))
 
   /** One synchronous LPA round: per-node most-frequent neighbor label
     * with the (c desc, label asc) tiebreak, coalesce to self.

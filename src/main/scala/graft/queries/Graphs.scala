@@ -35,8 +35,11 @@ object Graphs {
     // in the big-frontier (SMJ) regime only the frontier side shuffles
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+      // dedup rides the layout exchange (r20): hash(a) clusters every
+      // (a, b) group into one partition, so repartition-then-distinct
+      // pays ONE exchange where distinct-then-repartition paid two
       .repartition(col("a"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count() // materialize once; every round reuses the shuffle-free cache
     var dist = IterCkpt.truncate(seeds.select(col("id"), lit(0L).as("hop")).distinct(), 0)
@@ -87,9 +90,9 @@ object Graphs {
     require(maxIter >= 1, "ssspBounded: maxIter must be >= 1")
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .withColumn("w", weight(col("a"), col("b")))
       .repartition(col("a")) // same one-layout rule as bfsHops (r19)
+      .distinct() // dedup rides the layout exchange (r20, see bfsHops)
+      .withColumn("w", weight(col("a"), col("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
     var dist = IterCkpt.truncate(seeds.select(col("id"), lit(0L).as("d")).distinct(), 0)
@@ -357,6 +360,10 @@ object Graphs {
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      // one-layout rule (r20): hash(a) rides the dedup AND is reused by
+      // every round's groupBy(a) degree aggregate (the LPA discipline) —
+      // the per-round agg exchange disappears in the broadcast regime
+      .repartition(col("a"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
@@ -382,6 +389,10 @@ object Graphs {
   def kCoreTrace(edges: DataFrame, k: Int, iters: Int): DataFrame = {
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      // one-layout rule (r20): hash(a) rides the dedup AND is reused by
+      // every round's groupBy(a) degree aggregate (the LPA discipline) —
+      // the per-round agg exchange disappears in the broadcast regime
+      .repartition(col("a"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
@@ -419,6 +430,10 @@ object Graphs {
   def kCoreConverged(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     val und = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      // one-layout rule (r20): hash(a) rides the dedup AND is reused by
+      // every round's groupBy(a) degree aggregate (the LPA discipline) —
+      // the per-round agg exchange disappears in the broadcast regime
+      .repartition(col("a"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
