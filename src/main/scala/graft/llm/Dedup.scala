@@ -3540,12 +3540,14 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
-    // the node frame seeds the self-labels and is the left side of the
-    // single FINAL coalesce join — pre-partition it on id once
-    val nodesP = nodes.select(col("id")).repartition(col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nodesP.count()
-    var labels = nodesP.select(col("id"), col("id").as("label"))
+    // r20: the r19 node-frame layout (repartition(id) + persist +
+    // count) is gone — it existed for the PER-ROUND coalesce join,
+    // which the winners-only loop no longer runs. The node table is
+    // now read twice total (the self-label seed and the one final
+    // attach), both map-only consumers of the raw frame; pre-keying
+    // it bought nothing and cost one exchange + one materialization
+    // per call.
+    var labels = nodes.select(col("id"), col("id").as("label"))
     // `checkpointEvery` exists because VERDICT r15 task 8 asked
     // whether halving the per-round materialization would halve the
     // toy-scale wall time (19% of the r15 headline, adjudicated as
@@ -3583,12 +3585,9 @@ object Dedup {
     // contract GraphsSpec pins: under the reliable policy the caller
     // holds a recoverable artifact, not a lazy re-derivation), and the
     // checkpointed volume of the final round is unchanged from r19
-    // (node-sized, attached). nodesP is still cached here — truncation
-    // is eager, so the attach join reuses the hash(id) layout before
-    // the unpersists below.
-    val out = graft.IterCkpt.truncate(attachIsolated(nodesP, labels), iters)
+    // (node-sized, attached).
+    val out = graft.IterCkpt.truncate(attachIsolated(nodes, labels), iters)
     und.unpersist()
-    nodesP.unpersist()
     out
   }
 
