@@ -828,14 +828,34 @@ object Curation {
     out
   }
 
-  /** The capstone's exact-dedup stage: survivors (first doc_id per
-    * content hash) semi-joined back onto the corpus. */
-  private[graft] def exactDedupCorpus(docs: DataFrame): DataFrame = {
-    val survivors = docs.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    docs.join(survivors, Seq("doc_id"), "left_semi")
+  /** The capstone's exact-dedup stage: first doc_id per content hash
+    * wins. ONE window pass keyed on md5(text) — a row survives iff its
+    * doc_id is the min of its content-hash partition — instead of the
+    * r20 groupBy + semi-join victor pick (guide §2.4): the corpus is
+    * scanned once and exchanged once (by content hash) where the old
+    * shape scanned it twice and paid the survivor aggregate's exchange
+    * PLUS the join-back (broadcast at toy scale; a second corpus-sized
+    * exchange + two sorts in the SMJ regime). Measured at sf0.1 the
+    * window form wins in BOTH regimes (0.41→0.28 s broadcast,
+    * 0.24→0.15 s with broadcast disabled, noop-sink min-of-5), so no
+    * regime knob is needed. Identical rows under the documents
+    * contract (doc_id unique): min(doc_id) over a hash partition picks
+    * exactly the old survivor set, and the oracle's groupBy+join SQL
+    * replays it unchanged. */
+  private[graft] def exactDedupCorpus(docs: DataFrame): DataFrame =
+    keepMinDocByText(docs)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-  }
+
+  /** Keep-first exact dedup as one content-hash-partitioned window
+    * min (see [[exactDedupCorpus]]); preserves the caller's columns.
+    * Window state is bounded by the duplicate multiplicity of one
+    * content hash — the groups the old aggregate built anyway. */
+  private[graft] def keepMinDocByText(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("__keep_id"))
+      .drop("__keep_id")
 
   /** Un-persisted, un-checkpointed capstone PLAN (VERDICT r13 task 1):
     * the exact-dedup semi-join, decontamination, length gate, mixing
@@ -878,10 +898,7 @@ object Curation {
   def curationFunnel(
       docs: DataFrame, evalPred: Column, minTokens: Int,
       rates: Seq[(String, Int)], defaultRate: Int): DataFrame = {
-    val survivors = docs.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val corpus = exactDedupCorpus(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contam = decontaminate(corpus, evalPred).select(col("doc_id"))
     val train = corpus.filter(!evalPred)
