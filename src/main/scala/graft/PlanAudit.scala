@@ -197,6 +197,82 @@ object PlanAudit {
     }
   }
 
+  /** One unpartitioned-Window site found by [[unpartitionedWindows]]:
+    * the window expressions (truncated) and whether the site's INPUT
+    * is provably bounded by plan construction (a Limit/TakeOrdered, a
+    * 1-row aggregate, or a literal frame somewhere below every
+    * data-sized path). An empty partition spec moves ALL input rows to
+    * one task (the `WindowExec: No Partition Defined` WARN) — harmless
+    * on an n-bounded frame (rank windows over a top-k list), a 100 TB
+    * scale-killer on a data-sized one. */
+  final case class GlobalWindowSite(exprs: String, boundedInput: Boolean) {
+    override def toString: String =
+      s"GlobalWindowSite(bounded=$boundedInput, $exprs)"
+  }
+
+  /** Conservative bounded-output prover for [[unpartitionedWindows]]:
+    * true only when `p`'s output row count is bounded by a PLAN
+    * constant, independent of input data size.
+    *  - limits (Global/Local/CollectLimit/TakeOrdered) bound by their
+    *    literal;
+    *  - an ungrouped aggregate is 1 row; a GROUPED aggregate only
+    *    reduces, so it passes its child's verdict through (a bounded
+    *    grid grouped further stays bounded; a data-sized input stays
+    *    data-sized — group count is not provable from the plan);
+    *  - literal frames (LocalTableScan, Range) are plan constants;
+    *  - semi/anti/existence joins are bounded by their left side;
+    *    other joins need both sides bounded; unions need all children;
+    *  - Generate (explode) fan-out is data-dependent → unbounded;
+    *  - file/RDD/checkpoint scans → unbounded;
+    *  - everything else with one child (Project/Filter/Sort/Exchange/
+    *    Window/Expand/WSCG) neither adds unbounded rows nor hides a
+    *    scan, so it passes the child verdict through. */
+  private[graft] def boundedOutput(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{CollectLimitExec, GenerateExec,
+      GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RangeExec,
+      TakeOrderedAndProjectExec, UnionExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
+    p match {
+      case a: AdaptiveSparkPlanExec => boundedOutput(a.executedPlan)
+      case q: QueryStageExec => boundedOutput(q.plan)
+      case r: ReusedExchangeExec => boundedOutput(r.child)
+      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
+          _: TakeOrderedAndProjectExec => true
+      case _: LocalTableScanExec | _: RangeExec => true
+      case agg: BaseAggregateExec =>
+        agg.groupingExpressions.isEmpty || boundedOutput(agg.child)
+      case j: BaseJoinExec => j.joinType match {
+        case LeftSemi | LeftAnti | _: ExistenceJoin => boundedOutput(j.left)
+        case _ => boundedOutput(j.left) && boundedOutput(j.right)
+      }
+      case u: UnionExec => u.children.forall(boundedOutput)
+      case _: GenerateExec => false
+      case other if other.children.size == 1 => boundedOutput(other.children.head)
+      case _ => false
+    }
+  }
+
+  /** Unpartitioned-Window census (r21, VERDICT r20 task 3): every
+    * `WindowExec` in `df`'s plan whose partition spec is EMPTY, each
+    * classified by [[boundedOutput]] over its input subtree. Walks the
+    * PRE-EXECUTION physical plan — window shape is AQE-invariant — so
+    * a census over every declared query runs no jobs. Checkpoint
+    * caveat (the exchangeCounts limitation): a localCheckpoint hides
+    * its upstream plan, so checkpoint-backed inputs read as UNBOUNDED
+    * here (fail-closed) and pre-checkpoint cores are audited piecewise
+    * in [[main]]. */
+  def unpartitionedWindows(df: DataFrame): Seq[GlobalWindowSite] = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    walk(df.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        GlobalWindowSite(
+          w.windowExpression.map(_.toString).mkString("; ").take(200),
+          boundedOutput(w.child))
+    }
+  }
+
   /** One driver-side row materialization recorded by
     * [[auditDriverFetches]]: the action name Spark reported, the
     * plan-level limit when the root is a CollectLimit/TakeOrdered
@@ -357,16 +433,14 @@ object PlanAudit {
         "o_orderkey")
     })
     audit("keySkew", queries.Audit.keySkew(Tables.orders(spark, sfDir), "o_custkey", 10))
-    // familiarity (headline, r9): gram-keyed freq aggregate + join +
-    // doc rollup — audited un-checkpointed (the public API checkpoints)
-    audit("familiarity(core)", {
-      val grams = docs.select(col("doc_id"),
-          graft.functions.ngram_hashes(col("text"), 2, 15).as(Seq("pos", "gram_h")))
-        .select(col("doc_id"), col("gram_h"))
-      val freq = grams.groupBy(col("gram_h")).agg(count(lit(1)).as("c"))
-      grams.join(freq, "gram_h").groupBy(col("doc_id"))
-        .agg(count(lit(1)), sum(col("c")))
-    })
+    // familiarity (headline, r9): both regimes of the SHARED plan
+    // variant (r21 knob; the sourceOverlapPlan discipline): "join" =
+    // gram-keyed freq aggregate + join + doc rollup (the declared
+    // query's broadcast-regime plan); "window" = count window over
+    // gram_h + doc rollup (the non-broadcast regime — no freq join)
+    audit("familiarity(core)", llm.TextAnalysis.familiarityPlan(docs))
+    audit("familiarity(core,window)",
+      llm.TextAnalysis.familiarityPlan(docs, freqLayout = "window"))
     audit("negativePairs", llm.Curation.negativePairs(docs, 4))
     // round-9: within-doc repetition coverage — recurrence test is a
     // window over (doc_id, gram_h), islands+rollup share the doc_id

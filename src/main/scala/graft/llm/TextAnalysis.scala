@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -325,17 +326,26 @@ object TextAnalysis {
     * top-k. */
   def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25Search: terms must be non-empty")
-    val totals = docs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+    // ONE tokenization pass (r21, guide §6/§2.4): the r20 shape scanned
+    // and split the full text twice — once for the corpus totals, once
+    // for the postings explode. Both now derive from a single
+    // materialized per-doc frame carrying (doc_id, dl, matched tokens):
+    // the term filter runs map-side INSIDE the token array (higher-order
+    // filter, before any explode), so the checkpointed rows are narrow —
+    // two longs plus a |query|-bounded array — and the corpus text is
+    // read and split exactly once. totals/tf/idf values are unchanged.
+    val perDoc = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => t.isin(terms: _*)).as("mt"))
+      .localCheckpoint()
+    val totals = perDoc
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl")).cast("long").as("n_tokens"))
-    val tf = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(terms: _*))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("mt")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
-      .localCheckpoint()
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
       .crossJoin(broadcast(totals))
       .select(col("term"), expr("(n_docs * 1000L) div df").as("idf_milli"),
@@ -428,19 +438,53 @@ object TextAnalysis {
     * oracle replays it bit for bit.
     *
     * Scale shape: bigrams leave the scan as 60-bit keys from the
-    * native generator (no gram strings shuffle); corpus frequencies
-    * are one keyed aggregate; the frequency join is keyed on the same
-    * 8-byte hash; the per-doc rollup is one doc_id exchange. The
-    * gram-key frame is persisted — it feeds both the frequency
-    * aggregate and the join probe. */
-  def familiarity(docs: DataFrame): DataFrame = {
-    val grams = docs
+    * native generator (no gram strings shuffle). Two REGIMES, chosen
+    * by `freqLayout` (the `edgeLayoutKey` convention — an explicit
+    * parameter, not a silent threshold):
+    *
+    *  - `"join"` (default, the declared query's plan): corpus
+    *    frequencies are one keyed aggregate joined back on the 8-byte
+    *    hash, then the per-doc rollup. Wins while the distinct-bigram
+    *    frequency frame BROADCASTS (bounded vocabulary) — the gram
+    *    rows then cross the wire once (the rollup exchange) plus one
+    *    narrow partial-agg exchange.
+    *  - `"window"` (the non-broadcast regime): the corpus frequency is
+    *    a count window OVER the gram_h partition — the freq aggregate,
+    *    its exchange, and the join disappear; the gram rows pay one
+    *    gram_h exchange + sort instead of the join's two shuffled
+    *    sides when the freq frame is too wide to broadcast (true
+    *    open-vocabulary corpora at 100 TB). Same rows bit-for-bit:
+    *    count over the hash partition IS the joined frequency.
+    *
+    * Both regimes' exchange shapes are pinned by PlanAudit
+    * ("familiarity(core)" / "familiarity(core,window)") and dumped by
+    * the r21 plan evidence. */
+  def familiarity(docs: DataFrame, freqLayout: String = "join"): DataFrame = {
+    require(freqLayout == "join" || freqLayout == "window",
+      s"familiarity: freqLayout must be \"join\" (broadcast regime) or " +
+        s"\"window\" (non-broadcast regime), got $freqLayout")
+    if (freqLayout == "window") return familiarityPlan(docs, freqLayout)
+    val grams = gramKeyRows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = familiarityTail(
+      grams.join(grams.groupBy(col("gram_h"))
+        .agg(count(lit(1)).cast("long").as("c")), "gram_h"))
+      .localCheckpoint()
+    grams.unpersist()
+    out
+  }
+
+  /** (doc_id, gram_h) bigram key rows — the familiarity scan. */
+  private def gramKeyRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.ngram_hashes(col("text"), 2, 15).as(Seq("pos", "gram_h")))
       .select(col("doc_id"), col("gram_h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = grams.groupBy(col("gram_h")).agg(count(lit(1)).cast("long").as("c"))
-    val out = grams.join(freq, "gram_h")
+
+  /** Per-doc rollup over (doc_id, gram_h, c) rows — shared by both
+    * regimes so they can never drift. */
+  private def familiarityTail(withFreq: DataFrame): DataFrame =
+    withFreq
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_bigrams"),
@@ -449,9 +493,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("n_hapax"),
         (round(col("freq_sum") * lit(1.0) / col("n_bigrams"), 6) + lit(0.0))
           .as("familiarity"))
-      .localCheckpoint()
-    grams.unpersist()
-    out
+
+  /** Un-persisted, un-checkpointed familiarity plan for PlanAudit /
+    * PlanDump — the SHARED variant (the sourceOverlapPlan discipline:
+    * audited evidence can never drift from the shipped shape). The
+    * "window" regime needs no persist at all (the gram frame is
+    * consumed once), so the public API routes it here directly. */
+  private[graft] def familiarityPlan(
+      docs: DataFrame, freqLayout: String = "join"): DataFrame = {
+    val grams = gramKeyRows(docs)
+    val withFreq =
+      if (freqLayout == "window")
+        grams.withColumn("c",
+          count(lit(1)).over(Window.partitionBy(col("gram_h"))).cast("long"))
+      else
+        grams.join(
+          grams.groupBy(col("gram_h")).agg(count(lit(1)).cast("long").as("c")),
+          "gram_h")
+    familiarityTail(withFreq)
   }
 
   /** Token-distribution drift per source: total-variation distance
@@ -1046,10 +1105,10 @@ object TextAnalysis {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
-      val survivors = corpus.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      corpus.join(survivors, Seq("doc_id"), "left_semi")
+      // keep-first exact dedup as ONE content-hash window pass — the
+      // r21 exactDedupCorpus rewrite (guide §2.4): one corpus scan and
+      // one exchange instead of the survivor aggregate + join-back
+      Curation.keepMinDocByText(corpus)
         .transform(withDetectedLang)
         .withColumn("n_tokens", size(toks).cast("long"))
         .filter(col("n_tokens") >= 40 && col("detected_lang") === col("lang"))

@@ -40,7 +40,14 @@ class PlanAuditSpec extends SparkSpec {
     "analytics_nation_volume" -> ((4, 5)),
     "analytics_profit_by_nation" -> ((2, 3)),
     "analytics_local_volume" -> ((2, 4)),
-    "search_bm25_topk" -> ((3, 2)),
+    // r21 re-measure (was (3, 2)): the one-tokenization-pass rewrite
+    // moved bm25's localCheckpoint from the (doc, term) tf frame UP to
+    // the per-doc (doc_id, dl, matched-tokens) frame, so the gate now
+    // SEES the totals and tf aggregates the old checkpoint hid — the
+    // query's total exchange count is unchanged (totals agg + tf agg +
+    // df agg + score agg + the 1-row broadcast pair) while the corpus
+    // text is scanned and split ONCE instead of twice (guide §6).
+    "search_bm25_topk" -> ((5, 2)),
     "audit_corr_matrix" -> ((1, 0)),
     "ml_chi2_independence" -> ((4, 3)),
     "graph_common_neighbors" -> ((3, 4)),
@@ -63,7 +70,11 @@ class PlanAuditSpec extends SparkSpec {
     // collects); temperature mix = src count agg + totals agg + the
     // source-partitioned rank window + quota join + output sort, all
     // small except the window and the count, each data-sized once
-    "search_rrf_fusion" -> ((3, 3)),
+    // r21: (3, 3) -> (5, 3) for the same reason as search_bm25_topk —
+    // the BM25 leg's earlier checkpoint exposes its totals/tf
+    // aggregates to the gate; the fused plan's exchange total and the
+    // n-bounded fusion tail are unchanged, the corpus scan count drops
+    "search_rrf_fusion" -> ((5, 3)),
     "search_mmr_rerank" -> ((1, 0)),
     "curation_temperature_mix" -> ((5, 2)),
     // r12 tail (measured at sf0.01): HLL's 8 includes the exact-count
