@@ -468,6 +468,94 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("global-window census: every unpartitioned Window in a declared query is plan-bounded or allowlisted (r21)") {
+    // VERDICT r20 task 3: Verify's tail carries repeated `WindowExec:
+    // No Partition Defined` WARNs — every such site moves ALL its input
+    // to ONE task. Harmless on an n-bounded frame (rank windows over a
+    // top-k list), a 100 TB scale-killer on a data-sized one. This gate
+    // walks every declared query's pre-execution plan
+    // (PlanAudit.unpartitionedWindows): a site passes when its input is
+    // PROVABLY bounded by plan construction (limit / 1-row aggregate /
+    // literal frame below every data-sized path — PlanAudit
+    // .boundedOutput), or when the query is ALLOWLISTED with a reason.
+    // Every allowlist entry must be one of two documented classes:
+    //  - bounded-GRID frames: the window runs over a grouped rollup
+    //    whose key domain is bounded (calendar buckets, digit grids,
+    //    histogram buckets, contingency cells) — group count is not
+    //    provable from the plan, so the prover fails closed;
+    //  - exact ORDER STATISTICS: the declared semantics require a
+    //    total order (KS, exact AUC, conformal quantile, equi-depth
+    //    boundaries, top-fraction thresholds) — each has a bucketed /
+    //    sketch / two-phase sibling as the at-scale form.
+    // A NEW query with an unlisted data-sized global window fails here.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val gateDir = sf("sf0.001")
+
+    // control 1: a PLANTED data-sized global window must be flagged —
+    // if it ever stops failing, the census is measuring nothing
+    val planted = Tables.lineitem(spark, gateDir)
+      .withColumn("rn", row_number().over(Window.orderBy(col("l_orderkey"))))
+    val plantedSites = PlanAudit.unpartitionedWindows(planted)
+    assert(plantedSites.nonEmpty && plantedSites.exists(!_.boundedInput),
+      s"the planted unbounded global window must be caught: $plantedSites")
+    // control 2: the same window over a plan-limited input proves bounded
+    val proved = Tables.lineitem(spark, gateDir)
+      .orderBy(col("l_orderkey")).limit(10)
+      .withColumn("rn", row_number().over(Window.orderBy(col("l_orderkey"))))
+    val provedSites = PlanAudit.unpartitionedWindows(proved)
+    assert(provedSites.nonEmpty && provedSites.forall(_.boundedInput),
+      s"a limit-bounded global window must classify bounded: $provedSites")
+
+    val allow: Map[String, String] = Map(
+      "analytics_market_share" ->
+        "share-of-total over the per-year rollup (calendar-bounded grid)",
+      "analytics_pareto_frontier" ->
+        "running min over the per-size rollup (p_size domain grid)",
+      "audit_benford" -> "digit-grid totals (9 rows)",
+      "audit_ks_drift" ->
+        "exact KS needs the value total order; audit_ks_drift_bucketed is the at-scale sibling",
+      "audit_ks_drift_bucketed" -> "cum-sums over the bounded bucket grid",
+      "audit_psi_drift" -> "bucket-grid totals (32 rows)",
+      "events_concurrency_peak" ->
+        "cumulative concurrency over the time-bucket grid (calendar-bounded)",
+      "events_rfm_segments" ->
+        "user-sized total rank: the declared RFM quintile semantics; two-phase rank is the at-scale rewrite (r21 backlog)",
+      "events_slo_burn" -> "rolling error budget over the hour grid (calendar-bounded)",
+      "ml_auc_exact" -> "exact AUC is a total-order statistic over distinct scores",
+      "ml_chi2_independence" -> "global totals over the bounded contingency grid",
+      "ml_conformal_interval" ->
+        "conformal quantile is an order statistic over calibration scores",
+      "ml_e2e_metrics_pinned" -> "exact AUC total-order statistic (the ml_auc_exact class)",
+      "ml_lift_table" -> "cumulative lift needs the score total order (decile output)",
+      "sketch_log_histogram_quantiles" ->
+        "cum-counts over the bounded log-bucket grid",
+      "stats_histogram_eqdepth" ->
+        "equi-depth boundaries are order statistics over distinct values",
+      "telemetry_calibration_error" ->
+        "global totals over the bounded score-bucket grid",
+      "threshold_select" ->
+        "top-fraction threshold is a total-order statistic over scores")
+
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seenUnbounded = scala.collection.mutable.Set.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val sites = PlanAudit.unpartitionedWindows(fn(spark, gateDir))
+      for (s <- sites if !s.boundedInput) {
+        seenUnbounded += name
+        if (!allow.contains(name)) offenders += s"$name: $s"
+      }
+    }
+    assert(offenders.isEmpty,
+      "declared queries with un-allowlisted data-sized global windows " +
+        s"(bound the frame, two-phase the rank, or allowlist with a reason):\n" +
+        offenders.mkString("\n"))
+    // the allowlist itself must stay honest: an entry whose query no
+    // longer surfaces an unbounded global window is stale
+    val stale = allow.keySet -- seenUnbounded
+    assert(stale.isEmpty, s"stale global-window allowlist entries: $stale")
+  }
+
   test("driver-budget gate: no declared query materializes unbounded rows on the driver (r20)") {
     // VERDICT r19 task 4: the r19 audit grep ("all 26 .collect() sites
     // in main are bounded artifacts") as a PERMANENT failing gate — a
