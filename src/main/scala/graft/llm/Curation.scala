@@ -852,8 +852,12 @@ object Curation {
     * content hash — the groups the old aggregate built anyway. */
   private[graft] def keepMinDocByText(docs: DataFrame): DataFrame =
     docs
+      // 16-byte binary content key (Dedup.contentKey): the window's
+      // partition expression materializes as a shuffle column, so the
+      // binary form halves it vs the 32-char hex md5 (same groups —
+      // unhex is bijective on md5 output)
       .withColumn("__keep_id",
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        min(col("doc_id")).over(Window.partitionBy(Dedup.contentKey(col("text")))))
       .filter(col("doc_id") === col("__keep_id"))
       .drop("__keep_id")
 
@@ -1344,7 +1348,7 @@ object Curation {
     // groupBy+rejoin form re-derived the uncached 7-slice delta twice
     // more and cost ~0.9 s on the headline fixture).
     val byText = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text")))
+      .partitionBy(Dedup.contentKey(col("text"))) // 16-byte key (r21)
     deltaDocs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),

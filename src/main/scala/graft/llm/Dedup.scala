@@ -535,6 +535,26 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** 16-byte BINARY content key (r21, guide §6): `unhex(md5(text))` —
+    * HALF the 32-char hex string's bytes on the wire of every probe
+    * join and in every standing content-hash table (the builder
+    * backlog #1 / VERDICT r20 task 6 key-width fix). Bijective with
+    * the hex form, so equality semantics — and every verdict — are
+    * unchanged. */
+  private[graft] def contentKey(text: Column): Column = unhex(md5(text))
+
+  /** Key encoder matched to an EXISTING index frame's `h` column type
+    * — the migration shim for standing tables: a pre-r21 table stores
+    * hex STRING keys and keeps probing/appending correctly (its probe
+    * side hashes to hex), a rebuilt table stores 16-byte BINARY and
+    * pays half the key bytes. The TABLE is the source of truth, so
+    * mixed fleets need no flag day. */
+  private[graft] def keyEncoderFor(idx: DataFrame): Column => Column =
+    idx.schema.find(_.name == "h").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.BinaryType) => contentKey
+      case _ => md5(_)
+    }
+
   /** Incremental (delta-vs-corpus) exact dedup — the shape a 100 TB
     * pipeline actually runs: the corpus's content-hash index
     * (hash → canonical keep_id, maintained at ingest) is joined by
@@ -544,15 +564,16 @@ object Dedup {
     * shuffles only the delta. */
   def incrementalDedup(corpus: DataFrame, delta: DataFrame): DataFrame =
     hashVerdictFrom(
-      corpus.groupBy(md5(col("text")).as("h"))
+      corpus.groupBy(contentKey(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keep_id")),
       delta)
 
   /** The probe + verdict tail shared by [[incrementalDedup]] and the
-    * served [[probeHashIndex]] — delta rows hashed map-side, left
-    * join against the (h, keep_id) index, 'dup'/'new' verdict. */
+    * served [[probeHashIndex]] — delta rows hashed map-side (with the
+    * encoding the INDEX carries — see [[keyEncoderFor]]), left join
+    * against the (h, keep_id) index, 'dup'/'new' verdict. */
   private def hashVerdictFrom(idx: DataFrame, delta: DataFrame): DataFrame =
-    delta.select(col("doc_id"), md5(col("text")).as("h"))
+    delta.select(col("doc_id"), keyEncoderFor(idx)(col("text")).as("h"))
       .join(idx, Seq("h"), "left")
       .select(
         col("doc_id"),
@@ -564,11 +585,14 @@ object Dedup {
     * [[incrementalDedup]] scaladoc describes ("at scale the index is
     * bucketed by hash so the join shuffles only the delta"), made
     * real like the band/SRP/gram serving tables. The groupBy's
-    * corpus-sized shuffle is paid ONCE at build. */
+    * corpus-sized shuffle is paid ONCE at build. r21: the key is the
+    * 16-byte BINARY [[contentKey]] — half the hex form's key bytes in
+    * the table and on every probe wire; pre-r21 hex tables keep
+    * serving through [[keyEncoderFor]] until their next rebuild. */
   def buildHashIndex(
       corpus: DataFrame, spark: SparkSession, table: String, path: String,
       buckets: Int = 8): Unit = {
-    corpus.groupBy(md5(col("text")).as("h"))
+    corpus.groupBy(contentKey(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "h").sortBy("h")
@@ -1048,12 +1072,16 @@ object Dedup {
     * per-hash min doc_id. Exposed separately so LlmSpec can pin the
     * append plan at one delta-sized exchange. */
   private[graft] def appendHashIndexRows(
-      delta: DataFrame, spark: SparkSession, table: String): DataFrame =
-    delta.select(md5(col("text")).as("h"), col("doc_id"))
-      .join(spark.table(table), Seq("h"), "left_anti")
+      delta: DataFrame, spark: SparkSession, table: String): DataFrame = {
+    val idx = spark.table(table)
+    // the TABLE's key encoding wins (keyEncoderFor): appends into a
+    // pre-r21 hex table stay hex; rebuilt BINARY tables append binary
+    delta.select(keyEncoderFor(idx)(col("text")).as("h"), col("doc_id"))
+      .join(idx, Seq("h"), "left_anti")
       // the anti-join leaves the delta hash-partitioned on h, so this
       // groupBy reuses that partitioning — no second exchange
       .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+  }
 
   /** Incremental (append) maintenance for [[buildHashIndex]] — at
     * 100 TB the standing ingest gate cannot re-pay the corpus-sized

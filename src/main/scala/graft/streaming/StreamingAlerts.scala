@@ -1111,7 +1111,10 @@ object StreamingAlerts {
     // STATIC table (evalFrom) — the stream never self-joins
     val dStream = Curation.refreshDeltaDocs(
       docsStream(s, dir).select(col("doc_id"), col("text")), docs)
-    val x = dStream.select(col("doc_id"), md5(col("text")).as("h"))
+    // probe-side key encoding follows the TABLE (Dedup.keyEncoderFor):
+    // binary for r21 indexes, hex for standing pre-r21 ones
+    val x = dStream.select(col("doc_id"),
+        Dedup.keyEncoderFor(s.table(hashTbl))(col("text")).as("h"))
       .join(s.table(hashTbl), Seq("h"))
       .select(col("doc_id").as("delta_id"), lit("x").as("tier"),
         col("keep_id").as("cand_id"))

@@ -1076,6 +1076,65 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("hash-index key migration: BINARY keys shrink the table; standing hex tables keep serving (r21)") {
+    // VERDICT r20 task 6: the exact-dedup index key moves from the
+    // 32-char hex md5 STRING to the 16-byte BINARY unhex(md5) — half
+    // the key bytes in the standing table and on every probe wire.
+    // Back-compat is schema-driven (Dedup.keyEncoderFor): the TABLE's
+    // h column type decides the probe/append encoding, so a pre-r21
+    // hex table keeps serving identical verdicts until its next
+    // rebuild — no flag day, no mixed keys inside one table.
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val corpus = Tables.documents(spark, sf("sf0.01")).select(col("doc_id"), col("text"))
+    val delta = Dedup.incrementalExactDelta(corpus)
+    val path = tempDir("graft_hash_key_mig")
+    // legacy table: the pre-r21 build shape, replicated verbatim (hex h)
+    corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+      .option("path", s"$path/hex_idx").saveAsTable("mig_hex_idx")
+    Dedup.writeSpecSidecar(spark, s"$path/hex_idx", 8, Seq("h"), Seq("h"))
+    Dedup.buildHashIndex(corpus, spark, "mig_bin_idx", s"$path/bin_idx")
+    try {
+      assert(spark.table("mig_bin_idx").schema("h").dataType === BinaryType,
+        "the r21 build must store 16-byte BINARY keys")
+      assert(spark.table("mig_hex_idx").schema("h").dataType === StringType)
+      // both encodings serve IDENTICAL verdicts (the probe side adapts)
+      val viaBin = Dedup.probeHashIndex(delta, spark, "mig_bin_idx")
+        .orderBy("doc_id").collect().toSeq
+      val viaHex = Dedup.probeHashIndex(delta, spark, "mig_hex_idx")
+        .orderBy("doc_id").collect().toSeq
+      assert(viaBin === viaHex, "hex and binary tables must serve identical verdicts")
+      assert(viaBin.exists(_.getString(1) == "dup") && viaBin.exists(_.getString(1) == "new"))
+      // appends follow the TABLE's encoding — a hex table stays hex
+      val tail = corpus.filter(col("doc_id") % 97 === 7)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" v2-tail")).as("text"))
+      Dedup.appendHashIndex(tail, spark, "mig_hex_idx")
+      assert(spark.table("mig_hex_idx").schema("h").dataType === StringType)
+      val tailProbe = Dedup.probeHashIndex(tail, spark, "mig_hex_idx")
+      assert(tailProbe.filter(col("status") === "dup").count() === tail.count(),
+        "rows appended into the hex table must probe as dups (hex-keyed append)")
+      // the footprint claim, measured: same rows, binary table smaller
+      def dirBytes(p: String): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+          .filter(f => java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).sum
+      }
+      val hexB = dirBytes(s"$path/hex_idx")
+      val binB = dirBytes(s"$path/bin_idx")
+      info(f"hash-index parquet footprint: hex=$hexB B, binary=$binB B " +
+        f"(${binB * 100.0 / hexB}%.0f%% of hex)")
+      assert(binB < hexB,
+        s"binary-keyed index ($binB B) must be smaller than the hex form ($hexB B)")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mig_hex_idx")
+      spark.sql("DROP TABLE IF EXISTS mig_bin_idx")
+    }
+  }
+
   test("bucketed SRP index: candidate join shuffles ONLY the probe side, answers match annJoin") {
     // r14: the embedding tier's serving pair (buildSrpIndex /
     // probeSrpIndex) — the persisted band table must read its bucket

@@ -856,8 +856,11 @@ class StreamingSpec extends SparkSpec {
         // batch 1: two novel docs — both admitted
         mem.addData(Seq((100L, docA, vA), (101L, docB, vB)))
         q.processAllAvailable()
+        // r21: the index stores the 16-byte BINARY content key — probe
+        // with the table's own encoder, not a hex literal
         val hashed = spark.table(hashTbl)
-          .filter(col("h") === md5(lit(docA))).count()
+          .filter(col("h") ===
+            llm.Dedup.keyEncoderFor(spark.table(hashTbl))(lit(docA))).count()
         assert(hashed === 1L, s"batch-1 admission missing from the hash table ($hashed)")
         // batch 2: an exact copy of doc 100 (admitted LAST batch, never
         // in the base corpus), a paraphrase of 101 (same vector, novel
