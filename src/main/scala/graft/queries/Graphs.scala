@@ -354,23 +354,35 @@ object Graphs {
       .limit(k)
   }
 
+  /** The kCore family's shared symmetric-edge layout — one-layout rule
+    * (r20): hash(a) rides the dedup AND is reused by every round's
+    * groupBy(a) degree aggregate (the LPA discipline) — the per-round
+    * agg exchange disappears in the broadcast regime. Shared by the
+    * three kCore forms and the r21 SMJ-regime census (GraphsSpec) so
+    * the pinned exchange counts can never drift from the shipped
+    * shape. */
+  private[graft] def kCoreEdges(edges: DataFrame): DataFrame =
+    edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .distinct()
+
+  /** One peel round's induced-degree derivation over the persisted
+    * layout: membership joins on both endpoints, then the degree
+    * aggregate riding hash(a). */
+  private[graft] def kCoreRound(und: DataFrame, nodes: DataFrame): DataFrame =
+    und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
+      .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
+      .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
+
   /** k-core by fixed-iteration peeling over an (a, b) edge frame —
     * see the `graph_kcore` declaration. Returns (id, degree) of the
     * surviving induced subgraph after `iters` rounds. */
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      // one-layout rule (r20): hash(a) rides the dedup AND is reused by
-      // every round's groupBy(a) degree aggregate (the LPA discipline) —
-      // the per-round agg exchange disappears in the broadcast regime
-      .repartition(col("a"))
-      .distinct()
+    val und = kCoreEdges(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
-    def inducedDegrees(nodes: DataFrame): DataFrame =
-      und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
-        .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
-        .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
+    def inducedDegrees(nodes: DataFrame): DataFrame = kCoreRound(und, nodes)
     var nodes = IterCkpt.truncate(und.select(col("a").as("id")).distinct(), 0)
     for (i <- 1 to iters)
       nodes = IterCkpt.truncate(inducedDegrees(nodes).filter(col("c") >= k)
@@ -387,19 +399,10 @@ object Graphs {
     * the checkpointed survivor frame, so the trace costs one extra
     * count-job per level on top of the peel itself. */
   def kCoreTrace(edges: DataFrame, k: Int, iters: Int): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      // one-layout rule (r20): hash(a) rides the dedup AND is reused by
-      // every round's groupBy(a) degree aggregate (the LPA discipline) —
-      // the per-round agg exchange disappears in the broadcast regime
-      .repartition(col("a"))
-      .distinct()
+    val und = kCoreEdges(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
-    def inducedDegrees(nodes: DataFrame): DataFrame =
-      und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
-        .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
-        .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
+    def inducedDegrees(nodes: DataFrame): DataFrame = kCoreRound(und, nodes)
     var nodes = IterCkpt.truncate(und.select(col("a").as("id")).distinct(), 0)
     def level(i: Int, n: DataFrame): DataFrame =
       n.agg(count(lit(1)).cast("long").as("n_nodes"))
@@ -428,19 +431,10 @@ object Graphs {
     * pins this form equal to it on the fixture AND correct on a long
     * chain the fixed count would truncate. */
   def kCoreConverged(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      // one-layout rule (r20): hash(a) rides the dedup AND is reused by
-      // every round's groupBy(a) degree aggregate (the LPA discipline) —
-      // the per-round agg exchange disappears in the broadcast regime
-      .repartition(col("a"))
-      .distinct()
+    val und = kCoreEdges(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count()
-    def inducedDegrees(nodes: DataFrame): DataFrame =
-      und.join(nodes.select(col("id").as("_xa")), col("a") === col("_xa"))
-        .join(nodes.select(col("id").as("_xb")), col("b") === col("_xb"))
-        .groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
+    def inducedDegrees(nodes: DataFrame): DataFrame = kCoreRound(und, nodes)
     var nodes = IterCkpt.truncate(und.select(col("a").as("id")).distinct(), 0)
     var prev = nodes.count()
     var iter = 0

@@ -219,4 +219,46 @@ class GraphsSpec extends SparkSpec {
       cn === 1L && ra === 200000L && a < b && a >= 1L && b <= 5L })
     assert(!full.exists { case (a, b, _, _) => (a, b) === ((1L, 2L)) })
   }
+
+  test("kCore round layout census: broadcast regime rides hash(a); SMJ regime pays the pinned exchanges (r21)") {
+    // VERDICT r20 task 7 (builder backlog #6): the r20 one-layout claim
+    // for the three kCore forms — the per-round groupBy(a) degree
+    // aggregate reuses the edge layout's hash(a) — was probed only in
+    // the broadcast regime. This census pins BOTH regimes on the SHARED
+    // round derivation (Graphs.kCoreEdges / kCoreRound — the same code
+    // the three forms execute), the LpaLayoutProbe discipline:
+    //  - broadcast regime (survivor frame fits): ZERO shuffle exchanges
+    //    per round — both membership joins broadcast the node side and
+    //    the degree aggregate rides hash(a);
+    //  - SMJ regime (broadcast disabled — the >10⁸-node corpus): the
+    //    b-side membership join re-keys the edge frame by b and the
+    //    degree aggregate re-keys it back by a (both irreducible under
+    //    this layout: a row's survival depends on BOTH endpoints), plus
+    //    the two node-sided exchanges (checkpoint truncation reads back
+    //    as UnknownPartitioning, the LPA census note) = 4 shuffles,
+    //    exactly 2 edge-sized.
+    val fixEdges = graft.llm.Dedup.lpaFixture(
+      Tables.documents(spark, sf("sf0.001")).select(col("doc_id")))._2
+    val und = Graphs.kCoreEdges(fixEdges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    try {
+      val nodes = IterCkpt.truncate(und.select(col("a").as("id")).distinct(), 0)
+      val (bSh, bBc) = PlanAudit.exchangeCounts(Graphs.kCoreRound(und, nodes))
+      assert(bSh === 0,
+        s"broadcast-regime round must ride the hash(a) layout: $bSh shuffles ($bBc broadcasts)")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (sSh, sBc) = PlanAudit.exchangeCounts(Graphs.kCoreRound(und, nodes))
+        val (_, sRec, _) = PlanAudit.shuffleStats(Graphs.kCoreRound(und, nodes))
+        info(s"SMJ-regime kCore round: $sSh shuffles / $sBc broadcasts, $sRec records")
+        assert(sSh <= 4,
+          s"SMJ-regime round regressed past the documented 4 exchanges: $sSh ($sBc broadcasts)")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    } finally und.unpersist()
+  }
 }
