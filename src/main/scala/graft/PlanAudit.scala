@@ -421,6 +421,13 @@ object PlanAudit {
     // not an inline copy (r20: the old inline block silently kept the
     // retired self-join shape after the one-grouped-pass rewrite)
     audit("sourceOverlapExact", llm.Curation.sourceOverlapPlan(docs))
+    // exact-dedup regimes (r21 knob): "agg" = the declared survivor
+    // aggregate + semi-join (broadcast regime, keeps scan
+    // partitioning); "window" = the one-scan one-exchange window-min
+    // for survivor frames past broadcast — both shared variants
+    audit("exactDedup(agg)", llm.Curation.exactDedupCorpus(docs))
+    audit("exactDedup(window)",
+      llm.Curation.exactDedupCorpus(docs, dedupLayout = "window"))
     // round-9 ops tier: the merge rewrite is delta ∪ (base ANTI delta)
     // — the anti join must broadcast the delta (small side), and the
     // skew profile is one keyed count + a broadcast totals row

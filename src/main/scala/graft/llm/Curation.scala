@@ -829,22 +829,43 @@ object Curation {
   }
 
   /** The capstone's exact-dedup stage: first doc_id per content hash
-    * wins. ONE window pass keyed on md5(text) — a row survives iff its
-    * doc_id is the min of its content-hash partition — instead of the
-    * r20 groupBy + semi-join victor pick (guide §2.4): the corpus is
-    * scanned once and exchanged once (by content hash) where the old
-    * shape scanned it twice and paid the survivor aggregate's exchange
-    * PLUS the join-back (broadcast at toy scale; a second corpus-sized
-    * exchange + two sorts in the SMJ regime). Measured at sf0.1 the
-    * window form wins in BOTH regimes (0.41→0.28 s broadcast,
-    * 0.24→0.15 s with broadcast disabled, noop-sink min-of-5), so no
-    * regime knob is needed. Identical rows under the documents
-    * contract (doc_id unique): min(doc_id) over a hash partition picks
-    * exactly the old survivor set, and the oracle's groupBy+join SQL
-    * replays it unchanged. */
-  private[graft] def exactDedupCorpus(docs: DataFrame): DataFrame =
-    keepMinDocByText(docs)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    * wins. Two REGIMES behind `dedupLayout` (the edgeLayoutKey
+    * convention — r21, VERDICT r20 task 1):
+    *
+    *  - `"agg"` (default — the declared queries' plan): survivor
+    *    aggregate over the content hash + doc_id semi-join back. In
+    *    the broadcast regime the corpus is never shuffled and the
+    *    output KEEPS the scan partitioning — which matters here
+    *    because every caller persists this frame for two downstream
+    *    consumers, and the narrow cache keeps their per-job task
+    *    count low. Measured end-to-end at sf0.1 (trainingReady,
+    *    count consumer, min-of-7, both orders): agg 1.00–1.41 s vs
+    *    window 1.78–2.19 s — the A/B that decided the default.
+    *  - `"window"` (the at-scale regime): ONE window-min pass over
+    *    the 16-byte content-key partition — one scan and one corpus
+    *    exchange where the agg shape pays two scans, the survivor
+    *    exchange AND a corpus-sized join-back once the survivor set
+    *    outgrows a broadcast (isolated-stage A/B, noop sink:
+    *    0.24 → 0.15 s with broadcast disabled). The regime for
+    *    corpora whose survivor frame cannot broadcast.
+    *
+    * Identical rows in both regimes under the documents contract
+    * (doc_id unique); the oracle replays the agg SQL unchanged. */
+  private[graft] def exactDedupCorpus(
+      docs: DataFrame, dedupLayout: String = "agg"): DataFrame = {
+    require(dedupLayout == "agg" || dedupLayout == "window",
+      s"exactDedupCorpus: dedupLayout must be \"agg\" (broadcast regime) or " +
+        s"\"window\" (non-broadcast regime), got $dedupLayout")
+    if (dedupLayout == "window")
+      keepMinDocByText(docs)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    else {
+      val survivors = docs.groupBy(Dedup.contentKey(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      docs.join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    }
+  }
 
   /** Keep-first exact dedup as one content-hash-partitioned window
     * min (see [[exactDedupCorpus]]); preserves the caller's columns.
@@ -869,8 +890,9 @@ object Curation {
     * map-side re-derivation differs. */
   private[graft] def trainingReadyPlan(
       docs: DataFrame, evalPred: Column, minTokens: Int,
-      rates: Seq[(String, Int)], defaultRate: Int, budget: Int): DataFrame = {
-    val corpus = exactDedupCorpus(docs)
+      rates: Seq[(String, Int)], defaultRate: Int, budget: Int,
+      dedupLayout: String = "agg"): DataFrame = {
+    val corpus = exactDedupCorpus(docs, dedupLayout)
     trainingReadyFrom(
       corpus, decontaminatePlan(corpus, evalPred).select(col("doc_id")),
       evalPred, minTokens, rates, defaultRate, budget)
